@@ -1,13 +1,696 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import graft.meta.Tables
+import graft.operators._
+import graft.functions.GraftFunctions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+
+/** Driver contract — one named query per implemented operator from
+  * SURVEY.md §2 (+ north-star dedup/similarity/text operators), each with a
+  * DuckDB-oracle SQL twin in [[oracleSql]].
+  *
+  * Parity rules used throughout (SURVEY §7.4.3):
+  *  - every query ends in a deterministic ORDER BY;
+  *  - aggregates over doubles are rounded (or routed through DECIMAL) on
+  *    BOTH sides so cross-engine float summation order can't flip a hash;
+  *  - integer-ish outputs are pinned to BIGINT/INTEGER on both sides;
+  *  - `events.ts` is nanosecond-precision parquet: the oracle casts it to
+  *    microsecond TIMESTAMP to match Spark's reader.
+  */
 object SparkEntry {
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    queries("q32_geo_error")(spark, "/root/testdata/sf0.001")
+
+  // ---- shared fragments -------------------------------------------------
+
+  /** events with nulls injected deterministically (the testdata has no
+    * nulls; this recreates the reference's dirty-input conditions —
+    * read_csv_s3_train.py:52 NA tokens / :72 coerce). */
+  private def dirtyEvents(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir).select(
+      col("event_id"), col("user_id"), col("ts"), col("event_type"),
+      when(col("event_type").isin("click", "view"), lit(null))
+        .otherwise(col("value")).as("v"),
+      when(col("user_id") % 5 === 0, lit(null)).otherwise(col("user_id")).as("u"))
+
+  private def dec2(c: Column): Column = c.cast("decimal(18,2)")
+
+  // ---- query catalog ----------------------------------------------------
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // A3-A8/G-agg: full-scan hash aggregate with decimal-exact sums (TPC-H Q1 shape).
+    "q01_pricing_summary" -> ((s, dir) => {
+      Tables.lineitem(s, dir)
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          sum(dec2(col("l_quantity"))).cast("decimal(18,2)").cast("double").as("sum_qty"),
+          sum(dec2(col("l_extendedprice"))).cast("decimal(18,2)").cast("double").as("sum_base_price"),
+          sum(dec2(col("l_extendedprice")) * (dec2(lit(1)) - dec2(col("l_discount"))))
+            .cast("decimal(18,4)").cast("double").as("sum_disc_price"),
+          round(avg("l_quantity"), 6).as("avg_qty"),
+          round(avg("l_extendedprice"), 6).as("avg_price"),
+          round(avg("l_discount"), 6).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")
+    }),
+
+    // A1/A2 — per-column null-count audit over dirty input.
+    "q02_null_audit" -> ((s, dir) => {
+      Audit.nullCountsLong(dirtyEvents(s, dir).select("v", "u"))
+        .withColumnRenamed("column", "col_name")
+        .orderBy("col_name")
+    }),
+
+    // F3/F4 — epoch-ms roundtrip + date parts with 1970/1/1 null sentinels.
+    "q03_date_parts" -> ((s, dir) => {
+      val base = Tables.orders(s, dir).select(
+        col("o_orderkey"),
+        when(col("o_orderkey") % 97 === 0, lit(null))
+          .otherwise(col("o_orderdate")).as("ts"))
+      val ms = unix_millis(col("ts").cast("timestamp")) // session is UTC
+      base.select(
+        col("o_orderkey"),
+        ms.as("epoch_ms"),
+        timestamp_millis(ms).cast("timestamp_ntz").as("ts_roundtrip"),
+        coalesce(year(col("ts")), lit(1970)).as("year"),
+        coalesce(month(col("ts")), lit(1)).as("month"),
+        coalesce(dayofmonth(col("ts")), lit(1)).as("day"))
+        .orderBy("o_orderkey")
+    }),
+
+    // F1/F2/F5/F6/F9/E5 — string cleaning: trim, sentinel replace, concat, regexp parse.
+    "q04_string_clean" -> ((s, dir) => {
+      Tables.customer(s, dir).select(
+        col("c_custkey"),
+        trim(col("c_name")).as("name_trim"),
+        upper(col("c_mktsegment")).as("seg_upper"),
+        coalesce(nullif(trim(col("c_mktsegment")), lit("BUILDING")), lit("Unknown"))
+          .as("seg_clean"),
+        concat_ws("/", col("c_mktsegment"), col("c_nationkey").cast("string")).as("path"),
+        regexp_extract(col("c_name"), "[0-9]+", 0).as("name_digits"))
+        .orderBy("c_custkey")
+    }),
+
+    // E1 — global-fit label encoding (sorted distinct -> code, broadcast apply).
+    "q05_label_encode" -> ((s, dir) => {
+      Encode.labelEncode(Tables.customer(s, dir), "c_mktsegment")
+        .select(col("c_custkey"), col("c_mktsegment"),
+          col("c_mktsegment_code").as("seg_code"))
+        .orderBy("c_custkey")
+    }),
+
+    // E2/A3/J3 — global z-score via one agg + broadcast apply.
+    "q06_standard_scale" -> ((s, dir) => {
+      Encode.standardScale(Tables.customer(s, dir), Seq("c_acctbal"))
+        .select(col("c_custkey"), round(col("c_acctbal_z"), 6).as("acctbal_z"))
+        .orderBy("c_custkey")
+    }),
+
+    // E3/A4 — per-group min-max scaling.
+    "q07_minmax_scale" -> ((s, dir) => {
+      Encode.minMaxScale(Tables.lineitem(s, dir), Seq("l_quantity"), Seq("l_returnflag"))
+        .select(col("l_orderkey"), col("l_linenumber"),
+          round(col("l_quantity_mm"), 6).as("qty_mm"))
+        .orderBy("l_orderkey", "l_linenumber")
+    }),
+
+    // E4 — ffill().bfill() with explicit order + partition keys.
+    "q08_ffill_bfill" -> ((s, dir) => {
+      val base = dirtyEvents(s, dir).select("event_id", "user_id", "ts", "v")
+      Clean.fillForwardBackward(base, Seq("v"), Seq("ts", "event_id"), Seq("user_id"))
+        .select(col("event_id"), col("user_id"), col("ts"), col("v").as("v_filled"))
+        .orderBy("user_id", "ts", "event_id")
+    }),
+
+    // E5/E6 — constant fill, dtype-driven.
+    "q09_null_fill" -> ((s, dir) => {
+      dirtyEvents(s, dir).select("event_id", "v", "u")
+        .na.fill(0.0, Seq("v")).na.fill(-1L, Seq("u"))
+        .select(col("event_id"), col("v").as("v_filled"), col("u").as("u_filled"))
+        .orderBy("event_id")
+    }),
+
+    // J1/J2 — positional index + cyclic modulo join (broadcast small side).
+    "q10_positional_join" -> ((s, dir) => {
+      Relational.moduloJoin(
+        Tables.orders(s, dir), Seq("o_orderkey"),
+        Tables.customer(s, dir), Seq("c_custkey"))
+        .select("o_orderkey", "c_custkey")
+        .orderBy("o_orderkey")
+    }),
+
+    // J3 + hash joins — 3-way join with broadcast dim, filtered aggregate.
+    "q11_join_agg" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+      val o = Tables.orders(s, dir)
+      val c = Tables.customer(s, dir).where(col("c_mktsegment") === "BUILDING")
+      li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n_lines"),
+          sum(dec2(col("l_extendedprice"))).cast("decimal(18,2)").cast("double").as("revenue"))
+        .orderBy("o_orderpriority")
+    }),
+
+    // semi/anti joins.
+    "q12_semi_anti" -> ((s, dir) => {
+      val o = Tables.orders(s, dir)
+      val big = Tables.lineitem(s, dir).where(col("l_quantity") >= 45)
+      val semi = o.join(big, o("o_orderkey") === big("l_orderkey"), "left_semi")
+        .select(col("o_orderkey"), lit("has_bigline").as("tag"))
+      val anti = o.join(big, o("o_orderkey") === big("l_orderkey"), "left_anti")
+        .select(col("o_orderkey"), lit("no_bigline").as("tag"))
+      semi.unionByName(anti).orderBy("o_orderkey")
+    }),
+
+    // U-set — intersect / except, tagged.
+    "q13_setops" -> ((s, dir) => {
+      val cn = Tables.customer(s, dir).select(col("c_nationkey").as("nk")).distinct()
+      val sn = Tables.supplier(s, dir).select(col("s_nationkey").as("nk")).distinct()
+      cn.intersect(sn).select(col("nk"), lit("both").as("tag"))
+        .unionByName(cn.except(sn).select(col("nk"), lit("customer_only").as("tag")))
+        .unionByName(sn.except(cn).select(col("nk"), lit("supplier_only").as("tag")))
+        .orderBy("tag", "nk")
+    }),
+
+    // U1 — union-all then aggregate.
+    "q14_union" -> ((s, dir) => {
+      val o = Tables.orders(s, dir)
+      val u = o.where(col("o_totalprice") > 100000).select("o_orderstatus")
+        .unionByName(o.where(col("o_orderpriority") === "1-URGENT").select("o_orderstatus"))
+      u.groupBy("o_orderstatus").agg(count(lit(1)).as("n")).orderBy("o_orderstatus")
+    }),
+
+    // G1 — fixed-count micro-batch ids + per-batch stats.
+    "q15_microbatch" -> ((s, dir) => {
+      Batching.microBatchId(
+        Tables.lineitem(s, dir).select("l_orderkey", "l_linenumber", "l_extendedprice"),
+        Seq("l_orderkey", "l_linenumber"), 200)
+        .groupBy("batch_id")
+        .agg(count(lit(1)).as("n"),
+          sum(dec2(col("l_extendedprice"))).cast("decimal(18,2)").cast("double").as("batch_price"))
+        .orderBy("batch_id")
+    }),
+
+    // G3 — running byte-budget chunking.
+    "q16_byte_chunks" -> ((s, dir) => {
+      Batching.byteBudgetChunkId(
+        Tables.lineitem(s, dir)
+          .select("l_orderkey", "l_linenumber", "l_returnflag", "l_linestatus"),
+        Seq("l_orderkey", "l_linenumber"), 20000L,
+        Seq("l_orderkey", "l_linenumber", "l_returnflag", "l_linestatus"))
+        .groupBy("chunk_id").agg(count(lit(1)).as("n"))
+        .orderBy("chunk_id")
+    }),
+
+    // O3 — top-k with deterministic tie-break (TakeOrderedAndProject).
+    "q17_topk" -> ((s, dir) => {
+      Relational.topK(Tables.orders(s, dir), 10,
+        col("o_totalprice").desc, col("o_orderkey").asc)
+        .select("o_orderkey", "o_totalprice")
+    }),
+
+    // §2.11 — event-time tumbling window as batch group-by.
+    "q18_window_hourly" -> ((s, dir) => {
+      Tables.events(s, dir)
+        .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(dec2(col("value"))).cast("decimal(18,2)").cast("double").as("sum_value"))
+        .orderBy("hour", "event_type")
+    }),
+
+    // JSON extraction (events.props) + aggregate.
+    "q19_json_extract" -> ((s, dir) => {
+      Tables.events(s, dir)
+        .select(col("event_type"),
+          get_json_object(col("props"), "$.k").cast("long").as("k"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), min("k").as("min_k"), max("k").as("max_k"),
+          round(avg("k"), 6).as("avg_k"))
+        .orderBy("event_type")
+    }),
+
+    // Sessionization — gap > 30 min starts a new session (batch analogue of
+    // stateful streaming; SURVEY §2.11).
+    "q20_sessionize" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val cum = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.events(s, dir)
+        .withColumn("us", unix_micros(col("ts").cast("timestamp")))
+        .withColumn("brk",
+          when(lag("us", 1).over(w).isNull ||
+            col("us") - lag("us", 1).over(w) > 1800000000L, 1).otherwise(0))
+        .withColumn("session_id", sum("brk").over(cum))
+        .groupBy("user_id", "session_id")
+        .agg(count(lit(1)).as("n_events"),
+          min("ts").as("session_start"), max("ts").as("session_end"))
+        .orderBy("user_id", "session_id")
+    }),
+
+    // Exact dedup keep-first (deterministic dropDuplicates).
+    "q21_dedup_exact" -> ((s, dir) => {
+      Dedup.dedupKeepFirst(Tables.events(s, dir),
+        Seq("user_id", "event_type"), Seq("ts", "event_id"))
+        .select("user_id", "event_type", "event_id", "ts")
+        .orderBy("user_id", "event_type")
+    }),
+
+    // Duplicate-cluster stats by fingerprint.
+    "q22_dup_stats" -> ((s, dir) => {
+      Dedup.duplicateStats(Tables.documents(s, dir),
+        md5(concat_ws("|", col("lang"), col("source"))))
+        .orderBy("fingerprint")
+    }),
+
+    // Document fingerprints: md5 + portable rolling hash (native expression).
+    "q23_fingerprint" -> ((s, dir) => {
+      Tables.documents(s, dir).select(
+        col("doc_id"),
+        TextAnalysis.fingerprintMd5(col("text")).as("fp_md5"),
+        TextAnalysis.fingerprint(col("text")).as("fp_roll"))
+        .orderBy("doc_id")
+    }),
+
+    // MinHash + LSH banding near-dup candidates.
+    "q24_minhash_lsh" -> ((s, dir) => {
+      Dedup.lshCandidatePairs(Tables.documents(s, dir), "doc_id", "text")
+        .orderBy("id_a", "id_b")
+    }),
+
+    // SimHash fingerprints.
+    "q25_simhash" -> ((s, dir) => {
+      Dedup.simhash(Tables.documents(s, dir), "doc_id", "text")
+        .orderBy("doc_id")
+    }),
+
+    // n-gram Jaccard within a bounded id window.
+    "q26_jaccard_pairs" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      val a = d.select(col("doc_id").as("id_a"), col("text").as("text_a"))
+      val b = d.select(col("doc_id").as("id_b"), col("text").as("text_b"))
+      a.join(b, col("id_b") > col("id_a") && col("id_b") <= col("id_a") + 3)
+        .select(col("id_a"), col("id_b"),
+          round(Dedup.jaccard("text_a", "text_b"), 6).as("jaccard"))
+        .orderBy("id_a", "id_b")
+    }),
+
+    // Brute-force cosine top-k (exact ANN baseline; native fused kernel).
+    "q27_cosine_topk" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Similarity.bruteForceTopK(emb, emb.where(col("vec_id") < 10), 5)
+        .orderBy("probe_id", "rank")
+    }),
+
+    // IVF-bucketed ANN (the 100-TB scale path).
+    "q28_ann_ivf" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Similarity.ivfTopK(emb, emb.where(col("vec_id") < 8),
+        emb.where(col("vec_id") >= 10 && col("vec_id") < 20), 3)
+        .orderBy("probe_id", "rank")
+    }),
+
+    // Embedding near-duplicate pairs above cosine threshold.
+    "q29_embed_neardup" -> ((s, dir) => {
+      Similarity.nearDupPairs(Tables.embeddings(s, dir), 0.2, 20)
+        .orderBy("id_a", "id_b")
+    }),
+
+    // Language-ID by marker-token voting.
+    "q30_lang_id" -> ((s, dir) => {
+      val markers = SparkEntry.langMarkers
+      val d = Tables.documents(s, dir)
+      val scored = TextAnalysis.languageScores(col("text"), markers)
+        .foldLeft(d) { case (df, (l, c)) => df.withColumn(s"score_$l", c) }
+      scored.select(
+        col("doc_id") +: col("lang") +:
+          markers.keys.toSeq.sorted.map(l => col(s"score_$l")) :+
+          TextAnalysis.languageId(col("text"), markers).as("predicted"): _*)
+        .orderBy("doc_id")
+    }),
+
+    // Quality scoring (Gopher/C4-style heuristics).
+    "q31_quality" -> ((s, dir) => {
+      val t = col("text")
+      Tables.documents(s, dir).select(
+        col("doc_id"),
+        TextAnalysis.tokenCount(t).as("n_tokens"),
+        TextAnalysis.distinctTokenCount(t).as("n_types"),
+        round(TextAnalysis.distinctTokenCount(t).cast("double") /
+          TextAnalysis.tokenCount(t).cast("double"), 6).as("ttr"),
+        TextAnalysis.qualityScore(t).as("quality"))
+        .orderBy("doc_id")
+    }),
+
+    // Flagship — geolocation error report (haversine km + Euclidean-degree
+    // reference parity), native codegen'd distance kernel.
+    "q32_geo_error" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+      val pts = li.select(
+        col("l_returnflag"),
+        ((col("l_partkey") % 180).cast("double") - 90.0 + col("l_discount")).as("lat1"),
+        ((col("l_suppkey") % 360).cast("double") - 180.0 + col("l_tax")).as("lon1"),
+        ((col("l_orderkey") % 180).cast("double") - 90.0).as("lat2"),
+        (((col("l_orderkey") * 7) % 360).cast("double") - 180.0).as("lon2"))
+      Geo.errorReport(pts, Seq("l_returnflag"),
+        col("lat1"), col("lon1"), col("lat2"), col("lon2"))
+        .orderBy("l_returnflag")
+    }),
+
+    // Token statistics per language bucket.
+    "q33_token_stats" -> ((s, dir) => {
+      val t = col("text")
+      Tables.documents(s, dir)
+        .select(col("lang"), TextAnalysis.tokenCount(t).as("n_tok"), col("n_chars"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tok").cast("long")).as("total_tokens"),
+          round(avg(col("n_tok").cast("double")), 6).as("avg_tokens"),
+          round(avg(col("n_chars").cast("double")), 6).as("avg_chars"))
+        .orderBy("lang")
+    }),
+  )
+
+  /** Marker vocabularies for the language-ID heuristic — drawn from the
+    * synthetic corpus vocabulary so scores are non-degenerate. */
+  val langMarkers: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "fast", "key"),
+    "de" -> Seq("order", "sort", "table"),
+    "fr" -> Seq("scan", "merge", "part"),
+    "es" -> Seq("window", "small", "hash"),
+    "zh" -> Seq("join", "batch", "stream"))
+
+  // ---- oracle SQL (DuckDB dialect) ---------------------------------------
+
+  private val Mod = "1000000007"
+
+  /** DuckDB fragment: portable poly-31 string hash of expression `s`. */
+  private def dhash(s: String): String =
+    s"list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(string_split($s, ''), " +
+      s"c -> CAST(unicode(c) AS BIGINT))), (a, b) -> (a * 31 + b) % $Mod)"
+
+  /** DuckDB fragment: distinct hashed word-3-shingles of text expr `t`
+    * (tokens list `tk` must be `string_split(t,' ')`). */
+  private def dShingleHashes(t: String): String = {
+    val tk = s"string_split($t, ' ')"
+    s"list_distinct(list_transform(" +
+      s"CASE WHEN len($tk) < 3 THEN [$t] ELSE list_transform(range(1, len($tk) - 1), " +
+      s"i -> array_to_string(($tk)[i:i+2], ' ')) END, s -> ${dhash("s")}))"
+  }
+
+  private def dLangScore(words: Seq[String]): String =
+    words.map(w => s"CAST(len(list_filter(string_split(text, ' '), t -> t = '$w')) AS INTEGER)")
+      .mkString(" + ")
+
+  def oracleSql: Map[String, String] = Map(
+    "q01_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        |CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS sum_qty,
+        |CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS sum_base_price,
+        |CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(18,4)) AS DOUBLE) AS sum_disc_price,
+        |round(avg(l_quantity), 6) AS avg_qty,
+        |round(avg(l_extendedprice), 6) AS avg_price,
+        |round(avg(l_discount), 6) AS avg_disc,
+        |count(*) AS count_order
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q02_null_audit" ->
+      """WITH d AS (SELECT CASE WHEN event_type IN ('click','view') THEN NULL ELSE value END AS v,
+        |CASE WHEN user_id % 5 = 0 THEN NULL ELSE user_id END AS u FROM events)
+        |SELECT 'v' AS col_name, CAST(sum(CASE WHEN v IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null FROM d
+        |UNION ALL
+        |SELECT 'u' AS col_name, CAST(sum(CASE WHEN u IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null FROM d
+        |ORDER BY col_name""".stripMargin,
+
+    "q03_date_parts" ->
+      """WITH base AS (SELECT o_orderkey,
+        |CASE WHEN o_orderkey % 97 = 0 THEN NULL ELSE CAST(o_orderdate AS TIMESTAMP) END AS ts FROM orders)
+        |SELECT o_orderkey, epoch_ms(ts) AS epoch_ms,
+        |CAST(epoch_ms(epoch_ms(ts)) AS TIMESTAMP) AS ts_roundtrip,
+        |CAST(coalesce(year(ts), 1970) AS INTEGER) AS year,
+        |CAST(coalesce(month(ts), 1) AS INTEGER) AS month,
+        |CAST(coalesce(day(ts), 1) AS INTEGER) AS day
+        |FROM base ORDER BY o_orderkey""".stripMargin,
+
+    "q04_string_clean" ->
+      """SELECT c_custkey, trim(c_name) AS name_trim, upper(c_mktsegment) AS seg_upper,
+        |coalesce(nullif(trim(c_mktsegment), 'BUILDING'), 'Unknown') AS seg_clean,
+        |concat_ws('/', c_mktsegment, CAST(c_nationkey AS VARCHAR)) AS path,
+        |coalesce(regexp_extract(c_name, '[0-9]+', 0), '') AS name_digits
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+
+    "q05_label_encode" ->
+      """SELECT c_custkey, c_mktsegment,
+        |CAST(dense_rank() OVER (ORDER BY c_mktsegment) - 1 AS BIGINT) AS seg_code
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+
+    "q06_standard_scale" ->
+      """SELECT c_custkey,
+        |round((c_acctbal - avg(c_acctbal) OVER ()) / stddev_pop(c_acctbal) OVER (), 6) AS acctbal_z
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+
+    "q07_minmax_scale" ->
+      """SELECT l_orderkey, l_linenumber,
+        |round((l_quantity - min(l_quantity) OVER (PARTITION BY l_returnflag)) /
+        |(max(l_quantity) OVER (PARTITION BY l_returnflag) - min(l_quantity) OVER (PARTITION BY l_returnflag)), 6) AS qty_mm
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "q08_ffill_bfill" ->
+      """WITH base AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts,
+        |CASE WHEN event_type IN ('click','view') THEN NULL ELSE value END AS v FROM events),
+        |f AS (SELECT event_id, user_id, ts, v,
+        |last_value(v IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ff,
+        |first_value(v IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS bf
+        |FROM base)
+        |SELECT event_id, user_id, ts, coalesce(ff, bf) AS v_filled
+        |FROM f ORDER BY user_id, ts, event_id""".stripMargin,
+
+    "q09_null_fill" ->
+      """SELECT event_id,
+        |coalesce(CASE WHEN event_type IN ('click','view') THEN NULL ELSE value END, 0.0) AS v_filled,
+        |coalesce(CASE WHEN user_id % 5 = 0 THEN NULL ELSE user_id END, -1) AS u_filled
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "q10_positional_join" ->
+      """WITH o AS (SELECT o_orderkey, row_number() OVER (ORDER BY o_orderkey) - 1 AS idx FROM orders),
+        |c AS (SELECT c_custkey, row_number() OVER (ORDER BY c_custkey) - 1 AS idx FROM customer),
+        |n AS (SELECT count(*) AS cnt FROM customer)
+        |SELECT o.o_orderkey, c.c_custkey
+        |FROM o CROSS JOIN n JOIN c ON (o.idx % n.cnt) = c.idx
+        |ORDER BY o.o_orderkey""".stripMargin,
+
+    "q11_join_agg" ->
+      """SELECT o_orderpriority, count(*) AS n_lines,
+        |CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "q12_semi_anti" ->
+      """SELECT o_orderkey, 'has_bigline' AS tag FROM orders
+        |WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey AND l_quantity >= 45)
+        |UNION ALL
+        |SELECT o_orderkey, 'no_bigline' AS tag FROM orders
+        |WHERE NOT EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey AND l_quantity >= 45)
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "q13_setops" ->
+      """WITH cn AS (SELECT DISTINCT c_nationkey AS nk FROM customer),
+        |sn AS (SELECT DISTINCT s_nationkey AS nk FROM supplier)
+        |SELECT nk, 'both' AS tag FROM (SELECT nk FROM cn INTERSECT SELECT nk FROM sn)
+        |UNION ALL SELECT nk, 'customer_only' AS tag FROM (SELECT nk FROM cn EXCEPT SELECT nk FROM sn)
+        |UNION ALL SELECT nk, 'supplier_only' AS tag FROM (SELECT nk FROM sn EXCEPT SELECT nk FROM cn)
+        |ORDER BY tag, nk""".stripMargin,
+
+    "q14_union" ->
+      """SELECT o_orderstatus, count(*) AS n FROM (
+        |SELECT o_orderstatus FROM orders WHERE o_totalprice > 100000
+        |UNION ALL
+        |SELECT o_orderstatus FROM orders WHERE o_orderpriority = '1-URGENT')
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+    "q15_microbatch" ->
+      """WITH x AS (SELECT l_extendedprice,
+        |row_number() OVER (ORDER BY l_orderkey, l_linenumber) - 1 AS rn FROM lineitem)
+        |SELECT CAST(floor(rn / 200.0) AS BIGINT) AS batch_id, count(*) AS n,
+        |CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS batch_price
+        |FROM x GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q16_byte_chunks" ->
+      """WITH x AS (SELECT
+        |length(CAST(l_orderkey AS VARCHAR)) + length(CAST(l_linenumber AS VARCHAR)) +
+        |length(l_returnflag) + length(l_linestatus) + 1 AS row_bytes,
+        |l_orderkey, l_linenumber FROM lineitem),
+        |c AS (SELECT CAST(floor((sum(row_bytes) OVER (ORDER BY l_orderkey, l_linenumber
+        |ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1) / 20000.0) AS BIGINT) AS chunk_id FROM x)
+        |SELECT chunk_id, count(*) AS n FROM c GROUP BY chunk_id ORDER BY chunk_id""".stripMargin,
+
+    "q17_topk" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin,
+
+    "q18_window_hourly" ->
+      """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour, event_type,
+        |count(*) AS n, CAST(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q19_json_extract" ->
+      """SELECT event_type, count(*) AS n,
+        |min(k) AS min_k, max(k) AS max_k, round(avg(k), 6) AS avg_k
+        |FROM (SELECT event_type, CAST(regexp_extract(props, '[0-9]+', 0) AS BIGINT) AS k FROM events)
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q20_sessionize" ->
+      """WITH e AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
+        |epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events),
+        |g AS (SELECT *, CASE WHEN lag(us) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+        |OR us - lag(us) OVER (PARTITION BY user_id ORDER BY ts, event_id) > 1800000000 THEN 1 ELSE 0 END AS brk FROM e),
+        |s AS (SELECT *, CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id FROM g)
+        |SELECT user_id, session_id, count(*) AS n_events,
+        |min(ts) AS session_start, max(ts) AS session_end
+        |FROM s GROUP BY user_id, session_id ORDER BY user_id, session_id""".stripMargin,
+
+    "q21_dedup_exact" ->
+      """SELECT user_id, event_type, event_id, CAST(ts AS TIMESTAMP) AS ts FROM (
+        |SELECT user_id, event_type, event_id, ts,
+        |row_number() OVER (PARTITION BY user_id, event_type ORDER BY CAST(ts AS TIMESTAMP), event_id) AS rn
+        |FROM events) WHERE rn = 1 ORDER BY user_id, event_type""".stripMargin,
+
+    "q22_dup_stats" ->
+      """SELECT md5(concat_ws('|', lang, source)) AS fingerprint, count(*) AS n_docs
+        |FROM documents GROUP BY 1 HAVING count(*) > 1 ORDER BY fingerprint""".stripMargin,
+
+    "q23_fingerprint" ->
+      s"""SELECT doc_id, md5(text) AS fp_md5, ${dhash("text")} AS fp_roll
+         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q24_minhash_lsh" ->
+      s"""WITH hs AS (SELECT doc_id, ${dShingleHashes("text")} AS hashes FROM documents),
+         |sg AS (SELECT doc_id, list_transform(range(0, 16),
+         |i -> list_min(list_transform(hashes, h -> ((2*i+3)*h + (7*i+1)) % $Mod))) AS sig FROM hs),
+         |banded AS (SELECT doc_id, sig, b.band AS band,
+         |array_to_string(sig[b.band*4+1 : b.band*4+4], '-') AS bkey
+         |FROM sg CROSS JOIN (SELECT unnest(range(0, 4)) AS band) b),
+         |pairs AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b, a.sig AS sig_a, b.sig AS sig_b
+         |FROM banded a JOIN banded b ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id)
+         |SELECT id_a, id_b,
+         |CAST(list_sum(list_transform(range(1, 17), i -> CASE WHEN sig_a[i] = sig_b[i] THEN 1 ELSE 0 END)) AS DOUBLE) / 16.0 AS est_jaccard
+         |FROM pairs ORDER BY id_a, id_b""".stripMargin,
+
+    "q25_simhash" ->
+      s"""WITH th AS (SELECT doc_id, list_transform(string_split(text, ' '), s -> ${dhash("s")}) AS hs FROM documents)
+         |SELECT doc_id, CAST(list_sum(list_transform(range(0, 16),
+         |b -> CASE WHEN list_sum(list_transform(hs,
+         |h -> CASE WHEN (h // CAST(pow(2, b) AS BIGINT)) % 2 = 1 THEN 1 ELSE -1 END)) >= 0
+         |THEN CAST(pow(2, b) AS BIGINT) ELSE 0 END)) AS BIGINT) AS simhash
+         |FROM th ORDER BY doc_id""".stripMargin,
+
+    "q26_jaccard_pairs" ->
+      s"""WITH hs AS (SELECT doc_id, ${dShingleHashes("text")} AS hashes FROM documents)
+         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |round(CAST(len(list_filter(a.hashes, h -> list_contains(b.hashes, h))) AS DOUBLE) /
+         |CAST(len(list_distinct(a.hashes || b.hashes)) AS DOUBLE), 6) AS jaccard
+         |FROM hs a JOIN hs b ON b.doc_id > a.doc_id AND b.doc_id <= a.doc_id + 3
+         |ORDER BY id_a, id_b""".stripMargin,
+
+    "q27_cosine_topk" ->
+      """WITH p AS (SELECT vec_id AS probe_id, CAST(embedding AS DOUBLE[]) AS pv FROM embeddings WHERE vec_id < 10),
+        |c AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings),
+        |sc AS (SELECT probe_id, neighbor_id,
+        |list_dot_product(pv, cv) / (sqrt(list_dot_product(pv, pv)) * sqrt(list_dot_product(cv, cv))) AS cos
+        |FROM p JOIN c ON neighbor_id != probe_id),
+        |r AS (SELECT probe_id, neighbor_id, cos,
+        |row_number() OVER (PARTITION BY probe_id ORDER BY cos DESC, neighbor_id) AS rank FROM sc)
+        |SELECT probe_id, CAST(rank AS BIGINT) AS rank, neighbor_id, round(cos, 6) AS cosine
+        |FROM r WHERE rank <= 5 ORDER BY probe_id, rank""".stripMargin,
+
+    "q28_ann_ivf" ->
+      """WITH cent AS (SELECT vec_id AS cell_id, CAST(embedding AS DOUBLE[]) AS cvv FROM embeddings WHERE vec_id < 8),
+        |corp AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |asg AS (SELECT vec_id, v, cell_id FROM (
+        |  SELECT corp.vec_id, corp.v, cent.cell_id,
+        |  row_number() OVER (PARTITION BY corp.vec_id ORDER BY
+        |    list_dot_product(corp.v, cent.cvv) / (sqrt(list_dot_product(corp.v, corp.v)) * sqrt(list_dot_product(cent.cvv, cent.cvv))) DESC,
+        |    cent.cell_id) AS rr
+        |  FROM corp CROSS JOIN cent) WHERE rr = 1),
+        |probes AS (SELECT vec_id AS probe_id, v AS pv, cell_id FROM asg WHERE vec_id >= 10 AND vec_id < 20),
+        |cands AS (SELECT a.vec_id AS neighbor_id, a.v AS cv, a.cell_id FROM asg a),
+        |sc AS (SELECT p.probe_id, c.neighbor_id,
+        |list_dot_product(p.pv, c.cv) / (sqrt(list_dot_product(p.pv, p.pv)) * sqrt(list_dot_product(c.cv, c.cv))) AS cos
+        |FROM probes p JOIN cands c ON p.cell_id = c.cell_id AND c.neighbor_id != p.probe_id),
+        |r AS (SELECT probe_id, neighbor_id, cos,
+        |row_number() OVER (PARTITION BY probe_id ORDER BY cos DESC, neighbor_id) AS rank FROM sc)
+        |SELECT probe_id, CAST(rank AS BIGINT) AS rank, neighbor_id, round(cos, 6) AS cosine
+        |FROM r WHERE rank <= 3 ORDER BY probe_id, rank""".stripMargin,
+
+    "q29_embed_neardup" ->
+      """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)
+        |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |round(list_dot_product(a.e, b.e) / (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))), 6) AS cosine
+        |FROM v a JOIN v b ON b.vec_id > a.vec_id AND b.vec_id <= a.vec_id + 20
+        |WHERE list_dot_product(a.e, b.e) / (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))) > 0.2
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    "q30_lang_id" -> {
+      val m = langMarkers
+      val scores = m.keys.toSeq.sorted
+        .map(l => s"${dLangScore(m(l))} AS score_$l").mkString(", ")
+      s"""WITH s AS (SELECT doc_id, lang, $scores FROM documents)
+         |SELECT doc_id, lang, score_de, score_en, score_es, score_fr, score_zh,
+         |CASE
+         |WHEN score_zh >= score_fr AND score_zh >= score_es AND score_zh >= score_en AND score_zh >= score_de THEN 'zh'
+         |WHEN score_fr >= score_es AND score_fr >= score_en AND score_fr >= score_de THEN 'fr'
+         |WHEN score_es >= score_en AND score_es >= score_de THEN 'es'
+         |WHEN score_en >= score_de THEN 'en'
+         |ELSE 'de' END AS predicted
+         |FROM s ORDER BY doc_id""".stripMargin
+    },
+
+    "q31_quality" ->
+      """WITH t AS (SELECT doc_id,
+        |CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens,
+        |CAST(len(list_distinct(string_split(text, ' '))) AS INTEGER) AS n_types,
+        |length(text) AS n_chars FROM documents)
+        |SELECT doc_id, n_tokens, n_types,
+        |round(CAST(n_types AS DOUBLE) / CAST(n_tokens AS DOUBLE), 6) AS ttr,
+        |round((CAST(n_types AS DOUBLE) / CAST(n_tokens AS DOUBLE)) * 0.5 +
+        |(CASE WHEN n_tokens >= 20 AND n_tokens <= 1000 THEN 1.0 ELSE 0.5 END) * 0.25 +
+        |(CASE WHEN (CAST(n_chars AS DOUBLE) - (n_tokens - 1)) / n_tokens >= 3
+        |AND (CAST(n_chars AS DOUBLE) - (n_tokens - 1)) / n_tokens <= 10 THEN 1.0 ELSE 0.5 END) * 0.25, 6) AS quality
+        |FROM t ORDER BY doc_id""".stripMargin,
+
+    "q32_geo_error" ->
+      """WITH pts AS (SELECT l_returnflag,
+        |CAST(l_partkey % 180 AS DOUBLE) - 90.0 + l_discount AS lat1,
+        |CAST(l_suppkey % 360 AS DOUBLE) - 180.0 + l_tax AS lon1,
+        |CAST(l_orderkey % 180 AS DOUBLE) - 90.0 AS lat2,
+        |CAST((l_orderkey * 7) % 360 AS DOUBLE) - 180.0 AS lon2
+        |FROM lineitem),
+        |d AS (SELECT l_returnflag, lat1, lon1, lat2, lon2,
+        |sin(((lat2 - lat1) * 0.017453292519943295) / 2) AS slat,
+        |sin(((lon2 - lon1) * 0.017453292519943295) / 2) AS slon FROM pts),
+        |km AS (SELECT l_returnflag,
+        |2.0 * 6371.0088 * asin(least(1.0, sqrt(slat * slat +
+        |cos(lat1 * 0.017453292519943295) * cos(lat2 * 0.017453292519943295) * slon * slon))) AS km,
+        |sqrt((lat1 - lat2) * (lat1 - lat2) + (lon1 - lon2) * (lon1 - lon2)) AS deg FROM d)
+        |SELECT l_returnflag, count(*) AS n,
+        |round(avg(km), 4) AS mean_km, round(max(km), 4) AS max_km,
+        |round(min(km), 4) AS min_km, round(avg(deg), 4) AS mean_deg
+        |FROM km GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q33_token_stats" ->
+      """SELECT lang, count(*) AS n_docs,
+        |CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
+        |round(avg(CAST(len(string_split(text, ' ')) AS DOUBLE)), 6) AS avg_tokens,
+        |round(avg(CAST(n_chars AS DOUBLE)), 6) AS avg_chars
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+  )
 }

@@ -1,0 +1,106 @@
+package graft.operators
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.{Column, DataFrame}
+
+/** Cleaning / normalization operators (SURVEY §2.3, §2.7, §2.8).
+  *
+  * Re-expresses the reference's per-chunk pandas mutations
+  * (reference: Image_Train_Model/read_csv_s3_train.py:57-118) as pure,
+  * composable DataFrame projections. Everything here is a narrow
+  * transformation except the fills, which are window ops — see
+  * [[fillForwardBackward]] for the scale contract.
+  */
+object Clean {
+
+  /** P1 — drop columns if present (`drop(columns=…, errors='ignore')`,
+    * read_csv_s3_train.py:61). Spark's `drop` is already ignore-missing. */
+  def dropColumns(df: DataFrame, cols: String*): DataFrame = df.drop(cols: _*)
+
+  /** F1 — cast columns (`astype`, read_csv_s3_train.py:64-65). */
+  def castColumns(df: DataFrame, casts: Map[String, DataType]): DataFrame =
+    casts.foldLeft(df) { case (d, (c, t)) => d.withColumn(c, col(c).cast(t)) }
+
+  /** F2 — trim string columns (`.str.strip()`, read_csv_s3_train.py:68-69). */
+  def trimColumns(df: DataFrame, cols: Seq[String]): DataFrame =
+    cols.foldLeft(df)((d, c) => d.withColumn(c, trim(col(c))))
+
+  /** NA-token → null, the CSV `na_values` analogue for already-loaded data
+    * (read_csv_s3_train.py:52). */
+  def sentinelsToNull(df: DataFrame, cols: Seq[String], tokens: Seq[String]): DataFrame =
+    cols.foldLeft(df)((d, c) =>
+      d.withColumn(c, when(col(c).isin(tokens: _*), lit(null)).otherwise(col(c))))
+
+  /** F9 — replace a string sentinel with a value
+    * (`np.where(x == '<NA>', 0, x)`, Best-Model-architecture-for-local.py:23). */
+  def replaceSentinel(df: DataFrame, c: String, sentinel: String, value: Column): DataFrame =
+    df.withColumn(c, when(col(c) === sentinel, value).otherwise(col(c)))
+
+  /** F3 — epoch-millis → timestamp, coercing malformed to null
+    * (`pd.to_datetime(unit='ms', errors='coerce')`, read_csv_s3_train.py:72). */
+  def epochMillisToTimestamp(df: DataFrame, src: String, dst: String): DataFrame =
+    df.withColumn(dst, timestamp_millis(col(src)))
+
+  /** F4 — year/month/day parts with the reference's 1970/1/1 sentinels for
+    * null timestamps (read_csv_s3_train.py:73-75). */
+  def dateParts(df: DataFrame, ts: String): DataFrame = df
+    .withColumn("year", coalesce(year(col(ts)), lit(1970)))
+    .withColumn("month", coalesce(month(col(ts)), lit(1)))
+    .withColumn("day", coalesce(dayofmonth(col(ts)), lit(1)))
+
+  /** E4 — forward-fill then backward-fill (`ffill().bfill()`,
+    * read_csv_s3_train.py:77-80).
+    *
+    * The reference fills along pandas row order within a 100k-row chunk —
+    * an accident of physical CSV order (SURVEY §4.3.2). Here order is an
+    * explicit contract: `orderCols` defines the fill direction and
+    * `partitionCols` scopes the window. At 100 TB an unpartitioned fill
+    * degenerates to a single-partition sort, so callers should partition by
+    * a natural key (the oracle queries partition by `user_id`); the
+    * unpartitioned variant exists for exact reference parity on small data.
+    */
+  def fillForwardBackward(df: DataFrame, cols: Seq[String],
+                          orderCols: Seq[String],
+                          partitionCols: Seq[String] = Nil): DataFrame = {
+    val base = if (partitionCols.isEmpty) Window.orderBy(orderCols.map(col): _*)
+               else Window.partitionBy(partitionCols.map(col): _*)
+                          .orderBy(orderCols.map(col): _*)
+    val ffill = base.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val bfill = base.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    cols.foldLeft(df)((d, c) =>
+      d.withColumn(c, coalesce(
+        last(col(c), ignoreNulls = true).over(ffill),
+        first(col(c), ignoreNulls = true).over(bfill))))
+  }
+
+  /** E5 — constant fill for string columns (`fillna("Unknown")`,
+    * read_csv_s3_train.py:82-84). */
+  def fillString(df: DataFrame, value: String, cols: Seq[String]): DataFrame =
+    df.na.fill(value, cols)
+
+  /** E6 — constant fill for every numeric column, dtype-driven selection
+    * (`select_dtypes(float64/int64).fillna(0)`, read_csv_s3_train.py:102-104). */
+  def fillNumeric(df: DataFrame, value: Double = 0d): DataFrame = {
+    val numeric = df.schema.fields
+      .filter(_.dataType.isInstanceOf[NumericType]).map(_.name)
+    df.na.fill(value, numeric)
+  }
+
+  /** The reference's whole `process_batch` cleaning pipeline
+    * (read_csv_s3_train.py:57-118) composed over an OSV5M-shaped frame, with
+    * estimator fits made global rather than per-chunk (SURVEY §4.3.1) —
+    * encoding/scaling live in [[Encode]] and are applied by callers.
+    */
+  def osv5mClean(df: DataFrame, orderCol: String): DataFrame = {
+    import graft.meta.Schemas._
+    val cleaned = dropColumns(df, "thumb_original_url")
+    val casted = castColumns(cleaned, Map("id" -> StringType, "creator_id" -> StringType))
+    val trimmed = trimColumns(casted, osv5mCategoricals)
+    val ts = dateParts(epochMillisToTimestamp(trimmed, "captured_at", "captured_ts"), "captured_ts")
+    val filled = fillForwardBackward(ts, osv5mFfillCols, Seq(orderCol))
+    val strings = fillString(filled, "Unknown", Seq("unique_city", "creator_username"))
+    fillNumeric(strings)
+  }
+}

@@ -1,0 +1,68 @@
+package graft.operators
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, Column}
+
+/** Fit-then-transform encoders (SURVEY §2.8 E1-E3).
+  *
+  * The reference fits sklearn `LabelEncoder` / `StandardScaler` / per-tensor
+  * `MinMaxScaler` — and, by accident, re-fits them inside every 100k-row
+  * chunk so codes and stats drift across one dataset
+  * (reference: Image_Train_Model/read_csv_s3_train.py:96-109,
+  * model_architecture.py:132-135; SURVEY §4.3.1). We deliberately fit
+  * GLOBALLY: stats come from one aggregate over the whole table and are
+  * applied via a broadcast join (the reference's J3 "broadcast small lookup
+  * to every row" shape) — shuffle-free on the fact side, so it scales to
+  * 100 TB.
+  */
+object Encode {
+
+  /** E1 fit — deterministic label mapping: distinct values sorted ascending
+    * get codes 0..n-1, exactly sklearn's sorted-classes semantics
+    * (read_csv_s3_train.py:99-100). The distinct set is tiny relative to the
+    * table, so the `row_number` window over it is cheap; the apply side is a
+    * broadcast join. */
+  def fitLabelMapping(df: DataFrame, c: String): DataFrame =
+    df.select(col(c)).where(col(c).isNotNull).distinct()
+      .withColumn(s"${c}_code",
+        (row_number().over(Window.orderBy(col(c))) - 1).cast("long"))
+
+  /** E1 apply — join the mapping back; null input stays null code. */
+  def labelEncode(df: DataFrame, c: String): DataFrame =
+    df.join(broadcast(fitLabelMapping(df, c)), Seq(c), "left")
+
+  /** E2 — z-score standardization with population stddev (sklearn ddof=0,
+    * read_csv_s3_train.py:106-109). One agg pass for all columns, one
+    * broadcast cross join to apply. Output column `<c>_z`. */
+  def standardScale(df: DataFrame, cols: Seq[String]): DataFrame = {
+    val stats = df.agg(
+      avg(col(cols.head)).as(s"${cols.head}_mu"),
+      cols.tail.map(c => avg(col(c)).as(s"${c}_mu")) ++
+        cols.map(c => stddev_pop(col(c)).as(s"${c}_sigma")): _*)
+    val joined = df.crossJoin(broadcast(stats))
+    val scaled = cols.foldLeft(joined)((d, c) =>
+      d.withColumn(s"${c}_z", (col(c) - col(s"${c}_mu")) / col(s"${c}_sigma")))
+    scaled.drop(cols.flatMap(c => Seq(s"${c}_mu", s"${c}_sigma")): _*)
+  }
+
+  /** E3 — min-max scaling to [0,1] (model_architecture.py:132,135), with an
+    * optional grouping key (per-group fit). Output column `<c>_mm`. */
+  def minMaxScale(df: DataFrame, cols: Seq[String],
+                  groupCols: Seq[String] = Nil): DataFrame = {
+    val aggs = cols.flatMap(c =>
+      Seq(min(col(c)).as(s"${c}_min"), max(col(c)).as(s"${c}_max")))
+    val applyOne = (d: DataFrame, c: String) =>
+      d.withColumn(s"${c}_mm",
+        (col(c) - col(s"${c}_min")) / (col(s"${c}_max") - col(s"${c}_min")))
+    val joined =
+      if (groupCols.isEmpty)
+        df.crossJoin(broadcast(df.agg(aggs.head, aggs.tail: _*)))
+      else {
+        val stats = df.groupBy(groupCols.map(col): _*).agg(aggs.head, aggs.tail: _*)
+        df.join(broadcast(stats), groupCols)
+      }
+    cols.foldLeft(joined)(applyOne)
+      .drop(cols.flatMap(c => Seq(s"${c}_min", s"${c}_max")): _*)
+  }
+}

@@ -1,0 +1,71 @@
+package graft.operators
+
+import graft.functions.GraftFunctions.rolling_hash
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{Column, DataFrame}
+
+/** Text-analysis operators for LLM-data pipelines (north-star extension;
+  * BASELINE.json). All built from codegen'd built-ins / higher-order
+  * functions — no Scala-closure UDFs in the hot path — so they run inside
+  * whole-stage codegen on a 100 TB `documents` scan.
+  */
+object TextAnalysis {
+
+  /** Whitespace tokens. Single-space split matches the synthetic corpus and
+    * the DuckDB oracle exactly; swap for `\\s+` regex on real text. */
+  def tokens(text: Column): Column = split(text, " ")
+
+  /** Count occurrences of an exact token. */
+  def tokenOccurrences(text: Column, token: String): Column =
+    size(filter(tokens(text), t => t === token))
+
+  /** Token count. */
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** Distinct-token (type) count; type/token ratio is a standard quality
+    * signal. */
+  def distinctTokenCount(text: Column): Column = size(array_distinct(tokens(text)))
+
+  /** BPE-ish subword count estimate: whitespace tokens + intra-token splits
+    * on letter/digit boundaries, the cheap deterministic stand-in for a real
+    * tokenizer's token count. */
+  def subwordCountEstimate(text: Column): Column =
+    size(split(text, "[ ]|(?<=[a-z])(?=[0-9])|(?<=[0-9])(?=[a-z])"))
+
+  /** Language-ID by marker-token voting: score each candidate language by
+    * occurrences of its marker stopwords, predict the argmax (deterministic
+    * tie-break by language code). The classic fastText-free n-gram/stopword
+    * heuristic, expressed as pure column arithmetic. */
+  def languageScores(text: Column, markers: Map[String, Seq[String]]): Seq[(String, Column)] =
+    markers.toSeq.sortBy(_._1).map { case (lang, words) =>
+      lang -> words.map(w => tokenOccurrences(text, w)).reduce(_ + _)
+    }
+
+  def languageId(text: Column, markers: Map[String, Seq[String]]): Column = {
+    val scored = languageScores(text, markers)
+    // argmax with deterministic tie-break: max over (score, lang) structs —
+    // ties resolve to the lexicographically LAST language at equal score, so
+    // flip lang ordering into a sortable desc form via struct order.
+    val best = greatest(scored.map { case (l, s) => struct(s.as("s"), lit(l).as("l")) }: _*)
+    best.getField("l")
+  }
+
+  /** Composite quality score in [0,1]: type/token ratio, mean token length
+    * band, and length band — a deterministic stand-in for classifier-based
+    * quality filtering (Gopher/C4-style heuristics). */
+  def qualityScore(text: Column): Column = {
+    val nTok = tokenCount(text).cast("double")
+    val ttr = distinctTokenCount(text).cast("double") / nTok
+    val meanLen = (length(text) - (nTok - 1)) / nTok // chars sans separators
+    val lenBand = when(nTok >= 20 && nTok <= 1000, 1.0).otherwise(0.5)
+    val wordBand = when(meanLen >= 3 && meanLen <= 10, 1.0).otherwise(0.5)
+    round((ttr * 0.5) + (lenBand * 0.25) + (wordBand * 0.25), 6)
+  }
+
+  /** Document fingerprint — portable polynomial rolling hash (native
+    * expression, [[graft.functions.RollingHash]]). */
+  def fingerprint(text: Column): Column = rolling_hash(text)
+
+  /** Document fingerprint — md5 (matches any engine's md5). */
+  def fingerprintMd5(text: Column): Column = md5(text)
+}
