@@ -289,14 +289,9 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
-    // n-gram Jaccard within a bounded id window.
+    // n-gram Jaccard within a bounded id window (hash table computed once).
     "q26_jaccard_pairs" -> ((s, dir) => {
-      val d = Tables.documents(s, dir)
-      val a = d.select(col("doc_id").as("id_a"), col("text").as("text_a"))
-      val b = d.select(col("doc_id").as("id_b"), col("text").as("text_b"))
-      a.join(b, col("id_b") > col("id_a") && col("id_b") <= col("id_a") + 3)
-        .select(col("id_a"), col("id_b"),
-          round(Dedup.jaccard("text_a", "text_b"), 6).as("jaccard"))
+      Dedup.jaccardWithinGap(Tables.documents(s, dir), "doc_id", "text", 3)
         .orderBy("id_a", "id_b")
     }),
 

