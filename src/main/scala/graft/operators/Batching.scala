@@ -31,9 +31,14 @@ object Batching {
         .cast("double") / batchSize).cast("long"))
 
   /** G3 — running byte-budget chunk id (split_image_Script.py:22-54): row
-    * size is estimated, cumulated in order, bucketed by budget. `sizeExpr`
-    * defaults to the reference's `sum(len(str(v)))+1` estimate over the
-    * given columns (:35). */
+    * size is estimated (the reference's `sum(len(str(v)))+1`, :35),
+    * cumulated in order, bucketed by `floor((cum-1)/budget)`.
+    *
+    * Deliberate deviation: the reference cuts greedily BEFORE overflow
+    * (stateful scan, inherently sequential); the cumulative-sum bucketing is
+    * the parallelizable form and may overshoot a bucket by at most one row's
+    * bytes — irrelevant at a 1 GiB budget, and the same formula is what the
+    * DuckDB oracle computes, so parity holds by construction. */
   def byteBudgetChunkId(df: DataFrame, orderCols: Seq[String],
                         budgetBytes: Long, sizeCols: Seq[String],
                         out: String = "chunk_id"): DataFrame = {

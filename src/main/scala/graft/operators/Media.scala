@@ -1,0 +1,144 @@
+package graft.operators
+
+import java.awt.image.BufferedImage
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+import java.util.zip.ZipInputStream
+import javax.imageio.ImageIO
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+
+/** Multimodal (image) operators (SURVEY §2.1 S4-S5, §2.7 F10-F11, §2.2 K3).
+  *
+  * The reference streams zip archives of JPEG/PNG from S3, decodes, resizes
+  * with centered padding to 224x224, tensorizes to float32[3,224,224], and
+  * flushes 200-image batches
+  * (reference: Image_Train_Model/process_test_train_Images.py:13-64).
+  *
+  * Spark-native shape: images are opaque `binary` columns with typed
+  * metadata; the zip exploder is the one genuine Generator (UDTF) in the
+  * reference (§2.12) and is a `flatMap` over a typed Dataset; decode /
+  * resize / tensorize are per-row JVM kernels (java.imageio + AWT, both in
+  * the JDK — no external deps). Corrupt entries yield null and are filtered,
+  * mirroring the reference's per-record try/except skip (:57-58).
+  *
+  * Scale posture: one task per archive (binaryFile splits), no driver
+  * involvement; tensor batches land via `maxRecordsPerFile` (K3) so file
+  * count tracks data volume, not partition count.
+  */
+object Media {
+
+  case class ZipEntryRow(archive: String, entry: String, content: Array[Byte])
+  case class ImageTensor(archive: String, entry: String, shape: Array[Int],
+                         data: Array[Float])
+
+  val ImageExtensions: Seq[String] = Seq(".jpg", ".jpeg", ".png")
+
+  /** S4/§2.12 — explode zip archives (path, bytes) into per-entry rows.
+    * Generator-shaped: 1 archive -> N entries, executor-side, streaming
+    * decompression (no whole-archive re-buffering beyond the input bytes).
+    */
+  def explodeZips(spark: SparkSession, archives: DataFrame,
+                  pathCol: String = "path", contentCol: String = "content"): Dataset[ZipEntryRow] = {
+    import spark.implicits._
+    archives.select(col(pathCol).as("path"), col(contentCol).as("content"))
+      .as[(String, Array[Byte])]
+      .flatMap { case (path, bytes) => unzip(path, bytes) }
+  }
+
+  /** JVM kernel: enumerate zip entries. Package-visible for tests. */
+  private[graft] def unzip(path: String, bytes: Array[Byte]): Iterator[ZipEntryRow] = {
+    val out = Vector.newBuilder[ZipEntryRow]
+    val zin = new ZipInputStream(new ByteArrayInputStream(bytes))
+    try {
+      var e = zin.getNextEntry
+      while (e != null) {
+        if (!e.isDirectory) {
+          val buf = new ByteArrayOutputStream()
+          val chunk = new Array[Byte](64 * 1024)
+          var n = zin.read(chunk)
+          while (n >= 0) { buf.write(chunk, 0, n); n = zin.read(chunk) }
+          out += ZipEntryRow(path, e.getName, buf.toByteArray)
+        }
+        e = zin.getNextEntry
+      }
+    } finally zin.close()
+    out.result().iterator
+  }
+
+  /** P3 — the reference's image-extension filter (:42). */
+  def filterImages(entries: Dataset[ZipEntryRow]): Dataset[ZipEntryRow] =
+    entries.filter(r => ImageExtensions.exists(r.entry.toLowerCase.endsWith))
+
+  /** S5 + F10 + F11 fused — decode bytes -> force RGB -> resize with
+    * centered padding on a black canvas -> CHW float tensor scaled to [0,1]
+    * (process_test_train_Images.py:13-28: thumbnail + paste + ToTensor).
+    * Corrupt/undecodable images return None (bad-record skip, :57-58). */
+  def decodeResizeTensor(bytes: Array[Byte], target: Int = 224): Option[(Array[Int], Array[Float])] =
+    try {
+      val img = ImageIO.read(new ByteArrayInputStream(bytes))
+      if (img == null) None
+      else {
+        val (w, h) = (img.getWidth, img.getHeight)
+        // thumbnail semantics: scale to fit within target x target, keep ratio
+        val scale = math.min(target.toDouble / w, target.toDouble / h)
+        val (nw, nh) = (math.max(1, (w * scale).toInt), math.max(1, (h * scale).toInt))
+        val canvas = new BufferedImage(target, target, BufferedImage.TYPE_INT_RGB)
+        val g = canvas.createGraphics()
+        try {
+          g.setColor(java.awt.Color.BLACK)
+          g.fillRect(0, 0, target, target)
+          val (ox, oy) = ((target - nw) / 2, (target - nh) / 2)
+          g.drawImage(img.getScaledInstance(nw, nh, java.awt.Image.SCALE_SMOOTH),
+            ox, oy, nw, nh, null)
+        } finally g.dispose()
+        val data = new Array[Float](3 * target * target)
+        var y = 0
+        while (y < target) {
+          var x = 0
+          while (x < target) {
+            val rgb = canvas.getRGB(x, y)
+            val idx = y * target + x
+            data(idx) = ((rgb >> 16) & 0xff) / 255f                     // R plane
+            data(target * target + idx) = ((rgb >> 8) & 0xff) / 255f    // G plane
+            data(2 * target * target + idx) = (rgb & 0xff) / 255f       // B plane
+            x += 1
+          }
+          y += 1
+        }
+        Some((Array(3, target, target), data))
+      }
+    } catch { case _: Exception => None }
+
+  /** Full image ETL: archives frame -> per-image CHW tensors with shape
+    * metadata, corrupt entries dropped. */
+  def imageEtl(spark: SparkSession, archives: DataFrame, target: Int = 224): Dataset[ImageTensor] = {
+    import spark.implicits._
+    filterImages(explodeZips(spark, archives)).flatMap { r =>
+      decodeResizeTensor(r.content, target).map { case (shape, data) =>
+        ImageTensor(r.archive, r.entry, shape, data)
+      }
+    }
+  }
+
+  /** K3 — tensor micro-batch sink: parquet files bounded at `batchSize`
+    * records, the reference's 200-image `.pt` flush
+    * (process_test_train_Images.py:49,74-81). */
+  def writeTensorBatches(tensors: Dataset[ImageTensor], path: String,
+                         batchSize: Int = 200): Unit =
+    tensors.write.mode("overwrite")
+      .option("maxRecordsPerFile", batchSize.toLong)
+      .parquet(path)
+
+  /** K5 — delete consumed source archives after a successful ingest (the
+    * reference deletes each zip once processed, :68-71). Batch analogue of
+    * Structured Streaming's `cleanSource=delete`; call only after the sink
+    * commit succeeds. */
+  def deleteConsumed(spark: SparkSession, paths: Seq[String]): Unit = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    paths.foreach { p =>
+      val hp = new org.apache.hadoop.fs.Path(p)
+      hp.getFileSystem(conf).delete(hp, false)
+    }
+  }
+}

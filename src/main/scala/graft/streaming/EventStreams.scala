@@ -1,0 +1,79 @@
+package graft.streaming
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{DataStreamWriter, Trigger}
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+
+/** Structured Streaming operators (SURVEY §2.11).
+  *
+  * The reference's streaming-shaped patterns: incremental ingest of arriving
+  * archives with delete-after-consume and a hand-maintained resume counter
+  * (reference: Image_Train_Model/process_test_train_Images.py:30-31,49-71),
+  * and bounded-memory chunk iteration with per-chunk flush
+  * (read_csv_s3_train.py:124-131).
+  *
+  * Spark-native shape: file-source `readStream` + `Trigger.AvailableNow`
+  * (bounded backlog drained in micro-batches), checkpointing replacing the
+  * manual counter, `cleanSource` replacing the manual delete, watermarked
+  * event-time windows and `dropDuplicatesWithinWatermark` for the
+  * streaming-dedup north star.
+  */
+object EventStreams {
+
+  /** Incremental file-source ingest, the reference's arrive-process-delete
+    * loop. `cleanSource` = "delete" removes consumed input like
+    * process_test_train_Images.py:68-71; use "archive" to move instead. */
+  def readFileStream(spark: SparkSession, dir: String, schema: StructType,
+                     format: String = "parquet",
+                     maxFilesPerTrigger: Int = 1,
+                     cleanSource: String = "off"): DataFrame =
+    spark.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .option("cleanSource", cleanSource)
+      .format(format)
+      .load(dir)
+
+  /** Watermarked tumbling-window aggregate over event time (batch twin:
+    * SparkEntry q18_window_hourly). */
+  def windowedCounts(events: DataFrame, tsCol: String, windowLen: String,
+                     watermark: String = "1 hour"): DataFrame =
+    events
+      .withColumn("_ts", col(tsCol).cast("timestamp"))
+      .withWatermark("_ts", watermark)
+      .groupBy(window(col("_ts"), windowLen), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+
+  /** Streaming exact-dedup with bounded state — the streaming twin of
+    * Dedup.dedupKeepFirst: duplicates within the watermark horizon are
+    * dropped, state for expired keys is reclaimed. */
+  def dedupWithinWatermark(events: DataFrame, tsCol: String,
+                           keys: Seq[String], watermark: String = "1 hour"): DataFrame =
+    events
+      .withColumn("_ts", col(tsCol).cast("timestamp"))
+      .withWatermark("_ts", watermark)
+      .dropDuplicatesWithinWatermark(keys)
+
+  /** Drain a bounded input completely (Trigger.AvailableNow) into an
+    * in-memory table; returns after all micro-batches commit. The
+    * bounded-input analogue of the reference's chunk loop, used by tests. */
+  def drainToMemory(df: DataFrame, queryName: String,
+                    outputMode: String = "append"): Unit = {
+    val q = df.writeStream
+      .format("memory")
+      .queryName(queryName)
+      .outputMode(outputMode)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
+  /** foreachBatch sink with the micro-batch id exposed — `batchId` replaces
+    * the reference's hand-maintained `global_batch_count` (:31); the
+    * checkpoint makes it resume-correct. */
+  def foreachBatchSink(df: DataFrame)(f: (DataFrame, Long) => Unit): DataStreamWriter[Row] =
+    df.writeStream.foreachBatch { (batch: org.apache.spark.sql.Dataset[Row], id: Long) =>
+      f(batch.toDF(), id)
+    }.trigger(Trigger.AvailableNow())
+}

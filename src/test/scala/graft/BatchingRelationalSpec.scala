@@ -1,0 +1,94 @@
+package graft
+
+import graft.operators.{Batching, Relational}
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+class BatchingRelationalSpec extends SparkSuite {
+  import spark.implicits._
+
+  private lazy val nums = spark.range(0, 1000).toDF("n")
+
+  test("microBatchId: every batch full except possibly the last (G1)") {
+    val out = Batching.microBatchId(nums, Seq("n"), 200)
+    val sizes = out.groupBy("batch_id").count().orderBy("batch_id")
+      .as[(Long, Long)].collect()
+    assert(sizes.map(_._2).forall(_ == 200))
+    assert(sizes.map(_._1) === Array(0L, 1L, 2L, 3L, 4L))
+    // 1001 rows -> partial final batch of 1
+    val odd = Batching.microBatchId(spark.range(0, 1001).toDF("n"), Seq("n"), 200)
+      .groupBy("batch_id").count().orderBy("batch_id").as[(Long, Long)].collect()
+    assert(odd.last === (5L, 1L))
+  }
+
+  test("byteBudgetChunkId: chunk sums bounded by budget + one row (G3)") {
+    val out = Batching.byteBudgetChunkId(nums, Seq("n"), 100L, Seq("n"))
+    val withBytes = out.withColumn("b", length(col("n").cast("string")) + 1)
+    val maxRow = withBytes.agg(max("b")).head().getInt(0).toLong
+    val perChunk = withBytes.groupBy("chunk_id").agg(sum("b").as("bytes"))
+      .as[(Long, Long)].collect()
+    // cumulative-sum bucketing may overshoot by at most one row (see scaladoc)
+    assert(perChunk.forall(_._2 <= 100L + maxRow))
+    // chunk ids are dense 0..k and membership is total
+    assert(out.count() === 1000)
+    assert(perChunk.map(_._1).sorted === (0L until perChunk.length).toArray)
+  }
+
+  test("nextChunkNumber resumes from max+1, default 0 (A5)") {
+    assert(Batching.nextChunkNumber(Seq.empty[Long].toDF("chunk"), "chunk") === 0L)
+    assert(Batching.nextChunkNumber(Seq(3L, 7L, 5L).toDF("chunk"), "chunk") === 8L)
+  }
+
+  test("writeChunked bounds records per file (K1/K3)") {
+    val dir = Files.createTempDirectory("graft_chunks").toString
+    Batching.writeChunked(nums.repartition(1), dir, 300)
+    val files = new java.io.File(dir).listFiles().filter(_.getName.endsWith(".parquet"))
+    assert(files.length === 4) // 1000 rows / 300 per file in one partition
+    assert(spark.read.parquet(dir).count() === 1000)
+  }
+
+  test("withRowIndex equals row_number()-1 semantics, distributed (J1)") {
+    val df = Seq(30L, 10L, 20L).toDF("k")
+    val out = Relational.withRowIndex(df, Seq("k")).orderBy("idx")
+      .as[(Long, Long)].collect()
+    assert(out === Array((10L, 0L), (20L, 1L), (30L, 2L)))
+  }
+
+  test("positionalJoin aligns by rank on each side's own order (J1)") {
+    val left = Seq(("x", 2), ("y", 1)).toDF("lv", "lk")
+    val right = Seq((100, "b"), (200, "a")).toDF("rk", "rv")
+    val out = Relational.positionalJoin(left, Seq("lk"), right, Seq("rv"))
+      .orderBy("idx").select("lv", "rv").as[(String, String)].collect()
+    // left order by lk: y(1), x(2); right order by rv: a, b
+    assert(out === Array(("y", "a"), ("x", "b")))
+  }
+
+  test("moduloJoin cycles the small side (J2)") {
+    val big = spark.range(0, 10).toDF("b")
+    val small = Seq("p", "q", "r").toDF("s")
+    val out = Relational.moduloJoin(big, Seq("b"), small, Seq("s"))
+      .orderBy("b").select("s").as[String].collect()
+    assert(out === Array("p", "q", "r", "p", "q", "r", "p", "q", "r", "p"))
+  }
+
+  test("topK matches sort-limit with deterministic ties (O3)") {
+    val df = Seq(("a", 3.0), ("b", 3.0), ("c", 1.0)).toDF("k", "v")
+    val out = Relational.topK(df, 2, col("v").desc, col("k").asc)
+      .select("k").as[String].collect()
+    assert(out === Array("a", "b"))
+  }
+
+  test("randomSplit: deterministic per seed, disjoint, sizes sum (O4)") {
+    val df = spark.range(0, 1000).toDF("n")
+    val Array(a1, b1) = Relational.randomSplit(df, Array(0.7, 0.3), seed = 42)
+    val Array(a2, _) = Relational.randomSplit(df, Array(0.7, 0.3), seed = 42)
+    assert(a1.count() + b1.count() === 1000)
+    assert(a1.intersect(b1).count() === 0)
+    assert(a1.exceptAll(a2).count() === 0) // same seed -> same split
+  }
+
+  test("unionAll composes lazily by name (U1)") {
+    val parts = Seq(Seq(1).toDF("v"), Seq(2).toDF("v"), Seq(3).toDF("v"))
+    assert(Relational.unionAll(parts).as[Int].collect().sorted === Array(1, 2, 3))
+  }
+}

@@ -1,0 +1,83 @@
+package graft
+
+import graft.operators.{Audit, Clean}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.Row
+
+/** Cleaning pipeline vs the reference's process_batch semantics
+  * (read_csv_s3_train.py:57-118) on the FIXTURES.md §B osv5m-shaped fixture. */
+class CleanSpec extends SparkSuite {
+  import spark.implicits._
+
+  // Minimal osv5m-shaped fixture: NA-ish tokens, whitespace, null runs at
+  // head AND tail (ffill-then-bfill ordering), null captured_at, '<NA>'.
+  private lazy val fixture = {
+    val schema = StructType(Seq(
+      StructField("idx", LongType),
+      StructField("id", LongType),
+      StructField("country", StringType),
+      StructField("city", StringType),
+      StructField("captured_at", LongType),
+      StructField("road_index", DoubleType),
+      StructField("creator_username", StringType)))
+    val rows = Seq(
+      Row(0L, 1L, null, null, 1704067200000L, 1.0, null),          // head null run
+      Row(1L, 2L, "  France ", "Paris", null, null, "alice"),
+      Row(2L, 3L, "NA", "  Lyon ", 1704153600000L, 3.0, "<NA>"),
+      Row(3L, 4L, "Japan", null, 1704240000000L, 4.0, "bob"),
+      Row(4L, 5L, null, null, 1704326400000L, null, null))         // tail null run
+    spark.createDataFrame(spark.sparkContext.parallelize(rows, 2), schema)
+  }
+
+  test("sentinelsToNull maps the reference NA tokens to null") {
+    val out = Clean.sentinelsToNull(fixture, Seq("country"), Seq("", " ", "NA", "NULL"))
+    assert(out.where(col("country") === "NA").count() === 0)
+    assert(out.where(col("country").isNull).count() === 3) // 2 nulls + "NA"
+  }
+
+  test("trim strips whitespace like .str.strip()") {
+    val out = Clean.trimColumns(fixture, Seq("country", "city"))
+    val vals = out.select("country").as[String].collect().toSet
+    assert(vals.contains("France"))
+    assert(out.where(col("city") === "Lyon").count() === 1)
+  }
+
+  test("epoch-ms -> timestamp with null coercion, 1970/1/1 date-part sentinels") {
+    val ts = Clean.epochMillisToTimestamp(fixture, "captured_at", "captured_ts")
+    val parts = Clean.dateParts(ts, "captured_ts")
+    val nullRow = parts.where(col("idx") === 1).select("year", "month", "day").head()
+    assert(nullRow === Row(1970, 1, 1))
+    val okRow = parts.where(col("idx") === 0).select("year", "month", "day").head()
+    assert(okRow === Row(2024, 1, 1))
+  }
+
+  test("ffill then bfill matches pandas ffill().bfill() incl. head/tail runs") {
+    val out = Clean.fillForwardBackward(fixture, Seq("city"), Seq("idx"))
+      .orderBy("idx").select("city").as[String].collect()
+    // pandas: [null,Paris,Lyon(raw has ws -> not trimmed here),null,null]
+    //   ffill: [null, Paris, "  Lyon ", "  Lyon ", "  Lyon "]
+    //   bfill fills head null with first non-null = Paris
+    assert(out === Array("Paris", "Paris", "  Lyon ", "  Lyon ", "  Lyon "))
+  }
+
+  test("replaceSentinel handles the '<NA>' artifact") {
+    val out = Clean.replaceSentinel(fixture, "creator_username", "<NA>", lit("Unknown"))
+    assert(out.where(col("creator_username") === "<NA>").count() === 0)
+    assert(out.where(col("creator_username") === "Unknown").count() === 1)
+  }
+
+  test("fillString + fillNumeric leave no nulls in target columns") {
+    val out = Clean.fillNumeric(
+      Clean.fillString(fixture, "Unknown", Seq("creator_username")))
+    assert(out.where(col("creator_username").isNull).count() === 0)
+    assert(out.where(col("road_index").isNull).count() === 0)
+    assert(Audit.totalNulls(out.select("creator_username", "road_index", "captured_at")) === 0)
+  }
+
+  test("null audit counts per column in one pass") {
+    val long = Audit.nullCountsLong(fixture.select("country", "city", "road_index"))
+    val m = long.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(m === Map("country" -> 2, "city" -> 3, "road_index" -> 2))
+  }
+}

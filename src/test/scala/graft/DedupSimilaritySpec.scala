@@ -1,0 +1,98 @@
+package graft
+
+import graft.operators.{Dedup, Similarity}
+import org.apache.spark.sql.functions._
+
+class DedupSimilaritySpec extends SparkSuite {
+  import spark.implicits._
+
+  private val base = "the quick brown fox jumps over the lazy dog while rain " +
+    "falls softly on the quiet village roofs and children watch from warm " +
+    "windows waiting for the storm to pass before dinner"
+  private lazy val docs = Seq(
+    (0L, base),
+    (1L, base.replace("village", "hamlet")), // near-dup of 0 (one token)
+    (2L, "completely different tokens describing spark shuffle partitions and joins and exchanges"),
+    (3L, base)                               // exact dup of 0
+  ).toDF("doc_id", "text")
+
+  test("dedupKeepFirst keeps the earliest row per key") {
+    val ev = Seq((1L, "click", 10L), (1L, "click", 5L), (2L, "view", 7L))
+      .toDF("user_id", "event_type", "t")
+    val out = Dedup.dedupKeepFirst(ev, Seq("user_id", "event_type"), Seq("t"))
+      .orderBy("user_id").select("t").as[Long].collect()
+    assert(out === Array(5L, 7L))
+  }
+
+  test("minhash signature: length 16, identical docs -> identical sigs") {
+    val sigs = Dedup.minhashSignatures(docs, "doc_id", "text")
+      .orderBy("doc_id").as[(Long, Seq[Long])].collect()
+    assert(sigs.forall(_._2.length == 16))
+    assert(sigs(0)._2 === sigs(3)._2) // exact dup
+    val matches01 = sigs(0)._2.zip(sigs(1)._2).count { case (a, b) => a == b }
+    assert(matches01 >= 8, s"near-dup should share most minhash slots, got $matches01/16")
+  }
+
+  test("LSH candidate pairs surface exact and near dups, not unrelated docs") {
+    val pairs = Dedup.lshCandidatePairs(docs, "doc_id", "text")
+      .as[(Long, Long, Double)].collect().map(p => (p._1, p._2) -> p._3).toMap
+    assert(pairs.contains((0L, 3L)) && pairs((0L, 3L)) === 1.0)
+    assert(pairs.contains((0L, 1L)) || pairs.contains((1L, 3L))) // near-dup banded together
+    assert(!pairs.keys.exists { case (a, b) => a == 2L || b == 2L })
+  }
+
+  test("n-gram jaccard: 1 for exact dup, high for near-dup, ~0 for unrelated") {
+    val j = Dedup.jaccardWithinGap(docs, "doc_id", "text", 3)
+      .as[(Long, Long, Double)].collect().map(p => (p._1, p._2) -> p._3).toMap
+    assert(j((0L, 3L)) === 1.0)
+    assert(j((0L, 1L)) > 0.5)
+    assert(j((0L, 2L)) === 0.0)
+  }
+
+  test("simhash: equal for dups, close hamming for near-dups") {
+    val sh = Dedup.simhash(docs, "doc_id", "text")
+      .orderBy("doc_id").as[(Long, Long)].collect().map(_._2)
+    assert(sh(0) === sh(3))
+    val hamming01 = java.lang.Long.bitCount(sh(0) ^ sh(1))
+    val hamming02 = java.lang.Long.bitCount(sh(0) ^ sh(2))
+    assert(hamming01 < hamming02, s"near-dup hamming $hamming01 !< unrelated $hamming02")
+  }
+
+  test("duplicateStats finds exact-dup clusters by fingerprint") {
+    val stats = Dedup.duplicateStats(docs, md5(col("text")))
+    val rows = stats.as[(String, Long)].collect()
+    assert(rows.length === 1 && rows(0)._2 === 2L)
+  }
+
+  test("bruteForceTopK: nearest neighbor of a vector is its near-copy") {
+    val vecs = Seq(
+      (0L, Array(1f, 0f, 0f)), (1L, Array(0.99f, 0.1f, 0f)),
+      (2L, Array(0f, 1f, 0f)), (3L, Array(0f, 0f, 1f))).toDF("vec_id", "embedding")
+    val out = Similarity.bruteForceTopK(vecs, vecs.where(col("vec_id") === 0), 2)
+      .orderBy("rank").as[(Long, Long, Long, Double)].collect()
+    assert(out(0)._3 === 1L) // rank-1 neighbor is the near-copy
+    assert(out(0)._4 > 0.99)
+  }
+
+  test("ivfTopK: same top-1 as brute force when cells align") {
+    val vecs = Seq(
+      (0L, Array(1f, 0f)), (1L, Array(0f, 1f)),          // centroids
+      (10L, Array(0.9f, 0.1f)), (11L, Array(0.95f, 0.05f)),
+      (12L, Array(0.1f, 0.9f))).toDF("vec_id", "embedding")
+    val out = Similarity.ivfTopK(
+      vecs, vecs.where(col("vec_id") < 2), vecs.where(col("vec_id") === 10), 1)
+      .as[(Long, Long, Long, Double)].collect()
+    assert(out.length === 1)
+    assert(out(0)._3 === 11L) // same-cell nearest, not the cross-cell one
+  }
+
+  test("nearDupPairs respects threshold and id-gap bounds") {
+    val vecs = Seq(
+      (0L, Array(1f, 0f)), (1L, Array(0.999f, 0.04f)), (5L, Array(1f, 0.01f)),
+      (40L, Array(1f, 0f))).toDF("vec_id", "embedding")
+    val pairs = Similarity.nearDupPairs(vecs, 0.9, 10)
+      .as[(Long, Long, Double)].collect().map(p => (p._1, p._2)).toSet
+    assert(pairs.contains((0L, 1L)) && pairs.contains((0L, 5L)) && pairs.contains((1L, 5L)))
+    assert(!pairs.exists(_._2 == 40L)) // outside the gap window
+  }
+}

@@ -1,0 +1,82 @@
+package graft
+
+import graft.functions.GraftFunctions._
+import graft.operators.{Dedup, Geo}
+import org.apache.spark.sql.functions._
+
+/** Native expression kernels: haversine, rolling hash, cosine. */
+class FunctionsSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("haversine: zero for identical points, ~111.19 km per equatorial degree") {
+    val out = Seq((0.0, 0.0, 0.0, 1.0)).toDF("lat1", "lon1", "lat2", "lon2")
+      .select(
+        haversine_km(col("lat1"), col("lon1"), col("lat1"), col("lon1")).as("zero"),
+        haversine_km(col("lat1"), col("lon1"), col("lat2"), col("lon2")).as("deg1"))
+      .head()
+    assert(out.getDouble(0) === 0.0)
+    assert(math.abs(out.getDouble(1) - 111.1950) < 0.01)
+  }
+
+  test("haversine: symmetric, non-negative, null-propagating") {
+    val df = Seq((48.8566, 2.3522, 40.7128, -74.0060)).toDF("a", "b", "c", "d")
+    val r = df.select(
+      haversine_km(col("a"), col("b"), col("c"), col("d")).as("fwd"),
+      haversine_km(col("c"), col("d"), col("a"), col("b")).as("rev")).head()
+    assert(r.getDouble(0) === r.getDouble(1))
+    assert(math.abs(r.getDouble(0) - 5837.0) < 10) // Paris -> NYC ~5837 km
+    val n = df.select(haversine_km(lit(null).cast("double"), col("b"), col("c"), col("d"))).head()
+    assert(n.isNullAt(0))
+  }
+
+  test("euclideanDeg is the reference's metric: zero iff identical") {
+    val r = Seq((1.0, 2.0, 4.0, 6.0)).toDF("a", "b", "c", "d")
+      .select(Geo.euclideanDeg(col("a"), col("b"), col("c"), col("d"))).head()
+    assert(r.getDouble(0) === 5.0) // 3-4-5 triangle
+  }
+
+  test("rolling_hash native kernel == pure-SQL HOF fold (oracle parity)") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet").limit(50)
+    val cmp = docs.select(
+      rolling_hash(col("text")).as("native"),
+      expr(Dedup.sqlHashFrag("text")).as("sqlfold"))
+    assert(cmp.where(col("native") =!= col("sqlfold")).count() === 0)
+  }
+
+  test("rolling_hash: known value and empty string") {
+    // "ab" -> ((0*31+97) % p)*31 + 98 = 3105
+    val r = Seq(("ab", "")).toDF("s", "e")
+      .select(rolling_hash(col("s")), rolling_hash(col("e"))).head()
+    assert(r.getLong(0) === 97L * 31 + 98)
+    assert(r.getLong(1) === 0L)
+  }
+
+  test("cosine_similarity: orthogonal 0, identical 1, opposite -1") {
+    val df = Seq(
+      (Array(1f, 0f), Array(0f, 1f)),
+      (Array(1f, 2f), Array(1f, 2f)),
+      (Array(1f, 0f), Array(-1f, 0f))).toDF("a", "b")
+      .select(cosine_similarity(col("a"), col("b")).as("cos"))
+    val vals = df.as[Double].collect()
+    assert(math.abs(vals(0)) < 1e-15)
+    assert(math.abs(vals(1) - 1.0) < 1e-12)
+    assert(math.abs(vals(2) + 1.0) < 1e-15)
+  }
+
+  test("cosine_similarity handles zero vectors and double arrays") {
+    val z = Seq((Array(0f, 0f), Array(1f, 1f))).toDF("a", "b")
+      .select(cosine_similarity(col("a"), col("b"))).head()
+    assert(z.getDouble(0) === 0.0)
+    val d = Seq((Array(1.0, 2.0), Array(2.0, 4.0))).toDF("a", "b")
+      .select(cosine_similarity(col("a"), col("b"))).head()
+    assert(math.abs(d.getDouble(0) - 1.0) < 1e-12)
+  }
+
+  test("expressions work from SQL after registerAll") {
+    graft.functions.GraftFunctions.registerAll(spark)
+    val r = spark.sql(
+      "SELECT rolling_hash('ab') h, haversine_km(0D, 0D, 0D, 0D) km").head()
+    assert(r.getLong(0) === 3105L)
+    assert(r.getDouble(1) === 0.0)
+  }
+}

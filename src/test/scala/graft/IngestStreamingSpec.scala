@@ -1,0 +1,81 @@
+package graft
+
+import java.nio.file.Files
+
+import graft.sources.Ingest
+import graft.streaming.EventStreams
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+class IngestStreamingSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("csvTyped: explicit schema, NA tokens -> null, permissive bad rows (S2)") {
+    val dir = Files.createTempDirectory("graft_csv").toString
+    Files.writeString(java.nio.file.Path.of(s"$dir/part.csv"),
+      "id,name,score\n1,alice,2.5\n2,,3.5\n3,NA,1.0\nnot_a_long,bob,9.9\n")
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("name", StringType),
+      StructField("score", DoubleType)))
+    val df = Ingest.normalizeNaTokens(
+      Ingest.csvTyped(spark, dir, schema), Seq("", " ", "NA", "NULL"))
+    assert(df.count() === 4)
+    assert(df.where(col("name").isNull).count() === 2) // "" and "NA"
+    assert(df.where(col("id").isNull).count() === 1)   // malformed long -> null
+  }
+
+  test("filterSuffix keeps only matching paths (P3)") {
+    val df = Seq("a/part_1.zip", "a/readme.md", "b/part_2.ZIPX", "c/x.zip").toDF("path")
+    val out = Ingest.filterSuffix(df, "path", Seq(".zip")).as[String].collect().sorted
+    assert(out === Array("a/part_1.zip", "c/x.zip"))
+  }
+
+  private def writeEventsParquet(): (String, StructType) = {
+    val dir = Files.createTempDirectory("graft_stream").toString
+    val df = Seq(
+      (1L, "2024-01-01 00:05:00", "click", 1.0),
+      (2L, "2024-01-01 00:15:00", "click", 2.0),
+      (3L, "2024-01-01 00:20:00", "view", 3.0),
+      (4L, "2024-01-01 01:10:00", "click", 4.0),
+      (1L, "2024-01-01 00:05:00", "click", 1.0) // duplicate of event 1
+    ).toDF("event_id", "ts_s", "event_type", "value")
+      .withColumn("ts", col("ts_s").cast("timestamp")).drop("ts_s")
+    df.coalesce(1).write.mode("overwrite").parquet(dir)
+    (dir, df.schema)
+  }
+
+  test("streaming windowed counts with watermark over a file source (§2.11)") {
+    val (dir, schema) = writeEventsParquet()
+    val stream = EventStreams.readFileStream(spark, dir, schema)
+    val agg = EventStreams.windowedCounts(stream, "ts", "1 hour")
+    EventStreams.drainToMemory(agg, "win_counts", outputMode = "complete")
+    val got = spark.table("win_counts")
+      .select(col("window.start").cast("string").as("w"), col("event_type"), col("n"))
+      .orderBy("w", "event_type")
+      .as[(String, String, Long)].collect()
+    assert(got === Array(
+      ("2024-01-01 00:00:00", "click", 3L),
+      ("2024-01-01 00:00:00", "view", 1L),
+      ("2024-01-01 01:00:00", "click", 1L)))
+  }
+
+  test("dropDuplicatesWithinWatermark dedups the replayed event (§2.11)") {
+    val (dir, schema) = writeEventsParquet()
+    val stream = EventStreams.readFileStream(spark, dir, schema)
+    val dd = EventStreams.dedupWithinWatermark(stream, "ts", Seq("event_id"))
+    EventStreams.drainToMemory(dd, "dedup_stream")
+    assert(spark.table("dedup_stream").count() === 4) // 5 rows, 1 dup dropped
+  }
+
+  test("foreachBatch exposes batchId as the resume counter (K5/§2.11)") {
+    val (dir, schema) = writeEventsParquet()
+    val stream = EventStreams.readFileStream(spark, dir, schema)
+    val seen = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    val q = EventStreams.foreachBatchSink(stream) { (batch, id) =>
+      seen.synchronized { seen += ((id, batch.count())) }
+    }.start()
+    q.awaitTermination()
+    assert(seen.map(_._2).sum === 5)
+    assert(seen.map(_._1).toSet === (0L until seen.length).toSet)
+  }
+}

@@ -1,0 +1,88 @@
+package graft
+
+import java.awt.image.BufferedImage
+import java.io.{ByteArrayOutputStream, FileOutputStream}
+import java.nio.file.Files
+import java.util.zip.{ZipEntry, ZipOutputStream}
+import javax.imageio.ImageIO
+
+import graft.operators.Media
+import graft.sources.Ingest
+import org.apache.spark.sql.functions._
+
+/** Image ETL (FIXTURES.md §C): zip exploder, extension filter, decode-error
+  * skip, resize-with-pad, micro-batch sink. */
+class MediaSpec extends SparkSuite {
+
+  private def png(w: Int, h: Int, rgb: Int): Array[Byte] = {
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+    for (x <- 0 until w; y <- 0 until h) img.setRGB(x, y, rgb)
+    val out = new ByteArrayOutputStream()
+    ImageIO.write(img, "png", out)
+    out.toByteArray
+  }
+
+  private lazy val zipDir: String = {
+    val dir = Files.createTempDirectory("graft_zip").toString
+    val zos = new ZipOutputStream(new FileOutputStream(s"$dir/part_001.zip"))
+    def put(name: String, bytes: Array[Byte]): Unit = {
+      zos.putNextEntry(new ZipEntry(name)); zos.write(bytes); zos.closeEntry()
+    }
+    put("img_a.png", png(100, 50, 0xff0000))     // wide red -> vertical padding
+    put("img_b.png", png(60, 60, 0x00ff00))      // square green
+    put("notes.txt", "not an image".getBytes)    // extension-filtered
+    put("broken.jpg", Array[Byte](1, 2, 3, 4))   // corrupt -> decode skip
+    zos.close()
+    dir
+  }
+
+  test("binaryFile scan with pathGlobFilter + zip exploder (S4/S8/§2.12)") {
+    val archives = Ingest.binaryFiles(spark, zipDir, "*.zip")
+    assert(archives.count() === 1)
+    val entries = Media.explodeZips(spark, archives)
+    assert(entries.count() === 4)
+    val names = entries.collect().map(_.entry).sorted
+    assert(names === Array("broken.jpg", "img_a.png", "img_b.png", "notes.txt"))
+  }
+
+  test("extension filter + corrupt-image skip (P3 + bad-record semantics)") {
+    val archives = Ingest.binaryFiles(spark, zipDir, "*.zip")
+    val imgs = Media.filterImages(Media.explodeZips(spark, archives))
+    assert(imgs.count() === 3) // txt dropped by extension
+    val tensors = Media.imageEtl(spark, archives)
+    assert(tensors.count() === 2) // corrupt jpg dropped by decode
+  }
+
+  test("resize-with-pad: 3x224x224, [0,1] range, centered content, black pad (F10/F11)") {
+    val Some((shape, data)) = Media.decodeResizeTensor(png(100, 50, 0xff0000))
+    assert(shape === Array(3, 224, 224))
+    assert(data.length === 3 * 224 * 224)
+    assert(data.forall(v => v >= 0f && v <= 1f))
+    // wide image scaled to 224x112, centered vertically: rows [56, 168) are
+    // red (R=1), rows above/below are black padding.
+    def at(c: Int, y: Int, x: Int) = data(c * 224 * 224 + y * 224 + x)
+    assert(at(0, 112, 112) === 1f && at(1, 112, 112) === 0f) // center: pure red
+    assert(at(0, 10, 112) === 0f && at(2, 10, 112) === 0f)   // top pad: black
+    assert(at(0, 220, 112) === 0f)                           // bottom pad: black
+  }
+
+  test("tensor micro-batch sink bounds records per file (K3)") {
+    val out = Files.createTempDirectory("graft_tensors").toString
+    val archives = Ingest.binaryFiles(spark, zipDir, "*.zip")
+    Media.writeTensorBatches(Media.imageEtl(spark, archives).repartition(1), out, 1)
+    val files = new java.io.File(out).listFiles().filter(_.getName.endsWith(".parquet"))
+    assert(files.length === 2) // 2 tensors, 1 per file
+    val back = spark.read.parquet(out)
+    assert(back.count() === 2)
+    assert(back.selectExpr("size(data)").distinct().head().getInt(0) === 3 * 224 * 224)
+  }
+
+  test("deleteConsumed removes ingested archives (K5)") {
+    val dir = Files.createTempDirectory("graft_gc").toString
+    val f = new java.io.File(s"$dir/done.zip")
+    Files.write(f.toPath, Array[Byte](80, 75, 5, 6))
+    assert(f.exists())
+    Media.deleteConsumed(spark, Seq(f.getAbsolutePath))
+    assert(!f.exists())
+  }
+}
