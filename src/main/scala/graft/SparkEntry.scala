@@ -357,6 +357,24 @@ object SparkEntry {
         .orderBy("l_returnflag")
     }),
 
+    // Distinct aggregates (north-star dedup cardinality).
+    "q34_distinct_stats" -> ((s, dir) => {
+      Tables.customer(s, dir)
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n"),
+          countDistinct(col("c_nationkey")).as("n_nations"))
+        .orderBy("c_mktsegment")
+    }),
+
+    // P6 — skip-list predicate (partition-pruning shape).
+    "q35_skiplist" -> ((s, dir) => {
+      Tables.lineitem(s, dir)
+        .withColumn("part_bucket", col("l_suppkey") % 10)
+        .where(!col("part_bucket").isin(3, 7))
+        .groupBy("part_bucket").agg(count(lit(1)).as("n"))
+        .orderBy("part_bucket")
+    }),
+
     // Token statistics per language bucket.
     "q33_token_stats" -> ((s, dir) => {
       val t = col("text")
@@ -680,6 +698,16 @@ object SparkEntry {
         |round(avg(km), 4) AS mean_km, round(max(km), 4) AS max_km,
         |round(min(km), 4) AS min_km, round(avg(deg), 4) AS mean_deg
         |FROM km GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q34_distinct_stats" ->
+      """SELECT c_mktsegment, count(*) AS n,
+        |CAST(count(DISTINCT c_nationkey) AS BIGINT) AS n_nations
+        |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+
+    "q35_skiplist" ->
+      """SELECT l_suppkey % 10 AS part_bucket, count(*) AS n FROM lineitem
+        |WHERE l_suppkey % 10 NOT IN (3, 7)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q33_token_stats" ->
       """SELECT lang, count(*) AS n_docs,
