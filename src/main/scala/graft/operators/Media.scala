@@ -130,6 +130,60 @@ object Media {
       .option("maxRecordsPerFile", batchSize.toLong)
       .parquet(path)
 
+  /** F12 — stochastic augmentations (model_architecture.py:55-63), made
+    * reproducible: torch's RandomHorizontalFlip(p=0.5) draws from global RNG
+    * state; at 100 TB that breaks retry-idempotence (a re-executed task
+    * would emit different data), so the coin flip is a hash of
+    * (entry, seed) — same augmentation on every replay. Normalize is the
+    * one deterministic (affine) member of the reference's transform stack
+    * and is applied per channel. */
+  def augment(tensors: Dataset[ImageTensor], seed: Long,
+              mean: Array[Float] = Array(0.485f, 0.456f, 0.406f),
+              std: Array[Float] = Array(0.229f, 0.224f, 0.225f)): Dataset[ImageTensor] = {
+    import tensors.sparkSession.implicits._
+    tensors.map { t =>
+      val flipped =
+        if (((t.entry.hashCode.toLong * 31 + seed) & 1L) == 0L)
+          t.copy(data = flipHorizontal(t.data, t.shape))
+        else t
+      flipped.copy(data = normalize(flipped.data, flipped.shape, mean, std))
+    }
+  }
+
+  /** JVM kernel: mirror a CHW tensor along the width axis. Involutive. */
+  private[graft] def flipHorizontal(data: Array[Float], shape: Array[Int]): Array[Float] = {
+    val Array(c, h, w) = shape
+    val out = new Array[Float](data.length)
+    var ch = 0
+    while (ch < c) {
+      var y = 0
+      while (y < h) {
+        val base = ch * h * w + y * w
+        var x = 0
+        while (x < w) { out(base + x) = data(base + (w - 1 - x)); x += 1 }
+        y += 1
+      }
+      ch += 1
+    }
+    out
+  }
+
+  /** JVM kernel: per-channel (x - mean) / std. */
+  private[graft] def normalize(data: Array[Float], shape: Array[Int],
+                               mean: Array[Float], std: Array[Float]): Array[Float] = {
+    val Array(c, h, w) = shape
+    val out = new Array[Float](data.length)
+    var ch = 0
+    while (ch < c) {
+      val (m, s) = (mean(ch), std(ch))
+      var i = ch * h * w
+      val end = (ch + 1) * h * w
+      while (i < end) { out(i) = (data(i) - m) / s; i += 1 }
+      ch += 1
+    }
+    out
+  }
+
   /** K5 — delete consumed source archives after a successful ingest (the
     * reference deletes each zip once processed, :68-71). Batch analogue of
     * Structured Streaming's `cleanSource=delete`; call only after the sink

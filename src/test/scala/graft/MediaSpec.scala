@@ -77,6 +77,23 @@ class MediaSpec extends SparkSuite {
     assert(back.selectExpr("size(data)").distinct().head().getInt(0) === 3 * 224 * 224)
   }
 
+  test("augment: flip is involutive, normalize matches formula, seeded determinism (F12)") {
+    val data = Array.tabulate(3 * 4 * 4)(_.toFloat / 48f)
+    val shape = Array(3, 4, 4)
+    // flip twice = identity
+    assert(Media.flipHorizontal(Media.flipHorizontal(data, shape), shape) === data)
+    // normalize formula on channel 0
+    val norm = Media.normalize(data, shape, Array(0.5f, 0.5f, 0.5f), Array(2f, 2f, 2f))
+    assert(math.abs(norm(0) - ((data(0) - 0.5f) / 2f)) < 1e-7)
+    // dataset-level: same seed -> identical output, augmented count preserved
+    val archives = Ingest.binaryFiles(spark, zipDir, "*.zip")
+    val t = Media.imageEtl(spark, archives)
+    val a1 = Media.augment(t, seed = 7).collect().sortBy(_.entry)
+    val a2 = Media.augment(t, seed = 7).collect().sortBy(_.entry)
+    assert(a1.length === 2)
+    a1.zip(a2).foreach { case (x, y) => assert(x.data === y.data) }
+  }
+
   test("deleteConsumed removes ingested archives (K5)") {
     val dir = Files.createTempDirectory("graft_gc").toString
     val f = new java.io.File(s"$dir/done.zip")
