@@ -61,4 +61,18 @@ object Relational {
     * Deterministic per seed; excluded from the oracle (SURVEY §7.4.4). */
   def randomSplit(df: DataFrame, weights: Array[Double], seed: Long): Array[DataFrame] =
     df.randomSplit(weights, seed)
+
+  /** Skew-resistant equi-join: salt the skewed (big) side's key into
+    * `salts` sub-keys and replicate the small side across all salt values,
+    * spreading a hot key over `salts` reducers. Use when AQE's runtime
+    * skew-split isn't available (e.g., the skew is in a non-shuffle child).
+    * Semantics identical to `big.join(small, key)` (inner). */
+  def saltedJoin(big: DataFrame, small: DataFrame, key: String,
+                 salts: Int = 16): DataFrame = {
+    val saltedBig = big.withColumn("_salt",
+      pmod(hash(monotonically_increasing_id()), lit(salts)))
+    val saltedSmall = small.withColumn("_salt",
+      explode(sequence(lit(0), lit(salts - 1))))
+    saltedBig.join(saltedSmall, Seq(key, "_salt")).drop("_salt")
+  }
 }

@@ -75,12 +75,21 @@ object Similarity {
 
   /** Embedding near-duplicate pairs above a cosine threshold, within
     * id-window `maxGap` (bounded candidate generation for the oracle;
-    * unbounded pairing at scale goes through [[ivfTopK]] cells instead). */
+    * unbounded pairing at scale goes through [[ivfTopK]] cells instead).
+    *
+    * The range condition is rewritten as a bucketed EQUI-join: a bare
+    * `id_b BETWEEN id_a+1 AND id_a+gap` join plans as a broadcast
+    * nested-loop that evaluates the predicate on all |n|^2 pairs; bucketing
+    * ids by `gap` and joining each left bucket to itself and its successor
+    * makes candidates O(n * gap) and the join a plain shuffle-hash join. */
   def nearDupPairs(corpus: DataFrame, threshold: Double, maxGap: Long,
                    idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val a = corpus.select(col(idCol).as("id_a"), col(vecCol).as("vec_a"))
-    val b = corpus.select(col(idCol).as("id_b"), col(vecCol).as("vec_b"))
-    a.join(b, col("id_b") > col("id_a") && col("id_b") <= col("id_a") + maxGap)
+    val a = corpus.select(col(idCol).as("id_a"), col(vecCol).as("vec_a"),
+      floor(col(idCol) / maxGap).as("bk"))
+    val b = corpus.select(col(idCol).as("id_b"), col(vecCol).as("vec_b"),
+      explode(array(floor(col(idCol) / maxGap), floor(col(idCol) / maxGap) - 1)).as("bk"))
+    a.join(b, "bk")
+      .where(col("id_b") > col("id_a") && col("id_b") <= col("id_a") + maxGap)
       .withColumn("cosine", cosine_similarity(col("vec_a"), col("vec_b")))
       .where(col("cosine") > threshold)
       .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))

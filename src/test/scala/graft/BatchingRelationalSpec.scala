@@ -87,6 +87,17 @@ class BatchingRelationalSpec extends SparkSuite {
     assert(a1.exceptAll(a2).count() === 0) // same seed -> same split
   }
 
+  test("saltedJoin matches plain join results under a hot key") {
+    val big = Seq.fill(500)(("hot", 1)).toDF("k", "v")
+      .union(Seq(("cold", 2), ("cold", 3)).toDF("k", "v"))
+    val small = Seq(("hot", "H"), ("cold", "C"), ("orphan", "O")).toDF("k", "tag")
+    val plain = big.join(small, "k")
+    val salted = Relational.saltedJoin(big, small, "k", salts = 8)
+    assert(salted.count() === plain.count())
+    assert(salted.groupBy("k").count().orderBy("k").as[(String, Long)].collect()
+      === Array(("cold", 2L), ("hot", 500L)))
+  }
+
   test("unionAll composes lazily by name (U1)") {
     val parts = Seq(Seq(1).toDF("v"), Seq(2).toDF("v"), Seq(3).toDF("v"))
     assert(Relational.unionAll(parts).as[Int].collect().sorted === Array(1, 2, 3))
