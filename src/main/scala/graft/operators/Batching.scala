@@ -1,8 +1,8 @@
 package graft.operators
 
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.types.{LongType, StructField, StructType}
+import org.apache.spark.sql.{DataFrame, Row}
 
 /** Grouping / batching / chunked-sink operators (SURVEY §2.6, §2.2).
   *
@@ -20,15 +20,42 @@ import org.apache.spark.sql.{Column, DataFrame}
   */
 object Batching {
 
+  /** Distributed prefix sum of `valueCol` (long) following `orderCols`:
+    * range-partitioned sort, one tiny job for per-partition subtotals, then
+    * a per-partition running add with the broadcast offsets — the classic
+    * two-phase scan. Equals the single-partition window
+    * `sum(v) OVER (ORDER BY ... ROWS UNBOUNDED PRECEDING)` value-for-value,
+    * without ever putting the table on one node. Appends `out`. */
+  def prefixSum(df: DataFrame, orderCols: Seq[String], valueCol: String,
+                out: String = "cum"): DataFrame = {
+    val sorted = df.orderBy(orderCols.map(col): _*)
+    val vIdx = sorted.schema.fieldIndex(valueCol)
+    // Two passes over the sorted data (subtotals, then scan) — persist so
+    // the range-partitioned sort isn't recomputed; spillable at scale.
+    val rdd = sorted.rdd
+    rdd.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val partSums = rdd
+      .mapPartitionsWithIndex { case (i, it) =>
+        Iterator.single(i -> it.foldLeft(0L)((acc, r) => acc + r.getLong(vIdx)))
+      }.collect().sortBy(_._1).map(_._2)
+    val offsets = partSums.scanLeft(0L)(_ + _) // offsets(i) = sum of parts < i
+    val withCum = rdd.mapPartitionsWithIndex { case (i, it) =>
+      var running = offsets(i)
+      it.map { r => running += r.getLong(vIdx); Row.fromSeq(r.toSeq :+ running) }
+    }
+    val schema = StructType(sorted.schema.fields :+ StructField(out, LongType, nullable = false))
+    sorted.sparkSession.createDataFrame(withCum, schema)
+  }
+
   /** G1 — fixed-count micro-batch id over an explicit total order
-    * (process_test_train_Images.py:49). NOTE: an unpartitioned row_number is
-    * a single-partition sort; use only when batch ids must be globally
-    * consecutive (else prefer [[writeChunked]]). */
+    * (process_test_train_Images.py:49). Distributed: global row index via
+    * sort + zipWithIndex (Relational.withRowIndex), not a single-partition
+    * window; ids equal `floor((row_number()-1)/batchSize)` exactly. */
   def microBatchId(df: DataFrame, orderCols: Seq[String], batchSize: Int,
                    out: String = "batch_id"): DataFrame =
-    df.withColumn(out,
-      floor((row_number().over(Window.orderBy(orderCols.map(col): _*)) - 1)
-        .cast("double") / batchSize).cast("long"))
+    Relational.withRowIndex(df, orderCols, "_ridx")
+      .withColumn(out, floor(col("_ridx").cast("double") / batchSize).cast("long"))
+      .drop("_ridx")
 
   /** G3 — running byte-budget chunk id (split_image_Script.py:22-54): row
     * size is estimated (the reference's `sum(len(str(v)))+1`, :35),
@@ -45,12 +72,10 @@ object Batching {
     val rowBytes = sizeCols
       .map(c => length(col(c).cast("string")))
       .reduce(_ + _) + lit(1)
-    val w = Window.orderBy(orderCols.map(col): _*)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    df.withColumn("_row_bytes", rowBytes.cast("long"))
-      .withColumn(out, floor((sum(col("_row_bytes")).over(w) - 1)
-        .cast("double") / budgetBytes).cast("long"))
-      .drop("_row_bytes")
+    prefixSum(df.withColumn("_row_bytes", rowBytes.cast("long")),
+      orderCols, "_row_bytes", "_cum")
+      .withColumn(out, floor((col("_cum") - 1).cast("double") / budgetBytes).cast("long"))
+      .drop("_row_bytes", "_cum")
   }
 
   /** G1/G2/K1/K3/K4 physical form — chunked parquet/csv write without any

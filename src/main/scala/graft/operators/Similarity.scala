@@ -3,28 +3,61 @@ package graft.operators
 import graft.functions.GraftFunctions.cosine_similarity
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{DataFrame, Dataset}
 
 /** Approximate-nearest-neighbor search over an embedding column
   * (north-star extension).
   *
   * Two tiers:
   *  - [[bruteForceTopK]] — exact baseline: broadcast the (small) probe set
-  *    against the corpus; the corpus is scanned once, never shuffled. At
-  *    100 TB this is the correct plan when |probes| is small: cost is one
-  *    pass, embarrassingly parallel, per-partition top-k before the final
-  *    driver merge (window over probe_id after an AQE-coalesced shuffle of
-  *    only |probes|·k candidate rows... in practice the window shuffles
-  *    per-probe groups, each tiny).
+  *    against the corpus; one corpus pass, embarrassingly parallel.
   *  - [[ivfTopK]] — the scale path: coarse-quantize the corpus to its
-  *    nearest centroid (broadcast centroids, one pass), then search only the
-  *    probe's cell — an equi-join on cell id, pruning the candidate set by
-  *    the number of cells.
+  *    max-cosine centroid (broadcast centroids, one pass, partial-agg
+  *    argmax), then search only the probe's cell.
+  *
+  * Shuffle discipline (the 100-TB tells):
+  *  - candidate scores are pruned to k-per-probe per partition (local heap)
+  *    and projected to (probe, neighbor, score) BEFORE any exchange — the
+  *    embedding vectors themselves never enter a shuffle;
+  *  - cell assignment is a `max_by` hash aggregate (map-side combinable),
+  *    not a row_number window (which would shuffle every scored pair).
   *
   * Distances run through [[graft.functions.CosineSimilarity]] — a fused
   * one-pass native kernel inside whole-stage codegen.
   */
 object Similarity {
+
+  /** Exact per-probe top-k over scored candidates. Input must expose
+    * (probe_id, neighbor_id, cosine). Local heap prune -> tiny shuffle ->
+    * final window; identical to a global row_number over
+    * (cosine DESC, neighbor_id ASC). */
+  private def topKPerProbe(scored: DataFrame, k: Int): DataFrame = {
+    import scored.sparkSession.implicits._
+    val slim = scored.select(col("probe_id"), col("neighbor_id"), col("cosine"))
+      .as[(Long, Long, Double)]
+    // heap dequeues its max; make the WORST candidate the max:
+    // worst = lower cosine, then larger neighbor id
+    implicit val worstFirst: Ordering[(Long, Long, Double)] =
+      Ordering.by[(Long, Long, Double), (Double, Long)] { case (_, n, c) => (-c, n) }
+    val pruned: Dataset[(Long, Long, Double)] = slim.mapPartitions { it =>
+      val heaps = scala.collection.mutable.Map
+        .empty[Long, scala.collection.mutable.PriorityQueue[(Long, Long, Double)]]
+      it.foreach { row =>
+        val h = heaps.getOrElseUpdate(row._1,
+          scala.collection.mutable.PriorityQueue.empty[(Long, Long, Double)])
+        h.enqueue(row)
+        if (h.size > k) h.dequeue() // drop current worst
+      }
+      heaps.valuesIterator.flatMap(_.iterator)
+    }
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    pruned.toDF("probe_id", "neighbor_id", "cosine")
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= k)
+      .select(col("probe_id"), col("rank"), col("neighbor_id"),
+        round(col("cosine"), 6).as("cosine"))
+  }
 
   /** Exact top-k neighbors for each probe row. Excludes self-matches on id. */
   def bruteForceTopK(corpus: DataFrame, probes: DataFrame, k: Int,
@@ -34,24 +67,22 @@ object Similarity {
     val scored = c.crossJoin(broadcast(p))
       .where(col("neighbor_id") =!= col("probe_id"))
       .withColumn("cosine", cosine_similarity(col("probe_vec"), col("cand_vec")))
-    val w = Window.partitionBy(col("probe_id"))
-      .orderBy(col("cosine").desc, col("neighbor_id"))
-    scored.withColumn("rank", row_number().over(w).cast("long"))
-      .where(col("rank") <= k)
-      .select(col("probe_id"), col("rank"), col("neighbor_id"),
-        round(col("cosine"), 6).as("cosine"))
+    topKPerProbe(scored, k)
   }
 
-  /** Assign each vector to the max-cosine centroid (broadcast, one pass). */
+  /** Assign each vector to its max-cosine centroid (ties -> smallest cell
+    * id). Broadcast centroids, one pass, map-side-combinable argmax.
+    * Returns (idCol, vecCol, cell_id). */
   def assignCells(corpus: DataFrame, centroids: DataFrame,
                   idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val cents = centroids.select(col(idCol).as("cell_id"), col(vecCol).as("cent_vec"))
-    val scored = corpus.crossJoin(broadcast(cents))
+    corpus.select(col(idCol), col(vecCol)).crossJoin(broadcast(cents))
       .withColumn("cent_cos", cosine_similarity(col(vecCol), col("cent_vec")))
-    val w = Window.partitionBy(col(idCol))
-      .orderBy(col("cent_cos").desc, col("cell_id"))
-    scored.withColumn("_r", row_number().over(w)).where(col("_r") === 1)
-      .drop("_r", "cent_vec", "cent_cos")
+      .groupBy(col(idCol))
+      .agg(
+        first(col(vecCol)).as(vecCol),
+        max_by(col("cell_id"), struct(col("cent_cos"), (-col("cell_id")).as("negid")))
+          .as("cell_id"))
   }
 
   /** IVF-style ANN: quantize corpus and probes to cells, search only within
@@ -65,12 +96,7 @@ object Similarity {
     val scored = c.join(broadcast(p), "cell_id")
       .where(col("neighbor_id") =!= col("probe_id"))
       .withColumn("cosine", cosine_similarity(col("probe_vec"), col("cand_vec")))
-    val w = Window.partitionBy(col("probe_id"))
-      .orderBy(col("cosine").desc, col("neighbor_id"))
-    scored.withColumn("rank", row_number().over(w).cast("long"))
-      .where(col("rank") <= k)
-      .select(col("probe_id"), col("rank"), col("neighbor_id"),
-        round(col("cosine"), 6).as("cosine"))
+    topKPerProbe(scored, k)
   }
 
   /** Embedding near-duplicate pairs above a cosine threshold, within

@@ -34,6 +34,15 @@ class BatchingRelationalSpec extends SparkSuite {
     assert(perChunk.map(_._1).sorted === (0L until perChunk.length).toArray)
   }
 
+  test("prefixSum (distributed two-phase scan) equals the window cumsum") {
+    val df = spark.range(0, 500).toDF("n").repartition(7)
+      .withColumn("v", (col("n") % 13) + 1)
+    val got = Batching.prefixSum(df, Seq("n"), "v", "cum")
+      .orderBy("n").select("cum").as[Long].collect()
+    val expected = (0L until 500L).map(n => (n % 13) + 1).scanLeft(0L)(_ + _).tail
+    assert(got === expected.toArray)
+  }
+
   test("nextChunkNumber resumes from max+1, default 0 (A5)") {
     assert(Batching.nextChunkNumber(Seq.empty[Long].toDF("chunk"), "chunk") === 0L)
     assert(Batching.nextChunkNumber(Seq(3L, 7L, 5L).toDF("chunk"), "chunk") === 8L)
