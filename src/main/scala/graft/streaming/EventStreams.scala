@@ -69,6 +69,26 @@ object EventStreams {
     q.awaitTermination()
   }
 
+  /** Custom keyed state across micro-batches (KeyValueGroupedDataset
+    * .mapGroupsWithState): a running per-user event counter — the minimal
+    * form of the reference's resumable global counter
+    * (process_test_train_Images.py:31), keyed and fault-tolerant. Emits the
+    * updated running total for each user seen in the batch (Update mode). */
+  def runningUserCounts(events: DataFrame, userCol: String = "user_id"): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.select(col(userCol).cast("long")).as[Long]
+      .groupByKey(identity)
+      .mapGroupsWithState[Long, (Long, Long)](
+        org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout()) {
+        case (user, rows, state) =>
+          val total = state.getOption.getOrElse(0L) + rows.size
+          state.update(total)
+          (user, total)
+      }
+      .toDF(userCol, "n_events")
+  }
+
   /** foreachBatch sink with the micro-batch id exposed — `batchId` replaces
     * the reference's hand-maintained `global_batch_count` (:31); the
     * checkpoint makes it resume-correct. */

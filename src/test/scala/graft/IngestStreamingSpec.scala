@@ -67,6 +67,45 @@ class IngestStreamingSpec extends SparkSuite {
     assert(spark.table("dedup_stream").count() === 4) // 5 rows, 1 dup dropped
   }
 
+  test("mapGroupsWithState carries per-user counts across micro-batches (§2.11)") {
+    val dir = Files.createTempDirectory("graft_state").toString
+    Seq((7L, 1.0), (7L, 2.0), (9L, 3.0)).toDF("user_id", "value")
+      .coalesce(1).write.parquet(s"$dir/f1")
+    Seq((7L, 4.0), (9L, 5.0), (9L, 6.0)).toDF("user_id", "value")
+      .coalesce(1).write.parquet(s"$dir/f2")
+    // one input dir with both files, drained one file per micro-batch
+    val merged = s"$dir/all"
+    new java.io.File(merged).mkdirs()
+    for (f <- Seq("f1", "f2");
+         p <- new java.io.File(s"$dir/$f").listFiles() if p.getName.endsWith(".parquet"))
+      Files.copy(p.toPath, java.nio.file.Path.of(merged, s"$f-${p.getName}"))
+    val schema = spark.read.parquet(merged).schema
+    val stream = EventStreams.readFileStream(spark, merged, schema, maxFilesPerTrigger = 1)
+    EventStreams.drainToMemory(
+      EventStreams.runningUserCounts(stream), "user_counts", outputMode = "update")
+    // update mode appends one row per (user, batch); the max per user is the
+    // final running total, which must equal the overall total per user
+    val finals = spark.table("user_counts").groupBy("user_id")
+      .agg(max("n_events").as("n")).orderBy("user_id")
+      .as[(Long, Long)].collect()
+    assert(finals === Array((7L, 3L), (9L, 3L)))
+    // state actually crossed batches: two updates per user, intermediate < 3
+    val u7 = spark.table("user_counts").where(col("user_id") === 7)
+      .select("n_events").as[Long].collect().sorted
+    assert(u7.length === 2 && u7.last === 3L && u7.head < 3L)
+  }
+
+  test("CSV round-trip: write chunks, re-read typed, values survive (S1/K1)") {
+    val dir = Files.createTempDirectory("graft_csvrt").toString
+    val orig = spark.read.parquet(s"$sf/customer.parquet")
+      .select("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
+    graft.operators.Batching.writeCsvChunks(orig, dir, maxRecordsPerFile = 40)
+    assert(new java.io.File(dir).listFiles().count(_.getName.endsWith(".csv")) >= 4)
+    val back = graft.sources.Ingest.csvWithHeader(spark, dir, orig.schema)
+    assert(back.count() === orig.count())
+    assert(back.exceptAll(orig).count() === 0 && orig.exceptAll(back).count() === 0)
+  }
+
   test("foreachBatch exposes batchId as the resume counter (K5/§2.11)") {
     val (dir, schema) = writeEventsParquet()
     val stream = EventStreams.readFileStream(spark, dir, schema)
