@@ -148,13 +148,18 @@ object Dedup {
 
   /** n-gram Jaccard for all pairs within an id gap, computed off the
     * materialized hash table so each document is shingle-hashed once, not
-    * once per pair side. */
+    * once per pair side. The id-gap range condition is bucketed into an
+    * equi-join (floor(id/gap) + successor-bucket replication) — a bare
+    * range join plans as a nested loop over all |n|^2 pairs. */
   def jaccardWithinGap(df: DataFrame, idCol: String, textCol: String,
                        maxGap: Long): DataFrame = {
     val hs = shingleHashTable(df, idCol, textCol)
-    val a = hs.select(col(idCol).as("id_a"), col("hashes").as("h_a"))
-    val b = hs.select(col(idCol).as("id_b"), col("hashes").as("h_b"))
-    a.join(b, col("id_b") > col("id_a") && col("id_b") <= col("id_a") + maxGap)
+    val a = hs.select(col(idCol).as("id_a"), col("hashes").as("h_a"),
+      floor(col(idCol) / maxGap).as("bk"))
+    val b = hs.select(col(idCol).as("id_b"), col("hashes").as("h_b"),
+      explode(array(floor(col(idCol) / maxGap), floor(col(idCol) / maxGap) - 1)).as("bk"))
+    a.join(b, "bk")
+      .where(col("id_b") > col("id_a") && col("id_b") <= col("id_a") + maxGap)
       .select(col("id_a"), col("id_b"),
         round(expr("size(array_intersect(h_a, h_b)) / CAST(size(array_union(h_a, h_b)) AS DOUBLE)"), 6)
           .as("jaccard"))
