@@ -27,6 +27,12 @@ object GraftFunctions {
   def cosine_similarity(a: Column, b: Column): Column =
     col(CosineSimilarity(ex(a), ex(b)))
 
+  /** Fused 16-slot MinHash signature over word 3-shingles (see [[MinHashSig]]). */
+  def minhash_sig(s: Column, k: Int = 16): Column = col(MinHashSig(ex(s.cast("string")), k))
+
+  /** Fused 16-bit SimHash over token hashes (see [[SimHash]]). */
+  def simhash16(s: Column, k: Int = 16): Column = col(SimHash(ex(s.cast("string")), k))
+
   /** Register all graft expressions for SQL usage. Idempotent. */
   def registerAll(spark: SparkSession): Unit = {
     GraftSqlBridge.registerFunction(spark, "haversine_km",
@@ -34,5 +40,7 @@ object GraftFunctions {
     GraftSqlBridge.registerFunction(spark, "rolling_hash", es => RollingHash(es.head))
     GraftSqlBridge.registerFunction(spark, "cosine_similarity",
       es => CosineSimilarity(es(0), es(1)))
+    GraftSqlBridge.registerFunction(spark, "minhash_sig", es => MinHashSig(es.head))
+    GraftSqlBridge.registerFunction(spark, "simhash16", es => SimHash(es.head))
   }
 }

@@ -109,10 +109,13 @@ object Dedup {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
   }
 
-  /** MinHash signatures: (idCol, sig array<long>). */
+  /** MinHash signatures: (idCol, sig array<long>) via the fused native
+    * kernel ([[graft.functions.MinHashSig]] — one pass over the text, no
+    * intermediate shingle/hash arrays). Values equal the SQL composition
+    * `minhashFrag(shingle hashes)` exactly; min over the shingle multiset
+    * equals min over the distinct set, so no dedup is needed. */
   def minhashSignatures(df: DataFrame, idCol: String, textCol: String): DataFrame =
-    shingleHashTable(df, idCol, textCol)
-      .select(col(idCol), expr(minhashFrag("hashes")).as("sig"))
+    df.select(col(idCol), graft.functions.GraftFunctions.minhash_sig(col(textCol)).as("sig"))
 
   /** LSH candidate pairs: docs sharing at least one signature band, with the
     * estimated Jaccard = fraction of equal signature positions. Left id <
@@ -165,10 +168,10 @@ object Dedup {
           .as("jaccard"))
   }
 
-  /** SimHash values per document. */
+  /** SimHash values per document (fused native kernel,
+    * [[graft.functions.SimHash]]; equals `simhashFrag` over token hashes). */
   def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame =
-    tokenHashTable(df, idCol, textCol)
-      .select(col(idCol), expr(simhashFrag("hs")).as("simhash"))
+    df.select(col(idCol), graft.functions.GraftFunctions.simhash16(col(textCol)).as("simhash"))
 
   /** Hamming distance between two simhash values. */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))

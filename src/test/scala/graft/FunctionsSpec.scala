@@ -72,6 +72,32 @@ class FunctionsSpec extends SparkSuite {
     assert(math.abs(d.getDouble(0) - 1.0) < 1e-12)
   }
 
+  test("minhash_sig fused kernel == SQL HOF composition (oracle parity)") {
+    graft.functions.GraftFunctions.registerAll(spark)
+    val docs = spark.read.parquet(s"$sf/documents.parquet").limit(30)
+      .select(col("doc_id"), col("text"), split(col("text"), " ").as("_toks"))
+    val cmp = docs.select(
+      minhash_sig(col("text")).as("native"),
+      expr(Dedup.minhashFrag(Dedup.shingleHashesOverToks("_toks", "text"))).as("sqlform"))
+    assert(cmp.where(col("native") =!= col("sqlform")).count() === 0)
+    // short-text guard: <3 tokens hashes the whole text
+    val short = Seq("one two").toDF("text")
+      .select(minhash_sig(col("text")).as("s"), expr(
+        s"transform(sequence(0,15), i -> ((2*i+3)*${Dedup.hashFrag("text")} + (7*i+1)) % ${Dedup.Mod})").as("e"))
+    assert(short.where(col("s") =!= col("e")).count() === 0)
+  }
+
+  test("simhash fused kernel == SQL HOF composition (oracle parity)") {
+    graft.functions.GraftFunctions.registerAll(spark)
+    val docs = spark.read.parquet(s"$sf/documents.parquet").limit(30)
+      .select(col("doc_id"), col("text"),
+        expr(s"transform(split(text, ' '), s -> ${Dedup.hashFrag("s")})").as("hs"))
+    val cmp = docs.select(
+      simhash16(col("text")).as("native"),
+      expr(Dedup.simhashFrag("hs")).as("sqlform"))
+    assert(cmp.where(col("native") =!= col("sqlform")).count() === 0)
+  }
+
   test("expressions work from SQL after registerAll") {
     graft.functions.GraftFunctions.registerAll(spark)
     val r = spark.sql(
