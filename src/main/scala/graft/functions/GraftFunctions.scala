@@ -33,14 +33,35 @@ object GraftFunctions {
   /** Fused 16-bit SimHash over token hashes (see [[SimHash]]). */
   def simhash16(s: Column, k: Int = 16): Column = col(SimHash(ex(s.cast("string")), k))
 
-  /** Register all graft expressions for SQL usage. Idempotent. */
-  def registerAll(spark: SparkSession): Unit = {
-    GraftSqlBridge.registerFunction(spark, "haversine_km",
-      es => HaversineKm(es(0), es(1), es(2), es(3)))
-    GraftSqlBridge.registerFunction(spark, "rolling_hash", es => RollingHash(es.head))
-    GraftSqlBridge.registerFunction(spark, "cosine_similarity",
-      es => CosineSimilarity(es(0), es(1)))
-    GraftSqlBridge.registerFunction(spark, "minhash_sig", es => MinHashSig(es.head))
-    GraftSqlBridge.registerFunction(spark, "simhash16", es => SimHash(es.head))
+  // ---- SQL builders (shared with plans.GraftExtensions) -----------------
+  // SQL callers get the same input coercion as the Column wrappers: string/
+  // double casts up front (there is no ExpectsInputTypes in Spark 4 outside
+  // private[sql]), and an optional literal k for the sketch functions.
+
+  import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, Literal}
+  import org.apache.spark.sql.types.{DoubleType, StringType}
+
+  private def asString(e: Expression): Expression = Cast(e, StringType)
+  private def asDouble(e: Expression): Expression = Cast(e, DoubleType)
+  private def literalK(es: Seq[Expression], default: Int): Int = es match {
+    case Seq(_, Literal(v: Int, _)) => v
+    case Seq(_, Literal(v: Number, _)) => v.intValue()
+    case Seq(_) => default
+    case other => throw new IllegalArgumentException(
+      s"expected (text[, k literal]), got ${other.length} args")
   }
+
+  private[graft] val sqlBuilders: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "haversine_km" -> (es => HaversineKm(
+      asDouble(es(0)), asDouble(es(1)), asDouble(es(2)), asDouble(es(3)))),
+    "rolling_hash" -> (es => RollingHash(asString(es.head))),
+    "cosine_similarity" -> (es => CosineSimilarity(es(0), es(1))),
+    "minhash_sig" -> (es => MinHashSig(asString(es.head), literalK(es, 16))),
+    "simhash16" -> (es => SimHash(asString(es.head), literalK(es, 16))))
+
+  /** Register all graft expressions for SQL usage. Idempotent. */
+  def registerAll(spark: SparkSession): Unit =
+    sqlBuilders.foreach { case (name, b) =>
+      GraftSqlBridge.registerFunction(spark, name, b)
+    }
 }

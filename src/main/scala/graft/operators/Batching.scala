@@ -30,21 +30,31 @@ object Batching {
                 out: String = "cum"): DataFrame = {
     val sorted = df.orderBy(orderCols.map(col): _*)
     val vIdx = sorted.schema.fieldIndex(valueCol)
+    // Null values contribute 0 (window `sum` skips them; +0 keeps the same
+    // running totals without NPEs).
+    def v(r: Row): Long = if (r.isNullAt(vIdx)) 0L else r.getLong(vIdx)
     // Two passes over the sorted data (subtotals, then scan) — persist so
-    // the range-partitioned sort isn't recomputed; spillable at scale.
+    // the range-partitioned sort isn't recomputed (RangePartitioner sampling
+    // is not guaranteed deterministic across recomputes); the cache is
+    // released below once the result is materialized.
     val rdd = sorted.rdd
     rdd.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val partSums = rdd
       .mapPartitionsWithIndex { case (i, it) =>
-        Iterator.single(i -> it.foldLeft(0L)((acc, r) => acc + r.getLong(vIdx)))
+        Iterator.single(i -> it.foldLeft(0L)((acc, r) => acc + v(r)))
       }.collect().sortBy(_._1).map(_._2)
     val offsets = partSums.scanLeft(0L)(_ + _) // offsets(i) = sum of parts < i
     val withCum = rdd.mapPartitionsWithIndex { case (i, it) =>
       var running = offsets(i)
-      it.map { r => running += r.getLong(vIdx); Row.fromSeq(r.toSeq :+ running) }
+      it.map { r => running += v(r); Row.fromSeq(r.toSeq :+ running) }
     }
     val schema = StructType(sorted.schema.fields :+ StructField(out, LongType, nullable = false))
-    sorted.sparkSession.createDataFrame(withCum, schema)
+    // Eagerly materialize (breaks lineage), then free the sort cache — no
+    // orphaned MEMORY_AND_DISK copies pile up across calls.
+    val result = sorted.sparkSession.createDataFrame(withCum, schema)
+      .localCheckpoint(eager = true)
+    rdd.unpersist(blocking = false)
+    result
   }
 
   /** G1 — fixed-count micro-batch id over an explicit total order

@@ -46,25 +46,36 @@ object Media {
       .flatMap { case (path, bytes) => unzip(path, bytes) }
   }
 
-  /** JVM kernel: enumerate zip entries. Package-visible for tests. */
-  private[graft] def unzip(path: String, bytes: Array[Byte]): Iterator[ZipEntryRow] = {
-    val out = Vector.newBuilder[ZipEntryRow]
-    val zin = new ZipInputStream(new ByteArrayInputStream(bytes))
-    try {
-      var e = zin.getNextEntry
-      while (e != null) {
-        if (!e.isDirectory) {
+  /** JVM kernel: enumerate zip entries LAZILY — one decompressed entry in
+    * memory at a time, so a task's peak is compressed-archive + one entry,
+    * not compressed + whole decompressed archive (a multi-GB image zip
+    * would otherwise OOM the executor). Package-visible for tests. */
+  private[graft] def unzip(path: String, bytes: Array[Byte]): Iterator[ZipEntryRow] =
+    new Iterator[ZipEntryRow] {
+      private val zin = new ZipInputStream(new ByteArrayInputStream(bytes))
+      private var nextRow: ZipEntryRow = advance()
+
+      private def advance(): ZipEntryRow = {
+        var e = zin.getNextEntry
+        while (e != null && e.isDirectory) e = zin.getNextEntry
+        if (e == null) { zin.close(); null }
+        else {
           val buf = new ByteArrayOutputStream()
           val chunk = new Array[Byte](64 * 1024)
           var n = zin.read(chunk)
           while (n >= 0) { buf.write(chunk, 0, n); n = zin.read(chunk) }
-          out += ZipEntryRow(path, e.getName, buf.toByteArray)
+          ZipEntryRow(path, e.getName, buf.toByteArray)
         }
-        e = zin.getNextEntry
       }
-    } finally zin.close()
-    out.result().iterator
-  }
+
+      override def hasNext: Boolean = nextRow != null
+      override def next(): ZipEntryRow = {
+        val r = nextRow
+        if (r == null) throw new NoSuchElementException("exhausted zip")
+        nextRow = advance()
+        r
+      }
+    }
 
   /** P3 — the reference's image-extension filter (:42). */
   def filterImages(entries: Dataset[ZipEntryRow]): Dataset[ZipEntryRow] =
@@ -142,9 +153,12 @@ object Media {
               std: Array[Float] = Array(0.229f, 0.224f, 0.225f)): Dataset[ImageTensor] = {
     import tensors.sparkSession.implicits._
     tensors.map { t =>
+      // MurmurHash3 with the seed as the hash seed — a well-mixed bit per
+      // (entry, seed); a linear `hashCode*31+seed` reduces to XOR of two
+      // parity bits and gives only two effective seeds.
+      val coin = scala.util.hashing.MurmurHash3.stringHash(t.entry, seed.toInt)
       val flipped =
-        if (((t.entry.hashCode.toLong * 31 + seed) & 1L) == 0L)
-          t.copy(data = flipHorizontal(t.data, t.shape))
+        if ((coin & 1) == 0) t.copy(data = flipHorizontal(t.data, t.shape))
         else t
       flipped.copy(data = normalize(flipped.data, flipped.shape, mean, std))
     }

@@ -3,7 +3,8 @@ package graft.operators
 import graft.functions.GraftFunctions.cosine_similarity
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType, StringType}
+import org.apache.spark.sql.{DataFrame, Row}
 
 /** Approximate-nearest-neighbor search over an embedding column
   * (north-star extension).
@@ -32,27 +33,47 @@ object Similarity {
     * final window; identical to a global row_number over
     * (cosine DESC, neighbor_id ASC). */
   private def topKPerProbe(scored: DataFrame, k: Int): DataFrame = {
-    import scored.sparkSession.implicits._
     val slim = scored.select(col("probe_id"), col("neighbor_id"), col("cosine"))
-      .as[(Long, Long, Double)]
-    // heap dequeues its max; make the WORST candidate the max:
-    // worst = lower cosine, then larger neighbor id
-    implicit val worstFirst: Ordering[(Long, Long, Double)] =
-      Ordering.by[(Long, Long, Double), (Double, Long)] { case (_, n, c) => (-c, n) }
-    val pruned: Dataset[(Long, Long, Double)] = slim.mapPartitions { it =>
-      val heaps = scala.collection.mutable.Map
-        .empty[Long, scala.collection.mutable.PriorityQueue[(Long, Long, Double)]]
-      it.foreach { row =>
-        val h = heaps.getOrElseUpdate(row._1,
-          scala.collection.mutable.PriorityQueue.empty[(Long, Long, Double)])
-        h.enqueue(row)
-        if (h.size > k) h.dequeue() // drop current worst
-      }
-      heaps.valuesIterator.flatMap(_.iterator)
+    // Tie-break ordering on the neighbor id, matching the final window's
+    // `ORDER BY cosine DESC, neighbor_id ASC`. Only prune for id types we
+    // can order identically to Spark; anything exotic skips the local prune
+    // (still correct — the window is authoritative).
+    val idOrd: Option[Ordering[Any]] = slim.schema("neighbor_id").dataType match {
+      case LongType | IntegerType | ShortType | ByteType =>
+        Some(Ordering.by((a: Any) => a.asInstanceOf[Number].longValue))
+      case StringType =>
+        Some(Ordering.by((a: Any) => a.asInstanceOf[String]))
+      case _ => None
+    }
+    val pruned = idOrd match {
+      case None => slim
+      case Some(ord) =>
+        val cIdx = 2
+        // heap dequeues its max; make the WORST candidate the max:
+        // worst = lower cosine, then larger neighbor id
+        implicit val worstFirst: Ordering[Row] = new Ordering[Row] {
+          override def compare(x: Row, y: Row): Int = {
+            val c = java.lang.Double.compare(y.getDouble(cIdx), x.getDouble(cIdx))
+            if (c != 0) c else ord.compare(x.get(1), y.get(1))
+          }
+        }
+        val schema = slim.schema
+        val rdd = slim.rdd.mapPartitions { it =>
+          val heaps = scala.collection.mutable.Map
+            .empty[Any, scala.collection.mutable.PriorityQueue[Row]]
+          it.foreach { row =>
+            val h = heaps.getOrElseUpdate(row.get(0),
+              scala.collection.mutable.PriorityQueue.empty[Row])
+            h.enqueue(row)
+            if (h.size > k) h.dequeue() // drop current worst
+          }
+          heaps.valuesIterator.flatMap(_.iterator)
+        }
+        slim.sparkSession.createDataFrame(rdd, schema)
     }
     val w = Window.partitionBy(col("probe_id"))
       .orderBy(col("cosine").desc, col("neighbor_id"))
-    pruned.toDF("probe_id", "neighbor_id", "cosine")
+    pruned
       .withColumn("rank", row_number().over(w).cast("long"))
       .where(col("rank") <= k)
       .select(col("probe_id"), col("rank"), col("neighbor_id"),

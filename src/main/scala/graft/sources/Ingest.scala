@@ -18,17 +18,27 @@ object Ingest {
 
   /** S2 — typed, null-aware CSV scan: explicit schema (never inferSchema —
     * that is a second full pass over 100 TB), the reference's NA tokens,
-    * permissive mode with a corrupt-record column for the reference's
-    * per-row try/except skip semantics (process_test_train_Images.py:57-58).
+    * permissive mode. With `corruptColumn` set, malformed rows additionally
+    * land verbatim in that column (audit-able, routable) — the reference's
+    * per-row try/except skip with a paper trail
+    * (process_test_train_Images.py:57-58); without it they parse to nulls.
     */
   def csvTyped(spark: SparkSession, path: String, schema: StructType,
-               naTokens: Seq[String] = Schemas.osv5mNaTokens): DataFrame =
-    spark.read
-      .schema(schema)
+               naTokens: Seq[String] = Schemas.osv5mNaTokens,
+               corruptColumn: Option[String] = None): DataFrame = {
+    val readSchema = corruptColumn match {
+      case Some(c) => StructType(schema.fields :+
+        org.apache.spark.sql.types.StructField(c, org.apache.spark.sql.types.StringType))
+      case None => schema
+    }
+    val reader = spark.read
+      .schema(readSchema)
       .option("header", "true")
       .option("nullValue", naTokens.headOption.getOrElse(""))
       .option("mode", "PERMISSIVE")
-      .csv(path)
+    corruptColumn.foreach(c => reader.option("columnNameOfCorruptRecord", c))
+    reader.csv(path)
+  }
 
   /** S2 (post-scan NA normalization) — pandas `na_values` accepts a token
     * LIST; Spark CSV takes one `nullValue`, so remaining tokens are mapped

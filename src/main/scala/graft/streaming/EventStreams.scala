@@ -77,7 +77,9 @@ object EventStreams {
   def runningUserCounts(events: DataFrame, userCol: String = "user_id"): DataFrame = {
     val spark = events.sparkSession
     import spark.implicits._
-    events.select(col(userCol).cast("long")).as[Long]
+    // null keys would fail the non-nullable Long upcast and wedge the query
+    // (the failing file replays from the checkpoint forever) — drop them.
+    events.where(col(userCol).isNotNull).select(col(userCol).cast("long")).as[Long]
       .groupByKey(identity)
       .mapGroupsWithState[Long, (Long, Long)](
         org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout()) {

@@ -98,11 +98,27 @@ class FunctionsSpec extends SparkSuite {
     assert(cmp.where(col("native") =!= col("sqlform")).count() === 0)
   }
 
-  test("expressions work from SQL after registerAll") {
+  test("expressions work from SQL after registerAll, with input coercion") {
     graft.functions.GraftFunctions.registerAll(spark)
     val r = spark.sql(
-      "SELECT rolling_hash('ab') h, haversine_km(0D, 0D, 0D, 0D) km").head()
+      "SELECT rolling_hash('ab') h, haversine_km(0, 0, 0, 0) km, " +
+        "size(minhash_sig('a b c d', 8)) k8, size(minhash_sig('a b c d')) k16, " +
+        "rolling_hash(42) hn").head()
     assert(r.getLong(0) === 3105L)
-    assert(r.getDouble(1) === 0.0)
+    assert(r.getDouble(1) === 0.0) // int args coerced to double
+    assert(r.getInt(2) === 8)      // explicit k literal honored
+    assert(r.getInt(3) === 16)
+    assert(r.getLong(4) === graft.functions.RollingHash.kernel(
+      org.apache.spark.unsafe.types.UTF8String.fromString("42")))
+  }
+
+  test("augment coin mixes the seed (different-parity AND same-parity seeds diverge)") {
+    // regression: hashCode*31+seed collapsed to XOR of parity bits
+    val entries = (0 until 64).map(i => s"img_$i.png")
+    def coins(seed: Long) = entries.map(e =>
+      (scala.util.hashing.MurmurHash3.stringHash(e, seed.toInt) & 1) == 0)
+    assert(coins(7) !== coins(9))   // same parity, must still differ
+    assert(coins(7) !== coins(8))
+    assert(coins(7) === coins(7))   // deterministic
   }
 }

@@ -24,6 +24,22 @@ class IngestStreamingSpec extends SparkSuite {
     assert(df.where(col("id").isNull).count() === 1)   // malformed long -> null
   }
 
+  test("csvTyped corrupt-record column captures malformed rows verbatim (S2)") {
+    val dir = Files.createTempDirectory("graft_csv_bad").toString
+    Files.writeString(java.nio.file.Path.of(s"$dir/part.csv"),
+      "id,name,score\n1,alice,2.5\nnot_a_long,bob,9.9\n")
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("name", StringType),
+      StructField("score", DoubleType)))
+    // Spark disallows querying ONLY the corrupt column straight off a raw
+    // CSV scan — cache the parsed result first (documented Spark behavior).
+    val df = Ingest.csvTyped(spark, dir, schema, corruptColumn = Some("_bad")).cache()
+    assert(df.where(col("_bad").isNotNull).count() === 1)
+    assert(df.where(col("_bad").isNotNull).select("_bad").head().getString(0)
+      === "not_a_long,bob,9.9")
+    assert(df.where(col("_bad").isNull).count() === 1)
+  }
+
   test("filterSuffix keeps only matching paths (P3)") {
     val df = Seq("a/part_1.zip", "a/readme.md", "b/part_2.ZIPX", "c/x.zip").toDF("path")
     val out = Ingest.filterSuffix(df, "path", Seq(".zip")).as[String].collect().sorted
@@ -93,6 +109,17 @@ class IngestStreamingSpec extends SparkSuite {
     val u7 = spark.table("user_counts").where(col("user_id") === 7)
       .select("n_events").as[Long].collect().sorted
     assert(u7.length === 2 && u7.last === 3L && u7.head < 3L)
+  }
+
+  test("runningUserCounts survives null user ids (drops them)") {
+    val dir = Files.createTempDirectory("graft_nullkey").toString + "/data"
+    Seq(Some(7L), None, Some(7L)).toDF("user_id")
+      .coalesce(1).write.parquet(dir)
+    val stream = EventStreams.readFileStream(spark, dir,
+      spark.read.parquet(dir).schema)
+    EventStreams.drainToMemory(
+      EventStreams.runningUserCounts(stream), "nullkey_counts", outputMode = "update")
+    assert(spark.table("nullkey_counts").as[(Long, Long)].collect() === Array((7L, 2L)))
   }
 
   test("CSV round-trip: write chunks, re-read typed, values survive (S1/K1)") {
