@@ -375,6 +375,21 @@ object SparkEntry {
         .orderBy("part_bucket")
     }),
 
+    // Pure-SQL surface: temp views + registered native functions
+    // (haversine_km, rolling_hash) driven entirely through spark.sql.
+    "q36_sql_surface" -> ((s, dir) => {
+      graft.functions.GraftFunctions.registerAll(s)
+      Tables.load(s, dir, "supplier").createOrReplaceTempView("supplier_v")
+      s.sql(
+        """SELECT s_nationkey,
+          |count(*) AS n,
+          |round(avg(haversine_km(
+          |  CAST(s_suppkey % 90 AS DOUBLE), CAST(s_nationkey * 7 % 180 AS DOUBLE),
+          |  0.0D, 0.0D)), 4) AS mean_km,
+          |CAST(sum(rolling_hash(s_name) % 97) AS BIGINT) AS name_sig
+          |FROM supplier_v GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin)
+    }),
+
     // Token statistics per language bucket.
     "q33_token_stats" -> ((s, dir) => {
       val t = col("text")
@@ -708,6 +723,20 @@ object SparkEntry {
       """SELECT l_suppkey % 10 AS part_bucket, count(*) AS n FROM lineitem
         |WHERE l_suppkey % 10 NOT IN (3, 7)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q36_sql_surface" ->
+      s"""WITH d AS (SELECT s_nationkey, s_name,
+         |sin(((0.0 - CAST(s_suppkey % 90 AS DOUBLE)) * 0.017453292519943295) / 2) AS slat,
+         |sin(((0.0 - CAST(s_nationkey * 7 % 180 AS DOUBLE)) * 0.017453292519943295) / 2) AS slon,
+         |CAST(s_suppkey % 90 AS DOUBLE) AS lat1
+         |FROM supplier),
+         |km AS (SELECT s_nationkey, s_name,
+         |2.0 * 6371.0088 * asin(least(1.0, sqrt(slat * slat +
+         |cos(lat1 * 0.017453292519943295) * cos(0.0 * 0.017453292519943295) * slon * slon))) AS km
+         |FROM d)
+         |SELECT s_nationkey, count(*) AS n, round(avg(km), 4) AS mean_km,
+         |CAST(sum(${dhash("s_name")} % 97) AS BIGINT) AS name_sig
+         |FROM km GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin,
 
     "q33_token_stats" ->
       """SELECT lang, count(*) AS n_docs,
