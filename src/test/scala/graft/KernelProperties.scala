@@ -1,0 +1,83 @@
+package graft
+
+import graft.functions.{HaversineKm, RollingHash, TextSketches}
+import graft.operators.Media
+import org.apache.spark.unsafe.types.UTF8String
+import org.scalacheck.{Gen, Prop, Properties}
+
+/** Property-based checks (SURVEY §5.2.3) over the pure JVM kernels —
+  * metric axioms, hash-fold equivalence, involution/inverse laws. */
+object KernelProperties extends Properties("graft.kernels") {
+  import Prop.forAll
+
+  private val lat = Gen.choose(-90.0, 90.0)
+  private val lon = Gen.choose(-180.0, 180.0)
+
+  property("haversine.nonNegative") = forAll(lat, lon, lat, lon) { (a, b, c, d) =>
+    HaversineKm.kernel(a, b, c, d) >= 0.0
+  }
+
+  property("haversine.symmetric") = forAll(lat, lon, lat, lon) { (a, b, c, d) =>
+    HaversineKm.kernel(a, b, c, d) == HaversineKm.kernel(c, d, a, b)
+  }
+
+  property("haversine.identityIsZero") = forAll(lat, lon) { (a, b) =>
+    HaversineKm.kernel(a, b, a, b) == 0.0
+  }
+
+  property("haversine.boundedByHalfCircumference") = forAll(lat, lon, lat, lon) {
+    (a, b, c, d) =>
+      HaversineKm.kernel(a, b, c, d) <= math.Pi * HaversineKm.EarthRadiusKm + 1e-6
+  }
+
+  private val asciiText: Gen[String] =
+    Gen.listOf(Gen.frequency(
+      8 -> Gen.alphaNumChar, 2 -> Gen.const(' '))).map(_.mkString)
+
+  property("rollingHash.matchesReferenceFold") = forAll(asciiText) { s =>
+    val expected = s.foldLeft(0L)((acc, c) => (acc * 31 + c.toInt) % RollingHash.Mod)
+    RollingHash.kernel(UTF8String.fromString(s)) == expected
+  }
+
+  property("rollingHash.inRange") = forAll(asciiText) { s =>
+    val h = RollingHash.kernel(UTF8String.fromString(s))
+    h >= 0 && h < RollingHash.Mod
+  }
+
+  property("minhashSig.lengthAndRange") = forAll(asciiText) { s =>
+    val sig = TextSketches.minhashSig(UTF8String.fromString(s), 16).toLongArray()
+    sig.length == 16 && sig.forall(v => v >= 0 && v < TextSketches.Mod)
+  }
+
+  property("minhashSig.identicalTextsShareSig") = forAll(asciiText) { s =>
+    TextSketches.minhashSig(UTF8String.fromString(s), 16).toLongArray().toSeq ==
+      TextSketches.minhashSig(UTF8String.fromString(s), 16).toLongArray().toSeq
+  }
+
+  property("simhash.withinKBits") = forAll(asciiText, Gen.choose(1, 32)) { (s, k) =>
+    val h = TextSketches.simhash(UTF8String.fromString(s), k)
+    h >= 0 && h < (1L << k)
+  }
+
+  private val tensorGen: Gen[(Array[Float], Array[Int])] = for {
+    h <- Gen.choose(1, 8)
+    w <- Gen.choose(1, 8)
+    data <- Gen.listOfN(3 * h * w, Gen.choose(0f, 1f))
+  } yield (data.toArray, Array(3, h, w))
+
+  property("flipHorizontal.involutive") = forAll(tensorGen) { case (data, shape) =>
+    Media.flipHorizontal(Media.flipHorizontal(data, shape), shape).toSeq == data.toSeq
+  }
+
+  property("normalize.inverse") = forAll(tensorGen) { case (data, shape) =>
+    val mean = Array(0.4f, 0.5f, 0.6f)
+    val std = Array(0.2f, 0.25f, 0.3f)
+    val n = Media.normalize(data, shape, mean, std)
+    // invert: x = n*std + mean per channel
+    val Array(_, h, w) = shape
+    (0 until data.length).forall { i =>
+      val ch = i / (h * w)
+      math.abs(n(i) * std(ch) + mean(ch) - data(i)) < 1e-5
+    }
+  }
+}
