@@ -375,6 +375,14 @@ object SparkEntry {
         .orderBy("part_bucket")
     }),
 
+    // Hyperplane-LSH cosine bucketing (the ANN candidate generator).
+    "q37_lsh_cosine" -> ((s, dir) => {
+      Similarity.hyperplaneBuckets(Tables.embeddings(s, dir))
+        .groupBy("bucket").agg(count(lit(1)).as("n"),
+          min("vec_id").as("min_id"), max("vec_id").as("max_id"))
+        .orderBy("bucket")
+    }),
+
     // Pure-SQL surface: temp views + registered native functions
     // (haversine_km, rolling_hash) driven entirely through spark.sql.
     "q36_sql_surface" -> ((s, dir) => {
@@ -723,6 +731,18 @@ object SparkEntry {
       """SELECT l_suppkey % 10 AS part_bucket, count(*) AS n FROM lineitem
         |WHERE l_suppkey % 10 NOT IN (3, 7)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q37_lsh_cosine" -> {
+      val dot = (p: Int) =>
+        s"list_dot_product(CAST(embedding AS DOUBLE[]), " +
+          s"list_transform(range(1, len(embedding) + 1), d -> CAST((d * 31 + $p * 17) % 3 - 1 AS DOUBLE)))"
+      val bits = (0 until 8)
+        .map(p => s"CASE WHEN ${dot(p)} >= 0 THEN CAST(${1L << p} AS BIGINT) ELSE CAST(0 AS BIGINT) END")
+        .mkString(" + ")
+      s"""SELECT $bits AS bucket, count(*) AS n,
+         |min(vec_id) AS min_id, max(vec_id) AS max_id
+         |FROM embeddings GROUP BY 1 ORDER BY 1""".stripMargin
+    },
 
     "q36_sql_surface" ->
       s"""WITH d AS (SELECT s_nationkey, s_name,

@@ -120,6 +120,29 @@ object Similarity {
     topKPerProbe(scored, k)
   }
 
+  /** Random-hyperplane LSH bucketing for cosine similarity (the classic
+    * SimHash-for-vectors scheme): `nPlanes` pseudo-random {-1,0,+1}
+    * hyperplanes, bucket = bit vector of dot-product signs. Vectors in the
+    * same bucket are near-neighbor candidates; expected collision rate for
+    * cosine theta is (1 - theta/pi)^nPlanes.
+    *
+    * Planes are generated from the deterministic integer pattern
+    * `((dim*31 + plane*17) mod 3) - 1` — arithmetic reproducible in any
+    * engine (the DuckDB oracle rebuilds the same planes), unlike an RNG.
+    * At 100 TB this is the shuffle-free candidate generator: one pass to
+    * bucket, then a groupBy on (bucket) whose shuffle carries ids only. */
+  def hyperplaneBuckets(corpus: DataFrame, nPlanes: Int = 8,
+                        idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val dot = (p: Int) =>
+      s"aggregate(zip_with($vecCol, transform(sequence(1, size($vecCol)), " +
+        s"d -> CAST((d * 31 + $p * 17) % 3 - 1 AS DOUBLE)), " +
+        s"(x, y) -> CAST(x AS DOUBLE) * y), 0D, (acc, v) -> acc + v)"
+    val bits = (0 until nPlanes)
+      .map(p => s"IF(${dot(p)} >= 0D, CAST(${1L << p} AS BIGINT), CAST(0 AS BIGINT))")
+      .mkString(" + ")
+    corpus.select(col(idCol), expr(bits).as("bucket"))
+  }
+
   /** Embedding near-duplicate pairs above a cosine threshold, within
     * id-window `maxGap` (bounded candidate generation for the oracle;
     * unbounded pairing at scale goes through [[ivfTopK]] cells instead).
