@@ -375,6 +375,17 @@ object SparkEntry {
         .orderBy("part_bucket")
     }),
 
+    // Composed pipeline (SURVEY §7.2 shape): dirty ingest -> ffill/bfill ->
+    // global z-score (broadcast fit) -> event-time window aggregate.
+    "q38_pipeline" -> ((s, dir) => {
+      val base = dirtyEvents(s, dir).select("event_id", "user_id", "ts", "v")
+      val filled = Clean.fillForwardBackward(base, Seq("v"), Seq("ts", "event_id"), Seq("user_id"))
+      val scaled = Encode.standardScale(filled, Seq("v"))
+      scaled.groupBy(date_trunc("hour", col("ts")).as("hour"))
+        .agg(count(lit(1)).as("n"), round(avg("v_z"), 6).as("mean_z"))
+        .orderBy("hour")
+    }),
+
     // Hyperplane-LSH cosine bucketing (the ANN candidate generator).
     "q37_lsh_cosine" -> ((s, dir) => {
       Similarity.hyperplaneBuckets(Tables.embeddings(s, dir))
@@ -731,6 +742,18 @@ object SparkEntry {
       """SELECT l_suppkey % 10 AS part_bucket, count(*) AS n FROM lineitem
         |WHERE l_suppkey % 10 NOT IN (3, 7)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q38_pipeline" ->
+      """WITH base AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts,
+        |CASE WHEN event_type IN ('click','view') THEN NULL ELSE value END AS v FROM events),
+        |f AS (SELECT event_id, user_id, ts, coalesce(
+        |last_value(v IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        |first_value(v IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)) AS v
+        |FROM base),
+        |z AS (SELECT ts, (v - avg(v) OVER ()) / stddev_pop(v) OVER () AS v_z FROM f)
+        |SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour,
+        |count(*) AS n, round(avg(v_z), 6) AS mean_z
+        |FROM z GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q37_lsh_cosine" -> {
       val dot = (p: Int) =>
