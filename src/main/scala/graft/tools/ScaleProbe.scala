@@ -1,0 +1,73 @@
+package graft.tools
+
+import graft.meta.Tables
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Scale probes: decimal-vs-integer-cents aggregation cost, and linear-
+  * scaling behavior on a 16x blowup of lineitem (dev aid). */
+object ScaleProbe {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    def time[T](name: String)(f: => T): T = {
+      val t0 = System.nanoTime(); val r = f
+      println(f"[probe] $name%-34s ${(System.nanoTime() - t0) / 1e9}%.2f s"); r
+    }
+    def noop(df: org.apache.spark.sql.DataFrame): Unit =
+      df.write.format("noop").mode("overwrite").save()
+
+    val li = Tables.lineitem(spark, "/root/testdata/sf0.1")
+    noop(li.groupBy("l_returnflag").count()) // warmup
+
+    time("agg decimal sums (q01 form)")(noop(
+      li.groupBy("l_returnflag", "l_linestatus").agg(
+        sum(col("l_quantity").cast("decimal(18,2)")).as("a"),
+        sum(col("l_extendedprice").cast("decimal(18,2)")).as("b"),
+        sum(col("l_extendedprice").cast("decimal(18,2)") *
+          (lit(1).cast("decimal(18,2)") - col("l_discount").cast("decimal(18,2)"))).as("c"))))
+    time("agg integer-cents sums")(noop(
+      li.groupBy("l_returnflag", "l_linestatus").agg(
+        (sum(round(col("l_quantity") * 100, 0).cast("long")) / 100.0).as("a"),
+        (sum(round(col("l_extendedprice") * 100, 0).cast("long")) / 100.0).as("b"),
+        (sum(round(col("l_extendedprice") * 100, 0).cast("long") *
+          (lit(100L) - round(col("l_discount") * 100, 0).cast("long"))) / 10000.0).as("c"))))
+    time("agg plain double sums")(noop(
+      li.groupBy("l_returnflag", "l_linestatus").agg(
+        sum("l_quantity"), sum("l_extendedprice"))))
+
+    // 16x blowup
+    val big = (0 until 16).map(i => li.withColumn("l_orderkey",
+      col("l_orderkey") + lit(i.toLong * 10000000L))).reduce(_ union _)
+    val bigPath = "/tmp/graft_big_lineitem"
+    time("write 16x lineitem (~9.6M rows)")(
+      big.write.mode("overwrite").parquet(bigPath))
+    val bl = spark.read.parquet(bigPath)
+    println(s"[probe] big rows = ${bl.count()}")
+
+    time("q01-shape agg @ sf0.1")(noop(
+      li.groupBy("l_returnflag", "l_linestatus").agg(
+        sum(col("l_quantity").cast("decimal(18,2)")), avg("l_extendedprice"), count(lit(1)))))
+    time("q01-shape agg @ 16x")(noop(
+      bl.groupBy("l_returnflag", "l_linestatus").agg(
+        sum(col("l_quantity").cast("decimal(18,2)")), avg("l_extendedprice"), count(lit(1)))))
+    time("join+agg @ sf0.1")(noop(
+      li.join(Tables.orders(spark, "/root/testdata/sf0.1"), col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_orderpriority").count()))
+    time("window dedup @ 16x")(noop(
+      graft.operators.Dedup.dedupKeepFirst(bl, Seq("l_orderkey"), Seq("l_linenumber"))))
+    time("haversine geo @ 16x")(noop {
+      val pts = bl.select(col("l_returnflag"),
+        ((col("l_partkey") % 180).cast("double") - 90.0 + col("l_discount")).as("lat1"),
+        ((col("l_suppkey") % 360).cast("double") - 180.0 + col("l_tax")).as("lon1"),
+        ((col("l_orderkey") % 180).cast("double") - 90.0).as("lat2"),
+        (((col("l_orderkey") * 7) % 360).cast("double") - 180.0).as("lon2"))
+      graft.operators.Geo.errorReport(pts, Seq("l_returnflag"),
+        col("lat1"), col("lon1"), col("lat2"), col("lon2"))
+    })
+    spark.stop()
+  }
+}
