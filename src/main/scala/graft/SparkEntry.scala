@@ -13,8 +13,9 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
   *
   * Parity rules used throughout (SURVEY §7.4.3):
   *  - every query ends in a deterministic ORDER BY;
-  *  - aggregates over doubles are rounded (or routed through DECIMAL) on
-  *    BOTH sides so cross-engine float summation order can't flip a hash;
+  *  - aggregates over doubles are rounded, or routed through exact
+  *    integer-cents sums (see [[cents]]), on BOTH sides so cross-engine
+  *    float summation order can't flip a hash;
   *  - integer-ish outputs are pinned to BIGINT/INTEGER on both sides;
   *  - `events.ts` is nanosecond-precision parquet: the oracle casts it to
   *    microsecond TIMESTAMP to match Spark's reader.

@@ -94,6 +94,21 @@ class MediaSpec extends SparkSuite {
     a1.zip(a2).foreach { case (x, y) => assert(x.data === y.data) }
   }
 
+  test("listFiles returns sorted (path, length, mtime) rows (S8/O1)") {
+    val listed = Ingest.listFiles(spark, zipDir, "*.zip").collect()
+    assert(listed.length === 1)
+    assert(listed(0).getString(0).endsWith("part_001.zip"))
+    assert(listed(0).getLong(1) > 0)
+  }
+
+  test("roundTrip write-reload verification returns the persisted frame (§5.1)") {
+    val dir = Files.createTempDirectory("graft_rt").toString + "/rt"
+    val df = spark.range(0, 100).toDF("n")
+    val back = graft.operators.Audit.roundTrip(spark, df, dir)
+    assert(back.count() === 100)
+    assert(back.schema.fieldNames === Array("n"))
+  }
+
   test("deleteConsumed removes ingested archives (K5)") {
     val dir = Files.createTempDirectory("graft_gc").toString
     val f = new java.io.File(s"$dir/done.zip")
