@@ -33,6 +33,11 @@ object GraftFunctions {
   /** Fused 16-bit SimHash over token hashes (see [[SimHash]]). */
   def simhash16(s: Column, k: Int = 16): Column = col(SimHash(ex(s.cast("string")), k))
 
+  /** Element-wise mean of an embedding column — single-pass, map-side
+    * combinable centroid aggregate (see [[VectorAvg]]). */
+  def vector_avg(v: Column): Column =
+    col(VectorAvg(ex(v)).toAggregateExpression())
+
   // ---- SQL builders (shared with plans.GraftExtensions) -----------------
   // SQL callers get the same input coercion as the Column wrappers: string/
   // double casts up front (there is no ExpectsInputTypes in Spark 4 outside

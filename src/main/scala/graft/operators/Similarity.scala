@@ -120,6 +120,24 @@ object Similarity {
     topKPerProbe(scored, k)
   }
 
+  /** Lloyd-iteration centroid training for IVF (k-means on cosine
+    * assignment). Seeds are the first k vectors by id (deterministic).
+    * Each iteration is: one broadcast-assign pass over the corpus + one
+    * [[graft.functions.VectorAvg]] hash aggregate — map-side combinable, so
+    * shuffle bytes per iteration are |cells| x dims, independent of corpus
+    * size. Cells that lose all members drop out (k may shrink). */
+  def trainCentroids(corpus: DataFrame, k: Int, iterations: Int,
+                     idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    var cents = corpus.orderBy(col(idCol)).limit(k).select(col(idCol), col(vecCol))
+    for (_ <- 0 until iterations) {
+      val assigned = assignCells(corpus, cents, idCol, vecCol)
+      cents = assigned.groupBy(col("cell_id"))
+        .agg(graft.functions.GraftFunctions.vector_avg(col(vecCol)).as(vecCol))
+        .select(col("cell_id").as(idCol), col(vecCol))
+    }
+    cents
+  }
+
   /** Random-hyperplane LSH bucketing for cosine similarity (the classic
     * SimHash-for-vectors scheme): `nPlanes` pseudo-random {-1,0,+1}
     * hyperplanes, bucket = bit vector of dot-product signs. Vectors in the

@@ -86,6 +86,45 @@ class DedupSimilaritySpec extends SparkSuite {
     assert(out(0)._3 === 11L) // same-cell nearest, not the cross-cell one
   }
 
+  test("vector_avg aggregates element-wise means (custom TypedImperativeAggregate)") {
+    val vecs = Seq((0, Array(1f, 2f)), (0, Array(3f, 4f)), (1, Array(10f, 20f)))
+      .toDF("g", "v")
+    val out = vecs.groupBy("g")
+      .agg(graft.functions.GraftFunctions.vector_avg(col("v")).as("c"))
+      .orderBy("g").as[(Int, Seq[Double])].collect()
+    assert(out(0)._2 === Seq(2.0, 3.0))
+    assert(out(1)._2 === Seq(10.0, 20.0))
+    // null vectors are skipped
+    val withNull = vecs.union(Seq((1, null.asInstanceOf[Array[Float]])).toDF("g", "v"))
+    val n = withNull.where(col("g") === 1).groupBy("g")
+      .agg(graft.functions.GraftFunctions.vector_avg(col("v")).as("c"))
+      .as[(Int, Seq[Double])].head()
+    assert(n._2 === Seq(10.0, 20.0))
+  }
+
+  test("trainCentroids converges to the two cluster directions (IVF training)") {
+    val cluster = (base: Array[Float], ids: Range) =>
+      ids.map(i => (i.toLong, base.zipWithIndex.map { case (v, d) =>
+        v + 0.01f * ((i + d) % 3) }))
+    val vecs = (cluster(Array(1f, 0f), 0 until 20) ++
+      cluster(Array(0f, 1f), 20 until 40)).toDF("vec_id", "embedding")
+    val cents = Similarity.trainCentroids(vecs, k = 2, iterations = 3)
+      .as[(Long, Seq[Double])].collect().sortBy(_._1)
+    assert(cents.length === 2)
+    // one centroid dominated by dim0, the other by dim1
+    val byDim = cents.map(_._2).sortBy(v => -v.head)
+    assert(byDim(0).head > 0.9 && byDim(0)(1) < 0.1)
+    assert(byDim(1).head < 0.1 && byDim(1)(1) > 0.9)
+    // assignment with trained centroids separates the clusters
+    val assigned = Similarity.assignCells(vecs,
+      Similarity.trainCentroids(vecs, 2, 3))
+    val cellsPerCluster = assigned
+      .withColumn("cluster", when(col("vec_id") < 20, 0).otherwise(1))
+      .groupBy("cluster").agg(countDistinct("cell_id").as("nc"))
+      .as[(Int, Long)].collect().toMap
+    assert(cellsPerCluster === Map(0 -> 1L, 1 -> 1L))
+  }
+
   test("nearDupPairs respects threshold and id-gap bounds") {
     val vecs = Seq(
       (0L, Array(1f, 0f)), (1L, Array(0.999f, 0.04f)), (5L, Array(1f, 0.01f)),
