@@ -40,8 +40,10 @@ object SparkEntry {
 
   /** Exact money arithmetic without decimal overhead: values are 2-dec
     * quantized, so `round(x*100)` as a long is lossless; long sums are
-    * exact and ~2.5x faster than decimal aggregation, and the final
-    * integer/100.0 division is bit-identical across engines. */
+    * exact, and the final integer-to-double conversion + /100.0 division is
+    * bit-identical across engines. Row-level work stays in long arithmetic;
+    * only the SUM widens to decimal so group totals can never wrap Long at
+    * scale (a long sum overflows silently around TPC-H SF ~5600). */
   private def cents(c: Column): Column = round(c * 100, 0).cast("long")
 
   // ---- query catalog ----------------------------------------------------
@@ -53,10 +55,10 @@ object SparkEntry {
       Tables.lineitem(s, dir)
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-          (sum(cents(col("l_quantity"))) / 100.0).as("sum_qty"),
-          (sum(cents(col("l_extendedprice"))) / 100.0).as("sum_base_price"),
-          (sum(cents(col("l_extendedprice")) * (lit(100L) - cents(col("l_discount"))))
-            / 10000.0).as("sum_disc_price"),
+          (sum(cents(col("l_quantity")).cast("decimal(28,0)")).cast("double") / 100.0).as("sum_qty"),
+          (sum(cents(col("l_extendedprice")).cast("decimal(28,0)")).cast("double") / 100.0).as("sum_base_price"),
+          (sum((cents(col("l_extendedprice")) * (lit(100L) - cents(col("l_discount"))))
+            .cast("decimal(38,0)")).cast("double") / 10000.0).as("sum_disc_price"),
           round(avg("l_quantity"), 6).as("avg_qty"),
           round(avg("l_extendedprice"), 6).as("avg_price"),
           round(avg("l_discount"), 6).as("avg_disc"),
@@ -158,7 +160,7 @@ object SparkEntry {
         .join(broadcast(c), col("o_custkey") === col("c_custkey"))
         .groupBy("o_orderpriority")
         .agg(count(lit(1)).as("n_lines"),
-          (sum(cents(col("l_extendedprice"))) / 100.0).as("revenue"))
+          (sum(cents(col("l_extendedprice")).cast("decimal(28,0)")).cast("double") / 100.0).as("revenue"))
         .orderBy("o_orderpriority")
     }),
 
@@ -198,7 +200,7 @@ object SparkEntry {
         Seq("l_orderkey", "l_linenumber"), 200)
         .groupBy("batch_id")
         .agg(count(lit(1)).as("n"),
-          (sum(cents(col("l_extendedprice"))) / 100.0).as("batch_price"))
+          (sum(cents(col("l_extendedprice")).cast("decimal(28,0)")).cast("double") / 100.0).as("batch_price"))
         .orderBy("batch_id")
     }),
 
@@ -225,7 +227,7 @@ object SparkEntry {
       Tables.events(s, dir)
         .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
         .agg(count(lit(1)).as("n"),
-          (sum(cents(col("value"))) / 100.0).as("sum_value"))
+          (sum(cents(col("value")).cast("decimal(28,0)")).cast("double") / 100.0).as("sum_value"))
         .orderBy("hour", "event_type")
     }),
 

@@ -49,11 +49,16 @@ object GraftFunctions {
   private def asString(e: Expression): Expression = Cast(e, StringType)
   private def asDouble(e: Expression): Expression = Cast(e, DoubleType)
   private def literalK(es: Seq[Expression], default: Int): Int = es match {
-    case Seq(_, Literal(v: Int, _)) => v
-    case Seq(_, Literal(v: Number, _)) => v.intValue()
     case Seq(_) => default
+    case Seq(_, k) if k.foldable => k.eval() match {
+      case n: Number => n.intValue()
+      case other => throw new IllegalArgumentException(
+        s"k must be an integer constant, got $other")
+    }
+    case Seq(_, k) => throw new IllegalArgumentException(
+      s"k must be a constant expression, got ${k.sql}")
     case other => throw new IllegalArgumentException(
-      s"expected (text[, k literal]), got ${other.length} args")
+      s"expected (text[, k constant]), got ${other.length} args")
   }
 
   private[graft] val sqlBuilders: Seq[(String, Seq[Expression] => Expression)] = Seq(

@@ -25,7 +25,8 @@ case class VectorAvg(
     inputAggBufferOffset: Int = 0)
   extends TypedImperativeAggregate[VectorAvg.Buffer] {
 
-  private def childIsFloat: Boolean = child.dataType match {
+  // Resolved once, not per element in the update hot loop.
+  @transient private lazy val childIsFloat: Boolean = child.dataType match {
     case ArrayType(FloatType, _) => true
     case _ => false
   }
@@ -34,6 +35,15 @@ case class VectorAvg(
   override def nullable: Boolean = true
   override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
   override def prettyName: String = "vector_avg"
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(FloatType, _) | ArrayType(DoubleType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"vector_avg expects array<float>/array<double>, got ${other.catalogString}")
+    }
 
   override def createAggregationBuffer(): VectorAvg.Buffer = new VectorAvg.Buffer(null, 0L)
 

@@ -50,7 +50,10 @@ object Batching {
     }
     val schema = StructType(sorted.schema.fields :+ StructField(out, LongType, nullable = false))
     // Eagerly materialize (breaks lineage), then free the sort cache — no
-    // orphaned MEMORY_AND_DISK copies pile up across calls.
+    // orphaned MEMORY_AND_DISK copies pile up across calls. Trade-off:
+    // localCheckpoint blocks are not recomputable after executor loss, so
+    // on preemptible/dynamic-allocation clusters prefer reliable
+    // checkpointing (spark.checkpoint.dir) or re-derive from source.
     val result = sorted.sparkSession.createDataFrame(withCum, schema)
       .localCheckpoint(eager = true)
     rdd.unpersist(blocking = false)

@@ -53,20 +53,26 @@ object Media {
   private[graft] def unzip(path: String, bytes: Array[Byte]): Iterator[ZipEntryRow] =
     new Iterator[ZipEntryRow] {
       private val zin = new ZipInputStream(new ByteArrayInputStream(bytes))
+      // The stream owns a native Inflater; guarantee release even if the
+      // consumer abandons the iterator (limit/take) or an entry is corrupt.
+      Option(org.apache.spark.TaskContext.get())
+        .foreach(_.addTaskCompletionListener[Unit](_ => zin.close()))
+
       private var nextRow: ZipEntryRow = advance()
 
-      private def advance(): ZipEntryRow = {
-        var e = zin.getNextEntry
-        while (e != null && e.isDirectory) e = zin.getNextEntry
-        if (e == null) { zin.close(); null }
-        else {
-          val buf = new ByteArrayOutputStream()
-          val chunk = new Array[Byte](64 * 1024)
-          var n = zin.read(chunk)
-          while (n >= 0) { buf.write(chunk, 0, n); n = zin.read(chunk) }
-          ZipEntryRow(path, e.getName, buf.toByteArray)
-        }
-      }
+      private def advance(): ZipEntryRow =
+        try {
+          var e = zin.getNextEntry
+          while (e != null && e.isDirectory) e = zin.getNextEntry
+          if (e == null) { zin.close(); null }
+          else {
+            val buf = new ByteArrayOutputStream()
+            val chunk = new Array[Byte](64 * 1024)
+            var n = zin.read(chunk)
+            while (n >= 0) { buf.write(chunk, 0, n); n = zin.read(chunk) }
+            ZipEntryRow(path, e.getName, buf.toByteArray)
+          }
+        } catch { case t: Throwable => zin.close(); throw t }
 
       override def hasNext: Boolean = nextRow != null
       override def next(): ZipEntryRow = {
@@ -156,7 +162,8 @@ object Media {
       // MurmurHash3 with the seed as the hash seed — a well-mixed bit per
       // (entry, seed); a linear `hashCode*31+seed` reduces to XOR of two
       // parity bits and gives only two effective seeds.
-      val coin = scala.util.hashing.MurmurHash3.stringHash(t.entry, seed.toInt)
+      val coin = scala.util.hashing.MurmurHash3.stringHash(
+        t.entry, (seed ^ (seed >>> 32)).toInt) // fold in the high seed bits
       val flipped =
         if ((coin & 1) == 0) t.copy(data = flipHorizontal(t.data, t.shape))
         else t

@@ -38,11 +38,13 @@ object Similarity {
     // `ORDER BY cosine DESC, neighbor_id ASC`. Only prune for id types we
     // can order identically to Spark; anything exotic skips the local prune
     // (still correct — the window is authoritative).
+    // Integral ids only: JVM String ordering (UTF-16) disagrees with
+    // Spark's UTF8String binary ordering for supplementary characters, so a
+    // string-keyed prune could evict the row the window would keep on a
+    // cosine tie. Non-integral ids skip the prune (window still correct).
     val idOrd: Option[Ordering[Any]] = slim.schema("neighbor_id").dataType match {
       case LongType | IntegerType | ShortType | ByteType =>
         Some(Ordering.by((a: Any) => a.asInstanceOf[Number].longValue))
-      case StringType =>
-        Some(Ordering.by((a: Any) => a.asInstanceOf[String]))
       case _ => None
     }
     val pruned = idOrd match {

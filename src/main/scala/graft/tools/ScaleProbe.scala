@@ -35,6 +35,12 @@ object ScaleProbe {
         (sum(round(col("l_extendedprice") * 100, 0).cast("long")) / 100.0).as("b"),
         (sum(round(col("l_extendedprice") * 100, 0).cast("long") *
           (lit(100L) - round(col("l_discount") * 100, 0).cast("long"))) / 10000.0).as("c"))))
+    time("agg decimal-sum-over-cents")(noop(
+      li.groupBy("l_returnflag", "l_linestatus").agg(
+        (sum(round(col("l_quantity") * 100, 0).cast("long").cast("decimal(28,0)")).cast("double") / 100.0).as("a"),
+        (sum(round(col("l_extendedprice") * 100, 0).cast("long").cast("decimal(28,0)")).cast("double") / 100.0).as("b"),
+        (sum((round(col("l_extendedprice") * 100, 0).cast("long") *
+          (lit(100L) - round(col("l_discount") * 100, 0).cast("long"))).cast("decimal(38,0)")).cast("double") / 10000.0).as("c"))))
     time("agg plain double sums")(noop(
       li.groupBy("l_returnflag", "l_linestatus").agg(
         sum("l_quantity"), sum("l_extendedprice"))))
