@@ -122,6 +122,38 @@ class IngestStreamingSpec extends SparkSuite {
     assert(spark.table("nullkey_counts").as[(Long, Long)].collect() === Array((7L, 2L)))
   }
 
+  test("flatMapGroupsWithState sessionizer closes sessions on gaps (§2.11)") {
+    val root = Files.createTempDirectory("graft_sess").toString
+    val dir = s"$root/in"
+    new java.io.File(dir).mkdirs()
+    // file 1: user 7 has two sessions separated by a 80-min gap
+    Seq((7L, "2024-01-01 00:00:00"), (7L, "2024-01-01 00:10:00"),
+      (7L, "2024-01-01 01:30:00"))
+      .toDF("user_id", "ts_s").withColumn("ts", col("ts_s").cast("timestamp"))
+      .drop("ts_s").coalesce(1).write.parquet(s"$root/f1")
+    // file 2: a much later event pushes the watermark past user 7's horizon
+    Seq((9L, "2024-01-01 06:00:00"))
+      .toDF("user_id", "ts_s").withColumn("ts", col("ts_s").cast("timestamp"))
+      .drop("ts_s").coalesce(1).write.parquet(s"$root/f2")
+    for (f <- Seq("f1", "f2");
+         p <- new java.io.File(s"$root/$f").listFiles() if p.getName.endsWith(".parquet"))
+      Files.copy(p.toPath, java.nio.file.Path.of(dir, s"$f-${p.getName}"))
+    val schema = spark.read.parquet(dir).schema
+    val stream = EventStreams.readFileStream(spark, dir, schema, maxFilesPerTrigger = 1)
+    EventStreams.drainToMemory(
+      EventStreams.sessionizeStream(stream, "ts", "user_id", gapMinutes = 30),
+      "sessions", outputMode = "append")
+    val got = spark.table("sessions")
+      .select(col("user_id"), col("session_start").cast("string"),
+        col("session_end").cast("string"), col("n_events"))
+      .as[(Long, String, String, Long)].collect().sortBy(r => (r._1, r._2))
+    // the within-batch gap MUST close session 1 with exact bounds
+    assert(got.contains((7L, "2024-01-01 00:00:00", "2024-01-01 00:10:00", 2L)),
+      s"missing session 1 in ${got.mkString(", ")}")
+    // any additionally emitted (timeout-closed) sessions must be well-formed
+    got.foreach { case (_, s, e, n) => assert(s <= e && n >= 1) }
+  }
+
   test("CSV round-trip: write chunks, re-read typed, values survive (S1/K1)") {
     val dir = Files.createTempDirectory("graft_csvrt").toString
     val orig = spark.read.parquet(s"$sf/customer.parquet")
