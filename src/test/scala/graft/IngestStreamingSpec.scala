@@ -136,8 +136,14 @@ class IngestStreamingSpec extends SparkSuite {
       .toDF("user_id", "ts_s").withColumn("ts", col("ts_s").cast("timestamp"))
       .drop("ts_s").coalesce(1).write.parquet(s"$root/f2")
     for (f <- Seq("f1", "f2");
-         p <- new java.io.File(s"$root/$f").listFiles() if p.getName.endsWith(".parquet"))
-      Files.copy(p.toPath, java.nio.file.Path.of(dir, s"$f-${p.getName}"))
+         p <- new java.io.File(s"$root/$f").listFiles() if p.getName.endsWith(".parquet")) {
+      val dst = java.nio.file.Path.of(dir, s"$f-${p.getName}")
+      Files.copy(p.toPath, dst)
+      // pin modification times so the file source processes f1 before f2 —
+      // with equal mtimes the order is unspecified, and f2-first would
+      // advance the watermark past f1's events (dropped as late data)
+      dst.toFile.setLastModified(if (f == "f1") 1000000L else 2000000L)
+    }
     val schema = spark.read.parquet(dir).schema
     val stream = EventStreams.readFileStream(spark, dir, schema, maxFilesPerTrigger = 1)
     EventStreams.drainToMemory(
