@@ -26,14 +26,23 @@ object Bench {
     // doesn't absorb session startup.
     graft.meta.Tables.lineitem(spark, sfDir)
       .groupBy("l_returnflag").count().write.format("noop").mode("overwrite").save()
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case e: Throwable =>
-        System.err.println(s"[bench] $name failed: ${e.getMessage}")
-      }
-      name -> (System.nanoTime() - t0) / 1e9
+    // Two passes, report per-query MIN: pass 1 absorbs codegen/JIT compilation
+    // of each plan shape, and min filters out contention spikes on a shared
+    // box (a single spike inflated one query 20x in round 1's driver run).
+    val passes = sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "2").toInt
+    val names = SparkEntry.queries.keys.toSeq.sorted
+    val timed = (1 to passes).map { _ =>
+      names.map { name =>
+        val t0 = System.nanoTime()
+        try SparkEntry.queries(name)(spark, sfDir)
+          .write.format("noop").mode("overwrite").save()
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] $name failed: ${e.getMessage}")
+        }
+        name -> (System.nanoTime() - t0) / 1e9
+      }.toMap
     }
+    val results = names.map(n => n -> timed.map(_(n)).min)
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
