@@ -416,6 +416,146 @@ object SparkEntry {
           |FROM supplier_v GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin)
     }),
 
+    // As-of (point-in-time) join: each click picks the user's latest
+    // prior-or-simultaneous purchase. Union+window plan — no range explosion.
+    "q39_asof_join" -> ((s, dir) => {
+      val e = Tables.events(s, dir)
+      val clicks = e.where(col("event_type") === "click")
+        .select("event_id", "user_id", "ts")
+      val purchases = e.where(col("event_type") === "purchase")
+        .groupBy("user_id", "ts").agg(max("value").as("last_purchase_value"))
+      Relational.asofJoin(clicks, purchases, Seq("user_id"), "ts",
+        Seq("last_purchase_value"))
+        .orderBy("event_id")
+    }),
+
+    // Broadcast range join: quantity mapped into per-nation [lo, hi) bands.
+    "q40_range_join" -> ((s, dir) => {
+      val ranges = Tables.nation(s, dir).select(
+        col("n_name"),
+        (col("n_nationkey").cast("double") * 2.0).as("lo"),
+        (col("n_nationkey").cast("double") * 2.0 + 2.0).as("hi"))
+      Relational.rangeJoin(Tables.lineitem(s, dir), ranges,
+        col("l_quantity"), col("lo"), col("hi"))
+        .groupBy("n_name")
+        .agg(count(lit(1)).as("n"),
+          (sum(cents(col("l_quantity")).cast("decimal(28,0)")).cast("double") / 100.0).as("sum_qty"))
+        .orderBy("n_name")
+    }),
+
+    // TF-IDF top terms per document (explode -> tf -> df -> rank window).
+    "q41_tfidf" -> ((s, dir) => {
+      TextAnalysis.tfidfTopK(Tables.documents(s, dir), "doc_id", "text", 3)
+        .orderBy("doc_id", "rank")
+    }),
+
+    // Corpus bigram frequency table, top-5 per language.
+    "q42_ngram_top" -> ((s, dir) => {
+      TextAnalysis.topNgrams(Tables.documents(s, dir), "lang", "text", 2, 5)
+        .select(col("lang"), col("rank"), col("ngram"), col("n_occur"))
+        .orderBy("lang", "rank")
+    }),
+
+    // Rolling 5-row window per user: moving average via exact integer-cents
+    // sums so sliding-window float drift can't split the engines.
+    "q43_rolling" -> ((s, dir) => {
+      val w5 = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        .rowsBetween(-4, 0)
+      Tables.events(s, dir)
+        .select(col("event_id"), col("user_id"), col("ts"), cents(col("value")).as("c"))
+        .select(col("event_id"), col("user_id"), col("ts"),
+          round(sum("c").over(w5).cast("double") / (count(lit(1)).over(w5) * 100.0), 6).as("mov_avg"),
+          count(lit(1)).over(w5).as("cum_n5"))
+        .orderBy("event_id")
+    }),
+
+    // Exact linear-interpolation percentiles per group.
+    "q44_percentiles" -> ((s, dir) => {
+      Stats.percentiles(Tables.lineitem(s, dir), Seq("l_returnflag"),
+        "l_extendedprice", Seq(0.25, 0.5, 0.75))
+        .select(col("l_returnflag"),
+          round(col("pct").getItem(0), 6).as("p25"),
+          round(col("pct").getItem(1), 6).as("p50"),
+          round(col("pct").getItem(2), 6).as("p75"))
+        .orderBy("l_returnflag")
+    }),
+
+    // Top-k rows per group (rank window over a broadcast-joined dim).
+    "q45_group_topk" -> ((s, dir) => {
+      val o = Tables.orders(s, dir)
+      val c = Tables.customer(s, dir).select("c_custkey", "c_mktsegment")
+      Relational.groupTopK(o.join(broadcast(c), o("o_custkey") === c("c_custkey")),
+        Seq("c_mktsegment"), 3, col("o_totalprice").desc, col("o_orderkey").asc)
+        .select("c_mktsegment", "rank", "o_orderkey", "o_totalprice")
+        .orderBy("c_mktsegment", "rank")
+    }),
+
+    // Pivot: event-type counts per user cohort (fixed pivot values keep the
+    // schema static — no second pass to discover columns).
+    "q46_pivot" -> ((s, dir) => {
+      val types = Seq("click", "error", "purchase", "signup", "view")
+      Tables.events(s, dir)
+        .groupBy((col("user_id") % 10).as("cohort"))
+        .pivot("event_type", types).count()
+        .select(col("cohort") +: types.map(t => coalesce(col(t), lit(0L)).as(s"n_$t")): _*)
+        .orderBy("cohort")
+    }),
+
+    // ROLLUP with grouping flags (subtotal lattice in one pass).
+    "q47_rollup" -> ((s, dir) => {
+      Tables.lineitem(s, dir)
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("n"),
+          (sum(cents(col("l_extendedprice")).cast("decimal(28,0)")).cast("double") / 100.0).as("revenue"),
+          grouping(col("l_returnflag")).cast("int").as("g_flag"),
+          grouping(col("l_linestatus")).cast("int").as("g_status"))
+        .select(coalesce(col("l_returnflag"), lit("ALL")).as("flag"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("status"),
+          col("g_flag"), col("g_status"), col("n"), col("revenue"))
+        .orderBy("flag", "status")
+    }),
+
+    // Fixed-width histogram (integer bucketing, one combinable aggregate).
+    "q48_histogram" -> ((s, dir) => {
+      Stats.histogram(Tables.orders(s, dir), col("o_totalprice"), 25000.0)
+        .orderBy("bucket")
+    }),
+
+    // Correlation / covariance / stddev profile per group.
+    "q49_corr_stats" -> ((s, dir) => {
+      Stats.corrStats(Tables.lineitem(s, dir), Seq("l_returnflag"),
+        "l_quantity", "l_extendedprice")
+        .orderBy("l_returnflag")
+    }),
+
+    // Deterministic hash sampling (reproducible corpus subset) + profile.
+    "q50_sample_hash" -> ((s, dir) => {
+      Stats.sampleByHash(Tables.documents(s, dir), col("text"), 10)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_sampled"),
+          round(avg(TextAnalysis.tokenCount(col("text")).cast("double")), 6).as("avg_tokens"))
+        .orderBy("lang")
+    }),
+
+    // Generator surface: positional token explode (posexplode).
+    "q51_explode_tokens" -> ((s, dir) => {
+      Tables.documents(s, dir).where(col("doc_id") < 50)
+        .select(col("doc_id"), posexplode(TextAnalysis.tokens(col("text"))))
+        .select(col("doc_id"), (col("pos") + 1).as("pos"), col("col").as("token"))
+        .orderBy("doc_id", "pos")
+    }),
+
+    // PII scrub: mask emails then digit runs (pre-training redaction pass).
+    "q52_pii_scrub" -> ((s, dir) => {
+      val synth = concat(col("c_name"), lit(" <"),
+        lower(regexp_replace(col("c_name"), "[^A-Za-z0-9]", "")),
+        lit("@mail.test> ref "), (col("c_custkey") * 7919).cast("string"))
+      Tables.customer(s, dir).select(
+        col("c_custkey"), synth.as("raw"),
+        TextAnalysis.scrubPii(synth).as("scrubbed"))
+        .orderBy("c_custkey")
+    }),
+
     // Token statistics per language bucket.
     "q33_token_stats" -> ((s, dir) => {
       val t = col("text")
@@ -787,6 +927,123 @@ object SparkEntry {
          |SELECT s_nationkey, count(*) AS n, round(avg(km), 4) AS mean_km,
          |CAST(sum(${dhash("s_name")} % 97) AS BIGINT) AS name_sig
          |FROM km GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin,
+
+    "q39_asof_join" ->
+      """WITH clicks AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+        |FROM events WHERE event_type = 'click'),
+        |purch AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, max(value) AS last_purchase_value
+        |FROM events WHERE event_type = 'purchase' GROUP BY 1, 2)
+        |SELECT c.event_id, c.user_id, c.ts, p.last_purchase_value
+        |FROM clicks c ASOF LEFT JOIN purch p
+        |ON c.user_id = p.user_id AND c.ts >= p.ts
+        |ORDER BY c.event_id""".stripMargin,
+
+    "q40_range_join" ->
+      """WITH r AS (SELECT n_name, CAST(n_nationkey AS DOUBLE) * 2.0 AS lo,
+        |CAST(n_nationkey AS DOUBLE) * 2.0 + 2.0 AS hi FROM nation)
+        |SELECT n_name, count(*) AS n,
+        |CAST(sum(CAST(round(l_quantity * 100, 0) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_qty
+        |FROM lineitem JOIN r ON l_quantity >= lo AND l_quantity < hi
+        |GROUP BY n_name ORDER BY n_name""".stripMargin,
+
+    "q41_tfidf" ->
+      """WITH tf AS (SELECT doc_id, term, count(*) AS tf FROM
+        |(SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents)
+        |GROUP BY 1, 2),
+        |dfx AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        |sc AS (SELECT tf.doc_id, tf.term,
+        |round(tf.tf * ln((SELECT CAST(count(*) AS DOUBLE) FROM documents) / dfx.df), 6) AS score
+        |FROM tf JOIN dfx ON tf.term = dfx.term),
+        |r AS (SELECT doc_id, term, score,
+        |row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS rank FROM sc)
+        |SELECT doc_id, CAST(rank AS INTEGER) AS rank, term, score
+        |FROM r WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
+
+    "q42_ngram_top" ->
+      """WITH tk AS (SELECT lang, string_split(text, ' ') AS t FROM documents),
+        |ng AS (SELECT lang, unnest(CASE WHEN len(t) < 2 THEN CAST([] AS VARCHAR[])
+        |ELSE list_transform(range(1, len(t)), i -> array_to_string(t[i:i+1], ' ')) END) AS ngram FROM tk),
+        |c AS (SELECT lang, ngram, count(*) AS n_occur FROM ng GROUP BY 1, 2),
+        |r AS (SELECT lang, ngram, n_occur,
+        |row_number() OVER (PARTITION BY lang ORDER BY n_occur DESC, ngram) AS rank FROM c)
+        |SELECT lang, CAST(rank AS INTEGER) AS rank, ngram, n_occur
+        |FROM r WHERE rank <= 5 ORDER BY lang, rank""".stripMargin,
+
+    "q43_rolling" ->
+      """WITH e AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts,
+        |CAST(round(value * 100, 0) AS BIGINT) AS c FROM events)
+        |SELECT event_id, user_id, ts,
+        |round(CAST(sum(c) OVER w AS DOUBLE) / (count(*) OVER w * 100.0), 6) AS mov_avg,
+        |CAST(count(*) OVER w AS BIGINT) AS cum_n5
+        |FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+        |ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+        |ORDER BY event_id""".stripMargin,
+
+    "q44_percentiles" ->
+      """SELECT l_returnflag,
+        |round(quantile_cont(l_extendedprice, 0.25), 6) AS p25,
+        |round(quantile_cont(l_extendedprice, 0.5), 6) AS p50,
+        |round(quantile_cont(l_extendedprice, 0.75), 6) AS p75
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q45_group_topk" ->
+      """WITH j AS (SELECT c_mktsegment, o_orderkey, o_totalprice,
+        |row_number() OVER (PARTITION BY c_mktsegment
+        |ORDER BY o_totalprice DESC, o_orderkey) AS rank
+        |FROM orders JOIN customer ON o_custkey = c_custkey)
+        |SELECT c_mktsegment, CAST(rank AS INTEGER) AS rank, o_orderkey, o_totalprice
+        |FROM j WHERE rank <= 3 ORDER BY c_mktsegment, rank""".stripMargin,
+
+    "q46_pivot" ->
+      """SELECT user_id % 10 AS cohort,
+        |CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
+        |CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_error,
+        |CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase,
+        |CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS n_signup,
+        |CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS n_view
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q47_rollup" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS flag,
+        |coalesce(l_linestatus, 'ALL') AS status,
+        |CAST(GROUPING(l_returnflag) AS INTEGER) AS g_flag,
+        |CAST(GROUPING(l_linestatus) AS INTEGER) AS g_status,
+        |count(*) AS n,
+        |CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)) AS DOUBLE) / 100.0 AS revenue
+        |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        |ORDER BY flag, status""".stripMargin,
+
+    "q48_histogram" ->
+      """SELECT CAST(floor(o_totalprice / 25000.0) AS BIGINT) AS bucket, count(*) AS n
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q49_corr_stats" ->
+      """SELECT l_returnflag, count(*) AS n,
+        |round(corr(l_quantity, l_extendedprice), 6) AS corr_xy,
+        |round(covar_pop(l_quantity, l_extendedprice), 4) AS covar_xy,
+        |round(stddev_pop(l_quantity), 6) AS sd_x,
+        |round(stddev_pop(l_extendedprice), 6) AS sd_y
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q50_sample_hash" ->
+      s"""SELECT lang, count(*) AS n_sampled,
+         |round(avg(CAST(len(string_split(text, ' ')) AS DOUBLE)), 6) AS avg_tokens
+         |FROM documents WHERE ${dhash("text")} % 100 < 10
+         |GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "q51_explode_tokens" ->
+      """SELECT doc_id, CAST(i AS INTEGER) AS pos, string_split(text, ' ')[i] AS token
+        |FROM documents, unnest(range(1, len(string_split(text, ' ')) + 1)) AS r(i)
+        |WHERE doc_id < 50 ORDER BY doc_id, pos""".stripMargin,
+
+    "q52_pii_scrub" ->
+      """WITH s AS (SELECT c_custkey,
+        |c_name || ' <' || lower(regexp_replace(c_name, '[^A-Za-z0-9]', '', 'g')) ||
+        |'@mail.test> ref ' || CAST(c_custkey * 7919 AS VARCHAR) AS raw FROM customer)
+        |SELECT c_custkey, raw,
+        |regexp_replace(regexp_replace(raw, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+', '<EMAIL>', 'g'),
+        |'[0-9]{3,}', '<NUM>', 'g') AS scrubbed
+        |FROM s ORDER BY c_custkey""".stripMargin,
 
     "q33_token_stats" ->
       """SELECT lang, count(*) AS n_docs,

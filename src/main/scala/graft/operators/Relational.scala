@@ -62,6 +62,56 @@ object Relational {
   def randomSplit(df: DataFrame, weights: Array[Double], seed: Long): Array[DataFrame] =
     df.randomSplit(weights, seed)
 
+  /** As-of (point-in-time) join: each left row picks the payload of the
+    * latest right row with `right.ts <= left.ts` within the same key group.
+    *
+    * The scalable plan is NOT a range join (candidate explosion) but a
+    * union + one partitioned window sort: tag the sides, sort each key group
+    * by (ts, side) with right rows first at equal ts, and carry the last
+    * non-null right payload forward. One shuffle on the key, linear work,
+    * skew bounded by per-key row count — survives a 100x scale-up where a
+    * `l.ts >= r.ts` theta-join would not.
+    *
+    * Right must be unique per (keys, ts) for deterministic output (pre-
+    * aggregate it otherwise). Payload columns must not collide with left
+    * column names.
+    */
+  def asofJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
+               tsCol: String, payload: Seq[String]): DataFrame = {
+    val leftCols = left.columns.toSeq
+    val r = right
+      .select((keys :+ tsCol).map(col) :+ struct(payload.map(col): _*).as("_pay"): _*)
+      .withColumn("_side", lit(0))
+    val unioned = left.withColumn("_side", lit(1))
+      .unionByName(r, allowMissingColumns = true)
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col(tsCol).asc, col("_side").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    unioned
+      .withColumn("_pay_ff", last("_pay", ignoreNulls = true).over(w))
+      .where(col("_side") === 1)
+      .select(leftCols.map(col) ++
+        payload.map(p => col("_pay_ff").getField(p).as(p)): _*)
+  }
+
+  /** Broadcast range join: fact rows matched to the dim interval that
+    * contains `value` (`[lo, hi)`). The dim side is broadcast so the fact
+    * side never shuffles — the only sane plan for interval lookup tables at
+    * scale (a sort-merge theta join would be quadratic). */
+  def rangeJoin(fact: DataFrame, dim: DataFrame,
+                value: org.apache.spark.sql.Column,
+                lo: org.apache.spark.sql.Column,
+                hi: org.apache.spark.sql.Column): DataFrame =
+    fact.join(broadcast(dim), value >= lo && value < hi)
+
+  /** Top-k rows per group with deterministic tie-break, via a rank window —
+    * one shuffle on the group key; AQE handles group-count skew. */
+  def groupTopK(df: DataFrame, groupCols: Seq[String], k: Int,
+                order: org.apache.spark.sql.Column*): DataFrame = {
+    val w = Window.partitionBy(groupCols.map(col): _*).orderBy(order: _*)
+    df.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+  }
+
   /** Skew-resistant equi-join: salt the skewed (big) side's key into
     * `salts` sub-keys and replicate the small side across all salt values,
     * spreading a hot key over `salts` reducers. Use when AQE's runtime

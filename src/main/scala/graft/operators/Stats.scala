@@ -1,0 +1,57 @@
+package graft.operators
+
+import graft.functions.GraftFunctions.rolling_hash
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{Column, DataFrame}
+
+/** Distribution / statistics operators for profiling training corpora at
+  * scale (north-star extension; complements [[Audit]]). Everything here is a
+  * single map-side-combinable aggregation — one shuffle, no collect.
+  */
+object Stats {
+
+  /** Exact linear-interpolation percentiles per group (SQL
+    * `percentile_cont` semantics). Exact percentile buffers each group's
+    * values, so it is the small-group / final-report path; for a 100 TB
+    * column use [[approxPercentiles]] — same shape, sketch-based. */
+  def percentiles(df: DataFrame, groupCols: Seq[String], valueCol: String,
+                  ps: Seq[Double], out: String = "pct"): DataFrame =
+    df.groupBy(groupCols.map(col): _*)
+      .agg(expr(s"percentile($valueCol, array(${ps.mkString(",")}))").as(out))
+
+  /** t-digest-style approximate percentiles — constant memory per group,
+    * the 100 TB scale path (not oracle-comparable: sketch contents are
+    * engine-specific). */
+  def approxPercentiles(df: DataFrame, groupCols: Seq[String], valueCol: String,
+                        ps: Seq[Double], accuracy: Int = 10000): DataFrame =
+    df.groupBy(groupCols.map(col): _*)
+      .agg(percentile_approx(col(valueCol),
+        array(ps.map(lit): _*), lit(accuracy)).as("pct"))
+
+  /** Fixed-width histogram: bucket = floor(value / width). Pure integer
+    * bucketing keyed before a count aggregate — reproducible across engines
+    * and map-side combinable. */
+  def histogram(df: DataFrame, value: Column, width: Double): DataFrame =
+    df.groupBy(floor(value / width).cast("long").as("bucket"))
+      .agg(count(lit(1)).as("n"))
+
+  /** Pearson correlation + population covariance/stddev of two columns per
+    * group — the moment sketches merge associatively, so this is one
+    * partial-aggregated shuffle at any scale. */
+  def corrStats(df: DataFrame, groupCols: Seq[String],
+                x: String, y: String): DataFrame =
+    df.groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).as("n"),
+        round(corr(col(x), col(y)), 6).as("corr_xy"),
+        round(covar_pop(col(x), col(y)), 4).as("covar_xy"),
+        round(stddev_pop(col(x)), 6).as("sd_x"),
+        round(stddev_pop(col(y)), 6).as("sd_y"))
+
+  /** Deterministic hash sample: keep rows whose portable rolling hash of
+    * `key` falls in the lowest `pct` buckets of 100. Unlike `rand()`-based
+    * sampling this is reproducible across engines, runs, and retries — the
+    * property a training-data pipeline needs so re-runs don't churn the
+    * corpus. */
+  def sampleByHash(df: DataFrame, key: Column, pct: Int): DataFrame =
+    df.where(rolling_hash(key) % 100 < pct)
+}

@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.functions.GraftFunctions.rolling_hash
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{Column, DataFrame}
 
@@ -68,4 +69,55 @@ object TextAnalysis {
 
   /** Document fingerprint — md5 (matches any engine's md5). */
   def fingerprintMd5(text: Column): Column = md5(text)
+
+  /** Word n-grams of a BOUND token-array column. Callers must bind the token
+    * array to a real column first (`tokens(...).as("_tk")` in a projection):
+    * a raw `split()` inside this higher-order lambda would re-evaluate per
+    * array element (see MinHash lesson, SNIPPETS §HOF). */
+  def ngrams(tokenArr: Column, n: Int): Column =
+    when(size(tokenArr) >= n,
+      transform(sequence(lit(0), size(tokenArr) - n),
+        i => concat_ws(" ", slice(tokenArr, i + lit(1), lit(n)))))
+      .otherwise(array().cast("array<string>"))
+
+  /** TF-IDF scores, top-k terms per document. Distributed shape: explode to
+    * (doc, term) pairs, one aggregation for tf, one re-aggregation for df
+    * (both map-side combinable), a term-keyed join AQE can broadcast when
+    * the vocabulary is small, then a per-doc rank window. The corpus size
+    * `n` is a fit scalar (same pattern as [[Encode]] estimators).
+    * Scores are rounded to 6 dp BEFORE ranking so ordering is reproducible
+    * across engines whose `ln` differs in the last ulp. */
+  def tfidfTopK(docs: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
+    val n = docs.count()
+    val tf = docs
+      .select(col(idCol), explode(tokens(col(textCol))).as("term"))
+      .groupBy(idCol, "term").agg(count(lit(1)).as("tf"))
+    val idf = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy(idCol).orderBy(col("score").desc, col("term").asc)
+    tf.join(idf, "term")
+      .withColumn("score", round(col("tf") * log(lit(n.toDouble) / col("df")), 6))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col(idCol), col("rank"), col("term"), col("score"))
+  }
+
+  /** Top-k word n-grams per group — the corpus-level n-gram frequency table
+    * every data-mix report needs. Two map-side-combinable aggregations and a
+    * rank window; the token array is bound before the n-gram lambda. */
+  def topNgrams(docs: DataFrame, groupCol: String, textCol: String,
+                n: Int, k: Int): DataFrame = {
+    val w = Window.partitionBy(groupCol).orderBy(col("n_occur").desc, col("ngram").asc)
+    docs.select(col(groupCol), tokens(col(textCol)).as("_tk"))
+      .select(col(groupCol), explode(ngrams(col("_tk"), n)).as("ngram"))
+      .groupBy(groupCol, "ngram").agg(count(lit(1)).as("n_occur"))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+  }
+
+  /** PII scrub: mask email addresses then digit runs (3+) — the standard
+    * pre-training redaction pass, as pure codegen'd regexp_replace. */
+  def scrubPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(text, "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+", "<EMAIL>"),
+      "[0-9]{3,}", "<NUM>")
 }

@@ -1,0 +1,124 @@
+package graft
+
+import graft.operators.{Relational, Stats, TextAnalysis}
+import org.apache.spark.sql.functions._
+
+/** Round-2 operators: as-of/range joins, group top-k, distribution stats,
+  * TF-IDF / n-gram / PII text ops. */
+class StatsRelational2Spec extends SparkSuite {
+  import spark.implicits._
+
+  test("asofJoin picks latest right row at or before left ts, per key") {
+    val left = Seq((1L, "a", 10L), (2L, "a", 20L), (3L, "b", 15L), (4L, "c", 9L))
+      .toDF("id", "k", "t")
+    val right = Seq(("a", 5L, 100.0), ("a", 10L, 110.0), ("a", 18L, 120.0),
+      ("b", 16L, 200.0)).toDF("k", "t", "price")
+    val out = Relational.asofJoin(left, right, Seq("k"), "t", Seq("price"))
+      .orderBy("id").select("id", "price").as[(Long, Option[Double])].collect()
+    assert(out === Array(
+      (1L, Some(110.0)), // equal ts visible
+      (2L, Some(120.0)), // latest of 3
+      (3L, None),        // right row is later
+      (4L, None)))       // no right rows for key
+  }
+
+  test("asofJoin matches a per-row scan on random data") {
+    val left = (1 to 200).map(i => (i.toLong, s"k${i % 7}", (i * 37 % 100).toLong))
+    val right = (1 to 50).map(i => (s"k${i % 7}", (i * 13 % 90).toLong, i * 1.0))
+      .distinct.groupBy(r => (r._1, r._2)).map(_._2.maxBy(_._3)).toSeq
+    val out = Relational.asofJoin(
+      left.toDF("id", "k", "t"), right.toDF("k", "t", "v"),
+      Seq("k"), "t", Seq("v"))
+      .select("id", "v").as[(Long, Option[Double])].collect().toMap
+    left.foreach { case (id, k, t) =>
+      val expect = right.filter(r => r._1 == k && r._2 <= t)
+        .sortBy(r => (r._2, r._3)).lastOption.map(_._3)
+      assert(out(id) === expect, s"id=$id k=$k t=$t")
+    }
+  }
+
+  test("rangeJoin assigns each value to its [lo, hi) band and broadcasts") {
+    val facts = Seq(0.5, 1.0, 4.9, 5.0, 9.9).toDF("v")
+    val dims = Seq(("low", 0.0, 5.0), ("high", 5.0, 10.0)).toDF("band", "lo", "hi")
+    val out = Relational.rangeJoin(facts, dims, col("v"), col("lo"), col("hi"))
+    assert(out.where(col("band") === "low").count() === 3)
+    assert(out.where(col("band") === "high").count() === 2)
+    assert(out.queryExecution.executedPlan.toString.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("groupTopK keeps k rows per group with deterministic ties") {
+    val df = Seq(("g1", 5, 1), ("g1", 5, 2), ("g1", 3, 3), ("g2", 9, 4))
+      .toDF("g", "score", "id")
+    val out = Relational.groupTopK(df, Seq("g"), 2, col("score").desc, col("id").asc)
+      .orderBy("g", "rank").select("g", "rank", "id").as[(String, Int, Int)].collect()
+    assert(out === Array(("g1", 1, 1), ("g1", 2, 2), ("g2", 1, 4)))
+  }
+
+  test("percentiles: exact linear interpolation (percentile_cont semantics)") {
+    val df = (1 to 5).map(_.toDouble).toDF("x").withColumn("g", lit("a"))
+    val out = Stats.percentiles(df, Seq("g"), "x", Seq(0.25, 0.5, 0.75))
+      .select(col("pct")).as[Seq[Double]].head()
+    assert(out === Seq(2.0, 3.0, 4.0))
+  }
+
+  test("histogram buckets by floor(value/width), dense counts") {
+    val df = Seq(0.0, 24.9, 25.0, 75.0).toDF("v")
+    val out = Stats.histogram(df, col("v"), 25.0)
+      .orderBy("bucket").as[(Long, Long)].collect()
+    assert(out === Array((0L, 2L), (1L, 1L), (3L, 1L)))
+  }
+
+  test("corrStats: perfectly linear data has corr 1") {
+    val df = (1 to 100).map(i => (i.toDouble, 2.0 * i + 3.0)).toDF("x", "y")
+      .withColumn("g", lit("a"))
+    val row = Stats.corrStats(df, Seq("g"), "x", "y").head()
+    assert(row.getAs[Double]("corr_xy") === 1.0)
+    assert(row.getAs[Double]("sd_y") === 2.0 * row.getAs[Double]("sd_x"))
+  }
+
+  test("sampleByHash is deterministic and roughly proportional") {
+    val df = (1 to 2000).map(i => s"doc body number $i").toDF("t")
+    val n1 = Stats.sampleByHash(df, col("t"), 10).count()
+    val n2 = Stats.sampleByHash(df, col("t"), 10).count()
+    assert(n1 === n2)             // reproducible
+    assert(n1 > 100 && n1 < 300)  // ~10% of 2000
+    // monotone: a larger budget strictly contains the smaller one
+    val small = Stats.sampleByHash(df, col("t"), 10).as[String].collect().toSet
+    val big = Stats.sampleByHash(df, col("t"), 30).as[String].collect().toSet
+    assert(small.subsetOf(big))
+  }
+
+  test("ngrams builds sliding word windows; short docs yield none") {
+    val df = Seq("a b c d", "solo").toDF("text")
+      .select(TextAnalysis.tokens(col("text")).as("tk"))
+    val out = df.select(TextAnalysis.ngrams(col("tk"), 2).as("ng"))
+      .as[Seq[String]].collect()
+    assert(out(0) === Seq("a b", "b c", "c d"))
+    assert(out(1) === Seq.empty)
+  }
+
+  test("tfidfTopK ranks distinctive terms above ubiquitous ones") {
+    val docs = Seq(
+      (1L, "apple apple common"),
+      (2L, "banana common common"),
+      (3L, "cherry common apple")).toDF("doc_id", "text")
+    val out = TextAnalysis.tfidfTopK(docs, "doc_id", "text", 1)
+      .orderBy("doc_id").select("doc_id", "term").as[(Long, String)].collect()
+    // 'common' appears in every doc -> idf 0; the distinctive fruit wins
+    assert(out === Array((1L, "apple"), (2L, "banana"), (3L, "cherry")))
+  }
+
+  test("topNgrams returns the k most frequent per group, ties by ngram") {
+    val docs = Seq(("en", "x y x y z"), ("en", "x y q")).toDF("lang", "text")
+    val out = TextAnalysis.topNgrams(docs, "lang", "text", 2, 2)
+      .orderBy("rank").select("ngram", "n_occur").as[(String, Long)].collect()
+    assert(out(0) === ("x y", 3L)) // "x y" twice in doc1 + once in doc2
+    assert(out(1)._2 <= 3L)
+  }
+
+  test("scrubPii masks emails before digit runs") {
+    val out = Seq("contact bob.smith+x@corp.example or call 4155550199 ext 42")
+      .toDF("t").select(TextAnalysis.scrubPii(col("t"))).as[String].head()
+    assert(out === "contact <EMAIL> or call <NUM> ext 42")
+  }
+}
