@@ -556,6 +556,20 @@ object SparkEntry {
         .orderBy("c_custkey")
     }),
 
+    // Per-bucket embedding centroids via the native VectorAvg aggregate
+    // (map-side-combined double[dims] buffers — shuffle bytes independent of
+    // corpus size), exploded to (bucket, dim, value) for the oracle compare.
+    "q53_centroids" -> ((s, dir) => {
+      Tables.embeddings(s, dir)
+        .groupBy((col("vec_id") % 8).as("bucket"))
+        .agg(graft.functions.GraftFunctions.vector_avg(col("embedding")).as("centroid"),
+          count(lit(1)).as("n_vecs"))
+        .select(col("bucket"), col("n_vecs"), posexplode(col("centroid")))
+        .select(col("bucket"), col("n_vecs"),
+          (col("pos") + 1).as("dim"), round(col("col"), 6).as("c"))
+        .orderBy("bucket", "dim")
+    }),
+
     // Token statistics per language bucket.
     "q33_token_stats" -> ((s, dir) => {
       val t = col("text")
@@ -1044,6 +1058,15 @@ object SparkEntry {
         |regexp_replace(regexp_replace(raw, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+', '<EMAIL>', 'g'),
         |'[0-9]{3,}', '<NUM>', 'g') AS scrubbed
         |FROM s ORDER BY c_custkey""".stripMargin,
+
+    "q53_centroids" ->
+      """WITH x AS (SELECT vec_id % 8 AS bucket,
+        |unnest(CAST(embedding AS DOUBLE[])) AS v,
+        |unnest(range(1, len(embedding) + 1)) AS dim FROM embeddings),
+        |nv AS (SELECT vec_id % 8 AS bucket, count(*) AS n_vecs FROM embeddings GROUP BY 1)
+        |SELECT x.bucket AS bucket, nv.n_vecs, CAST(dim AS INTEGER) AS dim, round(avg(v), 6) AS c
+        |FROM x JOIN nv ON x.bucket = nv.bucket
+        |GROUP BY x.bucket, nv.n_vecs, dim ORDER BY x.bucket, dim""".stripMargin,
 
     "q33_token_stats" ->
       """SELECT lang, count(*) AS n_docs,

@@ -149,6 +149,35 @@ object EventStreams {
       .toDF()
   }
 
+  /** Stream-static enrichment join: each micro-batch hash-joins against a
+    * static dim (broadcast when small — the planner sees the static side's
+    * size). No state, no watermark needed; the streaming side never
+    * shuffles when the dim broadcasts. */
+  def enrichWithStatic(stream: DataFrame, dim: DataFrame,
+                       keys: Seq[String]): DataFrame =
+    stream.join(broadcast(dim), keys)
+
+  /** Stream-stream inner join within a bounded event-time band: both sides
+    * are watermarked and the join condition carries a time range, so state
+    * for rows older than (watermark - band) is reclaimed — the only
+    * stream-stream join shape that is bounded-state at 100 TB/day. */
+  def joinStreamsWithinBand(left: DataFrame, right: DataFrame,
+                            key: String, tsCol: String,
+                            bandSeconds: Long,
+                            watermark: String = "1 hour"): DataFrame = {
+    val l = left.withColumn("_lts", col(tsCol).cast("timestamp"))
+      .withWatermark("_lts", watermark)
+      .select(col(key).as("_lk"), col("_lts"),
+        struct(left.columns.map(col): _*).as("l"))
+    val r = right.withColumn("_rts", col(tsCol).cast("timestamp"))
+      .withWatermark("_rts", watermark)
+      .select(col(key).as("_rk"), col("_rts"),
+        struct(right.columns.map(col): _*).as("r"))
+    l.join(r, col("_lk") === col("_rk") &&
+      col("_rts") >= col("_lts") - expr(s"interval $bandSeconds seconds") &&
+      col("_rts") <= col("_lts") + expr(s"interval $bandSeconds seconds"))
+  }
+
   /** foreachBatch sink with the micro-batch id exposed — `batchId` replaces
     * the reference's hand-maintained `global_batch_count` (:31); the
     * checkpoint makes it resume-correct. */

@@ -160,6 +160,33 @@ class IngestStreamingSpec extends SparkSuite {
     got.foreach { case (_, s, e, n) => assert(s <= e && n >= 1) }
   }
 
+  test("stream-static join enriches micro-batches against a broadcast dim (§2.11)") {
+    val (dir, schema) = writeEventsParquet()
+    val dim = Seq(("click", "interactive"), ("view", "passive")).toDF("event_type", "kind")
+    val stream = EventStreams.readFileStream(spark, dir, schema)
+    val joined = EventStreams.enrichWithStatic(stream, dim, Seq("event_type"))
+    EventStreams.drainToMemory(joined, "enriched")
+    val got = spark.table("enriched").groupBy("kind").count()
+      .as[(String, Long)].collect().toMap
+    assert(got === Map("interactive" -> 4L, "passive" -> 1L))
+  }
+
+  test("stream-stream join within an event-time band is bounded-state (§2.11)") {
+    val (dir, schema) = writeEventsParquet()
+    val clicks = EventStreams.readFileStream(spark, dir, schema)
+      .where(col("event_type") === "click").withColumn("k", lit(1))
+    val views = EventStreams.readFileStream(spark, dir, schema)
+      .where(col("event_type") === "view").withColumn("k", lit(1))
+    // band of 10 min: the 00:20 view pairs with the 00:15 click only
+    val joined = EventStreams.joinStreamsWithinBand(
+      views, clicks, "k", "ts", bandSeconds = 600)
+    EventStreams.drainToMemory(joined, "banded_join")
+    val got = spark.table("banded_join")
+      .select(col("l.event_id"), col("r.event_id"))
+      .as[(Long, Long)].collect().sorted
+    assert(got === Array((3L, 2L)))
+  }
+
   test("CSV round-trip: write chunks, re-read typed, values survive (S1/K1)") {
     val dir = Files.createTempDirectory("graft_csvrt").toString
     val orig = spark.read.parquet(s"$sf/customer.parquet")
