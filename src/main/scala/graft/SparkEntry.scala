@@ -570,6 +570,57 @@ object SparkEntry {
         .orderBy("bucket", "dim")
     }),
 
+    // CDC last-writer-wins upsert: a 10% update slice merged over the base
+    // snapshot via union + rank window (no full-table join).
+    "q54_upsert" -> ((s, dir) => {
+      val base = Tables.orders(s, dir)
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"),
+          lit(1L).as("version"))
+      val updates = Tables.orders(s, dir)
+        .where(col("o_orderkey") % 10 === 3)
+        .select(col("o_orderkey"), lit("U").as("o_orderstatus"),
+          (col("o_totalprice") + 1000.0).as("o_totalprice"), lit(2L).as("version"))
+      Relational.upsert(base, updates, Seq("o_orderkey"), "version")
+        .orderBy("o_orderkey")
+    }),
+
+    // Quartile bucketing per priority class (ntile window) + band stats.
+    "q55_ntile" -> ((s, dir) => {
+      val w = Window.partitionBy("o_orderpriority")
+        .orderBy(col("o_totalprice"), col("o_orderkey"))
+      Tables.orders(s, dir)
+        .withColumn("quartile", ntile(4).over(w))
+        .groupBy("o_orderpriority", "quartile")
+        .agg(count(lit(1)).as("n"),
+          min("o_totalprice").as("min_price"), max("o_totalprice").as("max_price"))
+        .orderBy("o_orderpriority", "quartile")
+    }),
+
+    // Salted-join semantics proof: the skew-resistant salted join must be
+    // row-identical to the plain equi-join the oracle runs.
+    "q56_salted_join" -> ((s, dir) => {
+      val prio = Tables.orders(s, dir)
+        .where(col("o_orderpriority").isin("1-URGENT", "2-HIGH"))
+        .select(col("o_orderkey").as("l_orderkey"), col("o_orderpriority"))
+      Relational.saltedJoin(Tables.lineitem(s, dir), prio, "l_orderkey", salts = 8)
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n_lines"),
+          (sum(cents(col("l_extendedprice")).cast("decimal(28,0)")).cast("double") / 100.0).as("revenue"))
+        .orderBy("o_orderpriority")
+    }),
+
+    // Fuzzy matching: edit distance between adjacent customer names — the
+    // classic fuzzy-dedup primitive (codegen'd levenshtein, no UDF).
+    "q57_levenshtein" -> ((s, dir) => {
+      val w = Window.partitionBy("c_mktsegment").orderBy("c_custkey")
+      Tables.customer(s, dir)
+        .withColumn("next_name", lead("c_name", 1).over(w))
+        .where(col("next_name").isNotNull)
+        .select(col("c_custkey"), col("c_mktsegment"),
+          levenshtein(col("c_name"), col("next_name")).as("edit_dist"))
+        .orderBy("c_custkey")
+    }),
+
     // Token statistics per language bucket.
     "q33_token_stats" -> ((s, dir) => {
       val t = col("text")
@@ -1067,6 +1118,39 @@ object SparkEntry {
         |SELECT x.bucket AS bucket, nv.n_vecs, CAST(dim AS INTEGER) AS dim, round(avg(v), 6) AS c
         |FROM x JOIN nv ON x.bucket = nv.bucket
         |GROUP BY x.bucket, nv.n_vecs, dim ORDER BY x.bucket, dim""".stripMargin,
+
+    "q54_upsert" ->
+      """WITH base AS (SELECT o_orderkey, o_orderstatus, o_totalprice,
+        |CAST(1 AS BIGINT) AS version, 0 AS src FROM orders),
+        |upd AS (SELECT o_orderkey, 'U' AS o_orderstatus, o_totalprice + 1000.0 AS o_totalprice,
+        |CAST(2 AS BIGINT) AS version, 1 AS src FROM orders WHERE o_orderkey % 10 = 3),
+        |u AS (SELECT *, row_number() OVER (PARTITION BY o_orderkey
+        |ORDER BY version DESC, src DESC) AS rn FROM (SELECT * FROM base UNION ALL SELECT * FROM upd))
+        |SELECT o_orderkey, o_orderstatus, o_totalprice, version
+        |FROM u WHERE rn = 1 ORDER BY o_orderkey""".stripMargin,
+
+    "q55_ntile" ->
+      """WITH q AS (SELECT o_orderpriority, o_totalprice,
+        |ntile(4) OVER (PARTITION BY o_orderpriority
+        |ORDER BY o_totalprice, o_orderkey) AS quartile FROM orders)
+        |SELECT o_orderpriority, CAST(quartile AS INTEGER) AS quartile, count(*) AS n,
+        |min(o_totalprice) AS min_price, max(o_totalprice) AS max_price
+        |FROM q GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q56_salted_join" ->
+      """SELECT o_orderpriority, count(*) AS n_lines,
+        |CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)) AS DOUBLE) / 100.0 AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "q57_levenshtein" ->
+      """WITH x AS (SELECT c_custkey, c_mktsegment, c_name,
+        |lead(c_name) OVER (PARTITION BY c_mktsegment ORDER BY c_custkey) AS next_name
+        |FROM customer)
+        |SELECT c_custkey, c_mktsegment,
+        |CAST(levenshtein(c_name, next_name) AS INTEGER) AS edit_dist
+        |FROM x WHERE next_name IS NOT NULL ORDER BY c_custkey""".stripMargin,
 
     "q33_token_stats" ->
       """SELECT lang, count(*) AS n_docs,

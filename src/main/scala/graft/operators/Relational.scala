@@ -112,6 +112,22 @@ object Relational {
     df.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
   }
 
+  /** Last-writer-wins upsert (CDC/refresh merge): rows from `updates`
+    * replace same-key rows in `base`; unmatched rows pass through. One
+    * union + one rank window on the key — the scalable merge shape (no
+    * full-table join, map-side combinable after AQE). `versionCol` breaks
+    * ties: highest version wins, then `updates` over `base`. */
+  def upsert(base: DataFrame, updates: DataFrame, keys: Seq[String],
+             versionCol: String): DataFrame = {
+    val tagged = base.withColumn("_src", lit(0))
+      .unionByName(updates.withColumn("_src", lit(1)))
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col(versionCol).desc, col("_src").desc)
+    tagged.withColumn("_rn", row_number().over(w))
+      .where(col("_rn") === 1)
+      .drop("_src", "_rn")
+  }
+
   /** Skew-resistant equi-join: salt the skewed (big) side's key into
     * `salts` sub-keys and replicate the small side across all salt values,
     * spreading a hot key over `salts` reducers. Use when AQE's runtime

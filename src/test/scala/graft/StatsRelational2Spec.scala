@@ -54,6 +54,18 @@ class StatsRelational2Spec extends SparkSuite {
     assert(out === Array(("g1", 1, 1), ("g1", 2, 2), ("g2", 1, 4)))
   }
 
+  test("upsert: updates win on key, unmatched rows pass through") {
+    val base = Seq((1L, "a", 1L), (2L, "b", 1L), (3L, "c", 1L)).toDF("k", "v", "version")
+    val updates = Seq((2L, "B", 2L), (4L, "D", 2L)).toDF("k", "v", "version")
+    val out = Relational.upsert(base, updates, Seq("k"), "version")
+      .orderBy("k").select("k", "v").as[(Long, String)].collect()
+    assert(out === Array((1L, "a"), (2L, "B"), (3L, "c"), (4L, "D")))
+    // same version: updates side wins deterministically
+    val tie = Relational.upsert(base, Seq((1L, "A", 1L)).toDF("k", "v", "version"),
+      Seq("k"), "version").where(col("k") === 1).select("v").as[String].head()
+    assert(tie === "A")
+  }
+
   test("percentiles: exact linear interpolation (percentile_cont semantics)") {
     val df = (1 to 5).map(_.toDouble).toDF("x").withColumn("g", lit("a"))
     val out = Stats.percentiles(df, Seq("g"), "x", Seq(0.25, 0.5, 0.75))
