@@ -621,6 +621,24 @@ object SparkEntry {
         .orderBy("c_custkey")
     }),
 
+    // One-pass per-column data profile (min/max/nulls/exact ndv) — the
+    // corpus-QA report every ingest runs before training.
+    "q58_profile" -> ((s, dir) => {
+      Audit.profile(Tables.orders(s, dir),
+        Seq("o_custkey", "o_orderdate", "o_orderpriority", "o_orderstatus"))
+        .orderBy("column")
+    }),
+
+    // Sketch-path profile: HLL++ ndv instead of exact — constant memory per
+    // column at 100 TB. Sketch estimates are engine-specific, so this query
+    // has no SQL oracle (driver records the weaker rows-only check).
+    "q59_sketch_profile" -> ((s, dir) => {
+      Audit.profile(Tables.lineitem(s, dir),
+        Seq("l_orderkey", "l_partkey", "l_suppkey", "l_returnflag"),
+        exact = false)
+        .orderBy("column")
+    }),
+
     // Token statistics per language bucket.
     "q33_token_stats" -> ((s, dir) => {
       val t = col("text")
@@ -1151,6 +1169,16 @@ object SparkEntry {
         |SELECT c_custkey, c_mktsegment,
         |CAST(levenshtein(c_name, next_name) AS INTEGER) AS edit_dist
         |FROM x WHERE next_name IS NOT NULL ORDER BY c_custkey""".stripMargin,
+
+    "q58_profile" -> {
+      def one(c: String) =
+        s"""SELECT '$c' AS "column", CAST(min($c) AS VARCHAR) AS min_val,
+           |CAST(max($c) AS VARCHAR) AS max_val,
+           |CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+           |CAST(count(DISTINCT $c) AS BIGINT) AS n_distinct FROM orders""".stripMargin
+      Seq("o_custkey", "o_orderdate", "o_orderpriority", "o_orderstatus")
+        .map(one).mkString("", "\nUNION ALL\n", "\nORDER BY \"column\"")
+    },
 
     "q33_token_stats" ->
       """SELECT lang, count(*) AS n_docs,

@@ -42,6 +42,27 @@ object Audit {
     require(n == 0, s"Dataset contains $n missing values after cleaning")
   }
 
+  /** Per-column data profile in ONE aggregate pass: min/max (as strings, so
+    * heterogeneous column types fit one output schema), null count, and
+    * distinct count. `exact = false` swaps exact ndv for the HLL++ sketch
+    * (`approx_count_distinct`) — the 100 TB path, constant memory per
+    * column. Output long-format: (column, min_val, max_val, n_null, n_distinct). */
+  def profile(df: DataFrame, cols: Seq[String], exact: Boolean = true): DataFrame = {
+    val aggs = cols.flatMap { c =>
+      Seq(min(col(c)).cast("string").as(s"_min_$c"),
+        max(col(c)).cast("string").as(s"_max_$c"),
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"_null_$c"),
+        (if (exact) countDistinct(col(c)) else approx_count_distinct(col(c)))
+          .as(s"_ndv_$c"))
+    }
+    val wide = df.agg(aggs.head, aggs.tail: _*)
+    val stack = cols
+      .map(c => s"'$c', `_min_$c`, `_max_$c`, `_null_$c`, `_ndv_$c`")
+      .mkString(s"stack(${cols.length}, ", ", ",
+        ") as (column, min_val, max_val, n_null, n_distinct)")
+    wide.selectExpr(stack)
+  }
+
   /** §5.1 row 2 — write-then-reload round-trip verification: persist to
     * parquet, re-read, check row count and schema echo. Returns the re-read
     * frame for further assertions. */

@@ -66,6 +66,19 @@ class StatsRelational2Spec extends SparkSuite {
     assert(tie === "A")
   }
 
+  test("profile: one-pass min/max/nulls/ndv, exact and sketch modes agree here") {
+    val df = Seq(("a", Some(1)), ("b", Some(2)), ("a", None)).toDF("s", "i")
+    val out = graft.operators.Audit.profile(df, Seq("s", "i"))
+      .orderBy("column").collect()
+    assert(out.map(_.getString(0)) === Array("i", "s"))
+    val i = out(0); val s = out(1)
+    assert((i.getString(1), i.getString(2), i.getLong(3), i.getLong(4)) === ("1", "2", 1L, 2L))
+    assert((s.getString(1), s.getString(2), s.getLong(3), s.getLong(4)) === ("a", "b", 0L, 2L))
+    // sketch mode: same shape, ndv exact at tiny cardinality
+    val approx = graft.operators.Audit.profile(df, Seq("s"), exact = false).head()
+    assert(approx.getLong(4) === 2L)
+  }
+
   test("percentiles: exact linear interpolation (percentile_cont semantics)") {
     val df = (1 to 5).map(_.toDouble).toDF("x").withColumn("g", lit("a"))
     val out = Stats.percentiles(df, Seq("g"), "x", Seq(0.25, 0.5, 0.75))
