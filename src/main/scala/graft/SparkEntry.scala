@@ -639,6 +639,22 @@ object SparkEntry {
         .orderBy("column")
     }),
 
+    // Native bounded-buffer top-k aggregate (TopKByScore) — must be
+    // row-identical to the q45 window form; the oracle proves it. At scale
+    // this shuffles |groups| x k rows where the window shuffles everything.
+    "q60_topk_agg" -> ((s, dir) => {
+      val o = Tables.orders(s, dir)
+      val c = Tables.customer(s, dir).select("c_custkey", "c_mktsegment")
+      o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(graft.functions.GraftFunctions
+          .topk_by_score(col("o_totalprice"), col("o_orderkey"), 3).as("top"))
+        .select(col("c_mktsegment"), posexplode(col("top")))
+        .select(col("c_mktsegment"), (col("pos") + 1).as("rank"),
+          col("col.id").as("o_orderkey"), col("col.v").as("o_totalprice"))
+        .orderBy("c_mktsegment", "rank")
+    }),
+
     // Token statistics per language bucket.
     "q33_token_stats" -> ((s, dir) => {
       val t = col("text")
@@ -1179,6 +1195,14 @@ object SparkEntry {
       Seq("o_custkey", "o_orderdate", "o_orderpriority", "o_orderstatus")
         .map(one).mkString("", "\nUNION ALL\n", "\nORDER BY \"column\"")
     },
+
+    "q60_topk_agg" ->
+      """WITH j AS (SELECT c_mktsegment, o_orderkey, o_totalprice,
+        |row_number() OVER (PARTITION BY c_mktsegment
+        |ORDER BY o_totalprice DESC, o_orderkey) AS rank
+        |FROM orders JOIN customer ON o_custkey = c_custkey)
+        |SELECT c_mktsegment, CAST(rank AS INTEGER) AS rank, o_orderkey, o_totalprice
+        |FROM j WHERE rank <= 3 ORDER BY c_mktsegment, rank""".stripMargin,
 
     "q33_token_stats" ->
       """SELECT lang, count(*) AS n_docs,

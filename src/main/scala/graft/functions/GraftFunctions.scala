@@ -38,6 +38,13 @@ object GraftFunctions {
   def vector_avg(v: Column): Column =
     col(VectorAvg(ex(v)).toAggregateExpression())
 
+  /** Top-k (score DESC, id ASC) pairs per group with a bounded k-slot
+    * buffer — shuffle bytes |groups| x k regardless of row count (see
+    * [[TopKByScore]]). */
+  def topk_by_score(score: Column, id: Column, k: Int): Column =
+    col(TopKByScore(ex(score.cast("double")), ex(id.cast("long")),
+      org.apache.spark.sql.catalyst.expressions.Literal(k)).toAggregateExpression())
+
   // ---- SQL builders (shared with plans.GraftExtensions) -----------------
   // SQL callers get the same input coercion as the Column wrappers: string/
   // double casts up front (there is no ExpectsInputTypes in Spark 4 outside

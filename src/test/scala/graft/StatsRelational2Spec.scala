@@ -79,6 +79,37 @@ class StatsRelational2Spec extends SparkSuite {
     assert(approx.getLong(4) === 2L)
   }
 
+  test("topk_by_score aggregate equals the row_number window form") {
+    import graft.functions.GraftFunctions.topk_by_score
+    val rows = (1 to 500).map(i => (s"g${i % 5}", (i * 7919 % 97).toDouble, i.toLong))
+    val df = rows.toDF("g", "score", "id").repartition(8)
+    val got = df.groupBy("g")
+      .agg(topk_by_score(col("score"), col("id"), 4).as("top"))
+      .select(col("g"), posexplode(col("top")))
+      .select(col("g"), (col("pos") + 1).as("rank"), col("col.id").as("id"))
+      .orderBy("g", "rank").as[(String, Int, Long)].collect()
+    val expect = rows.groupBy(_._1).toSeq.flatMap { case (g, rs) =>
+      rs.sortBy(r => (-r._2, r._3)).take(4).zipWithIndex
+        .map { case (r, i) => (g, i + 1, r._3) }
+    }.sortBy(r => (r._1, r._2))
+    assert(got.toSeq === expect)
+  }
+
+  test("TopKByScore buffer: bounded inserts, merge keeps global best") {
+    import graft.functions.TopKByScore
+    val a = new TopKByScore.Buffer(new Array[Double](3), new Array[Long](3), 0)
+    Seq((1.0, 10L), (5.0, 2L), (3.0, 7L), (5.0, 1L), (0.5, 99L))
+      .foreach { case (v, i) => a.insert(v, i) }
+    assert(a.vs.take(a.size).toSeq === Seq(5.0, 5.0, 3.0))
+    assert(a.ids.take(a.size).toSeq === Seq(1L, 2L, 7L)) // tie: smaller id first
+    val b = new TopKByScore.Buffer(new Array[Double](3), new Array[Long](3), 0)
+    Seq((9.0, 4L), (4.0, 6L)).foreach { case (v, i) => b.insert(v, i) }
+    Seq.tabulate(b.size)(i => (b.vs(i), b.ids(i)))
+      .foreach { case (v, i) => a.insert(v, i) }
+    assert(Seq.tabulate(a.size)(i => (a.vs(i), a.ids(i))) ===
+      Seq((9.0, 4L), (5.0, 1L), (5.0, 2L)))
+  }
+
   test("percentiles: exact linear interpolation (percentile_cont semantics)") {
     val df = (1 to 5).map(_.toDouble).toDF("x").withColumn("g", lit("a"))
     val out = Stats.percentiles(df, Seq("g"), "x", Seq(0.25, 0.5, 0.75))
