@@ -655,6 +655,26 @@ object SparkEntry {
         .orderBy("c_mktsegment", "rank")
     }),
 
+    // Winsorize: clamp prices into the per-flag [p05, p95] percentile band
+    // (fit once, broadcast-apply — no window over the fact table).
+    "q61_winsorize" -> ((s, dir) => {
+      Encode.winsorize(Tables.lineitem(s, dir), "l_extendedprice",
+        Seq("l_returnflag"), 0.05, 0.95)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          round(col("l_extendedprice_w"), 6).as("price_w"))
+        .orderBy("l_orderkey", "l_linenumber")
+    }),
+
+    // Stratified deterministic sampling: 20% of English docs, 5% of the
+    // rest — the data-mix lever, reproducible across engines and retries.
+    "q62_stratified" -> ((s, dir) => {
+      Stats.stratifiedSampleByHash(Tables.documents(s, dir), col("text"),
+        col("lang"), Map("en" -> 20), defaultPct = 5)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_sampled"), min("doc_id").as("first_doc"))
+        .orderBy("lang")
+    }),
+
     // Token statistics per language bucket.
     "q33_token_stats" -> ((s, dir) => {
       val t = col("text")
@@ -1203,6 +1223,22 @@ object SparkEntry {
         |FROM orders JOIN customer ON o_custkey = c_custkey)
         |SELECT c_mktsegment, CAST(rank AS INTEGER) AS rank, o_orderkey, o_totalprice
         |FROM j WHERE rank <= 3 ORDER BY c_mktsegment, rank""".stripMargin,
+
+    "q61_winsorize" ->
+      """WITH f AS (SELECT l_returnflag,
+        |quantile_cont(l_extendedprice, 0.05) AS lo,
+        |quantile_cont(l_extendedprice, 0.95) AS hi
+        |FROM lineitem GROUP BY 1)
+        |SELECT l_orderkey, l_linenumber,
+        |round(least(greatest(l_extendedprice, lo), hi), 6) AS price_w
+        |FROM lineitem JOIN f USING (l_returnflag)
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "q62_stratified" ->
+      s"""SELECT lang, count(*) AS n_sampled, min(doc_id) AS first_doc
+         |FROM documents
+         |WHERE ${dhash("text")} % 100 < CASE WHEN lang = 'en' THEN 20 ELSE 5 END
+         |GROUP BY lang ORDER BY lang""".stripMargin,
 
     "q33_token_stats" ->
       """SELECT lang, count(*) AS n_docs,

@@ -74,7 +74,12 @@ object GraftFunctions {
     "rolling_hash" -> (es => RollingHash(asString(es.head))),
     "cosine_similarity" -> (es => CosineSimilarity(es(0), es(1))),
     "minhash_sig" -> (es => MinHashSig(asString(es.head), literalK(es, 16))),
-    "simhash16" -> (es => SimHash(asString(es.head), literalK(es, 16))))
+    "simhash16" -> (es => SimHash(asString(es.head), literalK(es, 16))),
+    // Aggregates register as their raw AggregateFunction — the analyzer
+    // wraps them into AggregateExpressions at use sites.
+    "vector_avg" -> (es => VectorAvg(es.head)),
+    "topk_by_score" -> (es =>
+      TopKByScore(asDouble(es(0)), Cast(es(1), org.apache.spark.sql.types.LongType), es(2))))
 
   /** Register all graft expressions for SQL usage. Idempotent. */
   def registerAll(spark: SparkSession): Unit =

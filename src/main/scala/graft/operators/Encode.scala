@@ -65,4 +65,25 @@ object Encode {
     cols.foldLeft(joined)(applyOne)
       .drop(cols.flatMap(c => Seq(s"${c}_min", s"${c}_max")): _*)
   }
+
+  /** Winsorize (percentile clipping): clamp `valueCol` into its
+    * [pLo, pHi] exact-percentile band, optionally per group — the standard
+    * outlier-taming transform before scaling. Same fit-then-broadcast-apply
+    * shape as the scalers: one aggregate pass for the band, no window over
+    * the fact table. Output column `<valueCol>_w`. */
+  def winsorize(df: DataFrame, valueCol: String, groupCols: Seq[String],
+                pLo: Double, pHi: Double): DataFrame = {
+    val aggs = Seq(
+      expr(s"percentile($valueCol, $pLo)").as("_lo"),
+      expr(s"percentile($valueCol, $pHi)").as("_hi"))
+    val joined =
+      if (groupCols.isEmpty)
+        df.crossJoin(broadcast(df.agg(aggs.head, aggs.tail: _*)))
+      else
+        df.join(broadcast(df.groupBy(groupCols.map(col): _*).agg(aggs.head, aggs.tail: _*)),
+          groupCols)
+    joined.withColumn(s"${valueCol}_w",
+      least(greatest(col(valueCol), col("_lo")), col("_hi")))
+      .drop("_lo", "_hi")
+  }
 }

@@ -54,4 +54,16 @@ object Stats {
     * corpus. */
   def sampleByHash(df: DataFrame, key: Column, pct: Int): DataFrame =
     df.where(rolling_hash(key) % 100 < pct)
+
+  /** Stratified deterministic sampling: per-stratum keep rates (percent of
+    * 100), default for unlisted strata. The data-mix lever of a training
+    * pipeline (e.g. upsample low-resource languages) — same reproducibility
+    * guarantee as [[sampleByHash]], still one codegen'd scan, no shuffle. */
+  def stratifiedSampleByHash(df: DataFrame, key: Column, strata: Column,
+                             rates: Map[String, Int], defaultPct: Int): DataFrame = {
+    val rate = rates.toSeq.sortBy(_._1).foldLeft(lit(defaultPct)) {
+      case (acc, (value, pct)) => when(strata === value, lit(pct)).otherwise(acc)
+    }
+    df.where(rolling_hash(key) % 100 < rate)
+  }
 }

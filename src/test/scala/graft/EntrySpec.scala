@@ -8,8 +8,12 @@ class EntrySpec extends SparkSuite {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
-  test("oracleSql keys exactly match queries keys") {
-    assert(SparkEntry.oracleSql.keySet === SparkEntry.queries.keySet)
+  test("oracleSql keys match queries keys (sketch queries are rows-only)") {
+    // Sketch outputs (HLL++ ndv) are engine-specific, so these queries
+    // intentionally ship without a SQL oracle — the driver records the
+    // weaker rows-only check for them.
+    val rowsOnly = Set("q59_sketch_profile")
+    assert(SparkEntry.oracleSql.keySet === SparkEntry.queries.keySet -- rowsOnly)
   }
 
   test("every query executes and is non-empty at sf0.001") {

@@ -112,6 +112,18 @@ class FunctionsSpec extends SparkSuite {
       org.apache.spark.unsafe.types.UTF8String.fromString("42")))
   }
 
+  test("aggregate functions work from SQL after registerAll") {
+    graft.functions.GraftFunctions.registerAll(spark)
+    Seq(("a", Array(1.0f, 3.0f), 5.0, 1L), ("a", Array(3.0f, 5.0f), 9.0, 2L))
+      .toDF("g", "v", "score", "id").createOrReplaceTempView("agg_in")
+    val r = spark.sql(
+      "SELECT vector_avg(v) AS c, topk_by_score(score, id, 1) AS t " +
+        "FROM agg_in GROUP BY g").head()
+    assert(r.getSeq[Double](0) === Seq(2.0, 4.0))
+    val top = r.getSeq[org.apache.spark.sql.Row](1)
+    assert(top.map(x => (x.getDouble(0), x.getLong(1))) === Seq((9.0, 2L)))
+  }
+
   test("augment coin mixes the seed (different-parity AND same-parity seeds diverge)") {
     // regression: hashCode*31+seed collapsed to XOR of parity bits
     val entries = (0 until 64).map(i => s"img_$i.png")

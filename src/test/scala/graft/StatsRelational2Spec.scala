@@ -144,6 +144,27 @@ class StatsRelational2Spec extends SparkSuite {
     assert(small.subsetOf(big))
   }
 
+  test("winsorize clamps into the percentile band; interior values untouched") {
+    val df = ((1 to 99).map(_.toDouble) :+ 1000.0).toDF("x").withColumn("g", lit("a"))
+    val out = graft.operators.Encode.winsorize(df, "x", Seq("g"), 0.05, 0.95)
+      .select("x", "x_w").as[(Double, Double)].collect().toMap
+    assert(out(50.0) === 50.0)          // interior untouched
+    assert(out(1000.0) === out.values.max)  // outlier clamped to p95
+    assert(out(1.0) > 1.0)              // low tail clamped up to p05
+  }
+
+  test("stratifiedSampleByHash applies per-stratum rates deterministically") {
+    val df = (1 to 1000).map(i => (s"text body $i", if (i % 2 == 0) "en" else "de"))
+      .toDF("t", "lang")
+    val out = Stats.stratifiedSampleByHash(df, col("t"), col("lang"),
+      Map("en" -> 50), defaultPct = 5)
+    val counts = out.groupBy("lang").count().as[(String, Long)].collect().toMap
+    assert(counts("en") > 150 && counts("en") < 350) // ~50% of 500
+    assert(counts.getOrElse("de", 0L) < 80)          // ~5% of 500
+    assert(out.count() === Stats.stratifiedSampleByHash(df, col("t"), col("lang"),
+      Map("en" -> 50), 5).count())                   // reproducible
+  }
+
   test("ngrams builds sliding word windows; short docs yield none") {
     val df = Seq("a b c d", "solo").toDF("text")
       .select(TextAnalysis.tokens(col("text")).as("tk"))
