@@ -675,6 +675,29 @@ object SparkEntry {
         .orderBy("lang")
     }),
 
+    // LLM sequence packing: greedy-consecutive doc packing into 512-token
+    // context budgets (distributed prefix sum, no single-partition window).
+    "q63_seq_pack" -> ((s, dir) => {
+      Batching.weightBudgetChunkId(
+        Tables.documents(s, dir).select("doc_id", "text"),
+        Seq("doc_id"), 512, TextAnalysis.tokenCount(col("text")), out = "pack_id")
+        .withColumn("w", TextAnalysis.tokenCount(col("text")).cast("long"))
+        .groupBy("pack_id")
+        .agg(count(lit(1)).as("n_docs"), sum("w").as("total_tokens"))
+        .orderBy("pack_id")
+    }),
+
+    // Deterministic train/val/test split assignment (80/10/10 by content
+    // hash): survives retries and engine swaps, unlike rand() splits.
+    "q64_split_assign" -> ((s, dir) => {
+      val b = rolling_hash(col("text")) % 100
+      val split = when(b < 80, "train").when(b < 90, "val").otherwise("test")
+      Tables.documents(s, dir)
+        .groupBy(col("lang"), split.as("split"))
+        .agg(count(lit(1)).as("n"), min("doc_id").as("first_doc"))
+        .orderBy("lang", "split")
+    }),
+
     // Token statistics per language bucket.
     "q33_token_stats" -> ((s, dir) => {
       val t = col("text")
@@ -1239,6 +1262,20 @@ object SparkEntry {
          |FROM documents
          |WHERE ${dhash("text")} % 100 < CASE WHEN lang = 'en' THEN 20 ELSE 5 END
          |GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "q63_seq_pack" ->
+      """WITH x AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS w FROM documents),
+        |c AS (SELECT CAST(floor((sum(w) OVER (ORDER BY doc_id
+        |ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1) / 512.0) AS BIGINT) AS pack_id, w FROM x)
+        |SELECT pack_id, count(*) AS n_docs, CAST(sum(w) AS BIGINT) AS total_tokens
+        |FROM c GROUP BY pack_id ORDER BY pack_id""".stripMargin,
+
+    "q64_split_assign" ->
+      s"""WITH h AS (SELECT lang, doc_id, ${dhash("text")} % 100 AS b FROM documents)
+         |SELECT lang,
+         |CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val' ELSE 'test' END AS split,
+         |count(*) AS n, min(doc_id) AS first_doc
+         |FROM h GROUP BY 1, 2 ORDER BY lang, split""".stripMargin,
 
     "q33_token_stats" ->
       """SELECT lang, count(*) AS n_docs,

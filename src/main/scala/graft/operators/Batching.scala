@@ -85,11 +85,21 @@ object Batching {
     val rowBytes = sizeCols
       .map(c => length(col(c).cast("string")))
       .reduce(_ + _) + lit(1)
-    prefixSum(df.withColumn("_row_bytes", rowBytes.cast("long")),
-      orderCols, "_row_bytes", "_cum")
-      .withColumn(out, floor((col("_cum") - 1).cast("double") / budgetBytes).cast("long"))
-      .drop("_row_bytes", "_cum")
+    weightBudgetChunkId(df, orderCols, budgetBytes, rowBytes, out)
   }
+
+  /** Generalized budgeted chunking: consecutive rows (in `orderCols` order)
+    * share a chunk while their summed `weight` stays within `budget`.
+    * Byte-budget file chunking and LLM sequence packing (weight = token
+    * count, budget = context length) are both instances; the cumulative sum
+    * is the distributed two-phase [[prefixSum]], never a single-partition
+    * window. */
+  def weightBudgetChunkId(df: DataFrame, orderCols: Seq[String], budget: Long,
+                          weight: org.apache.spark.sql.Column,
+                          out: String = "chunk_id"): DataFrame =
+    prefixSum(df.withColumn("_w", weight.cast("long")), orderCols, "_w", "_cum")
+      .withColumn(out, floor((col("_cum") - 1).cast("double") / budget).cast("long"))
+      .drop("_w", "_cum")
 
   /** G1/G2/K1/K3/K4 physical form — chunked parquet/csv write without any
     * global sort: `maxRecordsPerFile` bounds records per output file the way
