@@ -74,6 +74,25 @@ object ScaleProbe {
       graft.operators.Geo.errorReport(pts, Seq("l_returnflag"),
         col("lat1"), col("lon1"), col("lat2"), col("lon2"))
     })
+
+    // Round-2 probes: top-k per group (window sort vs bounded-buffer agg),
+    // and the as-of join at 16x. Both answer "does the cheap plan hold when
+    // the group/row count is 16x the bench SF?"
+    time("group top-3: row_number window @ 16x")(noop(
+      graft.operators.Relational.groupTopK(bl, Seq("l_returnflag"), 3,
+        col("l_extendedprice").desc, col("l_orderkey").asc)
+        .select("l_returnflag", "rank", "l_orderkey")))
+    time("group top-3: TopKByScore agg @ 16x")(noop(
+      bl.groupBy("l_returnflag")
+        .agg(graft.functions.GraftFunctions
+          .topk_by_score(col("l_extendedprice"), col("l_orderkey"), 3).as("top"))))
+    time("as-of join @ 16x (9.6M left x 600k right)")(noop(
+      graft.operators.Relational.asofJoin(
+        bl.select(col("l_orderkey"), col("l_suppkey").as("key"),
+          col("l_shipdate").as("t")),
+        li.groupBy(col("l_suppkey").as("key"), col("l_shipdate").as("t"))
+          .agg(max("l_extendedprice").as("last_price")),
+        Seq("key"), "t", Seq("last_price"))))
     spark.stop()
   }
 }
