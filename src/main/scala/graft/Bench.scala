@@ -30,19 +30,30 @@ object Bench {
     // of each plan shape, and min filters out contention spikes on a shared
     // box (a single spike inflated one query 20x in round 1's driver run).
     val passes = sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "2").toInt
+    require(passes >= 1, s"SPARK_GRAFT_BENCH_PASSES must be >= 1, got $passes")
     val names = SparkEntry.queries.keys.toSeq.sorted
+    // A failed attempt must not contribute its (fast) time-to-failure to the
+    // min — record it as +inf; a query that failed in EVERY pass reports -1
+    // so the driver sees an impossible value, not a bogus small one.
     val timed = (1 to passes).map { _ =>
       names.map { name =>
         val t0 = System.nanoTime()
-        try SparkEntry.queries(name)(spark, sfDir)
-          .write.format("noop").mode("overwrite").save()
-        catch { case e: Throwable =>
-          System.err.println(s"[bench] $name failed: ${e.getMessage}")
-        }
-        name -> (System.nanoTime() - t0) / 1e9
+        val ok =
+          try {
+            SparkEntry.queries(name)(spark, sfDir)
+              .write.format("noop").mode("overwrite").save()
+            true
+          } catch { case e: Throwable =>
+            System.err.println(s"[bench] $name failed: ${e.getMessage}")
+            false
+          }
+        name -> (if (ok) (System.nanoTime() - t0) / 1e9 else Double.PositiveInfinity)
       }.toMap
     }
-    val results = names.map(n => n -> timed.map(_(n)).min)
+    val results = names.map { n =>
+      val best = timed.map(_(n)).min
+      n -> (if (best.isInfinity) -1.0 else best)
+    }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum

@@ -44,6 +44,9 @@ case class TopKByScore(
   override def checkInputDataTypes(): TypeCheckResult =
     if (!kExpr.foldable)
       TypeCheckResult.TypeCheckFailure("k must be a literal")
+    else if (kExpr.eval(null) == null ||
+      kExpr.eval(null).asInstanceOf[Number].intValue() < 1)
+      TypeCheckResult.TypeCheckFailure("k must be a positive integer constant")
     else (score.dataType, id.dataType) match {
       case (DoubleType, LongType) => TypeCheckResult.TypeCheckSuccess
       case other => TypeCheckResult.TypeCheckFailure(
@@ -107,8 +110,13 @@ object TopKByScore {
     * insertion — k is small, rows that can't beat the current worst exit
     * after one comparison. */
   final class Buffer(val vs: Array[Double], val ids: Array[Long], var size: Int) {
-    private def better(v: Double, id: Long, j: Int): Boolean =
-      v > vs(j) || (v == vs(j) && id < ids(j))
+    // java.lang.Double.compare matches Spark SQL's total ordering for
+    // doubles (NaN greatest, -0.0 < 0.0), so the buffer ranks exactly like
+    // the `score DESC` window form even for NaN scores.
+    private def better(v: Double, id: Long, j: Int): Boolean = {
+      val cmp = java.lang.Double.compare(v, vs(j))
+      cmp > 0 || (cmp == 0 && id < ids(j))
+    }
 
     def insert(v: Double, id: Long): Unit = {
       val k = vs.length

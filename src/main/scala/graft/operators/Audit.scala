@@ -46,7 +46,13 @@ object Audit {
     * heterogeneous column types fit one output schema), null count, and
     * distinct count. `exact = false` swaps exact ndv for the HLL++ sketch
     * (`approx_count_distinct`) — the 100 TB path, constant memory per
-    * column. Output long-format: (column, min_val, max_val, n_null, n_distinct). */
+    * column. Output long-format: (column, min_val, max_val, n_null, n_distinct).
+    *
+    * Cross-engine caveat: float/double min/max rendered through
+    * cast-to-string are engine-specific for values needing scientific
+    * notation (Spark "1.0E7" vs DuckDB "10000000.0") — profile integral /
+    * date / string columns when the output feeds an exact cross-engine
+    * compare. */
   def profile(df: DataFrame, cols: Seq[String], exact: Boolean = true): DataFrame = {
     val aggs = cols.flatMap { c =>
       Seq(min(col(c)).cast("string").as(s"_min_$c"),

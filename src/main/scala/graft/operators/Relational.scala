@@ -78,6 +78,9 @@ object Relational {
     */
   def asofJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
                tsCol: String, payload: Seq[String]): DataFrame = {
+    val reserved = Seq("_side", "_pay", "_pay_ff")
+    require(!left.columns.exists(reserved.contains),
+      s"asofJoin reserves columns ${reserved.mkString(", ")}")
     val leftCols = left.columns.toSeq
     val r = right
       .select((keys :+ tsCol).map(col) :+ struct(payload.map(col): _*).as("_pay"): _*)
@@ -119,6 +122,8 @@ object Relational {
     * ties: highest version wins, then `updates` over `base`. */
   def upsert(base: DataFrame, updates: DataFrame, keys: Seq[String],
              versionCol: String): DataFrame = {
+    require(!base.columns.contains("_src") && !base.columns.contains("_rn"),
+      "upsert reserves columns _src, _rn")
     val tagged = base.withColumn("_src", lit(0))
       .unionByName(updates.withColumn("_src", lit(1)))
     val w = Window.partitionBy(keys.map(col): _*)

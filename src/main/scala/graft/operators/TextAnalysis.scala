@@ -88,14 +88,17 @@ object TextAnalysis {
     * Scores are rounded to 6 dp BEFORE ranking so ordering is reproducible
     * across engines whose `ln` differs in the last ulp. */
   def tfidfTopK(docs: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
-    val n = docs.count()
+    // Corpus size as a LAZY broadcast scalar (1-row cross join), not an
+    // eager .count() — building the plan must not block on a full scan.
+    val n = docs.agg(count(lit(1)).cast("double").as("_n"))
     val tf = docs
       .select(col(idCol), explode(tokens(col(textCol))).as("term"))
       .groupBy(idCol, "term").agg(count(lit(1)).as("tf"))
     val idf = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val w = Window.partitionBy(idCol).orderBy(col("score").desc, col("term").asc)
     tf.join(idf, "term")
-      .withColumn("score", round(col("tf") * log(lit(n.toDouble) / col("df")), 6))
+      .crossJoin(broadcast(n))
+      .withColumn("score", round(col("tf") * log(col("_n") / col("df")), 6))
       .withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
       .select(col(idCol), col("rank"), col("term"), col("score"))

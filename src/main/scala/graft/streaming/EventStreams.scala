@@ -150,12 +150,13 @@ object EventStreams {
   }
 
   /** Stream-static enrichment join: each micro-batch hash-joins against a
-    * static dim (broadcast when small — the planner sees the static side's
-    * size). No state, no watermark needed; the streaming side never
-    * shuffles when the dim broadcasts. */
+    * static dim. No broadcast hint — the planner picks broadcast when the
+    * dim is under `autoBroadcastJoinThreshold` (the streaming side then
+    * never shuffles) and falls back to a shuffled join for large dims
+    * instead of OOMing the driver on a forced collect. */
   def enrichWithStatic(stream: DataFrame, dim: DataFrame,
                        keys: Seq[String]): DataFrame =
-    stream.join(broadcast(dim), keys)
+    stream.join(dim, keys)
 
   /** Stream-stream inner join within a bounded event-time band: both sides
     * are watermarked and the join condition carries a time range, so state

@@ -95,6 +95,22 @@ class StatsRelational2Spec extends SparkSuite {
     assert(got.toSeq === expect)
   }
 
+  test("topk_by_score ranks NaN like the window form (NaN greatest)") {
+    import graft.functions.GraftFunctions.topk_by_score
+    val df = Seq((1.0, 1L), (Double.NaN, 2L), (5.0, 3L)).toDF("score", "id")
+      .withColumn("g", lit("a"))
+    val got = df.groupBy("g")
+      .agg(topk_by_score(col("score"), col("id"), 2).as("top"))
+      .select(posexplode(col("top"))).select(col("col.id"))
+      .as[Long].collect()
+    val win = df.withColumn("rn", row_number().over(
+      org.apache.spark.sql.expressions.Window.partitionBy("g")
+        .orderBy(col("score").desc, col("id").asc)))
+      .where(col("rn") <= 2).orderBy("rn").select("id").as[Long].collect()
+    assert(got.toSeq === win.toSeq) // NaN first in both forms
+    assert(got.head === 2L)
+  }
+
   test("TopKByScore buffer: bounded inserts, merge keeps global best") {
     import graft.functions.TopKByScore
     val a = new TopKByScore.Buffer(new Array[Double](3), new Array[Long](3), 0)
