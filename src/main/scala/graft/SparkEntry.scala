@@ -698,6 +698,17 @@ object SparkEntry {
         .orderBy("lang", "split")
     }),
 
+    // Dedup clusters: LSH candidate pairs -> connected components (min-label
+    // propagation, keyed joins only). Cluster id = smallest member doc_id,
+    // i.e. the canonical representative a dedup pass would keep.
+    "q65_dedup_clusters" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      val pairs = Dedup.lshCandidatePairs(d, "doc_id", "text").select("id_a", "id_b")
+      Dedup.connectedComponents(d.select(col("doc_id").as("id")), pairs)
+        .select(col("id").as("doc_id"), col("component").as("cluster"))
+        .orderBy("doc_id")
+    }),
+
     // Token statistics per language bucket.
     "q33_token_stats" -> ((s, dir) => {
       val t = col("text")
@@ -1276,6 +1287,24 @@ object SparkEntry {
          |CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val' ELSE 'test' END AS split,
          |count(*) AS n, min(doc_id) AS first_doc
          |FROM h GROUP BY 1, 2 ORDER BY lang, split""".stripMargin,
+
+    "q65_dedup_clusters" ->
+      s"""WITH RECURSIVE hs AS (SELECT doc_id, ${dShingleHashes("text")} AS hashes FROM documents),
+         |sg AS (SELECT doc_id, list_transform(range(0, 16),
+         |i -> list_min(list_transform(hashes, h -> ((2*i+3)*h + (7*i+1)) % $Mod))) AS sig FROM hs),
+         |banded AS (SELECT doc_id, sig, b.band AS band,
+         |array_to_string(sig[b.band*4+1 : b.band*4+4], '-') AS bkey
+         |FROM sg CROSS JOIN (SELECT unnest(range(0, 4)) AS band) b),
+         |pairs AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |FROM banded a JOIN banded b ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+         |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+         |UNION ALL SELECT id_b AS src, id_a AS dst FROM pairs),
+         |reach(id, m) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT e.src, r.m FROM edges e JOIN reach r ON r.id = e.dst)
+         |SELECT id AS doc_id, CAST(min(m) AS BIGINT) AS cluster
+         |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin,
 
     "q33_token_stats" ->
       """SELECT lang, count(*) AS n_docs,

@@ -175,4 +175,48 @@ object Dedup {
 
   /** Hamming distance between two simhash values. */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /** Connected components over near-dup candidate pairs — turns pairwise
+    * matches into dedup clusters (component id = smallest member id, the
+    * canonical representative to keep).
+    *
+    * Min-label propagation: every node starts as its own label; each round
+    * every node takes the min label among itself and its neighbors; stop at
+    * fixpoint. Rounds needed = graph diameter, and near-dup clusters are
+    * shallow (LSH bands link all members of a clique directly), so this
+    * converges in a handful of keyed-join rounds — each round one shuffle
+    * of (edges + labels), no driver-side graph. The per-round driver scalar
+    * (changed-count) is the same iterative-fit pattern as k-means
+    * ([[graft.operators.Similarity.trainCentroids]]). For graphs with long
+    * chains at extreme scale, switch to large-star/small-star (same join
+    * primitives, fewer rounds).
+    *
+    * `nodes`: one column `id`; `edges`: columns `id_a`, `id_b` (undirected).
+    * Output: (id, component). */
+  def connectedComponents(nodes: DataFrame, edges: DataFrame,
+                          maxIter: Int = 50): DataFrame = {
+    val sym = edges.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .unionByName(edges.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var labels = nodes.select(col("id"), col("id").as("component"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < maxIter) {
+      val viaNeighbors = sym
+        .join(labels.withColumnRenamed("id", "dst"), "dst")
+        .select(col("src").as("id"), col("component"))
+      val next = labels.unionByName(viaNeighbors)
+        .groupBy("id").agg(min("component").as("component"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      changed = next
+        .join(labels.withColumnRenamed("component", "_old"), "id")
+        .where(col("component") =!= col("_old")).count()
+      labels.unpersist()
+      labels = next
+      iter += 1
+    }
+    sym.unpersist()
+    labels
+  }
 }

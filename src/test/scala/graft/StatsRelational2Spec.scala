@@ -181,6 +181,23 @@ class StatsRelational2Spec extends SparkSuite {
       Map("en" -> 50), 5).count())                   // reproducible
   }
 
+  test("connectedComponents: chains collapse to min id, singletons self-label") {
+    import graft.operators.Dedup
+    val nodes = (1L to 8L).toDF("id")
+    // chain 1-2-3, pair 5-6, singletons 4,7,8; edge 2-3 only via 1
+    val edges = Seq((1L, 2L), (3L, 1L), (5L, 6L)).toDF("id_a", "id_b")
+    val out = Dedup.connectedComponents(nodes, edges)
+      .orderBy("id").as[(Long, Long)].collect()
+    assert(out === Array((1L, 1L), (2L, 1L), (3L, 1L), (4L, 4L),
+      (5L, 5L), (6L, 5L), (7L, 7L), (8L, 8L)))
+    // longer chain needs multiple propagation rounds
+    val chain = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L), (6L, 7L))
+      .toDF("id_a", "id_b")
+    val out2 = Dedup.connectedComponents((1L to 7L).toDF("id"), chain)
+      .select("component").distinct().as[Long].collect()
+    assert(out2 === Array(1L))
+  }
+
   test("ngrams builds sliding word windows; short docs yield none") {
     val df = Seq("a b c d", "solo").toDF("text")
       .select(TextAnalysis.tokens(col("text")).as("tk"))
