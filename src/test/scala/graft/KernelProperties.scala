@@ -80,4 +80,46 @@ object KernelProperties extends Properties("graft.kernels") {
       math.abs(n(i) * std(ch) + mean(ch) - data(i)) < 1e-5
     }
   }
+
+  // ---- TopKByScore buffer laws --------------------------------------------
+
+  private val pairsGen: Gen[List[(Double, Long)]] =
+    Gen.listOf(Gen.zip(
+      Gen.oneOf(Gen.choose(-100.0, 100.0), Gen.const(Double.NaN)),
+      Gen.choose(0L, 50L)))
+  private val kGen: Gen[Int] = Gen.choose(1, 6)
+
+  /** Reference: Spark's total order for doubles desc (NaN greatest), id asc. */
+  private def refTopK(xs: List[(Double, Long)], k: Int): List[(Double, Long)] =
+    xs.sortWith { case ((v1, i1), (v2, i2)) =>
+      val c = java.lang.Double.compare(v1, v2)
+      c > 0 || (c == 0 && i1 < i2)
+    }.take(k)
+
+  private def runBuffer(xs: List[(Double, Long)], k: Int): List[(Double, Long)] = {
+    val b = new graft.functions.TopKByScore.Buffer(
+      new Array[Double](k), new Array[Long](k), 0)
+    xs.foreach { case (v, i) => b.insert(v, i) }
+    List.tabulate(b.size)(i => (b.vs(i), b.ids(i)))
+  }
+
+  private def eqPairs(a: List[(Double, Long)], b: List[(Double, Long)]): Boolean =
+    a.length == b.length && a.zip(b).forall { case ((v1, i1), (v2, i2)) =>
+      i1 == i2 && (v1 == v2 || (v1.isNaN && v2.isNaN))
+    }
+
+  property("topk.buffer.matchesSortTake") = forAll(pairsGen, kGen) { (xs, k) =>
+    eqPairs(runBuffer(xs, k), refTopK(xs, k))
+  }
+
+  property("topk.buffer.mergeEqualsConcat") = forAll(pairsGen, pairsGen, kGen) {
+    (xs, ys, k) =>
+      val a = new graft.functions.TopKByScore.Buffer(
+        new Array[Double](k), new Array[Long](k), 0)
+      xs.foreach { case (v, i) => a.insert(v, i) }
+      val bs = runBuffer(ys, k)
+      bs.foreach { case (v, i) => a.insert(v, i) } // merge = re-insert b's slots
+      eqPairs(List.tabulate(a.size)(i => (a.vs(i), a.ids(i))), refTopK(xs ++ ys, k))
+  }
+
 }

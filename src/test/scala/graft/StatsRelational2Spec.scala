@@ -198,6 +198,30 @@ class StatsRelational2Spec extends SparkSuite {
     assert(out2 === Array(1L))
   }
 
+  test("connectedComponents matches a union-find reference on random graphs") {
+    import graft.operators.Dedup
+    def refComponents(n: Int, edges: Seq[(Int, Int)]): Map[Int, Int] = {
+      val parent = Array.tabulate(n + 1)(identity)
+      def find(x: Int): Int = { var r = x; while (parent(r) != r) r = parent(r); r }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      (1 to n).map(i => i -> find(i)).toMap
+    }
+    val rnd = new scala.util.Random(42)
+    (1 to 3).foreach { _ =>
+      val n = 2 + rnd.nextInt(10)
+      val edges = Seq.fill(rnd.nextInt(10))((1 + rnd.nextInt(n), 1 + rnd.nextInt(n)))
+        .filter(e => e._1 != e._2)
+      val got = Dedup.connectedComponents(
+        (1L to n.toLong).toDF("id"),
+        edges.map { case (a, b) => (a.toLong, b.toLong) }.toDF("id_a", "id_b"))
+        .collect().map(r => r.getLong(0).toInt -> r.getLong(1).toInt).toMap
+      assert(got === refComponents(n, edges), s"n=$n edges=$edges")
+    }
+  }
+
   test("ngrams builds sliding word windows; short docs yield none") {
     val df = Seq("a b c d", "solo").toDF("text")
       .select(TextAnalysis.tokens(col("text")).as("tk"))
