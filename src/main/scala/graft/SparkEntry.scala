@@ -709,6 +709,18 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // §2.11 — SLIDING event-time windows (1h window, 15min slide) as batch
+    // group-by: each event lands in 4 overlapping windows (same TimeWindow
+    // expansion Structured Streaming uses).
+    "q66_sliding_window" -> ((s, dir) => {
+      Tables.events(s, dir)
+        .groupBy(window(col("ts"), "1 hour", "15 minutes").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("w.start").cast("timestamp_ntz").as("win_start"),
+          col("event_type"), col("n"))
+        .orderBy("win_start", "event_type")
+    }),
+
     // Token statistics per language bucket.
     "q33_token_stats" -> ((s, dir) => {
       val t = col("text")
@@ -1305,6 +1317,14 @@ object SparkEntry {
          |  SELECT e.src, r.m FROM edges e JOIN reach r ON r.id = e.dst)
          |SELECT id AS doc_id, CAST(min(m) AS BIGINT) AS cluster
          |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin,
+
+    "q66_sliding_window" ->
+      """WITH e AS (SELECT event_type, epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events),
+        |w AS (SELECT event_type,
+        |make_timestamp((us // 900000000) * 900000000 - k.k * 900000000) AS win_start
+        |FROM e CROSS JOIN (SELECT unnest(range(0, 4)) AS k) k)
+        |SELECT win_start, event_type, count(*) AS n
+        |FROM w GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "q33_token_stats" ->
       """SELECT lang, count(*) AS n_docs,
