@@ -721,6 +721,20 @@ object SparkEntry {
         .orderBy("win_start", "event_type")
     }),
 
+    // CUBE — the full grouping lattice (both one-dim subtotal planes that
+    // ROLLUP omits), one Expand + aggregate pass.
+    "q67_cube" -> ((s, dir) => {
+      Tables.lineitem(s, dir)
+        .cube("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("n"),
+          grouping(col("l_returnflag")).cast("int").as("g_flag"),
+          grouping(col("l_linestatus")).cast("int").as("g_status"))
+        .select(coalesce(col("l_returnflag"), lit("ALL")).as("flag"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("status"),
+          col("g_flag"), col("g_status"), col("n"))
+        .orderBy("flag", "status", "g_flag", "g_status")
+    }),
+
     // Token statistics per language bucket.
     "q33_token_stats" -> ((s, dir) => {
       val t = col("text")
@@ -1325,6 +1339,15 @@ object SparkEntry {
         |FROM e CROSS JOIN (SELECT unnest(range(0, 4)) AS k) k)
         |SELECT win_start, event_type, count(*) AS n
         |FROM w GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q67_cube" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS flag,
+        |coalesce(l_linestatus, 'ALL') AS status,
+        |CAST(GROUPING(l_returnflag) AS INTEGER) AS g_flag,
+        |CAST(GROUPING(l_linestatus) AS INTEGER) AS g_status,
+        |count(*) AS n
+        |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+        |ORDER BY flag, status, g_flag, g_status""".stripMargin,
 
     "q33_token_stats" ->
       """SELECT lang, count(*) AS n_docs,
