@@ -776,6 +776,18 @@ object SparkEntry {
       s"i -> array_to_string(($tk)[i:i+2], ' ')) END, s -> ${dhash("s")}))"
   }
 
+  /** DuckDB fragment: the MinHash signature + LSH banding CTE chain
+    * (hs/sg/banded) shared by q24 (candidate pairs) and q65 (clusters) —
+    * one definition of the permutation and band arithmetic so the two
+    * oracles can never disagree on candidates. */
+  private def dBandedCtes: String =
+    s"""hs AS (SELECT doc_id, ${dShingleHashes("text")} AS hashes FROM documents),
+       |sg AS (SELECT doc_id, list_transform(range(0, 16),
+       |i -> list_min(list_transform(hashes, h -> ((2*i+3)*h + (7*i+1)) % $Mod))) AS sig FROM hs),
+       |banded AS (SELECT doc_id, sig, b.band AS band,
+       |array_to_string(sig[b.band*4+1 : b.band*4+4], '-') AS bkey
+       |FROM sg CROSS JOIN (SELECT unnest(range(0, 4)) AS band) b)""".stripMargin
+
   private def dLangScore(words: Seq[String]): String =
     words.map(w => s"CAST(len(list_filter(string_split(text, ' '), t -> t = '$w')) AS INTEGER)")
       .mkString(" + ")
@@ -946,12 +958,7 @@ object SparkEntry {
          |FROM documents ORDER BY doc_id""".stripMargin,
 
     "q24_minhash_lsh" ->
-      s"""WITH hs AS (SELECT doc_id, ${dShingleHashes("text")} AS hashes FROM documents),
-         |sg AS (SELECT doc_id, list_transform(range(0, 16),
-         |i -> list_min(list_transform(hashes, h -> ((2*i+3)*h + (7*i+1)) % $Mod))) AS sig FROM hs),
-         |banded AS (SELECT doc_id, sig, b.band AS band,
-         |array_to_string(sig[b.band*4+1 : b.band*4+4], '-') AS bkey
-         |FROM sg CROSS JOIN (SELECT unnest(range(0, 4)) AS band) b),
+      s"""WITH $dBandedCtes,
          |pairs AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b, a.sig AS sig_a, b.sig AS sig_b
          |FROM banded a JOIN banded b ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id)
          |SELECT id_a, id_b,
@@ -1315,12 +1322,7 @@ object SparkEntry {
          |FROM h GROUP BY 1, 2 ORDER BY lang, split""".stripMargin,
 
     "q65_dedup_clusters" ->
-      s"""WITH RECURSIVE hs AS (SELECT doc_id, ${dShingleHashes("text")} AS hashes FROM documents),
-         |sg AS (SELECT doc_id, list_transform(range(0, 16),
-         |i -> list_min(list_transform(hashes, h -> ((2*i+3)*h + (7*i+1)) % $Mod))) AS sig FROM hs),
-         |banded AS (SELECT doc_id, sig, b.band AS band,
-         |array_to_string(sig[b.band*4+1 : b.band*4+4], '-') AS bkey
-         |FROM sg CROSS JOIN (SELECT unnest(range(0, 4)) AS band) b),
+      s"""WITH RECURSIVE $dBandedCtes,
          |pairs AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
          |FROM banded a JOIN banded b ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
          |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs

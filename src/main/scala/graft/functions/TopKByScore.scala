@@ -42,8 +42,9 @@ case class TopKByScore(
   override def prettyName: String = "topk_by_score"
 
   override def checkInputDataTypes(): TypeCheckResult =
-    if (!kExpr.foldable)
-      TypeCheckResult.TypeCheckFailure("k must be a literal")
+    if (!kExpr.foldable || !Seq(ByteType, ShortType, IntegerType, LongType)
+      .contains(kExpr.dataType))
+      TypeCheckResult.TypeCheckFailure("k must be an integer literal")
     else if (kExpr.eval(null) == null ||
       kExpr.eval(null).asInstanceOf[Number].intValue() < 1)
       TypeCheckResult.TypeCheckFailure("k must be a positive integer constant")
@@ -110,11 +111,12 @@ object TopKByScore {
     * insertion — k is small, rows that can't beat the current worst exit
     * after one comparison. */
   final class Buffer(val vs: Array[Double], val ids: Array[Long], var size: Int) {
-    // java.lang.Double.compare matches Spark SQL's total ordering for
-    // doubles (NaN greatest, -0.0 < 0.0), so the buffer ranks exactly like
-    // the `score DESC` window form even for NaN scores.
+    // Match Spark SQL's double ordering (SQLOrderingUtil.compareDoubles):
+    // NaN sorts greatest, but -0.0 == 0.0 — the IEEE `==` short-circuit
+    // below is what keeps ±0.0 a tie (java.lang.Double.compare alone would
+    // rank 0.0 above -0.0 and diverge from the window form).
     private def better(v: Double, id: Long, j: Int): Boolean = {
-      val cmp = java.lang.Double.compare(v, vs(j))
+      val cmp = if (v == vs(j)) 0 else java.lang.Double.compare(v, vs(j))
       cmp > 0 || (cmp == 0 && id < ids(j))
     }
 

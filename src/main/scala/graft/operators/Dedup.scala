@@ -217,6 +217,11 @@ object Dedup {
       iter += 1
     }
     sym.unpersist()
+    // Non-converged labels are WRONG labels (a node maxIter+1 hops from its
+    // component's min would keep a stale id) — fail loudly, never return them.
+    require(changed == 0,
+      s"connectedComponents did not converge within $maxIter rounds " +
+        "(graph diameter exceeds maxIter); raise maxIter or pre-contract long chains")
     labels
   }
 }

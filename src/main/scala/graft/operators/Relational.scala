@@ -79,7 +79,9 @@ object Relational {
   def asofJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
                tsCol: String, payload: Seq[String]): DataFrame = {
     val reserved = Seq("_side", "_pay", "_pay_ff")
-    require(!left.columns.exists(reserved.contains),
+    require(!left.columns.exists(reserved.contains) &&
+      !(keys :+ tsCol).exists(reserved.contains) &&
+      !payload.exists(reserved.contains),
       s"asofJoin reserves columns ${reserved.mkString(", ")}")
     val leftCols = left.columns.toSeq
     val r = right
@@ -122,7 +124,7 @@ object Relational {
     * ties: highest version wins, then `updates` over `base`. */
   def upsert(base: DataFrame, updates: DataFrame, keys: Seq[String],
              versionCol: String): DataFrame = {
-    require(!base.columns.contains("_src") && !base.columns.contains("_rn"),
+    require((base.columns ++ updates.columns).forall(c => c != "_src" && c != "_rn"),
       "upsert reserves columns _src, _rn")
     val tagged = base.withColumn("_src", lit(0))
       .unionByName(updates.withColumn("_src", lit(1)))

@@ -85,14 +85,16 @@ object KernelProperties extends Properties("graft.kernels") {
 
   private val pairsGen: Gen[List[(Double, Long)]] =
     Gen.listOf(Gen.zip(
-      Gen.oneOf(Gen.choose(-100.0, 100.0), Gen.const(Double.NaN)),
+      Gen.oneOf(Gen.choose(-100.0, 100.0), Gen.const(Double.NaN),
+        Gen.const(0.0), Gen.const(-0.0)),
       Gen.choose(0L, 50L)))
   private val kGen: Gen[Int] = Gen.choose(1, 6)
 
-  /** Reference: Spark's total order for doubles desc (NaN greatest), id asc. */
+  /** Reference: Spark SQL's double ordering desc (NaN greatest,
+    * -0.0 == 0.0 per SQLOrderingUtil), id asc. */
   private def refTopK(xs: List[(Double, Long)], k: Int): List[(Double, Long)] =
     xs.sortWith { case ((v1, i1), (v2, i2)) =>
-      val c = java.lang.Double.compare(v1, v2)
+      val c = if (v1 == v2) 0 else java.lang.Double.compare(v1, v2)
       c > 0 || (c == 0 && i1 < i2)
     }.take(k)
 
