@@ -735,6 +735,27 @@ object SparkEntry {
         .orderBy("flag", "status", "g_flag", "g_status")
     }),
 
+    // Robust (median/MAD) z-score — outlier-immune scaling, two broadcast
+    // fits, fact table never shuffled.
+    "q68_robust_scale" -> ((s, dir) => {
+      Encode.robustScale(Tables.lineitem(s, dir), "l_extendedprice",
+        Seq("l_returnflag"))
+        .select(col("l_orderkey"), col("l_linenumber"),
+          round(col("l_extendedprice_rz"), 6).as("robust_z"))
+        .orderBy("l_orderkey", "l_linenumber")
+    }),
+
+    // Null-safe equality join (<=>): null keys match the null group — the
+    // semantics dirty-key enrichment needs (a plain equi-join drops them).
+    "q69_nullsafe_join" -> ((s, dir) => {
+      val d = dirtyEvents(s, dir).select(col("event_id"), col("u"))
+      val counts = d.groupBy("u").agg(count(lit(1)).as("n_per_user"))
+        .withColumnRenamed("u", "cu")
+      d.join(counts, d("u") <=> counts("cu"))
+        .select(col("event_id"), col("n_per_user"))
+        .orderBy("event_id")
+    }),
+
     // Token statistics per language bucket.
     "q33_token_stats" -> ((s, dir) => {
       val t = col("text")
@@ -1350,6 +1371,26 @@ object SparkEntry {
         |count(*) AS n
         |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
         |ORDER BY flag, status, g_flag, g_status""".stripMargin,
+
+    "q68_robust_scale" ->
+      """WITH m AS (SELECT l_returnflag, quantile_cont(l_extendedprice, 0.5) AS med
+        |FROM lineitem GROUP BY 1),
+        |d AS (SELECT l.l_returnflag, l_orderkey, l_linenumber, l_extendedprice, med
+        |FROM lineitem l JOIN m USING (l_returnflag)),
+        |md AS (SELECT l_returnflag, quantile_cont(abs(l_extendedprice - med), 0.5) AS mad
+        |FROM d GROUP BY 1)
+        |SELECT l_orderkey, l_linenumber,
+        |round((l_extendedprice - med) / (1.4826 * mad), 6) AS robust_z
+        |FROM d JOIN md USING (l_returnflag)
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "q69_nullsafe_join" ->
+      """WITH d AS (SELECT event_id,
+        |CASE WHEN user_id % 5 = 0 THEN NULL ELSE user_id END AS u FROM events),
+        |c AS (SELECT u, count(*) AS n_per_user FROM d GROUP BY u)
+        |SELECT d.event_id, c.n_per_user
+        |FROM d JOIN c ON d.u IS NOT DISTINCT FROM c.u
+        |ORDER BY d.event_id""".stripMargin,
 
     "q33_token_stats" ->
       """SELECT lang, count(*) AS n_docs,

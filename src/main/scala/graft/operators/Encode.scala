@@ -86,4 +86,22 @@ object Encode {
       least(greatest(col(valueCol), col("_lo")), col("_hi")))
       .drop("_lo", "_hi")
   }
+
+  /** Robust z-score: (x - median) / (1.4826 * MAD), per group — the
+    * outlier-immune alternative to [[standardScale]] (mean/std are dragged
+    * by the very outliers you're trying to flag). Two fit aggregates
+    * (median, then median absolute deviation) each broadcast back — the
+    * fact table is scanned, never shuffled. Output `<valueCol>_rz`. */
+  def robustScale(df: DataFrame, valueCol: String,
+                  groupCols: Seq[String]): DataFrame = {
+    val med = df.groupBy(groupCols.map(col): _*)
+      .agg(expr(s"percentile($valueCol, 0.5)").as("_med"))
+    val withMed = df.join(broadcast(med), groupCols)
+    val mad = withMed.groupBy(groupCols.map(col): _*)
+      .agg(expr(s"percentile(abs($valueCol - _med), 0.5)").as("_mad"))
+    withMed.join(broadcast(mad), groupCols)
+      .withColumn(s"${valueCol}_rz",
+        (col(valueCol) - col("_med")) / (lit(1.4826) * col("_mad")))
+      .drop("_med", "_mad")
+  }
 }
