@@ -5,7 +5,12 @@ import org.apache.spark.sql.SparkSession
 
 /** Scan every query's physical plan for scale red flags. */
 object PlanLint {
-  val RedFlags = Seq("CartesianProduct", "BroadcastNestedLoopJoin")
+  // SinglePartition exchanges are the global-sort/window smell: every row
+  // funnels through one task. (The deterministic final ORDER BY each query
+  // ends in is range-partitioned, not single-partition, so it never trips
+  // this.)
+  val RedFlags = Seq("CartesianProduct", "BroadcastNestedLoopJoin",
+    "Exchange SinglePartition")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
