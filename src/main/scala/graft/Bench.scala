@@ -32,11 +32,17 @@ object Bench {
     val passes = sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "2").toInt
     require(passes >= 1, s"SPARK_GRAFT_BENCH_PASSES must be >= 1, got $passes")
     val names = SparkEntry.queries.keys.toSeq.sorted
+    // Time budget: extra passes only run while total wall time stays under
+    // SPARK_GRAFT_BENCH_BUDGET seconds — insurance against a driver-side
+    // timeout killing the run before the JSON line prints.
+    val budgetSec = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET", "240").toDouble
+    val benchStart = System.nanoTime()
     // A failed attempt must not contribute its (fast) time-to-failure to the
     // min — record it as +inf; a query that failed in EVERY pass reports -1
     // so the driver sees an impossible value, not a bogus small one.
-    val timed = (1 to passes).map { _ =>
-      names.map { name =>
+    val timed = (1 to passes).flatMap { pass =>
+      if (pass > 1 && (System.nanoTime() - benchStart) / 1e9 > budgetSec) None
+      else Some(names.map { name =>
         val t0 = System.nanoTime()
         val ok =
           try {
@@ -48,7 +54,7 @@ object Bench {
             false
           }
         name -> (if (ok) (System.nanoTime() - t0) / 1e9 else Double.PositiveInfinity)
-      }.toMap
+      }.toMap)
     }
     val results = names.map { n =>
       val best = timed.map(_(n)).min
