@@ -768,6 +768,33 @@ object SparkEntry {
           round(avg(col("n_chars").cast("double")), 6).as("avg_chars"))
         .orderBy("lang")
     }),
+
+    // Sketch-path winsorize: the percentile band is fit with
+    // percentile_approx (constant memory per group) — the fit that survives
+    // a 100x group-size scale-up where the exact fit (q61) OOMs. Sketch
+    // estimates are engine-specific, so no SQL oracle (rows-only check,
+    // same contract as q59). Aggregated so the output is small and stable.
+    "q70_winsorize_sketch" -> ((s, dir) => {
+      Encode.winsorize(Tables.lineitem(s, dir), "l_extendedprice",
+        Seq("l_returnflag"), 0.05, 0.95, exact = false)
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"),
+          round(min("l_extendedprice_w"), 2).as("min_w"),
+          round(max("l_extendedprice_w"), 2).as("max_w"))
+        .orderBy("l_returnflag")
+    }),
+
+    // Sketch-path robust scale: both fits (median, MAD) via
+    // percentile_approx — the 100-TB path twin of q68. Rows-only check.
+    "q71_robust_sketch" -> ((s, dir) => {
+      Encode.robustScale(Tables.lineitem(s, dir), "l_extendedprice",
+        Seq("l_returnflag"), exact = false)
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"),
+          round(avg("l_extendedprice_rz"), 4).as("mean_rz"),
+          round(max(abs(col("l_extendedprice_rz"))), 4).as("max_abs_rz"))
+        .orderBy("l_returnflag")
+    }),
   )
 
   /** Marker vocabularies for the language-ID heuristic — drawn from the

@@ -66,39 +66,59 @@ object Encode {
       .drop(cols.flatMap(c => Seq(s"${c}_min", s"${c}_max")): _*)
   }
 
+  /** Percentile-fit fragment shared by [[winsorize]] / [[robustScale]].
+    *
+    * `exact = true` uses SQL `percentile` (linear interpolation, matches
+    * DuckDB `quantile_cont` bit-for-bit) — it buffers every group value in
+    * one aggregation buffer, so it is strictly the small-group / final-
+    * report path. `exact = false` is the 100-TB path: `percentile_approx`
+    * (Greenwald-Khanna sketch) holds O(accuracy) state per group regardless
+    * of row count, merges associatively (map-side combinable), and never
+    * OOMs an executor; estimates are engine-specific, so approx-fit queries
+    * get rows-only correctness checks (same contract as the q59 HLL++
+    * profile). */
+  private def percentileFit(valueExpr: String, ps: Seq[Double],
+                            exact: Boolean, accuracy: Int): Column = {
+    val arr = s"array(${ps.mkString(",")})"
+    if (exact) expr(s"percentile($valueExpr, $arr)")
+    else expr(s"percentile_approx($valueExpr, $arr, $accuracy)")
+  }
+
   /** Winsorize (percentile clipping): clamp `valueCol` into its
-    * [pLo, pHi] exact-percentile band, optionally per group — the standard
+    * [pLo, pHi] percentile band, optionally per group — the standard
     * outlier-taming transform before scaling. Same fit-then-broadcast-apply
-    * shape as the scalers: one aggregate pass for the band, no window over
-    * the fact table. Output column `<valueCol>_w`. */
+    * shape as the scalers: ONE aggregate pass fits both band edges, no
+    * window over the fact table. `exact = false` swaps the fit to the
+    * sketch-based `percentile_approx` (see [[percentileFit]]) — the path
+    * that survives a 100x group-size scale-up. Output `<valueCol>_w`. */
   def winsorize(df: DataFrame, valueCol: String, groupCols: Seq[String],
-                pLo: Double, pHi: Double): DataFrame = {
-    val aggs = Seq(
-      expr(s"percentile($valueCol, $pLo)").as("_lo"),
-      expr(s"percentile($valueCol, $pHi)").as("_hi"))
+                pLo: Double, pHi: Double, exact: Boolean = true,
+                accuracy: Int = 10000): DataFrame = {
+    val band = percentileFit(valueCol, Seq(pLo, pHi), exact, accuracy).as("_band")
     val joined =
-      if (groupCols.isEmpty)
-        df.crossJoin(broadcast(df.agg(aggs.head, aggs.tail: _*)))
-      else
-        df.join(broadcast(df.groupBy(groupCols.map(col): _*).agg(aggs.head, aggs.tail: _*)),
-          groupCols)
+      if (groupCols.isEmpty) df.crossJoin(broadcast(df.agg(band)))
+      else df.join(broadcast(df.groupBy(groupCols.map(col): _*).agg(band)), groupCols)
     joined.withColumn(s"${valueCol}_w",
-      least(greatest(col(valueCol), col("_lo")), col("_hi")))
-      .drop("_lo", "_hi")
+      least(greatest(col(valueCol), element_at(col("_band"), 1)),
+        element_at(col("_band"), 2)))
+      .drop("_band")
   }
 
   /** Robust z-score: (x - median) / (1.4826 * MAD), per group — the
     * outlier-immune alternative to [[standardScale]] (mean/std are dragged
     * by the very outliers you're trying to flag). Two fit aggregates
     * (median, then median absolute deviation) each broadcast back — the
-    * fact table is scanned, never shuffled. Output `<valueCol>_rz`. */
-  def robustScale(df: DataFrame, valueCol: String,
-                  groupCols: Seq[String]): DataFrame = {
+    * fact table is scanned, never shuffled. `exact = false` fits both
+    * aggregates with `percentile_approx` (see [[percentileFit]]) — constant
+    * memory per group, the 100-TB path. Output `<valueCol>_rz`. */
+  def robustScale(df: DataFrame, valueCol: String, groupCols: Seq[String],
+                  exact: Boolean = true, accuracy: Int = 10000): DataFrame = {
     val med = df.groupBy(groupCols.map(col): _*)
-      .agg(expr(s"percentile($valueCol, 0.5)").as("_med"))
+      .agg(element_at(percentileFit(valueCol, Seq(0.5), exact, accuracy), 1).as("_med"))
     val withMed = df.join(broadcast(med), groupCols)
     val mad = withMed.groupBy(groupCols.map(col): _*)
-      .agg(expr(s"percentile(abs($valueCol - _med), 0.5)").as("_mad"))
+      .agg(element_at(
+        percentileFit(s"abs($valueCol - _med)", Seq(0.5), exact, accuracy), 1).as("_mad"))
     withMed.join(broadcast(mad), groupCols)
       .withColumn(s"${valueCol}_rz",
         (col(valueCol) - col("_med")) / (lit(1.4826) * col("_mad")))

@@ -52,4 +52,45 @@ class EncodeSpec extends SparkSuite {
       .collect().map(r => (r.getString(0), r.getDouble(1), r.getDouble(2)))
     perGroup.foreach { case (_, lo, hi) => assert(lo === 0.0 && hi === 1.0) }
   }
+
+  // 2k rows, two groups, values 1..1000 per group — percentiles land between
+  // data points so exact interpolation and the sketch must both be exercised.
+  private lazy val wide = spark.range(2000)
+    .select((col("id") % 2).cast("string").as("g"),
+      (floor(col("id") / 2) + 1).cast("double").as("x"))
+
+  test("winsorize exact: clamps into the per-group [p05, p95] band") {
+    val out = Encode.winsorize(wide, "x", Seq("g"), 0.05, 0.95)
+    // per group x = 1..1000 -> p05 = 50.95, p95 = 950.05 (linear interp)
+    out.groupBy("g").agg(min("x_w").as("lo"), max("x_w").as("hi")).collect()
+      .foreach { r =>
+        assert(math.abs(r.getDouble(1) - 50.95) < 1e-9)
+        assert(math.abs(r.getDouble(2) - 950.05) < 1e-9)
+      }
+  }
+
+  test("winsorize approx: sketch band within 2% of the exact band") {
+    val exact = Encode.winsorize(wide, "x", Seq("g"), 0.05, 0.95)
+      .agg(min("x_w"), max("x_w")).head()
+    val approx = Encode.winsorize(wide, "x", Seq("g"), 0.05, 0.95, exact = false)
+      .agg(min("x_w"), max("x_w")).head()
+    assert(math.abs(approx.getDouble(0) - exact.getDouble(0)) < 0.02 * 1000)
+    assert(math.abs(approx.getDouble(1) - exact.getDouble(1)) < 0.02 * 1000)
+  }
+
+  test("robustScale exact: median maps to 0, scale is MAD-based") {
+    val out = Encode.robustScale(wide, "x", Seq("g"))
+    // per group median = 500.5, MAD = 250 -> x=500.5 would be 0; check x=750.5 -> 250/(1.4826*250)
+    val z = out.where(col("g") === "0" && col("x") === 750.0)
+      .select("x_rz").head().getDouble(0)
+    assert(math.abs(z - (750.0 - 500.5) / (1.4826 * 250.0)) < 1e-9)
+  }
+
+  test("robustScale approx: within 5% relative of exact on smooth data") {
+    val e = Encode.robustScale(wide, "x", Seq("g"))
+      .agg(max(abs(col("x_rz")))).head().getDouble(0)
+    val a = Encode.robustScale(wide, "x", Seq("g"), exact = false)
+      .agg(max(abs(col("x_rz")))).head().getDouble(0)
+    assert(math.abs(a - e) / e < 0.05)
+  }
 }

@@ -12,7 +12,7 @@ class EntrySpec extends SparkSuite {
     // Sketch outputs (HLL++ ndv) are engine-specific, so these queries
     // intentionally ship without a SQL oracle — the driver records the
     // weaker rows-only check for them.
-    val rowsOnly = Set("q59_sketch_profile")
+    val rowsOnly = Set("q59_sketch_profile", "q70_winsorize_sketch", "q71_robust_sketch")
     assert(SparkEntry.oracleSql.keySet === SparkEntry.queries.keySet -- rowsOnly)
   }
 
