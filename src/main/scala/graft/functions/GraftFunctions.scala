@@ -38,6 +38,12 @@ object GraftFunctions {
   def vector_avg(v: Column): Column =
     col(VectorAvg(ex(v)).toAggregateExpression())
 
+  /** Shuffle-free max-cosine centroid assignment over a driver-collected
+    * (broadcast-sized) centroid set (see [[NearestCentroid]]). */
+  def nearest_centroid(vec: Column, centIds: Seq[Long],
+                       centVecs: Seq[Seq[Double]]): Column =
+    col(NearestCentroid(ex(vec), centIds, centVecs))
+
   /** Top-k (score DESC, id ASC) pairs per group with a bounded k-slot
     * buffer — shuffle bytes |groups| x k regardless of row count (see
     * [[TopKByScore]]). */

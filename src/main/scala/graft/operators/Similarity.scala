@@ -13,15 +13,17 @@ import org.apache.spark.sql.{DataFrame, Row}
   *  - [[bruteForceTopK]] — exact baseline: broadcast the (small) probe set
   *    against the corpus; one corpus pass, embarrassingly parallel.
   *  - [[ivfTopK]] — the scale path: coarse-quantize the corpus to its
-  *    max-cosine centroid (broadcast centroids, one pass, partial-agg
-  *    argmax), then search only the probe's cell.
+  *    max-cosine centroid (a shuffle-free [[graft.functions.NearestCentroid]]
+  *    projection over the driver-collected centroid set), then search only
+  *    the probe's cell.
   *
   * Shuffle discipline (the 100-TB tells):
-  *  - candidate scores are pruned to k-per-probe per partition (local heap)
+  *  - candidate scores are pruned to k-per-probe by the bounded-buffer
+  *    [[graft.functions.TopKByScore]] aggregate's partial (map-side) pass
   *    and projected to (probe, neighbor, score) BEFORE any exchange — the
   *    embedding vectors themselves never enter a shuffle;
-  *  - cell assignment is a `max_by` hash aggregate (map-side combinable),
-  *    not a row_number window (which would shuffle every scored pair).
+  *  - cell assignment is a narrow projection: zero Exchange, no join, the
+  *    corpus is scanned exactly once per assignment pass.
   *
   * Distances run through [[graft.functions.CosineSimilarity]] — a fused
   * one-pass native kernel inside whole-stage codegen.
@@ -29,57 +31,38 @@ import org.apache.spark.sql.{DataFrame, Row}
 object Similarity {
 
   /** Exact per-probe top-k over scored candidates. Input must expose
-    * (probe_id, neighbor_id, cosine). Local heap prune -> tiny shuffle ->
-    * final window; identical to a global row_number over
-    * (cosine DESC, neighbor_id ASC). */
+    * (probe_id, neighbor_id, cosine).
+    *
+    * Integral-id path: the [[graft.functions.TopKByScore]] native aggregate
+    * keyed by probe_id — a bounded k-slot buffer per (probe x task) that
+    * partial aggregation prunes BEFORE the exchange, so shuffle bytes are
+    * |probes| x k regardless of candidate count and the whole plan stays a
+    * hash aggregate inside whole-stage codegen (no RDD drop-out, no sort).
+    * Its (score DESC, id ASC) buffer order is exactly the window's
+    * `ORDER BY cosine DESC, neighbor_id ASC`, so results are row-identical;
+    * null-scored candidates are skipped (cosine of non-null vectors is
+    * never null). Non-integral neighbor ids (exotic key types the aggregate
+    * doesn't cover) fall back to the authoritative rank window. */
   private def topKPerProbe(scored: DataFrame, k: Int): DataFrame = {
     val slim = scored.select(col("probe_id"), col("neighbor_id"), col("cosine"))
-    // Tie-break ordering on the neighbor id, matching the final window's
-    // `ORDER BY cosine DESC, neighbor_id ASC`. Only prune for id types we
-    // can order identically to Spark; anything exotic skips the local prune
-    // (still correct — the window is authoritative).
-    // Integral ids only: JVM String ordering (UTF-16) disagrees with
-    // Spark's UTF8String binary ordering for supplementary characters, so a
-    // string-keyed prune could evict the row the window would keep on a
-    // cosine tie. Non-integral ids skip the prune (window still correct).
-    val idOrd: Option[Ordering[Any]] = slim.schema("neighbor_id").dataType match {
-      case LongType | IntegerType | ShortType | ByteType =>
-        Some(Ordering.by((a: Any) => a.asInstanceOf[Number].longValue))
-      case _ => None
+    slim.schema("neighbor_id").dataType match {
+      case idType @ (LongType | IntegerType | ShortType | ByteType) =>
+        slim.groupBy(col("probe_id"))
+          .agg(graft.functions.GraftFunctions
+            .topk_by_score(col("cosine"), col("neighbor_id"), k).as("_top"))
+          .select(col("probe_id"), posexplode(col("_top")))
+          .select(col("probe_id"), (col("pos") + 1).cast("long").as("rank"),
+            col("col.id").cast(idType).as("neighbor_id"),
+            round(col("col.v"), 6).as("cosine"))
+      case _ =>
+        val w = Window.partitionBy(col("probe_id"))
+          .orderBy(col("cosine").desc, col("neighbor_id"))
+        slim
+          .withColumn("rank", row_number().over(w).cast("long"))
+          .where(col("rank") <= k)
+          .select(col("probe_id"), col("rank"), col("neighbor_id"),
+            round(col("cosine"), 6).as("cosine"))
     }
-    val pruned = idOrd match {
-      case None => slim
-      case Some(ord) =>
-        val cIdx = 2
-        // heap dequeues its max; make the WORST candidate the max:
-        // worst = lower cosine, then larger neighbor id
-        implicit val worstFirst: Ordering[Row] = new Ordering[Row] {
-          override def compare(x: Row, y: Row): Int = {
-            val c = java.lang.Double.compare(y.getDouble(cIdx), x.getDouble(cIdx))
-            if (c != 0) c else ord.compare(x.get(1), y.get(1))
-          }
-        }
-        val schema = slim.schema
-        val rdd = slim.rdd.mapPartitions { it =>
-          val heaps = scala.collection.mutable.Map
-            .empty[Any, scala.collection.mutable.PriorityQueue[Row]]
-          it.foreach { row =>
-            val h = heaps.getOrElseUpdate(row.get(0),
-              scala.collection.mutable.PriorityQueue.empty[Row])
-            h.enqueue(row)
-            if (h.size > k) h.dequeue() // drop current worst
-          }
-          heaps.valuesIterator.flatMap(_.iterator)
-        }
-        slim.sparkSession.createDataFrame(rdd, schema)
-    }
-    val w = Window.partitionBy(col("probe_id"))
-      .orderBy(col("cosine").desc, col("neighbor_id"))
-    pruned
-      .withColumn("rank", row_number().over(w).cast("long"))
-      .where(col("rank") <= k)
-      .select(col("probe_id"), col("rank"), col("neighbor_id"),
-        round(col("cosine"), 6).as("cosine"))
   }
 
   /** Exact top-k neighbors for each probe row. Excludes self-matches on id. */
@@ -94,18 +77,25 @@ object Similarity {
   }
 
   /** Assign each vector to its max-cosine centroid (ties -> smallest cell
-    * id). Broadcast centroids, one pass, map-side-combinable argmax.
-    * Returns (idCol, vecCol, cell_id). */
+    * id). Returns (idCol, vecCol, cell_id).
+    *
+    * The centroid set is broadcast-sized by contract, so it is collected
+    * once and embedded in a [[graft.functions.NearestCentroid]] projection —
+    * cell assignment is a NARROW transformation: zero Exchange, zero join,
+    * and the corpus embeddings never leave their input partitions (the
+    * former crossJoin+groupBy argmax shuffled one row per vector WITH its
+    * embedding, violating this file's shuffle discipline). */
   def assignCells(corpus: DataFrame, centroids: DataFrame,
                   idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val cents = centroids.select(col(idCol).as("cell_id"), col(vecCol).as("cent_vec"))
-    corpus.select(col(idCol), col(vecCol)).crossJoin(broadcast(cents))
-      .withColumn("cent_cos", cosine_similarity(col(vecCol), col("cent_vec")))
-      .groupBy(col(idCol))
-      .agg(
-        first(col(vecCol)).as(vecCol),
-        max_by(col("cell_id"), struct(col("cent_cos"), (-col("cell_id")).as("negid")))
-          .as("cell_id"))
+    val collected = centroids
+      .select(col(idCol).cast("long"), col(vecCol).cast("array<double>"))
+      .collect()
+    require(collected.nonEmpty, "assignCells: centroid set is empty")
+    val ids = collected.map(_.getLong(0)).toSeq
+    val vecs = collected.map(_.getSeq[Double](1)).toSeq
+    corpus.select(col(idCol), col(vecCol),
+      graft.functions.GraftFunctions
+        .nearest_centroid(col(vecCol), ids, vecs).as("cell_id"))
   }
 
   /** IVF-style ANN: quantize corpus and probes to cells, search only within
