@@ -675,8 +675,11 @@ object SparkEntry {
         .orderBy("lang")
     }),
 
-    // LLM sequence packing: greedy-consecutive doc packing into 512-token
-    // context budgets (distributed prefix sum, no single-partition window).
+    // LLM sequence packing: consecutive docs bucketed by running token
+    // count against a 512-token budget (distributed prefix sum, no
+    // single-partition window). A pack can overshoot the budget by up to
+    // one doc's tokens (see Batching.weightBudgetChunkId's bound) — cap-
+    // sensitive callers budget for 512 + maxDocTokens - 1.
     "q63_seq_pack" -> ((s, dir) => {
       Batching.weightBudgetChunkId(
         Tables.documents(s, dir).select("doc_id", "text"),

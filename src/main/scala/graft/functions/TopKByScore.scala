@@ -31,8 +31,11 @@ case class TopKByScore(
     inputAggBufferOffset: Int = 0)
   extends TypedImperativeAggregate[TopKByScore.Buffer] {
 
+  // toIntExact: a Long literal beyond Int range must fail loudly here (and
+  // is rejected in checkInputDataTypes), never silently truncate to a
+  // wrapped-around buffer size.
   @transient private lazy val k: Int =
-    kExpr.eval(null).asInstanceOf[Number].intValue()
+    Math.toIntExact(kExpr.eval(null).asInstanceOf[Number].longValue())
 
   override def children: Seq[Expression] = Seq(score, id, kExpr)
   override def nullable: Boolean = false
@@ -46,8 +49,10 @@ case class TopKByScore(
       .contains(kExpr.dataType))
       TypeCheckResult.TypeCheckFailure("k must be an integer literal")
     else if (kExpr.eval(null) == null ||
-      kExpr.eval(null).asInstanceOf[Number].intValue() < 1)
-      TypeCheckResult.TypeCheckFailure("k must be a positive integer constant")
+      kExpr.eval(null).asInstanceOf[Number].longValue() < 1 ||
+      kExpr.eval(null).asInstanceOf[Number].longValue() > Int.MaxValue)
+      TypeCheckResult.TypeCheckFailure(
+        s"k must be a positive integer constant in [1, ${Int.MaxValue}]")
     else (score.dataType, id.dataType) match {
       case (DoubleType, LongType) => TypeCheckResult.TypeCheckSuccess
       case other => TypeCheckResult.TypeCheckFailure(

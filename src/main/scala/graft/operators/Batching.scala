@@ -89,11 +89,20 @@ object Batching {
   }
 
   /** Generalized budgeted chunking: consecutive rows (in `orderCols` order)
-    * share a chunk while their summed `weight` stays within `budget`.
+    * are bucketed by their running `weight` sum, `floor((cum-1)/budget)`.
     * Byte-budget file chunking and LLM sequence packing (weight = token
     * count, budget = context length) are both instances; the cumulative sum
     * is the distributed two-phase [[prefixSum]], never a single-partition
-    * window. */
+    * window.
+    *
+    * Bound, precisely: a chunk's summed weight can EXCEED `budget` by up to
+    * one row's weight minus one (the row that crosses a bucket boundary
+    * lands in the bucket it crosses into, it is not split). True greedy
+    * close-before-overflow packing is a stateful sequential scan that does
+    * not decompose into a prefix sum; callers that need a hard cap (e.g. a
+    * model's context window) must budget for `budget + maxRowWeight - 1`,
+    * or pre-truncate rows to `weight <= budget - slack`. The same formula
+    * is what the DuckDB oracle computes, so parity holds by construction. */
   def weightBudgetChunkId(df: DataFrame, orderCols: Seq[String], budget: Long,
                           weight: org.apache.spark.sql.Column,
                           out: String = "chunk_id"): DataFrame =

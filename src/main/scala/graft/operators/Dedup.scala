@@ -217,11 +217,17 @@ object Dedup {
       iter += 1
     }
     sym.unpersist()
+    val converged = changed == 0
+    // Hand back an UNPERSISTED frame: checkpoint the final labels (already
+    // cached, so this is one cheap scan) and release the iteration cache —
+    // callers must not inherit a storage block they never asked for.
+    val result = labels.localCheckpoint(eager = true)
+    labels.unpersist(blocking = false)
     // Non-converged labels are WRONG labels (a node maxIter+1 hops from its
     // component's min would keep a stale id) — fail loudly, never return them.
-    require(changed == 0,
+    require(converged,
       s"connectedComponents did not converge within $maxIter rounds " +
         "(graph diameter exceeds maxIter); raise maxIter or pre-contract long chains")
-    labels
+    result
   }
 }

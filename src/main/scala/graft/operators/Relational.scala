@@ -25,8 +25,20 @@ object Relational {
                    out: String = "idx"): DataFrame = {
     val sorted = df.orderBy(orderCols.map(col): _*)
     val schema = StructType(sorted.schema.fields :+ StructField(out, LongType, nullable = false))
-    val rdd = sorted.rdd.zipWithIndex().map { case (r, i) => Row.fromSeq(r.toSeq :+ i) }
-    sorted.sparkSession.createDataFrame(rdd, schema)
+    // zipWithIndex launches TWO jobs (per-partition counts, then the data
+    // pass); persist the sorted data between them — RangePartitioner
+    // sampling is not guaranteed deterministic across recomputes, so an
+    // unguarded recompute could hand the second job different partition
+    // boundaries than the counts came from. Same guard as
+    // [[Batching.prefixSum]]; the checkpoint breaks lineage so the cache
+    // can be released before returning.
+    val rdd = sorted.rdd
+    rdd.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val indexed = rdd.zipWithIndex().map { case (r, i) => Row.fromSeq(r.toSeq :+ i) }
+    val result = sorted.sparkSession.createDataFrame(indexed, schema)
+      .localCheckpoint(eager = true)
+    rdd.unpersist(blocking = false)
+    result
   }
 
   /** J1 — positional equi-join: index both sides by their own order, join on
@@ -83,6 +95,10 @@ object Relational {
       !(keys :+ tsCol).exists(reserved.contains) &&
       !payload.exists(reserved.contains),
       s"asofJoin reserves columns ${reserved.mkString(", ")}")
+    val collisions = payload.filter(left.columns.contains)
+    require(collisions.isEmpty,
+      s"asofJoin payload columns collide with left columns: " +
+        s"${collisions.mkString(", ")} — rename them on the right side first")
     val leftCols = left.columns.toSeq
     val r = right
       .select((keys :+ tsCol).map(col) :+ struct(payload.map(col): _*).as("_pay"): _*)

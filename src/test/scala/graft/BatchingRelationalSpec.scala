@@ -63,6 +63,22 @@ class BatchingRelationalSpec extends SparkSuite {
     assert(out === Array((10L, 0L), (20L, 1L), (30L, 2L)))
   }
 
+  test("withRowIndex: stable across re-collects, dense under ties (persist guard)") {
+    // Duplicate sort keys over many input partitions: if the sorted lineage
+    // were recomputed between zipWithIndex's two jobs (or between collects),
+    // tied rows could swap indices. The checkpoint pins one assignment.
+    val df = spark.range(0, 400).toDF("n")
+      .repartition(13)
+      .withColumn("k", col("n") % 5) // heavy ties on the sort key
+    val idx = Relational.withRowIndex(df, Seq("k"))
+    val first = idx.orderBy("n").select("n", "idx").as[(Long, Long)].collect()
+    val second = idx.orderBy("n").select("n", "idx").as[(Long, Long)].collect()
+    assert(first === second)
+    assert(first.map(_._2).sorted === (0L until 400L).toArray)
+    // the result carries no hidden cache registration for the caller to free
+    assert(idx.storageLevel === org.apache.spark.storage.StorageLevel.NONE)
+  }
+
   test("positionalJoin aligns by rank on each side's own order (J1)") {
     val left = Seq(("x", 2), ("y", 1)).toDF("lv", "lk")
     val right = Seq((100, "b"), (200, "a")).toDF("rk", "rv")

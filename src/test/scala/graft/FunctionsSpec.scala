@@ -124,6 +124,20 @@ class FunctionsSpec extends SparkSuite {
     assert(top.map(x => (x.getDouble(0), x.getLong(1))) === Seq((9.0, 2L)))
   }
 
+  test("topk_by_score: bigint k beyond Int range fails analysis, in-range bigint works") {
+    graft.functions.GraftFunctions.registerAll(spark)
+    Seq((5.0, 1L), (9.0, 2L)).toDF("score", "id").createOrReplaceTempView("topk_in")
+    // 3e9 parses as a BIGINT literal; it must be rejected loudly, not
+    // truncated to a wrapped-around Int buffer size
+    val e = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT topk_by_score(score, id, 3000000000) FROM topk_in").collect()
+    }
+    assert(e.getMessage.contains("positive integer constant"))
+    val ok = spark.sql("SELECT topk_by_score(score, id, CAST(1 AS BIGINT)) AS t FROM topk_in")
+      .head().getSeq[org.apache.spark.sql.Row](0)
+    assert(ok.map(x => (x.getDouble(0), x.getLong(1))) === Seq((9.0, 2L)))
+  }
+
   test("augment coin mixes the seed (different-parity AND same-parity seeds diverge)") {
     // regression: hashCode*31+seed collapsed to XOR of parity bits
     val entries = (0 until 64).map(i => s"img_$i.png")

@@ -37,6 +37,15 @@ class StatsRelational2Spec extends SparkSuite {
     }
   }
 
+  test("asofJoin rejects payload names that collide with left columns") {
+    val left = Seq((1L, "a", 10L, 1.0)).toDF("id", "k", "t", "price")
+    val right = Seq(("a", 5L, 100.0)).toDF("k", "t", "price")
+    val e = intercept[IllegalArgumentException] {
+      Relational.asofJoin(left, right, Seq("k"), "t", Seq("price"))
+    }
+    assert(e.getMessage.contains("collide"))
+  }
+
   test("rangeJoin assigns each value to its [lo, hi) band and broadcasts") {
     val facts = Seq(0.5, 1.0, 4.9, 5.0, 9.9).toDF("v")
     val dims = Seq(("low", 0.0, 5.0), ("high", 5.0, 10.0)).toDF("band", "lo", "hi")
@@ -196,6 +205,14 @@ class StatsRelational2Spec extends SparkSuite {
     val out2 = Dedup.connectedComponents((1L to 7L).toDF("id"), chain)
       .select("component").distinct().as[Long].collect()
     assert(out2 === Array(1L))
+  }
+
+  test("connectedComponents returns an unpersisted frame (no caller-owned cache)") {
+    import graft.operators.Dedup
+    val out = Dedup.connectedComponents(
+      (1L to 4L).toDF("id"), Seq((1L, 2L)).toDF("id_a", "id_b"))
+    assert(out.storageLevel === org.apache.spark.storage.StorageLevel.NONE)
+    assert(out.count() === 4) // still materializable after internal unpersist
   }
 
   test("connectedComponents matches a union-find reference on random graphs") {
