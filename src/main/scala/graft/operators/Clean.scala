@@ -64,15 +64,26 @@ object Clean {
   def fillForwardBackward(df: DataFrame, cols: Seq[String],
                           orderCols: Seq[String],
                           partitionCols: Seq[String] = Nil): DataFrame = {
-    val base = if (partitionCols.isEmpty) Window.orderBy(orderCols.map(col): _*)
-               else Window.partitionBy(partitionCols.map(col): _*)
-                          .orderBy(orderCols.map(col): _*)
-    val ffill = base.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val bfill = base.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    // Both passes are RUNNING (unbounded-preceding) frames: Spark evaluates
+    // an UnboundedFollowing frame by re-aggregating the remainder of the
+    // partition for EVERY row — O(rows^2) per partition, a multi-minute
+    // stall at just 10^5 rows — while the UnboundedPreceding frame
+    // accumulates incrementally in O(rows). So bfill ("first non-null at or
+    // after this row") is expressed as ffill over the REVERSED order, which
+    // is identical whenever `orderCols` is a total order (already required:
+    // a non-total order makes any fill nondeterministic).
+    def runningWindow(desc: Boolean) = {
+      val ord = orderCols.map(c => if (desc) col(c).desc else col(c).asc)
+      val base = if (partitionCols.isEmpty) Window.orderBy(ord: _*)
+                 else Window.partitionBy(partitionCols.map(col): _*).orderBy(ord: _*)
+      base.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    }
+    val ffill = runningWindow(desc = false)
+    val bfill = runningWindow(desc = true)
     cols.foldLeft(df)((d, c) =>
       d.withColumn(c, coalesce(
         last(col(c), ignoreNulls = true).over(ffill),
-        first(col(c), ignoreNulls = true).over(bfill))))
+        last(col(c), ignoreNulls = true).over(bfill))))
   }
 
   /** E5 — constant fill for string columns (`fillna("Unknown")`,
