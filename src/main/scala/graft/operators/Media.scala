@@ -205,6 +205,265 @@ object Media {
     out
   }
 
+  /** splitmix64 stream keyed by (entry, seed) — one independent, well-mixed
+    * draw sequence per image per epoch. torch's transforms draw from global
+    * RNG state, which breaks retry-idempotence at scale (a re-executed task
+    * emits different data); hashing the entry name makes every augmentation
+    * draw a pure function of (entry, seed), so replays are bit-identical.
+    * Every op consumes a FIXED number of draws whether or not it applies,
+    * keeping downstream draws aligned across images. */
+  private[graft] final class HashRng(entry: String, seed: Long) {
+    private var state: Long =
+      (scala.util.hashing.MurmurHash3.stringHash(entry, (seed ^ (seed >>> 32)).toInt).toLong
+        << 32) ^ seed
+    def nextLong(): Long = {
+      state += 0x9e3779b97f4a7c15L
+      var z = state
+      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+      z ^ (z >>> 31)
+    }
+    /** Uniform in [0, 1) with 53 random bits. */
+    def nextDouble(): Double = (nextLong() >>> 11) * 1.1102230246251565e-16
+    def uniform(lo: Double, hi: Double): Double = lo + (hi - lo) * nextDouble()
+    def coin(p: Double): Boolean = nextDouble() < p
+  }
+
+  private def clamp01(v: Double): Float =
+    if (v < 0.0) 0f else if (v > 1.0) 1f else v.toFloat
+
+  /** JVM kernel: rotate a CHW tensor by `degrees` around its center —
+    * inverse-map each output pixel and sample bilinearly, zero (black)
+    * outside the source, the RandomRotation(15) member of the reference
+    * stack (model_architecture.py:57). `rotate(_, _, 0)` is the identity. */
+  private[graft] def rotate(data: Array[Float], shape: Array[Int],
+                            degrees: Double): Array[Float] = {
+    val Array(c, h, w) = shape
+    val out = new Array[Float](data.length)
+    val rad = math.toRadians(degrees)
+    val (cos, sin) = (math.cos(rad), math.sin(rad))
+    val (cx, cy) = ((w - 1) / 2.0, (h - 1) / 2.0)
+    var ch = 0
+    while (ch < c) {
+      val base = ch * h * w
+      def px(xi: Int, yi: Int): Double =
+        if (xi < 0 || xi >= w || yi < 0 || yi >= h) 0.0 else data(base + yi * w + xi).toDouble
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val dx = x - cx
+          val dy = y - cy
+          val sx = cx + dx * cos + dy * sin
+          val sy = cy - dx * sin + dy * cos
+          val x0 = math.floor(sx).toInt
+          val y0 = math.floor(sy).toInt
+          val fx = sx - x0
+          val fy = sy - y0
+          out(base + y * w + x) =
+            (px(x0, y0) * (1 - fx) * (1 - fy) + px(x0 + 1, y0) * fx * (1 - fy) +
+              px(x0, y0 + 1) * (1 - fx) * fy + px(x0 + 1, y0 + 1) * fx * fy).toFloat
+          x += 1
+        }
+        y += 1
+      }
+      ch += 1
+    }
+    out
+  }
+
+  /** JVM kernel: ColorJitter(brightness, contrast, saturation) with factor
+    * 1.0 = identity for each leg (model_architecture.py:58). Fixed
+    * brightness->contrast->saturation order (torch randomizes the order per
+    * call — another global-RNG dependence this pipeline deliberately pins).
+    * Luma is ITU-R 601; every leg clamps to [0,1] like torch. */
+  private[graft] def colorJitter(data: Array[Float], shape: Array[Int],
+                                 brightness: Double, contrast: Double,
+                                 saturation: Double): Array[Float] = {
+    val Array(c, h, w) = shape
+    require(c == 3, s"colorJitter expects 3 channels, got $c")
+    val n = h * w
+    val out = new Array[Float](data.length)
+    var i = 0
+    while (i < data.length) { out(i) = clamp01(data(i) * brightness); i += 1 }
+    var mean = 0.0
+    i = 0
+    while (i < n) {
+      mean += 0.299 * out(i) + 0.587 * out(n + i) + 0.114 * out(2 * n + i)
+      i += 1
+    }
+    mean /= n
+    i = 0
+    while (i < data.length) { out(i) = clamp01((out(i) - mean) * contrast + mean); i += 1 }
+    i = 0
+    while (i < n) {
+      val g = 0.299 * out(i) + 0.587 * out(n + i) + 0.114 * out(2 * n + i)
+      out(i) = clamp01((out(i) - g) * saturation + g)
+      out(n + i) = clamp01((out(n + i) - g) * saturation + g)
+      out(2 * n + i) = clamp01((out(2 * n + i) - g) * saturation + g)
+      i += 1
+    }
+    out
+  }
+
+  /** JVM kernel: crop a (outH x outW) window whose top-left maps to
+    * (top, left) in the source — negative offsets pad with zeros, the
+    * RandomCrop(224, pad_if_needed=True) member (model_architecture.py:59).
+    * (0, 0, h, w) is the identity. */
+  private[graft] def cropPad(data: Array[Float], shape: Array[Int],
+                             top: Int, left: Int, outH: Int, outW: Int): (Array[Int], Array[Float]) = {
+    val Array(c, h, w) = shape
+    val out = new Array[Float](c * outH * outW)
+    var ch = 0
+    while (ch < c) {
+      val srcBase = ch * h * w
+      val dstBase = ch * outH * outW
+      var y = 0
+      while (y < outH) {
+        val sy = top + y
+        if (sy >= 0 && sy < h) {
+          var x = 0
+          while (x < outW) {
+            val sx = left + x
+            if (sx >= 0 && sx < w) out(dstBase + y * outW + x) = data(srcBase + sy * w + sx)
+            x += 1
+          }
+        }
+        y += 1
+      }
+      ch += 1
+    }
+    (Array(c, outH, outW), out)
+  }
+
+  /** JVM kernel: separable 3x3 Gaussian blur with reflect padding —
+    * GaussianBlur(kernel_size=(3,3)) (model_architecture.py:60). The 1-D
+    * kernel is exp(-x^2/2sigma^2) normalized, so a constant image is a
+    * fixed point at any sigma. */
+  private[graft] def gaussianBlur3(data: Array[Float], shape: Array[Int],
+                                   sigma: Double): Array[Float] = {
+    val Array(c, h, w) = shape
+    val g1 = math.exp(-0.5 / (sigma * sigma))
+    val norm = 1.0 + 2.0 * g1
+    val (k0, k1) = (1.0 / norm, g1 / norm)
+    val tmp = new Array[Float](data.length)
+    val out = new Array[Float](data.length)
+    var ch = 0
+    while (ch < c) {
+      val base = ch * h * w
+      var y = 0
+      while (y < h) { // horizontal pass, reflect at the edges
+        val row = base + y * w
+        var x = 0
+        while (x < w) {
+          val xl = if (x == 0) math.min(1, w - 1) else x - 1
+          val xr = if (x == w - 1) math.max(w - 2, 0) else x + 1
+          tmp(row + x) = (k1 * data(row + xl) + k0 * data(row + x) + k1 * data(row + xr)).toFloat
+          x += 1
+        }
+        y += 1
+      }
+      var x = 0
+      while (x < w) { // vertical pass
+        var y2 = 0
+        while (y2 < h) {
+          val yu = if (y2 == 0) math.min(1, h - 1) else y2 - 1
+          val yd = if (y2 == h - 1) math.max(h - 2, 0) else y2 + 1
+          out(base + y2 * w + x) = (k1 * tmp(base + yu * w + x) +
+            k0 * tmp(base + y2 * w + x) + k1 * tmp(base + yd * w + x)).toFloat
+          y2 += 1
+        }
+        x += 1
+      }
+      ch += 1
+    }
+    out
+  }
+
+  /** JVM kernel: zero a (eh x ew) rectangle at (top, left) in every channel
+    * — the applied half of RandomErasing(value=0) (model_architecture.py:61). */
+  private[graft] def erase(data: Array[Float], shape: Array[Int],
+                           top: Int, left: Int, eh: Int, ew: Int): Array[Float] = {
+    val Array(c, h, w) = shape
+    val out = data.clone()
+    var ch = 0
+    while (ch < c) {
+      val base = ch * h * w
+      var y = math.max(0, top)
+      val yEnd = math.min(h, top + eh)
+      while (y < yEnd) {
+        var x = math.max(0, left)
+        val xEnd = math.min(w, left + ew)
+        while (x < xEnd) { out(base + y * w + x) = 0f; x += 1 }
+        y += 1
+      }
+      ch += 1
+    }
+    out
+  }
+
+  /** F12, full reference parity — the whole stochastic stack of
+    * model_architecture.py:55-63 (flip, rotation <=15 deg, color jitter 0.3,
+    * crop-to-`cropSize` with zero padding, 3x3 Gaussian blur with
+    * torch-default sigma in [0.1, 2], random erasing, normalize with the
+    * reference's 0.5/0.5 stats), every draw a pure function of
+    * (entry, seed) via [[HashRng]] — identical output on every replay, unlike
+    * torch's global-RNG transforms. Shape out is (c, cropSize, cropSize). */
+  def augmentFull(tensors: Dataset[ImageTensor], seed: Long, cropSize: Int = 224,
+                  mean: Array[Float] = Array(0.5f, 0.5f, 0.5f),
+                  std: Array[Float] = Array(0.5f, 0.5f, 0.5f)): Dataset[ImageTensor] = {
+    import tensors.sparkSession.implicits._
+    tensors.map { t =>
+      val rng = new HashRng(t.entry, seed)
+      var shape = t.shape
+      var d = t.data
+      // RandomHorizontalFlip(p=0.5)
+      val doFlip = rng.coin(0.5)
+      if (doFlip) d = flipHorizontal(d, shape)
+      // RandomRotation(15): angle uniform in [-15, 15]
+      d = rotate(d, shape, rng.uniform(-15, 15))
+      // ColorJitter(0.3, 0.3, 0.3): factors uniform in [0.7, 1.3]
+      d = colorJitter(d, shape, rng.uniform(0.7, 1.3), rng.uniform(0.7, 1.3),
+        rng.uniform(0.7, 1.3))
+      // RandomCrop(cropSize, pad_if_needed): random offset when the source
+      // is larger, centered zero-pad when smaller (the draw still happens
+      // either way, keeping the stream aligned)
+      val Array(c, h, w) = shape
+      val tDraw = rng.nextDouble()
+      val lDraw = rng.nextDouble()
+      val top = if (h > cropSize) (tDraw * (h - cropSize + 1)).toInt else -((cropSize - h) / 2)
+      val left = if (w > cropSize) (lDraw * (w - cropSize + 1)).toInt else -((cropSize - w) / 2)
+      val cropped = cropPad(d, shape, top, left, cropSize, cropSize)
+      shape = cropped._1
+      d = cropped._2
+      // GaussianBlur((3,3)): torch draws sigma uniform in [0.1, 2.0]
+      d = gaussianBlur3(d, shape, rng.uniform(0.1, 2.0))
+      // RandomErasing(p=0.5, scale=(0.02,0.33), ratio=(0.3,3.3), value=0):
+      // up to 10 placement attempts, exactly torch's loop — but each of the
+      // 10 draw quadruples is consumed regardless, for stream alignment
+      val doErase = rng.coin(0.5)
+      var placed = false
+      var attempt = 0
+      while (attempt < 10) {
+        val area = rng.uniform(0.02, 0.33) * cropSize * cropSize
+        val logRatio = rng.uniform(math.log(0.3), math.log(3.3))
+        val ratio = math.exp(logRatio)
+        val eh = math.round(math.sqrt(area * ratio)).toInt
+        val ew = math.round(math.sqrt(area / ratio)).toInt
+        val ty = rng.nextDouble()
+        val tx = rng.nextDouble()
+        if (!placed && doErase && eh > 0 && ew > 0 && eh <= cropSize && ew <= cropSize) {
+          d = erase(d, shape, (ty * (cropSize - eh + 1)).toInt,
+            (tx * (cropSize - ew + 1)).toInt, eh, ew)
+          placed = true
+        }
+        attempt += 1
+      }
+      // Normalize(mean=0.5, std=0.5)
+      t.copy(shape = shape, data = normalize(d, shape, mean, std))
+    }
+  }
+
   /** K5 — delete consumed source archives after a successful ingest (the
     * reference deletes each zip once processed, :68-71). Batch analogue of
     * Structured Streaming's `cleanSource=delete`; call only after the sink

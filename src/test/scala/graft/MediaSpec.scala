@@ -94,6 +94,69 @@ class MediaSpec extends SparkSuite {
     a1.zip(a2).foreach { case (x, y) => assert(x.data === y.data) }
   }
 
+  test("rotate: 0 deg is identity; 45 deg keeps shape and blacks the corners (F12)") {
+    val data = Array.tabulate(3 * 8 * 8)(i => ((i * 13) % 48).toFloat / 48f)
+    val shape = Array(3, 8, 8)
+    assert(Media.rotate(data, shape, 0.0) === data)
+    val r = Media.rotate(data, shape, 45.0)
+    assert(r.length === data.length)
+    assert(r(0) === 0f) // corner (0,0) maps outside the source -> black
+  }
+
+  test("colorJitter: all-1.0 factors are the identity; output stays in [0,1] (F12)") {
+    val data = Array.tabulate(3 * 4 * 4)(i => (i % 48).toFloat / 48f)
+    val shape = Array(3, 4, 4)
+    val id = Media.colorJitter(data, shape, 1.0, 1.0, 1.0)
+    data.zip(id).foreach { case (a, b) => assert(math.abs(a - b) < 1e-6) }
+    val wild = Media.colorJitter(data, shape, 1.3, 0.7, 1.3)
+    assert(wild.forall(v => v >= 0f && v <= 1f))
+  }
+
+  test("cropPad: full-frame crop is identity; padding region is zero (F12)") {
+    val data = Array.tabulate(3 * 4 * 4)(_.toFloat / 48f)
+    val shape = Array(3, 4, 4)
+    val (s1, d1) = Media.cropPad(data, shape, 0, 0, 4, 4)
+    assert(s1 === shape && d1 === data)
+    // pad to 6x6 with the source centered at offset (-1,-1)
+    val (s2, d2) = Media.cropPad(data, shape, -1, -1, 6, 6)
+    assert(s2 === Array(3, 6, 6))
+    assert(d2(0) === 0f)                 // (0,0) is padding
+    assert(d2(6 + 1) === data(0))        // (1,1) is source (0,0)
+    assert(d2.count(_ != 0f) === data.count(_ != 0f))
+  }
+
+  test("gaussianBlur3: constant image is a fixed point; mass is preserved on interior (F12)") {
+    val const = Array.fill(3 * 5 * 5)(0.42f)
+    val shape = Array(3, 5, 5)
+    val b = Media.gaussianBlur3(const, shape, 1.0)
+    b.foreach(v => assert(math.abs(v - 0.42f) < 1e-6))
+    // a blurred impulse keeps its total mass (kernel is normalized)
+    val impulse = new Array[Float](25)
+    impulse(12) = 1f // center of 5x5, single channel
+    val bi = Media.gaussianBlur3(impulse, Array(1, 5, 5), 0.8)
+    assert(math.abs(bi.sum - 1f) < 1e-5)
+  }
+
+  test("erase zeroes exactly the rectangle (F12)") {
+    val data = Array.fill(2 * 4 * 4)(1f)
+    val out = Media.erase(data, Array(2, 4, 4), 1, 2, 2, 2)
+    val zeroed = out.zipWithIndex.filter(_._1 == 0f).map(_._2).toSet
+    val expected = (for (c <- 0 to 1; y <- 1 to 2; x <- 2 to 3) yield c * 16 + y * 4 + x).toSet
+    assert(zeroed === expected)
+  }
+
+  test("augmentFull: deterministic per seed, shape pinned to crop size, seeds diverge (F12)") {
+    val archives = Ingest.binaryFiles(spark, zipDir, "*.zip")
+    val t = Media.imageEtl(spark, archives)
+    val a1 = Media.augmentFull(t, seed = 7, cropSize = 64).collect().sortBy(_.entry)
+    val a2 = Media.augmentFull(t, seed = 7, cropSize = 64).collect().sortBy(_.entry)
+    val b = Media.augmentFull(t, seed = 8, cropSize = 64).collect().sortBy(_.entry)
+    assert(a1.length === 2)
+    a1.foreach(x => assert(x.shape === Array(3, 64, 64)))
+    a1.zip(a2).foreach { case (x, y) => assert(x.data === y.data) } // replay-idempotent
+    assert(a1.zip(b).exists { case (x, y) => !(x.data sameElements y.data) })
+  }
+
   test("listFiles returns sorted (path, length, mtime) rows (S8/O1)") {
     val listed = Ingest.listFiles(spark, zipDir, "*.zip").collect()
     assert(listed.length === 1)
