@@ -38,6 +38,53 @@ object SparkEntry {
         .otherwise(col("value")).as("v"),
       when(col("user_id") % 5 === 0, lit(null)).otherwise(col("user_id")).as("u"))
 
+  /** OSV5M-shaped synthetic frame — the reference's full 32-column dtype map
+    * (read_csv_s3_train.py:11-44) derived deterministically from `orders`,
+    * dirty in exactly the ways `process_batch` must clean: whitespace-padded
+    * categoricals (trim), null runs in the ffill columns, null epochs (1970
+    * sentinels), null numerics (zero-fill before scaling). Continuous values
+    * are dyadic fractions (/4, /8, +0.25) so double sums are EXACT in any
+    * summation order — the scale fits can't hash-diverge across engines. */
+  private def osv5mFrame(s: SparkSession, dir: String): DataFrame = {
+    val k = col("o_orderkey")
+    def nullWhen(cond: Column, v: Column): Column = when(cond, lit(null)).otherwise(v)
+    Tables.orders(s, dir).select(
+      k.as("id"),
+      nullWhen(k % 19 === 0, ((k % 180) - 90).cast("double") + 0.25).as("latitude"),
+      nullWhen(k % 23 === 0, ((k % 360) - 180).cast("double") + 0.5).as("longitude"),
+      concat(lit("http://img/"), k.cast("string")).as("thumb_original_url"),
+      concat(lit("  C"), (k % 7).cast("string"), lit(" ")).as("country"),
+      concat(lit("seq"), (k % 100).cast("string")).as("sequence"),
+      nullWhen(k % 11 === 0,
+        lit(400000000000L) + (k % 3650) * 86400000L + (k % 86400) * 1000L).as("captured_at"),
+      (k % 64).as("lon_bin"),
+      (k % 32).as("lat_bin"),
+      concat(lit("cell"), (k % 20).cast("string")).as("cell"),
+      nullWhen(k % 13 < 2, concat(lit(" R"), (k % 5).cast("string"))).as("region"),
+      nullWhen(k % 13 === 3 || k % 13 === 4,
+        concat(lit("S"), (k % 4).cast("string"), lit(" "))).as("sub-region"),
+      nullWhen(k % 17 === 0, concat(lit("City"), (k % 9).cast("string"))).as("city"),
+      (k % 10).as("land_cover"),
+      nullWhen(k % 31 === 0, (k % 64).cast("double") / 4.0).as("road_index"),
+      (k % 2).as("drive_side"),
+      (k % 5).as("climate"),
+      (k % 12).as("soil"),
+      nullWhen(k % 29 === 0, (k % 1000).cast("double") / 8.0).as("dist_sea"),
+      (k % 5000).as("quadtree_10_5000"),
+      (k % 25000).as("quadtree_10_25000"),
+      (k % 1000).as("quadtree_10_1000"),
+      (k % 50000).as("quadtree_10_50000"),
+      (k % 12500).as("quadtree_10_12500"),
+      (k % 500).as("quadtree_10_500"),
+      (k % 2500).as("quadtree_10_2500"),
+      nullWhen(k % 41 === 0, concat(lit("UR"), (k % 6).cast("string"))).as("unique_region"),
+      nullWhen(k % 43 === 0, concat(lit("US"), (k % 8).cast("string"))).as("unique_sub-region"),
+      nullWhen(k % 7 < 3, concat(lit("UC"), (k % 11).cast("string"))).as("unique_city"),
+      nullWhen(k % 37 === 0, concat(lit("U"), (k % 3).cast("string"))).as("unique_country"),
+      nullWhen(k % 5 === 0, concat(lit("user_"), (k % 50).cast("string"))).as("creator_username"),
+      ((k * 7) % 1000).as("creator_id"))
+  }
+
   /** Exact money arithmetic without decimal overhead: values are 2-dec
     * quantized, so `round(x*100)` as a long is lossless; long sums are
     * exact, and the final integer-to-double conversion + /100.0 division is
@@ -787,6 +834,43 @@ object SparkEntry {
         .orderBy("l_returnflag")
     }),
 
+    // The reference's WHOLE process_batch trace end-to-end
+    // (read_csv_s3_train.py:57-118): drop -> cast -> trim -> date parts w/
+    // 1970 sentinels -> ffill/bfill -> Unknown-fill -> label encode (global
+    // sorted-distinct fit) -> zero-fill numerics -> standard scale (global
+    // fit, broadcast apply). The flagship oracle row for SURVEY §3.1.
+    "q72_osv5m_clean" -> ((s, dir) => {
+      import graft.meta.Schemas
+      val cleaned = Clean.osv5mClean(osv5mFrame(s, dir), orderCol = "id")
+      val encoded = Schemas.osv5mCategoricals
+        .foldLeft(cleaned)((d, c) => Encode.labelEncode(d, c))
+      val scaled = Encode.standardScale(encoded, Schemas.osv5mScaleCols)
+      scaled.select(
+        col("id"), col("year"), col("month"), col("day"),
+        col("region"), col("city"), col("unique_city"), col("creator_username"),
+        col("country_code"), col("region_code"),
+        col("sub-region_code").as("subregion_code"),
+        col("city_code"), col("unique_country_code"),
+        round(col("latitude_z"), 6).as("latitude_z"),
+        round(col("longitude_z"), 6).as("longitude_z"),
+        round(col("dist_sea_z"), 6).as("dist_sea_z"),
+        round(col("road_index_z"), 6).as("road_index_z"))
+        .orderBy("id")
+    }),
+
+    // Real-text tokenization (regex whitespace runs + punctuation-immune
+    // word extraction) over deliberately messy text — multi-space, tabs-
+    // equivalent runs, punctuation, leading/trailing whitespace.
+    "q73_tokenize" -> ((s, dir) => {
+      val messy = Tables.documents(s, dir).select(col("doc_id"),
+        concat(lit("  ("), col("text"), lit(")...  end!!  ")).as("t"))
+      messy.select(col("doc_id"),
+        size(TextAnalysis.tokensWs(col("t"))).as("n_ws"),
+        size(TextAnalysis.wordTokens(col("t"))).as("n_words"),
+        get(TextAnalysis.wordTokens(col("t")), lit(0)).as("first_word"))
+        .orderBy("doc_id")
+    }),
+
     // Sketch-path robust scale: both fits (median, MAD) via
     // percentile_approx — the 100-TB path twin of q68. Rows-only check.
     "q71_robust_sketch" -> ((s, dir) => {
@@ -1428,5 +1512,68 @@ object SparkEntry {
         |round(avg(CAST(len(string_split(text, ' ')) AS DOUBLE)), 6) AS avg_tokens,
         |round(avg(CAST(n_chars AS DOUBLE)), 6) AS avg_chars
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+
+    // Mirrors osv5mFrame's synthesis (only the columns the output observes)
+    // and the whole process_batch chain: trim, epoch->1970-sentinel date
+    // parts, id-ordered ffill/bfill, Unknown fill, sorted-distinct label
+    // codes (dense_rank-1 == sklearn LabelEncoder), zero-fill, z-score with
+    // population stddev. Fill order is VARCHAR `id` on both sides.
+    "q72_osv5m_clean" ->
+      """WITH base AS (SELECT CAST(o_orderkey AS VARCHAR) AS id,
+        |CASE WHEN o_orderkey % 19 = 0 THEN NULL ELSE CAST(o_orderkey % 180 - 90 AS DOUBLE) + 0.25 END AS latitude,
+        |CASE WHEN o_orderkey % 23 = 0 THEN NULL ELSE CAST(o_orderkey % 360 - 180 AS DOUBLE) + 0.5 END AS longitude,
+        |CASE WHEN o_orderkey % 29 = 0 THEN NULL ELSE CAST(o_orderkey % 1000 AS DOUBLE) / 8.0 END AS dist_sea,
+        |CASE WHEN o_orderkey % 31 = 0 THEN NULL ELSE CAST(o_orderkey % 64 AS DOUBLE) / 4.0 END AS road_index,
+        |concat('  C', CAST(o_orderkey % 7 AS VARCHAR), ' ') AS country,
+        |CASE WHEN o_orderkey % 13 < 2 THEN NULL ELSE concat(' R', CAST(o_orderkey % 5 AS VARCHAR)) END AS region,
+        |CASE WHEN o_orderkey % 13 IN (3, 4) THEN NULL ELSE concat('S', CAST(o_orderkey % 4 AS VARCHAR), ' ') END AS subregion,
+        |CASE WHEN o_orderkey % 17 = 0 THEN NULL ELSE concat('City', CAST(o_orderkey % 9 AS VARCHAR)) END AS city,
+        |CASE WHEN o_orderkey % 37 = 0 THEN NULL ELSE concat('U', CAST(o_orderkey % 3 AS VARCHAR)) END AS unique_country,
+        |CASE WHEN o_orderkey % 7 < 3 THEN NULL ELSE concat('UC', CAST(o_orderkey % 11 AS VARCHAR)) END AS unique_city,
+        |CASE WHEN o_orderkey % 5 = 0 THEN NULL ELSE concat('user_', CAST(o_orderkey % 50 AS VARCHAR)) END AS creator_username,
+        |CASE WHEN o_orderkey % 11 = 0 THEN NULL ELSE 400000000000 + (o_orderkey % 3650) * 86400000 + (o_orderkey % 86400) * 1000 END AS captured_at
+        |FROM orders),
+        |t AS (SELECT id, latitude, longitude, dist_sea, road_index, unique_city, creator_username,
+        |trim(country) AS country, trim(region) AS region, trim(subregion) AS subregion,
+        |trim(city) AS city, trim(unique_country) AS unique_country,
+        |CAST(coalesce(year(epoch_ms(captured_at)), 1970) AS INTEGER) AS year,
+        |CAST(coalesce(month(epoch_ms(captured_at)), 1) AS INTEGER) AS month,
+        |CAST(coalesce(day(epoch_ms(captured_at)), 1) AS INTEGER) AS day
+        |FROM base),
+        |f AS (SELECT id, year, month, day, country, creator_username, latitude, longitude, dist_sea, road_index,
+        |coalesce(last_value(region IGNORE NULLS) OVER wf, first_value(region IGNORE NULLS) OVER wb) AS region_f,
+        |coalesce(last_value(subregion IGNORE NULLS) OVER wf, first_value(subregion IGNORE NULLS) OVER wb) AS subregion_f,
+        |coalesce(last_value(city IGNORE NULLS) OVER wf, first_value(city IGNORE NULLS) OVER wb) AS city_f,
+        |coalesce(last_value(unique_country IGNORE NULLS) OVER wf, first_value(unique_country IGNORE NULLS) OVER wb) AS ucountry_f,
+        |coalesce(last_value(unique_city IGNORE NULLS) OVER wf, first_value(unique_city IGNORE NULLS) OVER wb) AS ucity_f
+        |FROM t
+        |WINDOW wf AS (ORDER BY id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        |wb AS (ORDER BY id ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)),
+        |e AS (SELECT *,
+        |coalesce(latitude, 0) AS lat0, coalesce(longitude, 0) AS lon0,
+        |coalesce(dist_sea, 0) AS dsea0, coalesce(road_index, 0) AS ri0,
+        |CAST(dense_rank() OVER (ORDER BY country) - 1 AS BIGINT) AS country_code,
+        |CAST(dense_rank() OVER (ORDER BY region_f) - 1 AS BIGINT) AS region_code,
+        |CAST(dense_rank() OVER (ORDER BY subregion_f) - 1 AS BIGINT) AS subregion_code,
+        |CAST(dense_rank() OVER (ORDER BY city_f) - 1 AS BIGINT) AS city_code,
+        |CAST(dense_rank() OVER (ORDER BY ucountry_f) - 1 AS BIGINT) AS unique_country_code
+        |FROM f)
+        |SELECT id, year, month, day, region_f AS region, city_f AS city,
+        |coalesce(ucity_f, 'Unknown') AS unique_city,
+        |coalesce(creator_username, 'Unknown') AS creator_username,
+        |country_code, region_code, subregion_code, city_code, unique_country_code,
+        |round((lat0 - avg(lat0) OVER ()) / stddev_pop(lat0) OVER (), 6) AS latitude_z,
+        |round((lon0 - avg(lon0) OVER ()) / stddev_pop(lon0) OVER (), 6) AS longitude_z,
+        |round((dsea0 - avg(dsea0) OVER ()) / stddev_pop(dsea0) OVER (), 6) AS dist_sea_z,
+        |round((ri0 - avg(ri0) OVER ()) / stddev_pop(ri0) OVER (), 6) AS road_index_z
+        |FROM e ORDER BY id""".stripMargin,
+
+    "q73_tokenize" ->
+      """WITH m AS (SELECT doc_id, concat('  (', text, ')...  end!!  ') AS t FROM documents)
+        |SELECT doc_id,
+        |CAST(len(list_filter(regexp_split_to_array(t, '\s+'), x -> x <> '')) AS INTEGER) AS n_ws,
+        |CAST(len(regexp_extract_all(t, '[A-Za-z0-9]+')) AS INTEGER) AS n_words,
+        |regexp_extract_all(t, '[A-Za-z0-9]+')[1] AS first_word
+        |FROM m ORDER BY doc_id""".stripMargin,
   )
 }

@@ -13,8 +13,22 @@ import org.apache.spark.sql.{Column, DataFrame}
 object TextAnalysis {
 
   /** Whitespace tokens. Single-space split matches the synthetic corpus and
-    * the DuckDB oracle exactly; swap for `\\s+` regex on real text. */
+    * the DuckDB oracle exactly; real text goes through [[tokensWs]] /
+    * [[wordTokens]]. */
   def tokens(text: Column): Column = split(text, " ")
+
+  /** Real-text whitespace tokenization: split on whitespace RUNS (`\s+`)
+    * and drop empty tokens — multi-space, tabs, newlines, and leading/
+    * trailing whitespace all collapse, where the corpus-exact single-space
+    * [[tokens]] would emit empty tokens. Still pure codegen'd built-ins. */
+  def tokensWs(text: Column): Column =
+    filter(split(text, "\\s+"), t => t =!= "")
+
+  /** Word tokens: maximal `[A-Za-z0-9]+` runs — punctuation-immune
+    * tokenization. The character-class pattern is RE2-safe, so DuckDB's
+    * `regexp_extract_all` computes the identical list (oracle q73). */
+  def wordTokens(text: Column): Column =
+    regexp_extract_all(text, lit("[A-Za-z0-9]+"), lit(0))
 
   /** Count occurrences of an exact token. */
   def tokenOccurrences(text: Column, token: String): Column =

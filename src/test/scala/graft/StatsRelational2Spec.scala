@@ -239,6 +239,21 @@ class StatsRelational2Spec extends SparkSuite {
     }
   }
 
+  test("tokensWs collapses whitespace runs; wordTokens strips punctuation") {
+    val df = Seq("  Hello,   world!\tfoo2bar  ", "").toDF("t")
+      .select(TextAnalysis.tokensWs(col("t")).as("ws"),
+        TextAnalysis.wordTokens(col("t")).as("wd"))
+    val rows = df.as[(Seq[String], Seq[String])].collect()
+    assert(rows(0)._1 === Seq("Hello,", "world!", "foo2bar"))
+    assert(rows(0)._2 === Seq("Hello", "world", "foo2bar"))
+    assert(rows(1)._1 === Seq.empty && rows(1)._2 === Seq.empty)
+    // the single-space `tokens` keeps empties on multi-space input — the
+    // exact behavior tokensWs exists to fix
+    val legacy = Seq("a  b").toDF("t")
+      .select(TextAnalysis.tokens(col("t"))).as[Seq[String]].head()
+    assert(legacy === Seq("a", "", "b"))
+  }
+
   test("ngrams builds sliding word windows; short docs yield none") {
     val df = Seq("a b c d", "solo").toDF("text")
       .select(TextAnalysis.tokens(col("text")).as("tk"))
