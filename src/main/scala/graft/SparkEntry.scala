@@ -364,6 +364,31 @@ object SparkEntry {
         .orderBy("probe_id", "rank")
     }),
 
+    // Multi-probe IVF: each probe searches its 2 closest cells — the recall
+    // lever for probes near a cell boundary; corpus work scales with nprobe,
+    // never with corpus size.
+    "q74_ann_multiprobe" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Similarity.ivfTopK(emb, emb.where(col("vec_id") < 8),
+        emb.where(col("vec_id") >= 10 && col("vec_id") < 20), 3, nprobe = 2)
+        .orderBy("probe_id", "rank")
+    }),
+
+    // Fuzzy near-dup pairs: prefix blocking + thresholded levenshtein
+    // (banded DP) — typo-level dedup complementing MinHash/LSH.
+    "q75_fuzzy_pairs" -> ((s, dir) => {
+      Dedup.fuzzyPairs(Tables.documents(s, dir), "doc_id", "text", 6)
+        .orderBy("id_a", "id_b")
+    }),
+
+    // Sparse TF-IDF cosine pairs via inverted-index join on hashed
+    // 3-shingle features (term-at-a-time; work bounded by sum df^2).
+    "q76_tfidf_cosine" -> ((s, dir) => {
+      TextAnalysis.tfidfCosinePairs(Tables.documents(s, dir), "doc_id", "text",
+        minCos = 0.3, maxDf = 1000)
+        .orderBy("id_a", "id_b")
+    }),
+
     // Embedding near-duplicate pairs above cosine threshold.
     "q29_embed_neardup" -> ((s, dir) => {
       Similarity.nearDupPairs(Tables.embeddings(s, dir), 0.2, 20)
@@ -1146,6 +1171,35 @@ object SparkEntry {
         |SELECT probe_id, CAST(rank AS BIGINT) AS rank, neighbor_id, round(cos, 6) AS cosine
         |FROM r WHERE rank <= 3 ORDER BY probe_id, rank""".stripMargin,
 
+    // Same blocking as the Spark side: 16-char prefix + length bound, then
+    // exact levenshtein. edit_dist cast to INTEGER (Spark levenshtein is int).
+    "q75_fuzzy_pairs" ->
+      """WITH t AS (SELECT doc_id, text, substr(text, 1, 16) AS pfx, length(text) AS ln FROM documents)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |CAST(levenshtein(a.text, b.text) AS INTEGER) AS edit_dist
+        |FROM t a JOIN t b ON a.pfx = b.pfx AND a.doc_id < b.doc_id AND abs(a.ln - b.ln) <= 6
+        |WHERE levenshtein(a.text, b.text) <= 6
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    // Same hashed-3-shingle features, tf * ln(n/df) weights, and posting
+    // self-join as the Spark side; cosine filtered before rounding.
+    "q76_tfidf_cosine" ->
+      s"""WITH tok AS (SELECT doc_id, text, string_split(text, ' ') AS tk FROM documents),
+         |sh AS (SELECT doc_id, unnest(list_transform(
+         |CASE WHEN len(tk) < 3 THEN [text] ELSE list_transform(range(1, len(tk) - 1),
+         |i -> array_to_string(tk[i:i+2], ' ')) END, s -> ${dhash("s")})) AS term FROM tok),
+         |tf AS (SELECT doc_id, term, count(*) AS tf FROM sh GROUP BY 1, 2),
+         |dfx AS (SELECT term, count(*) AS df FROM tf GROUP BY 1 HAVING count(*) <= 1000),
+         |w AS (SELECT tf.doc_id, tf.term,
+         |tf.tf * ln((SELECT count(*) FROM documents) / CAST(dfx.df AS DOUBLE)) AS w
+         |FROM tf JOIN dfx USING (term)),
+         |nrm AS (SELECT doc_id, sqrt(sum(w * w)) AS nrm FROM w GROUP BY 1),
+         |dt AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, sum(a.w * b.w) AS dot
+         |FROM w a JOIN w b ON a.term = b.term AND a.doc_id < b.doc_id GROUP BY 1, 2)
+         |SELECT id_a, id_b, round(dot / (na.nrm * nb.nrm), 6) AS cosine
+         |FROM dt JOIN nrm na ON dt.id_a = na.doc_id JOIN nrm nb ON dt.id_b = nb.doc_id
+         |WHERE dot / (na.nrm * nb.nrm) >= 0.3 ORDER BY id_a, id_b""".stripMargin,
+
     "q29_embed_neardup" ->
       """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)
         |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
@@ -1567,6 +1621,26 @@ object SparkEntry {
         |round((dsea0 - avg(dsea0) OVER ()) / stddev_pop(dsea0) OVER (), 6) AS dist_sea_z,
         |round((ri0 - avg(ri0) OVER ()) / stddev_pop(ri0) OVER (), 6) AS road_index_z
         |FROM e ORDER BY id""".stripMargin,
+
+    // Same assignment arithmetic as q28; the probe side keeps rr <= 2 cells.
+    "q74_ann_multiprobe" ->
+      """WITH cent AS (SELECT vec_id AS cell_id, CAST(embedding AS DOUBLE[]) AS cvv FROM embeddings WHERE vec_id < 8),
+        |corp AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |ranked AS (SELECT corp.vec_id, corp.v, cent.cell_id,
+        |  row_number() OVER (PARTITION BY corp.vec_id ORDER BY
+        |    list_dot_product(corp.v, cent.cvv) / (sqrt(list_dot_product(corp.v, corp.v)) * sqrt(list_dot_product(cent.cvv, cent.cvv))) DESC,
+        |    cent.cell_id) AS rr
+        |  FROM corp CROSS JOIN cent),
+        |asg AS (SELECT vec_id, v, cell_id FROM ranked WHERE rr = 1),
+        |probes AS (SELECT vec_id AS probe_id, v AS pv, cell_id FROM ranked
+        |  WHERE rr <= 2 AND vec_id >= 10 AND vec_id < 20),
+        |sc AS (SELECT p.probe_id, a.vec_id AS neighbor_id,
+        |list_dot_product(p.pv, a.v) / (sqrt(list_dot_product(p.pv, p.pv)) * sqrt(list_dot_product(a.v, a.v))) AS cos
+        |FROM probes p JOIN asg a ON p.cell_id = a.cell_id AND a.vec_id != p.probe_id),
+        |r AS (SELECT probe_id, neighbor_id, cos,
+        |row_number() OVER (PARTITION BY probe_id ORDER BY cos DESC, neighbor_id) AS rank FROM sc)
+        |SELECT probe_id, CAST(rank AS BIGINT) AS rank, neighbor_id, round(cos, 6) AS cosine
+        |FROM r WHERE rank <= 3 ORDER BY probe_id, rank""".stripMargin,
 
     "q73_tokenize" ->
       """WITH m AS (SELECT doc_id, concat('  (', text, ')...  end!!  ') AS t FROM documents)

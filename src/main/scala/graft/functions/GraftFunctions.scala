@@ -44,6 +44,12 @@ object GraftFunctions {
                        centVecs: Seq[Seq[Double]]): Column =
     col(NearestCentroid(ex(vec), centIds, centVecs))
 
+  /** Top-p nearest centroid ids, (cosine DESC, id ASC) order — the
+    * multi-probe IVF quantize step (see [[NearestCells]]). */
+  def nearest_cells(vec: Column, centIds: Seq[Long],
+                    centVecs: Seq[Seq[Double]], p: Int): Column =
+    col(NearestCells(ex(vec), centIds, centVecs, p))
+
   /** Top-k (score DESC, id ASC) pairs per group with a bounded k-slot
     * buffer — shuffle bytes |groups| x k regardless of row count (see
     * [[TopKByScore]]). */

@@ -44,12 +44,19 @@ object Dedup {
     * lambda-body subexpressions once per array element — an inline
     * `split(text,' ')` here re-splits the whole document ~3x per shingle
     * (measured 5s -> 0.5s on 5k docs when bound to a column). */
-  def shingleHashesOverToks(toks: String, t: String): String = {
+  def shingleHashesOverToks(toks: String, t: String): String =
+    s"array_distinct(${shingleHashesRawOverToks(toks, t)})"
+
+  /** Non-distinct form of [[shingleHashesOverToks]] — keeps one hash per
+    * shingle OCCURRENCE, for term-frequency features (TF-IDF) where
+    * multiplicity matters; set semantics (Jaccard/MinHash) use the distinct
+    * wrapper above. */
+  def shingleHashesRawOverToks(toks: String, t: String): String = {
     val shingles =
       s"CASE WHEN size($toks) < 3 THEN array($t) " +
         s"ELSE transform(sequence(0, size($toks) - 3), " +
         s"i -> concat_ws(' ', $toks[i], $toks[i+1], $toks[i+2])) END"
-    s"array_distinct(transform($shingles, s -> ${hashFrag("s")}))"
+    s"transform($shingles, s -> ${hashFrag("s")})"
   }
 
   /** Convenience form binding `toks` inline — only for tiny/test inputs. */
@@ -166,6 +173,41 @@ object Dedup {
       .select(col("id_a"), col("id_b"),
         round(expr("size(array_intersect(h_a, h_b)) / CAST(size(array_union(h_a, h_b)) AS DOUBLE)"), 6)
           .as("jaccard"))
+  }
+
+  /** Fuzzy near-duplicate pairs by bounded edit distance, with prefix
+    * blocking as the candidate generator: only documents sharing their
+    * first `prefixLen` characters AND within `maxDist` of each other's
+    * length are compared — the classic blocking pass for typo-level dedup
+    * (LSH/MinHash catches reordered content; edit distance catches
+    * character-level corruption LSH's token shingles miss).
+    *
+    * Scale shape: the join key is the prefix, so the shuffle is an
+    * equi-join bucketed by prefix — never all-pairs. The verify stage uses
+    * Spark's THRESHOLDED levenshtein (banded DP, O(len x maxDist) per pair
+    * instead of O(len^2), early-abandons above the bound). Blocking on a
+    * single prefix misses pairs whose edits fall inside the first
+    * `prefixLen` chars; run a second pass blocked on a reversed-text prefix
+    * (or length-bucket keys) and union for higher recall — same shape, same
+    * cost model.
+    *
+    * Returns (id_a, id_b, edit_dist), id_a < id_b, edit_dist <= maxDist. */
+  def fuzzyPairs(df: DataFrame, idCol: String, textCol: String,
+                 maxDist: Int, prefixLen: Int = 16): DataFrame = {
+    val t = df.select(col(idCol), col(textCol),
+      substring(col(textCol), 1, prefixLen).as("_pfx"),
+      length(col(textCol)).as("_ln"))
+    val a = t.select(col(idCol).as("id_a"), col(textCol).as("text_a"),
+      col("_pfx"), col("_ln").as("ln_a"))
+    val b = t.select(col(idCol).as("id_b"), col(textCol).as("text_b"),
+      col("_pfx"), col("_ln").as("ln_b"))
+    a.join(b, "_pfx")
+      // |len_a - len_b| is a levenshtein lower bound: free pre-prune before
+      // the DP runs.
+      .where(col("id_a") < col("id_b") && abs(col("ln_a") - col("ln_b")) <= maxDist)
+      .select(col("id_a"), col("id_b"),
+        levenshtein(col("text_a"), col("text_b"), maxDist).as("edit_dist"))
+      .where(col("edit_dist") >= 0) // thresholded form returns -1 above maxDist
   }
 
   /** SimHash values per document (fused native kernel,

@@ -98,12 +98,34 @@ object Similarity {
         .nearest_centroid(col(vecCol), ids, vecs).as("cell_id"))
   }
 
-  /** IVF-style ANN: quantize corpus and probes to cells, search only within
-    * the probe's cell. Returns (probe_id, rank, neighbor_id, cosine). */
+  /** Assign each row its top-`nprobe` max-cosine cells, one output row per
+    * (vector, cell) — the probe-side expansion of multi-probe IVF. Same
+    * narrow-projection contract as [[assignCells]]; the explode multiplies
+    * only the (small) probe side, never the corpus. */
+  def assignCellsMulti(df: DataFrame, centroids: DataFrame, nprobe: Int,
+                       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val collected = centroids
+      .select(col(idCol).cast("long"), col(vecCol).cast("array<double>"))
+      .collect()
+    require(collected.nonEmpty, "assignCellsMulti: centroid set is empty")
+    val ids = collected.map(_.getLong(0)).toSeq
+    val vecs = collected.map(_.getSeq[Double](1)).toSeq
+    df.select(col(idCol), col(vecCol),
+      explode(graft.functions.GraftFunctions
+        .nearest_cells(col(vecCol), ids, vecs, nprobe)).as("cell_id"))
+  }
+
+  /** IVF-style ANN: quantize the corpus to cells, search each probe's
+    * `nprobe` closest cells (multi-probe — the standard recall lever for a
+    * probe near a cell boundary; corpus work grows with nprobe, never with
+    * corpus size). Returns (probe_id, rank, neighbor_id, cosine). A
+    * neighbor lives in exactly one cell, so multi-probe candidates are
+    * naturally duplicate-free. */
   def ivfTopK(corpus: DataFrame, centroids: DataFrame, probes: DataFrame, k: Int,
-              idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+              idCol: String = "vec_id", vecCol: String = "embedding",
+              nprobe: Int = 1): DataFrame = {
     val cells = assignCells(corpus, centroids, idCol, vecCol)
-    val p = assignCells(probes, centroids, idCol, vecCol)
+    val p = assignCellsMulti(probes, centroids, nprobe, idCol, vecCol)
       .select(col(idCol).as("probe_id"), col(vecCol).as("probe_vec"), col("cell_id"))
     val c = cells.select(col(idCol).as("neighbor_id"), col(vecCol).as("cand_vec"), col("cell_id"))
     val scored = c.join(broadcast(p), "cell_id")

@@ -118,6 +118,53 @@ object TextAnalysis {
       .select(col(idCol), col("rank"), col("term"), col("score"))
   }
 
+  /** Sparse TF-IDF cosine document similarity via an inverted-index join —
+    * the lexical twin of [[Similarity.nearDupPairs]]'s embedding path.
+    * Features are hashed word 3-shingles (occurrence-counted, not distinct:
+    * multiplicity is the TF), so posting lists stay short even when the
+    * unigram vocabulary is tiny and every unigram's posting list is the
+    * whole corpus.
+    *
+    * Distributed shape, term-at-a-time: tf and df are two map-side-
+    * combinable aggregations; weights w = tf * ln(n/df); the pairwise dot
+    * product is a self-equi-join of the posting lists keyed by term —
+    * per-term work is |postings|^2, so total work is sum over terms of
+    * min(df, maxDf)^2, NOT |docs|^2. `maxDf` is the stop-term guard that
+    * makes that bound real: a term appearing in more than maxDf documents
+    * is dropped from weights AND norms (it carries ~zero idf signal and
+    * quadratic join cost). The tf subplan appears in four consumers; its
+    * shuffle is computed once via Spark's ReuseExchange (identical
+    * canonical subtrees), so nothing here needs a persist.
+    *
+    * Output: (id_a, id_b, cosine) with id_a < id_b, cosine >= minCos,
+    * rounded to 6 dp (filter applies BEFORE rounding, mirroring the
+    * oracle). */
+  def tfidfCosinePairs(docs: DataFrame, idCol: String, textCol: String,
+                       minCos: Double, maxDf: Long): DataFrame = {
+    graft.functions.GraftFunctions.registerAll(docs.sparkSession)
+    val n = docs.agg(count(lit(1)).cast("double").as("_n"))
+    val tf = docs
+      .select(col(idCol), col(textCol), tokens(col(textCol)).as("_tk"))
+      .select(col(idCol),
+        explode(expr(Dedup.shingleHashesRawOverToks("_tk", textCol))).as("term"))
+      .groupBy(idCol, "term").agg(count(lit(1)).as("tf"))
+    val dfT = tf.groupBy("term").agg(count(lit(1)).as("df"))
+      .where(col("df") <= maxDf)
+    val w = tf.join(dfT, "term").crossJoin(broadcast(n))
+      .select(col(idCol), col("term"),
+        (col("tf") * log(col("_n") / col("df"))).as("w"))
+    val nrm = w.groupBy(idCol).agg(sqrt(sum(col("w") * col("w"))).as("nrm"))
+    val a = w.select(col(idCol).as("id_a"), col("term"), col("w").as("w_a"))
+    val b = w.select(col(idCol).as("id_b"), col("term"), col("w").as("w_b"))
+    a.join(b, "term").where(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b").agg(sum(col("w_a") * col("w_b")).as("dot"))
+      .join(nrm.select(col(idCol).as("id_a"), col("nrm").as("_na")), "id_a")
+      .join(nrm.select(col(idCol).as("id_b"), col("nrm").as("_nb")), "id_b")
+      .withColumn("_cos", col("dot") / (col("_na") * col("_nb")))
+      .where(col("_cos") >= minCos)
+      .select(col("id_a"), col("id_b"), round(col("_cos"), 6).as("cosine"))
+  }
+
   /** Top-k word n-grams per group — the corpus-level n-gram frequency table
     * every data-mix report needs. Two map-side-combinable aggregations and a
     * rank window; the token array is bound before the n-gram lambda. */

@@ -86,6 +86,33 @@ class DedupSimilaritySpec extends SparkSuite {
     assert(out(0)._3 === 11L) // same-cell nearest, not the cross-cell one
   }
 
+  test("ivfTopK multi-probe recovers the cross-cell neighbor nprobe=1 misses") {
+    val vecs = Seq(
+      (0L, Array(1f, 0f)), (1L, Array(0f, 1f)),             // centroids
+      (20L, Array(0.72f, 0.7f)),                            // probe: near the boundary, lands in cell 0
+      (21L, Array(0.6f, 0.8f)),                             // true nearest, but in cell 1
+      (22L, Array(1f, 0.1f))).toDF("vec_id", "embedding")   // same-cell decoy
+    val cents = vecs.where(col("vec_id") < 2)
+    val probe = vecs.where(col("vec_id") === 20)
+    val single = Similarity.ivfTopK(vecs, cents, probe, 1)
+      .as[(Long, Long, Long, Double)].collect()
+    val multi = Similarity.ivfTopK(vecs, cents, probe, 1, nprobe = 2)
+      .as[(Long, Long, Long, Double)].collect()
+    assert(single(0)._3 === 22L) // confined to its own cell
+    assert(multi(0)._3 === 21L)  // the second-closest cell holds the true nearest
+  }
+
+  test("fuzzyPairs: prefix-blocked thresholded levenshtein finds typo pairs only") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox jumped over the lazy hog"), // dist 3 from 1
+      (3L, "the quick brown cat sat on a completely different mat today ok"), // same prefix, too far
+      (4L, "unrelated text that shares no prefix at all")).toDF("doc_id", "text")
+    val out = Dedup.fuzzyPairs(docs, "doc_id", "text", maxDist = 6)
+      .as[(Long, Long, Int)].collect().sorted
+    assert(out === Array((1L, 2L, 3)))
+  }
+
   test("vector_avg aggregates element-wise means (custom TypedImperativeAggregate)") {
     val vecs = Seq((0, Array(1f, 2f)), (0, Array(3f, 4f)), (1, Array(10f, 20f)))
       .toDF("g", "v")

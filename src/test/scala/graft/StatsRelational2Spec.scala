@@ -274,6 +274,38 @@ class StatsRelational2Spec extends SparkSuite {
     assert(out === Array((1L, "apple"), (2L, "banana"), (3L, "cherry")))
   }
 
+  test("tfidfCosinePairs: near-dup docs score high, disjoint docs absent") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "alpha beta gamma delta epsilon zeta eta iota"), // shares 5 shingles with 1
+      (3L, "one two three four five six seven eight")).toDF("doc_id", "text")
+    val out = TextAnalysis.tfidfCosinePairs(docs, "doc_id", "text",
+      minCos = 0.1, maxDf = 10)
+      .as[(Long, Long, Double)].collect().sorted
+    assert(out.map(p => (p._1, p._2)) === Array((1L, 2L)))
+    // 5 of 6 shingles shared, but the unique shingle carries the highest
+    // idf: cos = 5*ln(3/2)^2 / (5*ln(3/2)^2 + ln(3)^2) ~ 0.405
+    assert(out(0)._3 > 0.3 && out(0)._3 < 0.5)
+  }
+
+  test("tfidfCosinePairs maxDf drops stop-shingles from dot and norms") {
+    // Identical docs: cosine 1.0; with maxDf 1 every shared shingle (df=2)
+    // is pruned, so no weights survive and no pair is emitted.
+    val docs = Seq(
+      (1L, "a b c d e"), (2L, "a b c d e")).toDF("doc_id", "text")
+    val all = TextAnalysis.tfidfCosinePairs(docs, "doc_id", "text", 0.0, 10)
+      .as[(Long, Long, Double)].collect()
+    // df = 2 for every shingle -> idf = ln(2/2) = 0 -> zero norms drop out
+    assert(all.isEmpty)
+    val three = Seq(
+      (1L, "a b c d e"), (2L, "a b c d e"), (3L, "p q r s t")).toDF("doc_id", "text")
+    val out = TextAnalysis.tfidfCosinePairs(three, "doc_id", "text", 0.5, 10)
+      .as[(Long, Long, Double)].collect()
+    assert(out.map(p => (p._1, p._2, p._3)) === Array((1L, 2L, 1.0)))
+    assert(TextAnalysis.tfidfCosinePairs(three, "doc_id", "text", 0.0, 1)
+      .as[(Long, Long, Double)].collect().isEmpty)
+  }
+
   test("topNgrams returns the k most frequent per group, ties by ngram") {
     val docs = Seq(("en", "x y x y z"), ("en", "x y q")).toDF("lang", "text")
     val out = TextAnalysis.topNgrams(docs, "lang", "text", 2, 2)
