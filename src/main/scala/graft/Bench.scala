@@ -26,39 +26,45 @@ object Bench {
     // doesn't absorb session startup.
     graft.meta.Tables.lineitem(spark, sfDir)
       .groupBy("l_returnflag").count().write.format("noop").mode("overwrite").save()
-    // Two passes, report per-query MIN: pass 1 absorbs codegen/JIT compilation
-    // of each plan shape, and min filters out contention spikes on a shared
-    // box (a single spike inflated one query 20x in round 1's driver run).
+    // Per-query consecutive passes, report the MIN: pass 1 absorbs codegen/JIT
+    // compilation of each plan shape, and min filters out contention spikes on
+    // a shared box (a single spike inflated one query 20x in round 1's driver
+    // run, and an 80x spike on q30 in round 4). Passes run BACK-TO-BACK per
+    // query (q, q, next) — not pass-at-a-time over all queries — so every
+    // query keeps its min-of-2 even when the budget cuts the run short:
+    // round 4's pass-at-a-time loop burned the whole budget on one cold pass
+    // of 76 queries and silently produced cold-only numbers for everything.
     val passes = sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "2").toInt
     require(passes >= 1, s"SPARK_GRAFT_BENCH_PASSES must be >= 1, got $passes")
     val names = SparkEntry.queries.keys.toSeq.sorted
-    // Time budget: extra passes only run while total wall time stays under
-    // SPARK_GRAFT_BENCH_BUDGET seconds — insurance against a driver-side
-    // timeout killing the run before the JSON line prints.
-    val budgetSec = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET", "240").toDouble
+    // Time budget: once total wall time exceeds SPARK_GRAFT_BENCH_BUDGET
+    // seconds, remaining queries drop to a single pass — insurance against a
+    // driver-side timeout killing the run before the JSON line prints. The
+    // default must sit well above one full cold pass (~250s at 76 queries).
+    val budgetSec = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET", "600").toDouble
     val benchStart = System.nanoTime()
-    // A failed attempt must not contribute its (fast) time-to-failure to the
-    // min — record it as +inf; a query that failed in EVERY pass reports -1
-    // so the driver sees an impossible value, not a bogus small one.
-    val timed = (1 to passes).flatMap { pass =>
-      if (pass > 1 && (System.nanoTime() - benchStart) / 1e9 > budgetSec) None
-      else Some(names.map { name =>
-        val t0 = System.nanoTime()
-        val ok =
-          try {
-            SparkEntry.queries(name)(spark, sfDir)
-              .write.format("noop").mode("overwrite").save()
-            true
-          } catch { case e: Throwable =>
-            System.err.println(s"[bench] $name failed: ${e.getMessage}")
-            false
-          }
-        name -> (if (ok) (System.nanoTime() - t0) / 1e9 else Double.PositiveInfinity)
-      }.toMap)
+    def runOnce(name: String): Double = {
+      val t0 = System.nanoTime()
+      try {
+        SparkEntry.queries(name)(spark, sfDir)
+          .write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] $name failed: ${e.getMessage}")
+        // A failed attempt must not contribute its (fast) time-to-failure to
+        // the min — record +inf; all-passes-failed reports -1 below so the
+        // driver sees an impossible value, not a bogus small one.
+        Double.PositiveInfinity
+      }
     }
-    val results = names.map { n =>
-      val best = timed.map(_(n)).min
-      n -> (if (best.isInfinity) -1.0 else best)
+    val results = names.map { name =>
+      val first = runOnce(name)
+      val overBudget = (System.nanoTime() - benchStart) / 1e9 > budgetSec
+      val rest =
+        if (overBudget) Seq.empty
+        else (2 to passes).map(_ => runOnce(name))
+      val best = (first +: rest).min
+      name -> (if (best.isInfinity) -1.0 else best)
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")

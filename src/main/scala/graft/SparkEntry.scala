@@ -1198,7 +1198,8 @@ object SparkEntry {
          |FROM w a JOIN w b ON a.term = b.term AND a.doc_id < b.doc_id GROUP BY 1, 2)
          |SELECT id_a, id_b, round(dot / (na.nrm * nb.nrm), 6) AS cosine
          |FROM dt JOIN nrm na ON dt.id_a = na.doc_id JOIN nrm nb ON dt.id_b = nb.doc_id
-         |WHERE dot / (na.nrm * nb.nrm) >= 0.3 ORDER BY id_a, id_b""".stripMargin,
+         |WHERE na.nrm > 0 AND nb.nrm > 0
+         |AND dot / (na.nrm * nb.nrm) >= 0.3 ORDER BY id_a, id_b""".stripMargin,
 
     "q29_embed_neardup" ->
       """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)

@@ -57,6 +57,19 @@ object GraftFunctions {
     col(TopKByScore(ex(score.cast("double")), ex(id.cast("long")),
       org.apache.spark.sql.catalyst.expressions.Literal(k)).toAggregateExpression())
 
+  /** Bloom-filter build aggregate over a BIGINT key → the filter as BINARY.
+    * Map-side combinable (merge is bitwise OR); see [[BloomFilterAgg]]. */
+  def bloom_agg(key: Column, numBits: Int = 1 << 20, numHashes: Int = 6): Column =
+    col(BloomFilterAgg(ex(key.cast("long")), numBits, numHashes).toAggregateExpression())
+
+  /** Bloom membership probe with the filter riding inside the expression as
+    * driver-collected bytes — a pure narrow projection, zero Exchange (see
+    * [[BloomMightContain]]). No false negatives; callers follow with an
+    * exact join ([[graft.operators.Relational.bloomSemiJoin]]). */
+  def bloom_might_contain(key: Column, bloomBytes: Array[Byte],
+                          numHashes: Int = 6): Column =
+    col(BloomMightContain(ex(key.cast("long")), bloomBytes, numHashes))
+
   // ---- SQL builders (shared with plans.GraftExtensions) -----------------
   // SQL callers get the same input coercion as the Column wrappers: string/
   // double casts up front (there is no ExpectsInputTypes in Spark 4 outside
@@ -67,6 +80,16 @@ object GraftFunctions {
 
   private def asString(e: Expression): Expression = Cast(e, StringType)
   private def asDouble(e: Expression): Expression = Cast(e, DoubleType)
+  private def asLong(e: Expression): Expression =
+    Cast(e, org.apache.spark.sql.types.LongType)
+  private def literalInt(e: Expression, what: String): Int = {
+    require(e.foldable, s"$what must be a constant expression, got ${e.sql}")
+    e.eval() match {
+      case n: Number => n.intValue()
+      case other => throw new IllegalArgumentException(
+        s"$what must be an integer constant, got $other")
+    }
+  }
   private def literalK(es: Seq[Expression], default: Int): Int = es match {
     case Seq(_) => default
     case Seq(_, k) if k.foldable => k.eval() match {
@@ -91,7 +114,19 @@ object GraftFunctions {
     // wraps them into AggregateExpressions at use sites.
     "vector_avg" -> (es => VectorAvg(es.head)),
     "topk_by_score" -> (es =>
-      TopKByScore(asDouble(es(0)), Cast(es(1), org.apache.spark.sql.types.LongType), es(2))))
+      TopKByScore(asDouble(es(0)), Cast(es(1), org.apache.spark.sql.types.LongType), es(2))),
+    "bloom_agg" -> (es => BloomFilterAgg(asLong(es(0)),
+      literalInt(es(1), "bloom_agg numBits"), literalInt(es(2), "bloom_agg numHashes"))),
+    // The filter argument must be a foldable BINARY (e.g. a literal built
+    // from a collected bloom_agg row) — the probe carries the bytes as a
+    // constant, never as a per-row column (see BloomMightContain scaladoc).
+    "bloom_might_contain" -> (es => {
+      require(es(1).foldable,
+        s"bloom_might_contain filter must be a constant, got ${es(1).sql}")
+      BloomMightContain(asLong(es(0)),
+        es(1).eval().asInstanceOf[Array[Byte]],
+        literalInt(es(2), "bloom_might_contain numHashes"))
+    }))
 
   /** Register all graft expressions for SQL usage. Idempotent. */
   def registerAll(spark: SparkSession): Unit =

@@ -160,6 +160,11 @@ object TextAnalysis {
       .groupBy("id_a", "id_b").agg(sum(col("w_a") * col("w_b")).as("dot"))
       .join(nrm.select(col(idCol).as("id_a"), col("nrm").as("_na")), "id_a")
       .join(nrm.select(col(idCol).as("id_b"), col("nrm").as("_nb")), "id_b")
+      // Zero-norm guard: a doc whose every surviving term has idf 0 (term in
+      // ALL n docs with df <= maxDf) has norm 0 — no defined cosine, belongs
+      // in no pair, and under ANSI mode the bare division would throw
+      // DIVIDE_BY_ZERO rather than null out.
+      .where(col("_na") > 0 && col("_nb") > 0)
       .withColumn("_cos", col("dot") / (col("_na") * col("_nb")))
       .where(col("_cos") >= minCos)
       .select(col("id_a"), col("id_b"), round(col("_cos"), 6).as("cosine"))
