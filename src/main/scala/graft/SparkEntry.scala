@@ -395,16 +395,23 @@ object SparkEntry {
         .orderBy("id_a", "id_b")
     }),
 
-    // Language-ID by marker-token voting.
+    // Language-ID by marker-token voting. One split per row: the token
+    // array is bound once, every score_* is computed from it once, and the
+    // argmax reads the BOUND score columns (languageId over raw text would
+    // re-derive all five scores inside the argmax — Catalyst does not
+    // de-duplicate the non-cheap HOF counts across the two call sites).
     "q30_lang_id" -> ((s, dir) => {
       val markers = SparkEntry.langMarkers
+      val langs = markers.keys.toSeq.sorted
       val d = Tables.documents(s, dir)
-      val scored = TextAnalysis.languageScores(col("text"), markers)
+        .select(col("doc_id"), col("lang"), TextAnalysis.tokens(col("text")).as("_tk"))
+      val scored = TextAnalysis.languageScoresOver(col("_tk"), markers)
         .foldLeft(d) { case (df, (l, c)) => df.withColumn(s"score_$l", c) }
       scored.select(
         col("doc_id") +: col("lang") +:
-          markers.keys.toSeq.sorted.map(l => col(s"score_$l")) :+
-          TextAnalysis.languageId(col("text"), markers).as("predicted"): _*)
+          langs.map(l => col(s"score_$l")) :+
+          TextAnalysis.languageIdFromScores(langs.map(l => l -> col(s"score_$l")))
+            .as("predicted"): _*)
         .orderBy("doc_id")
     }),
 

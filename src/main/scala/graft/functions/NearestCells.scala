@@ -71,16 +71,32 @@ case class NearestCells(child: Expression, centIds: Seq[Long],
     var c = 0
     while (c < vecs.length) {
       val v = vecs(c)
-      val m = math.min(n, v.length)
       var dot = 0.0
       var j = 0
-      while (j < m) {
-        val x = if (childIsFloat) a.getFloat(j).toDouble else a.getDouble(j)
-        dot += x * v(j)
-        j += 1
+      var cos = 0.0
+      if (v.length == n) {
+        while (j < n) {
+          val x = if (childIsFloat) a.getFloat(j).toDouble else a.getDouble(j)
+          dot += x * v(j)
+          j += 1
+        }
+        val nb = norms(c)
+        cos = if (na == 0.0 || nb == 0.0) 0.0 else dot / (Math.sqrt(na) * Math.sqrt(nb))
+      } else {
+        // Mismatched lengths: norms over the same min span as the dot, so
+        // ranking ties out with CosineSimilarity (see NearestCentroid).
+        val m = math.min(n, v.length)
+        var naM = 0.0
+        var nbM = 0.0
+        while (j < m) {
+          val x = if (childIsFloat) a.getFloat(j).toDouble else a.getDouble(j)
+          dot += x * v(j)
+          naM += x * x
+          nbM += v(j) * v(j)
+          j += 1
+        }
+        cos = if (naM == 0.0 || nbM == 0.0) 0.0 else dot / (Math.sqrt(naM) * Math.sqrt(nbM))
       }
-      val nb = norms(c)
-      val cos = if (na == 0.0 || nb == 0.0) 0.0 else dot / (Math.sqrt(na) * Math.sqrt(nb))
       val id = ids(c)
       if (size < p || cos > bc(size - 1) || (cos == bc(size - 1) && id < bi(size - 1))) {
         var pos = if (size < p) size else size - 1

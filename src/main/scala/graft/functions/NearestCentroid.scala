@@ -59,8 +59,10 @@ case class NearestCentroid(child: Expression, centIds: Seq[Long],
   }
 
   /** Fused argmax pass: per centroid, the same dot/norm loop as
-    * [[CosineSimilarity.kernel]]; the probe's self-norm is hoisted out of
-    * the centroid loop (computed once, not k times). */
+    * [[CosineSimilarity.kernel]] — including on length-mismatched vectors,
+    * where all three sums cover the min span; equal-length centroids take
+    * the fast path with the probe's self-norm hoisted out of the loop
+    * (computed once, not k times). */
   def kernel(a: ArrayData): Long = {
     val n = a.numElements()
     var na = 0.0
@@ -75,16 +77,36 @@ case class NearestCentroid(child: Expression, centIds: Seq[Long],
     var c = 0
     while (c < vecs.length) {
       val v = vecs(c)
-      val m = math.min(n, v.length)
       var dot = 0.0
       var j = 0
-      while (j < m) {
-        val x = if (childIsFloat) a.getFloat(j).toDouble else a.getDouble(j)
-        dot += x * v(j)
-        j += 1
+      var cos = 0.0
+      if (v.length == n) {
+        // Fast path (the contract case): probe self-norm hoisted out of the
+        // centroid loop, centroid self-norms precomputed per task.
+        while (j < n) {
+          val x = if (childIsFloat) a.getFloat(j).toDouble else a.getDouble(j)
+          dot += x * v(j)
+          j += 1
+        }
+        val nb = norms(c)
+        cos = if (na == 0.0 || nb == 0.0) 0.0 else dot / (Math.sqrt(na) * Math.sqrt(nb))
+      } else {
+        // Length-mismatched input: CosineSimilarity.kernel computes dot AND
+        // both norms over the min span, so recompute both norms over that
+        // same span here — otherwise assignment could disagree with a
+        // scored-join formulation on malformed vectors.
+        val m = math.min(n, v.length)
+        var naM = 0.0
+        var nbM = 0.0
+        while (j < m) {
+          val x = if (childIsFloat) a.getFloat(j).toDouble else a.getDouble(j)
+          dot += x * v(j)
+          naM += x * x
+          nbM += v(j) * v(j)
+          j += 1
+        }
+        cos = if (naM == 0.0 || nbM == 0.0) 0.0 else dot / (Math.sqrt(naM) * Math.sqrt(nbM))
       }
-      val nb = norms(c)
-      val cos = if (na == 0.0 || nb == 0.0) 0.0 else dot / (Math.sqrt(na) * Math.sqrt(nb))
       if (cos > best || (cos == best && ids(c) < bestId)) { best = cos; bestId = ids(c) }
       c += 1
     }

@@ -78,12 +78,14 @@ object Dedup {
       s"(a2, h) -> a2 + IF((h div CAST(pow(2, b) AS BIGINT)) % 2 = 1, 1, -1)) >= 0, " +
       s"CAST(pow(2, b) AS BIGINT), CAST(0 AS BIGINT)))"
 
-  /** Materialized (non-distinct) token-hash table: (idCol, hs array<long>). */
+  /** Materialized (non-distinct) token-hash table: (idCol, hs array<long>).
+    * Handed back lineage-severed with NO cacheManager entry (computed once,
+    * reusable across both sides of a self-join) — see
+    * [[Relational.detach]] for the durability contract. */
   def tokenHashTable(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     graft.functions.GraftFunctions.registerAll(df.sparkSession)
-    df.select(col(idCol),
-      expr(s"transform(split($textCol, ' '), s -> ${hashFrag("s")})").as("hs"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    Relational.detach(df.select(col(idCol),
+      expr(s"transform(split($textCol, ' '), s -> ${hashFrag("s")})").as("hs")))
   }
 
   /** Exact dedup keeping the first row per key under `orderCols` — the
@@ -101,19 +103,23 @@ object Dedup {
 
   /** Materialized shingle-hash table: (idCol, hashes array<long>).
     *
-    * Persisted deliberately: the char-level hash fold is the expensive leaf
-    * of the whole dedup pipeline, and Spark re-evaluates expressions nested
-    * inside higher-order-function lambdas once PER LAMBDA ELEMENT — leaving
-    * this inline under the 16-slot MinHash transform (× 4 bands × 2 join
-    * sides) re-hashed every document ~128 times. A persisted hash column is
-    * also the honest 100-TB design: signature/hash tables are reusable
-    * artifacts, computed once per corpus snapshot.
+    * Materialized deliberately: the char-level hash fold is the expensive
+    * leaf of the whole dedup pipeline, and Spark re-evaluates expressions
+    * nested inside higher-order-function lambdas once PER LAMBDA ELEMENT —
+    * leaving this inline under the 16-slot MinHash transform (× 4 bands × 2
+    * join sides) re-hashed every document ~128 times. A materialized hash
+    * column is also the honest 100-TB design: signature/hash tables are
+    * reusable artifacts, computed once per corpus snapshot.
+    *
+    * Handed back via [[Relational.detach]] (computed once, lineage severed,
+    * no cacheManager entry) rather than `persist` — a persisted handback
+    * would orphan a storage block no caller ever unpersists.
     */
   def shingleHashTable(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     graft.functions.GraftFunctions.registerAll(df.sparkSession)
-    df.select(col(idCol), col(textCol), split(col(textCol), " ").as("_toks"))
-      .select(col(idCol), expr(shingleHashesOverToks("_toks", textCol)).as("hashes"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    Relational.detach(
+      df.select(col(idCol), col(textCol), split(col(textCol), " ").as("_toks"))
+        .select(col(idCol), expr(shingleHashesOverToks("_toks", textCol)).as("hashes")))
   }
 
   /** MinHash signatures: (idCol, sig array<long>) via the fused native
@@ -129,8 +135,9 @@ object Dedup {
     * right id; each pair reported once. */
   def lshCandidatePairs(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val rows = MinhashK / LshBands
-    val sigs = minhashSignatures(df, idCol, textCol)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // detach, not persist: the signature table feeds both join sides; a
+    // persisted handback would leak a cacheManager block (see Relational.detach).
+    val sigs = Relational.detach(minhashSignatures(df, idCol, textCol))
     val banded = sigs.select(
       col(idCol), col("sig"),
       explode(expr(
@@ -263,7 +270,9 @@ object Dedup {
     // Hand back an UNPERSISTED frame: checkpoint the final labels (already
     // cached, so this is one cheap scan) and release the iteration cache —
     // callers must not inherit a storage block they never asked for.
-    val result = labels.localCheckpoint(eager = true)
+    // Durability follows Relational.detach's contract: set a checkpoint dir
+    // for executor-loss-safe results on a real cluster.
+    val result = Relational.detach(labels)
     labels.unpersist(blocking = false)
     // Non-converged labels are WRONG labels (a node maxIter+1 hops from its
     // component's min would keep a stale id) — fail loudly, never return them.

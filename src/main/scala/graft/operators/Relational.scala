@@ -14,12 +14,34 @@ import org.apache.spark.sql.{DataFrame, Row, SparkSession}
   */
 object Relational {
 
+  /** Sever lineage and hand back a frame that owns no cacheManager entry.
+    *
+    * Durability contract (executor-loss caveat): with no checkpoint
+    * directory configured this falls back to `localCheckpoint`, whose
+    * blocks live ONLY on executors — the severed lineage means an executor
+    * lost AFTER the handback has no recompute path, and downstream actions
+    * fail with missing-block errors. That trade is fine on a single-node
+    * session (this repo's local[32] target) and for short-lived results,
+    * but at real-cluster scale callers should `sc.setCheckpointDir(...)`
+    * first: this helper then uses the RELIABLE `checkpoint()`, whose files
+    * survive any executor loss at the cost of one write to the checkpoint
+    * filesystem. Used by every operator here that must materialize an
+    * intermediate ([[withRowIndex]], [[graft.operators.Dedup]]'s hash
+    * tables and connected components).
+    */
+  private[graft] def detach(df: DataFrame): DataFrame =
+    if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) df.checkpoint(eager = true)
+    else df.localCheckpoint(eager = true)
+
   /** Attach a dense 0-based row index following `orderCols`.
     *
     * Scalable form of `row_number() OVER (ORDER BY …)`: sort (range
     * partitioned, stays distributed), then `zipWithIndex` — which needs only
     * per-partition counts, not a single-partition window. Values equal the
     * window form exactly, so oracle SQL can still use `row_number()-1`.
+    *
+    * Returns a lineage-severed frame — see [[detach]] for the executor-loss
+    * durability contract (set a checkpoint dir for the reliable mode).
     */
   def withRowIndex(df: DataFrame, orderCols: Seq[String],
                    out: String = "idx"): DataFrame = {
@@ -35,8 +57,7 @@ object Relational {
     val rdd = sorted.rdd
     rdd.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val indexed = rdd.zipWithIndex().map { case (r, i) => Row.fromSeq(r.toSeq :+ i) }
-    val result = sorted.sparkSession.createDataFrame(indexed, schema)
-      .localCheckpoint(eager = true)
+    val result = detach(sorted.sparkSession.createDataFrame(indexed, schema))
     rdd.unpersist(blocking = false)
     result
   }

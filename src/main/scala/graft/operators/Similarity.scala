@@ -76,6 +76,24 @@ object Similarity {
     topKPerProbe(scored, k)
   }
 
+  /** Driver-collect a broadcast-sized centroid set with loud validation:
+    * an empty set, a null id, or a null embedding would otherwise surface
+    * as an opaque NPE deep inside Row accessors. */
+  private def collectCentroids(centroids: DataFrame, idCol: String, vecCol: String,
+                               caller: String): (Seq[Long], Seq[Seq[Double]]) = {
+    val collected = centroids
+      .select(col(idCol).cast("long"), col(vecCol).cast("array<double>"))
+      .collect()
+    require(collected.nonEmpty, s"$caller: centroid set is empty")
+    collected.zipWithIndex.foreach { case (r, i) =>
+      require(!r.isNullAt(0),
+        s"$caller: centroid row $i has a null $idCol — centroid ids must be non-null longs")
+      require(!r.isNullAt(1),
+        s"$caller: centroid ${r.getLong(0)} has a null $vecCol — centroid vectors must be non-null")
+    }
+    (collected.map(_.getLong(0)).toSeq, collected.map(_.getSeq[Double](1)).toSeq)
+  }
+
   /** Assign each vector to its max-cosine centroid (ties -> smallest cell
     * id). Returns (idCol, vecCol, cell_id).
     *
@@ -87,12 +105,7 @@ object Similarity {
     * embedding, violating this file's shuffle discipline). */
   def assignCells(corpus: DataFrame, centroids: DataFrame,
                   idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val collected = centroids
-      .select(col(idCol).cast("long"), col(vecCol).cast("array<double>"))
-      .collect()
-    require(collected.nonEmpty, "assignCells: centroid set is empty")
-    val ids = collected.map(_.getLong(0)).toSeq
-    val vecs = collected.map(_.getSeq[Double](1)).toSeq
+    val (ids, vecs) = collectCentroids(centroids, idCol, vecCol, "assignCells")
     corpus.select(col(idCol), col(vecCol),
       graft.functions.GraftFunctions
         .nearest_centroid(col(vecCol), ids, vecs).as("cell_id"))
@@ -104,12 +117,7 @@ object Similarity {
     * only the (small) probe side, never the corpus. */
   def assignCellsMulti(df: DataFrame, centroids: DataFrame, nprobe: Int,
                        idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val collected = centroids
-      .select(col(idCol).cast("long"), col(vecCol).cast("array<double>"))
-      .collect()
-    require(collected.nonEmpty, "assignCellsMulti: centroid set is empty")
-    val ids = collected.map(_.getLong(0)).toSeq
-    val vecs = collected.map(_.getSeq[Double](1)).toSeq
+    val (ids, vecs) = collectCentroids(centroids, idCol, vecCol, "assignCellsMulti")
     df.select(col(idCol), col(vecCol),
       explode(graft.functions.GraftFunctions
         .nearest_cells(col(vecCol), ids, vecs, nprobe)).as("cell_id"))

@@ -56,14 +56,29 @@ object TextAnalysis {
       lang -> words.map(w => tokenOccurrences(text, w)).reduce(_ + _)
     }
 
-  def languageId(text: Column, markers: Map[String, Seq[String]]): Column = {
-    val scored = languageScores(text, markers)
+  /** [[languageScores]] over a BOUND token-array column: the text is split
+    * once per row no matter how many languages/markers vote (the raw-text
+    * form re-splits once per marker word — fine for a single column, a
+    * plan-wide waste inside wide score projections). */
+  def languageScoresOver(toks: Column, markers: Map[String, Seq[String]]): Seq[(String, Column)] =
+    markers.toSeq.sortBy(_._1).map { case (lang, words) =>
+      lang -> words.map(w => size(filter(toks, t => t === w))).reduce(_ + _)
+    }
+
+  /** Argmax over ALREADY-COMPUTED score columns — callers that also output
+    * the scores should bind them once and pass the bound columns here
+    * instead of [[languageId]], which re-derives every score from the raw
+    * text (Catalyst will not de-duplicate across the two call sites). */
+  def languageIdFromScores(scored: Seq[(String, Column)]): Column = {
     // argmax with deterministic tie-break: max over (score, lang) structs —
     // ties resolve to the lexicographically LAST language at equal score, so
     // flip lang ordering into a sortable desc form via struct order.
     val best = greatest(scored.map { case (l, s) => struct(s.as("s"), lit(l).as("l")) }: _*)
     best.getField("l")
   }
+
+  def languageId(text: Column, markers: Map[String, Seq[String]]): Column =
+    languageIdFromScores(languageScores(text, markers))
 
   /** Composite quality score in [0,1]: type/token ratio, mean token length
     * band, and length band — a deterministic stand-in for classifier-based

@@ -17,4 +17,9 @@ object GraftSqlBridge {
                        builder: Seq[Expression] => Expression): Unit =
     spark.sessionState.functionRegistry
       .createOrReplaceTempFunction(name, builder, "built-in")
+
+  /** True when the session's SQL cache holds no entries — the test hook for
+    * the no-caller-orphaned-cache discipline (CacheManager is private[sql]). */
+  def sqlCacheIsEmpty(spark: SparkSession): Boolean =
+    spark.sharedState.cacheManager.isEmpty
 }

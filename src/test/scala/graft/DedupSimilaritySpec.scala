@@ -161,4 +161,77 @@ class DedupSimilaritySpec extends SparkSuite {
     assert(pairs.contains((0L, 1L)) && pairs.contains((0L, 5L)) && pairs.contains((1L, 5L)))
     assert(!pairs.exists(_._2 == 40L)) // outside the gap window
   }
+
+  test("hash tables / LSH hand back unpersisted frames and an empty SQL cache") {
+    val sh = Dedup.shingleHashTable(docs, "doc_id", "text")
+    val tk = Dedup.tokenHashTable(docs, "doc_id", "text")
+    val pairs = Dedup.lshCandidatePairs(docs, "doc_id", "text")
+    assert(pairs.count() > 0)
+    for (df <- Seq(sh, tk)) {
+      assert(df.storageLevel === org.apache.spark.storage.StorageLevel.NONE)
+      assert(df.count() === 4) // still materializable after the internal release
+    }
+    val jac = Dedup.jaccardWithinGap(docs, "doc_id", "text", 3)
+    assert(jac.count() > 0)
+    assert(org.apache.spark.sql.GraftSqlBridge.sqlCacheIsEmpty(spark),
+      "a dedup operator left a caller-orphaned entry in the SQL cache")
+  }
+
+  test("detach uses reliable checkpoint files when a checkpoint dir is set") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ckpt").toFile
+    spark.sparkContext.setCheckpointDir(dir.getAbsolutePath)
+    try {
+      val out = Dedup.connectedComponents(
+        (1L to 4L).toDF("id"), Seq((1L, 2L)).toDF("id_a", "id_b"))
+      assert(out.count() === 4)
+      assert(out.storageLevel === org.apache.spark.storage.StorageLevel.NONE)
+      // the reliable path actually wrote checkpoint data
+      def files(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(files) else Seq(f)
+      assert(files(dir).nonEmpty, "no reliable checkpoint files were written")
+    } finally {
+      spark.sparkContext.setCheckpointDir(null) // restore local-checkpoint mode
+    }
+  }
+
+  test("nearest_centroid matches CosineSimilarity ranking on length-mismatched vectors") {
+    import graft.functions.GraftFunctions.{cosine_similarity, nearest_centroid}
+    // probe has 4 dims; centroids have 2 and 6 — norms must cover the same
+    // min span as the dot, or assignment disagrees with the scored join.
+    val centIds = Seq(10L, 20L)
+    val centVecs = Seq(Seq(0.9, 0.1), Seq(0.5, 0.5, 0.5, 0.5, 0.5, 0.5))
+    val probes = Seq(
+      (0L, Array(1.0, 0.0, 0.0, 0.0)),
+      (1L, Array(0.4, 0.4, 0.9, 0.9)),
+      (2L, Array(0.7, 0.2, 0.1, 0.0))).toDF("vec_id", "embedding")
+    val assigned = probes.select(col("vec_id"),
+      nearest_centroid(col("embedding"), centIds, centVecs).as("cell_id"))
+      .as[(Long, Long)].collect().toMap
+    // oracle: argmax over the pairwise CosineSimilarity scores
+    val cents = centIds.zip(centVecs).toDF("cell_id", "cvec")
+    val expected = probes.crossJoin(cents)
+      .withColumn("cos", cosine_similarity(col("embedding"), col("cvec")))
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("vec_id")
+          .orderBy(col("cos").desc, col("cell_id").asc)))
+      .where(col("rn") === 1)
+      .select("vec_id", "cell_id").as[(Long, Long)].collect().toMap
+    assert(assigned === expected)
+  }
+
+  test("assignCells rejects null centroid ids/embeddings with a clear message") {
+    val vecs = Seq((0L, Array(1f, 0f))).toDF("vec_id", "embedding")
+    val nullVec = Seq((1L, Array(1.0, 0.0)), (2L, null.asInstanceOf[Array[Double]]))
+      .toDF("vec_id", "embedding")
+    val e1 = intercept[IllegalArgumentException] {
+      Similarity.assignCells(vecs, nullVec)
+    }
+    assert(e1.getMessage.contains("null embedding"))
+    val nullId = Seq((java.lang.Long.valueOf(1L), Array(1.0, 0.0)),
+      (null.asInstanceOf[java.lang.Long], Array(0.0, 1.0))).toDF("vec_id", "embedding")
+    val e2 = intercept[IllegalArgumentException] {
+      Similarity.assignCellsMulti(vecs, nullId, 1)
+    }
+    assert(e2.getMessage.contains("null vec_id"))
+  }
 }
