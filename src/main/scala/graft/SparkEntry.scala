@@ -914,6 +914,21 @@ object SparkEntry {
           round(max(abs(col("l_extendedprice_rz"))), 4).as("max_abs_rz"))
         .orderBy("l_returnflag")
     }),
+
+    // Bloom-prefiltered semi join (build -> collect -> narrow probe -> exact
+    // semi join). The oracle is a plain IN-subquery semi join: false
+    // positives are absorbed by the exact join and false negatives cannot
+    // occur, so hash-parity holds by construction.
+    "q77_bloom_semijoin" -> ((s, dir) => {
+      val urgent = Tables.orders(s, dir).where(col("o_orderpriority") === "1-URGENT")
+      Relational.bloomSemiJoin(Tables.lineitem(s, dir), urgent,
+        "l_orderkey", "o_orderkey", numBits = 1 << 17)
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"),
+          (sum(cents(col("l_extendedprice")).cast("decimal(28,0)")).cast("double") / 100.0)
+            .as("sum_price"))
+        .orderBy("l_returnflag")
+    }),
   )
 
   /** Marker vocabularies for the language-ID heuristic — drawn from the
@@ -1657,5 +1672,14 @@ object SparkEntry {
         |CAST(len(regexp_extract_all(t, '[A-Za-z0-9]+')) AS INTEGER) AS n_words,
         |regexp_extract_all(t, '[A-Za-z0-9]+')[1] AS first_word
         |FROM m ORDER BY doc_id""".stripMargin,
+
+    // The bloom prefilter is result-preserving (exact semi join absorbs
+    // false positives), so the oracle is the plain IN-subquery semi join.
+    "q77_bloom_semijoin" ->
+      """SELECT l_returnflag, count(*) AS n,
+        |CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_price
+        |FROM lineitem
+        |WHERE l_orderkey IN (SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT')
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
   )
 }

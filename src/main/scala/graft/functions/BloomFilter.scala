@@ -153,6 +153,19 @@ case class BloomMightContain(child: Expression, bloomBytes: Array[Byte],
   @transient private lazy val words: Array[Long] = BloomHash.bytesToWords(bloomBytes)
   @transient private lazy val mask: Long = (words.length.toLong * 64L) - 1L
 
+  // Array[Byte] equality is reference-based, which would make semantically
+  // identical probes never compare equal — defeating canonicalization,
+  // common-subexpression elimination, and exchange reuse. Compare contents.
+  override def equals(other: Any): Boolean = other match {
+    case o: BloomMightContain =>
+      child == o.child && numHashes == o.numHashes &&
+        java.util.Arrays.equals(bloomBytes, o.bloomBytes)
+    case _ => false
+  }
+  override def hashCode(): Int = java.util.Objects.hash(
+    child, Integer.valueOf(numHashes),
+    Integer.valueOf(java.util.Arrays.hashCode(bloomBytes)))
+
   override def dataType: DataType = BooleanType
   override def prettyName: String = "bloom_might_contain"
 

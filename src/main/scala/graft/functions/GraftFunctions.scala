@@ -115,17 +115,35 @@ object GraftFunctions {
     "vector_avg" -> (es => VectorAvg(es.head)),
     "topk_by_score" -> (es =>
       TopKByScore(asDouble(es(0)), Cast(es(1), org.apache.spark.sql.types.LongType), es(2))),
-    "bloom_agg" -> (es => BloomFilterAgg(asLong(es(0)),
-      literalInt(es(1), "bloom_agg numBits"), literalInt(es(2), "bloom_agg numHashes"))),
+    // Same optional-arg defaults as the Column API (numBits=1<<20,
+    // numHashes=6) so the two surfaces agree.
+    "bloom_agg" -> (es => es match {
+      case Seq(k) => BloomFilterAgg(asLong(k), 1 << 20, 6)
+      case Seq(k, nb) => BloomFilterAgg(asLong(k), literalInt(nb, "bloom_agg numBits"), 6)
+      case Seq(k, nb, nh) => BloomFilterAgg(asLong(k),
+        literalInt(nb, "bloom_agg numBits"), literalInt(nh, "bloom_agg numHashes"))
+      case other => throw new IllegalArgumentException(
+        s"bloom_agg expects (key[, numBits[, numHashes]]), got ${other.length} args")
+    }),
     // The filter argument must be a foldable BINARY (e.g. a literal built
     // from a collected bloom_agg row) — the probe carries the bytes as a
     // constant, never as a per-row column (see BloomMightContain scaladoc).
     "bloom_might_contain" -> (es => {
-      require(es(1).foldable,
-        s"bloom_might_contain filter must be a constant, got ${es(1).sql}")
-      BloomMightContain(asLong(es(0)),
-        es(1).eval().asInstanceOf[Array[Byte]],
-        literalInt(es(2), "bloom_might_contain numHashes"))
+      val (key, f, nh) = es match {
+        case Seq(k, f) => (k, f, 6)
+        case Seq(k, f, nh) => (k, f, literalInt(nh, "bloom_might_contain numHashes"))
+        case other => throw new IllegalArgumentException(
+          s"bloom_might_contain expects (key, filter[, numHashes]), got ${other.length} args")
+      }
+      require(f.foldable,
+        s"bloom_might_contain filter must be a constant, got ${f.sql}")
+      f.eval() match {
+        case bytes: Array[Byte] => BloomMightContain(asLong(key), bytes, nh)
+        case null => throw new IllegalArgumentException(
+          "bloom_might_contain filter must be a non-null BINARY constant, got NULL")
+        case _ => throw new IllegalArgumentException(
+          s"bloom_might_contain filter must be a BINARY constant, got ${f.dataType.catalogString}")
+      }
     }))
 
   /** Register all graft expressions for SQL usage. Idempotent. */

@@ -172,6 +172,44 @@ object Relational {
       .drop("_src", "_rn")
   }
 
+  /** Bloom-prefiltered semi join: keep the `fact` rows whose `factKey`
+    * appears in `dim`'s `dimKey` set, reducing the fact side BEFORE the
+    * join's shuffle.
+    *
+    * The 100-TB shape: when the dim side is too big to broadcast as a hash
+    * relation but its KEY SET fits a few hundred KB of bloom bits, (1)
+    * aggregate the dim keys into one bloom filter
+    * ([[graft.functions.BloomFilterAgg]] — map-side combinable, merge is
+    * bitwise OR, so the build shuffle carries one filter per partial, never
+    * the keys); (2) collect that single bounded row; (3) prefilter the fact
+    * table with [[graft.functions.BloomMightContain]] — a pure narrow
+    * projection, zero Exchange — so only probable matches enter the
+    * semi-join shuffle; (4) finish with the exact semi join, which absorbs
+    * the bloom's false positives. False negatives cannot occur, so the
+    * rewrite is result-preserving: output ≡ `fact SEMI JOIN dim`. Spark's
+    * own `spark.sql.optimizer.runtime.bloomFilter.enabled` applies the same
+    * idea opportunistically; this is the explicit, plannable form — the
+    * reference's manual prefilter-before-expensive-work pattern
+    * (process_test_train_Images.py:42, Upload_Zip_S3.py:28) generalized.
+    *
+    * Keys are compared as BIGINT (both sides cast); size `numBits` at ~10
+    * bits per distinct dim key for <1% false positives (see
+    * [[graft.functions.BloomFilterAgg]] sizing note).
+    */
+  def bloomSemiJoin(fact: DataFrame, dim: DataFrame,
+                    factKey: String, dimKey: String,
+                    numBits: Int = 1 << 20, numHashes: Int = 6): DataFrame = {
+    import graft.functions.GraftFunctions
+    // One bounded row (numBits/8 bytes) — a driver collect by contract,
+    // same as Similarity's centroid sets.
+    val bytes = dim
+      .agg(GraftFunctions.bloom_agg(col(dimKey), numBits, numHashes).as("_bloom"))
+      .head().getAs[Array[Byte]](0)
+    fact
+      .where(GraftFunctions.bloom_might_contain(col(factKey), bytes, numHashes))
+      .join(dim.select(col(dimKey).as(factKey)), Seq(factKey), "left_semi")
+  }
+
   /** Skew-resistant equi-join: salt the skewed (big) side's key into
     * `salts` sub-keys and replicate the small side across all salt values,
     * spreading a hot key over `salts` reducers. Use when AQE's runtime

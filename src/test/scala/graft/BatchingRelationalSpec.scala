@@ -127,4 +127,21 @@ class BatchingRelationalSpec extends SparkSuite {
     val parts = Seq(Seq(1).toDF("v"), Seq(2).toDF("v"), Seq(3).toDF("v"))
     assert(Relational.unionAll(parts).as[Int].collect().sorted === Array(1, 2, 3))
   }
+
+  test("bloomSemiJoin equals the plain semi join (build -> probe -> exact)") {
+    val fact = spark.range(0, 5000).toDF("fk")
+      .withColumn("payload", col("fk") * 3)
+    // dim keys = multiples of 7 in [0, 5000) plus some keys absent from fact
+    val dim = spark.range(0, 800).toDF("dk").select((col("dk") * 7).as("dk"))
+    val viaBloom = Relational.bloomSemiJoin(fact, dim, "fk", "dk", numBits = 1 << 12)
+      .orderBy("fk").as[(Long, Long)].collect()
+    val plain = fact.join(dim.select(col("dk").as("fk")), Seq("fk"), "left_semi")
+      .orderBy("fk").as[(Long, Long)].collect()
+    assert(viaBloom === plain,
+      "the bloom prefilter must be result-preserving (exact join absorbs FPs)")
+    assert(viaBloom.length === 715) // multiples of 7 below 5000
+    // empty dim -> empty result (all-zero filter, nothing survives)
+    assert(Relational.bloomSemiJoin(fact, dim.where(col("dk") < 0), "fk", "dk")
+      .count() === 0L)
+  }
 }

@@ -147,4 +147,90 @@ class FunctionsSpec extends SparkSuite {
     assert(coins(7) !== coins(8))
     assert(coins(7) === coins(7))   // deterministic
   }
+
+  // ---- bloom filter build/probe ----------------------------------------
+
+  private def buildBloom(keys: Seq[Long], numBits: Int = 1 << 16,
+                         numHashes: Int = 6, parts: Int = 1): Array[Byte] =
+    keys.toDF("k").repartition(parts)
+      .agg(bloom_agg(col("k"), numBits, numHashes).as("f"))
+      .head().getAs[Array[Byte]](0)
+
+  test("bloom round trip: every inserted key probes true (no false negatives)") {
+    val keys = (0L until 1000L).map(k => k * 7919L + 13L)
+    val bytes = buildBloom(keys)
+    val hits = keys.toDF("k")
+      .where(bloom_might_contain(col("k"), bytes, 6))
+      .count()
+    assert(hits === 1000L, "bloom filters must never produce false negatives")
+  }
+
+  test("bloom false-positive rate on absent keys stays near the configured bound") {
+    // m/n = 65536/1000 ≈ 65 bits/key at k=6 -> fpp well under 1%
+    val present = (0L until 1000L).map(k => k * 7919L + 13L)
+    val bytes = buildBloom(present)
+    val absent = (0L until 20000L).map(k => k * 104729L + 7L)
+      .filterNot(present.toSet)
+    val fp = absent.toDF("k").where(bloom_might_contain(col("k"), bytes, 6)).count()
+    assert(fp.toDouble / absent.size < 0.01,
+      s"false-positive rate ${fp.toDouble / absent.size} exceeds 1% at 65 bits/key")
+  }
+
+  test("bloom merge is commutative: partial-per-partition build == single-partition build") {
+    val keys = (0L until 500L).map(k => k * 31337L)
+    val one = buildBloom(keys, parts = 1)
+    val eight = buildBloom(keys, parts = 8)
+    assert(java.util.Arrays.equals(one, eight),
+      "bitwise-OR merge must make the filter independent of partitioning")
+  }
+
+  test("bloom SQL surface: registration, optional args, hex-literal probe") {
+    graft.functions.GraftFunctions.registerAll(spark)
+    (0L until 100L).toDF("k").createOrReplaceTempView("bloom_in")
+    // defaults (numBits=1<<20, numHashes=6) match the Column API
+    val viaSql = spark.sql("SELECT bloom_agg(k) FROM bloom_in").head().getAs[Array[Byte]](0)
+    val viaCol = (0L until 100L).toDF("k").agg(bloom_agg(col("k")).as("f"))
+      .head().getAs[Array[Byte]](0)
+    assert(java.util.Arrays.equals(viaSql, viaCol))
+    // probe through SQL with the filter as a binary literal
+    val hex = viaSql.map(b => f"$b%02X").mkString
+    val probed = spark.sql(
+      s"SELECT count(*) FROM bloom_in WHERE bloom_might_contain(k, X'$hex')")
+      .head().getLong(0)
+    assert(probed === 100L)
+    // explicit numBits/numHashes through SQL agree with the Column API
+    val viaSql2 = spark.sql("SELECT bloom_agg(k, 65536, 4) FROM bloom_in")
+      .head().getAs[Array[Byte]](0)
+    val viaCol2 = (0L until 100L).toDF("k").agg(bloom_agg(col("k"), 65536, 4).as("f"))
+      .head().getAs[Array[Byte]](0)
+    assert(java.util.Arrays.equals(viaSql2, viaCol2))
+  }
+
+  test("bloom SQL surface rejects bad shapes with descriptive errors") {
+    graft.functions.GraftFunctions.registerAll(spark)
+    (0L until 10L).toDF("k").createOrReplaceTempView("bloom_err_in")
+    def fails(sql: String, needle: String): Unit = {
+      val e = intercept[Exception] { spark.sql(sql).collect() }
+      assert(e.getMessage.contains(needle),
+        s"expected '$needle' in: ${e.getMessage.take(300)}")
+    }
+    fails("SELECT bloom_agg() FROM bloom_err_in", "expects (key[, numBits[, numHashes]])")
+    fails("SELECT bloom_might_contain(k) FROM bloom_err_in",
+      "expects (key, filter[, numHashes])")
+    fails("SELECT bloom_might_contain(k, CAST(NULL AS BINARY)) FROM bloom_err_in",
+      "non-null BINARY constant")
+    fails("SELECT bloom_might_contain(k, 42) FROM bloom_err_in", "BINARY constant")
+    fails("SELECT bloom_might_contain(k, k) FROM bloom_err_in", "must be a constant")
+  }
+
+  test("BloomMightContain compares by filter CONTENT (canonicalization-safe)") {
+    import graft.functions.BloomMightContain
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    val a = Array[Byte](1, 2, 3, 4, 5, 6, 7, 8)
+    val p1 = BloomMightContain(Literal(7L), a, 6)
+    val p2 = BloomMightContain(Literal(7L), a.clone(), 6)
+    assert(p1 === p2 && p1.hashCode === p2.hashCode)
+    assert(p1 !== BloomMightContain(Literal(7L), Array[Byte](9, 9, 9, 9, 9, 9, 9, 9), 6))
+    assert(p1 !== BloomMightContain(Literal(7L), a, 5))
+  }
 }
