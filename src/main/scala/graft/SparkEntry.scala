@@ -915,6 +915,23 @@ object SparkEntry {
         .orderBy("l_returnflag")
     }),
 
+    // The 100-TB shape of q72's fill: the same osv5m cleaning chain with
+    // the ffill/bfill windows PARTITIONED by the trimmed country key —
+    // one shuffle on the key, per-partition sorts, no single-partition
+    // degeneration (q72 keeps the unpartitioned reference-parity fill).
+    // Output observes every fill-affected column plus the Unknown/zero
+    // fills that run after it.
+    "q78_osv5m_partfill" -> ((s, dir) => {
+      val cleaned = Clean.osv5mClean(osv5mFrame(s, dir), orderCol = "id",
+        fillPartitionCols = Seq("country"))
+      cleaned.select(
+        col("id"), col("country"), col("year"),
+        col("region"), col("sub-region").as("subregion"), col("city"),
+        col("unique_country"), col("unique_city"), col("creator_username"),
+        col("latitude").as("lat0"))
+        .orderBy("id")
+    }),
+
     // Bloom-prefiltered semi join (build -> collect -> narrow probe -> exact
     // semi join). The oracle is a plain IN-subquery semi join: false
     // positives are absorbed by the exact join and false negatives cannot
@@ -1193,14 +1210,20 @@ object SparkEntry {
         |SELECT probe_id, CAST(rank AS BIGINT) AS rank, neighbor_id, round(cos, 6) AS cosine
         |FROM r WHERE rank <= 3 ORDER BY probe_id, rank""".stripMargin,
 
-    // Same blocking as the Spark side: 16-char prefix + length bound, then
+    // Same two-pass blocking as the Spark side: forward 16-char prefix OR
+    // reversed-text prefix (UNION dedups the pair set), length bound, then
     // exact levenshtein. edit_dist cast to INTEGER (Spark levenshtein is int).
     "q75_fuzzy_pairs" ->
-      """WITH t AS (SELECT doc_id, text, substr(text, 1, 16) AS pfx, length(text) AS ln FROM documents)
-        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-        |CAST(levenshtein(a.text, b.text) AS INTEGER) AS edit_dist
+      """WITH t AS (SELECT doc_id, text, substr(text, 1, 16) AS pfx,
+        |substr(reverse(text), 1, 16) AS pfr, length(text) AS ln FROM documents),
+        |c AS (
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.text AS ta, b.text AS tb
         |FROM t a JOIN t b ON a.pfx = b.pfx AND a.doc_id < b.doc_id AND abs(a.ln - b.ln) <= 6
-        |WHERE levenshtein(a.text, b.text) <= 6
+        |UNION
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.text AS ta, b.text AS tb
+        |FROM t a JOIN t b ON a.pfr = b.pfr AND a.doc_id < b.doc_id AND abs(a.ln - b.ln) <= 6)
+        |SELECT id_a, id_b, CAST(levenshtein(ta, tb) AS INTEGER) AS edit_dist
+        |FROM c WHERE levenshtein(ta, tb) <= 6
         |ORDER BY id_a, id_b""".stripMargin,
 
     // Same hashed-3-shingle features, tf * ln(n/df) weights, and posting
@@ -1672,6 +1695,42 @@ object SparkEntry {
         |CAST(len(regexp_extract_all(t, '[A-Za-z0-9]+')) AS INTEGER) AS n_words,
         |regexp_extract_all(t, '[A-Za-z0-9]+')[1] AS first_word
         |FROM m ORDER BY doc_id""".stripMargin,
+
+    // q72's fill with PARTITION BY country in both IGNORE NULLS windows —
+    // the distributed analogue of the reference's fill-within-chunk
+    // (read_csv_s3_train.py:77-80). Same synthesis CTE as q72, trimmed to
+    // the columns the output observes.
+    "q78_osv5m_partfill" ->
+      """WITH base AS (SELECT CAST(o_orderkey AS VARCHAR) AS id,
+        |CASE WHEN o_orderkey % 19 = 0 THEN NULL ELSE CAST(o_orderkey % 180 - 90 AS DOUBLE) + 0.25 END AS latitude,
+        |concat('  C', CAST(o_orderkey % 7 AS VARCHAR), ' ') AS country,
+        |CASE WHEN o_orderkey % 13 < 2 THEN NULL ELSE concat(' R', CAST(o_orderkey % 5 AS VARCHAR)) END AS region,
+        |CASE WHEN o_orderkey % 13 IN (3, 4) THEN NULL ELSE concat('S', CAST(o_orderkey % 4 AS VARCHAR), ' ') END AS subregion,
+        |CASE WHEN o_orderkey % 17 = 0 THEN NULL ELSE concat('City', CAST(o_orderkey % 9 AS VARCHAR)) END AS city,
+        |CASE WHEN o_orderkey % 37 = 0 THEN NULL ELSE concat('U', CAST(o_orderkey % 3 AS VARCHAR)) END AS unique_country,
+        |CASE WHEN o_orderkey % 7 < 3 THEN NULL ELSE concat('UC', CAST(o_orderkey % 11 AS VARCHAR)) END AS unique_city,
+        |CASE WHEN o_orderkey % 5 = 0 THEN NULL ELSE concat('user_', CAST(o_orderkey % 50 AS VARCHAR)) END AS creator_username,
+        |CASE WHEN o_orderkey % 11 = 0 THEN NULL ELSE 400000000000 + (o_orderkey % 3650) * 86400000 + (o_orderkey % 86400) * 1000 END AS captured_at
+        |FROM orders),
+        |t AS (SELECT id, latitude, unique_city, creator_username,
+        |trim(country) AS country, trim(region) AS region, trim(subregion) AS subregion,
+        |trim(city) AS city, trim(unique_country) AS unique_country,
+        |CAST(coalesce(year(epoch_ms(captured_at)), 1970) AS INTEGER) AS year
+        |FROM base),
+        |f AS (SELECT id, country, year, creator_username, latitude,
+        |coalesce(last_value(region IGNORE NULLS) OVER wf, first_value(region IGNORE NULLS) OVER wb) AS region,
+        |coalesce(last_value(subregion IGNORE NULLS) OVER wf, first_value(subregion IGNORE NULLS) OVER wb) AS subregion,
+        |coalesce(last_value(city IGNORE NULLS) OVER wf, first_value(city IGNORE NULLS) OVER wb) AS city,
+        |coalesce(last_value(unique_country IGNORE NULLS) OVER wf, first_value(unique_country IGNORE NULLS) OVER wb) AS unique_country,
+        |coalesce(last_value(unique_city IGNORE NULLS) OVER wf, first_value(unique_city IGNORE NULLS) OVER wb) AS unique_city_f
+        |FROM t
+        |WINDOW wf AS (PARTITION BY country ORDER BY id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        |wb AS (PARTITION BY country ORDER BY id ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+        |SELECT id, country, year, region, subregion, city, unique_country,
+        |coalesce(unique_city_f, 'Unknown') AS unique_city,
+        |coalesce(creator_username, 'Unknown') AS creator_username,
+        |coalesce(latitude, 0) AS lat0
+        |FROM f ORDER BY id""".stripMargin,
 
     // The bloom prefilter is result-preserving (exact semi join absorbs
     // false positives), so the oracle is the plain IN-subquery semi join.

@@ -103,14 +103,22 @@ object Clean {
     * (read_csv_s3_train.py:57-118) composed over an OSV5M-shaped frame, with
     * estimator fits made global rather than per-chunk (SURVEY §4.3.1) —
     * encoding/scaling live in [[Encode]] and are applied by callers.
+    *
+    * `fillPartitionCols` scopes the ffill/bfill windows: empty reproduces
+    * the reference's chunk-order fill exactly (single-partition sort — the
+    * small-data parity path), while a natural key (the q78 oracle uses the
+    * trimmed `country`) is the 100-TB shape — the fill shuffles once on the
+    * key and each partition sorts independently. Partition keys must be
+    * non-null BEFORE the fill runs (they are fill inputs, not fill targets).
     */
-  def osv5mClean(df: DataFrame, orderCol: String): DataFrame = {
+  def osv5mClean(df: DataFrame, orderCol: String,
+                 fillPartitionCols: Seq[String] = Nil): DataFrame = {
     import graft.meta.Schemas._
     val cleaned = dropColumns(df, "thumb_original_url")
     val casted = castColumns(cleaned, Map("id" -> StringType, "creator_id" -> StringType))
     val trimmed = trimColumns(casted, osv5mCategoricals)
     val ts = dateParts(epochMillisToTimestamp(trimmed, "captured_at", "captured_ts"), "captured_ts")
-    val filled = fillForwardBackward(ts, osv5mFfillCols, Seq(orderCol))
+    val filled = fillForwardBackward(ts, osv5mFfillCols, Seq(orderCol), fillPartitionCols)
     val strings = fillString(filled, "Unknown", Seq("unique_city", "creator_username"))
     fillNumeric(strings)
   }

@@ -182,36 +182,45 @@ object Dedup {
           .as("jaccard"))
   }
 
-  /** Fuzzy near-duplicate pairs by bounded edit distance, with prefix
-    * blocking as the candidate generator: only documents sharing their
-    * first `prefixLen` characters AND within `maxDist` of each other's
-    * length are compared — the classic blocking pass for typo-level dedup
-    * (LSH/MinHash catches reordered content; edit distance catches
-    * character-level corruption LSH's token shingles miss).
+  /** Fuzzy near-duplicate pairs by bounded edit distance, with TWO-PASS
+    * prefix blocking as the candidate generator: documents are compared when
+    * they share their first `prefixLen` characters OR the first `prefixLen`
+    * characters of their REVERSED text (i.e. their suffix), and are within
+    * `maxDist` of each other's length — the classic blocking scheme for
+    * typo-level dedup (LSH/MinHash catches reordered content; edit distance
+    * catches character-level corruption LSH's token shingles miss). The
+    * reversed pass closes the single-prefix recall hole: an edit inside the
+    * first `prefixLen` chars breaks the forward block but leaves the suffix
+    * block intact. A true pair escapes only when edits land in BOTH the
+    * first and last `prefixLen` chars.
     *
-    * Scale shape: the join key is the prefix, so the shuffle is an
-    * equi-join bucketed by prefix — never all-pairs. The verify stage uses
+    * Scale shape: each pass is an equi-join bucketed by its prefix — never
+    * all-pairs — and the passes union + dedup on the id pair BEFORE the
+    * verify stage, so no pair runs the DP twice. The verify stage uses
     * Spark's THRESHOLDED levenshtein (banded DP, O(len x maxDist) per pair
-    * instead of O(len^2), early-abandons above the bound). Blocking on a
-    * single prefix misses pairs whose edits fall inside the first
-    * `prefixLen` chars; run a second pass blocked on a reversed-text prefix
-    * (or length-bucket keys) and union for higher recall — same shape, same
-    * cost model.
+    * instead of O(len^2), early-abandons above the bound).
     *
     * Returns (id_a, id_b, edit_dist), id_a < id_b, edit_dist <= maxDist. */
   def fuzzyPairs(df: DataFrame, idCol: String, textCol: String,
                  maxDist: Int, prefixLen: Int = 16): DataFrame = {
     val t = df.select(col(idCol), col(textCol),
-      substring(col(textCol), 1, prefixLen).as("_pfx"),
+      substring(col(textCol), 1, prefixLen).as("_pfx_f"),
+      substring(reverse(col(textCol)), 1, prefixLen).as("_pfx_r"),
       length(col(textCol)).as("_ln"))
-    val a = t.select(col(idCol).as("id_a"), col(textCol).as("text_a"),
-      col("_pfx"), col("_ln").as("ln_a"))
-    val b = t.select(col(idCol).as("id_b"), col(textCol).as("text_b"),
-      col("_pfx"), col("_ln").as("ln_b"))
-    a.join(b, "_pfx")
-      // |len_a - len_b| is a levenshtein lower bound: free pre-prune before
-      // the DP runs.
-      .where(col("id_a") < col("id_b") && abs(col("ln_a") - col("ln_b")) <= maxDist)
+    def block(pfx: String): DataFrame = {
+      val a = t.select(col(idCol).as("id_a"), col(textCol).as("text_a"),
+        col(pfx).as("_pfx"), col("_ln").as("ln_a"))
+      val b = t.select(col(idCol).as("id_b"), col(textCol).as("text_b"),
+        col(pfx).as("_pfx"), col("_ln").as("ln_b"))
+      a.join(b, "_pfx")
+        // |len_a - len_b| is a levenshtein lower bound: free pre-prune
+        // before the DP runs.
+        .where(col("id_a") < col("id_b") && abs(col("ln_a") - col("ln_b")) <= maxDist)
+        .select(col("id_a"), col("id_b"), col("text_a"), col("text_b"))
+    }
+    // distinct on (ids, texts) = distinct on ids (texts are functionally
+    // determined), so pairs found by both blocks verify once.
+    block("_pfx_f").unionByName(block("_pfx_r")).distinct()
       .select(col("id_a"), col("id_b"),
         levenshtein(col("text_a"), col("text_b"), maxDist).as("edit_dist"))
       .where(col("edit_dist") >= 0) // thresholded form returns -1 above maxDist

@@ -113,6 +113,22 @@ class DedupSimilaritySpec extends SparkSuite {
     assert(out === Array((1L, 2L, 3)))
   }
 
+  test("fuzzyPairs reversed pass catches edits inside the first prefixLen chars") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "thx quick brOwn fox jumps over the lazy dog"), // 2 edits, both in first 16
+      (3L, "the quick brown fox jumps over THE LAZY DOG"), // edits only at the tail
+      (4L, "something else entirely that matches neither end")).toDF("doc_id", "text")
+    val out = Dedup.fuzzyPairs(docs, "doc_id", "text", maxDist = 11)
+      .as[(Long, Long, Int)].collect().sorted
+    // (1,2): forward prefixes differ -> only the reversed block finds it.
+    // (1,3): reversed prefixes differ -> only the forward block finds it.
+    // (2,3): edits at BOTH ends within dist 13 > 11 -> correctly outside
+    //        maxDist anyway; no double counting of pairs found by both blocks.
+    assert(out.map(p => (p._1, p._2)).toSet === Set((1L, 2L), (1L, 3L)))
+    assert(out.length === 2, "a pair found by both blocks must verify exactly once")
+  }
+
   test("vector_avg aggregates element-wise means (custom TypedImperativeAggregate)") {
     val vecs = Seq((0, Array(1f, 2f)), (0, Array(3f, 4f)), (1, Array(10f, 20f)))
       .toDF("g", "v")
