@@ -36,7 +36,12 @@ object Bench {
     // of 76 queries and silently produced cold-only numbers for everything.
     val passes = sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "2").toInt
     require(passes >= 1, s"SPARK_GRAFT_BENCH_PASSES must be >= 1, got $passes")
+    // Optional comma-separated subset (SPARK_GRAFT_BENCH_ONLY=q66_...,q67_...)
+    // for standalone re-probes of a single query's regression.
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
     val names = SparkEntry.queries.keys.toSeq.sorted
+      .filter(n => only.forall(_.contains(n)))
     // Time budget: once total wall time exceeds SPARK_GRAFT_BENCH_BUDGET
     // seconds, remaining queries drop to a single pass — insurance against a
     // driver-side timeout killing the run before the JSON line prints. The
