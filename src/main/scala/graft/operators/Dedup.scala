@@ -258,20 +258,29 @@ object Dedup {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     var labels = nodes.select(col("id"), col("id").as("component"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // `labels` may become a projection over the persisted frame; unpersist
+    // must target the frame that owns the storage block, tracked here.
+    var labelsCache = labels
     var changed = 1L
     var iter = 0
     while (changed > 0 && iter < maxIter) {
       val viaNeighbors = sym
         .join(labels.withColumnRenamed("id", "dst"), "dst")
-        .select(col("src").as("id"), col("component"))
-      val next = labels.unionByName(viaNeighbors)
-        .groupBy("id").agg(min("component").as("component"))
+        .select(col("src").as("id"), col("component"), lit(0).as("_self"))
+      // Change detection folded INTO the label aggregation: the self row is
+      // tagged, so one groupBy yields both the new min label and the old
+      // (self) label — the previous per-round extra join of `next` back to
+      // `labels` (a second shuffle per iteration) is gone; `changed` is now
+      // a plain scan of the already-persisted `next`.
+      val next = labels.withColumn("_self", lit(1)).unionByName(viaNeighbors)
+        .groupBy("id").agg(
+          min("component").as("component"),
+          max(when(col("_self") === 1, col("component"))).as("_old"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      changed = next
-        .join(labels.withColumnRenamed("component", "_old"), "id")
-        .where(col("component") =!= col("_old")).count()
-      labels.unpersist()
-      labels = next
+      changed = next.where(col("component") =!= col("_old")).count()
+      labelsCache.unpersist()
+      labelsCache = next
+      labels = next.select(col("id"), col("component"))
       iter += 1
     }
     sym.unpersist()
@@ -282,7 +291,7 @@ object Dedup {
     // Durability follows Relational.detach's contract: set a checkpoint dir
     // for executor-loss-safe results on a real cluster.
     val result = Relational.detach(labels)
-    labels.unpersist(blocking = false)
+    labelsCache.unpersist(blocking = false)
     // Non-converged labels are WRONG labels (a node maxIter+1 hops from its
     // component's min would keep a stale id) — fail loudly, never return them.
     require(converged,

@@ -34,10 +34,12 @@ class IngestStreamingSpec extends SparkSuite {
     // Spark disallows querying ONLY the corrupt column straight off a raw
     // CSV scan — cache the parsed result first (documented Spark behavior).
     val df = Ingest.csvTyped(spark, dir, schema, corruptColumn = Some("_bad")).cache()
-    assert(df.where(col("_bad").isNotNull).count() === 1)
-    assert(df.where(col("_bad").isNotNull).select("_bad").head().getString(0)
-      === "not_a_long,bob,9.9")
-    assert(df.where(col("_bad").isNull).count() === 1)
+    try {
+      assert(df.where(col("_bad").isNotNull).count() === 1)
+      assert(df.where(col("_bad").isNotNull).select("_bad").head().getString(0)
+        === "not_a_long,bob,9.9")
+      assert(df.where(col("_bad").isNull).count() === 1)
+    } finally df.unpersist() // shared session: don't orphan a SQL-cache entry
   }
 
   test("filterSuffix keeps only matching paths (P3)") {
