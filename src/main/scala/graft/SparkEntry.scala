@@ -45,7 +45,7 @@ object SparkEntry {
     * sentinels), null numerics (zero-fill before scaling). Continuous values
     * are dyadic fractions (/4, /8, +0.25) so double sums are EXACT in any
     * summation order — the scale fits can't hash-diverge across engines. */
-  private def osv5mFrame(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def osv5mFrame(s: SparkSession, dir: String): DataFrame = {
     val k = col("o_orderkey")
     def nullWhen(cond: Column, v: Column): Column = when(cond, lit(null)).otherwise(v)
     Tables.orders(s, dir).select(
@@ -873,9 +873,12 @@ object SparkEntry {
     // fit, broadcast apply). The flagship oracle row for SURVEY §3.1.
     "q72_osv5m_clean" -> ((s, dir) => {
       import graft.meta.Schemas
+      // One fit scan for all five categoricals (labelEncodeAll) instead of
+      // five; the scaler-stats scan prunes the fill away entirely (the
+      // numeric columns are not fill targets), so the expensive parity fill
+      // is materialized full-width exactly once, in the final projection.
       val cleaned = Clean.osv5mClean(osv5mFrame(s, dir), orderCol = "id")
-      val encoded = Schemas.osv5mCategoricals
-        .foldLeft(cleaned)((d, c) => Encode.labelEncode(d, c))
+      val encoded = Encode.labelEncodeAll(cleaned, Schemas.osv5mCategoricals)
       val scaled = Encode.standardScale(encoded, Schemas.osv5mScaleCols)
       scaled.select(
         col("id"), col("year"), col("month"), col("day"),

@@ -72,18 +72,41 @@ object Clean {
     // after this row") is expressed as ffill over the REVERSED order, which
     // is identical whenever `orderCols` is a total order (already required:
     // a non-total order makes any fill nondeterministic).
-    def runningWindow(desc: Boolean) = {
-      val ord = orderCols.map(c => if (desc) col(c).desc else col(c).asc)
-      val base = if (partitionCols.isEmpty) Window.orderBy(ord: _*)
-                 else Window.partitionBy(partitionCols.map(col): _*).orderBy(ord: _*)
-      base.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    def inlineFill(d: DataFrame): DataFrame = {
+      def runningWindow(desc: Boolean) = {
+        val ord = orderCols.map(c => if (desc) col(c).desc else col(c).asc)
+        val base = if (partitionCols.isEmpty) Window.orderBy(ord: _*)
+                   else Window.partitionBy(partitionCols.map(col): _*).orderBy(ord: _*)
+        base.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      }
+      val ffill = runningWindow(desc = false)
+      val bfill = runningWindow(desc = true)
+      cols.foldLeft(d)((acc, c) =>
+        acc.withColumn(c, coalesce(
+          last(col(c), ignoreNulls = true).over(ffill),
+          last(col(c), ignoreNulls = true).over(bfill))))
     }
-    val ffill = runningWindow(desc = false)
-    val bfill = runningWindow(desc = true)
-    cols.foldLeft(df)((d, c) =>
-      d.withColumn(c, coalesce(
-        last(col(c), ignoreNulls = true).over(ffill),
-        last(col(c), ignoreNulls = true).over(bfill))))
+    // The two window passes sort the FULL row twice; columns that are
+    // neither keys nor fill targets ride along through both sorts for
+    // nothing. When those ride-alongs are wider than the fill set, it is
+    // cheaper to fill a narrow (keys ++ fill) projection and join the
+    // results back on the total-order key: the wide rows are then sorted at
+    // most once (by the join) instead of twice, and the double-sort touches
+    // only narrow rows. Equality is null-safe so rows that violate the
+    // non-null-key contract still behave exactly like the inline windows
+    // (which group nulls together) instead of being silently dropped.
+    val keyCols = (partitionCols ++ orderCols).distinct
+    val rideAlong = df.columns.filterNot(c => keyCols.contains(c) || cols.contains(c))
+    if (rideAlong.length <= cols.length) inlineFill(df)
+    else {
+      val narrow = inlineFill(df.select((keyCols ++ cols).map(col): _*))
+      val renamed = keyCols.foldLeft(narrow)((d, k) =>
+        d.withColumnRenamed(k, s"__fillkey_$k"))
+      val cond = keyCols.map(k => col(k) <=> col(s"__fillkey_$k")).reduce(_ && _)
+      df.drop(cols: _*).join(renamed, cond)
+        .drop(keyCols.map(k => s"__fillkey_$k"): _*)
+        .select(df.columns.map(col): _*) // restore the caller's column order
+    }
   }
 
   /** E5 — constant fill for string columns (`fillna("Unknown")`,

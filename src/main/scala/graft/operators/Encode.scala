@@ -32,6 +32,39 @@ object Encode {
   def labelEncode(df: DataFrame, c: String): DataFrame =
     df.join(broadcast(fitLabelMapping(df, c)), Seq(c), "left")
 
+  /** E1 over MANY string columns with a SINGLE fit scan.
+    *
+    * Folding [[labelEncode]] per column re-reads the input once PER fit —
+    * at 100 TB five categoricals mean five full passes over the fact table
+    * just to learn five tiny vocabularies. Here one pass explodes each row
+    * into (column, value) pairs, distincts them (map-side partial
+    * aggregation keeps the shuffle vocab-sized), and ranks values per
+    * column; the vocab-sized result is materialized via
+    * [[graft.operators.Relational.detach]] (see its durability contract)
+    * so the per-column broadcast slices don't re-trigger the scan. Codes
+    * are identical to per-column [[labelEncode]]: distinct non-null values
+    * sorted ascending get 0..n-1. */
+  def labelEncodeAll(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "labelEncodeAll needs at least one column")
+    cols.foreach { c =>
+      require(df.schema(c).dataType == org.apache.spark.sql.types.StringType,
+        s"labelEncodeAll fits string columns; '$c' is ${df.schema(c).dataType.sql} " +
+          "(cast first, or use labelEncode per column)")
+    }
+    val pairs = df
+      .select(explode(array(cols.map(c =>
+        struct(lit(c).as("_c"), col(c).as("_v"))): _*)).as("p"))
+      .select(col("p._c").as("_c"), col("p._v").as("_v"))
+      .where(col("_v").isNotNull)
+      .distinct()
+      .withColumn("_code", (row_number().over(
+        Window.partitionBy(col("_c")).orderBy(col("_v"))) - 1).cast("long"))
+    val fits = Relational.detach(pairs)
+    cols.foldLeft(df)((d, c) =>
+      d.join(broadcast(fits.where(col("_c") === c)
+        .select(col("_v").as(c), col("_code").as(s"${c}_code"))), Seq(c), "left"))
+  }
+
   /** E2 — z-score standardization with population stddev (sklearn ddof=0,
     * read_csv_s3_train.py:106-109). One agg pass for all columns, one
     * broadcast cross join to apply. Output column `<c>_z`. */

@@ -25,6 +25,26 @@ class EncodeSpec extends SparkSuite {
     assert(out.agg(max("cat_code")).head().getLong(0) === 2L)
   }
 
+  test("labelEncodeAll matches per-column labelEncode (one fit scan)") {
+    val two = df.withColumn("cat2",
+      when(col("x") > 3.0, lit("zz")).otherwise(concat(lit("p_"), col("cat"))))
+      .union(Seq((null.asInstanceOf[String], 8.0, null.asInstanceOf[String]))
+        .toDF("cat", "x", "cat2"))
+    val all = Encode.labelEncodeAll(two, Seq("cat", "cat2"))
+    val folded = Seq("cat", "cat2").foldLeft(two)((d, c) => Encode.labelEncode(d, c))
+    val cols = Seq("cat", "cat2", "x", "cat_code", "cat2_code").map(col)
+    assert(all.select(cols: _*).orderBy("x").collect()
+      === folded.select(cols: _*).orderBy("x").collect())
+    // vocabularies rank independently per column (both start at 0)
+    assert(all.agg(min("cat_code"), min("cat2_code")).head() ===
+      org.apache.spark.sql.Row(0L, 0L))
+    // non-string columns are rejected with a clear message
+    val err = intercept[IllegalArgumentException] {
+      Encode.labelEncodeAll(two, Seq("x"))
+    }
+    assert(err.getMessage.contains("string columns"))
+  }
+
   test("standardScale: z-scores have mean ~0 and stddev_pop ~1") {
     val out = Encode.standardScale(df, Seq("x"))
     val r = out.agg(avg("x_z"), stddev_pop("x_z")).head()
