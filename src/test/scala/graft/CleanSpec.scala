@@ -61,6 +61,34 @@ class CleanSpec extends SparkSuite {
     assert(out === Array("Paris", "Paris", "  Lyon ", "  Lyon ", "  Lyon "))
   }
 
+  test("narrow join-back fill equals inline fill, including null partition keys") {
+    // Enough ride-along columns to trigger the join-back strategy (ride-
+    // alongs > fill cols), a null partition key (contract violation the
+    // null-safe join must survive identically to the inline windows), and
+    // head/tail null runs within each group.
+    val base = Seq(
+      (0L, Option("g1"), Option.empty[String], "x"),
+      (1L, Option("g1"), Option("a"), "x"),
+      (2L, Option("g1"), Option.empty[String], "x"),
+      (3L, Option.empty[String], Option("z"), "x"),
+      (4L, Option.empty[String], Option.empty[String], "x"),
+      (5L, Option("g2"), Option.empty[String], "x"))
+      .toDF("idx", "grp", "v", "r1")
+      .withColumn("r2", lit(1)).withColumn("r3", lit(2.0))
+    assert(base.columns.count(c => !Seq("idx", "grp", "v").contains(c)) > 1)
+    val wide = Clean.fillForwardBackward(base, Seq("v"), Seq("idx"), Seq("grp"))
+    // narrow frame (no ride-alongs) takes the inline-window path
+    val inline = Clean.fillForwardBackward(
+      base.select("idx", "grp", "v"), Seq("v"), Seq("idx"), Seq("grp"))
+    assert(wide.count() === 6) // null-key rows survive the join back
+    assert(wide.select("idx", "grp", "v").orderBy("idx").collect()
+      === inline.orderBy("idx").collect())
+    assert(wide.columns === base.columns) // caller's column order restored
+    // and the fill itself is right: g1 = all "a", null group = all "z"
+    val byIdx = wide.orderBy("idx").select("v").as[String].collect()
+    assert(byIdx === Array("a", "a", "a", "z", "z", null))
+  }
+
   test("replaceSentinel handles the '<NA>' artifact") {
     val out = Clean.replaceSentinel(fixture, "creator_username", "<NA>", lit("Unknown"))
     assert(out.where(col("creator_username") === "<NA>").count() === 0)

@@ -1,0 +1,65 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Physical-plan posture assertions for the scale claims the library makes
+  * (SURVEY §4.4, §7.5): filters reach the parquet scan, column pruning
+  * reaches the read schema, estimator applies broadcast instead of
+  * shuffling the fact side, and aggregates combine map-side before the
+  * exchange. These are the properties that decide whether a plan survives a
+  * 100x scale-up; asserting them here means a refactor that silently turns
+  * a broadcast into a sort-merge join, or un-pushes a filter, fails the
+  * build instead of only showing up as a bench regression.
+  */
+class PlanPostureSpec extends SparkSuite {
+
+  private def executedPlan(df: DataFrame): String = {
+    df.write.format("noop").mode("overwrite").save() // finalize AQE
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("filter and projection push down to the parquet scan (P6/q35 shape)") {
+    val q = graft.meta.Tables.lineitem(spark, sf)
+      .where(col("l_suppkey") > 50)
+      .select("l_suppkey", "l_quantity")
+    val scan = q.queryExecution.executedPlan.toString
+    assert(scan.contains("PushedFilters: [IsNotNull(l_suppkey), GreaterThan(l_suppkey,50)]"),
+      s"filter not pushed to scan:\n$scan")
+    // read schema prunes to the two referenced columns
+    assert(scan.contains("ReadSchema: struct<l_suppkey:bigint,l_quantity:double>"),
+      s"column pruning missed the scan:\n$scan")
+  }
+
+  test("standardScale applies stats by broadcast, never shuffling the fact side") {
+    val plan = executedPlan(graft.operators.Encode.standardScale(
+      graft.meta.Tables.customer(spark, sf), Seq("c_acctbal")))
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"),
+      s"stats apply is not a broadcast join:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), s"fact side shuffled for a 1-row fit:\n$plan")
+  }
+
+  test("labelEncode mapping joins as broadcast hash join on the fact side") {
+    val plan = executedPlan(graft.operators.Encode.labelEncode(
+      graft.meta.Tables.customer(spark, sf), "c_mktsegment"))
+    assert(plan.contains("BroadcastHashJoin"), s"mapping join not broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), s"fact side shuffled for a vocab join:\n$plan")
+  }
+
+  test("groupBy aggregates combine map-side before the exchange (A6/q01 shape)") {
+    val q = graft.meta.Tables.lineitem(spark, sf)
+      .groupBy("l_returnflag").agg(sum("l_quantity").as("s"), count(lit(1)).as("n"))
+    val plan = executedPlan(q)
+    // partial aggregate must appear upstream of the shuffle: Spark prints the
+    // map-side half with partial_ function names
+    assert(plan.contains("partial_sum"), s"no map-side partial aggregation:\n$plan")
+  }
+
+  test("exact dedup plans one keyed shuffle, no global sort (q21 shape)") {
+    val plan = executedPlan(graft.operators.Dedup.dedupKeepFirst(
+      graft.meta.Tables.documents(spark, sf), Seq("text"), Seq("doc_id")))
+    // keep-first semantics via keyed window: partitioned sort, never a
+    // single-partition Window.orderBy
+    assert(!plan.contains("SinglePartition"), s"global single-partition stage:\n$plan")
+  }
+}
