@@ -791,6 +791,17 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // The extreme-scale CC twin: same clusters as q65 via alternating
+    // large-star/small-star rounds (O(log^2 n) rounds vs graph diameter) —
+    // the algorithm to run when dup chains are deep. Same oracle as q65.
+    "q79_cc_star" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      val pairs = Dedup.lshCandidatePairs(d, "doc_id", "text").select("id_a", "id_b")
+      Dedup.connectedComponentsStar(d.select(col("doc_id").as("id")), pairs)
+        .select(col("id").as("doc_id"), col("component").as("cluster"))
+        .orderBy("doc_id")
+    }),
+
     // §2.11 — SLIDING event-time windows (1h window, 15min slide) as batch
     // group-by: each event lands in 4 overlapping windows (same TimeWindow
     // expansion Structured Streaming uses).
@@ -1560,6 +1571,21 @@ object SparkEntry {
          |FROM h GROUP BY 1, 2 ORDER BY lang, split""".stripMargin,
 
     "q65_dedup_clusters" ->
+      s"""WITH RECURSIVE $dBandedCtes,
+         |pairs AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |FROM banded a JOIN banded b ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+         |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+         |UNION ALL SELECT id_b AS src, id_a AS dst FROM pairs),
+         |reach(id, m) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT e.src, r.m FROM edges e JOIN reach r ON r.id = e.dst)
+         |SELECT id AS doc_id, CAST(min(m) AS BIGINT) AS cluster
+         |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin,
+
+    // Same clusters, different distributed algorithm on the Spark side
+    // (large-star/small-star) — the oracle is the q65 reachability CTE.
+    "q79_cc_star" ->
       s"""WITH RECURSIVE $dBandedCtes,
          |pairs AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
          |FROM banded a JOIN banded b ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),

@@ -246,8 +246,8 @@ object Dedup {
     * of (edges + labels), no driver-side graph. The per-round driver scalar
     * (changed-count) is the same iterative-fit pattern as k-means
     * ([[graft.operators.Similarity.trainCentroids]]). For graphs with long
-    * chains at extreme scale, switch to large-star/small-star (same join
-    * primitives, fewer rounds).
+    * chains at extreme scale, use [[connectedComponentsStar]] (same join
+    * primitives, O(log^2 n) rounds instead of diameter).
     *
     * `nodes`: one column `id`; `edges`: columns `id_a`, `id_b` (undirected).
     * Output: (id, component). */
@@ -298,5 +298,103 @@ object Dedup {
       s"connectedComponents did not converge within $maxIter rounds " +
         "(graph diameter exceeds maxIter); raise maxIter or pre-contract long chains")
     result
+  }
+
+  /** Connected components by alternating large-star / small-star rounds —
+    * the extreme-scale twin of [[connectedComponents]] (same contract, same
+    * output), for graphs whose diameter makes per-hop label propagation
+    * unaffordable. Public algorithm: Kiveris, Lattanzi, Mirrokni, Rastogi,
+    * Vassilvitskii, "Connected Components in MapReduce and Beyond" (SoCC
+    * 2014) — converges in O(log^2 n) rounds on ANY graph shape, vs
+    * diameter rounds for propagation (a 10^6-hop near-dup chain is 10^6
+    * propagation rounds but ~20 star rounds).
+    *
+    * Each round is two star operations over the canonical edge set, every
+    * one a single keyed shuffle (a partition-wide `min` window — no joins):
+    *  - large-star: every node links its LARGER neighbors to the smallest
+    *    node of its neighborhood (incl. itself) — safe in both directions,
+    *    monotonically hangs heavy subtrees under small ids;
+    *  - small-star: every edge is directed to its larger endpoint, then
+    *    every node links its smaller neighbors (and itself) to their
+    *    minimum — contracts the chains large-star leaves.
+    * At fixpoint (edge-set signature stable) the edges form min-rooted
+    * stars: every node is directly connected to its component's smallest
+    * id, which is exactly [[connectedComponents]]'s label. Shuffle volume
+    * per round is bounded by the (deduplicated, monotonically
+    * non-increasing) edge set — ids only, never payloads.
+    *
+    * Storage/durability contract matches [[connectedComponents]]: every
+    * round and the handback are lineage-severed via [[Relational.detach]]
+    * (set a checkpoint dir for the executor-loss-safe mode; round blocks
+    * are reclaimed as frames go out of scope), no cacheManager entry is
+    * handed to the caller, and non-convergence within `maxIter` fails
+    * loudly rather than returning partial labels.
+    *
+    * `nodes`: one column `id`; `edges`: columns `id_a`, `id_b` (undirected).
+    * Output: (id, component). */
+  def connectedComponentsStar(nodes: DataFrame, edges: DataFrame,
+                              maxIter: Int = 25): DataFrame = {
+    // Every round is detached ([[Relational.detach]]): each star operation
+    // references its input 2-3 times, so an un-severed lineage grows the
+    // logical plan ~4x PER ROUND — exponential plan trees OOM the driver
+    // during plan stringification long before the data is a problem.
+    // Detaching materializes the (ids-only, non-increasing) edge set once
+    // per round and keeps every round's plan flat; round blocks are
+    // reclaimed by the context cleaner as the frames go out of scope.
+    // Canonical undirected edge set: (u < v), self-loops dropped.
+    var e = Relational.detach(edges
+      .select(least(col("id_a"), col("id_b")).as("u"),
+        greatest(col("id_a"), col("id_b")).as("v"))
+      .where(col("u") =!= col("v")).distinct())
+    // Fixpoint detection: (edge count, order-independent content hash) —
+    // bit_xor never overflows (xor, not sum: safe under ANSI mode). A
+    // 64-bit collision making two DIFFERENT consecutive edge sets look
+    // equal would stop a round early — at 2^-64 per round this is not a
+    // practical concern, and the q79 oracle row would catch it loudly.
+    def signature(d: DataFrame): (Long, Long) = {
+      val r = d.agg(count(lit(1)), expr("bit_xor(xxhash64(u, v))")).head()
+      (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+    }
+    val wholePartition = Window.partitionBy(col("a"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    def largeStar(ed: DataFrame): DataFrame = {
+      val sym = ed.select(col("u").as("a"), col("v").as("b"))
+        .unionByName(ed.select(col("v").as("a"), col("u").as("b")))
+      sym.withColumn("m", least(col("a"), min(col("b")).over(wholePartition)))
+        .where(col("b") > col("a")) // m <= a < b: emitted edge is (m, b)
+        .select(col("m").as("u"), col("b").as("v")).distinct()
+    }
+    def smallStar(ed: DataFrame): DataFrame = {
+      // direct every edge at its larger endpoint; all neighbors b < a
+      val dir = ed.select(col("v").as("a"), col("u").as("b"))
+      val withM = dir.withColumn("m", min(col("b")).over(wholePartition))
+      withM.where(col("b") =!= col("m"))
+        .select(col("m").as("u"), col("b").as("v"))
+        .unionByName(withM.select(col("m").as("u"), col("a").as("v")))
+        .distinct()
+    }
+    var sig = signature(e)
+    var converged = sig._1 == 0L
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      val next = Relational.detach(smallStar(largeStar(e)))
+      val nextSig = signature(next)
+      e = next
+      converged = nextSig == sig
+      sig = nextSig
+      iter += 1
+    }
+    // At fixpoint every edge is (component-min, member); isolated nodes are
+    // their own component. The min() re-aggregation is a correctness guard
+    // (a node can transiently carry two star edges) and costs one keyed
+    // shuffle of ids.
+    val labels = nodes.select(col("id"))
+      .join(e.select(col("v").as("id"), col("u").as("_root")), Seq("id"), "left")
+      .groupBy("id").agg(min(col("_root")).as("_root"))
+      .select(col("id"), coalesce(col("_root"), col("id")).as("component"))
+    require(converged,
+      s"connectedComponentsStar did not converge within $maxIter rounds; " +
+        "raise maxIter (rounds needed are ~log^2 of the largest component)")
+    Relational.detach(labels)
   }
 }

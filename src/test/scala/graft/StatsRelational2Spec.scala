@@ -215,6 +215,41 @@ class StatsRelational2Spec extends SparkSuite {
     assert(out.count() === 4) // still materializable after internal unpersist
   }
 
+  test("connectedComponentsStar: deep chain beyond propagation's budget, dup " +
+    "edges, singletons — min-rooted labels in O(log^2) rounds") {
+    import graft.operators.Dedup
+    // a 61-hop path: diameter 60 > propagation's default maxIter 50, but a
+    // handful of star rounds; plus duplicate/reversed edges and singletons
+    val chain = (1L until 61L).map(i => (i, i + 1))
+    val edges = (chain ++ chain.map(_.swap) ++ Seq((70L, 71L)))
+      .toDF("id_a", "id_b")
+    val out = Dedup.connectedComponentsStar((1L to 72L).toDF("id"), edges)
+    assert(out.storageLevel === org.apache.spark.storage.StorageLevel.NONE)
+    assert(out.count() === 72)
+    val byId = out.as[(Long, Long)].collect().toMap
+    assert((1L to 61L).forall(byId(_) === 1L))
+    assert(byId(70L) === 70L && byId(71L) === 70L && byId(72L) === 72L)
+    assert(org.apache.spark.sql.GraftSqlBridge.sqlCacheIsEmpty(spark),
+      "connectedComponentsStar left a caller-orphaned SQL-cache entry")
+  }
+
+  test("connectedComponentsStar equals propagation CC on random graphs") {
+    import graft.operators.Dedup
+    val rnd = new scala.util.Random(7)
+    (1 to 3).foreach { _ =>
+      val n = 3 + rnd.nextInt(12)
+      val edges = Seq.fill(rnd.nextInt(14))((1 + rnd.nextInt(n), 1 + rnd.nextInt(n)))
+        .filter(e => e._1 != e._2).map { case (a, b) => (a.toLong, b.toLong) }
+      val nodes = (1L to n.toLong).toDF("id")
+      val ef = edges.toDF("id_a", "id_b")
+      val star = Dedup.connectedComponentsStar(nodes, ef)
+        .orderBy("id").as[(Long, Long)].collect()
+      val prop = Dedup.connectedComponents(nodes, ef)
+        .orderBy("id").as[(Long, Long)].collect()
+      assert(star === prop, s"n=$n edges=$edges")
+    }
+  }
+
   test("connectedComponents matches a union-find reference on random graphs") {
     import graft.operators.Dedup
     def refComponents(n: Int, edges: Seq[(Int, Int)]): Map[Int, Int] = {
