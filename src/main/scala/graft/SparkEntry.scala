@@ -535,6 +535,15 @@ object SparkEntry {
         .orderBy("lang", "rank")
     }),
 
+    // Sketch-path heavy hitters (Spark 4 native approx_top_k frequent-items
+    // sketch): per-group state bounded by maxItemsTracked, map-side
+    // combinable — the 100-TB twin of q42's exact table. Estimates are
+    // sketch-dependent, so rows-only (q59/q70/q71 contract).
+    "q80_heavy_hitters" -> ((s, dir) => {
+      TextAnalysis.heavyHitterTokens(Tables.documents(s, dir), "lang", "text", 10)
+        .orderBy("lang", "rank")
+    }),
+
     // Rolling 5-row window per user: moving average via exact integer-cents
     // sums so sliding-window float drift can't split the engines.
     "q43_rolling" -> ((s, dir) => {

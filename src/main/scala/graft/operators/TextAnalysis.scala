@@ -204,4 +204,34 @@ object TextAnalysis {
     regexp_replace(
       regexp_replace(text, "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+", "<EMAIL>"),
       "[0-9]{3,}", "<NUM>")
+
+  /** Sketch-path heavy hitters: approximate top-k tokens per group — the
+    * 100-TB twin of the exact [[topNgrams]] table (same twin contract as
+    * winsorize/robust-scale: q42 exact, q80 rows-only). [[topNgrams]]
+    * shuffles every distinct (group, ngram) pair; at corpus scale the
+    * long tail of that key space dominates the exchange. Spark 4's native
+    * `approx_top_k` aggregate (frequent-items sketch) holds
+    * `maxItemsTracked` state per group regardless of vocabulary size,
+    * combines map-side, and bounds the shuffle to sketch bytes — estimates
+    * are sketch-dependent, hence no DuckDB oracle. On vocabularies smaller
+    * than `maxItemsTracked` the sketch degenerates to exact counts (the
+    * unit test pins this against [[topNgrams]]).
+    *
+    * Output: (group, rank, token, est_occur), rank 1..k by estimated
+    * count desc, token asc for determinism. */
+  def heavyHitterTokens(docs: DataFrame, groupCol: String, textCol: String,
+                        k: Int, maxItemsTracked: Int = 10000): DataFrame = {
+    val w = Window.partitionBy(groupCol)
+      .orderBy(col("est_occur").desc, col("token").asc)
+    docs.select(col(groupCol), tokens(col(textCol)).as("_tk"))
+      .select(col(groupCol), explode(col("_tk")).as("_tok"))
+      .groupBy(groupCol)
+      .agg(expr(s"approx_top_k(_tok, $k, $maxItemsTracked)").as("_top"))
+      .select(col(groupCol), explode(col("_top")).as("_hit"))
+      .select(col(groupCol), col("_hit.item").as("token"),
+        col("_hit.count").as("est_occur"))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col(groupCol), col("rank"), col("token"), col("est_occur"))
+  }
 }

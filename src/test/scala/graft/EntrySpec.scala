@@ -12,7 +12,8 @@ class EntrySpec extends SparkSuite {
     // Sketch outputs (HLL++ ndv) are engine-specific, so these queries
     // intentionally ship without a SQL oracle — the driver records the
     // weaker rows-only check for them.
-    val rowsOnly = Set("q59_sketch_profile", "q70_winsorize_sketch", "q71_robust_sketch")
+    val rowsOnly = Set("q59_sketch_profile", "q70_winsorize_sketch",
+      "q71_robust_sketch", "q80_heavy_hitters")
     assert(SparkEntry.oracleSql.keySet === SparkEntry.queries.keySet -- rowsOnly)
   }
 

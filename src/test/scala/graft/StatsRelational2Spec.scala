@@ -349,6 +349,22 @@ class StatsRelational2Spec extends SparkSuite {
     assert(out(1)._2 <= 3L)
   }
 
+  test("heavyHitterTokens: sketch equals exact unigram top-k under maxItemsTracked") {
+    val docs = Seq(
+      ("en", "x y x y z z z q"), ("en", "x y q r"),
+      ("de", "a a b c"), ("de", "a b b d")).toDF("lang", "text")
+    val sketch = TextAnalysis.heavyHitterTokens(docs, "lang", "text", 3)
+      .orderBy("lang", "rank").as[(String, Int, String, Long)].collect()
+    // vocabulary << maxItemsTracked: the frequent-items sketch is exact, so
+    // it must match the exact n=1 table rank-for-rank (same tie-break)
+    val exact = TextAnalysis.topNgrams(docs, "lang", "text", 1, 3)
+      .orderBy("lang", "rank")
+      .select(col("lang"), col("rank"), col("ngram"), col("n_occur"))
+      .as[(String, Int, String, Long)].collect()
+    assert(sketch === exact)
+    assert(sketch.count(_._1 == "en") === 3) // k rows per group
+  }
+
   test("scrubPii masks emails before digit runs") {
     val out = Seq("contact bob.smith+x@corp.example or call 4155550199 ext 42")
       .toDF("t").select(TextAnalysis.scrubPii(col("t"))).as[String].head()
