@@ -256,11 +256,17 @@ object Dedup {
     val sym = edges.select(col("id_a").as("src"), col("id_b").as("dst"))
       .unionByName(edges.select(col("id_b").as("src"), col("id_a").as("dst")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    var labels = nodes.select(col("id"), col("id").as("component"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // `labels` may become a projection over the persisted frame; unpersist
-    // must target the frame that owns the storage block, tracked here.
-    var labelsCache = labels
+    // Every round's labels are lineage-severed ([[Relational.detach]], same
+    // rationale as [[connectedComponentsStar]]): each round references the
+    // previous labels TWICE (self union + neighbor join), and persist only
+    // caches DATA — the analyzer still builds the full logical tree before
+    // cache substitution, so un-severed lineage doubles the plan per round
+    // and a ~30-round graph OOMs the driver on plan construction alone.
+    // Detach also replaces the per-round persist/unpersist bookkeeping
+    // (round blocks are reclaimed as frames go out of scope) and the final
+    // handback is already in detached form — no cacheManager entry ever
+    // reaches the caller.
+    var labels = Relational.detach(nodes.select(col("id"), col("id").as("component")))
     var changed = 1L
     var iter = 0
     while (changed > 0 && iter < maxIter) {
@@ -269,35 +275,24 @@ object Dedup {
         .select(col("src").as("id"), col("component"), lit(0).as("_self"))
       // Change detection folded INTO the label aggregation: the self row is
       // tagged, so one groupBy yields both the new min label and the old
-      // (self) label — the previous per-round extra join of `next` back to
-      // `labels` (a second shuffle per iteration) is gone; `changed` is now
-      // a plain scan of the already-persisted `next`.
-      val next = labels.withColumn("_self", lit(1)).unionByName(viaNeighbors)
-        .groupBy("id").agg(
-          min("component").as("component"),
-          max(when(col("_self") === 1, col("component"))).as("_old"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // (self) label — no extra join, and `changed` is a plain scan of the
+      // already-materialized round result.
+      val next = Relational.detach(
+        labels.withColumn("_self", lit(1)).unionByName(viaNeighbors)
+          .groupBy("id").agg(
+            min("component").as("component"),
+            max(when(col("_self") === 1, col("component"))).as("_old")))
       changed = next.where(col("component") =!= col("_old")).count()
-      labelsCache.unpersist()
-      labelsCache = next
       labels = next.select(col("id"), col("component"))
       iter += 1
     }
     sym.unpersist()
-    val converged = changed == 0
-    // Hand back an UNPERSISTED frame: checkpoint the final labels (already
-    // cached, so this is one cheap scan) and release the iteration cache —
-    // callers must not inherit a storage block they never asked for.
-    // Durability follows Relational.detach's contract: set a checkpoint dir
-    // for executor-loss-safe results on a real cluster.
-    val result = Relational.detach(labels)
-    labelsCache.unpersist(blocking = false)
     // Non-converged labels are WRONG labels (a node maxIter+1 hops from its
     // component's min would keep a stale id) — fail loudly, never return them.
-    require(converged,
+    require(changed == 0,
       s"connectedComponents did not converge within $maxIter rounds " +
         "(graph diameter exceeds maxIter); raise maxIter or pre-contract long chains")
-    result
+    labels
   }
 
   /** Connected components by alternating large-star / small-star rounds —

@@ -215,6 +215,17 @@ class StatsRelational2Spec extends SparkSuite {
     assert(out.count() === 4) // still materializable after internal unpersist
   }
 
+  test("connectedComponents survives a deep chain (per-round lineage sever)") {
+    import graft.operators.Dedup
+    // 21 nodes in a path = 20 propagation rounds. Without the per-round
+    // detach the logical plan doubles every round (~2^20 nodes here) and
+    // the driver dies building the tree — this is the regression guard.
+    val chain = (1L until 21L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val out = Dedup.connectedComponents((1L to 21L).toDF("id"), chain)
+    assert(out.select("component").distinct().as[Long].collect() === Array(1L))
+    assert(out.storageLevel === org.apache.spark.storage.StorageLevel.NONE)
+  }
+
   test("connectedComponentsStar: deep chain beyond propagation's budget, dup " +
     "edges, singletons — min-rooted labels in O(log^2) rounds") {
     import graft.operators.Dedup
