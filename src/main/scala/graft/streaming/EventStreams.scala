@@ -91,6 +91,43 @@ object EventStreams {
       .toDF(userCol, "n_events")
   }
 
+  /** [[runningUserCounts]] on the CURRENT arbitrary-state API
+    * (`transformWithState`, Spark 4): explicit named state handles with
+    * per-state TTL, multiple state variables per key, and timers — the API
+    * Spark recommends over `mapGroupsWithState` for new code. Requires the
+    * RocksDB state store provider
+    * (`spark.sql.streaming.stateStore.providerClass` =
+    * `...state.RocksDBStateStoreProvider`), which is also the provider
+    * you'd run at scale: state lives off-heap/on-disk per executor instead
+    * of on the JVM heap, so per-key state count is bounded by disk, not
+    * memory. `ttl` expires idle users' counters (reset-on-silence), the
+    * knob the HDFS-backed `GroupStateTimeout` path cannot express as
+    * per-state config; `None` keeps state forever like
+    * [[runningUserCounts]]. */
+  def runningUserCountsTws(events: DataFrame, userCol: String = "user_id",
+                           ttl: Option[java.time.Duration] = None): DataFrame = {
+    import org.apache.spark.sql.streaming.{OutputMode, StatefulProcessor, TimeMode, TTLConfig}
+    import org.apache.spark.sql.Encoders
+    val spark = events.sparkSession
+    import spark.implicits._
+    val ttlConfig = ttl.map(TTLConfig.apply).getOrElse(TTLConfig.NONE)
+    class CountProcessor extends StatefulProcessor[Long, Long, (Long, Long)] {
+      @transient private var count: org.apache.spark.sql.streaming.ValueState[Long] = _
+      override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+        count = getHandle.getValueState[Long]("count", Encoders.scalaLong, ttlConfig)
+      override def handleInputRows(key: Long, rows: Iterator[Long],
+          timerValues: org.apache.spark.sql.streaming.TimerValues): Iterator[(Long, Long)] = {
+        val total = (if (count.exists()) count.get() else 0L) + rows.size
+        count.update(total)
+        Iterator.single((key, total))
+      }
+    }
+    events.where(col(userCol).isNotNull).select(col(userCol).cast("long")).as[Long]
+      .groupByKey(identity)
+      .transformWithState(new CountProcessor, TimeMode.None(), OutputMode.Update())
+      .toDF(userCol, "n_events")
+  }
+
   /** Streaming session summary row. */
   case class Session(user_id: Long, session_start: java.sql.Timestamp,
                      session_end: java.sql.Timestamp, n_events: Long)

@@ -144,6 +144,42 @@ class IngestStreamingSpec extends SparkSuite {
     assert(u7.length === 2 && u7.last === 3L && u7.head < 3L)
   }
 
+  test("transformWithState running counts match mapGroupsWithState (RocksDB store)") {
+    val dir = Files.createTempDirectory("graft_tws").toString
+    Seq((7L, 1.0), (7L, 2.0), (9L, 3.0)).toDF("user_id", "value")
+      .coalesce(1).write.parquet(s"$dir/f1")
+    Seq((7L, 4.0), (9L, 5.0), (9L, 6.0)).toDF("user_id", "value")
+      .coalesce(1).write.parquet(s"$dir/f2")
+    val merged = s"$dir/all"
+    new java.io.File(merged).mkdirs()
+    for (f <- Seq("f1", "f2");
+         p <- new java.io.File(s"$dir/$f").listFiles() if p.getName.endsWith(".parquet"))
+      Files.copy(p.toPath, java.nio.file.Path.of(merged, s"$f-${p.getName}"))
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    try {
+      spark.conf.set(key,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      val schema = spark.read.parquet(merged).schema
+      val stream = EventStreams.readFileStream(spark, merged, schema, maxFilesPerTrigger = 1)
+      EventStreams.drainToMemory(
+        EventStreams.runningUserCountsTws(stream), "tws_counts", outputMode = "update")
+      val finals = spark.table("tws_counts").groupBy("user_id")
+        .agg(max("n_events").as("n")).orderBy("user_id")
+        .as[(Long, Long)].collect()
+      assert(finals === Array((7L, 3L), (9L, 3L)))
+      // state crossed micro-batches: user 7 has an intermediate total < 3
+      val u7 = spark.table("tws_counts").where(col("user_id") === 7)
+        .select("n_events").as[Long].collect().sorted
+      assert(u7.length === 2 && u7.last === 3L && u7.head < 3L)
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
   test("runningUserCounts survives null user ids (drops them)") {
     val dir = Files.createTempDirectory("graft_nullkey").toString + "/data"
     Seq(Some(7L), None, Some(7L)).toDF("user_id")
