@@ -211,6 +211,30 @@ object SparkEntry {
         .orderBy("o_orderpriority")
     }),
 
+    // Bucketed-layout round trip: write both fact tables hash-bucketed on
+    // the join key (the write-once co-location investment), read back
+    // through the catalog, join WITHOUT an Exchange on either side
+    // (IngestStreamingSpec proves the no-shuffle plan), aggregate. The
+    // oracle is the plain join — the layout must be invisible to results.
+    "q81_bucketed_join" -> ((s, dir) => {
+      import graft.sources.BucketedLayout
+      val base = System.getProperty("java.io.tmpdir") +
+        "/graft_q81_" + dir.replaceAll("[^A-Za-z0-9]", "_")
+      BucketedLayout.writeBucketed(
+        Tables.lineitem(s, dir).select("l_orderkey", "l_extendedprice"),
+        "graft_q81_li", s"$base/li", Seq("l_orderkey"), 8)
+      BucketedLayout.writeBucketed(
+        Tables.orders(s, dir).select("o_orderkey", "o_orderpriority"),
+        "graft_q81_or", s"$base/or", Seq("o_orderkey"), 8)
+      BucketedLayout.readBucketed(s, "graft_q81_li")
+        .join(BucketedLayout.readBucketed(s, "graft_q81_or"),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n_lines"),
+          (sum(cents(col("l_extendedprice")).cast("decimal(28,0)")).cast("double") / 100.0).as("revenue"))
+        .orderBy("o_orderpriority")
+    }),
+
     // semi/anti joins.
     "q12_semi_anti" -> ((s, dir) => {
       val o = Tables.orders(s, dir)
@@ -1098,6 +1122,13 @@ object SparkEntry {
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |JOIN customer ON o_custkey = c_custkey
         |WHERE c_mktsegment = 'BUILDING'
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    // The bucketed layout must be invisible to results: plain join oracle.
+    "q81_bucketed_join" ->
+      """SELECT o_orderpriority, count(*) AS n_lines,
+        |CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)) AS DOUBLE) / 100.0 AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
 
     "q12_semi_anti" ->

@@ -59,6 +59,13 @@ class IngestStreamingSpec extends SparkSuite {
       assert(j.count() === li.count()) // every lineitem has its order
       assert(!j.queryExecution.executedPlan.toString.contains("Exchange"),
         "bucketed-by-key join still shuffled:\n" + j.queryExecution.executedPlan)
+      // aggregation on the bucket key is shuffle-free too (partial+final
+      // collapse onto the bucketed distribution)
+      val agg = BucketedLayout.readBucketed(spark, "graft_bl_li")
+        .groupBy("l_orderkey").count()
+      agg.count()
+      assert(!agg.queryExecution.executedPlan.toString.contains("Exchange"),
+        "bucketed-by-key aggregation still shuffled")
       // sensitivity control: the same files read WITHOUT bucket metadata
       // (plain parquet path scan) must shuffle — proves the assertion above
       // is detecting the layout, not a quirk of the plan printer.
