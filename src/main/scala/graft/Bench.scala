@@ -40,6 +40,13 @@ object Bench {
     // for standalone re-probes of a single query's regression.
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
+    // A misspelled name silently shrinking the set is exactly the class of
+    // silently-wrong bench output that burned rounds 1 and 4 — fail loudly.
+    only.foreach { o =>
+      val unknown = o -- SparkEntry.queries.keySet
+      require(unknown.isEmpty,
+        s"SPARK_GRAFT_BENCH_ONLY names not in SparkEntry.queries: ${unknown.toSeq.sorted.mkString(", ")}")
+    }
     val names = SparkEntry.queries.keys.toSeq.sorted
       .filter(n => only.forall(_.contains(n)))
     // Time budget: once total wall time exceeds SPARK_GRAFT_BENCH_BUDGET

@@ -218,16 +218,21 @@ object SparkEntry {
     // oracle is the plain join — the layout must be invisible to results.
     "q81_bucketed_join" -> ((s, dir) => {
       import graft.sources.BucketedLayout
-      val base = System.getProperty("java.io.tmpdir") +
-        "/graft_q81_" + dir.replaceAll("[^A-Za-z0-9]", "_")
+      // Path and table names carry the application id: concurrent driver
+      // processes (a BENCH_ONLY re-probe next to a full run) must not
+      // overwrite each other's layout mid-read; within one session the
+      // names are stable so a second bench pass cleanly overwrites.
+      val tag = (dir + "_" + s.sparkContext.applicationId)
+        .replaceAll("[^A-Za-z0-9]", "_")
+      val base = System.getProperty("java.io.tmpdir") + "/graft_q81_" + tag
       BucketedLayout.writeBucketed(
         Tables.lineitem(s, dir).select("l_orderkey", "l_extendedprice"),
-        "graft_q81_li", s"$base/li", Seq("l_orderkey"), 8)
+        s"graft_q81_li_$tag", s"$base/li", Seq("l_orderkey"), 8)
       BucketedLayout.writeBucketed(
         Tables.orders(s, dir).select("o_orderkey", "o_orderpriority"),
-        "graft_q81_or", s"$base/or", Seq("o_orderkey"), 8)
-      BucketedLayout.readBucketed(s, "graft_q81_li")
-        .join(BucketedLayout.readBucketed(s, "graft_q81_or"),
+        s"graft_q81_or_$tag", s"$base/or", Seq("o_orderkey"), 8)
+      BucketedLayout.readBucketed(s, s"graft_q81_li_$tag")
+        .join(BucketedLayout.readBucketed(s, s"graft_q81_or_$tag"),
           col("l_orderkey") === col("o_orderkey"))
         .groupBy("o_orderpriority")
         .agg(count(lit(1)).as("n_lines"),

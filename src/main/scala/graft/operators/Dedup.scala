@@ -262,11 +262,12 @@ object Dedup {
     // caches DATA — the analyzer still builds the full logical tree before
     // cache substitution, so un-severed lineage doubles the plan per round
     // and a ~30-round graph OOMs the driver on plan construction alone.
-    // Detach also replaces the per-round persist/unpersist bookkeeping
-    // (round blocks are reclaimed as frames go out of scope) and the final
-    // handback is already in detached form — no cacheManager entry ever
-    // reaches the caller.
-    var labels = Relational.detach(nodes.select(col("id"), col("id").as("component")))
+    // Superseded rounds are freed eagerly ([[Relational.release]]), so live
+    // storage is bounded at two rounds, never rounds-so-far. The handback
+    // is already in detached form — no cacheManager entry reaches the
+    // caller.
+    var detached = Relational.detach(nodes.select(col("id"), col("id").as("component")))
+    var labels = detached
     var changed = 1L
     var iter = 0
     while (changed > 0 && iter < maxIter) {
@@ -283,6 +284,8 @@ object Dedup {
             min("component").as("component"),
             max(when(col("_self") === 1, col("component"))).as("_old")))
       changed = next.where(col("component") =!= col("_old")).count()
+      Relational.release(detached) // previous round: superseded, free it now
+      detached = next
       labels = next.select(col("id"), col("component"))
       iter += 1
     }
@@ -374,6 +377,7 @@ object Dedup {
     while (!converged && iter < maxIter) {
       val next = Relational.detach(smallStar(largeStar(e)))
       val nextSig = signature(next)
+      Relational.release(e) // superseded round: free blocks/files eagerly
       e = next
       converged = nextSig == sig
       sig = nextSig
@@ -390,6 +394,8 @@ object Dedup {
     require(converged,
       s"connectedComponentsStar did not converge within $maxIter rounds; " +
         "raise maxIter (rounds needed are ~log^2 of the largest component)")
-    Relational.detach(labels)
+    val result = Relational.detach(labels) // materializes: e no longer needed
+    Relational.release(e)
+    result
   }
 }

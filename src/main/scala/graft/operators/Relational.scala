@@ -28,10 +28,25 @@ object Relational {
     * filesystem. Used by every operator here that must materialize an
     * intermediate ([[withRowIndex]], [[graft.operators.Dedup]]'s hash
     * tables and connected components).
+    *
+    * Storage-growth caveat: a detached frame OWNS storage — localCheckpoint
+    * blocks in executor memory/disk, or reliable-checkpoint files that
+    * Spark never deletes on its own (`spark.cleaner.referenceTracking
+    * .cleanCheckpoints` only cleans on driver GC). One-shot handbacks are
+    * reclaimed when the caller drops the frame; ITERATIVE callers must free
+    * each superseded round deterministically via [[release]] — both
+    * connected-components loops do — or a long run accumulates one copy of
+    * its working set per round.
     */
   private[graft] def detach(df: DataFrame): DataFrame =
     if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) df.checkpoint(eager = true)
     else df.localCheckpoint(eager = true)
+
+  /** Eagerly free a superseded [[detach]] result: drops its storage blocks
+    * and deletes its reliable-checkpoint files. The frame must not be used
+    * afterwards. */
+  private[graft] def release(df: DataFrame): Unit =
+    org.apache.spark.sql.GraftSqlBridge.releaseDetached(df)
 
   /** Attach a dense 0-based row index following `orderCols`.
     *

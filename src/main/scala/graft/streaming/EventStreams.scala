@@ -122,9 +122,20 @@ object EventStreams {
         Iterator.single((key, total))
       }
     }
+    // TTL state requires processing-time semantics: Spark's
+    // validateTTLConfig rejects an enabled TTLConfig under TimeMode.None
+    // (there is no clock to expire against), so the mode follows the knob.
+    // Trigger caveat: processing-time mode runs micro-batches continuously
+    // (state eviction chases the wall clock), so a TTL query never
+    // self-terminates — Trigger.AvailableNow spins forever and even
+    // processAllAvailable does not latch. With `ttl` set, run the query as
+    // the long-lived stream it is meant to be, or poll the sink and
+    // `q.stop()` explicitly (see the spec); never drive it through
+    // [[drainToMemory]]'s AvailableNow drain.
+    val timeMode = if (ttl.isDefined) TimeMode.ProcessingTime() else TimeMode.None()
     events.where(col(userCol).isNotNull).select(col(userCol).cast("long")).as[Long]
       .groupByKey(identity)
-      .transformWithState(new CountProcessor, TimeMode.None(), OutputMode.Update())
+      .transformWithState(new CountProcessor, timeMode, OutputMode.Update())
       .toDF(userCol, "n_events")
   }
 

@@ -22,4 +22,24 @@ object GraftSqlBridge {
     * the no-caller-orphaned-cache discipline (CacheManager is private[sql]). */
   def sqlCacheIsEmpty(spark: SparkSession): Boolean =
     spark.sharedState.cacheManager.isEmpty
+
+  /** Eagerly free the storage behind a checkpointed ("detached") frame:
+    * unpersist the underlying RDD's blocks (localCheckpoint keeps them in
+    * executor storage until a driver GC + ContextCleaner pass otherwise)
+    * and delete its reliable-checkpoint files if any (Spark never deletes
+    * them unless `spark.cleaner.referenceTracking.cleanCheckpoints` is set,
+    * and even then only on GC). For iterative operators that detach once
+    * per round, this is the deterministic alternative to waiting on the
+    * garbage collector. The frame must not be used afterwards. */
+  def releaseDetached(df: Dataset[Row]): Unit =
+    df.queryExecution.analyzed.collect {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
+    }.foreach { rdd =>
+      rdd.unpersist(blocking = false)
+      rdd.getCheckpointFile.foreach { f =>
+        val p = new org.apache.hadoop.fs.Path(f)
+        p.getFileSystem(df.sparkSession.sparkContext.hadoopConfiguration)
+          .delete(p, true)
+      }
+    }
 }

@@ -179,6 +179,27 @@ class IngestStreamingSpec extends SparkSuite {
       val u7 = spark.table("tws_counts").where(col("user_id") === 7)
         .select("n_events").as[Long].collect().sorted
       assert(u7.length === 2 && u7.last === 3L && u7.head < 3L)
+      // TTL path: an enabled TTLConfig needs processing-time mode (the
+      // operator must switch modes or Spark rejects the state variable).
+      // Processing-time mode runs micro-batches continuously (eviction
+      // chases the wall clock), so neither AvailableNow nor
+      // processAllAvailable ever returns — poll the sink for the expected
+      // totals, then stop. A long TTL expires nothing here, so totals
+      // match the no-TTL run.
+      val stream2 = EventStreams.readFileStream(spark, merged, schema, maxFilesPerTrigger = 1)
+      val q = EventStreams.runningUserCountsTws(stream2,
+          ttl = Some(java.time.Duration.ofHours(1)))
+        .writeStream.format("memory").queryName("tws_ttl_counts")
+        .outputMode("update").start()
+      def ttlFinals = spark.table("tws_ttl_counts").groupBy("user_id")
+        .agg(max("n_events").as("n")).orderBy("user_id")
+        .as[(Long, Long)].collect()
+      try {
+        val deadline = System.nanoTime() + 120L * 1000 * 1000 * 1000
+        while (!(ttlFinals sameElements Array((7L, 3L), (9L, 3L))) &&
+               System.nanoTime() < deadline) Thread.sleep(250)
+      } finally q.stop()
+      assert(ttlFinals === Array((7L, 3L), (9L, 3L)))
     } finally {
       prev match {
         case Some(v) => spark.conf.set(key, v)

@@ -15,7 +15,9 @@ import org.apache.spark.sql.functions._
 class PlanPostureSpec extends SparkSuite {
 
   private def executedPlan(df: DataFrame): String = {
-    df.write.format("noop").mode("overwrite").save() // finalize AQE
+    // collect() drives THIS dataset's QueryExecution (a write or count
+    // would plan a separate one), so AQE's adaptive plan is final when read
+    df.collect()
     df.queryExecution.executedPlan.toString
   }
 

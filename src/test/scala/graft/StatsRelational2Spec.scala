@@ -220,10 +220,15 @@ class StatsRelational2Spec extends SparkSuite {
     // 21 nodes in a path = 20 propagation rounds. Without the per-round
     // detach the logical plan doubles every round (~2^20 nodes here) and
     // the driver dies building the tree — this is the regression guard.
+    val before = spark.sparkContext.getPersistentRDDs.size
     val chain = (1L until 21L).map(i => (i, i + 1)).toDF("id_a", "id_b")
     val out = Dedup.connectedComponents((1L to 21L).toDF("id"), chain)
     assert(out.select("component").distinct().as[Long].collect() === Array(1L))
     assert(out.storageLevel === org.apache.spark.storage.StorageLevel.NONE)
+    // superseded rounds were released eagerly: live checkpoint blocks are
+    // bounded (the handback's own frame), not one per round
+    assert(spark.sparkContext.getPersistentRDDs.size <= before + 1,
+      "per-round detach frames were not released")
   }
 
   test("connectedComponentsStar: deep chain beyond propagation's budget, dup " +
