@@ -46,6 +46,8 @@ object Encode {
     * sorted ascending get 0..n-1. */
   def labelEncodeAll(df: DataFrame, cols: Seq[String]): DataFrame = {
     require(cols.nonEmpty, "labelEncodeAll needs at least one column")
+    require(cols.distinct.size == cols.size,
+      s"labelEncodeAll got duplicate columns: ${cols.diff(cols.distinct).distinct.mkString(", ")}")
     cols.foreach { c =>
       require(df.schema(c).dataType == org.apache.spark.sql.types.StringType,
         s"labelEncodeAll fits string columns; '$c' is ${df.schema(c).dataType.sql} " +
