@@ -154,7 +154,10 @@ object Encode {
     val mad = withMed.groupBy(groupCols.map(col): _*)
       .agg(element_at(
         percentileFit(s"abs($valueCol - _med)", Seq(0.5), exact, accuracy), 1).as("_mad"))
-    withMed.join(broadcast(mad), groupCols)
+    // Pre-join the two group-sized fits so the fact side pays ONE broadcast
+    // hash join instead of two (the MAD fit still reads withMed, but the
+    // apply pass scans df fresh either way).
+    df.join(broadcast(med.join(mad, groupCols)), groupCols)
       .withColumn(s"${valueCol}_rz",
         (col(valueCol) - col("_med")) / (lit(1.4826) * col("_mad")))
       .drop("_med", "_mad")
