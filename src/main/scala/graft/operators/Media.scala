@@ -34,6 +34,56 @@ object Media {
 
   val ImageExtensions: Seq[String] = Seq(".jpg", ".jpeg", ".png")
 
+  /** Sampled frames from an opaque video column: payload-derived metadata
+    * plus one binary blob per sampled frame. */
+  case class VideoFrames(path: String, total_frames: Int, frame_indices: Array[Int],
+                         frames: Array[Array[Byte]])
+
+  /** Frame-sampling for opaque VIDEO binary columns — the video analogue of
+    * the image ETL, with the decode step STUBBED. This container ships no
+    * video decoder, so frame extraction is a clearly-marked deterministic
+    * fake: the "frame count" derives from payload length (one frame per
+    * KiB) and each "frame" is a 32-byte rolling-hash digest of
+    * (payload, frame index) — stable across engines, retries, and
+    * partitionings, so tests pin real invariants. Everything AROUND the
+    * stub is the real 100-TB plumbing a libav-backed kernel would drop
+    * into unchanged: opaque `binary` column in, typed
+    * frames-plus-metadata Dataset out, uniform-stride index selection
+    * (first frame always included), per-row executor-side work with no
+    * driver involvement, and one output row per video so downstream
+    * explode/batching controls fan-out explicitly. */
+  def sampleFramesStub(videos: DataFrame, pathCol: String, bytesCol: String,
+                       nFrames: Int): Dataset[VideoFrames] = {
+    require(nFrames > 0, s"nFrames must be positive, got $nFrames")
+    val spark = videos.sparkSession
+    import spark.implicits._
+    videos.select(col(pathCol).cast("string"), col(bytesCol))
+      .as[(String, Array[Byte])]
+      .map { case (path, bytes) =>
+        val payload = if (bytes == null) Array.emptyByteArray else bytes
+        val total = 1 + payload.length / 1024
+        val take = math.min(nFrames, total)
+        // uniform stride over [0, total): frame 0 always sampled, spacing
+        // as even as integer arithmetic allows (the standard keyframe grid)
+        val idx = Array.tabulate(take)(i => (i.toLong * total / take).toInt)
+        val frames = idx.map { fi =>
+          // STUB decode: 32-byte deterministic digest of (payload, index)
+          val out = new Array[Byte](32)
+          var acc = 1125899906842597L * (fi + 1)
+          var i = 0
+          while (i < payload.length) { acc = acc * 31 + payload(i); i += 1 }
+          var j = 0
+          while (j < 32) {
+            acc = acc * 6364136223846793005L + 1442695040888963407L
+            out(j) = (acc >>> 56).toByte
+            j += 1
+          }
+          out
+        }
+        VideoFrames(path, total, idx, frames)
+      }
+  }
+
   /** S4/§2.12 — explode zip archives (path, bytes) into per-entry rows.
     * Generator-shaped: 1 archive -> N entries, executor-side, streaming
     * decompression (no whole-archive re-buffering beyond the input bytes).

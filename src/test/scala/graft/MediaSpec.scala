@@ -172,6 +172,29 @@ class MediaSpec extends SparkSuite {
     assert(back.schema.fieldNames === Array("n"))
   }
 
+  test("sampleFramesStub: uniform-stride indices, deterministic stub frames") {
+    import spark.implicits._
+    val vids = Seq(
+      ("v0.mp4", Array.fill[Byte](10 * 1024)(3)), // 11 "frames"
+      ("v1.mp4", Array.fill[Byte](100)(7)),       // 1 "frame" (< 1 KiB)
+      ("v2.mp4", null.asInstanceOf[Array[Byte]])  // null payload -> 1 frame
+    ).toDF("path", "content")
+    val out = Media.sampleFramesStub(vids, "path", "content", 4)
+      .collect().map(v => v.path -> v).toMap
+    val v0 = out("v0.mp4")
+    assert(v0.total_frames === 11)
+    assert(v0.frame_indices === Array(0, 2, 5, 8)) // uniform stride, first kept
+    assert(v0.frames.length === 4 && v0.frames.forall(_.length === 32))
+    assert(!v0.frames(0).sameElements(v0.frames(1))) // index feeds the digest
+    // short and null payloads clamp to the single available frame
+    assert(out("v1.mp4").frame_indices === Array(0))
+    assert(out("v2.mp4").frame_indices === Array(0))
+    // deterministic across runs: same payload -> identical frame bytes
+    val again = Media.sampleFramesStub(vids, "path", "content", 4)
+      .collect().map(v => v.path -> v).toMap
+    assert(v0.frames(3).sameElements(again("v0.mp4").frames(3)))
+  }
+
   test("deleteConsumed removes ingested archives (K5)") {
     val dir = Files.createTempDirectory("graft_gc").toString
     val f = new java.io.File(s"$dir/done.zip")
