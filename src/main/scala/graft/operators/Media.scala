@@ -39,50 +39,121 @@ object Media {
   case class VideoFrames(path: String, total_frames: Int, frame_indices: Array[Int],
                          frames: Array[Array[Byte]])
 
-  /** Frame-sampling for opaque VIDEO binary columns — the video analogue of
-    * the image ETL, with the decode step STUBBED. This container ships no
-    * video decoder, so frame extraction is a clearly-marked deterministic
-    * fake: the "frame count" derives from payload length (one frame per
-    * KiB) and each "frame" is a 32-byte rolling-hash digest of
-    * (payload, frame index) — stable across engines, retries, and
-    * partitionings, so tests pin real invariants. Everything AROUND the
-    * stub is the real 100-TB plumbing a libav-backed kernel would drop
-    * into unchanged: opaque `binary` column in, typed
-    * frames-plus-metadata Dataset out, uniform-stride index selection
-    * (first frame always included), per-row executor-side work with no
-    * driver involvement, and one output row per video so downstream
-    * explode/batching controls fan-out explicitly. */
-  def sampleFramesStub(videos: DataFrame, pathCol: String, bytesCol: String,
-                       nFrames: Int): Dataset[VideoFrames] = {
+  /** Frame-sampling for opaque VIDEO/animation binary columns — the video
+    * analogue of the image ETL (the reference decodes real image bytes,
+    * process_test_train_Images.py:45; this generalizes that to multi-frame
+    * containers). Decode is REAL: any multi-frame container the JDK's
+    * ImageIO stack reads — animated GIF, multi-page TIFF — is opened with
+    * the `ImageReader` sequence API, the frame count comes from the
+    * container index, a uniform-stride grid over [0, total) picks
+    * `nFrames` indices (frame 0 always included), and each sampled frame
+    * is emitted as PNG bytes, so every downstream image kernel
+    * ([[decodeResizeTensor]], [[augmentFull]], the tensor batch sink)
+    * consumes them unchanged. GIF delta frames are composited cumulatively
+    * at their (left, top) offsets onto the logical screen, so a sampled
+    * frame is the full rendered picture, not a partial patch.
+    *
+    * Scale posture: per-row executor-side work with no driver involvement;
+    * one output row per video, so downstream explode/batching controls
+    * fan-out explicitly. Undecodable payloads (null, truncated, or a
+    * codec ImageIO lacks — e.g. real MP4/H.264, which needs a libav-backed
+    * kernel dropped into [[decodeFrames]]) are skipped, mirroring the
+    * reference's per-record try/except (:57-58). */
+  def sampleFrames(videos: DataFrame, pathCol: String, bytesCol: String,
+                   nFrames: Int): Dataset[VideoFrames] = {
     require(nFrames > 0, s"nFrames must be positive, got $nFrames")
     val spark = videos.sparkSession
     import spark.implicits._
     videos.select(col(pathCol).cast("string"), col(bytesCol))
       .as[(String, Array[Byte])]
-      .map { case (path, bytes) =>
-        val payload = if (bytes == null) Array.emptyByteArray else bytes
-        val total = 1 + payload.length / 1024
+      .flatMap { case (path, bytes) =>
+        decodeFrames(bytes, nFrames).map { case (total, idx, frames) =>
+          VideoFrames(path, total, idx, frames)
+        }
+      }
+  }
+
+  /** JVM kernel behind [[sampleFrames]]: open the container, count frames,
+    * composite up to the last sampled index, snapshot the sampled ones as
+    * PNG. Returns None for undecodable input (bad-record skip). A
+    * libav-style seekable decoder would jump straight to keyframes; GIF
+    * carries delta frames, so the cumulative pass up to the last sampled
+    * index is what a correct GIF renderer must do anyway. */
+  private[graft] def decodeFrames(bytes: Array[Byte],
+                                  nFrames: Int): Option[(Int, Array[Int], Array[Array[Byte]])] = {
+    if (bytes == null || bytes.isEmpty) return None
+    val iis = ImageIO.createImageInputStream(new ByteArrayInputStream(bytes))
+    try {
+      val readers = ImageIO.getImageReaders(iis)
+      if (!readers.hasNext) return None
+      val reader = readers.next()
+      try {
+        reader.setInput(iis, false, false)
+        val total = reader.getNumImages(true)
+        if (total <= 0) return None
         val take = math.min(nFrames, total)
         // uniform stride over [0, total): frame 0 always sampled, spacing
         // as even as integer arithmetic allows (the standard keyframe grid)
         val idx = Array.tabulate(take)(i => (i.toLong * total / take).toInt)
-        val frames = idx.map { fi =>
-          // STUB decode: 32-byte deterministic digest of (payload, index)
-          val out = new Array[Byte](32)
-          var acc = 1125899906842597L * (fi + 1)
-          var i = 0
-          while (i < payload.length) { acc = acc * 31 + payload(i); i += 1 }
-          var j = 0
-          while (j < 32) {
-            acc = acc * 6364136223846793005L + 1442695040888963407L
-            out(j) = (acc >>> 56).toByte
-            j += 1
-          }
-          out
+        val sampled = idx.toSet
+        val first = reader.read(0)
+        // Logical screen: GIF frames may be smaller patches at an offset;
+        // size the canvas to the largest extent seen in the container index.
+        var (cw, ch) = (first.getWidth, first.getHeight)
+        var fi = 0
+        while (fi < total) {
+          val (l, t) = frameOffset(reader, fi)
+          cw = math.max(cw, l + reader.getWidth(fi))
+          ch = math.max(ch, t + reader.getHeight(fi))
+          fi += 1
         }
-        VideoFrames(path, total, idx, frames)
-      }
+        val canvas = new BufferedImage(cw, ch, BufferedImage.TYPE_INT_RGB)
+        val g = canvas.createGraphics()
+        val out = Array.newBuilder[Array[Byte]]
+        try {
+          fi = 0
+          val last = idx(idx.length - 1)
+          while (fi <= last) {
+            val frame = if (fi == 0) first else reader.read(fi)
+            val (l, t) = frameOffset(reader, fi)
+            g.drawImage(frame, l, t, null)
+            if (sampled.contains(fi)) {
+              val png = new ByteArrayOutputStream()
+              ImageIO.write(canvas, "png", png)
+              out += png.toByteArray
+            }
+            fi += 1
+          }
+        } finally g.dispose()
+        Some((total, idx, out.result()))
+      } finally reader.dispose()
+    } catch {
+      case _: Exception => None
+    } finally iis.close()
   }
+
+  /** (left, top) placement of frame `i` on the logical screen — GIF image
+    * descriptor offsets when present, (0, 0) for full-frame containers. */
+  private def frameOffset(reader: javax.imageio.ImageReader, i: Int): (Int, Int) =
+    try {
+      val md = reader.getImageMetadata(i)
+      val fmt = "javax_imageio_gif_image_1.0"
+      if (md == null || !md.getMetadataFormatNames.contains(fmt)) (0, 0)
+      else {
+        val root = md.getAsTree(fmt)
+        var node = root.getFirstChild
+        var res = (0, 0)
+        while (node != null) {
+          if (node.getNodeName == "ImageDescriptor") {
+            val attrs = node.getAttributes
+            res = (attrs.getNamedItem("imageLeftPosition").getNodeValue.toInt,
+              attrs.getNamedItem("imageTopPosition").getNodeValue.toInt)
+          }
+          node = node.getNextSibling
+        }
+        res
+      }
+    } catch { case _: Exception => (0, 0) }
 
   /** S4/§2.12 — explode zip archives (path, bytes) into per-entry rows.
     * Generator-shaped: 1 archive -> N entries, executor-side, streaming

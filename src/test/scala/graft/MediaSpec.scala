@@ -172,27 +172,62 @@ class MediaSpec extends SparkSuite {
     assert(back.schema.fieldNames === Array("n"))
   }
 
-  test("sampleFramesStub: uniform-stride indices, deterministic stub frames") {
+  /** In-test animated GIF: one solid-color full frame per entry in `colors`,
+    * written with the JDK GIF writer's sequence API. */
+  private def animatedGif(colors: Seq[java.awt.Color], w: Int, h: Int): Array[Byte] = {
+    val baos = new ByteArrayOutputStream()
+    val writer = ImageIO.getImageWritersByFormatName("gif").next()
+    val ios = ImageIO.createImageOutputStream(baos)
+    try {
+      writer.setOutput(ios)
+      writer.prepareWriteSequence(null)
+      colors.foreach { c =>
+        val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+        val g = img.createGraphics()
+        try { g.setColor(c); g.fillRect(0, 0, w, h) } finally g.dispose()
+        writer.writeToSequence(new javax.imageio.IIOImage(img, null, null), null)
+      }
+      writer.endWriteSequence()
+    } finally { writer.dispose(); ios.close() }
+    baos.toByteArray
+  }
+
+  test("sampleFrames: real animated-GIF decode, stride grid, tensor round-trip") {
     import spark.implicits._
+    import java.awt.Color
+    val colors = Seq(Color.RED, Color.GREEN, Color.BLUE,
+      Color.YELLOW, Color.CYAN, Color.MAGENTA)
+    val gif = animatedGif(colors, 64, 48)
     val vids = Seq(
-      ("v0.mp4", Array.fill[Byte](10 * 1024)(3)), // 11 "frames"
-      ("v1.mp4", Array.fill[Byte](100)(7)),       // 1 "frame" (< 1 KiB)
-      ("v2.mp4", null.asInstanceOf[Array[Byte]])  // null payload -> 1 frame
+      ("anim.gif", gif),
+      ("bad.bin", Array.fill[Byte](256)(7)),       // undecodable -> skipped
+      ("nul.gif", null.asInstanceOf[Array[Byte]])  // null payload -> skipped
     ).toDF("path", "content")
-    val out = Media.sampleFramesStub(vids, "path", "content", 4)
+    val out = Media.sampleFrames(vids, "path", "content", 3)
       .collect().map(v => v.path -> v).toMap
-    val v0 = out("v0.mp4")
-    assert(v0.total_frames === 11)
-    assert(v0.frame_indices === Array(0, 2, 5, 8)) // uniform stride, first kept
-    assert(v0.frames.length === 4 && v0.frames.forall(_.length === 32))
-    assert(!v0.frames(0).sameElements(v0.frames(1))) // index feeds the digest
-    // short and null payloads clamp to the single available frame
-    assert(out("v1.mp4").frame_indices === Array(0))
-    assert(out("v2.mp4").frame_indices === Array(0))
-    // deterministic across runs: same payload -> identical frame bytes
-    val again = Media.sampleFramesStub(vids, "path", "content", 4)
-      .collect().map(v => v.path -> v).toMap
-    assert(v0.frames(3).sameElements(again("v0.mp4").frames(3)))
+    assert(out.keySet === Set("anim.gif")) // bad-record skip, real rows only
+    val v = out("anim.gif")
+    assert(v.total_frames === 6)
+    assert(v.frame_indices === Array(0, 2, 4)) // uniform stride, first kept
+    assert(v.frames.length === 3)
+    // each sampled frame is a REAL image: PNG-decodable, right dims, and the
+    // pixel content is the source frame's color (not a digest)
+    v.frame_indices.zip(v.frames).foreach { case (fi, bytes) =>
+      val img = ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      assert(img != null && img.getWidth === 64 && img.getHeight === 48)
+      assert((img.getRGB(32, 24) & 0xffffff) === (colors(fi).getRGB & 0xffffff))
+    }
+    // and it feeds the existing image kernels unchanged: 224x224 CHW tensor
+    val Some((shape, data)) = Media.decodeResizeTensor(v.frames(1), 224)
+    assert(shape === Array(3, 224, 224))
+    val center = 112 * 224 + 112 // frames(1) = container frame 2 = solid BLUE
+    assert(data(center) < 0.1f)                     // R plane
+    assert(data(224 * 224 + center) < 0.1f)         // G plane
+    assert(data(2 * 224 * 224 + center) > 0.9f)     // B plane
+    // nFrames > total clamps to every frame in order
+    val all = Media.sampleFrames(vids, "path", "content", 10)
+      .collect().map(v2 => v2.path -> v2).toMap
+    assert(all("anim.gif").frame_indices === (0 until 6).toArray)
   }
 
   test("deleteConsumed removes ingested archives (K5)") {
