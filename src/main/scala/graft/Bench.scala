@@ -82,7 +82,16 @@ object Bench {
       .mkString("{", ",", "}")
     // -1 failure sentinels must not shrink the headline total.
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val line =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    println(line)
+    // Also land the line in a file: the driver's stdout-tail capture
+    // truncated round 6's record (BENCH_r06 parsed: null, q01-q16 lost) —
+    // a file read never depends on how much tail survived.
+    val sfName = new java.io.File(sfDir).getName
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"/tmp/graft_bench_$sfName.json"),
+      (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     spark.stop()
   }
 }

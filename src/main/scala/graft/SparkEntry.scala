@@ -211,11 +211,14 @@ object SparkEntry {
         .orderBy("o_orderpriority")
     }),
 
-    // Bucketed-layout round trip: write both fact tables hash-bucketed on
-    // the join key (the write-once co-location investment), read back
-    // through the catalog, join WITHOUT an Exchange on either side
-    // (IngestStreamingSpec proves the no-shuffle plan), aggregate. The
+    // Bucketed-layout round trip: write both fact tables hash-bucketed AND
+    // bucket-sorted on the join key (the write-once co-location investment),
+    // read back through the catalog, join WITHOUT an Exchange or a Sort on
+    // either side (IngestStreamingSpec proves the plan), aggregate. The
     // oracle is the plain join — the layout must be invisible to results.
+    // The 5-row aggregate is materialized inside the builder so the two
+    // catalog tables and the tmp files can be dropped in the finally —
+    // repeated driver runs must not accrete metastore/warehouse garbage.
     "q81_bucketed_join" -> ((s, dir) => {
       import graft.sources.BucketedLayout
       // Path and table names carry the application id: concurrent driver
@@ -225,19 +228,38 @@ object SparkEntry {
       val tag = (dir + "_" + s.sparkContext.applicationId)
         .replaceAll("[^A-Za-z0-9]", "_")
       val base = System.getProperty("java.io.tmpdir") + "/graft_q81_" + tag
-      BucketedLayout.writeBucketed(
-        Tables.lineitem(s, dir).select("l_orderkey", "l_extendedprice"),
-        s"graft_q81_li_$tag", s"$base/li", Seq("l_orderkey"), 8)
-      BucketedLayout.writeBucketed(
-        Tables.orders(s, dir).select("o_orderkey", "o_orderpriority"),
-        s"graft_q81_or_$tag", s"$base/or", Seq("o_orderkey"), 8)
-      BucketedLayout.readBucketed(s, s"graft_q81_li_$tag")
-        .join(BucketedLayout.readBucketed(s, s"graft_q81_or_$tag"),
-          col("l_orderkey") === col("o_orderkey"))
-        .groupBy("o_orderpriority")
-        .agg(count(lit(1)).as("n_lines"),
-          (sum(cents(col("l_extendedprice")).cast("decimal(28,0)")).cast("double") / 100.0).as("revenue"))
-        .orderBy("o_orderpriority")
+      val (liT, orT) = (s"graft_q81_li_$tag", s"graft_q81_or_$tag")
+      val ordKey = "spark.sql.legacy.bucketedTableScan.outputOrdering"
+      val prevOrd = s.conf.getOption(ordKey)
+      try {
+        // one file per bucket (writeBucketed guarantees it) + this conf =
+        // the scan exposes the bucket-file sort, and the SMJ plans sort-free
+        s.conf.set(ordKey, "true")
+        BucketedLayout.writeBucketed(
+          Tables.lineitem(s, dir).select("l_orderkey", "l_extendedprice"),
+          liT, s"$base/li", Seq("l_orderkey"), 8, sortCols = Seq("l_orderkey"))
+        BucketedLayout.writeBucketed(
+          Tables.orders(s, dir).select("o_orderkey", "o_orderpriority"),
+          orT, s"$base/or", Seq("o_orderkey"), 8, sortCols = Seq("o_orderkey"))
+        val agg = BucketedLayout.readBucketed(s, liT)
+          .join(BucketedLayout.readBucketed(s, orT),
+            col("l_orderkey") === col("o_orderkey"))
+          .groupBy("o_orderpriority")
+          .agg(count(lit(1)).as("n_lines"),
+            (sum(cents(col("l_extendedprice")).cast("decimal(28,0)")).cast("double") / 100.0).as("revenue"))
+          .orderBy("o_orderpriority")
+        // |priorities| rows — localize so cleanup can run before returning
+        s.createDataFrame(java.util.Arrays.asList(agg.collect(): _*), agg.schema)
+      } finally {
+        prevOrd match {
+          case Some(v) => s.conf.set(ordKey, v)
+          case None => s.conf.unset(ordKey)
+        }
+        s.sql(s"DROP TABLE IF EXISTS $liT")
+        s.sql(s"DROP TABLE IF EXISTS $orT")
+        val p = new org.apache.hadoop.fs.Path(base)
+        p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      }
     }),
 
     // semi/anti joins.

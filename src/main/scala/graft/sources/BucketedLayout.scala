@@ -20,18 +20,28 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *
   * Both join sides must be written with the SAME bucket count and key for
   * the pairwise read; `sortCols` additionally sorts within each bucket file
-  * so a sort-merge join can skip its sort phase entirely.
+  * so a sort-merge join can skip its sort phase entirely. Spark only
+  * trusts bucket-file sort order when each bucket is exactly ONE file and
+  * `spark.sql.legacy.bucketedTableScan.outputOrdering` is true at read
+  * time — the write below repartitions onto the bucket hash so every
+  * bucket lands as a single file, making the sort-free SMJ reachable.
   */
 object BucketedLayout {
 
   /** Write `df` as a bucketed (optionally bucket-sorted) external parquet
-    * table registered under `table` with files at `path`. Overwrites both. */
+    * table registered under `table` with files at `path`. Overwrites both.
+    * The frame is repartitioned onto the bucket hash first (Murmur3 on the
+    * bucket columns — the same function bucketing uses), so each bucket is
+    * one file: no small-file fan-out from wide upstream parallelism, and
+    * the per-bucket `sortCols` order is usable at scan time. */
   def writeBucketed(df: DataFrame, table: String, path: String,
                     bucketCols: Seq[String], numBuckets: Int,
                     sortCols: Seq[String] = Nil): Unit = {
     require(bucketCols.nonEmpty, "writeBucketed needs at least one bucket column")
     require(numBuckets > 0, s"numBuckets must be positive, got $numBuckets")
-    val w = df.write.mode("overwrite").format("parquet")
+    import org.apache.spark.sql.functions.col
+    val w = df.repartition(numBuckets, bucketCols.map(col): _*)
+      .write.mode("overwrite").format("parquet")
       .option("path", path)
       .bucketBy(numBuckets, bucketCols.head, bucketCols.tail: _*)
     val ws = if (sortCols.nonEmpty) w.sortBy(sortCols.head, sortCols.tail: _*) else w

@@ -51,14 +51,24 @@ class IngestStreamingSpec extends SparkSuite {
     try {
       // force a non-broadcast join so "no Exchange" can only mean bucketing
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-      BucketedLayout.writeBucketed(li, "graft_bl_li", s"$dir/li", Seq("l_orderkey"), 4)
-      BucketedLayout.writeBucketed(or, "graft_bl_or", s"$dir/or", Seq("o_orderkey"), 4)
+      // one file per bucket (writeBucketed repartitions onto the bucket
+      // hash) + this conf = the scan exposes the bucket-file sort order
+      spark.conf.set("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
+      BucketedLayout.writeBucketed(li, "graft_bl_li", s"$dir/li",
+        Seq("l_orderkey"), 4, sortCols = Seq("l_orderkey"))
+      BucketedLayout.writeBucketed(or, "graft_bl_or", s"$dir/or",
+        Seq("o_orderkey"), 4, sortCols = Seq("o_orderkey"))
       val j = BucketedLayout.readBucketed(spark, "graft_bl_li")
         .join(BucketedLayout.readBucketed(spark, "graft_bl_or"),
           col("l_orderkey") === col("o_orderkey"))
       assert(j.count() === li.count()) // every lineitem has its order
-      assert(!j.queryExecution.executedPlan.toString.contains("Exchange"),
-        "bucketed-by-key join still shuffled:\n" + j.queryExecution.executedPlan)
+      val jPlan = j.queryExecution.executedPlan.toString
+      assert(!jPlan.contains("Exchange"),
+        "bucketed-by-key join still shuffled:\n" + jPlan)
+      // bucket-sorted SMJ: no Sort node on either side ("Sort [" is the
+      // operator print; SortMergeJoin itself doesn't match it)
+      assert(!jPlan.contains("Sort ["),
+        "bucket-sorted join still re-sorts:\n" + jPlan)
       // aggregation on the bucket key is shuffle-free too (partial+final
       // collapse onto the bucketed distribution)
       val agg = BucketedLayout.readBucketed(spark, "graft_bl_li")
@@ -75,6 +85,7 @@ class IngestStreamingSpec extends SparkSuite {
       assert(plain.queryExecution.executedPlan.toString.contains("Exchange"))
     } finally {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      spark.conf.unset("spark.sql.legacy.bucketedTableScan.outputOrdering")
       spark.sql("DROP TABLE IF EXISTS graft_bl_li")
       spark.sql("DROP TABLE IF EXISTS graft_bl_or")
     }
