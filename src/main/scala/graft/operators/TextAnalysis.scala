@@ -217,6 +217,19 @@ object TextAnalysis {
     * than `maxItemsTracked` the sketch degenerates to exact counts (the
     * unit test pins this against [[topNgrams]]).
     *
+    * Sizing `maxItemsTracked` (the same bits-per-key trade
+    * [[graft.functions.BloomFilterAgg]] documents): the frequent-items
+    * guarantee is that any token occurring more than
+    * `n_tokens_in_group / maxItemsTracked` times survives the sketch, and
+    * every estimate is within that same bound of the true count — so pick
+    * `maxItemsTracked >= n / minSupport` for the smallest occurrence count
+    * you need guaranteed, and comfortably above `k`. Memory is
+    * O(maxItemsTracked) entries per group per partial aggregate (at the
+    * 10000 default, roughly a few hundred KB per group), independent of
+    * vocabulary and row count. SketchParitySpec pins both edges: exact-twin
+    * containment at the default, and the guarantee + error bound with
+    * `maxItemsTracked` small enough to force eviction.
+    *
     * Output: (group, rank, token, est_occur), rank 1..k by estimated
     * count desc, token asc for determinism. */
   def heavyHitterTokens(docs: DataFrame, groupCol: String, textCol: String,

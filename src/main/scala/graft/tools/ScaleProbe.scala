@@ -4,10 +4,15 @@ import graft.meta.Tables
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
-/** Scale probes: decimal-vs-integer-cents aggregation cost, and linear-
-  * scaling behavior on a 16x blowup of lineitem (dev aid). */
+/** Scale probes: decimal-vs-integer-cents aggregation cost, linear-scaling
+  * behavior on a 16x blowup of lineitem, fill partitioning, skew handling,
+  * and the bucketed-layout write/join cost split (dev aid; measured numbers
+  * land in BASELINE.md). Args select sections: `fill`, `skew`, `bucket`,
+  * `legacy` (no args = all). */
 object ScaleProbe {
   def main(args: Array[String]): Unit = {
+    val sections: String => Boolean =
+      if (args.isEmpty) _ => true else args.toSet
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.adaptive.enabled", "true")
@@ -22,6 +27,91 @@ object ScaleProbe {
 
     val li = Tables.lineitem(spark, "/root/testdata/sf0.1")
     noop(li.groupBy("l_returnflag").count()) // warmup
+
+    // q72-vs-q78: the SAME osv5m cleaning chain with the ffill/bfill
+    // windows unpartitioned (reference chunk-order parity, one core does
+    // the whole sort+scan) vs partitioned by the trimmed country key (one
+    // shuffle, per-partition sorts). The number this produces is the
+    // measured degeneration the partitioned fill avoids.
+    if (sections("fill")) {
+      import graft.operators.Clean
+      val osv = graft.SparkEntry.osv5mFrame(spark, "/root/testdata/sf0.1")
+      val bigPath = "/tmp/graft_big_osv5m"
+      time("write 16x osv5m (~2.4M rows)")(
+        (0 until 16).map(i => osv.withColumn("id", col("id") + lit(i.toLong * 100000000L)))
+          .reduce(_ union _).write.mode("overwrite").parquet(bigPath))
+      val osvBig = spark.read.parquet(bigPath)
+      time("osv5m clean  1x unpartitioned fill")(noop(Clean.osv5mClean(osv, "id")))
+      time("osv5m clean  1x partitioned fill")(noop(
+        Clean.osv5mClean(osv, "id", fillPartitionCols = Seq("country"))))
+      time("osv5m clean 16x unpartitioned fill")(noop(Clean.osv5mClean(osvBig, "id")))
+      time("osv5m clean 16x partitioned fill")(noop(
+        Clean.osv5mClean(osvBig, "id", fillPartitionCols = Seq("country"))))
+    }
+
+    // Hot-key join: AQE's runtime skew-split on the plain declarative join
+    // vs the explicit saltedJoin lever, on a 95%-one-key fixture
+    // (PlanPostureSpec proves the plan shapes; this measures them).
+    if (sections("skew")) {
+      val prevBc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      try {
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force shuffle joins
+        val bigSkew = spark.range(0, 4000000).select(
+          when(col("id") % 20 =!= 0, lit(0L)).otherwise(col("id")).as("k"),
+          concat(lit("payload_payload_payload_payload_"), col("id")).as("payload"))
+        val dimSkew = spark.range(0, 4000000, 20)
+          .select(col("id").as("k"), (col("id") * 2).as("v"))
+        // min-of-2: pass 1 absorbs codegen, and the unmitigated straggler's
+        // wall time swings with box contention (same rationale as Bench)
+        def time2(name: String)(f: => Unit): Unit = {
+          val ts = (1 to 2).map { _ =>
+            val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+          }
+          println(f"[probe] $name%-34s ${ts.min}%.2f s (min of 2)")
+        }
+        spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "false")
+        time2("skewed join: no mitigation")(noop(bigSkew.join(dimSkew, "k")))
+        spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+        time2("skewed join: AQE skew-split")(noop(bigSkew.join(dimSkew, "k")))
+        time2("skewed join: saltedJoin(16)")(noop(
+          graft.operators.Relational.saltedJoin(bigSkew, dimSkew, "k", 16)))
+      } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBc)
+    }
+
+    // Bucketed layout: separate the write-once investment from the
+    // recurring join saving (q81's bench number folds both together).
+    if (sections("bucket")) {
+      import graft.sources.BucketedLayout
+      val prevBc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      val ordKey = "spark.sql.legacy.bucketedTableScan.outputOrdering"
+      try {
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set(ordKey, "true")
+        val or = Tables.orders(spark, "/root/testdata/sf0.1")
+        val base = "/tmp/graft_probe_bucket"
+        time("bucketed write-once (both sides)") {
+          BucketedLayout.writeBucketed(li.select("l_orderkey", "l_extendedprice"),
+            "graft_probe_li", s"$base/li", Seq("l_orderkey"), 8, Seq("l_orderkey"))
+          BucketedLayout.writeBucketed(or.select("o_orderkey", "o_orderpriority"),
+            "graft_probe_or", s"$base/or", Seq("o_orderkey"), 8, Seq("o_orderkey"))
+        }
+        def joinAgg(l: org.apache.spark.sql.DataFrame, r: org.apache.spark.sql.DataFrame) =
+          l.join(r, col("l_orderkey") === col("o_orderkey"))
+            .groupBy("o_orderpriority").count()
+        time("bucketed join (recurring, no Exchange/Sort)")(noop(joinAgg(
+          BucketedLayout.readBucketed(spark, "graft_probe_li"),
+          BucketedLayout.readBucketed(spark, "graft_probe_or"))))
+        time("plain shuffle join (same files)")(noop(joinAgg(
+          spark.read.parquet(s"$base/li"), spark.read.parquet(s"$base/or"))))
+      } finally {
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBc)
+        spark.conf.unset(ordKey)
+        spark.sql("DROP TABLE IF EXISTS graft_probe_li")
+        spark.sql("DROP TABLE IF EXISTS graft_probe_or")
+      }
+    }
+
+    if (!sections("legacy")) { spark.stop(); return }
 
     time("agg decimal sums (q01 form)")(noop(
       li.groupBy("l_returnflag", "l_linestatus").agg(

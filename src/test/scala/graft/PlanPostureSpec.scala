@@ -57,6 +57,49 @@ class PlanPostureSpec extends SparkSuite {
     assert(plan.contains("partial_sum"), s"no map-side partial aggregation:\n$plan")
   }
 
+  test("hot keys: AQE splits the skewed join; saltedJoin spreads the key (q56 shape)") {
+    // 95% of the big side shares one key — the shape saltedJoin exists for.
+    // Thresholds are scaled down so a ~7 MB hot partition counts as skewed.
+    val confs = Seq(
+      "spark.sql.adaptive.enabled" -> "true",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2.0",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "65536",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "65536")
+    val prev = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    try {
+      confs.foreach { case (k, v) => spark.conf.set(k, v) }
+      val big = spark.range(0, 200000).select(
+        when(col("id") % 20 =!= 0, lit(0L)).otherwise(col("id")).as("k"),
+        concat(lit("payload_payload_payload_payload_"), col("id")).as("payload"))
+      val dim = spark.range(0, 200000, 20)
+        .select(col("id").as("k"), (col("id") * 2).as("v"))
+      // 1) the declarative plan self-heals: AQE's runtime re-plan detects
+      // the hot partition and splits it across multiple reducer tasks
+      val plain = big.join(dim, "k")
+      val n = plain.collect().length // collect() finalizes THIS plan's AQE
+      val plan = plain.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true") || plan.contains("skewed"),
+        s"AQE did not engage its skew-split on the hot key:\n$plan")
+      // 2) the explicit lever for when AQE can't see the skew: saltedJoin
+      // shuffles on (key, _salt), spreading the hot key across `salts`
+      // reducers by construction — the partitioning proves it
+      val salted = graft.operators.Relational.saltedJoin(big, dim, "k", salts = 8)
+      assert(salted.collect().length === n, "saltedJoin changed join semantics")
+      val saltPlan = salted.queryExecution.executedPlan.toString
+      assert(saltPlan.contains("hashpartitioning(k#") &&
+        saltPlan.contains("_salt#"),
+        s"salted shuffle key does not include the salt:\n$saltPlan")
+    } finally prev.foreach { case (k, vOpt) =>
+      vOpt match {
+        case Some(v) => spark.conf.set(k, v)
+        case None => spark.conf.unset(k)
+      }
+    }
+  }
+
   test("exact dedup plans one keyed shuffle, no global sort (q21 shape)") {
     val plan = executedPlan(graft.operators.Dedup.dedupKeepFirst(
       graft.meta.Tables.documents(spark, sf), Seq("text"), Seq("doc_id")))
