@@ -1020,6 +1020,50 @@ object SparkEntry {
             .as("sum_price"))
         .orderBy("l_returnflag")
     }),
+
+    // Benchmark decontamination (GPT-3 §C-style n-gram overlap): training
+    // docs sharing any word 5-gram with the held-out benchmark source
+    // (src0). Hashed-gram broadcast semi-join — the corpus side never
+    // shuffles text.
+    "q82_decontaminate" -> ((s, dir) => {
+      TextAnalysis.contaminationHits(Tables.documents(s, dir), "doc_id", "text",
+        col("source") === "src0", n = 5)
+        .orderBy("doc_id")
+    }),
+
+    // Gopher-style repetition quality: duplicate-word fraction + top-bigram
+    // share per doc, thresholded keep flag. Zero-shuffle projection (the
+    // top-gram count is a per-row fold over the sorted gram array).
+    "q83_repetition" -> ((s, dir) => {
+      TextAnalysis.repetitionStats(Tables.documents(s, dir), "doc_id", "text")
+        .orderBy("doc_id")
+    }),
+
+    // Mixture rebalancing: every language downsampled to the smallest one
+    // with data-derived hash keep rates; observe per-language kept counts.
+    "q84_mixture_resample" -> ((s, dir) => {
+      Stats.mixtureResample(Tables.documents(s, dir), col("lang"), col("text"))
+        .groupBy("lang")
+        .agg(max("keep_pct").as("keep_pct"), count(lit(1)).as("n_kept"),
+          min("doc_id").as("first_doc"))
+        .orderBy("lang")
+    }),
+
+    // Ordered conversion funnel (view -> click -> purchase, 24h deadlines):
+    // one row per entered user with stage timestamps + stages completed.
+    // All stages are windows over ONE user-keyed exchange, no joins.
+    "q85_funnel" -> ((s, dir) => {
+      Behavior.funnel(Tables.events(s, dir), "user_id", "ts", "event_type",
+        Seq("view", "click", "purchase"), windowSec = 86400)
+        .orderBy("user_id")
+    }),
+
+    // Cohort retention triangle: first-event week cohorts x day offsets,
+    // distinct active users per cell.
+    "q86_retention" -> ((s, dir) => {
+      Behavior.retention(Tables.events(s, dir), "user_id", "ts")
+        .orderBy("cohort_week", "day_offset")
+    }),
   )
 
   /** Marker vocabularies for the language-ID heuristic — drawn from the
@@ -1836,5 +1880,66 @@ object SparkEntry {
         |FROM lineitem
         |WHERE l_orderkey IN (SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT')
         |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    // Both engines hash grams with the same polynomial, so hash collisions
+    // (if any) are shared and the distinct-gram counts agree exactly.
+    "q82_decontaminate" ->
+      s"""WITH t AS (SELECT doc_id, source, string_split(text, ' ') AS tk FROM documents),
+         |g AS (SELECT doc_id, source, unnest(CASE WHEN len(tk) < 5 THEN CAST([] AS VARCHAR[])
+         |  ELSE list_transform(range(1, len(tk) - 3), i -> array_to_string(tk[i:i+4], ' ')) END) AS gram FROM t),
+         |h AS (SELECT doc_id, source, ${dhash("gram")} AS gh FROM g),
+         |bench AS (SELECT DISTINCT gh FROM h WHERE source = 'src0'),
+         |train AS (SELECT DISTINCT doc_id, gh FROM h WHERE source <> 'src0')
+         |SELECT doc_id, count(*) AS n_shared FROM train JOIN bench USING (gh)
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // Independent formulation: the oracle counts the top bigram via plain
+    // unnest + GROUP BY (no sorted-run fold), pinning the fold's semantics.
+    "q83_repetition" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+        |g AS (SELECT doc_id, unnest(CASE WHEN len(tk) < 2 THEN CAST([] AS VARCHAR[])
+        |  ELSE list_transform(range(1, len(tk)), i -> tk[i] || ' ' || tk[i+1]) END) AS gram FROM t),
+        |cnt AS (SELECT doc_id, gram, count(*) AS c FROM g GROUP BY 1, 2),
+        |top AS (SELECT doc_id, max(c) AS mc, sum(c) AS tot FROM cnt GROUP BY 1),
+        |s AS (SELECT t.doc_id, CAST(len(tk) AS BIGINT) AS n_tokens,
+        |  round(1.0 - len(list_distinct(tk)) * 1.0 / len(tk), 6) AS dup_word_frac,
+        |  round(coalesce(mc * 1.0 / tot, 0.0), 6) AS top_ngram_frac
+        |  FROM t LEFT JOIN top ON t.doc_id = top.doc_id)
+        |SELECT doc_id, n_tokens, dup_word_frac, top_ngram_frac,
+        |  (dup_word_frac <= 0.6 AND top_ngram_frac <= 0.08) AS keep
+        |FROM s ORDER BY doc_id""".stripMargin,
+
+    "q84_mixture_resample" ->
+      s"""WITH c AS (SELECT lang, count(*) AS cnt FROM documents GROUP BY lang),
+         |m AS (SELECT min(cnt) AS mn FROM c),
+         |r AS (SELECT lang, CAST(floor(100.0 * mn / cnt) AS INTEGER) AS keep_pct FROM c, m),
+         |k AS (SELECT d.lang, d.doc_id, r.keep_pct FROM documents d JOIN r USING (lang)
+         |  WHERE ${dhash("text")} % 100 < keep_pct)
+         |SELECT lang, max(keep_pct) AS keep_pct, count(*) AS n_kept, min(doc_id) AS first_doc
+         |FROM k GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "q85_funnel" ->
+      """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_type FROM events),
+        |s1 AS (SELECT user_id, min(CASE WHEN event_type = 'view' THEN ts END) AS t_view FROM e GROUP BY 1),
+        |s2 AS (SELECT e.user_id, min(e.ts) AS t_click FROM e JOIN s1 USING (user_id)
+        |  WHERE e.event_type = 'click' AND e.ts > s1.t_view
+        |    AND e.ts <= s1.t_view + INTERVAL 86400 SECOND GROUP BY 1),
+        |s3 AS (SELECT e.user_id, min(e.ts) AS t_purchase FROM e JOIN s2 USING (user_id)
+        |  WHERE e.event_type = 'purchase' AND e.ts > s2.t_click
+        |    AND e.ts <= s2.t_click + INTERVAL 86400 SECOND GROUP BY 1)
+        |SELECT s1.user_id, t_view, t_click, t_purchase,
+        |  CAST(1 + (CASE WHEN t_click IS NOT NULL THEN 1 ELSE 0 END)
+        |         + (CASE WHEN t_purchase IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS stage_reached
+        |FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)
+        |WHERE t_view IS NOT NULL ORDER BY user_id""".stripMargin,
+
+    "q86_retention" ->
+      """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
+        |f AS (SELECT user_id, min(ts) AS t0 FROM e GROUP BY 1)
+        |SELECT CAST(date_trunc('week', t0) AS DATE) AS cohort_week,
+        |  CAST(date_diff('day', CAST(t0 AS DATE), CAST(ts AS DATE)) AS INTEGER) AS day_offset,
+        |  count(DISTINCT e.user_id) AS n_active
+        |FROM e JOIN f USING (user_id)
+        |GROUP BY 1, 2 ORDER BY cohort_week, day_offset""".stripMargin,
   )
 }

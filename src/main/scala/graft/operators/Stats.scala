@@ -66,4 +66,29 @@ object Stats {
     }
     df.where(rolling_hash(key) % 100 < rate)
   }
+
+  /** Mixture rebalancing: deterministically downsample every stratum to the
+    * size of the SMALLEST one (keep rate = floor(100·min/count) percent), so
+    * the output is a near-uniform mix — the data-side fix for domain/language
+    * imbalance before training. Unlike [[stratifiedSampleByHash]] the rates
+    * are DERIVED from the data, so re-running after ingest keeps the mix
+    * balanced without retuning constants; row selection stays hash-
+    * deterministic, so retries and engine swaps keep the same rows.
+    *
+    * Scale shape: the fit is one map-side-combined count per stratum (a
+    * stratum-sized frame), re-aggregated to the min and broadcast back; the
+    * corpus side is one codegen'd scan + filter — never shuffled. Output
+    * keeps the input schema plus `keep_pct`.
+    */
+  def mixtureResample(df: DataFrame, strata: Column, key: Column): DataFrame = {
+    val counts = df.groupBy(strata.as("_stratum"))
+      .agg(count(lit(1)).as("_cnt"))
+    val minCnt = counts.agg(min(col("_cnt")).as("_min"))
+    val rates = counts.crossJoin(broadcast(minCnt))
+      .select(col("_stratum"),
+        floor(lit(100.0) * col("_min") / col("_cnt")).cast("int").as("keep_pct"))
+    df.join(broadcast(rates), strata === col("_stratum"))
+      .where(rolling_hash(key) % 100 < col("keep_pct"))
+      .drop("_stratum")
+  }
 }

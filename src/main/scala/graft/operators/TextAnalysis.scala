@@ -198,6 +198,76 @@ object TextAnalysis {
       .where(col("rank") <= k)
   }
 
+  /** Benchmark decontamination: flag training documents sharing any word
+    * n-gram with a benchmark/eval set — the GPT-3/Gopher "13-gram overlap"
+    * pass (scaled to `n` for short documents). `benchPred` selects the
+    * benchmark rows INSIDE the corpus frame, so one scan feeds both sides.
+    *
+    * Scale shape: both sides explode to hashed n-grams (the shuffle carries
+    * `(id, int64)`, never text — same discipline as
+    * [[Dedup.lshCandidatePairs]]); each side dedups BEFORE the join (the
+    * benchmark side to its distinct gram set, the train side per document);
+    * the benchmark set is broadcast — eval suites are MBs against a 100 TB
+    * corpus, so the corpus side never re-partitions at all. Output:
+    * `(id, n_shared)` — distinct contaminated n-grams per flagged document;
+    * clean documents don't appear (filter on `id NOT IN output` to scrub).
+    */
+  def contaminationHits(docs: DataFrame, idCol: String, textCol: String,
+                        benchPred: Column, n: Int): DataFrame = {
+    val grams = docs
+      .select(col(idCol), benchPred.as("_bench"), tokens(col(textCol)).as("_tk"))
+      .select(col(idCol), col("_bench"), explode(ngrams(col("_tk"), n)).as("_g"))
+      .select(col(idCol), col("_bench"), rolling_hash(col("_g")).as("_gh"))
+    val bench = grams.where(col("_bench")).select("_gh").distinct()
+    val train = grams.where(!col("_bench")).select(col(idCol), col("_gh")).distinct()
+    train.join(broadcast(bench), "_gh")
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_shared"))
+  }
+
+  /** Gopher-style repetition quality: per document, the duplicate-word
+    * fraction (1 - types/tokens) and the share of word n-grams taken by the
+    * single most frequent n-gram (Rae et al. 2021 §A1.1 repetition rules).
+    * `keep` applies both thresholds to the 6-dp-rounded fractions so the
+    * boundary is reproducible across engines.
+    *
+    * Scale shape: entirely narrow — the top-n-gram count is a per-row fold
+    * over the SORTED n-gram array (longest equal run), so the whole operator
+    * is one codegen'd projection: no explode, no groupBy, zero shuffles on a
+    * 100 TB corpus scan. Cost is O(k log k) per row in the array sort.
+    */
+  def repetitionStats(docs: DataFrame, idCol: String, textCol: String,
+                      n: Int = 2, maxDupWordFrac: Double = 0.6,
+                      maxTopNgramFrac: Double = 0.08): DataFrame = {
+    val tk = col("_tk")
+    val grams = col("_grams")
+    // Longest equal run in the sorted gram array = max occurrence count of
+    // any single n-gram — a fold keeping (prev, current run, best run).
+    val best = aggregate(
+      array_sort(grams),
+      struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("best")),
+      (acc, g) => {
+        val run = when(g === acc("prev"), acc("run") + 1).otherwise(lit(1L))
+        struct(g.as("prev"), run.as("run"), greatest(acc("best"), run).as("best"))
+      },
+      acc => acc("best"))
+    val dupFrac = round(
+      lit(1.0) - size(array_distinct(tk)).cast("double") / size(tk), 6)
+    val topFrac = round(
+      when(size(grams) > 0, best.cast("double") / size(grams)).otherwise(0.0), 6)
+    docs
+      .select(col(idCol), tokens(col(textCol)).as("_tk"))
+      .withColumn("_grams", ngrams(tk, n))
+      .select(
+        col(idCol),
+        size(tk).cast("long").as("n_tokens"),
+        dupFrac.as("dup_word_frac"),
+        topFrac.as("top_ngram_frac"))
+      .withColumn("keep",
+        col("dup_word_frac") <= maxDupWordFrac &&
+          col("top_ngram_frac") <= maxTopNgramFrac)
+  }
+
   /** PII scrub: mask email addresses then digit runs (3+) — the standard
     * pre-training redaction pass, as pure codegen'd regexp_replace. */
   def scrubPii(text: Column): Column =
