@@ -832,7 +832,7 @@ object SparkEntry {
     // Deterministic train/val/test split assignment (80/10/10 by content
     // hash): survives retries and engine swaps, unlike rand() splits.
     "q64_split_assign" -> ((s, dir) => {
-      val b = rolling_hash(col("text")) % 100
+      val b = Stats.hashBucket(col("text"), 100)
       val split = when(b < 80, "train").when(b < 90, "val").otherwise("test")
       Tables.documents(s, dir)
         .groupBy(col("lang"), split.as("split"))
@@ -1044,7 +1044,7 @@ object SparkEntry {
     "q84_mixture_resample" -> ((s, dir) => {
       Stats.mixtureResample(Tables.documents(s, dir), col("lang"), col("text"))
         .groupBy("lang")
-        .agg(max("keep_pct").as("keep_pct"), count(lit(1)).as("n_kept"),
+        .agg(max("keep_ppm").as("keep_ppm"), count(lit(1)).as("n_kept"),
           min("doc_id").as("first_doc"))
         .orderBy("lang")
     }),
@@ -1083,6 +1083,13 @@ object SparkEntry {
   private def dhash(s: String): String =
     s"list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(string_split($s, ''), " +
       s"c -> CAST(unicode(c) AS BIGINT))), (a, b) -> (a * 31 + b) % $Mod)"
+
+  /** DuckDB fragment: [[graft.operators.Stats.hashBucket]] — the universal-
+    * hash finisher over [[dhash]], then the bucket modulus. Constants must
+    * stay in lockstep with Stats.MixA/MixB. */
+  private def dbucket(s: String, m: Long): String =
+    s"(((${dhash(s)}) * ${graft.operators.Stats.MixA} + " +
+      s"${graft.operators.Stats.MixB}) % $Mod) % $m"
 
   /** DuckDB fragment: distinct hashed word-3-shingles of text expr `t`
     * (tokens list `tk` must be `string_split(t,' ')`). */
@@ -1574,7 +1581,7 @@ object SparkEntry {
     "q50_sample_hash" ->
       s"""SELECT lang, count(*) AS n_sampled,
          |round(avg(CAST(len(string_split(text, ' ')) AS DOUBLE)), 6) AS avg_tokens
-         |FROM documents WHERE ${dhash("text")} % 100 < 10
+         |FROM documents WHERE ${dbucket("text", 100)} < 10
          |GROUP BY lang ORDER BY lang""".stripMargin,
 
     "q51_explode_tokens" ->
@@ -1664,7 +1671,7 @@ object SparkEntry {
     "q62_stratified" ->
       s"""SELECT lang, count(*) AS n_sampled, min(doc_id) AS first_doc
          |FROM documents
-         |WHERE ${dhash("text")} % 100 < CASE WHEN lang = 'en' THEN 20 ELSE 5 END
+         |WHERE ${dbucket("text", 100)} < CASE WHEN lang = 'en' THEN 20 ELSE 5 END
          |GROUP BY lang ORDER BY lang""".stripMargin,
 
     "q63_seq_pack" ->
@@ -1675,7 +1682,7 @@ object SparkEntry {
         |FROM c GROUP BY pack_id ORDER BY pack_id""".stripMargin,
 
     "q64_split_assign" ->
-      s"""WITH h AS (SELECT lang, doc_id, ${dhash("text")} % 100 AS b FROM documents)
+      s"""WITH h AS (SELECT lang, doc_id, ${dbucket("text", 100)} AS b FROM documents)
          |SELECT lang,
          |CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val' ELSE 'test' END AS split,
          |count(*) AS n, min(doc_id) AS first_doc
@@ -1912,10 +1919,10 @@ object SparkEntry {
     "q84_mixture_resample" ->
       s"""WITH c AS (SELECT lang, count(*) AS cnt FROM documents GROUP BY lang),
          |m AS (SELECT min(cnt) AS mn FROM c),
-         |r AS (SELECT lang, CAST(floor(100.0 * mn / cnt) AS INTEGER) AS keep_pct FROM c, m),
-         |k AS (SELECT d.lang, d.doc_id, r.keep_pct FROM documents d JOIN r USING (lang)
-         |  WHERE ${dhash("text")} % 100 < keep_pct)
-         |SELECT lang, max(keep_pct) AS keep_pct, count(*) AS n_kept, min(doc_id) AS first_doc
+         |r AS (SELECT lang, CAST(least(ceil(1000000.0 * mn / cnt), 1000000) AS BIGINT) AS keep_ppm FROM c, m),
+         |k AS (SELECT d.lang, d.doc_id, r.keep_ppm FROM documents d JOIN r USING (lang)
+         |  WHERE ${dbucket("text", 1000000)} < keep_ppm)
+         |SELECT lang, max(keep_ppm) AS keep_ppm, count(*) AS n_kept, min(doc_id) AS first_doc
          |FROM k GROUP BY lang ORDER BY lang""".stripMargin,
 
     "q85_funnel" ->

@@ -29,10 +29,20 @@ object Behavior {
     * Strictly-after matters: a click logged at the exact view timestamp is
     * not caused by it; ties break conservatively (not counted), identically
     * in the SQL oracle.
+    *
+    * Invariants (KernelProperties pins both on random event streams):
+    * `stage_reached` counts completed stages, so per-stage user counts are
+    * monotone non-increasing down the funnel; and wherever `t_<stage i+1>`
+    * is non-null, `t_i < t_{i+1} <= t_i + windowSec` — anchors are strictly
+    * ordered and each within its per-step deadline.
     */
   def funnel(events: DataFrame, userCol: String, tsCol: String, typeCol: String,
              stages: Seq[String], windowSec: Long): DataFrame = {
     require(stages.size >= 2, s"funnel needs >= 2 stages, got $stages")
+    // A repeated stage name would silently overwrite its t_<stage> column
+    // and anchor later stages on the wrong timestamp.
+    require(stages.distinct.size == stages.size,
+      s"funnel stages must be distinct, got $stages")
     val w = Window.partitionBy(userCol)
     val stage0 = min(when(col(typeCol) === stages.head, col(tsCol))).over(w)
     // Each stage's anchor is the previous stage's bound column, so stage i+1

@@ -47,13 +47,32 @@ object Stats {
         round(stddev_pop(col(x)), 6).as("sd_x"),
         round(stddev_pop(col(y)), 6).as("sd_y"))
 
-  /** Deterministic hash sample: keep rows whose portable rolling hash of
-    * `key` falls in the lowest `pct` buckets of 100. Unlike `rand()`-based
+  /** Universal-hash mix constants for [[hashBucket]] — public so the DuckDB
+    * oracle SQL reproduces the exact bucket assignment. */
+  val MixA: Long = 73244475L
+  val MixB: Long = 987654321L
+
+  /** Portable uniform bucket in [0, buckets): a universal-hash finisher
+    * `(h·A + B) mod p` (p = the rolling hash's prime modulus) applied
+    * BEFORE the bucket modulus. The raw polynomial hash is NOT uniform
+    * under a small modulus on structured keys: keys sharing a long prefix
+    * (URLs, "doc 1"/"doc 2", …) land in narrow contiguous value bands, so
+    * `rh(k) % m` keeps all-or-none of each band — a 200:1-skew fixture
+    * starved an entire stratum that way. The affine map over the prime
+    * field is a bijection that scatters contiguous bands across the full
+    * range (Carter–Wegman universal hashing); the max intermediate
+    * `(p-1)·A + B` is ~2^56, comfortably inside 63-bit arithmetic on both
+    * engines. Pure codegen'd column arithmetic — no UDF, no shuffle. */
+  def hashBucket(key: Column, buckets: Int): Column =
+    ((rolling_hash(key) * MixA + MixB) % graft.functions.RollingHash.Mod) % buckets
+
+  /** Deterministic hash sample: keep rows whose [[hashBucket]] of `key`
+    * falls in the lowest `pct` buckets of 100. Unlike `rand()`-based
     * sampling this is reproducible across engines, runs, and retries — the
     * property a training-data pipeline needs so re-runs don't churn the
     * corpus. */
   def sampleByHash(df: DataFrame, key: Column, pct: Int): DataFrame =
-    df.where(rolling_hash(key) % 100 < pct)
+    df.where(hashBucket(key, 100) < pct)
 
   /** Stratified deterministic sampling: per-stratum keep rates (percent of
     * 100), default for unlisted strata. The data-mix lever of a training
@@ -64,21 +83,30 @@ object Stats {
     val rate = rates.toSeq.sortBy(_._1).foldLeft(lit(defaultPct)) {
       case (acc, (value, pct)) => when(strata === value, lit(pct)).otherwise(acc)
     }
-    df.where(rolling_hash(key) % 100 < rate)
+    df.where(hashBucket(key, 100) < rate)
   }
 
   /** Mixture rebalancing: deterministically downsample every stratum to the
-    * size of the SMALLEST one (keep rate = floor(100·min/count) percent), so
-    * the output is a near-uniform mix — the data-side fix for domain/language
-    * imbalance before training. Unlike [[stratifiedSampleByHash]] the rates
-    * are DERIVED from the data, so re-running after ingest keeps the mix
-    * balanced without retuning constants; row selection stays hash-
-    * deterministic, so retries and engine swaps keep the same rows.
+    * size of the SMALLEST one (keep rate = ceil(1e6·min/count) parts per
+    * million), so the output is a near-uniform mix — the data-side fix for
+    * domain/language imbalance before training. Unlike
+    * [[stratifiedSampleByHash]] the rates are DERIVED from the data, so
+    * re-running after ingest keeps the mix balanced without retuning
+    * constants; row selection stays hash-deterministic, so retries and
+    * engine swaps keep the same rows.
+    *
+    * Rate resolution matters on real web-corpus skew: an integer PERCENT
+    * (floor(100·min/cnt)) hits 0 for any stratum more than 100× the smallest
+    * and silently deletes it — and >100× is routine for en vs a low-resource
+    * language. Per-million rates push that cliff to 1e6×, and the CEIL keeps
+    * the expected kept count of every stratum ≥ min (never 0): a stratum
+    * keeps ceil(1e6·min/cnt)/1e6 · cnt ≥ min expected rows, capped at 100%
+    * for the smallest stratum itself.
     *
     * Scale shape: the fit is one map-side-combined count per stratum (a
     * stratum-sized frame), re-aggregated to the min and broadcast back; the
     * corpus side is one codegen'd scan + filter — never shuffled. Output
-    * keeps the input schema plus `keep_pct`.
+    * keeps the input schema plus `keep_ppm`.
     */
   def mixtureResample(df: DataFrame, strata: Column, key: Column): DataFrame = {
     val counts = df.groupBy(strata.as("_stratum"))
@@ -86,9 +114,10 @@ object Stats {
     val minCnt = counts.agg(min(col("_cnt")).as("_min"))
     val rates = counts.crossJoin(broadcast(minCnt))
       .select(col("_stratum"),
-        floor(lit(100.0) * col("_min") / col("_cnt")).cast("int").as("keep_pct"))
+        least(ceil(lit(1000000.0) * col("_min") / col("_cnt")), lit(1000000L))
+          .cast("long").as("keep_ppm"))
     df.join(broadcast(rates), strata === col("_stratum"))
-      .where(rolling_hash(key) % 100 < col("keep_pct"))
+      .where(hashBucket(key, 1000000) < col("keep_ppm"))
       .drop("_stratum")
   }
 }

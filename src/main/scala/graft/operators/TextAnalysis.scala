@@ -201,27 +201,41 @@ object TextAnalysis {
   /** Benchmark decontamination: flag training documents sharing any word
     * n-gram with a benchmark/eval set — the GPT-3/Gopher "13-gram overlap"
     * pass (scaled to `n` for short documents). `benchPred` selects the
-    * benchmark rows INSIDE the corpus frame, so one scan feeds both sides.
+    * benchmark rows INSIDE the corpus frame; the bench and train sides have
+    * disjoint filters over the same gram subtree, so the corpus is scanned
+    * and n-gram-exploded once per side (no exchange reuse applies) — at
+    * scale the bench scan prunes to the benchmark rows if `benchPred`
+    * reaches the source as a partition/pushdown filter.
     *
     * Scale shape: both sides explode to hashed n-grams (the shuffle carries
     * `(id, int64)`, never text — same discipline as
     * [[Dedup.lshCandidatePairs]]); each side dedups BEFORE the join (the
-    * benchmark side to its distinct gram set, the train side per document);
-    * the benchmark set is broadcast — eval suites are MBs against a 100 TB
-    * corpus, so the corpus side never re-partitions at all. Output:
-    * `(id, n_shared)` — distinct contaminated n-grams per flagged document;
-    * clean documents don't appear (filter on `id NOT IN output` to scrub).
+    * benchmark side to its distinct gram set, the train side per document).
+    * Eval suites are MBs against a 100 TB corpus, so the normal plan
+    * broadcasts the benchmark gram set and the corpus side never
+    * re-partitions at all — but broadcast is driver-routed, so it is
+    * GUARDED: one count of the distinct bench grams decides, and above
+    * `broadcastMaxGrams` (default 10M hashes ≈ 80 MB of longs, the same
+    * bits-per-key budget [[graft.functions.BloomFilterAgg]] documents) the
+    * join degrades to a plain shuffle semi-join on `_gh` instead of OOMing
+    * the driver — the path a mis-aimed `benchPred` selecting half the
+    * corpus would otherwise take. Output: `(id, n_shared)` — distinct
+    * contaminated n-grams per flagged document; clean documents don't
+    * appear (filter on `id NOT IN output` to scrub).
     */
   def contaminationHits(docs: DataFrame, idCol: String, textCol: String,
-                        benchPred: Column, n: Int): DataFrame = {
+                        benchPred: Column, n: Int,
+                        broadcastMaxGrams: Long = 10000000L): DataFrame = {
     val grams = docs
       .select(col(idCol), benchPred.as("_bench"), tokens(col(textCol)).as("_tk"))
       .select(col(idCol), col("_bench"), explode(ngrams(col("_tk"), n)).as("_g"))
       .select(col(idCol), col("_bench"), rolling_hash(col("_g")).as("_gh"))
     val bench = grams.where(col("_bench")).select("_gh").distinct()
     val train = grams.where(!col("_bench")).select(col(idCol), col("_gh")).distinct()
-    train.join(broadcast(bench), "_gh")
-      .groupBy(idCol)
+    val joined =
+      if (bench.count() <= broadcastMaxGrams) train.join(broadcast(bench), "_gh")
+      else train.join(bench, "_gh")
+    joined.groupBy(idCol)
       .agg(count(lit(1)).as("n_shared"))
   }
 

@@ -125,3 +125,65 @@ object KernelProperties extends Properties("graft.kernels") {
   }
 
 }
+
+/** Funnel invariants on RANDOM event streams (Behavior.scala contract):
+  * the non-null stage anchors of every output row form a PREFIX, strictly
+  * ordered with each step inside its deadline; `stage_reached` counts that
+  * prefix; per-stage user counts are monotone non-increasing down the
+  * funnel; and exactly the users with a stage-1 event enter. Separate
+  * object: each case runs a full (local) Spark job, so this one trades
+  * case count for the kernel properties' 100-case default.
+  */
+object FunnelProperties extends Properties("graft.funnel") {
+  import Prop.forAll
+
+  override def overrideParameters(p: org.scalacheck.Test.Parameters): org.scalacheck.Test.Parameters =
+    p.withMinSuccessfulTests(12)
+
+  private val stages = List("view", "click", "purchase")
+  private val WindowSec = 600L
+
+  // Few users x many colliding timestamps: ties, out-of-order stages, and
+  // missed deadlines all occur with high probability per stream.
+  private val event: Gen[(Long, Long, String)] = for {
+    u <- Gen.choose(1L, 6L)
+    t <- Gen.choose(0L, 3000L)
+    e <- Gen.oneOf("view", "click", "purchase", "noise")
+  } yield (u, t, e)
+
+  property("funnel.prefixOrderedWithinDeadline") =
+    forAll(Gen.nonEmptyListOf(event)) { evs =>
+      val spark = TestSpark.spark
+      import org.apache.spark.sql.functions._
+      import spark.implicits._
+      val df = evs.toDF("user_id", "sec", "event_type")
+        .select(col("user_id"), timestamp_seconds(col("sec")).as("ts"),
+          col("event_type"))
+      val rows = graft.operators.Behavior
+        .funnel(df, "user_id", "ts", "event_type", stages, WindowSec)
+        .collect()
+      val anchors = rows.map { r =>
+        (r.getLong(0),
+          stages.map(s => Option(r.getAs[java.sql.Timestamp](s"t_$s"))
+            .map(_.getTime / 1000L)),
+          r.getAs[Long]("stage_reached"))
+      }
+      val entered = evs.filter(_._3 == stages.head).map(_._1).toSet
+      val usersOk = anchors.map(_._1).toSet == entered
+      val perRow = anchors.forall { case (_, ts, reached) =>
+        val n = ts.takeWhile(_.isDefined).size
+        val prefix = ts.drop(n).forall(_.isEmpty)
+        val ordered = ts.sliding(2).forall {
+          case List(Some(a), Some(b)) => a < b && b <= a + WindowSec
+          case _ => true
+        }
+        prefix && reached == n.toLong && ordered
+      }
+      val counts = stages.indices.map(i => anchors.count(_._2(i).isDefined))
+      val monotone = counts.sliding(2).forall {
+        case Seq(a, b) => a >= b
+        case _ => true
+      }
+      usersOk && perRow && monotone
+    }
+}

@@ -100,6 +100,33 @@ class PlanPostureSpec extends SparkSuite {
     }
   }
 
+  private def shuffleCount(plan: String): Int =
+    // adaptive plans print Final + Initial sections — count the final only
+    "Exchange hashpartitioning".r
+      .findAllIn(plan.split("== Initial Plan ==").head).size
+
+  test("funnel plans ONE user exchange for all stage windows + the collapse agg (q85 shape)") {
+    // The Behavior.scala claim: every stage is a Window over the SAME user
+    // partitioning and the collapse groupBy reuses it, so a 3-stage funnel
+    // shuffles exactly once no matter how many stages it has.
+    val plan = executedPlan(graft.operators.Behavior.funnel(
+      graft.meta.Tables.events(spark, sf), "user_id", "ts", "event_type",
+      Seq("view", "click", "purchase"), windowSec = 86400))
+    assert(shuffleCount(plan) === 1,
+      s"funnel should shuffle exactly once on the user key:\n$plan")
+  }
+
+  test("retention partial-aggregates the countDistinct on both exchanges (q86 shape)") {
+    val plan = executedPlan(graft.operators.Behavior.retention(
+      graft.meta.Tables.events(spark, sf), "user_id", "ts"))
+    // one user-window exchange + one final (cohort, offset) exchange; the
+    // distinct's dedup stage rides the user partitioning (subset clustering)
+    assert(shuffleCount(plan) === 2,
+      s"retention should shuffle twice (user window, final cell agg):\n$plan")
+    assert(plan.contains("partial_count"),
+      s"countDistinct lost its map-side partial aggregation:\n$plan")
+  }
+
   test("exact dedup plans one keyed shuffle, no global sort (q21 shape)") {
     val plan = executedPlan(graft.operators.Dedup.dedupKeepFirst(
       graft.meta.Tables.documents(spark, sf), Seq("text"), Seq("doc_id")))

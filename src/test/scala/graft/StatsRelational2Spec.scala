@@ -169,6 +169,24 @@ class StatsRelational2Spec extends SparkSuite {
     assert(small.subsetOf(big))
   }
 
+  test("mixtureResample: a 200:1 stratum keeps ~min rows, never starves") {
+    // 200:1 ratio — the shape that starved under integer-percent rates
+    // (floor(100*10/2000) = 0 dropped the big stratum ENTIRELY).
+    val df = ((1 to 2000).map(i => (s"big corpus document $i", "en")) ++
+      (1 to 10).map(i => (s"tiny corpus document $i", "xx"))).toDF("t", "lang")
+    val out = Stats.mixtureResample(df, col("lang"), col("t"))
+    val kept = out.groupBy("lang").count().as[(String, Long)].collect().toMap
+    // ceil(1e6*10/2000) = 5000 ppm -> expected 10 of 2000; hash-deterministic,
+    // so the exact count is stable — assert it's alive and near the target.
+    assert(kept.getOrElse("en", 0L) > 0, "big stratum starved to zero")
+    assert(kept("en") <= 40, s"big stratum barely downsampled: ${kept("en")}")
+    assert(kept("xx") === 10L) // smallest stratum keeps 100% (ppm capped at 1e6)
+    val ppm = out.where(col("lang") === "xx").select("keep_ppm")
+      .as[Long].head()
+    assert(ppm === 1000000L)
+    assert(out.count() === Stats.mixtureResample(df, col("lang"), col("t")).count())
+  }
+
   test("winsorize clamps into the percentile band; interior values untouched") {
     val df = ((1 to 99).map(_.toDouble) :+ 1000.0).toDF("x").withColumn("g", lit("a"))
     val out = graft.operators.Encode.winsorize(df, "x", Seq("g"), 0.05, 0.95)

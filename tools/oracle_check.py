@@ -10,6 +10,7 @@ values after sorting columns by name and rows by all columns.
 
 Dev tool only — not part of the graft library (driver-side python env).
 """
+import datetime
 import json
 import sys
 from pathlib import Path
@@ -25,6 +26,12 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
     for c in df.columns:
         if str(df[c].dtype).startswith("datetime64"):
             df[c] = df[c].astype("datetime64[us]")
+        elif df[c].dtype == object:
+            # Spark DATE reads back as object(datetime.date); DuckDB DATE as
+            # datetime64 — normalize both so dates compare by value
+            vals = df[c].dropna()
+            if len(vals) and isinstance(vals.iloc[0], datetime.date):
+                df[c] = pd.to_datetime(df[c]).astype("datetime64[us]")
     if len(df):
         df = df.sort_values(by=list(df.columns), ignore_index=True)
     return df.reset_index(drop=True)
