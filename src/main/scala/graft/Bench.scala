@@ -84,14 +84,20 @@ object Bench {
     val total = results.map(_._2).filter(_ >= 0).sum
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
-    println(line)
-    // Also land the line in a file: the driver's stdout-tail capture
+    // Land the line in a file first: the driver's stdout-tail capture
     // truncated round 6's record (BENCH_r06 parsed: null, q01-q16 lost) —
     // a file read never depends on how much tail survived.
     val sfName = new java.io.File(sfDir).getName
     java.nio.file.Files.write(
       java.nio.file.Paths.get(s"/tmp/graft_bench_$sfName.json"),
       (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    // Stop Spark BEFORE printing: shutdown logging must not interleave after
+    // the canonical line. The sentinel marks it; the JSON is the last line
+    // this main emits (rounds 6-7 drivers parsed `null` from a truncated /
+    // interleaved tail).
     spark.stop()
+    println("GRAFT_BENCH_JSON")
+    println(line)
+    System.out.flush()
   }
 }

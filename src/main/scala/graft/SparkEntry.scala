@@ -1064,6 +1064,14 @@ object SparkEntry {
       Behavior.retention(Tables.events(s, dir), "user_id", "ts")
         .orderBy("cohort_week", "day_offset")
     }),
+
+    // Full Gopher quality rule set (Rae et al. 2021 A1.1): one column per
+    // rule plus the conjunction keep — zero-shuffle codegen'd projection,
+    // q83's twin for the non-repetition rules.
+    "q87_gopher_quality" -> ((s, dir) => {
+      TextAnalysis.gopherQualityFlags(Tables.documents(s, dir), "doc_id", "text")
+        .orderBy("doc_id")
+    }),
   )
 
   /** Marker vocabularies for the language-ID heuristic — drawn from the
@@ -1948,5 +1956,25 @@ object SparkEntry {
         |  count(DISTINCT e.user_id) AS n_active
         |FROM e JOIN f USING (user_id)
         |GROUP BY 1, 2 ORDER BY cohort_week, day_offset""".stripMargin,
+
+    "q87_gopher_quality" ->
+      s"""WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS tk,
+        |  string_split(text, chr(10)) AS ln FROM documents),
+        |s AS (SELECT doc_id,
+        |  CAST(len(tk) AS BIGINT) AS n_words,
+        |  round(list_aggregate(list_transform(tk, x -> len(x)), 'sum') * 1.0 / len(tk), 6) AS mean_word_len,
+        |  round(len(list_filter(tk, x -> regexp_matches(x, '[A-Za-z]'))) * 1.0 / len(tk), 6) AS alpha_word_frac,
+        |  round((len(string_split(text, '#')) - 1 + len(string_split(text, '...')) - 1) * 1.0 / len(tk), 6) AS symbol_word_ratio,
+        |  round(len(list_filter(ln, x -> starts_with(x, '- ') OR starts_with(x, '* '))) * 1.0 / len(ln), 6) AS bullet_line_frac,
+        |  round(len(list_filter(ln, x -> ends_with(x, '...'))) * 1.0 / len(ln), 6) AS ellipsis_line_frac,
+        |  CAST(len(list_filter(tk, x -> x IN (${TextAnalysis.GopherStopwords.map(w => s"'$w'").mkString(",")}))) AS BIGINT) AS n_stopwords
+        |  FROM t)
+        |SELECT doc_id, n_words, mean_word_len, alpha_word_frac, symbol_word_ratio,
+        |  bullet_line_frac, ellipsis_line_frac, n_stopwords,
+        |  (n_words >= 50 AND n_words <= 100000 AND mean_word_len >= 3.0
+        |   AND mean_word_len <= 10.0 AND symbol_word_ratio <= 0.1
+        |   AND bullet_line_frac <= 0.9 AND ellipsis_line_frac <= 0.3
+        |   AND alpha_word_frac >= 0.8 AND n_stopwords >= 2) AS keep
+        |FROM s ORDER BY doc_id""".stripMargin,
   )
 }

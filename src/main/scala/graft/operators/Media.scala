@@ -42,23 +42,26 @@ object Media {
   /** Frame-sampling for opaque VIDEO/animation binary columns — the video
     * analogue of the image ETL (the reference decodes real image bytes,
     * process_test_train_Images.py:45; this generalizes that to multi-frame
-    * containers). Decode is REAL: any multi-frame container the JDK's
-    * ImageIO stack reads — animated GIF, multi-page TIFF — is opened with
-    * the `ImageReader` sequence API, the frame count comes from the
-    * container index, a uniform-stride grid over [0, total) picks
-    * `nFrames` indices (frame 0 always included), and each sampled frame
-    * is emitted as PNG bytes, so every downstream image kernel
-    * ([[decodeResizeTensor]], [[augmentFull]], the tensor batch sink)
-    * consumes them unchanged. GIF delta frames are composited cumulatively
-    * at their (left, top) offsets onto the logical screen, so a sampled
-    * frame is the full rendered picture, not a partial patch.
+    * containers). Decode is REAL for three container families: any
+    * multi-frame container the JDK's ImageIO stack reads — animated GIF,
+    * multi-page TIFF — via the `ImageReader` sequence API, plus MJPEG
+    * (concatenated JPEGs, the standard IP-camera/AVI-MJPG payload) via a
+    * pure-JVM SOI/EOI segment walk ([[mjpegSlices]]). The frame count
+    * comes from the container index, a uniform-stride grid over
+    * [0, total) picks `nFrames` indices (frame 0 always included), and
+    * each sampled frame is emitted as PNG bytes, so every downstream
+    * image kernel ([[decodeResizeTensor]], [[augmentFull]], the tensor
+    * batch sink) consumes them unchanged. GIF delta frames are composited
+    * cumulatively at their (left, top) offsets onto the logical screen,
+    * so a sampled frame is the full rendered picture, not a partial
+    * patch.
     *
     * Scale posture: per-row executor-side work with no driver involvement;
     * one output row per video, so downstream explode/batching controls
     * fan-out explicitly. Undecodable payloads (null, truncated, or a
-    * codec ImageIO lacks — e.g. real MP4/H.264, which needs a libav-backed
-    * kernel dropped into [[decodeFrames]]) are skipped, mirroring the
-    * reference's per-record try/except (:57-58). */
+    * codec none of the branches read — true MP4/H.264, which needs a
+    * libav-backed kernel dropped into [[decodeFrames]]) are skipped,
+    * mirroring the reference's per-record try/except (:57-58). */
   def sampleFrames(videos: DataFrame, pathCol: String, bytesCol: String,
                    nFrames: Int): Dataset[VideoFrames] = {
     require(nFrames > 0, s"nFrames must be positive, got $nFrames")
@@ -82,6 +85,10 @@ object Media {
   private[graft] def decodeFrames(bytes: Array[Byte],
                                   nFrames: Int): Option[(Int, Array[Int], Array[Array[Byte]])] = {
     if (bytes == null || bytes.isEmpty) return None
+    // MJPEG first: >= 2 complete JPEG frames back-to-back. A single JPEG
+    // falls through to the generic ImageIO branch (total = 1).
+    val jpegSlices = if ((bytes(0) & 0xFF) == 0xFF) mjpegSlices(bytes) else Array.empty[(Int, Int)]
+    if (jpegSlices.length >= 2) return decodeMjpeg(bytes, jpegSlices, nFrames)
     val iis = ImageIO.createImageInputStream(new ByteArrayInputStream(bytes))
     try {
       val readers = ImageIO.getImageReaders(iis)
@@ -131,6 +138,87 @@ object Media {
       case _: Exception => None
     } finally iis.close()
   }
+
+  /** Frame boundaries of an MJPEG stream (concatenated JPEGs): a pure-JVM
+    * JPEG SEGMENT WALK, not a naive FFD8/FFD9 byte grep. Naive marker
+    * search double-counts — APP segments routinely embed whole thumbnail
+    * JPEGs (their own SOI/EOI), and entropy-coded data may contain FFD9
+    * only behind byte stuffing. The walk skips length-prefixed segments
+    * wholesale (so embedded thumbnails never surface), and inside a scan
+    * honors stuffed `FF 00` and restart markers `FF D0-D7`, stopping at
+    * the next true marker (progressive JPEGs chain multiple SOS scans).
+    * Returns [start, end) byte ranges of each complete frame; a truncated
+    * trailing frame is dropped (bad-record discipline, reference :57-58).
+    */
+  private[graft] def mjpegSlices(b: Array[Byte]): Array[(Int, Int)] = {
+    val out = Array.newBuilder[(Int, Int)]
+    val n = b.length
+    def u(i: Int): Int = b(i) & 0xFF
+    var i = 0
+    while (i + 3 < n) {
+      if (u(i) == 0xFF && u(i + 1) == 0xD8) {
+        val start = i
+        var j = i + 2
+        var end = -1
+        var corrupt = false
+        while (end < 0 && !corrupt && j + 1 < n) {
+          if (u(j) != 0xFF) corrupt = true
+          else u(j + 1) match {
+            case 0xD9 => end = j + 2                        // EOI: frame done
+            case 0xFF => j += 1                             // fill byte
+            case m if m == 0x01 || (m >= 0xD0 && m <= 0xD8) =>
+              j += 2                                        // standalone marker
+            case 0xDA =>                                    // SOS: header, then entropy scan
+              if (j + 3 >= n) corrupt = true
+              else {
+                j += 2 + ((u(j + 2) << 8) | u(j + 3))
+                var scanning = true
+                while (scanning && j + 1 < n) {
+                  if (u(j) == 0xFF && u(j + 1) != 0x00 &&
+                    !(u(j + 1) >= 0xD0 && u(j + 1) <= 0xD7)) scanning = false
+                  else j += 1
+                }
+                if (j + 1 >= n) corrupt = true              // ran off the end mid-scan
+              }
+            case _ =>                                       // length-prefixed segment
+              if (j + 3 >= n) corrupt = true
+              else j += 2 + ((u(j + 2) << 8) | u(j + 3))
+          }
+        }
+        if (end > 0) { out += ((start, end)); i = end }
+        else if (corrupt) i = start + 2                      // resync on next SOI
+        else i = n                                           // truncated tail frame
+      } else i += 1
+    }
+    out.result()
+  }
+
+  /** MJPEG branch of [[decodeFrames]]: decode only the SAMPLED slices
+    * (every JPEG frame is independent — no compositing pass), re-encode as
+    * PNG for downstream-kernel parity with the GIF/TIFF branch. */
+  private def decodeMjpeg(bytes: Array[Byte], slices: Array[(Int, Int)],
+                          nFrames: Int): Option[(Int, Array[Int], Array[Array[Byte]])] =
+    try {
+      val total = slices.length
+      val take = math.min(nFrames, total)
+      val idx = Array.tabulate(take)(i => (i.toLong * total / take).toInt)
+      val out = new Array[Array[Byte]](take)
+      var k = 0
+      while (k < take) {
+        val (s, e) = slices(idx(k))
+        val img = ImageIO.read(new ByteArrayInputStream(bytes, s, e - s))
+        if (img == null) return None
+        val rgb = new BufferedImage(img.getWidth, img.getHeight,
+          BufferedImage.TYPE_INT_RGB)
+        val g = rgb.createGraphics()
+        try g.drawImage(img, 0, 0, null) finally g.dispose()
+        val png = new ByteArrayOutputStream()
+        ImageIO.write(rgb, "png", png)
+        out(k) = png.toByteArray
+        k += 1
+      }
+      Some((total, idx, out))
+    } catch { case _: Exception => None }
 
   /** (left, top) placement of frame `i` on the logical screen — GIF image
     * descriptor offsets when present, (0, 0) for full-frame containers. */

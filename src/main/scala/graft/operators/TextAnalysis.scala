@@ -282,6 +282,74 @@ object TextAnalysis {
           col("top_ngram_frac") <= maxTopNgramFrac)
   }
 
+  /** Gopher stopwords for the "contains >= 2 stopwords" rule (Rae et al.
+    * 2021 §A1.1) — public so the oracle SQL mirrors the list. */
+  val GopherStopwords: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  /** Full Gopher quality rule set (Rae et al. 2021 §A1.1), one flag per
+    * rule plus the conjunction `keep` — the complete heuristic filter a
+    * pre-training pipeline runs ahead of classifier-based quality scoring
+    * (complements [[repetitionStats]], which carries the §A1.1 repetition
+    * rules; [[qualityScore]] stays as the cheap composite score).
+    *
+    * Rules, with the paper's bounds:
+    *  - word count in [minWords, maxWords] (50..100k)
+    *  - mean word length in [3, 10] characters
+    *  - symbol-to-word ratio (# and non-overlapping ...) <= 0.1
+    *  - lines starting with a bullet ("- ", "* ") <= 90%
+    *  - lines ending with an ellipsis <= 30%
+    *  - words with >= 1 alphabetic character >= 80%
+    *  - contains >= 2 of the [[GopherStopwords]]
+    *
+    * Scale shape: like [[repetitionStats]], entirely narrow — every rule
+    * is column arithmetic over the bound token/line arrays, one codegen'd
+    * projection, zero shuffles on a corpus scan. Fractions are rounded to
+    * 6 dp BEFORE thresholding so the keep boundary is engine-reproducible.
+    */
+  def gopherQualityFlags(docs: DataFrame, idCol: String, textCol: String,
+                         minWords: Long = 50, maxWords: Long = 100000): DataFrame = {
+    val tk = col("_tk")
+    val lines = col("_lines")
+    val nW = size(tk).cast("double")
+    val meanLen = round(
+      aggregate(tk, lit(0L), (acc, t) => acc + length(t)).cast("double") / nW, 6)
+    val alphaFrac = round(
+      size(filter(tk, t => t.rlike("[A-Za-z]"))).cast("double") / nW, 6)
+    // non-overlapping occurrence counts via split, identical in DuckDB
+    val nSymbols = (size(split(col(textCol), "#", -1)) - 1) +
+      (size(split(col(textCol), "\\.\\.\\.", -1)) - 1)
+    val symbolRatio = round(nSymbols.cast("double") / nW, 6)
+    val nL = size(lines).cast("double")
+    val bulletFrac = round(
+      size(filter(lines, l => l.startsWith("- ") || l.startsWith("* ")))
+        .cast("double") / nL, 6)
+    val ellipsisFrac = round(
+      size(filter(lines, l => l.endsWith("..."))).cast("double") / nL, 6)
+    val nStop = GopherStopwords
+      .map(w => size(filter(tk, t => t === w)).cast("long")).reduce(_ + _)
+    docs
+      .select(col(idCol), col(textCol), tokens(col(textCol)).as("_tk"),
+        split(col(textCol), "\n", -1).as("_lines"))
+      .select(
+        col(idCol),
+        size(tk).cast("long").as("n_words"),
+        meanLen.as("mean_word_len"),
+        alphaFrac.as("alpha_word_frac"),
+        symbolRatio.as("symbol_word_ratio"),
+        bulletFrac.as("bullet_line_frac"),
+        ellipsisFrac.as("ellipsis_line_frac"),
+        nStop.as("n_stopwords"))
+      .withColumn("keep",
+        col("n_words") >= minWords && col("n_words") <= maxWords &&
+          col("mean_word_len") >= 3.0 && col("mean_word_len") <= 10.0 &&
+          col("symbol_word_ratio") <= 0.1 &&
+          col("bullet_line_frac") <= 0.9 &&
+          col("ellipsis_line_frac") <= 0.3 &&
+          col("alpha_word_frac") >= 0.8 &&
+          col("n_stopwords") >= 2L)
+  }
+
   /** PII scrub: mask email addresses then digit runs (3+) — the standard
     * pre-training redaction pass, as pure codegen'd regexp_replace. */
   def scrubPii(text: Column): Column =

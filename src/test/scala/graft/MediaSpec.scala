@@ -230,6 +230,60 @@ class MediaSpec extends SparkSuite {
     assert(all("anim.gif").frame_indices === (0 until 6).toArray)
   }
 
+  /** In-test JPEG: one solid-color frame, JDK encoder. */
+  private def jpegBytes(c: java.awt.Color, w: Int, h: Int): Array[Byte] = {
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+    val g = img.createGraphics()
+    try { g.setColor(c); g.fillRect(0, 0, w, h) } finally g.dispose()
+    val baos = new ByteArrayOutputStream()
+    ImageIO.write(img, "jpg", baos)
+    baos.toByteArray
+  }
+
+  test("sampleFrames: MJPEG (concatenated JPEGs) decode, stride grid, tensor round-trip") {
+    import spark.implicits._
+    import java.awt.Color
+    val colors = Seq(Color.RED, Color.GREEN, Color.BLUE, Color.YELLOW, Color.CYAN)
+    val frames = colors.map(jpegBytes(_, 64, 48))
+    val mjpeg = frames.reduce(_ ++ _)
+    // segment walk finds every frame boundary, in order, covering the stream
+    val slices = Media.mjpegSlices(mjpeg)
+    assert(slices.length === 5)
+    assert(slices.head._1 === 0 && slices.last._2 === mjpeg.length)
+    // a single JPEG is NOT treated as a video by the walk's caller contract
+    assert(Media.mjpegSlices(frames.head).length === 1)
+    // a truncated tail frame is dropped, completed frames survive
+    assert(Media.mjpegSlices(mjpeg.dropRight(10)).length === 4)
+
+    val vids = Seq(("cam.mjpeg", mjpeg)).toDF("path", "content")
+    val v = Media.sampleFrames(vids, "path", "content", 3).collect().head
+    assert(v.total_frames === 5)
+    assert(v.frame_indices === Array(0, 1, 3)) // uniform stride, first kept
+    assert(v.frames.length === 3)
+    // each sampled frame is a REAL decoded image with the source frame's
+    // dominant color (JPEG is lossy — check channel dominance, not equality)
+    v.frame_indices.zip(v.frames).foreach { case (fi, bytes) =>
+      val img = ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      assert(img != null && img.getWidth === 64 && img.getHeight === 48)
+      val rgb = img.getRGB(32, 24)
+      val (r, g, b) = ((rgb >> 16) & 0xff, (rgb >> 8) & 0xff, rgb & 0xff)
+      val want = colors(fi)
+      assert(math.abs(r - want.getRed) < 40 && math.abs(g - want.getGreen) < 40 &&
+        math.abs(b - want.getBlue) < 40, s"frame $fi color off: ($r,$g,$b) vs $want")
+    }
+    // sampled frames feed the image kernels unchanged: 224x224 CHW tensor
+    val Some((shape, data)) = Media.decodeResizeTensor(v.frames(2), 224)
+    assert(shape === Array(3, 224, 224))
+    val center = 112 * 224 + 112 // frames(2) = container frame 3 = YELLOW
+    assert(data(center) > 0.8f)                     // R plane
+    assert(data(224 * 224 + center) > 0.8f)         // G plane
+    assert(data(2 * 224 * 224 + center) < 0.2f)     // B plane
+    // a single JPEG still routes through the generic ImageIO branch
+    val one = Seq(("still.jpg", frames.head)).toDF("path", "content")
+    assert(Media.sampleFrames(one, "path", "content", 3)
+      .collect().head.total_frames === 1)
+  }
+
   test("deleteConsumed removes ingested archives (K5)") {
     val dir = Files.createTempDirectory("graft_gc").toString
     val f = new java.io.File(s"$dir/done.zip")

@@ -127,6 +127,18 @@ class PlanPostureSpec extends SparkSuite {
       s"countDistinct lost its map-side partial aggregation:\n$plan")
   }
 
+  test("repetitionStats and gopherQualityFlags are zero-shuffle projections (q83/q87 shape)") {
+    // Both operators claim "one codegen'd projection over the corpus scan" —
+    // the property that makes them free riders on a 100 TB pass.
+    val docs = graft.meta.Tables.documents(spark, sf)
+    val rep = executedPlan(graft.operators.TextAnalysis.repetitionStats(
+      docs, "doc_id", "text"))
+    assert(shuffleCount(rep) === 0, s"repetitionStats shuffled:\n$rep")
+    val gopher = executedPlan(graft.operators.TextAnalysis.gopherQualityFlags(
+      docs, "doc_id", "text"))
+    assert(shuffleCount(gopher) === 0, s"gopherQualityFlags shuffled:\n$gopher")
+  }
+
   test("exact dedup plans one keyed shuffle, no global sort (q21 shape)") {
     val plan = executedPlan(graft.operators.Dedup.dedupKeepFirst(
       graft.meta.Tables.documents(spark, sf), Seq("text"), Seq("doc_id")))

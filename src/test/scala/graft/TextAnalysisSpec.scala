@@ -72,4 +72,52 @@ class TextAnalysisSpec extends SparkSuite {
   test("contaminationHits: shuffle fallback above the broadcast bound matches") {
     assert(hits(maxGrams = 0L) === hits(maxGrams = 10000000L))
   }
+
+  test("gopherQualityFlags: each rule trips on its engineered fixture") {
+    // 1: passes every rule — 60 words, the/of stopwords, alphabetic, no
+    //    symbols or bullet/ellipsis lines
+    val good = ("the data " + (1 to 57).map(i => s"word$i").mkString(" ") + " of").trim
+    // 2: too short (3 words)
+    val short = "the of and"
+    // 3: symbol-heavy: 10 words, 2 '#' -> ratio 0.2 > 0.1
+    val symbols = "the of a b c d e f # #"
+    // 4: bullet lines: every line starts with "- " (frac 1.0 > 0.9)
+    val bullets = "- the first\n- of second\n- and third"
+    // 5: ellipsis line ends: 1 of 2 lines (0.5 > 0.3)
+    val ellipsis = "the trailing line goes on...\nof a normal one"
+    // 6: numeric tokens: 2 of 10 alphabetic (0.2 < 0.8)
+    val numeric = "the 1 2 3 4 5 6 7 8 of"
+    // 7: no stopwords
+    val noStop = (1 to 60).map(i => s"token$i").mkString(" ")
+    val out = TextAnalysis.gopherQualityFlags(
+      Seq((1L, good), (2L, short), (3L, symbols), (4L, bullets),
+        (5L, ellipsis), (6L, numeric), (7L, noStop))
+        .toDF("doc_id", "text"),
+      "doc_id", "text", minWords = 5, maxWords = 100000)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getAs[Boolean]("keep"), s"good doc rejected: ${out(1L)}")
+    assert(out(2L).getAs[Long]("n_words") === 3L && !out(2L).getAs[Boolean]("keep"))
+    assert(out(3L).getAs[Double]("symbol_word_ratio") === 0.2)
+    assert(!out(3L).getAs[Boolean]("keep"))
+    assert(out(4L).getAs[Double]("bullet_line_frac") === 1.0)
+    assert(!out(4L).getAs[Boolean]("keep"))
+    assert(out(5L).getAs[Double]("ellipsis_line_frac") === 0.5)
+    assert(!out(5L).getAs[Boolean]("keep"))
+    assert(out(6L).getAs[Double]("alpha_word_frac") === 0.2)
+    assert(!out(6L).getAs[Boolean]("keep"))
+    assert(out(7L).getAs[Long]("n_stopwords") === 0L)
+    assert(!out(7L).getAs[Boolean]("keep"))
+  }
+
+  test("gopherQualityFlags: degenerate docs (empty, 1 token) never divide by zero") {
+    val out = TextAnalysis.gopherQualityFlags(
+      Seq((1L, ""), (2L, "x")).toDF("doc_id", "text"), "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    // single-space split yields [""] -> 1 token; all fractions defined
+    assert(out(1L).getAs[Long]("n_words") === 1L)
+    assert(out(1L).getAs[Double]("mean_word_len") === 0.0)
+    assert(!out(1L).getAs[Boolean]("keep"))
+    assert(out(2L).getAs[Double]("alpha_word_frac") === 1.0)
+    assert(!out(2L).getAs[Boolean]("keep")) // below minWords
+  }
 }
