@@ -1072,6 +1072,22 @@ object SparkEntry {
       TextAnalysis.gopherQualityFlags(Tables.documents(s, dir), "doc_id", "text")
         .orderBy("doc_id")
     }),
+
+    // C4 line-level cleaning (Raffel 2020 2.2). The synthetic corpus is
+    // single-line, so the query first synthesizes a deterministic line
+    // structure (8-token lines, every 3rd left without terminal
+    // punctuation) — mirrored exactly in the oracle — then runs the real
+    // line rules: terminal punct, >= 5 words, no boilerplate.
+    "q88_c4_line_clean" -> ((s, dir) => {
+      val tk = TextAnalysis.tokens(col("text"))
+      val nChunks = ceil(size(tk).cast("double") / 8).cast("int")
+      val lineArr = transform(sequence(lit(0), nChunks - 1),
+        i => concat(concat_ws(" ", slice(tk, i * 8 + 1, lit(8))),
+          when(i % 3 === 2, lit("")).otherwise(lit("."))))
+      val lined = Tables.documents(s, dir)
+        .select(col("doc_id"), array_join(lineArr, "\n").as("text"))
+      TextAnalysis.c4LineClean(lined, "doc_id", "text").orderBy("doc_id")
+    }),
   )
 
   /** Marker vocabularies for the language-ID heuristic — drawn from the
@@ -1975,6 +1991,26 @@ object SparkEntry {
         |   AND mean_word_len <= 10.0 AND symbol_word_ratio <= 0.1
         |   AND bullet_line_frac <= 0.9 AND ellipsis_line_frac <= 0.3
         |   AND alpha_word_frac >= 0.8 AND n_stopwords >= 2) AS keep
+        |FROM s ORDER BY doc_id""".stripMargin,
+
+    "q88_c4_line_clean" ->
+      """WITH t0 AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+        |t1 AS (SELECT doc_id,
+        |  array_to_string(list_transform(range(0, CAST(ceil(len(tk) / 8.0) AS BIGINT)),
+        |    i -> array_to_string(tk[i*8+1 : i*8+8], ' ') ||
+        |         CASE WHEN i % 3 = 2 THEN '' ELSE '.' END), chr(10)) AS text
+        |  FROM t0),
+        |t2 AS (SELECT doc_id, text, string_split(text, chr(10)) AS ln FROM t1),
+        |s AS (SELECT doc_id, text, CAST(len(ln) AS BIGINT) AS n_lines,
+        |  list_filter(ln, x -> (ends_with(x, '.') OR ends_with(x, '!')
+        |      OR ends_with(x, '?') OR ends_with(x, '"'))
+        |    AND len(string_split(x, ' ')) >= 5
+        |    AND NOT contains(lower(x), 'javascript')) AS kept
+        |  FROM t2)
+        |SELECT doc_id, n_lines, CAST(len(kept) AS BIGINT) AS n_kept,
+        |  array_to_string(kept, chr(10)) AS clean_text,
+        |  (len(kept) >= 3 AND NOT contains(lower(text), 'lorem ipsum')
+        |   AND NOT contains(text, '{')) AS keep
         |FROM s ORDER BY doc_id""".stripMargin,
   )
 }

@@ -350,6 +350,41 @@ object TextAnalysis {
           col("n_stopwords") >= 2L)
   }
 
+  /** C4 line-level cleaning (Raffel et al. 2020 §2.2, the "Colossal Clean
+    * Crawled Corpus" rules) — the LINE-granularity pass that runs before
+    * document-level filters like [[gopherQualityFlags]]: keep only lines
+    * that end in terminal punctuation (. ! ? "), carry at least
+    * `minLineWords` words, and don't mention "javascript"; reject the whole
+    * document when fewer than `minLines` lines survive or the page contains
+    * "lorem ipsum" or a curly brace (template/boilerplate markers).
+    *
+    * Output: `(id, n_lines, n_kept, clean_text, keep)` — `clean_text` is
+    * the surviving lines re-joined with newlines, so the kept corpus is a
+    * direct `where(keep).select(id, clean_text)` away.
+    *
+    * Scale shape: one codegen'd projection over the corpus scan (split,
+    * higher-order filter, join back) — zero shuffles, same free-rider
+    * posture as [[repetitionStats]]. */
+  def c4LineClean(docs: DataFrame, idCol: String, textCol: String,
+                  minLineWords: Int = 5, minLines: Int = 3): DataFrame = {
+    val keepLine = (l: Column) =>
+      (l.endsWith(".") || l.endsWith("!") || l.endsWith("?") || l.endsWith("\"")) &&
+        size(split(l, " ", -1)) >= minLineWords &&
+        !lower(l).contains("javascript")
+    docs
+      .select(col(idCol), col(textCol), split(col(textCol), "\n", -1).as("_lines"))
+      .select(col(idCol), col(textCol),
+        size(col("_lines")).cast("long").as("n_lines"),
+        filter(col("_lines"), keepLine).as("_kept"))
+      .select(col(idCol),
+        col("n_lines"),
+        size(col("_kept")).cast("long").as("n_kept"),
+        array_join(col("_kept"), "\n").as("clean_text"),
+        (size(col("_kept")) >= minLines &&
+          !lower(col(textCol)).contains("lorem ipsum") &&
+          !col(textCol).contains("{")).as("keep"))
+  }
+
   /** PII scrub: mask email addresses then digit runs (3+) — the standard
     * pre-training redaction pass, as pure codegen'd regexp_replace. */
   def scrubPii(text: Column): Column =

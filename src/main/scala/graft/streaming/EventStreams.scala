@@ -139,6 +139,91 @@ object EventStreams {
       .toDF(userCol, "n_events")
   }
 
+  /** Streaming funnel update: stages completed so far + the anchor
+    * timestamps (epoch millis) of exactly those completed stages. */
+  case class FunnelUpdate(user_id: Long, stage_reached: Int, anchor_ms: Seq[Long])
+
+  /** Streaming twin of [[graft.operators.Behavior.funnel]] on
+    * `transformWithState`: per-user ordered-funnel anchors maintained
+    * across micro-batches, emitted in Update mode whenever the user's
+    * funnel state is touched.
+    *
+    * EXACT batch parity under any arrival order: the state is not the
+    * anchors but the per-stage CANDIDATE event times, and every batch
+    * re-runs the batch recurrence (t_1 = min stage-1 times; t_{i+1} =
+    * first stage-i+1 time strictly after t_i within the deadline) over
+    * retained candidates — so a stage-1 event arriving micro-batches
+    * after the stage-2 event still moves the anchors to what the batch
+    * funnel would compute on the union. Candidates are pruned by the
+    * invariant that the stage-i anchor never exceeds t_1 + i·window and
+    * t_1 only moves down as earlier events arrive: times beyond that
+    * horizon can never anchor, so state per user is bounded by the
+    * user's event count inside the funnel horizon, not their history.
+    */
+  def funnelStream(events: DataFrame, userCol: String, tsCol: String,
+                   typeCol: String, stages: Seq[String],
+                   windowSec: Long): DataFrame = {
+    import org.apache.spark.sql.Encoders
+    import org.apache.spark.sql.streaming.{ListState, OutputMode, StatefulProcessor, TimeMode, TimerValues, TTLConfig}
+    require(stages.size >= 2, s"funnel needs >= 2 stages, got $stages")
+    require(stages.distinct.size == stages.size,
+      s"funnel stages must be distinct, got $stages")
+    val spark = events.sparkSession
+    import spark.implicits._
+    val windowMs = windowSec * 1000L
+    val nStages = stages.size
+    val stageIdx = stages.zipWithIndex.toMap
+
+    class FunnelProcessor extends StatefulProcessor[Long, (Long, java.sql.Timestamp, String), (Long, Int, Seq[Long])] {
+      @transient private var times: ListState[(Int, Long)] = _
+      override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+        times = getHandle.getListState[(Int, Long)]("stage_times",
+          Encoders.product[(Int, Long)], TTLConfig.NONE)
+      override def handleInputRows(key: Long, rows: Iterator[(Long, java.sql.Timestamp, String)],
+          tv: TimerValues): Iterator[(Long, Int, Seq[Long])] = {
+        val incoming = rows.flatMap { case (_, ts, tpe) =>
+          stageIdx.get(tpe).map(i => (i, ts.getTime))
+        }.toArray
+        if (incoming.isEmpty) return Iterator.empty
+        val all = times.get().toArray ++ incoming
+        val byStage = Array.fill(nStages)(List.empty[Long])
+        all.foreach { case (i, ms) => byStage(i) ::= ms }
+        // the batch recurrence over all retained candidates
+        val anchors = Array.fill[Long](nStages)(Long.MinValue)
+        if (byStage(0).nonEmpty) {
+          anchors(0) = byStage(0).min
+          var i = 0
+          var ok = true
+          while (ok && i + 1 < nStages) {
+            val prev = anchors(i)
+            val next = byStage(i + 1).filter(t => t > prev && t <= prev + windowMs)
+            if (next.isEmpty) ok = false else anchors(i + 1) = next.min
+            i += 1
+          }
+        }
+        val reached = anchors.takeWhile(_ != Long.MinValue).length
+        // prune: stage-i candidates past t_1 + i*window can never anchor
+        val kept =
+          if (reached == 0) all
+          else all.filter { case (i, ms) => ms <= anchors(0) + i.toLong * windowMs }
+        times.clear()
+        if (kept.nonEmpty) times.put(kept)
+        if (reached == 0) Iterator.empty
+        else Iterator.single((key, reached, anchors.take(reached).toSeq))
+      }
+    }
+
+    events
+      .where(col(userCol).isNotNull)
+      .select(col(userCol).cast("long"), col(tsCol).cast("timestamp"),
+        col(typeCol).cast("string"))
+      .as[(Long, java.sql.Timestamp, String)]
+      .groupByKey(_._1)
+      .transformWithState(new FunnelProcessor, TimeMode.None(), OutputMode.Update())
+      .map { case (u, r, a) => FunnelUpdate(u, r, a) }
+      .toDF()
+  }
+
   /** Streaming session summary row. */
   case class Session(user_id: Long, session_start: java.sql.Timestamp,
                      session_end: java.sql.Timestamp, n_events: Long)

@@ -219,6 +219,62 @@ class IngestStreamingSpec extends SparkSuite {
     }
   }
 
+  test("funnelStream matches the batch funnel under out-of-order cross-batch arrival") {
+    // Events split so stage events arrive OUT OF ORDER across micro-batches:
+    // user 1's click+purchase land a batch BEFORE their view; user 2's
+    // purchase arrives late and past the deadline. windowSec = 1000.
+    def ts(sec: Long) = new java.sql.Timestamp(sec * 1000L)
+    val batch1 = Seq((1L, ts(200), "click"), (1L, ts(300), "purchase"),
+      (2L, ts(100), "view"), (2L, ts(150), "click"))
+    val batch2 = Seq((1L, ts(100), "view"),     // late-arriving EARLIER view
+      (2L, ts(1200), "purchase"),               // 1200 > 150 + 1000: missed
+      (3L, ts(50), "view"),                     // enters at stage 1
+      (4L, ts(10), "purchase"))                 // never views: absent
+    val dir = Files.createTempDirectory("graft_funnel_stream").toString + "/in"
+    new java.io.File(dir).mkdirs()
+    batch1.toDF("user_id", "ts", "event_type").coalesce(1)
+      .write.parquet(s"$dir/../f1")
+    batch2.toDF("user_id", "ts", "event_type").coalesce(1)
+      .write.parquet(s"$dir/../f2")
+    for (f <- Seq("f1", "f2");
+         p <- new java.io.File(s"$dir/../$f").listFiles() if p.getName.endsWith(".parquet"))
+      Files.copy(p.toPath, java.nio.file.Path.of(dir, s"$f-${p.getName}"))
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    try {
+      spark.conf.set(key,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      val schema = spark.read.parquet(dir).schema
+      val stream = EventStreams.readFileStream(spark, dir, schema, maxFilesPerTrigger = 1)
+      EventStreams.drainToMemory(
+        EventStreams.funnelStream(stream, "user_id", "ts", "event_type",
+          Seq("view", "click", "purchase"), windowSec = 1000),
+        "funnel_stream", outputMode = "update")
+      // final state per user = the row with the most information (update
+      // mode re-emits on every touch; anchors only ever improve)
+      val finals = spark.table("funnel_stream")
+        .groupBy("user_id").agg(max("stage_reached").as("r"))
+        .orderBy("user_id").as[(Long, Int)].collect()
+      // batch twin on the UNION of both files is the ground truth
+      val batch = graft.operators.Behavior.funnel(
+        (batch1 ++ batch2).toDF("user_id", "ts", "event_type"),
+        "user_id", "ts", "event_type", Seq("view", "click", "purchase"), 1000)
+        .orderBy("user_id")
+        .select(col("user_id"), col("stage_reached").cast("int"))
+        .as[(Long, Int)].collect()
+      assert(finals === batch)
+      assert(finals === Array((1L, 3), (2L, 2), (3L, 1))) // user 4 absent
+      // the final anchors equal the batch anchor timestamps (epoch ms)
+      val u1 = spark.table("funnel_stream").where(col("user_id") === 1)
+        .orderBy(col("stage_reached").desc).select("anchor_ms")
+        .as[Seq[Long]].head()
+      assert(u1 === Seq(100000L, 200000L, 300000L))
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   test("runningUserCounts survives null user ids (drops them)") {
     val dir = Files.createTempDirectory("graft_nullkey").toString + "/data"
     Seq(Some(7L), None, Some(7L)).toDF("user_id")

@@ -109,6 +109,32 @@ class TextAnalysisSpec extends SparkSuite {
     assert(!out(7L).getAs[Boolean]("keep"))
   }
 
+  test("c4LineClean: line rules keep punct-terminated 5-word lines, doc rules ban boilerplate") {
+    val kept1 = "this line ends with a period."
+    val kept2 = "does this line have five words?"
+    val kept3 = "a quoted line of five words\""
+    val docs = Seq(
+      // 1: three keepable lines + three droppable ones -> keep
+      (1L, Seq(kept1, "short line.", "no terminal punctuation here at all",
+        kept2, "enable javascript to view this page.", kept3).mkString("\n")),
+      // 2: same lines but only two survive -> below minLines
+      (2L, Seq(kept1, kept2, "tail without punct").mkString("\n")),
+      // 3: lorem ipsum page -> rejected even with 3 good lines
+      (3L, Seq(kept1, kept2, kept3, "Lorem Ipsum dolor sit amet.").mkString("\n")),
+      // 4: template braces -> rejected
+      (4L, Seq(kept1, kept2, kept3, "if (x) { return y; }.").mkString("\n")))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.c4LineClean(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getAs[Long]("n_lines") === 6L)
+    assert(out(1L).getAs[Long]("n_kept") === 3L)
+    assert(out(1L).getAs[String]("clean_text") === Seq(kept1, kept2, kept3).mkString("\n"))
+    assert(out(1L).getAs[Boolean]("keep"))
+    assert(out(2L).getAs[Long]("n_kept") === 2L && !out(2L).getAs[Boolean]("keep"))
+    assert(out(3L).getAs[Long]("n_kept") === 4L && !out(3L).getAs[Boolean]("keep"))
+    assert(!out(4L).getAs[Boolean]("keep"))
+  }
+
   test("gopherQualityFlags: degenerate docs (empty, 1 token) never divide by zero") {
     val out = TextAnalysis.gopherQualityFlags(
       Seq((1L, ""), (2L, "x")).toDF("doc_id", "text"), "doc_id", "text")
