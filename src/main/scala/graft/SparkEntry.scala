@@ -1088,6 +1088,16 @@ object SparkEntry {
         .select(col("doc_id"), array_join(lineArr, "\n").as("text"))
       TextAnalysis.c4LineClean(lined, "doc_id", "text").orderBy("doc_id")
     }),
+
+    // Exact-count per-stratum sample: exactly 20 docs per language, picked
+    // by universal-mixed hash rank — deterministic and prefix-stable,
+    // unlike any rate-based sampler.
+    "q89_take_per_stratum" -> ((s, dir) => {
+      Stats.takePerStratum(Tables.documents(s, dir), col("lang"), col("text"),
+        20, tieBreak = Seq("doc_id"))
+        .select("lang", "doc_id")
+        .orderBy("lang", "doc_id")
+    }),
   )
 
   /** Marker vocabularies for the language-ID heuristic — drawn from the
@@ -2012,5 +2022,13 @@ object SparkEntry {
         |  (len(kept) >= 3 AND NOT contains(lower(text), 'lorem ipsum')
         |   AND NOT contains(text, '{')) AS keep
         |FROM s ORDER BY doc_id""".stripMargin,
+
+    "q89_take_per_stratum" ->
+      s"""WITH h AS (SELECT lang, doc_id, text,
+         |  ((${dhash("text")}) * ${graft.operators.Stats.MixA} + ${graft.operators.Stats.MixB}) % $Mod AS hh
+         |  FROM documents),
+         |r AS (SELECT lang, doc_id,
+         |  row_number() OVER (PARTITION BY lang ORDER BY hh, text, doc_id) AS rn FROM h)
+         |SELECT lang, doc_id FROM r WHERE rn <= 20 ORDER BY lang, doc_id""".stripMargin,
   )
 }

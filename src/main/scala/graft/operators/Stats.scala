@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.functions.GraftFunctions.rolling_hash
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{Column, DataFrame}
 
@@ -84,6 +85,31 @@ object Stats {
       case (acc, (value, pct)) => when(strata === value, lit(pct)).otherwise(acc)
     }
     df.where(hashBucket(key, 100) < rate)
+  }
+
+  /** Deterministic EXACT-COUNT per-stratum sample: exactly min(k, |stratum|)
+    * rows per stratum, the rows whose universal-mixed hash of `key` ranks
+    * lowest (ties broken by `key`, then `tieBreak`) — the "exactly 1000
+    * eval docs per language" operator. Rate-based sampling
+    * ([[stratifiedSampleByHash]], [[mixtureResample]]) can only pin an
+    * EXPECTED count; this pins the exact count, still reproducible across
+    * engines, runs, and retries, and PREFIX-STABLE: the k-sample is a
+    * subset of the (k+n)-sample, so growing an eval set never churns the
+    * rows already in it. Pass a unique `tieBreak` column when `key` can
+    * repeat (identical texts hash identically) — without it the pick among
+    * exact duplicates is undefined.
+    *
+    * Scale shape: one stratum-keyed Exchange + per-partition sort (the
+    * standard top-k-per-group window); no collect, no driver state. A
+    * skewed stratum costs sort time, not memory — rank state is O(1). */
+  def takePerStratum(df: DataFrame, strata: Column, key: Column, k: Int,
+                     tieBreak: Seq[String] = Nil): DataFrame = {
+    val h = (rolling_hash(key) * MixA + MixB) % graft.functions.RollingHash.Mod
+    val w = Window.partitionBy(strata)
+      .orderBy(h.asc +: key.asc +: tieBreak.map(col(_).asc): _*)
+    df.withColumn("_rn", row_number().over(w))
+      .where(col("_rn") <= k)
+      .drop("_rn")
   }
 
   /** Mixture rebalancing: deterministically downsample every stratum to the

@@ -6,9 +6,10 @@ import org.apache.spark.sql.functions._
 
 /** Scale probes: decimal-vs-integer-cents aggregation cost, linear-scaling
   * behavior on a 16x blowup of lineitem, fill partitioning, skew handling,
-  * and the bucketed-layout write/join cost split (dev aid; measured numbers
+  * the bucketed-layout write/join cost split, and the funnel's
+  * stages-cost-compute-not-shuffles claim (dev aid; measured numbers
   * land in BASELINE.md). Args select sections: `fill`, `skew`, `bucket`,
-  * `legacy` (no args = all). */
+  * `funnel`, `legacy` (no args = all). */
 object ScaleProbe {
   def main(args: Array[String]): Unit = {
     val sections: String => Boolean =
@@ -109,6 +110,39 @@ object ScaleProbe {
         spark.sql("DROP TABLE IF EXISTS graft_probe_li")
         spark.sql("DROP TABLE IF EXISTS graft_probe_or")
       }
+    }
+
+    // Funnel: every stage is one more Window over the SAME user exchange
+    // (PlanPostureSpec pins shuffleCount == 1); this measures the claim's
+    // consequence — doubling the stage count costs window compute, not a
+    // second shuffle, so wall time grows far slower than stage count.
+    if (sections("funnel")) {
+      import graft.operators.Behavior
+      val ev = spark.range(0, 8000000).select(
+        (col("id") % 400000).as("user_id"),
+        timestamp_seconds(col("id") * 37 % 1000000).as("ts"),
+        element_at(array(lit("view"), lit("click"), lit("cart"), lit("pay"),
+          lit("share"), lit("return")), (col("id") % 6 + 1).cast("int")).as("event_type"))
+      val evPath = "/tmp/graft_probe_funnel"
+      time("write funnel events (8M rows)")(
+        ev.write.mode("overwrite").parquet(evPath))
+      val e = spark.read.parquet(evPath)
+      def time2(name: String)(f: => Unit): Unit = {
+        val ts = (1 to 2).map { _ =>
+          val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+        }
+        println(f"[probe] $name%-34s ${ts.min}%.2f s (min of 2)")
+      }
+      // the FIRST funnel over freshly-written parquet absorbs ~5 s of
+      // one-time cost (writeback + window-pipeline JIT) in BOTH its passes
+      // — warm it out so the 3-vs-6 comparison measures stage count alone
+      noop(Behavior.funnel(e, "user_id", "ts", "event_type",
+        Seq("view", "click"), 86400))
+      time2("funnel 3-stage @ 8M events")(noop(Behavior.funnel(
+        e, "user_id", "ts", "event_type", Seq("view", "click", "pay"), 86400)))
+      time2("funnel 6-stage @ 8M events")(noop(Behavior.funnel(
+        e, "user_id", "ts", "event_type",
+        Seq("view", "click", "cart", "pay", "share", "return"), 86400)))
     }
 
     if (!sections("legacy")) { spark.stop(); return }

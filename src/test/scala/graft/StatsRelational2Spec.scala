@@ -187,6 +187,30 @@ class StatsRelational2Spec extends SparkSuite {
     assert(out.count() === Stats.mixtureResample(df, col("lang"), col("t")).count())
   }
 
+  test("takePerStratum: exact k per group, prefix-stable, whole group when k exceeds it") {
+    val df = ((1 to 100).map(i => (s"en doc body $i", "en", i.toLong)) ++
+      (1 to 5).map(i => (s"xx doc body $i", "xx", 1000L + i)))
+      .toDF("t", "lang", "id")
+    val s10 = Stats.takePerStratum(df, col("lang"), col("t"), 10, Seq("id"))
+    val counts = s10.groupBy("lang").count().as[(String, Long)].collect().toMap
+    assert(counts("en") === 10L)  // exact, not expected
+    assert(counts("xx") === 5L)   // k > |stratum| keeps the whole stratum
+    // prefix-stable: the 10-sample is contained in the 25-sample
+    val ids10 = s10.select("id").as[Long].collect().toSet
+    val ids25 = Stats.takePerStratum(df, col("lang"), col("t"), 25, Seq("id"))
+      .select("id").as[Long].collect().toSet
+    assert(ids10.subsetOf(ids25))
+    // deterministic across runs
+    assert(ids10 === Stats.takePerStratum(df, col("lang"), col("t"), 10, Seq("id"))
+      .select("id").as[Long].collect().toSet)
+    // duplicate keys: tieBreak pins WHICH duplicate survives
+    val dup = Seq(("same text", "en", 1L), ("same text", "en", 2L),
+      ("same text", "en", 3L)).toDF("t", "lang", "id")
+    val one = Stats.takePerStratum(dup, col("lang"), col("t"), 1, Seq("id"))
+      .select("id").as[Long].collect()
+    assert(one === Array(1L))
+  }
+
   test("winsorize clamps into the percentile band; interior values untouched") {
     val df = ((1 to 99).map(_.toDouble) :+ 1000.0).toDF("x").withColumn("g", lit("a"))
     val out = graft.operators.Encode.winsorize(df, "x", Seq("g"), 0.05, 0.95)
