@@ -1098,6 +1098,15 @@ object SparkEntry {
         .select("lang", "doc_id")
         .orderBy("lang", "doc_id")
     }),
+
+    // Embedding-space diversity subsample: IVF-quantize to 8 cells, keep
+    // the 10 most-central vectors per cell — cluster-balanced corpus
+    // subsetting (takePerStratum's embedding twin).
+    "q90_diversity_sample" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Similarity.diversitySample(emb, emb.where(col("vec_id") < 8), 10)
+        .orderBy("cell_id", "rank")
+    }),
   )
 
   /** Marker vocabularies for the language-ID heuristic — drawn from the
@@ -2030,5 +2039,20 @@ object SparkEntry {
          |r AS (SELECT lang, doc_id,
          |  row_number() OVER (PARTITION BY lang ORDER BY hh, text, doc_id) AS rn FROM h)
          |SELECT lang, doc_id FROM r WHERE rn <= 20 ORDER BY lang, doc_id""".stripMargin,
+
+    "q90_diversity_sample" ->
+      """WITH cent AS (SELECT vec_id AS cell_id, CAST(embedding AS DOUBLE[]) AS cvv FROM embeddings WHERE vec_id < 8),
+        |corp AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |asg AS (SELECT vec_id, cell_id, cos FROM (
+        |  SELECT corp.vec_id, cent.cell_id,
+        |  list_dot_product(corp.v, cent.cvv) / (sqrt(list_dot_product(corp.v, corp.v)) * sqrt(list_dot_product(cent.cvv, cent.cvv))) AS cos,
+        |  row_number() OVER (PARTITION BY corp.vec_id ORDER BY
+        |    list_dot_product(corp.v, cent.cvv) / (sqrt(list_dot_product(corp.v, corp.v)) * sqrt(list_dot_product(cent.cvv, cent.cvv))) DESC,
+        |    cent.cell_id) AS rr
+        |  FROM corp CROSS JOIN cent) WHERE rr = 1),
+        |r AS (SELECT cell_id, vec_id, round(cos, 6) AS centrality,
+        |  row_number() OVER (PARTITION BY cell_id ORDER BY round(cos, 6) DESC, vec_id) AS rank FROM asg)
+        |SELECT cell_id, CAST(rank AS BIGINT) AS rank, vec_id, centrality
+        |FROM r WHERE rank <= 10 ORDER BY cell_id, rank""".stripMargin,
   )
 }

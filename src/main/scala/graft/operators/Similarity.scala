@@ -111,6 +111,33 @@ object Similarity {
         .nearest_centroid(col(vecCol), ids, vecs).as("cell_id"))
   }
 
+  /** Cluster-balanced diversity subsample: quantize the corpus to its
+    * max-cosine cell, keep the `k` MOST CENTRAL vectors per cell (highest
+    * cosine to the assigned centroid, 6-dp-rounded before ranking so the
+    * boundary is engine-reproducible, ties by id). The embedding-space
+    * counterpart of [[Stats.takePerStratum]]: a density-skewed corpus keeps
+    * representation from every region of embedding space instead of being
+    * dominated by its densest cluster — the standard k-means-based
+    * data-diversification pass before training.
+    *
+    * Scale shape: cell assignment is the shuffle-free [[assignCells]]
+    * projection; the centroid frame broadcasts twice (assignment kernel +
+    * centrality join — both driver-bounded by the centroid count, same
+    * contract as [[ivfTopK]]); the corpus shuffles ONCE on cell_id for the
+    * rank window. Output: (cell_id, rank, id, centrality). */
+  def diversitySample(corpus: DataFrame, centroids: DataFrame, k: Int,
+                      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val cents = centroids.select(col(idCol).as("cell_id"), col(vecCol).as("_cv"))
+    val w = Window.partitionBy("cell_id")
+      .orderBy(col("centrality").desc, col(idCol).asc)
+    assignCells(corpus, centroids, idCol, vecCol)
+      .join(broadcast(cents), "cell_id")
+      .withColumn("centrality", round(cosine_similarity(col(vecCol), col("_cv")), 6))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= k)
+      .select(col("cell_id"), col("rank"), col(idCol), col("centrality"))
+  }
+
   /** Assign each row its top-`nprobe` max-cosine cells, one output row per
     * (vector, cell) — the probe-side expansion of multi-probe IVF. Same
     * narrow-projection contract as [[assignCells]]; the explode multiplies

@@ -168,6 +168,32 @@ class DedupSimilaritySpec extends SparkSuite {
     assert(cellsPerCluster === Map(0 -> 1L, 1 -> 1L))
   }
 
+  test("diversitySample keeps the k most-central vectors of every cell") {
+    // two clean clusters around the axes + one far outlier per cluster
+    val vecs = Seq(
+      (100L, Array(1f, 0f)), (101L, Array(0.99f, 0.02f)), (102L, Array(0.98f, 0.05f)),
+      (103L, Array(0.7f, 0.7f)),                    // weakest dim0 member
+      (200L, Array(0f, 1f)), (201L, Array(0.02f, 0.99f)), (202L, Array(0.05f, 0.98f)),
+      (203L, Array(0.69f, 0.72f)))                  // weakest dim1 member
+      .toDF("vec_id", "embedding")
+    val cents = Seq((0L, Array(1f, 0f)), (1L, Array(0f, 1f)))
+      .toDF("vec_id", "embedding")
+    val out = Similarity.diversitySample(vecs, cents, k = 3)
+      .orderBy("cell_id", "rank")
+      .as[(Long, Long, Long, Double)].collect()
+    // exactly 3 per cell; the diagonal stragglers (103/203) are cut
+    assert(out.map(_._1).toSeq === Seq(0L, 0L, 0L, 1L, 1L, 1L))
+    assert(out.map(_._3).toSet === Set(100L, 101L, 102L, 200L, 201L, 202L))
+    // rank 1 is the centroid-aligned vector with centrality 1.0
+    assert(out.filter(_._2 == 1L).map(r => (r._1, r._3, r._4)).toSeq ===
+      Seq((0L, 100L, 1.0), (1L, 200L, 1.0)))
+    // centrality is non-increasing within each cell
+    out.groupBy(_._1).values.foreach { cell =>
+      val cs = cell.sortBy(_._2).map(_._4)
+      assert(cs.zip(cs.tail).forall { case (a, b) => a >= b })
+    }
+  }
+
   test("nearDupPairs respects threshold and id-gap bounds") {
     val vecs = Seq(
       (0L, Array(1f, 0f)), (1L, Array(0.999f, 0.04f)), (5L, Array(1f, 0.01f)),
