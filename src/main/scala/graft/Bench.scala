@@ -20,6 +20,13 @@ object Bench {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // The generated-code cache defaults to 100 entries (static conf); a
+      // 90-query suite compiles far more generated classes than that, so
+      // late-alphabet queries evict+recompile their codegen on EVERY pass
+      // — q88's large projection paid ~6 s/pass of janino time in one
+      // 89-query run (12.0 s min-of-2 vs 0.8 s standalone). Size the cache
+      // to the suite.
+      .config("spark.sql.codegen.cache.maxEntries", "2000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Warm the JVM/codegen/parquet-reader paths so the first measured query
