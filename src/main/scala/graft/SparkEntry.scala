@@ -1107,6 +1107,19 @@ object SparkEntry {
       Similarity.diversitySample(emb, emb.where(col("vec_id") < 8), 10)
         .orderBy("cell_id", "rank")
     }),
+
+    // C4 span-level dedup: corpus-wide 3-line-span duplicate stats over a
+    // synthesized line structure (8-token lines, same synthesis as q88 —
+    // duplicate TEXTS in the corpus make their spans corpus-wide dups).
+    "q91_span_dedup" -> ((s, dir) => {
+      val tk = TextAnalysis.tokens(col("text"))
+      val nChunks = ceil(size(tk).cast("double") / 8).cast("int")
+      val lineArr = transform(sequence(lit(0), nChunks - 1),
+        i => concat_ws(" ", slice(tk, i * 8 + 1, lit(8))))
+      val lined = Tables.documents(s, dir)
+        .select(col("doc_id"), array_join(lineArr, "\n").as("text"))
+      Dedup.spanDupStats(lined, "doc_id", "text", 3).orderBy("doc_id")
+    }),
   )
 
   /** Marker vocabularies for the language-ID heuristic — drawn from the
@@ -2054,5 +2067,20 @@ object SparkEntry {
         |  row_number() OVER (PARTITION BY cell_id ORDER BY round(cos, 6) DESC, vec_id) AS rank FROM asg)
         |SELECT cell_id, CAST(rank AS BIGINT) AS rank, vec_id, centrality
         |FROM r WHERE rank <= 10 ORDER BY cell_id, rank""".stripMargin,
+
+    "q91_span_dedup" ->
+      s"""WITH t0 AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+         |t1 AS (SELECT doc_id, list_transform(range(0, CAST(ceil(len(tk) / 8.0) AS BIGINT)),
+         |    i -> array_to_string(tk[i*8+1 : i*8+8], ' ')) AS ln FROM t0),
+         |sp AS (SELECT doc_id, CAST(i AS INTEGER) AS pos,
+         |    ${dhash("array_to_string(ln[i:i+2], chr(10))")} AS h
+         |  FROM t1, unnest(range(1, len(ln) - 1)) AS r(i)),
+         |j AS (SELECT doc_id, pos, h,
+         |  count(*) OVER (PARTITION BY h) AS n_occ,
+         |  row_number() OVER (PARTITION BY h ORDER BY doc_id, pos) AS rn FROM sp)
+         |SELECT doc_id, count(*) AS n_spans,
+         |  CAST(sum(CASE WHEN n_occ > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_spans,
+         |  CAST(sum(CASE WHEN n_occ > 1 AND rn > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_removed
+         |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin,
   )
 }

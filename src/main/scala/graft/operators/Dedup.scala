@@ -101,6 +101,46 @@ object Dedup {
     df.groupBy(fp.as(out)).agg(count(lit(1)).as("n_docs"))
       .where(col("n_docs") > 1)
 
+  /** C4-style SPAN-level dedup stats: corpus-wide exact dedup of sliding
+    * `n`-unit spans, units = newline-separated lines/sentences (Raffel et
+    * al. 2020 §2.2 discard every occurrence of a 3-sentence span but the
+    * first). Document-level dedup ([[dedupKeepFirst]], MinHash) cannot see
+    * these PARTIAL overlaps — two documents sharing one boilerplate
+    * paragraph dedup at span granularity only. Emits one row per document
+    * that has >= 1 span: `(id, n_spans, n_dup_spans, n_removed)` —
+    * spans whose hash occurs anywhere else in the corpus, and occurrences
+    * that are not the corpus-wide canonical first (min (id, pos)), i.e.
+    * the rows a scrub pass deletes. Documents shorter than `n` units have
+    * no spans and don't appear.
+    *
+    * Scale shape: documents explode to `(id, pos, span_hash)` — the
+    * shuffle carries int64 hashes, never span text (the
+    * [[lshCandidatePairs]] discipline); occurrence counts + canonical rank
+    * ride ONE hash-keyed window exchange; the per-document rollup is a
+    * second map-side-combined aggregation. */
+  def spanDupStats(docs: DataFrame, idCol: String, textCol: String,
+                   n: Int = 3): DataFrame = {
+    import graft.functions.GraftFunctions.rolling_hash
+    val units = col("_u")
+    val spans = when(size(units) >= n,
+      transform(sequence(lit(1), size(units) - n + 1),
+        i => struct(i.as("pos"),
+          rolling_hash(concat_ws("\n", slice(units, i, lit(n)))).as("h"))))
+      .otherwise(array().cast("array<struct<pos:int,h:bigint>>"))
+    val ex = docs
+      .select(col(idCol), split(col(textCol), "\n", -1).as("_u"))
+      .select(col(idCol), explode(spans).as("_s"))
+      .select(col(idCol), col("_s.pos").as("pos"), col("_s.h").as("h"))
+    val wH = Window.partitionBy("h")
+    val wHo = wH.orderBy(col(idCol).asc, col("pos").asc)
+    ex.withColumn("n_occ", count(lit(1)).over(wH))
+      .withColumn("rn", row_number().over(wHo))
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_spans"),
+        sum(when(col("n_occ") > 1, 1L).otherwise(0L)).as("n_dup_spans"),
+        sum(when(col("n_occ") > 1 && col("rn") > 1, 1L).otherwise(0L)).as("n_removed"))
+  }
+
   /** Materialized shingle-hash table: (idCol, hashes array<long>).
     *
     * Materialized deliberately: the char-level hash fold is the expensive

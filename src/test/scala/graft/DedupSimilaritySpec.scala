@@ -168,6 +168,24 @@ class DedupSimilaritySpec extends SparkSuite {
     assert(cellsPerCluster === Map(0 -> 1L, 1 -> 1L))
   }
 
+  test("spanDupStats flags shared 3-line spans; canonical first occurrence survives") {
+    import graft.operators.Dedup
+    val docs = Seq(
+      // doc 1 and 2 share the c1/c2/c3 paragraph (one 3-line span)
+      (1L, "a1\nc1\nc2\nc3\na2"),
+      (2L, "b1\nc1\nc2\nc3\nb2"),
+      // doc 3 is too short for any 3-line span -> absent
+      (3L, "x\ny"),
+      // doc 4 repeats its own span INTERNALLY (positions 1 and 4)
+      (4L, "r1\nr2\nr3\nr1\nr2\nr3")).toDF("doc_id", "text")
+    val out = Dedup.spanDupStats(docs, "doc_id", "text", 3)
+      .orderBy("doc_id").as[(Long, Long, Long, Long)].collect()
+    assert(out === Array(
+      (1L, 3L, 1L, 0L),   // canonical owner of the shared span: kept
+      (2L, 3L, 1L, 1L),   // later occurrence: removed
+      (4L, 4L, 2L, 1L)))  // self-repeat: 2 dup occurrences, later one removed
+  }
+
   test("diversitySample keeps the k most-central vectors of every cell") {
     // two clean clusters around the axes + one far outlier per cluster
     val vecs = Seq(
