@@ -1075,17 +1075,11 @@ object SparkEntry {
 
     // C4 line-level cleaning (Raffel 2020 2.2). The synthetic corpus is
     // single-line, so the query first synthesizes a deterministic line
-    // structure (8-token lines, every 3rd left without terminal
-    // punctuation) — mirrored exactly in the oracle — then runs the real
-    // line rules: terminal punct, >= 5 words, no boilerplate.
+    // structure (synthesizeLines: 8-token lines, every 3rd left without
+    // terminal punctuation) — mirrored exactly in the oracle — then runs
+    // the real line rules: terminal punct, >= 5 words, no boilerplate.
     "q88_c4_line_clean" -> ((s, dir) => {
-      val tk = TextAnalysis.tokens(col("text"))
-      val nChunks = ceil(size(tk).cast("double") / 8).cast("int")
-      val lineArr = transform(sequence(lit(0), nChunks - 1),
-        i => concat(concat_ws(" ", slice(tk, i * 8 + 1, lit(8))),
-          when(i % 3 === 2, lit("")).otherwise(lit("."))))
-      val lined = Tables.documents(s, dir)
-        .select(col("doc_id"), array_join(lineArr, "\n").as("text"))
+      val lined = synthesizeLines(Tables.documents(s, dir), withPunct = true)
       TextAnalysis.c4LineClean(lined, "doc_id", "text").orderBy("doc_id")
     }),
 
@@ -1108,19 +1102,32 @@ object SparkEntry {
         .orderBy("cell_id", "rank")
     }),
 
-    // C4 span-level dedup: corpus-wide 3-line-span duplicate stats over a
-    // synthesized line structure (8-token lines, same synthesis as q88 —
-    // duplicate TEXTS in the corpus make their spans corpus-wide dups).
+    // C4 span-level dedup: corpus-wide 3-line-span duplicate stats over
+    // the SAME synthesized line structure as q88 (duplicate TEXTS in the
+    // corpus make their spans corpus-wide dups).
     "q91_span_dedup" -> ((s, dir) => {
-      val tk = TextAnalysis.tokens(col("text"))
-      val nChunks = ceil(size(tk).cast("double") / 8).cast("int")
-      val lineArr = transform(sequence(lit(0), nChunks - 1),
-        i => concat_ws(" ", slice(tk, i * 8 + 1, lit(8))))
-      val lined = Tables.documents(s, dir)
-        .select(col("doc_id"), array_join(lineArr, "\n").as("text"))
+      val lined = synthesizeLines(Tables.documents(s, dir), withPunct = false)
       Dedup.spanDupStats(lined, "doc_id", "text", 3).orderBy("doc_id")
     }),
   )
+
+  /** Deterministic line synthesis shared by q88/q91: the single-line
+    * synthetic corpus re-chunked into 8-token lines, every 3rd line left
+    * without terminal punctuation when `withPunct` (c4LineClean needs
+    * lines that FAIL its rules too). [[dLineSynth]] is the DuckDB mirror —
+    * the chunking must stay identical across all four sites or the twin
+    * queries silently decouple. */
+  private def synthesizeLines(docs: DataFrame, withPunct: Boolean): DataFrame = {
+    val tk = TextAnalysis.tokens(col("text"))
+    val nChunks = ceil(size(tk).cast("double") / 8).cast("int")
+    val line: Column => Column =
+      if (withPunct)
+        i => concat(concat_ws(" ", slice(tk, i * 8 + 1, lit(8))),
+          when(i % 3 === 2, lit("")).otherwise(lit(".")))
+      else i => concat_ws(" ", slice(tk, i * 8 + 1, lit(8)))
+    val lineArr = transform(sequence(lit(0), nChunks - 1), line)
+    docs.select(col("doc_id"), array_join(lineArr, "\n").as("text"))
+  }
 
   /** Marker vocabularies for the language-ID heuristic — drawn from the
     * synthetic corpus vocabulary so scores are non-degenerate. */
@@ -1140,12 +1147,25 @@ object SparkEntry {
     s"list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(string_split($s, ''), " +
       s"c -> CAST(unicode(c) AS BIGINT))), (a, b) -> (a * 31 + b) % $Mod)"
 
-  /** DuckDB fragment: [[graft.operators.Stats.hashBucket]] — the universal-
-    * hash finisher over [[dhash]], then the bucket modulus. Constants must
-    * stay in lockstep with Stats.MixA/MixB. */
-  private def dbucket(s: String, m: Long): String =
-    s"(((${dhash(s)}) * ${graft.operators.Stats.MixA} + " +
-      s"${graft.operators.Stats.MixB}) % $Mod) % $m"
+  /** DuckDB fragment: [[graft.operators.Stats.mixHash]] — the universal-
+    * hash finisher over [[dhash]]. Constants must stay in lockstep with
+    * Stats.MixA/MixB (this is the one SQL site of the mix). */
+  private def dmix(s: String): String =
+    s"((${dhash(s)}) * ${graft.operators.Stats.MixA} + " +
+      s"${graft.operators.Stats.MixB}) % $Mod"
+
+  /** DuckDB fragment: [[graft.operators.Stats.hashBucket]] — [[dmix]]
+    * reduced to the bucket modulus. */
+  private def dbucket(s: String, m: Long): String = s"(${dmix(s)}) % $m"
+
+  /** DuckDB mirror of [[synthesizeLines]]: CTE pair binding `ln` to the
+    * 8-token line list per doc_id (chunking must match the Spark helper). */
+  private def dLineSynth(withPunct: Boolean): String = {
+    val punct = if (withPunct) " || CASE WHEN i % 3 = 2 THEN '' ELSE '.' END" else ""
+    s"""t0 AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+       |t1 AS (SELECT doc_id, list_transform(range(0, CAST(ceil(len(tk) / 8.0) AS BIGINT)),
+       |    i -> array_to_string(tk[i*8+1 : i*8+8], ' ')$punct) AS ln FROM t0)""".stripMargin
+  }
 
   /** DuckDB fragment: distinct hashed word-3-shingles of text expr `t`
     * (tokens list `tk` must be `string_split(t,' ')`). */
@@ -2026,13 +2046,8 @@ object SparkEntry {
         |FROM s ORDER BY doc_id""".stripMargin,
 
     "q88_c4_line_clean" ->
-      """WITH t0 AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
-        |t1 AS (SELECT doc_id,
-        |  array_to_string(list_transform(range(0, CAST(ceil(len(tk) / 8.0) AS BIGINT)),
-        |    i -> array_to_string(tk[i*8+1 : i*8+8], ' ') ||
-        |         CASE WHEN i % 3 = 2 THEN '' ELSE '.' END), chr(10)) AS text
-        |  FROM t0),
-        |t2 AS (SELECT doc_id, text, string_split(text, chr(10)) AS ln FROM t1),
+      s"""WITH ${dLineSynth(withPunct = true)},
+        |t2 AS (SELECT doc_id, array_to_string(ln, chr(10)) AS text, ln FROM t1),
         |s AS (SELECT doc_id, text, CAST(len(ln) AS BIGINT) AS n_lines,
         |  list_filter(ln, x -> (ends_with(x, '.') OR ends_with(x, '!')
         |      OR ends_with(x, '?') OR ends_with(x, '"'))
@@ -2047,7 +2062,7 @@ object SparkEntry {
 
     "q89_take_per_stratum" ->
       s"""WITH h AS (SELECT lang, doc_id, text,
-         |  ((${dhash("text")}) * ${graft.operators.Stats.MixA} + ${graft.operators.Stats.MixB}) % $Mod AS hh
+         |  ${dmix("text")} AS hh
          |  FROM documents),
          |r AS (SELECT lang, doc_id,
          |  row_number() OVER (PARTITION BY lang ORDER BY hh, text, doc_id) AS rn FROM h)
@@ -2069,9 +2084,7 @@ object SparkEntry {
         |FROM r WHERE rank <= 10 ORDER BY cell_id, rank""".stripMargin,
 
     "q91_span_dedup" ->
-      s"""WITH t0 AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
-         |t1 AS (SELECT doc_id, list_transform(range(0, CAST(ceil(len(tk) / 8.0) AS BIGINT)),
-         |    i -> array_to_string(tk[i*8+1 : i*8+8], ' ')) AS ln FROM t0),
+      s"""WITH ${dLineSynth(withPunct = false)},
          |sp AS (SELECT doc_id, CAST(i AS INTEGER) AS pos,
          |    ${dhash("array_to_string(ln[i:i+2], chr(10))")} AS h
          |  FROM t1, unnest(range(1, len(ln) - 1)) AS r(i)),

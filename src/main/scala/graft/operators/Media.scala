@@ -166,7 +166,10 @@ object Media {
           else u(j + 1) match {
             case 0xD9 => end = j + 2                        // EOI: frame done
             case 0xFF => j += 1                             // fill byte
-            case m if m == 0x01 || (m >= 0xD0 && m <= 0xD8) =>
+            case 0xD8 => corrupt = true                     // nested SOI: this
+            // frame lost its EOI and we are looking at the NEXT frame's start
+            // — resync below salvages it instead of swallowing it whole
+            case m if m == 0x01 || (m >= 0xD0 && m <= 0xD7) =>
               j += 2                                        // standalone marker
             case 0xDA =>                                    // SOS: header, then entropy scan
               if (j + 3 >= n) corrupt = true

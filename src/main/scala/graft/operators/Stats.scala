@@ -64,8 +64,13 @@ object Stats {
     * range (Carter–Wegman universal hashing); the max intermediate
     * `(p-1)·A + B` is ~2^56, comfortably inside 63-bit arithmetic on both
     * engines. Pure codegen'd column arithmetic — no UDF, no shuffle. */
-  def hashBucket(key: Column, buckets: Int): Column =
-    ((rolling_hash(key) * MixA + MixB) % graft.functions.RollingHash.Mod) % buckets
+  /** The raw universal-hash finisher over the full prime field — the ONE
+    * Scala site of the mix ([[hashBucket]] and [[takePerStratum]] both
+    * derive from it; the DuckDB twin is SparkEntry's `dmix` fragment). */
+  def mixHash(key: Column): Column =
+    (rolling_hash(key) * MixA + MixB) % graft.functions.RollingHash.Mod
+
+  def hashBucket(key: Column, buckets: Int): Column = mixHash(key) % buckets
 
   /** Deterministic hash sample: keep rows whose [[hashBucket]] of `key`
     * falls in the lowest `pct` buckets of 100. Unlike `rand()`-based
@@ -104,7 +109,7 @@ object Stats {
     * skewed stratum costs sort time, not memory — rank state is O(1). */
   def takePerStratum(df: DataFrame, strata: Column, key: Column, k: Int,
                      tieBreak: Seq[String] = Nil): DataFrame = {
-    val h = (rolling_hash(key) * MixA + MixB) % graft.functions.RollingHash.Mod
+    val h = mixHash(key)
     val w = Window.partitionBy(strata)
       .orderBy(h.asc +: key.asc +: tieBreak.map(col(_).asc): _*)
     df.withColumn("_rn", row_number().over(w))

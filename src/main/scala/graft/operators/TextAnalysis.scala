@@ -214,14 +214,19 @@ object TextAnalysis {
     * Eval suites are MBs against a 100 TB corpus, so the normal plan
     * broadcasts the benchmark gram set and the corpus side never
     * re-partitions at all — but broadcast is driver-routed, so it is
-    * GUARDED: one count of the distinct bench grams decides, and above
-    * `broadcastMaxGrams` (default 10M hashes ≈ 80 MB of longs, the same
-    * bits-per-key budget [[graft.functions.BloomFilterAgg]] documents) the
-    * join degrades to a plain shuffle semi-join on `_gh` instead of OOMing
-    * the driver — the path a mis-aimed `benchPred` selecting half the
-    * corpus would otherwise take. Output: `(id, n_shared)` — distinct
-    * contaminated n-grams per flagged document; clean documents don't
-    * appear (filter on `id NOT IN output` to scrub).
+    * GUARDED: a cheap UPPER BOUND on the bench gram count decides (total
+    * bench tokens, counted on the `benchPred`-filtered rows only — one
+    * pushdown-pruned scan of just the benchmark slice, never a second pass
+    * over the corpus or the gram explode). Above `broadcastMaxGrams`
+    * (default 10M hashes ≈ 80 MB of longs, the same bits-per-key budget
+    * [[graft.functions.BloomFilterAgg]] documents) the join degrades to a
+    * plain shuffle semi-join on `_gh` instead of OOMing the driver — the
+    * path a mis-aimed `benchPred` selecting half the corpus would
+    * otherwise take. (Token count >= n-gram count >= distinct-gram count,
+    * so the bound errs toward the safe fallback.) Output:
+    * `(id, n_shared)` — distinct contaminated n-grams per flagged
+    * document; clean documents don't appear (filter on `id NOT IN output`
+    * to scrub).
     */
   def contaminationHits(docs: DataFrame, idCol: String, textCol: String,
                         benchPred: Column, n: Int,
@@ -232,8 +237,11 @@ object TextAnalysis {
       .select(col(idCol), col("_bench"), rolling_hash(col("_g")).as("_gh"))
     val bench = grams.where(col("_bench")).select("_gh").distinct()
     val train = grams.where(!col("_bench")).select(col(idCol), col("_gh")).distinct()
+    val benchGramBound = docs.where(benchPred)
+      .agg(coalesce(sum(size(tokens(col(textCol)))), lit(0)).cast("long"))
+      .head().getLong(0)
     val joined =
-      if (bench.count() <= broadcastMaxGrams) train.join(broadcast(bench), "_gh")
+      if (benchGramBound <= broadcastMaxGrams) train.join(broadcast(bench), "_gh")
       else train.join(bench, "_gh")
     joined.groupBy(idCol)
       .agg(count(lit(1)).as("n_shared"))

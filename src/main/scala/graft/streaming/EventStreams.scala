@@ -154,11 +154,18 @@ object EventStreams {
     * first stage-i+1 time strictly after t_i within the deadline) over
     * retained candidates — so a stage-1 event arriving micro-batches
     * after the stage-2 event still moves the anchors to what the batch
-    * funnel would compute on the union. Candidates are pruned by the
-    * invariant that the stage-i anchor never exceeds t_1 + i·window and
-    * t_1 only moves down as earlier events arrive: times beyond that
-    * horizon can never anchor, so state per user is bounded by the
-    * user's event count inside the funnel horizon, not their history.
+    * funnel would compute on the union. Candidates are deduplicated and
+    * pruned by the invariant that the stage-i anchor never exceeds
+    * t_1 + i·window and t_1 only moves down as earlier events arrive:
+    * times beyond that horizon can never anchor. State per user is
+    * therefore bounded by their DISTINCT stage-event times at or below
+    * that horizon — plus, for a user who has not yet fired stage 1, all
+    * their distinct stage times (nothing is provably prunable before an
+    * anchor exists); a long-running deployment facing never-converting
+    * spam keys should front-filter them or wrap the state in TTL the way
+    * [[runningUserCountsTws]] does. Null timestamps are dropped with null
+    * users (the batch twin ignores them via SQL null semantics; here a
+    * null would poison the query on replay).
     */
   def funnelStream(events: DataFrame, userCol: String, tsCol: String,
                    typeCol: String, stages: Seq[String],
@@ -185,7 +192,7 @@ object EventStreams {
           stageIdx.get(tpe).map(i => (i, ts.getTime))
         }.toArray
         if (incoming.isEmpty) return Iterator.empty
-        val all = times.get().toArray ++ incoming
+        val all = (times.get().toArray ++ incoming).distinct
         val byStage = Array.fill(nStages)(List.empty[Long])
         all.foreach { case (i, ms) => byStage(i) ::= ms }
         // the batch recurrence over all retained candidates
@@ -214,9 +221,11 @@ object EventStreams {
     }
 
     events
-      .where(col(userCol).isNotNull)
-      .select(col(userCol).cast("long"), col(tsCol).cast("timestamp"),
-        col(typeCol).cast("string"))
+      .select(col(userCol).cast("long").as("_u"),
+        col(tsCol).cast("timestamp").as("_ts"),
+        col(typeCol).cast("string").as("_t"))
+      // post-cast: an unparseable timestamp casts to null and must drop too
+      .where(col("_u").isNotNull && col("_ts").isNotNull)
       .as[(Long, java.sql.Timestamp, String)]
       .groupByKey(_._1)
       .transformWithState(new FunnelProcessor, TimeMode.None(), OutputMode.Update())

@@ -222,23 +222,33 @@ class IngestStreamingSpec extends SparkSuite {
   test("funnelStream matches the batch funnel under out-of-order cross-batch arrival") {
     // Events split so stage events arrive OUT OF ORDER across micro-batches:
     // user 1's click+purchase land a batch BEFORE their view; user 2's
-    // purchase arrives late and past the deadline. windowSec = 1000.
+    // purchase arrives late and past the deadline; user 5's late EARLIER
+    // view DEMOTES them (the old click falls outside the moved deadline).
+    // windowSec = 1000.
     def ts(sec: Long) = new java.sql.Timestamp(sec * 1000L)
     val batch1 = Seq((1L, ts(200), "click"), (1L, ts(300), "purchase"),
-      (2L, ts(100), "view"), (2L, ts(150), "click"))
+      (2L, ts(100), "view"), (2L, ts(150), "click"),
+      (5L, ts(100), "view"), (5L, ts(1050), "click")) // reached 2 for now
     val batch2 = Seq((1L, ts(100), "view"),     // late-arriving EARLIER view
       (2L, ts(1200), "purchase"),               // 1200 > 150 + 1000: missed
       (3L, ts(50), "view"),                     // enters at stage 1
-      (4L, ts(10), "purchase"))                 // never views: absent
+      (4L, ts(10), "purchase"),                 // never views: absent
+      (5L, ts(0), "view"))                      // moves t1 to 0: click at 1050 > 1000 now misses
     val dir = Files.createTempDirectory("graft_funnel_stream").toString + "/in"
     new java.io.File(dir).mkdirs()
     batch1.toDF("user_id", "ts", "event_type").coalesce(1)
       .write.parquet(s"$dir/../f1")
     batch2.toDF("user_id", "ts", "event_type").coalesce(1)
       .write.parquet(s"$dir/../f2")
-    for (f <- Seq("f1", "f2");
-         p <- new java.io.File(s"$dir/../$f").listFiles() if p.getName.endsWith(".parquet"))
-      Files.copy(p.toPath, java.nio.file.Path.of(dir, s"$f-${p.getName}"))
+    // pin modification times so the file source drains f1 strictly before
+    // f2 (it orders by mtime; a copy-time tie randomizes the batch order)
+    val now = System.currentTimeMillis()
+    for ((f, age) <- Seq("f1" -> 20000L, "f2" -> 10000L);
+         p <- new java.io.File(s"$dir/../$f").listFiles() if p.getName.endsWith(".parquet")) {
+      val dst = java.nio.file.Path.of(dir, s"$f-${p.getName}")
+      Files.copy(p.toPath, dst)
+      dst.toFile.setLastModified(now - age)
+    }
     val key = "spark.sql.streaming.stateStore.providerClass"
     val prev = spark.conf.getOption(key)
     try {
@@ -246,29 +256,40 @@ class IngestStreamingSpec extends SparkSuite {
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
       val schema = spark.read.parquet(dir).schema
       val stream = EventStreams.readFileStream(spark, dir, schema, maxFilesPerTrigger = 1)
-      EventStreams.drainToMemory(
+      // capture (batchId, row) via foreachBatch: the LAST update per user is
+      // the stream's final state. stage_reached can legitimately DECREASE
+      // across batches (user 5), so max()-style extraction would be unsound.
+      val buf = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Int, Seq[Long])]
+      val q = EventStreams.foreachBatchSink(
         EventStreams.funnelStream(stream, "user_id", "ts", "event_type",
-          Seq("view", "click", "purchase"), windowSec = 1000),
-        "funnel_stream", outputMode = "update")
-      // final state per user = the row with the most information (update
-      // mode re-emits on every touch; anchors only ever improve)
-      val finals = spark.table("funnel_stream")
-        .groupBy("user_id").agg(max("stage_reached").as("r"))
-        .orderBy("user_id").as[(Long, Int)].collect()
-      // batch twin on the UNION of both files is the ground truth
-      val batch = graft.operators.Behavior.funnel(
+          Seq("view", "click", "purchase"), windowSec = 1000)) { (batch, id) =>
+        val rows = batch.collect()
+        buf.synchronized {
+          rows.foreach(r => buf += ((id, r.getLong(0), r.getInt(1), r.getSeq[Long](2))))
+        }
+      }.start()
+      q.awaitTermination()
+      val finals = buf.groupBy(_._2).map { case (u, rows) =>
+        val last = rows.maxBy(_._1)
+        u -> ((last._3, last._4))
+      }
+      // user 5 really was demoted between batches
+      val u5 = buf.filter(_._2 == 5L).sortBy(_._1).map(_._3)
+      assert(u5 === Seq(2, 1), s"expected demotion 2 -> 1, got $u5")
+      // batch twin on the UNION of both files is the ground truth, anchors
+      // included (epoch ms)
+      val truth = graft.operators.Behavior.funnel(
         (batch1 ++ batch2).toDF("user_id", "ts", "event_type"),
         "user_id", "ts", "event_type", Seq("view", "click", "purchase"), 1000)
-        .orderBy("user_id")
-        .select(col("user_id"), col("stage_reached").cast("int"))
-        .as[(Long, Int)].collect()
-      assert(finals === batch)
-      assert(finals === Array((1L, 3), (2L, 2), (3L, 1))) // user 4 absent
-      // the final anchors equal the batch anchor timestamps (epoch ms)
-      val u1 = spark.table("funnel_stream").where(col("user_id") === 1)
-        .orderBy(col("stage_reached").desc).select("anchor_ms")
-        .as[Seq[Long]].head()
-      assert(u1 === Seq(100000L, 200000L, 300000L))
+        .collect().map { r =>
+          val anchors = Seq("t_view", "t_click", "t_purchase")
+            .flatMap(c => Option(r.getAs[java.sql.Timestamp](c)).map(_.getTime))
+          r.getLong(0) -> ((r.getAs[Long]("stage_reached").toInt, anchors))
+        }.toMap
+      assert(finals === truth)
+      assert(finals.view.mapValues(_._1).toMap ===
+        Map(1L -> 3, 2L -> 2, 3L -> 1, 5L -> 1)) // user 4 absent
+      assert(finals(1L)._2 === Seq(100000L, 200000L, 300000L))
     } finally prev match {
       case Some(v) => spark.conf.set(key, v)
       case None => spark.conf.unset(key)

@@ -254,6 +254,13 @@ class MediaSpec extends SparkSuite {
     assert(Media.mjpegSlices(frames.head).length === 1)
     // a truncated tail frame is dropped, completed frames survive
     assert(Media.mjpegSlices(mjpeg.dropRight(10)).length === 4)
+    // a frame that LOST ITS EOI must not swallow the frames after it: the
+    // walk hits the next frame's SOI, marks the broken frame corrupt, and
+    // resyncs — salvaging the remaining intact frames
+    val headless = frames.head.dropRight(2) ++ frames(1) ++ frames(2)
+    val salvaged = Media.mjpegSlices(headless)
+    assert(salvaged.length === 2)
+    assert(salvaged.head._1 === frames.head.length - 2) // frame2 starts after broken frame1
 
     val vids = Seq(("cam.mjpeg", mjpeg)).toDF("path", "content")
     val v = Media.sampleFrames(vids, "path", "content", 3).collect().head
