@@ -126,6 +126,52 @@ object KernelProperties extends Properties("graft.kernels") {
 
 }
 
+/** MJPEG segment-walk invariants on RANDOM concatenations of real JDK-encoded
+  * JPEGs: the recovered slices are exactly the frame boundaries (every frame,
+  * in order, gap-free), and truncating the stream mid-last-frame drops
+  * exactly that frame. Pure JVM kernel — no Spark session. */
+object MjpegProperties extends Properties("graft.mjpeg") {
+  import Prop.forAll
+  import java.awt.image.BufferedImage
+  import java.io.ByteArrayOutputStream
+  import javax.imageio.ImageIO
+
+  override def overrideParameters(p: org.scalacheck.Test.Parameters): org.scalacheck.Test.Parameters =
+    p.withMinSuccessfulTests(20) // each case encodes several real JPEGs
+
+  private def jpeg(w: Int, h: Int, rgb: Int): Array[Byte] = {
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+    var x = 0
+    while (x < w) { var y = 0; while (y < h) { img.setRGB(x, y, rgb); y += 1 }; x += 1 }
+    val baos = new ByteArrayOutputStream()
+    ImageIO.write(img, "jpg", baos)
+    baos.toByteArray
+  }
+
+  private val frameGen: Gen[Array[Byte]] = for {
+    w <- Gen.choose(8, 32)
+    h <- Gen.choose(8, 32)
+    c <- Gen.choose(0, 0xffffff)
+  } yield jpeg(w, h, c)
+
+  private val streamGen: Gen[List[Array[Byte]]] =
+    Gen.choose(1, 6).flatMap(k => Gen.listOfN(k, frameGen))
+
+  property("slices.recoverExactFrameBoundaries") = forAll(streamGen) { frames =>
+    val stream = frames.reduce(_ ++ _)
+    val bounds = frames.scanLeft(0)(_ + _.length)
+    val expected = bounds.zip(bounds.tail)
+    graft.operators.Media.mjpegSlices(stream).toList == expected
+  }
+
+  property("slices.truncationDropsOnlyTheLastFrame") =
+    forAll(streamGen, Gen.choose(1, 10)) { (frames, cut) =>
+      val stream = frames.reduce(_ ++ _)
+      val r = math.min(cut, frames.last.length - 2) // keep last frame's SOI
+      graft.operators.Media.mjpegSlices(stream.dropRight(r)).length == frames.length - 1
+    }
+}
+
 /** Funnel invariants on RANDOM event streams (Behavior.scala contract):
   * the non-null stage anchors of every output row form a PREFIX, strictly
   * ordered with each step inside its deadline; `stage_reached` counts that
