@@ -74,6 +74,10 @@ object Ingest {
 
   /** P3 — suffix predicate on an already-scanned path column
     * (Upload_Zip_S3.py:28, process_test_train_Images.py:42). */
-  def filterSuffix(df: DataFrame, pathCol: String, suffixes: Seq[String]): DataFrame =
+  def filterSuffix(df: DataFrame, pathCol: String, suffixes: Seq[String]): DataFrame = {
+    // an empty list would crash reduce with an opaque error; a caller with
+    // a config-driven list that resolved empty should hear it plainly
+    require(suffixes.nonEmpty, "filterSuffix needs at least one suffix")
     df.where(suffixes.map(sfx => col(pathCol).endsWith(sfx)).reduce(_ || _))
+  }
 }

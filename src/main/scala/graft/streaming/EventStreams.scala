@@ -36,14 +36,18 @@ object EventStreams {
       .load(dir)
 
   /** Watermarked tumbling-window aggregate over event time (batch twin:
-    * SparkEntry q18_window_hourly). */
+    * SparkEntry q18_window_hourly). Group/value columns are parameters
+    * like every sibling operator here — the old hardcoded
+    * event_type/value pair failed at plan time on any other schema. */
   def windowedCounts(events: DataFrame, tsCol: String, windowLen: String,
-                     watermark: String = "1 hour"): DataFrame =
+                     watermark: String = "1 hour",
+                     groupCol: String = "event_type",
+                     valueCol: String = "value"): DataFrame =
     events
       .withColumn("_ts", col(tsCol).cast("timestamp"))
       .withWatermark("_ts", watermark)
-      .groupBy(window(col("_ts"), windowLen), col("event_type"))
-      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+      .groupBy(window(col("_ts"), windowLen), col(groupCol))
+      .agg(count(lit(1)).as("n"), sum(col(valueCol)).as("sum_value"))
 
   /** Streaming exact-dedup with bounded state — the streaming twin of
     * Dedup.dedupKeepFirst: duplicates within the watermark horizon are
@@ -139,14 +143,14 @@ object EventStreams {
       .toDF(userCol, "n_events")
   }
 
-  /** Streaming funnel update: stages completed so far + the anchor
-    * timestamps (epoch millis) of exactly those completed stages. */
-  case class FunnelUpdate(user_id: Long, stage_reached: Int, anchor_ms: Seq[Long])
-
   /** Streaming twin of [[graft.operators.Behavior.funnel]] on
     * `transformWithState`: per-user ordered-funnel anchors maintained
     * across micro-batches, emitted in Update mode whenever the user's
-    * funnel state is touched.
+    * funnel state is touched. Output:
+    * `(user_id, stage_reached, anchor_us)` — anchors in epoch
+    * MICROSECONDS (Spark's native timestamp resolution, so the
+    * strictly-after and deadline comparisons match the batch twin
+    * exactly; millisecond truncation would mis-order sub-ms events).
     *
     * EXACT batch parity under any arrival order: the state is not the
     * anchors but the per-stage CANDIDATE event times, and every batch
@@ -163,9 +167,15 @@ object EventStreams {
     * their distinct stage times (nothing is provably prunable before an
     * anchor exists); a long-running deployment facing never-converting
     * spam keys should front-filter them or wrap the state in TTL the way
-    * [[runningUserCountsTws]] does. Null timestamps are dropped with null
-    * users (the batch twin ignores them via SQL null semantics; here a
-    * null would poison the query on replay).
+    * [[runningUserCountsTws]] does.
+    *
+    * Input hygiene: non-stage event types are filtered BEFORE the
+    * stateful shuffle (they cannot touch funnel state, so shipping them
+    * is pure exchange waste); null users/timestamps are dropped (the
+    * batch twin ignores them via SQL null semantics; here a null poisons
+    * the query on checkpoint replay); a NON-null user id that does not
+    * cast to long fails the query loudly instead of silently deleting
+    * that user's stream (string ids need a numeric surrogate first).
     */
   def funnelStream(events: DataFrame, userCol: String, tsCol: String,
                    typeCol: String, stages: Seq[String],
@@ -177,9 +187,13 @@ object EventStreams {
       s"funnel stages must be distinct, got $stages")
     val spark = events.sparkSession
     import spark.implicits._
-    val windowMs = windowSec * 1000L
+    val windowUs = windowSec * 1000000L
     val nStages = stages.size
     val stageIdx = stages.zipWithIndex.toMap
+    // full microsecond precision: getTime truncates to ms, the sub-ms part
+    // lives in the nanos field
+    def micros(ts: java.sql.Timestamp): Long =
+      Math.floorDiv(ts.getTime, 1000L) * 1000000L + ts.getNanos / 1000L
 
     class FunnelProcessor extends StatefulProcessor[Long, (Long, java.sql.Timestamp, String), (Long, Int, Seq[Long])] {
       @transient private var times: ListState[(Int, Long)] = _
@@ -189,7 +203,7 @@ object EventStreams {
       override def handleInputRows(key: Long, rows: Iterator[(Long, java.sql.Timestamp, String)],
           tv: TimerValues): Iterator[(Long, Int, Seq[Long])] = {
         val incoming = rows.flatMap { case (_, ts, tpe) =>
-          stageIdx.get(tpe).map(i => (i, ts.getTime))
+          stageIdx.get(tpe).map(i => (i, micros(ts)))
         }.toArray
         if (incoming.isEmpty) return Iterator.empty
         val all = (times.get().toArray ++ incoming).distinct
@@ -203,7 +217,7 @@ object EventStreams {
           var ok = true
           while (ok && i + 1 < nStages) {
             val prev = anchors(i)
-            val next = byStage(i + 1).filter(t => t > prev && t <= prev + windowMs)
+            val next = byStage(i + 1).filter(t => t > prev && t <= prev + windowUs)
             if (next.isEmpty) ok = false else anchors(i + 1) = next.min
             i += 1
           }
@@ -212,7 +226,7 @@ object EventStreams {
         // prune: stage-i candidates past t_1 + i*window can never anchor
         val kept =
           if (reached == 0) all
-          else all.filter { case (i, ms) => ms <= anchors(0) + i.toLong * windowMs }
+          else all.filter { case (i, us) => us <= anchors(0) + i.toLong * windowUs }
         times.clear()
         if (kept.nonEmpty) times.put(kept)
         if (reached == 0) Iterator.empty
@@ -221,16 +235,23 @@ object EventStreams {
     }
 
     events
-      .select(col(userCol).cast("long").as("_u"),
+      .select(
+        // a non-null id that doesn't cast is a caller bug — fail loudly
+        // instead of silently deleting that user's whole stream
+        when(col(userCol).isNotNull && col(userCol).cast("long").isNull,
+          raise_error(concat(lit("funnelStream: user id not castable to long: "),
+            col(userCol).cast("string"))))
+          .otherwise(col(userCol).cast("long")).as("_u"),
         col(tsCol).cast("timestamp").as("_ts"),
         col(typeCol).cast("string").as("_t"))
-      // post-cast: an unparseable timestamp casts to null and must drop too
-      .where(col("_u").isNotNull && col("_ts").isNotNull)
+      // post-cast: an unparseable timestamp casts to null and must drop
+      // too; non-stage types never touch state, so drop them pre-shuffle
+      .where(col("_u").isNotNull && col("_ts").isNotNull &&
+        col("_t").isin(stages: _*))
       .as[(Long, java.sql.Timestamp, String)]
       .groupByKey(_._1)
       .transformWithState(new FunnelProcessor, TimeMode.None(), OutputMode.Update())
-      .map { case (u, r, a) => FunnelUpdate(u, r, a) }
-      .toDF()
+      .toDF("user_id", "stage_reached", "anchor_us")
   }
 
   /** Streaming session summary row. */
@@ -242,7 +263,11 @@ object EventStreams {
     * between consecutive events exceeds `gapMinutes`, either observed
     * within the data or enforced by an event-time timeout once the
     * watermark passes the open session's horizon. State per user is one
-    * open session — bounded, watermark-reclaimed. */
+    * open session — bounded, watermark-reclaimed. Null/uncastable keys and
+    * timestamps are dropped (a null here poisons the query on checkpoint
+    * replay — same guard as [[funnelStream]]); an allowed-late event
+    * inside the open session's gap EXTENDS its bounds in whichever
+    * direction (min start / max end), never moves them backward. */
   def sessionizeStream(events: DataFrame, tsCol: String, userCol: String,
                        gapMinutes: Int, watermark: String = "0 seconds"): DataFrame = {
     val spark = events.sparkSession
@@ -253,6 +278,9 @@ object EventStreams {
       .withColumn("_ts", col(tsCol).cast("timestamp"))
       .withWatermark("_ts", watermark)
       .select(col(userCol).cast("long").as("u"), col("_ts"))
+      // post-cast: null keys fail the non-nullable Long upcast, null
+      // timestamps NPE in the state function — both wedge the query
+      .where(col("u").isNotNull && col("_ts").isNotNull)
       .as[(Long, java.sql.Timestamp)]
 
     def fn(user: Long, rows: Iterator[(Long, java.sql.Timestamp)],
@@ -269,7 +297,12 @@ object EventStreams {
       times.foreach { t =>
         cur match {
           case Some(s) if t - s.session_end.getTime <= gapMs =>
-            cur = Some(s.copy(session_end = new java.sql.Timestamp(t),
+            // an allowed-late event (t before the current bounds) extends
+            // the session backward, never drags session_end before
+            // session_start
+            cur = Some(s.copy(
+              session_start = new java.sql.Timestamp(math.min(s.session_start.getTime, t)),
+              session_end = new java.sql.Timestamp(math.max(s.session_end.getTime, t)),
               n_events = s.n_events + 1))
           case Some(s) =>
             closed ::= s

@@ -277,19 +277,19 @@ class IngestStreamingSpec extends SparkSuite {
       val u5 = buf.filter(_._2 == 5L).sortBy(_._1).map(_._3)
       assert(u5 === Seq(2, 1), s"expected demotion 2 -> 1, got $u5")
       // batch twin on the UNION of both files is the ground truth, anchors
-      // included (epoch ms)
+      // included (epoch MICROS — the stream's native comparison precision)
       val truth = graft.operators.Behavior.funnel(
         (batch1 ++ batch2).toDF("user_id", "ts", "event_type"),
         "user_id", "ts", "event_type", Seq("view", "click", "purchase"), 1000)
         .collect().map { r =>
           val anchors = Seq("t_view", "t_click", "t_purchase")
-            .flatMap(c => Option(r.getAs[java.sql.Timestamp](c)).map(_.getTime))
+            .flatMap(c => Option(r.getAs[java.sql.Timestamp](c)).map(_.getTime * 1000L))
           r.getLong(0) -> ((r.getAs[Long]("stage_reached").toInt, anchors))
         }.toMap
       assert(finals === truth)
       assert(finals.view.mapValues(_._1).toMap ===
         Map(1L -> 3, 2L -> 2, 3L -> 1, 5L -> 1)) // user 4 absent
-      assert(finals(1L)._2 === Seq(100000L, 200000L, 300000L))
+      assert(finals(1L)._2 === Seq(100000000L, 200000000L, 300000000L))
     } finally prev match {
       case Some(v) => spark.conf.set(key, v)
       case None => spark.conf.unset(key)
@@ -342,6 +342,42 @@ class IngestStreamingSpec extends SparkSuite {
     assert(got.contains((7L, "2024-01-01 00:00:00", "2024-01-01 00:10:00", 2L)),
       s"missing session 1 in ${got.mkString(", ")}")
     // any additionally emitted (timeout-closed) sessions must be well-formed
+    got.foreach { case (_, s, e, n) => assert(s <= e && n >= 1) }
+  }
+
+  test("sessionizer extends bounds on allowed-late events, never end < start") {
+    val root = Files.createTempDirectory("graft_sess_late").toString
+    val dir = s"$root/in"
+    new java.io.File(dir).mkdirs()
+    def write(f: String, mtime: Long, rows: (Long, String)*): Unit = {
+      rows.toSeq.toDF("user_id", "ts_s")
+        .withColumn("ts", col("ts_s").cast("timestamp")).drop("ts_s")
+        .coalesce(1).write.parquet(s"$root/$f")
+      for (p <- new java.io.File(s"$root/$f").listFiles() if p.getName.endsWith(".parquet")) {
+        val dst = java.nio.file.Path.of(dir, s"$f-${p.getName}")
+        Files.copy(p.toPath, dst)
+        dst.toFile.setLastModified(mtime)
+      }
+    }
+    // batch 1 opens user 7's session; batch 2 delivers a LATE EARLIER event
+    // (inside the 1h watermark) plus a later one; batch 3 pushes the
+    // watermark past the horizon so the session closes and emits.
+    write("f1", 1000000L, 7L -> "2024-01-01 00:10:00", 7L -> "2024-01-01 00:20:00")
+    write("f2", 2000000L, 7L -> "2024-01-01 00:05:00", 7L -> "2024-01-01 00:25:00")
+    write("f3", 3000000L, 9L -> "2024-01-01 06:00:00")
+    val schema = spark.read.parquet(dir).schema
+    val stream = EventStreams.readFileStream(spark, dir, schema, maxFilesPerTrigger = 1)
+    EventStreams.drainToMemory(
+      EventStreams.sessionizeStream(stream, "ts", "user_id", gapMinutes = 30,
+        watermark = "1 hour"),
+      "late_sessions", outputMode = "append")
+    val got = spark.table("late_sessions")
+      .select(col("user_id"), col("session_start").cast("string"),
+        col("session_end").cast("string"), col("n_events"))
+      .as[(Long, String, String, Long)].collect()
+    // the late 00:05 extends the session BACKWARD; 00:25 forward; one session
+    assert(got.contains((7L, "2024-01-01 00:05:00", "2024-01-01 00:25:00", 4L)),
+      s"late event did not extend the session bounds: ${got.mkString(", ")}")
     got.foreach { case (_, s, e, n) => assert(s <= e && n >= 1) }
   }
 
