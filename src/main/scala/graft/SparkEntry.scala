@@ -1109,6 +1109,19 @@ object SparkEntry {
       val lined = synthesizeLines(Tables.documents(s, dir), withPunct = false)
       Dedup.spanDupStats(lined, "doc_id", "text", 3).orderBy("doc_id")
     }),
+
+    // LLM block packing with cross-document spillover: docs laid end-to-
+    // end (EOS-separated) and cut into fixed 512-token blocks — the
+    // pretraining layout where a doc straddles block boundaries (q63 is
+    // the never-split whole-doc twin). Per-block rollup bounds the output.
+    "q92_block_pack" -> ((s, dir) => {
+      Batching.blockPack(Tables.documents(s, dir).select("doc_id", "text"),
+        Seq("doc_id"), 512, TextAnalysis.tokenCount(col("text")))
+        .groupBy("block_id")
+        .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("n_tokens"),
+          min("doc_id").as("first_doc"))
+        .orderBy("block_id")
+    }),
   )
 
   /** Deterministic line synthesis shared by q88/q91: the single-line
@@ -2095,5 +2108,18 @@ object SparkEntry {
          |  CAST(sum(CASE WHEN n_occ > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_spans,
          |  CAST(sum(CASE WHEN n_occ > 1 AND rn > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_removed
          |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "q92_block_pack" ->
+      """WITH t AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) + 1 AS n FROM documents),
+        |c AS (SELECT doc_id, n, sum(n) OVER (ORDER BY doc_id
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS e FROM t),
+        |b AS (SELECT doc_id, n, e - n AS s, e FROM c),
+        |x AS (SELECT doc_id, i AS block_id,
+        |  least(e, (i + 1) * 512) - greatest(s, i * 512) AS n_tokens
+        |  FROM b, unnest(range(CAST(floor(s / 512.0) AS BIGINT),
+        |    CAST(floor((e - 1) / 512.0) AS BIGINT) + 1)) AS r(i))
+        |SELECT block_id, count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+        |  min(doc_id) AS first_doc
+        |FROM x GROUP BY block_id ORDER BY block_id""".stripMargin,
   )
 }

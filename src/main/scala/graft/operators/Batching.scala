@@ -110,6 +110,38 @@ object Batching {
       .withColumn(out, floor((col("_cum") - 1).cast("double") / budget).cast("long"))
       .drop("_w", "_cum")
 
+  /** LLM block packing WITH cross-document spillover: documents are laid
+    * end-to-end (one EOS separator token after each) in `orderCols` order
+    * and the token stream is cut into fixed `blockSize` blocks — the
+    * actual pretraining tokenization layout, where a document routinely
+    * straddles a block boundary. [[weightBudgetChunkId]] (q63) is the
+    * whole-document variant that never splits; this one fills every block
+    * exactly. Emits one row per (doc, block) overlap: the input columns
+    * plus `(block_id, n_tokens)` — tokens of this document (incl. its
+    * EOS) landing in this block.
+    *
+    * Scale shape: per-doc global offsets come from the distributed
+    * two-phase [[prefixSum]]; each document then explodes to ONLY its
+    * touched blocks (ceil(len/blockSize)+1 rows at most) with closed-form
+    * overlap arithmetic — never a per-token explode — so the shuffle is
+    * O(docs + doc-block overlaps), not O(tokens). */
+  def blockPack(df: DataFrame, orderCols: Seq[String], blockSize: Int,
+                tokenCount: org.apache.spark.sql.Column,
+                out: String = "block_id"): DataFrame = {
+    require(blockSize > 0, s"blockSize must be positive, got $blockSize")
+    val withLen = df.withColumn("_n", tokenCount.cast("long") + 1L) // + EOS
+    val cum = prefixSum(withLen, orderCols, "_n", "_end")
+    val start = col("_end") - col("_n") // doc occupies [start, _end)
+    val firstB = floor(start.cast("double") / blockSize).cast("long")
+    val lastB = floor((col("_end") - 1).cast("double") / blockSize).cast("long")
+    cum
+      .withColumn(out, explode(sequence(firstB, lastB)))
+      .withColumn("n_tokens",
+        least(col("_end"), (col(out) + 1) * blockSize) -
+          greatest(start, col(out) * blockSize))
+      .drop("_n", "_end")
+  }
+
   /** G1/G2/K1/K3/K4 physical form — chunked parquet/csv write without any
     * global sort: `maxRecordsPerFile` bounds records per output file the way
     * the reference bounds images per `.pt` (200) and rows per CSV chunk

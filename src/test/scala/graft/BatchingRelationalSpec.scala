@@ -43,6 +43,25 @@ class BatchingRelationalSpec extends SparkSuite {
     assert(got === expected.toArray)
   }
 
+  test("blockPack: docs straddle block boundaries with exact overlap counts") {
+    import graft.operators.Batching
+    // token counts (+1 EOS each): A 5+1=6, B 3+1=4, C 2+1=3 -> stream of 13
+    // tokens cut into blocks of 8: A fills [0,6); B [6,10) straddles the
+    // boundary (2 tokens in block 0, 2 in block 1); C [10,13) in block 1.
+    val docs = Seq((1L, "a b c d e"), (2L, "f g h"), (3L, "i j"))
+      .toDF("doc_id", "text")
+    val out = Batching.blockPack(docs, Seq("doc_id"), 8,
+      graft.operators.TextAnalysis.tokenCount(col("text")))
+      .select("doc_id", "block_id", "n_tokens")
+      .orderBy("doc_id", "block_id")
+      .as[(Long, Long, Long)].collect()
+    assert(out === Array(
+      (1L, 0L, 6L), (2L, 0L, 2L), (2L, 1L, 2L), (3L, 1L, 3L)))
+    // every block except the last is exactly full
+    val perBlock = out.groupBy(_._2).view.mapValues(_.map(_._3).sum).toMap
+    assert(perBlock === Map(0L -> 8L, 1L -> 5L))
+  }
+
   test("nextChunkNumber resumes from max+1, default 0 (A5)") {
     assert(Batching.nextChunkNumber(Seq.empty[Long].toDF("chunk"), "chunk") === 0L)
     assert(Batching.nextChunkNumber(Seq(3L, 7L, 5L).toDF("chunk"), "chunk") === 8L)
