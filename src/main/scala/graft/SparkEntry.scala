@@ -1330,11 +1330,11 @@ object SparkEntry {
 
     "q16_byte_chunks" ->
       """WITH x AS (SELECT
-        |length(CAST(l_orderkey AS VARCHAR)) + length(CAST(l_linenumber AS VARCHAR)) +
-        |length(l_returnflag) + length(l_linestatus) + 1 AS row_bytes,
+        |coalesce(length(CAST(l_orderkey AS VARCHAR)), 4) + coalesce(length(CAST(l_linenumber AS VARCHAR)), 4) +
+        |coalesce(length(l_returnflag), 4) + coalesce(length(l_linestatus), 4) + 1 AS row_bytes,
         |l_orderkey, l_linenumber FROM lineitem),
-        |c AS (SELECT CAST(floor((sum(row_bytes) OVER (ORDER BY l_orderkey, l_linenumber
-        |ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1) / 20000.0) AS BIGINT) AS chunk_id FROM x)
+        |c AS (SELECT greatest(CAST(floor((sum(row_bytes) OVER (ORDER BY l_orderkey, l_linenumber
+        |ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1) / 20000.0) AS BIGINT), 0) AS chunk_id FROM x)
         |SELECT chunk_id, count(*) AS n FROM c GROUP BY chunk_id ORDER BY chunk_id""".stripMargin,
 
     "q17_topk" ->
@@ -1765,8 +1765,8 @@ object SparkEntry {
 
     "q63_seq_pack" ->
       """WITH x AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS w FROM documents),
-        |c AS (SELECT CAST(floor((sum(w) OVER (ORDER BY doc_id
-        |ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1) / 512.0) AS BIGINT) AS pack_id, w FROM x)
+        |c AS (SELECT greatest(CAST(floor((sum(w) OVER (ORDER BY doc_id
+        |ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1) / 512.0) AS BIGINT), 0) AS pack_id, w FROM x)
         |SELECT pack_id, count(*) AS n_docs, CAST(sum(w) AS BIGINT) AS total_tokens
         |FROM c GROUP BY pack_id ORDER BY pack_id""".stripMargin,
 
@@ -2110,7 +2110,7 @@ object SparkEntry {
          |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "q92_block_pack" ->
-      """WITH t AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) + 1 AS n FROM documents),
+      """WITH t AS (SELECT doc_id, greatest(CAST(coalesce(len(string_split(text, ' ')), 0) AS BIGINT), 0) + 1 AS n FROM documents),
         |c AS (SELECT doc_id, n, sum(n) OVER (ORDER BY doc_id
         |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS e FROM t),
         |b AS (SELECT doc_id, n, e - n AS s, e FROM c),

@@ -92,13 +92,7 @@ object GraftFunctions {
   }
   private def literalK(es: Seq[Expression], default: Int): Int = es match {
     case Seq(_) => default
-    case Seq(_, k) if k.foldable => k.eval() match {
-      case n: Number => n.intValue()
-      case other => throw new IllegalArgumentException(
-        s"k must be an integer constant, got $other")
-    }
-    case Seq(_, k) => throw new IllegalArgumentException(
-      s"k must be a constant expression, got ${k.sql}")
+    case Seq(_, k) => literalInt(k, "k")
     case other => throw new IllegalArgumentException(
       s"expected (text[, k constant]), got ${other.length} args")
   }

@@ -97,6 +97,10 @@ case class NearestCells(child: Expression, centIds: Seq[Long],
         }
         cos = if (naM == 0.0 || nbM == 0.0) 0.0 else dot / (Math.sqrt(naM) * Math.sqrt(nbM))
       }
+      // NaN (a NaN element in probe or centroid) must rank LAST, not poison
+      // slot 0 via always-false comparisons: normalize to -inf so the
+      // buffer's ordering logic stays total (same policy as NearestCentroid)
+      if (cos.isNaN) cos = Double.NegativeInfinity
       val id = ids(c)
       if (size < p || cos > bc(size - 1) || (cos == bc(size - 1) && id < bi(size - 1))) {
         var pos = if (size < p) size else size - 1

@@ -72,8 +72,14 @@ case class NearestCentroid(child: Expression, centIds: Seq[Long],
       na += x * x
       i += 1
     }
+    // Seed with the first centroid so the result is ALWAYS a real id: with
+    // a NaN probe element every cosine is NaN, no comparison ever wins, and
+    // an unseeded loop would return a sentinel id that exists in no
+    // centroid set (silently lost rows downstream). NaN cosines LOSE here
+    // by design — a garbage vector must not capture the corpus (SQL's
+    // NaN-sorts-greatest would rank it first; documented divergence).
     var best = Double.NegativeInfinity
-    var bestId = Long.MaxValue
+    var bestId = ids(0)
     var c = 0
     while (c < vecs.length) {
       val v = vecs(c)

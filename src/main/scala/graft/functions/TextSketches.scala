@@ -100,6 +100,9 @@ object TextSketches {
 
 /** `minhash_sig(text)` — 16-slot MinHash signature, fused kernel. */
 case class MinHashSig(child: Expression, k: Int = 16) extends UnaryExpression {
+  // construction-time, not analysis-time: the SQL path passes any literal
+  // through, and a bad k would otherwise crash per-row inside codegen
+  require(k >= 1 && k <= 1024, s"minhash_sig k must be in [1, 1024], got $k")
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "minhash_sig"
   override protected def nullSafeEval(input: Any): Any =
@@ -112,6 +115,9 @@ case class MinHashSig(child: Expression, k: Int = 16) extends UnaryExpression {
 
 /** `simhash(text)` — 16-bit SimHash, fused kernel. */
 case class SimHash(child: Expression, k: Int = 16) extends UnaryExpression {
+  // > 64 would wrap the Long shifts (bit k's vote silently overwrites bit
+  // k-64); validate at construction like MinHashSig
+  require(k >= 1 && k <= 64, s"simhash k must be in [1, 64] bits, got $k")
   override def dataType: DataType = LongType
   override def prettyName: String = "simhash"
   override protected def nullSafeEval(input: Any): Any =

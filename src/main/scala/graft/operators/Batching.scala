@@ -65,10 +65,12 @@ object Batching {
     * sort + zipWithIndex (Relational.withRowIndex), not a single-partition
     * window; ids equal `floor((row_number()-1)/batchSize)` exactly. */
   def microBatchId(df: DataFrame, orderCols: Seq[String], batchSize: Int,
-                   out: String = "batch_id"): DataFrame =
+                   out: String = "batch_id"): DataFrame = {
+    require(batchSize > 0, s"batchSize must be positive, got $batchSize")
     Relational.withRowIndex(df, orderCols, "_ridx")
       .withColumn(out, floor(col("_ridx").cast("double") / batchSize).cast("long"))
       .drop("_ridx")
+  }
 
   /** G3 — running byte-budget chunk id (split_image_Script.py:22-54): row
     * size is estimated (the reference's `sum(len(str(v)))+1`, :35),
@@ -82,8 +84,11 @@ object Batching {
   def byteBudgetChunkId(df: DataFrame, orderCols: Seq[String],
                         budgetBytes: Long, sizeCols: Seq[String],
                         out: String = "chunk_id"): DataFrame = {
+    // per-column null guard: length(null) is null and would zero the WHOLE
+    // row's estimate via + propagation; the reference counts str(None) =
+    // 'None' = 4 bytes, so mirror that per column
     val rowBytes = sizeCols
-      .map(c => length(col(c).cast("string")))
+      .map(c => coalesce(length(col(c).cast("string")), lit(4)))
       .reduce(_ + _) + lit(1)
     weightBudgetChunkId(df, orderCols, budgetBytes, rowBytes, out)
   }
@@ -105,10 +110,15 @@ object Batching {
     * is what the DuckDB oracle computes, so parity holds by construction. */
   def weightBudgetChunkId(df: DataFrame, orderCols: Seq[String], budget: Long,
                           weight: org.apache.spark.sql.Column,
-                          out: String = "chunk_id"): DataFrame =
+                          out: String = "chunk_id"): DataFrame = {
+    require(budget > 0, s"budget must be positive, got $budget")
     prefixSum(df.withColumn("_w", weight.cast("long")), orderCols, "_w", "_cum")
-      .withColumn(out, floor((col("_cum") - 1).cast("double") / budget).cast("long"))
+      // leading zero/null-weight rows have cum = 0 -> floor(-1/budget) = -1;
+      // clamp so chunk ids start at 0 (oracle computes the same greatest)
+      .withColumn(out, greatest(
+        floor((col("_cum") - 1).cast("double") / budget).cast("long"), lit(0L)))
       .drop("_w", "_cum")
+  }
 
   /** LLM block packing WITH cross-document spillover: documents are laid
     * end-to-end (one EOS separator token after each) in `orderCols` order
@@ -129,7 +139,12 @@ object Batching {
                 tokenCount: org.apache.spark.sql.Column,
                 out: String = "block_id"): DataFrame = {
     require(blockSize > 0, s"blockSize must be positive, got $blockSize")
-    val withLen = df.withColumn("_n", tokenCount.cast("long") + 1L) // + EOS
+    // null/negative token counts clamp to 0 (doc contributes its EOS only):
+    // a null would otherwise null the whole offset chain and silently DROP
+    // the document; a legacy -1 sentinel would make sequence() run backward
+    // and emit phantom blocks
+    val withLen = df.withColumn("_n",
+      greatest(coalesce(tokenCount.cast("long"), lit(0L)), lit(0L)) + 1L)
     val cum = prefixSum(withLen, orderCols, "_n", "_end")
     val start = col("_end") - col("_n") // doc occupies [start, _end)
     val firstB = floor(start.cast("double") / blockSize).cast("long")
