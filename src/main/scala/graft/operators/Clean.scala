@@ -64,6 +64,15 @@ object Clean {
   def fillForwardBackward(df: DataFrame, cols: Seq[String],
                           orderCols: Seq[String],
                           partitionCols: Seq[String] = Nil): DataFrame = {
+    require(orderCols.nonEmpty,
+      "fillForwardBackward needs orderCols: without a total order the fill direction is undefined")
+    // a fill target that is also a key would duplicate the column in the
+    // narrow join-back projection and die later with an ambiguous-reference
+    // AnalysisException; reject it here with a message that names the column
+    val keyOverlap = cols.filter(c => orderCols.contains(c) || partitionCols.contains(c))
+    require(keyOverlap.isEmpty,
+      s"fill columns overlap order/partition keys: ${keyOverlap.mkString(", ")} " +
+        "(keys are fill inputs, not fill targets)")
     // Both passes are RUNNING (unbounded-preceding) frames: Spark evaluates
     // an UnboundedFollowing frame by re-aggregating the remainder of the
     // partition for EVERY row — O(rows^2) per partition, a multi-minute

@@ -71,6 +71,7 @@ object Encode {
     * read_csv_s3_train.py:106-109). One agg pass for all columns, one
     * broadcast cross join to apply. Output column `<c>_z`. */
   def standardScale(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "standardScale needs at least one column")
     val stats = df.agg(
       avg(col(cols.head)).as(s"${cols.head}_mu"),
       cols.tail.map(c => avg(col(c)).as(s"${c}_mu")) ++
@@ -85,6 +86,7 @@ object Encode {
     * optional grouping key (per-group fit). Output column `<c>_mm`. */
   def minMaxScale(df: DataFrame, cols: Seq[String],
                   groupCols: Seq[String] = Nil): DataFrame = {
+    require(cols.nonEmpty, "minMaxScale needs at least one column")
     val aggs = cols.flatMap(c =>
       Seq(min(col(c)).as(s"${c}_min"), max(col(c)).as(s"${c}_max")))
     val applyOne = (d: DataFrame, c: String) =>
@@ -129,6 +131,11 @@ object Encode {
   def winsorize(df: DataFrame, valueCol: String, groupCols: Seq[String],
                 pLo: Double, pHi: Double, exact: Boolean = true,
                 accuracy: Int = 10000): DataFrame = {
+    // percentile() would reject these too, but only at execution time from
+    // inside a task, with the operator name lost — fail at the call site
+    require(pLo >= 0 && pHi <= 1 && pLo <= pHi,
+      s"winsorize needs 0 <= pLo <= pHi <= 1, got [$pLo, $pHi]")
+    require(accuracy >= 1, s"winsorize accuracy must be positive, got $accuracy")
     val band = percentileFit(valueCol, Seq(pLo, pHi), exact, accuracy).as("_band")
     val joined =
       if (groupCols.isEmpty) df.crossJoin(broadcast(df.agg(band)))
@@ -148,16 +155,24 @@ object Encode {
     * memory per group, the 100-TB path. Output `<valueCol>_rz`. */
   def robustScale(df: DataFrame, valueCol: String, groupCols: Seq[String],
                   exact: Boolean = true, accuracy: Int = 10000): DataFrame = {
+    require(accuracy >= 1, s"robustScale accuracy must be positive, got $accuracy")
+    // empty groupCols = one global fit; joining on zero columns would plan
+    // a condition-less join, so the global path gets the same explicit
+    // broadcast cross join shape winsorize uses
+    def fitJoin(fact: DataFrame, fit: DataFrame): DataFrame =
+      if (groupCols.isEmpty) fact.crossJoin(broadcast(fit))
+      else fact.join(broadcast(fit), groupCols)
     val med = df.groupBy(groupCols.map(col): _*)
       .agg(element_at(percentileFit(valueCol, Seq(0.5), exact, accuracy), 1).as("_med"))
-    val withMed = df.join(broadcast(med), groupCols)
+    val withMed = fitJoin(df, med)
     val mad = withMed.groupBy(groupCols.map(col): _*)
       .agg(element_at(
         percentileFit(s"abs($valueCol - _med)", Seq(0.5), exact, accuracy), 1).as("_mad"))
     // Pre-join the two group-sized fits so the fact side pays ONE broadcast
     // hash join instead of two (the MAD fit still reads withMed, but the
     // apply pass scans df fresh either way).
-    df.join(broadcast(med.join(mad, groupCols)), groupCols)
+    val fits = if (groupCols.isEmpty) med.crossJoin(mad) else med.join(mad, groupCols)
+    fitJoin(df, fits)
       .withColumn(s"${valueCol}_rz",
         (col(valueCol) - col("_med")) / (lit(1.4826) * col("_mad")))
       .drop("_med", "_mad")

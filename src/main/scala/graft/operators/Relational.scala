@@ -90,6 +90,9 @@ object Relational {
                  small: DataFrame, smallOrder: Seq[String]): DataFrame = {
     val smallIdx = withRowIndex(small, smallOrder)
     val n = smallIdx.count()
+    // idx % 0 is null in SQL, so an empty small side would silently drop
+    // EVERY big row through the join instead of failing
+    require(n > 0, "moduloJoin: small side is empty — idx % 0 would null out every row")
     withRowIndex(big, bigOrder)
       .withColumn("idx", col("idx") % lit(n))
       .join(broadcast(smallIdx), "idx")
@@ -103,7 +106,10 @@ object Relational {
   /** U1 — union-all of homogeneous frames by column name; replaces the
     * reference's driver-side `pd.concat` materialization
     * (read_csv_s3_train.py:122-134) with one lazy plan. */
-  def unionAll(dfs: Seq[DataFrame]): DataFrame = dfs.reduce(_ unionByName _)
+  def unionAll(dfs: Seq[DataFrame]): DataFrame = {
+    require(dfs.nonEmpty, "unionAll of zero frames has no schema to return")
+    dfs.reduce(_ unionByName _)
+  }
 
   /** O4 — seeded random split (Best-Model-architecture-for-local.py:106-109).
     * Deterministic per seed; excluded from the oracle (SURVEY §7.4.4). */
@@ -165,6 +171,8 @@ object Relational {
     * one shuffle on the group key; AQE handles group-count skew. */
   def groupTopK(df: DataFrame, groupCols: Seq[String], k: Int,
                 order: org.apache.spark.sql.Column*): DataFrame = {
+    require(!df.columns.contains("rank"),
+      "groupTopK emits a 'rank' column and would silently overwrite the existing one")
     val w = Window.partitionBy(groupCols.map(col): _*).orderBy(order: _*)
     df.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
   }
@@ -232,6 +240,11 @@ object Relational {
     * Semantics identical to `big.join(small, key)` (inner). */
   def saltedJoin(big: DataFrame, small: DataFrame, key: String,
                  salts: Int = 16): DataFrame = {
+    // sequence(0, salts-1) with salts < 1 is empty, so explode would emit
+    // zero small-side rows and the join would silently return nothing
+    require(salts >= 1, s"saltedJoin needs salts >= 1, got $salts")
+    require(!big.columns.contains("_salt") && !small.columns.contains("_salt"),
+      "saltedJoin reserves column _salt")
     val saltedBig = big.withColumn("_salt",
       pmod(hash(monotonically_increasing_id()), lit(salts)))
     val saltedSmall = small.withColumn("_salt",

@@ -163,4 +163,17 @@ class BatchingRelationalSpec extends SparkSuite {
     assert(Relational.bloomSemiJoin(fact, dim.where(col("dk") < 0), "fk", "dk")
       .count() === 0L)
   }
+
+  test("degenerate inputs fail fast instead of silently emptying the result") {
+    val d = nums.limit(3)
+    // idx % 0 would null every index and drop all big rows
+    intercept[IllegalArgumentException](
+      Relational.moduloJoin(nums, Seq("n"), nums.where(col("n") < 0), Seq("n")))
+    intercept[IllegalArgumentException](Relational.unionAll(Nil))
+    // sequence(0, -1) is empty -> zero replicated small rows
+    intercept[IllegalArgumentException](
+      Relational.saltedJoin(nums, d.withColumnRenamed("n", "k"), "n", salts = 0))
+    intercept[IllegalArgumentException](
+      Relational.groupTopK(d.withColumn("rank", lit(1)), Seq("n"), 1, col("n")))
+  }
 }

@@ -108,4 +108,12 @@ class CleanSpec extends SparkSuite {
     val m = long.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(m === Map("country" -> 2, "city" -> 3, "road_index" -> 2))
   }
+
+  test("fillForwardBackward rejects no-order and key-overlapping fill columns") {
+    val d = Seq((1, "a"), (2, null.asInstanceOf[String])).toDF("k", "v")
+    intercept[IllegalArgumentException](Clean.fillForwardBackward(d, Seq("v"), Nil))
+    intercept[IllegalArgumentException](Clean.fillForwardBackward(d, Seq("k"), Seq("k")))
+    intercept[IllegalArgumentException](
+      Clean.fillForwardBackward(d, Seq("v"), Seq("k"), partitionCols = Seq("v")))
+  }
 }

@@ -113,4 +113,24 @@ class EncodeSpec extends SparkSuite {
       .agg(max(abs(col("x_rz")))).head().getDouble(0)
     assert(math.abs(a - e) / e < 0.05)
   }
+
+  test("robustScale global fit (no group columns) matches the hand formula") {
+    // x = 1..7: median 4, MAD = median(|x-4|) = median({3,2,1,0,1,2,3}) = 2
+    val out = Encode.robustScale(df, "x", Nil)
+    val z4 = out.where(col("x") === 4.0).select("x_rz").head().getDouble(0)
+    assert(math.abs(z4) < 1e-12)
+    val z7 = out.where(col("x") === 7.0).select("x_rz").head().getDouble(0)
+    assert(math.abs(z7 - 3.0 / (1.4826 * 2.0)) < 1e-9)
+  }
+
+  test("parameter guards fail at the call site, naming the operator") {
+    intercept[IllegalArgumentException](Encode.standardScale(df, Nil))
+    intercept[IllegalArgumentException](Encode.minMaxScale(df, Nil))
+    intercept[IllegalArgumentException](Encode.winsorize(df, "x", Nil, 0.9, 0.1))
+    intercept[IllegalArgumentException](Encode.winsorize(df, "x", Nil, -0.1, 0.5))
+    intercept[IllegalArgumentException](
+      Encode.winsorize(df, "x", Nil, 0.05, 0.95, exact = false, accuracy = 0))
+    intercept[IllegalArgumentException](
+      Encode.robustScale(df, "x", Nil, exact = false, accuracy = 0))
+  }
 }
