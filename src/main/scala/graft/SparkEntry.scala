@@ -1122,6 +1122,29 @@ object SparkEntry {
           min("doc_id").as("first_doc"))
         .orderBy("block_id")
     }),
+
+    // Product-quantization ANN end-to-end: fit 8x16 codebooks (the test
+    // tables are already fit-sample-sized; at 100 TB the fit input is a
+    // bounded sample, see fitPqCodebooks scaladoc), compress the corpus to
+    // 8 codes/vector — the 32x-smaller index a 100-TB store persists
+    // instead of raw floats — then ADC top-10 for 8 probes over CODES
+    // only. Rows-only: Lloyd's float averages are engine-specific, same
+    // contract as the sketch queries.
+    "q93_pq_ann" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val books = Similarity.fitPqCodebooks(emb, m = 8, ksub = 16, iterations = 3)
+      val codes = Similarity.pqEncode(emb, books)
+      Similarity.pqTopK(codes, books, emb.where(col("vec_id") < 8), 10)
+        .orderBy("probe_id", "rank")
+    }),
+
+    // SemDeDup-shaped semantic dedup: drop any vector with an earlier
+    // same-LSH-bucket neighbor above cosine 0.35 (keep-first). The
+    // deterministic hyperplane buckets (q37's) make the oracle exact.
+    "q94_sem_dedup" -> ((s, dir) => {
+      Similarity.semanticDedup(Tables.embeddings(s, dir), threshold = 0.35)
+        .orderBy("vec_id")
+    }),
   )
 
   /** Deterministic line synthesis shared by q88/q91: the single-line
@@ -2121,5 +2144,25 @@ object SparkEntry {
         |SELECT block_id, count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
         |  min(doc_id) AS first_doc
         |FROM x GROUP BY block_id ORDER BY block_id""".stripMargin,
+
+    // q93_pq_ann is rows-only by design (Lloyd-fit codebooks are float
+    // aggregates with engine-specific summation order — same contract as
+    // the HLL++/GK sketch queries; see SketchParitySpec's PQ recall anchor).
+
+    "q94_sem_dedup" -> {
+      // Same deterministic hyperplane rebuild as the q37 oracle; pairs and
+      // anti-join mirror Similarity.semanticDedup exactly (unrounded cosine
+      // strictly > threshold, keep-first on vec_id).
+      val dot = (p: Int) =>
+        s"list_dot_product(CAST(embedding AS DOUBLE[]), " +
+          s"list_transform(range(1, len(embedding) + 1), d -> CAST((d * 31 + $p * 17) % 3 - 1 AS DOUBLE)))"
+      val bits = (0 until 8)
+        .map(p => s"CASE WHEN ${dot(p)} >= 0 THEN CAST(${1L << p} AS BIGINT) ELSE CAST(0 AS BIGINT) END")
+        .mkString(" + ")
+      s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e, $bits AS bucket FROM embeddings),
+         |d AS (SELECT DISTINCT b.vec_id FROM v a JOIN v b ON a.bucket = b.bucket AND b.vec_id > a.vec_id
+         |WHERE list_dot_product(a.e, b.e) / (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))) > 0.35)
+         |SELECT vec_id, bucket FROM v WHERE vec_id NOT IN (SELECT vec_id FROM d) ORDER BY vec_id""".stripMargin
+    },
   )
 }

@@ -50,6 +50,16 @@ object GraftFunctions {
                     centVecs: Seq[Seq[Double]], p: Int): Column =
     col(NearestCells(ex(vec), centIds, centVecs, p))
 
+  /** Product-quantization encode: vector -> m argmin-L2 subspace codes,
+    * codebooks riding inside the expression (see [[PqEncode]]). */
+  def pq_encode(vec: Column, books: Seq[Seq[Seq[Double]]]): Column =
+    col(PqEncode(ex(vec), books))
+
+  /** ADC cosine between a probe's lookup table and a PQ code array (see
+    * [[PqCosine]] for the lut layout). */
+  def pq_cosine(codes: Column, lut: Column): Column =
+    col(PqCosine(ex(codes), ex(lut)))
+
   /** Top-k (score DESC, id ASC) pairs per group with a bounded k-slot
     * buffer — shuffle bytes |groups| x k regardless of row count (see
     * [[TopKByScore]]). */

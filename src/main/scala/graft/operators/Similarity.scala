@@ -199,7 +199,12 @@ object Similarity {
     * At 100 TB this is the shuffle-free candidate generator: one pass to
     * bucket, then a groupBy on (bucket) whose shuffle carries ids only. */
   def hyperplaneBuckets(corpus: DataFrame, nPlanes: Int = 8,
-                        idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+                        idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    corpus.select(col(idCol), hyperplaneBucketExpr(vecCol, nPlanes).as("bucket"))
+
+  /** The [[hyperplaneBuckets]] bit-vector as a bare Column, for callers that
+    * need the bucket alongside other columns without a join. */
+  private def hyperplaneBucketExpr(vecCol: String, nPlanes: Int): org.apache.spark.sql.Column = {
     val dot = (p: Int) =>
       s"aggregate(zip_with($vecCol, transform(sequence(1, size($vecCol)), " +
         s"d -> CAST((d * 31 + $p * 17) % 3 - 1 AS DOUBLE)), " +
@@ -207,7 +212,190 @@ object Similarity {
     val bits = (0 until nPlanes)
       .map(p => s"IF(${dot(p)} >= 0D, CAST(${1L << p} AS BIGINT), CAST(0 AS BIGINT))")
       .mkString(" + ")
-    corpus.select(col(idCol), expr(bits).as("bucket"))
+    expr(bits)
+  }
+
+  /** SemDeDup-shaped semantic deduplication (Abbas et al. 2023, public):
+    * drop every vector that has an EARLIER (smaller-id) same-bucket
+    * neighbor with cosine above `threshold`; keep-first, like
+    * [[Dedup]]'s exact text dedup but in embedding space. Returns the
+    * survivors as (idCol, bucket).
+    *
+    * Candidate generation is the deterministic [[hyperplaneBuckets]]
+    * partition (the paper clusters with k-means; LSH buckets are the
+    * engine-reproducible equivalent and keep the oracle exact), so there is
+    * no all-pairs path: bucketing is a narrow projection, candidates are a
+    * same-bucket equi-join, and survivors come from a LEFT ANTI join on
+    * ids only. At 100 TB the within-bucket join is quadratic in bucket
+    * size — `nPlanes` is the lever (each plane halves expected bucket
+    * population), and AQE's skew split handles hot buckets.
+    */
+  def semanticDedup(corpus: DataFrame, threshold: Double, nPlanes: Int = 8,
+                    idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(nPlanes >= 1 && nPlanes <= 62,
+      s"semanticDedup needs nPlanes in [1, 62] (bucket is a BIGINT bit vector), got $nPlanes")
+    val withB = corpus.select(col(idCol), col(vecCol),
+      hyperplaneBucketExpr(vecCol, nPlanes).as("bucket"))
+    val a = withB.select(col("bucket"), col(idCol).as("_ida"), col(vecCol).as("_va"))
+    val b = withB.select(col("bucket"), col(idCol).as("_idb"), col(vecCol).as("_vb"))
+    val dropped = a.join(b, "bucket")
+      .where(col("_idb") > col("_ida"))
+      .where(cosine_similarity(col("_va"), col("_vb")) > threshold)
+      .select(col("_idb").as(idCol)).distinct()
+    withB.join(dropped, Seq(idCol), "left_anti").select(col(idCol), col("bucket"))
+  }
+
+  /** Fit product-quantization codebooks: split dims into `m` equal
+    * subspaces and run L2 Lloyd iterations per subspace (seeds = the first
+    * `ksub` rows by id, deterministic). Returns (subspace, code, centroid)
+    * with codes dense 0..k_j-1 per subspace (empty cells drop out, so k_j
+    * may shrink below `ksub`).
+    *
+    * Assignment inside the loop is the [[graft.functions.PqEncode]] kernel
+    * with a single-subspace book — a narrow projection — and the update is
+    * one [[graft.functions.VectorAvg]] hash aggregate (map-side combinable:
+    * shuffle bytes per pass are k x dsub, independent of corpus size).
+    * Cost is `m x iterations` corpus passes; standard practice (Faiss) fits
+    * codebooks on a bounded SAMPLE — pass one in — and spends the single
+    * full-corpus pass in [[pqEncode]]. */
+  def fitPqCodebooks(corpus: DataFrame, m: Int, ksub: Int, iterations: Int,
+                     idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(m >= 1, s"fitPqCodebooks needs m >= 1 subspaces, got $m")
+    require(ksub >= 1, s"fitPqCodebooks needs ksub >= 1 centroids, got $ksub")
+    require(iterations >= 0, s"fitPqCodebooks iterations must be >= 0, got $iterations")
+    val firstRows = corpus.select(size(col(vecCol)).as("_d")).limit(1).collect()
+    require(firstRows.nonEmpty, "fitPqCodebooks: corpus is empty")
+    val dims = firstRows(0).getInt(0)
+    require(dims % m == 0,
+      s"fitPqCodebooks: $dims dims not divisible into $m equal subspaces")
+    val dsub = dims / m
+    val spark = corpus.sparkSession
+    val books: Seq[Array[Array[Double]]] = (0 until m).map { j =>
+      val sub = corpus.select(col(idCol).as("_id"),
+        slice(col(vecCol), j * dsub + 1, dsub).cast("array<double>").as("_sv"))
+      var cents: Array[Array[Double]] = sub.orderBy(col("_id")).limit(ksub)
+        .select("_sv").collect().map(_.getSeq[Double](0).toArray)
+      for (_ <- 0 until iterations) {
+        val assigned = sub.select(col("_sv"),
+          element_at(graft.functions.GraftFunctions
+            .pq_encode(col("_sv"), Seq(cents.map(_.toSeq).toSeq)), 1).as("_code"))
+        cents = assigned.groupBy("_code")
+          .agg(graft.functions.GraftFunctions.vector_avg(col("_sv")).as("_c"))
+          .orderBy("_code").select("_c")
+          .collect().map(_.getSeq[Double](0).toArray)
+      }
+      cents
+    }
+    val rows = for {
+      (book, j) <- books.zipWithIndex
+      (cent, code) <- book.zipWithIndex
+    } yield Row(j, code, cent.toSeq)
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 1),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("subspace", IntegerType, nullable = false),
+        org.apache.spark.sql.types.StructField("code", IntegerType, nullable = false),
+        org.apache.spark.sql.types.StructField("centroid",
+          org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.DoubleType, containsNull = false), nullable = false))))
+  }
+
+  /** Driver-collect a (subspace, code, centroid) codebook frame into dense
+    * per-subspace arrays, loudly rejecting gaps — a sparse code range would
+    * silently mis-index [[graft.functions.PqCosine]]'s lookup table. */
+  private def collectPqCodebooks(codebooks: DataFrame): Array[Array[Array[Double]]] = {
+    val rows = codebooks.select(col("subspace").cast("int"), col("code").cast("int"),
+      col("centroid").cast("array<double>")).collect()
+    require(rows.nonEmpty, "pq codebook frame is empty")
+    val byJ = rows.groupBy(_.getInt(0))
+    val m = byJ.keys.max + 1
+    require(byJ.keySet == (0 until m).toSet,
+      s"pq codebooks missing subspaces: ${((0 until m).toSet -- byJ.keySet).toSeq.sorted.mkString(", ")}")
+    (0 until m).map { j =>
+      val cs = byJ(j).sortBy(_.getInt(1))
+      require(cs.map(_.getInt(1)).toSeq == cs.indices.toSeq,
+        s"pq codebook subspace $j codes are not dense 0..${cs.length - 1}")
+      cs.map(_.getSeq[Double](2).toArray).toArray
+    }.toArray
+  }
+
+  /** PQ-encode the corpus: one narrow pass, vectors never shuffled; output
+    * (idCol, codes array<int> of length m) — the compressed index a 100-TB
+    * store persists instead of raw floats. */
+  def pqEncode(corpus: DataFrame, codebooks: DataFrame,
+               idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val books = collectPqCodebooks(codebooks).map(_.map(_.toSeq).toSeq).toSeq
+    corpus.select(col(idCol), graft.functions.GraftFunctions
+      .pq_encode(col(vecCol), books).as("codes"))
+  }
+
+  /** PQ top-k (ADC): per probe, precompute the dot/norm lookup table
+    * driver-side (m x K doubles — tiny), broadcast it, and score every
+    * corpus CODE array with the fused [[graft.functions.PqCosine]] kernel —
+    * the corpus's raw vectors are never read, only the m-byte-per-row code
+    * index. Same bounded-buffer top-k reduction as [[bruteForceTopK]], so
+    * shuffle bytes are |probes| x k. Probe ids are cast to long. Returns
+    * (probe_id, rank, neighbor_id, cosine) with the ADC-approximate cosine.
+    */
+  def pqTopK(corpusCodes: DataFrame, codebooks: DataFrame, probes: DataFrame, k: Int,
+             idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(k >= 1, s"pqTopK needs k >= 1, got $k")
+    val books = collectPqCodebooks(codebooks)
+    val m = books.length
+    val kMax = books.map(_.length).max
+    val probeRows = probes
+      .select(col(idCol).cast("long"), col(vecCol).cast("array<double>")).collect()
+    require(probeRows.nonEmpty, "pqTopK: probe set is empty")
+    val lutRows = probeRows.map { r =>
+      require(!r.isNullAt(0) && !r.isNullAt(1),
+        "pqTopK: probes must have non-null ids and vectors")
+      val pid = r.getLong(0)
+      val q = r.getSeq[Double](1).toArray
+      val lut = new Array[Double](2 * m * kMax + 1)
+      var off = 0
+      var j = 0
+      while (j < m) {
+        val book = books(j)
+        val dsub = book(0).length
+        var c = 0
+        while (c < book.length) {
+          val cent = book(c)
+          var dot = 0.0
+          var nn = 0.0
+          var i = 0
+          while (i < dsub) {
+            if (off + i < q.length) dot += q(off + i) * cent(i)
+            nn += cent(i) * cent(i)
+            i += 1
+          }
+          lut(j * kMax + c) = dot
+          lut(m * kMax + j * kMax + c) = nn
+          c += 1
+        }
+        off += dsub
+        j += 1
+      }
+      var qn = 0.0
+      var i = 0
+      while (i < q.length) { qn += q(i) * q(i); i += 1 }
+      lut(2 * m * kMax) = math.sqrt(qn)
+      Row(pid, lut.toSeq)
+    }
+    val spark = corpusCodes.sparkSession
+    val lutDf = spark.createDataFrame(
+      spark.sparkContext.parallelize(lutRows.toSeq, 1),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("probe_id", LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("_lut",
+          org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.DoubleType, containsNull = false), nullable = false))))
+    val scored = corpusCodes
+      .select(col(idCol).cast("long").as("neighbor_id"), col("codes"))
+      .crossJoin(broadcast(lutDf))
+      .where(col("neighbor_id") =!= col("probe_id"))
+      .withColumn("cosine", graft.functions.GraftFunctions
+        .pq_cosine(col("codes"), col("_lut")))
+    topKPerProbe(scored, k)
   }
 
   /** Embedding near-duplicate pairs above a cosine threshold, within

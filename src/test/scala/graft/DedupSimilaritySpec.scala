@@ -294,4 +294,96 @@ class DedupSimilaritySpec extends SparkSuite {
     }
     assert(e2.getMessage.contains("null vec_id"))
   }
+
+  // --- product quantization ---
+
+  // m=2 subspaces of 2 dims; per-subspace codebook {(1,0), (0,1)}
+  private lazy val gridBooks = Seq(
+    (0, 0, Seq(1.0, 0.0)), (0, 1, Seq(0.0, 1.0)),
+    (1, 0, Seq(1.0, 0.0)), (1, 1, Seq(0.0, 1.0))
+  ).toDF("subspace", "code", "centroid")
+  private lazy val gridVecs = Seq(
+    (0L, Seq(1.0, 0.0, 1.0, 0.0)),
+    (1L, Seq(1.0, 0.0, 0.0, 1.0)),
+    (2L, Seq(0.0, 1.0, 1.0, 0.0)),
+    (3L, Seq(0.0, 1.0, 0.0, 1.0))
+  ).toDF("vec_id", "embedding")
+
+  test("pqEncode maps on-grid vectors to their exact codes") {
+    val got = Similarity.pqEncode(gridVecs, gridBooks)
+      .orderBy("vec_id").as[(Long, Seq[Int])].collect()
+    assert(got === Array((0L, Seq(0, 0)), (1L, Seq(0, 1)),
+      (2L, Seq(1, 0)), (3L, Seq(1, 1))))
+  }
+
+  test("pqTopK (ADC) equals bruteForceTopK when vectors sit on the codebook grid") {
+    // reconstruction is exact on the grid, so the ADC cosine IS the cosine
+    val codes = Similarity.pqEncode(gridVecs, gridBooks)
+    val adc = Similarity.pqTopK(codes, gridBooks, gridVecs, 3)
+      .orderBy("probe_id", "rank")
+      .as[(Long, Long, Long, Double)].collect()
+    val exact = Similarity.bruteForceTopK(gridVecs, gridVecs, 3)
+      .orderBy("probe_id", "rank")
+      .as[(Long, Long, Long, Double)].collect()
+    assert(adc === exact)
+  }
+
+  test("fitPqCodebooks recovers separated subspace clusters; codes are dense") {
+    // both subspaces cluster at +10 and -10; seeds (ids 0, 1) land one per
+    // cluster, so 4 Lloyd rounds converge to the two means
+    val data = (0L until 40L).map { i =>
+      val s = if (i % 2 == 0) 10.0 else -10.0
+      val jitter = (i % 3) * 0.1
+      (i, Seq(s + jitter, s, s + jitter, s))
+    }.toDF("vec_id", "embedding")
+    val books = Similarity.fitPqCodebooks(data, m = 2, ksub = 2, iterations = 4)
+    val rows = books.orderBy("subspace", "code")
+      .as[(Int, Int, Seq[Double])].collect()
+    assert(rows.map(r => (r._1, r._2)).toSeq ===
+      Seq((0, 0), (0, 1), (1, 0), (1, 1)))
+    rows.foreach { case (_, _, c) =>
+      assert(math.abs(math.abs(c.head) - 10.0) < 0.5, s"centroid $c not near +/-10")
+    }
+    // every even id shares a code, every odd id the other, in both subspaces
+    val codes = Similarity.pqEncode(data, books)
+      .select(col("vec_id"), element_at(col("codes"), 1).as("c0"),
+        element_at(col("codes"), 2).as("c1"))
+      .as[(Long, Int, Int)].collect()
+    val (even, odd) = codes.partition(_._1 % 2 == 0)
+    assert(even.map(_._2).distinct.length === 1 && odd.map(_._2).distinct.length === 1)
+    assert(even.head._2 !== odd.head._2)
+    assert(even.map(_._3).distinct.length === 1 && odd.map(_._3).distinct.length === 1)
+  }
+
+  test("pqEncode throws on wrong-length vectors instead of silently nulling") {
+    val bad = Seq((0L, Seq(1.0, 2.0))).toDF("vec_id", "embedding")
+    val e = intercept[Exception] {
+      Similarity.pqEncode(bad, gridBooks).collect()
+    }
+    def chain(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ chain(t.getCause)
+    assert(chain(e).exists(_.contains("pq_encode expects vectors of length 4")),
+      s"unexpected error chain: ${chain(e).mkString(" | ")}")
+  }
+
+  test("collectPqCodebooks-backed ops reject sparse code ranges loudly") {
+    val gappy = Seq((0, 0, Seq(1.0, 0.0)), (0, 2, Seq(0.0, 1.0)))
+      .toDF("subspace", "code", "centroid")
+    val e = intercept[IllegalArgumentException] {
+      Similarity.pqEncode(gridVecs, gappy)
+    }
+    assert(e.getMessage.contains("not dense"))
+  }
+
+  test("semanticDedup drops later same-bucket near-dups, keeps firsts") {
+    val v1 = Seq(1.0, 0.5, -0.25, 1.0, 0.75, -0.5, 0.3, 1.1)
+    val v2 = v1.map(_ * 1.001) // same plane signs -> same bucket; cosine ~ 1
+    val v3 = v1.map(x => -x)   // cosine -1 with v1: never a dup at tau=0.95
+    val data = Seq((1L, v1), (5L, v2), (9L, v3)).toDF("vec_id", "embedding")
+    val out = Similarity.semanticDedup(data, threshold = 0.95)
+      .orderBy("vec_id").as[(Long, Long)].collect()
+    assert(out.map(_._1) === Array(1L, 9L), s"got ${out.mkString(", ")}")
+    intercept[IllegalArgumentException](Similarity.semanticDedup(data, 0.9, nPlanes = 0))
+    intercept[IllegalArgumentException](Similarity.semanticDedup(data, 0.9, nPlanes = 63))
+  }
 }

@@ -146,4 +146,19 @@ class PlanPostureSpec extends SparkSuite {
     // single-partition Window.orderBy
     assert(!plan.contains("SinglePartition"), s"global single-partition stage:\n$plan")
   }
+
+  test("pqEncode is a zero-shuffle projection; pqTopK broadcasts the LUT side (q93 shape)") {
+    // encode claims "one narrow pass, vectors never shuffled" — the property
+    // that makes building a 100-TB code index a free rider on the scan
+    val emb = graft.meta.Tables.embeddings(spark, sf)
+    val books = graft.operators.Similarity.fitPqCodebooks(
+      emb, m = 8, ksub = 16, iterations = 1)
+    val enc = executedPlan(graft.operators.Similarity.pqEncode(emb, books))
+    assert(shuffleCount(enc) === 0, s"pqEncode shuffled:\n$enc")
+    val top = executedPlan(graft.operators.Similarity.pqTopK(
+      graft.operators.Similarity.pqEncode(emb, books), books,
+      emb.where(col("vec_id") < 4), 5))
+    assert(top.contains("BroadcastNestedLoopJoin") || top.contains("BroadcastExchange"),
+      s"pqTopK LUT side not broadcast:\n$top")
+  }
 }

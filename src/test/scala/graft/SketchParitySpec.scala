@@ -102,4 +102,32 @@ class SketchParitySpec extends SparkSuite {
     assert(math.abs(hotEst - 400L) <= 1000L / 8,
       s"hot estimate $hotEst outside the n/maxItemsTracked bound")
   }
+
+  test("q93 anchor: PQ ADC top-10 overlaps exact top-10 well above chance") {
+    import graft.operators.Similarity
+    // mirrors q93_pq_ann exactly: 8x16 codebooks fit on the (sample-sized)
+    // table, 3 Lloyd rounds, 8 probes, k=10 — quantization is lossy
+    // (64 dims -> 64 bits), so the anchor is RECALL vs the exact twin,
+    // not equality.
+    val emb = Tables.embeddings(spark, sf)
+    val books = Similarity.fitPqCodebooks(emb, m = 8, ksub = 16, iterations = 3)
+    val probes = emb.where(col("vec_id") < 8)
+    val pq = Similarity.pqTopK(Similarity.pqEncode(emb, books), books, probes, 10)
+      .select("probe_id", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val exact = Similarity.bruteForceTopK(emb, probes, 10)
+      .select("probe_id", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val byProbe = pq.groupBy(_._1).map { case (p, xs) => p -> xs.map(_._2).toSet }
+    val recalls = exact.groupBy(_._1).map { case (p, xs) =>
+      val hit = byProbe.getOrElse(p, Set.empty)
+      xs.count(x => hit.contains(x._2)).toDouble / xs.length
+    }.toSeq
+    val mean = recalls.sum / recalls.length
+    // chance overlap of two 10-sets in a ~500-vector corpus is ~0.02; a
+    // mis-wired LUT or codebook would collapse to that. Random 64-d data is
+    // PQ's worst case, so the floor is deliberately modest (measured 0.31
+    // at sf0.001; the fit is deterministic up to VectorAvg partial order).
+    assert(mean >= 0.2, s"mean PQ recall@10 $mean — ADC path likely mis-wired")
+  }
 }
