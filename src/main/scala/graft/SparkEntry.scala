@@ -1145,6 +1145,27 @@ object SparkEntry {
       Similarity.semanticDedup(Tables.embeddings(s, dir), threshold = 0.35)
         .orderBy("vec_id")
     }),
+
+    // Vocabulary induction + OOV coverage: top-20 words by corpus
+    // frequency (the synthetic corpus has 31 types, so the cut is real),
+    // then each document's out-of-vocab rate — the pre-tokenizer
+    // diagnostic for vocab sizing.
+    "q95_vocab_coverage" -> ((s, dir) => {
+      TextAnalysis.vocabCoverage(Tables.documents(s, dir), "doc_id", "text", 20)
+        .orderBy("doc_id")
+    }),
+
+    // INT8 scalar quantization: exact per-dimension [min,max] fit, 8-bit
+    // codes, per-vector reconstruction-error summary. sum(codes) is a
+    // whole-vector checksum, so a single mis-encoded element fails the
+    // hash compare.
+    "q96_int8_quant" -> ((s, dir) => {
+      Similarity.scalarQuantize(Tables.embeddings(s, dir))
+        .select(col("vec_id"),
+          aggregate(col("qcodes"), lit(0L), (acc, c) => acc + c).as("sum_codes"),
+          col("max_abs_err"))
+        .orderBy("vec_id")
+    }),
   )
 
   /** Deterministic line synthesis shared by q88/q91: the single-line
@@ -2164,5 +2185,29 @@ object SparkEntry {
          |WHERE list_dot_product(a.e, b.e) / (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))) > 0.35)
          |SELECT vec_id, bucket FROM v WHERE vec_id NOT IN (SELECT vec_id FROM d) ORDER BY vec_id""".stripMargin
     },
+
+    "q95_vocab_coverage" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+        |cnt AS (SELECT w, count(*) AS c FROM tok GROUP BY w),
+        |vocab AS (SELECT w FROM cnt ORDER BY c DESC, w LIMIT 20),
+        |j AS (SELECT t.doc_id, CASE WHEN v.w IS NULL THEN 1 ELSE 0 END AS oov
+        |FROM tok t LEFT JOIN vocab v ON t.w = v.w)
+        |SELECT doc_id, count(*) AS n_tokens, CAST(sum(oov) AS BIGINT) AS n_oov,
+        |round(CAST(sum(oov) AS DOUBLE) / count(*), 6) AS oov_rate
+        |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "q96_int8_quant" ->
+      // floor(r + 0.5), not round(r): half-up vs half-even rounding differs
+      // across engines; the formula text mirrors Similarity.scalarQuantize
+      // exactly so the doubles tie out bit-for-bit
+      """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+        |u AS (SELECT vec_id, e[i] AS x, i FROM v, unnest(range(1, len(e) + 1)) AS r(i)),
+        |s AS (SELECT i, min(x) AS mn, max(x) AS mx FROM u GROUP BY i),
+        |c AS (SELECT vec_id, x, mn, mx,
+        |CASE WHEN mx = mn THEN 0 ELSE least(CAST(floor((x - mn) / ((mx - mn) / 255.0) + 0.5) AS BIGINT), 255) END AS code
+        |FROM u JOIN s USING (i)),
+        |q AS (SELECT vec_id, code, abs(x - (mn + code * ((mx - mn) / 255.0))) AS err FROM c)
+        |SELECT vec_id, CAST(sum(code) AS BIGINT) AS sum_codes, round(max(err), 6) AS max_abs_err
+        |FROM q GROUP BY vec_id ORDER BY vec_id""".stripMargin,
   )
 }

@@ -4,7 +4,7 @@ import graft.functions.GraftFunctions.cosine_similarity
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType, StringType}
-import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.{Column, DataFrame, Row}
 
 /** Approximate-nearest-neighbor search over an embedding column
   * (north-star extension).
@@ -245,49 +245,100 @@ object Similarity {
     withB.join(dropped, Seq(idCol), "left_anti").select(col(idCol), col("bucket"))
   }
 
+  /** INT8-range scalar quantization: fit per-dimension [min, max] over the
+    * corpus, then encode each element to an 8-bit code
+    * `floor((x - min) / ((max - min) / 255) + 0.5)` (clamped to 255; a
+    * constant dimension encodes 0). The simpler compression tier next to
+    * [[pqEncode]]: 4x smaller than float32 with per-element decode, no
+    * codebooks — and, unlike PQ's Lloyd fit, the min/max fit is exact and
+    * order-independent, so the whole operator is oracle-checkable.
+    *
+    * Scale shape: the fit is one posexplode + (pos)-keyed aggregate whose
+    * map-side partials collapse to dims-sized state; the bounds then ride
+    * into the encode as two literal arrays, making the apply a pure narrow
+    * projection of codegen'd higher-order functions — zero joins, zero
+    * shuffles on the corpus pass. `floor(r + 0.5)` instead of `round(r)`
+    * because half-up vs half-even rounding differs across engines.
+    *
+    * Output: (idCol, qcodes array<long> in [0, 255], max_abs_err — the
+    * vector's worst reconstruction error, bounded by scale/2 per dim).
+    */
+  def scalarQuantize(corpus: DataFrame, idCol: String = "vec_id",
+                     vecCol: String = "embedding"): DataFrame = {
+    val bounds = corpus
+      .select(posexplode(col(vecCol).cast("array<double>")).as(Seq("_pos", "_x")))
+      .groupBy("_pos").agg(min("_x").as("_mn"), max("_x").as("_mx"))
+      .orderBy("_pos")
+      .collect()
+    require(bounds.nonEmpty, "scalarQuantize: corpus is empty")
+    require(bounds.map(_.getInt(0)).toSeq == bounds.indices.toSeq,
+      "scalarQuantize: ragged vectors — dimension positions are not dense")
+    val mns = typedlit(bounds.map(_.getDouble(1)).toSeq)
+    val mxs = typedlit(bounds.map(_.getDouble(2)).toSeq)
+    def mn(i: Column) = element_at(mns, (i + 1).cast("int"))
+    def mx(i: Column) = element_at(mxs, (i + 1).cast("int"))
+    def codeOf(x: Column, i: Column): Column =
+      when(mx(i) === mn(i), lit(0L)).otherwise(
+        least(floor((x.cast("double") - mn(i)) / ((mx(i) - mn(i)) / lit(255.0))
+          + lit(0.5)).cast("long"), lit(255L)))
+    val codes = transform(col(vecCol), (x, i) => codeOf(x, i))
+    val errs = transform(col(vecCol), (x, i) =>
+      abs(x.cast("double") - (mn(i) + codeOf(x, i) * ((mx(i) - mn(i)) / lit(255.0)))))
+    corpus.select(col(idCol), codes.as("qcodes"),
+      round(array_max(errs), 6).as("max_abs_err"))
+  }
+
   /** Fit product-quantization codebooks: split dims into `m` equal
     * subspaces and run L2 Lloyd iterations per subspace (seeds = the first
     * `ksub` rows by id, deterministic). Returns (subspace, code, centroid)
     * with codes dense 0..k_j-1 per subspace (empty cells drop out, so k_j
     * may shrink below `ksub`).
     *
-    * Assignment inside the loop is the [[graft.functions.PqEncode]] kernel
-    * with a single-subspace book — a narrow projection — and the update is
-    * one [[graft.functions.VectorAvg]] hash aggregate (map-side combinable:
-    * shuffle bytes per pass are k x dsub, independent of corpus size).
-    * Cost is `m x iterations` corpus passes; standard practice (Faiss) fits
-    * codebooks on a bounded SAMPLE — pass one in — and spends the single
-    * full-corpus pass in [[pqEncode]]. */
+    * ALL subspaces train in lockstep from ONE corpus pass per iteration:
+    * the full current codebook set rides in a single
+    * [[graft.functions.PqEncode]] projection (narrow), each row explodes
+    * into its m (subspace, code, subvector) assignments, and one
+    * [[graft.functions.VectorAvg]] hash aggregate keyed by (subspace,
+    * code) computes every centroid update — map-side combinable, so
+    * shuffle bytes per pass are m x k x dsub (= the codebook), independent
+    * of corpus size. Total cost is `iterations` passes, NOT
+    * `m x iterations`. Standard practice (Faiss) fits codebooks on a
+    * bounded SAMPLE — pass one in — and spends the single full-corpus pass
+    * in [[pqEncode]]. */
   def fitPqCodebooks(corpus: DataFrame, m: Int, ksub: Int, iterations: Int,
                      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     require(m >= 1, s"fitPqCodebooks needs m >= 1 subspaces, got $m")
     require(ksub >= 1, s"fitPqCodebooks needs ksub >= 1 centroids, got $ksub")
     require(iterations >= 0, s"fitPqCodebooks iterations must be >= 0, got $iterations")
-    val firstRows = corpus.select(size(col(vecCol)).as("_d")).limit(1).collect()
-    require(firstRows.nonEmpty, "fitPqCodebooks: corpus is empty")
-    val dims = firstRows(0).getInt(0)
+    val seedRows = corpus.orderBy(col(idCol)).limit(ksub)
+      .select(col(vecCol).cast("array<double>")).collect()
+    require(seedRows.nonEmpty, "fitPqCodebooks: corpus is empty")
+    val dims = seedRows(0).getSeq[Double](0).length
     require(dims % m == 0,
       s"fitPqCodebooks: $dims dims not divisible into $m equal subspaces")
     val dsub = dims / m
     val spark = corpus.sparkSession
-    val books: Seq[Array[Array[Double]]] = (0 until m).map { j =>
-      val sub = corpus.select(col(idCol).as("_id"),
-        slice(col(vecCol), j * dsub + 1, dsub).cast("array<double>").as("_sv"))
-      var cents: Array[Array[Double]] = sub.orderBy(col("_id")).limit(ksub)
-        .select("_sv").collect().map(_.getSeq[Double](0).toArray)
-      for (_ <- 0 until iterations) {
-        val assigned = sub.select(col("_sv"),
-          element_at(graft.functions.GraftFunctions
-            .pq_encode(col("_sv"), Seq(cents.map(_.toSeq).toSeq)), 1).as("_code"))
-        cents = assigned.groupBy("_code")
-          .agg(graft.functions.GraftFunctions.vector_avg(col("_sv")).as("_c"))
-          .orderBy("_code").select("_c")
-          .collect().map(_.getSeq[Double](0).toArray)
-      }
-      cents
+    // seeds: the first ksub rows by id, sliced per subspace (deterministic)
+    var books: Array[Array[Array[Double]]] = Array.tabulate(m)(j =>
+      seedRows.map(_.getSeq[Double](0).slice(j * dsub, (j + 1) * dsub).toArray))
+    for (_ <- 0 until iterations) {
+      val perSub = (0 until m).map(j => struct(
+        lit(j).as("_j"),
+        element_at(col("_codes"), j + 1).as("_code"),
+        slice(col(vecCol), j * dsub + 1, dsub).cast("array<double>").as("_sv")))
+      val next = corpus
+        .select(col(vecCol), graft.functions.GraftFunctions
+          .pq_encode(col(vecCol), books.map(_.map(_.toSeq).toSeq).toSeq).as("_codes"))
+        .select(explode(array(perSub: _*)).as("_s"))
+        .groupBy(col("_s._j").as("_j"), col("_s._code").as("_code"))
+        .agg(graft.functions.GraftFunctions.vector_avg(col("_s._sv")).as("_c"))
+        .collect()
+      books = Array.tabulate(m)(j =>
+        next.filter(_.getInt(0) == j).sortBy(_.getInt(1))
+          .map(_.getSeq[Double](2).toArray))
     }
     val rows = for {
-      (book, j) <- books.zipWithIndex
+      (book, j) <- books.toSeq.zipWithIndex
       (cent, code) <- book.zipWithIndex
     } yield Row(j, code, cent.toSeq)
     spark.createDataFrame(

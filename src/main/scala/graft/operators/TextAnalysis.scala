@@ -442,4 +442,32 @@ object TextAnalysis {
       .where(col("rank") <= k)
       .select(col(groupCol), col("rank"), col("token"), col("est_occur"))
   }
+
+  /** Vocabulary induction + out-of-vocabulary coverage: fit the top
+    * `vocabSize` words by corpus frequency (ties by word ascending — the
+    * cut is deterministic), then score every document's OOV rate against
+    * that vocab — the standard pre-tokenizer diagnostic for "how much of
+    * this corpus does a fixed vocab actually cover".
+    *
+    * Two passes by design, both scale-shaped: the FIT pass partial-
+    * aggregates word counts map-side (shuffle is vocab-sized per partition,
+    * never token-sized) and takes the top `vocabSize` as a TakeOrdered (no
+    * full sort); the APPLY pass explodes tokens (narrow), probes the
+    * broadcast vocab, and re-aggregates per document — that shuffle carries
+    * one row per document. Output: (idCol, n_tokens, n_oov, oov_rate).
+    */
+  def vocabCoverage(docs: DataFrame, idCol: String, textCol: String,
+                    vocabSize: Int): DataFrame = {
+    require(vocabSize >= 1, s"vocabCoverage needs vocabSize >= 1, got $vocabSize")
+    val tok = docs.select(col(idCol), explode(tokens(col(textCol))).as("_w"))
+    val vocab = tok.groupBy("_w").agg(count(lit(1)).as("_c"))
+      .orderBy(col("_c").desc, col("_w").asc).limit(vocabSize)
+      .select(col("_w"), lit(1).as("_in"))
+    tok.join(broadcast(vocab), Seq("_w"), "left")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("_in").isNull, 1L).otherwise(0L)).as("n_oov"))
+      .withColumn("oov_rate",
+        round(col("n_oov").cast("double") / col("n_tokens"), 6))
+  }
 }

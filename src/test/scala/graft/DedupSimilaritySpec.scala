@@ -375,6 +375,27 @@ class DedupSimilaritySpec extends SparkSuite {
     assert(e.getMessage.contains("not dense"))
   }
 
+  test("scalarQuantize: codes in [0,255], error bounded by scale/2, constant dim -> 0") {
+    val data = Seq(
+      (0L, Seq(0.0, 5.0, 7.0)),
+      (1L, Seq(10.0, 5.0, 3.0)),
+      (2L, Seq(2.5, 5.0, -1.0))
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.scalarQuantize(data)
+      .orderBy("vec_id").as[(Long, Seq[Long], Double)].collect()
+    // dim bounds: [0,10], [5,5] (constant), [-1,7]
+    assert(out.forall(_._2.forall(c => c >= 0 && c <= 255)))
+    // endpoints land exactly on codes 0/255; constant dim encodes 0
+    assert(out(0)._2(0) === 0L && out(1)._2(0) === 255L)
+    assert(out.forall(_._2(1) === 0L))
+    // worst per-vector reconstruction error <= half the widest dim's step
+    val maxStep = 10.0 / 255.0
+    assert(out.forall(_._3 <= maxStep / 2 + 1e-9),
+      s"errors ${out.map(_._3).mkString(", ")} exceed ${maxStep / 2}")
+    // quantizing the midpoint of dim 0 rounds to a nearby code, not 0/255
+    assert(out(2)._2(0) > 50 && out(2)._2(0) < 80)
+  }
+
   test("semanticDedup drops later same-bucket near-dups, keeps firsts") {
     val v1 = Seq(1.0, 0.5, -0.25, 1.0, 0.75, -0.5, 0.3, 1.1)
     val v2 = v1.map(_ * 1.001) // same plane signs -> same bucket; cosine ~ 1

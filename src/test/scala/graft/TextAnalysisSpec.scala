@@ -146,4 +146,23 @@ class TextAnalysisSpec extends SparkSuite {
     assert(out(2L).getAs[Double]("alpha_word_frac") === 1.0)
     assert(!out(2L).getAs[Boolean]("keep")) // below minWords
   }
+
+  test("vocabCoverage: frequency-ranked cut, tie by word, exact OOV rates") {
+    // counts: the=3, cat=2, dog=2, rare=1, zed=1 -> top-3 = {the, cat, dog}
+    // (cat/dog tie at 2 resolved by word asc before the cut at 3)
+    val docs = Seq(
+      (1L, "the cat the dog"),   // 4 tokens, 0 oov
+      (2L, "the cat dog rare"),  // 4 tokens, 1 oov (rare)
+      (3L, "zed rare")           // 2 tokens, 2 oov
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.vocabCoverage(docs, "doc_id", "text", 3)
+      .orderBy("doc_id").as[(Long, Long, Long, Double)].collect()
+    assert(out === Array((1L, 4L, 0L, 0.0), (2L, 4L, 1L, 0.25), (3L, 2L, 2L, 1.0)))
+    // vocabSize beyond the type count -> zero OOV everywhere
+    val all = TextAnalysis.vocabCoverage(docs, "doc_id", "text", 100)
+      .agg(sum("n_oov")).head().getLong(0)
+    assert(all === 0L)
+    intercept[IllegalArgumentException](
+      TextAnalysis.vocabCoverage(docs, "doc_id", "text", 0))
+  }
 }
