@@ -1166,6 +1166,28 @@ object SparkEntry {
           col("max_abs_err"))
         .orderBy("vec_id")
     }),
+
+    // Per-group closed-form linear regression (price ~ quantity per return
+    // flag): the "fit a trend per key" one-pass primitive.
+    "q97_group_linfit" -> ((s, dir) => {
+      Stats.groupLinearFit(Tables.lineitem(s, dir), Seq("l_returnflag"),
+        "l_quantity", "l_extendedprice")
+        .orderBy("l_returnflag")
+    }),
+
+    // Equi-depth quantile binning: 8 per-flag price bins, rolled up to
+    // per-bin counts and exact bin edges — the feature bucketizer with a
+    // fit-then-broadcast-apply plan (no fact-side shuffle before the
+    // rollup).
+    "q98_quantile_bin" -> ((s, dir) => {
+      Encode.quantileBin(Tables.lineitem(s, dir), "l_extendedprice",
+        Seq("l_returnflag"), 8)
+        .groupBy(col("l_returnflag"), col("l_extendedprice_bin").as("bin"))
+        .agg(count(lit(1)).as("n"),
+          round(min("l_extendedprice"), 2).as("lo"),
+          round(max("l_extendedprice"), 2).as("hi"))
+        .orderBy("l_returnflag", "bin")
+    }),
   )
 
   /** Deterministic line synthesis shared by q88/q91: the single-line
@@ -2209,5 +2231,27 @@ object SparkEntry {
         |q AS (SELECT vec_id, code, abs(x - (mn + code * ((mx - mn) / 255.0))) AS err FROM c)
         |SELECT vec_id, CAST(sum(code) AS BIGINT) AS sum_codes, round(max(err), 6) AS max_abs_err
         |FROM q GROUP BY vec_id ORDER BY vec_id""".stripMargin,
+
+    "q97_group_linfit" ->
+      """SELECT l_returnflag, count(*) AS n,
+        |round(regr_slope(l_extendedprice, l_quantity), 6) AS slope,
+        |round(regr_intercept(l_extendedprice, l_quantity), 6) AS intercept,
+        |round(regr_r2(l_extendedprice, l_quantity), 6) AS r2
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q98_quantile_bin" ->
+      // bin = count of boundaries STRICTLY below the value (ties bin down),
+      // mirroring Encode.quantileBin's filter+size apply; the 1/8-grid
+      // percentiles are exact binary fractions, so the literals agree
+      // bit-for-bit across engines
+      """WITH b AS (SELECT l_returnflag,
+        |quantile_cont(l_extendedprice, [0.125, 0.25, 0.375, 0.5, 0.625, 0.75, 0.875]) AS bs
+        |FROM lineitem GROUP BY 1),
+        |x AS (SELECT l.l_returnflag, l_extendedprice AS v,
+        |len(list_filter(bs, e -> e < l_extendedprice)) AS bin
+        |FROM lineitem l JOIN b USING (l_returnflag))
+        |SELECT l_returnflag, CAST(bin AS BIGINT) AS bin, count(*) AS n,
+        |round(min(v), 2) AS lo, round(max(v), 2) AS hi
+        |FROM x GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
   )
 }

@@ -146,6 +146,31 @@ object Encode {
       .drop("_band")
   }
 
+  /** Quantile binning (the equi-depth bucketizer): fit `nBins - 1` interior
+    * percentile boundaries, then bin each value as the COUNT OF BOUNDARIES
+    * STRICTLY BELOW it — bins 0..nBins-1, ties at a boundary bin down, null
+    * values bin null. Same fit-then-broadcast-apply shape as the scalers
+    * (one aggregate, zero fact-side shuffle); the apply is a codegen'd
+    * higher-order `filter`+`size` over the broadcast boundary array, so no
+    * per-bin when-chain and no UDF. `exact = false` swaps the fit to the
+    * Greenwald-Khanna sketch (see [[percentileFit]]) — the 100-TB path.
+    * Output `<valueCol>_bin`. */
+  def quantileBin(df: DataFrame, valueCol: String, groupCols: Seq[String],
+                  nBins: Int, exact: Boolean = true,
+                  accuracy: Int = 10000): DataFrame = {
+    require(nBins >= 2, s"quantileBin needs nBins >= 2, got $nBins")
+    require(accuracy >= 1, s"quantileBin accuracy must be positive, got $accuracy")
+    val ps = (1 until nBins).map(_.toDouble / nBins)
+    val bounds = percentileFit(valueCol, ps, exact, accuracy).as("_bounds")
+    val joined =
+      if (groupCols.isEmpty) df.crossJoin(broadcast(df.agg(bounds)))
+      else df.join(broadcast(df.groupBy(groupCols.map(col): _*).agg(bounds)), groupCols)
+    joined.withColumn(s"${valueCol}_bin",
+      when(col(valueCol).isNull, lit(null))
+        .otherwise(size(filter(col("_bounds"), b => b < col(valueCol))).cast("long")))
+      .drop("_bounds")
+  }
+
   /** Robust z-score: (x - median) / (1.4826 * MAD), per group — the
     * outlier-immune alternative to [[standardScale]] (mean/std are dragged
     * by the very outliers you're trying to flag). Two fit aggregates

@@ -48,6 +48,21 @@ object Stats {
         round(stddev_pop(col(x)), 6).as("sd_x"),
         round(stddev_pop(col(y)), 6).as("sd_y"))
 
+  /** Per-group simple linear regression, closed form: slope, intercept and
+    * r-squared of `y ~ x` from the SQL-standard `regr_*` aggregates — ONE
+    * map-side-combinable hash aggregate, so a million-group regression over
+    * 100 TB is a single pass with group-count-sized shuffle (the
+    * "fit a trend per key" primitive: bytes-over-time per source, score
+    * drift per shard). Estimates are rounded to 6 dp for cross-engine
+    * float parity, like [[corrStats]]. */
+  def groupLinearFit(df: DataFrame, groupCols: Seq[String],
+                     x: String, y: String): DataFrame =
+    df.groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).as("n"),
+        round(expr(s"regr_slope($y, $x)"), 6).as("slope"),
+        round(expr(s"regr_intercept($y, $x)"), 6).as("intercept"),
+        round(expr(s"regr_r2($y, $x)"), 6).as("r2"))
+
   /** Universal-hash mix constants for [[hashBucket]] — public so the DuckDB
     * oracle SQL reproduces the exact bucket assignment. */
   val MixA: Long = 73244475L

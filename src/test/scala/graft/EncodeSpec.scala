@@ -123,6 +123,23 @@ class EncodeSpec extends SparkSuite {
     assert(math.abs(z7 - 3.0 / (1.4826 * 2.0)) < 1e-9)
   }
 
+  test("quantileBin: equi-depth bins, boundary ties bin down, null -> null") {
+    val d = (1 to 8).map(i => ("g", i.toDouble)).toDF("g", "x")
+    val bins = Encode.quantileBin(d, "x", Seq("g"), 4)
+      .orderBy("x").select("x_bin").as[Long].collect()
+    assert(bins === Array(0L, 0L, 1L, 1L, 2L, 2L, 3L, 3L))
+    // value exactly AT a boundary stays in the lower bin (strict <)
+    val tie = Seq(("g", 1.0), ("g", 2.0), ("g", 2.0), ("g", 3.0)).toDF("g", "x")
+    val tb = Encode.quantileBin(tie, "x", Seq("g"), 2) // p50 boundary = 2.0
+      .orderBy("x").select("x_bin").as[Long].collect()
+    assert(tb === Array(0L, 0L, 0L, 1L))
+    val withNull = Seq(("g", Some(1.0)), ("g", Some(2.0)), ("g", None))
+      .toDF("g", "x")
+    assert(Encode.quantileBin(withNull, "x", Seq("g"), 2)
+      .where(col("x").isNull).select("x_bin").head().isNullAt(0))
+    intercept[IllegalArgumentException](Encode.quantileBin(d, "x", Nil, 1))
+  }
+
   test("parameter guards fail at the call site, naming the operator") {
     intercept[IllegalArgumentException](Encode.standardScale(df, Nil))
     intercept[IllegalArgumentException](Encode.minMaxScale(df, Nil))

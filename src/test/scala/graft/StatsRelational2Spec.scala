@@ -428,4 +428,14 @@ class StatsRelational2Spec extends SparkSuite {
       .toDF("t").select(TextAnalysis.scrubPii(col("t"))).as[String].head()
     assert(out === "contact <EMAIL> or call <NUM> ext 42")
   }
+
+  test("groupLinearFit: exact line recovers slope/intercept with r2 = 1") {
+    val d = Seq.tabulate(20)(i => ("a", i.toDouble, 2.0 * i + 1.0)) ++
+      Seq(("b", 0.0, 5.0), ("b", 1.0, 4.0), ("b", 2.0, 6.0), ("b", 3.0, 5.0))
+    val out = Stats.groupLinearFit(d.toDF("g", "x", "y"), Seq("g"), "x", "y")
+      .orderBy("g").as[(String, Long, Double, Double, Double)].collect()
+    assert(out(0) === (("a", 20L, 2.0, 1.0, 1.0)))
+    val (_, nB, slopeB, _, r2B) = out(1)
+    assert(nB === 4L && math.abs(slopeB - 0.2) < 1e-9 && r2B < 0.2)
+  }
 }
