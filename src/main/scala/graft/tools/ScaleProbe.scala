@@ -145,6 +145,64 @@ object ScaleProbe {
         Seq("view", "click", "cart", "pay", "share", "return"), 86400)))
     }
 
+    if (sections("pq")) {
+      import graft.operators.Similarity
+      // 1M deterministic 64-dim vectors — hash-mixed so parquet can't
+      // dictionary-compress them (a linear pattern hides the real footprint
+      // ratio), but still RNG-free and reproducible across runs
+      val vecs = spark.range(0, 1000000).select(
+        col("id").as("vec_id"),
+        expr("transform(sequence(1, 64), d -> " +
+          "CAST((id * 2654435761 + d * 40503) % 104729 AS DOUBLE) / 104729.0 - 0.5)")
+          .as("embedding"))
+      val vPath = "/tmp/graft_probe_pq"
+      time("write 1M x 64d vectors")(
+        vecs.write.mode("overwrite").parquet(vPath))
+      val v = spark.read.parquet(vPath)
+      val books = Similarity.fitPqCodebooks(
+        v.where(col("vec_id") % 100 === 0), m = 8, ksub = 16, iterations = 3)
+      books.collect() // materialize the fit outside the timed region
+      def time2(name: String)(f: => Unit): Unit = {
+        val ts = (1 to 2).map { _ =>
+          val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+        }
+        println(f"[probe] $name%-34s ${ts.min}%.2f s (min of 2)")
+      }
+      time2("scalarQuantize 1M x 64d")(noop(Similarity.scalarQuantize(v)))
+      time2("pqEncode 1M x 64d")(noop(Similarity.pqEncode(v, books)))
+      val codesPath = "/tmp/graft_probe_pq_codes"
+      Similarity.pqEncode(v, books).write.mode("overwrite").parquet(codesPath)
+      val codes = spark.read.parquet(codesPath)
+      val probes = v.where(col("vec_id") < 8)
+      time2("ADC top-10 over 1M codes")(
+        noop(Similarity.pqTopK(codes, books, probes, 10)))
+      time2("brute-force top-10 over 1M raw")(
+        noop(Similarity.bruteForceTopK(v, probes, 10)))
+      // the dim-scaling claim: at 64d both paths are scan-bound and ADC's
+      // wall time merely matches brute force — at LLM-embedding widths the
+      // raw scan grows with dims while the code scan does not
+      val wide = spark.range(0, 200000).select(
+        col("id").as("vec_id"),
+        expr("transform(sequence(1, 512), d -> " +
+          "CAST((id * 2654435761 + d * 40503) % 104729 AS DOUBLE) / 104729.0 - 0.5)")
+          .as("embedding"))
+      val wPath = "/tmp/graft_probe_pq512"
+      time("write 200k x 512d vectors")(
+        wide.write.mode("overwrite").parquet(wPath))
+      val w = spark.read.parquet(wPath)
+      val wBooks = Similarity.fitPqCodebooks(
+        w.where(col("vec_id") % 100 === 0), m = 16, ksub = 16, iterations = 3)
+      wBooks.collect()
+      val wCodesPath = "/tmp/graft_probe_pq512_codes"
+      Similarity.pqEncode(w, wBooks).write.mode("overwrite").parquet(wCodesPath)
+      val wCodes = spark.read.parquet(wCodesPath)
+      val wProbes = w.where(col("vec_id") < 8)
+      time2("ADC top-10 over 200k x 512d codes")(
+        noop(Similarity.pqTopK(wCodes, wBooks, wProbes, 10)))
+      time2("brute top-10 over 200k x 512d raw")(
+        noop(Similarity.bruteForceTopK(w, wProbes, 10)))
+    }
+
     if (!sections("legacy")) { spark.stop(); return }
 
     time("agg decimal sums (q01 form)")(noop(

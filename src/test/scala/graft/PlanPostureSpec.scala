@@ -147,6 +147,25 @@ class PlanPostureSpec extends SparkSuite {
     assert(!plan.contains("SinglePartition"), s"global single-partition stage:\n$plan")
   }
 
+  test("quantileBin and vocabCoverage apply fits by broadcast (q98/q95 shape)") {
+    // both are fit-then-apply: the ONLY exchange is the fit aggregate's —
+    // the fact side must take the fit as a broadcast, never a shuffle join
+    val li = graft.meta.Tables.lineitem(spark, sf)
+    val qb = executedPlan(graft.operators.Encode.quantileBin(
+      li, "l_extendedprice", Seq("l_returnflag"), 8))
+    assert(qb.contains("BroadcastExchange"), s"quantileBin fit not broadcast:\n$qb")
+    assert(shuffleCount(qb) === 1, s"quantileBin should shuffle only the fit agg:\n$qb")
+    val docs = graft.meta.Tables.documents(spark, sf)
+    val vc = executedPlan(graft.operators.TextAnalysis.vocabCoverage(
+      docs, "doc_id", "text", 20))
+    assert(vc.contains("BroadcastExchange"), s"vocab not broadcast:\n$vc")
+    val lf = executedPlan(graft.operators.Stats.groupLinearFit(
+      li, Seq("l_returnflag"), "l_quantity", "l_extendedprice"))
+    assert(shuffleCount(lf) === 1, s"groupLinearFit must be one keyed pass:\n$lf")
+    assert(lf.contains("partial_regr") || lf.contains("partial_"),
+      s"regr aggregates lost map-side partials:\n$lf")
+  }
+
   test("pqEncode is a zero-shuffle projection; pqTopK broadcasts the LUT side (q93 shape)") {
     // encode claims "one narrow pass, vectors never shuffled" — the property
     // that makes building a 100-TB code index a free rider on the scan
