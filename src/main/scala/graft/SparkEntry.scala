@@ -1188,6 +1188,13 @@ object SparkEntry {
           round(max("l_extendedprice"), 2).as("hi"))
         .orderBy("l_returnflag", "bin")
     }),
+
+    // Character-trigram LM quality score (CCNet-style perplexity proxy):
+    // corpus-fit smoothed trigram log-probs, averaged per document.
+    "q99_char_lm" -> ((s, dir) => {
+      TextAnalysis.charTrigramLogProb(Tables.documents(s, dir), "doc_id", "text")
+        .orderBy("doc_id")
+    }),
   )
 
   /** Deterministic line synthesis shared by q88/q91: the single-line
@@ -2253,5 +2260,18 @@ object SparkEntry {
         |SELECT l_returnflag, CAST(bin AS BIGINT) AS bin, count(*) AS n,
         |round(min(v), 2) AS lo, round(max(v), 2) AS hi
         |FROM x GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q99_char_lm" ->
+      // context counts derive from the trigram table (sum over 2-char
+      // prefixes), mirroring charTrigramLogProb exactly; k = 0.5
+      """WITH tri AS (SELECT doc_id, substr(text, i, 3) AS g
+        |FROM documents, unnest(range(1, greatest(len(text) - 2, 0) + 1)) AS r(i)),
+        |c3 AS (SELECT g, count(*) AS c FROM tri GROUP BY g),
+        |c2 AS (SELECT substr(g, 1, 2) AS p, sum(c) AS cp FROM c3 GROUP BY 1),
+        |v AS (SELECT count(DISTINCT substr(g, 3, 1)) AS nv FROM c3),
+        |s AS (SELECT t.doc_id, ln((c3.c + 0.5) / (c2.cp + 0.5 * v.nv)) AS lp
+        |FROM tri t JOIN c3 ON t.g = c3.g JOIN c2 ON substr(t.g, 1, 2) = c2.p CROSS JOIN v)
+        |SELECT doc_id, count(*) AS n_tri, round(avg(lp), 6) AS avg_logp
+        |FROM s GROUP BY doc_id ORDER BY doc_id""".stripMargin,
   )
 }

@@ -443,6 +443,46 @@ object TextAnalysis {
       .select(col(groupCol), col("rank"), col("token"), col("est_occur"))
   }
 
+  /** Character-trigram language-model quality score — the CCNet-style
+    * perplexity proxy, engine-native: fit corpus trigram counts, then score
+    * each document's average add-k-smoothed log-probability
+    * `avg over i of ln((C(c_i-2 c_i-1 c_i) + k) / (C(c_i-2 c_i-1 ·) + k·V))`
+    * with V = the distinct-final-character count. Low scores flag documents
+    * whose character statistics diverge from the corpus (mojibake, binary
+    * spill, wrong-language text) — the standard cheap stand-in for a real
+    * LM perplexity filter. Documents shorter than 3 chars emit no trigrams
+    * and drop out (callers keep them via a left join on the id).
+    *
+    * Scale shape: the FIT is one trigram explode + word-keyed count whose
+    * map-side partials collapse to alphabet^3-bounded state; context counts
+    * derive from the trigram table itself (sum over its 2-char prefixes),
+    * so fit and context CANNOT disagree on boundary positions. The fitted
+    * tables are [[graft.operators.Relational.detach]]ed (vocab-sized) and
+    * broadcast; the SCORE pass is the second corpus explode + broadcast
+    * joins + one doc-keyed aggregate — shuffle carries one row per doc.
+    * Output: (idCol, n_tri, avg_logp).
+    */
+  def charTrigramLogProb(docs: DataFrame, idCol: String, textCol: String,
+                         k: Double = 0.5): DataFrame = {
+    require(k > 0, s"charTrigramLogProb smoothing k must be positive, got $k")
+    // explicit empty-array guard: Spark's sequence(1, 0) DESCENDS ([1, 0])
+    // instead of being empty, so an unguarded transform would hand short
+    // docs two phantom "trigrams" (the whole sub-3-char text, twice)
+    val triExpr = expr(s"IF(length($textCol) < 3, array(), " +
+      s"transform(sequence(1, length($textCol) - 2), i -> substring($textCol, i, 3)))")
+    val tri = docs.select(col(idCol), explode(triExpr).as("_g"))
+    val c3 = Relational.detach(
+      tri.groupBy("_g").agg(count(lit(1)).as("_c")))
+    val c2 = c3.groupBy(substring(col("_g"), 1, 2).as("_p")).agg(sum("_c").as("_cp"))
+    val nv = c3.select(countDistinct(substring(col("_g"), 3, 1)).as("_nv"))
+    tri.join(broadcast(c3), "_g")
+      .join(broadcast(c2), substring(col("_g"), 1, 2) === col("_p"))
+      .crossJoin(broadcast(nv))
+      .withColumn("_lp", log((col("_c") + lit(k)) / (col("_cp") + lit(k) * col("_nv"))))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tri"), round(avg("_lp"), 6).as("avg_logp"))
+  }
+
   /** Vocabulary induction + out-of-vocabulary coverage: fit the top
     * `vocabSize` words by corpus frequency (ties by word ascending — the
     * cut is deterministic), then score every document's OOV rate against

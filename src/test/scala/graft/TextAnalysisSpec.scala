@@ -147,6 +147,27 @@ class TextAnalysisSpec extends SparkSuite {
     assert(!out(2L).getAs[Boolean]("keep")) // below minWords
   }
 
+  test("charTrigramLogProb: hand-computed smoothed probabilities; short docs drop") {
+    // corpus trigrams: doc1 "abab" -> aba, bab; doc2 "abax" -> aba, bax
+    // counts: aba=2, bab=1, bax=1; contexts: ab=3 (aba+bab? no: prefixes
+    // aba->ab, bab->ba, bax->ba) => ab: 2 (from aba), ba: 2 (bab+bax)
+    // V = distinct final chars {a, b, x} = 3; k = 0.5
+    val docs = Seq((1L, "abab"), (2L, "abax"), (3L, "xy")).toDF("doc_id", "text")
+    val out = TextAnalysis.charTrigramLogProb(docs, "doc_id", "text")
+      .orderBy("doc_id").as[(Long, Long, Double)].collect()
+    val pAba = (2 + 0.5) / (2 + 0.5 * 3) // C(aba)=2, C(ab.)=2
+    val pBab = (1 + 0.5) / (2 + 0.5 * 3) // C(bab)=1, C(ba.)=2
+    val pBax = (1 + 0.5) / (2 + 0.5 * 3)
+    def r6(x: Double) = math.rint(x * 1e6) / 1e6
+    assert(out.map(t => (t._1, t._2)) === Array((1L, 2L), (2L, 2L)))
+    assert(math.abs(out(0)._3 - r6((math.log(pAba) + math.log(pBab)) / 2)) < 2e-6)
+    assert(math.abs(out(1)._3 - r6((math.log(pAba) + math.log(pBax)) / 2)) < 2e-6)
+    // doc 3 is shorter than a trigram: absent, not zero-scored
+    assert(!out.map(_._1).contains(3L))
+    intercept[IllegalArgumentException](
+      TextAnalysis.charTrigramLogProb(docs, "doc_id", "text", k = 0.0))
+  }
+
   test("vocabCoverage: frequency-ranked cut, tie by word, exact OOV rates") {
     // counts: the=3, cat=2, dog=2, rare=1, zed=1 -> top-3 = {the, cat, dog}
     // (cat/dog tie at 2 resolved by word asc before the cut at 3)
