@@ -1195,6 +1195,22 @@ object SparkEntry {
       TextAnalysis.charTrigramLogProb(Tables.documents(s, dir), "doc_id", "text")
         .orderBy("doc_id")
     }),
+
+    // IVF-PQ ANN (Faiss composition): 8 coarse cells + 8x16 PQ on cell
+    // residuals, multi-probe nprobe=2 ADC search over codes only — finer
+    // than flat PQ at the same code budget (residuals are centered), and
+    // corpus rows outside probed cells are never read. Rows-only like the
+    // other Lloyd-fit queries; recall anchor in SketchParitySpec.
+    "q100_ivfpq_ann" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val cents = Similarity.trainCentroids(emb, 8, 3)
+      val books = Similarity.fitIvfPqCodebooks(emb, cents, m = 8, ksub = 16,
+        iterations = 3)
+      val enc = Similarity.ivfPqEncode(emb, cents, books)
+      Similarity.ivfPqTopK(enc, cents, books, emb.where(col("vec_id") < 8),
+        10, nprobe = 2)
+        .orderBy("probe_id", "rank")
+    }),
   )
 
   /** Deterministic line synthesis shared by q88/q91: the single-line

@@ -169,6 +169,141 @@ object Similarity {
     topKPerProbe(scored, k)
   }
 
+  /** Subtract each row's assigned cell centroid from its vector — the
+    * residual step of IVF-PQ. One [[assignCells]] narrow pass + one
+    * broadcast join to fetch the centroid + a codegen'd `zip_with`;
+    * output (idCol, cell_id, vecCol = residual). */
+  private def cellResiduals(corpus: DataFrame, centroids: DataFrame,
+                            idCol: String, vecCol: String): DataFrame = {
+    val cents = centroids.select(col(idCol).cast("long").as("cell_id"),
+      col(vecCol).cast("array<double>").as("_cv"))
+    assignCells(corpus, centroids, idCol, vecCol)
+      .join(broadcast(cents), "cell_id")
+      .select(col(idCol), col("cell_id"),
+        zip_with(col(vecCol).cast("array<double>"), col("_cv"),
+          (x, c) => x - c).as(vecCol))
+  }
+
+  /** Fit IVF-PQ codebooks: PQ trained on cell RESIDUALS (vector minus its
+    * coarse centroid), the Faiss IVFPQ composition — residuals are small
+    * and centered, so the same code budget quantizes them far more finely
+    * than raw vectors. Returns the (subspace, code, centroid) frame of
+    * [[fitPqCodebooks]], fit over the residual field. */
+  def fitIvfPqCodebooks(corpus: DataFrame, centroids: DataFrame, m: Int,
+                        ksub: Int, iterations: Int,
+                        idCol: String = "vec_id",
+                        vecCol: String = "embedding"): DataFrame =
+    fitPqCodebooks(cellResiduals(corpus, centroids, idCol, vecCol),
+      m, ksub, iterations, idCol, vecCol)
+
+  /** IVF-PQ encode: (idCol, cell_id, codes) — the cell id plus the PQ
+    * codes of the residual. Narrow except the bounded centroid broadcast;
+    * the persisted index is `8 + m` bytes of addressing per vector instead
+    * of `4 x dims`. */
+  def ivfPqEncode(corpus: DataFrame, centroids: DataFrame, codebooks: DataFrame,
+                  idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val books = collectPqCodebooks(codebooks).map(_.map(_.toSeq).toSeq).toSeq
+    cellResiduals(corpus, centroids, idCol, vecCol)
+      .select(col(idCol), col("cell_id"), graft.functions.GraftFunctions
+        .pq_encode(col(vecCol), books).as("codes"))
+  }
+
+  /** IVF-PQ top-k: each probe searches only its `nprobe` closest cells,
+    * scoring CODES with the plain [[graft.functions.PqCosine]] ADC kernel.
+    *
+    * No residual-specific kernel is needed: the reconstruction is
+    * `cell_centroid + residual_centroid_j`, and both the dot and the
+    * squared-norm of that sum decompose per subspace — so the per-(probe,
+    * cell) lookup table is just the standard one built from CELL-SHIFTED
+    * codebooks (`dot(q_j, c_j + cent)`, `|c_j + cent|^2`), computed
+    * driver-side from the two bounded fits. The scored join is
+    * `encoded JOIN luts ON cell_id` — corpus rows outside probed cells are
+    * never read, which is the IVF pruning, and shuffle bytes after the
+    * bounded-buffer top-k are |probes| x k. ADC cosine is EXACT for the
+    * reconstruction (quantization is the only approximation). */
+  def ivfPqTopK(encoded: DataFrame, centroids: DataFrame, codebooks: DataFrame,
+                probes: DataFrame, k: Int, nprobe: Int = 1,
+                idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(k >= 1, s"ivfPqTopK needs k >= 1, got $k")
+    require(nprobe >= 1, s"ivfPqTopK needs nprobe >= 1, got $nprobe")
+    val books = collectPqCodebooks(codebooks)
+    val m = books.length
+    val kMax = books.map(_.length).max
+    val dsub = books(0)(0).length
+    val (cellIds, cellVecs) = collectCentroids(centroids, idCol, vecCol, "ivfPqTopK")
+    val probeRows = probes
+      .select(col(idCol).cast("long"), col(vecCol).cast("array<double>")).collect()
+    require(probeRows.nonEmpty, "ivfPqTopK: probe set is empty")
+    val lutRows = probeRows.flatMap { r =>
+      require(!r.isNullAt(0) && !r.isNullAt(1),
+        "ivfPqTopK: probes must have non-null ids and vectors")
+      val pid = r.getLong(0)
+      val q = r.getSeq[Double](1).toArray
+      var qn = 0.0
+      var i = 0
+      while (i < q.length) { qn += q(i) * q(i); i += 1 }
+      // rank this probe's cells by cosine, take nprobe (ties -> smaller id),
+      // mirroring NearestCells' ordering
+      val ranked = cellIds.indices.map { ci =>
+        val c = cellVecs(ci)
+        var dot = 0.0; var nc = 0.0; var j = 0
+        val n = math.min(q.length, c.length)
+        while (j < n) { dot += q(j) * c(j); j += 1 }
+        j = 0
+        while (j < c.length) { nc += c(j) * c(j); j += 1 }
+        val cos = if (qn == 0.0 || nc == 0.0) 0.0 else dot / (math.sqrt(qn) * math.sqrt(nc))
+        (cos, cellIds(ci), ci)
+      }.sortBy(t => (-t._1, t._2)).take(nprobe)
+      ranked.map { case (_, cellId, ci) =>
+        val c = cellVecs(ci)
+        val lut = new Array[Double](2 * m * kMax + 1)
+        var off = 0
+        var j = 0
+        while (j < m) {
+          val book = books(j)
+          var cc = 0
+          while (cc < book.length) {
+            val cent = book(cc)
+            var dot = 0.0
+            var nn = 0.0
+            var d = 0
+            while (d < dsub) {
+              // shifted centroid: cell slice + residual centroid
+              val s = (if (off + d < c.length) c(off + d) else 0.0) + cent(d)
+              if (off + d < q.length) dot += q(off + d) * s
+              nn += s * s
+              d += 1
+            }
+            lut(j * kMax + cc) = dot
+            lut(m * kMax + j * kMax + cc) = nn
+            cc += 1
+          }
+          off += dsub
+          j += 1
+        }
+        lut(2 * m * kMax) = math.sqrt(qn)
+        Row(pid, cellId, lut.toSeq)
+      }
+    }
+    val spark = encoded.sparkSession
+    val lutDf = spark.createDataFrame(
+      spark.sparkContext.parallelize(lutRows.toSeq, 1),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("probe_id", LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("cell_id", LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("_lut",
+          org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.DoubleType, containsNull = false), nullable = false))))
+    val scored = encoded
+      .select(col(idCol).cast("long").as("neighbor_id"),
+        col("cell_id").cast("long").as("cell_id"), col("codes"))
+      .join(broadcast(lutDf), "cell_id")
+      .where(col("neighbor_id") =!= col("probe_id"))
+      .withColumn("cosine", graft.functions.GraftFunctions
+        .pq_cosine(col("codes"), col("_lut")))
+    topKPerProbe(scored, k)
+  }
+
   /** Lloyd-iteration centroid training for IVF (k-means on cosine
     * assignment). Seeds are the first k vectors by id (deterministic).
     * Each iteration is: one broadcast-assign pass over the corpus + one

@@ -375,6 +375,32 @@ class DedupSimilaritySpec extends SparkSuite {
     assert(e.getMessage.contains("not dense"))
   }
 
+  test("ivfPq: exact on the shifted grid; encode agrees with assignCells") {
+    // 2 cells at (+1, +1, +1, +1) and (-1, -1, -1, -1); residual codebook
+    // = gridBooks; vectors = cell centroid + on-grid residual, so the ADC
+    // reconstruction is EXACT and IVF-PQ top-k equals brute force
+    val cents = Seq((100L, Seq(1.0, 1.0, 1.0, 1.0)),
+      (200L, Seq(-1.0, -1.0, -1.0, -1.0))).toDF("vec_id", "embedding")
+    val vecs = Seq(
+      (0L, Seq(2.0, 1.0, 2.0, 1.0)),   // cell 100 + (1,0,1,0)
+      (1L, Seq(2.0, 1.0, 1.0, 2.0)),   // cell 100 + (1,0,0,1)
+      (2L, Seq(-1.0, 0.0, 0.0, -1.0)), // cell 200 + (0,1,1,0)
+      (3L, Seq(0.0, -1.0, -1.0, 0.0))  // cell 200 + (1,0,0,1)... (0,1)(1,0)? codes don't matter: on-grid
+    ).toDF("vec_id", "embedding")
+    val enc = Similarity.ivfPqEncode(vecs, cents, gridBooks)
+    val cells = Similarity.assignCells(vecs, cents)
+      .select("vec_id", "cell_id").as[(Long, Long)].collect().toMap
+    val encCells = enc.select("vec_id", "cell_id").as[(Long, Long)].collect().toMap
+    assert(encCells === cells)
+    val adc = Similarity.ivfPqTopK(enc, cents, gridBooks, vecs, 3, nprobe = 2)
+      .orderBy("probe_id", "rank").as[(Long, Long, Long, Double)].collect()
+    val exact = Similarity.bruteForceTopK(vecs, vecs, 3)
+      .orderBy("probe_id", "rank").as[(Long, Long, Long, Double)].collect()
+    assert(adc === exact)
+    intercept[IllegalArgumentException](
+      Similarity.ivfPqTopK(enc, cents, gridBooks, vecs, 3, nprobe = 0))
+  }
+
   test("scalarQuantize: codes in [0,255], error bounded by scale/2, constant dim -> 0") {
     val data = Seq(
       (0L, Seq(0.0, 5.0, 7.0)),

@@ -130,4 +130,28 @@ class SketchParitySpec extends SparkSuite {
     // at sf0.001; the fit is deterministic up to VectorAvg partial order).
     assert(mean >= 0.2, s"mean PQ recall@10 $mean — ADC path likely mis-wired")
   }
+
+  test("q100 anchor: IVF-PQ recall@10 beats the flat-PQ floor (residual fit)") {
+    import graft.operators.Similarity
+    // mirrors q100_ivfpq_ann exactly: 8 cells, 8x16 residual codebooks,
+    // nprobe=2. Residuals are centered, so the same code budget must land
+    // ABOVE flat PQ's floor (measured 0.44 vs 0.31 at sf0.001).
+    val emb = Tables.embeddings(spark, sf)
+    val probes = emb.where(col("vec_id") < 8)
+    val cents = Similarity.trainCentroids(emb, 8, 3)
+    val books = Similarity.fitIvfPqCodebooks(emb, cents, 8, 16, 3)
+    val enc = Similarity.ivfPqEncode(emb, cents, books)
+    val got = Similarity.ivfPqTopK(enc, cents, books, probes, 10, nprobe = 2)
+      .select("probe_id", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val exact = Similarity.bruteForceTopK(emb, probes, 10)
+      .select("probe_id", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val byProbe = got.groupBy(_._1).map { case (p, xs) => p -> xs.map(_._2).toSet }
+    val recalls = exact.groupBy(_._1).map { case (p, xs) =>
+      xs.count(x => byProbe.getOrElse(p, Set.empty).contains(x._2)).toDouble / xs.length
+    }.toSeq
+    val mean = recalls.sum / recalls.length
+    assert(mean >= 0.3, s"mean IVF-PQ recall@10 $mean — residual path mis-wired")
+  }
 }
