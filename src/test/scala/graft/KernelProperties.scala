@@ -124,6 +124,72 @@ object KernelProperties extends Properties("graft.kernels") {
       eqPairs(List.tabulate(a.size)(i => (a.vs(i), a.ids(i))), refTopK(xs ++ ys, k))
   }
 
+
+  // --- product quantization: ADC is EXACT for the reconstruction ---
+
+  private val pqCase: Gen[(Array[Double], Seq[Seq[Seq[Double]]])] = for {
+    m <- Gen.choose(1, 4)
+    dsub <- Gen.choose(1, 4)
+    ksub <- Gen.choose(1, 5)
+    v <- Gen.listOfN(m * dsub, Gen.choose(-3.0, 3.0))
+    books <- Gen.listOfN(m,
+      Gen.listOfN(ksub, Gen.listOfN(dsub, Gen.choose(-3.0, 3.0))))
+  } yield (v.toArray, books.map(_.map(_.map(identity))))
+
+  property("pq.adcEqualsCosineOfReconstruction") = forAll(pqCase) {
+    case (q, books) =>
+      import graft.functions.{PqCosine, PqEncode}
+      import org.apache.spark.sql.catalyst.expressions.Literal
+      import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+      import org.apache.spark.sql.types.{ArrayType, DoubleType}
+      val enc = PqEncode(Literal.create(q.toSeq, ArrayType(DoubleType)), books)
+      val codes = enc.kernel(new GenericArrayData(q))
+      val m = books.length
+      val kMax = books.map(_.length).max
+      // reconstruction from the chosen codes
+      val recon = (0 until m).flatMap(j => books(j)(codes.getInt(j))).toArray
+      // LUT exactly as pqTopK builds it
+      val lut = new Array[Double](2 * m * kMax + 1)
+      var off = 0
+      for (j <- 0 until m) {
+        val dsub = books(j).head.length
+        for (c <- books(j).indices) {
+          val cent = books(j)(c)
+          lut(j * kMax + c) = (0 until dsub).map(i => q(off + i) * cent(i)).sum
+          lut(m * kMax + j * kMax + c) = cent.map(x => x * x).sum
+        }
+        off += dsub
+      }
+      lut(2 * m * kMax) = math.sqrt(q.map(x => x * x).sum)
+      val adc = PqCosine(Literal.create(null, ArrayType(DoubleType)),
+        Literal.create(null, ArrayType(DoubleType)))
+        .kernel(codes, new GenericArrayData(lut))
+      val qn = math.sqrt(q.map(x => x * x).sum)
+      val rn = math.sqrt(recon.map(x => x * x).sum)
+      val dot = q.zip(recon).map { case (a, b) => a * b }.sum
+      val expected = if (qn == 0.0 || rn == 0.0) 0.0 else dot / (qn * rn)
+      math.abs(adc - expected) < 1e-9
+  }
+
+  property("pq.encodePicksNearestCentroidPerSubspace") = forAll(pqCase) {
+    case (q, books) =>
+      import graft.functions.PqEncode
+      import org.apache.spark.sql.catalyst.expressions.Literal
+      import org.apache.spark.sql.catalyst.util.GenericArrayData
+      import org.apache.spark.sql.types.{ArrayType, DoubleType}
+      val enc = PqEncode(Literal.create(q.toSeq, ArrayType(DoubleType)), books)
+      val codes = enc.kernel(new GenericArrayData(q))
+      var off = 0
+      books.zipWithIndex.forall { case (book, j) =>
+        val dsub = book.head.length
+        val sub = q.slice(off, off + dsub)
+        off += dsub
+        val d2 = book.map(c => c.zip(sub).map { case (a, b) =>
+          (a - b) * (a - b) }.sum)
+        val best = d2.zipWithIndex.minBy { case (d, i) => (d, i) }._2
+        codes.getInt(j) == best
+      }
+  }
 }
 
 /** MJPEG segment-walk invariants on RANDOM concatenations of real JDK-encoded
