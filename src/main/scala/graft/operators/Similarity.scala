@@ -338,8 +338,9 @@ object Similarity {
     corpus.select(col(idCol), hyperplaneBucketExpr(vecCol, nPlanes).as("bucket"))
 
   /** The [[hyperplaneBuckets]] bit-vector as a bare Column, for callers that
-    * need the bucket alongside other columns without a join. */
-  private def hyperplaneBucketExpr(vecCol: String, nPlanes: Int): org.apache.spark.sql.Column = {
+    * need the bucket alongside other columns without a join (also the
+    * streaming dedup's pre-shuffle key). */
+  private[graft] def hyperplaneBucketExpr(vecCol: String, nPlanes: Int): org.apache.spark.sql.Column = {
     val dot = (p: Int) =>
       s"aggregate(zip_with($vecCol, transform(sequence(1, size($vecCol)), " +
         s"d -> CAST((d * 31 + $p * 17) % 3 - 1 AS DOUBLE)), " +

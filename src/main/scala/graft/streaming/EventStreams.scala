@@ -254,6 +254,87 @@ object EventStreams {
       .toDF("user_id", "stage_reached", "anchor_us")
   }
 
+  /** Streaming semantic dedup (`transformWithState`, Spark 4): the batch
+    * twin is [[graft.operators.Similarity.semanticDedup]] — drop any vector
+    * with a SMALLER-id same-LSH-bucket neighbor above cosine `threshold`.
+    * Emits `(bucket, vec_id, kept)` in Update mode; the LAST row per
+    * vec_id is its current status.
+    *
+    * EXACT batch parity under any arrival order, the [[funnelStream]]
+    * philosophy: state per bucket is every (id, vector) seen, and each
+    * micro-batch re-runs the keep-first recurrence over the union — so a
+    * smaller-id near-dup arriving micro-batches LATE retroactively flips
+    * the earlier arrival to `kept = false` (batch drops x on any earlier-id
+    * neighbor, surviving or not, so dropped vectors still stay in state as
+    * future droppers). Every touched bucket re-emits all its statuses;
+    * readers keep the last row per id.
+    *
+    * Scale shape: the bucket is computed BEFORE the stateful shuffle (a
+    * narrow projection of the same deterministic hyperplane bits as the
+    * batch twin), so the exchange is bucket-keyed and `nPlanes` bounds
+    * expected bucket population. Batch parity requires retaining all seen
+    * vectors, so long-running deployments should bound state with more
+    * planes, a TTL (see [[runningUserCountsTws]]), or periodic restarts.
+    * Null ids/vectors are dropped pre-shuffle (same checkpoint-replay
+    * guard as [[funnelStream]]). Requires the RocksDB state store
+    * provider, like every `transformWithState` operator here.
+    */
+  def semanticDedupStream(vectors: DataFrame, threshold: Double, nPlanes: Int = 8,
+                          idCol: String = "vec_id",
+                          vecCol: String = "embedding"): DataFrame = {
+    import org.apache.spark.sql.Encoders
+    import org.apache.spark.sql.streaming.{ListState, OutputMode, StatefulProcessor, TimeMode, TimerValues, TTLConfig}
+    require(nPlanes >= 1 && nPlanes <= 62,
+      s"semanticDedupStream needs nPlanes in [1, 62], got $nPlanes")
+    val spark = vectors.sparkSession
+    import spark.implicits._
+
+    // sequential double dot/norms over the min span — the CosineSimilarity
+    // kernel's exact arithmetic (incl. its malformed-pair convention), so
+    // stream and batch agree on threshold boundaries
+    def cos(a: Seq[Double], b: Seq[Double]): Double = {
+      val n = math.min(a.length, b.length)
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < n) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      if (na == 0.0 || nb == 0.0) 0.0 else dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+
+    class DedupProcessor extends StatefulProcessor[Long, (Long, Long, Seq[Double]), (Long, Long, Boolean)] {
+      @transient private var seen: ListState[(Long, Seq[Double])] = _
+      override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+        seen = getHandle.getListState[(Long, Seq[Double])]("seen_vectors",
+          Encoders.product[(Long, Seq[Double])], TTLConfig.NONE)
+      override def handleInputRows(bucket: Long, rows: Iterator[(Long, Long, Seq[Double])],
+          tv: TimerValues): Iterator[(Long, Long, Boolean)] = {
+        val incoming = rows.map { case (_, id, v) => (id, v) }.toArray
+        if (incoming.isEmpty) return Iterator.empty
+        val all = (seen.get().toArray ++ incoming)
+          .groupBy(_._1).map(_._2.head).toArray.sortBy(_._1)
+        seen.clear()
+        seen.put(all)
+        // keep-first recurrence over the union: x is dropped iff ANY
+        // earlier-id vector (kept or dropped) clears the threshold
+        val out = all.indices.map { i =>
+          val (id, v) = all(i)
+          val dropped = (0 until i).exists { j => cos(all(j)._2, v) > threshold }
+          (bucket, id, !dropped)
+        }
+        out.iterator
+      }
+    }
+
+    vectors
+      .select(
+        graft.operators.Similarity.hyperplaneBucketExpr(vecCol, nPlanes).as("_b"),
+        col(idCol).cast("long").as("_id"),
+        col(vecCol).cast("array<double>").as("_v"))
+      .where(col("_b").isNotNull && col("_id").isNotNull && col("_v").isNotNull)
+      .as[(Long, Long, Seq[Double])]
+      .groupByKey(_._1)
+      .transformWithState(new DedupProcessor, TimeMode.None(), OutputMode.Update())
+      .toDF("bucket", idCol, "kept")
+  }
+
   /** Streaming session summary row. */
   case class Session(user_id: Long, session_start: java.sql.Timestamp,
                      session_end: java.sql.Timestamp, n_events: Long)

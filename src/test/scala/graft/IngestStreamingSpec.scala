@@ -430,4 +430,56 @@ class IngestStreamingSpec extends SparkSuite {
     assert(seen.map(_._2).sum === 5)
     assert(seen.map(_._1).toSet === (0L until seen.length).toSet)
   }
+
+  test("semanticDedupStream: late smaller-id dup retroactively flips the survivor") {
+    val v1 = Seq(1.0, 0.5, -0.25, 1.0, 0.75, -0.5, 0.3, 1.1)
+    val v2 = v1.map(_ * 1.001) // near-dup of v1, same bucket
+    val v3 = v1.map(x => -x)   // cosine -1: never a dup
+    val root = Files.createTempDirectory("graft_semdedup").toString
+    val dir = s"$root/in"
+    new java.io.File(dir).mkdirs()
+    // batch 1: the LATER id (5) of the dup pair arrives first, plus 9
+    Seq((5L, v2), (9L, v3)).toDF("vec_id", "embedding")
+      .coalesce(1).write.parquet(s"$root/f1")
+    // batch 2: the smaller-id original (1) arrives late
+    Seq((1L, v1)).toDF("vec_id", "embedding")
+      .coalesce(1).write.parquet(s"$root/f2")
+    for (f <- Seq("f1", "f2");
+         p <- new java.io.File(s"$root/$f").listFiles() if p.getName.endsWith(".parquet")) {
+      val dst = java.nio.file.Path.of(dir, s"$f-${p.getName}")
+      Files.copy(p.toPath, dst)
+      dst.toFile.setLastModified(if (f == "f1") 1000000L else 2000000L)
+    }
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    try {
+      spark.conf.set(key,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      val schema = spark.read.parquet(dir).schema
+      val stream = EventStreams.readFileStream(spark, dir, schema, maxFilesPerTrigger = 1)
+      EventStreams.drainToMemory(
+        EventStreams.semanticDedupStream(stream, threshold = 0.95),
+        "sem_dedup_stream", outputMode = "update")
+      // memory sink in update mode appends every re-emission: the LAST row
+      // per vec_id is its current status
+      val rows = spark.table("sem_dedup_stream")
+        .select("vec_id", "kept").as[(Long, Boolean)].collect()
+      val finals = rows.zipWithIndex.groupBy(_._1._1)
+        .map { case (id, xs) => id -> xs.maxBy(_._2)._1._2 }
+      assert(finals === Map(1L -> true, 5L -> false, 9L -> true),
+        s"got $finals from ${rows.mkString(", ")}")
+      // id 5 was a survivor in batch 1 (its smaller-id dup had not arrived)
+      val fives = rows.filter(_._1 == 5L).map(_._2).toSeq
+      assert(fives.head === true && fives.last === false,
+        s"expected 5 to flip kept -> dropped, saw $fives")
+      // exact batch parity on the union
+      val batchSurvivors = graft.operators.Similarity.semanticDedup(
+        Seq((1L, v1), (5L, v2), (9L, v3)).toDF("vec_id", "embedding"), 0.95)
+        .select("vec_id").as[Long].collect().toSet
+      assert(finals.filter(_._2).keySet === batchSurvivors)
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
 }
