@@ -1211,6 +1211,16 @@ object SparkEntry {
         10, nprobe = 2)
         .orderBy("probe_id", "rank")
     }),
+
+    // Binary sign quantization + Hamming top-k: the cheapest ANN tier
+    // (8 bytes/vector, bit_count(xor) per candidate). Training-free and
+    // fully deterministic, so unlike the Lloyd-fit indexes the whole
+    // pipeline gets an exact oracle.
+    "q101_binary_ann" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Similarity.hammingTopK(emb, emb.where(col("vec_id") < 8), 10)
+        .orderBy("probe_id", "rank")
+    }),
   )
 
   /** Deterministic line synthesis shared by q88/q91: the single-line
@@ -2289,5 +2299,23 @@ object SparkEntry {
         |FROM tri t JOIN c3 ON t.g = c3.g JOIN c2 ON substr(t.g, 1, 2) = c2.p CROSS JOIN v)
         |SELECT doc_id, count(*) AS n_tri, round(avg(lp), 6) AS avg_logp
         |FROM s GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "q101_binary_ann" -> {
+      // the same sign-bit packing as Similarity.binarySignPack, rebuilt in
+      // SQL; ties on hamming resolve by neighbor id in both engines
+      def word(r: Range, base: Int) = r.map(d =>
+        s"CASE WHEN len(e) >= $d AND e[$d] >= 0 THEN CAST(${1L << (d - base)} AS BIGINT) ELSE CAST(0 AS BIGINT) END")
+        .mkString(" + ")
+      s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+         |b AS (SELECT vec_id, ${word(1 to 32, 1)} AS lo, ${word(33 to 64, 33)} AS hi FROM v),
+         |p AS (SELECT vec_id AS probe_id, lo AS plo, hi AS phi FROM b WHERE vec_id < 8),
+         |s AS (SELECT p.probe_id, b.vec_id AS neighbor_id,
+         |bit_count(xor(b.lo, p.plo)) + bit_count(xor(b.hi, p.phi)) AS hamming
+         |FROM b, p WHERE b.vec_id <> p.probe_id),
+         |r AS (SELECT probe_id, neighbor_id, hamming,
+         |row_number() OVER (PARTITION BY probe_id ORDER BY hamming, neighbor_id) AS rank FROM s)
+         |SELECT probe_id, CAST(rank AS BIGINT) AS rank, neighbor_id, CAST(hamming AS INTEGER) AS hamming
+         |FROM r WHERE rank <= 10 ORDER BY probe_id, rank""".stripMargin
+    },
   )
 }

@@ -375,6 +375,22 @@ class DedupSimilaritySpec extends SparkSuite {
     assert(e.getMessage.contains("not dense"))
   }
 
+  test("binarySignPack + hammingTopK: sign-bit packing and exact Hamming ranks") {
+    val a = Seq(1.0, -1.0, 1.0, -1.0)  // bits 1,3 -> lo = 1 + 4 = 5
+    val b = Seq(1.0, -1.0, 1.0, 1.0)   // bits 1,3,4 -> lo = 13; ham(a,b)=1
+    val c = Seq(-1.0, 1.0, -1.0, 1.0)  // complement of a -> ham(a,c)=4
+    val d = Seq(0.0, 0.0, 0.0, 0.0)    // zeros count as >= 0: lo = 15
+    val df = Seq((0L, a), (1L, b), (2L, c), (3L, d)).toDF("vec_id", "embedding")
+    val packed = Similarity.binarySignPack(df)
+      .orderBy("vec_id").as[(Long, Long, Long)].collect()
+    assert(packed === Array((0L, 5L, 0L), (1L, 13L, 0L), (2L, 10L, 0L), (3L, 15L, 0L)))
+    val top = Similarity.hammingTopK(df, df.where(col("vec_id") === 0), 3)
+      .orderBy("rank").as[(Long, Long, Long, Int)].collect()
+    // from a: b differs in bit 4 (ham 1), d in bits 2,4 (ham 2), c in all (ham 4)
+    assert(top === Array((0L, 1L, 1L, 1), (0L, 2L, 3L, 2), (0L, 3L, 2L, 4)))
+    intercept[IllegalArgumentException](Similarity.hammingTopK(df, df, 0))
+  }
+
   test("ivfPq: exact on the shifted grid; encode agrees with assignCells") {
     // 2 cells at (+1, +1, +1, +1) and (-1, -1, -1, -1); residual codebook
     // = gridBooks; vectors = cell centroid + on-grid residual, so the ADC
