@@ -1221,6 +1221,16 @@ object SparkEntry {
       Similarity.hammingTopK(emb, emb.where(col("vec_id") < 8), 10)
         .orderBy("probe_id", "rank")
     }),
+
+    // Two-stage retrieval: 50-wide binary shortlist, exact cosine re-rank
+    // to top-10 — the production ANN shape (cheap filter, exact finisher),
+    // deterministic end-to-end so the whole pipeline has an exact oracle.
+    "q102_rerank_ann" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Similarity.rerankTopK(emb, emb.where(col("vec_id") < 8),
+        shortlist = 50, k = 10)
+        .orderBy("probe_id", "rank")
+    }),
   )
 
   /** Deterministic line synthesis shared by q88/q91: the single-line
@@ -2315,6 +2325,29 @@ object SparkEntry {
          |r AS (SELECT probe_id, neighbor_id, hamming,
          |row_number() OVER (PARTITION BY probe_id ORDER BY hamming, neighbor_id) AS rank FROM s)
          |SELECT probe_id, CAST(rank AS BIGINT) AS rank, neighbor_id, CAST(hamming AS INTEGER) AS hamming
+         |FROM r WHERE rank <= 10 ORDER BY probe_id, rank""".stripMargin
+    },
+
+    "q102_rerank_ann" -> {
+      // stage 1 = q101's hamming shortlist at width 50; stage 2 = q27's
+      // exact cosine rank over only the shortlisted pairs
+      def word(r: Range, base: Int) = r.map(d =>
+        s"CASE WHEN len(e) >= $d AND e[$d] >= 0 THEN CAST(${1L << (d - base)} AS BIGINT) ELSE CAST(0 AS BIGINT) END")
+        .mkString(" + ")
+      s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+         |b AS (SELECT vec_id, ${word(1 to 32, 1)} AS lo, ${word(33 to 64, 33)} AS hi FROM v),
+         |p AS (SELECT vec_id AS probe_id, lo AS plo, hi AS phi FROM b WHERE vec_id < 8),
+         |h AS (SELECT p.probe_id, b.vec_id AS neighbor_id,
+         |row_number() OVER (PARTITION BY p.probe_id
+         |  ORDER BY bit_count(xor(b.lo, p.plo)) + bit_count(xor(b.hi, p.phi)), b.vec_id) AS hrank
+         |FROM b, p WHERE b.vec_id <> p.probe_id),
+         |sc AS (SELECT h.probe_id, h.neighbor_id,
+         |list_dot_product(pv.e, cv.e) / (sqrt(list_dot_product(pv.e, pv.e)) * sqrt(list_dot_product(cv.e, cv.e))) AS cos
+         |FROM h JOIN v pv ON h.probe_id = pv.vec_id JOIN v cv ON h.neighbor_id = cv.vec_id
+         |WHERE h.hrank <= 50),
+         |r AS (SELECT probe_id, neighbor_id, cos,
+         |row_number() OVER (PARTITION BY probe_id ORDER BY cos DESC, neighbor_id) AS rank FROM sc)
+         |SELECT probe_id, CAST(rank AS BIGINT) AS rank, neighbor_id, round(cos, 6) AS cosine
          |FROM r WHERE rank <= 10 ORDER BY probe_id, rank""".stripMargin
     },
   )

@@ -217,6 +217,31 @@ object Similarity {
         col("col.id").as("neighbor_id"), (-col("col.v")).cast("int").as("hamming"))
   }
 
+  /** Two-stage retrieval, the production ANN shape: a cheap
+    * [[hammingTopK]] sign-bit shortlist of `shortlist` candidates per
+    * probe, then EXACT cosine re-ranking of only those candidates down to
+    * `k`. The 100-TB contract: the full corpus is scanned only as packed
+    * sign bits (8 bytes/row); raw vectors are read for just
+    * |probes| x shortlist rows via a broadcast semi-pattern join — so
+    * recall comes from the shortlist width while the expensive kernel
+    * touches a driver-bounded candidate set. Both stages are
+    * deterministic (ties: hamming/id, then cosine DESC/id), so the whole
+    * pipeline is oracle-checkable. Output (probe_id, rank, neighbor_id,
+    * cosine). */
+  def rerankTopK(corpus: DataFrame, probes: DataFrame, shortlist: Int, k: Int,
+                 idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(shortlist >= k, s"rerankTopK shortlist ($shortlist) must be >= k ($k)")
+    val cand = hammingTopK(corpus, probes, shortlist, idCol, vecCol)
+      .select(col("probe_id"), col("neighbor_id"))
+    val p = probes.select(col(idCol).as("probe_id"), col(vecCol).as("probe_vec"))
+    val scored = corpus
+      .select(col(idCol).as("neighbor_id"), col(vecCol).as("cand_vec"))
+      .join(broadcast(cand), "neighbor_id")
+      .join(broadcast(p), "probe_id")
+      .withColumn("cosine", cosine_similarity(col("probe_vec"), col("cand_vec")))
+    topKPerProbe(scored, k)
+  }
+
   /** Subtract each row's assigned cell centroid from its vector — the
     * residual step of IVF-PQ. One [[assignCells]] narrow pass + one
     * broadcast join to fetch the centroid + a codegen'd `zip_with`;

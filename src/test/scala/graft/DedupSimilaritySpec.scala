@@ -391,6 +391,20 @@ class DedupSimilaritySpec extends SparkSuite {
     intercept[IllegalArgumentException](Similarity.hammingTopK(df, df, 0))
   }
 
+  test("rerankTopK: wide shortlist converges to exact brute-force top-k") {
+    // shortlist spanning the whole corpus makes stage 2 = brute force
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val probes = emb.where(col("vec_id") < 4)
+    val rr = Similarity.rerankTopK(emb, probes, shortlist = 499, k = 5)
+      .orderBy("probe_id", "rank").as[(Long, Long, Long, Double)].collect()
+    val bf = Similarity.bruteForceTopK(emb, probes, 5)
+      .orderBy("probe_id", "rank").as[(Long, Long, Long, Double)].collect()
+    assert(rr === bf)
+    intercept[IllegalArgumentException](
+      Similarity.rerankTopK(emb, probes, shortlist = 3, k = 5))
+  }
+
   test("ivfPq: exact on the shifted grid; encode agrees with assignCells") {
     // 2 cells at (+1, +1, +1, +1) and (-1, -1, -1, -1); residual codebook
     // = gridBooks; vectors = cell centroid + on-grid residual, so the ADC
