@@ -26,7 +26,7 @@ object Bench {
       // — q88's large projection paid ~6 s/pass of janino time in one
       // 89-query run (12.0 s min-of-2 vs 0.8 s standalone). Size the cache
       // to the suite.
-      .config("spark.sql.codegen.cache.maxEntries", "4000")
+      .config("spark.sql.codegen.cache.maxEntries", "8000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Warm the JVM/codegen/parquet-reader paths so the first measured query

@@ -1231,6 +1231,34 @@ object SparkEntry {
         shortlist = 50, k = 10)
         .orderBy("probe_id", "rank")
     }),
+
+    // The composite pretraining filter — the user-story endpoint chaining
+    // four independently-oracled stages into one per-doc verdict: Gopher
+    // quality rules AND repetition rules AND char-LM score above -0.78
+    // (6-dp-rounded compare; the corpus's closest score sits 1e-5 off the
+    // boundary at every SF) AND exact-dup keep-first. Docs too short to
+    // emit a trigram fail the LM gate via the null coalesce.
+    "q103_pretrain_filter" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir).select("doc_id", "text")
+      val gq = TextAnalysis.gopherQualityFlags(docs, "doc_id", "text")
+        .select(col("doc_id"), col("keep").as("g_keep"))
+      val rep = TextAnalysis.repetitionStats(docs, "doc_id", "text")
+        .select(col("doc_id"), col("keep").as("r_keep"))
+      val lm = TextAnalysis.charTrigramLogProb(docs, "doc_id", "text")
+        .select(col("doc_id"), col("avg_logp"))
+      val firsts = Dedup.dedupKeepFirst(docs, Seq("text"), Seq("doc_id"))
+        .select(col("doc_id"), lit(true).as("_first"))
+      docs.select("doc_id")
+        .join(gq, "doc_id").join(rep, "doc_id")
+        .join(lm, Seq("doc_id"), "left")
+        .join(firsts, Seq("doc_id"), "left")
+        .withColumn("lm_keep", coalesce(col("avg_logp") > lit(-0.78), lit(false)))
+        .withColumn("dup_keep", coalesce(col("_first"), lit(false)))
+        .withColumn("kept",
+          col("g_keep") && col("r_keep") && col("lm_keep") && col("dup_keep"))
+        .select("doc_id", "g_keep", "r_keep", "lm_keep", "dup_keep", "kept")
+        .orderBy("doc_id")
+    }),
   )
 
   /** Deterministic line synthesis shared by q88/q91: the single-line
@@ -2350,5 +2378,47 @@ object SparkEntry {
          |SELECT probe_id, CAST(rank AS BIGINT) AS rank, neighbor_id, round(cos, 6) AS cosine
          |FROM r WHERE rank <= 10 ORDER BY probe_id, rank""".stripMargin
     },
+
+    "q103_pretrain_filter" ->
+      // each stage's CTE is copied verbatim from its own green oracle
+      // (q87 gopher, q83 repetition, q99 char-LM); conditions apply to the
+      // same ROUNDED values the operators emit
+      s"""WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS tk,
+        |  string_split(text, chr(10)) AS ln FROM documents),
+        |gs AS (SELECT doc_id,
+        |  CAST(len(tk) AS BIGINT) AS n_words,
+        |  round(list_aggregate(list_transform(tk, x -> len(x)), 'sum') * 1.0 / len(tk), 6) AS mean_word_len,
+        |  round(len(list_filter(tk, x -> regexp_matches(x, '[A-Za-z]'))) * 1.0 / len(tk), 6) AS alpha_word_frac,
+        |  round((len(string_split(text, '#')) - 1 + len(string_split(text, '...')) - 1) * 1.0 / len(tk), 6) AS symbol_word_ratio,
+        |  round(len(list_filter(ln, x -> starts_with(x, '- ') OR starts_with(x, '* '))) * 1.0 / len(ln), 6) AS bullet_line_frac,
+        |  round(len(list_filter(ln, x -> ends_with(x, '...'))) * 1.0 / len(ln), 6) AS ellipsis_line_frac,
+        |  CAST(len(list_filter(tk, x -> x IN (${TextAnalysis.GopherStopwords.map(w => s"'$w'").mkString(",")}))) AS BIGINT) AS n_stopwords
+        |  FROM t),
+        |gq AS (SELECT doc_id, (n_words >= 50 AND n_words <= 100000 AND mean_word_len >= 3.0
+        |  AND mean_word_len <= 10.0 AND symbol_word_ratio <= 0.1 AND bullet_line_frac <= 0.9
+        |  AND ellipsis_line_frac <= 0.3 AND alpha_word_frac >= 0.8 AND n_stopwords >= 2) AS g_keep FROM gs),
+        |bg AS (SELECT doc_id, unnest(CASE WHEN len(tk) < 2 THEN CAST([] AS VARCHAR[])
+        |  ELSE list_transform(range(1, len(tk)), i -> tk[i] || ' ' || tk[i+1]) END) AS gram FROM t),
+        |cnt AS (SELECT doc_id, gram, count(*) AS c FROM bg GROUP BY 1, 2),
+        |top AS (SELECT doc_id, max(c) AS mc, sum(c) AS tot FROM cnt GROUP BY 1),
+        |rep AS (SELECT t.doc_id,
+        |  (round(1.0 - len(list_distinct(tk)) * 1.0 / len(tk), 6) <= 0.6
+        |   AND round(coalesce(mc * 1.0 / tot, 0.0), 6) <= 0.08) AS r_keep
+        |  FROM t LEFT JOIN top ON t.doc_id = top.doc_id),
+        |tri AS (SELECT doc_id, substr(text, i, 3) AS g
+        |  FROM documents, unnest(range(1, greatest(len(text) - 2, 0) + 1)) AS r(i)),
+        |c3 AS (SELECT g, count(*) AS c FROM tri GROUP BY g),
+        |c2 AS (SELECT substr(g, 1, 2) AS p, sum(c) AS cp FROM c3 GROUP BY 1),
+        |vv AS (SELECT count(DISTINCT substr(g, 3, 1)) AS nv FROM c3),
+        |lm AS (SELECT tr.doc_id, round(avg(ln((c3.c + 0.5) / (c2.cp + 0.5 * vv.nv))), 6) AS avg_logp
+        |  FROM tri tr JOIN c3 ON tr.g = c3.g JOIN c2 ON substr(tr.g, 1, 2) = c2.p CROSS JOIN vv
+        |  GROUP BY tr.doc_id),
+        |d AS (SELECT doc_id, row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn FROM documents)
+        |SELECT t.doc_id, g_keep, r_keep,
+        |  coalesce(avg_logp > -0.78, false) AS lm_keep, (rn = 1) AS dup_keep,
+        |  (g_keep AND r_keep AND coalesce(avg_logp > -0.78, false) AND rn = 1) AS kept
+        |FROM t JOIN gq ON t.doc_id = gq.doc_id JOIN rep ON t.doc_id = rep.doc_id
+        |LEFT JOIN lm ON t.doc_id = lm.doc_id JOIN d ON t.doc_id = d.doc_id
+        |ORDER BY t.doc_id""".stripMargin,
   )
 }

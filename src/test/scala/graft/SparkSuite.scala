@@ -13,7 +13,7 @@ object TestSpark {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       // size the generated-code cache to the suite (see Bench.scala)
-      .config("spark.sql.codegen.cache.maxEntries", "4000")
+      .config("spark.sql.codegen.cache.maxEntries", "8000")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s
