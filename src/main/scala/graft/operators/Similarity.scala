@@ -177,16 +177,26 @@ object Similarity {
     * hyperplane both vectors fall on the same side of). Fully
     * deterministic — no training — so unlike the Lloyd-fit indexes the
     * whole pipeline is oracle-checkable. Pure codegen'd column
-    * arithmetic, zero shuffle. Output (idCol, b_lo, b_hi). */
+    * arithmetic, zero shuffle. Output (idCol, b_lo, b_hi).
+    *
+    * Vectors beyond 64 dims FAIL LOUDLY (two words can only hold 64 sign
+    * bits; silently ranking wide embeddings by their first 64 dims would
+    * collapse recall with zero diagnostics — the pq_encode convention).
+    * A null vector packs to null words, so downstream Hamming scores are
+    * null and [[graft.functions.TopKByScore]] skips the row. */
   def binarySignPack(corpus: DataFrame, idCol: String = "vec_id",
                      vecCol: String = "embedding"): DataFrame = {
     def word(dims: Range, base: Int) = dims
       .map(d => s"IF(size($vecCol) >= $d AND element_at($vecCol, $d) >= 0, " +
         s"CAST(${1L << (d - base)} AS BIGINT), CAST(0 AS BIGINT))")
       .mkString(" + ")
+    def guarded(w: String) =
+      s"IF($vecCol IS NULL, CAST(NULL AS BIGINT), " +
+        s"IF(size($vecCol) > 64, raise_error(CONCAT('binarySignPack supports " +
+        s"at most 64 dims, got ', CAST(size($vecCol) AS STRING))), $w))"
     corpus.select(col(idCol),
-      expr(word(1 to 32, 1)).as("b_lo"),
-      expr(word(33 to 64, 33)).as("b_hi"))
+      expr(guarded(word(1 to 32, 1))).as("b_lo"),
+      expr(guarded(word(33 to 64, 33))).as("b_hi"))
   }
 
   /** Hamming top-k over sign-packed codes: for each probe, the k corpus
@@ -302,7 +312,6 @@ object Similarity {
     val books = collectPqCodebooks(codebooks)
     val m = books.length
     val kMax = books.map(_.length).max
-    val dsub = books(0)(0).length
     val (cellIds, cellVecs) = collectCentroids(centroids, idCol, vecCol, "ivfPqTopK")
     val probeRows = probes
       .select(col(idCol).cast("long"), col(vecCol).cast("array<double>")).collect()
@@ -316,15 +325,24 @@ object Similarity {
       var i = 0
       while (i < q.length) { qn += q(i) * q(i); i += 1 }
       // rank this probe's cells by cosine, take nprobe (ties -> smaller id),
-      // mirroring NearestCells' ordering
+      // mirroring NearestCells' ordering — including its min-span dot AND
+      // norms on length-mismatched pairs, so the IVF and IVF-PQ tiers
+      // probe the same cells for the same inputs
       val ranked = cellIds.indices.map { ci =>
         val c = cellVecs(ci)
-        var dot = 0.0; var nc = 0.0; var j = 0
-        val n = math.min(q.length, c.length)
-        while (j < n) { dot += q(j) * c(j); j += 1 }
-        j = 0
-        while (j < c.length) { nc += c(j) * c(j); j += 1 }
-        val cos = if (qn == 0.0 || nc == 0.0) 0.0 else dot / (math.sqrt(qn) * math.sqrt(nc))
+        val cos =
+          if (c.length == q.length) {
+            var dot = 0.0; var nc = 0.0; var j = 0
+            while (j < c.length) { dot += q(j) * c(j); nc += c(j) * c(j); j += 1 }
+            if (qn == 0.0 || nc == 0.0) 0.0 else dot / (math.sqrt(qn) * math.sqrt(nc))
+          } else {
+            val n = math.min(q.length, c.length)
+            var dot = 0.0; var nqM = 0.0; var ncM = 0.0; var j = 0
+            while (j < n) {
+              dot += q(j) * c(j); nqM += q(j) * q(j); ncM += c(j) * c(j); j += 1
+            }
+            if (nqM == 0.0 || ncM == 0.0) 0.0 else dot / (math.sqrt(nqM) * math.sqrt(ncM))
+          }
         (cos, cellIds(ci), ci)
       }.sortBy(t => (-t._1, t._2)).take(nprobe)
       ranked.map { case (_, cellId, ci) =>
@@ -334,6 +352,9 @@ object Similarity {
         var j = 0
         while (j < m) {
           val book = books(j)
+          // per-subspace width, like pqTopK — heterogeneous codebooks must
+          // not misalign the slice offsets
+          val dsub = book(0).length
           var cc = 0
           while (cc < book.length) {
             val cent = book(cc)
@@ -443,8 +464,12 @@ object Similarity {
                     idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     require(nPlanes >= 1 && nPlanes <= 62,
       s"semanticDedup needs nPlanes in [1, 62] (bucket is a BIGINT bit vector), got $nPlanes")
-    val withB = corpus.select(col(idCol), col(vecCol),
-      hyperplaneBucketExpr(vecCol, nPlanes).as("bucket"))
+    // the bucketed frame feeds THREE subtrees (both pair-join sides and the
+    // anti-join base); detached once so the corpus scan + O(nPlanes x dims)
+    // bucket aggregate run once, not three times (see Relational.detach for
+    // the durability contract)
+    val withB = Relational.detach(corpus.select(col(idCol), col(vecCol),
+      hyperplaneBucketExpr(vecCol, nPlanes).as("bucket")))
     val a = withB.select(col("bucket"), col(idCol).as("_ida"), col(vecCol).as("_va"))
     val b = withB.select(col("bucket"), col(idCol).as("_idb"), col(vecCol).as("_vb"))
     val dropped = a.join(b, "bucket")
@@ -519,9 +544,13 @@ object Similarity {
     require(m >= 1, s"fitPqCodebooks needs m >= 1 subspaces, got $m")
     require(ksub >= 1, s"fitPqCodebooks needs ksub >= 1 centroids, got $ksub")
     require(iterations >= 0, s"fitPqCodebooks iterations must be >= 0, got $iterations")
-    val seedRows = corpus.orderBy(col(idCol)).limit(ksub)
+    // null vectors are excluded from the fit (the aggregate-ignores-null
+    // convention); an unfiltered null would otherwise surface as an opaque
+    // NPE in the seed slice or the centroid rebuild
+    val fitCorpus = corpus.where(col(vecCol).isNotNull)
+    val seedRows = fitCorpus.orderBy(col(idCol)).limit(ksub)
       .select(col(vecCol).cast("array<double>")).collect()
-    require(seedRows.nonEmpty, "fitPqCodebooks: corpus is empty")
+    require(seedRows.nonEmpty, "fitPqCodebooks: corpus has no non-null vectors")
     val dims = seedRows(0).getSeq[Double](0).length
     require(dims % m == 0,
       s"fitPqCodebooks: $dims dims not divisible into $m equal subspaces")
@@ -535,7 +564,7 @@ object Similarity {
         lit(j).as("_j"),
         element_at(col("_codes"), j + 1).as("_code"),
         slice(col(vecCol), j * dsub + 1, dsub).cast("array<double>").as("_sv")))
-      val next = corpus
+      val next = fitCorpus
         .select(col(vecCol), graft.functions.GraftFunctions
           .pq_encode(col(vecCol), books.map(_.map(_.toSeq).toSeq).toSeq).as("_codes"))
         .select(explode(array(perSub: _*)).as("_s"))

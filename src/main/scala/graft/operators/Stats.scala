@@ -57,11 +57,12 @@ object Stats {
     * float parity, like [[corrStats]]. */
   def groupLinearFit(df: DataFrame, groupCols: Seq[String],
                      x: String, y: String): DataFrame =
+    // backtick-quoted so names with spaces/dots resolve as plain columns
     df.groupBy(groupCols.map(col): _*)
       .agg(count(lit(1)).as("n"),
-        round(expr(s"regr_slope($y, $x)"), 6).as("slope"),
-        round(expr(s"regr_intercept($y, $x)"), 6).as("intercept"),
-        round(expr(s"regr_r2($y, $x)"), 6).as("r2"))
+        round(expr(s"regr_slope(`$y`, `$x`)"), 6).as("slope"),
+        round(expr(s"regr_intercept(`$y`, `$x`)"), 6).as("intercept"),
+        round(expr(s"regr_r2(`$y`, `$x`)"), 6).as("r2"))
 
   /** Universal-hash mix constants for [[hashBucket]] — public so the DuckDB
     * oracle SQL reproduces the exact bucket assignment. */

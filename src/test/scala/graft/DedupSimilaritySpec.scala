@@ -389,6 +389,45 @@ class DedupSimilaritySpec extends SparkSuite {
     // from a: b differs in bit 4 (ham 1), d in bits 2,4 (ham 2), c in all (ham 4)
     assert(top === Array((0L, 1L, 1L, 1), (0L, 2L, 3L, 2), (0L, 3L, 2L, 4)))
     intercept[IllegalArgumentException](Similarity.hammingTopK(df, df, 0))
+    // a null vector packs to null words and its hamming is skipped, not 0
+    val withNull = df.union(
+      Seq((7L, null.asInstanceOf[Seq[Double]])).toDF("vec_id", "embedding"))
+    val np = Similarity.binarySignPack(withNull).where(col("vec_id") === 7)
+      .select("b_lo", "b_hi").head()
+    assert(np.isNullAt(0) && np.isNullAt(1))
+    val topN = Similarity.hammingTopK(withNull, df.where(col("vec_id") === 0), 4)
+      .select("neighbor_id").as[Long].collect()
+    assert(!topN.contains(7L), s"null vector competed as a neighbor: ${topN.toSeq}")
+    // > 64 dims must fail loudly, not silently rank by the first 64
+    val wide = Seq((0L, Seq.fill(65)(1.0))).toDF("vec_id", "embedding")
+    val e = intercept[Exception](Similarity.binarySignPack(wide).collect())
+    def chain(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ chain(t.getCause)
+    assert(chain(e).exists(_.contains("at most 64 dims")),
+      s"unexpected chain: ${chain(e).mkString(" | ")}")
+  }
+
+  test("ivfPqTopK handles heterogeneous subspace widths (per-book offsets)") {
+    // subspace 0 is 1-dim, subspace 1 is 3-dim; one zero cell so the
+    // residual IS the vector and ivfPqTopK must equal pqTopK exactly
+    val hetBooks = Seq(
+      (0, 0, Seq(1.0)), (0, 1, Seq(-1.0)),
+      (1, 0, Seq(1.0, 0.0, 0.0)), (1, 1, Seq(0.0, 1.0, 0.0))
+    ).toDF("subspace", "code", "centroid")
+    val zeroCell = Seq((500L, Seq(0.0, 0.0, 0.0, 0.0))).toDF("vec_id", "embedding")
+    val vecs = Seq(
+      (0L, Seq(1.0, 1.0, 0.0, 0.0)),
+      (1L, Seq(-1.0, 0.0, 1.0, 0.0)),
+      (2L, Seq(1.0, 0.0, 1.0, 0.0))
+    ).toDF("vec_id", "embedding")
+    val flat = Similarity.pqTopK(
+      Similarity.pqEncode(vecs, hetBooks), hetBooks, vecs, 2)
+      .orderBy("probe_id", "rank").as[(Long, Long, Long, Double)].collect()
+    val ivf = Similarity.ivfPqTopK(
+      Similarity.ivfPqEncode(vecs, zeroCell, hetBooks), zeroCell, hetBooks,
+      vecs, 2, nprobe = 1)
+      .orderBy("probe_id", "rank").as[(Long, Long, Long, Double)].collect()
+    assert(ivf === flat)
   }
 
   test("rerankTopK: wide shortlist converges to exact brute-force top-k") {

@@ -429,6 +429,14 @@ class StatsRelational2Spec extends SparkSuite {
     assert(out === "contact <EMAIL> or call <NUM> ext 42")
   }
 
+  test("groupLinearFit accepts column names needing backticks") {
+    val d = Seq(("a", 0.0, 1.0), ("a", 1.0, 3.0), ("a", 2.0, 5.0))
+      .toDF("g", "x val", "y val")
+    val out = Stats.groupLinearFit(d, Seq("g"), "x val", "y val")
+      .select("slope", "intercept").as[(Double, Double)].head()
+    assert(out === ((2.0, 1.0)))
+  }
+
   test("groupLinearFit: exact line recovers slope/intercept with r2 = 1") {
     val d = Seq.tabulate(20)(i => ("a", i.toDouble, 2.0 * i + 1.0)) ++
       Seq(("b", 0.0, 5.0), ("b", 1.0, 4.0), ("b", 2.0, 6.0), ("b", 3.0, 5.0))
