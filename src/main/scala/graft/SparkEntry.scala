@@ -1259,6 +1259,16 @@ object SparkEntry {
         .select("doc_id", "g_keep", "r_keep", "lm_keep", "dup_keep", "kept")
         .orderBy("doc_id")
     }),
+
+    // Poisson-bootstrap 95% CI for the per-flag price mean: 100
+    // hash-seeded replicas, one embarrassingly parallel pass — error bars
+    // at scale, reproducible across engines/runs/retries.
+    "q104_bootstrap_ci" -> ((s, dir) => {
+      Stats.bootstrapMeanCI(Tables.lineitem(s, dir), Seq("l_returnflag"),
+        "l_extendedprice",
+        concat_ws("-", col("l_orderkey"), col("l_linenumber")))
+        .orderBy("l_returnflag")
+    }),
   )
 
   /** Deterministic line synthesis shared by q88/q91: the single-line
@@ -2420,5 +2430,25 @@ object SparkEntry {
         |FROM t JOIN gq ON t.doc_id = gq.doc_id JOIN rep ON t.doc_id = rep.doc_id
         |LEFT JOIN lm ON t.doc_id = lm.doc_id JOIN d ON t.doc_id = d.doc_id
         |ORDER BY t.doc_id""".stripMargin,
+
+    "q104_bootstrap_ci" -> {
+      // identical Poisson(1) CDF literals and (key | replica) hash as
+      // Stats.bootstrapMeanCI — constants interpolated from the one source
+      val cdf = graft.operators.Stats.PoissonCdf1
+      val kb = "CAST(l_orderkey AS VARCHAR) || '-' || CAST(l_linenumber AS VARCHAR) || '|' || CAST(b AS VARCHAR)"
+      s"""WITH e AS (SELECT l_returnflag, l_extendedprice AS x, b,
+         |(${dmix(kb)}) / $Mod.0 AS u
+         |FROM lineitem, unnest(range(0, 100)) AS t(b)),
+         |w AS (SELECT l_returnflag, x, b,
+         |CASE WHEN u < ${cdf(0)} THEN 0.0 WHEN u < ${cdf(1)} THEN 1.0
+         |WHEN u < ${cdf(2)} THEN 2.0 WHEN u < ${cdf(3)} THEN 3.0 ELSE 4.0 END AS w FROM e),
+         |bm AS (SELECT l_returnflag, b, sum(w * x) / sum(w) AS m FROM w GROUP BY 1, 2),
+         |ci AS (SELECT l_returnflag, quantile_cont(m, 0.025) AS lo, quantile_cont(m, 0.975) AS hi FROM bm GROUP BY 1),
+         |mn AS (SELECT l_returnflag, count(*) AS n, avg(l_extendedprice) AS mean FROM lineitem GROUP BY 1)
+         |SELECT mn.l_returnflag, n, round(mean, 6) AS mean,
+         |round(lo, 6) AS ci_lo, round(hi, 6) AS ci_hi
+         |FROM mn JOIN ci ON mn.l_returnflag = ci.l_returnflag
+         |ORDER BY mn.l_returnflag""".stripMargin
+    },
   )
 }

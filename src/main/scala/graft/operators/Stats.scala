@@ -69,6 +69,60 @@ object Stats {
   val MixA: Long = 73244475L
   val MixB: Long = 987654321L
 
+  /** CDF of Poisson(1) at 0..3 — the [[bootstrapMeanCI]] weight thresholds,
+    * public so the DuckDB oracle interpolates the IDENTICAL literals. */
+  val PoissonCdf1: Seq[Double] = Seq(0.36787944117144233, 0.7357588823428847,
+    0.9196986029286058, 0.9810118431238462)
+
+  /** Poisson-bootstrap confidence interval for a per-group mean
+    * (Chamandy et al., "Estimating Uncertainty for Massive Data Streams",
+    * 2012 — the distributed bootstrap): classical resampling-with-
+    * replacement needs the row count up front and a shared RNG; the
+    * Poisson(1) approximation gives every row an INDEPENDENT deterministic
+    * weight per replica, so the whole estimator is one embarrassingly
+    * parallel pass. Weights come from the [[mixHash]] of (key | replica) —
+    * reproducible across engines, runs, and retries, like every sampler
+    * here — through the inverse Poisson(1) CDF (weight 4+ is truncated to
+    * 4; P = 1 - CDF(3) ~ 1.9%, negligible for CI purposes and keeps the
+    * threshold chain short).
+    *
+    * Scale shape: the replica explode is narrow (xB rows exist only
+    * between the scan and the partial aggregate); per-(group, replica)
+    * sums combine map-side, so the only exchange carries
+    * |groups| x replicas rows; the percentile over replica means buffers
+    * `replicas` values per group — driver-bounded by construction. Output
+    * (groupCols, n, mean, ci_lo, ci_hi), 6-dp rounded. */
+  def bootstrapMeanCI(df: DataFrame, groupCols: Seq[String], valueCol: String,
+                      key: Column, replicas: Int = 100,
+                      alpha: Double = 0.05): DataFrame = {
+    require(replicas >= 2, s"bootstrapMeanCI needs >= 2 replicas, got $replicas")
+    require(alpha > 0 && alpha < 1, s"bootstrapMeanCI alpha must be in (0,1), got $alpha")
+    val p = graft.functions.RollingHash.Mod.toDouble
+    val rep = df
+      .select(groupCols.map(col) :+ col(valueCol).cast("double").as("_x") :+
+        key.cast("string").as("_k"): _*)
+      .withColumn("_b", explode(sequence(lit(0), lit(replicas - 1))))
+      .withColumn("_u", mixHash(concat(col("_k"), lit("|"),
+        col("_b").cast("string"))).cast("double") / lit(p))
+      .withColumn("_w", when(col("_u") < PoissonCdf1(0), 0.0)
+        .when(col("_u") < PoissonCdf1(1), 1.0)
+        .when(col("_u") < PoissonCdf1(2), 2.0)
+        .when(col("_u") < PoissonCdf1(3), 3.0)
+        .otherwise(4.0))
+    val repMeans = rep.groupBy(groupCols.map(col) :+ col("_b"): _*)
+      .agg((sum(col("_w") * col("_x")) / sum(col("_w"))).as("_bm"))
+    val ci = repMeans.groupBy(groupCols.map(col): _*)
+      .agg(expr(s"percentile(_bm, ${alpha / 2})").as("_lo"),
+        expr(s"percentile(_bm, ${1 - alpha / 2})").as("_hi"))
+    df.groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).as("n"), avg(col(valueCol)).as("_mean"))
+      .join(broadcast(ci), groupCols)
+      .select(groupCols.map(col) :+ col("n") :+
+        round(col("_mean"), 6).as("mean") :+
+        round(col("_lo"), 6).as("ci_lo") :+
+        round(col("_hi"), 6).as("ci_hi"): _*)
+  }
+
   /** Portable uniform bucket in [0, buckets): a universal-hash finisher
     * `(h·A + B) mod p` (p = the rolling hash's prime modulus) applied
     * BEFORE the bucket modulus. The raw polynomial hash is NOT uniform

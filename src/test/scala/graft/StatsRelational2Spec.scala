@@ -429,6 +429,23 @@ class StatsRelational2Spec extends SparkSuite {
     assert(out === "contact <EMAIL> or call <NUM> ext 42")
   }
 
+  test("bootstrapMeanCI: CI brackets the mean, deterministic, guards params") {
+    val d = spark.range(0, 2000).select(lit("g").as("g"),
+      (col("id") % 100).cast("double").as("x"), col("id").cast("string").as("k"))
+    val out = Stats.bootstrapMeanCI(d, Seq("g"), "x", col("k"), replicas = 50)
+    val r = out.head()
+    val (n, mean, lo, hi) = (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))
+    assert(n === 2000L && lo < mean && mean < hi, s"CI [$lo, $hi] vs mean $mean")
+    // se of uniform(0..99) at n=2000 ~ 0.65, so a 95% CI spans ~2.5 units
+    assert(hi - lo > 0.5 && hi - lo < 10, s"implausible CI width ${hi - lo}")
+    // hash-seeded: bit-identical on re-run
+    assert(Stats.bootstrapMeanCI(d, Seq("g"), "x", col("k"), replicas = 50).head() === r)
+    intercept[IllegalArgumentException](
+      Stats.bootstrapMeanCI(d, Seq("g"), "x", col("k"), replicas = 1))
+    intercept[IllegalArgumentException](
+      Stats.bootstrapMeanCI(d, Seq("g"), "x", col("k"), alpha = 1.5))
+  }
+
   test("groupLinearFit accepts column names needing backticks") {
     val d = Seq(("a", 0.0, 1.0), ("a", 1.0, 3.0), ("a", 2.0, 5.0))
       .toDF("g", "x val", "y val")
