@@ -2432,13 +2432,16 @@ object SparkEntry {
         |ORDER BY t.doc_id""".stripMargin,
 
     "q104_bootstrap_ci" -> {
-      // identical Poisson(1) CDF literals and (key | replica) hash as
-      // Stats.bootstrapMeanCI — constants interpolated from the one source
+      // identical Poisson(1) CDF literals and per-replica affine as
+      // Stats.bootstrapMeanCI — the key hashes once per ROW, replicas
+      // derive through integer arithmetic (constants from the one source)
       val cdf = graft.operators.Stats.PoissonCdf1
-      val kb = "CAST(l_orderkey AS VARCHAR) || '-' || CAST(l_linenumber AS VARCHAR) || '|' || CAST(b AS VARCHAR)"
-      s"""WITH e AS (SELECT l_returnflag, l_extendedprice AS x, b,
-         |(${dmix(kb)}) / $Mod.0 AS u
-         |FROM lineitem, unnest(range(0, 100)) AS t(b)),
+      val (a, bb) = (graft.operators.Stats.MixA, graft.operators.Stats.MixB)
+      val k = "CAST(l_orderkey AS VARCHAR) || '-' || CAST(l_linenumber AS VARCHAR)"
+      s"""WITH h AS (SELECT l_returnflag, l_extendedprice AS x, (${dmix(k)}) AS hh FROM lineitem),
+         |e AS (SELECT l_returnflag, x, b,
+         |(((hh + b) * $a + $bb) % $Mod) / $Mod.0 AS u
+         |FROM h, unnest(range(0, 100)) AS t(b)),
          |w AS (SELECT l_returnflag, x, b,
          |CASE WHEN u < ${cdf(0)} THEN 0.0 WHEN u < ${cdf(1)} THEN 1.0
          |WHEN u < ${cdf(2)} THEN 2.0 WHEN u < ${cdf(3)} THEN 3.0 ELSE 4.0 END AS w FROM e),

@@ -97,13 +97,17 @@ object Stats {
                       alpha: Double = 0.05): DataFrame = {
     require(replicas >= 2, s"bootstrapMeanCI needs >= 2 replicas, got $replicas")
     require(alpha > 0 && alpha < 1, s"bootstrapMeanCI alpha must be in (0,1), got $alpha")
-    val p = graft.functions.RollingHash.Mod.toDouble
+    val p = graft.functions.RollingHash.Mod
+    // the string hash runs ONCE per row; each replica then derives its
+    // uniform through a second modular affine over the prime field —
+    // hashing (key | b) strings per (row x replica) was 100x the character
+    // work and dominated the whole estimator
     val rep = df
       .select(groupCols.map(col) :+ col(valueCol).cast("double").as("_x") :+
-        key.cast("string").as("_k"): _*)
+        mixHash(key.cast("string")).as("_h"): _*)
       .withColumn("_b", explode(sequence(lit(0), lit(replicas - 1))))
-      .withColumn("_u", mixHash(concat(col("_k"), lit("|"),
-        col("_b").cast("string"))).cast("double") / lit(p))
+      .withColumn("_u", (((col("_h") + col("_b")) * MixA + MixB) % p)
+        .cast("double") / lit(p.toDouble))
       .withColumn("_w", when(col("_u") < PoissonCdf1(0), 0.0)
         .when(col("_u") < PoissonCdf1(1), 1.0)
         .when(col("_u") < PoissonCdf1(2), 2.0)
