@@ -1262,11 +1262,14 @@ object SparkEntry {
 
     // Poisson-bootstrap 95% CI for the per-flag price mean: 100
     // hash-seeded replicas, one embarrassingly parallel pass — error bars
-    // at scale, reproducible across engines/runs/retries.
+    // at scale, reproducible across engines/runs/retries. Replica count
+    // and alpha are pinned by BootReplicas/BootAlpha, which the oracle
+    // interpolates from the same vals.
     "q104_bootstrap_ci" -> ((s, dir) => {
       Stats.bootstrapMeanCI(Tables.lineitem(s, dir), Seq("l_returnflag"),
         "l_extendedprice",
-        concat_ws("-", col("l_orderkey"), col("l_linenumber")))
+        concat_ws("-", col("l_orderkey"), col("l_linenumber")),
+        replicas = BootReplicas, alpha = BootAlpha)
         .orderBy("l_returnflag")
     }),
   )
@@ -1301,6 +1304,11 @@ object SparkEntry {
   // ---- oracle SQL (DuckDB dialect) ---------------------------------------
 
   private val Mod = "1000000007"
+
+  /** q104's bootstrap parameters — the query lambda and its oracle both
+    * read these, so they cannot silently desynchronize. */
+  private val BootReplicas = 100
+  private val BootAlpha = 0.05
 
   /** DuckDB fragment: portable poly-31 string hash of expression `s`. */
   private def dhash(s: String): String =
@@ -2432,22 +2440,27 @@ object SparkEntry {
         |ORDER BY t.doc_id""".stripMargin,
 
     "q104_bootstrap_ci" -> {
-      // identical Poisson(1) CDF literals and per-replica affine as
-      // Stats.bootstrapMeanCI — the key hashes once per ROW, replicas
-      // derive through integer arithmetic (constants from the one source)
+      // identical Poisson(1) CDF literals and per-replica squared mix as
+      // Stats.bootstrapMeanCI — the key hashes once per ROW, replica b
+      // derives through ((h+b)^2 mod p)*A + B mod p (every constant and
+      // the replica count/alpha interpolate from the one source)
       val cdf = graft.operators.Stats.PoissonCdf1
       val (a, bb) = (graft.operators.Stats.MixA, graft.operators.Stats.MixB)
       val k = "CAST(l_orderkey AS VARCHAR) || '-' || CAST(l_linenumber AS VARCHAR)"
-      s"""WITH h AS (SELECT l_returnflag, l_extendedprice AS x, (${dmix(k)}) AS hh FROM lineitem),
+      s"""WITH h AS (SELECT l_returnflag, l_extendedprice AS x, (${dmix(k)}) AS hh
+         |FROM lineitem WHERE l_extendedprice IS NOT NULL),
          |e AS (SELECT l_returnflag, x, b,
-         |(((hh + b) * $a + $bb) % $Mod) / $Mod.0 AS u
-         |FROM h, unnest(range(0, 100)) AS t(b)),
+         |(((((hh + b) * (hh + b)) % $Mod) * $a + $bb) % $Mod) / $Mod.0 AS u
+         |FROM h, unnest(range(0, $BootReplicas)) AS t(b)),
          |w AS (SELECT l_returnflag, x, b,
          |CASE WHEN u < ${cdf(0)} THEN 0.0 WHEN u < ${cdf(1)} THEN 1.0
          |WHEN u < ${cdf(2)} THEN 2.0 WHEN u < ${cdf(3)} THEN 3.0 ELSE 4.0 END AS w FROM e),
-         |bm AS (SELECT l_returnflag, b, sum(w * x) / sum(w) AS m FROM w GROUP BY 1, 2),
-         |ci AS (SELECT l_returnflag, quantile_cont(m, 0.025) AS lo, quantile_cont(m, 0.975) AS hi FROM bm GROUP BY 1),
-         |mn AS (SELECT l_returnflag, count(*) AS n, avg(l_extendedprice) AS mean FROM lineitem GROUP BY 1)
+         |bm AS (SELECT l_returnflag, b,
+         |CASE WHEN sum(w) = 0 THEN NULL ELSE sum(w * x) / sum(w) END AS m
+         |FROM w GROUP BY 1, 2),
+         |ci AS (SELECT l_returnflag, quantile_cont(m, ${BootAlpha / 2}) AS lo,
+         |quantile_cont(m, ${1 - BootAlpha / 2}) AS hi FROM bm GROUP BY 1),
+         |mn AS (SELECT l_returnflag, count(l_extendedprice) AS n, avg(l_extendedprice) AS mean FROM lineitem GROUP BY 1)
          |SELECT mn.l_returnflag, n, round(mean, 6) AS mean,
          |round(lo, 6) AS ci_lo, round(hi, 6) AS ci_hi
          |FROM mn JOIN ci ON mn.l_returnflag = ci.l_returnflag

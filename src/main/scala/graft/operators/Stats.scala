@@ -80,11 +80,20 @@ object Stats {
     * replacement needs the row count up front and a shared RNG; the
     * Poisson(1) approximation gives every row an INDEPENDENT deterministic
     * weight per replica, so the whole estimator is one embarrassingly
-    * parallel pass. Weights come from the [[mixHash]] of (key | replica) —
-    * reproducible across engines, runs, and retries, like every sampler
-    * here — through the inverse Poisson(1) CDF (weight 4+ is truncated to
-    * 4; P = 1 - CDF(3) ~ 1.9%, negligible for CI purposes and keeps the
-    * threshold chain short).
+    * parallel pass. Weights are reproducible across engines, runs, and
+    * retries, like every sampler here: the key hashes ONCE per row, then
+    * replica `b` derives its uniform from `((h+b)^2 mod p) * A + B mod p` —
+    * the SQUARE makes the inter-replica step row-dependent (an affine-in-b
+    * derivation would shift every row's uniforms by the same constant,
+    * making replicas deterministic rotations of each other and corrupting
+    * the bootstrap variance; pairwise-decorrelated, not cryptographic) —
+    * through the inverse Poisson(1) CDF (weight 4+ is truncated to 4;
+    * P = 1 - CDF(3) ~ 1.9%, negligible for CI purposes and keeps the
+    * threshold chain short). Null `valueCol` rows are excluded up front
+    * (the avg-ignores-null convention — their weight would otherwise drag
+    * every replica mean toward zero while the reported mean excluded
+    * them); a null KEY fails loudly (it would silently take the fall-
+    * through maximum weight in every replica).
     *
     * Scale shape: the replica explode is narrow (xB rows exist only
     * between the scan and the partial aggregate); per-(group, replica)
@@ -98,28 +107,39 @@ object Stats {
     require(replicas >= 2, s"bootstrapMeanCI needs >= 2 replicas, got $replicas")
     require(alpha > 0 && alpha < 1, s"bootstrapMeanCI alpha must be in (0,1), got $alpha")
     val p = graft.functions.RollingHash.Mod
-    // the string hash runs ONCE per row; each replica then derives its
-    // uniform through a second modular affine over the prime field —
-    // hashing (key | b) strings per (row x replica) was 100x the character
-    // work and dominated the whole estimator
-    val rep = df
+    // the string hash runs ONCE per row; each replica derives its uniform
+    // arithmetically (hashing (key | b) strings per (row x replica) was
+    // 100x the character work). (h + b) < p + replicas, so the square
+    // stays under 2^63 for any sane replica count.
+    val base = df
+      .where(col(valueCol).isNotNull)
       .select(groupCols.map(col) :+ col(valueCol).cast("double").as("_x") :+
-        mixHash(key.cast("string")).as("_h"): _*)
+        when(key.isNull, expr("raise_error('bootstrapMeanCI: null resampling key')"))
+          .otherwise(mixHash(key.cast("string"))).as("_h"): _*)
+    val rep = base
       .withColumn("_b", explode(sequence(lit(0), lit(replicas - 1))))
-      .withColumn("_u", (((col("_h") + col("_b")) * MixA + MixB) % p)
-        .cast("double") / lit(p.toDouble))
+      .withColumn("_v", col("_h") + col("_b"))
+      .withColumn("_u", (((col("_v") * col("_v")) % p) * MixA + MixB) % p)
+      .withColumn("_u", col("_u").cast("double") / lit(p.toDouble))
       .withColumn("_w", when(col("_u") < PoissonCdf1(0), 0.0)
         .when(col("_u") < PoissonCdf1(1), 1.0)
         .when(col("_u") < PoissonCdf1(2), 2.0)
         .when(col("_u") < PoissonCdf1(3), 3.0)
         .otherwise(4.0))
     val repMeans = rep.groupBy(groupCols.map(col) :+ col("_b"): _*)
-      .agg((sum(col("_w") * col("_x")) / sum(col("_w"))).as("_bm"))
+      // explicit NULL on an all-zero-weight replica: Spark's non-ANSI
+      // divide nulls it anyway, but DuckDB's IEEE division would produce
+      // NaN (sorted greatest by quantile_cont) — the oracle mirrors this
+      // CASE so both engines drop the replica from the percentile
+      .agg(when(sum(col("_w")) === 0.0, lit(null))
+        .otherwise(sum(col("_w") * col("_x")) / sum(col("_w"))).as("_bm"))
     val ci = repMeans.groupBy(groupCols.map(col): _*)
       .agg(expr(s"percentile(_bm, ${alpha / 2})").as("_lo"),
         expr(s"percentile(_bm, ${1 - alpha / 2})").as("_hi"))
     df.groupBy(groupCols.map(col): _*)
-      .agg(count(lit(1)).as("n"), avg(col(valueCol)).as("_mean"))
+      // count(valueCol): n is the number of values the mean AND the
+      // replicas actually use, not the raw row count
+      .agg(count(col(valueCol)).as("n"), avg(col(valueCol)).as("_mean"))
       .join(broadcast(ci), groupCols)
       .select(groupCols.map(col) :+ col("n") :+
         round(col("_mean"), 6).as("mean") :+

@@ -440,6 +440,20 @@ class StatsRelational2Spec extends SparkSuite {
     assert(hi - lo > 0.5 && hi - lo < 10, s"implausible CI width ${hi - lo}")
     // hash-seeded: bit-identical on re-run
     assert(Stats.bootstrapMeanCI(d, Seq("g"), "x", col("k"), replicas = 50).head() === r)
+    // null VALUES are excluded from n, mean, and every replica (their
+    // weight must not drag replica means toward zero)
+    val withNulls = d.union(spark.range(0, 500).select(lit("g"),
+      lit(null).cast("double"), concat(lit("nul"), col("id")).cast("string")))
+    val r2 = Stats.bootstrapMeanCI(withNulls, Seq("g"), "x", col("k"), replicas = 50).head()
+    assert(r2.getLong(1) === 2000L && r2.getDouble(3) < r2.getDouble(2) &&
+      r2.getDouble(2) < r2.getDouble(4), s"null values skewed the CI: $r2")
+    // a null KEY is a caller bug and fails loudly, not weight-4 silently
+    val nullKey = Seq(("g", 1.0, null.asInstanceOf[String])).toDF("g", "x", "k")
+    val e = intercept[Exception](
+      Stats.bootstrapMeanCI(nullKey, Seq("g"), "x", col("k")).collect())
+    def chain(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ chain(t.getCause)
+    assert(chain(e).exists(_.contains("null resampling key")))
     intercept[IllegalArgumentException](
       Stats.bootstrapMeanCI(d, Seq("g"), "x", col("k"), replicas = 1))
     intercept[IllegalArgumentException](
