@@ -227,6 +227,14 @@ object TextAnalysis {
     * `(id, n_shared)` — distinct contaminated n-grams per flagged
     * document; clean documents don't appear (filter on `id NOT IN output`
     * to scrub).
+    *
+    * NOTE: the bound probe is an EAGER Spark action at plan-construction
+    * time — calling this method runs one (pushdown-pruned) job over the
+    * benchmark slice before the returned frame is ever used, unlike most
+    * sibling operators, and it therefore rejects streaming inputs. Batch
+    * corpora only; [[charTrigramLogProb]] makes the same trade for the
+    * same reason (a broadcast-or-shuffle decision needs a size before the
+    * plan is final).
     */
   def contaminationHits(docs: DataFrame, idCol: String, textCol: String,
                         benchPred: Column, n: Int,
@@ -454,16 +462,28 @@ object TextAnalysis {
     * and drop out (callers keep them via a left join on the id).
     *
     * Scale shape: the FIT is one trigram explode + word-keyed count whose
-    * map-side partials collapse to alphabet^3-bounded state; context counts
-    * derive from the trigram table itself (sum over its 2-char prefixes),
-    * so fit and context CANNOT disagree on boundary positions. The fitted
-    * tables are [[graft.operators.Relational.detach]]ed (vocab-sized) and
-    * broadcast; the SCORE pass is the second corpus explode + broadcast
-    * joins + one doc-keyed aggregate — shuffle carries one row per doc.
-    * Output: (idCol, n_tri, avg_logp).
+    * map-side partials collapse to distinct-trigram-bounded state; context
+    * counts derive from the trigram table itself (sum over its 2-char
+    * prefixes), so fit and context CANNOT disagree on boundary positions.
+    * The fitted tables are [[graft.operators.Relational.detach]]ed and,
+    * when the EXACT distinct-trigram count (a cheap `count()` over the
+    * already-materialized checkpoint — this method runs that one eager
+    * action at plan-construction time, like [[contaminationHits]]'s bound
+    * probe) is at most `broadcastMaxTrigrams`, broadcast for the SCORE
+    * joins. On real multilingual/web corpora the trigram vocabulary is NOT
+    * small — CJK text, mojibake, and binary spill push distinct char
+    * trigrams to 10^7..10^8 — so above the bound both score joins degrade
+    * to plain shuffle hash joins on the trigram key instead of OOMing the
+    * driver (byte-identical output either way; the fallback path is
+    * pinned by TextAnalysisSpec). The default bound (10M rows ≈ 80 MB of
+    * hashed keys plus counts) matches [[contaminationHits]]'s budget. The
+    * SCORE pass is the second corpus explode + the gated joins + one
+    * doc-keyed aggregate — shuffle carries one row per doc on the
+    * broadcast path. Output: (idCol, n_tri, avg_logp).
     */
   def charTrigramLogProb(docs: DataFrame, idCol: String, textCol: String,
-                         k: Double = 0.5): DataFrame = {
+                         k: Double = 0.5,
+                         broadcastMaxTrigrams: Long = 10000000L): DataFrame = {
     require(k > 0, s"charTrigramLogProb smoothing k must be positive, got $k")
     // explicit empty-array guard: Spark's sequence(1, 0) DESCENDS ([1, 0])
     // instead of being empty, so an unguarded transform would hand short
@@ -475,8 +495,15 @@ object TextAnalysis {
       tri.groupBy("_g").agg(count(lit(1)).as("_c")))
     val c2 = c3.groupBy(substring(col("_g"), 1, 2).as("_p")).agg(sum("_c").as("_cp"))
     val nv = c3.select(countDistinct(substring(col("_g"), 3, 1)).as("_nv"))
-    tri.join(broadcast(c3), "_g")
-      .join(broadcast(c2), substring(col("_g"), 1, 2) === col("_p"))
+    // exact fit size — c3 is already checkpointed, so this scans its blocks
+    val nDistinctTri = c3.count()
+    // |c2| <= |c3| (prefix rollup), so one bound gates both fit tables;
+    // nv is a single row and always broadcasts
+    val (fit3, fit2) =
+      if (nDistinctTri <= broadcastMaxTrigrams) (broadcast(c3), broadcast(c2))
+      else (c3, c2)
+    tri.join(fit3, "_g")
+      .join(fit2, substring(col("_g"), 1, 2) === col("_p"))
       .crossJoin(broadcast(nv))
       .withColumn("_lp", log((col("_c") + lit(k)) / (col("_cp") + lit(k) * col("_nv"))))
       .groupBy(col(idCol))

@@ -168,6 +168,37 @@ class TextAnalysisSpec extends SparkSuite {
       TextAnalysis.charTrigramLogProb(docs, "doc_id", "text", k = 0.0))
   }
 
+  test("charTrigramLogProb: shuffle fallback above broadcastMaxTrigrams is byte-identical") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps"), (2L, "pack my box with jugs"),
+      (3L, "the quick brown fox"), (4L, "zz")
+    ).toDF("doc_id", "text")
+    val viaBroadcast = TextAnalysis.charTrigramLogProb(docs, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    // bound of 1 forces the shuffle-join path for any non-trivial corpus
+    val viaShuffle = TextAnalysis
+      .charTrigramLogProb(docs, "doc_id", "text", broadcastMaxTrigrams = 1L)
+      .orderBy("doc_id").collect()
+    assert(viaShuffle === viaBroadcast)
+    // and the fallback plan really dropped the fit broadcasts: with
+    // auto-broadcast off (so Catalyst can't re-elect it for the tiny test
+    // tables), no BroadcastHashJoin may appear on the trigram key — the
+    // single-row nv crossJoin stays a broadcast nested loop by design
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+      val plan = TextAnalysis
+        .charTrigramLogProb(docs, "doc_id", "text", broadcastMaxTrigrams = 1L)
+        .queryExecution.executedPlan.toString
+      assert(!plan.contains("BroadcastHashJoin"),
+        s"fit joins should fall back to shuffle joins above the bound:\n$plan")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+    }
+  }
+
   test("vocabCoverage: frequency-ranked cut, tie by word, exact OOV rates") {
     // counts: the=3, cat=2, dog=2, rare=1, zed=1 -> top-3 = {the, cat, dog}
     // (cat/dog tie at 2 resolved by word asc before the cut at 3)
