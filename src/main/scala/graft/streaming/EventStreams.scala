@@ -165,9 +165,19 @@ object EventStreams {
     * therefore bounded by their DISTINCT stage-event times at or below
     * that horizon — plus, for a user who has not yet fired stage 1, all
     * their distinct stage times (nothing is provably prunable before an
-    * anchor exists); a long-running deployment facing never-converting
-    * spam keys should front-filter them or wrap the state in TTL the way
-    * [[runningUserCountsTws]] does.
+    * anchor exists). A long-running deployment facing never-converting
+    * spam keys should front-filter them or set `ttl`: an opt-in
+    * [[org.apache.spark.sql.streaming.TTLConfig]] on the candidate state
+    * (the [[runningUserCountsTws]] pattern) that evicts users idle longer
+    * than the duration. TTL is a deliberate BATCH-PARITY TRADE: a user
+    * whose early-stage events expire and who then converts late diverges
+    * from the batch twin (batch sees all events; the stream re-anchors
+    * only on what survived) — so pick a TTL comfortably above the funnel
+    * deadline `stages.size * windowSec`, where eviction can only drop
+    * users the recurrence could never convert anyway. Like
+    * [[runningUserCountsTws]], an enabled TTL forces processing-time
+    * mode: the query never self-terminates under AvailableNow — run it
+    * as a long-lived stream and stop explicitly.
     *
     * Input hygiene: non-stage event types are filtered BEFORE the
     * stateful shuffle (they cannot touch funnel state, so shipping them
@@ -179,7 +189,8 @@ object EventStreams {
     */
   def funnelStream(events: DataFrame, userCol: String, tsCol: String,
                    typeCol: String, stages: Seq[String],
-                   windowSec: Long): DataFrame = {
+                   windowSec: Long,
+                   ttl: Option[java.time.Duration] = None): DataFrame = {
     import org.apache.spark.sql.Encoders
     import org.apache.spark.sql.streaming.{ListState, OutputMode, StatefulProcessor, TimeMode, TimerValues, TTLConfig}
     require(stages.size >= 2, s"funnel needs >= 2 stages, got $stages")
@@ -187,6 +198,7 @@ object EventStreams {
       s"funnel stages must be distinct, got $stages")
     val spark = events.sparkSession
     import spark.implicits._
+    val ttlConfig = ttl.map(TTLConfig.apply).getOrElse(TTLConfig.NONE)
     val windowUs = windowSec * 1000000L
     val nStages = stages.size
     val stageIdx = stages.zipWithIndex.toMap
@@ -199,7 +211,7 @@ object EventStreams {
       @transient private var times: ListState[(Int, Long)] = _
       override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
         times = getHandle.getListState[(Int, Long)]("stage_times",
-          Encoders.product[(Int, Long)], TTLConfig.NONE)
+          Encoders.product[(Int, Long)], ttlConfig)
       override def handleInputRows(key: Long, rows: Iterator[(Long, java.sql.Timestamp, String)],
           tv: TimerValues): Iterator[(Long, Int, Seq[Long])] = {
         val incoming = rows.flatMap { case (_, ts, tpe) =>
@@ -250,7 +262,11 @@ object EventStreams {
         col("_t").isin(stages: _*))
       .as[(Long, java.sql.Timestamp, String)]
       .groupByKey(_._1)
-      .transformWithState(new FunnelProcessor, TimeMode.None(), OutputMode.Update())
+      // an enabled TTLConfig is rejected under TimeMode.None (no clock to
+      // expire against) — the mode follows the knob, like runningUserCountsTws
+      .transformWithState(new FunnelProcessor,
+        if (ttl.isDefined) TimeMode.ProcessingTime() else TimeMode.None(),
+        OutputMode.Update())
       .toDF("user_id", "stage_reached", "anchor_us")
   }
 

@@ -296,6 +296,67 @@ class IngestStreamingSpec extends SparkSuite {
     }
   }
 
+  test("funnelStream TTL evicts idle no-anchor users; converted outputs stand") {
+    // The documented trade: user 99 fires stage-2 only (no anchor, the
+    // state nothing can prune), goes idle past the TTL, then a late
+    // EARLIER stage-1 event arrives. With surviving state the recurrence
+    // would convert them (view 100 -> click 200, inside the window); with
+    // the TTL the orphan click is evicted and they re-enter at stage 1.
+    def ts(sec: Long) = new java.sql.Timestamp(sec * 1000L)
+    val dir = Files.createTempDirectory("graft_funnel_ttl").toString + "/in"
+    new java.io.File(dir).mkdirs()
+    def writeBatch(name: String, rows: Seq[(Long, java.sql.Timestamp, String)]): Unit = {
+      val tmp = s"$dir/../$name"
+      rows.toDF("user_id", "ts", "event_type").coalesce(1).write.parquet(tmp)
+      for (p <- new java.io.File(tmp).listFiles() if p.getName.endsWith(".parquet"))
+        Files.copy(p.toPath, java.nio.file.Path.of(dir, s"$name-${p.getName}"))
+    }
+    writeBatch("f1", Seq((1L, ts(100), "view"), (1L, ts(200), "click"),
+      (99L, ts(200), "click")))
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    try {
+      spark.conf.set(key,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      val schema = spark.read.parquet(dir).schema
+      val stream = EventStreams.readFileStream(spark, dir, schema, maxFilesPerTrigger = 1)
+      val buf = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Int)]
+      // TTL forces processing-time mode: drive as a long-lived stream with
+      // a CONTINUOUS trigger (foreachBatchSink's AvailableNow snapshots
+      // the file list at start and would never discover f2), poll the
+      // sink, stop explicitly
+      val q = EventStreams.funnelStream(stream, "user_id", "ts", "event_type",
+          Seq("view", "click"), windowSec = 1000,
+          ttl = Some(java.time.Duration.ofSeconds(3)))
+        .writeStream.outputMode("update")
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+          val rows = batch.collect()
+          buf.synchronized { rows.foreach(r => buf += ((id, r.getLong(0), r.getInt(1)))) }
+        }.start()
+      def last(u: Long): Option[Int] =
+        buf.synchronized { buf.filter(_._2 == u).sortBy(_._1).lastOption.map(_._3) }
+      try {
+        val deadline = System.nanoTime() + 120L * 1000 * 1000 * 1000
+        while (last(1L).isEmpty && System.nanoTime() < deadline) Thread.sleep(250)
+        assert(last(1L) === Some(2)) // converted while state was live
+        assert(last(99L).isEmpty)    // stage-2-only: nothing emitted yet
+        Thread.sleep(4500)           // > ttl: 99's orphan click expires
+        writeBatch("f2", Seq((99L, ts(100), "view"),
+          (2L, ts(50), "view"), (2L, ts(60), "click")))
+        while ((last(99L).isEmpty || last(2L).isEmpty) &&
+               System.nanoTime() < deadline) Thread.sleep(250)
+        assert(last(2L) === Some(2),
+          "users arriving after evictions must still convert")
+        assert(last(99L) === Some(1),
+          "the spam user's pre-TTL click must have been evicted")
+        assert(last(1L) === Some(2)) // earlier conversion output stands
+      } finally q.stop()
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   test("runningUserCounts survives null user ids (drops them)") {
     val dir = Files.createTempDirectory("graft_nullkey").toString + "/data"
     Seq(Some(7L), None, Some(7L)).toDF("user_id")
