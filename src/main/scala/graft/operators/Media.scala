@@ -58,10 +58,16 @@ object Media {
     *
     * Scale posture: per-row executor-side work with no driver involvement;
     * one output row per video, so downstream explode/batching controls
-    * fan-out explicitly. Undecodable payloads (null, truncated, or a
-    * codec none of the branches read — true MP4/H.264, which needs a
-    * libav-backed kernel dropped into [[decodeFrames]]) are skipped,
-    * mirroring the reference's per-record try/except (:57-58). */
+    * fan-out explicitly. MJPEG wrapped in an AVI container (the output of
+    * the standard `ffmpeg -c:v mjpeg` pre-transcode) decodes directly.
+    * CORRUPT payloads (null, truncated, unrecognizable bytes) are
+    * skipped, mirroring the reference's per-record try/except (:57-58) —
+    * but a RECOGNIZED container none of the branches can read (MP4/
+    * ISO-BMFF, Matroska/WebM, FLV, non-MJPEG AVI — true H.264 decode
+    * needs a libav-backed kernel dropped into [[decodeFrames]]) fails the
+    * query LOUDLY with the container name and the pre-transcode recipe:
+    * silently skipping a whole .mp4 corpus would read as "no videos
+    * found". The supported-container matrix lives in the README. */
   def sampleFrames(videos: DataFrame, pathCol: String, bytesCol: String,
                    nFrames: Int): Dataset[VideoFrames] = {
     require(nFrames > 0, s"nFrames must be positive, got $nFrames")
@@ -86,9 +92,27 @@ object Media {
                                   nFrames: Int): Option[(Int, Array[Int], Array[Array[Byte]])] = {
     if (bytes == null || bytes.isEmpty) return None
     // MJPEG first: >= 2 complete JPEG frames back-to-back. A single JPEG
-    // falls through to the generic ImageIO branch (total = 1).
-    val jpegSlices = if ((bytes(0) & 0xFF) == 0xFF) mjpegSlices(bytes) else Array.empty[(Int, Int)]
+    // falls through to the generic ImageIO branch (total = 1). AVI gets
+    // the same walk over the whole buffer: AVI-MJPG rides its JPEG frames
+    // inside RIFF chunks and the segment walk finds SOI at any offset, so
+    // the standard `ffmpeg -c:v mjpeg` pre-transcode output decodes
+    // directly, container wrapper and all.
+    val jpegSlices =
+      if ((bytes(0) & 0xFF) == 0xFF || isRiffAvi(bytes)) mjpegSlices(bytes)
+      else Array.empty[(Int, Int)]
     if (jpegSlices.length >= 2) return decodeMjpeg(bytes, jpegSlices, nFrames)
+    // A RECOGNIZED video container none of the branches can decode fails
+    // LOUDLY with the container's name — silently bad-record-skipping a
+    // whole .mp4 corpus reads as "no videos found" and wastes the scan.
+    // Truly unrecognizable bytes still skip (corrupt-record discipline).
+    unsupportedContainer(bytes, jpegSlices.length).foreach { name =>
+      throw new IllegalArgumentException(
+        s"sampleFrames: unsupported video container: $name. Supported " +
+          "containers: MJPEG (raw or AVI-wrapped), animated GIF, " +
+          "multi-page TIFF. Pre-transcode with e.g. " +
+          "`ffmpeg -i in.mp4 -c:v mjpeg -q:v 3 out.avi` (see README, " +
+          "Supported video containers).")
+    }
     val iis = ImageIO.createImageInputStream(new ByteArrayInputStream(bytes))
     try {
       val readers = ImageIO.getImageReaders(iis)
@@ -137,6 +161,35 @@ object Media {
     } catch {
       case _: Exception => None
     } finally iis.close()
+  }
+
+  private def asciiAt(b: Array[Byte], off: Int, len: Int): String =
+    if (b.length < off + len) ""
+    else new String(b, off, len, java.nio.charset.StandardCharsets.US_ASCII)
+
+  private[graft] def isRiffAvi(b: Array[Byte]): Boolean =
+    asciiAt(b, 0, 4) == "RIFF" && asciiAt(b, 8, 4) == "AVI "
+
+  /** Identify a KNOWN video container the decode branches cannot read, by
+    * magic bytes — the "fail loudly, not silently" half of the container
+    * matrix. ISO-BMFF covers .mp4/.mov/.m4v/.3gp (all carry `ftyp` at
+    * offset 4); EBML covers Matroska/.webm; FLV by its tag. An AVI whose
+    * scan produced no JPEG frames carries some non-MJPEG codec (H.264 in
+    * AVI is common) and is equally undecodable. Anything else returns
+    * None — unrecognized bytes are corrupt-record territory, not a
+    * missing feature. */
+  private[graft] def unsupportedContainer(b: Array[Byte],
+                                          jpegFramesFound: Int): Option[String] = {
+    def u(i: Int): Int = b(i) & 0xFF
+    if (asciiAt(b, 4, 4) == "ftyp")
+      Some(s"ISO-BMFF/MP4 (brand '${asciiAt(b, 8, 4).trim}')")
+    else if (b.length >= 4 && u(0) == 0x1A && u(1) == 0x45 && u(2) == 0xDF && u(3) == 0xA3)
+      Some("Matroska/WebM (EBML)")
+    else if (asciiAt(b, 0, 3) == "FLV")
+      Some("FLV")
+    else if (isRiffAvi(b) && jpegFramesFound < 2)
+      Some("AVI with a non-MJPEG codec")
+    else None
   }
 
   /** Frame boundaries of an MJPEG stream (concatenated JPEGs): a pure-JVM

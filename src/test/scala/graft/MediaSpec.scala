@@ -291,6 +291,34 @@ class MediaSpec extends SparkSuite {
       .collect().head.total_frames === 1)
   }
 
+  test("sampleFrames: AVI-wrapped MJPEG decodes; recognized non-decodable containers fail loudly") {
+    import java.awt.Color
+    val frames = Seq(Color.RED, Color.GREEN, Color.BLUE).map(jpegBytes(_, 32, 32))
+    // minimal RIFF/AVI wrapper: header + JPEG frames as raw chunk payloads
+    // (the walk finds SOI at any offset; chunk bookkeeping is irrelevant)
+    def ascii(s: String) = s.getBytes("US-ASCII")
+    val avi = ascii("RIFF") ++ Array[Byte](0, 0, 0, 0) ++ ascii("AVI ") ++
+      frames.flatMap(f => ascii("00dc") ++ Array[Byte](0, 0, 0, 0) ++ f)
+    val Some((total, idx, sampled)) = Media.decodeFrames(avi, 2)
+    assert(total === 3 && idx === Array(0, 1) && sampled.length === 2)
+    // recognized containers with no decodable frames: LOUD error naming
+    // the container (not a silent bad-record skip)
+    val mp4 = Array[Byte](0, 0, 0, 24) ++ ascii("ftyp") ++ ascii("isom") ++
+      new Array[Byte](16)
+    val mp4Err = intercept[IllegalArgumentException](Media.decodeFrames(mp4, 2))
+    assert(mp4Err.getMessage.contains("ISO-BMFF/MP4") &&
+      mp4Err.getMessage.contains("isom") && mp4Err.getMessage.contains("ffmpeg"))
+    val mkv = Array(0x1A, 0x45, 0xDF, 0xA3).map(_.toByte) ++ new Array[Byte](32)
+    assert(intercept[IllegalArgumentException](Media.decodeFrames(mkv, 2))
+      .getMessage.contains("Matroska/WebM"))
+    val emptyAvi = ascii("RIFF") ++ Array[Byte](0, 0, 0, 0) ++ ascii("AVI ") ++
+      new Array[Byte](64)
+    assert(intercept[IllegalArgumentException](Media.decodeFrames(emptyAvi, 2))
+      .getMessage.contains("non-MJPEG"))
+    // unrecognizable junk remains a corrupt-record SKIP, not an error
+    assert(Media.decodeFrames(Array.fill[Byte](64)(0x42), 2).isEmpty)
+  }
+
   test("deleteConsumed removes ingested archives (K5)") {
     val dir = Files.createTempDirectory("graft_gc").toString
     val f = new java.io.File(s"$dir/done.zip")
