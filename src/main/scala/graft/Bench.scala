@@ -106,5 +106,13 @@ object Bench {
     println("GRAFT_BENCH_JSON")
     println(line)
     System.out.flush()
+    // Also on STDERR: sbt appends "[success] Total time..." to stdout
+    // after the JSON, so a driver parsing the stdout TAIL still misses it
+    // (BENCH_r08 parsed: null). stderr gets no sbt epilogue — the
+    // sentinel+line pair is the stream's tail. The /tmp file above stays
+    // the authoritative record.
+    System.err.println("GRAFT_BENCH_JSON")
+    System.err.println(line)
+    System.err.flush()
   }
 }
