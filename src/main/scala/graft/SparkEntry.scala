@@ -1272,7 +1272,60 @@ object SparkEntry {
         replicas = BootReplicas, alpha = BootAlpha)
         .orderBy("l_returnflag")
     }),
+
+    // C4 span-level SCRUB: the transform twin of q91's audit — same
+    // synthesized line structure, same 3-line spans and canonical-first
+    // rank, but emitting the CLEANED text with covered lines deleted.
+    "q105_span_scrub" -> ((s, dir) => {
+      val lined = synthesizeLines(Tables.documents(s, dir), withPunct = false)
+      Dedup.spanScrub(lined, "doc_id", "text", 3).orderBy("doc_id")
+    }),
+
+    // IVF-PQ fit-once/probe-many: q100's search served from a PERSISTED
+    // index (Similarity.saveIvfPqIndex parquet convention) — the
+    // production ANN shape. The fit+encode runs at most once per (sf dir,
+    // JVM-independent cache on disk); the query body itself is load +
+    // probe, so its cost is the probed cells' codes, not two Lloyd fits.
+    // Rows-only like every Lloyd-fit query; round-trip identity is pinned
+    // by DedupSimilaritySpec.
+    "q106_ivfpq_prefit" -> ((s, dir) => {
+      val idx = prefitIvfPqIndex(s, dir)
+      Similarity.ivfPqTopK(idx.encoded, idx.centroids, idx.codebooks,
+        Tables.embeddings(s, dir).where(col("vec_id") < 8), 10, nprobe = 2)
+        .orderBy("probe_id", "rank")
+    }),
+
+    // Target-weight mixture: resample documents to a SPECIFIED 50/25/25
+    // en/de/zh mix (fr/es dropped), never duplicating rows — the
+    // bottleneck language keeps 100% (rate pinned at 1e6 ppm) and the
+    // rest downsample to the largest total the mix allows. Weights are
+    // binary-exact and pre-normalized so oracle arithmetic is identical.
+    "q107_mixture_weights" -> ((s, dir) => {
+      Stats.mixtureResampleToWeights(Tables.documents(s, dir), col("lang"),
+        col("text"), Map("en" -> 0.5, "de" -> 0.25, "zh" -> 0.25))
+        .groupBy("lang")
+        .agg(max("keep_ppm").as("keep_ppm"), count(lit(1)).as("n_kept"),
+          min("doc_id").as("first_doc"))
+        .orderBy("lang")
+    }),
   )
+
+  /** Build-or-load the persisted IVF-PQ index for `dir` (q106). Cached
+    * under the JVM temp dir, keyed by the data dir path, so Verify and
+    * Bench (separate JVMs) share one fit per scale factor; the testdata
+    * snapshot is immutable within a round, which is exactly the
+    * index-per-corpus-snapshot contract [[Similarity.saveIvfPqIndex]]
+    * documents. Same fit parameters as q100 (8 cells, 8x16 residual PQ,
+    * 3 Lloyd iterations). */
+  private def prefitIvfPqIndex(s: SparkSession, dir: String): Similarity.IvfPqIndex = {
+    val cache = new java.io.File(System.getProperty("java.io.tmpdir"),
+      s"graft_ivfpq_idx_${Integer.toHexString(dir.hashCode)}").getPath
+    if (new java.io.File(s"$cache/encoded/_SUCCESS").exists())
+      Similarity.loadIvfPqIndex(s, cache)
+    else
+      Similarity.buildIvfPqIndex(Tables.embeddings(s, dir), cache,
+        nCells = 8, m = 8, ksub = 16, iterations = 3)
+  }
 
   /** Deterministic line synthesis shared by q88/q91: the single-line
     * synthetic corpus re-chunked into 8-token lines, every 3rd line left
@@ -2466,5 +2519,48 @@ object SparkEntry {
          |FROM mn JOIN ci ON mn.l_returnflag = ci.l_returnflag
          |ORDER BY mn.l_returnflag""".stripMargin
     },
+
+    "q105_span_scrub" ->
+      // q91's span CTEs verbatim (same hash, same canonical-first rank),
+      // then: removed spans expand to covered 1-based line indices, lines
+      // rebuild positionally, and the cleaned text re-joins with chr(10).
+      // Docs with no removals (incl. shorter-than-3-lines) pass through.
+      s"""WITH ${dLineSynth(withPunct = false)},
+         |sp AS (SELECT doc_id, CAST(i AS INTEGER) AS pos,
+         |    ${dhash("array_to_string(ln[i:i+2], chr(10))")} AS h
+         |  FROM t1, unnest(range(1, len(ln) - 1)) AS r(i)),
+         |j AS (SELECT doc_id, pos,
+         |  count(*) OVER (PARTITION BY h) AS n_occ,
+         |  row_number() OVER (PARTITION BY h ORDER BY doc_id, pos) AS rn FROM sp),
+         |rm AS (SELECT DISTINCT doc_id, pos + k AS ri
+         |  FROM j, unnest(range(0, 3)) AS t(k) WHERE n_occ > 1 AND rn > 1),
+         |u AS (SELECT doc_id, CAST(i AS INTEGER) AS li, ln[i] AS line
+         |  FROM t1, unnest(range(1, len(ln) + 1)) AS r(i)),
+         |kept AS (SELECT u.doc_id,
+         |    array_to_string(list(u.line ORDER BY u.li), chr(10)) AS ct
+         |  FROM u LEFT JOIN rm ON u.doc_id = rm.doc_id AND u.li = rm.ri
+         |  WHERE rm.ri IS NULL GROUP BY u.doc_id),
+         |nr AS (SELECT doc_id, count(*) AS n_rm FROM rm GROUP BY doc_id)
+         |SELECT t1.doc_id, CAST(len(ln) AS BIGINT) AS n_lines,
+         |  CAST(coalesce(nr.n_rm, 0) AS BIGINT) AS n_removed_lines,
+         |  coalesce(kept.ct, '') AS clean_text
+         |FROM t1 LEFT JOIN kept ON t1.doc_id = kept.doc_id
+         |LEFT JOIN nr ON t1.doc_id = nr.doc_id
+         |ORDER BY t1.doc_id""".stripMargin,
+
+    "q107_mixture_weights" ->
+      // same rate arithmetic as Stats.mixtureResampleToWeights, term for
+      // term: N = min(cnt/share), rate = ceil(1e6*N*share/cnt) capped at
+      // 1e6. Weights are binary-exact doubles summing to exactly 1.0, so
+      // the engine's normalize (w / 1.0) is an identity on both sides.
+      s"""WITH c AS (SELECT lang, count(*) AS cnt FROM documents GROUP BY lang),
+         |w AS (SELECT * FROM (VALUES ('en', 0.5), ('de', 0.25), ('zh', 0.25)) AS t(lang, share)),
+         |j AS (SELECT c.lang, cnt, CAST(share AS DOUBLE) AS share FROM c JOIN w USING (lang)),
+         |n AS (SELECT min(cnt / share) AS n FROM j),
+         |r AS (SELECT lang, CAST(least(ceil(1000000.0 * n.n * share / cnt), 1000000) AS BIGINT) AS keep_ppm FROM j, n),
+         |k AS (SELECT d.lang, d.doc_id, r.keep_ppm FROM documents d JOIN r USING (lang)
+         |  WHERE ${dbucket("text", 1000000)} < keep_ppm)
+         |SELECT lang, max(keep_ppm) AS keep_ppm, count(*) AS n_kept, min(doc_id) AS first_doc
+         |FROM k GROUP BY lang ORDER BY lang""".stripMargin,
   )
 }

@@ -120,15 +120,22 @@ case class PqEncode(child: Expression, books: Seq[Seq[Seq[Double]]])
   *   lut[j*K + c]          = dot(probe_subvec_j, centroid_{j,c})
   *   lut[m*K + j*K + c]    = ||centroid_{j,c}||^2
   *   lut[2*m*K]            = ||probe||                 (full-vector norm)
+  *   lut[2*m*K + 1 + j]    = k_j                       (subspace j book size)
   * }}}
-  * with `m = |codes|` and stride `K = (|lut| - 1) / (2m)` (the max codebook
-  * size; short subspace books pad with unused slots). Because subspaces
-  * partition the dimensions, the reconstruction's dot and squared norm are
-  * EXACT sums of per-subspace terms: `cos = sum_j dot_j / (||probe|| *
-  * sqrt(sum_j ||c_j||^2))` — the only approximation is quantization itself.
-  * Zero norms score 0.0 (the [[CosineSimilarity]] convention); malformed
-  * inputs (empty codes, non-divisible lut length, out-of-range code) throw
-  * rather than silently mis-rank.
+  * with `m = |codes|` and stride `K = (|lut| - 1 - m) / (2m)` (the max
+  * codebook size; short subspace books pad with unused slots). The book
+  * sizes ride in the tail because the pad slots are ZERO-FILLED, not
+  * poisoned: heterogeneous books happen whenever Lloyd empties a cell
+  * (k_j < K for that subspace), and a stale or cross-fit code in
+  * [k_j, K) would otherwise read a zero dot/norm and silently mis-rank —
+  * the bound each code is validated against must be its OWN subspace's
+  * size, not the padded stride. Because subspaces partition the
+  * dimensions, the reconstruction's dot and squared norm are EXACT sums
+  * of per-subspace terms: `cos = sum_j dot_j / (||probe|| *
+  * sqrt(sum_j ||c_j||^2))` — the only approximation is quantization
+  * itself. Zero norms score 0.0 (the [[CosineSimilarity]] convention);
+  * malformed inputs (empty codes, non-divisible lut length, code outside
+  * its subspace's book) throw rather than silently mis-rank.
   */
 case class PqCosine(left: Expression, right: Expression) extends BinaryExpression {
 
@@ -146,18 +153,21 @@ case class PqCosine(left: Expression, right: Expression) extends BinaryExpressio
   def kernel(codes: ArrayData, lut: ArrayData): Double = {
     val m = codes.numElements()
     val lutLen = lut.numElements()
-    if (m == 0 || lutLen < 1 || (lutLen - 1) % (2 * m) != 0)
+    if (m == 0 || lutLen < 1 + m || (lutLen - 1 - m) % (2 * m) != 0)
       throw new IllegalArgumentException(
-        s"pq_cosine lut length $lutLen does not fit ${m} subspaces (need 2*m*K + 1)")
-    val k = (lutLen - 1) / (2 * m)
+        s"pq_cosine lut length $lutLen does not fit ${m} subspaces (need 2*m*K + 1 + m)")
+    val k = (lutLen - 1 - m) / (2 * m)
     var dot = 0.0
     var rsq = 0.0
     var j = 0
     while (j < m) {
       val c = codes.getInt(j)
-      if (c < 0 || c >= k)
+      // bound against the OWNING subspace's book size, not the padded
+      // stride: codes in [k_j, K) land on zero-filled pad slots
+      val kj = lut.getDouble(2 * m * k + 1 + j).toInt
+      if (c < 0 || c >= kj)
         throw new IllegalArgumentException(
-          s"pq_cosine code $c out of range [0, $k) in subspace $j")
+          s"pq_cosine code $c out of range [0, $kj) in subspace $j")
       dot += lut.getDouble(j * k + c)
       rsq += lut.getDouble(m * k + j * k + c)
       j += 1

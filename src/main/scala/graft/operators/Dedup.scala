@@ -141,6 +141,61 @@ object Dedup {
         sum(when(col("n_occ") > 1 && col("rn") > 1, 1L).otherwise(0L)).as("n_removed"))
   }
 
+  /** C4-style span-level SCRUB — the TRANSFORM behind [[spanDupStats]]'
+    * audit: delete every line covered by a non-canonical occurrence of a
+    * corpus-wide duplicated `n`-line span (Raffel et al. 2020 §2.2 keep
+    * only the first occurrence of any 3-sentence span) and emit the
+    * CLEANED text. Canonical occurrence = corpus-wide min `(id, pos)`,
+    * identical to [[spanDupStats]]' rank, so `n_removed_lines` here and
+    * `n_removed` there audit the same scrub decision at line vs span
+    * granularity (overlapping removed spans share covered lines, so the
+    * counts differ when duplicated spans overlap within one document).
+    * Documents shorter than `n` units have no spans and pass through
+    * unchanged; a document whose every line is covered emits an empty
+    * `clean_text`. Output: `(id, n_lines, n_removed_lines, clean_text)`,
+    * one row per input document.
+    *
+    * Scale shape: the duplicate-detection arm is [[spanDupStats]]' —
+    * `(id, pos, int64 hash)` explode, ONE hash-keyed window exchange,
+    * never span text; removed spans expand to covered line indices and
+    * collapse to one `(id, array<int>)` row per affected document (the
+    * shuffle carries ints, bounded by the document's line count). Only
+    * the final join-back touches text: the corpus re-shuffles ONCE on id
+    * against the (typically far smaller) removed-lines side, and the
+    * cleaned text is rebuilt in a single codegen'd projection — an
+    * index-aware array filter — not a per-line re-aggregation. */
+  def spanScrub(docs: DataFrame, idCol: String, textCol: String,
+                n: Int = 3): DataFrame = {
+    import graft.functions.GraftFunctions.rolling_hash
+    val units = col("_u")
+    val spans = when(size(units) >= n,
+      transform(sequence(lit(1), size(units) - n + 1),
+        i => struct(i.as("pos"),
+          rolling_hash(concat_ws("\n", slice(units, i, lit(n)))).as("h"))))
+      .otherwise(array().cast("array<struct<pos:int,h:bigint>>"))
+    val lined = docs.select(col(idCol), col(textCol), split(col(textCol), "\n", -1).as("_u"))
+    val ex = lined
+      .select(col(idCol), explode(spans).as("_s"))
+      .select(col(idCol), col("_s.pos").as("pos"), col("_s.h").as("h"))
+    val wH = Window.partitionBy("h")
+    val wHo = wH.orderBy(col(idCol).asc, col("pos").asc)
+    val removed = ex
+      .withColumn("n_occ", count(lit(1)).over(wH))
+      .withColumn("rn", row_number().over(wHo))
+      .where(col("n_occ") > 1 && col("rn") > 1)
+      // a span at pos covers 1-based lines [pos, pos + n - 1]
+      .select(col(idCol), explode(sequence(col("pos"), col("pos") + n - 1)).as("_ri"))
+      .groupBy(idCol).agg(collect_set("_ri").as("_rm"))
+    lined.join(removed, Seq(idCol), "left")
+      .select(col(idCol),
+        size(units).cast("long").as("n_lines"),
+        coalesce(size(col("_rm")), lit(0)).cast("long").as("n_removed_lines"),
+        when(col("_rm").isNull, col(textCol))
+          .otherwise(concat_ws("\n",
+            filter(units, (l, i) => !array_contains(col("_rm"), i + 1))))
+          .as("clean_text"))
+  }
+
   /** Materialized shingle-hash table: (idCol, hashes array<long>).
     *
     * Materialized deliberately: the char-level hash fold is the expensive

@@ -347,7 +347,8 @@ object Similarity {
       }.sortBy(t => (-t._1, t._2)).take(nprobe)
       ranked.map { case (_, cellId, ci) =>
         val c = cellVecs(ci)
-        val lut = new Array[Double](2 * m * kMax + 1)
+        // PqCosine layout: 2*m*K dot/norm slots + probe norm + m book sizes
+        val lut = new Array[Double](2 * m * kMax + 1 + m)
         var off = 0
         var j = 0
         while (j < m) {
@@ -376,6 +377,10 @@ object Similarity {
           j += 1
         }
         lut(2 * m * kMax) = math.sqrt(qn)
+        // per-subspace book sizes: codes validate against their OWN book,
+        // not the padded stride (heterogeneous books after empty cells)
+        var bj = 0
+        while (bj < m) { lut(2 * m * kMax + 1 + bj) = books(bj).length.toDouble; bj += 1 }
         Row(pid, cellId, lut.toSeq)
       }
     }
@@ -396,6 +401,51 @@ object Similarity {
       .withColumn("cosine", graft.functions.GraftFunctions
         .pq_cosine(col("codes"), col("_lut")))
     topKPerProbe(scored, k)
+  }
+
+  /** A fitted, persistable IVF-PQ index: coarse centroids, residual PQ
+    * codebooks, and the encoded corpus — everything [[ivfPqTopK]] needs to
+    * serve probes without touching raw vectors or refitting. */
+  final case class IvfPqIndex(centroids: DataFrame, codebooks: DataFrame,
+                              encoded: DataFrame)
+
+  /** Persist a fitted IVF-PQ index as three parquet tables under `dir`
+    * (`centroids/`, `codebooks/`, `encoded/`) — the fit-once/probe-many
+    * shape a production ANN deployment runs: Lloyd training and the
+    * encode pass happen once per corpus snapshot; every subsequent query
+    * is [[loadIvfPqIndex]] + [[ivfPqTopK]], whose cost is the probed
+    * cells' CODES only. The tables are plain DataFrames, so the layout
+    * is engine-portable and the encoded table can be partitioned/bucketed
+    * by `cell_id` downstream for probe-side partition pruning. */
+  def saveIvfPqIndex(dir: String, index: IvfPqIndex): Unit = {
+    index.centroids.write.mode("overwrite").parquet(s"$dir/centroids")
+    index.codebooks.write.mode("overwrite").parquet(s"$dir/codebooks")
+    index.encoded.write.mode("overwrite").parquet(s"$dir/encoded")
+  }
+
+  /** Load an index written by [[saveIvfPqIndex]]. Centroids re-sort by id:
+    * parquet round-trips don't preserve row order, and the collected
+    * centroid array's order is the one load-bearing ordering in the
+    * search path (codebooks re-sort internally in the collect). */
+  def loadIvfPqIndex(spark: org.apache.spark.sql.SparkSession, dir: String,
+                     idCol: String = "vec_id"): IvfPqIndex =
+    IvfPqIndex(
+      spark.read.parquet(s"$dir/centroids").orderBy(col(idCol)),
+      spark.read.parquet(s"$dir/codebooks"),
+      spark.read.parquet(s"$dir/encoded"))
+
+  /** Fit + encode + persist in one call; returns the loaded index so
+    * callers immediately serve from the persisted artifact (guaranteeing
+    * saved and served indexes can never drift). */
+  def buildIvfPqIndex(corpus: DataFrame, dir: String, nCells: Int, m: Int,
+                      ksub: Int, iterations: Int,
+                      idCol: String = "vec_id",
+                      vecCol: String = "embedding"): IvfPqIndex = {
+    val cents = trainCentroids(corpus, nCells, iterations, idCol, vecCol)
+    val books = fitIvfPqCodebooks(corpus, cents, m, ksub, iterations, idCol, vecCol)
+    val enc = ivfPqEncode(corpus, cents, books, idCol, vecCol)
+    saveIvfPqIndex(dir, IvfPqIndex(cents, books, enc))
+    loadIvfPqIndex(corpus.sparkSession, dir, idCol)
   }
 
   /** Lloyd-iteration centroid training for IVF (k-means on cosine
@@ -640,7 +690,8 @@ object Similarity {
         "pqTopK: probes must have non-null ids and vectors")
       val pid = r.getLong(0)
       val q = r.getSeq[Double](1).toArray
-      val lut = new Array[Double](2 * m * kMax + 1)
+      // PqCosine layout: 2*m*K dot/norm slots + probe norm + m book sizes
+      val lut = new Array[Double](2 * m * kMax + 1 + m)
       var off = 0
       var j = 0
       while (j < m) {
@@ -668,6 +719,10 @@ object Similarity {
       var i = 0
       while (i < q.length) { qn += q(i) * q(i); i += 1 }
       lut(2 * m * kMax) = math.sqrt(qn)
+      // per-subspace book sizes: codes validate against their OWN book,
+      // not the padded stride (heterogeneous books after empty cells)
+      var bj = 0
+      while (bj < m) { lut(2 * m * kMax + 1 + bj) = books(bj).length.toDouble; bj += 1 }
       Row(pid, lut.toSeq)
     }
     val spark = corpusCodes.sparkSession

@@ -1,9 +1,11 @@
 package graft.operators
 
+import scala.jdk.CollectionConverters._
+
 import graft.functions.GraftFunctions.rolling_hash
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Row}
 
 /** Distribution / statistics operators for profiling training corpora at
   * scale (north-star extension; complements [[Audit]]). Everything here is a
@@ -242,6 +244,59 @@ object Stats {
         least(ceil(lit(1000000.0) * col("_min") / col("_cnt")), lit(1000000L))
           .cast("long").as("keep_ppm"))
     df.join(broadcast(rates), strata === col("_stratum"))
+      .where(hashBucket(key, 1000000) < col("keep_ppm"))
+      .drop("_stratum")
+  }
+
+  /** Mixture resampling to SPECIFIED target shares — the real pretraining
+    * mix (e.g. 60% web / 30% code / 10% books), where [[mixtureResample]]
+    * only flattens to uniform. `weights` maps stratum value (as string) to
+    * its target share; shares are normalized, so 60/30/10 and 6/3/1 mean
+    * the same mix. Rows are NEVER duplicated (upsampling caps at 1×): the
+    * output is the LARGEST corpus with exactly the target mix that
+    * sampling-without-replacement allows — total `N = min over strata of
+    * count_s / share_s`, so the scarcest-relative-to-its-target stratum
+    * (the bottleneck) keeps 100% (its rate caps at exactly 1e6 ppm) and
+    * every other stratum downsamples to `N·share_s` expected rows. Strata
+    * absent from `weights` are dropped (share 0). Selection stays
+    * hash-deterministic per row — same engine/retry/rerun keeps the same
+    * rows, and the kept set only shrinks monotonically as a stratum's
+    * rate falls. Rates use the same ppm resolution + `ceil` floor as
+    * [[mixtureResample]] (integer-percent cliffs delete low-resource
+    * strata; see that scaladoc).
+    *
+    * Scale shape: identical to [[mixtureResample]] — one map-side-combined
+    * count per stratum, rates derived on the (stratum-sized) fit frame
+    * with the weights riding as a broadcast literal table, one broadcast
+    * join back; the corpus is scanned once and never shuffled. Output
+    * keeps the input schema plus `keep_ppm`.
+    */
+  def mixtureResampleToWeights(df: DataFrame, strata: Column, key: Column,
+                               weights: Map[String, Double]): DataFrame = {
+    require(weights.nonEmpty, "mixtureResampleToWeights needs >= 1 target weight")
+    weights.foreach { case (s, w) =>
+      require(w > 0 && !w.isNaN && !w.isInfinite,
+        s"mixtureResampleToWeights: weight for stratum '$s' must be finite and > 0, got $w")
+    }
+    val wSum = weights.values.sum
+    val spark = df.sparkSession
+    val wdf = spark.createDataFrame(weights.toSeq.map { case (s, w) =>
+      Row(s, w / wSum)
+    }.asJava, org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("_stratum",
+        org.apache.spark.sql.types.StringType, nullable = false),
+      org.apache.spark.sql.types.StructField("_share",
+        org.apache.spark.sql.types.DoubleType, nullable = false))))
+    val counts = df.groupBy(strata.cast("string").as("_stratum"))
+      .agg(count(lit(1)).as("_cnt"))
+      .join(wdf, "_stratum") // inner: unweighted strata drop here
+    // largest total N with the exact mix and no duplication
+    val n = counts.agg(min(col("_cnt") / col("_share")).as("_n"))
+    val rates = counts.crossJoin(broadcast(n))
+      .select(col("_stratum"),
+        least(ceil(lit(1000000.0) * col("_n") * col("_share") / col("_cnt")),
+          lit(1000000L)).cast("long").as("keep_ppm"))
+    df.join(broadcast(rates), strata.cast("string") === col("_stratum"))
       .where(hashBucket(key, 1000000) < col("keep_ppm"))
       .drop("_stratum")
   }

@@ -186,6 +186,36 @@ class DedupSimilaritySpec extends SparkSuite {
       (4L, 4L, 2L, 1L)))  // self-repeat: 2 dup occurrences, later one removed
   }
 
+  test("spanScrub deletes covered lines of non-canonical span occurrences only") {
+    import graft.operators.Dedup
+    val docs = Seq(
+      (1L, "a1\nc1\nc2\nc3\na2"),          // canonical owner: untouched
+      (2L, "b1\nc1\nc2\nc3\nb2"),          // loses the copied paragraph
+      (3L, "x\ny"),                        // shorter than n: untouched
+      // internal self-repeat at positions 1 and 4: the later occurrence
+      // is scrubbed, the canonical first stays
+      (4L, "r1\nr2\nr3\nr1\nr2\nr3"),
+      // every span of doc 6 is a non-canonical copy of doc 5: its two
+      // removed spans OVERLAP on lines 2-3 (union 1..4, not 6 lines) and
+      // doc 6 loses ALL lines, emitting empty text
+      (5L, "z1\nz2\nz3\nz4"),
+      (6L, "z1\nz2\nz3\nz4")).toDF("doc_id", "text")
+    val out = Dedup.spanScrub(docs, "doc_id", "text", 3)
+      .orderBy("doc_id").as[(Long, Long, Long, String)].collect()
+    assert(out === Array(
+      (1L, 5L, 0L, "a1\nc1\nc2\nc3\na2"),
+      (2L, 5L, 3L, "b1\nb2"),
+      (3L, 2L, 0L, "x\ny"),
+      (4L, 6L, 3L, "r1\nr2\nr3"),
+      (5L, 4L, 0L, "z1\nz2\nz3\nz4"),
+      (6L, 4L, 4L, "")))
+    // line-level audit agrees with the span-level audit's scrub decision
+    val stats = Dedup.spanDupStats(docs, "doc_id", "text", 3)
+      .where(col("n_removed") > 0).select("doc_id")
+      .as[Long].collect().toSet
+    assert(out.filter(_._3 > 0).map(_._1).toSet === stats)
+  }
+
   test("diversitySample keeps the k most-central vectors of every cell") {
     // two clean clusters around the axes + one far outlier per cluster
     val vecs = Seq(
@@ -293,6 +323,27 @@ class DedupSimilaritySpec extends SparkSuite {
       Similarity.assignCellsMulti(vecs, nullId, 1)
     }
     assert(e2.getMessage.contains("null vec_id"))
+  }
+
+  test("NaN-embedding probes assign to the FIRST centroid, pinning the SQL divergence") {
+    // NearestCentroid's documented fallback: a NaN probe element makes
+    // every cosine NaN, no comparison wins, and the seeded loop returns
+    // ids(0) — the first centroid in COLLECTION order. SQL oracles rank
+    // NaN cosines greatest (a max-by over NaN picks differently), so any
+    // future oracle-paired query over NaN embeddings MUST pre-filter them
+    // (q90's documents are NaN-free by fixture). This test is the pin: if
+    // the fallback ever changes, the divergence note in
+    // NearestCentroid.scala goes stale and this fails.
+    val cents = Seq((7L, Array(0.0, 1.0)), (3L, Array(1.0, 0.0)))
+      .toDF("vec_id", "embedding")
+    val probes = Seq(
+      (0L, Array(Double.NaN, 1.0)),  // NaN poisons every cosine
+      (1L, Array(1.0, 0.0))          // sanity: clean probe still argmaxes
+    ).toDF("vec_id", "embedding")
+    val got = Similarity.assignCells(probes, cents)
+      .select("vec_id", "cell_id").as[(Long, Long)].collect().toMap
+    assert(got(0L) === 7L, "NaN probe must fall back to the first centroid in collection order")
+    assert(got(1L) === 3L)
   }
 
   // --- product quantization ---
@@ -468,6 +519,70 @@ class DedupSimilaritySpec extends SparkSuite {
     assert(adc === exact)
     intercept[IllegalArgumentException](
       Similarity.ivfPqTopK(enc, cents, gridBooks, vecs, 3, nprobe = 0))
+  }
+
+  test("pq_cosine rejects codes beyond the OWNING subspace's book size") {
+    // heterogeneous books (sizes 3 and 1, stride K = 3): code 2 in
+    // subspace 1 lands on a zero-filled pad slot — under the old
+    // stride-only bound it read 0.0 and silently mis-ranked; the
+    // book-size tail makes it throw
+    import graft.functions.PqCosine
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    import org.apache.spark.sql.types.{ArrayType, DoubleType}
+    val (m, kMax) = (2, 3)
+    val lut = new Array[Double](2 * m * kMax + 1 + m)
+    for (j <- 0 until m; c <- 0 until kMax) {
+      lut(j * kMax + c) = 1.0          // dots
+      lut(m * kMax + j * kMax + c) = 1.0 // norms
+    }
+    lut(2 * m * kMax) = 1.0            // probe norm
+    lut(2 * m * kMax + 1) = 3.0        // subspace 0 book size
+    lut(2 * m * kMax + 2) = 1.0        // subspace 1 book size
+    val kernel = PqCosine(Literal.create(null, ArrayType(DoubleType)),
+      Literal.create(null, ArrayType(DoubleType)))
+    def score(codes: Int*) =
+      kernel.kernel(new GenericArrayData(codes.toArray), new GenericArrayData(lut))
+    assert(score(2, 0) > 0.0)          // valid: inside both books
+    val err = intercept[IllegalArgumentException](score(2, 2))
+    assert(err.getMessage.contains("[0, 1)") && err.getMessage.contains("subspace 1"))
+    intercept[IllegalArgumentException](score(3, 0)) // beyond stride too
+  }
+
+  test("IVF-PQ index round-trips through parquet with identical topK") {
+    // a real Lloyd fit (not the exact grid): the round-trip must preserve
+    // the search result bit-for-bit, including float centroid values
+    val corpus = (0L until 64L).map { i =>
+      (i, Seq.tabulate(8)(d => math.sin(i * 0.37 + d * 1.13) + (if (i % 2 == 0) 1.0 else -1.0)))
+    }.toDF("vec_id", "embedding")
+    val probes = corpus.where(col("vec_id") < 4)
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivfpq").toFile
+    try {
+      val cents = Similarity.trainCentroids(corpus, 4, 2)
+      val books = Similarity.fitIvfPqCodebooks(corpus, cents, m = 4, ksub = 8,
+        iterations = 2)
+      val enc = Similarity.ivfPqEncode(corpus, cents, books)
+      val direct = Similarity.ivfPqTopK(enc, cents, books, probes, 5, nprobe = 2)
+        .orderBy("probe_id", "rank").as[(Long, Long, Long, Double)].collect()
+      Similarity.saveIvfPqIndex(dir.getPath,
+        Similarity.IvfPqIndex(cents, books, enc))
+      val loaded = Similarity.loadIvfPqIndex(spark, dir.getPath)
+      val viaDisk = Similarity.ivfPqTopK(loaded.encoded, loaded.centroids,
+        loaded.codebooks, probes, 5, nprobe = 2)
+        .orderBy("probe_id", "rank").as[(Long, Long, Long, Double)].collect()
+      assert(viaDisk === direct)
+      // buildIvfPqIndex (fit + persist + reload in one call) serves the
+      // same result from a fresh directory
+      val dir2 = java.nio.file.Files.createTempDirectory("graft-ivfpq2").toFile
+      try {
+        val built = Similarity.buildIvfPqIndex(corpus, dir2.getPath,
+          nCells = 4, m = 4, ksub = 8, iterations = 2)
+        val viaBuild = Similarity.ivfPqTopK(built.encoded, built.centroids,
+          built.codebooks, probes, 5, nprobe = 2)
+          .orderBy("probe_id", "rank").as[(Long, Long, Long, Double)].collect()
+        assert(viaBuild === direct)
+      } finally org.apache.commons.io.FileUtils.deleteDirectory(dir2)
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(dir)
   }
 
   test("scalarQuantize: codes in [0,255], error bounded by scale/2, constant dim -> 0") {

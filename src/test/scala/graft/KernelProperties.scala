@@ -148,8 +148,8 @@ object KernelProperties extends Properties("graft.kernels") {
       val kMax = books.map(_.length).max
       // reconstruction from the chosen codes
       val recon = (0 until m).flatMap(j => books(j)(codes.getInt(j))).toArray
-      // LUT exactly as pqTopK builds it
-      val lut = new Array[Double](2 * m * kMax + 1)
+      // LUT exactly as pqTopK builds it (incl. the book-size tail)
+      val lut = new Array[Double](2 * m * kMax + 1 + m)
       var off = 0
       for (j <- 0 until m) {
         val dsub = books(j).head.length
@@ -161,6 +161,7 @@ object KernelProperties extends Properties("graft.kernels") {
         off += dsub
       }
       lut(2 * m * kMax) = math.sqrt(q.map(x => x * x).sum)
+      for (j <- 0 until m) lut(2 * m * kMax + 1 + j) = books(j).length.toDouble
       val adc = PqCosine(Literal.create(null, ArrayType(DoubleType)),
         Literal.create(null, ArrayType(DoubleType)))
         .kernel(codes, new GenericArrayData(lut))

@@ -180,4 +180,44 @@ class PlanPostureSpec extends SparkSuite {
     assert(top.contains("BroadcastNestedLoopJoin") || top.contains("BroadcastExchange"),
       s"pqTopK LUT side not broadcast:\n$top")
   }
+
+  test("hammingTopK/rerankTopK shuffle only |probes|x k rows; ivfPqTopK equi-joins on cell_id") {
+    // The ANN-tier shuffle contract: the bounded-buffer top-k aggregate
+    // prunes map-side, so the ONLY exchange in each search is the
+    // aggregate's own |probes| x k hand-off — the corpus side (sign words
+    // / codes) never shuffles, at any corpus size.
+    val emb = graft.meta.Tables.embeddings(spark, sf)
+    val probes = emb.where(col("vec_id") < 4)
+    val ham = executedPlan(graft.operators.Similarity.hammingTopK(emb, probes, 5))
+    assert(shuffleCount(ham) === 1,
+      s"hammingTopK's only exchange is the topk agg hand-off:\n$ham")
+    assert(ham.contains("partial_topk_by_score"),
+      s"top-k buffer lost its map-side partial pass:\n$ham")
+    val rr = executedPlan(graft.operators.Similarity.rerankTopK(
+      emb, probes, shortlist = 10, k = 5))
+    assert(shuffleCount(rr) === 2,
+      s"rerankTopK = two agg hand-offs, both stages broadcast-shaped:\n$rr")
+    assert(rr.contains("partial_topk_by_score"),
+      s"re-rank stage lost its map-side partial pass:\n$rr")
+    assert(!rr.contains("SortMergeJoin"),
+      s"rerankTopK candidate fetch must stay broadcast:\n$rr")
+    // IVF-PQ: the scored join must be a broadcast HASH equi-join on
+    // cell_id (pruning = join selectivity); a nested-loop here would scan
+    // every code row against every LUT. Fits are detached first — the
+    // fit-once/probe-many shape (q106) — so the probe plan is measured
+    // alone, without the Lloyd fit's own aggregate exchange riding in.
+    val cents = graft.operators.Relational.detach(
+      graft.operators.Similarity.trainCentroids(emb, 4, 1))
+    val books = graft.operators.Relational.detach(
+      graft.operators.Similarity.fitIvfPqCodebooks(
+        emb, cents, m = 8, ksub = 16, iterations = 1))
+    val enc = graft.operators.Relational.detach(
+      graft.operators.Similarity.ivfPqEncode(emb, cents, books))
+    val ivf = executedPlan(graft.operators.Similarity.ivfPqTopK(
+      enc, cents, books, probes, 5, nprobe = 2))
+    assert(ivf.contains("BroadcastHashJoin") && !ivf.contains("BroadcastNestedLoopJoin"),
+      s"ivfPqTopK scored join must be an equi-join on cell_id:\n$ivf")
+    assert(shuffleCount(ivf) === 1,
+      s"ivfPqTopK's only exchange is the topk agg hand-off:\n$ivf")
+  }
 }

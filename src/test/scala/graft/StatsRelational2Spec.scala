@@ -187,6 +187,38 @@ class StatsRelational2Spec extends SparkSuite {
     assert(out.count() === Stats.mixtureResample(df, col("lang"), col("t")).count())
   }
 
+  test("mixtureResampleToWeights: bottleneck caps at 1e6 ppm, mix holds, no duplication") {
+    // "code" is scarce relative to its 50% target (10 of 100 rows): the
+    // feasible total is N = min(90/0.5, 10/0.5) = 20, code keeps 100%
+    // (its rate pins at exactly 1e6 ppm — never above, never duplicated),
+    // web downsamples to rate ceil(1e6*20*0.5/90) = 111112 ppm.
+    val df = ((1 to 90).map(i => (s"web page number $i", "web")) ++
+      (1 to 10).map(i => (s"code file number $i", "code")) ++
+      (1 to 20).map(i => (s"book chapter $i", "books"))) // unweighted: dropped
+      .toDF("t", "domain")
+    val out = Stats.mixtureResampleToWeights(df, col("domain"), col("t"),
+      Map("web" -> 0.5, "code" -> 0.5))
+    val ppm = out.select("domain", "keep_ppm").distinct()
+      .as[(String, Long)].collect().toMap
+    assert(ppm("code") === 1000000L) // target exceeds supply -> capped at 1x
+    assert(ppm("web") === 111112L)
+    val kept = out.groupBy("domain").count().as[(String, Long)].collect().toMap
+    assert(kept("code") === 10L)           // the whole scarce stratum, once
+    assert(kept.getOrElse("books", 0L) === 0L, "unweighted stratum must drop")
+    assert(kept("web") > 0 && kept("web") <= 30)
+    // no row duplication: every kept row is distinct
+    assert(out.count() === out.dropDuplicates("t").count())
+    // weight scaling is invariant (normalization): 1/1 == 0.5/0.5
+    val scaled = Stats.mixtureResampleToWeights(df, col("domain"), col("t"),
+      Map("web" -> 1.0, "code" -> 1.0)).select("t").as[String].collect().toSet
+    assert(scaled === out.select("t").as[String].collect().toSet)
+    intercept[IllegalArgumentException](
+      Stats.mixtureResampleToWeights(df, col("domain"), col("t"), Map.empty))
+    intercept[IllegalArgumentException](
+      Stats.mixtureResampleToWeights(df, col("domain"), col("t"),
+        Map("web" -> 0.0)))
+  }
+
   test("takePerStratum: exact k per group, prefix-stable, whole group when k exceeds it") {
     val df = ((1 to 100).map(i => (s"en doc body $i", "en", i.toLong)) ++
       (1 to 5).map(i => (s"xx doc body $i", "xx", 1000L + i)))
