@@ -238,8 +238,11 @@ object Stats {
   def mixtureResample(df: DataFrame, strata: Column, key: Column): DataFrame = {
     val counts = df.groupBy(strata.as("_stratum"))
       .agg(count(lit(1)).as("_cnt"))
-    val minCnt = counts.agg(min(col("_cnt")).as("_min"))
-    val rates = counts.crossJoin(broadcast(minCnt))
+    // global-window min over the STRATUM-SIZED fit frame, not a separate
+    // agg + join-back: the latter duplicates the whole count subtree in
+    // the plan (no exchange reuse under AQE) and scans the corpus twice
+    val rates = counts
+      .withColumn("_min", min(col("_cnt")).over(Window.partitionBy()))
       .select(col("_stratum"),
         least(ceil(lit(1000000.0) * col("_min") / col("_cnt")), lit(1000000L))
           .cast("long").as("keep_ppm"))
@@ -290,9 +293,11 @@ object Stats {
     val counts = df.groupBy(strata.cast("string").as("_stratum"))
       .agg(count(lit(1)).as("_cnt"))
       .join(wdf, "_stratum") // inner: unweighted strata drop here
-    // largest total N with the exact mix and no duplication
-    val n = counts.agg(min(col("_cnt") / col("_share")).as("_n"))
-    val rates = counts.crossJoin(broadcast(n))
+    // largest total N with the exact mix and no duplication — a global
+    // window over the stratum-sized fit, for the same single-subtree
+    // reason as [[mixtureResample]]
+    val rates = counts
+      .withColumn("_n", min(col("_cnt") / col("_share")).over(Window.partitionBy()))
       .select(col("_stratum"),
         least(ceil(lit(1000000.0) * col("_n") * col("_share") / col("_cnt")),
           lit(1000000L)).cast("long").as("keep_ppm"))

@@ -470,14 +470,17 @@ object TextAnalysis {
     * already-materialized checkpoint — this method runs that one eager
     * action at plan-construction time, like [[contaminationHits]]'s bound
     * probe) is at most `broadcastMaxTrigrams`, broadcast for the SCORE
-    * joins. On real multilingual/web corpora the trigram vocabulary is NOT
-    * small — CJK text, mojibake, and binary spill push distinct char
-    * trigrams to 10^7..10^8 — so above the bound both score joins degrade
-    * to plain shuffle hash joins on the trigram key instead of OOMing the
+    * join. Context counts pre-join INTO the fit on the (vocab-sized) fit
+    * side, so the corpus-sized score pass probes ONE table on one key —
+    * not two joins with a per-row substring second key. On real
+    * multilingual/web corpora the trigram vocabulary is NOT small — CJK
+    * text, mojibake, and binary spill push distinct char
+    * trigrams to 10^7..10^8 — so above the bound the score join degrades
+    * to a plain shuffle hash join on the trigram key instead of OOMing the
     * driver (byte-identical output either way; the fallback path is
     * pinned by TextAnalysisSpec). The default bound (10M rows ≈ 80 MB of
     * hashed keys plus counts) matches [[contaminationHits]]'s budget. The
-    * SCORE pass is the second corpus explode + the gated joins + one
+    * SCORE pass is the second corpus explode + the gated join + one
     * doc-keyed aggregate — shuffle carries one row per doc on the
     * broadcast path. Output: (idCol, n_tri, avg_logp).
     */
@@ -494,16 +497,20 @@ object TextAnalysis {
     val c3 = Relational.detach(
       tri.groupBy("_g").agg(count(lit(1)).as("_c")))
     val c2 = c3.groupBy(substring(col("_g"), 1, 2).as("_p")).agg(sum("_c").as("_cp"))
+    // fuse the context count INTO the trigram fit on the (vocab-sized)
+    // fit side, so the corpus-sized score pass probes ONE table on one
+    // key — not two joins with a per-row substring second key
+    val fit = c3.join(c2, substring(col("_g"), 1, 2) === col("_p"))
+      .select(col("_g"), col("_c"), col("_cp"))
     val nv = c3.select(countDistinct(substring(col("_g"), 3, 1)).as("_nv"))
     // exact fit size — c3 is already checkpointed, so this scans its blocks
     val nDistinctTri = c3.count()
-    // |c2| <= |c3| (prefix rollup), so one bound gates both fit tables;
-    // nv is a single row and always broadcasts
-    val (fit3, fit2) =
-      if (nDistinctTri <= broadcastMaxTrigrams) (broadcast(c3), broadcast(c2))
-      else (c3, c2)
-    tri.join(fit3, "_g")
-      .join(fit2, substring(col("_g"), 1, 2) === col("_p"))
+    // |fit| = |c3|, so the one bound gates the whole fit table; nv is a
+    // single row and always broadcasts
+    val fitJ =
+      if (nDistinctTri <= broadcastMaxTrigrams) broadcast(fit)
+      else fit
+    tri.join(fitJ, "_g")
       .crossJoin(broadcast(nv))
       .withColumn("_lp", log((col("_c") + lit(k)) / (col("_cp") + lit(k) * col("_nv"))))
       .groupBy(col(idCol))

@@ -220,4 +220,31 @@ class PlanPostureSpec extends SparkSuite {
     assert(shuffleCount(ivf) === 1,
       s"ivfPqTopK's only exchange is the topk agg hand-off:\n$ivf")
   }
+
+  test("mixtureResampleToWeights shuffles only the stratum-count fit (q107 shape)") {
+    // the corpus side is a scan + broadcast rate join + filter: the ONLY
+    // hash exchange anywhere is the fit's own groupBy — the property that
+    // makes reweighting a 100 TB corpus a free rider on one scan
+    val docs = graft.meta.Tables.documents(spark, sf)
+    val plan = executedPlan(graft.operators.Stats.mixtureResampleToWeights(
+      docs, col("lang"), col("text"),
+      Map("en" -> 0.5, "de" -> 0.25, "zh" -> 0.25)))
+    assert(shuffleCount(plan) === 1,
+      s"only the stratum-count fit may shuffle:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"rate join-back must broadcast, never shuffle the corpus:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"corpus shuffled for a stratum-sized fit:\n$plan")
+  }
+
+  test("spanScrub ships int64 span hashes through the window; text only joins back by id (q105 shape)") {
+    val docs = graft.meta.Tables.documents(spark, sf)
+    val plan = executedPlan(graft.operators.Dedup.spanScrub(
+      docs, "doc_id", "text", 3))
+    // hash-keyed window + removed-lines rollup + id join-back: never more
+    // than three exchanges, none of them single-partition, no cartesian
+    assert(shuffleCount(plan) <= 3, s"spanScrub exchange count grew:\n$plan")
+    assert(!plan.contains("SinglePartition"), s"global single-partition stage:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"cartesian in spanScrub:\n$plan")
+  }
 }
