@@ -290,20 +290,25 @@ object EventStreams {
     * batch twin), so the exchange is bucket-keyed and `nPlanes` bounds
     * expected bucket population. Batch parity requires retaining all seen
     * vectors, so long-running deployments should bound state with more
-    * planes, a TTL (see [[runningUserCountsTws]]), or periodic restarts.
-    * Null ids/vectors are dropped pre-shuffle (same checkpoint-replay
-    * guard as [[funnelStream]]). Requires the RocksDB state store
-    * provider, like every `transformWithState` operator here.
+    * planes, the opt-in `ttl` (a [[org.apache.spark.sql.streaming.TTLConfig]]
+    * on the seen-vector state, same batch-parity trade and
+    * processing-time-mode consequence as [[funnelStream]]'s: an evicted
+    * vector can no longer drop later arrivals the batch twin would), or
+    * periodic restarts. Null ids/vectors are dropped pre-shuffle (same
+    * checkpoint-replay guard as [[funnelStream]]). Requires the RocksDB
+    * state store provider, like every `transformWithState` operator here.
     */
   def semanticDedupStream(vectors: DataFrame, threshold: Double, nPlanes: Int = 8,
                           idCol: String = "vec_id",
-                          vecCol: String = "embedding"): DataFrame = {
+                          vecCol: String = "embedding",
+                          ttl: Option[java.time.Duration] = None): DataFrame = {
     import org.apache.spark.sql.Encoders
     import org.apache.spark.sql.streaming.{ListState, OutputMode, StatefulProcessor, TimeMode, TimerValues, TTLConfig}
     require(nPlanes >= 1 && nPlanes <= 62,
       s"semanticDedupStream needs nPlanes in [1, 62], got $nPlanes")
     val spark = vectors.sparkSession
     import spark.implicits._
+    val ttlConfig = ttl.map(TTLConfig.apply).getOrElse(TTLConfig.NONE)
 
     // sequential double dot/norms over the min span — the CosineSimilarity
     // kernel's exact arithmetic (incl. its malformed-pair convention), so
@@ -319,7 +324,7 @@ object EventStreams {
       @transient private var seen: ListState[(Long, Seq[Double])] = _
       override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
         seen = getHandle.getListState[(Long, Seq[Double])]("seen_vectors",
-          Encoders.product[(Long, Seq[Double])], TTLConfig.NONE)
+          Encoders.product[(Long, Seq[Double])], ttlConfig)
       override def handleInputRows(bucket: Long, rows: Iterator[(Long, Long, Seq[Double])],
           tv: TimerValues): Iterator[(Long, Long, Boolean)] = {
         val incoming = rows.map { case (_, id, v) => (id, v) }.toArray
@@ -347,7 +352,10 @@ object EventStreams {
       .where(col("_b").isNotNull && col("_id").isNotNull && col("_v").isNotNull)
       .as[(Long, Long, Seq[Double])]
       .groupByKey(_._1)
-      .transformWithState(new DedupProcessor, TimeMode.None(), OutputMode.Update())
+      // enabled TTL forces processing-time mode, like funnelStream
+      .transformWithState(new DedupProcessor,
+        if (ttl.isDefined) TimeMode.ProcessingTime() else TimeMode.None(),
+        OutputMode.Update())
       .toDF("bucket", idCol, "kept")
   }
 

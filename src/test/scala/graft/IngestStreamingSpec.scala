@@ -543,4 +543,54 @@ class IngestStreamingSpec extends SparkSuite {
       case None => spark.conf.unset(key)
     }
   }
+
+  test("semanticDedupStream TTL evicts stale vectors; late dups then survive (documented divergence)") {
+    // the documented batch-parity trade: after the seen-vector state
+    // expires, a later-id near-dup of an evicted vector is KEPT (the
+    // batch twin, seeing all vectors, would drop it)
+    val v1 = Seq(1.0, 0.5, -0.25, 1.0, 0.75, -0.5, 0.3, 1.1)
+    val v2 = v1.map(_ * 1.001) // near-dup of v1, same bucket
+    val root = Files.createTempDirectory("graft_semdedup_ttl").toString
+    val dir = s"$root/in"
+    new java.io.File(dir).mkdirs()
+    def writeBatch(name: String, rows: Seq[(Long, Seq[Double])]): Unit = {
+      rows.toDF("vec_id", "embedding").coalesce(1).write.parquet(s"$root/$name")
+      for (p <- new java.io.File(s"$root/$name").listFiles() if p.getName.endsWith(".parquet"))
+        Files.copy(p.toPath, java.nio.file.Path.of(dir, s"$name-${p.getName}"))
+    }
+    writeBatch("f1", Seq((1L, v1)))
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    try {
+      spark.conf.set(key,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      val schema = spark.read.parquet(dir).schema
+      val stream = EventStreams.readFileStream(spark, dir, schema, maxFilesPerTrigger = 1)
+      val buf = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Boolean)]
+      // TTL -> processing-time mode: long-lived stream, poll, stop (the
+      // funnelStream TTL drill; AvailableNow would never see f2)
+      val q = EventStreams.semanticDedupStream(stream, threshold = 0.95,
+          ttl = Some(java.time.Duration.ofSeconds(3)))
+        .writeStream.outputMode("update")
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+          val rows = batch.collect()
+          buf.synchronized { rows.foreach(r => buf += ((id, r.getLong(1), r.getBoolean(2)))) }
+        }.start()
+      def last(id: Long): Option[Boolean] =
+        buf.synchronized { buf.filter(_._2 == id).sortBy(_._1).lastOption.map(_._3) }
+      try {
+        val deadline = System.nanoTime() + 120L * 1000 * 1000 * 1000
+        while (last(1L).isEmpty && System.nanoTime() < deadline) Thread.sleep(250)
+        assert(last(1L) === Some(true))
+        Thread.sleep(4500) // > ttl: vector 1 evicted from bucket state
+        writeBatch("f2", Seq((5L, v2)))
+        while (last(5L).isEmpty && System.nanoTime() < deadline) Thread.sleep(250)
+        assert(last(5L) === Some(true),
+          "dup of an EVICTED vector must survive — the documented TTL divergence")
+      } finally q.stop()
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
 }
