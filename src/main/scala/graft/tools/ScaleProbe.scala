@@ -9,7 +9,7 @@ import org.apache.spark.sql.functions._
   * the bucketed-layout write/join cost split, and the funnel's
   * stages-cost-compute-not-shuffles claim (dev aid; measured numbers
   * land in BASELINE.md). Args select sections: `fill`, `skew`, `bucket`,
-  * `funnel`, `legacy` (no args = all). */
+  * `funnel`, `pq`, `spanscrub`, `legacy` (no args = all). */
 object ScaleProbe {
   def main(args: Array[String]): Unit = {
     val sections: String => Boolean =
@@ -201,6 +201,49 @@ object ScaleProbe {
         noop(Similarity.pqTopK(wCodes, wBooks, wProbes, 10)))
       time2("brute top-10 over 200k x 512d raw")(
         noop(Similarity.bruteForceTopK(w, wProbes, 10)))
+    }
+
+    // spanScrub growth: duplicate-heavy corpus (every 5th doc carries a
+    // shared boilerplate paragraph -> corpus-wide dup spans) at 1x and 8x.
+    // The claim under test: the dup-detection arm ships int64 hashes only,
+    // so the transform grows with the corpus SCAN, not with pair counts —
+    // and the audit (spanDupStats) prices the join-back the transform adds.
+    if (sections("spanscrub")) {
+      import graft.operators.Dedup
+      val docs = Tables.documents(spark, "/root/testdata/sf0.1")
+        .select(col("doc_id"),
+          // 8-token lines + a shared paragraph on every 5th doc
+          concat(
+            regexp_replace(col("text"),
+              "(\\S+ \\S+ \\S+ \\S+ \\S+ \\S+ \\S+ \\S+) ", "$1\n"),
+            when(col("doc_id") % 5 === 0,
+              lit("\nshared boiler line one\nshared boiler line two\nshared boiler line three"))
+              .otherwise(lit(""))).as("text"))
+      val basePath = "/tmp/graft_probe_span"
+      time("write duplicate-heavy lined docs 1x")(
+        docs.write.mode("overwrite").parquet(basePath))
+      val base = spark.read.parquet(basePath)
+      val bigPath = "/tmp/graft_probe_span64"
+      // copy-salt EVERY line so the 8x corpus repeats the 1x dup structure
+      // per copy instead of making all spans cross-copy duplicates (which
+      // would change the workload, not just the size)
+      time("write 64x blowup (line-salted)")(
+        (0 until 64).map(i => base.select(
+          (col("doc_id") + lit(i.toLong * 100000000L)).as("doc_id"),
+          concat(lit(s"c$i "),
+            regexp_replace(col("text"), "\n", s"\nc$i ")).as("text")))
+          .reduce(_ union _).write.mode("overwrite").parquet(bigPath))
+      val big = spark.read.parquet(bigPath)
+      def time2(name: String)(f: => Unit): Unit = {
+        val ts = (1 to 2).map { _ =>
+          val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+        }
+        println(f"[probe] $name%-34s ${ts.min}%.2f s (min of 2)")
+      }
+      time2("spanDupStats 1x (audit)")(noop(Dedup.spanDupStats(base, "doc_id", "text", 3)))
+      time2("spanScrub    1x (transform)")(noop(Dedup.spanScrub(base, "doc_id", "text", 3)))
+      time2("spanDupStats 64x (audit)")(noop(Dedup.spanDupStats(big, "doc_id", "text", 3)))
+      time2("spanScrub    64x (transform)")(noop(Dedup.spanScrub(big, "doc_id", "text", 3)))
     }
 
     if (!sections("legacy")) { spark.stop(); return }
