@@ -1295,6 +1295,26 @@ object SparkEntry {
         .orderBy("probe_id", "rank")
     }),
 
+    // Fuzzy-dedup SCRUB: the transform twin of q65's cluster audit — keep
+    // exactly one document (the smallest-id member) per MinHash-LSH
+    // near-dup cluster and hand back the deduplicated corpus.
+    "q108_fuzzy_scrub" -> ((s, dir) => {
+      Dedup.fuzzyDedupKeepFirst(Tables.documents(s, dir), "doc_id", "text")
+        .select("doc_id", "lang", "n_chars")
+        .orderBy("doc_id")
+    }),
+
+    // Length-bucketed inference batching: sort by token count, cut into
+    // 64-doc batches, report per-batch padding waste — the dynamic-
+    // batching shape transformer serving uses (near-equal lengths per
+    // batch collapse the n_rows x max_len padding cost).
+    "q109_length_batching" -> ((s, dir) => {
+      val d = Tables.documents(s, dir).select(col("doc_id"),
+        size(TextAnalysis.tokens(col("text"))).as("n_tok"))
+      Batching.paddedBatchStats(d, "doc_id", "n_tok", 64)
+        .orderBy("batch_id")
+    }),
+
     // Target-weight mixture: resample documents to a SPECIFIED 50/25/25
     // en/de/zh mix (fr/es dropped), never duplicating rows — the
     // bottleneck language keeps 100% (rate pinned at 1e6 ppm) and the
@@ -2562,5 +2582,36 @@ object SparkEntry {
          |  WHERE ${dbucket("text", 1000000)} < keep_ppm)
          |SELECT lang, max(keep_ppm) AS keep_ppm, count(*) AS n_kept, min(doc_id) AS first_doc
          |FROM k GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "q108_fuzzy_scrub" ->
+      // q65's cluster CTEs verbatim; kept = docs that ARE their cluster's
+      // min label (the canonical member fuzzyDedupKeepFirst retains)
+      s"""WITH RECURSIVE $dBandedCtes,
+         |pairs AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |FROM banded a JOIN banded b ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+         |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+         |UNION ALL SELECT id_b AS src, id_a AS dst FROM pairs),
+         |reach(id, m) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT e.src, r.m FROM edges e JOIN reach r ON r.id = e.dst),
+         |kept AS (SELECT id FROM reach GROUP BY id HAVING min(m) = id)
+         |SELECT d.doc_id, d.lang, d.n_chars
+         |FROM documents d JOIN kept k ON d.doc_id = k.id
+         |ORDER BY d.doc_id""".stripMargin,
+
+    "q109_length_batching" ->
+      """WITH t AS (SELECT doc_id,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS len FROM documents),
+        |r AS (SELECT doc_id, len,
+        |  row_number() OVER (ORDER BY len, doc_id) - 1 AS idx FROM t),
+        |b AS (SELECT CAST(floor(idx / 64.0) AS BIGINT) AS batch_id, doc_id, len FROM r)
+        |SELECT batch_id, count(*) AS n_rows, max(len) AS max_len,
+        |  CAST(sum(len) AS BIGINT) AS sum_len,
+        |  round(CASE WHEN max(len) > 0
+        |    THEN 1.0 - (sum(len) * 1.0) / (count(*) * max(len)) ELSE 0.0 END, 6)
+        |    AS padding_frac,
+        |  min(doc_id) AS first_id
+        |FROM b GROUP BY batch_id ORDER BY batch_id""".stripMargin,
   )
 }

@@ -196,6 +196,29 @@ object Dedup {
           .as("clean_text"))
   }
 
+  /** Fuzzy-dedup TRANSFORM: keep exactly ONE document per near-duplicate
+    * cluster — the standard MinHash-LSH dedup pass a pretraining pipeline
+    * runs (candidate pairs from [[lshCandidatePairs]], clusters from
+    * [[connectedComponents]] min-label propagation, canonical member =
+    * smallest id, i.e. the cluster label itself). The transform twin of
+    * the q65 cluster AUDIT, the way [[spanScrub]] is [[spanDupStats]]'
+    * transform twin and [[dedupKeepFirst]] is the exact-hash one: callers
+    * get back the deduplicated corpus, original schema intact.
+    *
+    * Scale shape: the pair/cluster arm carries only int64 ids (LSH bands
+    * hash-bucket candidates — no all-pairs stage; CC shuffles id pairs);
+    * the kept-id set joins back as a LEFT SEMI join on the id, so document
+    * text crosses the wire once and rows never duplicate. For deep dup
+    * chains at extreme scale swap in [[connectedComponentsStar]] — same
+    * labels, O(log^2 n) rounds. */
+  def fuzzyDedupKeepFirst(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val pairs = lshCandidatePairs(docs, idCol, textCol).select("id_a", "id_b")
+    val kept = connectedComponents(docs.select(col(idCol).as("id")), pairs)
+      .where(col("id") === col("component"))
+      .select(col("id").as(idCol))
+    docs.join(kept, Seq(idCol), "left_semi")
+  }
+
   /** Materialized shingle-hash table: (idCol, hashes array<long>).
     *
     * Materialized deliberately: the char-level hash fold is the expensive

@@ -62,6 +62,36 @@ class BatchingRelationalSpec extends SparkSuite {
     assert(perBlock === Map(0L -> 8L, 1L -> 5L))
   }
 
+  test("paddedBatchStats: length-sorted batches beat arrival order; nulls clamp") {
+    import graft.operators.Batching
+    // lens by id: 1->10, 2->2, 3->8, 4->2, 5->4; batches of 2.
+    // sorted by (len, id): [2,4] [5,3] [1] -> padding 0, 0.25, 0
+    // arrival by id:       [1,2] [3,4] [5] -> padding 0.4, 0.375, 0
+    val docs = Seq((1L, 10L), (2L, 2L), (3L, 8L), (4L, 2L), (5L, 4L))
+      .toDF("doc_id", "n_tok")
+    val sorted = Batching.paddedBatchStats(docs, "doc_id", "n_tok", 2)
+      .orderBy("batch_id")
+      .as[(Long, Long, Long, Long, Double, Long)].collect()
+    assert(sorted === Array(
+      (0L, 2L, 2L, 4L, 0.0, 2L),
+      (1L, 2L, 8L, 12L, 0.25, 3L),
+      (2L, 1L, 10L, 10L, 0.0, 1L)))
+    val arrival = Batching.paddedBatchStats(docs, "doc_id", "n_tok", 2,
+      sortByLength = false).orderBy("batch_id")
+      .as[(Long, Long, Long, Long, Double, Long)].collect()
+    assert(arrival.map(_._5).toSeq === Seq(0.4, 0.375, 0.0))
+    // the point of the operator: sorting strictly reduces total padding
+    assert(sorted.map(_._5).sum < arrival.map(_._5).sum)
+    // null length sorts first as 0, never drops the row
+    val withNull = Seq((1L, java.lang.Long.valueOf(7L)),
+      (2L, null.asInstanceOf[java.lang.Long])).toDF("doc_id", "n_tok")
+    val nb = Batching.paddedBatchStats(withNull, "doc_id", "n_tok", 2)
+      .as[(Long, Long, Long, Long, Double, Long)].collect()
+    assert(nb === Array((0L, 2L, 7L, 7L, 0.5, 1L))) // first_id = min(id)
+    intercept[IllegalArgumentException](
+      Batching.paddedBatchStats(docs, "doc_id", "n_tok", 0))
+  }
+
   test("nextChunkNumber resumes from max+1, default 0 (A5)") {
     assert(Batching.nextChunkNumber(Seq.empty[Long].toDF("chunk"), "chunk") === 0L)
     assert(Batching.nextChunkNumber(Seq(3L, 7L, 5L).toDF("chunk"), "chunk") === 8L)

@@ -521,6 +521,26 @@ class DedupSimilaritySpec extends SparkSuite {
       Similarity.ivfPqTopK(enc, cents, gridBooks, vecs, 3, nprobe = 0))
   }
 
+  test("fuzzyDedupKeepFirst keeps the smallest-id member per near-dup cluster") {
+    import graft.operators.Dedup
+    // 1, 5, 9 share identical text (one LSH cluster); 3 and 7 are unique.
+    // The long distinct texts keep shingle sets disjoint across clusters.
+    val dup = "the quick brown fox jumps over the lazy dog again and again"
+    val docs = Seq(
+      (1L, dup), (5L, dup), (9L, dup),
+      (3L, "completely different legal boilerplate paragraph about nothing shared"),
+      (7L, "yet another unrelated body of text with its own vocabulary entirely"))
+      .toDF("doc_id", "text")
+    val kept = Dedup.fuzzyDedupKeepFirst(docs, "doc_id", "text")
+    // original schema intact, canonical members only, no duplicates
+    assert(kept.columns.toSeq === Seq("doc_id", "text"))
+    assert(kept.select("doc_id").as[Long].collect().sorted === Array(1L, 3L, 7L))
+    // idempotent: scrubbing the scrubbed corpus changes nothing
+    val again = Dedup.fuzzyDedupKeepFirst(kept, "doc_id", "text")
+      .select("doc_id").as[Long].collect().sorted
+    assert(again === Array(1L, 3L, 7L))
+  }
+
   test("pq_cosine rejects codes beyond the OWNING subspace's book size") {
     // heterogeneous books (sizes 3 and 1, stride K = 3): code 2 in
     // subspace 1 lands on a zero-filled pad slot — under the old
