@@ -1315,6 +1315,28 @@ object SparkEntry {
         .orderBy("batch_id")
     }),
 
+    // Quality-aware fuzzy dedup: q108's clusters, but keep the LONGEST
+    // member per near-dup cluster (ties by smallest id) — the canonical
+    // selection production pipelines run. At sf0.01, 11 of 24 multi-member
+    // clusters pick a different survivor than keep-first.
+    "q110_fuzzy_keep_best" -> ((s, dir) => {
+      Dedup.fuzzyDedupKeepBest(Tables.documents(s, dir), "doc_id", "text",
+        col("n_chars"))
+        .select("doc_id", "lang", "n_chars")
+        .orderBy("doc_id")
+    }),
+
+    // Intra-document repeated-line scrub on the lined corpus, salted by
+    // appending each doc's first two lines (trailing repeated boilerplate
+    // — the nav-bar/footer shape). Zero-shuffle: one codegen'd projection.
+    "q111_line_dedup" -> ((s, dir) => {
+      val lined = synthesizeLines(Tables.documents(s, dir), withPunct = false)
+      val salted = lined.select(col("doc_id"),
+        concat_ws("\n", col("text"),
+          concat_ws("\n", slice(split(col("text"), "\n", -1), 1, 2))).as("text"))
+      Dedup.lineDedupInDoc(salted, "doc_id", "text").orderBy("doc_id")
+    }),
+
     // Target-weight mixture: resample documents to a SPECIFIED 50/25/25
     // en/de/zh mix (fr/es dropped), never duplicating rows — the
     // bottleneck language keeps 100% (rate pinned at 1e6 ppm) and the
@@ -2613,5 +2635,41 @@ object SparkEntry {
         |    AS padding_frac,
         |  min(doc_id) AS first_id
         |FROM b GROUP BY batch_id ORDER BY batch_id""".stripMargin,
+
+    "q110_fuzzy_keep_best" ->
+      // q108's cluster CTEs verbatim; survivor = row_number 1 per
+      // component under (n_chars DESC, doc_id ASC) — fuzzyDedupKeepBest's
+      // quality-then-id rank
+      s"""WITH RECURSIVE $dBandedCtes,
+         |pairs AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |FROM banded a JOIN banded b ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+         |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+         |UNION ALL SELECT id_b AS src, id_a AS dst FROM pairs),
+         |reach(id, m) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT e.src, r.m FROM edges e JOIN reach r ON r.id = e.dst),
+         |comp AS (SELECT id, min(m) AS component FROM reach GROUP BY id),
+         |ranked AS (SELECT c.id,
+         |  row_number() OVER (PARTITION BY c.component ORDER BY d.n_chars DESC, d.doc_id) AS rk
+         |  FROM comp c JOIN documents d ON d.doc_id = c.id)
+         |SELECT d.doc_id, d.lang, d.n_chars
+         |FROM documents d JOIN ranked r ON d.doc_id = r.id AND r.rk = 1
+         |ORDER BY d.doc_id""".stripMargin,
+
+    "q111_line_dedup" ->
+      // the q105 lined corpus, salted with each doc's first two lines
+      // appended; keep = first occurrence per (doc, line), text rebuilds
+      // positionally from kept lines
+      s"""WITH ${dLineSynth(withPunct = false)},
+         |s AS (SELECT doc_id, list_concat(ln, ln[1:2]) AS ln FROM t1),
+         |u AS (SELECT doc_id, CAST(i AS INTEGER) AS li, ln[i] AS line
+         |  FROM s, unnest(range(1, len(ln) + 1)) AS r(i)),
+         |k AS (SELECT doc_id, li, line,
+         |  row_number() OVER (PARTITION BY doc_id, line ORDER BY li) AS rn FROM u)
+         |SELECT doc_id, count(*) AS n_lines,
+         |  CAST(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_removed_lines,
+         |  array_to_string(list(line ORDER BY li) FILTER (WHERE rn = 1), chr(10)) AS clean_text
+         |FROM k GROUP BY doc_id ORDER BY doc_id""".stripMargin,
   )
 }

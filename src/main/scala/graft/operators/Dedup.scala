@@ -219,6 +219,64 @@ object Dedup {
     docs.join(kept, Seq(idCol), "left_semi")
   }
 
+  /** Quality-aware fuzzy dedup: keep the HIGHEST-`quality` document per
+    * MinHash-LSH near-dup cluster (ties broken by smallest id), instead of
+    * [[fuzzyDedupKeepFirst]]'s smallest-id canonical. This is the selection
+    * production pipelines actually run — near-dup clusters mix a full page
+    * with its truncated or boilerplate-wrapped variants, and keeping the
+    * longest / highest-scoring member retains strictly more signal than
+    * keeping whichever happened to get the smallest id (CCNet keeps by
+    * quality bucket; SemDeDup keeps the most-central — same principle).
+    * `quality` is any Column evaluable against `docs` (e.g.
+    * `col("n_chars")`, a Gopher score, a char-LM logprob).
+    *
+    * Scale shape: identical to [[fuzzyDedupKeepFirst]] except the
+    * canonical-selection arm carries (id, component, quality) — still
+    * fixed-width, never text. Selection is one row_number window
+    * partitioned by component (clusters are near-dup cliques: tiny, no
+    * skew concern — a pathological mega-cluster means the corpus is one
+    * giant dup family and dedup output is a handful of rows anyway);
+    * the kept-id set left-semi-joins back, so text crosses the wire once. */
+  def fuzzyDedupKeepBest(docs: DataFrame, idCol: String, textCol: String,
+                         quality: Column): DataFrame = {
+    val pairs = lshCandidatePairs(docs, idCol, textCol).select("id_a", "id_b")
+    val labels = connectedComponents(
+      docs.select(col(idCol).as("id")), pairs)
+    val scored = docs.select(col(idCol).as("id"), quality.as("_q")).join(labels, "id")
+    val w = Window.partitionBy("component").orderBy(col("_q").desc, col("id").asc)
+    val kept = scored.withColumn("_rk", row_number().over(w))
+      .where(col("_rk") === 1)
+      .select(col("id").as(idCol))
+    docs.join(kept, Seq(idCol), "left_semi")
+  }
+
+  /** Intra-document repeated-line scrub: within each document, drop every
+    * repeat of an already-seen line (first occurrence kept, order
+    * preserved) and emit the cleaned text — the per-document half of
+    * repetition removal (Rae et al. 2021 §A1.1 measures it as dup-line
+    * fraction; this is the transform that removes what
+    * [[graft.operators.TextAnalysis.repetitionStats]] counts). Corpus-wide
+    * span dedup ([[spanScrub]]) catches cross-document boilerplate; this
+    * catches the navigation bars, cookie banners, and chorus lines that
+    * repeat INSIDE one page. Output mirrors [[spanScrub]]:
+    * `(id, n_lines, n_removed_lines, clean_text)`, one row per document.
+    *
+    * Scale shape: ZERO shuffle — the whole operator is one codegen'd
+    * projection (split → index-aware array filter keeping line i iff its
+    * first occurrence index is i). The per-row filter is O(L^2) in the
+    * document's line count via `array_position`; lines per document are
+    * bounded (a 10k-line page is 10^8 char-compares worst case, still
+    * microseconds), and no alternative shape beats a map-only operator at
+    * 100 TB — any sort- or window-based dedup would shuffle the corpus. */
+  def lineDedupInDoc(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val units = split(col(textCol), "\n", -1)
+    val keptArr = filter(units, (l, i) => array_position(units, l) === (i + 1).cast("long"))
+    docs.select(col(idCol),
+      size(units).cast("long").as("n_lines"),
+      (size(units) - size(keptArr)).cast("long").as("n_removed_lines"),
+      concat_ws("\n", keptArr).as("clean_text"))
+  }
+
   /** Materialized shingle-hash table: (idCol, hashes array<long>).
     *
     * Materialized deliberately: the char-level hash fold is the expensive

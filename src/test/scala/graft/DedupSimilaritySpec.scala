@@ -541,6 +541,48 @@ class DedupSimilaritySpec extends SparkSuite {
     assert(again === Array(1L, 3L, 7L))
   }
 
+  test("fuzzyDedupKeepBest keeps the highest-quality member, ties by smallest id") {
+    import graft.operators.Dedup
+    import org.apache.spark.sql.functions.col
+    // 1, 5, 9 near-dup cluster with qualities 10, 30, 30: winner is 5
+    // (max quality, then smallest id) — NOT keep-first's 1.
+    val dup = "the quick brown fox jumps over the lazy dog again and again"
+    val docs = Seq(
+      (1L, dup, 10L), (5L, dup, 30L), (9L, dup, 30L),
+      (3L, "completely different legal boilerplate paragraph about nothing shared", 1L),
+      (7L, "yet another unrelated body of text with its own vocabulary entirely", 2L))
+      .toDF("doc_id", "text", "quality")
+    val kept = Dedup.fuzzyDedupKeepBest(docs, "doc_id", "text", col("quality"))
+    assert(kept.columns.toSeq === Seq("doc_id", "text", "quality"))
+    assert(kept.select("doc_id").as[Long].collect().sorted === Array(3L, 5L, 7L))
+    // idempotent, and singleton clusters always survive regardless of quality
+    val again = Dedup.fuzzyDedupKeepBest(kept, "doc_id", "text", col("quality"))
+      .select("doc_id").as[Long].collect().sorted
+    assert(again === Array(3L, 5L, 7L))
+  }
+
+  test("lineDedupInDoc drops intra-doc line repeats, keeps first occurrence in order") {
+    import graft.operators.Dedup
+    val docs = Seq(
+      (1L, "nav\nbody one\nnav\nbody two\nnav"),   // repeated nav bar
+      (2L, "a\nb\nc"),                              // no repeats: unchanged
+      (3L, "x"),                                    // single line
+      (4L, "\nq\n\nq\n")                            // empty lines dedup too
+    ).toDF("doc_id", "text")
+    val got = Dedup.lineDedupInDoc(docs, "doc_id", "text")
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, String)].collect()
+    assert(got === Array(
+      (1L, 5L, 2L, "nav\nbody one\nbody two"),
+      (2L, 3L, 0L, "a\nb\nc"),
+      (3L, 1L, 0L, "x"),
+      (4L, 5L, 3L, "\nq")))
+    // zero-shuffle claim: the plan has no Exchange at all
+    val plan = Dedup.lineDedupInDoc(docs, "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"lineDedupInDoc must be map-only:\n$plan")
+  }
+
   test("pq_cosine rejects codes beyond the OWNING subspace's book size") {
     // heterogeneous books (sizes 3 and 1, stride K = 3): code 2 in
     // subspace 1 lands on a zero-filled pad slot — under the old
