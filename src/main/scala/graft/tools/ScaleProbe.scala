@@ -9,7 +9,7 @@ import org.apache.spark.sql.functions._
   * the bucketed-layout write/join cost split, and the funnel's
   * stages-cost-compute-not-shuffles claim (dev aid; measured numbers
   * land in BASELINE.md). Args select sections: `fill`, `skew`, `bucket`,
-  * `funnel`, `pq`, `spanscrub`, `legacy` (no args = all). */
+  * `funnel`, `pq`, `spanscrub`, `fuzzydedup`, `legacy` (no args = all). */
 object ScaleProbe {
   def main(args: Array[String]): Unit = {
     val sections: String => Boolean =
@@ -201,6 +201,40 @@ object ScaleProbe {
         noop(Similarity.pqTopK(wCodes, wBooks, wProbes, 10)))
       time2("brute top-10 over 200k x 512d raw")(
         noop(Similarity.bruteForceTopK(w, wProbes, 10)))
+    }
+
+    // Fuzzy-dedup transform growth on a dup-heavy corpus: 16 exact copies
+    // of every document (the crawl-with-dups shape — web crawls run ~80%
+    // duplicate). Clusters become >=16-cliques, so the LSH pair arm grows
+    // quadratically IN CLUSTER SIZE — but pairs stay (band,bkey)-bucket-
+    // local int64 ids, CC converges in one round on cliques, and the kept
+    // set collapses back to ~base-cluster count. The claim under test:
+    // cost grows with the corpus scan + bounded bucket joins, never with
+    // text x pair count.
+    if (sections("fuzzydedup")) {
+      import graft.operators.Dedup
+      val docs = Tables.documents(spark, "/root/testdata/sf0.1")
+      val bigPath = "/tmp/graft_probe_fuzzy16"
+      time("write 16x doc copies (exact dups)")(
+        (0 until 16).map(i => docs.select(
+          (col("doc_id") + lit(i.toLong * 100000000L)).as("doc_id"),
+          col("text"), col("lang"), col("source"), col("n_chars")))
+          .reduce(_ union _).write.mode("overwrite").parquet(bigPath))
+      val big = spark.read.parquet(bigPath)
+      def time2(name: String)(f: => Unit): Unit = {
+        val ts = (1 to 2).map { _ =>
+          val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+        }
+        println(f"[probe] $name%-34s ${ts.min}%.2f s (min of 2)")
+      }
+      time2("fuzzyKeepFirst  1x (5k docs)")(
+        noop(Dedup.fuzzyDedupKeepFirst(docs, "doc_id", "text")))
+      time2("fuzzyKeepBest   1x")(
+        noop(Dedup.fuzzyDedupKeepBest(docs, "doc_id", "text", col("n_chars"))))
+      time2("fuzzyKeepFirst 16x (80k docs)")(
+        noop(Dedup.fuzzyDedupKeepFirst(big, "doc_id", "text")))
+      time2("fuzzyKeepBest  16x")(
+        noop(Dedup.fuzzyDedupKeepBest(big, "doc_id", "text", col("n_chars"))))
     }
 
     // spanScrub growth: duplicate-heavy corpus (every 5th doc carries a
