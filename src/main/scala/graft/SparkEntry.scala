@@ -1337,6 +1337,46 @@ object SparkEntry {
       Dedup.lineDedupInDoc(salted, "doc_id", "text").orderBy("doc_id")
     }),
 
+    // Incremental ingest dedup: even-id docs are the already-ingested
+    // corpus (fingerprint index); the new batch = odd docs (genuinely
+    // new) + re-crawled copies of every 6th even doc (must drop: seen
+    // fingerprint) + re-issued copies of every 10th odd doc (intra-batch
+    // dup: keep-first retains the smaller original id). Survivors are
+    // exactly the odd docs under their original ids.
+    "q112_incremental_dedup" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      val seen = Dedup.fingerprints(d.where(col("doc_id") % 2 === 0), "text")
+      val batch = d.where(col("doc_id") % 2 === 1)
+        .unionByName(d.where(col("doc_id") % 6 === 0)
+          .withColumn("doc_id", col("doc_id") + 1000000L))
+        .unionByName(d.where(col("doc_id") % 10 === 1)
+          .withColumn("doc_id", col("doc_id") + 2000000L))
+      Dedup.incrementalDedupKeepFirst(batch, "doc_id", "text", seen)
+        .select("doc_id", "lang", "n_chars")
+        .orderBy("doc_id")
+    }),
+
+    // CCNet-style perplexity bucketing: char-LM score per doc, then split
+    // each language into head/middle/tail terciles by score (bucket 1 =
+    // best-scoring third — the slice CCNet keeps for pretraining). Exact
+    // ntile is the oracle-able report form; at extreme scale swap the
+    // per-lang window for q71-style GK-sketch score thresholds (fit
+    // boundaries, broadcast, bucket by compare — the q68/q71 twin
+    // precedent) since an exact tercile needs a per-lang sort.
+    "q113_ppl_buckets" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      val scored = TextAnalysis.charTrigramLogProb(d, "doc_id", "text")
+        .join(d.select("doc_id", "lang"), "doc_id")
+      val w = Window.partitionBy("lang").orderBy(col("avg_logp").desc, col("doc_id"))
+      scored.withColumn("bucket", ntile(3).over(w).cast("long"))
+        .groupBy("lang", "bucket")
+        .agg(count(lit(1)).as("n_docs"),
+          round(min("avg_logp"), 6).as("min_logp"),
+          round(max("avg_logp"), 6).as("max_logp"),
+          min("doc_id").as("first_doc"))
+        .orderBy("lang", "bucket")
+    }),
+
     // Target-weight mixture: resample documents to a SPECIFIED 50/25/25
     // en/de/zh mix (fr/es dropped), never duplicating rows — the
     // bottleneck language keeps 100% (rate pinned at 1e6 ppm) and the
@@ -2671,5 +2711,40 @@ object SparkEntry {
          |  CAST(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_removed_lines,
          |  array_to_string(list(line ORDER BY li) FILTER (WHERE rn = 1), chr(10)) AS clean_text
          |FROM k GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "q112_incremental_dedup" ->
+      // seen = fingerprints of even docs; batch = odd + re-crawls of every
+      // 6th even (+1000000) + re-issues of every 10th odd (+2000000);
+      // anti-join on the fingerprint, then keep-first within the batch
+      s"""WITH seen AS (SELECT DISTINCT ${dhash("text")} AS h
+         |  FROM documents WHERE doc_id % 2 = 0),
+         |batch AS (
+         |  SELECT doc_id, text, lang, n_chars FROM documents WHERE doc_id % 2 = 1
+         |  UNION ALL SELECT doc_id + 1000000, text, lang, n_chars FROM documents WHERE doc_id % 6 = 0
+         |  UNION ALL SELECT doc_id + 2000000, text, lang, n_chars FROM documents WHERE doc_id % 10 = 1),
+         |hashed AS (SELECT doc_id, lang, n_chars, ${dhash("text")} AS h FROM batch),
+         |fresh AS (SELECT * FROM hashed WHERE h NOT IN (SELECT h FROM seen)),
+         |k AS (SELECT doc_id, lang, n_chars,
+         |  row_number() OVER (PARTITION BY h ORDER BY doc_id) AS rn FROM fresh)
+         |SELECT doc_id, lang, n_chars FROM k WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+
+    "q113_ppl_buckets" ->
+      // q99's scoring CTEs verbatim, rounded per doc the way the operator
+      // rounds, then per-lang ntile(3) on (score DESC, doc_id)
+      """WITH tri AS (SELECT doc_id, substr(text, i, 3) AS g
+        |FROM documents, unnest(range(1, greatest(len(text) - 2, 0) + 1)) AS r(i)),
+        |c3 AS (SELECT g, count(*) AS c FROM tri GROUP BY g),
+        |c2 AS (SELECT substr(g, 1, 2) AS p, sum(c) AS cp FROM c3 GROUP BY 1),
+        |v AS (SELECT count(DISTINCT substr(g, 3, 1)) AS nv FROM c3),
+        |s AS (SELECT t.doc_id, ln((c3.c + 0.5) / (c2.cp + 0.5 * v.nv)) AS lp
+        |FROM tri t JOIN c3 ON t.g = c3.g JOIN c2 ON substr(t.g, 1, 2) = c2.p CROSS JOIN v),
+        |sc AS (SELECT doc_id, round(avg(lp), 6) AS avg_logp FROM s GROUP BY doc_id),
+        |j AS (SELECT d.lang, sc.doc_id, sc.avg_logp FROM sc JOIN documents d USING (doc_id)),
+        |b AS (SELECT lang, doc_id, avg_logp,
+        |  ntile(3) OVER (PARTITION BY lang ORDER BY avg_logp DESC, doc_id) AS bucket FROM j)
+        |SELECT lang, bucket, count(*) AS n_docs,
+        |  round(min(avg_logp), 6) AS min_logp, round(max(avg_logp), 6) AS max_logp,
+        |  min(doc_id) AS first_doc
+        |FROM b GROUP BY lang, bucket ORDER BY lang, bucket""".stripMargin,
   )
 }

@@ -96,6 +96,38 @@ object Dedup {
     df.withColumn("_rn", row_number().over(w)).where(col("_rn") === 1).drop("_rn")
   }
 
+  /** Exact-fingerprint table of a corpus: one distinct int64 `h` per
+    * document text (the poly-31 fold, DuckDB-reproducible) — the
+    * persisted state [[incrementalDedupKeepFirst]] dedups against.
+    * Parquet-persist this between ingest batches and union+distinct the
+    * batch's fresh fingerprints back in: the index grows with DISTINCT
+    * documents, not ingested volume. */
+  def fingerprints(docs: DataFrame, textCol: String): DataFrame = {
+    graft.functions.GraftFunctions.registerAll(docs.sparkSession)
+    docs.select(expr(hashFrag(textCol)).as("h")).distinct()
+  }
+
+  /** Incremental exact dedup for append-only ingest — the daily-crawl
+    * production shape: drop every new document whose text fingerprint is
+    * already in `seen` (the [[fingerprints]] of all previously ingested
+    * corpus), then keep-first WITHIN the batch (smallest id per
+    * fingerprint), so re-crawled pages never re-enter and an intra-batch
+    * dup lands exactly once. Batch mode of the same contract
+    * [[graft.streaming.EventStreams.semanticDedupStream]] holds in
+    * transformWithState: state = seen set, new keys pass, seen keys drop.
+    *
+    * Scale shape: the anti join and the keep-first window both key on the
+    * int64 fingerprint — text never shuffles (the fingerprint is computed
+    * map-side); `seen` is a one-column long table, broadcast by AQE when
+    * small, plain shuffle join when the index outgrows the threshold. */
+  def incrementalDedupKeepFirst(newDocs: DataFrame, idCol: String, textCol: String,
+                                seen: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.registerAll(newDocs.sparkSession)
+    val hashed = newDocs.withColumn("_h", expr(hashFrag(textCol)))
+    val fresh = hashed.join(seen.select(col("h").as("_h")), Seq("_h"), "left_anti")
+    dedupKeepFirst(fresh, Seq("_h"), Seq(idCol)).drop("_h")
+  }
+
   /** Exact-duplicate cluster stats by an arbitrary fingerprint column. */
   def duplicateStats(df: DataFrame, fp: Column, out: String = "fingerprint"): DataFrame =
     df.groupBy(fp.as(out)).agg(count(lit(1)).as("n_docs"))

@@ -583,6 +583,26 @@ class DedupSimilaritySpec extends SparkSuite {
     assert(!plan.contains("Exchange"), s"lineDedupInDoc must be map-only:\n$plan")
   }
 
+  test("incrementalDedupKeepFirst: seen fingerprints drop, intra-batch dups keep-first") {
+    import graft.operators.Dedup
+    val seen = Dedup.fingerprints(
+      Seq((1L, "already ingested page"), (2L, "another known page")).toDF("doc_id", "text"),
+      "text")
+    assert(seen.columns.toSeq === Seq("h"))
+    val batch = Seq(
+      (10L, "a genuinely new page"),
+      (11L, "already ingested page"),   // re-crawl of seen text: drop
+      (12L, "a genuinely new page"),    // intra-batch dup of 10: drop (10 < 12)
+      (13L, "another new page"))
+      .toDF("doc_id", "text")
+    val kept = Dedup.incrementalDedupKeepFirst(batch, "doc_id", "text", seen)
+    assert(kept.columns.toSeq === Seq("doc_id", "text"))
+    assert(kept.select("doc_id").as[Long].collect().sorted === Array(10L, 13L))
+    // feeding the batch's survivors into the index makes a re-run drop everything
+    val seen2 = seen.unionByName(Dedup.fingerprints(kept, "text")).distinct()
+    assert(Dedup.incrementalDedupKeepFirst(batch, "doc_id", "text", seen2).count() === 0L)
+  }
+
   test("pq_cosine rejects codes beyond the OWNING subspace's book size") {
     // heterogeneous books (sizes 3 and 1, stride K = 3): code 2 in
     // subspace 1 lands on a zero-filled pad slot — under the old
