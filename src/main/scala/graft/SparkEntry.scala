@@ -1390,6 +1390,51 @@ object SparkEntry {
           min("doc_id").as("first_doc"))
         .orderBy("lang")
     }),
+
+    // HTML extraction: the lined corpus re-wrapped as a real page (one
+    // <p> per line plus an entity-laden footer — including the
+    // double-escape &amp;amp; that must decode to the literal "&amp;"),
+    // then markup-stripped. Zero-shuffle codegen'd regexp chain.
+    "q114_markup_strip" -> ((s, dir) => {
+      val lined = synthesizeLines(Tables.documents(s, dir), withPunct = false)
+      val html = lined.select(col("doc_id"),
+        concat(lit("<html><body><p>"),
+          regexp_replace(col("text"), "\n", "</p>\n<p>"),
+          lit("</p><p>Tom&#39;s page &amp;amp; &lt;tags&gt;&nbsp;&quot;quoted&quot;</p></body></html>"))
+          .as("text"))
+      TextAnalysis.markupStrip(html, "doc_id", "text").orderBy("doc_id")
+    }),
+
+    // Encoding-quality gate: every 7th doc corrupted with a control char,
+    // a U+FFFD replacement char and a non-ASCII letter (the mojibake
+    // signature of a mis-decoded byte stream); charClassStats must count
+    // each class and fail exactly those docs' keep verdict.
+    "q115_char_quality" -> ((s, dir) => {
+      val corrupted = Tables.documents(s, dir).select(col("doc_id"),
+        when(col("doc_id") % 7 === 0,
+          concat(col("text"), lit("\u0001\uFFFD\u00E9"))).otherwise(col("text"))
+          .as("text"))
+      TextAnalysis.charClassStats(corrupted, "doc_id", "text").orderBy("doc_id")
+    }),
+
+    // Boilerplate-line scrub: lines of the lined corpus appearing in >2
+    // distinct documents are nav/footer-class boilerplate — every
+    // occurrence deleted (no canonical survivor, unlike q105's span
+    // scrub). DF aggregates over int64 line hashes only.
+    "q116_boilerplate_scrub" -> ((s, dir) => {
+      val lined = synthesizeLines(Tables.documents(s, dir), withPunct = false)
+      Dedup.boilerplateLineScrub(lined, "doc_id", "text", maxDocFreq = 2)
+        .orderBy("doc_id")
+    }),
+
+    // ExactSubstr dedup (Lee et al. 2021) at 10-token windows over the
+    // RAW corpus text: every token covered by a non-canonical duplicated
+    // window is deleted; overlapping windows merge via the covered-index
+    // union (969 duplicated 10-token windows exist at sf0.01).
+    "q117_token_span_scrub" -> ((s, dir) => {
+      Dedup.tokenSpanScrub(Tables.documents(s, dir), "doc_id", "text", 10)
+        .orderBy("doc_id")
+    }),
   )
 
   /** Build-or-load the persisted IVF-PQ index for `dir` (q106). Cached
@@ -2746,5 +2791,97 @@ object SparkEntry {
         |  round(min(avg_logp), 6) AS min_logp, round(max(avg_logp), 6) AS max_logp,
         |  min(doc_id) AS first_doc
         |FROM b GROUP BY lang, bucket ORDER BY lang, bucket""".stripMargin,
+
+    "q114_markup_strip" ->
+      // Same page synthesis (one <p> per line + entity footer), then the
+      // same strip discipline: tags out first, entities decoded with
+      // &amp; LAST (so &amp;amp; -> literal "&amp;"), whitespace
+      // collapsed. DuckDB regexp_replace needs the explicit 'g' flag
+      // where Spark's is always global.
+      s"""WITH ${dLineSynth(withPunct = false)},
+         |h AS (SELECT doc_id, '<html><body><p>' ||
+         |    array_to_string(ln, '</p>' || chr(10) || '<p>') ||
+         |    '</p><p>Tom&#39;s page &amp;amp; &lt;tags&gt;&nbsp;&quot;quoted&quot;</p></body></html>' AS html
+         |  FROM t1),
+         |st AS (SELECT doc_id, html,
+         |    replace(replace(replace(replace(replace(replace(
+         |      regexp_replace(html, '<[^>]*>', ' ', 'g'),
+         |      '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'),
+         |      '&quot;', '"'), '&#39;', ''''), '&amp;', '&') AS dec
+         |  FROM h)
+         |SELECT doc_id,
+         |  CAST(len(regexp_extract_all(html, '<[^>]*>')) AS BIGINT) AS n_tags,
+         |  trim(regexp_replace(dec, '\\s+', ' ', 'g')) AS clean_text
+         |FROM st ORDER BY doc_id""".stripMargin,
+
+    "q115_char_quality" ->
+      // Same deterministic corruption (control + U+FFFD + e-acute on every
+      // 7th doc), counts via length-difference over the same character
+      // classes. chr() takes the Unicode codepoint on the DuckDB side.
+      """WITH c AS (SELECT doc_id,
+        |  CASE WHEN doc_id % 7 = 0 THEN text || chr(1) || chr(65533) || chr(233)
+        |       ELSE text END AS text FROM documents),
+        |m AS (SELECT doc_id, CAST(len(text) AS BIGINT) AS n_chars,
+        |  CAST(len(text) - len(regexp_replace(text, '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]', '', 'g')) AS BIGINT) AS n_control,
+        |  CAST(len(text) - len(regexp_replace(text, '\x{FFFD}', '', 'g')) AS BIGINT) AS n_replacement,
+        |  CAST(len(text) - len(regexp_replace(text, '[^\x00-\x7F]', '', 'g')) AS BIGINT) AS n_non_ascii
+        |  FROM c)
+        |SELECT doc_id, n_chars, n_control, n_replacement, n_non_ascii,
+        |  CASE WHEN n_chars = 0 THEN 1.0
+        |       ELSE round((n_chars - n_non_ascii) * 1.0 / n_chars, 6) END AS ascii_ratio,
+        |  (n_replacement = 0 AND n_control = 0 AND
+        |   (CASE WHEN n_chars = 0 THEN 1.0
+        |         ELSE round((n_chars - n_non_ascii) * 1.0 / n_chars, 6) END) >= 0.0) AS keep
+        |FROM m ORDER BY doc_id""".stripMargin,
+
+    "q116_boilerplate_scrub" ->
+      // Line document-frequency over per-doc DISTINCT line hashes (a line
+      // repeated within one doc counts once), DF > 2 lines deleted from
+      // every document — no canonical survivor.
+      s"""WITH ${dLineSynth(withPunct = false)},
+         |u AS (SELECT doc_id, CAST(i AS INTEGER) AS li, ln[i] AS line,
+         |    ${dhash("ln[i]")} AS h
+         |  FROM t1, unnest(range(1, len(ln) + 1)) AS r(i)),
+         |df AS (SELECT h, count(DISTINCT doc_id) AS df FROM u GROUP BY h),
+         |bad AS (SELECT h FROM df WHERE df > 2),
+         |rm AS (SELECT DISTINCT u.doc_id, u.li FROM u JOIN bad ON u.h = bad.h),
+         |kept AS (SELECT u.doc_id,
+         |    array_to_string(list(u.line ORDER BY u.li), chr(10)) AS ct
+         |  FROM u LEFT JOIN rm ON u.doc_id = rm.doc_id AND u.li = rm.li
+         |  WHERE rm.li IS NULL GROUP BY u.doc_id),
+         |nr AS (SELECT doc_id, count(*) AS n_rm FROM rm GROUP BY doc_id)
+         |SELECT t1.doc_id, CAST(len(ln) AS BIGINT) AS n_lines,
+         |  CAST(coalesce(nr.n_rm, 0) AS BIGINT) AS n_removed_lines,
+         |  coalesce(kept.ct, '') AS clean_text
+         |FROM t1 LEFT JOIN kept ON t1.doc_id = kept.doc_id
+         |LEFT JOIN nr ON t1.doc_id = nr.doc_id
+         |ORDER BY t1.doc_id""".stripMargin,
+
+    "q117_token_span_scrub" ->
+      // q105's span CTEs re-expressed over whitespace TOKENS with 10-token
+      // windows and ' ' rebuild — same hash, same canonical-first rank,
+      // same covered-index interval merge.
+      s"""WITH t0 AS (SELECT doc_id, text, string_split(text, ' ') AS tk FROM documents),
+         |sp AS (SELECT doc_id, CAST(i AS INTEGER) AS pos,
+         |    ${dhash("array_to_string(tk[i:i+9], ' ')")} AS h
+         |  FROM t0, unnest(range(1, len(tk) - 8)) AS r(i)),
+         |j AS (SELECT doc_id, pos,
+         |  count(*) OVER (PARTITION BY h) AS n_occ,
+         |  row_number() OVER (PARTITION BY h ORDER BY doc_id, pos) AS rn FROM sp),
+         |rm AS (SELECT DISTINCT doc_id, pos + k AS ri
+         |  FROM j, unnest(range(0, 10)) AS t(k) WHERE n_occ > 1 AND rn > 1),
+         |u AS (SELECT doc_id, CAST(i AS INTEGER) AS ti, tk[i] AS tok
+         |  FROM t0, unnest(range(1, len(tk) + 1)) AS r(i)),
+         |kept AS (SELECT u.doc_id,
+         |    array_to_string(list(u.tok ORDER BY u.ti), ' ') AS ct
+         |  FROM u LEFT JOIN rm ON u.doc_id = rm.doc_id AND u.ti = rm.ri
+         |  WHERE rm.ri IS NULL GROUP BY u.doc_id),
+         |nr AS (SELECT doc_id, count(*) AS n_rm FROM rm GROUP BY doc_id)
+         |SELECT t0.doc_id, CAST(len(tk) AS BIGINT) AS n_tokens,
+         |  CAST(coalesce(nr.n_rm, 0) AS BIGINT) AS n_removed_tokens,
+         |  coalesce(kept.ct, '') AS clean_text
+         |FROM t0 LEFT JOIN kept ON t0.doc_id = kept.doc_id
+         |LEFT JOIN nr ON t0.doc_id = nr.doc_id
+         |ORDER BY t0.doc_id""".stripMargin,
   )
 }

@@ -197,15 +197,48 @@ object Dedup {
     * cleaned text is rebuilt in a single codegen'd projection — an
     * index-aware array filter — not a per-line re-aggregation. */
   def spanScrub(docs: DataFrame, idCol: String, textCol: String,
-                n: Int = 3): DataFrame = {
+                n: Int = 3): DataFrame =
+    unitSpanScrub(docs, idCol, textCol, n, "\n", "n_lines", "n_removed_lines")
+
+  /** Token-window exact-substring SCRUB — the Lee et al. 2021
+    * ("Deduplicating Training Data Makes Language Models Better", ExactSubstr)
+    * dedup pass at whitespace-token granularity: delete every token covered
+    * by a non-canonical occurrence of a corpus-wide duplicated `n`-token
+    * window and emit the cleaned text. The paper dedups substrings of >= 50
+    * tokens via a suffix array; the distributed re-expression is the sliding
+    * `n`-token window — every duplicated substring of length >= n is a run
+    * of duplicated windows, and OVERLAPPING duplicated windows merge through
+    * the covered-index set union (the interval-merge the suffix array gets
+    * for free), so a 60-token duplicated run deletes 60 tokens, not
+    * 11 x 50. Canonical occurrence = corpus-wide min `(id, pos)`, matching
+    * [[spanScrub]]'s rank. Output: `(id, n_tokens, n_removed_tokens,
+    * clean_text)`, one row per input document.
+    *
+    * Scale shape identical to [[spanScrub]]: int64 window hashes ride ONE
+    * hash-keyed window exchange, covered indices collapse to one array row
+    * per affected document, and text re-shuffles once on id for the
+    * join-back rebuild. */
+  def tokenSpanScrub(docs: DataFrame, idCol: String, textCol: String,
+                     n: Int = 50): DataFrame =
+    unitSpanScrub(docs, idCol, textCol, n, " ", "n_tokens", "n_removed_tokens")
+
+  /** Shared scrub body of [[spanScrub]] (units = lines, sep = `\n`) and
+    * [[tokenSpanScrub]] (units = whitespace tokens, sep = `" "`): hash
+    * every `n`-unit window, rank occurrences corpus-wide canonical-first,
+    * expand non-canonical occurrences to covered 1-based unit indices, and
+    * rebuild each affected document without the covered units. */
+  private def unitSpanScrub(docs: DataFrame, idCol: String, textCol: String,
+                            n: Int, sep: String,
+                            nUnitsCol: String, nRemovedCol: String): DataFrame = {
+    require(n >= 1, s"span scrub needs window n >= 1, got $n")
     import graft.functions.GraftFunctions.rolling_hash
     val units = col("_u")
     val spans = when(size(units) >= n,
       transform(sequence(lit(1), size(units) - n + 1),
         i => struct(i.as("pos"),
-          rolling_hash(concat_ws("\n", slice(units, i, lit(n)))).as("h"))))
+          rolling_hash(concat_ws(sep, slice(units, i, lit(n)))).as("h"))))
       .otherwise(array().cast("array<struct<pos:int,h:bigint>>"))
-    val lined = docs.select(col(idCol), col(textCol), split(col(textCol), "\n", -1).as("_u"))
+    val lined = docs.select(col(idCol), col(textCol), split(col(textCol), sep, -1).as("_u"))
     val ex = lined
       .select(col(idCol), explode(spans).as("_s"))
       .select(col(idCol), col("_s.pos").as("pos"), col("_s.h").as("h"))
@@ -215,9 +248,53 @@ object Dedup {
       .withColumn("n_occ", count(lit(1)).over(wH))
       .withColumn("rn", row_number().over(wHo))
       .where(col("n_occ") > 1 && col("rn") > 1)
-      // a span at pos covers 1-based lines [pos, pos + n - 1]
+      // a span at pos covers 1-based units [pos, pos + n - 1]
       .select(col(idCol), explode(sequence(col("pos"), col("pos") + n - 1)).as("_ri"))
       .groupBy(idCol).agg(collect_set("_ri").as("_rm"))
+    lined.join(removed, Seq(idCol), "left")
+      .select(col(idCol),
+        size(units).cast("long").as(nUnitsCol),
+        coalesce(size(col("_rm")), lit(0)).cast("long").as(nRemovedCol),
+        when(col("_rm").isNull, col(textCol))
+          .otherwise(concat_ws(sep,
+            filter(units, (l, i) => !array_contains(col("_rm"), i + 1))))
+          .as("clean_text"))
+  }
+
+  /** Boilerplate-line SCRUB — corpus-document-frequency line removal (the
+    * RefinedWeb/CCNet-style pass that kills nav menus, cookie banners and
+    * footers): a line appearing in MORE than `maxDocFreq` distinct
+    * documents is boilerplate, and every occurrence is deleted — including
+    * the first (unlike [[spanScrub]], which keeps a canonical copy:
+    * duplicated *content* keeps one occurrence, *boilerplate* keeps zero).
+    * Output: `(id, n_lines, n_removed_lines, clean_text)`, one row per
+    * input document.
+    *
+    * Scale shape: document frequency aggregates over per-document DISTINCT
+    * line hashes (int64 — text never shuffles; `array_distinct` runs
+    * map-side so a line repeated within one doc counts once), the
+    * bad-hash set is typically tiny but joins back by shuffle (not
+    * broadcast — corpus-fit artifacts are unbounded at 100 TB, the
+    * [[graft.operators.TextAnalysis.contaminationHits]] lesson), and the
+    * corpus re-shuffles ONCE on id to collapse removed line indices and
+    * rebuild text in a codegen'd index-aware filter. */
+  def boilerplateLineScrub(docs: DataFrame, idCol: String, textCol: String,
+                           maxDocFreq: Int = 2): DataFrame = {
+    require(maxDocFreq >= 1, s"boilerplateLineScrub needs maxDocFreq >= 1, got $maxDocFreq")
+    import graft.functions.GraftFunctions.rolling_hash
+    val units = col("_u")
+    val lined = docs.select(col(idCol), col(textCol), split(col(textCol), "\n", -1).as("_u"))
+    val docLineHashes = lined.select(col(idCol),
+      explode(array_distinct(transform(units, u => rolling_hash(u)))).as("h"))
+    val bad = docLineHashes.groupBy("h").agg(count(lit(1)).as("_df"))
+      .where(col("_df") > maxDocFreq).select("h")
+    val removed = lined
+      .select(col(idCol),
+        explode(transform(units, (u, i) =>
+          struct((i + 1).as("li"), rolling_hash(u).as("h")))).as("_l"))
+      .select(col(idCol), col("_l.li").as("li"), col("_l.h").as("h"))
+      .join(bad, Seq("h"))
+      .groupBy(idCol).agg(collect_set("li").as("_rm"))
     lined.join(removed, Seq(idCol), "left")
       .select(col(idCol),
         size(units).cast("long").as("n_lines"),

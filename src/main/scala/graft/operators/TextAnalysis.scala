@@ -544,4 +544,69 @@ object TextAnalysis {
       .withColumn("oov_rate",
         round(col("n_oov").cast("double") / col("n_tokens"), 6))
   }
+
+  /** Markup strip — the HTML-extraction pass a web-crawl pipeline runs
+    * before any text analysis: delete every `<...>` tag, decode the six
+    * HTML entities that survive real-world extraction (`&nbsp; &lt; &gt;
+    * &quot; &#39; &amp;`), and collapse whitespace runs to single spaces.
+    *
+    * Decode ORDER is the standard double-escape discipline: `&amp;` is
+    * decoded LAST so `&amp;lt;` yields the literal text `&lt;` rather than
+    * a second-round `<` — and tags are stripped BEFORE entity decode so an
+    * escaped `&lt;script&gt;` in user text is never promoted into a
+    * strippable (deletable) tag. Pure codegen'd regexp/replace chain —
+    * zero shuffles, map-only over the corpus scan. */
+  def stripMarkup(text: Column): Column = {
+    val noTags = regexp_replace(text, "<[^>]*>", " ")
+    val decoded = Seq(
+      "&nbsp;" -> " ", "&lt;" -> "<", "&gt;" -> ">",
+      "&quot;" -> "\"", "&#39;" -> "'", "&amp;" -> "&")
+      .foldLeft(noTags) { case (c, (e, r)) => regexp_replace(c, e, r) }
+    trim(regexp_replace(decoded, "\\s+", " "))
+  }
+
+  /** Markup-strip TRANSFORM over a corpus: (idCol, n_tags, clean_text),
+    * one row per document — [[stripMarkup]] plus the tag count (the
+    * extraction-health signal: a "text" column averaging hundreds of tags
+    * per kilobyte is raw HTML that skipped extraction upstream). */
+  def markupStrip(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol),
+      size(regexp_extract_all(col(textCol), lit("<[^>]*>"), lit(0)))
+        .cast("long").as("n_tags"),
+      stripMarkup(col(textCol)).as("clean_text"))
+
+  /** Character-class quality stats — the encoding/mojibake gate (CCNet
+    * runs the same class of check before the LM filter): per document,
+    * counts of C0/C1 control characters (tab/newline/CR excluded — those
+    * are structure, not corruption), U+FFFD replacement characters (the
+    * smoking gun of a mis-decoded byte stream), and non-ASCII characters,
+    * plus the printable-ASCII ratio and a `keep` verdict.
+    *
+    * `keep` = zero replacement chars AND zero control chars AND
+    * `ascii_ratio >= minAsciiRatio`. The ratio gate defaults to 0 (off):
+    * non-ASCII is CORRECT text in most languages — raise it only for
+    * ASCII-expected streams (code, English-only crawls). Counts come from
+    * length-difference over codegen'd `regexp_replace` — map-only, zero
+    * shuffles, no per-char higher-order fold. */
+  def charClassStats(docs: DataFrame, idCol: String, textCol: String,
+                     minAsciiRatio: Double = 0.0): DataFrame = {
+    require(minAsciiRatio >= 0.0 && minAsciiRatio <= 1.0,
+      s"charClassStats needs minAsciiRatio in [0,1], got $minAsciiRatio")
+    val t = col(textCol)
+    val classCount = (pat: String) =>
+      (length(t) - length(regexp_replace(t, pat, ""))).cast("long")
+    val nChars = length(t).cast("long")
+    docs.select(col(idCol),
+        nChars.as("n_chars"),
+        classCount("[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]").as("n_control"),
+        classCount("\\x{FFFD}").as("n_replacement"),
+        classCount("[^\\x00-\\x7F]").as("n_non_ascii"))
+      .withColumn("ascii_ratio",
+        when(col("n_chars") === 0, 1.0)
+          .otherwise(round((col("n_chars") - col("n_non_ascii"))
+            .cast("double") / col("n_chars"), 6)))
+      .withColumn("keep",
+        col("n_replacement") === 0 && col("n_control") === 0 &&
+          col("ascii_ratio") >= minAsciiRatio)
+  }
 }

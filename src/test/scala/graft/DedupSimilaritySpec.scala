@@ -699,4 +699,67 @@ class DedupSimilaritySpec extends SparkSuite {
     intercept[IllegalArgumentException](Similarity.semanticDedup(data, 0.9, nPlanes = 0))
     intercept[IllegalArgumentException](Similarity.semanticDedup(data, 0.9, nPlanes = 63))
   }
+
+  test("tokenSpanScrub: overlapping duplicated windows merge; canonical doc unchanged") {
+    import graft.operators.Dedup
+    // doc 1 is canonical; doc 2 repeats an 8-token run of doc 1 = three
+    // overlapping 6-token duplicated windows, which must merge to ONE
+    // 8-token covered interval (8 removed tokens, not 3 x 6).
+    val run = "one two three four five six seven eight"
+    val docs = Seq(
+      (1L, s"$run alpha beta"),
+      (2L, s"prefix tok $run suffix"),
+      (3L, "short doc under n"), // < 6 tokens: no windows, pass through
+      (4L, "wholly unique tokens here nine ten eleven twelve")
+    ).toDF("doc_id", "text")
+    val got = Dedup.tokenSpanScrub(docs, "doc_id", "text", n = 6)
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, String)].collect()
+    assert(got(0) === ((1L, 10L, 0L, s"$run alpha beta")))
+    assert(got(1) === ((2L, 11L, 8L, "prefix tok suffix")), got.mkString("; "))
+    assert(got(2) === ((3L, 4L, 0L, "short doc under n")))
+    assert(got(3) === ((4L, 8L, 0L, "wholly unique tokens here nine ten eleven twelve")))
+  }
+
+  test("tokenSpanScrub: a doc whose every token is covered emits empty clean_text") {
+    import graft.operators.Dedup
+    val docs = Seq(
+      (1L, "a b c d"),   // canonical
+      (2L, "a b c d")    // full duplicate: every token covered
+    ).toDF("doc_id", "text")
+    val got = Dedup.tokenSpanScrub(docs, "doc_id", "text", n = 4)
+      .orderBy("doc_id").as[(Long, Long, Long, String)].collect()
+    assert(got === Array((1L, 4L, 0L, "a b c d"), (2L, 4L, 4L, "")))
+    intercept[IllegalArgumentException](
+      Dedup.tokenSpanScrub(docs, "doc_id", "text", n = 0))
+  }
+
+  test("boilerplateLineScrub: DF > maxDocFreq lines deleted EVERYWHERE, no survivor") {
+    import graft.operators.Dedup
+    // "cookie banner" is in 3 docs (> maxDocFreq=2): all 3 occurrences go,
+    // including doc 1's — no canonical survivor. "shared quote" is in
+    // exactly 2 docs: kept. Doc 4 repeats the banner twice WITHIN itself:
+    // per-doc distinct hashing counts it once, so DF stays 3, and both
+    // intra-doc occurrences are removed.
+    val docs = Seq(
+      (1L, "cookie banner\nbody one\nshared quote"),
+      (2L, "cookie banner\nbody two\nshared quote"),
+      (3L, "body three"),
+      (4L, "cookie banner\nbody four\ncookie banner"))
+      .toDF("doc_id", "text")
+    val got = Dedup.boilerplateLineScrub(docs, "doc_id", "text", maxDocFreq = 2)
+      .orderBy("doc_id").as[(Long, Long, Long, String)].collect()
+    assert(got === Array(
+      (1L, 3L, 1L, "body one\nshared quote"),
+      (2L, 3L, 1L, "body two\nshared quote"),
+      (3L, 1L, 0L, "body three"),
+      (4L, 3L, 2L, "body four")))
+    // a doc that is ALL boilerplate scrubs to empty
+    val all = Seq((1L, "x"), (2L, "x"), (3L, "x")).toDF("doc_id", "text")
+    val emptied = Dedup.boilerplateLineScrub(all, "doc_id", "text", maxDocFreq = 2)
+      .orderBy("doc_id").as[(Long, Long, Long, String)].collect()
+    assert(emptied.forall(r => r._3 === 1L && r._4 === ""))
+    intercept[IllegalArgumentException](
+      Dedup.boilerplateLineScrub(docs, "doc_id", "text", maxDocFreq = 0))
+  }
 }

@@ -217,4 +217,58 @@ class TextAnalysisSpec extends SparkSuite {
     intercept[IllegalArgumentException](
       TextAnalysis.vocabCoverage(docs, "doc_id", "text", 0))
   }
+
+  test("stripMarkup: tags out, entities decoded in double-escape order, ws collapsed") {
+    val out = TextAnalysis.markupStrip(
+      Seq(
+        1L -> "<html><body><p>hello   world</p><br/></body></html>",
+        // &amp;amp; must decode to the literal "&amp;", never to "&";
+        // an escaped tag (&lt;script&gt;) must survive as TEXT, not be
+        // stripped as markup.
+        2L -> "<p>a &amp;amp; b &lt;script&gt; c&nbsp;d&quot;e&#39;f</p>",
+        3L -> "no markup at all",
+        4L -> "").toDF("doc_id", "text"),
+      "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> ((r.getAs[Long]("n_tags"),
+        r.getAs[String]("clean_text")))).toMap
+    assert(out(1L) === ((7L, "hello world")))
+    assert(out(2L) === ((2L, "a &amp; b <script> c d\"e'f")))
+    assert(out(3L) === ((0L, "no markup at all")))
+    assert(out(4L) === ((0L, "")))
+  }
+
+  test("charClassStats counts control/replacement/non-ascii; keep gates on them") {
+    val rows = TextAnalysis.charClassStats(
+      Seq(
+        1L -> "clean ascii text",
+        2L -> "bad\u0001\u0002stream",   // control chars
+        3L -> "moji\uFFFDbake",          // replacement char (also non-ascii)
+        4L -> "café déjà", // legit non-ascii: keep by default
+        5L -> "tab\tand\nnewline",       // structural ws is NOT control
+        6L -> "").toDF("doc_id", "text"),
+      "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    def f(id: Long) = {
+      val r = rows(id)
+      (r.getAs[Long]("n_control"), r.getAs[Long]("n_replacement"),
+        r.getAs[Long]("n_non_ascii"), r.getAs[Boolean]("keep"))
+    }
+    assert(f(1L) === ((0L, 0L, 0L, true)))
+    assert(f(2L) === ((2L, 0L, 0L, false)))
+    assert(f(3L) === ((0L, 1L, 1L, false)))
+    assert(f(4L) === ((0L, 0L, 3L, true)))
+    assert(f(5L) === ((0L, 0L, 0L, true)))
+    assert(f(6L) === ((0L, 0L, 0L, true)))
+    assert(rows(6L).getAs[Double]("ascii_ratio") === 1.0)
+    // The ASCII-expected gate: café déjà is 3/11 non-ascii
+    // (ratio 0.727...), so minAsciiRatio = 0.8 fails it.
+    val strict = TextAnalysis.charClassStats(
+      Seq(4L -> "café déjà").toDF("doc_id", "text"),
+      "doc_id", "text", minAsciiRatio = 0.8)
+      .collect().head
+    assert(!strict.getAs[Boolean]("keep"))
+    intercept[IllegalArgumentException](
+      TextAnalysis.charClassStats(Seq(1L -> "x").toDF("doc_id", "text"),
+        "doc_id", "text", minAsciiRatio = 1.5))
+  }
 }
