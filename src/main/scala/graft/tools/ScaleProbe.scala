@@ -280,6 +280,58 @@ object ScaleProbe {
       time2("spanScrub    64x (transform)")(noop(Dedup.spanScrub(big, "doc_id", "text", 3)))
     }
 
+    // Growth probe for the round-9 cleaning scrubs: boilerplate-line DF
+    // scrub on the line-salted blowup (per-copy line salt keeps each
+    // copy's DF structure identical to 1x instead of making every line
+    // corpus-global boilerplate), and the token-window ExactSubstr scrub
+    // on a per-copy token salt (same invariance argument at token level).
+    if (sections("cleanscrub")) {
+      import graft.operators.Dedup
+      val docs = Tables.documents(spark, "/root/testdata/sf0.1")
+        .select(col("doc_id"),
+          concat(
+            regexp_replace(col("text"),
+              "(\\S+ \\S+ \\S+ \\S+ \\S+ \\S+ \\S+ \\S+) ", "$1\n"),
+            when(col("doc_id") % 5 === 0,
+              lit("\nshared boiler line one\nshared boiler line two"))
+              .otherwise(lit(""))).as("text"))
+      val basePath = "/tmp/graft_probe_clean"
+      time("write lined docs 1x")(
+        docs.write.mode("overwrite").parquet(basePath))
+      val base = spark.read.parquet(basePath)
+      val bigPath = "/tmp/graft_probe_clean16"
+      time("write 16x blowup (line-salted)")(
+        (0 until 16).map(i => base.select(
+          (col("doc_id") + lit(i.toLong * 100000000L)).as("doc_id"),
+          concat(lit(s"c$i "),
+            regexp_replace(col("text"), "\n", s"\nc$i ")).as("text")))
+          .reduce(_ union _).write.mode("overwrite").parquet(bigPath))
+      val big = spark.read.parquet(bigPath)
+      val raw = Tables.documents(spark, "/root/testdata/sf0.1").select("doc_id", "text")
+      val tokPath = "/tmp/graft_probe_tok16"
+      time("write 16x blowup (token-salted)")(
+        (0 until 16).map(i => raw.select(
+          (col("doc_id") + lit(i.toLong * 100000000L)).as("doc_id"),
+          concat_ws(" ", transform(split(col("text"), " "),
+            t => concat(lit(s"c$i"), t))).as("text")))
+          .reduce(_ union _).write.mode("overwrite").parquet(tokPath))
+      val bigTok = spark.read.parquet(tokPath)
+      def time2(name: String)(f: => Unit): Unit = {
+        val ts = (1 to 2).map { _ =>
+          val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+        }
+        println(f"[probe] $name%-34s ${ts.min}%.2f s (min of 2)")
+      }
+      time2("boilerplateLineScrub  1x")(noop(
+        Dedup.boilerplateLineScrub(base, "doc_id", "text", 2)))
+      time2("boilerplateLineScrub 16x")(noop(
+        Dedup.boilerplateLineScrub(big, "doc_id", "text", 2)))
+      time2("tokenSpanScrub  1x (n=10)")(noop(
+        Dedup.tokenSpanScrub(raw, "doc_id", "text", 10)))
+      time2("tokenSpanScrub 16x (n=10)")(noop(
+        Dedup.tokenSpanScrub(bigTok, "doc_id", "text", 10)))
+    }
+
     if (!sections("legacy")) { spark.stop(); return }
 
     time("agg decimal sums (q01 form)")(noop(
