@@ -1435,6 +1435,15 @@ object SparkEntry {
       Dedup.tokenSpanScrub(Tables.documents(s, dir), "doc_id", "text", 10)
         .orderBy("doc_id")
     }),
+
+    // RAG chunking: 32-token chunks with 8-token overlap (stride 24) on
+    // the fixed arithmetic grid — 128-token docs emit 5 chunks, the last
+    // truncated at the document end. Zero-shuffle explode.
+    "q118_rag_chunks" -> ((s, dir) => {
+      TextAnalysis.chunkDocs(Tables.documents(s, dir), "doc_id", "text",
+        chunkTokens = 32, overlapTokens = 8)
+        .orderBy("doc_id", "chunk_id")
+    }),
   )
 
   /** Build-or-load the persisted IVF-PQ index for `dir` (q106). Cached
@@ -2883,5 +2892,20 @@ object SparkEntry {
          |FROM t0 LEFT JOIN kept ON t0.doc_id = kept.doc_id
          |LEFT JOIN nr ON t0.doc_id = nr.doc_id
          |ORDER BY t0.doc_id""".stripMargin,
+
+    "q118_rag_chunks" ->
+      // Same chunk-count arithmetic and inclusive-slice grid as chunkDocs:
+      // starts at i*stride+1, width chunkTokens, tail truncates.
+      """WITH t0 AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+        |n AS (SELECT doc_id, tk, len(tk) AS n,
+        |  CASE WHEN len(tk) <= 32 THEN 1
+        |       ELSE CAST(ceil((len(tk) - 32) / 24.0) AS BIGINT) + 1 END AS nc
+        |  FROM t0),
+        |c AS (SELECT doc_id, CAST(i AS BIGINT) AS chunk_id,
+        |    CAST(least(32, n - i * 24) AS BIGINT) AS n_tokens,
+        |    array_to_string(tk[i*24+1 : i*24+32], ' ') AS chunk_text
+        |  FROM n, unnest(range(0, nc)) AS r(i))
+        |SELECT doc_id, chunk_id, n_tokens, chunk_text
+        |FROM c ORDER BY doc_id, chunk_id""".stripMargin,
   )
 }

@@ -545,6 +545,41 @@ object TextAnalysis {
         round(col("n_oov").cast("double") / col("n_tokens"), 6))
   }
 
+  /** Sliding token-window chunking — the RAG / context-window splitting
+    * pass: cut each document's whitespace tokens into `chunkTokens`-sized
+    * chunks advancing by `chunkTokens - overlapTokens`, so consecutive
+    * chunks share `overlapTokens` tokens of context. Chunk `i` (0-based)
+    * covers tokens `[i*stride+1, min(i*stride+chunkTokens, n)]`; a
+    * document of `n <= chunkTokens` tokens emits exactly one (possibly
+    * short) chunk, and the final chunk truncates at the document end
+    * rather than padding or re-anchoring (the unfold-with-tail
+    * convention — chunk starts are a fixed arithmetic grid, so chunk
+    * membership is reproducible under re-partitioning and re-runs).
+    * Output: `(idCol, chunk_id, n_tokens, chunk_text)`, one row per chunk.
+    *
+    * Scale shape: one codegen'd projection (split, per-chunk slices) plus
+    * a narrow explode — zero shuffles; downstream embedding/indexing
+    * stages inherit the corpus partitioning. */
+  def chunkDocs(docs: DataFrame, idCol: String, textCol: String,
+                chunkTokens: Int, overlapTokens: Int = 0): DataFrame = {
+    require(chunkTokens >= 1, s"chunkDocs needs chunkTokens >= 1, got $chunkTokens")
+    require(overlapTokens >= 0 && overlapTokens < chunkTokens,
+      s"chunkDocs needs 0 <= overlapTokens < chunkTokens, got $overlapTokens")
+    val stride = chunkTokens - overlapTokens
+    val toks = col("_tk")
+    val nChunks = when(size(toks) <= chunkTokens, lit(1))
+      .otherwise(ceil((size(toks) - chunkTokens).cast("double") / stride)
+        .cast("int") + 1)
+    val chunks = transform(sequence(lit(0), nChunks - 1), i => struct(
+      i.cast("long").as("chunk_id"),
+      least(lit(chunkTokens), size(toks) - i * stride).cast("long").as("n_tokens"),
+      concat_ws(" ", slice(toks, i * stride + 1, lit(chunkTokens))).as("chunk_text")))
+    docs.select(col(idCol), tokens(col(textCol)).as("_tk"))
+      .select(col(idCol), explode(chunks).as("_c"))
+      .select(col(idCol), col("_c.chunk_id").as("chunk_id"),
+        col("_c.n_tokens").as("n_tokens"), col("_c.chunk_text").as("chunk_text"))
+  }
+
   /** Markup strip — the HTML-extraction pass a web-crawl pipeline runs
     * before any text analysis: delete every `<...>` tag, decode the six
     * HTML entities that survive real-world extraction (`&nbsp; &lt; &gt;

@@ -271,4 +271,36 @@ class TextAnalysisSpec extends SparkSuite {
       TextAnalysis.charClassStats(Seq(1L -> "x").toDF("doc_id", "text"),
         "doc_id", "text", minAsciiRatio = 1.5))
   }
+
+  test("chunkDocs: overlap grid, short docs, exact boundary, guards") {
+    val ten = (1 to 10).map(i => s"t$i").mkString(" ")
+    val out = TextAnalysis.chunkDocs(
+      Seq(1L -> ten, 2L -> "a b", 3L -> "a b c d").toDF("doc_id", "text"),
+      "doc_id", "text", chunkTokens = 4, overlapTokens = 2)
+      .collect()
+      .map(r => (r.getLong(0), r.getAs[Long]("chunk_id")) ->
+        ((r.getAs[Long]("n_tokens"), r.getAs[String]("chunk_text")))).toMap
+    // doc 1: 10 tokens, stride 2 -> ceil((10-4)/2)+1 = 4 chunks at
+    // starts 1,3,5,7; the last covers 7..10.
+    assert(out((1L, 0L)) === ((4L, "t1 t2 t3 t4")))
+    assert(out((1L, 1L)) === ((4L, "t3 t4 t5 t6")))
+    assert(out((1L, 2L)) === ((4L, "t5 t6 t7 t8")))
+    assert(out((1L, 3L)) === ((4L, "t7 t8 t9 t10")))
+    assert(!out.contains((1L, 4L)))
+    // doc 2: shorter than one chunk -> exactly one short chunk
+    assert(out((2L, 0L)) === ((2L, "a b")))
+    assert(!out.contains((2L, 1L)))
+    // doc 3: n == chunkTokens exactly -> one full chunk, no tail
+    assert(out((3L, 0L)) === ((4L, "a b c d")))
+    assert(!out.contains((3L, 1L)))
+    val docs = Seq(1L -> ten).toDF("doc_id", "text")
+    intercept[IllegalArgumentException](
+      TextAnalysis.chunkDocs(docs, "doc_id", "text", 0))
+    intercept[IllegalArgumentException](
+      TextAnalysis.chunkDocs(docs, "doc_id", "text", 4, overlapTokens = 4))
+    // zero-shuffle claim
+    val plan = TextAnalysis.chunkDocs(docs, "doc_id", "text", 4, 2)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"chunkDocs must be map-only:\n$plan")
+  }
 }
