@@ -1444,6 +1444,18 @@ object SparkEntry {
         chunkTokens = 32, overlapTokens = 8)
         .orderBy("doc_id", "chunk_id")
     }),
+
+    // Multilingual alpha-sampling at temperature 0.3 (the mT5 default):
+    // dominant langs downsample toward uniform, low-resource langs keep
+    // everything. Same per-lang audit shape as q107.
+    "q119_temperature_mix" -> ((s, dir) => {
+      Stats.mixtureResampleTemperature(Tables.documents(s, dir), col("lang"),
+        col("text"), alpha = 0.3)
+        .groupBy("lang")
+        .agg(max("keep_ppm").as("keep_ppm"), count(lit(1)).as("n_kept"),
+          min("doc_id").as("first_doc"))
+        .orderBy("lang")
+    }),
   )
 
   /** Build-or-load the persisted IVF-PQ index for `dir` (q106). Cached
@@ -2907,5 +2919,18 @@ object SparkEntry {
         |  FROM n, unnest(range(0, nc)) AS r(i))
         |SELECT doc_id, chunk_id, n_tokens, chunk_text
         |FROM c ORDER BY doc_id, chunk_id""".stripMargin,
+
+    "q119_temperature_mix" ->
+      // same alpha-share + largest-N rate arithmetic as
+      // Stats.mixtureResampleTemperature, term for term (see its scaladoc
+      // for the ULP-vs-ceil-cliff parity analysis).
+      s"""WITH c AS (SELECT lang, count(*) AS cnt FROM documents GROUP BY lang),
+         |s AS (SELECT lang, cnt, pow(cnt, 0.3) / sum(pow(cnt, 0.3)) OVER () AS share FROM c),
+         |n AS (SELECT min(cnt / share) AS n FROM s),
+         |r AS (SELECT lang, CAST(least(ceil(1000000.0 * n.n * share / cnt), 1000000) AS BIGINT) AS keep_ppm FROM s, n),
+         |k AS (SELECT d.lang, d.doc_id, r.keep_ppm FROM documents d JOIN r USING (lang)
+         |  WHERE ${dbucket("text", 1000000)} < keep_ppm)
+         |SELECT lang, max(keep_ppm) AS keep_ppm, count(*) AS n_kept, min(doc_id) AS first_doc
+         |FROM k GROUP BY lang ORDER BY lang""".stripMargin,
   )
 }

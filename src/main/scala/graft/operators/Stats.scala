@@ -305,4 +305,49 @@ object Stats {
       .where(hashBucket(key, 1000000) < col("keep_ppm"))
       .drop("_stratum")
   }
+
+  /** Temperature-based mixture resampling — the multilingual-pretraining
+    * alpha-sampling rule (Conneau et al. 2020 §3.1 "Scaling to a hundred
+    * languages"; also mT5): target share of stratum `s` is
+    * `count_s^alpha / sum(count^alpha)`, smoothing the empirical mix
+    * toward uniform as `alpha` falls. The two existing mixers are its
+    * endpoints — `alpha = 1` reproduces the input mix exactly (every rate
+    * caps at 1e6 ppm: nothing dropped), `alpha = 0` is uniform shares,
+    * i.e. [[mixtureResample]]'s flatten-to-smallest. In between, dominant
+    * strata downsample and low-resource strata keep 100% of their rows
+    * (never duplicated — same 1× upsample cap, largest-N derivation, ppm
+    * resolution, and hash-deterministic row selection as
+    * [[mixtureResampleToWeights]], whose scaladoc documents the cliffs).
+    *
+    * Scale shape: identical to [[mixtureResampleToWeights]] minus the
+    * weights table — one map-side-combined count per stratum, shares and
+    * rates derived on the stratum-sized fit frame (two whole-frame
+    * windows over a handful of rows), one broadcast join back; the corpus
+    * is scanned once and never shuffled. Output keeps the input schema
+    * plus `keep_ppm`.
+    *
+    * Oracle parity note: shares go through `pow`/`sum`-of-doubles, so a
+    * cross-engine ULP difference could in principle flip a `ceil` cliff;
+    * with ~1e-15 relative error against ppm-integer cliffs the flip
+    * probability is ~1e-9 per stratum, and the one systematic boundary
+    * (the bottleneck stratum's rate ≈ exactly 1e6) is safe on both sides
+    * of the cliff because `least(…, 1e6)` collapses them. */
+  def mixtureResampleTemperature(df: DataFrame, strata: Column, key: Column,
+                                 alpha: Double): DataFrame = {
+    require(alpha >= 0 && alpha <= 1 && !alpha.isNaN,
+      s"mixtureResampleTemperature needs 0 <= alpha <= 1, got $alpha")
+    val counts = df.groupBy(strata.cast("string").as("_stratum"))
+      .agg(count(lit(1)).as("_cnt"))
+    val whole = Window.partitionBy()
+    val rates = counts
+      .withColumn("_share",
+        pow(col("_cnt"), lit(alpha)) / sum(pow(col("_cnt"), lit(alpha))).over(whole))
+      .withColumn("_n", min(col("_cnt") / col("_share")).over(whole))
+      .select(col("_stratum"),
+        least(ceil(lit(1000000.0) * col("_n") * col("_share") / col("_cnt")),
+          lit(1000000L)).cast("long").as("keep_ppm"))
+    df.join(broadcast(rates), strata.cast("string") === col("_stratum"))
+      .where(hashBucket(key, 1000000) < col("keep_ppm"))
+      .drop("_stratum")
+  }
 }

@@ -219,6 +219,43 @@ class StatsRelational2Spec extends SparkSuite {
         Map("web" -> 0.0)))
   }
 
+  test("mixtureResampleTemperature: alpha=1 keeps all, alpha=0 flattens, 0.5 in between") {
+    val df = ((1 to 400).map(i => (s"en doc body $i", "en")) ++
+      (1 to 100).map(i => (s"de doc body $i", "de")) ++
+      (1 to 25).map(i => (s"xx doc body $i", "xx")))
+      .toDF("t", "lang")
+    // alpha=1: shares == empirical mix, every rate caps at 1e6 -> identity
+    val all = Stats.mixtureResampleTemperature(df, col("lang"), col("t"), 1.0)
+    assert(all.count() === 525L)
+    assert(all.select("keep_ppm").distinct().as[Long].collect().toSeq === Seq(1000000L))
+    // alpha=0: uniform shares -> flatten-to-smallest; every stratum's
+    // expected kept count is the smallest stratum's size (25), with the
+    // smallest itself kept whole at exactly 1e6 ppm.
+    val flat = Stats.mixtureResampleTemperature(df, col("lang"), col("t"), 0.0)
+    val ppm0 = flat.select("lang", "keep_ppm").distinct()
+      .as[(String, Long)].collect().toMap
+    assert(ppm0("xx") === 1000000L)
+    assert(ppm0("en") === 62500L)   // ceil(1e6 * 75 * (1/3) / 400)
+    assert(ppm0("de") === 250000L)  // ceil(1e6 * 75 * (1/3) / 100)
+    // alpha=0.5: shares prop sqrt(counts) = 20:10:5 -> N = min(cnt/share)
+    // is xx's 25/(5/35) = 175; en rate ceil(1e6*175*(20/35)/400) = 250000,
+    // de rate ceil(1e6*175*(10/35)/100) = 500000, xx capped at 1e6.
+    val mid = Stats.mixtureResampleTemperature(df, col("lang"), col("t"), 0.5)
+    val ppm5 = mid.select("lang", "keep_ppm").distinct()
+      .as[(String, Long)].collect().toMap
+    assert(ppm5 === Map("en" -> 250000L, "de" -> 500000L, "xx" -> 1000000L))
+    // monotone: lower temperature never keeps MORE of a dominant stratum
+    val keptEn = (a: org.apache.spark.sql.DataFrame) =>
+      a.where(col("lang") === "en").count()
+    assert(keptEn(flat) <= keptEn(mid) && keptEn(mid) <= keptEn(all))
+    // no duplication at any temperature
+    assert(mid.count() === mid.dropDuplicates("t").count())
+    intercept[IllegalArgumentException](
+      Stats.mixtureResampleTemperature(df, col("lang"), col("t"), -0.1))
+    intercept[IllegalArgumentException](
+      Stats.mixtureResampleTemperature(df, col("lang"), col("t"), 1.5))
+  }
+
   test("takePerStratum: exact k per group, prefix-stable, whole group when k exceeds it") {
     val df = ((1 to 100).map(i => (s"en doc body $i", "en", i.toLong)) ++
       (1 to 5).map(i => (s"xx doc body $i", "xx", 1000L + i)))
