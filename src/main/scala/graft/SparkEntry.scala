@@ -1456,6 +1456,20 @@ object SparkEntry {
           min("doc_id").as("first_doc"))
         .orderBy("lang")
     }),
+
+    // Budget-capped selection: best-quality docs first (q31's score, ties
+    // by doc_id) until a 15k-token budget fills. Exact greedy prefix via
+    // the distributed two-phase prefix sum — no single-partition window.
+    "q120_token_budget" -> ((s, dir) => {
+      val t = col("text")
+      val d = Tables.documents(s, dir).select(
+        col("doc_id"),
+        TextAnalysis.tokenCount(t).cast("long").as("n_tokens"),
+        TextAnalysis.qualityScore(t).as("quality"))
+      Stats.selectByBudget(d, Seq(col("quality").desc, col("doc_id").asc),
+        "n_tokens", budget = 15000L, out = "cum_tokens")
+        .orderBy("doc_id")
+    }),
   )
 
   /** Build-or-load the persisted IVF-PQ index for `dir` (q106). Cached
@@ -2932,5 +2946,24 @@ object SparkEntry {
          |  WHERE ${dbucket("text", 1000000)} < keep_ppm)
          |SELECT lang, max(keep_ppm) AS keep_ppm, count(*) AS n_kept, min(doc_id) AS first_doc
          |FROM k GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "q120_token_budget" ->
+      // q31's quality expression verbatim; the budget cut is the inclusive
+      // running-total filter selectByBudget mirrors distributedly.
+      """WITH t AS (SELECT doc_id,
+        |CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        |CAST(len(list_distinct(string_split(text, ' '))) AS INTEGER) AS n_types,
+        |length(text) AS n_chars FROM documents),
+        |d AS (SELECT doc_id, n_tokens,
+        |round((CAST(n_types AS DOUBLE) / CAST(n_tokens AS DOUBLE)) * 0.5 +
+        |(CASE WHEN n_tokens >= 20 AND n_tokens <= 1000 THEN 1.0 ELSE 0.5 END) * 0.25 +
+        |(CASE WHEN (CAST(n_chars AS DOUBLE) - (n_tokens - 1)) / n_tokens >= 3
+        |AND (CAST(n_chars AS DOUBLE) - (n_tokens - 1)) / n_tokens <= 10 THEN 1.0 ELSE 0.5 END) * 0.25, 6) AS quality
+        |FROM t),
+        |c AS (SELECT doc_id, n_tokens, quality,
+        |CAST(sum(n_tokens) OVER (ORDER BY quality DESC, doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens
+        |FROM d)
+        |SELECT doc_id, n_tokens, quality, cum_tokens
+        |FROM c WHERE cum_tokens <= 15000 ORDER BY doc_id""".stripMargin,
   )
 }

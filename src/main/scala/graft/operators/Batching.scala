@@ -2,7 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{LongType, StructField, StructType}
-import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.{Column, DataFrame, Row}
 
 /** Grouping / batching / chunked-sink operators (SURVEY §2.6, §2.2).
   *
@@ -27,8 +27,14 @@ object Batching {
     * `sum(v) OVER (ORDER BY ... ROWS UNBOUNDED PRECEDING)` value-for-value,
     * without ever putting the table on one node. Appends `out`. */
   def prefixSum(df: DataFrame, orderCols: Seq[String], valueCol: String,
-                out: String = "cum"): DataFrame = {
-    val sorted = df.orderBy(orderCols.map(col): _*)
+                out: String = "cum"): DataFrame =
+    prefixSumBy(df, orderCols.map(col), valueCol, out)
+
+  /** [[prefixSum]] over an arbitrary sort order (sort expressions, e.g. a
+    * DESC quality ranking) — the name-list variant above delegates here. */
+  def prefixSumBy(df: DataFrame, order: Seq[Column], valueCol: String,
+                  out: String = "cum"): DataFrame = {
+    val sorted = df.orderBy(order: _*)
     val vIdx = sorted.schema.fieldIndex(valueCol)
     // Null values contribute 0 (window `sum` skips them; +0 keeps the same
     // running totals without NPEs).

@@ -350,4 +350,28 @@ object Stats {
       .where(hashBucket(key, 1000000) < col("keep_ppm"))
       .drop("_stratum")
   }
+
+  /** Budget-capped corpus selection — the data-curation closing move:
+    * rank rows by `order` (typically quality DESC with an id tiebreak) and
+    * keep the maximal prefix whose running `valueCol` total stays within
+    * `budget` ("fill a 1B-token budget with the best documents first").
+    * Exact greedy-prefix semantics: a row is kept iff its inclusive
+    * running total `out` <= `budget`, which equals the single-partition
+    * window `sum(v) OVER (ORDER BY …)` filter value-for-value but runs as
+    * [[Batching.prefixSumBy]]'s two-phase distributed scan. `valueCol`
+    * must be a non-negative long — a negative value would make the
+    * running total non-monotone and the kept set would no longer be a
+    * prefix of the ranking.
+    *
+    * Scale shape: one range-partitioned global sort (the honest cost of
+    * an exact budget cut) + two passes over the sorted data; no
+    * single-partition stage. For a cheaper approximate cut at 100 TB,
+    * derive a score threshold from a quantile sketch
+    * ([[approxPercentiles]]) and filter — O(scan) but only
+    * approximately budget-sized; this operator is the exact path. */
+  def selectByBudget(df: DataFrame, order: Seq[Column], valueCol: String,
+                     budget: Long, out: String = "cum"): DataFrame = {
+    require(budget >= 0, s"selectByBudget needs budget >= 0, got $budget")
+    Batching.prefixSumBy(df, order, valueCol, out).where(col(out) <= budget)
+  }
 }

@@ -256,6 +256,30 @@ class StatsRelational2Spec extends SparkSuite {
       Stats.mixtureResampleTemperature(df, col("lang"), col("t"), 1.5))
   }
 
+  test("selectByBudget: greedy prefix on DESC rank, boundary row excluded, window parity") {
+    // score desc, id tiebreak -> visit order c(9,4), a(8,5), d(8,6), b(2,7):
+    // cums 4, 9, 15, 22; budget 14 keeps c and a only (d would breach).
+    val df = Seq(("a", 8.0, 5L), ("b", 2.0, 7L), ("c", 9.0, 4L), ("d", 8.0, 6L))
+      .toDF("id", "score", "n")
+    val order = Seq(col("score").desc, col("id").asc)
+    val got = Stats.selectByBudget(df, order, "n", budget = 14L, out = "cum")
+      .select("id", "cum").as[(String, Long)].collect().toMap
+    assert(got === Map("c" -> 4L, "a" -> 9L))
+    // parity with the single-partition window filter, value for value
+    val win = org.apache.spark.sql.expressions.Window
+      .orderBy(col("score").desc, col("id").asc)
+      .rowsBetween(Long.MinValue, 0L)
+    val exp = df.withColumn("cum", sum("n").over(win))
+      .where(col("cum") <= 14).select("id", "cum")
+      .as[(String, Long)].collect().toMap
+    assert(got === exp)
+    // budget 0: nothing fits (all values positive); budget covers all: identity
+    assert(Stats.selectByBudget(df, order, "n", 0L).count() === 0L)
+    assert(Stats.selectByBudget(df, order, "n", 100L).count() === 4L)
+    intercept[IllegalArgumentException](
+      Stats.selectByBudget(df, order, "n", -1L))
+  }
+
   test("takePerStratum: exact k per group, prefix-stable, whole group when k exceeds it") {
     val df = ((1 to 100).map(i => (s"en doc body $i", "en", i.toLong)) ++
       (1 to 5).map(i => (s"xx doc body $i", "xx", 1000L + i)))
