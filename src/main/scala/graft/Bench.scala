@@ -54,13 +54,26 @@ object Bench {
       require(unknown.isEmpty,
         s"SPARK_GRAFT_BENCH_ONLY names not in SparkEntry.queries: ${unknown.toSeq.sorted.mkString(", ")}")
     }
-    val names = SparkEntry.queries.keys.toSeq.sorted
-      .filter(n => only.forall(_.contains(n)))
+    // Run order is a seeded shuffle, not alphabetical: when the budget (below)
+    // cuts the tail to one cold pass, an alphabetical order ALWAYS sacrifices
+    // the same late-alphabet queries (round 9's driver run cold-passed
+    // q47/q68/q88/q9x and manufactured 9-26x phantom regressions). The seed is
+    // logged so a run is reproducible after the fact; per-query numbers in the
+    // JSON are order-independent either way.
+    val seed = sys.env.get("SPARK_GRAFT_BENCH_SEED").map(_.toLong)
+      .getOrElse(System.nanoTime())
+    System.err.println(s"[bench] query order seed: $seed")
+    val names = new scala.util.Random(seed).shuffle(
+      SparkEntry.queries.keys.toSeq.sorted
+        .filter(n => only.forall(_.contains(n))))
     // Time budget: once total wall time exceeds SPARK_GRAFT_BENCH_BUDGET
     // seconds, remaining queries drop to a single pass — insurance against a
     // driver-side timeout killing the run before the JSON line prints. The
-    // default must sit well above one full cold pass (~250s at 76 queries).
-    val budgetSec = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET", "600").toDouble
+    // default scales with suite size (~12.5 s/query, floor 600): a fixed 600 s
+    // truncated round 9's 120-query driver run at 647 s wall and produced
+    // cold-only numbers for the whole tail.
+    val budgetSec = sys.env.get("SPARK_GRAFT_BENCH_BUDGET").map(_.toDouble)
+      .getOrElse(math.max(600.0, 12.5 * names.length))
     val benchStart = System.nanoTime()
     def runOnce(name: String): Double = {
       val t0 = System.nanoTime()

@@ -1,6 +1,7 @@
 package graft.meta
 
-import org.apache.spark.sql.functions.expr
+import org.apache.spark.sql.functions.{col, expr}
+import org.apache.spark.sql.types.{LongType, TimestampNTZType}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Loaders for the driver-generated testdata star schema (TESTDATA.md /
@@ -8,10 +9,13 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *
   * Timestamp policy: everything is TIMESTAMP_NTZ (wall-clock, session UTC),
   * matching the DuckDB oracle's naive TIMESTAMP so parquet outputs compare
-  * bit-for-bit. `events.ts` is nanosecond-precision parquet, which Spark 4
-  * cannot map to a timestamp type at all — we read it as a raw nano count
-  * (`spark.sql.legacy.parquet.nanosAsLong`) and truncate to microseconds,
-  * exactly what DuckDB's `CAST(ts AS TIMESTAMP)` does.
+  * bit-for-bit. `events.ts` has changed physical parquet type between
+  * testdata generations — nanosecond int64 (which Spark 4 can only read via
+  * `spark.sql.legacy.parquet.nanosAsLong`) in one generation, plain
+  * `timestamp[us]` in another — so the loader branches on the dataType the
+  * scan actually produced instead of assuming either: LongType gets the
+  * nanos→micros truncation (what DuckDB's `CAST(ts AS TIMESTAMP)` does),
+  * any timestamp flavor is cast straight to TIMESTAMP_NTZ.
   */
 object Tables {
   val all: Seq[String] = Seq(
@@ -22,10 +26,21 @@ object Tables {
     if (name == "events")
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val df = spark.read.parquet(s"$sfDir/$name.parquet")
-    if (name == "events")
-      df.withColumn("ts", expr("cast(timestamp_micros(ts div 1000) as timestamp_ntz)"))
-    else df
+    if (name == "events") normalizeEventTs(df) else df
   }
+
+  /** Coerce `ts` to TIMESTAMP_NTZ whatever physical type the parquet holds.
+    * Never assume the testdata's physical type: it flipped int64-nanos →
+    * timestamp[us] between rounds 8 and 9 and broke every events query.
+    */
+  private[graft] def normalizeEventTs(df: DataFrame): DataFrame =
+    df.schema("ts").dataType match {
+      case LongType => // int64 nanos-as-long generation
+        df.withColumn("ts", expr("cast(timestamp_micros(ts div 1000) as timestamp_ntz)"))
+      case TimestampNTZType => df
+      case _ => // TIMESTAMP_LTZ or any other timestamp flavor
+        df.withColumn("ts", col("ts").cast(TimestampNTZType))
+    }
 
   def lineitem(spark: SparkSession, d: String): DataFrame = load(spark, d, "lineitem")
   def orders(spark: SparkSession, d: String): DataFrame = load(spark, d, "orders")

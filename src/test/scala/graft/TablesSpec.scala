@@ -1,0 +1,69 @@
+package graft
+
+import java.nio.file.Files
+import java.sql.Timestamp
+import java.time.LocalDateTime
+
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.types.{LongType, StructField, StructType, TimestampNTZType}
+import org.apache.spark.sql.Row
+
+import graft.meta.Tables
+
+/** The driver's testdata has changed `events.ts`'s physical parquet type
+  * between rounds (int64 nanos → timestamp[us]), silently breaking every
+  * events query. `Tables.load` must normalize EITHER generation to
+  * TIMESTAMP_NTZ — never assume the physical type again.
+  */
+class TablesSpec extends SparkSuite {
+
+  /** Write `df` as `events.parquet` under a fresh temp dir, return the dir. */
+  private def stage(df: org.apache.spark.sql.DataFrame): String = {
+    val dir = Files.createTempDirectory("graft_tables_spec").toString
+    df.coalesce(1).write.mode("overwrite").parquet(s"$dir/events.parquet")
+    dir
+  }
+
+  private val wall = LocalDateTime.of(2024, 3, 1, 12, 34, 56, 789000000)
+
+  test("load(events) normalizes int64-nanos generation to TIMESTAMP_NTZ") {
+    val nanos = 1709296496L * 1000000000L + 789000000L // 2024-03-01T12:34:56.789 UTC
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", LongType)))
+    val df = spark.createDataFrame(
+      java.util.Arrays.asList(Row(1L, nanos)), schema)
+    val sfDir = stage(df)
+    val loaded = Tables.load(spark, sfDir, "events")
+    assert(loaded.schema("ts").dataType == TimestampNTZType)
+    val got = loaded.select("ts").head.getAs[LocalDateTime]("ts")
+    assert(got == wall)
+  }
+
+  test("load(events) passes timestamp[us] NTZ generation through unchanged") {
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", TimestampNTZType)))
+    val df = spark.createDataFrame(
+      java.util.Arrays.asList(Row(1L, wall)), schema)
+    val sfDir = stage(df)
+    val loaded = Tables.load(spark, sfDir, "events")
+    assert(loaded.schema("ts").dataType == TimestampNTZType)
+    assert(loaded.select("ts").head.getAs[LocalDateTime]("ts") == wall)
+  }
+
+  test("load(events) casts a TIMESTAMP_LTZ generation to NTZ (UTC session)") {
+    import spark.implicits._
+    // Spark writes TimestampType as isAdjustedToUTC=true micros — the LTZ arm.
+    val df = Seq((1L, Timestamp.valueOf("2024-03-01 12:34:56.789")))
+      .toDF("event_id", "ts")
+    val sfDir = stage(df)
+    val loaded = Tables.load(spark, sfDir, "events")
+    assert(loaded.schema("ts").dataType == TimestampNTZType)
+    assert(loaded.select("ts").head.getAs[LocalDateTime]("ts") == wall)
+  }
+
+  test("real driver testdata events loads with NTZ ts and non-null values") {
+    val loaded = Tables.events(spark, sf)
+    assert(loaded.schema("ts").dataType == TimestampNTZType)
+    assert(loaded.where(col("ts").isNotNull).limit(1).count() == 1L)
+  }
+}
