@@ -1470,6 +1470,19 @@ object SparkEntry {
         "n_tokens", budget = 15000L, out = "cum_tokens")
         .orderBy("doc_id")
     }),
+
+    // tau-VERIFIED fuzzy scrub: q108's pipeline with the estimated-Jaccard
+    // >= 0.8 gate between LSH banding and CC. At corpus scale a 4-slot band
+    // key WILL collide for dissimilar documents, and an unverified edge
+    // merges unrelated dup families into one cluster (silently deleting
+    // live docs); the gate re-reads only the int64 signatures already on
+    // the candidate pair — no text, the verify arm stays fixed-width.
+    "q121_fuzzy_scrub_tau" -> ((s, dir) => {
+      Dedup.fuzzyDedupKeepFirst(Tables.documents(s, dir), "doc_id", "text",
+        tau = Some(0.8))
+        .select("doc_id", "lang", "n_chars")
+        .orderBy("doc_id")
+    }),
   )
 
   /** Build-or-load the persisted IVF-PQ index for `dir` (q106). Cached
@@ -2965,5 +2978,25 @@ object SparkEntry {
         |FROM d)
         |SELECT doc_id, n_tokens, quality, cum_tokens
         |FROM c WHERE cum_tokens <= 15000 ORDER BY doc_id""".stripMargin,
+
+    "q121_fuzzy_scrub_tau" ->
+      // q108's cluster CTEs with the est-Jaccard >= 0.8 verification gate
+      // on the candidate pairs (fraction of equal signature slots, computed
+      // from the same sg signatures the banding used)
+      s"""WITH RECURSIVE $dBandedCtes,
+         |pairs AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |FROM banded a JOIN banded b ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+         |WHERE len(list_filter(range(1, 17),
+         |  i -> a.sig[CAST(i AS INTEGER)] = b.sig[CAST(i AS INTEGER)])) / 16.0 >= 0.8),
+         |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+         |UNION ALL SELECT id_b AS src, id_a AS dst FROM pairs),
+         |reach(id, m) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT e.src, r.m FROM edges e JOIN reach r ON r.id = e.dst),
+         |kept AS (SELECT id FROM reach GROUP BY id HAVING min(m) = id)
+         |SELECT d.doc_id, d.lang, d.n_chars
+         |FROM documents d JOIN kept k ON d.doc_id = k.id
+         |ORDER BY d.doc_id""".stripMargin,
   )
 }

@@ -319,13 +319,34 @@ object Dedup {
     * the kept-id set joins back as a LEFT SEMI join on the id, so document
     * text crosses the wire once and rows never duplicate. For deep dup
     * chains at extreme scale swap in [[connectedComponentsStar]] — same
-    * labels, O(log^2 n) rounds. */
-  def fuzzyDedupKeepFirst(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val pairs = lshCandidatePairs(docs, idCol, textCol).select("id_a", "id_b")
-    val kept = connectedComponents(docs.select(col(idCol).as("id")), pairs)
+    * labels, O(log^2 n) rounds.
+    *
+    * `tau`: optional similarity verification. LSH banding is a RECALL
+    * device — at 100 TB a band's 4-slot key WILL collide for dissimilar
+    * documents (birthday pressure across ~10^11 docs), and an unverified
+    * candidate edge merges two unrelated dup families into one cluster,
+    * silently deleting live documents. With `tau = Some(t)` a candidate
+    * pair becomes an edge only when its estimated Jaccard (fraction of
+    * equal MinHash slots, already computed by [[lshCandidatePairs]] from
+    * the int64 signatures — no text re-read, the verify arm stays
+    * fixed-width) is >= t. None preserves the historical
+    * every-candidate-is-an-edge behavior (q108/q110). */
+  def fuzzyDedupKeepFirst(docs: DataFrame, idCol: String, textCol: String,
+                          tau: Option[Double] = None): DataFrame = {
+    val kept = connectedComponents(docs.select(col(idCol).as("id")),
+        verifiedPairs(docs, idCol, textCol, tau))
       .where(col("id") === col("component"))
       .select(col("id").as(idCol))
     docs.join(kept, Seq(idCol), "left_semi")
+  }
+
+  /** LSH candidate pairs reduced to CC edges, with the optional
+    * estimated-Jaccard >= tau verification gate (see [[fuzzyDedupKeepFirst]]). */
+  private def verifiedPairs(docs: DataFrame, idCol: String, textCol: String,
+                            tau: Option[Double]): DataFrame = {
+    val cand = lshCandidatePairs(docs, idCol, textCol)
+    tau.fold(cand)(t => cand.where(col("est_jaccard") >= t))
+      .select("id_a", "id_b")
   }
 
   /** Quality-aware fuzzy dedup: keep the HIGHEST-`quality` document per
@@ -347,10 +368,10 @@ object Dedup {
     * giant dup family and dedup output is a handful of rows anyway);
     * the kept-id set left-semi-joins back, so text crosses the wire once. */
   def fuzzyDedupKeepBest(docs: DataFrame, idCol: String, textCol: String,
-                         quality: Column): DataFrame = {
-    val pairs = lshCandidatePairs(docs, idCol, textCol).select("id_a", "id_b")
+                         quality: Column, tau: Option[Double] = None): DataFrame = {
     val labels = connectedComponents(
-      docs.select(col(idCol).as("id")), pairs)
+      docs.select(col(idCol).as("id")),
+      verifiedPairs(docs, idCol, textCol, tau))
     val scored = docs.select(col(idCol).as("id"), quality.as("_q")).join(labels, "id")
     val w = Window.partitionBy("component").orderBy(col("_q").desc, col("id").asc)
     val kept = scored.withColumn("_rk", row_number().over(w))

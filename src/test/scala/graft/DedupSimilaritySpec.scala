@@ -561,6 +561,37 @@ class DedupSimilaritySpec extends SparkSuite {
     assert(again === Array(3L, 5L, 7L))
   }
 
+  test("tau gate: colliding-but-dissimilar pair is NOT merged; near-dup still is") {
+    import graft.operators.Dedup
+    // doc 4 shares base's first 8 tokens + a distinct tail: ONE signature
+    // band collides (so LSH emits the candidate pair) but only 6/16 slots
+    // match (est_jaccard 0.375) — the false-positive shape that merges
+    // unrelated dup families at corpus scale. doc 1 is a true near-dup
+    // (est 0.875). Values pinned by replicating the MinHash arithmetic
+    // offline; the assertions below re-derive them from lshCandidatePairs.
+    val collider = "the quick brown fox jumps over the lazy alpha0 bravo1 charlie2"
+    val corpus = Seq(
+      (0L, base), (1L, base.replace("village", "hamlet")), (3L, base),
+      (4L, collider)).toDF("doc_id", "text")
+    val est = Dedup.lshCandidatePairs(corpus, "doc_id", "text")
+      .as[(Long, Long, Double)].collect().map(p => (p._1, p._2) -> p._3).toMap
+    assert(est((0L, 4L)) === 0.375) // candidate exists, similarity is low
+    assert(est((0L, 1L)) === 0.875)
+    // no gate: the false edge deletes doc 4
+    val loose = Dedup.fuzzyDedupKeepFirst(corpus, "doc_id", "text")
+      .select("doc_id").as[Long].collect().sorted
+    assert(loose === Array(0L))
+    // tau=0.8: doc 4 survives, the true near-dups still merge
+    val gated = Dedup.fuzzyDedupKeepFirst(corpus, "doc_id", "text", tau = Some(0.8))
+      .select("doc_id").as[Long].collect().sorted
+    assert(gated === Array(0L, 4L))
+    // keep-best honors the same gate
+    val best = Dedup.fuzzyDedupKeepBest(corpus, "doc_id", "text",
+      org.apache.spark.sql.functions.length(col("text")), tau = Some(0.8))
+      .select("doc_id").as[Long].collect().sorted
+    assert(best.length === 2 && best.contains(4L))
+  }
+
   test("lineDedupInDoc drops intra-doc line repeats, keeps first occurrence in order") {
     import graft.operators.Dedup
     val docs = Seq(

@@ -126,6 +126,37 @@ class IngestStreamingSpec extends SparkSuite {
       ("2024-01-01 01:00:00", "click", 1L)))
   }
 
+  test("streaming windowed counts over the REAL events.parquet match batch (§2.11)") {
+    // The in-test synthesized events never caught the round-9 testdata type
+    // drift (int64-nanos -> timestamp[us]); this test pins the streaming path
+    // against the driver's actual file, normalized exactly as Tables.load does.
+    // the file-stream source requires a directory: stage the driver's file
+    // (same bytes) into a temp dir rather than synthesizing a substitute
+    val src = new java.io.File(s"$sf/events.parquet")
+    val dir = Files.createTempDirectory("graft_real_events").toString
+    Files.copy(src.toPath, java.nio.file.Path.of(dir, "events.parquet"))
+    val physical = spark.read.parquet(dir).schema
+    val stream = graft.meta.Tables.normalizeEventTs(
+      EventStreams.readFileStream(spark, dir, physical, maxFilesPerTrigger = 64))
+    assert(stream.isStreaming && stream.schema("ts").dataType == TimestampNTZType)
+    EventStreams.drainToMemory(
+      EventStreams.windowedCounts(stream, "ts", "1 hour"),
+      "real_win_counts", outputMode = "complete")
+    val got = spark.table("real_win_counts")
+      .select(col("window.start").cast("string").as("w"), col("event_type"),
+        col("n"), round(col("sum_value"), 4).as("sv"))
+      .orderBy("w", "event_type")
+      .as[(String, String, Long, Double)].collect()
+    val want = graft.meta.Tables.events(spark, sf)
+      .groupBy(window(col("ts").cast("timestamp"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+      .select(col("window.start").cast("string").as("w"), col("event_type"),
+        col("n"), round(col("sum_value"), 4).as("sv"))
+      .orderBy("w", "event_type")
+      .as[(String, String, Long, Double)].collect()
+    assert(got.nonEmpty && got === want)
+  }
+
   test("dropDuplicatesWithinWatermark dedups the replayed event (§2.11)") {
     val (dir, schema) = writeEventsParquet()
     val stream = EventStreams.readFileStream(spark, dir, schema)
