@@ -1483,6 +1483,37 @@ object SparkEntry {
         .select("doc_id", "lang", "n_chars")
         .orderBy("doc_id")
     }),
+
+    // TWO-GENERATION incremental dedup — the production contract across
+    // ingest waves: %3==0 docs are the initial corpus (index gen 0); wave 1
+    // = %3==1 docs + re-crawls of %9==0 (drop: gen-0 fingerprint); the
+    // index then GROWS by wave 1's survivors; wave 2 = %3==2 docs +
+    // re-crawls of %9==4 content (in the index ONLY via wave-1 growth —
+    // the second-generation drop q112 never exercised) + re-crawls of
+    // %9==0 again (gen-0 fingerprints still held). Output: survivors of
+    // both waves, wave-tagged.
+    "q122_incremental_two_waves" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      val seen0 = Dedup.fingerprints(d.where(col("doc_id") % 3 === 0), "text")
+      val wave1 = d.where(col("doc_id") % 3 === 1)
+        .unionByName(d.where(col("doc_id") % 9 === 0)
+          .withColumn("doc_id", col("doc_id") + 1000000L))
+      // detached: s1 feeds BOTH the output union and the grown index —
+      // without severing, the wave-1 anti-join subtree plans twice
+      val s1 = Relational.detach(
+        Dedup.incrementalDedupKeepFirst(wave1, "doc_id", "text", seen0))
+      val seen1 = Dedup.growFingerprints(seen0, s1, "text")
+      val wave2 = d.where(col("doc_id") % 3 === 2)
+        .unionByName(d.where(col("doc_id") % 9 === 4)
+          .withColumn("doc_id", col("doc_id") + 3000000L))
+        .unionByName(d.where(col("doc_id") % 9 === 0)
+          .withColumn("doc_id", col("doc_id") + 4000000L))
+      val s2 = Dedup.incrementalDedupKeepFirst(wave2, "doc_id", "text", seen1)
+      s1.select(lit(1L).as("wave"), col("doc_id"), col("lang"), col("n_chars"))
+        .unionByName(
+          s2.select(lit(2L).as("wave"), col("doc_id"), col("lang"), col("n_chars")))
+        .orderBy("wave", "doc_id")
+    }),
   )
 
   /** Build-or-load the persisted IVF-PQ index for `dir` (q106). Cached
@@ -2998,5 +3029,28 @@ object SparkEntry {
          |SELECT d.doc_id, d.lang, d.n_chars
          |FROM documents d JOIN kept k ON d.doc_id = k.id
          |ORDER BY d.doc_id""".stripMargin,
+
+    "q122_incremental_two_waves" ->
+      // q112's anti-join + keep-first arithmetic, run twice with the index
+      // grown by wave 1's survivors in between (fp1 = fp0 UNION s1 hashes)
+      s"""WITH fp0 AS (SELECT DISTINCT ${dhash("text")} AS h
+         |  FROM documents WHERE doc_id % 3 = 0),
+         |w1 AS (
+         |  SELECT doc_id, lang, n_chars, ${dhash("text")} AS h FROM documents WHERE doc_id % 3 = 1
+         |  UNION ALL SELECT doc_id + 1000000, lang, n_chars, ${dhash("text")} AS h FROM documents WHERE doc_id % 9 = 0),
+         |s1 AS (SELECT doc_id, lang, n_chars, h FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY h ORDER BY doc_id) AS rn
+         |  FROM w1 WHERE h NOT IN (SELECT h FROM fp0)) WHERE rn = 1),
+         |fp1 AS (SELECT h FROM fp0 UNION SELECT h FROM s1),
+         |w2 AS (
+         |  SELECT doc_id, lang, n_chars, ${dhash("text")} AS h FROM documents WHERE doc_id % 3 = 2
+         |  UNION ALL SELECT doc_id + 3000000, lang, n_chars, ${dhash("text")} AS h FROM documents WHERE doc_id % 9 = 4
+         |  UNION ALL SELECT doc_id + 4000000, lang, n_chars, ${dhash("text")} AS h FROM documents WHERE doc_id % 9 = 0),
+         |s2 AS (SELECT doc_id, lang, n_chars FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY h ORDER BY doc_id) AS rn
+         |  FROM w2 WHERE h NOT IN (SELECT h FROM fp1)) WHERE rn = 1)
+         |SELECT CAST(1 AS BIGINT) AS wave, doc_id, lang, n_chars FROM s1
+         |UNION ALL SELECT CAST(2 AS BIGINT) AS wave, doc_id, lang, n_chars FROM s2
+         |ORDER BY wave, doc_id""".stripMargin,
   )
 }

@@ -107,6 +107,14 @@ object Dedup {
     docs.select(expr(hashFrag(textCol)).as("h")).distinct()
   }
 
+  /** The between-waves step of the incremental-ingest contract:
+    * `index_{t+1} = index_t ∪ fingerprints(survivors_t)`. Parquet-persist
+    * the result between ingest batches; it grows with distinct documents,
+    * not ingested volume. The distinct is hash-keyed on the int64 `h` —
+    * text never enters this arm. */
+  def growFingerprints(seen: DataFrame, kept: DataFrame, textCol: String): DataFrame =
+    seen.select("h").unionByName(fingerprints(kept, textCol)).distinct()
+
   /** Incremental exact dedup for append-only ingest — the daily-crawl
     * production shape: drop every new document whose text fingerprint is
     * already in `seen` (the [[fingerprints]] of all previously ingested

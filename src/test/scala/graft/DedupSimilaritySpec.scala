@@ -592,6 +592,30 @@ class DedupSimilaritySpec extends SparkSuite {
     assert(best.length === 2 && best.contains(4L))
   }
 
+  test("incremental dedup across TWO generations: grown index drops wave-1 re-crawls") {
+    import graft.operators.Dedup
+    def doc(id: Long, t: String) = (id, t)
+    val gen0 = Seq(doc(0L, "alpha body"), doc(3L, "beta body")).toDF("doc_id", "text")
+    val seen0 = Dedup.fingerprints(gen0, "text")
+    // wave 1: new doc 10, re-crawl of gen-0 "alpha body" (drop), intra-batch dup of 10
+    val wave1 = Seq(doc(10L, "gamma body"), doc(11L, "alpha body"), doc(12L, "gamma body"))
+      .toDF("doc_id", "text")
+    val s1 = Dedup.incrementalDedupKeepFirst(wave1, "doc_id", "text", seen0)
+    assert(s1.select("doc_id").as[Long].collect().sorted === Array(10L))
+    // the index grows by wave 1's survivors...
+    val seen1 = Dedup.growFingerprints(seen0, s1, "text")
+    assert(seen1.count() === 3) // alpha, beta, gamma — distinct texts only
+    // ...so wave 2 drops a re-crawl of wave-1 content (NOT in gen 0),
+    // still drops gen-0 content, and admits the genuinely new doc
+    val wave2 = Seq(doc(20L, "delta body"), doc(21L, "gamma body"), doc(22L, "beta body"))
+      .toDF("doc_id", "text")
+    val s2 = Dedup.incrementalDedupKeepFirst(wave2, "doc_id", "text", seen1)
+    assert(s2.select("doc_id").as[Long].collect().sorted === Array(20L))
+    // control: against the UNGROWN index the wave-1 re-crawl would survive
+    val stale = Dedup.incrementalDedupKeepFirst(wave2, "doc_id", "text", seen0)
+    assert(stale.select("doc_id").as[Long].collect().sorted === Array(20L, 21L))
+  }
+
   test("lineDedupInDoc drops intra-doc line repeats, keeps first occurrence in order") {
     import graft.operators.Dedup
     val docs = Seq(
