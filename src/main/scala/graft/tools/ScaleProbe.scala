@@ -9,7 +9,8 @@ import org.apache.spark.sql.functions._
   * the bucketed-layout write/join cost split, and the funnel's
   * stages-cost-compute-not-shuffles claim (dev aid; measured numbers
   * land in BASELINE.md). Args select sections: `fill`, `skew`, `bucket`,
-  * `funnel`, `pq`, `spanscrub`, `fuzzydedup`, `legacy` (no args = all). */
+  * `funnel`, `pq`, `spanscrub`, `fuzzydedup`, `cleanscrub`, `packbudget`,
+  * `legacy` (no args = all). */
 object ScaleProbe {
   def main(args: Array[String]): Unit = {
     val sections: String => Boolean =
@@ -330,6 +331,41 @@ object ScaleProbe {
         Dedup.tokenSpanScrub(raw, "doc_id", "text", 10)))
       time2("tokenSpanScrub 16x (n=10)")(noop(
         Dedup.tokenSpanScrub(bigTok, "doc_id", "text", 10)))
+    }
+
+    // q118/q120 growth: chunkDocs' explode and selectByBudget's two-phase
+    // prefix sum on a 16x id-salted copy blowup (per-doc operators — copy
+    // blowup measures volume growth honestly; no cross-doc structure to
+    // preserve). The budget scales 16x with the corpus so the selected
+    // prefix stays proportional.
+    if (sections("packbudget")) {
+      import graft.operators.{Stats, TextAnalysis}
+      val raw = Tables.documents(spark, "/root/testdata/sf0.1").select("doc_id", "text")
+      val bigPath = "/tmp/graft_probe_pack16"
+      time("write 16x blowup (id-salted)")(
+        (0 until 16).map(i => raw.select(
+          (col("doc_id") + lit(i.toLong * 100000000L)).as("doc_id"), col("text")))
+          .reduce(_ union _).write.mode("overwrite").parquet(bigPath))
+      val big = spark.read.parquet(bigPath)
+      def time2(name: String)(f: => Unit): Unit = {
+        val ts = (1 to 2).map { _ =>
+          val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+        }
+        println(f"[probe] $name%-34s ${ts.min}%.2f s (min of 2)")
+      }
+      time2("chunkDocs  1x (128/16)")(noop(
+        TextAnalysis.chunkDocs(raw, "doc_id", "text", 128, 16)))
+      time2("chunkDocs 16x (128/16)")(noop(
+        TextAnalysis.chunkDocs(big, "doc_id", "text", 128, 16)))
+      def budgeted(d: org.apache.spark.sql.DataFrame, budget: Long) = {
+        val scored = d.select(col("doc_id"),
+          TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"),
+          TextAnalysis.qualityScore(col("text")).as("quality"))
+        Stats.selectByBudget(scored, Seq(col("quality").desc, col("doc_id").asc),
+          "n_tokens", budget, out = "cum_tokens")
+      }
+      time2("selectByBudget  1x (1.5M tok)")(noop(budgeted(raw, 1500000L)))
+      time2("selectByBudget 16x (24M tok)")(noop(budgeted(big, 24000000L)))
     }
 
     if (!sections("legacy")) { spark.stop(); return }
