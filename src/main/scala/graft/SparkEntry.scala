@@ -1514,6 +1514,28 @@ object SparkEntry {
           s2.select(lit(2L).as("wave"), col("doc_id"), col("lang"), col("n_chars")))
         .orderBy("wave", "doc_id")
     }),
+
+    // URL-level dedup audit — the first dedup stage of web pipelines
+    // (RefinedWeb exact-URL pass): synthesized crawl URLs carrying the
+    // classic variant noise (scheme case, www., trailing slash, utm
+    // params, fragments) collapse to one canonical form; report each
+    // canonical URL's variant count and its keep-first survivor.
+    "q123_url_dedup" -> ((s, dir) => {
+      val url = concat(
+        when(col("doc_id") % 2 === 0, lit("https://")).otherwise(lit("HTTP://")),
+        when(col("doc_id") % 5 === 0, lit("WWW.")).otherwise(lit("")),
+        col("source"), lit(".example.com/articles/"),
+        (col("doc_id") % 40).cast("string"),
+        when(col("doc_id") % 3 === 0, lit("/")).otherwise(lit("")),
+        when(col("doc_id") % 4 === 0, lit("?utm_source=feed&utm_medium=rss"))
+          .otherwise(lit("")),
+        when(col("doc_id") % 7 === 0, lit("#section-2")).otherwise(lit("")))
+      Tables.documents(s, dir)
+        .select(col("doc_id"), TextAnalysis.canonicalizeUrl(url).as("url_canon"))
+        .groupBy("url_canon")
+        .agg(count(lit(1)).as("n_docs"), min("doc_id").as("kept_doc"))
+        .orderBy("url_canon")
+    }),
   )
 
   /** Build-or-load the persisted IVF-PQ index for `dir` (q106). Cached
@@ -3052,5 +3074,27 @@ object SparkEntry {
          |SELECT CAST(1 AS BIGINT) AS wave, doc_id, lang, n_chars FROM s1
          |UNION ALL SELECT CAST(2 AS BIGINT) AS wave, doc_id, lang, n_chars FROM s2
          |ORDER BY wave, doc_id""".stripMargin,
+
+    "q123_url_dedup" ->
+      // same synthesized URLs; canonicalization rules applied in the same
+      // order as TextAnalysis.canonicalizeUrl (DuckDB regexp_replace needs
+      // the explicit 'g' flag where Spark's replaces all matches)
+      """WITH u AS (SELECT doc_id,
+        |  (CASE WHEN doc_id % 2 = 0 THEN 'https://' ELSE 'HTTP://' END) ||
+        |  (CASE WHEN doc_id % 5 = 0 THEN 'WWW.' ELSE '' END) ||
+        |  source || '.example.com/articles/' || CAST(doc_id % 40 AS VARCHAR) ||
+        |  (CASE WHEN doc_id % 3 = 0 THEN '/' ELSE '' END) ||
+        |  (CASE WHEN doc_id % 4 = 0 THEN '?utm_source=feed&utm_medium=rss' ELSE '' END) ||
+        |  (CASE WHEN doc_id % 7 = 0 THEN '#section-2' ELSE '' END) AS url
+        |  FROM documents),
+        |s0 AS (SELECT doc_id, regexp_replace(url, '^[Hh][Tt][Tt][Pp][Ss]?://', '') AS s FROM u),
+        |s1 AS (SELECT doc_id, regexp_replace(s, '^[Ww][Ww][Ww]\.', '') AS s FROM s0),
+        |s2 AS (SELECT doc_id, lower(regexp_extract(s, '^([^/?#]*)', 1)) ||
+        |  regexp_extract(s, '^[^/?#]*(.*)$', 1) AS s FROM s1),
+        |s3 AS (SELECT doc_id, regexp_replace(s, '#.*$', '') AS s FROM s2),
+        |s4 AS (SELECT doc_id, regexp_replace(s, '(utm_[a-z]+|fbclid|gclid)=[^&#]*&?', '', 'g') AS s FROM s3),
+        |s5 AS (SELECT doc_id, regexp_replace(regexp_replace(s, '[?&]+$', ''), '/$', '') AS url_canon FROM s4)
+        |SELECT url_canon, count(*) AS n_docs, min(doc_id) AS kept_doc
+        |FROM s5 GROUP BY url_canon ORDER BY url_canon""".stripMargin,
   )
 }

@@ -136,6 +136,23 @@ object Dedup {
     dedupKeepFirst(fresh, Seq("_h"), Seq(idCol)).drop("_h")
   }
 
+  /** URL-level dedup: keep the smallest-id document per canonical URL
+    * ([[graft.operators.TextAnalysis.canonicalizeUrl]]) — the stage web
+    * pipelines run BEFORE any text dedup (RefinedWeb §3.2's exact-URL
+    * pass): recrawls of one page under scheme/www/tracking-param variants
+    * collapse without touching document text at all.
+    *
+    * Scale shape: one keep-first window keyed on the canonical string's
+    * int64 [[hashFrag]] — the exchange carries (hash, id), never the URL
+    * or the text. */
+  def urlDedupKeepFirst(docs: DataFrame, idCol: String, urlCol: String): DataFrame = {
+    graft.functions.GraftFunctions.registerAll(docs.sparkSession)
+    val canon = docs.withColumn("_canon",
+      graft.operators.TextAnalysis.canonicalizeUrl(col(urlCol)))
+      .withColumn("_uh", expr(hashFrag("_canon"))).drop("_canon")
+    dedupKeepFirst(canon, Seq("_uh"), Seq(idCol)).drop("_uh")
+  }
+
   /** Exact-duplicate cluster stats by an arbitrary fingerprint column. */
   def duplicateStats(df: DataFrame, fp: Column, out: String = "fingerprint"): DataFrame =
     df.groupBy(fp.as(out)).agg(count(lit(1)).as("n_docs"))

@@ -600,6 +600,30 @@ object TextAnalysis {
     trim(regexp_replace(decoded, "\\s+", " "))
   }
 
+  /** Canonical URL form for URL-level dedup — the FIRST dedup stage of
+    * web-corpus pipelines (RefinedWeb §3.2 dedups by exact URL before any
+    * text pass; CCNet groups shards the same way): the same page is
+    * crawled as `http://` and `https://`, with and without `www.`, with
+    * tracking params and fragments appended — all one document. Rules, in
+    * order: drop the scheme (any case), drop a leading `www.`, lowercase
+    * the HOST ONLY (paths are case-sensitive), strip the `#fragment`,
+    * strip tracking params (`utm_*`, `fbclid`, `gclid`) with their
+    * separator, strip dangling `?`/`&`, strip one trailing slash.
+    * Pure codegen'd regexp chain — zero shuffles; the dedup that follows
+    * keys on this canonical string (or its int64 [[Dedup.fingerprints]]
+    * hash at corpus scale, so the wide arm never carries URLs). */
+  def canonicalizeUrl(url: Column): Column = {
+    val noScheme = regexp_replace(url, "^[Hh][Tt][Tt][Pp][Ss]?://", "")
+    val noWww = regexp_replace(noScheme, "^[Ww][Ww][Ww]\\.", "")
+    val hostLower = concat(
+      lower(regexp_extract(noWww, "^([^/?#]*)", 1)),
+      regexp_extract(noWww, "^[^/?#]*(.*)$", 1))
+    val noFrag = regexp_replace(hostLower, "#.*$", "")
+    val noTrack = regexp_replace(noFrag, "(utm_[a-z]+|fbclid|gclid)=[^&#]*&?", "")
+    val noDangle = regexp_replace(noTrack, "[?&]+$", "")
+    regexp_replace(noDangle, "/$", "")
+  }
+
   /** Markup-strip TRANSFORM over a corpus: (idCol, n_tags, clean_text),
     * one row per document — [[stripMarkup]] plus the tag count (the
     * extraction-health signal: a "text" column averaging hundreds of tags

@@ -237,6 +237,44 @@ class TextAnalysisSpec extends SparkSuite {
     assert(out(4L) === ((0L, "")))
   }
 
+  test("canonicalizeUrl: scheme/www/case/fragment/tracking/slash variants collapse") {
+    val canon = Seq(
+      1L -> "https://www.Example.com/Articles/12/",
+      2L -> "HTTP://EXAMPLE.COM/Articles/12?utm_source=feed&utm_medium=rss",
+      3L -> "http://example.com/Articles/12#section-2",
+      4L -> "https://example.com/Articles/12?utm_campaign=x",
+      // NOT variants of the same page:
+      5L -> "https://example.com/articles/12",     // path case differs
+      6L -> "https://example.com/Articles/12?id=7" // real param survives
+    ).toDF("doc_id", "url")
+      .select(col("doc_id"), TextAnalysis.canonicalizeUrl(col("url")).as("c"))
+      .as[(Long, String)].collect().toMap
+    assert(canon(1L) === "example.com/Articles/12")
+    assert(canon(2L) === "example.com/Articles/12")
+    assert(canon(3L) === "example.com/Articles/12")
+    assert(canon(4L) === "example.com/Articles/12")
+    assert(canon(5L) === "example.com/articles/12")
+    assert(canon(6L) === "example.com/Articles/12?id=7")
+    // mid-query tracking param drops cleanly, real params keep their glue
+    val mid = Seq(7L -> "https://h.com/p?a=1&utm_source=x&b=2")
+      .toDF("doc_id", "url")
+      .select(TextAnalysis.canonicalizeUrl(col("url"))).head().getString(0)
+    assert(mid === "h.com/p?a=1&b=2")
+  }
+
+  test("urlDedupKeepFirst keeps the smallest-id doc per canonical URL") {
+    import graft.operators.Dedup
+    val docs = Seq(
+      (10L, "https://www.site.com/a", "ten"),
+      (11L, "HTTP://site.com/a/", "eleven"),      // variant of 10: dropped
+      (12L, "https://site.com/b", "twelve"),
+      (13L, "https://site.com/a?utm_source=x", "thirteen") // variant of 10
+    ).toDF("doc_id", "url", "text")
+    val kept = Dedup.urlDedupKeepFirst(docs, "doc_id", "url")
+    assert(kept.columns.toSeq === Seq("doc_id", "url", "text"))
+    assert(kept.select("doc_id").as[Long].collect().sorted === Array(10L, 12L))
+  }
+
   test("charClassStats counts control/replacement/non-ascii; keep gates on them") {
     val rows = TextAnalysis.charClassStats(
       Seq(
