@@ -1536,6 +1536,15 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_docs"), min("doc_id").as("kept_doc"))
         .orderBy("url_canon")
     }),
+
+    // SimHash Hamming-ball near-dup pairs (Manku banding): candidates from
+    // 4 equi-joins on 4-bit fingerprint blocks (pigeonhole covers hamming
+    // <= 1 exactly — never all-pairs), then the exact bit_count verify.
+    "q124_simhash_neardup" -> ((s, dir) => {
+      Dedup.simhashNearDupPairs(Tables.documents(s, dir), "doc_id", "text",
+        maxHamming = 1)
+        .orderBy("id_a", "id_b")
+    }),
   )
 
   /** Build-or-load the persisted IVF-PQ index for `dir` (q106). Cached
@@ -3096,5 +3105,22 @@ object SparkEntry {
         |s5 AS (SELECT doc_id, regexp_replace(regexp_replace(s, '[?&]+$', ''), '/$', '') AS url_canon FROM s4)
         |SELECT url_canon, count(*) AS n_docs, min(doc_id) AS kept_doc
         |FROM s5 GROUP BY url_canon ORDER BY url_canon""".stripMargin,
+
+    "q124_simhash_neardup" ->
+      // q25's simhash CTE verbatim, then Manku banding: 4-bit blocks via
+      // shift+mask, candidates share a block, exact bit_count(xor) verify
+      s"""WITH th AS (SELECT doc_id, list_transform(string_split(text, ' '), s -> ${dhash("s")}) AS hs FROM documents),
+         |sh AS (SELECT doc_id, CAST(list_sum(list_transform(range(0, 16),
+         |b -> CASE WHEN list_sum(list_transform(hs,
+         |h -> CASE WHEN (h // CAST(pow(2, b) AS BIGINT)) % 2 = 1 THEN 1 ELSE -1 END)) >= 0
+         |THEN CAST(pow(2, b) AS BIGINT) ELSE 0 END)) AS BIGINT) AS simhash FROM th),
+         |banded AS (SELECT doc_id, simhash, b.band AS band,
+         |  (simhash >> (b.band * 4)) & 15 AS bkey
+         |  FROM sh CROSS JOIN (SELECT unnest(range(0, 4)) AS band) b),
+         |pairs AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+         |    CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+         |  FROM banded a JOIN banded b ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id)
+         |SELECT id_a, id_b, hamming FROM pairs WHERE hamming <= 1
+         |ORDER BY id_a, id_b""".stripMargin,
   )
 }

@@ -58,6 +58,24 @@ class DedupSimilaritySpec extends SparkSuite {
     assert(hamming01 < hamming02, s"near-dup hamming $hamming01 !< unrelated $hamming02")
   }
 
+  test("simhashNearDupPairs: banding finds all pairs within the hamming bound") {
+    // brute-force ground truth over the fixture corpus: banding must
+    // surface EXACTLY the pairs the pigeonhole bound guarantees
+    val sh = Dedup.simhash(docs, "doc_id", "text")
+      .orderBy("doc_id").as[(Long, Long)].collect().toMap
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    val ids = sh.keys.toSeq.sorted
+    val want = (for {
+      i <- ids; j <- ids if i < j && ham(sh(i), sh(j)) <= 1
+    } yield (i, j, ham(sh(i), sh(j)).toLong)).sorted
+    val got = Dedup.simhashNearDupPairs(docs, "doc_id", "text", maxHamming = 1)
+      .orderBy("id_a", "id_b").as[(Long, Long, Long)].collect().toSeq
+    assert(got === want)
+    assert(got.contains((0L, 3L, 0L))) // the exact dup is hamming 0
+    intercept[IllegalArgumentException](
+      Dedup.simhashNearDupPairs(docs, "doc_id", "text", maxHamming = 4))
+  }
+
   test("duplicateStats finds exact-dup clusters by fingerprint") {
     val stats = Dedup.duplicateStats(docs, md5(col("text")))
     val rows = stats.as[(String, Long)].collect()
