@@ -1521,20 +1521,23 @@ object SparkEntry {
     // params, fragments) collapse to one canonical form; report each
     // canonical URL's variant count and its keep-first survivor.
     "q123_url_dedup" -> ((s, dir) => {
-      val url = concat(
-        when(col("doc_id") % 2 === 0, lit("https://")).otherwise(lit("HTTP://")),
-        when(col("doc_id") % 5 === 0, lit("WWW.")).otherwise(lit("")),
-        col("source"), lit(".example.com/articles/"),
-        (col("doc_id") % 40).cast("string"),
-        when(col("doc_id") % 3 === 0, lit("/")).otherwise(lit("")),
-        when(col("doc_id") % 4 === 0, lit("?utm_source=feed&utm_medium=rss"))
-          .otherwise(lit("")),
-        when(col("doc_id") % 7 === 0, lit("#section-2")).otherwise(lit("")))
       Tables.documents(s, dir)
-        .select(col("doc_id"), TextAnalysis.canonicalizeUrl(url).as("url_canon"))
+        .select(col("doc_id"), TextAnalysis.canonicalizeUrl(crawlUrl).as("url_canon"))
         .groupBy("url_canon")
         .agg(count(lit(1)).as("n_docs"), min("doc_id").as("kept_doc"))
         .orderBy("url_canon")
+    }),
+
+    // Domain-level curation (C4 badlist / RefinedWeb per-domain stage):
+    // per-host doc counts, exact-fingerprint dup fraction, and a keep
+    // verdict (not blocklisted AND dup_frac <= 0.5) over the synthesized
+    // crawl URLs. Hosts, not documents, are the curation unit here.
+    "q125_host_stats" -> ((s, dir) => {
+      TextAnalysis.hostQualityStats(
+        Tables.documents(s, dir).withColumn("url", crawlUrl),
+        "url", "text",
+        blocklist = Seq("src0.example.com"), maxDupFrac = 0.5)
+        .orderBy("host")
     }),
 
     // SimHash Hamming-ball near-dup pairs (Manku banding): candidates from
@@ -1546,6 +1549,20 @@ object SparkEntry {
         .orderBy("id_a", "id_b")
     }),
   )
+
+  /** Synthesized crawl URL shared by q123/q125 — the classic variant noise
+    * (scheme case, www., trailing slash, tracking params, fragments) over
+    * a stable (source, doc_id % 40) page identity. One definition so the
+    * two queries (and their oracles) can never disagree on the corpus. */
+  private def crawlUrl: Column = concat(
+    when(col("doc_id") % 2 === 0, lit("https://")).otherwise(lit("HTTP://")),
+    when(col("doc_id") % 5 === 0, lit("WWW.")).otherwise(lit("")),
+    col("source"), lit(".example.com/articles/"),
+    (col("doc_id") % 40).cast("string"),
+    when(col("doc_id") % 3 === 0, lit("/")).otherwise(lit("")),
+    when(col("doc_id") % 4 === 0, lit("?utm_source=feed&utm_medium=rss"))
+      .otherwise(lit("")),
+    when(col("doc_id") % 7 === 0, lit("#section-2")).otherwise(lit("")))
 
   /** Build-or-load the persisted IVF-PQ index for `dir` (q106). Cached
     * under the JVM temp dir, keyed by the data dir path, so Verify and
@@ -3122,5 +3139,29 @@ object SparkEntry {
          |  FROM banded a JOIN banded b ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id)
          |SELECT id_a, id_b, hamming FROM pairs WHERE hamming <= 1
          |ORDER BY id_a, id_b""".stripMargin,
+
+    "q125_host_stats" ->
+      // q123's URL synthesis; host = scheme/www-stripped lowercase
+      // authority; dup fraction from exact dhash fingerprints per host
+      s"""WITH u AS (SELECT doc_id, text,
+         |  (CASE WHEN doc_id % 2 = 0 THEN 'https://' ELSE 'HTTP://' END) ||
+         |  (CASE WHEN doc_id % 5 = 0 THEN 'WWW.' ELSE '' END) ||
+         |  source || '.example.com/articles/' || CAST(doc_id % 40 AS VARCHAR) ||
+         |  (CASE WHEN doc_id % 3 = 0 THEN '/' ELSE '' END) ||
+         |  (CASE WHEN doc_id % 4 = 0 THEN '?utm_source=feed&utm_medium=rss' ELSE '' END) ||
+         |  (CASE WHEN doc_id % 7 = 0 THEN '#section-2' ELSE '' END) AS url
+         |  FROM documents),
+         |h AS (SELECT regexp_replace(lower(regexp_extract(
+         |    regexp_replace(url, '^[A-Za-z][A-Za-z0-9+.-]*://', ''),
+         |    '^([^/?#]*)', 1)), '^www\\.', '') AS host, text FROM u),
+         |g AS (SELECT host, count(*) AS n_docs,
+         |  count(DISTINCT ${dhash("text")}) AS n_unique,
+         |  round(avg(CAST(length(text) AS BIGINT)), 6) AS avg_chars
+         |  FROM h GROUP BY host),
+         |d AS (SELECT host, n_docs, n_unique, avg_chars,
+         |  round(1.0 - CAST(n_unique AS DOUBLE) / CAST(n_docs AS DOUBLE), 6) AS dup_frac FROM g)
+         |SELECT host, n_docs, n_unique, avg_chars, dup_frac,
+         |  (host NOT IN ('src0.example.com')) AND dup_frac <= 0.5 AS keep
+         |FROM d ORDER BY host""".stripMargin,
   )
 }

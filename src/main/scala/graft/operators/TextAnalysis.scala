@@ -624,6 +624,47 @@ object TextAnalysis {
     regexp_replace(noDangle, "/$", "")
   }
 
+  /** Canonical host of a URL: scheme and a leading `www.` stripped,
+    * lowercased. The grouping key for domain-level corpus curation. */
+  def hostOf(url: Column): Column =
+    regexp_replace(
+      lower(regexp_extract(
+        regexp_replace(url, "^[A-Za-z][A-Za-z0-9+.-]*://", ""),
+        "^([^/?#]*)", 1)),
+      "^www\\.", "")
+
+  /** Domain-level curation stats — the C4 badlist / RefinedWeb per-domain
+    * stage: pretraining pipelines drop whole HOSTS (link farms, template
+    * mills), not just documents, because a domain whose pages are mostly
+    * mutual duplicates poisons dedup-survivor sampling. Per host: doc
+    * count, distinct-text count (exact int64 fingerprints), the dup
+    * fraction, mean document length, and a keep verdict = host not on
+    * `blocklist` AND dup_frac <= `maxDupFrac`.
+    *
+    * Scale shape: one hash-partitioned aggregate keyed on the host; the
+    * distinct-text count rides the same exchange as (host, fingerprint)
+    * pairs — int64s, never text. The blocklist is a literal predicate
+    * (codegen'd `isin`); at a real blocklist's size (~100k hosts) swap in
+    * a broadcast anti-join — same output, documented lever. */
+  def hostQualityStats(docs: DataFrame, urlCol: String, textCol: String,
+                       blocklist: Seq[String] = Nil,
+                       maxDupFrac: Double = 0.5): DataFrame = {
+    graft.functions.GraftFunctions.registerAll(docs.sparkSession)
+    val dupFrac = round(lit(1.0) -
+      col("n_unique").cast("double") / col("n_docs").cast("double"), 6)
+    docs
+      .select(hostOf(col(urlCol)).as("host"),
+        expr(graft.operators.Dedup.hashFrag(textCol)).as("_fp"),
+        length(col(textCol)).cast("long").as("_len"))
+      .groupBy("host")
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("_fp")).as("n_unique"),
+        round(avg(col("_len")), 6).as("avg_chars"))
+      .withColumn("dup_frac", dupFrac)
+      .withColumn("keep",
+        (!col("host").isin(blocklist: _*)) && col("dup_frac") <= maxDupFrac)
+  }
+
   /** Markup-strip TRANSFORM over a corpus: (idCol, n_tags, clean_text),
     * one row per document — [[stripMarkup]] plus the tag count (the
     * extraction-health signal: a "text" column averaging hundreds of tags

@@ -275,6 +275,32 @@ class TextAnalysisSpec extends SparkSuite {
     assert(kept.select("doc_id").as[Long].collect().sorted === Array(10L, 12L))
   }
 
+  test("hostQualityStats: per-host dup fraction; blocklist and dup farms dropped") {
+    import graft.operators.TextAnalysis
+    val docs = Seq(
+      // good.com: 3 distinct pages
+      (1L, "https://good.com/a", "alpha text"),
+      (2L, "https://www.GOOD.com/b", "beta text"),
+      (3L, "http://good.com/c", "gamma text"),
+      // farm.com: 4 docs, 1 distinct text -> dup_frac 0.75 > 0.5
+      (4L, "https://farm.com/p1", "same template"),
+      (5L, "https://farm.com/p2", "same template"),
+      (6L, "https://farm.com/p3", "same template"),
+      (7L, "https://farm.com/p4", "same template"),
+      // blocked.com: clean but blocklisted
+      (8L, "https://blocked.com/x", "unique enough")
+    ).toDF("doc_id", "url", "text")
+    val out = TextAnalysis.hostQualityStats(docs, "url", "text",
+      blocklist = Seq("blocked.com"), maxDupFrac = 0.5)
+      .orderBy("host")
+      .select("host", "n_docs", "n_unique", "dup_frac", "keep")
+      .as[(String, Long, Long, Double, Boolean)].collect()
+    assert(out === Array(
+      ("blocked.com", 1L, 1L, 0.0, false),
+      ("farm.com", 4L, 1L, 0.75, false),
+      ("good.com", 3L, 3L, 0.0, true)))
+  }
+
   test("charClassStats counts control/replacement/non-ascii; keep gates on them") {
     val rows = TextAnalysis.charClassStats(
       Seq(
