@@ -33,6 +33,10 @@ object GraftFunctions {
   /** Fused 16-bit SimHash over token hashes (see [[SimHash]]). */
   def simhash16(s: Column, k: Int = 16): Column = col(SimHash(ex(s.cast("string")), k))
 
+  /** Full-width 64-bit SimHash — the scale-path fingerprint (see
+    * [[SimHash64]]; not oracle-reproducible). */
+  def simhash64(s: Column): Column = col(SimHash64(ex(s.cast("string"))))
+
   /** Element-wise mean of an embedding column — single-pass, map-side
     * combinable centroid aggregate (see [[VectorAvg]]). */
   def vector_avg(v: Column): Column =
@@ -114,6 +118,7 @@ object GraftFunctions {
     "cosine_similarity" -> (es => CosineSimilarity(es(0), es(1))),
     "minhash_sig" -> (es => MinHashSig(asString(es.head), literalK(es, 16))),
     "simhash16" -> (es => SimHash(asString(es.head), literalK(es, 16))),
+    "simhash64" -> (es => SimHash64(asString(es.head))),
     // Aggregates register as their raw AggregateFunction — the analyzer
     // wraps them into AggregateExpressions at use sites.
     "vector_avg" -> (es => VectorAvg(es.head)),

@@ -96,6 +96,50 @@ object TextSketches {
     while (b < k) { if (votes(b) >= 0) out |= (1L << b); b += 1 }
     out
   }
+
+  /** Wide (full-64-bit-entropy) token hash: the poly-31 fold on wrapping
+    * long arithmetic, finished with the splitmix64 avalanche so every one
+    * of the 64 bits is uniform. NOT DuckDB-reproducible (wrapping-long
+    * semantics) — this is the scale-path hash [[simhash64]] votes on;
+    * [[tokenHash]]'s mod-1e9+7 value has only ~30 usable bits, which is
+    * fine for the 16-bit oracle-parity fingerprint but starves a 64-bit
+    * one. */
+  private def tokenHash64(s: String): Long = {
+    var acc = 1125899906842597L
+    var j = 0
+    while (j < s.length) {
+      val cp = s.codePointAt(j)
+      acc = acc * 31 + cp
+      j += Character.charCount(cp)
+    }
+    var z = acc
+    z ^= (z >>> 30); z *= 0xbf58476d1ce4e5b9L
+    z ^= (z >>> 27); z *= 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+
+  /** Full-width 64-bit SimHash — the 100-TB fingerprint
+    * ([[simhash]]'s 16-bit form keeps DuckDB-oracle parity; this one
+    * feeds 16-bit-block Manku banding where a 4-bit block key would
+    * collide constantly). Same vote rule over [[tokenHash64]] bits. */
+  def simhash64(text: UTF8String): Long = {
+    val toks = text.toString.split(" ", -1)
+    val votes = new Array[Int](64)
+    var t = 0
+    while (t < toks.length) {
+      val h = tokenHash64(toks(t))
+      var b = 0
+      while (b < 64) {
+        if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+        b += 1
+      }
+      t += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < 64) { if (votes(b) >= 0) out |= (1L << b); b += 1 }
+    out
+  }
 }
 
 /** `minhash_sig(text)` — 16-slot MinHash signature, fused kernel. */
@@ -109,6 +153,19 @@ case class MinHashSig(child: Expression, k: Int = 16) extends UnaryExpression {
     TextSketches.minhashSig(input.asInstanceOf[UTF8String], k)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, c => s"graft.functions.TextSketches.minhashSig($c, $k)")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** `simhash64(text)` — full-width 64-bit SimHash (scale-path fingerprint,
+  * not oracle-reproducible; see [[TextSketches.simhash64]]). */
+case class SimHash64(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "simhash64"
+  override protected def nullSafeEval(input: Any): Any =
+    TextSketches.simhash64(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextSketches.simhash64($c)")
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }

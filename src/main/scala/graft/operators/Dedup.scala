@@ -584,10 +584,29 @@ object Dedup {
     * [[lshCandidatePairs]]. */
   def simhashNearDupPairs(df: DataFrame, idCol: String, textCol: String,
                           maxHamming: Int = 1, bitsPerBand: Int = 4,
-                          nBands: Int = 4): DataFrame = {
+                          nBands: Int = 4): DataFrame =
+    bandedHammingPairs(Relational.detach(simhash(df, idCol, textCol)),
+      idCol, maxHamming, bitsPerBand, nBands)
+
+  /** [[simhashNearDupPairs]] on the full-width 64-bit fingerprint
+    * ([[graft.functions.SimHash64]]) with 16-bit blocks — the 100-TB
+    * variant: a 16-bit block key has 65536 values, so band buckets stay
+    * small where the oracle-parity 4-bit blocks (16 values) would funnel
+    * the corpus into a handful of quadratic buckets. Not oracle-
+    * reproducible (wrapping-long token hash); pinned by the unit suite
+    * against brute-force ground truth instead. */
+  def simhashNearDupPairs64(df: DataFrame, idCol: String, textCol: String,
+                            maxHamming: Int = 3): DataFrame = {
+    val sh = Relational.detach(df.select(col(idCol),
+      graft.functions.GraftFunctions.simhash64(col(textCol)).as("simhash")))
+    bandedHammingPairs(sh, idCol, maxHamming, bitsPerBand = 16, nBands = 4)
+  }
+
+  /** Shared Manku banding over a precomputed (idCol, simhash) frame. */
+  private def bandedHammingPairs(sh: DataFrame, idCol: String, maxHamming: Int,
+                                 bitsPerBand: Int, nBands: Int): DataFrame = {
     require(maxHamming >= 0 && maxHamming < nBands,
       s"pigeonhole needs maxHamming < nBands, got $maxHamming >= $nBands")
-    val sh = Relational.detach(simhash(df, idCol, textCol))
     val mask = (1L << bitsPerBand) - 1
     val banded = sh.select(col(idCol), col("simhash"),
       explode(expr(

@@ -9,7 +9,7 @@ import org.apache.spark.sql.functions._
   * the bucketed-layout write/join cost split, and the funnel's
   * stages-cost-compute-not-shuffles claim (dev aid; measured numbers
   * land in BASELINE.md). Args select sections: `fill`, `skew`, `bucket`,
-  * `funnel`, `pq`, `spanscrub`, `fuzzydedup`, `cleanscrub`, `packbudget`,
+  * `funnel`, `pq`, `spanscrub`, `fuzzydedup`, `cleanscrub`, `packbudget`, `simhashband`,
   * `legacy` (no args = all). */
 object ScaleProbe {
   def main(args: Array[String]): Unit = {
@@ -331,6 +331,44 @@ object ScaleProbe {
         Dedup.tokenSpanScrub(raw, "doc_id", "text", 10)))
       time2("tokenSpanScrub 16x (n=10)")(noop(
         Dedup.tokenSpanScrub(bigTok, "doc_id", "text", 10)))
+    }
+
+    // q124 growth: Manku banding with the oracle-parity 16-bit fingerprint
+    // (4-bit blocks, 16 key values) vs the scale-path 64-bit fingerprint
+    // (16-bit blocks, 65536 values) on 1x and a 16x token-salted blowup.
+    // The narrow block key funnels the corpus into a handful of quadratic
+    // buckets as it grows; the wide key's buckets stay small — this is the
+    // measured argument for simhashNearDupPairs64 at 100 TB.
+    if (sections("simhashband")) {
+      import graft.operators.Dedup
+      val raw = Tables.documents(spark, "/root/testdata/sf0.1").select("doc_id", "text")
+      val tokPath = "/tmp/graft_probe_sh16"
+      time("write 16x blowup (token-salted)")(
+        (0 until 16).map(i => raw.select(
+          (col("doc_id") + lit(i.toLong * 100000000L)).as("doc_id"),
+          concat_ws(" ", transform(split(col("text"), " "),
+            t => concat(lit(s"c$i"), t))).as("text")))
+          .reduce(_ union _).write.mode("overwrite").parquet(tokPath))
+      val big = spark.read.parquet(tokPath)
+      def time2(name: String)(f: => Unit): Unit = {
+        val ts = (1 to 2).map { _ =>
+          val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+        }
+        println(f"[probe] $name%-34s ${ts.min}%.2f s (min of 2)")
+      }
+      def count16(d: org.apache.spark.sql.DataFrame) =
+        Dedup.simhashNearDupPairs(d, "doc_id", "text", maxHamming = 1).count()
+      def count64(d: org.apache.spark.sql.DataFrame) =
+        Dedup.simhashNearDupPairs64(d, "doc_id", "text", maxHamming = 3).count()
+      var n = 0L
+      time2("simhash16/4-bit bands  1x") { n = count16(raw) }
+      println(s"[probe]   pairs(16-bit, 1x) = $n")
+      time2("simhash16/4-bit bands 16x") { n = count16(big) }
+      println(s"[probe]   pairs(16-bit, 16x) = $n")
+      time2("simhash64/16-bit bands  1x") { n = count64(raw) }
+      println(s"[probe]   pairs(64-bit, 1x) = $n")
+      time2("simhash64/16-bit bands 16x") { n = count64(big) }
+      println(s"[probe]   pairs(64-bit, 16x) = $n")
     }
 
     // q118/q120 growth: chunkDocs' explode and selectByBudget's two-phase

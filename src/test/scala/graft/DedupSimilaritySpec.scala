@@ -76,6 +76,26 @@ class DedupSimilaritySpec extends SparkSuite {
       Dedup.simhashNearDupPairs(docs, "doc_id", "text", maxHamming = 4))
   }
 
+  test("simhash64: full-width entropy; wide banding matches brute force") {
+    import graft.functions.GraftFunctions
+    val sh = docs.select(col("doc_id"), GraftFunctions.simhash64(col("text")).as("s"))
+      .as[(Long, Long)].collect().toMap
+    assert(sh(0L) === sh(3L)) // exact dup
+    // the 16-bit kernel's hash starves bits >= 30; the wide one must not —
+    // the high 32 bits carry real signal on every fingerprint here
+    assert(sh.values.forall(v => (v >>> 32) != 0L && (v >>> 32) != 0xffffffffL))
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(sh(0L), sh(1L)) < ham(sh(0L), sh(2L))) // near-dup closer than unrelated
+    val ids = sh.keys.toSeq.sorted
+    val want = (for {
+      i <- ids; j <- ids if i < j && ham(sh(i), sh(j)) <= 3
+    } yield (i, j, ham(sh(i), sh(j)).toLong)).sorted
+    val got = Dedup.simhashNearDupPairs64(docs, "doc_id", "text", maxHamming = 3)
+      .orderBy("id_a", "id_b").as[(Long, Long, Long)].collect().toSeq
+    assert(got === want)
+    assert(got.contains((0L, 3L, 0L)))
+  }
+
   test("duplicateStats finds exact-dup clusters by fingerprint") {
     val stats = Dedup.duplicateStats(docs, md5(col("text")))
     val rows = stats.as[(String, Long)].collect()
