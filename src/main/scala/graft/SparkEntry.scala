@@ -1548,6 +1548,23 @@ object SparkEntry {
         maxHamming = 1)
         .orderBy("id_a", "id_b")
     }),
+
+    // Corpus snapshot diff (corpus versioning): old = %4 in {0,1,2}, new
+    // = %4 in {1,2,3} with %4==1 re-rendered — so 0->removed, 1->changed,
+    // 2->unchanged, 3->added. Only added+changed re-enter the expensive
+    // clean/dedup/embed stages; removed ids evict from indexes.
+    "q126_corpus_diff" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      val oldGen = d.where(col("doc_id") % 4 =!= 3)
+      val newGen = d.where(col("doc_id") % 4 =!= 0)
+        .withColumn("text",
+          when(col("doc_id") % 4 === 1, concat(col("text"), lit(" updated")))
+            .otherwise(col("text")))
+      Dedup.corpusDiff(oldGen, newGen, "doc_id", "text")
+        .groupBy("status")
+        .agg(count(lit(1)).as("n_docs"), min("doc_id").as("first_id"))
+        .orderBy("status")
+    }),
   )
 
   /** Synthesized crawl URL shared by q123/q125 — the classic variant noise
@@ -3163,5 +3180,20 @@ object SparkEntry {
          |SELECT host, n_docs, n_unique, avg_chars, dup_frac,
          |  (host NOT IN ('src0.example.com')) AND dup_frac <= 0.5 AS keep
          |FROM d ORDER BY host""".stripMargin,
+
+    "q126_corpus_diff" ->
+      // full outer join on the id; changed = dhash(text) differs
+      s"""WITH o AS (SELECT doc_id, text FROM documents WHERE doc_id % 4 != 3),
+         |n AS (SELECT doc_id,
+         |  CASE WHEN doc_id % 4 = 1 THEN text || ' updated' ELSE text END AS text
+         |  FROM documents WHERE doc_id % 4 != 0),
+         |d AS (SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+         |  CASE WHEN o.doc_id IS NULL THEN 'added'
+         |       WHEN n.doc_id IS NULL THEN 'removed'
+         |       WHEN ${dhash("o.text")} = ${dhash("n.text")} THEN 'unchanged'
+         |       ELSE 'changed' END AS status
+         |  FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id)
+         |SELECT status, count(*) AS n_docs, min(doc_id) AS first_id
+         |FROM d GROUP BY status ORDER BY status""".stripMargin,
   )
 }

@@ -153,6 +153,33 @@ object Dedup {
     dedupKeepFirst(canon, Seq("_uh"), Seq(idCol)).drop("_uh")
   }
 
+  /** Corpus snapshot diff — the corpus-versioning primitive: given two
+    * generations of a document table, classify every id as `added`
+    * (new only), `removed` (old only), `changed` (both, text fingerprint
+    * differs — a re-crawl that actually re-rendered), or `unchanged`.
+    * Training-data pipelines gate re-processing on exactly this: only
+    * `added`+`changed` flow into the (expensive) clean/dedup/embed stages,
+    * `removed` ids flow to index eviction.
+    *
+    * Scale shape: both sides reduce to (id, int64 fingerprint) map-side —
+    * text never shuffles — then ONE full outer equi-join on the id.
+    * Output: (id, status). */
+  def corpusDiff(oldDocs: DataFrame, newDocs: DataFrame,
+                 idCol: String, textCol: String): DataFrame = {
+    graft.functions.GraftFunctions.registerAll(oldDocs.sparkSession)
+    def fp(d: DataFrame, side: String) =
+      d.select(col(idCol).as(s"_id_$side"),
+        expr(hashFrag(textCol)).as(s"_h_$side"))
+    fp(oldDocs, "old").join(fp(newDocs, "new"),
+        col("_id_old") === col("_id_new"), "full_outer")
+      .select(
+        coalesce(col("_id_old"), col("_id_new")).as(idCol),
+        when(col("_id_old").isNull, lit("added"))
+          .when(col("_id_new").isNull, lit("removed"))
+          .when(col("_h_old") === col("_h_new"), lit("unchanged"))
+          .otherwise(lit("changed")).as("status"))
+  }
+
   /** Exact-duplicate cluster stats by an arbitrary fingerprint column. */
   def duplicateStats(df: DataFrame, fp: Column, out: String = "fingerprint"): DataFrame =
     df.groupBy(fp.as(out)).agg(count(lit(1)).as("n_docs"))

@@ -630,6 +630,18 @@ class DedupSimilaritySpec extends SparkSuite {
     assert(best.length === 2 && best.contains(4L))
   }
 
+  test("corpusDiff classifies added/removed/changed/unchanged by id + fingerprint") {
+    import graft.operators.Dedup
+    val oldGen = Seq((1L, "stable text"), (2L, "will change"), (3L, "will vanish"))
+      .toDF("doc_id", "text")
+    val newGen = Seq((1L, "stable text"), (2L, "has changed"), (4L, "brand new"))
+      .toDF("doc_id", "text")
+    val got = Dedup.corpusDiff(oldGen, newGen, "doc_id", "text")
+      .orderBy("doc_id").as[(Long, String)].collect()
+    assert(got === Array((1L, "unchanged"), (2L, "changed"),
+      (3L, "removed"), (4L, "added")))
+  }
+
   test("incremental dedup across TWO generations: grown index drops wave-1 re-crawls") {
     import graft.operators.Dedup
     def doc(id: Long, t: String) = (id, t)
