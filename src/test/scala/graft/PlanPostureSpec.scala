@@ -139,6 +139,37 @@ class PlanPostureSpec extends SparkSuite {
     assert(shuffleCount(gopher) === 0, s"gopherQualityFlags shuffled:\n$gopher")
   }
 
+  test("canonicalizeUrl is a zero-shuffle projection; urlDedup windows on the hash (q123 shape)") {
+    val docs = graft.meta.Tables.documents(spark, sf)
+      .select(col("doc_id"),
+        concat(lit("https://www.h"), col("doc_id") % 50,
+          lit(".com/p?utm_source=x")).as("url"), col("text"))
+    val canon = executedPlan(docs.select(
+      graft.operators.TextAnalysis.canonicalizeUrl(col("url")).as("c")))
+    assert(shuffleCount(canon) === 0, s"canonicalizeUrl shuffled:\n$canon")
+    // the dedup's only exchange is the keep-first window keyed on the
+    // canonical's int64 hash — never a second one for the join-back (none
+    // exists: the window runs in place) and never a single-partition sort
+    val dedup = executedPlan(graft.operators.Dedup.urlDedupKeepFirst(
+      docs, "doc_id", "url"))
+    assert(shuffleCount(dedup) === 1, s"urlDedup should shuffle once:\n$dedup")
+    assert(!dedup.contains("SinglePartition"), s"global sort in urlDedup:\n$dedup")
+  }
+
+  test("corpusDiff reduces both sides to (id, hash) BEFORE its single join (q126 shape)") {
+    val d = graft.meta.Tables.documents(spark, sf)
+    val plan = executedPlan(graft.operators.Dedup.corpusDiff(
+      d.where(col("doc_id") % 2 === 0), d.where(col("doc_id") % 2 === 1),
+      "doc_id", "text"))
+    // one exchange per join side, nothing else — and the shuffled columns
+    // are the projected (id, fingerprint) pair, so `text` must not appear
+    // in any Exchange's output schema
+    assert(shuffleCount(plan) === 2, s"corpusDiff should shuffle once per side:\n$plan")
+    val shuffledText = plan.linesIterator
+      .filter(_.contains("Exchange hashpartitioning")).exists(_.contains("text"))
+    assert(!shuffledText, s"document text crossed the wire in corpusDiff:\n$plan")
+  }
+
   test("exact dedup plans one keyed shuffle, no global sort (q21 shape)") {
     val plan = executedPlan(graft.operators.Dedup.dedupKeepFirst(
       graft.meta.Tables.documents(spark, sf), Seq("text"), Seq("doc_id")))
