@@ -165,6 +165,30 @@ class IngestStreamingSpec extends SparkSuite {
     assert(spark.table("dedup_stream").count() === 4) // 5 rows, 1 dup dropped
   }
 
+  test("streaming URL dedup: canonical-URL variants dedup within the watermark (§2.11)") {
+    // The streaming twin of Dedup.urlDedupKeepFirst: canonicalizeUrl is a
+    // stateless projection, so it composes onto the stream before the
+    // keyed dropDuplicatesWithinWatermark — recrawl variants of one page
+    // arriving inside the horizon dedup in flight.
+    val dir = Files.createTempDirectory("graft_stream_url").toString
+    val df = Seq(
+      (1L, "2024-01-01 00:01:00", "https://www.site.com/a"),
+      (2L, "2024-01-01 00:02:00", "HTTP://site.com/a/"),            // dup of 1
+      (3L, "2024-01-01 00:03:00", "https://site.com/b"),
+      (4L, "2024-01-01 00:04:00", "https://site.com/a?utm_source=x") // dup of 1
+    ).toDF("event_id", "ts_s", "url")
+      .withColumn("ts", col("ts_s").cast("timestamp")).drop("ts_s")
+    df.coalesce(1).write.mode("overwrite").parquet(dir)
+    val stream = EventStreams.readFileStream(spark, dir, df.schema)
+      .withColumn("url_canon",
+        graft.operators.TextAnalysis.canonicalizeUrl(col("url")))
+    val dd = EventStreams.dedupWithinWatermark(stream, "ts", Seq("url_canon"))
+    EventStreams.drainToMemory(dd, "url_dedup_stream")
+    val kept = spark.table("url_dedup_stream")
+      .select("url_canon").as[String].collect().sorted
+    assert(kept === Array("site.com/a", "site.com/b"))
+  }
+
   test("mapGroupsWithState carries per-user counts across micro-batches (§2.11)") {
     val dir = Files.createTempDirectory("graft_state").toString
     Seq((7L, 1.0), (7L, 2.0), (9L, 3.0)).toDF("user_id", "value")
