@@ -59,6 +59,23 @@ object KernelProperties extends Properties("graft.kernels") {
     h >= 0 && h < (1L << k)
   }
 
+  // SimHash votes sum over the token multiset — a commutative reduction —
+  // so token ORDER must never change the fingerprint (the law that makes
+  // the fingerprint robust to sentence reordering, its design point).
+  private val tokensGen: Gen[List[String]] =
+    Gen.nonEmptyListOf(Gen.nonEmptyListOf(Gen.alphaNumChar).map(_.mkString))
+
+  property("simhash64.tokenOrderInvariant") = forAll(tokensGen) { toks =>
+    val a = TextSketches.simhash64(UTF8String.fromString(toks.mkString(" ")))
+    val b = TextSketches.simhash64(UTF8String.fromString(toks.reverse.mkString(" ")))
+    a == b
+  }
+
+  property("simhash.tokenOrderInvariant16") = forAll(tokensGen) { toks =>
+    TextSketches.simhash(UTF8String.fromString(toks.mkString(" ")), 16) ==
+      TextSketches.simhash(UTF8String.fromString(toks.sorted.mkString(" ")), 16)
+  }
+
   private val tensorGen: Gen[(Array[Float], Array[Int])] = for {
     h <- Gen.choose(1, 8)
     w <- Gen.choose(1, 8)

@@ -275,6 +275,28 @@ class TextAnalysisSpec extends SparkSuite {
     assert(kept.select("doc_id").as[Long].collect().sorted === Array(10L, 12L))
   }
 
+  test("canonicalizeUrl is idempotent over the synthesized crawl corpus") {
+    // canon(canon(u)) == canon(u): a canonical form that keeps moving under
+    // re-application would split dedup groups between pipeline stages that
+    // canonicalize at different times.
+    import graft.operators.TextAnalysis.canonicalizeUrl
+    val urls = graft.meta.Tables.documents(spark, sf).select(concat(
+      when(col("doc_id") % 2 === 0, lit("https://")).otherwise(lit("HTTP://")),
+      when(col("doc_id") % 5 === 0, lit("WWW.")).otherwise(lit("")),
+      col("source"), lit(".example.com/articles/"),
+      (col("doc_id") % 40).cast("string"),
+      when(col("doc_id") % 3 === 0, lit("/")).otherwise(lit("")),
+      when(col("doc_id") % 4 === 0, lit("?utm_source=feed&utm_medium=rss"))
+        .otherwise(lit("")),
+      when(col("doc_id") % 7 === 0, lit("#section-2")).otherwise(lit("")))
+      .as("url"))
+    val moved = urls
+      .select(canonicalizeUrl(col("url")).as("c1"))
+      .select(col("c1"), canonicalizeUrl(col("c1")).as("c2"))
+      .where(col("c1") =!= col("c2"))
+    assert(moved.count() === 0L)
+  }
+
   test("hostQualityStats: per-host dup fraction; blocklist and dup farms dropped") {
     import graft.operators.TextAnalysis
     val docs = Seq(
