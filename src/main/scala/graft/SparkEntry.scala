@@ -1565,6 +1565,23 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_docs"), min("doc_id").as("first_id"))
         .orderBy("status")
     }),
+
+    // Normalized exact dedup: every 6th doc re-enters as a SHOUTING
+    // re-render (upper-case + '!!!' + doubled spaces). Raw fingerprints
+    // miss these; dedup on the normalized form collapses them — survivors
+    // are exactly the original corpus. The Dolma/RefinedWeb pre-dedup
+    // normalization demonstrated end-to-end.
+    "q127_normalized_dedup" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      val shouting = d.where(col("doc_id") % 6 === 0)
+        .withColumn("doc_id", col("doc_id") + 1000000L)
+        .withColumn("text", concat(upper(col("text")), lit("!!!  ")))
+      val corpus = d.unionByName(shouting)
+        .withColumn("_norm", TextAnalysis.normalizeForDedup(col("text")))
+      Dedup.dedupKeepFirst(corpus, Seq("_norm"), Seq("doc_id"))
+        .select("doc_id", "lang", "n_chars")
+        .orderBy("doc_id")
+    }),
   )
 
   /** Synthesized crawl URL shared by q123/q125 — the classic variant noise
@@ -3195,5 +3212,18 @@ object SparkEntry {
          |  FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id)
          |SELECT status, count(*) AS n_docs, min(doc_id) AS first_id
          |FROM d GROUP BY status ORDER BY status""".stripMargin,
+
+    "q127_normalized_dedup" ->
+      // same shouting re-renders; normalization term-for-term with
+      // TextAnalysis.normalizeForDedup (DuckDB regexp_replace needs 'g')
+      """WITH c AS (
+        |  SELECT doc_id, lang, n_chars, text FROM documents
+        |  UNION ALL SELECT doc_id + 1000000, lang, n_chars, upper(text) || '!!!  '
+        |  FROM documents WHERE doc_id % 6 = 0),
+        |n AS (SELECT doc_id, lang, n_chars,
+        |  trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'), ' +', ' ', 'g')) AS norm FROM c),
+        |k AS (SELECT doc_id, lang, n_chars,
+        |  row_number() OVER (PARTITION BY norm ORDER BY doc_id) AS rn FROM n)
+        |SELECT doc_id, lang, n_chars FROM k WHERE rn = 1 ORDER BY doc_id""".stripMargin,
   )
 }

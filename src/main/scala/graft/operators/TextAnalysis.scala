@@ -624,6 +624,17 @@ object TextAnalysis {
     regexp_replace(noDangle, "/$", "")
   }
 
+  /** Dedup-normalization — the canonical text form production dedup
+    * fingerprints on (Dolma's and RefinedWeb's exact-dedup stages
+    * lowercase and strip punctuation first): lowercase, non-alphanumeric
+    * runs to single spaces, whitespace collapsed, trimmed. Case and
+    * punctuation re-renders of one page ("Hello, World!" vs "hello
+    * world") collapse to one fingerprint; raw-text exact dedup misses
+    * them. Pure codegen projection — compose UNDER [[graft.operators.
+    * Dedup.fingerprints]]/`dedupKeepFirst`, never a shuffle of its own. */
+  def normalizeForDedup(text: Column): Column =
+    trim(regexp_replace(regexp_replace(lower(text), "[^a-z0-9]+", " "), " +", " "))
+
   /** Canonical host of a URL: scheme and a leading `www.` stripped,
     * lowercased. The grouping key for domain-level corpus curation. */
   def hostOf(url: Column): Column =

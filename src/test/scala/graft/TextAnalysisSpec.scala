@@ -275,6 +275,24 @@ class TextAnalysisSpec extends SparkSuite {
     assert(kept.select("doc_id").as[Long].collect().sorted === Array(10L, 12L))
   }
 
+  test("normalizeForDedup: case/punct/ws re-renders collapse; distinct texts don't") {
+    import graft.operators.TextAnalysis.normalizeForDedup
+    val got = Seq(
+      1L -> "Hello, World!",
+      2L -> "hello   world",
+      3L -> "HELLO WORLD!!!  ",
+      4L -> "hello worlds" // genuinely different
+    ).toDF("id", "t").select(col("id"), normalizeForDedup(col("t")).as("n"))
+      .as[(Long, String)].collect().toMap
+    assert(got(1L) === "hello world" && got(2L) === "hello world"
+      && got(3L) === "hello world")
+    assert(got(4L) === "hello worlds")
+    // idempotent: already-normal text is a fixed point
+    val again = Seq("hello world").toDF("t")
+      .select(normalizeForDedup(col("t"))).head().getString(0)
+    assert(again === "hello world")
+  }
+
   test("canonicalizeUrl is idempotent over the synthesized crawl corpus") {
     // canon(canon(u)) == canon(u): a canonical form that keeps moving under
     // re-application would split dedup groups between pipeline stages that
