@@ -1582,6 +1582,21 @@ object SparkEntry {
         .select("doc_id", "lang", "n_chars")
         .orderBy("doc_id")
     }),
+
+    // Shingle containment (quote/excerpt detection): every 8th doc spawns
+    // a 12-token excerpt at the adjacent id; containment flags it at 1.0
+    // where Jaccard (~10/|full|) never would. Asymmetric near-dup — the
+    // report symmetric dedup is blind to.
+    "q128_containment" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      val base = d.select((col("doc_id") * 10).as("doc_id"), col("text"))
+      val quotes = d.where(col("doc_id") % 8 === 0)
+        .select((col("doc_id") * 10 + 1).as("doc_id"),
+          concat_ws(" ", slice(split(col("text"), " "), 1, 12)).as("text"))
+      Dedup.containmentWithinGap(base.unionByName(quotes), "doc_id", "text", 1L)
+        .where(col("cont_a_in_b") >= 0.9 || col("cont_b_in_a") >= 0.9)
+        .orderBy("id_a", "id_b")
+    }),
   )
 
   /** Synthesized crawl URL shared by q123/q125 — the classic variant noise
@@ -3225,5 +3240,24 @@ object SparkEntry {
         |k AS (SELECT doc_id, lang, n_chars,
         |  row_number() OVER (PARTITION BY norm ORDER BY doc_id) AS rn FROM n)
         |SELECT doc_id, lang, n_chars FROM k WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+
+    "q128_containment" ->
+      // q26's intersect arithmetic over the same quote-seeded corpus;
+      // containment divides by each side's own shingle count
+      s"""WITH base AS (
+         |  SELECT doc_id * 10 AS doc_id, text FROM documents
+         |  UNION ALL SELECT doc_id * 10 + 1,
+         |    array_to_string((string_split(text, ' '))[1:12], ' ')
+         |  FROM documents WHERE doc_id % 8 = 0),
+         |hs AS (SELECT doc_id, ${dShingleHashes("text")} AS hashes FROM base),
+         |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |  round(CAST(len(list_filter(a.hashes, h -> list_contains(b.hashes, h))) AS DOUBLE) /
+         |    CAST(len(a.hashes) AS DOUBLE), 6) AS cont_a_in_b,
+         |  round(CAST(len(list_filter(a.hashes, h -> list_contains(b.hashes, h))) AS DOUBLE) /
+         |    CAST(len(b.hashes) AS DOUBLE), 6) AS cont_b_in_a
+         |  FROM hs a JOIN hs b ON b.doc_id > a.doc_id AND b.doc_id <= a.doc_id + 1)
+         |SELECT id_a, id_b, cont_a_in_b, cont_b_in_a FROM p
+         |WHERE cont_a_in_b >= 0.9 OR cont_b_in_a >= 0.9
+         |ORDER BY id_a, id_b""".stripMargin,
   )
 }

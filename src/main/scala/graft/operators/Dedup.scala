@@ -540,6 +540,34 @@ object Dedup {
           .as("jaccard"))
   }
 
+  /** Shingle CONTAINMENT for candidate pairs within an id gap — the
+    * asymmetric companion to [[jaccardWithinGap]]: containment(a in b) =
+    * |shingles(a) ∩ shingles(b)| / |shingles(a)|. Quote/excerpt detection
+    * runs on this, not Jaccard — a 12-token excerpt embedded in a 500-token
+    * page has containment 1.0 but Jaccard ~0.02, so symmetric dedup never
+    * sees it (Broder 1997 distinguishes resemblance from containment for
+    * exactly this case). Emits both directions per pair.
+    *
+    * Scale shape: identical to [[jaccardWithinGap]] — the materialized
+    * hash table feeds a bucketed equi-join on floor(id/gap) with
+    * successor-bucket replication (never a nested-loop range join), and
+    * the pair arm carries int64 hash arrays, not text. */
+  def containmentWithinGap(df: DataFrame, idCol: String, textCol: String,
+                           maxGap: Long): DataFrame = {
+    val hs = shingleHashTable(df, idCol, textCol)
+    val a = hs.select(col(idCol).as("id_a"), col("hashes").as("h_a"),
+      floor(col(idCol) / maxGap).as("bk"))
+    val b = hs.select(col(idCol).as("id_b"), col("hashes").as("h_b"),
+      explode(array(floor(col(idCol) / maxGap), floor(col(idCol) / maxGap) - 1)).as("bk"))
+    a.join(b, "bk")
+      .where(col("id_b") > col("id_a") && col("id_b") <= col("id_a") + maxGap)
+      .select(col("id_a"), col("id_b"),
+        round(expr("size(array_intersect(h_a, h_b)) / CAST(size(h_a) AS DOUBLE)"), 6)
+          .as("cont_a_in_b"),
+        round(expr("size(array_intersect(h_a, h_b)) / CAST(size(h_b) AS DOUBLE)"), 6)
+          .as("cont_b_in_a"))
+  }
+
   /** Fuzzy near-duplicate pairs by bounded edit distance, with TWO-PASS
     * prefix blocking as the candidate generator: documents are compared when
     * they share their first `prefixLen` characters OR the first `prefixLen`

@@ -49,6 +49,27 @@ class DedupSimilaritySpec extends SparkSuite {
     assert(j((0L, 2L)) === 0.0)
   }
 
+  test("containment flags an excerpt at 1.0 where jaccard stays low") {
+    val full = "the quick brown fox jumps over the lazy dog while rain falls " +
+      "softly on quiet village roofs and children watch from warm windows"
+    val quote = "the quick brown fox jumps over"          // contiguous excerpt
+    val corpus = Seq((10L, full), (11L, quote),
+      (20L, "entirely different text about spark adaptive query execution plans"))
+      .toDF("doc_id", "text")
+    val c = Dedup.containmentWithinGap(corpus, "doc_id", "text", 1)
+      .as[(Long, Long, Double, Double)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4))).toMap
+    // quote (id 11, the b side) is fully contained in full (id 10)
+    assert(c((10L, 11L))._2 === 1.0)
+    // ...but the full doc is NOT contained in the quote
+    assert(c((10L, 11L))._1 < 0.25)
+    // symmetric jaccard on the same pair is low — the signal containment adds
+    val j = Dedup.jaccardWithinGap(corpus, "doc_id", "text", 1)
+      .as[(Long, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    assert(j((10L, 11L)) < 0.25)
+  }
+
   test("simhash: equal for dups, close hamming for near-dups") {
     val sh = Dedup.simhash(docs, "doc_id", "text")
       .orderBy("doc_id").as[(Long, Long)].collect().map(_._2)
