@@ -1597,6 +1597,25 @@ object SparkEntry {
         .where(col("cont_a_in_b") >= 0.9 || col("cont_b_in_a") >= 0.9)
         .orderBy("id_a", "id_b")
     }),
+
+    // Per-language Zipf fit — the corpus-health metric (natural language
+    // sits near slope -1; template/boilerplate corpora flatten, spam
+    // steepens): token frequencies ranked within language, then
+    // log-log least squares via one-pass regr_slope/regr_r2. The rank
+    // window partitions by lang over the DISTINCT token set — bounded by
+    // |vocabulary| like the E1 label-code window, never corpus-sized.
+    "q129_zipf_slope" -> ((s, dir) => {
+      val tok = Tables.documents(s, dir)
+        .select(col("lang"), explode(split(col("text"), " ")).as("tok"))
+      val freq = tok.groupBy("lang", "tok").agg(count(lit(1)).as("freq"))
+      val ranked = freq.withColumn("rank", row_number().over(
+        Window.partitionBy("lang").orderBy(col("freq").desc, col("tok"))))
+      ranked.groupBy("lang").agg(
+        count(lit(1)).as("n_types"),
+        round(expr("regr_slope(ln(freq), ln(rank))"), 6).as("zipf_slope"),
+        round(expr("regr_r2(ln(freq), ln(rank))"), 6).as("fit_r2"))
+        .orderBy("lang")
+    }),
   )
 
   /** Synthesized crawl URL shared by q123/q125 — the classic variant noise
@@ -3259,5 +3278,17 @@ object SparkEntry {
          |SELECT id_a, id_b, cont_a_in_b, cont_b_in_a FROM p
          |WHERE cont_a_in_b >= 0.9 OR cont_b_in_a >= 0.9
          |ORDER BY id_a, id_b""".stripMargin,
+
+    "q129_zipf_slope" ->
+      // same rank-within-lang + log-log regression; regr_slope/regr_r2
+      // take (y, x) in both engines
+      """WITH t AS (SELECT lang, unnest(string_split(text, ' ')) AS tok FROM documents),
+        |f AS (SELECT lang, tok, count(*) AS freq FROM t GROUP BY lang, tok),
+        |r AS (SELECT lang, freq,
+        |  row_number() OVER (PARTITION BY lang ORDER BY freq DESC, tok) AS rank FROM f)
+        |SELECT lang, count(*) AS n_types,
+        |  round(regr_slope(ln(freq), ln(rank)), 6) AS zipf_slope,
+        |  round(regr_r2(ln(freq), ln(rank)), 6) AS fit_r2
+        |FROM r GROUP BY lang ORDER BY lang""".stripMargin,
   )
 }
