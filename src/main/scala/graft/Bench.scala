@@ -25,8 +25,11 @@ object Bench {
       // late-alphabet queries evict+recompile their codegen on EVERY pass
       // — q88's large projection paid ~6 s/pass of janino time in one
       // 89-query run (12.0 s min-of-2 vs 0.8 s standalone). Size the cache
-      // to the suite.
-      .config("spark.sql.codegen.cache.maxEntries", "8000")
+      // to the suite: the rule is "comfortably ABOVE the suite's generated-
+      // class count" — 8000 was set for a 102-query suite and the r10
+      // driver run showed the eviction signature again at 129 queries
+      // (q13 4.61 s in-suite vs 0.47 s standalone).
+      .config("spark.sql.codegen.cache.maxEntries", "16000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Warm the JVM/codegen/parquet-reader paths so the first measured query

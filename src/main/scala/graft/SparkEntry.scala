@@ -3255,7 +3255,7 @@ object SparkEntry {
         |  UNION ALL SELECT doc_id + 1000000, lang, n_chars, upper(text) || '!!!  '
         |  FROM documents WHERE doc_id % 6 = 0),
         |n AS (SELECT doc_id, lang, n_chars,
-        |  trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'), ' +', ' ', 'g')) AS norm FROM c),
+        |  trim(regexp_replace(regexp_replace(lower(text), '[^\p{L}\p{N}]+', ' ', 'g'), ' +', ' ', 'g')) AS norm FROM c),
         |k AS (SELECT doc_id, lang, n_chars,
         |  row_number() OVER (PARTITION BY norm ORDER BY doc_id) AS rn FROM n)
         |SELECT doc_id, lang, n_chars FROM k WHERE rn = 1 ORDER BY doc_id""".stripMargin,

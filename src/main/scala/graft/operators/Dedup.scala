@@ -96,24 +96,46 @@ object Dedup {
     df.withColumn("_rn", row_number().over(w)).where(col("_rn") === 1).drop("_rn")
   }
 
-  /** Exact-fingerprint table of a corpus: one distinct int64 `h` per
-    * document text (the poly-31 fold, DuckDB-reproducible) — the
-    * persisted state [[incrementalDedupKeepFirst]] dedups against.
-    * Parquet-persist this between ingest batches and union+distinct the
-    * batch's fresh fingerprints back in: the index grows with DISTINCT
-    * documents, not ingested volume. */
-  def fingerprints(docs: DataFrame, textCol: String): DataFrame = {
+  /** 128-bit fingerprint of a string column: two independent xxhash64
+    * folds (seed-split by a golden-ratio salt) packed as a struct — the
+    * SCALE-PATH key for every exact-dedup operator here. The oracle-parity
+    * poly-31 fold ([[hashFrag]]) lives mod 1e9+7, ~30 usable bits: by the
+    * birthday bound collisions hit ~50% at sqrt(1e9) ≈ 38k distinct keys,
+    * so at corpus scale two DISTINCT documents share a hash and one is
+    * silently deleted. 128 bits pushes the 50% point past 1.8e19 keys
+    * (~10^-18 collision odds at 10^10 docs) — safe at any real corpus.
+    * Struct keys join/distinct/window like scalars; the wide arm carries
+    * 16 bytes instead of 8, never the text. Not DuckDB-reproducible
+    * (xxhash64): the narrow fold stays the oracle-parity mode. */
+  def wideFingerprint(c: Column): Column =
+    struct(xxhash64(c).as("h1"), xxhash64(c, lit(0x9E3779B97F4A7CL)).as("h2"))
+
+  /** Exact-fingerprint table of a corpus: one distinct fingerprint `h` per
+    * document text — the persisted state [[incrementalDedupKeepFirst]]
+    * dedups against. Parquet-persist this between ingest batches and
+    * union+distinct the batch's fresh fingerprints back in: the index
+    * grows with DISTINCT documents, not ingested volume.
+    *
+    * `wide = false` (default): int64 poly-31 fold, DuckDB-reproducible but
+    * ~30 usable bits — ORACLE-PARITY ONLY (50% collision odds at ~38k
+    * distinct texts). `wide = true`: the 128-bit [[wideFingerprint]]
+    * struct — the production key at corpus scale. */
+  def fingerprints(docs: DataFrame, textCol: String, wide: Boolean = false): DataFrame = {
     graft.functions.GraftFunctions.registerAll(docs.sparkSession)
-    docs.select(expr(hashFrag(textCol)).as("h")).distinct()
+    val fp = if (wide) wideFingerprint(col(textCol)) else expr(hashFrag(textCol))
+    docs.select(fp.as("h")).distinct()
   }
 
   /** The between-waves step of the incremental-ingest contract:
     * `index_{t+1} = index_t ∪ fingerprints(survivors_t)`. Parquet-persist
     * the result between ingest batches; it grows with distinct documents,
     * not ingested volume. The distinct is hash-keyed on the int64 `h` —
-    * text never enters this arm. */
-  def growFingerprints(seen: DataFrame, kept: DataFrame, textCol: String): DataFrame =
-    seen.select("h").unionByName(fingerprints(kept, textCol)).distinct()
+    * text never enters this arm. `wide` must match the mode `seen` was
+    * built with ([[fingerprints]]' collision caveat applies: narrow is
+    * oracle-parity only, wide is the corpus-scale key). */
+  def growFingerprints(seen: DataFrame, kept: DataFrame, textCol: String,
+                       wide: Boolean = false): DataFrame =
+    seen.select("h").unionByName(fingerprints(kept, textCol, wide)).distinct()
 
   /** Incremental exact dedup for append-only ingest — the daily-crawl
     * production shape: drop every new document whose text fingerprint is
@@ -125,13 +147,17 @@ object Dedup {
     * transformWithState: state = seen set, new keys pass, seen keys drop.
     *
     * Scale shape: the anti join and the keep-first window both key on the
-    * int64 fingerprint — text never shuffles (the fingerprint is computed
-    * map-side); `seen` is a one-column long table, broadcast by AQE when
-    * small, plain shuffle join when the index outgrows the threshold. */
+    * fingerprint — text never shuffles (the fingerprint is computed
+    * map-side); `seen` is a one-column fingerprint table, broadcast by AQE
+    * when small, plain shuffle join when the index outgrows the threshold.
+    * `wide = true` keys on the 128-bit [[wideFingerprint]] (the corpus-
+    * scale mode; `seen` must be built with the same flag) — the narrow
+    * int64 default is oracle-parity only (see [[fingerprints]]). */
   def incrementalDedupKeepFirst(newDocs: DataFrame, idCol: String, textCol: String,
-                                seen: DataFrame): DataFrame = {
+                                seen: DataFrame, wide: Boolean = false): DataFrame = {
     graft.functions.GraftFunctions.registerAll(newDocs.sparkSession)
-    val hashed = newDocs.withColumn("_h", expr(hashFrag(textCol)))
+    val fp = if (wide) wideFingerprint(col(textCol)) else expr(hashFrag(textCol))
+    val hashed = newDocs.withColumn("_h", fp)
     val fresh = hashed.join(seen.select(col("h").as("_h")), Seq("_h"), "left_anti")
     dedupKeepFirst(fresh, Seq("_h"), Seq(idCol)).drop("_h")
   }
@@ -143,14 +169,20 @@ object Dedup {
     * collapse without touching document text at all.
     *
     * Scale shape: one keep-first window keyed on the canonical string's
-    * int64 [[hashFrag]] — the exchange carries (hash, id), never the URL
-    * or the text. */
-  def urlDedupKeepFirst(docs: DataFrame, idCol: String, urlCol: String): DataFrame = {
+    * fingerprint — the exchange carries (hash, id), never the URL or the
+    * text. `wide = true` (the production mode) keys on the 128-bit
+    * [[wideFingerprint]]; the narrow int64 default is oracle-parity only —
+    * at ~38k distinct canonical URLs the poly-31 fold hits 50% collision
+    * odds and a live page would be silently deleted (see
+    * [[fingerprints]]). */
+  def urlDedupKeepFirst(docs: DataFrame, idCol: String, urlCol: String,
+                        wide: Boolean = false): DataFrame = {
     graft.functions.GraftFunctions.registerAll(docs.sparkSession)
     val canon = docs.withColumn("_canon",
       graft.operators.TextAnalysis.canonicalizeUrl(col(urlCol)))
-      .withColumn("_uh", expr(hashFrag("_canon"))).drop("_canon")
-    dedupKeepFirst(canon, Seq("_uh"), Seq(idCol)).drop("_uh")
+    val fp = if (wide) wideFingerprint(col("_canon")) else expr(hashFrag("_canon"))
+    val hashed = canon.withColumn("_uh", fp).drop("_canon")
+    dedupKeepFirst(hashed, Seq("_uh"), Seq(idCol)).drop("_uh")
   }
 
   /** Corpus snapshot diff — the corpus-versioning primitive: given two
@@ -641,7 +673,7 @@ object Dedup {
                           maxHamming: Int = 1, bitsPerBand: Int = 4,
                           nBands: Int = 4): DataFrame =
     bandedHammingPairs(Relational.detach(simhash(df, idCol, textCol)),
-      idCol, maxHamming, bitsPerBand, nBands)
+      idCol, maxHamming, bitsPerBand, nBands, fingerprintBits = 16)
 
   /** [[simhashNearDupPairs]] on the full-width 64-bit fingerprint
     * ([[graft.functions.SimHash64]]) with 16-bit blocks — the 100-TB
@@ -654,14 +686,24 @@ object Dedup {
                             maxHamming: Int = 3): DataFrame = {
     val sh = Relational.detach(df.select(col(idCol),
       graft.functions.GraftFunctions.simhash64(col(textCol)).as("simhash")))
-    bandedHammingPairs(sh, idCol, maxHamming, bitsPerBand = 16, nBands = 4)
+    bandedHammingPairs(sh, idCol, maxHamming, bitsPerBand = 16, nBands = 4,
+      fingerprintBits = 64)
   }
 
-  /** Shared Manku banding over a precomputed (idCol, simhash) frame. */
+  /** Shared Manku banding over a precomputed (idCol, simhash) frame.
+    * `fingerprintBits` is the fingerprint's actual width: the bands must
+    * TILE it (`nBands * bitsPerBand >= fingerprintBits`), else high bits
+    * are never banded and pairs differing only there are silently lost —
+    * violating the documented pigeonhole exactness. */
   private def bandedHammingPairs(sh: DataFrame, idCol: String, maxHamming: Int,
-                                 bitsPerBand: Int, nBands: Int): DataFrame = {
+                                 bitsPerBand: Int, nBands: Int,
+                                 fingerprintBits: Int): DataFrame = {
     require(maxHamming >= 0 && maxHamming < nBands,
       s"pigeonhole needs maxHamming < nBands, got $maxHamming >= $nBands")
+    require(nBands * bitsPerBand >= fingerprintBits,
+      s"bands must cover the $fingerprintBits-bit fingerprint: " +
+        s"$nBands bands x $bitsPerBand bits = ${nBands * bitsPerBand} " +
+        s"< $fingerprintBits leaves high bits unbanded (pairs lost)")
     val mask = (1L << bitsPerBand) - 1
     val banded = sh.select(col(idCol), col("simhash"),
       explode(expr(

@@ -626,14 +626,22 @@ object TextAnalysis {
 
   /** Dedup-normalization — the canonical text form production dedup
     * fingerprints on (Dolma's and RefinedWeb's exact-dedup stages
-    * lowercase and strip punctuation first): lowercase, non-alphanumeric
+    * lowercase and strip punctuation first): lowercase, non-letter/digit
     * runs to single spaces, whitespace collapsed, trimmed. Case and
     * punctuation re-renders of one page ("Hello, World!" vs "hello
     * world") collapse to one fingerprint; raw-text exact dedup misses
-    * them. Pure codegen projection — compose UNDER [[graft.operators.
-    * Dedup.fingerprints]]/`dedupKeepFirst`, never a shuffle of its own. */
+    * them. Unicode-aware (`\p{L}\p{N}`, Unicode lowercasing — both Java
+    * regex and DuckDB's RE2 agree on these classes): CJK/Cyrillic/Arabic
+    * text keeps its letters rather than normalizing to "" — an ASCII-only
+    * class would collapse EVERY non-Latin document into one fingerprint
+    * and a keep-first dedup would delete all but one. Documents with no
+    * letters/digits in ANY script still normalize to "": filter
+    * `length(norm) > 0` (or fall back to raw text) before fingerprinting
+    * if such rows exist. Pure codegen projection — compose UNDER
+    * [[graft.operators.Dedup.fingerprints]]/`dedupKeepFirst`, never a
+    * shuffle of its own. */
   def normalizeForDedup(text: Column): Column =
-    trim(regexp_replace(regexp_replace(lower(text), "[^a-z0-9]+", " "), " +", " "))
+    trim(regexp_replace(regexp_replace(lower(text), "[^\\p{L}\\p{N}]+", " "), " +", " "))
 
   /** Canonical host of a URL: scheme and a leading `www.` stripped,
     * lowercased. The grouping key for domain-level corpus curation. */

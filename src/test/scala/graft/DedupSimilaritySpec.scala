@@ -729,6 +729,43 @@ class DedupSimilaritySpec extends SparkSuite {
     assert(Dedup.incrementalDedupKeepFirst(batch, "doc_id", "text", seen2).count() === 0L)
   }
 
+  test("wide (128-bit) fingerprint mode: same survivors, struct key, grows correctly") {
+    import graft.operators.Dedup
+    import org.apache.spark.sql.types.StructType
+    val seen = Dedup.fingerprints(
+      Seq((1L, "already ingested page"), (2L, "another known page")).toDF("doc_id", "text"),
+      "text", wide = true)
+    // the wide key is a 2-long struct, not the ~30-bit poly fold
+    assert(seen.schema("h").dataType.isInstanceOf[StructType])
+    val batch = Seq(
+      (10L, "a genuinely new page"),
+      (11L, "already ingested page"),   // re-crawl: drop
+      (12L, "a genuinely new page"),    // intra-batch dup of 10: drop
+      (13L, "another new page"))
+      .toDF("doc_id", "text")
+    val kept = Dedup.incrementalDedupKeepFirst(batch, "doc_id", "text", seen, wide = true)
+    assert(kept.select("doc_id").as[Long].collect().sorted === Array(10L, 13L))
+    val grown = Dedup.growFingerprints(seen, kept, "text", wide = true)
+    assert(grown.count() === 4L) // 2 seen + 2 distinct new texts
+    assert(Dedup.incrementalDedupKeepFirst(batch, "doc_id", "text", grown, wide = true)
+      .count() === 0L)
+  }
+
+  test("bandedHammingPairs rejects bands that do not tile the fingerprint width") {
+    import graft.operators.Dedup
+    val docs = Seq((1L, "alpha beta gamma"), (2L, "alpha beta delta")).toDF("doc_id", "text")
+    // 3 bands x 4 bits = 12 < 16: bits 12-15 would never be banded and pairs
+    // differing only there silently lost — must fail loudly instead
+    val e = intercept[IllegalArgumentException] {
+      Dedup.simhashNearDupPairs(docs, "doc_id", "text", maxHamming = 1,
+        bitsPerBand = 4, nBands = 3).collect()
+    }
+    assert(e.getMessage.contains("unbanded"))
+    // 8x2=16 and 2x8=16 both tile: legal alternate bandings still run
+    assert(Dedup.simhashNearDupPairs(docs, "doc_id", "text", maxHamming = 1,
+      bitsPerBand = 2, nBands = 8).columns.length === 3)
+  }
+
   test("pq_cosine rejects codes beyond the OWNING subspace's book size") {
     // heterogeneous books (sizes 3 and 1, stride K = 3): code 2 in
     // subspace 1 lands on a zero-filled pad slot — under the old

@@ -273,6 +273,11 @@ class TextAnalysisSpec extends SparkSuite {
     val kept = Dedup.urlDedupKeepFirst(docs, "doc_id", "url")
     assert(kept.columns.toSeq === Seq("doc_id", "url", "text"))
     assert(kept.select("doc_id").as[Long].collect().sorted === Array(10L, 12L))
+    // the 128-bit scale path (wide = true) keeps the same survivors — at
+    // test scale both keys are collision-free, so only the key WIDTH differs
+    val keptWide = Dedup.urlDedupKeepFirst(docs, "doc_id", "url", wide = true)
+    assert(keptWide.columns.toSeq === Seq("doc_id", "url", "text"))
+    assert(keptWide.select("doc_id").as[Long].collect().sorted === Array(10L, 12L))
   }
 
   test("normalizeForDedup: case/punct/ws re-renders collapse; distinct texts don't") {
@@ -291,6 +296,27 @@ class TextAnalysisSpec extends SparkSuite {
     val again = Seq("hello world").toDF("t")
       .select(normalizeForDedup(col("t"))).head().getString(0)
     assert(again === "hello world")
+  }
+
+  test("normalizeForDedup is Unicode-aware: non-Latin scripts keep their letters") {
+    import graft.operators.TextAnalysis.normalizeForDedup
+    // an ASCII-only [^a-z0-9] class would normalize every one of these to ""
+    // and a keep-first dedup on the normalized form would collapse ALL
+    // non-Latin documents into one fingerprint, deleting all but the first
+    val got = Seq(
+      1L -> "Héllo, Wörld!",
+      2L -> "Привет, мир!",     // Cyrillic
+      3L -> "你好，世界！",       // CJK (fullwidth punct stripped)
+      4L -> "مرحبا بالعالم"     // Arabic
+    ).toDF("id", "t").select(col("id"), normalizeForDedup(col("t")).as("n"))
+      .as[(Long, String)].collect().toMap
+    assert(got(1L) === "héllo wörld")
+    assert(got(2L) === "привет мир")
+    assert(got(3L) === "你好 世界")
+    assert(got(4L) === "مرحبا بالعالم")
+    // distinct non-Latin texts keep DISTINCT normalized forms
+    assert(got.values.toSet.size === 4)
+    assert(got.values.forall(_.nonEmpty))
   }
 
   test("canonicalizeUrl is idempotent over the synthesized crawl corpus") {
