@@ -1616,6 +1616,35 @@ object SparkEntry {
         round(expr("regr_r2(ln(freq), ln(rank))"), 6).as("fit_r2"))
         .orderBy("lang")
     }),
+
+    // Model-based quality filter (the FineWeb-Edu/DCLM stage): seed junk
+    // docs (repeated gibberish + a 40-char real-text tail), fit a linear
+    // probe on the even-id half (label: junk=0, clean=1) over the three
+    // oracled heuristic features, then score + threshold the WHOLE
+    // corpus. The closed-form OLS fit is engine-reproducible — weights
+    // snap to the 1e-6 grid before scoring, so the LEARNED filter is
+    // hash-checked end-to-end, not just its input features.
+    "q130_quality_probe" -> ((s, dir) => {
+      val d = Tables.documents(s, dir).select("doc_id", "text")
+      val junk = d.where(col("doc_id") % 5 === 0)
+        .select((col("doc_id") + 2000000L).as("doc_id"),
+          concat(expr("repeat('zzq glorp wib ', 20)"),
+            substring(col("text"), 1, 40)).as("text"))
+      val corpus = d.unionByName(junk)
+      val featCols = Seq("stop_frac", "dup_word_frac", "lm_logp")
+      // detach: the feature frame feeds the (eager) fit AND the final
+      // score — one char-LM computation, not two
+      val feats = Relational.detach(
+        Quality.qualityFeatures(corpus, "doc_id", "text"))
+      val labeled = feats.where(col("doc_id") % 2 === 0)
+        .withColumn("label",
+          when(col("doc_id") >= 2000000L, 0.0).otherwise(1.0))
+      val w = Quality.roundWeights(
+        Quality.fitLinearProbe(labeled, featCols, "label"))
+      Quality.scoreQuality(feats, w, featCols, 0.5)
+        .select("doc_id", "stop_frac", "dup_word_frac", "lm_logp", "score", "keep")
+        .orderBy("doc_id")
+    }),
   )
 
   /** Synthesized crawl URL shared by q123/q125 — the classic variant noise
@@ -3290,5 +3319,51 @@ object SparkEntry {
         |  round(regr_slope(ln(freq), ln(rank)), 6) AS zipf_slope,
         |  round(regr_r2(ln(freq), ln(rank)), 6) AS fit_r2
         |FROM r GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "q130_quality_probe" ->
+      // same seeded corpus; the OLS fit is Cramer's rule on the centered
+      // normal equations (covar_pop matrix), mirroring fitLinearProbe's
+      // driver solve; weights and scores round to 6 dp in both engines so
+      // every downstream IEEE op is computed on identical doubles. The
+      // stop/dup fragments come from q87/q83's green oracles, lm from q99's.
+      s"""WITH c AS (SELECT doc_id, text FROM documents
+        |  UNION ALL SELECT doc_id + 2000000, repeat('zzq glorp wib ', 20) || substr(text, 1, 40)
+        |  FROM documents WHERE doc_id % 5 = 0),
+        |t AS (SELECT doc_id, text, string_split(text, ' ') AS tk FROM c),
+        |g AS (SELECT doc_id,
+        |  round(CAST(len(list_filter(tk, x -> x IN (${TextAnalysis.GopherStopwords.map(w => s"'$w'").mkString(",")}))) AS DOUBLE) / len(tk), 6) AS stop_frac,
+        |  round(1.0 - len(list_distinct(tk)) * 1.0 / len(tk), 6) AS dup_word_frac
+        |  FROM t),
+        |tri AS (SELECT doc_id, substr(text, i, 3) AS g
+        |  FROM c, unnest(range(1, greatest(len(text) - 2, 0) + 1)) AS r(i)),
+        |c3 AS (SELECT g, count(*) AS cc FROM tri GROUP BY g),
+        |c2 AS (SELECT substr(g, 1, 2) AS p, sum(cc) AS cp FROM c3 GROUP BY 1),
+        |vv AS (SELECT count(DISTINCT substr(g, 3, 1)) AS nv FROM c3),
+        |lm AS (SELECT tr.doc_id, round(avg(ln((c3.cc + 0.5) / (c2.cp + 0.5 * vv.nv))), 6) AS avg_logp
+        |  FROM tri tr JOIN c3 ON tr.g = c3.g JOIN c2 ON substr(tr.g, 1, 2) = c2.p CROSS JOIN vv
+        |  GROUP BY tr.doc_id),
+        |f AS (SELECT g.doc_id, stop_frac, dup_word_frac, coalesce(avg_logp, -10.0) AS lm_logp
+        |  FROM g LEFT JOIN lm ON g.doc_id = lm.doc_id),
+        |l AS (SELECT stop_frac AS x1, dup_word_frac AS x2, lm_logp AS x3,
+        |  CASE WHEN doc_id >= 2000000 THEN 0.0 ELSE 1.0 END AS y
+        |  FROM f WHERE doc_id % 2 = 0),
+        |m AS (SELECT avg(x1) AS m1, avg(x2) AS m2, avg(x3) AS m3, avg(y) AS my,
+        |  covar_pop(x1, x1) AS s11, covar_pop(x1, x2) AS s12, covar_pop(x1, x3) AS s13,
+        |  covar_pop(x2, x2) AS s22, covar_pop(x2, x3) AS s23, covar_pop(x3, x3) AS s33,
+        |  covar_pop(x1, y) AS c1, covar_pop(x2, y) AS c2, covar_pop(x3, y) AS c3 FROM l),
+        |det AS (SELECT *,
+        |  s11*(s22*s33 - s23*s23) - s12*(s12*s33 - s23*s13) + s13*(s12*s23 - s22*s13) AS dd FROM m),
+        |w AS (SELECT
+        |  (c1*(s22*s33 - s23*s23) - s12*(c2*s33 - s23*c3) + s13*(c2*s23 - s22*c3)) / dd AS r1,
+        |  (s11*(c2*s33 - s23*c3) - c1*(s12*s33 - s23*s13) + s13*(s12*c3 - c2*s13)) / dd AS r2,
+        |  (s11*(s22*c3 - c2*s23) - s12*(s12*c3 - c2*s13) + c1*(s12*s23 - s22*s13)) / dd AS r3,
+        |  my, m1, m2, m3 FROM det),
+        |wb AS (SELECT round(r1, 6) AS b1, round(r2, 6) AS b2, round(r3, 6) AS b3,
+        |  round(my - r1*m1 - r2*m2 - r3*m3, 6) AS b0 FROM w),
+        |sc AS (SELECT doc_id, stop_frac, dup_word_frac, lm_logp,
+        |  round(b0 + b1*stop_frac + b2*dup_word_frac + b3*lm_logp, 6) AS score
+        |  FROM f CROSS JOIN wb)
+        |SELECT doc_id, stop_frac, dup_word_frac, lm_logp, score, score >= 0.5 AS keep
+        |FROM sc ORDER BY doc_id""".stripMargin,
   )
 }

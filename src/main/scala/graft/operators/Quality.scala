@@ -1,0 +1,154 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{Column, DataFrame}
+
+/** Model-based quality scoring — the FineWeb-Edu / DCLM pipeline stage:
+  * fit a lightweight classifier on a LABELED slice of the corpus, then
+  * score and threshold every document with it. The heuristic filters
+  * ([[TextAnalysis.gopherQualityFlags]], [[TextAnalysis.repetitionStats]],
+  * [[TextAnalysis.charTrigramLogProb]]) provide the feature vector; this
+  * operator learns how to WEIGH them instead of hard-coding the paper
+  * thresholds (reference has no text pipeline at all — north-star stage,
+  * SURVEY §2 extension family).
+  *
+  * The probe is ordinary least squares on 0/1 labels (a linear-probability
+  * classifier) fit by the centered normal equations: one aggregate pass
+  * computes the feature covariance matrix and feature-label covariances
+  * (`covar_pop` — d(d+3)/2 scalars for d features), the d x d solve runs
+  * on the driver. Closed-form, deterministic, and SQL-expressible — the
+  * DuckDB oracle reproduces the same fit via Cramer's rule, so unlike
+  * logistic regression (iterative, step-size-dependent) the whole
+  * fit-then-score pipeline hash-matches across engines.
+  *
+  * Scale shape: the fit is ONE map-side-partial aggregate over the labeled
+  * slice reducing to a single driver row of d(d+3)/2+d+1 doubles (labeled
+  * slices are corpus-fractions, but even the full 100 TB corpus reduces to
+  * that one row); scoring is a pure codegen'd projection (literal weights,
+  * no broadcast, no shuffle). The feature ASSEMBLY is the only wide part:
+  * two narrow id-keyed joins of zero-shuffle projections plus the char-LM's
+  * explode+fit (the dominant arm — see [[TextAnalysis.charTrigramLogProb]]'s
+  * own scale notes).
+  */
+object Quality {
+
+  /** Per-document quality feature vector from the three oracled heuristic
+    * families: `stop_frac` (Gopher stopword fraction), `dup_word_frac`
+    * (repetition), `lm_logp` (char-trigram LM mean log-prob, `lmFloor` for
+    * docs too short to emit a trigram). All three are 6-dp-rounded by
+    * their source operators, so downstream fits see engine-reproducible
+    * values. Output: (idCol, stop_frac, dup_word_frac, lm_logp).
+    *
+    * Scale shape: gopher and repetition are zero-shuffle projections of
+    * the same scan; joining them costs two narrow (id, double) exchanges.
+    * The char-LM arm carries the real cost (corpus explode + vocab-sized
+    * fit) — this operator adds nothing wide of its own. */
+  def qualityFeatures(docs: DataFrame, idCol: String, textCol: String,
+                      lmFloor: Double = -10.0): DataFrame = {
+    val g = TextAnalysis.gopherQualityFlags(docs, idCol, textCol)
+      .select(col(idCol),
+        round(col("n_stopwords").cast("double") / col("n_words"), 6).as("stop_frac"))
+    val r = TextAnalysis.repetitionStats(docs, idCol, textCol)
+      .select(col(idCol), col("dup_word_frac"))
+    val lm = TextAnalysis.charTrigramLogProb(docs, idCol, textCol)
+      .select(col(idCol), col("avg_logp"))
+    g.join(r, Seq(idCol))
+      .join(lm, Seq(idCol), "left")
+      .withColumn("lm_logp", coalesce(col("avg_logp"), lit(lmFloor)))
+      .drop("avg_logp")
+  }
+
+  /** Fit OLS weights for `labelCol ~ featureCols` by the centered normal
+    * equations: solve `S b = c` where `S[i][j] = covar_pop(f_i, f_j)` and
+    * `c[i] = covar_pop(f_i, label)`, then `b0 = mean(label) - b . means`.
+    * Returns `(b0, b1..bd)`.
+    *
+    * One EAGER aggregate job at call time (same driver-scalar contract as
+    * [[TextAnalysis.contaminationHits]]'s bound probe — batch only): the
+    * whole labeled slice reduces map-side to one row of d(d+3)/2 + d + 1
+    * doubles; the d x d solve (Gaussian elimination, partial pivoting)
+    * runs on the driver at d ~ a handful. Fails loudly on a singular
+    * system (a constant feature or an exact linear dependence) instead of
+    * returning NaN weights. */
+  def fitLinearProbe(labeled: DataFrame, featureCols: Seq[String],
+                     labelCol: String): Array[Double] = {
+    require(featureCols.nonEmpty, "fitLinearProbe needs at least one feature")
+    val d = featureCols.length
+    val aggs =
+      featureCols.map(f => avg(col(f)).as(s"_m_$f")) ++
+        Seq(avg(col(labelCol)).as("_m_y")) ++
+        (for { i <- 0 until d; j <- i until d } yield
+          covar_pop(col(featureCols(i)), col(featureCols(j))).as(s"_s_${i}_$j")) ++
+        featureCols.indices.map(i =>
+          covar_pop(col(featureCols(i)), col(labelCol)).as(s"_c_$i"))
+    val row = labeled.agg(aggs.head, aggs.tail: _*).head()
+    def get(n: String): Double = {
+      val v = row.getAs[Any](n)
+      require(v != null, s"fitLinearProbe: aggregate $n is null (empty labeled slice?)")
+      v.asInstanceOf[Double]
+    }
+    val means = featureCols.map(f => get(s"_m_$f")).toArray
+    val meanY = get("_m_y")
+    val s = Array.tabulate(d, d)((i, j) =>
+      if (i <= j) get(s"_s_${i}_$j") else get(s"_s_${j}_$i"))
+    val c = Array.tabulate(d)(i => get(s"_c_$i"))
+    val b = solve(s.map(_.clone()), c.clone(), featureCols)
+    val b0 = meanY - b.indices.map(i => b(i) * means(i)).sum
+    b0 +: b
+  }
+
+  /** In-place Gaussian elimination with partial pivoting; d is tiny. */
+  private def solve(a: Array[Array[Double]], y: Array[Double],
+                    names: Seq[String]): Array[Double] = {
+    val d = y.length
+    for (k <- 0 until d) {
+      val p = (k until d).maxBy(i => math.abs(a(i)(k)))
+      require(math.abs(a(p)(k)) > 1e-12,
+        s"fitLinearProbe: singular normal equations at pivot $k — feature " +
+          s"'${names(k)}' is constant or linearly dependent on the others")
+      if (p != k) { val t = a(p); a(p) = a(k); a(k) = t
+        val ty = y(p); y(p) = y(k); y(k) = ty }
+      for (i <- k + 1 until d) {
+        val f = a(i)(k) / a(k)(k)
+        for (j <- k until d) a(i)(j) -= f * a(k)(j)
+        y(i) -= f * y(k)
+      }
+    }
+    val b = new Array[Double](d)
+    for (k <- d - 1 to 0 by -1) {
+      var acc = y(k)
+      for (j <- k + 1 until d) acc -= a(k)(j) * b(j)
+      b(k) = acc / a(k)(k)
+    }
+    b
+  }
+
+  /** Round fitted weights to `dp` decimals. Cross-engine parity hinges on
+    * this: the Spark fit (Gaussian elimination) and an oracle's closed-form
+    * solve differ at ~1e-12 from float arithmetic order; snapping both to
+    * the same 1e-6 grid BEFORE scoring makes the weight literals — and
+    * therefore every downstream IEEE score computed in the same expression
+    * order — bit-identical across engines. */
+  def roundWeights(w: Array[Double], dp: Int = 6): Array[Double] =
+    w.map(x => BigDecimal(x).setScale(dp, BigDecimal.RoundingMode.HALF_UP).toDouble)
+
+  /** Codegen'd linear score `w0 + w1*f1 + ... + wd*fd` (left-to-right —
+    * the same association an SQL `+` chain has, for bit parity). */
+  def linearScore(weights: Array[Double], featureCols: Seq[String]): Column = {
+    require(weights.length == featureCols.length + 1,
+      s"need ${featureCols.length + 1} weights (b0 + one per feature), got ${weights.length}")
+    featureCols.zipWithIndex.foldLeft(lit(weights(0)): Column) {
+      case (acc, (f, i)) => acc + lit(weights(i + 1)) * col(f)
+    }
+  }
+
+  /** Score a feature frame with fitted weights and threshold the
+    * 6-dp-rounded score: adds `score` and `keep` (`score >= threshold`).
+    * The threshold compares the ROUNDED score so the keep boundary is
+    * engine-reproducible. Pure projection — zero shuffles. */
+  def scoreQuality(feats: DataFrame, weights: Array[Double],
+                   featureCols: Seq[String], threshold: Double): DataFrame =
+    feats
+      .withColumn("score", round(linearScore(weights, featureCols), 6))
+      .withColumn("keep", col("score") >= threshold)
+}
