@@ -1645,6 +1645,17 @@ object SparkEntry {
         .select("doc_id", "stop_frac", "dup_word_frac", "lm_logp", "score", "keep")
         .orderBy("doc_id")
     }),
+
+    // Word-bigram stupid-backoff LM (the KenLM-class tier above q99's
+    // char model), CCNet-shaped: fit bigram/unigram tables on the even-id
+    // REFERENCE slice, score every document — odd docs exercise the
+    // backoff arm with genuinely unseen bigrams, and backoff_frac is the
+    // out-of-domain signal.
+    "q131_word_lm" -> ((s, dir) => {
+      TextAnalysis.wordBigramLogProb(Tables.documents(s, dir), "doc_id", "text",
+        fitPred = col("doc_id") % 2 === 0)
+        .orderBy("doc_id")
+    }),
   )
 
   /** Synthesized crawl URL shared by q123/q125 — the classic variant noise
@@ -3365,5 +3376,30 @@ object SparkEntry {
         |  FROM f CROSS JOIN wb)
         |SELECT doc_id, stop_frac, dup_word_frac, lm_logp, score, score >= 0.5 AS keep
         |FROM sc ORDER BY doc_id""".stripMargin,
+
+    "q131_word_lm" ->
+      // same fit-on-even-slice bigram/unigram tables; seen bigrams score
+      // the conditional, unseen ones the add-0.5-smoothed unigram backoff
+      // with alpha = 0.4 — term-for-term with wordBigramLogProb (word
+      // tokens mirror q73's regexp_extract_all)
+      """WITH d AS (SELECT doc_id, regexp_extract_all(text, '[A-Za-z0-9]+') AS tk,
+        |  doc_id % 2 = 0 AS fit FROM documents),
+        |bg AS (SELECT doc_id, fit, unnest(CASE WHEN len(tk) < 2 THEN CAST([] AS VARCHAR[])
+        |  ELSE list_transform(range(1, len(tk)), i -> tk[i] || ' ' || tk[i+1]) END) AS g FROM d),
+        |un AS (SELECT doc_id, fit, unnest(tk) AS w FROM d),
+        |c1 AS (SELECT w, count(*) AS c1 FROM un WHERE fit GROUP BY w),
+        |c2 AS (SELECT g, count(*) AS c2 FROM bg WHERE fit GROUP BY g),
+        |nv AS (SELECT CAST(sum(c1) AS DOUBLE) AS n, CAST(count(*) AS DOUBLE) AS v FROM c1),
+        |s AS (SELECT b.doc_id,
+        |  CASE WHEN c2.c2 IS NOT NULL THEN ln(c2.c2 / k1.c1)
+        |       ELSE ln(0.4 * (coalesce(k2.c1, 0) + 0.5) / (nv.n + 0.5 * nv.v)) END AS lp,
+        |  CASE WHEN c2.c2 IS NULL THEN 1.0 ELSE 0.0 END AS bf
+        |  FROM bg b LEFT JOIN c2 ON b.g = c2.g
+        |  LEFT JOIN c1 k1 ON split_part(b.g, ' ', 1) = k1.w
+        |  LEFT JOIN c1 k2 ON split_part(b.g, ' ', 2) = k2.w
+        |  CROSS JOIN nv)
+        |SELECT doc_id, count(*) AS n_bigrams, round(avg(lp), 6) AS avg_logp,
+        |  round(avg(bf), 6) AS backoff_frac
+        |FROM s GROUP BY doc_id ORDER BY doc_id""".stripMargin,
   )
 }

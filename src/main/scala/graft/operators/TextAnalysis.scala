@@ -517,6 +517,66 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n_tri"), round(avg("_lp"), 6).as("avg_logp"))
   }
 
+  /** Word-level bigram LM with stupid backoff (Brants et al. 2007) — the
+    * KenLM-class quality signal one tier above [[charTrigramLogProb]]'s
+    * character model: fit bigram/unigram tables on the `fitPred` slice of
+    * the corpus (the CCNet shape — score candidate text against a
+    * REFERENCE slice's language model), then score every document's mean
+    * bigram log-prob. Seen bigrams take the conditional `ln(c2(w1,w2) /
+    * c1(w1))`; unseen ones back off to the add-k-smoothed unigram
+    * `ln(alpha * (c1(w2) + k) / (N + k*V))` — no discounting on the seen
+    * path, which is what makes stupid backoff one join cheaper than
+    * Kneser-Ney at web scale and "inexpensive to train on large data
+    * sets" (its design goal). Output: (idCol, n_bigrams, avg_logp,
+    * backoff_frac) — `backoff_frac` (share of bigrams that backed off) is
+    * the out-of-domain signal; docs with < 2 word tokens emit no bigrams
+    * and don't appear.
+    *
+    * Scale shape — q99's template (two explodes + guarded broadcast
+    * joins): the FIT pass reduces the slice's explodes map-side to
+    * vocabulary-bounded count tables (|c2| <= vocab², in practice ~corpus
+    * bigram types); c1(w1) is fused INTO the bigram table fit-side so the
+    * corpus-sized score pass probes ONE table on the bigram key plus the
+    * (much smaller) unigram table on w2. Both probe joins broadcast under
+    * `broadcastMaxEntries`, with the loud-but-correct shuffle-join
+    * fallback above it; N and V ride a one-row cross join. The per-doc
+    * aggregate carries one row per document. */
+  def wordBigramLogProb(docs: DataFrame, idCol: String, textCol: String,
+                        fitPred: Column, alpha: Double = 0.4, k: Double = 0.5,
+                        broadcastMaxEntries: Long = 10000000L): DataFrame = {
+    require(alpha > 0 && alpha <= 1, s"backoff alpha must be in (0, 1], got $alpha")
+    require(k > 0, s"add-k smoothing k must be positive, got $k")
+    val toks = docs.select(col(idCol), fitPred.as("_fit"),
+      wordTokens(col(textCol)).as("_tk"))
+    val bi = toks.select(col(idCol), col("_fit"),
+      explode(ngrams(col("_tk"), 2)).as("_g"))
+    val uni = toks.select(col(idCol), col("_fit"), explode(col("_tk")).as("_w"))
+    val c1 = Relational.detach(
+      uni.where(col("_fit")).groupBy("_w").agg(count(lit(1)).as("_c1")))
+    val c2 = Relational.detach(
+      bi.where(col("_fit")).groupBy("_g").agg(count(lit(1)).as("_c2")))
+    // fuse the context count into the bigram fit table (q99's c2-into-c3
+    // fusion): the seen path probes one table on one key
+    val fit = c2.join(c1.select(col("_w").as("_w1"), col("_c1").as("_c1w1")),
+      expr("substring_index(_g, ' ', 1)") === col("_w1")).drop("_w1")
+    val nv = c1.agg(sum("_c1").cast("double").as("_n"),
+      count(lit(1)).cast("double").as("_v"))
+    val fitJ = if (c2.count() <= broadcastMaxEntries) broadcast(fit) else fit
+    val c1J = if (c1.count() <= broadcastMaxEntries) broadcast(c1) else c1
+    bi.join(fitJ, Seq("_g"), "left")
+      .withColumn("_w2", expr("substring_index(_g, ' ', -1)"))
+      .join(c1J.select(col("_w").as("_w2"), col("_c1").as("_c1w2")), Seq("_w2"), "left")
+      .crossJoin(broadcast(nv))
+      .withColumn("_lp",
+        when(col("_c2").isNotNull, log(col("_c2") / col("_c1w1")))
+          .otherwise(log(lit(alpha) * (coalesce(col("_c1w2"), lit(0L)) + lit(k)) /
+            (col("_n") + lit(k) * col("_v")))))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(avg("_lp"), 6).as("avg_logp"),
+        round(avg(when(col("_c2").isNotNull, 0.0).otherwise(1.0)), 6).as("backoff_frac"))
+  }
+
   /** Vocabulary induction + out-of-vocabulary coverage: fit the top
     * `vocabSize` words by corpus frequency (ties by word ascending — the
     * cut is deterministic), then score every document's OOV rate against

@@ -10,7 +10,7 @@ import org.apache.spark.sql.functions._
   * stages-cost-compute-not-shuffles claim (dev aid; measured numbers
   * land in BASELINE.md). Args select sections: `fill`, `skew`, `bucket`,
   * `funnel`, `pq`, `spanscrub`, `fuzzydedup`, `cleanscrub`, `packbudget`, `simhashband`,
-  * `legacy` (no args = all). */
+  * `wordlm`, `legacy` (no args = all). */
 object ScaleProbe {
   def main(args: Array[String]): Unit = {
     val sections: String => Boolean =
@@ -404,6 +404,33 @@ object ScaleProbe {
       }
       time2("selectByBudget  1x (1.5M tok)")(noop(budgeted(raw, 1500000L)))
       time2("selectByBudget 16x (24M tok)")(noop(budgeted(big, 24000000L)))
+    }
+
+    // q131 growth: stupid-backoff word LM on 1x and a 16x id-salted copy
+    // blowup. Copy blowup grows the SCORE pass 16x while the fit tables
+    // (vocabulary-bounded) stay constant-size — the claim is wall growth
+    // well under 16x because the corpus-sized arm is the two explodes +
+    // broadcast probes, and the per-bigram work is flat.
+    if (sections("wordlm")) {
+      import graft.operators.TextAnalysis
+      val raw = Tables.documents(spark, "/root/testdata/sf0.1").select("doc_id", "text")
+      val bigPath = "/tmp/graft_probe_wordlm16"
+      time("write 16x blowup (id-salted)")(
+        (0 until 16).map(i => raw.select(
+          (col("doc_id") + lit(i.toLong * 100000000L)).as("doc_id"), col("text")))
+          .reduce(_ union _).write.mode("overwrite").parquet(bigPath))
+      val big = spark.read.parquet(bigPath)
+      def time2(name: String)(f: => Unit): Unit = {
+        val ts = (1 to 2).map { _ =>
+          val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+        }
+        println(f"[probe] $name%-34s ${ts.min}%.2f s (min of 2)")
+      }
+      def lm(d: org.apache.spark.sql.DataFrame) =
+        TextAnalysis.wordBigramLogProb(d, "doc_id", "text",
+          fitPred = col("doc_id") % 2 === 0)
+      time2("wordBigramLogProb  1x")(noop(lm(raw)))
+      time2("wordBigramLogProb 16x")(noop(lm(big)))
     }
 
     if (!sections("legacy")) { spark.stop(); return }

@@ -168,6 +168,46 @@ class TextAnalysisSpec extends SparkSuite {
       TextAnalysis.charTrigramLogProb(docs, "doc_id", "text", k = 0.0))
   }
 
+  test("wordBigramLogProb: hand-computed stupid backoff; fit slice vs held-out doc") {
+    // fit slice (even ids): doc0 "a b a b c", doc2 "a b x"
+    //   c1: a=3 b=3 c=1 x=1; N=8, V=4
+    //   c2: "a b"=3, "b a"=1, "b c"=1, "b x"=1
+    // held-out doc1 "a b q c": "a b" seen -> ln(3/3); "b q"/"q c" back off
+    val docs = Seq((0L, "a b a b c"), (1L, "a b q c"), (2L, "a b x"), (3L, "z"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.wordBigramLogProb(docs, "doc_id", "text",
+      fitPred = col("doc_id") % 2 === 0)
+      .orderBy("doc_id").as[(Long, Long, Double, Double)].collect()
+    def r6(x: Double) = math.rint(x * 1e6) / 1e6
+    val denom = 8.0 + 0.5 * 4
+    assert(out.map(t => (t._1, t._2)) === Array((0L, 4L), (1L, 3L), (2L, 2L)))
+    // doc0: ln(3/3), ln(1/3), ln(3/3), ln(1/3)
+    assert(math.abs(out(0)._3 - r6(2 * math.log(1.0 / 3) / 4)) < 2e-6)
+    assert(out(0)._4 === 0.0)
+    // doc1: ln(1) + ln(0.4*(0+0.5)/denom) [q unseen] + ln(0.4*(1+0.5)/denom)
+    val d1 = (math.log(1.0) + math.log(0.4 * 0.5 / denom) +
+      math.log(0.4 * 1.5 / denom)) / 3
+    assert(math.abs(out(1)._3 - r6(d1)) < 2e-6)
+    assert(out(1)._4 === r6(2.0 / 3))
+    // doc3 has one token -> no bigrams -> absent, not zero-scored
+    assert(!out.map(_._1).contains(3L))
+    intercept[IllegalArgumentException](
+      TextAnalysis.wordBigramLogProb(docs, "doc_id", "text", lit(true), alpha = 0.0))
+  }
+
+  test("wordBigramLogProb: shuffle fallback above broadcastMaxEntries is byte-identical") {
+    val docs = Seq(
+      (0L, "the quick brown fox jumps over the dog"),
+      (1L, "the quick red fox sleeps"),
+      (2L, "pack my box with jugs"),
+      (3L, "wholly novel words here")).toDF("doc_id", "text")
+    val fast = TextAnalysis.wordBigramLogProb(docs, "doc_id", "text",
+      col("doc_id") % 2 === 0)
+    val slow = TextAnalysis.wordBigramLogProb(docs, "doc_id", "text",
+      col("doc_id") % 2 === 0, broadcastMaxEntries = 0L)
+    assert(fast.orderBy("doc_id").collect() === slow.orderBy("doc_id").collect())
+  }
+
   test("charTrigramLogProb: shuffle fallback above broadcastMaxTrigrams is byte-identical") {
     val docs = Seq(
       (1L, "the quick brown fox jumps"), (2L, "pack my box with jugs"),
