@@ -1656,6 +1656,27 @@ object SparkEntry {
         fitPred = col("doc_id") % 2 === 0)
         .orderBy("doc_id")
     }),
+
+    // Near-dup-aware corpus diff: q126's versioning primitive with the
+    // `changed` class split by simhash distance — %4==1 docs get a
+    // trivial re-render (one appended token), %4==2 a from-scratch
+    // rewrite. Only added+rewritten re-enter the expensive stages;
+    // re-rendered ids just refresh stored text. Per-doc statuses (not
+    // just counts) so every doc's hamming classification is hash-checked.
+    "q132_neardiff" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      val oldGen = d.where(col("doc_id") % 4 =!= 3)
+      val newGen = d.where(col("doc_id") % 4 =!= 0)
+        .withColumn("text",
+          when(col("doc_id") % 4 === 1, concat(col("text"), lit(" updated")))
+            .when(col("doc_id") % 4 === 2,
+              concat(lit("totally different content about "),
+                col("doc_id").cast("string"),
+                lit(" rewritten from scratch with new vocabulary")))
+            .otherwise(col("text")))
+      Dedup.corpusDiff(oldGen, newGen, "doc_id", "text", nearHamming = Some(3))
+        .orderBy("doc_id")
+    }),
   )
 
   /** Synthesized crawl URL shared by q123/q125 — the classic variant noise
@@ -3401,5 +3422,34 @@ object SparkEntry {
         |SELECT doc_id, count(*) AS n_bigrams, round(avg(lp), 6) AS avg_logp,
         |  round(avg(bf), 6) AS backoff_frac
         |FROM s GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "q132_neardiff" -> {
+      // q126's full-outer diff + q124's simhash CTE on each side; the
+      // changed split is bit_count(xor) <= 3 on the 16-bit fingerprints
+      def dsim(src: String) =
+        s"""${src}h AS (SELECT doc_id, ${dhash("text")} AS h,
+           |  list_transform(string_split(text, ' '), s -> ${dhash("s")}) AS hs FROM $src),
+           |${src}s AS (SELECT doc_id, h, CAST(list_sum(list_transform(range(0, 16),
+           |  b -> CASE WHEN list_sum(list_transform(hs,
+           |  t -> CASE WHEN (t // CAST(pow(2, b) AS BIGINT)) % 2 = 1 THEN 1 ELSE -1 END)) >= 0
+           |  THEN CAST(pow(2, b) AS BIGINT) ELSE 0 END)) AS BIGINT) AS sh FROM ${src}h)""".stripMargin
+      s"""WITH o AS (SELECT doc_id, text FROM documents WHERE doc_id % 4 != 3),
+         |n AS (SELECT doc_id,
+         |  CASE WHEN doc_id % 4 = 1 THEN text || ' updated'
+         |       WHEN doc_id % 4 = 2 THEN 'totally different content about ' ||
+         |         CAST(doc_id AS VARCHAR) || ' rewritten from scratch with new vocabulary'
+         |       ELSE text END AS text
+         |  FROM documents WHERE doc_id % 4 != 0),
+         |${dsim("o")},
+         |${dsim("n")}
+         |SELECT coalesce(os.doc_id, ns.doc_id) AS doc_id,
+         |  CASE WHEN os.doc_id IS NULL THEN 'added'
+         |       WHEN ns.doc_id IS NULL THEN 'removed'
+         |       WHEN os.h = ns.h THEN 'unchanged'
+         |       WHEN bit_count(xor(os.sh, ns.sh)) <= 3 THEN 're-rendered'
+         |       ELSE 'rewritten' END AS status
+         |FROM os FULL OUTER JOIN ns ON os.doc_id = ns.doc_id
+         |ORDER BY doc_id""".stripMargin
+    },
   )
 }

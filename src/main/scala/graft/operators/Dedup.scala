@@ -193,15 +193,36 @@ object Dedup {
     * `added`+`changed` flow into the (expensive) clean/dedup/embed stages,
     * `removed` ids flow to index eviction.
     *
-    * Scale shape: both sides reduce to (id, int64 fingerprint) map-side —
-    * text never shuffles — then ONE full outer equi-join on the id.
+    * `nearHamming = Some(k)` splits `changed` by the 16-bit [[simhash]]
+    * distance of the two generations: `re-rendered` (hamming <= k — a
+    * trivial re-render: date stamp, counter, appended footer) vs
+    * `rewritten` (actually new content). Without the split every trivial
+    * re-render re-enters the expensive stages; with it only `added` +
+    * `rewritten` need full re-processing while `re-rendered` ids can
+    * just refresh their stored text.
+    *
+    * Scale shape: both sides reduce to (id, int64 fingerprint[, int64
+    * simhash]) map-side — text never shuffles — then ONE full outer
+    * equi-join on the id; the near test is a codegen'd bit_count on the
+    * joined row (same discipline as [[simhashNearDupPairs]]'s verify).
     * Output: (id, status). */
   def corpusDiff(oldDocs: DataFrame, newDocs: DataFrame,
-                 idCol: String, textCol: String): DataFrame = {
+                 idCol: String, textCol: String,
+                 nearHamming: Option[Int] = None): DataFrame = {
+    nearHamming.foreach(k => require(k >= 0 && k < 16,
+      s"nearHamming must be in [0, 16) for the 16-bit fingerprint, got $k"))
     graft.functions.GraftFunctions.registerAll(oldDocs.sparkSession)
     def fp(d: DataFrame, side: String) =
-      d.select(col(idCol).as(s"_id_$side"),
-        expr(hashFrag(textCol)).as(s"_h_$side"))
+      d.select(Seq(col(idCol).as(s"_id_$side"),
+        expr(hashFrag(textCol)).as(s"_h_$side")) ++
+        nearHamming.map(_ => graft.functions.GraftFunctions
+          .simhash16(col(textCol)).as(s"_sh_$side")): _*)
+    val changed = nearHamming match {
+      case None => lit("changed")
+      case Some(k) =>
+        when(hamming(col("_sh_old"), col("_sh_new")) <= k, lit("re-rendered"))
+          .otherwise(lit("rewritten"))
+    }
     fp(oldDocs, "old").join(fp(newDocs, "new"),
         col("_id_old") === col("_id_new"), "full_outer")
       .select(
@@ -209,7 +230,7 @@ object Dedup {
         when(col("_id_old").isNull, lit("added"))
           .when(col("_id_new").isNull, lit("removed"))
           .when(col("_h_old") === col("_h_new"), lit("unchanged"))
-          .otherwise(lit("changed")).as("status"))
+          .otherwise(changed).as("status"))
   }
 
   /** Exact-duplicate cluster stats by an arbitrary fingerprint column. */

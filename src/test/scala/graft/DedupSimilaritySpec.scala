@@ -663,6 +663,34 @@ class DedupSimilaritySpec extends SparkSuite {
       (3L, "removed"), (4L, "added")))
   }
 
+  test("corpusDiff nearHamming splits changed into re-rendered vs rewritten") {
+    import graft.operators.Dedup
+    val base = "spark shuffle partition broadcast join aggregate window filter scan codegen"
+    val oldGen = Seq(
+      (1L, base),                    // one-token re-render in new gen
+      (2L, base),                    // rewritten from scratch in new gen
+      (3L, base),                    // byte-identical
+      (4L, base)                     // removed
+    ).toDF("doc_id", "text")
+    val newGen = Seq(
+      (1L, base + " updated"),
+      (2L, "entirely novel words nothing shared whatsoever here today"),
+      (3L, base),
+      (5L, base)                     // added
+    ).toDF("doc_id", "text")
+    val got = Dedup.corpusDiff(oldGen, newGen, "doc_id", "text", nearHamming = Some(3))
+      .orderBy("doc_id").as[(Long, String)].collect()
+    assert(got === Array((1L, "re-rendered"), (2L, "rewritten"),
+      (3L, "unchanged"), (4L, "removed"), (5L, "added")))
+    // default mode is unchanged-vs-changed exactly as before
+    val legacy = Dedup.corpusDiff(oldGen, newGen, "doc_id", "text")
+      .orderBy("doc_id").as[(Long, String)].collect()
+    assert(legacy === Array((1L, "changed"), (2L, "changed"),
+      (3L, "unchanged"), (4L, "removed"), (5L, "added")))
+    intercept[IllegalArgumentException](
+      Dedup.corpusDiff(oldGen, newGen, "doc_id", "text", nearHamming = Some(16)))
+  }
+
   test("incremental dedup across TWO generations: grown index drops wave-1 re-crawls") {
     import graft.operators.Dedup
     def doc(id: Long, t: String) = (id, t)
