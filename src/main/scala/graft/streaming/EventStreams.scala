@@ -359,6 +359,74 @@ object EventStreams {
       .toDF("bucket", idCol, "kept")
   }
 
+  /** Streaming incremental EXACT dedup (`transformWithState`, Spark 4):
+    * the streaming twin of [[graft.operators.Dedup.incrementalDedupKeepFirst]]
+    * + [[graft.operators.Dedup.growFingerprints]] — the daily-crawl contract
+    * held as keyed state instead of a parquet-persisted index. Keyed by the
+    * 64-bit xxhash64 text fingerprint (the batch family's `wide` scale key,
+    * single-long form — NOT the ~30-bit oracle-parity fold, whose birthday
+    * collisions at ~38k distinct texts would silently drop live docs);
+    * state per fingerprint is ONE long (the smallest id seen), so the
+    * grown index lives sharded across the state store and survives
+    * restarts via the checkpoint.
+    *
+    * EXACT batch parity under any arrival order, the [[funnelStream]] /
+    * [[semanticDedupStream]] philosophy: the keeper per fingerprint is the
+    * smallest id EVER seen, so a smaller-id original arriving micro-batches
+    * late retroactively flips the earlier keeper to `kept = false` (one
+    * re-emitted row — readers keep the last row per id). Emits
+    * `(h, doc_id, kept)` in Update mode.
+    *
+    * Scale shape: the fingerprint is computed BEFORE the stateful shuffle
+    * (narrow projection), so the exchange carries (hash, id) — text never
+    * shuffles, exactly the batch twin's discipline. State is one long per
+    * DISTINCT document ever seen; `ttl` (opt-in, processing-time mode)
+    * bounds it for unbounded deployments at the cost of re-admitting
+    * re-crawls of evicted fingerprints — the same batch-parity trade as
+    * [[semanticDedupStream]]'s TTL. Null ids/texts are dropped pre-shuffle
+    * (checkpoint-replay guard). Requires the RocksDB state store provider.
+    */
+  def incrementalDedupStream(docs: DataFrame,
+                             idCol: String = "doc_id",
+                             textCol: String = "text",
+                             ttl: Option[java.time.Duration] = None): DataFrame = {
+    import org.apache.spark.sql.Encoders
+    import org.apache.spark.sql.streaming.{OutputMode, StatefulProcessor, TimeMode, TimerValues, TTLConfig, ValueState}
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val ttlConfig = ttl.map(TTLConfig.apply).getOrElse(TTLConfig.NONE)
+
+    class KeepFirstProcessor extends StatefulProcessor[Long, (Long, Long), (Long, Long, Boolean)] {
+      @transient private var minId: ValueState[Long] = _
+      override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+        minId = getHandle.getValueState[Long]("min_id", Encoders.scalaLong, ttlConfig)
+      override def handleInputRows(h: Long, rows: Iterator[(Long, Long)],
+          tv: TimerValues): Iterator[(Long, Long, Boolean)] = {
+        val ids = rows.map(_._2).toArray.distinct.sorted
+        if (ids.isEmpty) return Iterator.empty
+        val prev = if (minId.exists()) Some(minId.get()) else None
+        val keeper = prev.fold(ids.head)(math.min(_, ids.head))
+        minId.update(keeper)
+        val flip = prev.filter(p => p != keeper).map((h, _, false))
+        // incoming ids: kept iff it IS the keeper and the keeper is new —
+        // a re-crawl of the standing keeper's own id stays kept
+        val out = ids.iterator.map(id => (h, id, id == keeper))
+        flip.iterator ++ out
+      }
+    }
+
+    docs
+      .select(xxhash64(col(textCol)).as("_h"),
+        col(idCol).cast("long").as("_id"))
+      .where(col("_h").isNotNull && col("_id").isNotNull)
+      .as[(Long, Long)]
+      .groupByKey(_._1)
+      .transformWithState(new KeepFirstProcessor,
+        if (ttl.isDefined) TimeMode.ProcessingTime() else TimeMode.None(),
+        OutputMode.Update())
+      .toDF("h", idCol, "kept")
+  }
+
   /** Streaming session summary row. */
   case class Session(user_id: Long, session_start: java.sql.Timestamp,
                      session_end: java.sql.Timestamp, n_events: Long)

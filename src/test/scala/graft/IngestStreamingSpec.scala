@@ -551,6 +551,83 @@ class IngestStreamingSpec extends SparkSuite {
     assert(seen.map(_._1).toSet === (0L until seen.length).toSet)
   }
 
+  test("incrementalDedupStream: re-crawls drop across micro-batches; state survives restart") {
+    val root = Files.createTempDirectory("graft_incdedup").toString
+    val dir = s"$root/in"
+    new java.io.File(dir).mkdirs()
+    // wave 1 (two micro-batches): f1 = two fresh docs; f2 = a re-crawl of
+    // 10's text at a larger id (drop) + beta at a SMALLER id (flips 11)
+    Seq((10L, "alpha body"), (11L, "beta body")).toDF("doc_id", "text")
+      .coalesce(1).write.parquet(s"$root/f1")
+    Seq((12L, "alpha body"), (5L, "beta body")).toDF("doc_id", "text")
+      .coalesce(1).write.parquet(s"$root/f2")
+    for (f <- Seq("f1", "f2");
+         p <- new java.io.File(s"$root/$f").listFiles() if p.getName.endsWith(".parquet")) {
+      val dst = java.nio.file.Path.of(dir, s"$f-${p.getName}")
+      Files.copy(p.toPath, dst)
+      dst.toFile.setLastModified(if (f == "f1") 1000000L else 2000000L)
+    }
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    try {
+      spark.conf.set(key,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      val schema = spark.read.parquet(dir).schema
+      val ckpt = s"$root/ckpt"
+      // foreachBatch sink: unlike the memory sink it supports restarting
+      // from a checkpoint, which is the claim under test
+      def drain(outDir: String): Unit = {
+        val q = EventStreams.incrementalDedupStream(
+            EventStreams.readFileStream(spark, dir, schema, maxFilesPerTrigger = 1))
+          .writeStream
+          .foreachBatch { (df: org.apache.spark.sql.DataFrame, batchId: Long) =>
+            df.withColumn("batch_id", lit(batchId))
+              .write.mode("append").parquet(outDir): Unit
+          }
+          .outputMode("update")
+          .option("checkpointLocation", ckpt)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+      drain(s"$root/out1")
+      val r1 = spark.read.parquet(s"$root/out1")
+        .select("doc_id", "kept", "batch_id").as[(Long, Boolean, Long)].collect()
+      // latest micro-batch's row per id is its standing status
+      val finals1 = r1.groupBy(_._1)
+        .map { case (id, xs) => id -> xs.maxBy(_._3)._2 }
+      assert(finals1 === Map(10L -> true, 11L -> false, 5L -> true, 12L -> false),
+        s"got $finals1 from ${r1.mkString(", ")}")
+      // 11 was kept in batch 1, then its smaller-id twin arrived late
+      val elevens = r1.filter(_._1 == 11L).sortBy(_._3).map(_._2).toSeq
+      assert(elevens === Seq(true, false))
+      // exact batch parity: stream survivors == keep-first over the union
+      val batchKeep = graft.operators.Dedup.dedupKeepFirst(
+        Seq((10L, "alpha body"), (11L, "beta body"), (12L, "alpha body"),
+          (5L, "beta body")).toDF("doc_id", "text"), Seq("text"), Seq("doc_id"))
+        .select("doc_id").as[Long].collect().toSet
+      assert(finals1.filter(_._2).keySet === batchKeep)
+      // wave 2 arrives AFTER a restart: a re-crawl of alpha (must drop —
+      // provable only if the fingerprint state survived the restart) and a
+      // genuinely new doc (must keep)
+      Seq((20L, "alpha body"), (21L, "gamma body")).toDF("doc_id", "text")
+        .coalesce(1).write.parquet(s"$root/f3")
+      for (p <- new java.io.File(s"$root/f3").listFiles() if p.getName.endsWith(".parquet")) {
+        val dst = java.nio.file.Path.of(dir, s"f3-${p.getName}")
+        Files.copy(p.toPath, dst)
+        dst.toFile.setLastModified(3000000L)
+      }
+      drain(s"$root/out2")
+      val r2 = spark.read.parquet(s"$root/out2")
+        .select("doc_id", "kept").as[(Long, Boolean)].collect().toMap
+      assert(r2 === Map(20L -> false, 21L -> true),
+        s"restart run should emit only wave-2 verdicts, got $r2")
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   test("semanticDedupStream: late smaller-id dup retroactively flips the survivor") {
     val v1 = Seq(1.0, 0.5, -0.25, 1.0, 0.75, -0.5, 0.3, 1.1)
     val v2 = v1.map(_ * 1.001) // near-dup of v1, same bucket
