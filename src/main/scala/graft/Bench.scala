@@ -57,6 +57,22 @@ object Bench {
       require(unknown.isEmpty,
         s"SPARK_GRAFT_BENCH_ONLY names not in SparkEntry.queries: ${unknown.toSeq.sorted.mkString(", ")}")
     }
+    // Redundant-twin trim: queries whose FULL cost is already measured by a
+    // sibling in the suite are skipped from the default loop (they stay in
+    // Verify — correctness coverage is untouched). The suite is 130+ queries
+    // x 2 passes; every pinned-identical twin costs ~2 s of driver budget
+    // for zero new signal. SPARK_GRAFT_BENCH_ALL=1 restores them, and an
+    // explicit SPARK_GRAFT_BENCH_ONLY always wins (re-probes must work).
+    //   q45_group_topk   — window form pinned output-identical to q60's
+    //                      native TopKByScore kernel; the kernel is the
+    //                      graft-specific path worth tracking
+    //   q79_cc_star      — shares q65's oracle (same components, star vs
+    //                      propagation); q65 keeps the longer record history
+    //   q101_binary_ann  — its hamming stage runs verbatim inside q102's
+    //                      shortlist phase
+    val benchSkip: Set[String] =
+      if (sys.env.get("SPARK_GRAFT_BENCH_ALL").exists(_ == "1")) Set.empty
+      else Set("q45_group_topk", "q79_cc_star", "q101_binary_ann")
     // Run order is a seeded shuffle, not alphabetical: when the budget (below)
     // cuts the tail to one cold pass, an alphabetical order ALWAYS sacrifices
     // the same late-alphabet queries (round 9's driver run cold-passed
@@ -68,7 +84,10 @@ object Bench {
     System.err.println(s"[bench] query order seed: $seed")
     val names = new scala.util.Random(seed).shuffle(
       SparkEntry.queries.keys.toSeq.sorted
-        .filter(n => only.forall(_.contains(n))))
+        .filter(n => only match {
+          case Some(o) => o.contains(n)     // explicit subset wins over the trim
+          case None => !benchSkip.contains(n)
+        }))
     // Time budget: once total wall time exceeds SPARK_GRAFT_BENCH_BUDGET
     // seconds, remaining queries drop to a single pass — insurance against a
     // driver-side timeout killing the run before the JSON line prints. The

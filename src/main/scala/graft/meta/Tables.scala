@@ -26,8 +26,29 @@ object Tables {
     if (name == "events")
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val df = spark.read.parquet(s"$sfDir/$name.parquet")
-    if (name == "events") normalizeEventTs(df) else df
+    name match {
+      case "events" => normalizeEventTs(df)
+      case "documents" => normalizeIds(df, Seq("doc_id", "n_chars"))
+      case "embeddings" => normalizeIds(df, Seq("vec_id"))
+      case _ => df
+    }
   }
+
+  /** Pin the non-TPC tables' integer columns to BIGINT whatever physical
+    * width the parquet holds — the same never-assume-the-physical-type
+    * guard as [[normalizeEventTs]], for the int32-vs-int64 drift axis a
+    * testdata regeneration could flip (events.ts actually flipped between
+    * rounds 8 and 9; 40+ queries read these tables). The cast is applied
+    * only when the loaded type differs, so the current generation's plans
+    * are byte-identical. Embedding element types need no pinning: every
+    * consumer casts to its working width explicitly (Similarity casts to
+    * `array<double>`), matching the oracle's `CAST(... AS DOUBLE[])`. */
+  private[graft] def normalizeIds(df: DataFrame, cols: Seq[String]): DataFrame =
+    cols.foldLeft(df) { (d, c) =>
+      if (d.columns.contains(c) && d.schema(c).dataType != LongType)
+        d.withColumn(c, col(c).cast(LongType))
+      else d
+    }
 
   /** Coerce `ts` to TIMESTAMP_NTZ whatever physical type the parquet holds.
     * Never assume the testdata's physical type: it flipped int64-nanos →

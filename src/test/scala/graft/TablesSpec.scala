@@ -66,4 +66,56 @@ class TablesSpec extends SparkSuite {
     assert(loaded.schema("ts").dataType == TimestampNTZType)
     assert(loaded.where(col("ts").isNotNull).limit(1).count() == 1L)
   }
+
+  /** Write `df` as `<name>.parquet` under a fresh temp dir, return the dir. */
+  private def stageAs(name: String, df: org.apache.spark.sql.DataFrame): String = {
+    val dir = Files.createTempDirectory("graft_tables_spec").toString
+    df.coalesce(1).write.mode("overwrite").parquet(s"$dir/$name.parquet")
+    dir
+  }
+
+  test("load(documents) pins an int32 id generation to BIGINT; values intact") {
+    import org.apache.spark.sql.types.{IntegerType, StringType}
+    val schema = StructType(Seq(
+      StructField("doc_id", IntegerType), StructField("text", StringType),
+      StructField("lang", StringType), StructField("source", StringType),
+      StructField("n_chars", IntegerType)))
+    val df = spark.createDataFrame(
+      java.util.Arrays.asList(Row(7, "body text", "en", "web", 9)), schema)
+    val loaded = Tables.load(spark, stageAs("documents", df), "documents")
+    assert(loaded.schema("doc_id").dataType == LongType)
+    assert(loaded.schema("n_chars").dataType == LongType)
+    val r = loaded.head
+    assert(r.getAs[Long]("doc_id") == 7L && r.getAs[Long]("n_chars") == 9L
+      && r.getAs[String]("text") == "body text")
+  }
+
+  test("load(embeddings) pins an int32 vec_id; float AND double element generations load") {
+    import org.apache.spark.sql.types.{ArrayType, DoubleType, FloatType, IntegerType}
+    for (elem <- Seq(FloatType, DoubleType)) {
+      val schema = StructType(Seq(
+        StructField("vec_id", IntegerType),
+        StructField("embedding", ArrayType(elem))))
+      val vec: Seq[Any] =
+        if (elem == FloatType) Seq(0.5f, -1.25f) else Seq(0.5, -1.25)
+      val df = spark.createDataFrame(
+        java.util.Arrays.asList(Row(3, vec)), schema)
+      val loaded = Tables.load(spark, stageAs("embeddings", df), "embeddings")
+      assert(loaded.schema("vec_id").dataType == LongType, s"elem=$elem")
+      // consumers cast the element width themselves — both generations
+      // must survive the cast with exact values (0.5/-1.25 are dyadic)
+      val got = loaded.select(col("embedding").cast("array<double>"))
+        .head.getSeq[Double](0)
+      assert(got == Seq(0.5, -1.25), s"elem=$elem got $got")
+    }
+  }
+
+  test("real driver testdata documents/embeddings load with BIGINT ids") {
+    val d = Tables.documents(spark, sf)
+    assert(d.schema("doc_id").dataType == LongType
+      && d.schema("n_chars").dataType == LongType)
+    val e = Tables.embeddings(spark, sf)
+    assert(e.schema("vec_id").dataType == LongType)
+    assert(d.limit(1).count() == 1L && e.limit(1).count() == 1L)
+  }
 }
