@@ -118,6 +118,14 @@ object Bench {
         if (overBudget) Seq.empty
         else (2 to passes).map(_ => runOnce(name))
       val best = (first +: rest).min
+      // Reap the finished query's detached (localCheckpoint) blocks: ~40
+      // queries hand back lineage-severed frames whose storage otherwise
+      // accumulates across the whole 129-query JVM and pressures the
+      // heaviest queries late in the run (in-suite-only inflation with
+      // at-record standalone re-probes — r11 caught q91 at 6.05 s in-suite
+      // vs 0.78 s solo AFTER the codegen-cache raise). Runs outside the
+      // timed section; nothing references a prior query's frames.
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
       name -> (if (best.isInfinity) -1.0 else best)
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
