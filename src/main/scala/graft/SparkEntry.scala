@@ -1677,6 +1677,28 @@ object SparkEntry {
       Dedup.corpusDiff(oldGen, newGen, "doc_id", "text", nearHamming = Some(3))
         .orderBy("doc_id")
     }),
+
+    // Incremental NEAR-dup dedup — the fuzzy twin of q112/q122's exact
+    // incremental contract: %3==0 docs are the accepted corpus (persisted
+    // LSH index); the wave = %3!=0 docs + near-dup re-crawls of indexed
+    // content (%9==0, 3-token footer appended -> drop via the index) +
+    // within-batch near-dup clones (%15==1, one-token variant ->
+    // keep-first in the batch cluster). Survivors only; tau = 0.8 means
+    // >= 13/16 signature slots agree (exact binary boundary).
+    "q133_incremental_fuzzy" -> ((s, dir) => {
+      val d = Tables.documents(s, dir).select("doc_id", "text")
+      val index = Dedup.lshIndex(d.where(col("doc_id") % 3 === 0), "doc_id", "text")
+      val wave = d.where(col("doc_id") % 3 =!= 0)
+        .unionByName(d.where(col("doc_id") % 9 === 0)
+          .select((col("doc_id") + 1000000L).as("doc_id"),
+            concat(col("text"), lit(" extra recrawl footer")).as("text")))
+        .unionByName(d.where(col("doc_id") % 15 === 1)
+          .select((col("doc_id") + 2000000L).as("doc_id"),
+            concat(col("text"), lit(" variant")).as("text")))
+      Dedup.incrementalFuzzyDedupKeepFirst(wave, "doc_id", "text", index, tau = 0.8)
+        .select("doc_id")
+        .orderBy("doc_id")
+    }),
   )
 
   /** Synthesized crawl URL shared by q123/q125 — the classic variant noise
@@ -3449,6 +3471,47 @@ object SparkEntry {
          |       WHEN bit_count(xor(os.sh, ns.sh)) <= 3 THEN 're-rendered'
          |       ELSE 'rewritten' END AS status
          |FROM os FULL OUTER JOIN ns ON os.doc_id = ns.doc_id
+         |ORDER BY doc_id""".stripMargin
+    },
+
+    "q133_incremental_fuzzy" -> {
+      // q24/q65's signature+banding arithmetic (dBandedCtes' formulas) over
+      // the accepted corpus AND the wave; index hits + within-batch
+      // reachability clusters; a cluster containing any hit drops entirely
+      def bands(src: String) =
+        s"""${src}hs AS (SELECT doc_id, ${dShingleHashes("text")} AS hashes FROM $src),
+           |${src}sg AS (SELECT doc_id, list_transform(range(0, 16),
+           |  i -> list_min(list_transform(hashes, h -> ((2*i+3)*h + (7*i+1)) % $Mod))) AS sig FROM ${src}hs),
+           |${src}bd AS (SELECT doc_id, sig, b.band AS band,
+           |  array_to_string(sig[b.band*4+1 : b.band*4+4], '-') AS bkey
+           |  FROM ${src}sg CROSS JOIN (SELECT unnest(range(0, 4)) AS band) b)""".stripMargin
+      def est(a: String, b: String) =
+        s"list_sum(list_transform(range(1, 17), i -> CASE WHEN $a.sig[i] = $b.sig[i] THEN 1 ELSE 0 END)) / 16.0"
+      s"""WITH RECURSIVE old AS (SELECT doc_id, text FROM documents WHERE doc_id % 3 = 0),
+         |wave AS (SELECT doc_id, text FROM documents WHERE doc_id % 3 != 0
+         |  UNION ALL SELECT doc_id + 1000000, text || ' extra recrawl footer'
+         |  FROM documents WHERE doc_id % 9 = 0
+         |  UNION ALL SELECT doc_id + 2000000, text || ' variant'
+         |  FROM documents WHERE doc_id % 15 = 1),
+         |${bands("old")},
+         |${bands("wave")},
+         |hits AS (SELECT DISTINCT n.doc_id FROM wavebd n
+         |  JOIN oldbd o ON n.band = o.band AND n.bkey = o.bkey
+         |  WHERE ${est("n", "o")} >= 0.8),
+         |pairs AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM wavebd a JOIN wavebd b ON a.band = b.band AND a.bkey = b.bkey
+         |    AND a.doc_id < b.doc_id
+         |  WHERE ${est("a", "b")} >= 0.8),
+         |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+         |  UNION ALL SELECT id_b AS src, id_a AS dst FROM pairs),
+         |reach(id, m) AS (
+         |  SELECT doc_id, doc_id FROM wave
+         |  UNION
+         |  SELECT e.src, r.m FROM edges e JOIN reach r ON r.id = e.dst),
+         |comp AS (SELECT id, min(m) AS component FROM reach GROUP BY id),
+         |tainted AS (SELECT DISTINCT c.component FROM comp c JOIN hits h ON c.id = h.doc_id)
+         |SELECT id AS doc_id FROM comp
+         |WHERE id = component AND component NOT IN (SELECT component FROM tainted)
          |ORDER BY doc_id""".stripMargin
     },
   )

@@ -541,21 +541,36 @@ object Dedup {
   def minhashSignatures(df: DataFrame, idCol: String, textCol: String): DataFrame =
     df.select(col(idCol), graft.functions.GraftFunctions.minhash_sig(col(textCol)).as("sig"))
 
-  /** LSH candidate pairs: docs sharing at least one signature band, with the
-    * estimated Jaccard = fraction of equal signature positions. Left id <
-    * right id; each pair reported once. */
-  def lshCandidatePairs(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+  /** Banded MinHash signatures: one row per (band, bucket) membership,
+    * carrying the full signature for estimated-Jaccard verification.
+    * Detached (eager localCheckpoint) — every caller feeds it to a
+    * multi-arm join. */
+  private def bandedSignatures(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val rows = MinhashK / LshBands
     // detach, not persist: the signature table feeds both join sides; a
     // persisted handback would leak a cacheManager block (see Relational.detach).
     val sigs = Relational.detach(minhashSignatures(df, idCol, textCol))
-    val banded = sigs.select(
+    sigs.select(
       col(idCol), col("sig"),
       explode(expr(
         s"transform(sequence(0, ${LshBands - 1}), " +
           s"b -> struct(b AS band, concat_ws('-', slice(sig, b * $rows + 1, $rows)) AS bkey))"))
         .as("bb"))
       .select(col(idCol), col("sig"), col("bb.band"), col("bb.bkey"))
+  }
+
+  /** Estimated Jaccard of two MinHash signatures: fraction of equal slots.
+    * Values are multiples of 1/16 (exact binary fractions), so threshold
+    * comparisons are engine-reproducible with no float-boundary risk. */
+  private def estJaccardCol(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => when(x === y, 1).otherwise(0)),
+      lit(0), (acc, v) => acc + v).cast("double") / lit(MinhashK.toDouble)
+
+  /** LSH candidate pairs: docs sharing at least one signature band, with the
+    * estimated Jaccard = fraction of equal signature positions. Left id <
+    * right id; each pair reported once. */
+  def lshCandidatePairs(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val banded = bandedSignatures(df, idCol, textCol)
     val l = banded.select(col(idCol).as("id_a"), col("sig").as("sig_a"), col("band"), col("bkey"))
     val r = banded.select(col(idCol).as("id_b"), col("sig").as("sig_b"), col("band"), col("bkey"))
     l.join(r, Seq("band", "bkey"))
@@ -564,6 +579,69 @@ object Dedup {
         expr(s"aggregate(zip_with(sig_a, sig_b, (x, y) -> IF(x = y, 1, 0)), 0, (a, v) -> a + v) / CAST($MinhashK AS DOUBLE)")
           .as("est_jaccard"))
       .distinct()
+  }
+
+  /** Persisted MinHash-LSH index of an ACCEPTED corpus — the near-dup
+    * counterpart of [[fingerprints]]' exact index: one row per (band,
+    * bucket) membership carrying the member's full signature, so future
+    * waves can both FIND candidates (band equi-join) and VERIFY them
+    * (est-Jaccard over the carried signatures) without ever touching the
+    * accepted corpus's text again. Parquet-persist between waves; grows
+    * with accepted documents x `LshBands`, not ingested volume.
+    * Columns: (band, bkey, id, sig). */
+  def lshIndex(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    bandedSignatures(docs, idCol, textCol)
+      .select(col("band"), col("bkey"), col(idCol).as("id"), col("sig"))
+
+  /** The between-waves step of the incremental NEAR-dup contract:
+    * `index_{t+1} = index_t ∪ lshIndex(survivors_t)` — the fuzzy twin of
+    * [[growFingerprints]]. */
+  def growLshIndex(index: DataFrame, kept: DataFrame,
+                   idCol: String, textCol: String): DataFrame =
+    index.unionByName(lshIndex(kept, idCol, textCol)).distinct()
+
+  /** Incremental NEAR-dup dedup for append-only ingest — the fuzzy
+    * counterpart of [[incrementalDedupKeepFirst]], completing the
+    * production ladder's incremental column (exact incremental shipped in
+    * rounds 9-10; near-dup waves previously required re-running the full
+    * batch LSH over old ∪ new): drop every new document whose estimated
+    * Jaccard against ANY indexed (accepted) document reaches `tau`, then
+    * tau-verified fuzzy keep-first WITHIN the batch.
+    *
+    * Batch-parity contract: within-batch clusters are built over ALL new
+    * docs (index-dropped ones included), and any cluster containing an
+    * index hit drops ENTIRELY — exactly what a full old∪new
+    * [[fuzzyDedupKeepFirst]] does when old docs are canonical (an
+    * accepted doc always wins its cluster, and two new clusters bridged
+    * by one accepted doc both drop: both are tainted here too).
+    *
+    * Scale shape: candidates vs the index are a (band, bkey) equi-join —
+    * never all-pairs, never index text (signatures only, 16 int64s); the
+    * within-batch arm is the same banded self-join as
+    * [[lshCandidatePairs]] + [[connectedComponents]] min-label rounds.
+    * New-wave text crosses the wire exactly once (the final semi join). */
+  def incrementalFuzzyDedupKeepFirst(newDocs: DataFrame, idCol: String, textCol: String,
+                                     index: DataFrame, tau: Double): DataFrame = {
+    require(tau > 0 && tau <= 1, s"tau must be in (0, 1], got $tau")
+    val nb = bandedSignatures(newDocs, idCol, textCol)
+    val hits = nb.join(
+        index.select(col("band"), col("bkey"), col("sig").as("_sig_old")),
+        Seq("band", "bkey"))
+      .where(estJaccardCol(col("sig"), col("_sig_old")) >= tau)
+      .select(col(idCol).as("id")).distinct()
+    val l = nb.select(col(idCol).as("id_a"), col("sig").as("sig_a"), col("band"), col("bkey"))
+    val r = nb.select(col(idCol).as("id_b"), col("sig").as("sig_b"), col("band"), col("bkey"))
+    val edges = l.join(r, Seq("band", "bkey"))
+      .where(col("id_a") < col("id_b"))
+      .where(estJaccardCol(col("sig_a"), col("sig_b")) >= tau)
+      .select("id_a", "id_b").distinct()
+    val comps = connectedComponents(newDocs.select(col(idCol).as("id")), edges)
+    val tainted = comps.join(hits, Seq("id"))
+      .select(col("component").as("_tc")).distinct()
+    val kept = comps.where(col("id") === col("component"))
+      .join(tainted, col("component") === col("_tc"), "left_anti")
+      .select(col("id").as(idCol))
+    newDocs.join(kept, Seq(idCol), "left_semi")
   }
 
   /** True n-gram (word 3-shingle) Jaccard for candidate pairs — the

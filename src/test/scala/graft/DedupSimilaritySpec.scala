@@ -663,6 +663,39 @@ class DedupSimilaritySpec extends SparkSuite {
       (3L, "removed"), (4L, "added")))
   }
 
+  test("incrementalFuzzyDedupKeepFirst: index hits drop, batch clusters keep-first, index grows") {
+    import graft.operators.Dedup
+    def words(seed: String, n: Int) = (1 to n).map(i => s"$seed$i").mkString(" ")
+    val t1 = words("alpha", 40)
+    val t2 = words("beta", 40)
+    val index = Dedup.lshIndex(Seq((0L, t1)).toDF("doc_id", "text"), "doc_id", "text")
+    assert(index.columns.toSeq === Seq("band", "bkey", "id", "sig"))
+    val wave = Seq(
+      (10L, t1 + " trailing footer"),  // near-dup re-crawl of indexed text: drop
+      (11L, t2),                       // genuinely new: keep
+      (12L, t2 + " minor tail")        // intra-batch near-dup of 11: keep-first drops it
+    ).toDF("doc_id", "text")
+    // preconditions: the seeded pairs really clear the tau gate
+    val est = Dedup.lshCandidatePairs(
+      Seq((0L, t1), (10L, t1 + " trailing footer"), (11L, t2), (12L, t2 + " minor tail"))
+        .toDF("doc_id", "text"), "doc_id", "text")
+      .as[(Long, Long, Double)].collect().map(t => (t._1, t._2) -> t._3).toMap
+    assert(est((0L, 10L)) >= 0.8 && est((11L, 12L)) >= 0.8, s"fixture too weak: $est")
+    val kept = Dedup.incrementalFuzzyDedupKeepFirst(wave, "doc_id", "text", index, tau = 0.8)
+    assert(kept.select("doc_id").as[Long].collect().sorted === Array(11L))
+    // growing the index by the survivors makes a re-run drop everything
+    val grown = Dedup.growLshIndex(index, kept, "doc_id", "text")
+    assert(Dedup.incrementalFuzzyDedupKeepFirst(wave, "doc_id", "text", grown, tau = 0.8)
+      .count() === 0L)
+    // and a fresh near-dup of the GROWN content (t2 family) now drops too
+    val wave2 = Seq((20L, t2 + " other tail"), (21L, words("gamma", 40)))
+      .toDF("doc_id", "text")
+    val s2 = Dedup.incrementalFuzzyDedupKeepFirst(wave2, "doc_id", "text", grown, tau = 0.8)
+    assert(s2.select("doc_id").as[Long].collect().sorted === Array(21L))
+    intercept[IllegalArgumentException](
+      Dedup.incrementalFuzzyDedupKeepFirst(wave, "doc_id", "text", index, tau = 0.0))
+  }
+
   test("corpusDiff nearHamming splits changed into re-rendered vs rewritten") {
     import graft.operators.Dedup
     val base = "spark shuffle partition broadcast join aggregate window filter scan codegen"
