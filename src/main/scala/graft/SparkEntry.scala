@@ -1699,6 +1699,21 @@ object SparkEntry {
         .select("doc_id")
         .orderBy("doc_id")
     }),
+
+    // Per-language token-distribution drift between two corpus snapshots:
+    // %4==1 docs in the new generation get a spam footer — the injected
+    // mass shows up as nonzero KL/JS for every language while type counts
+    // expose the new spam vocabulary. The release-gate health metric run
+    // BEFORE any document-level filter.
+    "q134_corpus_drift" -> ((s, dir) => {
+      val d = Tables.documents(s, dir).select("doc_id", "lang", "text")
+      val newGen = d.withColumn("text",
+        when(col("doc_id") % 4 === 1,
+          concat(col("text"), lit(" buy cheap pills now click here")))
+          .otherwise(col("text")))
+      TextAnalysis.tokenDivergence(d, newGen, Seq("lang"), "text")
+        .orderBy("lang")
+    }),
   )
 
   /** Synthesized crawl URL shared by q123/q125 — the classic variant noise
@@ -3514,5 +3529,34 @@ object SparkEntry {
          |WHERE id = component AND component NOT IN (SELECT component FROM tainted)
          |ORDER BY doc_id""".stripMargin
     },
+
+    "q134_corpus_drift" ->
+      // same spam-footer snapshot; add-0.5-smoothed p/q over the union
+      // vocab per lang, KL both ways + Jensen-Shannon, term-for-term with
+      // tokenDivergence (word tokens mirror q73's regexp_extract_all)
+      """WITH o AS (SELECT lang, unnest(regexp_extract_all(text, '[A-Za-z0-9]+')) AS w
+        |  FROM documents),
+        |n AS (SELECT lang, unnest(regexp_extract_all(
+        |    CASE WHEN doc_id % 4 = 1 THEN text || ' buy cheap pills now click here' ELSE text END,
+        |    '[A-Za-z0-9]+')) AS w
+        |  FROM documents),
+        |oc AS (SELECT lang, w, count(*) AS co FROM o GROUP BY lang, w),
+        |nc AS (SELECT lang, w, count(*) AS cn FROM n GROUP BY lang, w),
+        |j AS (SELECT coalesce(oc.lang, nc.lang) AS lang, coalesce(oc.w, nc.w) AS w,
+        |  coalesce(co, 0) AS co, coalesce(cn, 0) AS cn
+        |  FROM oc FULL OUTER JOIN nc ON oc.lang = nc.lang AND oc.w = nc.w),
+        |t AS (SELECT lang, sum(co) AS no, sum(cn) AS nn, count(*) AS v
+        |  FROM j GROUP BY lang),
+        |e AS (SELECT j.lang, co, cn,
+        |  (co + 0.5) / (no + 0.5 * v) AS p, (cn + 0.5) / (nn + 0.5 * v) AS q
+        |  FROM j JOIN t ON j.lang = t.lang)
+        |SELECT lang,
+        |  CAST(sum(CASE WHEN co > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_types_old,
+        |  CAST(sum(CASE WHEN cn > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_types_new,
+        |  count(*) AS n_types_union,
+        |  round(sum(p * ln(p / q)), 6) AS kl_old_new,
+        |  round(sum(q * ln(q / p)), 6) AS kl_new_old,
+        |  round(sum(p * ln(p / ((p + q) / 2.0)) / 2.0 + q * ln(q / ((p + q) / 2.0)) / 2.0), 6) AS js_div
+        |FROM e GROUP BY lang ORDER BY lang""".stripMargin,
   )
 }

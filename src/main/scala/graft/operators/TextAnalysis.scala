@@ -577,6 +577,58 @@ object TextAnalysis {
         round(avg(when(col("_c2").isNotNull, 0.0).otherwise(1.0)), 6).as("backoff_frac"))
   }
 
+  /** Token-distribution divergence between two corpus snapshots, per
+    * group (usually language) — the corpus-drift health metric release
+    * pipelines gate on: a new crawl whose unigram distribution diverges
+    * sharply from the accepted corpus signals spam injection, template
+    * floods, or a scraper regression BEFORE any document-level filter
+    * sees it. Emits, per group: type counts (old / new / union), both
+    * smoothed KL directions, and the bounded symmetric Jensen-Shannon
+    * divergence (0 = identical, ln 2 = disjoint).
+    *
+    * Distributions are add-k smoothed over the UNION vocabulary
+    * (`p(w) = (c(w)+k) / (N + k*V)`), so unseen-on-one-side words carry
+    * mass and both KL directions are finite — the same smoothing family
+    * as [[charTrigramLogProb]]/[[wordBigramLogProb]].
+    *
+    * Scale shape: two corpus explodes reduce map-side to vocabulary-
+    * bounded (group, token) count tables; ONE full-outer equi-join on
+    * (group, token) aligns them; per-group totals are a group-count-sized
+    * aggregate joined back (AQE broadcasts it); the divergence sums are
+    * one final per-group aggregate. Nothing corpus-sized crosses the
+    * wire after the explodes' partial aggregation. */
+  def tokenDivergence(oldDocs: DataFrame, newDocs: DataFrame,
+                      groupCols: Seq[String], textCol: String,
+                      k: Double = 0.5): DataFrame = {
+    require(k > 0, s"add-k smoothing k must be positive, got $k")
+    def counts(d: DataFrame, side: String) =
+      d.select(groupCols.map(col) :+ explode(wordTokens(col(textCol))).as("_w"): _*)
+        .groupBy((groupCols :+ "_w").map(col): _*)
+        .agg(count(lit(1)).as(s"_c$side"))
+    val j = counts(oldDocs, "o").join(counts(newDocs, "n"),
+        groupCols :+ "_w", "full_outer")
+      .withColumn("_co", coalesce(col("_co"), lit(0L)))
+      .withColumn("_cn", coalesce(col("_cn"), lit(0L)))
+    val totals = j.groupBy(groupCols.map(col): _*)
+      .agg(sum("_co").as("_no"), sum("_cn").as("_nn"),
+        count(lit(1)).as("_v"))
+    val p = (col("_co") + lit(k)) / (col("_no") + lit(k) * col("_v"))
+    val q = (col("_cn") + lit(k)) / (col("_nn") + lit(k) * col("_v"))
+    val m = (p + q) / lit(2.0)
+    j.join(totals, groupCols)
+      .select(groupCols.map(col) :+ col("_co") :+ col("_cn") :+
+        (p * log(p / q)).as("_klon") :+ (q * log(q / p)).as("_klno") :+
+        (p * log(p / m) / lit(2.0) + q * log(q / m) / lit(2.0)).as("_js"): _*)
+      .groupBy(groupCols.map(col): _*)
+      .agg(
+        sum(when(col("_co") > 0, 1L).otherwise(0L)).as("n_types_old"),
+        sum(when(col("_cn") > 0, 1L).otherwise(0L)).as("n_types_new"),
+        count(lit(1)).as("n_types_union"),
+        round(sum("_klon"), 6).as("kl_old_new"),
+        round(sum("_klno"), 6).as("kl_new_old"),
+        round(sum("_js"), 6).as("js_div"))
+  }
+
   /** Vocabulary induction + out-of-vocabulary coverage: fit the top
     * `vocabSize` words by corpus frequency (ties by word ascending — the
     * cut is deterministic), then score every document's OOV rate against

@@ -208,6 +208,30 @@ class TextAnalysisSpec extends SparkSuite {
     assert(fast.orderBy("doc_id").collect() === slow.orderBy("doc_id").collect())
   }
 
+  test("tokenDivergence: identical snapshots are zero; hand-computed drift values") {
+    import graft.operators.TextAnalysis.tokenDivergence
+    val same = Seq((1L, "en", "a a b")).toDF("doc_id", "lang", "text")
+    val zero = tokenDivergence(same, same, Seq("lang"), "text")
+      .select("kl_old_new", "kl_new_old", "js_div")
+      .as[(Double, Double, Double)].head()
+    assert(zero === ((0.0, 0.0, 0.0)))
+    // old = "a a a a", new = "b b b b": V=2, N=4 each, k=0.5 ->
+    // p(a)=0.9 p(b)=0.1, q mirrored; KL = 0.8*ln(9), JS = 0.9*ln(1.8)+0.1*ln(0.2)
+    val o = Seq((1L, "en", "a a a a")).toDF("doc_id", "lang", "text")
+    val n = Seq((2L, "en", "b b b b")).toDF("doc_id", "lang", "text")
+    val got = tokenDivergence(o, n, Seq("lang"), "text")
+      .as[(String, Long, Long, Long, Double, Double, Double)].head()
+    def r6(x: Double) = math.rint(x * 1e6) / 1e6
+    assert(got._1 === "en" && got._2 === 1L && got._3 === 1L && got._4 === 2L)
+    assert(got._5 === r6(0.8 * math.log(9.0)))
+    assert(got._6 === r6(0.8 * math.log(9.0))) // symmetric fixture
+    assert(got._7 === r6(0.9 * math.log(1.8) + 0.1 * math.log(0.2)))
+    // JS is bounded by ln 2; KL is not
+    assert(got._7 < math.log(2.0) && got._5 > math.log(2.0))
+    intercept[IllegalArgumentException](
+      tokenDivergence(o, n, Seq("lang"), "text", k = 0.0))
+  }
+
   test("charTrigramLogProb: shuffle fallback above broadcastMaxTrigrams is byte-identical") {
     val docs = Seq(
       (1L, "the quick brown fox jumps"), (2L, "pack my box with jugs"),
