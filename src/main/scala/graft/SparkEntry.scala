@@ -1714,6 +1714,23 @@ object SparkEntry {
       TextAnalysis.tokenDivergence(d, newGen, Seq("lang"), "text")
         .orderBy("lang")
     }),
+
+    // BPE iteration 0: frequency-weighted adjacent char-pair counts — the
+    // what-would-a-tokenizer-learn corpus profile; top pair = BPE's first
+    // merge. Vocabulary-sized after the one corpus explode.
+    "q135_bpe_pairs" -> ((s, dir) => {
+      TextAnalysis.bpePairStats(Tables.documents(s, dir), "text", topK = 50)
+        .orderBy(col("n").desc, col("pair").asc)
+    }),
+
+    // Full BPE merge-table training, 20 rounds — the Sennrich et al.
+    // iterative fit (argmax pair -> greedy merge, repeat). Driver-loop
+    // fit like the Lloyd queries: rows-only check; the merge recurrence
+    // is pinned against the paper's worked example in TextAnalysisSpec.
+    "q136_bpe_merges" -> ((s, dir) => {
+      TextAnalysis.trainBpeMerges(Tables.documents(s, dir), "text", nMerges = 20)
+        .orderBy("rank")
+    }),
   )
 
   /** Synthesized crawl URL shared by q123/q125 — the classic variant noise
@@ -3558,5 +3575,15 @@ object SparkEntry {
         |  round(sum(q * ln(q / p)), 6) AS kl_new_old,
         |  round(sum(p * ln(p / ((p + q) / 2.0)) / 2.0 + q * ln(q / ((p + q) / 2.0)) / 2.0), 6) AS js_div
         |FROM e GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "q135_bpe_pairs" ->
+      // same word-frequency weighting; ties inside the top-50 cut break by
+      // pair ascending in both engines
+      """WITH t AS (SELECT unnest(regexp_extract_all(text, '[A-Za-z0-9]+')) AS w FROM documents),
+        |wf AS (SELECT w, count(*) AS f FROM t GROUP BY w),
+        |p AS (SELECT f, unnest(CASE WHEN len(w) < 2 THEN CAST([] AS VARCHAR[])
+        |  ELSE list_transform(range(1, len(w)), i -> substr(w, i, 2)) END) AS pair FROM wf)
+        |SELECT pair, CAST(sum(f) AS BIGINT) AS n FROM p GROUP BY pair
+        |ORDER BY n DESC, pair LIMIT 50""".stripMargin,
   )
 }

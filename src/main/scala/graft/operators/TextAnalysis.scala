@@ -629,6 +629,79 @@ object TextAnalysis {
         round(sum("_js"), 6).as("js_div"))
   }
 
+  /** Weighted adjacent character-pair statistics — iteration 0 of BPE
+    * tokenizer training (Sennrich et al. 2016 §3.2): every word's
+    * adjacent symbol pairs, weighted by corpus word frequency; the top
+    * pair is BPE's first merge candidate. Useful standalone as the
+    * what-would-a-tokenizer-learn corpus profile.
+    *
+    * Scale shape: the corpus explode reduces map-side to the vocabulary-
+    * bounded word-frequency table; everything after (pair explode, pair
+    * aggregate, top-k) is vocabulary-sized, never corpus-sized, and the
+    * top-k is a TakeOrdered — no full sort. Output: (pair, n) top `topK`
+    * by weight, ties by pair ascending. */
+  def bpePairStats(docs: DataFrame, textCol: String, topK: Int): DataFrame = {
+    require(topK >= 1, s"bpePairStats needs topK >= 1, got $topK")
+    val wf = docs.select(explode(wordTokens(col(textCol))).as("_w"))
+      .groupBy("_w").agg(count(lit(1)).as("_f"))
+    wf.select(col("_f"), explode(expr(
+        "IF(length(_w) < 2, array(), " +
+          "transform(sequence(1, length(_w) - 1), i -> substring(_w, i, 2)))")).as("pair"))
+      .groupBy("pair").agg(sum("_f").as("n"))
+      .orderBy(col("n").desc, col("pair").asc).limit(topK)
+  }
+
+  /** BPE merge-table training (Sennrich et al. 2016 alg. 1): start from
+    * character symbols, repeat `nMerges` times — count adjacent symbol
+    * pairs over the frequency-weighted vocabulary, merge the most frequent
+    * pair (ties by (left, right) ascending, so the table is deterministic)
+    * greedily left-to-right in every word. Returns the merge table
+    * `(rank, left, right, merged, n)` — the artifact a BPE tokenizer IS.
+    *
+    * Like the Lloyd fits ([[graft.operators.Similarity.trainCentroids]])
+    * this is an ITERATIVE driver loop: each round runs one vocabulary-
+    * sized aggregate and collects ONE row (the argmax pair). The corpus
+    * is touched exactly once (the word-frequency explode); all `nMerges`
+    * rounds run over the detached vocab table — at 100 TB the rounds cost
+    * |vocabulary|, not corpus. Stops early if no pair remains. */
+  def trainBpeMerges(docs: DataFrame, textCol: String, nMerges: Int): DataFrame = {
+    require(nMerges >= 1, s"trainBpeMerges needs nMerges >= 1, got $nMerges")
+    val spark = docs.sparkSession
+    var vocab = Relational.detach(
+      docs.select(explode(wordTokens(col(textCol))).as("_w"))
+        .groupBy("_w").agg(count(lit(1)).as("_f"))
+        .select(col("_f"), split(col("_w"), "").as("_s")))
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, String, Long)]
+    var done = false
+    for (r <- 1 to nMerges if !done) {
+      val top = vocab.select(col("_f"), explode(expr(
+          "IF(size(_s) < 2, array(), transform(sequence(0, size(_s) - 2), " +
+            "i -> struct(element_at(_s, i + 1) AS a, element_at(_s, i + 2) AS b)))")).as("p"))
+        .groupBy(col("p.a"), col("p.b")).agg(sum("_f").as("n"))
+        .orderBy(col("n").desc, col("a").asc, col("b").asc).limit(1)
+        .collect()
+      if (top.isEmpty) done = true
+      else {
+        val (a, b, n) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+        val ab = a + b
+        merges += ((r, a, b, ab, n))
+        // greedy left-to-right merge: fold symbols, collapsing (a, b) runs
+        // non-overlappingly ("aaa" under (a,a) -> [aa, a])
+        val mergedExpr = expr(
+          s"aggregate(_s, cast(array() as array<string>), (acc, x) -> " +
+            s"IF(size(acc) > 0 AND element_at(acc, -1) = '$a' AND x = '$b', " +
+            s"concat(slice(acc, 1, size(acc) - 1), array('$ab')), " +
+            s"concat(acc, array(x))))")
+        val next = Relational.detach(vocab.select(col("_f"), mergedExpr.as("_s")))
+        Relational.release(vocab)
+        vocab = next
+      }
+    }
+    Relational.release(vocab)
+    import spark.implicits._
+    merges.toSeq.toDF("rank", "left", "right", "merged", "n")
+  }
+
   /** Vocabulary induction + out-of-vocabulary coverage: fit the top
     * `vocabSize` words by corpus frequency (ties by word ascending — the
     * cut is deterministic), then score every document's OOV rate against

@@ -232,6 +232,33 @@ class TextAnalysisSpec extends SparkSuite {
       tokenDivergence(o, n, Seq("lang"), "text", k = 0.0))
   }
 
+  test("trainBpeMerges reproduces the Sennrich worked example; pair stats agree") {
+    import graft.operators.TextAnalysis
+    // the classic BPE corpus: low x5, lower x2, newest x6, widest x3
+    val text = (Seq.fill(5)("low") ++ Seq.fill(2)("lower") ++
+      Seq.fill(6)("newest") ++ Seq.fill(3)("widest")).mkString(" ")
+    val docs = Seq((1L, text)).toDF("doc_id", "text")
+    // hand-derived: es(9) wins round 1 on the (e,s)<(s,t) tie, then
+    // est(9), then lo(7) on the (l,o)<(o,w) tie
+    val got = TextAnalysis.trainBpeMerges(docs, "text", nMerges = 3)
+      .orderBy("rank").as[(Int, String, String, String, Long)].collect()
+    assert(got === Array(
+      (1, "e", "s", "es", 9L),
+      (2, "es", "t", "est", 9L),
+      (3, "l", "o", "lo", 7L)))
+    // iteration-0 pair stats match the merge loop's first argmax
+    val top = TextAnalysis.bpePairStats(docs, "text", topK = 2)
+      .as[(String, Long)].collect()
+    assert(top === Array(("es", 9L), ("st", 9L)))
+    // early stop: single-char vocabulary has no pairs after enough merges
+    val tiny = Seq((1L, "ab ab")).toDF("doc_id", "text")
+    val all = TextAnalysis.trainBpeMerges(tiny, "text", nMerges = 5)
+      .as[(Int, String, String, String, Long)].collect()
+    assert(all === Array((1, "a", "b", "ab", 2L)))
+    intercept[IllegalArgumentException](
+      TextAnalysis.trainBpeMerges(docs, "text", nMerges = 0))
+  }
+
   test("charTrigramLogProb: shuffle fallback above broadcastMaxTrigrams is byte-identical") {
     val docs = Seq(
       (1L, "the quick brown fox jumps"), (2L, "pack my box with jugs"),
