@@ -1624,27 +1624,10 @@ object SparkEntry {
     // corpus. The closed-form OLS fit is engine-reproducible — weights
     // snap to the 1e-6 grid before scoring, so the LEARNED filter is
     // hash-checked end-to-end, not just its input features.
-    "q130_quality_probe" -> ((s, dir) => {
-      val d = Tables.documents(s, dir).select("doc_id", "text")
-      val junk = d.where(col("doc_id") % 5 === 0)
-        .select((col("doc_id") + 2000000L).as("doc_id"),
-          concat(expr("repeat('zzq glorp wib ', 20)"),
-            substring(col("text"), 1, 40)).as("text"))
-      val corpus = d.unionByName(junk)
-      val featCols = Seq("stop_frac", "dup_word_frac", "lm_logp")
-      // detach: the feature frame feeds the (eager) fit AND the final
-      // score — one char-LM computation, not two
-      val feats = Relational.detach(
-        Quality.qualityFeatures(corpus, "doc_id", "text"))
-      val labeled = feats.where(col("doc_id") % 2 === 0)
-        .withColumn("label",
-          when(col("doc_id") >= 2000000L, 0.0).otherwise(1.0))
-      val w = Quality.roundWeights(
-        Quality.fitLinearProbe(labeled, featCols, "label"))
-      Quality.scoreQuality(feats, w, featCols, 0.5)
+    "q130_quality_probe" -> ((s, dir) =>
+      probeScored(s, dir)
         .select("doc_id", "stop_frac", "dup_word_frac", "lm_logp", "score", "keep")
-        .orderBy("doc_id")
-    }),
+        .orderBy("doc_id")),
 
     // Word-bigram stupid-backoff LM (the KenLM-class tier above q99's
     // char model), CCNet-shaped: fit bigram/unigram tables on the even-id
@@ -1731,7 +1714,52 @@ object SparkEntry {
       TextAnalysis.trainBpeMerges(Tables.documents(s, dir), "text", nMerges = 20)
         .orderBy("rank")
     }),
+
+    // Probe evaluation on the HELD-OUT (odd-id) slice — the fit (q130)
+    // used even ids only, so this is true out-of-sample AUC + confusion
+    // metrics: the go/no-go gate before a fitted quality scorer is allowed
+    // to filter a corpus. Junk docs (id >= 2M) are the negative class.
+    "q137_probe_eval" -> ((s, dir) => {
+      val heldOut = probeScored(s, dir)
+        .where(col("doc_id") % 2 === 1)
+        .withColumn("label",
+          when(col("doc_id") >= 2000000L, 0.0).otherwise(1.0))
+      Quality.evalBinaryClassifier(heldOut, "score", "label", 0.5)
+    }),
+
+    // DSIR data selection: English docs are the in-domain TARGET exemplar;
+    // the non-English pool is importance-weighted by hashed-unigram
+    // log p_target/p_pool and Gumbel-top-k resampled to a quarter of the
+    // pool — the learn-what-to-keep counterpart of q84's fixed-rate mixture.
+    "q138_dsir_select" -> ((s, dir) => {
+      Stats.dsirSelect(Tables.documents(s, dir), "doc_id", "text",
+          targetPred = col("lang") === "en")
+        .orderBy("doc_id")
+    }),
   )
+
+  /** Shared by q130/q137: the seeded junk-augmented corpus, feature
+    * assembly, even-slice OLS fit, and 6-dp scoring. One definition so the
+    * fit query and its evaluation query can never disagree on the model.
+    * The feature frame is detached — one char-LM computation feeds the
+    * (eager) fit AND the final score. */
+  private def probeScored(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir).select("doc_id", "text")
+    val junk = d.where(col("doc_id") % 5 === 0)
+      .select((col("doc_id") + 2000000L).as("doc_id"),
+        concat(expr("repeat('zzq glorp wib ', 20)"),
+          substring(col("text"), 1, 40)).as("text"))
+    val corpus = d.unionByName(junk)
+    val featCols = Seq("stop_frac", "dup_word_frac", "lm_logp")
+    val feats = Relational.detach(
+      Quality.qualityFeatures(corpus, "doc_id", "text"))
+    val labeled = feats.where(col("doc_id") % 2 === 0)
+      .withColumn("label",
+        when(col("doc_id") >= 2000000L, 0.0).otherwise(1.0))
+    val w = Quality.roundWeights(
+      Quality.fitLinearProbe(labeled, featCols, "label"))
+    Quality.scoreQuality(feats, w, featCols, 0.5)
+  }
 
   /** Synthesized crawl URL shared by q123/q125 — the classic variant noise
     * (scheme case, www., trailing slash, tracking params, fragments) over
@@ -1849,6 +1877,50 @@ object SparkEntry {
   private def dLangScore(words: Seq[String]): String =
     words.map(w => s"CAST(len(list_filter(string_split(text, ' '), t -> t = '$w')) AS INTEGER)")
       .mkString(" + ")
+
+  /** DuckDB mirror of [[probeScored]] (q130/q137 shared fragment): the CTE
+    * chain ending in `sc(doc_id, stop_frac, dup_word_frac, lm_logp, score)`
+    * — seeded junk corpus, q87/q83/q99 feature fragments, Cramer's-rule OLS
+    * on the even slice, 6-dp weights and scores. One definition so the fit
+    * query and its evaluation query can never disagree on the model. */
+  private def dProbeScored: String =
+    s"""c AS (SELECT doc_id, text FROM documents
+      |  UNION ALL SELECT doc_id + 2000000, repeat('zzq glorp wib ', 20) || substr(text, 1, 40)
+      |  FROM documents WHERE doc_id % 5 = 0),
+      |t AS (SELECT doc_id, text, string_split(text, ' ') AS tk FROM c),
+      |g AS (SELECT doc_id,
+      |  round(CAST(len(list_filter(tk, x -> x IN (${TextAnalysis.GopherStopwords.map(w => s"'$w'").mkString(",")}))) AS DOUBLE) / len(tk), 6) AS stop_frac,
+      |  round(1.0 - len(list_distinct(tk)) * 1.0 / len(tk), 6) AS dup_word_frac
+      |  FROM t),
+      |tri AS (SELECT doc_id, substr(text, i, 3) AS g
+      |  FROM c, unnest(range(1, greatest(len(text) - 2, 0) + 1)) AS r(i)),
+      |c3 AS (SELECT g, count(*) AS cc FROM tri GROUP BY g),
+      |c2 AS (SELECT substr(g, 1, 2) AS p, sum(cc) AS cp FROM c3 GROUP BY 1),
+      |vv AS (SELECT count(DISTINCT substr(g, 3, 1)) AS nv FROM c3),
+      |lm AS (SELECT tr.doc_id, round(avg(ln((c3.cc + 0.5) / (c2.cp + 0.5 * vv.nv))), 6) AS avg_logp
+      |  FROM tri tr JOIN c3 ON tr.g = c3.g JOIN c2 ON substr(tr.g, 1, 2) = c2.p CROSS JOIN vv
+      |  GROUP BY tr.doc_id),
+      |f AS (SELECT g.doc_id, stop_frac, dup_word_frac, coalesce(avg_logp, -10.0) AS lm_logp
+      |  FROM g LEFT JOIN lm ON g.doc_id = lm.doc_id),
+      |l AS (SELECT stop_frac AS x1, dup_word_frac AS x2, lm_logp AS x3,
+      |  CASE WHEN doc_id >= 2000000 THEN 0.0 ELSE 1.0 END AS y
+      |  FROM f WHERE doc_id % 2 = 0),
+      |m AS (SELECT avg(x1) AS m1, avg(x2) AS m2, avg(x3) AS m3, avg(y) AS my,
+      |  covar_pop(x1, x1) AS s11, covar_pop(x1, x2) AS s12, covar_pop(x1, x3) AS s13,
+      |  covar_pop(x2, x2) AS s22, covar_pop(x2, x3) AS s23, covar_pop(x3, x3) AS s33,
+      |  covar_pop(x1, y) AS c1, covar_pop(x2, y) AS c2, covar_pop(x3, y) AS c3 FROM l),
+      |det AS (SELECT *,
+      |  s11*(s22*s33 - s23*s23) - s12*(s12*s33 - s23*s13) + s13*(s12*s23 - s22*s13) AS dd FROM m),
+      |w AS (SELECT
+      |  (c1*(s22*s33 - s23*s23) - s12*(c2*s33 - s23*c3) + s13*(c2*s23 - s22*c3)) / dd AS r1,
+      |  (s11*(c2*s33 - s23*c3) - c1*(s12*s33 - s23*s13) + s13*(s12*c3 - c2*s13)) / dd AS r2,
+      |  (s11*(s22*c3 - c2*s23) - s12*(s12*c3 - c2*s13) + c1*(s12*s23 - s22*s13)) / dd AS r3,
+      |  my, m1, m2, m3 FROM det),
+      |wb AS (SELECT round(r1, 6) AS b1, round(r2, 6) AS b2, round(r3, 6) AS b3,
+      |  round(my - r1*m1 - r2*m2 - r3*m3, 6) AS b0 FROM w),
+      |sc AS (SELECT doc_id, stop_frac, dup_word_frac, lm_logp,
+      |  round(b0 + b1*stop_frac + b2*dup_word_frac + b3*lm_logp, 6) AS score
+      |  FROM f CROSS JOIN wb)""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "q01_pricing_summary" ->
@@ -3412,45 +3484,55 @@ object SparkEntry {
       // driver solve; weights and scores round to 6 dp in both engines so
       // every downstream IEEE op is computed on identical doubles. The
       // stop/dup fragments come from q87/q83's green oracles, lm from q99's.
-      s"""WITH c AS (SELECT doc_id, text FROM documents
-        |  UNION ALL SELECT doc_id + 2000000, repeat('zzq glorp wib ', 20) || substr(text, 1, 40)
-        |  FROM documents WHERE doc_id % 5 = 0),
-        |t AS (SELECT doc_id, text, string_split(text, ' ') AS tk FROM c),
-        |g AS (SELECT doc_id,
-        |  round(CAST(len(list_filter(tk, x -> x IN (${TextAnalysis.GopherStopwords.map(w => s"'$w'").mkString(",")}))) AS DOUBLE) / len(tk), 6) AS stop_frac,
-        |  round(1.0 - len(list_distinct(tk)) * 1.0 / len(tk), 6) AS dup_word_frac
-        |  FROM t),
-        |tri AS (SELECT doc_id, substr(text, i, 3) AS g
-        |  FROM c, unnest(range(1, greatest(len(text) - 2, 0) + 1)) AS r(i)),
-        |c3 AS (SELECT g, count(*) AS cc FROM tri GROUP BY g),
-        |c2 AS (SELECT substr(g, 1, 2) AS p, sum(cc) AS cp FROM c3 GROUP BY 1),
-        |vv AS (SELECT count(DISTINCT substr(g, 3, 1)) AS nv FROM c3),
-        |lm AS (SELECT tr.doc_id, round(avg(ln((c3.cc + 0.5) / (c2.cp + 0.5 * vv.nv))), 6) AS avg_logp
-        |  FROM tri tr JOIN c3 ON tr.g = c3.g JOIN c2 ON substr(tr.g, 1, 2) = c2.p CROSS JOIN vv
-        |  GROUP BY tr.doc_id),
-        |f AS (SELECT g.doc_id, stop_frac, dup_word_frac, coalesce(avg_logp, -10.0) AS lm_logp
-        |  FROM g LEFT JOIN lm ON g.doc_id = lm.doc_id),
-        |l AS (SELECT stop_frac AS x1, dup_word_frac AS x2, lm_logp AS x3,
-        |  CASE WHEN doc_id >= 2000000 THEN 0.0 ELSE 1.0 END AS y
-        |  FROM f WHERE doc_id % 2 = 0),
-        |m AS (SELECT avg(x1) AS m1, avg(x2) AS m2, avg(x3) AS m3, avg(y) AS my,
-        |  covar_pop(x1, x1) AS s11, covar_pop(x1, x2) AS s12, covar_pop(x1, x3) AS s13,
-        |  covar_pop(x2, x2) AS s22, covar_pop(x2, x3) AS s23, covar_pop(x3, x3) AS s33,
-        |  covar_pop(x1, y) AS c1, covar_pop(x2, y) AS c2, covar_pop(x3, y) AS c3 FROM l),
-        |det AS (SELECT *,
-        |  s11*(s22*s33 - s23*s23) - s12*(s12*s33 - s23*s13) + s13*(s12*s23 - s22*s13) AS dd FROM m),
-        |w AS (SELECT
-        |  (c1*(s22*s33 - s23*s23) - s12*(c2*s33 - s23*c3) + s13*(c2*s23 - s22*c3)) / dd AS r1,
-        |  (s11*(c2*s33 - s23*c3) - c1*(s12*s33 - s23*s13) + s13*(s12*c3 - c2*s13)) / dd AS r2,
-        |  (s11*(s22*c3 - c2*s23) - s12*(s12*c3 - c2*s13) + c1*(s12*s23 - s22*s13)) / dd AS r3,
-        |  my, m1, m2, m3 FROM det),
-        |wb AS (SELECT round(r1, 6) AS b1, round(r2, 6) AS b2, round(r3, 6) AS b3,
-        |  round(my - r1*m1 - r2*m2 - r3*m3, 6) AS b0 FROM w),
-        |sc AS (SELECT doc_id, stop_frac, dup_word_frac, lm_logp,
-        |  round(b0 + b1*stop_frac + b2*dup_word_frac + b3*lm_logp, 6) AS score
-        |  FROM f CROSS JOIN wb)
+      s"""WITH $dProbeScored
         |SELECT doc_id, stop_frac, dup_word_frac, lm_logp, score, score >= 0.5 AS keep
         |FROM sc ORDER BY doc_id""".stripMargin,
+
+    "q137_probe_eval" ->
+      // q130's CTE chain (shared fragment) scored on the ODD held-out ids;
+      // AUC by tie-aware average ranks — every intermediate an exact binary
+      // fraction, so the cross-engine hash carries no float-order risk
+      s"""WITH $dProbeScored,
+        |e AS (SELECT score AS s, CASE WHEN doc_id >= 2000000 THEN 0.0 ELSE 1.0 END AS y
+        |  FROM sc WHERE doc_id % 2 = 1),
+        |per AS (SELECT s, CAST(count(*) AS DOUBLE) AS n, sum(y) AS np FROM e GROUP BY s),
+        |rk AS (SELECT *, coalesce(sum(n) OVER (ORDER BY s
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS below FROM per),
+        |ag AS (SELECT sum(np) AS p, sum(n - np) AS nn,
+        |  sum(np * (below + (n + 1) / 2)) AS sr,
+        |  sum(CASE WHEN s >= 0.5 THEN np ELSE 0 END) AS tpd,
+        |  sum(CASE WHEN s >= 0.5 THEN n - np ELSE 0 END) AS fpd FROM rk)
+        |SELECT CAST(p AS BIGINT) AS n_pos, CAST(nn AS BIGINT) AS n_neg,
+        |  round((sr - p * (p + 1) / 2) / (p * nn), 6) AS auc,
+        |  CAST(tpd AS BIGINT) AS tp, CAST(fpd AS BIGINT) AS fp,
+        |  CAST(p - tpd AS BIGINT) AS fn, CAST(nn - fpd AS BIGINT) AS tn,
+        |  round(tpd / (tpd + fpd), 6) AS prec,
+        |  round(tpd / p, 6) AS rec,
+        |  round(2 * tpd / (p + tpd + fpd), 6) AS f1,
+        |  round((tpd + nn - fpd) / (p + nn), 6) AS acc
+        |FROM ag""".stripMargin,
+
+    "q138_dsir_select" ->
+      // same two add-0.5-smoothed hashed-unigram multinomials (dhash % 256
+      // buckets), per-doc Σ log-ratio, hash-seeded Gumbel key (dbucket is
+      // Stats.mixHash's mirror), top ceil(|pool|/4) by (key, doc_id)
+      s"""WITH d AS (SELECT doc_id, text, lang = 'en' AS tgt FROM documents),
+        |tk AS (SELECT doc_id, tgt, (${dhash("w")}) % 256 AS b
+        |  FROM d, unnest(string_split(text, ' ')) AS t(w)),
+        |c AS (SELECT b, sum(CASE WHEN tgt THEN 1 ELSE 0 END) AS ct,
+        |  sum(CASE WHEN tgt THEN 0 ELSE 1 END) AS cr FROM tk GROUP BY b),
+        |tot AS (SELECT sum(ct) AS nt, sum(cr) AS nr FROM c),
+        |lr AS (SELECT b, ln((ct + 0.5) / (nt + 0.5 * 256)) -
+        |  ln((cr + 0.5) / (nr + 0.5 * 256)) AS lw FROM c CROSS JOIN tot),
+        |pd AS (SELECT tk.doc_id, count(*) AS n_tokens, sum(lw) AS logw
+        |  FROM tk JOIN lr USING (b) WHERE NOT tgt GROUP BY tk.doc_id),
+        |ky AS (SELECT pd.doc_id, n_tokens, round(logw, 6) AS log_weight,
+        |  round(logw - ln(-ln((${dbucket("text", 1000000)} + 0.5) / 1000000.0)), 6) AS sel_key
+        |  FROM pd JOIN d USING (doc_id)),
+        |kk AS (SELECT CAST(ceil(count(*) * 0.25) AS BIGINT) AS k FROM d WHERE NOT tgt)
+        |SELECT doc_id, n_tokens, log_weight, sel_key FROM ky, kk
+        |QUALIFY row_number() OVER (ORDER BY sel_key DESC, doc_id) <= k
+        |ORDER BY doc_id""".stripMargin,
 
     "q131_word_lm" ->
       // same fit-on-even-slice bigram/unigram tables; seen bigrams score

@@ -1,5 +1,6 @@
 package graft.operators
 
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{Column, DataFrame}
 
@@ -151,4 +152,53 @@ object Quality {
     feats
       .withColumn("score", round(linearScore(weights, featureCols), 6))
       .withColumn("keep", col("score") >= threshold)
+
+  /** Classifier evaluation on a labeled HELD-OUT slice — the stage that
+    * decides whether a fitted quality probe is trustworthy enough to gate
+    * a corpus: threshold-free ranking power (ROC-AUC) plus the confusion
+    * matrix and derived rates at the operating threshold. One row out:
+    * `(n_pos, n_neg, auc, tp, fp, fn, tn, prec, rec, f1, acc)`.
+    *
+    * AUC uses the rank formula with tie-aware AVERAGE ranks:
+    * `AUC = (Σ rank(pos) − P(P+1)/2) / (P·N)` — the exact probability a
+    * random positive outranks a random negative, identical to trapezoidal
+    * ROC integration. Every intermediate is an exact binary fraction
+    * (counts and half-integer ranks far below 2^52), so sums are
+    * order-independent IEEE-exact and the result hash-matches any engine
+    * with no float-boundary risk; only the final ratios are 6-dp-rounded.
+    *
+    * Scale shape: one map-side-partial aggregate collapses the corpus to
+    * per-distinct-SCORE counts (scores are 6-dp-rounded upstream, so this
+    * frame is score-vocabulary-sized, not corpus-sized — q129's
+    * rank-over-distinct-tokens precedent); the cumulative-rank window over
+    * that frame and the final global fold are both bounded by distinct
+    * score count. Nothing corpus-sized crosses a single partition. */
+  def evalBinaryClassifier(scored: DataFrame, scoreCol: String, labelCol: String,
+                           threshold: Double): DataFrame = {
+    val per = scored.groupBy(col(scoreCol).as("s"))
+      .agg(count(lit(1)).cast("double").as("n"),
+        sum(col(labelCol).cast("double")).as("np"))
+    val w = Window.orderBy("s").rowsBetween(Window.unboundedPreceding, -1)
+    val rk = per.withColumn("below", coalesce(sum(col("n")).over(w), lit(0.0)))
+    rk.agg(
+        sum(col("np")).as("p"),
+        sum(col("n") - col("np")).as("nn"),
+        sum(col("np") * (col("below") + (col("n") + 1) / 2)).as("sr"),
+        sum(when(col("s") >= threshold, col("np")).otherwise(0.0)).as("tpd"),
+        sum(when(col("s") >= threshold, col("n") - col("np")).otherwise(0.0)).as("fpd"))
+      .select(
+        col("p").cast("long").as("n_pos"),
+        col("nn").cast("long").as("n_neg"),
+        round((col("sr") - col("p") * (col("p") + 1) / 2) / (col("p") * col("nn")), 6).as("auc"),
+        col("tpd").cast("long").as("tp"),
+        col("fpd").cast("long").as("fp"),
+        (col("p") - col("tpd")).cast("long").as("fn"),
+        (col("nn") - col("fpd")).cast("long").as("tn"),
+        round(col("tpd") / (col("tpd") + col("fpd")), 6).as("prec"),
+        round(col("tpd") / col("p"), 6).as("rec"),
+        // F1 = 2TP / (2TP + FP + FN) = 2TP / (P + TP + FP): the exact
+        // closed form, not a ratio of already-rounded prec/rec
+        round(lit(2) * col("tpd") / (col("p") + col("tpd") + col("fpd")), 6).as("f1"),
+        round((col("tpd") + col("nn") - col("fpd")) / (col("p") + col("nn")), 6).as("acc"))
+  }
 }

@@ -374,4 +374,64 @@ object Stats {
     require(budget >= 0, s"selectByBudget needs budget >= 0, got $budget")
     Batching.prefixSumBy(df, order, valueCol, out).where(col(out) <= budget)
   }
+
+  /** DSIR — Data Selection via Importance Resampling (Xie et al. 2023):
+    * pick the raw-pool documents that look most like a TARGET corpus under
+    * hashed-n-gram importance weights, by Gumbel-top-k resampling. The
+    * data-SELECTION stage of an LLM pipeline ([[mixtureResample]] reweights
+    * known strata; this learns what to keep from an in-domain exemplar
+    * corpus): fit two add-`alpha`-smoothed multinomials over hashed unigram
+    * buckets — p from `targetPred` docs, q from the rest (the pool) — then
+    * each pool doc's log importance weight is Σ_tokens log(p(b)/q(b)), and
+    * the kept set is the top ceil(|pool|·keepFrac) by `log_weight + Gumbel`
+    * where the Gumbel noise is HASH-SEEDED from the text ([[mixHash]]'s
+    * universal mix, u = (bucket+0.5)/1e6, g = −ln(−ln u)) — Gumbel-top-k
+    * equals sampling WITHOUT replacement ∝ exp(log_weight), but stays
+    * reproducible across engines, runs, and retries like every sampler
+    * here. Output: kept docs as (idCol, n_tokens, log_weight, sel_key),
+    * both doubles 6-dp-rounded, ties broken by id.
+    *
+    * One EAGER action at call time (the pool count sizing k — a
+    * metadata-cheap columnar count; batch-only contract like
+    * [[Quality.fitLinearProbe]]).
+    *
+    * Scale shape: one corpus explode feeds a map-side-combinable aggregate
+    * reducing to `nBuckets` rows; the bucket→log-ratio table is broadcast
+    * back (nBuckets ≤ a few thousand — never a shuffle of the corpus), so
+    * the per-doc weight is explode + broadcast-join + one id-keyed
+    * aggregate; selection is distributed top-k (TakeOrderedAndProject —
+    * no global sort, no single partition). The explode is shared CTE-style
+    * between fit and scoring: Spark recomputes it once per aggregate over
+    * the same scan, both arms map-side. */
+  def dsirSelect(docs: DataFrame, idCol: String, textCol: String,
+                 targetPred: Column, nBuckets: Int = 256, alpha: Double = 0.5,
+                 keepFrac: Double = 0.25): DataFrame = {
+    require(nBuckets > 0, s"dsirSelect needs nBuckets > 0, got $nBuckets")
+    require(alpha > 0, s"dsirSelect needs alpha > 0, got $alpha")
+    require(keepFrac > 0 && keepFrac <= 1,
+      s"dsirSelect needs keepFrac in (0, 1], got $keepFrac")
+    val toks = docs.select(col(idCol), targetPred.as("_tgt"),
+        explode(TextAnalysis.tokens(col(textCol))).as("_w"))
+      .select(col(idCol), col("_tgt"), (rolling_hash(col("_w")) % nBuckets).as("_b"))
+    val counts = toks.groupBy("_b").agg(
+      sum(when(col("_tgt"), 1L).otherwise(0L)).as("_ct"),
+      sum(when(col("_tgt"), 0L).otherwise(1L)).as("_cr"))
+    val tot = counts.agg(sum("_ct").as("_nt"), sum("_cr").as("_nr"))
+    val ratio = counts.crossJoin(broadcast(tot))
+      .select(col("_b"),
+        (log((col("_ct") + alpha) / (col("_nt") + alpha * nBuckets)) -
+          log((col("_cr") + alpha) / (col("_nr") + alpha * nBuckets))).as("_lw"))
+    val perDoc = toks.where(!col("_tgt"))
+      .join(broadcast(ratio), Seq("_b"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"), sum("_lw").as("_logw"))
+    val keyed = perDoc.join(docs.select(col(idCol), col(textCol)), Seq(idCol))
+      .select(col(idCol), col("n_tokens"),
+        round(col("_logw"), 6).as("log_weight"),
+        round(col("_logw") -
+          log(-log((hashBucket(col(textCol), 1000000) + 0.5d) / 1000000.0d)), 6)
+          .as("sel_key"))
+    val k = math.ceil(docs.where(!targetPred).count() * keepFrac).toInt
+    keyed.orderBy(col("sel_key").desc, col(idCol)).limit(k)
+  }
 }

@@ -66,6 +66,35 @@ class QualitySpec extends SparkSuite {
     scored.unpersist()
   }
 
+  test("evalBinaryClassifier matches a hand-computed AUC with ties") {
+    // scores: pos at {0.9, 0.7, 0.5}, neg at {0.7, 0.3, 0.1} — one tied
+    // pair. Pairwise over the 9 (pos, neg) pairs: 7 concordant (0.9 beats
+    // all three; 0.7 and 0.5 each beat 0.3 and 0.1), 1 discordant
+    // (0.5 < 0.7), 1 tie at 0.7 counting half -> AUC = 7.5/9
+    val df = Seq((0.9, 1.0), (0.7, 1.0), (0.5, 1.0),
+      (0.7, 0.0), (0.3, 0.0), (0.1, 0.0)).toDF("score", "label")
+    val r = Quality.evalBinaryClassifier(df, "score", "label", 0.5).head()
+    assert(r.getAs[Long]("n_pos") === 3L && r.getAs[Long]("n_neg") === 3L)
+    assert(math.abs(r.getAs[Double]("auc") - 7.5 / 9) < 1e-6)
+    // threshold 0.5: tp=3 (0.9,0.7,0.5), fp=1 (the 0.7 neg), fn=0, tn=2
+    assert(r.getAs[Long]("tp") === 3L && r.getAs[Long]("fp") === 1L &&
+      r.getAs[Long]("fn") === 0L && r.getAs[Long]("tn") === 2L)
+    assert(r.getAs[Double]("prec") === 0.75 && r.getAs[Double]("rec") === 1.0)
+    assert(math.abs(r.getAs[Double]("f1") - 2.0 * 3 / 7) < 1e-6)
+    assert(math.abs(r.getAs[Double]("acc") - 5.0 / 6) < 1e-6)
+  }
+
+  test("evalBinaryClassifier: perfect and inverted rankings bound AUC") {
+    val perfect = Seq((0.9, 1.0), (0.8, 1.0), (0.2, 0.0), (0.1, 0.0))
+      .toDF("score", "label")
+    assert(Quality.evalBinaryClassifier(perfect, "score", "label", 0.5)
+      .head().getAs[Double]("auc") === 1.0)
+    val inverted = Seq((0.1, 1.0), (0.2, 1.0), (0.8, 0.0), (0.9, 0.0))
+      .toDF("score", "label")
+    assert(Quality.evalBinaryClassifier(inverted, "score", "label", 0.5)
+      .head().getAs[Double]("auc") === 0.0)
+  }
+
   test("scoreQuality is a zero-shuffle projection over a feature frame") {
     val feats = Seq((1L, 0.1, 0.2, -1.0), (2L, 0.3, 0.4, -2.0))
       .toDF("doc_id", "stop_frac", "dup_word_frac", "lm_logp")

@@ -570,4 +570,36 @@ class StatsRelational2Spec extends SparkSuite {
     val (_, nB, slopeB, _, r2B) = out(1)
     assert(nB === 4L && math.abs(slopeB - 0.2) < 1e-9 && r2B < 0.2)
   }
+
+  test("dsirSelect: target-like pool docs outweigh off-domain ones, k exact") {
+    // target vocabulary {alpha beta gamma}; pool has 4 target-like docs and
+    // 12 off-domain ones — at keepFrac=0.25 (k=4) exactly the target-like
+    // docs must survive, regardless of the Gumbel noise, because the weight
+    // gap dwarfs the noise range
+    val target = Seq.tabulate(8)(i =>
+      (100L + i, s"alpha beta gamma alpha beta gamma alpha beta gamma v$i", true))
+    val likeTarget = Seq.tabulate(4)(i =>
+      (200L + i, s"alpha beta gamma alpha beta gamma alpha beta gamma w$i", false))
+    val offDomain = Seq.tabulate(12)(i =>
+      (300L + i, s"xyzzy qux corge grault xyzzy qux corge grault u$i", false))
+    val df = (target ++ likeTarget ++ offDomain).toDF("doc_id", "text", "is_t")
+    val out = Stats.dsirSelect(df, "doc_id", "text", col("is_t"))
+      .select("doc_id").as[Long].collect().sorted
+    assert(out.toSeq === Seq(200L, 201L, 202L, 203L))
+  }
+
+  test("dsirSelect: weights are reproducible and selection is top-k sized") {
+    val docs = graft.meta.Tables.documents(spark, sf)
+    val a = Stats.dsirSelect(docs, "doc_id", "text", col("lang") === "en")
+    val poolN = docs.where(col("lang") =!= "en").count()
+    assert(a.count() === math.ceil(poolN * 0.25).toLong)
+    // deterministic across invocations (hash-seeded Gumbel, no rand())
+    val b = Stats.dsirSelect(docs, "doc_id", "text", col("lang") === "en")
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
+    // distributed top-k: the selection must be TakeOrderedAndProject, and
+    // the bucket-ratio join back onto the token stream must broadcast
+    val plan = a.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), s"plan:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"), s"plan:\n$plan")
+  }
 }
