@@ -1736,6 +1736,25 @@ object SparkEntry {
           targetPred = col("lang") === "en")
         .orderBy("doc_id")
     }),
+
+    // Fuzzy decontamination: the near-dup net behind q82's exact n-gram
+    // probe. Eval set = re-rendered copies of %7==3 docs (3-token footer —
+    // est-Jaccard above tau, the leak exact matching misses) + genuinely
+    // fresh benchmark items from %11==5 ids (must NOT flag). Flagged train
+    // docs with hit counts and the max estimated Jaccard.
+    "q139_neardup_decontam" -> ((s, dir) => {
+      val d = Tables.documents(s, dir).select("doc_id", "text")
+      val evalSet = d.where(col("doc_id") % 7 === 3)
+        .select((col("doc_id") + 3000000L).as("doc_id"),
+          concat(col("text"), lit(" eval suite footer")).as("text"))
+        .unionByName(d.where(col("doc_id") % 11 === 5)
+          .select((col("doc_id") + 4000000L).as("doc_id"),
+            concat(lit("benchmark question about topic "),
+              col("doc_id").cast("string"),
+              lit(" with entirely fresh phrasing")).as("text")))
+      Dedup.nearContaminationHits(d, evalSet, "doc_id", "text", tau = 0.8)
+        .orderBy("doc_id")
+    }),
   )
 
   /** Shared by q130/q137: the seeded junk-augmented corpus, feature
@@ -3533,6 +3552,34 @@ object SparkEntry {
         |SELECT doc_id, n_tokens, log_weight, sel_key FROM ky, kk
         |QUALIFY row_number() OVER (ORDER BY sel_key DESC, doc_id) <= k
         |ORDER BY doc_id""".stripMargin,
+
+    "q139_neardup_decontam" -> {
+      // q133's signature+banding CTEs over the train corpus and the seeded
+      // eval set; hits = band-join pairs with est >= 0.8, aggregated per
+      // train doc (est is slots-equal/16 — exact binary fractions)
+      def bands(src: String) =
+        s"""${src}hs AS (SELECT doc_id, ${dShingleHashes("text")} AS hashes FROM $src),
+           |${src}sg AS (SELECT doc_id, list_transform(range(0, 16),
+           |  i -> list_min(list_transform(hashes, h -> ((2*i+3)*h + (7*i+1)) % $Mod))) AS sig FROM ${src}hs),
+           |${src}bd AS (SELECT doc_id, sig, b.band AS band,
+           |  array_to_string(sig[b.band*4+1 : b.band*4+4], '-') AS bkey
+           |  FROM ${src}sg CROSS JOIN (SELECT unnest(range(0, 4)) AS band) b)""".stripMargin
+      val est =
+        "list_sum(list_transform(range(1, 17), i -> CASE WHEN t.sig[i] = e.sig[i] THEN 1 ELSE 0 END)) / 16.0"
+      s"""WITH tr AS (SELECT doc_id, text FROM documents),
+         |ev AS (SELECT doc_id + 3000000 AS doc_id, text || ' eval suite footer' AS text
+         |  FROM documents WHERE doc_id % 7 = 3
+         |  UNION ALL SELECT doc_id + 4000000, 'benchmark question about topic ' ||
+         |    CAST(doc_id AS VARCHAR) || ' with entirely fresh phrasing'
+         |  FROM documents WHERE doc_id % 11 = 5),
+         |${bands("tr")},
+         |${bands("ev")},
+         |pe AS (SELECT DISTINCT t.doc_id, e.doc_id AS eid, $est AS ej
+         |  FROM trbd t JOIN evbd e ON t.band = e.band AND t.bkey = e.bkey)
+         |SELECT doc_id, count(DISTINCT eid) AS n_eval_hits,
+         |  max(ej) AS max_est_jaccard
+         |FROM pe WHERE ej >= 0.8 GROUP BY doc_id ORDER BY doc_id""".stripMargin
+    },
 
     "q131_word_lm" ->
       // same fit-on-even-slice bigram/unigram tables; seen bigrams score

@@ -644,6 +644,42 @@ object Dedup {
     newDocs.join(kept, Seq(idCol), "left_semi")
   }
 
+  /** Cross-corpus NEAR-dup contamination — the fuzzy counterpart of
+    * [[TextAnalysis.contaminationHits]]' exact n-gram probe (q82): flag
+    * every training document whose estimated Jaccard against ANY
+    * eval/benchmark document reaches `tau`. Exact decontamination misses
+    * trivially re-rendered eval items (appended header, tweaked phrasing);
+    * this is the near-dup net behind it (the GPT-3/PaLM-style fuzzy
+    * decontamination stage). Output: flagged train docs as
+    * (idCol, n_eval_hits, max_est_jaccard) — est values are multiples of
+    * 1/16 (exact binary fractions), so the tau boundary, the max, and the
+    * hit counts are all engine-reproducible.
+    *
+    * Scale shape: both sides reduce to banded MinHash signatures; the only
+    * corpus-sized work is the (band, bkey) equi-join of the train stream
+    * against the [[lshIndex]]-shaped eval side — never all-pairs, and eval
+    * sets are tiny vs the corpus, so the index side broadcasts under AQE.
+    * The pair-dedup and per-doc aggregate carry (id, eval_id, est) only —
+    * fixed-width rows, no text past the signature fit. The eval index is
+    * [[lshIndex]]'s persistable shape: fit it once per benchmark release
+    * and reuse across corpus snapshots. */
+  def nearContaminationHits(train: DataFrame, evalDocs: DataFrame,
+                            idCol: String, textCol: String, tau: Double): DataFrame = {
+    require(tau > 0 && tau <= 1, s"tau must be in (0, 1], got $tau")
+    val tb = bandedSignatures(train, idCol, textCol)
+    val idx = lshIndex(evalDocs, idCol, textCol)
+    tb.join(
+        idx.select(col("band"), col("bkey"), col("id").as("_eid"), col("sig").as("_esig")),
+        Seq("band", "bkey"))
+      .select(col(idCol), col("_eid"),
+        estJaccardCol(col("sig"), col("_esig")).as("_ej"))
+      .distinct()
+      .where(col("_ej") >= tau)
+      .groupBy(col(idCol))
+      .agg(countDistinct(col("_eid")).as("n_eval_hits"),
+        max(col("_ej")).as("max_est_jaccard"))
+  }
+
   /** True n-gram (word 3-shingle) Jaccard for candidate pairs — the
     * verification stage after LSH banding. `pairs` must expose text for both
     * sides as `text_a`/`text_b`. */

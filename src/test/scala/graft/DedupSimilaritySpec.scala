@@ -958,6 +958,26 @@ class DedupSimilaritySpec extends SparkSuite {
       Dedup.tokenSpanScrub(docs, "doc_id", "text", n = 0))
   }
 
+  test("nearContaminationHits flags re-rendered eval leaks, not fresh items") {
+    import graft.operators.Dedup
+    def words(seed: String, n: Int) = (1 to n).map(i => s"$seed$i").mkString(" ")
+    val tA = words("alpha", 40); val tB = words("beta", 40)
+    val train = Seq((1L, tA), (2L, tB)).toDF("doc_id", "text")
+    // eval: TWO near-renders of doc 1 (footer / header variants) and one
+    // genuinely fresh benchmark item
+    val evalSet = Seq(
+      (100L, tA + " eval footer"),
+      (101L, "intro line " + tA),
+      (102L, words("gamma", 40))).toDF("doc_id", "text")
+    val hits = Dedup.nearContaminationHits(train, evalSet, "doc_id", "text", tau = 0.8)
+      .orderBy("doc_id").as[(Long, Long, Double)].collect()
+    assert(hits.map(_._1).toSeq === Seq(1L), s"flagged: ${hits.toSeq}")
+    assert(hits(0)._2 === 2L, s"expected both eval renders to hit: ${hits.toSeq}")
+    assert(hits(0)._3 >= 0.8 && hits(0)._3 <= 1.0)
+    intercept[IllegalArgumentException](
+      Dedup.nearContaminationHits(train, evalSet, "doc_id", "text", tau = 1.5))
+  }
+
   test("boilerplateLineScrub: DF > maxDocFreq lines deleted EVERYWHERE, no survivor") {
     import graft.operators.Dedup
     // "cookie banner" is in 3 docs (> maxDocFreq=2): all 3 occurrences go,
