@@ -1755,7 +1755,27 @@ object SparkEntry {
       Dedup.nearContaminationHits(d, evalSet, "doc_id", "text", tau = 0.8)
         .orderBy("doc_id")
     }),
+
+    // Tokenizer APPLY — q136's downstream stage: a FIXED merge table
+    // (corpus-derived, in training order) encoded over every document.
+    // Per doc: word count, subtoken count, fertility (subtokens/word) —
+    // the does-this-tokenizer-fit-this-corpus diagnostic. The table is
+    // passed as data, keeping the apply stage oracle-expressible where
+    // the iterative training fit (q136) is rows-only.
+    "q140_bpe_encode" -> ((s, dir) => {
+      TextAnalysis.bpeEncodeStats(Tables.documents(s, dir), "doc_id", "text",
+          BpeApplyMerges)
+        .orderBy("doc_id")
+    }),
   )
+
+  /** Fixed BPE merge table for q140 — top corpus character pairs in
+    * training order (every composite appears after the merges that create
+    * its parts, the invariant [[TextAnalysis.bpeEncodeStats]] requires). */
+  private val BpeApplyMerges: Seq[(String, String)] = Seq(
+    "e" -> "r", "i" -> "n", "o" -> "w", "o" -> "r", "s" -> "t",
+    "t" -> "o", "a" -> "t", "er" -> "s", "t" -> "h", "th" -> "e",
+    "in" -> "g", "a" -> "n")
 
   /** Shared by q130/q137: the seeded junk-augmented corpus, feature
     * assembly, even-slice OLS fit, and 6-dp scoring. One definition so the
@@ -3579,6 +3599,23 @@ object SparkEntry {
          |SELECT doc_id, count(DISTINCT eid) AS n_eval_hits,
          |  max(ej) AS max_est_jaccard
          |FROM pe WHERE ej >= 0.8 GROUP BY doc_id ORDER BY doc_id""".stripMargin
+    },
+
+    "q140_bpe_encode" -> {
+      // the same wrapped-symbol '(a)(b)' replace chain over the DISTINCT
+      // word set (merges in table order, all-occurrence replace == the
+      // fold, see bpeEncodeStats); subtokens = '(' count of the encoding
+      val enc = BpeApplyMerges.foldLeft(
+        "'(' || array_to_string(string_split(w, ''), ')(') || ')'") {
+        case (acc, (a, b)) => s"replace($acc, '($a)($b)', '($a$b)')"
+      }
+      s"""WITH tk AS (SELECT doc_id, unnest(regexp_extract_all(text, '[A-Za-z0-9]+')) AS w
+         |  FROM documents),
+         |we AS (SELECT w, $enc AS enc FROM (SELECT DISTINCT w FROM tk)),
+         |ws AS (SELECT w, len(enc) - len(replace(enc, '(', '')) AS ns FROM we)
+         |SELECT doc_id, count(*) AS n_words, CAST(sum(ns) AS BIGINT) AS n_subtokens,
+         |  round(CAST(sum(ns) AS DOUBLE) / count(*), 6) AS subtokens_per_word
+         |FROM tk JOIN ws USING (w) GROUP BY doc_id ORDER BY doc_id""".stripMargin
     },
 
     "q131_word_lm" ->

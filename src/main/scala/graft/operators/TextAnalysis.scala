@@ -702,6 +702,55 @@ object TextAnalysis {
     merges.toSeq.toDF("rank", "left", "right", "merged", "n")
   }
 
+  /** Apply a FIXED BPE merge table to the corpus — the tokenizer-APPLY
+    * stage downstream of [[trainBpeMerges]] (a tokenizer is trained once,
+    * then applied to every corpus; passing the table as data keeps this
+    * query oracle-expressible where the iterative training fit is not).
+    * Per document: word count, subtoken count under the merges, and the
+    * fertility ratio subtokens/word — the standard "how well does this
+    * tokenizer fit this corpus" diagnostic.
+    *
+    * Encoding represents a word's symbol sequence as wrapped symbols
+    * `(a)(b)(c)…` and applies each merge in rank order as one plain
+    * substring replace `"(a)(b)" -> "(ab)"` over the whole vocabulary.
+    * Wrapping makes adjacent matches share NO characters, so left-to-right
+    * non-overlapping replace reproduces [[trainBpeMerges]]' fold exactly
+    * (a bare separator would be consumed by the previous match: " a b a b "
+    * single-space-replaces to only ONE merge). One sequential pass per
+    * rank equals priority-order iterative encoding for any table in
+    * training order — BPE training always creates a symbol before any
+    * later merge consumes it, which is the only case where the two
+    * strategies could diverge.
+    *
+    * Scale shape: merges apply to the DISTINCT-word table (vocabulary-
+    * sized, like [[vocabCoverage]]'s fit), which is then broadcast back
+    * onto the token stream — the corpus-sized work is one narrow explode
+    * plus a per-document aggregate; the replace chain never touches a
+    * corpus-sized row. */
+  def bpeEncodeStats(docs: DataFrame, idCol: String, textCol: String,
+                     merges: Seq[(String, String)]): DataFrame = {
+    require(merges.nonEmpty, "bpeEncodeStats needs at least one merge")
+    merges.foreach { case (a, b) =>
+      require(a.nonEmpty && b.nonEmpty && !s"$a$b".exists(c => c == '(' || c == ')' || c == ' '),
+        s"merge symbols must be non-empty and ()/space-free, got ('$a', '$b')") }
+    val tok = docs.select(col(idCol), explode(wordTokens(col(textCol))).as("_w"))
+    // (?!$): split before every char but NOT at end-of-string — a bare ""
+    // pattern leaves a trailing empty element under Java's limit=-1 split,
+    // which would wrap a phantom "()" symbol onto every word.
+    val sym0 = concat(lit("("), concat_ws(")(", split(col("_w"), "(?!$)")), lit(")"))
+    val encoded = merges.foldLeft(sym0) { case (acc, (a, b)) =>
+      replace(acc, lit(s"($a)($b)"), lit(s"($a$b)"))
+    }
+    val wordEnc = tok.select("_w").distinct()
+      .select(col("_w"),
+        (length(encoded) - length(replace(encoded, lit("("), lit("")))).as("_ns"))
+    tok.join(broadcast(wordEnc), Seq("_w"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_words"), sum("_ns").as("n_subtokens"))
+      .withColumn("subtokens_per_word",
+        round(col("n_subtokens").cast("double") / col("n_words"), 6))
+  }
+
   /** Vocabulary induction + out-of-vocabulary coverage: fit the top
     * `vocabSize` words by corpus frequency (ties by word ascending — the
     * cut is deterministic), then score every document's OOV rate against

@@ -259,6 +259,30 @@ class TextAnalysisSpec extends SparkSuite {
       TextAnalysis.trainBpeMerges(docs, "text", nMerges = 0))
   }
 
+  test("bpeEncodeStats applies a trained table; overlap-safe; validates merges") {
+    import graft.operators.TextAnalysis
+    // encode the Sennrich corpus under its own first 3 trained merges
+    // (es, est, lo): low->2, lower->4, newest->4, widest->4 subtokens
+    val text = (Seq.fill(5)("low") ++ Seq.fill(2)("lower") ++
+      Seq.fill(6)("newest") ++ Seq.fill(3)("widest")).mkString(" ")
+    val docs = Seq((1L, text)).toDF("doc_id", "text")
+    val merges = Seq("e" -> "s", "es" -> "t", "l" -> "o")
+    val got = TextAnalysis.bpeEncodeStats(docs, "doc_id", "text", merges)
+      .as[(Long, Long, Long, Double)].collect()
+    assert(got === Array((1L, 16L, 5L * 2 + 2 * 4 + 6 * 4 + 3 * 4, 3.375)))
+    // overlap safety: 'ababab' under [(a,b),(ab,ab)] must merge left-to-
+    // right non-overlapping -> (abab)(ab) = 2 subtokens, exactly the
+    // greedy iterative result; a bare-separator replace would miscount
+    val rep = Seq((1L, "ababab")).toDF("doc_id", "text")
+    val r = TextAnalysis.bpeEncodeStats(rep, "doc_id", "text",
+      Seq("a" -> "b", "ab" -> "ab")).as[(Long, Long, Long, Double)].collect()
+    assert(r === Array((1L, 1L, 2L, 2.0)))
+    intercept[IllegalArgumentException](
+      TextAnalysis.bpeEncodeStats(docs, "doc_id", "text", Seq.empty))
+    intercept[IllegalArgumentException](
+      TextAnalysis.bpeEncodeStats(docs, "doc_id", "text", Seq("(" -> "x")))
+  }
+
   test("charTrigramLogProb: shuffle fallback above broadcastMaxTrigrams is byte-identical") {
     val docs = Seq(
       (1L, "the quick brown fox jumps"), (2L, "pack my box with jugs"),
