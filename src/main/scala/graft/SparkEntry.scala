@@ -1767,7 +1767,33 @@ object SparkEntry {
           BpeApplyMerges)
         .orderBy("doc_id")
     }),
+
+    // Corpus-wide paragraph-level dedup SCRUB (the Dolma/RefinedWeb
+    // paragraph stage): every blank-line-delimited paragraph occurring
+    // more than once corpus-wide is deleted from all but its canonical
+    // (min (id, pos)) occurrence; docs rebuild from survivors. The
+    // granularity between q116's frequency-thresholded line scrub and
+    // q21's whole-document keep-first.
+    "q141_paragraph_scrub" -> ((s, dir) => {
+      val pared = synthesizeParagraphs(Tables.documents(s, dir))
+      Dedup.paragraphScrub(pared, "doc_id", "text").orderBy("doc_id")
+    }),
   )
+
+  /** q141's corpus: the synthesized lines regrouped into 2-line paragraphs
+    * joined by blank lines — the `\n` inside a paragraph vs `\n\n` between
+    * paragraphs distinction [[Dedup.paragraphScrub]]'s split must respect. */
+  private def synthesizeParagraphs(docs: DataFrame): DataFrame = {
+    val tk = TextAnalysis.tokens(col("text"))
+    val nChunks = ceil(size(tk).cast("double") / 8).cast("int")
+    val lineArr = transform(sequence(lit(0), nChunks - 1),
+      i => concat_ws(" ", slice(tk, i * 8 + 1, lit(8))))
+    val withLn = docs.select(col("doc_id"), lineArr.as("_ln"))
+    val nPars = ceil(size(col("_ln")).cast("double") / 2).cast("int")
+    val parArr = transform(sequence(lit(0), nPars - 1),
+      j => array_join(slice(col("_ln"), j * 2 + 1, lit(2)), "\n"))
+    withLn.select(col("doc_id"), array_join(parArr, "\n\n").as("text"))
+  }
 
   /** Fixed BPE merge table for q140 — top corpus character pairs in
     * training order (every composite appears after the merges that create
@@ -3617,6 +3643,33 @@ object SparkEntry {
          |  round(CAST(sum(ns) AS DOUBLE) / count(*), 6) AS subtokens_per_word
          |FROM tk JOIN ws USING (w) GROUP BY doc_id ORDER BY doc_id""".stripMargin
     },
+
+    "q141_paragraph_scrub" ->
+      // q105's scrub CTE shapes at n = 1 over 2-line paragraphs: t0/t1
+      // are dLineSynth verbatim, t2 regroups pairs of lines with chr(10),
+      // paragraphs join with chr(10)||chr(10); same hash + canonical rank
+      s"""WITH ${dLineSynth(withPunct = false)},
+         |t2 AS (SELECT doc_id, list_transform(range(0, CAST(ceil(len(ln) / 2.0) AS BIGINT)),
+         |    j -> array_to_string(ln[j*2+1 : j*2+2], chr(10))) AS pr FROM t1),
+         |sp AS (SELECT doc_id, CAST(i AS INTEGER) AS pos, ${dhash("pr[i]")} AS h
+         |  FROM t2, unnest(range(1, len(pr) + 1)) AS r(i)),
+         |j AS (SELECT doc_id, pos,
+         |  count(*) OVER (PARTITION BY h) AS n_occ,
+         |  row_number() OVER (PARTITION BY h ORDER BY doc_id, pos) AS rn FROM sp),
+         |rm AS (SELECT doc_id, pos AS ri FROM j WHERE n_occ > 1 AND rn > 1),
+         |u AS (SELECT doc_id, CAST(i AS INTEGER) AS pi, pr[i] AS par
+         |  FROM t2, unnest(range(1, len(pr) + 1)) AS r(i)),
+         |kept AS (SELECT u.doc_id,
+         |    array_to_string(list(u.par ORDER BY u.pi), chr(10) || chr(10)) AS ct
+         |  FROM u LEFT JOIN rm ON u.doc_id = rm.doc_id AND u.pi = rm.ri
+         |  WHERE rm.ri IS NULL GROUP BY u.doc_id),
+         |nr AS (SELECT doc_id, count(*) AS n_rm FROM rm GROUP BY doc_id)
+         |SELECT t2.doc_id, CAST(len(pr) AS BIGINT) AS n_paragraphs,
+         |  CAST(coalesce(nr.n_rm, 0) AS BIGINT) AS n_removed_paragraphs,
+         |  coalesce(kept.ct, '') AS clean_text
+         |FROM t2 LEFT JOIN kept ON t2.doc_id = kept.doc_id
+         |LEFT JOIN nr ON t2.doc_id = nr.doc_id
+         |ORDER BY t2.doc_id""".stripMargin,
 
     "q131_word_lm" ->
       // same fit-on-even-slice bigram/unigram tables; seen bigrams score

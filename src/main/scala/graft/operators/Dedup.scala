@@ -302,8 +302,9 @@ object Dedup {
     * cleaned text is rebuilt in a single codegen'd projection — an
     * index-aware array filter — not a per-line re-aggregation. */
   def spanScrub(docs: DataFrame, idCol: String, textCol: String,
-                n: Int = 3): DataFrame =
-    unitSpanScrub(docs, idCol, textCol, n, "\n", "n_lines", "n_removed_lines")
+                n: Int = 3, wide: Boolean = false): DataFrame =
+    unitSpanScrub(docs, idCol, textCol, n, "\n", "n_lines", "n_removed_lines",
+      wide)
 
   /** Token-window exact-substring SCRUB — the Lee et al. 2021
     * ("Deduplicating Training Data Makes Language Models Better", ExactSubstr)
@@ -324,25 +325,59 @@ object Dedup {
     * per affected document, and text re-shuffles once on id for the
     * join-back rebuild. */
   def tokenSpanScrub(docs: DataFrame, idCol: String, textCol: String,
-                     n: Int = 50): DataFrame =
-    unitSpanScrub(docs, idCol, textCol, n, " ", "n_tokens", "n_removed_tokens")
+                     n: Int = 50, wide: Boolean = false): DataFrame =
+    unitSpanScrub(docs, idCol, textCol, n, " ", "n_tokens", "n_removed_tokens",
+      wide)
 
-  /** Shared scrub body of [[spanScrub]] (units = lines, sep = `\n`) and
-    * [[tokenSpanScrub]] (units = whitespace tokens, sep = `" "`): hash
+  /** Corpus-wide PARAGRAPH-level exact dedup SCRUB — the Dolma /
+    * RefinedWeb paragraph-dedup stage: every blank-line-delimited
+    * (`\n\n`) paragraph that occurs more than once corpus-wide is deleted
+    * from all but its canonical occurrence (corpus-wide min `(id, pos)`,
+    * the same rank as [[spanScrub]]), and each document is rebuilt from
+    * its surviving paragraphs in order. Granularity sits between
+    * [[boilerplateLineScrub]] (single lines, frequency-thresholded) and
+    * document-exact [[dedupKeepFirst]] — the unit is the paragraph and
+    * the decision is global keep-first, so shared footers, license
+    * blocks, and syndicated passages vanish while their first source
+    * survives. Output: `(id, n_paragraphs, n_removed_paragraphs,
+    * clean_text)`, one row per document.
+    *
+    * Scale shape is [[spanScrub]]'s with n = 1: paragraph hashes ride ONE
+    * hash-keyed window exchange (never paragraph text), removals collapse
+    * to one index-array row per affected doc, and the corpus re-shuffles
+    * once on id for the rebuild. `wide = true` keys on the 128-bit
+    * [[wideFingerprint]] — the corpus-scale mode per [[fingerprints]]'
+    * collision caveat; the narrow int64 default is oracle-parity only. */
+  def paragraphScrub(docs: DataFrame, idCol: String, textCol: String,
+                     wide: Boolean = false): DataFrame =
+    unitSpanScrub(docs, idCol, textCol, n = 1, sep = "\n\n",
+      "n_paragraphs", "n_removed_paragraphs", wide)
+
+  /** Shared scrub body of [[spanScrub]] (units = lines, sep = `\n`),
+    * [[tokenSpanScrub]] (units = whitespace tokens, sep = `" "`), and
+    * [[paragraphScrub]] (units = paragraphs, sep = `\n\n`, n = 1): hash
     * every `n`-unit window, rank occurrences corpus-wide canonical-first,
     * expand non-canonical occurrences to covered 1-based unit indices, and
-    * rebuild each affected document without the covered units. */
+    * rebuild each affected document without the covered units. `wide`
+    * swaps the int64 poly-31 window key for the 128-bit
+    * [[wideFingerprint]] struct (collision caveat on [[fingerprints]]). */
   private def unitSpanScrub(docs: DataFrame, idCol: String, textCol: String,
                             n: Int, sep: String,
-                            nUnitsCol: String, nRemovedCol: String): DataFrame = {
+                            nUnitsCol: String, nRemovedCol: String,
+                            wide: Boolean = false): DataFrame = {
     require(n >= 1, s"span scrub needs window n >= 1, got $n")
     import graft.functions.GraftFunctions.rolling_hash
     val units = col("_u")
+    val hashOf: Column => Column =
+      if (wide) wideFingerprint else (c: Column) => rolling_hash(c)
+    val emptySpanType =
+      if (wide) "array<struct<pos:int,h:struct<h1:bigint,h2:bigint>>>"
+      else "array<struct<pos:int,h:bigint>>"
     val spans = when(size(units) >= n,
       transform(sequence(lit(1), size(units) - n + 1),
         i => struct(i.as("pos"),
-          rolling_hash(concat_ws(sep, slice(units, i, lit(n)))).as("h"))))
-      .otherwise(array().cast("array<struct<pos:int,h:bigint>>"))
+          hashOf(concat_ws(sep, slice(units, i, lit(n)))).as("h"))))
+      .otherwise(array().cast(emptySpanType))
     val lined = docs.select(col(idCol), col(textCol), split(col(textCol), sep, -1).as("_u"))
     val ex = lined
       .select(col(idCol), explode(spans).as("_s"))

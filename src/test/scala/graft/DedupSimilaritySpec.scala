@@ -275,6 +275,31 @@ class DedupSimilaritySpec extends SparkSuite {
     assert(out.filter(_._3 > 0).map(_._1).toSet === stats)
   }
 
+  test("paragraphScrub: corpus-wide keep-first at paragraph granularity; wide parity") {
+    import graft.operators.Dedup
+    val docs = Seq(
+      // doc 1 owns both paragraphs (canonical first occurrences)
+      (1L, "l1\nl2\n\nshared a\nshared b"),
+      // doc 2 repeats doc 1's second paragraph -> loses it, keeps its own
+      (2L, "shared a\nshared b\n\nmine x\nmine y"),
+      // doc 3 = entirely copies -> every paragraph removed, empty text
+      (3L, "l1\nl2\n\nmine x\nmine y"),
+      // single-paragraph doc, unique -> untouched; its internal \n must
+      // NOT be treated as a paragraph break
+      (4L, "solo p\nsecond line")).toDF("doc_id", "text")
+    val out = Dedup.paragraphScrub(docs, "doc_id", "text")
+      .orderBy("doc_id").as[(Long, Long, Long, String)].collect()
+    assert(out === Array(
+      (1L, 2L, 0L, "l1\nl2\n\nshared a\nshared b"),
+      (2L, 2L, 1L, "mine x\nmine y"),
+      (3L, 2L, 2L, ""),
+      (4L, 1L, 0L, "solo p\nsecond line")))
+    // the 128-bit scale key decides identically on collision-free input
+    val wideOut = Dedup.paragraphScrub(docs, "doc_id", "text", wide = true)
+      .orderBy("doc_id").as[(Long, Long, Long, String)].collect()
+    assert(wideOut === out)
+  }
+
   test("diversitySample keeps the k most-central vectors of every cell") {
     // two clean clusters around the axes + one far outlier per cluster
     val vecs = Seq(
