@@ -1778,6 +1778,16 @@ object SparkEntry {
       val pared = synthesizeParagraphs(Tables.documents(s, dir))
       Dedup.paragraphScrub(pared, "doc_id", "text").orderBy("doc_id")
     }),
+
+    // Deterministic training-shard plan: seed-keyed hash shard + an
+    // independent seeded within-shard shuffle rank — the materialize-the-
+    // corpus slot map every training run replays byte-identically. Crawl
+    // (id) order never survives into a shard.
+    "q142_shard_plan" -> ((s, dir) => {
+      Batching.shardPlan(Tables.documents(s, dir), "doc_id", "text",
+          nShards = 8, seed = 42L)
+        .orderBy("doc_id")
+    }),
   )
 
   /** q141's corpus: the synthesized lines regrouped into 2-line paragraphs
@@ -3670,6 +3680,20 @@ object SparkEntry {
          |FROM t2 LEFT JOIN kept ON t2.doc_id = kept.doc_id
          |LEFT JOIN nr ON t2.doc_id = nr.doc_id
          |ORDER BY t2.doc_id""".stripMargin,
+
+    "q142_shard_plan" ->
+      // shard/order keys are dbucket/dmix over the same "seed:<id>" /
+      // "seed~<id>" strings shardPlan builds; pos = row_number within
+      // shard by (order hash, id)
+      s"""WITH d AS (SELECT doc_id,
+         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+         |    (${dbucket("'42:' || CAST(doc_id AS VARCHAR)", 8)}) AS shard,
+         |    (${dmix("'42~' || CAST(doc_id AS VARCHAR)")}) AS ord
+         |  FROM documents)
+         |SELECT doc_id, shard,
+         |  row_number() OVER (PARTITION BY shard ORDER BY ord, doc_id) AS pos,
+         |  n_tokens
+         |FROM d ORDER BY doc_id""".stripMargin,
 
     "q131_word_lm" ->
       // same fit-on-even-slice bigram/unigram tables; seen bigrams score

@@ -105,6 +105,61 @@ class BatchingRelationalSpec extends SparkSuite {
     assert(spark.read.parquet(dir).count() === 1000)
   }
 
+  test("shardPlan: uniform slots, seeded shuffle order, seed-deterministic") {
+    val docs = (1L to 200L).map(i => (i, s"tok$i word$i")).toDF("doc_id", "text")
+    val plan = Batching.shardPlan(docs, "doc_id", "text", nShards = 4, seed = 7L)
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1)
+    // every doc lands exactly once; shards partition the corpus
+    assert(plan.map(_._1) === (1L to 200L).toArray)
+    assert(plan.map(_._2).distinct.sorted === Array(0L, 1L, 2L, 3L))
+    // pos is a 1..n permutation within each shard
+    plan.groupBy(_._2).foreach { case (_, rows) =>
+      assert(rows.map(_._3).sorted === (1L to rows.length).toArray) }
+    // within-shard order is NOT id order (the whole point: no crawl order)
+    assert(plan.groupBy(_._2).values.exists(rows =>
+      rows.sortBy(_._3).map(_._1).toSeq != rows.map(_._1).sorted.toSeq))
+    // same seed replays byte-identically; a new seed re-deals
+    val again = Batching.shardPlan(docs, "doc_id", "text", 4, 7L)
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1)
+    assert(again === plan)
+    val other = Batching.shardPlan(docs, "doc_id", "text", 4, 8L)
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1)
+    assert(other.map(r => (r._2, r._3)).toSeq != plan.map(r => (r._2, r._3)).toSeq)
+    assert(plan.map(_._4).forall(_ === 2L)) // "tokN wordN" = 2 tokens
+    intercept[IllegalArgumentException](
+      Batching.shardPlan(docs, "doc_id", "text", 0, 7L))
+  }
+
+  test("writeJsonlShards: shard dirs in plan order, byte-identical re-runs") {
+    val docs = (1L to 60L).map(i => (i, s"body of document $i")).toDF("doc_id", "text")
+    val dir = Files.createTempDirectory("graft_jsonl").toString
+    Batching.writeJsonlShards(docs, "doc_id", "text", nShards = 3, seed = 5L, dir)
+    val shardDirs = new java.io.File(dir).listFiles()
+      .filter(_.getName.startsWith("shard=")).map(_.getName).sorted
+    assert(shardDirs === Array("shard=0", "shard=1", "shard=2"))
+    val plan = Batching.shardPlan(docs, "doc_id", "text", 3, 5L)
+      .as[(Long, Long, Long, Long)].collect()
+    def readShard(s: Long): Seq[Long] = {
+      val f = new java.io.File(s"$dir/shard=$s").listFiles()
+        .filter(f => f.getName.endsWith(".txt") || f.getName.startsWith("part-"))
+      assert(f.nonEmpty)
+      f.sortBy(_.getName).toSeq.flatMap(file =>
+        scala.io.Source.fromFile(file).getLines().map { line =>
+          // one JSON object per line with id + text
+          assert(line.startsWith("{\"id\":") && line.contains("\"text\":"))
+          line.drop("{\"id\":".length).takeWhile(_.isDigit).toLong
+        })
+    }
+    (0L to 2L).foreach { s =>
+      val expected = plan.filter(_._2 == s).sortBy(_._3).map(_._1).toSeq
+      assert(readShard(s) === expected, s"shard $s order mismatch")
+    }
+    // determinism: a second write produces identical bytes per shard
+    val firstBytes = (0L to 2L).map(readShard)
+    Batching.writeJsonlShards(docs, "doc_id", "text", 3, 5L, dir)
+    assert((0L to 2L).map(readShard) === firstBytes)
+  }
+
   test("withRowIndex equals row_number()-1 semantics, distributed (J1)") {
     val df = Seq(30L, 10L, 20L).toDF("k")
     val out = Relational.withRowIndex(df, Seq("k")).orderBy("idx")
