@@ -152,13 +152,46 @@ object Dedup {
     * when small, plain shuffle join when the index outgrows the threshold.
     * `wide = true` keys on the 128-bit [[wideFingerprint]] (the corpus-
     * scale mode; `seen` must be built with the same flag) — the narrow
-    * int64 default is oracle-parity only (see [[fingerprints]]). */
+    * int64 default is oracle-parity only (see [[fingerprints]]).
+    *
+    * `bloomBits = Some(bits)`: bloom-split the anti join
+    * ([[Relational.bloomAntiJoin]]'s shape) — the index fingerprints
+    * aggregate into one `bits`-wide bloom filter (for wide mode, over the
+    * h1^h2 64-bit reduction; reductions preserve no-false-negatives), and
+    * wave rows the bloom rejects are DEFINITELY fresh, bypassing the
+    * wave-vs-index join entirely. Only probable re-crawls plus the FP
+    * rate pay the exact anti join (still on the FULL fingerprint, so a
+    * 64-bit reduction collision can never delete a fresh doc). A daily
+    * wave is mostly fresh, so this shrinks the join's wave side to
+    * (re-crawl + FP) of the batch; size at ~10 bits per index key for
+    * <1% FP, and when the index outgrows a driver-collectable filter
+    * (≳10^9 keys) fall back to the bucketed-index layout (BASELINE.md
+    * `bucket`). Result-identical to `bloomBits = None`. */
   def incrementalDedupKeepFirst(newDocs: DataFrame, idCol: String, textCol: String,
-                                seen: DataFrame, wide: Boolean = false): DataFrame = {
+                                seen: DataFrame, wide: Boolean = false,
+                                bloomBits: Option[Int] = None): DataFrame = {
     graft.functions.GraftFunctions.registerAll(newDocs.sparkSession)
     val fp = if (wide) wideFingerprint(col(textCol)) else expr(hashFrag(textCol))
     val hashed = newDocs.withColumn("_h", fp)
-    val fresh = hashed.join(seen.select(col("h").as("_h")), Seq("_h"), "left_anti")
+    val seenH = seen.select(col("h").as("_h"))
+    val fresh = bloomBits match {
+      case None => hashed.join(seenH, Seq("_h"), "left_anti")
+      case Some(bits) =>
+        import graft.functions.GraftFunctions
+        val toLong: Column => Column =
+          if (wide) c => c.getField("h1").bitwiseXOR(c.getField("h2"))
+          else c => c
+        val bytes = seenH
+          .agg(GraftFunctions.bloom_agg(toLong(col("_h")), bits, 6).as("_b"))
+          .head().getAs[Array[Byte]](0)
+        // null can't occur (fingerprints are non-null) but keep the
+        // bloomAntiJoin convention: unmatched nulls count as fresh
+        val mc = coalesce(
+          GraftFunctions.bloom_might_contain(toLong(col("_h")), bytes, 6),
+          lit(false))
+        hashed.where(!mc)
+          .unionByName(hashed.where(mc).join(seenH, Seq("_h"), "left_anti"))
+    }
     dedupKeepFirst(fresh, Seq("_h"), Seq(idCol)).drop("_h")
   }
 

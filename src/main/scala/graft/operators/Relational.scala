@@ -233,6 +233,41 @@ object Relational {
       .join(dim.select(col(dimKey).as(factKey)), Seq(factKey), "left_semi")
   }
 
+  /** Bloom-split ANTI join: keep the `fact` rows whose `factKey` does NOT
+    * appear in `dim`'s `dimKey` set — [[bloomSemiJoin]]'s complement, and
+    * the shape incremental ingest lives on (drop what the index already
+    * holds). The split: rows the bloom rejects are DEFINITELY absent from
+    * `dim` (no false negatives) and bypass the join entirely; only the
+    * might-contain slice — true matches plus the bloom's false positives —
+    * pays the exact anti join, which removes the true matches and passes
+    * the false positives through. Output ≡ `fact ANTI JOIN dim`,
+    * column-for-column.
+    *
+    * The 100-TB role: a daily wave anti-joined against a years-deep index
+    * is mostly FRESH rows — without the split the ENTIRE wave shuffles
+    * against the index; with it the join's fact side shrinks to
+    * (re-crawl rate + FP rate) of the wave. Size `numBits` at ~10 bits
+    * per distinct dim key for <1% FP; when the index key set outgrows a
+    * driver-collectable filter (≳10^9 keys), the documented path is a
+    * bucketed index layout (see BASELINE.md `bucket`) — the bloom then
+    * builds per bucket or drops out, and the exact join still holds. */
+  def bloomAntiJoin(fact: DataFrame, dim: DataFrame,
+                    factKey: String, dimKey: String,
+                    numBits: Int = 1 << 20, numHashes: Int = 6): DataFrame = {
+    import graft.functions.GraftFunctions
+    val bytes = dim
+      .agg(GraftFunctions.bloom_agg(col(dimKey), numBits, numHashes).as("_bloom"))
+      .head().getAs[Array[Byte]](0)
+    // null keys never equi-match, so ANTI keeps them: route them down the
+    // definitely-fresh arm (a bare `!mc` would null out and drop them)
+    val mc = coalesce(
+      GraftFunctions.bloom_might_contain(col(factKey), bytes, numHashes),
+      lit(false))
+    fact.where(!mc)
+      .unionByName(fact.where(mc)
+        .join(dim.select(col(dimKey).as(factKey)), Seq(factKey), "left_anti"))
+  }
+
   /** Skew-resistant equi-join: salt the skewed (big) side's key into
     * `salts` sub-keys and replicate the small side across all salt values,
     * spreading a hot key over `salts` reducers. Use when AQE's runtime

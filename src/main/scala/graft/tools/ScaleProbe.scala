@@ -10,7 +10,7 @@ import org.apache.spark.sql.functions._
   * stages-cost-compute-not-shuffles claim (dev aid; measured numbers
   * land in BASELINE.md). Args select sections: `fill`, `skew`, `bucket`,
   * `funnel`, `pq`, `spanscrub`, `fuzzydedup`, `cleanscrub`, `packbudget`, `simhashband`,
-  * `wordlm`, `legacy` (no args = all). */
+  * `wordlm`, `bloomdedup`, `legacy` (no args = all). */
 object ScaleProbe {
   def main(args: Array[String]): Unit = {
     val sections: String => Boolean =
@@ -431,6 +431,47 @@ object ScaleProbe {
           fitPred = col("doc_id") % 2 === 0)
       time2("wordBigramLogProb  1x")(noop(lm(raw)))
       time2("wordBigramLogProb 16x")(noop(lm(big)))
+    }
+
+    // Bloom-split incremental dedup: a 2M-fingerprint index vs a 2M-doc
+    // wave at 95% fresh, broadcast disabled (a corpus-scale index never
+    // broadcasts). The split should shrink the anti join's WAVE side to
+    // (re-crawl + FP) of the batch; the index side of the exact arm is
+    // what the bucketed layout (section `bucket`) removes — the two
+    // levers compose.
+    if (sections("bloomdedup")) {
+      import graft.operators.Dedup
+      val prevBc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      try {
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        val idxDocs = spark.range(0, 2000000L).toDF("doc_id")
+          .select(col("doc_id"), concat(lit("indexed document body "),
+            col("doc_id").cast("string")).as("text"))
+        val seenPath = "/tmp/graft_probe_bloom_seen"
+        time("build 2M-key index (wide fp)")(
+          Dedup.fingerprints(idxDocs, "text", wide = true)
+            .write.mode("overwrite").parquet(seenPath))
+        val seen = spark.read.parquet(seenPath)
+        // wave: 5% re-crawls of indexed ids, 95% fresh bodies
+        val wave = spark.range(0, 2000000L).toDF("doc_id")
+          .select((col("doc_id") + 10000000L).as("doc_id"),
+            when(col("doc_id") % 20 === 0,
+              concat(lit("indexed document body "), col("doc_id").cast("string")))
+              .otherwise(concat(lit("fresh wave body "),
+                col("doc_id").cast("string"))).as("text"))
+        def time2(name: String)(f: => Unit): Unit = {
+          val ts = (1 to 2).map { _ =>
+            val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+          }
+          println(f"[probe] $name%-34s ${ts.min}%.2f s (min of 2)")
+        }
+        time2("incremental dedup, plain anti")(
+          noop(Dedup.incrementalDedupKeepFirst(wave, "doc_id", "text", seen,
+            wide = true)))
+        time2("incremental dedup, bloom split")(
+          noop(Dedup.incrementalDedupKeepFirst(wave, "doc_id", "text", seen,
+            wide = true, bloomBits = Some(1 << 24))))
+      } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBc)
     }
 
     if (!sections("legacy")) { spark.stop(); return }

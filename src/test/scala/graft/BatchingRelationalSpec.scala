@@ -249,6 +249,48 @@ class BatchingRelationalSpec extends SparkSuite {
       .count() === 0L)
   }
 
+  test("bloomAntiJoin equals the plain anti join; tiny filter just means more exact work") {
+    val fact = spark.range(0, 5000).toDF("fk")
+      .withColumn("payload", col("fk") * 3)
+    val dim = spark.range(0, 800).toDF("dk").select((col("dk") * 7).as("dk"))
+    val plain = fact.join(dim.select(col("dk").as("fk")), Seq("fk"), "left_anti")
+      .orderBy("fk").as[(Long, Long)].collect()
+    val viaBloom = Relational.bloomAntiJoin(fact, dim, "fk", "dk", numBits = 1 << 12)
+      .orderBy("fk").as[(Long, Long)].collect()
+    assert(viaBloom === plain,
+      "definitely-fresh arm + exact arm must reassemble the anti join exactly")
+    assert(plain.length === 5000 - 715)
+    // a deliberately saturated 64-bit filter routes ~everything to the
+    // exact arm — result unchanged (FPs only cost work, never rows)
+    val saturated = Relational.bloomAntiJoin(fact, dim, "fk", "dk", numBits = 64)
+      .orderBy("fk").as[(Long, Long)].collect()
+    assert(saturated === plain)
+    // empty dim -> everything is fresh
+    assert(Relational.bloomAntiJoin(fact, dim.where(col("dk") < 0), "fk", "dk")
+      .count() === 5000L)
+  }
+
+  test("incrementalDedupKeepFirst with bloom split is result-identical (narrow + wide)") {
+    import graft.operators.Dedup
+    val idx = Seq((1L, "seen one"), (2L, "seen two")).toDF("doc_id", "text")
+    val wave = Seq(
+      (10L, "seen one"),   // in index -> drop
+      (11L, "fresh a"), (12L, "fresh b"),
+      (13L, "fresh a"),    // intra-batch dup -> keep-first (11)
+      (14L, "seen two"),   // in index -> drop
+      (15L, "fresh c")).toDF("doc_id", "text")
+    for (wide <- Seq(false, true)) {
+      val seen = Dedup.fingerprints(idx, "text", wide)
+      val base = Dedup.incrementalDedupKeepFirst(wave, "doc_id", "text", seen, wide)
+        .select("doc_id").as[Long].collect().sorted
+      assert(base === Array(11L, 12L, 15L))
+      val viaBloom = Dedup.incrementalDedupKeepFirst(wave, "doc_id", "text", seen,
+        wide, bloomBits = Some(1 << 10))
+        .select("doc_id").as[Long].collect().sorted
+      assert(viaBloom === base, s"bloom split changed results (wide=$wide)")
+    }
+  }
+
   test("degenerate inputs fail fast instead of silently emptying the result") {
     val d = nums.limit(3)
     // idx % 0 would null every index and drop all big rows
