@@ -1788,6 +1788,48 @@ object SparkEntry {
           nShards = 8, seed = 42L)
         .orderBy("doc_id")
     }),
+
+    // End-to-end curation FUNNEL datasheet — the RefinedWeb/Dolma release
+    // report: the corpus through URL dedup (q123) -> normalized exact
+    // dedup (q127) -> Gopher quality (q87) -> eval-set decontamination
+    // (q82), each stage over the PREVIOUS stage's survivors (ordering
+    // changes keep-first canonicals, so composition is load-bearing),
+    // rolled up per language with after-stage doc counts and surviving
+    // token volume — the numbers every dataset card publishes. Stage
+    // keys here are the oracle-parity canonical strings; production runs
+    // the same chain on urlDedupKeepFirst/fingerprints(wide = true).
+    "q143_curation_funnel" -> ((s, dir) => {
+      val d = Tables.documents(s, dir).withColumn("url", crawlUrl)
+      val s1 = Dedup.dedupKeepFirst(
+        d.withColumn("_canon", TextAnalysis.canonicalizeUrl(col("url"))),
+        Seq("_canon"), Seq("doc_id")).drop("_canon")
+      val s2 = Dedup.dedupKeepFirst(
+        s1.withColumn("_norm", TextAnalysis.normalizeForDedup(col("text"))),
+        Seq("_norm"), Seq("doc_id")).drop("_norm")
+      val s3 = s2.join(
+        TextAnalysis.gopherQualityFlags(s2, "doc_id", "text")
+          .where(col("keep")).select("doc_id"), Seq("doc_id"))
+      val hits = TextAnalysis.contaminationHits(d, "doc_id", "text",
+        col("source") === "src0", n = 5)
+      val s4 = s3.where(col("source") =!= "src0")
+        .join(hits.select("doc_id"), Seq("doc_id"), "left_anti")
+      def flag(sv: DataFrame, name: String) =
+        sv.select(col("doc_id"), lit(true).as(name))
+      d.select(col("doc_id"), col("lang"),
+          TextAnalysis.tokenCount(col("text")).cast("long").as("_nt"))
+        .join(flag(s1, "_f1"), Seq("doc_id"), "left")
+        .join(flag(s2, "_f2"), Seq("doc_id"), "left")
+        .join(flag(s3, "_f3"), Seq("doc_id"), "left")
+        .join(flag(s4, "_f4"), Seq("doc_id"), "left")
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_raw"),
+          count(col("_f1")).as("n_after_url"),
+          count(col("_f2")).as("n_after_dedup"),
+          count(col("_f3")).as("n_after_quality"),
+          count(col("_f4")).as("n_final"),
+          coalesce(sum(when(col("_f4"), col("_nt"))), lit(0L)).as("n_tokens_final"))
+        .orderBy("lang")
+    }),
   )
 
   /** q141's corpus: the synthesized lines regrouped into 2-line paragraphs
@@ -1958,6 +2000,28 @@ object SparkEntry {
     * — seeded junk corpus, q87/q83/q99 feature fragments, Cramer's-rule OLS
     * on the even slice, 6-dp weights and scores. One definition so the fit
     * query and its evaluation query can never disagree on the model. */
+  /** q123/q143 shared fragment: the synthesized crawl URL ([[crawlUrl]]
+    * term-for-term) plus the canonicalization chain, ending in
+    * `s5(doc_id, url_canon)` — [[TextAnalysis.canonicalizeUrl]]'s rules
+    * in the same order. Plain (non-interpolated) string: the regexes
+    * contain literal `$` anchors. */
+  private val dUrlCanon: String =
+    """u AS (SELECT doc_id,
+      |  (CASE WHEN doc_id % 2 = 0 THEN 'https://' ELSE 'HTTP://' END) ||
+      |  (CASE WHEN doc_id % 5 = 0 THEN 'WWW.' ELSE '' END) ||
+      |  source || '.example.com/articles/' || CAST(doc_id % 40 AS VARCHAR) ||
+      |  (CASE WHEN doc_id % 3 = 0 THEN '/' ELSE '' END) ||
+      |  (CASE WHEN doc_id % 4 = 0 THEN '?utm_source=feed&utm_medium=rss' ELSE '' END) ||
+      |  (CASE WHEN doc_id % 7 = 0 THEN '#section-2' ELSE '' END) AS url
+      |  FROM documents),
+      |s0 AS (SELECT doc_id, regexp_replace(url, '^[Hh][Tt][Tt][Pp][Ss]?://', '') AS s FROM u),
+      |s1 AS (SELECT doc_id, regexp_replace(s, '^[Ww][Ww][Ww]\.', '') AS s FROM s0),
+      |s2 AS (SELECT doc_id, lower(regexp_extract(s, '^([^/?#]*)', 1)) ||
+      |  regexp_extract(s, '^[^/?#]*(.*)$', 1) AS s FROM s1),
+      |s3 AS (SELECT doc_id, regexp_replace(s, '#.*$', '') AS s FROM s2),
+      |s4 AS (SELECT doc_id, regexp_replace(s, '(utm_[a-z]+|fbclid|gclid)=[^&#]*&?', '', 'g') AS s FROM s3),
+      |s5 AS (SELECT doc_id, regexp_replace(regexp_replace(s, '[?&]+$', ''), '/$', '') AS url_canon FROM s4)""".stripMargin
+
   private def dProbeScored: String =
     s"""c AS (SELECT doc_id, text FROM documents
       |  UNION ALL SELECT doc_id + 2000000, repeat('zzq glorp wib ', 20) || substr(text, 1, 40)
@@ -3435,21 +3499,7 @@ object SparkEntry {
       // same synthesized URLs; canonicalization rules applied in the same
       // order as TextAnalysis.canonicalizeUrl (DuckDB regexp_replace needs
       // the explicit 'g' flag where Spark's replaces all matches)
-      """WITH u AS (SELECT doc_id,
-        |  (CASE WHEN doc_id % 2 = 0 THEN 'https://' ELSE 'HTTP://' END) ||
-        |  (CASE WHEN doc_id % 5 = 0 THEN 'WWW.' ELSE '' END) ||
-        |  source || '.example.com/articles/' || CAST(doc_id % 40 AS VARCHAR) ||
-        |  (CASE WHEN doc_id % 3 = 0 THEN '/' ELSE '' END) ||
-        |  (CASE WHEN doc_id % 4 = 0 THEN '?utm_source=feed&utm_medium=rss' ELSE '' END) ||
-        |  (CASE WHEN doc_id % 7 = 0 THEN '#section-2' ELSE '' END) AS url
-        |  FROM documents),
-        |s0 AS (SELECT doc_id, regexp_replace(url, '^[Hh][Tt][Tt][Pp][Ss]?://', '') AS s FROM u),
-        |s1 AS (SELECT doc_id, regexp_replace(s, '^[Ww][Ww][Ww]\.', '') AS s FROM s0),
-        |s2 AS (SELECT doc_id, lower(regexp_extract(s, '^([^/?#]*)', 1)) ||
-        |  regexp_extract(s, '^[^/?#]*(.*)$', 1) AS s FROM s1),
-        |s3 AS (SELECT doc_id, regexp_replace(s, '#.*$', '') AS s FROM s2),
-        |s4 AS (SELECT doc_id, regexp_replace(s, '(utm_[a-z]+|fbclid|gclid)=[^&#]*&?', '', 'g') AS s FROM s3),
-        |s5 AS (SELECT doc_id, regexp_replace(regexp_replace(s, '[?&]+$', ''), '/$', '') AS url_canon FROM s4)
+      s"""WITH $dUrlCanon
         |SELECT url_canon, count(*) AS n_docs, min(doc_id) AS kept_doc
         |FROM s5 GROUP BY url_canon ORDER BY url_canon""".stripMargin,
 
@@ -3694,6 +3744,55 @@ object SparkEntry {
          |  row_number() OVER (PARTITION BY shard ORDER BY ord, doc_id) AS pos,
          |  n_tokens
          |FROM d ORDER BY doc_id""".stripMargin,
+
+    "q143_curation_funnel" ->
+      // each stage's CTE verbatim from its own green oracle (q123 URL
+      // canon via dUrlCanon, q127 normalization, q87/q103 gopher, q82
+      // 5-gram contamination), chained on the PREVIOUS stage's
+      // survivors; the datasheet is the per-lang left-join rollup
+      s"""WITH $dUrlCanon,
+         |c1 AS (SELECT doc_id FROM (SELECT doc_id,
+         |    row_number() OVER (PARTITION BY url_canon ORDER BY doc_id) AS rn FROM s5)
+         |  WHERE rn = 1),
+         |nrm AS (SELECT d.doc_id,
+         |    trim(regexp_replace(regexp_replace(lower(text), '[^\\p{L}\\p{N}]+', ' ', 'g'), ' +', ' ', 'g')) AS norm
+         |  FROM documents d JOIN c1 USING (doc_id)),
+         |c2 AS (SELECT doc_id FROM (SELECT doc_id,
+         |    row_number() OVER (PARTITION BY norm ORDER BY doc_id) AS rn FROM nrm)
+         |  WHERE rn = 1),
+         |t AS (SELECT doc_id, source, lang, text, string_split(text, ' ') AS tk,
+         |  string_split(text, chr(10)) AS ln FROM documents),
+         |gs AS (SELECT doc_id,
+         |  CAST(len(tk) AS BIGINT) AS n_words,
+         |  round(list_aggregate(list_transform(tk, x -> len(x)), 'sum') * 1.0 / len(tk), 6) AS mean_word_len,
+         |  round(len(list_filter(tk, x -> regexp_matches(x, '[A-Za-z]'))) * 1.0 / len(tk), 6) AS alpha_word_frac,
+         |  round((len(string_split(text, '#')) - 1 + len(string_split(text, '...')) - 1) * 1.0 / len(tk), 6) AS symbol_word_ratio,
+         |  round(len(list_filter(ln, x -> starts_with(x, '- ') OR starts_with(x, '* '))) * 1.0 / len(ln), 6) AS bullet_line_frac,
+         |  round(len(list_filter(ln, x -> ends_with(x, '...'))) * 1.0 / len(ln), 6) AS ellipsis_line_frac,
+         |  CAST(len(list_filter(tk, x -> x IN (${TextAnalysis.GopherStopwords.map(w => s"'$w'").mkString(",")}))) AS BIGINT) AS n_stopwords
+         |  FROM t),
+         |gq AS (SELECT doc_id, (n_words >= 50 AND n_words <= 100000 AND mean_word_len >= 3.0
+         |  AND mean_word_len <= 10.0 AND symbol_word_ratio <= 0.1 AND bullet_line_frac <= 0.9
+         |  AND ellipsis_line_frac <= 0.3 AND alpha_word_frac >= 0.8 AND n_stopwords >= 2) AS g_keep FROM gs),
+         |c3 AS (SELECT c2.doc_id FROM c2 JOIN gq ON c2.doc_id = gq.doc_id WHERE g_keep),
+         |gg AS (SELECT doc_id, source, unnest(CASE WHEN len(tk) < 5 THEN CAST([] AS VARCHAR[])
+         |  ELSE list_transform(range(1, len(tk) - 3), i -> array_to_string(tk[i:i+4], ' ')) END) AS gram FROM t),
+         |hh AS (SELECT doc_id, source, ${dhash("gram")} AS gh FROM gg),
+         |bench AS (SELECT DISTINCT gh FROM hh WHERE source = 'src0'),
+         |hits AS (SELECT DISTINCT hh.doc_id FROM hh JOIN bench USING (gh) WHERE source <> 'src0'),
+         |c4 AS (SELECT c3.doc_id FROM c3 JOIN t USING (doc_id)
+         |  WHERE t.source <> 'src0' AND c3.doc_id NOT IN (SELECT doc_id FROM hits))
+         |SELECT t.lang, count(*) AS n_raw,
+         |  count(c1.doc_id) AS n_after_url,
+         |  count(c2.doc_id) AS n_after_dedup,
+         |  count(c3.doc_id) AS n_after_quality,
+         |  count(c4.doc_id) AS n_final,
+         |  CAST(coalesce(sum(CASE WHEN c4.doc_id IS NOT NULL THEN len(tk) END), 0) AS BIGINT) AS n_tokens_final
+         |FROM t LEFT JOIN c1 ON t.doc_id = c1.doc_id
+         |LEFT JOIN c2 ON t.doc_id = c2.doc_id
+         |LEFT JOIN c3 ON t.doc_id = c3.doc_id
+         |LEFT JOIN c4 ON t.doc_id = c4.doc_id
+         |GROUP BY t.lang ORDER BY t.lang""".stripMargin,
 
     "q131_word_lm" ->
       // same fit-on-even-slice bigram/unigram tables; seen bigrams score
