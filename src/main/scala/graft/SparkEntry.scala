@@ -1830,6 +1830,16 @@ object SparkEntry {
           coalesce(sum(when(col("_f4"), col("_nt"))), lit(0L)).as("n_tokens_final"))
         .orderBy("lang")
     }),
+
+    // Winnowed (MOSS) match pairs: per-window min-hash selection samples
+    // gram fingerprints at density ~2/(w+1) while GUARANTEEING any
+    // shared run of >= w+k-1 tokens still pairs — the index-size lever
+    // over q22's full gram inventory. Pairs with >= 2 shared prints.
+    "q144_winnow_pairs" -> ((s, dir) => {
+      Dedup.winnowedMatchPairs(Tables.documents(s, dir), "doc_id", "text",
+          k = 3, w = 4, minShared = 2)
+        .orderBy("id_a", "id_b")
+    }),
   )
 
   /** q141's corpus: the synthesized lines regrouped into 2-line paragraphs
@@ -3793,6 +3803,20 @@ object SparkEntry {
          |LEFT JOIN c3 ON t.doc_id = c3.doc_id
          |LEFT JOIN c4 ON t.doc_id = c4.doc_id
          |GROUP BY t.lang ORDER BY t.lang""".stripMargin,
+
+    "q144_winnow_pairs" ->
+      // same 3-gram poly-31 hashes; windows of 4, leftmost-min selection
+      // (list_position finds the first match), distinct (doc, h), then
+      // the fingerprint-keyed pair count with the >= 2 evidence bar
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+         |g AS (SELECT doc_id, CASE WHEN len(tk) < 3 THEN CAST([] AS BIGINT[])
+         |  ELSE list_transform(range(1, len(tk) - 1), i -> ${dhash("array_to_string(tk[i:i+2], ' ')")}) END AS gh FROM t),
+         |wd AS (SELECT doc_id, CASE WHEN len(gh) < 4 THEN CAST([] AS BIGINT[])
+         |  ELSE list_transform(range(1, len(gh) - 2), j -> list_min(gh[j:j+3])) END AS sel FROM g),
+         |fp AS (SELECT DISTINCT doc_id, h FROM wd, unnest(sel) AS u(h))
+         |SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_shared
+         |FROM fp a JOIN fp b ON a.h = b.h AND a.doc_id < b.doc_id
+         |GROUP BY 1, 2 HAVING count(*) >= 2 ORDER BY id_a, id_b""".stripMargin,
 
     "q131_word_lm" ->
       // same fit-on-even-slice bigram/unigram tables; seen bigrams score

@@ -1090,4 +1090,74 @@ object Dedup {
     Relational.release(e)
     result
   }
+
+  /** Winnowed document fingerprints (Schleimer–Wilkerson–Aiken 2003 — the
+    * MOSS local-fingerprinting algorithm): hash every `k`-token gram
+    * (poly-31, [[spanDupStats]]' hash), slide a `w`-hash window, and
+    * select each window's MINIMUM hash; consecutive windows sharing a
+    * minimum select it once (the distinct), and ties pick the LEFTMOST
+    * minimal hash (deterministic; the paper's rightmost rule only shifts
+    * which of equal hashes is stored — the guarantee is unchanged).
+    *
+    * GUARANTEE (the paper's Theorem): any run of >= w+k-1 consecutive
+    * shared tokens between two documents shares at least one SELECTED
+    * fingerprint, while the expected selected density is 2/(w+1) of all
+    * gram hashes. That ratio is the 100-TB lever: a corpus-wide match
+    * index stores ~2/(w+1) of the grams ([[spanDupStats]] stores every
+    * one) with a hard floor on the match length it can miss. Documents
+    * with fewer than w grams select nothing — below the guarantee's
+    * detectable length by construction.
+    *
+    * Scale shape: pure per-document array work in one codegen'd
+    * projection (no window exchange — the sliding window is over the
+    * doc's own gram array), then one distinct keyed on (id, pos, h).
+    * Output: (id, pos, h), pos = the selected gram's 1-based position. */
+  def winnowedFingerprints(docs: DataFrame, idCol: String, textCol: String,
+                           k: Int = 3, w: Int = 4): DataFrame = {
+    require(k >= 1, s"gram size k must be >= 1, got $k")
+    require(w >= 1, s"window size w must be >= 1, got $w")
+    import graft.functions.GraftFunctions.rolling_hash
+    val tk = graft.operators.TextAnalysis.tokens(col(textCol))
+    val gh = when(size(tk) >= k,
+      transform(sequence(lit(1), size(tk) - k + 1),
+        i => rolling_hash(concat_ws(" ", slice(tk, i, lit(k))))))
+      .otherwise(array().cast("array<bigint>"))
+    val ghc = col("_gh")
+    val win: Column => Column = j => slice(ghc, j, lit(w))
+    val sel = when(size(ghc) >= w,
+      transform(sequence(lit(1), size(ghc) - w + 1),
+        j => struct(
+          (j - 1 + array_position(win(j), array_min(win(j))))
+            .cast("int").as("pos"),
+          array_min(win(j)).as("h"))))
+      .otherwise(array().cast("array<struct<pos:int,h:bigint>>"))
+    docs.select(col(idCol), gh.as("_gh"))
+      .select(col(idCol), explode(sel).as("_s"))
+      .select(col(idCol), col("_s.pos").as("pos"), col("_s.h").as("h"))
+      .distinct()
+  }
+
+  /** Winnowed match-pair candidates: document pairs sharing at least
+    * `minShared` distinct winnowed fingerprints — the MOSS match report.
+    * By [[winnowedFingerprints]]' guarantee a shared run of >= w+k-1
+    * tokens ALWAYS pairs (with >= 1 shared fingerprint); `minShared`
+    * raises the evidence bar against single-gram coincidences.
+    *
+    * Scale shape: one fingerprint-keyed equi self-join (bucket join,
+    * never all-pairs — [[simhashNearDupPairs]]' discipline) over a table
+    * ~2/(w+1) the size of a full gram index, then a pair-keyed count.
+    * A stopword-heavy gram can still hot-bucket; the levers are raising
+    * `k` (rarer grams) or salting the join ([[Relational.saltedJoin]]). */
+  def winnowedMatchPairs(docs: DataFrame, idCol: String, textCol: String,
+                         k: Int = 3, w: Int = 4,
+                         minShared: Int = 2): DataFrame = {
+    require(minShared >= 1, s"minShared must be >= 1, got $minShared")
+    val fp = winnowedFingerprints(docs, idCol, textCol, k, w)
+    val a = fp.select(col(idCol).as("id_a"), col("h"))
+    val b = fp.select(col(idCol).as("id_b"), col("h"))
+    a.join(b, Seq("h")).where(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b")
+      .agg(countDistinct("h").as("n_shared"))
+      .where(col("n_shared") >= minShared)
+  }
 }

@@ -300,6 +300,37 @@ class DedupSimilaritySpec extends SparkSuite {
     assert(wideOut === out)
   }
 
+  test("winnowing: w+k-1 detection guarantee, sampled density, pair report") {
+    import graft.operators.Dedup
+    // docs 1/2 share EXACTLY a w+k-1 = 6-token run (k=3, w=4): the run
+    // holds 4 shared grams = one full window, whose min MUST be selected
+    // in both docs (the Schleimer Theorem's witness)
+    val shared = "alpha beta gamma delta epsilon zeta"
+    val docs = Seq(
+      (1L, s"one two three $shared four five six"),
+      (2L, s"red blue green $shared yellow purple"),
+      (3L, "completely different tokens here nothing overlaps at all ever")
+    ).toDF("doc_id", "text")
+    val pairs = Dedup.winnowedMatchPairs(docs, "doc_id", "text",
+      k = 3, w = 4, minShared = 1).as[(Long, Long, Long)].collect()
+    assert(pairs.map(p => (p._1, p._2)).contains((1L, 2L)),
+      "a w+k-1 shared run must always pair")
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+    // density: far fewer selected prints than grams, never more
+    val longDoc = Seq((9L, (1 to 200).map(i => s"t${i * 37 % 91}x$i")
+      .mkString(" "))).toDF("doc_id", "text")
+    val nFp = Dedup.winnowedFingerprints(longDoc, "doc_id", "text").count()
+    val nGrams = 200 - 3 + 1
+    assert(nFp < nGrams && nFp >= nGrams / 5, s"density off: $nFp of $nGrams")
+    // below-guarantee docs (< w grams) select nothing
+    assert(Dedup.winnowedFingerprints(
+      Seq((5L, "a b c d e")).toDF("doc_id", "text"), "doc_id", "text").count() === 0L)
+    intercept[IllegalArgumentException](
+      Dedup.winnowedFingerprints(docs, "doc_id", "text", k = 0))
+    intercept[IllegalArgumentException](
+      Dedup.winnowedMatchPairs(docs, "doc_id", "text", minShared = 0))
+  }
+
   test("diversitySample keeps the k most-central vectors of every cell") {
     // two clean clusters around the axes + one far outlier per cluster
     val vecs = Seq(
