@@ -1840,6 +1840,16 @@ object SparkEntry {
           k = 3, w = 4, minShared = 2)
         .orderBy("id_a", "id_b")
     }),
+
+    // C4 badword filter: whole-token case-insensitive blocklist hits +
+    // the drop-on-any-hit verdict (Raffel et al. 2020 §2.2). Blocklist
+    // drawn from the corpus vocabulary (plus one absent word) so both
+    // verdicts are exercised.
+    "q145_badwords" -> ((s, dir) => {
+      TextAnalysis.badwordFilter(Tables.documents(s, dir), "doc_id", "text",
+          badwords = Seq("batch", "stream", "forbidden"))
+        .orderBy("doc_id")
+    }),
   )
 
   /** q141's corpus: the synthesized lines regrouped into 2-line paragraphs
@@ -3817,6 +3827,17 @@ object SparkEntry {
          |SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_shared
          |FROM fp a JOIN fp b ON a.h = b.h AND a.doc_id < b.doc_id
          |GROUP BY 1, 2 HAVING count(*) >= 2 ORDER BY id_a, id_b""".stripMargin,
+
+    "q145_badwords" ->
+      // same whole-token lowercase membership; fraction via the * 1.0
+      // pattern every green quality oracle uses
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+        |s AS (SELECT doc_id, CAST(len(tk) AS BIGINT) AS n_tokens,
+        |  CAST(len(list_filter(tk, x -> lower(x) IN ('batch', 'stream', 'forbidden'))) AS BIGINT) AS n_flagged FROM t)
+        |SELECT doc_id, n_tokens, n_flagged,
+        |  round(n_flagged * 1.0 / n_tokens, 6) AS flagged_frac,
+        |  n_flagged = 0 AS keep
+        |FROM s ORDER BY doc_id""".stripMargin,
 
     "q131_word_lm" ->
       // same fit-on-even-slice bigram/unigram tables; seen bigrams score

@@ -962,4 +962,30 @@ object TextAnalysis {
         col("n_replacement") === 0 && col("n_control") === 0 &&
           col("ascii_ratio") >= minAsciiRatio)
   }
+
+  /** C4-style badword filter (Raffel et al. 2020 §2.2's
+    * "List of Dirty, Naughty…" stage: drop any page containing a
+    * blocklisted word): per-doc blocklisted-token count, fraction, and
+    * the keep verdict (zero hits). Matching is case-insensitive on WHOLE
+    * whitespace tokens — the C4 rule; substring matching would flag
+    * "class" for "ass" (the classic Scunthorpe trap this avoids).
+    *
+    * Scale shape: a zero-shuffle codegen'd projection — the blocklist
+    * compiles into the `isin` literal set (fine to ~10^4 entries); a
+    * larger list becomes a broadcast semi-join of exploded tokens (the
+    * [[vocabCoverage]] shape). Output: (id, n_tokens, n_flagged,
+    * flagged_frac, keep). */
+  def badwordFilter(docs: DataFrame, idCol: String, textCol: String,
+                    badwords: Seq[String]): DataFrame = {
+    require(badwords.nonEmpty, "badwordFilter needs a non-empty blocklist")
+    val bw = badwords.map(_.toLowerCase)
+    val tk = tokens(col(textCol))
+    val flagged = size(filter(tk, t => lower(t).isin(bw: _*)))
+    docs.select(col(idCol),
+        size(tk).cast("long").as("n_tokens"),
+        flagged.cast("long").as("n_flagged"))
+      .withColumn("flagged_frac",
+        round(col("n_flagged").cast("double") / col("n_tokens"), 6))
+      .withColumn("keep", col("n_flagged") === 0L)
+  }
 }

@@ -283,6 +283,22 @@ class TextAnalysisSpec extends SparkSuite {
       TextAnalysis.bpeEncodeStats(docs, "doc_id", "text", Seq("(" -> "x")))
   }
 
+  test("badwordFilter: whole-token case-insensitive hits, no Scunthorpe substring trap") {
+    import graft.operators.TextAnalysis
+    val docs = Seq(
+      (1L, "a clean document with safe words"),
+      (2L, "contains BADTOK twice badtok here"),  // case-insensitive, 2 hits
+      (3L, "embadtokked substring must not match")).toDF("doc_id", "text")
+    val out = TextAnalysis.badwordFilter(docs, "doc_id", "text", Seq("BadTok"))
+      .orderBy("doc_id").as[(Long, Long, Long, Double, Boolean)].collect()
+    assert(out === Array(
+      (1L, 6L, 0L, 0.0, true),
+      (2L, 5L, 2L, 0.4, false),
+      (3L, 5L, 0L, 0.0, true)))
+    intercept[IllegalArgumentException](
+      TextAnalysis.badwordFilter(docs, "doc_id", "text", Seq.empty))
+  }
+
   test("charTrigramLogProb: shuffle fallback above broadcastMaxTrigrams is byte-identical") {
     val docs = Seq(
       (1L, "the quick brown fox jumps"), (2L, "pack my box with jugs"),
