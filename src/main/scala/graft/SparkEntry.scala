@@ -1850,6 +1850,15 @@ object SparkEntry {
           badwords = Seq("batch", "stream", "forbidden"))
         .orderBy("doc_id")
     }),
+
+    // Cluster-quality report for the ANN family: centroid-based
+    // silhouette (the O(n*k) production form — full silhouette is O(n^2))
+    // over q28's centroid convention (vec_id < 8), cosine distance.
+    "q146_silhouette" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Similarity.centroidSilhouette(emb, emb.where(col("vec_id") < 8))
+        .orderBy("cell_id")
+    }),
   )
 
   /** q141's corpus: the synthesized lines regrouped into 2-line paragraphs
@@ -3838,6 +3847,24 @@ object SparkEntry {
         |  round(n_flagged * 1.0 / n_tokens, 6) AS flagged_frac,
         |  n_flagged = 0 AS keep
         |FROM s ORDER BY doc_id""".stripMargin,
+
+    "q146_silhouette" ->
+      // q28's double-cast cosine CTEs; distance = 1 - cos, top-2 by
+      // (dist, cell_id), s = (b-a)/max(a,b) with the both-zero guard
+      """WITH cent AS (SELECT vec_id AS cell_id, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings WHERE vec_id < 8),
+        |corp AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |d AS (SELECT corp.vec_id, cent.cell_id,
+        |  1.0 - list_dot_product(v, cv) / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(cv, cv))) AS dist
+        |  FROM corp CROSS JOIN cent),
+        |r AS (SELECT vec_id, cell_id, dist,
+        |  row_number() OVER (PARTITION BY vec_id ORDER BY dist, cell_id) AS rn FROM d),
+        |ab AS (SELECT vec_id, max(CASE WHEN rn = 1 THEN cell_id END) AS cell_id,
+        |  max(CASE WHEN rn = 1 THEN dist END) AS a, max(CASE WHEN rn = 2 THEN dist END) AS b
+        |  FROM r WHERE rn <= 2 GROUP BY vec_id),
+        |s AS (SELECT cell_id, CASE WHEN greatest(a, b) > 0 THEN (b - a) / greatest(a, b) ELSE 0.0 END AS s FROM ab)
+        |SELECT cell_id, count(*) AS n_vecs, round(avg(s), 6) AS mean_silhouette,
+        |  round(min(s), 6) AS min_silhouette
+        |FROM s GROUP BY cell_id ORDER BY cell_id""".stripMargin,
 
     "q131_word_lm" ->
       // same fit-on-even-slice bigram/unigram tables; seen bigrams score

@@ -763,4 +763,48 @@ object Similarity {
       .where(col("cosine") > threshold)
       .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))
   }
+
+  /** Centroid-based (simplified) silhouette — the O(n·k) production form
+    * of the O(n²) silhouette coefficient, the standard did-the-clustering-
+    * work diagnostic for the Lloyd/IVF family here: per vector,
+    * `a` = cosine distance (1 − cos) to its NEAREST centroid,
+    * `b` = to the second-nearest, `s = (b − a) / max(a, b)` (0 when both
+    * distances are 0); report per-cell counts and mean silhouette.
+    * s near 1 = tight, well-separated cells; near 0 = boundary vectors;
+    * the full pairwise silhouette needs every inter-point distance and
+    * dies at corpus scale — centroid form is what Spark ML and FAISS
+    * diagnostics compute.
+    *
+    * Scale shape: centroids broadcast (k rows); the scan is one
+    * crossJoin + fused-pass [[graft.functions.CosineSimilarity]] per
+    * (vector, centroid) — O(n·k) map work; the per-vector top-2 rides a
+    * vector-id window (narrow rows: id, cell, distance) and the rollup is
+    * one cell-keyed aggregate. Requires >= 2 centroids. */
+  def centroidSilhouette(corpus: DataFrame, centroids: DataFrame,
+                         idCol: String = "vec_id",
+                         vecCol: String = "embedding"): DataFrame = {
+    require(centroids.limit(2).count() == 2,
+      "centroidSilhouette needs at least 2 centroids")
+    val c = broadcast(centroids
+      .select(col(idCol).cast("long").as("cell_id"), col(vecCol).as("_cv")))
+    val scored = corpus.select(col(idCol).as("_vid"), col(vecCol).as("_v"))
+      .crossJoin(c)
+      .select(col("_vid"), col("cell_id"),
+        (lit(1.0) - cosine_similarity(col("_v"), col("_cv"))).as("_d"))
+    val w = Window.partitionBy("_vid").orderBy(col("_d").asc, col("cell_id").asc)
+    val ab = scored.withColumn("_rn", row_number().over(w))
+      .where(col("_rn") <= 2)
+      .groupBy("_vid")
+      .agg(max(when(col("_rn") === 1, col("cell_id"))).as("cell_id"),
+        max(when(col("_rn") === 1, col("_d"))).as("_a"),
+        max(when(col("_rn") === 2, col("_d"))).as("_b"))
+    ab.withColumn("_s",
+        when(greatest(col("_a"), col("_b")) > 0,
+          (col("_b") - col("_a")) / greatest(col("_a"), col("_b")))
+          .otherwise(lit(0.0)))
+      .groupBy("cell_id")
+      .agg(count(lit(1)).as("n_vecs"),
+        round(avg("_s"), 6).as("mean_silhouette"),
+        round(min("_s"), 6).as("min_silhouette"))
+  }
 }

@@ -331,6 +331,25 @@ class DedupSimilaritySpec extends SparkSuite {
       Dedup.winnowedMatchPairs(docs, "doc_id", "text", minShared = 0))
   }
 
+  test("centroidSilhouette: hand-computed a/b distances, tie to lowest cell") {
+    import graft.operators.Similarity
+    val cents = Seq((0L, Array(1f, 0f)), (1L, Array(0f, 1f)))
+      .toDF("vec_id", "embedding")
+    val vecs = Seq(
+      (10L, Array(1f, 0f)),  // exactly c0: a=0, b=1 -> s=1
+      (11L, Array(2f, 0f)),  // same direction: s=1 (cosine is scale-free)
+      (12L, Array(1f, 1f)),  // equidistant: a=b -> s=0, tie assigns cell 0
+      (13L, Array(0f, 5f))   // c1's direction: s=1
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.centroidSilhouette(vecs, cents)
+      .orderBy("cell_id").as[(Long, Long, Double, Double)].collect()
+    assert(out === Array(
+      (0L, 3L, 0.666667, 0.0),
+      (1L, 1L, 1.0, 1.0)))
+    intercept[IllegalArgumentException](
+      Similarity.centroidSilhouette(vecs, cents.limit(1)))
+  }
+
   test("diversitySample keeps the k most-central vectors of every cell") {
     // two clean clusters around the axes + one far outlier per cluster
     val vecs = Seq(
