@@ -193,6 +193,26 @@ class IngestStreamingSpec extends SparkSuite {
     assert(kept === Array("site.com/a", "site.com/b"))
   }
 
+  test("streaming quality filter: badword verdicts filter docs in flight (§2.11)") {
+    // Quality verdicts are stateless per-document projections, so the
+    // filter chain composes onto a stream with NO state store at all —
+    // the shape a live ingest pipeline runs between crawl and dedup
+    // (q145's streaming twin; gopher/charClass flags compose the same way).
+    val dir = Files.createTempDirectory("graft_stream_quality").toString
+    val df = Seq(
+      (1L, "a perfectly clean document body"),
+      (2L, "contains the badword spamtok here"),
+      (3L, "another clean one")).toDF("doc_id", "text")
+    df.coalesce(1).write.mode("overwrite").parquet(dir)
+    val stream = EventStreams.readFileStream(spark, dir, df.schema)
+    val filtered = graft.operators.TextAnalysis
+      .badwordFilter(stream, "doc_id", "text", Seq("SpamTok"))
+      .where(col("keep")).select("doc_id")
+    EventStreams.drainToMemory(filtered, "quality_stream")
+    assert(spark.table("quality_stream").as[Long].collect().sorted ===
+      Array(1L, 3L))
+  }
+
   test("mapGroupsWithState carries per-user counts across micro-batches (§2.11)") {
     val dir = Files.createTempDirectory("graft_state").toString
     Seq((7L, 1.0), (7L, 2.0), (9L, 3.0)).toDF("user_id", "value")
