@@ -29,7 +29,7 @@ object Bench {
       // class count" — 8000 was set for a 102-query suite and the r10
       // driver run showed the eviction signature again at 129 queries
       // (q13 4.61 s in-suite vs 0.47 s standalone).
-      .config("spark.sql.codegen.cache.maxEntries", "16000")
+      .config("spark.sql.codegen.cache.maxEntries", "24000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Warm the JVM/codegen/parquet-reader paths so the first measured query

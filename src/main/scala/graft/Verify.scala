@@ -13,7 +13,7 @@ object Verify {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       // size the generated-code cache to the suite (see Bench.scala)
-      .config("spark.sql.codegen.cache.maxEntries", "16000")
+      .config("spark.sql.codegen.cache.maxEntries", "24000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
