@@ -1859,6 +1859,26 @@ object SparkEntry {
       Similarity.centroidSilhouette(emb, emb.where(col("vec_id") < 8))
         .orderBy("cell_id")
     }),
+
+    // Hard-negative mining (DPR/Contriever): per probe, the top-5 most-
+    // similar vectors of a DIFFERENT label — contrastive training's
+    // gradient-dense negatives. q27's probe set; brute tier (q28's IVF
+    // candidates are the scale swap, per the operator scaladoc).
+    "q147_hard_negatives" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Similarity.hardNegatives(emb, emb.where(col("vec_id") < 10), 5)
+        .orderBy("probe_id", "rank")
+    }),
+
+    // k-NN label-noise detection: majority label disagreement among the
+    // 5 nearest cell-local neighbors flags likely mislabeled vectors —
+    // the dataset-QA gate before a labeled set trains anything. Cell-
+    // bounded candidates (q28's assignment), never all-pairs.
+    "q148_label_noise" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Similarity.knnLabelNoise(emb, emb.where(col("vec_id") < 8), 5)
+        .orderBy("probe_id")
+    }),
   )
 
   /** q141's corpus: the synthesized lines regrouped into 2-line paragraphs
@@ -3865,6 +3885,41 @@ object SparkEntry {
         |SELECT cell_id, count(*) AS n_vecs, round(avg(s), 6) AS mean_silhouette,
         |  round(min(s), 6) AS min_silhouette
         |FROM s GROUP BY cell_id ORDER BY cell_id""".stripMargin,
+
+    "q147_hard_negatives" ->
+      // q27's double-cast cosine CTEs plus the different-label filter
+      """WITH p AS (SELECT vec_id AS probe_id, CAST(embedding AS DOUBLE[]) AS pv, label AS pl FROM embeddings WHERE vec_id < 10),
+        |c AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv, label AS cl FROM embeddings),
+        |sc AS (SELECT probe_id, neighbor_id, cl,
+        |list_dot_product(pv, cv) / (sqrt(list_dot_product(pv, pv)) * sqrt(list_dot_product(cv, cv))) AS cos
+        |FROM p JOIN c ON neighbor_id != probe_id AND cl != pl),
+        |r AS (SELECT probe_id, neighbor_id, cl, cos,
+        |row_number() OVER (PARTITION BY probe_id ORDER BY cos DESC, neighbor_id) AS rank FROM sc)
+        |SELECT probe_id, CAST(rank AS BIGINT) AS rank, neighbor_id,
+        |  round(cos, 6) AS cosine, cl AS neighbor_label
+        |FROM r WHERE rank <= 5 ORDER BY probe_id, rank""".stripMargin,
+
+    "q148_label_noise" ->
+      // q28's assignment CTE (cos DESC, cell_id tie), cell-local self-
+      // join, top-5 by (cos DESC, neighbor id), majority-disagree verdict
+      """WITH cent AS (SELECT vec_id AS cell_id, CAST(embedding AS DOUBLE[]) AS cvv FROM embeddings WHERE vec_id < 8),
+        |corp AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label FROM embeddings),
+        |asg AS (SELECT vec_id, v, label, cell_id FROM (
+        |  SELECT corp.vec_id, corp.v, corp.label, cent.cell_id,
+        |  row_number() OVER (PARTITION BY corp.vec_id ORDER BY
+        |    list_dot_product(corp.v, cent.cvv) / (sqrt(list_dot_product(corp.v, corp.v)) * sqrt(list_dot_product(cent.cvv, cent.cvv))) DESC,
+        |    cent.cell_id) AS rr
+        |  FROM corp CROSS JOIN cent) WHERE rr = 1),
+        |sc AS (SELECT a.vec_id AS probe_id, a.label AS probe_label,
+        |  b.vec_id AS nid, b.label AS nl,
+        |  list_dot_product(a.v, b.v) / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) AS cos
+        |  FROM asg a JOIN asg b ON a.cell_id = b.cell_id AND a.vec_id != b.vec_id),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY probe_id ORDER BY cos DESC, nid) AS rn FROM sc)
+        |SELECT probe_id, probe_label, count(*) AS n_neighbors,
+        |  CAST(sum(CASE WHEN nl != probe_label THEN 1 ELSE 0 END) AS BIGINT) AS n_disagree,
+        |  round(sum(CASE WHEN nl != probe_label THEN 1 ELSE 0 END) * 1.0 / count(*), 6) AS disagree_frac,
+        |  round(sum(CASE WHEN nl != probe_label THEN 1 ELSE 0 END) * 1.0 / count(*), 6) > 0.5 AS suspect
+        |FROM r WHERE rn <= 5 GROUP BY 1, 2 ORDER BY probe_id""".stripMargin,
 
     "q131_word_lm" ->
       // same fit-on-even-slice bigram/unigram tables; seen bigrams score

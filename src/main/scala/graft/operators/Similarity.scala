@@ -764,6 +764,83 @@ object Similarity {
       .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))
   }
 
+  /** Hard-negative mining for contrastive training (the DPR/Contriever
+    * recipe): for every probe, the top-`k` most-similar corpus vectors
+    * whose LABEL DIFFERS from the probe's — the negatives that actually
+    * move a contrastive loss (random negatives are trivially separable;
+    * the hardest wrong-class neighbors carry the gradient). Brute-force
+    * candidate stream (the oracle-parity tier, [[bruteForceTopK]]'s
+    * shape); at corpus scale swap in [[ivfTopK]]'s probed-cell candidates
+    * exactly as q28 does over q27. Null-label rows never qualify as
+    * negatives (the `=!=` filter drops them).
+    * Output: (probe_id, rank, neighbor_id, cosine, neighbor_label).
+    *
+    * Scale shape: probes broadcast; one corpus scan scores candidates
+    * through the fused-pass cosine kernel, top-k rides the bounded-buffer
+    * [[graft.functions.TopKByScore]] aggregate, and the label rides back
+    * on a |probes|·k-row join — never on the scored stream. */
+  def hardNegatives(corpus: DataFrame, probes: DataFrame, k: Int,
+                    idCol: String = "vec_id", vecCol: String = "embedding",
+                    labelCol: String = "label"): DataFrame = {
+    val p = probes.select(col(idCol).as("probe_id"),
+      col(vecCol).as("probe_vec"), col(labelCol).as("_pl"))
+    val c = corpus.select(col(idCol).as("neighbor_id"),
+      col(vecCol).as("cand_vec"), col(labelCol).as("_cl"))
+    val scored = c.crossJoin(broadcast(p))
+      .where(col("neighbor_id") =!= col("probe_id") &&
+        col("_cl") =!= col("_pl"))
+      .withColumn("cosine", cosine_similarity(col("probe_vec"), col("cand_vec")))
+    topKPerProbe(scored, k)
+      .join(corpus.select(col(idCol).as("neighbor_id"),
+        col(labelCol).as("neighbor_label")), Seq("neighbor_id"))
+      .select("probe_id", "rank", "neighbor_id", "cosine", "neighbor_label")
+  }
+
+  /** k-NN label-noise detection (confident-learning-style dataset QA):
+    * for every vector, the fraction of its `k` nearest CELL-LOCAL
+    * neighbors whose label disagrees; `suspect` flags majority
+    * disagreement — the classic mislabeled-example signal run before a
+    * labeled set trains anything. Neighbors come from the vector's IVF
+    * cell ([[assignCells]]' max-cosine assignment), so the scan is
+    * cell-bounded, NEVER the all-pairs exact k-NN (which is O(n²) and
+    * dead at corpus scale); a vector with fewer than `k` cell-mates
+    * grades over the neighbors it has.
+    * Output: (probe_id, probe_label, n_neighbors, n_disagree,
+    * disagree_frac, suspect).
+    *
+    * Scale shape: assignment is one broadcast-centroid narrow projection;
+    * the candidate stream is a cell-keyed SELF-join (both sides shuffle
+    * on cell_id — nothing corpus-sized broadcasts, unlike the probe-side
+    * broadcast of [[ivfTopK]], because here every vector IS a probe);
+    * top-k rides a probe-keyed window over narrow rows; the verdict is
+    * one probe-keyed aggregate. */
+  def knnLabelNoise(vectors: DataFrame, centroids: DataFrame, k: Int,
+                    idCol: String = "vec_id", vecCol: String = "embedding",
+                    labelCol: String = "label"): DataFrame = {
+    require(k >= 1, s"knnLabelNoise needs k >= 1, got $k")
+    val (ids, vecs) = collectCentroids(centroids, idCol, vecCol, "knnLabelNoise")
+    val asg = vectors.select(col(idCol), col(vecCol), col(labelCol),
+      graft.functions.GraftFunctions
+        .nearest_centroid(col(vecCol), ids, vecs).as("cell_id"))
+    val a = asg.select(col(idCol).as("probe_id"), col(vecCol).as("probe_vec"),
+      col(labelCol).as("probe_label"), col("cell_id"))
+    val b = asg.select(col(idCol).as("neighbor_id"), col(vecCol).as("cand_vec"),
+      col(labelCol).as("_nl"), col("cell_id"))
+    val scored = a.join(b, Seq("cell_id"))
+      .where(col("neighbor_id") =!= col("probe_id"))
+      .withColumn("cosine", cosine_similarity(col("probe_vec"), col("cand_vec")))
+    val w = Window.partitionBy("probe_id")
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    scored.withColumn("_rn", row_number().over(w)).where(col("_rn") <= k)
+      .groupBy(col("probe_id"), col("probe_label"))
+      .agg(count(lit(1)).as("n_neighbors"),
+        sum(when(col("_nl") =!= col("probe_label"), 1L).otherwise(0L))
+          .as("n_disagree"))
+      .withColumn("disagree_frac",
+        round(col("n_disagree").cast("double") / col("n_neighbors"), 6))
+      .withColumn("suspect", col("disagree_frac") > 0.5)
+  }
+
   /** Centroid-based (simplified) silhouette — the O(n·k) production form
     * of the O(n²) silhouette coefficient, the standard did-the-clustering-
     * work diagnostic for the Lloyd/IVF family here: per vector,

@@ -331,6 +331,32 @@ class DedupSimilaritySpec extends SparkSuite {
       Dedup.winnowedMatchPairs(docs, "doc_id", "text", minShared = 0))
   }
 
+  test("hardNegatives ranks only wrong-label neighbors; knnLabelNoise flags the mislabel") {
+    import graft.operators.Similarity
+    // two tight direction clusters; labels match clusters except vec 15
+    val vecs = Seq(
+      (0L, Array(1f, 0f), 1), (1L, Array(0f, 1f), 2), // also the centroids
+      (10L, Array(0.99f, 0.01f), 1), (11L, Array(0.98f, 0.03f), 1),
+      (12L, Array(0.97f, 0.02f), 1),
+      (15L, Array(0.96f, 0.04f), 2), // MISLABELED: sits inside cluster A
+      (20L, Array(0.01f, 0.99f), 2), (21L, Array(0.03f, 0.98f), 2)
+    ).toDF("vec_id", "embedding", "label")
+    val hn = Similarity.hardNegatives(vecs, vecs.where(col("vec_id") === 10), 2)
+      .orderBy("rank").as[(Long, Long, Long, Double, Int)].collect()
+    assert(hn.map(_._3) === Array(15L, 21L)) // nearest wrong-label first
+    assert(hn.forall(_._5 === 2))            // never the probe's own label
+    // cell A = {0,10,11,12,15}: 15's 4 neighbors all disagree -> suspect;
+    // 10's neighbors disagree 1/4 -> clean; cluster B is all-consistent
+    val noise = Similarity.knnLabelNoise(vecs, vecs.where(col("vec_id") < 2), 5)
+      .as[(Long, Int, Long, Long, Double, Boolean)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(noise(15L)._6 && noise(15L)._5 === 1.0)
+    assert(!noise(10L)._6 && noise(10L)._5 === 0.25)
+    assert(Seq(1L, 20L, 21L).forall(id => !noise(id)._6))
+    intercept[IllegalArgumentException](
+      Similarity.knnLabelNoise(vecs, vecs.where(col("vec_id") < 2), 0))
+  }
+
   test("centroidSilhouette: hand-computed a/b distances, tie to lowest cell") {
     import graft.operators.Similarity
     val cents = Seq((0L, Array(1f, 0f)), (1L, Array(0f, 1f)))
