@@ -1879,6 +1879,25 @@ object SparkEntry {
       Similarity.knnLabelNoise(emb, emb.where(col("vec_id") < 8), 5)
         .orderBy("probe_id")
     }),
+
+    // Unicode NFC audit: seed decomposed sequences (e + combining acute,
+    // u + combining diaeresis) into %3==0 docs, then report which docs
+    // the canonical composition actually changes and the code-point
+    // shrink — the defensive pre-pass every exact-dedup/tokenize stage
+    // needs (decomposed vs precomposed text silently splits fingerprints).
+    "q149_nfc_audit" -> ((s, dir) => {
+      import graft.functions.GraftFunctions.nfc_normalize
+      val raw = concat(col("text"),
+        when(col("doc_id") % 3 === 0, lit(" café ü"))
+          .otherwise(lit("")))
+      Tables.documents(s, dir)
+        .select(col("doc_id"), raw.as("_raw"), nfc_normalize(raw).as("_nfc"))
+        .select(col("doc_id"),
+          (col("_raw") =!= col("_nfc")).as("changed"),
+          length(col("_raw")).cast("long").as("len_raw"),
+          length(col("_nfc")).cast("long").as("len_nfc"))
+        .orderBy("doc_id")
+    }),
   )
 
   /** q141's corpus: the synthesized lines regrouped into 2-line paragraphs
@@ -3920,6 +3939,18 @@ object SparkEntry {
         |  round(sum(CASE WHEN nl != probe_label THEN 1 ELSE 0 END) * 1.0 / count(*), 6) AS disagree_frac,
         |  round(sum(CASE WHEN nl != probe_label THEN 1 ELSE 0 END) * 1.0 / count(*), 6) > 0.5 AS suspect
         |FROM r WHERE rn <= 5 GROUP BY 1, 2 ORDER BY probe_id""".stripMargin,
+
+    "q149_nfc_audit" ->
+      // same seeded combining marks (chr(769)/chr(776)); DuckDB's
+      // nfc_normalize is utf8proc's UAX #15 — the same canonical
+      // composition java.text.Normalizer implements
+      """WITH c AS (SELECT doc_id, text ||
+        |  CASE WHEN doc_id % 3 = 0 THEN ' cafe' || chr(769) || ' u' || chr(776) ELSE '' END AS raw
+        |  FROM documents),
+        |n AS (SELECT doc_id, raw, nfc_normalize(raw) AS nfc FROM c)
+        |SELECT doc_id, raw != nfc AS changed,
+        |  CAST(len(raw) AS BIGINT) AS len_raw, CAST(len(nfc) AS BIGINT) AS len_nfc
+        |FROM n ORDER BY doc_id""".stripMargin,
 
     "q131_word_lm" ->
       // same fit-on-even-slice bigram/unigram tables; seen bigrams score

@@ -23,6 +23,9 @@ object GraftFunctions {
   /** Portable polynomial rolling-hash fingerprint (see [[RollingHash]]). */
   def rolling_hash(s: Column): Column = col(RollingHash(ex(s.cast("string"))))
 
+  /** Unicode NFC canonical composition (see [[NfcNormalize]]). */
+  def nfc_normalize(s: Column): Column = col(NfcNormalize(ex(s.cast("string"))))
+
   /** Fused-pass cosine similarity over embedding arrays (see [[CosineSimilarity]]). */
   def cosine_similarity(a: Column, b: Column): Column =
     col(CosineSimilarity(ex(a), ex(b)))

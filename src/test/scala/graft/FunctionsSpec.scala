@@ -223,6 +223,26 @@ class FunctionsSpec extends SparkSuite {
     fails("SELECT bloom_might_contain(k, k) FROM bloom_err_in", "must be a constant")
   }
 
+  test("nfc_normalize: composes combining marks, idempotent, null-propagating") {
+    import graft.functions.GraftFunctions.nfc_normalize
+    val df = Seq(
+      ("é"),        // e + combining acute -> precomposed U+00E9
+      ("café"),      // already NFC: unchanged
+      ("über x"),   // u + combining diaeresis
+      ("plain ascii")).toDF("s")
+    val out = df.select(nfc_normalize(col("s")).as("n")).as[String].collect()
+    assert(out === Array("é", "café", "über x", "plain ascii"))
+    // idempotent: normalizing twice is the identity on the first pass
+    val twice = df.select(nfc_normalize(nfc_normalize(col("s"))).as("n"))
+      .as[String].collect()
+    assert(twice === out)
+    // code-point counts shrink exactly by the composed pairs
+    assert(df.select(length(nfc_normalize(col("s"))).as("l")).as[Int].collect()
+      === Array(1, 4, 6, 11))
+    assert(Seq(Option.empty[String]).toDF("s")
+      .select(nfc_normalize(col("s"))).head().isNullAt(0))
+  }
+
   test("BloomMightContain compares by filter CONTENT (canonicalization-safe)") {
     import graft.functions.BloomMightContain
     import org.apache.spark.sql.catalyst.expressions.Literal
