@@ -278,4 +278,35 @@ class PlanPostureSpec extends SparkSuite {
     assert(!plan.contains("SinglePartition"), s"global single-partition stage:\n$plan")
     assert(!plan.contains("CartesianProduct"), s"cartesian in spanScrub:\n$plan")
   }
+
+  test("shardPlan: both hashes in one projection, ONE shard-keyed exchange (q142 shape)") {
+    val plan = executedPlan(graft.operators.Batching.shardPlan(
+      graft.meta.Tables.documents(spark, sf), "doc_id", "text", 8, 42L))
+    assert(shuffleCount(plan) === 1,
+      s"shardPlan must shuffle exactly once (the pos window):\n$plan")
+    assert(!plan.contains("SinglePartition"), s"global single-partition stage:\n$plan")
+  }
+
+  test("winnowedFingerprints: per-doc array work + the distinct, no window exchange (q144 shape)") {
+    // The selection slides over each document's OWN gram array in a
+    // codegen'd projection — the only exchange is the distinct's.
+    val plan = executedPlan(graft.operators.Dedup.winnowedFingerprints(
+      graft.meta.Tables.documents(spark, sf), "doc_id", "text"))
+    assert(shuffleCount(plan) === 1,
+      s"winnowing should only shuffle for the distinct:\n$plan")
+    assert(!plan.contains("Window"), s"no per-row window should appear:\n$plan")
+  }
+
+  test("knnLabelNoise: cell-keyed SELF-join — corpus never broadcast, no cartesian (q148 shape)") {
+    val emb = graft.meta.Tables.embeddings(spark, sf)
+    val plan = executedPlan(graft.operators.Similarity.knnLabelNoise(
+      emb, emb.where(col("vec_id") < 8), 5))
+    assert(!plan.contains("CartesianProduct"),
+      s"cell join degenerated to all-pairs:\n$plan")
+    // the candidate join is on cell_id: a sort-merge or shuffled-hash join
+    // is the intended corpus-scale shape (broadcast only if AQE proves one
+    // side tiny — but NEVER a broadcast nested loop over the corpus)
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      s"corpus side must not ride a nested-loop broadcast:\n$plan")
+  }
 }
