@@ -1898,6 +1898,56 @@ object SparkEntry {
           length(col("_nfc")).cast("long").as("len_nfc"))
         .orderBy("doc_id")
     }),
+
+    // Character-entropy filter: near-zero entropy = repeated-char junk
+    // that word-level Gopher checks can miss; implausibly high = binary
+    // noise posing as text. The bracket verdicts on the rounded value.
+    "q150_char_entropy" -> ((s, dir) => {
+      TextAnalysis.charEntropy(Tables.documents(s, dir), "doc_id", "text")
+        .orderBy("doc_id")
+    }),
+
+    // SOFT dedup (data-constrained training): %4==0 docs get a re-crawl
+    // clone; every copy stays but carries weight 1/n_copies, so a
+    // weighted sampler sees each distinct text with equal total mass.
+    // The one-pass twin of q21's hard keep-first.
+    "q151_soft_dedup" -> ((s, dir) => {
+      val d = Tables.documents(s, dir).select("doc_id", "text")
+      val corpus = d.unionByName(d.where(col("doc_id") % 4 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+      Dedup.softDedupWeights(corpus, "doc_id", "text").orderBy("doc_id")
+    }),
+
+    // Card-number PII with Luhn validation: %6==0 docs carry a VALID test
+    // card (must flag), %6==3 an off-by-one INVALID number (candidate but
+    // never PII) — the checksum is what separates card PII from order ids.
+    "q152_card_pii" -> ((s, dir) => {
+      val seeded = Tables.documents(s, dir).select(col("doc_id"),
+        concat(col("text"),
+          when(col("doc_id") % 6 === 0, lit(" card 4532015112830366 on file"))
+            .when(col("doc_id") % 6 === 3, lit(" card 4532015112830367 on file"))
+            .otherwise(lit(""))).as("text"))
+      TextAnalysis.cardNumberPii(seeded, "doc_id", "text").orderBy("doc_id")
+    }),
+
+    // Filter-interaction matrix (the ablation table curation reports
+    // publish): every (gopher, repetition, entropy) verdict combination
+    // with its population — shows which filters overlap and which kill
+    // uniquely, i.e. whether a filter earns its compute.
+    "q153_filter_matrix" -> ((s, dir) => {
+      val d = Tables.documents(s, dir).select("doc_id", "text")
+      val gq = TextAnalysis.gopherQualityFlags(d, "doc_id", "text")
+        .select(col("doc_id"), col("keep").as("g_keep"))
+      val rep = TextAnalysis.repetitionStats(d, "doc_id", "text")
+        .select(col("doc_id"), col("keep").as("r_keep"))
+      val ent = TextAnalysis.charEntropy(d, "doc_id", "text")
+        .select(col("doc_id"), col("keep").as("e_keep"))
+      d.select("doc_id").join(gq, "doc_id").join(rep, "doc_id")
+        .join(ent, "doc_id")
+        .groupBy("g_keep", "r_keep", "e_keep")
+        .agg(count(lit(1)).as("n_docs"), min("doc_id").as("first_doc"))
+        .orderBy("g_keep", "r_keep", "e_keep")
+    }),
   )
 
   /** q141's corpus: the synthesized lines regrouped into 2-line paragraphs
@@ -3951,6 +4001,87 @@ object SparkEntry {
         |SELECT doc_id, raw != nfc AS changed,
         |  CAST(len(raw) AS BIGINT) AS len_raw, CAST(len(nfc) AS BIGINT) AS len_nfc
         |FROM n ORDER BY doc_id""".stripMargin,
+
+    "q150_char_entropy" ->
+      // same histogram fold over the doc's own char list; the bracket
+      // compares the 6-dp-rounded entropy (engine-reproducible boundary)
+      """WITH s AS (SELECT doc_id, string_split(text, '') AS cs FROM documents),
+        |e AS (SELECT doc_id, len(cs) AS n, list_distinct(cs) AS dc, cs FROM s),
+        |h AS (SELECT doc_id, CAST(n AS BIGINT) AS n_chars,
+        |  CAST(len(dc) AS BIGINT) AS n_distinct_chars,
+        |  round(-list_sum(list_transform(dc, c ->
+        |    (len(list_filter(cs, x -> x = c)) * 1.0 / n) *
+        |    ln(len(list_filter(cs, x -> x = c)) * 1.0 / n))), 6) AS entropy
+        |  FROM e)
+        |SELECT doc_id, n_chars, n_distinct_chars, entropy,
+        |  entropy >= 2.0 AND entropy <= 5.0 AS keep
+        |FROM h ORDER BY doc_id""".stripMargin,
+
+    "q151_soft_dedup" ->
+      // same seeded clones; the window keys on text where the operator
+      // keys on its fingerprint (q21/q127's green pairing)
+      """WITH c AS (SELECT doc_id, text FROM documents
+        |  UNION ALL SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 4 = 0),
+        |g AS (SELECT doc_id, count(*) OVER (PARTITION BY text) AS n,
+        |  row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn FROM c)
+        |SELECT doc_id, CAST(n AS BIGINT) AS n_copies,
+        |  round(1.0 / n, 6) AS sample_weight, rn = 1 AS is_canonical
+        |FROM g ORDER BY doc_id""".stripMargin,
+
+    "q152_card_pii" ->
+      // same seeded numbers; the Luhn mod-10 fold reproduced digit-for-
+      // digit (double every 2nd digit from the RIGHT, 2d>9 -> 2d-9)
+      """WITH c AS (SELECT doc_id, text ||
+        |  CASE WHEN doc_id % 6 = 0 THEN ' card 4532015112830366 on file'
+        |       WHEN doc_id % 6 = 3 THEN ' card 4532015112830367 on file'
+        |       ELSE '' END AS text FROM documents),
+        |x AS (SELECT doc_id, regexp_extract_all(text, '[0-9]{13,19}') AS cands FROM c),
+        |v AS (SELECT doc_id, CAST(len(cands) AS BIGINT) AS n_candidates,
+        |  CAST(len(list_filter(cands, s -> (list_sum(list_transform(range(1, len(s) + 1), i ->
+        |    CASE WHEN (len(s) - i) % 2 = 1 THEN
+        |      CASE WHEN 2 * CAST(s[i] AS INTEGER) > 9 THEN 2 * CAST(s[i] AS INTEGER) - 9
+        |           ELSE 2 * CAST(s[i] AS INTEGER) END
+        |    ELSE CAST(s[i] AS INTEGER) END))) % 10 = 0)) AS BIGINT) AS n_valid_cards
+        |  FROM x)
+        |SELECT doc_id, n_candidates, n_valid_cards, n_valid_cards > 0 AS has_card_pii
+        |FROM v ORDER BY doc_id""".stripMargin,
+
+    "q153_filter_matrix" ->
+      // gopher/repetition CTEs from q103's green oracle, entropy from
+      // q150's; the rollup groups the three rounded-boundary verdicts
+      s"""WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS tk,
+        |  string_split(text, chr(10)) AS ln FROM documents),
+        |gs AS (SELECT doc_id,
+        |  CAST(len(tk) AS BIGINT) AS n_words,
+        |  round(list_aggregate(list_transform(tk, x -> len(x)), 'sum') * 1.0 / len(tk), 6) AS mean_word_len,
+        |  round(len(list_filter(tk, x -> regexp_matches(x, '[A-Za-z]'))) * 1.0 / len(tk), 6) AS alpha_word_frac,
+        |  round((len(string_split(text, '#')) - 1 + len(string_split(text, '...')) - 1) * 1.0 / len(tk), 6) AS symbol_word_ratio,
+        |  round(len(list_filter(ln, x -> starts_with(x, '- ') OR starts_with(x, '* '))) * 1.0 / len(ln), 6) AS bullet_line_frac,
+        |  round(len(list_filter(ln, x -> ends_with(x, '...'))) * 1.0 / len(ln), 6) AS ellipsis_line_frac,
+        |  CAST(len(list_filter(tk, x -> x IN (${TextAnalysis.GopherStopwords.map(w => s"'$w'").mkString(",")}))) AS BIGINT) AS n_stopwords
+        |  FROM t),
+        |gq AS (SELECT doc_id, (n_words >= 50 AND n_words <= 100000 AND mean_word_len >= 3.0
+        |  AND mean_word_len <= 10.0 AND symbol_word_ratio <= 0.1 AND bullet_line_frac <= 0.9
+        |  AND ellipsis_line_frac <= 0.3 AND alpha_word_frac >= 0.8 AND n_stopwords >= 2) AS g_keep FROM gs),
+        |bg AS (SELECT doc_id, unnest(CASE WHEN len(tk) < 2 THEN CAST([] AS VARCHAR[])
+        |  ELSE list_transform(range(1, len(tk)), i -> tk[i] || ' ' || tk[i+1]) END) AS gram FROM t),
+        |cnt AS (SELECT doc_id, gram, count(*) AS c FROM bg GROUP BY 1, 2),
+        |top AS (SELECT doc_id, max(c) AS mc, sum(c) AS tot FROM cnt GROUP BY 1),
+        |rep AS (SELECT t.doc_id,
+        |  (round(1.0 - len(list_distinct(tk)) * 1.0 / len(tk), 6) <= 0.6
+        |   AND round(coalesce(mc * 1.0 / tot, 0.0), 6) <= 0.08) AS r_keep
+        |  FROM t LEFT JOIN top ON t.doc_id = top.doc_id),
+        |cs AS (SELECT doc_id, string_split(text, '') AS cs FROM documents),
+        |ee AS (SELECT doc_id, len(cs) AS n, list_distinct(cs) AS dc, cs FROM cs),
+        |ent AS (SELECT doc_id,
+        |  round(-list_sum(list_transform(dc, c ->
+        |    (len(list_filter(cs, x -> x = c)) * 1.0 / n) *
+        |    ln(len(list_filter(cs, x -> x = c)) * 1.0 / n))), 6) AS entropy FROM ee)
+        |SELECT g_keep, r_keep, entropy >= 2.0 AND entropy <= 5.0 AS e_keep,
+        |  count(*) AS n_docs, min(t.doc_id) AS first_doc
+        |FROM t JOIN gq ON t.doc_id = gq.doc_id JOIN rep ON t.doc_id = rep.doc_id
+        |JOIN ent ON t.doc_id = ent.doc_id
+        |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
 
     "q131_word_lm" ->
       // same fit-on-even-slice bigram/unigram tables; seen bigrams score

@@ -1091,6 +1091,35 @@ object Dedup {
     result
   }
 
+  /** SOFT dedup — the sampler-side alternative to hard removal
+    * (data-constrained training per Muennighoff et al. 2023: repeated
+    * data has diminishing but NONZERO value, so keep every copy and
+    * downweight instead of deleting): each document gets its exact-
+    * duplicate cluster size and `sample_weight = 1/n_copies`, making a
+    * weight-proportional sampler see every distinct text with equal
+    * total mass. `is_canonical` (min-id member) lets the same output
+    * drive hard dedup when the budget decision flips — one pass, both
+    * policies. Output: (id, n_copies, sample_weight, is_canonical).
+    *
+    * Scale shape: identical to [[dedupKeepFirst]] — ONE window exchange
+    * keyed on the text fingerprint carrying (id, hash); `wide = true`
+    * keys 128-bit ([[fingerprints]]' collision caveat; narrow int64 is
+    * oracle-parity only). */
+  def softDedupWeights(docs: DataFrame, idCol: String, textCol: String,
+                       wide: Boolean = false): DataFrame = {
+    graft.functions.GraftFunctions.registerAll(docs.sparkSession)
+    val fp = if (wide) wideFingerprint(col(textCol)) else expr(hashFrag(textCol))
+    val w = Window.partitionBy("_h")
+    val wo = w.orderBy(col(idCol).asc)
+    docs.withColumn("_h", fp)
+      .withColumn("n_copies", count(lit(1)).over(w).cast("long"))
+      .withColumn("sample_weight",
+        round(lit(1.0) / col("n_copies"), 6))
+      .withColumn("is_canonical", row_number().over(wo) === 1)
+      .select(col(idCol), col("n_copies"), col("sample_weight"),
+        col("is_canonical"))
+  }
+
   /** Winnowed document fingerprints (Schleimer–Wilkerson–Aiken 2003 — the
     * MOSS local-fingerprinting algorithm): hash every `k`-token gram
     * (poly-31, [[spanDupStats]]' hash), slide a `w`-hash window, and

@@ -963,6 +963,59 @@ object TextAnalysis {
           col("ascii_ratio") >= minAsciiRatio)
   }
 
+  /** Character-level Shannon entropy (nats) — the degenerate-text filter
+    * orthogonal to every other quality signal here: near-zero entropy is
+    * repeated-character junk (`aaaa…`, padding runs) that can sail
+    * through [[gopherQualityFlags]] word checks, while implausibly high
+    * entropy is random/encrypted/compressed bytes masquerading as text.
+    * `keep` brackets [minEntropy, maxEntropy] on the 6-dp-rounded value
+    * so the boundary is engine-reproducible. Output: (id, n_chars,
+    * n_distinct_chars, entropy, keep).
+    *
+    * Scale shape: one zero-shuffle codegen'd projection — the histogram
+    * folds over each document's own char array (O(distinct·len) per doc,
+    * distinct is alphabet-bounded); nothing leaves the scan until the
+    * final sort. */
+  def charEntropy(docs: DataFrame, idCol: String, textCol: String,
+                  minEntropy: Double = 2.0,
+                  maxEntropy: Double = 5.0): DataFrame = {
+    require(minEntropy <= maxEntropy,
+      s"entropy bracket inverted: [$minEntropy, $maxEntropy]")
+    // (?!$): no trailing empty element (see bpeEncodeStats)
+    val cs = split(col(textCol), "(?!$)")
+    val n = size(cs).cast("double")
+    def p(c: Column): Column = size(filter(cs, x => x === c)).cast("double") / n
+    val ent = round(-aggregate(array_distinct(cs), lit(0.0),
+      (acc, c) => acc + p(c) * log(p(c))), 6)
+    docs.select(col(idCol),
+        size(cs).cast("long").as("n_chars"),
+        size(array_distinct(cs)).cast("long").as("n_distinct_chars"),
+        ent.as("entropy"))
+      .withColumn("keep",
+        col("entropy") >= minEntropy && col("entropy") <= maxEntropy)
+  }
+
+  /** Payment-card PII detection with Luhn validation — the checksum tier
+    * above q52's pattern-only email/phone scrub: 13–19-digit runs are
+    * CANDIDATES, but only Luhn-valid ones count as card PII (a timestamp
+    * or order id fails the checksum 90% of the time, so validating slashes
+    * the false-positive rate that makes naive digit-run scrubbing eat
+    * invoice numbers). Uses Spark's codegen'd `luhn_check`; the DuckDB
+    * oracle reproduces the mod-10 fold digit-for-digit. Output: (id,
+    * n_candidates, n_valid_cards, has_card_pii) — feed `has_card_pii`
+    * rows to quarantine, the counts to the release datasheet.
+    *
+    * Scale shape: one zero-shuffle codegen'd projection (regexp extract +
+    * per-candidate checksum fold inside the scan). */
+  def cardNumberPii(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val cands = regexp_extract_all(col(textCol), lit("[0-9]{13,19}"), lit(0))
+    val valid = filter(cands, c => call_function("luhn_check", c))
+    docs.select(col(idCol),
+        size(cands).cast("long").as("n_candidates"),
+        size(valid).cast("long").as("n_valid_cards"))
+      .withColumn("has_card_pii", col("n_valid_cards") > 0)
+  }
+
   /** C4-style badword filter (Raffel et al. 2020 §2.2's
     * "List of Dirty, Naughty…" stage: drop any page containing a
     * blocklisted word): per-doc blocklisted-token count, fraction, and

@@ -300,6 +300,27 @@ class DedupSimilaritySpec extends SparkSuite {
     assert(wideOut === out)
   }
 
+  test("softDedupWeights: equal mass per distinct text, canonical = hard-dedup survivor") {
+    import graft.operators.Dedup
+    val docs = Seq(
+      (1L, "alpha"), (2L, "beta"), (3L, "alpha"), (4L, "alpha"), (5L, "beta"))
+      .toDF("doc_id", "text")
+    for (wide <- Seq(false, true)) {
+      val out = Dedup.softDedupWeights(docs, "doc_id", "text", wide)
+        .orderBy("doc_id").as[(Long, Long, Double, Boolean)].collect()
+      assert(out === Array(
+        (1L, 3L, 0.333333, true), (2L, 2L, 0.5, true), (3L, 3L, 0.333333, false),
+        (4L, 3L, 0.333333, false), (5L, 2L, 0.5, false)))
+      // weights sum to the distinct-text count (the equal-mass property,
+      // up to the 6-dp rounding of 1/3)
+      assert(math.abs(out.map(_._3).sum - 2.0) < 1e-5)
+      // canonicals are exactly dedupKeepFirst's survivors
+      assert(out.filter(_._4).map(_._1).toSet ===
+        Dedup.dedupKeepFirst(docs, Seq("text"), Seq("doc_id"))
+          .select("doc_id").as[Long].collect().toSet)
+    }
+  }
+
   test("winnowing: w+k-1 detection guarantee, sampled density, pair report") {
     import graft.operators.Dedup
     // docs 1/2 share EXACTLY a w+k-1 = 6-token run (k=3, w=4): the run

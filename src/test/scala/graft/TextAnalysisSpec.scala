@@ -283,6 +283,38 @@ class TextAnalysisSpec extends SparkSuite {
       TextAnalysis.bpeEncodeStats(docs, "doc_id", "text", Seq("(" -> "x")))
   }
 
+  test("charEntropy: degenerate text scores near zero, uniform text high") {
+    import graft.operators.TextAnalysis
+    val docs = Seq(
+      (1L, "aaaaaaaaaaaaaaaa"),       // single char: entropy exactly 0
+      (2L, "abababababababab"),       // two equiprobable chars: ln 2
+      (3L, "the quick brown fox jumps over the lazy dog")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.charEntropy(docs, "doc_id", "text")
+      .orderBy("doc_id").as[(Long, Long, Long, Double, Boolean)].collect()
+    assert(out(0) === ((1L, 16L, 1L, -0.0, false))) // -0.0 from the negated zero fold
+    assert(out(1)._4 === BigDecimal(math.log(2.0)).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    assert(!out(1)._5)                  // ln 2 = 0.693 < 2.0: junk
+    assert(out(2)._4 > 2.0 && out(2)._5) // real text clears the bracket
+    intercept[IllegalArgumentException](
+      TextAnalysis.charEntropy(docs, "doc_id", "text", minEntropy = 3, maxEntropy = 1))
+  }
+
+  test("cardNumberPii: Luhn separates valid cards from near-miss digit runs") {
+    import graft.operators.TextAnalysis
+    val docs = Seq(
+      (1L, "pay with 4532015112830366 today"),          // valid Visa test number
+      (2L, "order 4532015112830367 is an id"),          // off-by-one: candidate only
+      (3L, "short 123456789012 run"),                   // 12 digits: not a candidate
+      (4L, "two cards 4532015112830366 and 4532015112830367")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.cardNumberPii(docs, "doc_id", "text")
+      .orderBy("doc_id").as[(Long, Long, Long, Boolean)].collect()
+    assert(out === Array(
+      (1L, 1L, 1L, true), (2L, 1L, 0L, false),
+      (3L, 0L, 0L, false), (4L, 2L, 1L, true)))
+  }
+
   test("badwordFilter: whole-token case-insensitive hits, no Scunthorpe substring trap") {
     import graft.operators.TextAnalysis
     val docs = Seq(
