@@ -1948,7 +1948,46 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_docs"), min("doc_id").as("first_doc"))
         .orderBy("g_keep", "r_keep", "e_keep")
     }),
+
+    // SFT role-protocol validation: system-then-strict-user/assistant
+    // alternation, no empty turns. %11==0 convs are seeded assistant-
+    // first (protocol breach), %13==5 get an empty turn — both must
+    // fail their specific flag; one bad role corrupts loss masking.
+    "q154_chat_validate" -> ((s, dir) => {
+      Chat.validateTurns(synthesizeTurns(Tables.documents(s, dir)),
+          "conv_id", "turn_idx", "role", "content")
+        .orderBy("conv_id")
+    }),
+
+    // SFT flatten: role-tagged training text trimmed to the system turn
+    // + LAST 4 turns (the context-budget policy — recent turns carry the
+    // signal, the system prompt never drops).
+    "q155_chat_flatten" -> ((s, dir) => {
+      Chat.flattenChat(synthesizeTurns(Tables.documents(s, dir)),
+          "conv_id", "turn_idx", "role", "content", keepLastTurns = Some(4))
+        .orderBy("conv_id")
+    }),
   )
+
+  /** q154/q155 corpus: the synthesized lines become conversation turns —
+    * turn 0 is the system prompt, then user/assistant alternation.
+    * Seeded breaches: %11==0 convs invert the alternation (assistant
+    * first), %13==5 convs blank turn 1. */
+  private def synthesizeTurns(docs: DataFrame): DataFrame = {
+    val tk = TextAnalysis.tokens(col("text"))
+    val nChunks = ceil(size(tk).cast("double") / 8).cast("int")
+    val lineArr = transform(sequence(lit(0), nChunks - 1),
+      i => concat_ws(" ", slice(tk, i * 8 + 1, lit(8))))
+    docs.select(col("doc_id").as("conv_id"),
+        posexplode(lineArr).as(Seq("turn_idx", "content")))
+      .select(col("conv_id"), col("turn_idx").cast("long").as("turn_idx"),
+        when(col("turn_idx") === 0, lit("system"))
+          .otherwise(when(
+            (col("conv_id") % 11 === 0) === (col("turn_idx") % 2 === 1),
+            lit("assistant")).otherwise(lit("user"))).as("role"),
+        when(col("conv_id") % 13 === 5 && col("turn_idx") === 1, lit(""))
+          .otherwise(col("content")).as("content"))
+  }
 
   /** q141's corpus: the synthesized lines regrouped into 2-line paragraphs
     * joined by blank lines — the `\n` inside a paragraph vs `\n\n` between
@@ -2118,6 +2157,22 @@ object SparkEntry {
     * — seeded junk corpus, q87/q83/q99 feature fragments, Cramer's-rule OLS
     * on the even slice, 6-dp weights and scores. One definition so the fit
     * query and its evaluation query can never disagree on the model. */
+  /** q154/q155 shared fragment: [[synthesizeTurns]] mirrored — lines to
+    * turns, the %11 alternation breach, the %13 empty turn — ending in
+    * `g(conv_id, t)` with `t` the idx-ordered turn-struct list. */
+  private val dTurnSynth: String =
+    """t0 AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+      |t1 AS (SELECT doc_id, list_transform(range(0, CAST(ceil(len(tk) / 8.0) AS BIGINT)),
+      |    i -> array_to_string(tk[i*8+1 : i*8+8], ' ')) AS ln FROM t0),
+      |tr AS (SELECT doc_id AS conv_id, CAST(i - 1 AS BIGINT) AS turn_idx,
+      |  CASE WHEN i = 1 THEN 'system'
+      |       WHEN (doc_id % 11 = 0) = ((i - 1) % 2 = 1) THEN 'assistant'
+      |       ELSE 'user' END AS role,
+      |  CASE WHEN doc_id % 13 = 5 AND i = 2 THEN '' ELSE ln[i] END AS content
+      |  FROM t1, unnest(range(1, len(ln) + 1)) AS r(i)),
+      |g AS (SELECT conv_id, list({'i': turn_idx, 'r': role, 'x': content} ORDER BY turn_idx) AS t
+      |  FROM tr GROUP BY conv_id)""".stripMargin
+
   /** q123/q143 shared fragment: the synthesized crawl URL ([[crawlUrl]]
     * term-for-term) plus the canonicalization chain, ending in
     * `s5(doc_id, url_canon)` — [[TextAnalysis.canonicalizeUrl]]'s rules
@@ -4082,6 +4137,38 @@ object SparkEntry {
         |FROM t JOIN gq ON t.doc_id = gq.doc_id JOIN rep ON t.doc_id = rep.doc_id
         |JOIN ent ON t.doc_id = ent.doc_id
         |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+
+    "q154_chat_validate" ->
+      // dTurnSynth's ordered turn lists; alternation checks the post-
+      // system suffix against the strict user/assistant pattern
+      s"""WITH $dTurnSynth,
+         |v AS (SELECT conv_id, t, CAST(len(t) AS BIGINT) AS n_turns,
+         |  t[1].r IN ('system', 'user') AS starts_ok,
+         |  CASE WHEN t[1].r = 'system' THEN t[2:len(t)] ELSE t END AS rest FROM g),
+         |w AS (SELECT conv_id, n_turns, starts_ok,
+         |  CASE WHEN len(rest) = 0 THEN false
+         |       ELSE len(list_filter(range(1, len(rest) + 1),
+         |    i -> rest[i].r != CASE WHEN (i - 1) % 2 = 0 THEN 'user' ELSE 'assistant' END)) = 0 END AS alternates_ok,
+         |  len(list_filter(t, s -> len(s.x) = 0)) = 0 AS no_empty FROM v)
+         |SELECT conv_id, n_turns, starts_ok, alternates_ok, no_empty,
+         |  starts_ok AND alternates_ok AND no_empty AS valid
+         |FROM w ORDER BY conv_id""".stripMargin,
+
+    "q155_chat_flatten" ->
+      // same lists; keep = system turn + last 4 of the rest, then the
+      // <|role|>content join with chr(10)
+      s"""WITH $dTurnSynth,
+         |f AS (SELECT conv_id, t,
+         |  CASE WHEN t[1].r = 'system' THEN t[1:1] ELSE t[1:0] END AS sys,
+         |  CASE WHEN t[1].r = 'system' THEN t[2:len(t)] ELSE t END AS rest FROM g),
+         |k AS (SELECT conv_id, CAST(len(t) AS BIGINT) AS n_turns,
+         |  list_concat(sys, CASE WHEN len(rest) <= 4 THEN rest
+         |    ELSE rest[len(rest)-3 : len(rest)] END) AS kept FROM f),
+         |o AS (SELECT conv_id, n_turns, kept,
+         |  array_to_string(list_transform(kept, s -> '<|' || s.r || '|>' || s.x), chr(10)) AS fl FROM k)
+         |SELECT conv_id, n_turns, CAST(len(kept) AS BIGINT) AS n_turns_kept,
+         |  CAST(len(fl) AS BIGINT) AS n_chars, fl AS text
+         |FROM o ORDER BY conv_id""".stripMargin,
 
     "q131_word_lm" ->
       // same fit-on-even-slice bigram/unigram tables; seen bigrams score
