@@ -1967,6 +1967,15 @@ object SparkEntry {
           "conv_id", "turn_idx", "role", "content", keepLastTurns = Some(4))
         .orderBy("conv_id")
     }),
+
+    // SFT loss masks: [start, end) char spans of every assistant turn in
+    // q155's flattened text — what the loss actually trains on. Same
+    // keepLastTurns=4 policy; ChatSpec pins substring identity.
+    "q156_chat_spans" -> ((s, dir) => {
+      Chat.assistantSpans(synthesizeTurns(Tables.documents(s, dir)),
+          "conv_id", "turn_idx", "role", "content", keepLastTurns = Some(4))
+        .orderBy("conv_id", "span_idx")
+    }),
   )
 
   /** q154/q155 corpus: the synthesized lines become conversation turns —
@@ -4169,6 +4178,30 @@ object SparkEntry {
          |SELECT conv_id, n_turns, CAST(len(kept) AS BIGINT) AS n_turns_kept,
          |  CAST(len(fl) AS BIGINT) AS n_chars, fl AS text
          |FROM o ORDER BY conv_id""".stripMargin,
+
+    "q156_chat_spans" ->
+      // q155's kept list; per-turn offset = closed-form prefix sum of
+      // len('<|') + role + '|>' + content + the chr(10) separator (+5/+4)
+      s"""WITH $dTurnSynth,
+         |f AS (SELECT conv_id, t,
+         |  CASE WHEN t[1].r = 'system' THEN t[1:1] ELSE t[1:0] END AS sys,
+         |  CASE WHEN t[1].r = 'system' THEN t[2:len(t)] ELSE t END AS rest FROM g),
+         |k AS (SELECT conv_id, list_concat(sys, CASE WHEN len(rest) <= 4 THEN rest
+         |    ELSE rest[len(rest)-3 : len(rest)] END) AS kept FROM f),
+         |sp AS (SELECT conv_id, j,
+         |  coalesce(list_sum(list_transform(range(1, j), i ->
+         |    len(kept[i].r) + len(kept[i].x) + 5)), 0) AS off,
+         |  kept[j].r AS role, len(kept[j].r) AS rl, len(kept[j].x) AS xl
+         |  FROM k, unnest(range(1, len(kept) + 1)) AS u(j)),
+         |a AS (SELECT conv_id, off + 2 + rl + 2 AS start_char,
+         |  off + rl + xl + 4 AS end_char,
+         |  row_number() OVER (PARTITION BY conv_id ORDER BY j) AS span_idx
+         |  FROM sp WHERE role = 'assistant')
+         |SELECT conv_id, CAST(span_idx AS BIGINT) AS span_idx,
+         |  CAST(start_char AS BIGINT) AS start_char,
+         |  CAST(end_char AS BIGINT) AS end_char,
+         |  CAST(end_char - start_char AS BIGINT) AS n_label_chars
+         |FROM a ORDER BY conv_id, span_idx""".stripMargin,
 
     "q131_word_lm" ->
       // same fit-on-even-slice bigram/unigram tables; seen bigrams score

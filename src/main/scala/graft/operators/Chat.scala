@@ -102,4 +102,58 @@ object Chat {
         length(flat).cast("long").as("n_chars"),
         flat.as("text"))
   }
+
+  /** Assistant-span loss masks over [[flattenChat]]'s text: the
+    * character offsets `[start_char, end_char)` of every ASSISTANT
+    * turn's content in the flattened string — exactly the spans an SFT
+    * loss trains on (everything else is masked). Same `keepLastTurns`
+    * policy as the flatten; the two operators MUST be called with the
+    * same value or the offsets point into a different string. Offsets
+    * are 0-based char positions; each kept turn contributes
+    * `len("<|") + len(role) + len("|>") + len(content)` plus one
+    * separator `\n`. Output: one row per assistant span —
+    * (conv_id, span_idx, start_char, end_char, n_label_chars).
+    *
+    * Scale shape: the same one conversation-keyed aggregate; offsets
+    * come from a closed-form prefix sum over the kept-turn array
+    * (O(turns²) array work per conversation — turn counts are small by
+    * construction), then one explode of the span list. */
+  def assistantSpans(turns: DataFrame, convCol: String, idxCol: String,
+                     roleCol: String, textCol: String,
+                     keepLastTurns: Option[Int] = None): DataFrame = {
+    keepLastTurns.foreach(k =>
+      require(k >= 1, s"keepLastTurns must be >= 1, got $k"))
+    val t = col("_t")
+    val hasSys = element_at(t, 1).getField("r") === RoleSystem
+    val rest = when(hasSys, slice(t, lit(2), greatest(size(t) - 1, lit(0))))
+      .otherwise(t)
+    val kept = keepLastTurns match {
+      case None => t
+      case Some(k) =>
+        concat(when(hasSys, slice(t, 1, 1)).otherwise(slice(t, 1, 0)),
+          when(size(rest) <= k, rest)
+            .otherwise(slice(rest, size(rest) - k + 1, lit(k))))
+    }
+    def turnLen(x: Column): Column =
+      length(x.getField("r")) + length(x.getField("x")) + lit(4)
+    val spans = filter(
+      transform(sequence(lit(1), size(kept)), j => {
+        val turn = element_at(kept, j)
+        val off = coalesce(
+          aggregate(slice(kept, lit(1), j - 1), lit(0),
+            (acc, x) => acc + turnLen(x) + 1), lit(0))
+        struct(turn.getField("r").as("role"),
+          (off + lit(2) + length(turn.getField("r")) + lit(2)).as("s"),
+          (off + turnLen(turn)).as("e"))
+      }),
+      sp => sp.getField("role") === RoleAssistant)
+    turns.groupBy(col(convCol).as("conv_id"))
+      .agg(turnsAgg(idxCol, roleCol, textCol).as("_t"))
+      .select(col("conv_id"), posexplode(spans).as(Seq("span_idx", "_sp")))
+      .select(col("conv_id"),
+        (col("span_idx") + 1).cast("long").as("span_idx"),
+        col("_sp.s").cast("long").as("start_char"),
+        col("_sp.e").cast("long").as("end_char"))
+      .withColumn("n_label_chars", col("end_char") - col("start_char"))
+  }
 }

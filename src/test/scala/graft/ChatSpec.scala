@@ -60,4 +60,34 @@ class ChatSpec extends SparkSuite {
     intercept[IllegalArgumentException](Chat.flattenChat(
       long, "conv_id", "turn_idx", "role", "content", Some(0)))
   }
+
+  test("assistantSpans: every span substrings to exactly its assistant content") {
+    val long = Seq(
+      (9L, 0L, "system", "sys"), (9L, 1L, "user", "u1"), (9L, 2L, "assistant", "a1"),
+      (9L, 3L, "user", "uu2"), (9L, 4L, "assistant", "answer two"),
+      (9L, 5L, "user", "u3"), (9L, 6L, "assistant", "a3"),
+      (2L, 0L, "user", "q"), (2L, 1L, "assistant", "the reply")
+    ).toDF("conv_id", "turn_idx", "role", "content")
+    for (keep <- Seq(None, Some(4))) {
+      val flat = Chat.flattenChat(long, "conv_id", "turn_idx", "role", "content", keep)
+        .select("conv_id", "text").as[(Long, String)].collect().toMap
+      val spans = Chat.assistantSpans(long, "conv_id", "turn_idx", "role", "content", keep)
+        .as[(Long, Long, Long, Long, Long)].collect()
+      assert(spans.nonEmpty)
+      spans.foreach { case (cid, _, s, e, n) =>
+        val sub = flat(cid).substring(s.toInt, e.toInt)
+        assert(n === e - s)
+        // the masked region is exactly one assistant content: preceded by
+        // the assistant tag, ending at a separator or end-of-text
+        assert(flat(cid).substring(0, s.toInt).endsWith("<|assistant|>"),
+          s"span [$s,$e) of conv $cid not tag-aligned")
+        assert(e.toInt == flat(cid).length || flat(cid).charAt(e.toInt) == '\n')
+        assert(!sub.contains("<|"), s"span leaked a tag: '$sub'")
+      }
+    }
+    // trimmed conv 9 keeps spans for a2/a3 only (a1 dropped with its turn)
+    val trimmed = Chat.assistantSpans(long, "conv_id", "turn_idx", "role",
+      "content", Some(4)).where(col("conv_id") === 9)
+    assert(trimmed.count() === 2)
+  }
 }
