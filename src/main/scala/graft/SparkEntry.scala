@@ -1976,6 +1976,35 @@ object SparkEntry {
           "conv_id", "turn_idx", "role", "content", keepLastTurns = Some(4))
         .orderBy("conv_id", "span_idx")
     }),
+
+    // ICT retrieval pairs (ORQA recipe): a hash-seeded line becomes the
+    // pseudo-query, the remaining lines its positive context — the self-
+    // supervised pair generator dense retrievers pretrain on. Runs over
+    // the line-synthesized corpus; deterministic at seed 77.
+    "q157_ict_pairs" -> ((s, dir) => {
+      TextAnalysis.ictPairs(
+          synthesizeLines(Tables.documents(s, dir), withPunct = false),
+          "doc_id", "text", seed = 77L)
+        .orderBy("doc_id")
+    }),
+
+    // Probe calibration curve (q137's other half: AUC says the scorer
+    // RANKS; calibration says the scores MEAN something): equal-width
+    // clamped-score deciles vs observed clean rate on the held-out slice.
+    "q158_probe_calibration" -> ((s, dir) => {
+      val heldOut = probeScored(s, dir)
+        .where(col("doc_id") % 2 === 1)
+        .withColumn("label",
+          when(col("doc_id") >= 2000000L, 0.0).otherwise(1.0))
+      heldOut.withColumn("bucket",
+          floor(least(greatest(col("score"), lit(0.0)), lit(0.999999)) * 10)
+            .cast("long"))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n_docs"),
+          round(avg("score"), 6).as("mean_score"),
+          round(avg("label"), 6).as("clean_rate"))
+        .orderBy("bucket")
+    }),
   )
 
   /** q154/q155 corpus: the synthesized lines become conversation turns —
@@ -4202,6 +4231,31 @@ object SparkEntry {
          |  CAST(end_char AS BIGINT) AS end_char,
          |  CAST(end_char - start_char AS BIGINT) AS n_label_chars
          |FROM a ORDER BY conv_id, span_idx""".stripMargin,
+
+    "q157_ict_pairs" ->
+      // dLineSynth's lines; the query line is dmix('77:'||id) % n_lines
+      // (mixHash's mirror), context = the other lines in order
+      s"""WITH ${dLineSynth(withPunct = false)},
+         |p AS (SELECT doc_id, ln,
+         |  (${dmix("'77:' || CAST(doc_id AS VARCHAR)")}) % len(ln) AS qi
+         |  FROM t1 WHERE len(ln) >= 2)
+         |SELECT doc_id, CAST(qi AS BIGINT) AS query_line_idx, ln[qi + 1] AS query,
+         |  array_to_string(list_transform(list_filter(range(1, len(ln) + 1),
+         |    i -> i != qi + 1), i -> ln[i]), chr(10)) AS context
+         |FROM p ORDER BY doc_id""".stripMargin,
+
+    "q158_probe_calibration" ->
+      // q130/q137's shared scored CTE; clamped-score deciles vs the
+      // observed clean rate on the odd-id held-out slice
+      s"""WITH $dProbeScored,
+         |e AS (SELECT doc_id, score,
+         |  CASE WHEN doc_id >= 2000000 THEN 0.0 ELSE 1.0 END AS label
+         |  FROM sc WHERE doc_id % 2 = 1),
+         |b AS (SELECT CAST(floor(least(greatest(score, 0), 0.999999) * 10) AS BIGINT) AS bucket,
+         |  score, label FROM e)
+         |SELECT bucket, count(*) AS n_docs, round(avg(score), 6) AS mean_score,
+         |  round(avg(label), 6) AS clean_rate
+         |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin,
 
     "q131_word_lm" ->
       // same fit-on-even-slice bigram/unigram tables; seen bigrams score

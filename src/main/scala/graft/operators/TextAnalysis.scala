@@ -995,6 +995,32 @@ object TextAnalysis {
         col("entropy") >= minEntropy && col("entropy") <= maxEntropy)
   }
 
+  /** Inverse-Cloze-Task pair generation (Lee et al. 2019, ORQA — the
+    * standard self-supervised retrieval-training recipe): from each
+    * multi-line document, extract ONE hash-seeded line as the pseudo-
+    * query and keep the remaining lines in order as its positive
+    * context. Deterministic: the same (corpus, seed) regenerates the
+    * identical pair set across engines/runs — [[Stats.mixHash]] picks
+    * the line, so no RNG state exists at all. Documents with fewer than
+    * 2 lines can't form a pair and drop out. Output: (id,
+    * query_line_idx, query, context).
+    *
+    * Scale shape: one zero-shuffle codegen'd projection (split, one hash,
+    * index-filtered rejoin) — pairs materialize at scan speed. */
+  def ictPairs(docs: DataFrame, idCol: String, textCol: String,
+               seed: Long): DataFrame = {
+    val lines = split(col(textCol), "\n", -1)
+    val qidx = Stats.mixHash(
+      concat(lit(s"$seed:"), col(idCol).cast("string"))) % size(lines)
+    docs.select(col(idCol), lines.as("_ln"), qidx.as("_qi"))
+      .where(size(col("_ln")) >= 2)
+      .select(col(idCol),
+        col("_qi").cast("long").as("query_line_idx"),
+        element_at(col("_ln"), col("_qi").cast("int") + 1).as("query"),
+        array_join(filter(col("_ln"),
+          (x, i) => i =!= col("_qi").cast("int")), "\n").as("context"))
+  }
+
   /** Payment-card PII detection with Luhn validation — the checksum tier
     * above q52's pattern-only email/phone scrub: 13–19-digit runs are
     * CANDIDATES, but only Luhn-valid ones count as card PII (a timestamp

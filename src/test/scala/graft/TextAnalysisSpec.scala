@@ -283,6 +283,29 @@ class TextAnalysisSpec extends SparkSuite {
       TextAnalysis.bpeEncodeStats(docs, "doc_id", "text", Seq("(" -> "x")))
   }
 
+  test("ictPairs: seeded line extraction reconstructs the doc; single-line docs drop") {
+    import graft.operators.TextAnalysis
+    val docs = Seq(
+      (1L, "line a\nline b\nline c\nline d"),
+      (2L, "only one line"),
+      (3L, "x\ny")).toDF("doc_id", "text")
+    val out = TextAnalysis.ictPairs(docs, "doc_id", "text", seed = 7L)
+      .orderBy("doc_id").as[(Long, Long, String, String)].collect()
+    assert(out.map(_._1) === Array(1L, 3L)) // doc 2 can't form a pair
+    // splice the query back at its index -> the original line sequence
+    out.foreach { case (id, qi, q, ctx) =>
+      val orig = docs.where(col("doc_id") === id)
+        .select("text").as[String].head().split("\n", -1)
+      val rebuilt = ctx.split("\n", -1).toBuffer
+      rebuilt.insert(qi.toInt, q)
+      assert(rebuilt.toArray === orig, s"doc $id does not reconstruct")
+    }
+    // deterministic across runs; a different seed picks different lines
+    val again = TextAnalysis.ictPairs(docs, "doc_id", "text", 7L)
+      .orderBy("doc_id").as[(Long, Long, String, String)].collect()
+    assert(again === out)
+  }
+
   test("charEntropy: degenerate text scores near zero, uniform text high") {
     import graft.operators.TextAnalysis
     val docs = Seq(
