@@ -4102,9 +4102,9 @@ object SparkEntry {
         |e AS (SELECT doc_id, len(cs) AS n, list_distinct(cs) AS dc, cs FROM s),
         |h AS (SELECT doc_id, CAST(n AS BIGINT) AS n_chars,
         |  CAST(len(dc) AS BIGINT) AS n_distinct_chars,
-        |  round(-list_sum(list_transform(dc, c ->
-        |    (len(list_filter(cs, x -> x = c)) * 1.0 / n) *
-        |    ln(len(list_filter(cs, x -> x = c)) * 1.0 / n))), 6) AS entropy
+        |  round(ln(n) - list_sum(list_transform(dc, c ->
+        |    len(list_filter(cs, x -> x = c)) *
+        |    ln(len(list_filter(cs, x -> x = c))))) / n, 6) AS entropy
         |  FROM e)
         |SELECT doc_id, n_chars, n_distinct_chars, entropy,
         |  entropy >= 2.0 AND entropy <= 5.0 AS keep
@@ -4167,9 +4167,9 @@ object SparkEntry {
         |cs AS (SELECT doc_id, string_split(text, '') AS cs FROM documents),
         |ee AS (SELECT doc_id, len(cs) AS n, list_distinct(cs) AS dc, cs FROM cs),
         |ent AS (SELECT doc_id,
-        |  round(-list_sum(list_transform(dc, c ->
-        |    (len(list_filter(cs, x -> x = c)) * 1.0 / n) *
-        |    ln(len(list_filter(cs, x -> x = c)) * 1.0 / n))), 6) AS entropy FROM ee)
+        |  round(ln(n) - list_sum(list_transform(dc, c ->
+        |    len(list_filter(cs, x -> x = c)) *
+        |    ln(len(list_filter(cs, x -> x = c))))) / n, 6) AS entropy FROM ee)
         |SELECT g_keep, r_keep, entropy >= 2.0 AND entropy <= 5.0 AS e_keep,
         |  count(*) AS n_docs, min(t.doc_id) AS first_doc
         |FROM t JOIN gq ON t.doc_id = gq.doc_id JOIN rep ON t.doc_id = rep.doc_id

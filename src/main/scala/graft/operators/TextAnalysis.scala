@@ -984,13 +984,30 @@ object TextAnalysis {
     // (?!$): no trailing empty element (see bpeEncodeStats)
     val cs = split(col(textCol), "(?!$)")
     val n = size(cs).cast("double")
-    def p(c: Column): Column = size(filter(cs, x => x === c)).cast("double") / n
-    val ent = round(-aggregate(array_distinct(cs), lit(0.0),
-      (acc, c) => acc + p(c) * log(p(c))), 6)
+    // Sort once, fold run lengths once: H = ln n − (Σ_c cnt_c ln cnt_c)/n.
+    // A per-distinct-char filter scan would be O(distinct·len) per doc —
+    // measured 28 s for the corpus at sf0.1 vs ~1 s for this fold.
+    def cntTerm(r: Column): Column =
+      when(r > 0, r.cast("double") * log(r.cast("double"))).otherwise(lit(0.0))
+    val st = aggregate(array_sort(cs),
+      struct(lit("").as("p"), lit(0L).as("r"), lit(0.0).as("s"), lit(0L).as("d")),
+      (acc, c) => {
+        val (p0, r0, s0, d0) = (acc.getField("p"), acc.getField("r"),
+          acc.getField("s"), acc.getField("d"))
+        when(c === p0,
+          struct(p0.as("p"), (r0 + 1).as("r"), s0.as("s"), d0.as("d")))
+          .otherwise(struct(c.as("p"), lit(1L).as("r"),
+            (s0 + cntTerm(r0)).as("s"), (d0 + 1).as("d")))
+      },
+      acc => struct((acc.getField("s") + cntTerm(acc.getField("r"))).as("s"),
+        acc.getField("d").as("d")))
     docs.select(col(idCol),
         size(cs).cast("long").as("n_chars"),
-        size(array_distinct(cs)).cast("long").as("n_distinct_chars"),
-        ent.as("entropy"))
+        st.as("_st"))
+      .select(col(idCol), col("n_chars"),
+        col("_st.d").as("n_distinct_chars"),
+        round(log(col("n_chars").cast("double")) -
+          col("_st.s") / col("n_chars").cast("double"), 6).as("entropy"))
       .withColumn("keep",
         col("entropy") >= minEntropy && col("entropy") <= maxEntropy)
   }

@@ -315,7 +315,7 @@ class TextAnalysisSpec extends SparkSuite {
     ).toDF("doc_id", "text")
     val out = TextAnalysis.charEntropy(docs, "doc_id", "text")
       .orderBy("doc_id").as[(Long, Long, Long, Double, Boolean)].collect()
-    assert(out(0) === ((1L, 16L, 1L, -0.0, false))) // -0.0 from the negated zero fold
+    assert(out(0) === ((1L, 16L, 1L, 0.0, false))) // ln n - n ln n / n = exactly 0
     assert(out(1)._4 === BigDecimal(math.log(2.0)).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
     assert(!out(1)._5)                  // ln 2 = 0.693 < 2.0: junk
     assert(out(2)._4 > 2.0 && out(2)._5) // real text clears the bracket
