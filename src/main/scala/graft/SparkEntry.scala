@@ -2005,6 +2005,20 @@ object SparkEntry {
           round(avg("label"), 6).as("clean_rate"))
         .orderBy("bucket")
     }),
+
+    // RLHF preference-pair audit: chosen = the doc, rejected = its
+    // truncated-and-spammed variant; %17==0 pairs are seeded IDENTICAL
+    // (zero-gradient, must be unusable). chosen_longer rate exposes the
+    // verbosity bias a reward model would learn instead of quality.
+    "q159_pref_audit" -> ((s, dir) => {
+      val pairs = Tables.documents(s, dir).select(col("doc_id"),
+        col("text").as("chosen"),
+        when(col("doc_id") % 17 === 0, col("text"))
+          .otherwise(concat(substring(col("text"), 1, 60),
+            lit(" buy cheap pills now"))).as("rejected"))
+      Chat.preferenceAudit(pairs, "doc_id", "chosen", "rejected")
+        .orderBy("doc_id")
+    }),
   )
 
   /** q154/q155 corpus: the synthesized lines become conversation turns —
@@ -4256,6 +4270,24 @@ object SparkEntry {
          |SELECT bucket, count(*) AS n_docs, round(avg(score), 6) AS mean_score,
          |  round(avg(label), 6) AS clean_rate
          |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin,
+
+    "q159_pref_audit" ->
+      // same seeded rejected variants; token counts mirror string_split
+      """WITH p AS (SELECT doc_id, text AS chosen,
+        |  CASE WHEN doc_id % 17 = 0 THEN text
+        |       ELSE substr(text, 1, 60) || ' buy cheap pills now' END AS rejected
+        |  FROM documents),
+        |s AS (SELECT doc_id,
+        |  CAST(len(string_split(chosen, ' ')) AS BIGINT) AS n_tokens_chosen,
+        |  CAST(len(string_split(rejected, ' ')) AS BIGINT) AS n_tokens_rejected,
+        |  chosen = rejected AS identical,
+        |  len(chosen) > 0 AND len(rejected) > 0 AS nonempty
+        |  FROM p)
+        |SELECT doc_id, n_tokens_chosen, n_tokens_rejected,
+        |  round(n_tokens_chosen * 1.0 / n_tokens_rejected, 6) AS len_ratio,
+        |  identical, n_tokens_chosen > n_tokens_rejected AS chosen_longer,
+        |  NOT identical AND nonempty AS usable
+        |FROM s ORDER BY doc_id""".stripMargin,
 
     "q131_word_lm" ->
       // same fit-on-even-slice bigram/unigram tables; seen bigrams score

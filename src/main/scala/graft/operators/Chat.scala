@@ -156,4 +156,30 @@ object Chat {
         col("_sp.e").cast("long").as("end_char"))
       .withColumn("n_label_chars", col("end_char") - col("start_char"))
   }
+
+  /** Preference-pair audit — RLHF/DPO data QA: per (prompt, chosen,
+    * rejected) pair, the degeneracy and length-bias signals that corrupt
+    * a reward model before it trains: `identical` (chosen == rejected —
+    * a zero-gradient pair), `chosen_longer` and the token-length ratio
+    * (a corpus where chosen is SYSTEMATICALLY longer teaches the reward
+    * model length, not quality — the classic verbosity bias; audit the
+    * `chosen_longer` rate per source before training), and empty-side
+    * flags. `usable` gates out degenerate pairs. Output: (id,
+    * n_tokens_chosen, n_tokens_rejected, len_ratio, identical,
+    * chosen_longer, usable).
+    *
+    * Scale shape: one zero-shuffle codegen'd projection. */
+  def preferenceAudit(pairs: DataFrame, idCol: String,
+                      chosenCol: String, rejectedCol: String): DataFrame = {
+    val nc = size(TextAnalysis.tokens(col(chosenCol))).cast("long")
+    val nr = size(TextAnalysis.tokens(col(rejectedCol))).cast("long")
+    pairs.select(col(idCol),
+        nc.as("n_tokens_chosen"), nr.as("n_tokens_rejected"),
+        round(nc.cast("double") / nr.cast("double"), 6).as("len_ratio"),
+        (col(chosenCol) === col(rejectedCol)).as("identical"),
+        (nc > nr).as("chosen_longer"),
+        (col(chosenCol) =!= col(rejectedCol) &&
+          length(col(chosenCol)) > 0 && length(col(rejectedCol)) > 0)
+          .as("usable"))
+  }
 }

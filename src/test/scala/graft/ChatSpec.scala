@@ -90,4 +90,22 @@ class ChatSpec extends SparkSuite {
       "content", Some(4)).where(col("conv_id") === 9)
     assert(trimmed.count() === 2)
   }
+
+  test("preferenceAudit flags degenerate pairs and the verbosity bias") {
+    val pairs = Seq(
+      (1L, "a good long detailed answer", "short one"),  // chosen longer, usable
+      (2L, "same text", "same text"),                    // identical -> unusable
+      (3L, "brief", "a longer rejected answer here"),    // chosen shorter
+      (4L, "has content", "")                            // empty rejected -> unusable
+    ).toDF("doc_id", "chosen", "rejected")
+    val out = Chat.preferenceAudit(pairs, "doc_id", "chosen", "rejected")
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, Double, Boolean, Boolean, Boolean)].collect()
+    assert(out(0) === ((1L, 5L, 2L, 2.5, false, true, true)))
+    assert(out(1)._5 && !out(1)._7)             // identical, unusable
+    assert(!out(2)._6 && out(2)._7)             // chosen shorter, still usable
+    assert(!out(3)._7)                          // empty side, unusable
+    // the corpus-level bias rate this audit exists for
+    assert(out.count(r => r._7 && r._6) === 1)
+  }
 }
