@@ -2044,7 +2044,7 @@ object SparkEntry {
   /** q141's corpus: the synthesized lines regrouped into 2-line paragraphs
     * joined by blank lines — the `\n` inside a paragraph vs `\n\n` between
     * paragraphs distinction [[Dedup.paragraphScrub]]'s split must respect. */
-  private def synthesizeParagraphs(docs: DataFrame): DataFrame = {
+  private[graft] def synthesizeParagraphs(docs: DataFrame): DataFrame = {
     val tk = TextAnalysis.tokens(col("text"))
     val nChunks = ceil(size(tk).cast("double") / 8).cast("int")
     val lineArr = transform(sequence(lit(0), nChunks - 1),

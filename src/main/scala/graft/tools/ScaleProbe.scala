@@ -10,7 +10,7 @@ import org.apache.spark.sql.functions._
   * stages-cost-compute-not-shuffles claim (dev aid; measured numbers
   * land in BASELINE.md). Args select sections: `fill`, `skew`, `bucket`,
   * `funnel`, `pq`, `spanscrub`, `fuzzydedup`, `cleanscrub`, `packbudget`, `simhashband`,
-  * `wordlm`, `bloomdedup`, `legacy` (no args = all). */
+  * `wordlm`, `bloomdedup`, `winnow`, `legacy` (no args = all). */
 object ScaleProbe {
   def main(args: Array[String]): Unit = {
     val sections: String => Boolean =
@@ -431,6 +431,39 @@ object ScaleProbe {
           fitPred = col("doc_id") % 2 === 0)
       time2("wordBigramLogProb  1x")(noop(lm(raw)))
       time2("wordBigramLogProb 16x")(noop(lm(big)))
+    }
+
+    // Winnowing + paragraph scrub growth on an id-salted 16x corpus
+    // blowup: winnowing's selection is per-doc array work (should track
+    // the scan ~linearly); the pair join grows with real matches (copies
+    // pair with copies — quadratic in the COPY factor by construction,
+    // which is the measured, documented behavior, not a plan defect).
+    // paragraphScrub should track spanScrub's measured growth (same body).
+    if (sections("winnow")) {
+      import graft.operators.Dedup
+      val docs = Tables.documents(spark, "/root/testdata/sf0.1")
+      val bigPath = "/tmp/graft_probe_winnow16"
+      time("write 16x doc copies")(
+        (0 until 16).map(i => docs.select(
+          (col("doc_id") + lit(i.toLong * 100000000L)).as("doc_id"), col("text")))
+          .reduce(_ union _).write.mode("overwrite").parquet(bigPath))
+      val big = spark.read.parquet(bigPath)
+      def time2(name: String)(f: => Unit): Unit = {
+        val ts = (1 to 2).map { _ =>
+          val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+        }
+        println(f"[probe] $name%-34s ${ts.min}%.2f s (min of 2)")
+      }
+      time2("winnowedFingerprints  1x")(
+        noop(Dedup.winnowedFingerprints(docs, "doc_id", "text")))
+      time2("winnowedFingerprints 16x")(
+        noop(Dedup.winnowedFingerprints(big, "doc_id", "text")))
+      val pared1 = graft.SparkEntry.synthesizeParagraphs(docs)
+      val pared16 = graft.SparkEntry.synthesizeParagraphs(big)
+      time2("paragraphScrub  1x")(
+        noop(Dedup.paragraphScrub(pared1, "doc_id", "text")))
+      time2("paragraphScrub 16x")(
+        noop(Dedup.paragraphScrub(pared16, "doc_id", "text")))
     }
 
     // Bloom-split incremental dedup: a 2M-fingerprint index vs a 2M-doc
