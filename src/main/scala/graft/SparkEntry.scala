@@ -2019,6 +2019,29 @@ object SparkEntry {
       Chat.preferenceAudit(pairs, "doc_id", "chosen", "rejected")
         .orderBy("doc_id")
     }),
+
+    // Matryoshka truncation recall: top-5 overlap between the full 64-d
+    // index and a 16-d prefix index (4x smaller) — the keep-or-re-embed
+    // decision metric. q27's probe set.
+    "q160_mrl_recall" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Similarity.truncatedRecall(emb, emb.where(col("vec_id") < 10),
+          k = 5, dims = 16)
+        .orderBy("probe_id")
+    }),
+
+    // Reciprocal-rank fusion of the full-width brute arm and the cheap
+    // 16-d truncated arm — rank-only ensembling, no score calibration.
+    "q161_rrf_fuse" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val probes = emb.where(col("vec_id") < 10)
+      val full = Similarity.bruteForceTopK(emb, probes, 5)
+      val sliced = (df: DataFrame) =>
+        df.withColumn("embedding", slice(col("embedding"), 1, 16))
+      val cheap = Similarity.bruteForceTopK(sliced(emb), sliced(probes), 5)
+      Similarity.rrfFuse(full, cheap, k = 5)
+        .orderBy("probe_id", "rank")
+    }),
   )
 
   /** q154/q155 corpus: the synthesized lines become conversation turns —
@@ -2209,6 +2232,18 @@ object SparkEntry {
     * — seeded junk corpus, q87/q83/q99 feature fragments, Cramer's-rule OLS
     * on the even slice, 6-dp weights and scores. One definition so the fit
     * query and its evaluation query can never disagree on the model. */
+  /** q160/q161 shared fragment: q27's brute-force cosine ranking CTEs
+    * with prefixed names; `vecExpr` is the (optionally prefix-sliced)
+    * double-cast embedding. Ends in `<p>r(probe_id, neighbor_id, rank)`. */
+  private def dBruteRank(p: String, vecExpr: String): String =
+    s"""${p}p AS (SELECT vec_id AS probe_id, $vecExpr AS pv FROM embeddings WHERE vec_id < 10),
+       |${p}c AS (SELECT vec_id AS neighbor_id, $vecExpr AS cv FROM embeddings),
+       |${p}sc AS (SELECT probe_id, neighbor_id,
+       |  list_dot_product(pv, cv) / (sqrt(list_dot_product(pv, pv)) * sqrt(list_dot_product(cv, cv))) AS cos
+       |  FROM ${p}p JOIN ${p}c ON neighbor_id != probe_id),
+       |${p}r AS (SELECT probe_id, neighbor_id,
+       |  row_number() OVER (PARTITION BY probe_id ORDER BY cos DESC, neighbor_id) AS rank FROM ${p}sc)""".stripMargin
+
   /** q154/q155 shared fragment: [[synthesizeTurns]] mirrored — lines to
     * turns, the %11 alternation breach, the %13 empty turn — ending in
     * `g(conv_id, t)` with `t` the idx-ordered turn-struct list. */
@@ -4288,6 +4323,40 @@ object SparkEntry {
         |  identical, n_tokens_chosen > n_tokens_rejected AS chosen_longer,
         |  NOT identical AND nonempty AS usable
         |FROM s ORDER BY doc_id""".stripMargin,
+
+    "q160_mrl_recall" ->
+      // q27's ranking twice (full vs 16-d prefix slice), top-5 sets,
+      // per-probe intersection
+      s"""WITH ${dBruteRank("f", "CAST(embedding AS DOUBLE[])")},
+         |${dBruteRank("t", "list_slice(CAST(embedding AS DOUBLE[]), 1, 16)")},
+         |fo AS (SELECT probe_id, neighbor_id FROM fr WHERE rank <= 5),
+         |tt AS (SELECT probe_id, neighbor_id FROM tr WHERE rank <= 5),
+         |ov AS (SELECT fo.probe_id, CAST(count(*) AS BIGINT) AS n_overlap
+         |  FROM fo JOIN tt USING (probe_id, neighbor_id) GROUP BY 1)
+         |SELECT p.vec_id AS probe_id,
+         |  coalesce(n_overlap, 0) AS n_overlap,
+         |  round(coalesce(n_overlap, 0) / CAST(5 AS DOUBLE), 6) AS recall
+         |FROM (SELECT vec_id FROM embeddings WHERE vec_id < 10) p
+         |LEFT JOIN ov ON p.vec_id = ov.probe_id
+         |ORDER BY probe_id""".stripMargin,
+
+    "q161_rrf_fuse" ->
+      // the same two arms; score = 1/(60+rank) per arm, absent arm = 0,
+      // fused top-5 by (score DESC, neighbor)
+      s"""WITH ${dBruteRank("f", "CAST(embedding AS DOUBLE[])")},
+         |${dBruteRank("t", "list_slice(CAST(embedding AS DOUBLE[]), 1, 16)")},
+         |fa AS (SELECT probe_id, neighbor_id, 1.0 / (60 + rank) AS sa FROM fr WHERE rank <= 5),
+         |fb AS (SELECT probe_id, neighbor_id, 1.0 / (60 + rank) AS sb FROM tr WHERE rank <= 5),
+         |u AS (SELECT coalesce(fa.probe_id, fb.probe_id) AS probe_id,
+         |  coalesce(fa.neighbor_id, fb.neighbor_id) AS neighbor_id,
+         |  coalesce(sa, 0) + coalesce(sb, 0) AS rrf
+         |  FROM fa FULL OUTER JOIN fb
+         |  ON fa.probe_id = fb.probe_id AND fa.neighbor_id = fb.neighbor_id),
+         |rr AS (SELECT probe_id, neighbor_id, rrf,
+         |  row_number() OVER (PARTITION BY probe_id ORDER BY rrf DESC, neighbor_id) AS rank FROM u)
+         |SELECT probe_id, CAST(rank AS BIGINT) AS rank, neighbor_id,
+         |  round(rrf, 6) AS rrf_score
+         |FROM rr WHERE rank <= 5 ORDER BY probe_id, rank""".stripMargin,
 
     "q131_word_lm" ->
       // same fit-on-even-slice bigram/unigram tables; seen bigrams score

@@ -841,6 +841,68 @@ object Similarity {
       .withColumn("suspect", col("disagree_frac") > 0.5)
   }
 
+  /** Matryoshka truncation recall (MRL, Kusupati et al. 2022): how much
+    * of the FULL-dimension top-k survives when the index stores only the
+    * first `dims` dimensions (renormalization is free under cosine — it
+    * scales both sides). Per probe: the overlap between full-width and
+    * truncated top-k, and `recall = overlap / k` — THE diagnostic that
+    * decides whether a dims/D-sized index is acceptable before anyone
+    * re-embeds a corpus. Output: (probe_id, n_overlap, recall).
+    *
+    * Scale shape: two [[bruteForceTopK]] passes (probes broadcast, one
+    * corpus scan each — the oracle-parity tier; swap [[ivfTopK]]
+    * candidates at corpus scale), then a |probes|·k-row semi join. */
+  def truncatedRecall(corpus: DataFrame, probes: DataFrame, k: Int, dims: Int,
+                      idCol: String = "vec_id",
+                      vecCol: String = "embedding"): DataFrame = {
+    require(dims >= 1, s"dims must be >= 1, got $dims")
+    def trunc(df: DataFrame) =
+      df.withColumn(vecCol, slice(col(vecCol), 1, dims))
+    val full = bruteForceTopK(corpus, probes, k, idCol, vecCol)
+      .select("probe_id", "neighbor_id")
+    val tr = bruteForceTopK(trunc(corpus), trunc(probes), k, idCol, vecCol)
+      .select("probe_id", "neighbor_id")
+    val overlap = full.join(tr, Seq("probe_id", "neighbor_id"), "left_semi")
+      .groupBy("probe_id").agg(count(lit(1)).as("n_overlap"))
+    probes.select(col(idCol).as("probe_id"))
+      .join(overlap, Seq("probe_id"), "left")
+      .select(col("probe_id"),
+        coalesce(col("n_overlap"), lit(0L)).as("n_overlap"))
+      .withColumn("recall",
+        round(col("n_overlap").cast("double") / k, 6))
+  }
+
+  /** Reciprocal-rank fusion (Cormack et al. 2009 — the default zero-
+    * tuning ensemble for heterogeneous retrievers): fuse two rankings
+    * `(probe_id, neighbor_id, rank)` by
+    * `score = Σ 1 / (kConst + rank)`, a candidate absent from one arm
+    * contributing 0 from it. RRF needs no score calibration between
+    * arms — only ranks — which is why it is the standard way to combine
+    * e.g. a full-precision ANN arm with a cheap truncated/PQ arm, or
+    * dense with lexical. Output: top-`k` fused —
+    * (probe_id, rank, neighbor_id, rrf_score).
+    *
+    * Scale shape: one (probe, neighbor)-keyed full-outer join of two
+    * |probes|·k-row rankings + a probe-keyed top-k window — all arms'
+    * corpus work already happened upstream. */
+  def rrfFuse(a: DataFrame, b: DataFrame, k: Int,
+              kConst: Int = 60): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(kConst >= 0, s"kConst must be >= 0, got $kConst")
+    def arm(r: DataFrame, out: String) = r.select(col("probe_id"),
+      col("neighbor_id"), (lit(1.0) / (lit(kConst) + col("rank"))).as(out))
+    val fused = arm(a, "_sa")
+      .join(arm(b, "_sb"), Seq("probe_id", "neighbor_id"), "full_outer")
+      .withColumn("rrf",
+        coalesce(col("_sa"), lit(0.0)) + coalesce(col("_sb"), lit(0.0)))
+    val w = Window.partitionBy("probe_id")
+      .orderBy(col("rrf").desc, col("neighbor_id").asc)
+    fused.withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= k)
+      .select(col("probe_id"), col("rank"), col("neighbor_id"),
+        round(col("rrf"), 6).as("rrf_score"))
+  }
+
   /** Centroid-based (simplified) silhouette — the O(n·k) production form
     * of the O(n²) silhouette coefficient, the standard did-the-clustering-
     * work diagnostic for the Lloyd/IVF family here: per vector,

@@ -378,6 +378,35 @@ class DedupSimilaritySpec extends SparkSuite {
       Similarity.knnLabelNoise(vecs, vecs.where(col("vec_id") < 2), 0))
   }
 
+  test("truncatedRecall identity at full width; rrfFuse hand-computed") {
+    import graft.operators.Similarity
+    val vecs = (0L until 30L).map(i =>
+      (i, Array.tabulate(8)(d => math.sin(i * 7.0 + d).toFloat)))
+      .toDF("vec_id", "embedding")
+    val probes = vecs.where(col("vec_id") < 3)
+    // truncating to the FULL width changes nothing: recall exactly 1
+    val ident = Similarity.truncatedRecall(vecs, probes, k = 4, dims = 8)
+      .as[(Long, Long, Double)].collect()
+    assert(ident.length === 3 && ident.forall(r => r._2 === 4L && r._3 === 1.0))
+    // a 2-dim prefix loses information: recall stays in [0, 1]
+    val tr = Similarity.truncatedRecall(vecs, probes, k = 4, dims = 2)
+      .as[(Long, Long, Double)].collect()
+    assert(tr.forall(r => r._2 >= 0L && r._2 <= 4L))
+    intercept[IllegalArgumentException](
+      Similarity.truncatedRecall(vecs, probes, 4, dims = 0))
+    // RRF: hand-built rankings — a candidate in both arms outranks
+    // single-arm candidates with better per-arm ranks
+    val armA = Seq((1L, 100L, 1L), (1L, 101L, 2L))
+      .toDF("probe_id", "neighbor_id", "rank")
+    val armB = Seq((1L, 101L, 1L), (1L, 102L, 2L))
+      .toDF("probe_id", "neighbor_id", "rank")
+    val fused = Similarity.rrfFuse(armA, armB, k = 3)
+      .orderBy("rank").as[(Long, Long, Long, Double)].collect()
+    // 101: 1/62 + 1/61 = .032522; 100: 1/61 = .016393; 102: 1/62 = .016129
+    assert(fused.map(_._3) === Array(101L, 100L, 102L))
+    assert(fused.map(_._4) === Array(0.032522, 0.016393, 0.016129))
+  }
+
   test("centroidSilhouette: hand-computed a/b distances, tie to lowest cell") {
     import graft.operators.Similarity
     val cents = Seq((0L, Array(1f, 0f)), (1L, Array(0f, 1f)))
