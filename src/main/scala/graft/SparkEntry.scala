@@ -2042,6 +2042,52 @@ object SparkEntry {
       Similarity.rrfFuse(full, cheap, k = 5)
         .orderBy("probe_id", "rank")
     }),
+
+    // Flesch reading ease over the sentence-synthesized corpus (lines
+    // rejoined as '. '-terminated sentences): 206.835 − 1.015·(W/S) −
+    // 84.6·(Syl/W), syllables = vowel-group runs (min 1/word) — the
+    // classic readability score quality pipelines report per source.
+    "q162_readability" -> ((s, dir) => {
+      val lined = synthesizeLines(Tables.documents(s, dir), withPunct = false)
+      val t2 = concat(replace(col("text"), lit("\n"), lit(". ")), lit("."))
+      val d = lined.select(col("doc_id"), t2.as("_t2"),
+        TextAnalysis.wordTokens(t2).as("_w"))
+      val nw = size(col("_w")).cast("long")
+      val ns = size(filter(split(col("_t2"), "\\."), x => trim(x) =!= ""))
+        .cast("long")
+      val syl = aggregate(col("_w"), lit(0L), (acc, w) =>
+        acc + greatest(lit(1),
+          size(regexp_extract_all(lower(w), lit("[aeiouy]+"), lit(0))))
+          .cast("long"))
+      d.select(col("doc_id"), ns.as("n_sentences"), nw.as("n_words"),
+          syl.as("n_syllables"))
+        .withColumn("flesch", round(
+          lit(206.835) -
+            lit(1.015) * (col("n_words").cast("double") /
+              col("n_sentences").cast("double")) -
+            lit(84.6) * (col("n_syllables").cast("double") /
+              col("n_words").cast("double")), 6))
+        .orderBy("doc_id")
+    }),
+
+    // Language-ID confusion matrix: q30's marker classifier rolled up
+    // against the true lang label — per (true, predicted) populations and
+    // row fractions, the eval every lang-ID stage publishes.
+    "q163_langid_confusion" -> ((s, dir) => {
+      val markers = SparkEntry.langMarkers
+      val langs = markers.keys.toSeq.sorted
+      val d = Tables.documents(s, dir)
+        .select(col("doc_id"), col("lang"), TextAnalysis.tokens(col("text")).as("_tk"))
+      val scored = TextAnalysis.languageScoresOver(col("_tk"), markers)
+        .foldLeft(d) { case (df, (l, c)) => df.withColumn(s"score_$l", c) }
+      scored.withColumn("predicted",
+          TextAnalysis.languageIdFromScores(langs.map(l => l -> col(s"score_$l"))))
+        .groupBy("lang", "predicted")
+        .agg(count(lit(1)).as("n_docs"))
+        .withColumn("row_frac", round(col("n_docs").cast("double") /
+          sum("n_docs").over(Window.partitionBy("lang")), 6))
+        .orderBy("lang", "predicted")
+    }),
   )
 
   /** q154/q155 corpus: the synthesized lines become conversation turns —
@@ -4357,6 +4403,41 @@ object SparkEntry {
          |SELECT probe_id, CAST(rank AS BIGINT) AS rank, neighbor_id,
          |  round(rrf, 6) AS rrf_score
          |FROM rr WHERE rank <= 5 ORDER BY probe_id, rank""".stripMargin,
+
+    "q162_readability" ->
+      // dLineSynth's lines rejoined as sentences; identical syllable
+      // regex and left-associated Flesch arithmetic
+      s"""WITH ${dLineSynth(withPunct = false)},
+         |d AS (SELECT doc_id, array_to_string(ln, '. ') || '.' AS t2 FROM t1),
+         |w AS (SELECT doc_id, t2, regexp_extract_all(t2, '[A-Za-z0-9]+') AS ws FROM d),
+         |m AS (SELECT doc_id,
+         |  CAST(len(list_filter(string_split(t2, '.'), x -> trim(x) != '')) AS BIGINT) AS n_sentences,
+         |  CAST(len(ws) AS BIGINT) AS n_words,
+         |  CAST(list_sum(list_transform(ws, x ->
+         |    greatest(1, len(regexp_extract_all(lower(x), '[aeiouy]+'))))) AS BIGINT) AS n_syllables
+         |  FROM w)
+         |SELECT doc_id, n_sentences, n_words, n_syllables,
+         |  round(206.835 - 1.015 * (n_words * 1.0 / n_sentences)
+         |    - 84.6 * (n_syllables * 1.0 / n_words), 6) AS flesch
+         |FROM m ORDER BY doc_id""".stripMargin,
+
+    "q163_langid_confusion" -> {
+      // q30's score + argmax CASE verbatim, rolled up by (true, predicted)
+      val m = langMarkers
+      val scores = m.keys.toSeq.sorted
+        .map(l => s"${dLangScore(m(l))} AS score_$l").mkString(", ")
+      s"""WITH s AS (SELECT doc_id, lang, $scores FROM documents),
+         |p AS (SELECT lang, CASE
+         |WHEN score_zh >= score_fr AND score_zh >= score_es AND score_zh >= score_en AND score_zh >= score_de THEN 'zh'
+         |WHEN score_fr >= score_es AND score_fr >= score_en AND score_fr >= score_de THEN 'fr'
+         |WHEN score_es >= score_en AND score_es >= score_de THEN 'es'
+         |WHEN score_en >= score_de THEN 'en'
+         |ELSE 'de' END AS predicted FROM s),
+         |g AS (SELECT lang, predicted, count(*) AS n_docs FROM p GROUP BY 1, 2)
+         |SELECT lang, predicted, n_docs,
+         |  round(n_docs * 1.0 / sum(n_docs) OVER (PARTITION BY lang), 6) AS row_frac
+         |FROM g ORDER BY lang, predicted""".stripMargin
+    },
 
     "q131_word_lm" ->
       // same fit-on-even-slice bigram/unigram tables; seen bigrams score
