@@ -1012,6 +1012,40 @@ object TextAnalysis {
         col("entropy") >= minEntropy && col("entropy") <= maxEntropy)
   }
 
+  /** Build the bench-set n-gram bloom for [[contaminationFlag]]: one
+    * bounded row of `numBits/8` bytes aggregated over the benchmark
+    * documents' gram hashes (map-side-combined — the merge is bitwise
+    * OR, so the build shuffle carries filters, never grams). Size at
+    * ~10 bits per distinct bench gram; eval suites are small, so even a
+    * generous filter is a few MB — broadcastable to every executor AND
+    * serializable into a streaming query's plan. */
+  def benchGramBloom(docs: DataFrame, textCol: String, benchPred: Column,
+                     n: Int, numBits: Int = 1 << 22,
+                     numHashes: Int = 6): Array[Byte] = {
+    import graft.functions.GraftFunctions
+    docs.where(benchPred)
+      .select(explode(ngrams(tokens(col(textCol)), n)).as("_g"))
+      .agg(GraftFunctions.bloom_agg(
+        GraftFunctions.rolling_hash(col("_g")), numBits, numHashes).as("_b"))
+      .head().getAs[Array[Byte]](0)
+  }
+
+  /** Stream-composable decontamination verdict: TRUE when any of the
+    * document's `n`-gram hashes might be in the bench bloom — the
+    * STATELESS form of [[contaminationHits]], usable inside a streaming
+    * projection (no join, no state store; the filter bytes ride the
+    * plan). The error direction is the safe one for decontamination:
+    * false positives quarantine extra docs (re-check them exactly
+    * offline via [[contaminationHits]]); false NEGATIVES cannot occur,
+    * so nothing contaminated passes. */
+  def contaminationFlag(textCol: Column, benchBloom: Array[Byte], n: Int,
+                        numHashes: Int = 6): Column = {
+    import graft.functions.GraftFunctions
+    exists(ngrams(tokens(textCol), n), g =>
+      GraftFunctions.bloom_might_contain(
+        GraftFunctions.rolling_hash(g), benchBloom, numHashes))
+  }
+
   /** Inverse-Cloze-Task pair generation (Lee et al. 2019, ORQA — the
     * standard self-supervised retrieval-training recipe): from each
     * multi-line document, extract ONE hash-seeded line as the pseudo-

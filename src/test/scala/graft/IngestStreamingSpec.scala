@@ -213,6 +213,36 @@ class IngestStreamingSpec extends SparkSuite {
       Array(1L, 3L))
   }
 
+  test("streaming decontamination: bench-gram bloom flags leaks in flight (§2.11)") {
+    import graft.operators.TextAnalysis
+    // the bench set is static: its gram bloom builds ONCE batch-side and
+    // rides the streaming plan as literal bytes — no join, no state
+    val bench = Seq((100L, "the secret benchmark question about rivers"))
+      .toDF("doc_id", "text")
+    val bloom = TextAnalysis.benchGramBloom(bench, "text", lit(true), n = 5)
+    val dir = Files.createTempDirectory("graft_stream_decontam").toString
+    val df = Seq(
+      (1L, "a perfectly ordinary training document"),
+      // shares a 5-gram run with the bench doc -> must flag
+      (2L, "copied the secret benchmark question about rivers verbatim"),
+      (3L, "another clean document with fresh phrasing")
+    ).toDF("doc_id", "text")
+    df.coalesce(1).write.mode("overwrite").parquet(dir)
+    val stream = EventStreams.readFileStream(spark, dir, df.schema)
+      .withColumn("flagged",
+        TextAnalysis.contaminationFlag(col("text"), bloom, n = 5))
+    EventStreams.drainToMemory(stream.select("doc_id", "flagged"), "decontam_stream")
+    val got = spark.table("decontam_stream")
+      .as[(Long, Boolean)].collect().sortBy(_._1)
+    assert(got === Array((1L, false), (2L, true), (3L, false)))
+    // batch equivalence: the bloom's flags cover contaminationHits' docs
+    // exactly on this FP-free fixture (false negatives are impossible)
+    val all = bench.unionByName(df)
+    val exact = TextAnalysis.contaminationHits(all, "doc_id", "text",
+      col("doc_id") === 100L, n = 5).select("doc_id").as[Long].collect().toSet
+    assert(got.filter(_._2).map(_._1).toSet === exact)
+  }
+
   test("mapGroupsWithState carries per-user counts across micro-batches (§2.11)") {
     val dir = Files.createTempDirectory("graft_state").toString
     Seq((7L, 1.0), (7L, 2.0), (9L, 3.0)).toDF("user_id", "value")
