@@ -2070,6 +2070,18 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // IVF recall vs exact ground truth: the contract metric behind the
+    // approximate tiers, measured as a QUERY on q28's exact setup (8
+    // cells, probes 10..20, k=3) instead of only a spec assert.
+    "q164_ivf_recall" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val probes = emb.where(col("vec_id") >= 10 && col("vec_id") < 20)
+      val truth = Similarity.bruteForceTopK(emb, probes, 3)
+      val approx = Similarity.ivfTopK(emb, emb.where(col("vec_id") < 8),
+        probes, 3)
+      Similarity.rankingRecall(truth, approx, 3).orderBy("probe_id")
+    }),
+
     // Language-ID confusion matrix: q30's marker classifier rolled up
     // against the true lang label — per (true, predicted) populations and
     // row fractions, the eval every lang-ID stage publishes.
@@ -2281,8 +2293,9 @@ object SparkEntry {
   /** q160/q161 shared fragment: q27's brute-force cosine ranking CTEs
     * with prefixed names; `vecExpr` is the (optionally prefix-sliced)
     * double-cast embedding. Ends in `<p>r(probe_id, neighbor_id, rank)`. */
-  private def dBruteRank(p: String, vecExpr: String): String =
-    s"""${p}p AS (SELECT vec_id AS probe_id, $vecExpr AS pv FROM embeddings WHERE vec_id < 10),
+  private def dBruteRank(p: String, vecExpr: String,
+                         probePred: String = "vec_id < 10"): String =
+    s"""${p}p AS (SELECT vec_id AS probe_id, $vecExpr AS pv FROM embeddings WHERE $probePred),
        |${p}c AS (SELECT vec_id AS neighbor_id, $vecExpr AS cv FROM embeddings),
        |${p}sc AS (SELECT probe_id, neighbor_id,
        |  list_dot_product(pv, cv) / (sqrt(list_dot_product(pv, pv)) * sqrt(list_dot_product(cv, cv))) AS cos
@@ -4420,6 +4433,33 @@ object SparkEntry {
          |  round(206.835 - 1.015 * (n_words * 1.0 / n_sentences)
          |    - 84.6 * (n_syllables * 1.0 / n_words), 6) AS flesch
          |FROM m ORDER BY doc_id""".stripMargin,
+
+    "q164_ivf_recall" ->
+      // truth = dBruteRank over probes 10..20; approx = q28's IVF CTE
+      // chain verbatim (same assignment tie rule); recall = overlap/3
+      s"""WITH ${dBruteRank("b", "CAST(embedding AS DOUBLE[])", "vec_id >= 10 AND vec_id < 20")},
+         |cent AS (SELECT vec_id AS cell_id, CAST(embedding AS DOUBLE[]) AS cvv FROM embeddings WHERE vec_id < 8),
+         |corp AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |asg AS (SELECT vec_id, v, cell_id FROM (
+         |  SELECT corp.vec_id, corp.v, cent.cell_id,
+         |  row_number() OVER (PARTITION BY corp.vec_id ORDER BY
+         |    list_dot_product(corp.v, cent.cvv) / (sqrt(list_dot_product(corp.v, corp.v)) * sqrt(list_dot_product(cent.cvv, cent.cvv))) DESC,
+         |    cent.cell_id) AS rr
+         |  FROM corp CROSS JOIN cent) WHERE rr = 1),
+         |iprobes AS (SELECT vec_id AS probe_id, v AS pv, cell_id FROM asg WHERE vec_id >= 10 AND vec_id < 20),
+         |isc AS (SELECT p.probe_id, c.vec_id AS neighbor_id,
+         |  list_dot_product(p.pv, c.v) / (sqrt(list_dot_product(p.pv, p.pv)) * sqrt(list_dot_product(c.v, c.v))) AS cos
+         |  FROM iprobes p JOIN asg c ON p.cell_id = c.cell_id AND c.vec_id != p.probe_id),
+         |ir AS (SELECT probe_id, neighbor_id,
+         |  row_number() OVER (PARTITION BY probe_id ORDER BY cos DESC, neighbor_id) AS rank FROM isc),
+         |tt AS (SELECT probe_id, neighbor_id FROM br WHERE rank <= 3),
+         |aa AS (SELECT probe_id, neighbor_id FROM ir WHERE rank <= 3),
+         |ov AS (SELECT tt.probe_id, CAST(count(*) AS BIGINT) AS n_overlap
+         |  FROM tt JOIN aa USING (probe_id, neighbor_id) GROUP BY 1)
+         |SELECT p.probe_id, coalesce(n_overlap, 0) AS n_overlap,
+         |  round(coalesce(n_overlap, 0) / CAST(3 AS DOUBLE), 6) AS recall
+         |FROM (SELECT DISTINCT probe_id FROM tt) p
+         |LEFT JOIN ov ON p.probe_id = ov.probe_id ORDER BY p.probe_id""".stripMargin,
 
     "q163_langid_confusion" -> {
       // q30's score + argmax CASE verbatim, rolled up by (true, predicted)

@@ -858,13 +858,29 @@ object Similarity {
     require(dims >= 1, s"dims must be >= 1, got $dims")
     def trunc(df: DataFrame) =
       df.withColumn(vecCol, slice(col(vecCol), 1, dims))
-    val full = bruteForceTopK(corpus, probes, k, idCol, vecCol)
-      .select("probe_id", "neighbor_id")
-    val tr = bruteForceTopK(trunc(corpus), trunc(probes), k, idCol, vecCol)
-      .select("probe_id", "neighbor_id")
-    val overlap = full.join(tr, Seq("probe_id", "neighbor_id"), "left_semi")
+    rankingRecall(
+      bruteForceTopK(corpus, probes, k, idCol, vecCol),
+      bruteForceTopK(trunc(corpus), trunc(probes), k, idCol, vecCol), k)
+  }
+
+  /** Recall@k of one ranking against another: per probe, the overlap
+    * between `truth`'s and `approx`'s top-k neighbor sets (both inputs
+    * are `(probe_id, neighbor_id, rank)` frames — any of the ANN tiers
+    * here). This is the contract metric behind every approximate tier:
+    * [[ivfTopK]]/[[pqTopK]] trade exactly this number for their scan
+    * and index savings, and making it a QUERY (not just a spec assert)
+    * means the trade is measured on the real corpus every run.
+    * Output: (probe_id, n_overlap, recall).
+    *
+    * Scale shape: both inputs are |probes|·k rows — the corpus work
+    * happened upstream; this is one semi join + a probe-keyed count. */
+  def rankingRecall(truth: DataFrame, approx: DataFrame, k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val tt = truth.where(col("rank") <= k).select("probe_id", "neighbor_id")
+    val aa = approx.where(col("rank") <= k).select("probe_id", "neighbor_id")
+    val overlap = tt.join(aa, Seq("probe_id", "neighbor_id"), "left_semi")
       .groupBy("probe_id").agg(count(lit(1)).as("n_overlap"))
-    probes.select(col(idCol).as("probe_id"))
+    tt.select("probe_id").distinct()
       .join(overlap, Seq("probe_id"), "left")
       .select(col("probe_id"),
         coalesce(col("n_overlap"), lit(0L)).as("n_overlap"))
