@@ -2082,6 +2082,20 @@ object SparkEntry {
       Similarity.rankingRecall(truth, approx, 3).orderBy("probe_id")
     }),
 
+    // Embedding ingest audit: %97==0 vectors zeroed, %89==3 poisoned
+    // with a NaN — per label: defect counts + healthy-norm stats, the
+    // QA gate before a vector batch reaches any ANN tier.
+    "q165_embedding_audit" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val seeded = emb.withColumn("embedding",
+        when(col("vec_id") % 97 === 0,
+          array_repeat(lit(0.0f), 64))
+          .when(col("vec_id") % 89 === 3,
+            concat(array(lit(Float.NaN)), slice(col("embedding"), 2, 63)))
+          .otherwise(col("embedding")))
+      Similarity.embeddingAudit(seeded).orderBy("grp")
+    }),
+
     // Language-ID confusion matrix: q30's marker classifier rolled up
     // against the true lang label — per (true, predicted) populations and
     // row fractions, the eval every lang-ID stage publishes.
@@ -4460,6 +4474,24 @@ object SparkEntry {
          |  round(coalesce(n_overlap, 0) / CAST(3 AS DOUBLE), 6) AS recall
          |FROM (SELECT DISTINCT probe_id FROM tt) p
          |LEFT JOIN ov ON p.probe_id = ov.probe_id ORDER BY p.probe_id""".stripMargin,
+
+    "q165_embedding_audit" ->
+      // same seeded defects; norm2 via list_dot_product (the same
+      // sequential element walk as the Spark fold); healthy = NOT nan
+      """WITH s AS (SELECT label,
+        |  CASE WHEN vec_id % 97 = 0 THEN CAST(list_transform(range(0, 64), i -> 0.0) AS DOUBLE[])
+        |       WHEN vec_id % 89 = 3 THEN list_concat(['NaN'::DOUBLE], CAST(embedding AS DOUBLE[])[2:64])
+        |       ELSE CAST(embedding AS DOUBLE[]) END AS v
+        |  FROM embeddings),
+        |m AS (SELECT label, list_dot_product(v, v) AS n2,
+        |  len(list_filter(v, x -> isnan(x))) > 0 AS has_nan FROM s)
+        |SELECT label AS grp, count(*) AS n_vecs,
+        |  CAST(sum(CASE WHEN NOT has_nan AND n2 = 0.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero,
+        |  CAST(sum(CASE WHEN has_nan THEN 1 ELSE 0 END) AS BIGINT) AS n_nan,
+        |  round(avg(CASE WHEN NOT has_nan THEN sqrt(n2) END), 6) AS mean_norm,
+        |  round(min(CASE WHEN NOT has_nan THEN sqrt(n2) END), 6) AS min_norm,
+        |  round(max(CASE WHEN NOT has_nan THEN sqrt(n2) END), 6) AS max_norm
+        |FROM m GROUP BY label ORDER BY grp""".stripMargin,
 
     "q163_langid_confusion" -> {
       // q30's score + argmax CASE verbatim, rolled up by (true, predicted)

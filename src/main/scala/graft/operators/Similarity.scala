@@ -841,6 +841,36 @@ object Similarity {
       .withColumn("suspect", col("disagree_frac") > 0.5)
   }
 
+  /** Embedding-table ingest audit — the QA gate before any ANN tier
+    * touches a vector batch: per `groupCol`, the defect counts that
+    * silently corrupt similarity search downstream — zero vectors
+    * (cosine undefined: they match NOTHING and anything, depending on
+    * the kernel's guard) and NaN elements (poison every distance they
+    * touch) — plus the norm distribution of the healthy rows (a norm
+    * collapse is the classic sign of an embedding-service regression).
+    * Output: (group, n_vecs, n_zero, n_nan, mean_norm, min_norm,
+    * max_norm) — norms over non-NaN vectors, 6-dp rounded.
+    *
+    * Scale shape: one zero-shuffle projection (norm² is a sequential
+    * fold over the vector — the same element order the oracle's
+    * list_dot_product walks) + one group-keyed aggregate. */
+  def embeddingAudit(vecs: DataFrame, idCol: String = "vec_id",
+                     vecCol: String = "embedding",
+                     groupCol: String = "label"): DataFrame = {
+    val v = col(vecCol).cast("array<double>")
+    val norm2 = aggregate(v, lit(0.0), (acc, x) => acc + x * x)
+    val hasNan = exists(v, x => isnan(x))
+    vecs.select(col(groupCol).as("grp"), norm2.as("_n2"), hasNan.as("_nan"))
+      .groupBy("grp")
+      .agg(count(lit(1)).as("n_vecs"),
+        sum(when(!col("_nan") && col("_n2") === 0.0, 1L).otherwise(0L))
+          .as("n_zero"),
+        sum(when(col("_nan"), 1L).otherwise(0L)).as("n_nan"),
+        round(avg(when(!col("_nan"), sqrt(col("_n2")))), 6).as("mean_norm"),
+        round(min(when(!col("_nan"), sqrt(col("_n2")))), 6).as("min_norm"),
+        round(max(when(!col("_nan"), sqrt(col("_n2")))), 6).as("max_norm"))
+  }
+
   /** Matryoshka truncation recall (MRL, Kusupati et al. 2022): how much
     * of the FULL-dimension top-k survives when the index stores only the
     * first `dims` dimensions (renormalization is free under cosine — it

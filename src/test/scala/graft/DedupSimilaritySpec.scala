@@ -378,6 +378,21 @@ class DedupSimilaritySpec extends SparkSuite {
       Similarity.knnLabelNoise(vecs, vecs.where(col("vec_id") < 2), 0))
   }
 
+  test("embeddingAudit counts zero/NaN defects; norms over healthy rows only") {
+    import graft.operators.Similarity
+    val vecs = Seq(
+      (1L, Array(3f, 4f), 0),               // norm exactly 5
+      (2L, Array(0f, 0f), 0),               // zero vector
+      (3L, Array(Float.NaN, 1f), 0),        // NaN poisoned
+      (4L, Array(6f, 8f), 1)                // norm exactly 10
+    ).toDF("vec_id", "embedding", "label")
+    val out = Similarity.embeddingAudit(vecs)
+      .orderBy("grp").as[(Int, Long, Long, Long, Double, Double, Double)].collect()
+    assert(out === Array(
+      (0, 3L, 1L, 1L, 2.5, 0.0, 5.0),  // mean over {5, 0} healthy norms
+      (1, 1L, 0L, 0L, 10.0, 10.0, 10.0)))
+  }
+
   test("truncatedRecall identity at full width; rrfFuse hand-computed") {
     import graft.operators.Similarity
     val vecs = (0L until 30L).map(i =>
