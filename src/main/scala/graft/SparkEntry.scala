@@ -2120,7 +2120,7 @@ object SparkEntry {
     * turn 0 is the system prompt, then user/assistant alternation.
     * Seeded breaches: %11==0 convs invert the alternation (assistant
     * first), %13==5 convs blank turn 1. */
-  private def synthesizeTurns(docs: DataFrame): DataFrame = {
+  private[graft] def synthesizeTurns(docs: DataFrame): DataFrame = {
     val tk = TextAnalysis.tokens(col("text"))
     val nChunks = ceil(size(tk).cast("double") / 8).cast("int")
     val lineArr = transform(sequence(lit(0), nChunks - 1),

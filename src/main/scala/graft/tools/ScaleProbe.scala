@@ -10,7 +10,7 @@ import org.apache.spark.sql.functions._
   * stages-cost-compute-not-shuffles claim (dev aid; measured numbers
   * land in BASELINE.md). Args select sections: `fill`, `skew`, `bucket`,
   * `funnel`, `pq`, `spanscrub`, `fuzzydedup`, `cleanscrub`, `packbudget`, `simhashband`,
-  * `wordlm`, `bloomdedup`, `winnow`, `legacy` (no args = all). */
+  * `wordlm`, `bloomdedup`, `winnow`, `chatshard`, `legacy` (no args = all). */
 object ScaleProbe {
   def main(args: Array[String]): Unit = {
     val sections: String => Boolean =
@@ -431,6 +431,38 @@ object ScaleProbe {
           fitPred = col("doc_id") % 2 === 0)
       time2("wordBigramLogProb  1x")(noop(lm(raw)))
       time2("wordBigramLogProb 16x")(noop(lm(big)))
+    }
+
+    // Chat aggregate + shard plan growth on a 16x blowup: both are
+    // single-exchange operators (conversation-keyed agg / shard-keyed
+    // window), so wall time should track the scan, not re-shuffle.
+    if (sections("chatshard")) {
+      import graft.operators.{Batching, Chat}
+      val docs = Tables.documents(spark, "/root/testdata/sf0.1")
+      val bigPath = "/tmp/graft_probe_chat16"
+      time("write 16x doc copies")(
+        (0 until 16).map(i => docs.select(
+          (col("doc_id") + lit(i.toLong * 100000000L)).as("doc_id"), col("text")))
+          .reduce(_ union _).write.mode("overwrite").parquet(bigPath))
+      val big = spark.read.parquet(bigPath)
+      def time2(name: String)(f: => Unit): Unit = {
+        val ts = (1 to 2).map { _ =>
+          val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+        }
+        println(f"[probe] $name%-34s ${ts.min}%.2f s (min of 2)")
+      }
+      def turns(d: org.apache.spark.sql.DataFrame) =
+        graft.SparkEntry.synthesizeTurns(d)
+      time2("chat flatten+spans  1x")(noop(
+        Chat.flattenChat(turns(docs), "conv_id", "turn_idx", "role", "content",
+          Some(4))))
+      time2("chat flatten+spans 16x")(noop(
+        Chat.flattenChat(turns(big), "conv_id", "turn_idx", "role", "content",
+          Some(4))))
+      time2("shardPlan  1x")(noop(
+        Batching.shardPlan(docs, "doc_id", "text", 64, 7L)))
+      time2("shardPlan 16x")(noop(
+        Batching.shardPlan(big, "doc_id", "text", 64, 7L)))
     }
 
     // Winnowing + paragraph scrub growth on an id-salted 16x corpus
