@@ -208,6 +208,43 @@ object KernelProperties extends Properties("graft.kernels") {
         codes.getInt(j) == best
       }
   }
+
+  // strings mixing ascii, combining marks, and precomposed characters —
+  // the inputs where NFC composition actually does work
+  private val unicodeText: Gen[String] =
+    Gen.listOf(Gen.frequency(
+      6 -> Gen.alphaNumChar.map(_.toString),
+      1 -> Gen.const("é"), 1 -> Gen.const("ü"),
+      1 -> Gen.const("é"), 1 -> Gen.const("ü"),
+      1 -> Gen.const("́"))).map(_.mkString)
+
+  property("nfc.matchesJavaNormalizer") = forAll(unicodeText) { s =>
+    graft.functions.NfcNormalize.kernel(UTF8String.fromString(s)).toString ==
+      java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFC)
+  }
+
+  property("nfc.idempotent") = forAll(unicodeText) { s =>
+    val once = graft.functions.NfcNormalize.kernel(UTF8String.fromString(s))
+    graft.functions.NfcNormalize.kernel(once) == once
+  }
+
+  property("bloom.noFalseNegatives") = forAll(
+    Gen.nonEmptyListOf(Gen.choose(Long.MinValue, Long.MaxValue))) { keys =>
+    import graft.functions.BloomHash
+    val numBits = 1 << 12
+    val words = new Array[Long](numBits / 64)
+    val k = 6
+    keys.foreach { key =>
+      val h1 = BloomHash.mix64(key); val h2 = BloomHash.mix64b(key)
+      (0 until k).foreach(i =>
+        BloomHash.setBit(words, (h1 + i * h2) & (numBits - 1)))
+    }
+    keys.forall { key =>
+      val h1 = BloomHash.mix64(key); val h2 = BloomHash.mix64b(key)
+      (0 until k).forall(i =>
+        BloomHash.getBit(words, (h1 + i * h2) & (numBits - 1)))
+    }
+  }
 }
 
 /** MJPEG segment-walk invariants on RANDOM concatenations of real JDK-encoded
@@ -316,4 +353,5 @@ object FunnelProperties extends Properties("graft.funnel") {
       }
       usersOk && perRow && monotone
     }
+
 }
