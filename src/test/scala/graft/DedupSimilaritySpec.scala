@@ -422,6 +422,29 @@ class DedupSimilaritySpec extends SparkSuite {
     assert(fused.map(_._4) === Array(0.032522, 0.016393, 0.016129))
   }
 
+  test("winnowing guarantee holds for randomized planted shared runs") {
+    import graft.operators.Dedup
+    // the Theorem must hold for ANY surrounding noise, not just the fixed
+    // fixture: plant a w+k-1 = 6-token run between random contexts
+    val rnd = new scala.util.Random(42)
+    val fixtures = (1 to 5).map { trial =>
+      val shared = (1 to 6).map(i => s"s${rnd.nextInt(1000)}t${trial}i$i").mkString(" ")
+      def noise() = (1 to 5 + rnd.nextInt(10))
+        .map(_ => s"n${rnd.nextInt(100000)}").mkString(" ")
+      (trial.toLong, Seq(
+        (trial * 10L + 1, s"${noise()} $shared ${noise()}"),
+        (trial * 10L + 2, s"${noise()} $shared ${noise()}")))
+    }
+    val docs = fixtures.flatMap(_._2).toDF("doc_id", "text")
+    val pairs = Dedup.winnowedMatchPairs(docs, "doc_id", "text",
+      k = 3, w = 4, minShared = 1).as[(Long, Long, Long)].collect()
+    fixtures.foreach { case (trial, ds) =>
+      val (a, b) = (ds.head._1, ds(1)._1)
+      assert(pairs.exists(p => p._1 == a && p._2 == b),
+        s"trial $trial: a planted w+k-1 run failed to pair")
+    }
+  }
+
   test("centroidSilhouette: hand-computed a/b distances, tie to lowest cell") {
     import graft.operators.Similarity
     val cents = Seq((0L, Array(1f, 0f)), (1L, Array(0f, 1f)))
