@@ -193,6 +193,57 @@ class IngestStreamingSpec extends SparkSuite {
     assert(kept === Array("site.com/a", "site.com/b"))
   }
 
+  test("WARC scan: records split, HTTP envelope peeled, gzip members handled") {
+    import graft.sources.Warc
+    import java.nio.charset.StandardCharsets.UTF_8
+    def rec(tpe: String, uri: String, block: String): Array[Byte] = {
+      val body = block.getBytes(UTF_8)
+      (s"WARC/1.0\r\nWARC-Type: $tpe\r\n" +
+        (if (uri.nonEmpty) s"WARC-Target-URI: $uri\r\n" else "") +
+        s"Content-Length: ${body.length}\r\n\r\n").getBytes(UTF_8) ++
+        body ++ "\r\n\r\n".getBytes(UTF_8)
+    }
+    val html = "<html><body>hello corpus</body></html>"
+    val httpBlock = "HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n" + html
+    val warc = rec("warcinfo", "", "software: graft-test\r\n") ++
+      rec("request", "https://example.com/a", "GET /a HTTP/1.1\r\n") ++
+      rec("response", "https://example.com/a", httpBlock)
+    val dir = Files.createTempDirectory("graft_warc").toString
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/seg.warc"), warc)
+    // gzip layout: one member per record — Common Crawl's actual shape
+    val gz = new java.io.ByteArrayOutputStream()
+    Seq(rec("warcinfo", "", "software: graft-test\r\n"),
+      rec("response", "https://example.com/b", httpBlock)).foreach { r =>
+      val g = new java.util.zip.GZIPOutputStream(gz); g.write(r); g.finish()
+    }
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$dir/seg2.warc.gz"), gz.toByteArray)
+    val out = Warc.readWarc(spark, dir)
+      .orderBy("path", "record_idx")
+      .as[(String, Int, String, String, String, Int, Array[Byte])].collect()
+    assert(out.length === 5)
+    val resp = out.filter(_._3 == "response")
+    assert(resp.length === 2)
+    resp.foreach { r =>
+      assert(r._6 === 200 && r._5 === "text/html")
+      assert(new String(r._7, UTF_8) === html, "payload must be the HTTP body only")
+    }
+    assert(out.count(_._3 == "warcinfo") === 2)
+    assert(resp.map(_._4).toSet ===
+      Set("https://example.com/a", "https://example.com/b"))
+    // corrupt-record discipline: a truncated trailing record parses up to it
+    val truncated = warc ++ "WARC/1.0\r\nWARC-Type: response\r\nContent-Length: 99999\r\n\r\nshort".getBytes(UTF_8)
+    assert(Warc.parseAll(truncated).length === 3)
+    // the crawl-to-corpus handoff: response payloads strip straight into
+    // clean text — Common Crawl's WARC really is this pipeline's stage 0
+    val texts = Warc.readWarc(spark, dir)
+      .where(col("warc_type") === "response")
+      .select(graft.operators.TextAnalysis
+        .stripMarkup(col("payload").cast("string")).as("t"))
+      .as[String].collect()
+    assert(texts.length === 2 && texts.forall(_ === "hello corpus"))
+  }
+
   test("streaming quality filter: badword verdicts filter docs in flight (§2.11)") {
     // Quality verdicts are stateless per-document projections, so the
     // filter chain composes onto a stream with NO state store at all —
