@@ -50,6 +50,25 @@ object Ingest {
       df.schema.fields.filter(_.dataType.typeName == "string").map(_.name).toSeq,
       tokens)
 
+  /** [[csvTyped]]'s JSONL twin — the LLM-corpus interchange format (one
+    * JSON object per line ⇒ line-splittable, so partitioned FileScan
+    * bounds memory exactly as with CSV): explicit schema (inference is a
+    * second full pass over 100 TB), permissive mode, optional verbatim
+    * corrupt-record capture. Reads what [[graft.operators.Batching
+    * .writeJsonlShards]] writes — the round trip IS the shard-handoff
+    * contract. */
+  def jsonlTyped(spark: SparkSession, path: String, schema: StructType,
+                 corruptColumn: Option[String] = None): DataFrame = {
+    val readSchema = corruptColumn match {
+      case Some(c) => StructType(schema.fields :+
+        org.apache.spark.sql.types.StructField(c, org.apache.spark.sql.types.StringType))
+      case None => schema
+    }
+    val reader = spark.read.schema(readSchema).option("mode", "PERMISSIVE")
+    corruptColumn.foreach(c => reader.option("columnNameOfCorruptRecord", c))
+    reader.json(path)
+  }
+
   /** S1/S3 — plain header'd CSV scan (split_csv_script.py:33-35). */
   def csvWithHeader(spark: SparkSession, path: String, schema: StructType): DataFrame =
     spark.read.schema(schema).option("header", "true").csv(path)

@@ -193,6 +193,35 @@ class IngestStreamingSpec extends SparkSuite {
     assert(kept === Array("site.com/a", "site.com/b"))
   }
 
+  test("jsonlTyped: explicit schema, corrupt capture, round-trips the shard sink") {
+    import org.apache.spark.sql.types._
+    val dir = Files.createTempDirectory("graft_jsonl_src").toString
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/part.jsonl"),
+      ("""{"id": 1, "text": "alpha"}""" + "\n" +
+        """{"id": 2, "text": "beta"}""" + "\n" +
+        """{"id": "NOT A NUMBER", "text": }""" + "\n").getBytes)
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("text", StringType)))
+    // cache before filtering on the corrupt column alone — Spark forbids
+    // corrupt-column-only queries straight off the raw scan
+    val got = graft.sources.Ingest.jsonlTyped(spark, dir, schema,
+      corruptColumn = Some("_bad")).cache()
+    assert(got.count() === 3)
+    assert(got.where(col("_bad").isNotNull).count() === 1)
+    assert(got.where(col("_bad").isNull).select("text")
+      .as[String].collect().sorted === Array("alpha", "beta"))
+    // the shard sink's output reads back typed through the same scan —
+    // the corpus-handoff round trip
+    val docs = Seq((1L, "one body"), (2L, "two body"), (3L, "three body"))
+      .toDF("doc_id", "text")
+    val shardDir = Files.createTempDirectory("graft_jsonl_rt").toString
+    graft.operators.Batching.writeJsonlShards(docs, "doc_id", "text", 2, 9L, shardDir)
+    val back = graft.sources.Ingest.jsonlTyped(spark, s"$shardDir/shard=*",
+      StructType(Seq(StructField("id", LongType), StructField("text", StringType))))
+    assert(back.orderBy("id").as[(Long, String)].collect() ===
+      Array((1L, "one body"), (2L, "two body"), (3L, "three body")))
+  }
+
   test("WARC scan: records split, HTTP envelope peeled, gzip members handled") {
     import graft.sources.Warc
     import java.nio.charset.StandardCharsets.UTF_8
