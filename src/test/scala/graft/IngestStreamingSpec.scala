@@ -206,10 +206,12 @@ class IngestStreamingSpec extends SparkSuite {
     // corrupt-column-only queries straight off the raw scan
     val got = graft.sources.Ingest.jsonlTyped(spark, dir, schema,
       corruptColumn = Some("_bad")).cache()
-    assert(got.count() === 3)
-    assert(got.where(col("_bad").isNotNull).count() === 1)
-    assert(got.where(col("_bad").isNull).select("text")
-      .as[String].collect().sorted === Array("alpha", "beta"))
+    try {
+      assert(got.count() === 3)
+      assert(got.where(col("_bad").isNotNull).count() === 1)
+      assert(got.where(col("_bad").isNull).select("text")
+        .as[String].collect().sorted === Array("alpha", "beta"))
+    } finally got.unpersist(blocking = true) // other suites assert an empty SQL cache
     // the shard sink's output reads back typed through the same scan —
     // the corpus-handoff round trip
     val docs = Seq((1L, "one body"), (2L, "two body"), (3L, "three body"))
