@@ -1142,14 +1142,23 @@ object Dedup {
     * doc's own gram array), then one distinct keyed on (id, pos, h).
     * Output: (id, pos, h), pos = the selected gram's 1-based position. */
   def winnowedFingerprints(docs: DataFrame, idCol: String, textCol: String,
-                           k: Int = 3, w: Int = 4): DataFrame = {
+                           k: Int = 3, w: Int = 4,
+                           wide: Boolean = false): DataFrame = {
     require(k >= 1, s"gram size k must be >= 1, got $k")
     require(w >= 1, s"window size w must be >= 1, got $w")
     import graft.functions.GraftFunctions.rolling_hash
+    // wide = true: xxhash64 gram keys — the corpus-scale mode. The
+    // oracle-parity poly-31 fold has ~30 usable bits, so at corpus scale
+    // DISTINCT grams share fingerprints and the pair stage inflates with
+    // phantom candidates (same starvation as [[fingerprints]]; the
+    // min-selection itself is hash-agnostic, so the density and the
+    // w+k-1 guarantee hold under either key).
+    val hashOf: Column => Column =
+      if (wide) c => xxhash64(c) else (c: Column) => rolling_hash(c)
     val tk = graft.operators.TextAnalysis.tokens(col(textCol))
     val gh = when(size(tk) >= k,
       transform(sequence(lit(1), size(tk) - k + 1),
-        i => rolling_hash(concat_ws(" ", slice(tk, i, lit(k))))))
+        i => hashOf(concat_ws(" ", slice(tk, i, lit(k))))))
       .otherwise(array().cast("array<bigint>"))
     val ghc = col("_gh")
     val win: Column => Column = j => slice(ghc, j, lit(w))
@@ -1179,9 +1188,10 @@ object Dedup {
     * `k` (rarer grams) or salting the join ([[Relational.saltedJoin]]). */
   def winnowedMatchPairs(docs: DataFrame, idCol: String, textCol: String,
                          k: Int = 3, w: Int = 4,
-                         minShared: Int = 2): DataFrame = {
+                         minShared: Int = 2,
+                         wide: Boolean = false): DataFrame = {
     require(minShared >= 1, s"minShared must be >= 1, got $minShared")
-    val fp = winnowedFingerprints(docs, idCol, textCol, k, w)
+    val fp = winnowedFingerprints(docs, idCol, textCol, k, w, wide)
     val a = fp.select(col(idCol).as("id_a"), col("h"))
     val b = fp.select(col(idCol).as("id_b"), col("h"))
     a.join(b, Seq("h")).where(col("id_a") < col("id_b"))

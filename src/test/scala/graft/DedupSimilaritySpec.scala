@@ -337,6 +337,13 @@ class DedupSimilaritySpec extends SparkSuite {
     assert(pairs.map(p => (p._1, p._2)).contains((1L, 2L)),
       "a w+k-1 shared run must always pair")
     assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+    // WHICH shared grams get selected is hash-order-dependent, but the
+    // guarantee (>= 1 shared selected print for a w+k-1 run) holds under
+    // the 64-bit scale key too, and unrelated docs still never pair
+    val widePairs = Dedup.winnowedMatchPairs(docs, "doc_id", "text",
+      k = 3, w = 4, minShared = 1, wide = true).as[(Long, Long, Long)].collect()
+    assert(widePairs.map(p => (p._1, p._2)).contains((1L, 2L)))
+    assert(!widePairs.exists(p => p._1 == 3L || p._2 == 3L))
     // density: far fewer selected prints than grams, never more
     val longDoc = Seq((9L, (1 to 200).map(i => s"t${i * 37 % 91}x$i")
       .mkString(" "))).toDF("doc_id", "text")
