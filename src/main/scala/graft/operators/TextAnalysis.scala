@@ -723,8 +723,10 @@ object TextAnalysis {
     * strategies could diverge.
     *
     * Scale shape: merges apply to the DISTINCT-word table (vocabulary-
-    * sized, like [[vocabCoverage]]'s fit), which is then broadcast back
-    * onto the token stream — the corpus-sized work is one narrow explode
+    * sized, like [[vocabCoverage]]'s fit), then joined back onto the
+    * token stream (AQE broadcasts it while it stays small; no forced
+    * hint — the typo tail can outgrow executor memory at corpus scale).
+    * The corpus-sized work is one narrow explode
     * plus a per-document aggregate; the replace chain never touches a
     * corpus-sized row. */
   def bpeEncodeStats(docs: DataFrame, idCol: String, textCol: String,
@@ -744,7 +746,10 @@ object TextAnalysis {
     val wordEnc = tok.select("_w").distinct()
       .select(col("_w"),
         (length(encoded) - length(replace(encoded, lit("("), lit("")))).as("_ns"))
-    tok.join(broadcast(wordEnc), Seq("_w"))
+    // no broadcast HINT: a text corpus's distinct-word table includes the
+    // long typo tail and can outgrow executor memory at 100 TB — AQE
+    // broadcasts it when it is actually small and shuffle-joins when not
+    tok.join(wordEnc, Seq("_w"))
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_words"), sum("_ns").as("n_subtokens"))
       .withColumn("subtokens_per_word",
