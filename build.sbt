@@ -31,4 +31,14 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
-)
+  // Headroom for the growing bench suite: a measured 162-query run
+  // (round 12, -XX:+PrintCodeCache) used ~150 MB of JDK 17's 240 MB
+  // default with full_count=0 — NOT yet the bottleneck, but the
+  // profiled-nmethods heap was at 81/118 MB and the suite keeps growing;
+  // reserving (not committing) 512 MB is free insurance against the JIT
+  // flush-churn failure mode. See BASELINE.md round-12 inflation note.
+  "-XX:ReservedCodeCacheSize=512m",
+) ++
+  // Extra forked-JVM flags for one-off diagnostics (e.g. -XX:+PrintCodeCache)
+  sys.env.get("SPARK_GRAFT_JAVA_OPTS").toSeq
+    .flatMap(_.split("\\s+").filter(_.nonEmpty))

@@ -1719,13 +1719,8 @@ object SparkEntry {
     // used even ids only, so this is true out-of-sample AUC + confusion
     // metrics: the go/no-go gate before a fitted quality scorer is allowed
     // to filter a corpus. Junk docs (id >= 2M) are the negative class.
-    "q137_probe_eval" -> ((s, dir) => {
-      val heldOut = probeScored(s, dir)
-        .where(col("doc_id") % 2 === 1)
-        .withColumn("label",
-          when(col("doc_id") >= 2000000L, 0.0).otherwise(1.0))
-      Quality.evalBinaryClassifier(heldOut, "score", "label", 0.5)
-    }),
+    "q137_probe_eval" -> ((s, dir) =>
+      probeEvalFrom(probeScored(s, dir))),
 
     // DSIR data selection: English docs are the in-domain TARGET exemplar;
     // the non-English pool is importance-weighted by hashed-unigram
@@ -1887,8 +1882,11 @@ object SparkEntry {
     // needs (decomposed vs precomposed text silently splits fingerprints).
     "q149_nfc_audit" -> ((s, dir) => {
       import graft.functions.GraftFunctions.nfc_normalize
+      // combining marks as explicit escapes (e+U+0301, u+U+0308): the
+      // oracle seeds chr(769)/chr(776) DECOMPOSED — a raw "caf\u00e9"-looking
+      // literal would be silently NFC'd by an editor/formatter/git filter
       val raw = concat(col("text"),
-        when(col("doc_id") % 3 === 0, lit(" café ü"))
+        when(col("doc_id") % 3 === 0, lit(" cafe\u0301 u\u0308"))
           .otherwise(lit("")))
       Tables.documents(s, dir)
         .select(col("doc_id"), raw.as("_raw"), nfc_normalize(raw).as("_nfc"))
@@ -1991,20 +1989,8 @@ object SparkEntry {
     // Probe calibration curve (q137's other half: AUC says the scorer
     // RANKS; calibration says the scores MEAN something): equal-width
     // clamped-score deciles vs observed clean rate on the held-out slice.
-    "q158_probe_calibration" -> ((s, dir) => {
-      val heldOut = probeScored(s, dir)
-        .where(col("doc_id") % 2 === 1)
-        .withColumn("label",
-          when(col("doc_id") >= 2000000L, 0.0).otherwise(1.0))
-      heldOut.withColumn("bucket",
-          floor(least(greatest(col("score"), lit(0.0)), lit(0.999999)) * 10)
-            .cast("long"))
-        .groupBy("bucket")
-        .agg(count(lit(1)).as("n_docs"),
-          round(avg("score"), 6).as("mean_score"),
-          round(avg("label"), 6).as("clean_rate"))
-        .orderBy("bucket")
-    }),
+    "q158_probe_calibration" -> ((s, dir) =>
+      probeCalibrationFrom(probeScored(s, dir))),
 
     // RLHF preference-pair audit: chosen = the doc, rejected = its
     // truncated-and-spammed variant; %17==0 pairs are seeded IDENTICAL
@@ -2114,6 +2100,22 @@ object SparkEntry {
           sum("n_docs").over(Window.partitionBy("lang")), 6))
         .orderBy("lang", "predicted")
     }),
+
+    // Main-content extraction (jusText/trafilatura-class boilerplate
+    // removal — the stage between Warc payloads and EVERY text stage):
+    // each doc rendered into a chrome-laden page (nav links, h1, even-id
+    // share strip, link+copyright footer); the block classifier must keep
+    // the body paragraph and drop the chrome stripMarkup would leak.
+    "q166_main_content" -> ((s, dir) => {
+      // 50‰ stopword bar: the synthetic corpus is keyword soup (median
+      // stopword ratio 62‰ vs real prose's ~300‰), so the prose default
+      // of 200‰ would blanket-drop every body; 50‰ splits the corpus
+      // meaningfully, and the chrome still drops via link density/length
+      TextAnalysis.extractMainContent(
+        Tables.documents(s, dir).select(col("doc_id"), synthPage.as("_html")),
+        "doc_id", "_html", minStopPerMille = 50)
+        .orderBy("doc_id")
+    }),
   )
 
   /** q154/q155 corpus: the synthesized lines become conversation turns —
@@ -2164,7 +2166,7 @@ object SparkEntry {
     * fit query and its evaluation query can never disagree on the model.
     * The feature frame is detached — one char-LM computation feeds the
     * (eager) fit AND the final score. */
-  private def probeScored(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def probeScored(s: SparkSession, dir: String): DataFrame = {
     val d = Tables.documents(s, dir).select("doc_id", "text")
     val junk = d.where(col("doc_id") % 5 === 0)
       .select((col("doc_id") + 2000000L).as("doc_id"),
@@ -2181,6 +2183,45 @@ object SparkEntry {
       Quality.fitLinearProbe(labeled, featCols, "label"))
     Quality.scoreQuality(feats, w, featCols, 0.5)
   }
+
+  /** q137's eval stage and q158's calibration stage as functions OF an
+    * already-scored frame: Verify runs them over an independent
+    * [[probeScored]] each (oracle-parity isolation), Bench runs them in
+    * fit-reuse mode over ONE shared scored frame — production reuses one
+    * scored frame, and the bench was measuring the same fit four times. */
+  private[graft] def probeHeldOut(scored: DataFrame): DataFrame =
+    scored.where(col("doc_id") % 2 === 1)
+      .withColumn("label",
+        when(col("doc_id") >= 2000000L, 0.0).otherwise(1.0))
+
+  private[graft] def probeEvalFrom(scored: DataFrame): DataFrame =
+    Quality.evalBinaryClassifier(probeHeldOut(scored), "score", "label", 0.5)
+
+  private[graft] def probeCalibrationFrom(scored: DataFrame): DataFrame =
+    probeHeldOut(scored).withColumn("bucket",
+        floor(least(greatest(col("score"), lit(0.0)), lit(0.999999)) * 10)
+          .cast("long"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_docs"),
+        round(avg("score"), 6).as("mean_score"),
+        round(avg("label"), 6).as("clean_rate"))
+      .orderBy("bucket")
+
+  /** Synthesized crawl page shared by q166 and its spec: the doc body
+    * wrapped in the chrome a real page carries — nav links, an h1, an
+    * even-id share strip, a link+copyright footer. One definition so the
+    * query, its oracle, and the WARC handoff test can never disagree. */
+  private[graft] def synthPage: Column = concat(
+    lit("<html><body><nav><a href=\"/\">Home</a> <a href=\"/about\">About</a> " +
+      "<a href=\"/contact\">Contact us</a></nav>"),
+    lit("<h1>Post "), col("doc_id").cast("string"), lit("</h1><p>"),
+    col("text"), lit("</p>"),
+    when(col("doc_id") % 2 === 0,
+      lit("<div class=\"share\"><a href=\"/s\">Share</a> " +
+        "<a href=\"/t\">Tweet</a></div>")).otherwise(lit("")),
+    lit("<footer><a href=\"/privacy\">Privacy policy</a> " +
+      "<a href=\"/terms\">Terms</a> Copyright 2024 Example Corp</footer>" +
+      "</body></html>"))
 
   /** Synthesized crawl URL shared by q123/q125 — the classic variant noise
     * (scheme case, www., trailing slash, tracking params, fragments) over
@@ -4644,5 +4685,53 @@ object SparkEntry {
         |  ELSE list_transform(range(1, len(w)), i -> substr(w, i, 2)) END) AS pair FROM wf)
         |SELECT pair, CAST(sum(f) AS BIGINT) AS n FROM p GROUP BY pair
         |ORDER BY n DESC, pair LIMIT 50""".stripMargin,
+
+    "q166_main_content" ->
+      // block split + per-block (text, link-chars, words, stopwords) +
+      // integer-rule classification, term-for-term with
+      // TextAnalysis.extractMainContent; regexes are RE2-safe (classes +
+      // alternation + non-greedy only) and replaces carry the 'g' flag
+      // DuckDB needs for Spark's replace-all semantics
+      """WITH pages AS (
+        |  SELECT doc_id,
+        |    '<html><body><nav><a href="/">Home</a> <a href="/about">About</a> <a href="/contact">Contact us</a></nav>'
+        |    || '<h1>Post ' || CAST(doc_id AS VARCHAR) || '</h1><p>' || text || '</p>'
+        |    || CASE WHEN doc_id % 2 = 0 THEN '<div class="share"><a href="/s">Share</a> <a href="/t">Tweet</a></div>' ELSE '' END
+        |    || '<footer><a href="/privacy">Privacy policy</a> <a href="/terms">Terms</a> Copyright 2024 Example Corp</footer></body></html>'
+        |    AS html
+        |  FROM documents),
+        |stats AS (
+        |  SELECT doc_id,
+        |    list_filter(
+        |      list_transform(
+        |        regexp_split_to_array(html, '(?i)</?(?:p|div|br|h[1-6]|li|ul|ol|table|thead|tbody|tr|td|th|section|article|header|footer|nav|aside|blockquote|pre|form)\b[^>]*>'),
+        |        b -> struct_pack(
+        |          txt := trim(regexp_replace(regexp_replace(b, '<[^>]*>', ' ', 'g'), '\s+', ' ', 'g')),
+        |          lc := coalesce(list_sum(list_transform(
+        |                  regexp_extract_all(b, '(?is)<a\b[^>]*>(.*?)</a>', 1),
+        |                  a -> length(trim(regexp_replace(regexp_replace(a, '<[^>]*>', ' ', 'g'), '\s+', ' ', 'g'))))), 0),
+        |          nw := len(list_filter(regexp_split_to_array(lower(trim(regexp_replace(regexp_replace(b, '<[^>]*>', ' ', 'g'), '\s+', ' ', 'g'))), '[^a-z]+'), w -> w <> '')),
+        |          ns := len(list_filter(list_filter(regexp_split_to_array(lower(trim(regexp_replace(regexp_replace(b, '<[^>]*>', ' ', 'g'), '\s+', ' ', 'g'))), '[^a-z]+'), w -> w <> ''),
+        |                    w -> list_contains(['the','a','an','and','or','of','to','in','is','it','that','for','on','with','as','was','at','by','be','this','are','from','have','not','but','they','his','her','you','we'], w)))
+        |        )),
+        |      s -> length(s['txt']) > 0) AS nb
+        |  FROM pages),
+        |splitk AS (
+        |  SELECT doc_id, nb,
+        |    list_filter(nb, s -> length(s['txt']) >= 25 AND s['lc'] * 3 <= length(s['txt'])
+        |                     AND s['nw'] >= 1 AND s['ns'] * 1000 >= s['nw'] * 50) AS kb
+        |  FROM stats)
+        |SELECT doc_id,
+        |  trim(regexp_replace(
+        |    replace(replace(replace(replace(replace(replace(
+        |      coalesce(array_to_string(list_transform(kb, s -> s['txt']), ' '), ''),
+        |      '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''), '&amp;', '&'),
+        |    '\s+', ' ', 'g')) AS main_text,
+        |  len(nb)::BIGINT AS n_blocks,
+        |  len(kb)::BIGINT AS n_content_blocks,
+        |  coalesce(list_sum(list_transform(kb, s -> length(s['txt']))), 0)::BIGINT AS chars_kept,
+        |  (coalesce(list_sum(list_transform(nb, s -> length(s['txt']))), 0)
+        |   - coalesce(list_sum(list_transform(kb, s -> length(s['txt']))), 0))::BIGINT AS chars_dropped
+        |FROM splitk ORDER BY doc_id""".stripMargin,
   )
 }

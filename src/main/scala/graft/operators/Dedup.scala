@@ -189,8 +189,13 @@ object Dedup {
         val mc = coalesce(
           GraftFunctions.bloom_might_contain(toLong(col("_h")), bytes, 6),
           lit(false))
-        hashed.where(!mc)
-          .unionByName(hashed.where(mc).join(seenH, Seq("_h"), "left_anti"))
+        // detach before splitting: both arms off the raw frame would
+        // re-scan the wave and re-compute the (2-pass wide) fingerprint
+        // per arm — one materialized scan, probe computed once
+        val marked = Relational.detach(hashed.withColumn("_mc", mc))
+        marked.where(!col("_mc")).drop("_mc")
+          .unionByName(marked.where(col("_mc")).drop("_mc")
+            .join(seenH, Seq("_h"), "left_anti"))
     }
     dedupKeepFirst(fresh, Seq("_h"), Seq(idCol)).drop("_h")
   }
@@ -613,11 +618,19 @@ object Dedup {
     * carrying the full signature for estimated-Jaccard verification.
     * Detached (eager localCheckpoint) — every caller feeds it to a
     * multi-arm join. */
-  private def bandedSignatures(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+  /** `detached = true` (the self-join mode): the signature table feeds
+    * both join sides, so detach it — not persist; a persisted handback
+    * would leak a cacheManager block (see Relational.detach). Pass
+    * `detached = false` when the signatures feed exactly ONE consumer
+    * (e.g. the train stream of [[nearContaminationHits]], [[lshIndex]]'s
+    * persist): eagerly materializing a corpus-sized frame for a single
+    * downstream join contradicts the "only corpus-sized work is the
+    * equi-join" cost model. */
+  private def bandedSignatures(df: DataFrame, idCol: String, textCol: String,
+                               detached: Boolean = true): DataFrame = {
     val rows = MinhashK / LshBands
-    // detach, not persist: the signature table feeds both join sides; a
-    // persisted handback would leak a cacheManager block (see Relational.detach).
-    val sigs = Relational.detach(minhashSignatures(df, idCol, textCol))
+    val raw = minhashSignatures(df, idCol, textCol)
+    val sigs = if (detached) Relational.detach(raw) else raw
     sigs.select(
       col(idCol), col("sig"),
       explode(expr(
@@ -658,7 +671,7 @@ object Dedup {
     * with accepted documents x `LshBands`, not ingested volume.
     * Columns: (band, bkey, id, sig). */
   def lshIndex(docs: DataFrame, idCol: String, textCol: String): DataFrame =
-    bandedSignatures(docs, idCol, textCol)
+    bandedSignatures(docs, idCol, textCol, detached = false)
       .select(col("band"), col("bkey"), col(idCol).as("id"), col("sig"))
 
   /** The between-waves step of the incremental NEAR-dup contract:
@@ -734,7 +747,10 @@ object Dedup {
   def nearContaminationHits(train: DataFrame, evalDocs: DataFrame,
                             idCol: String, textCol: String, tau: Double): DataFrame = {
     require(tau > 0 && tau <= 1, s"tau must be in (0, 1], got $tau")
-    val tb = bandedSignatures(train, idCol, textCol)
+    // non-detached: the corpus-sized train signatures feed exactly one
+    // join — eager materialization here would cost a corpus-sized
+    // checkpoint for zero reuse
+    val tb = bandedSignatures(train, idCol, textCol, detached = false)
     val idx = lshIndex(evalDocs, idCol, textCol)
     tb.join(
         idx.select(col("band"), col("bkey"), col("id").as("_eid"), col("sig").as("_esig")),

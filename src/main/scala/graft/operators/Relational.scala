@@ -258,13 +258,22 @@ object Relational {
     val bytes = dim
       .agg(GraftFunctions.bloom_agg(col(dimKey), numBits, numHashes).as("_bloom"))
       .head().getAs[Array[Byte]](0)
+    require(!fact.columns.contains("_bloom_mc"),
+      "bloomAntiJoin reserves column _bloom_mc")
     // null keys never equi-match, so ANTI keeps them: route them down the
     // definitely-fresh arm (a bare `!mc` would null out and drop them)
     val mc = coalesce(
       GraftFunctions.bloom_might_contain(col(factKey), bytes, numHashes),
       lit(false))
-    fact.where(!mc)
-      .unionByName(fact.where(mc)
+    // Detach the probed wave so the split reads ONE scan: both union arms
+    // referencing `fact` directly would re-scan it and re-compute the
+    // probe per arm (the cost model counts the wave once). The detach is
+    // wave-sized MEMORY_AND_DISK, reaped by the caller/bench like every
+    // other detach (a null-keyed single-join alternative would funnel all
+    // definitely-fresh rows into hash(null)'s one reducer — worse).
+    val marked = detach(fact.withColumn("_bloom_mc", mc))
+    marked.where(!col("_bloom_mc")).drop("_bloom_mc")
+      .unionByName(marked.where(col("_bloom_mc")).drop("_bloom_mc")
         .join(dim.select(col(dimKey).as(factKey)), Seq(factKey), "left_anti"))
   }
 

@@ -431,7 +431,14 @@ object Stats {
         round(col("_logw") -
           log(-log((hashBucket(col(textCol), 1000000) + 0.5d) / 1000000.0d)), 6)
           .as("sel_key"))
-    val k = math.ceil(docs.where(!targetPred).count() * keepFrac).toInt
-    keyed.orderBy(col("sel_key").desc, col(idCol)).limit(k)
+    // limit() is Int-bound: beyond ~2^31 kept docs the .toInt would wrap
+    // silently — fail loudly and point at the batch-size contract instead
+    // (at 100 TB, run dsirSelect per corpus shard like fitLinearProbe's
+    // documented batching, not over one 2B+-doc pool).
+    val kLong = math.ceil(docs.where(!targetPred).count() * keepFrac).toLong
+    require(kLong <= Int.MaxValue,
+      s"dsirSelect keep count $kLong exceeds Int.MaxValue (limit() is " +
+        "Int-bound) — shard the pool and select per shard")
+    keyed.orderBy(col("sel_key").desc, col(idCol)).limit(kLong.toInt)
   }
 }

@@ -683,6 +683,13 @@ object TextAnalysis {
       if (top.isEmpty) done = true
       else {
         val (a, b, n) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+        // The merge fold below splices both symbols into SQL text. Today
+        // wordTokens = [A-Za-z0-9]+ can never emit a quote, but a future
+        // tokenizer swap (byte-level BPE over raw text) would silently turn
+        // this into SQL injection — fail loudly instead.
+        Seq(a, b).foreach(s => require(s.matches("[A-Za-z0-9]+"),
+          s"trainBpeMerges symbol '$s' outside [A-Za-z0-9]+ — the merge fold " +
+            "splices symbols into SQL text and is only safe for this alphabet"))
         val ab = a + b
         merges += ((r, a, b, ab, n))
         // greedy left-to-right merge: fold symbols, collapsing (a, b) runs
@@ -837,6 +844,98 @@ object TextAnalysis {
       "&quot;" -> "\"", "&#39;" -> "'", "&amp;" -> "&")
       .foldLeft(noTags) { case (c, (e, r)) => regexp_replace(c, e, r) }
     trim(regexp_replace(decoded, "\\s+", " "))
+  }
+
+  /** English stoplist for the block-level content classifier — the
+    * jusText/trafilatura stopword-density signal. Deliberately small and
+    * FROZEN: the rule thresholds in [[extractMainContent]] are calibrated
+    * against it and the oracle SQL embeds the identical list. */
+  private[graft] val ContentStopwords: Seq[String] = Seq(
+    "the", "a", "an", "and", "or", "of", "to", "in", "is", "it",
+    "that", "for", "on", "with", "as", "was", "at", "by", "be",
+    "this", "are", "from", "have", "not", "but", "they", "his",
+    "her", "you", "we")
+
+  /** Block boundaries: any opening/closing block-level HTML tag. RE2-safe
+    * (character classes + alternation only), so DuckDB's
+    * `regexp_split_to_array` splits identically. */
+  private[graft] val BlockTagSplit: String =
+    "(?i)</?(?:p|div|br|h[1-6]|li|ul|ol|table|thead|tbody|tr|td|th|" +
+      "section|article|header|footer|nav|aside|blockquote|pre|form)\\b[^>]*>"
+
+  /** Main-content extraction — the boilerplate-removal stage between a
+    * crawl's raw HTML ([[graft.sources.Warc.readWarc]] payloads) and
+    * everything downstream (lang-ID → quality → dedup ladder):
+    * [[stripMarkup]] keeps nav/footer/cookie-banner chrome that poisons
+    * dedup fingerprints and quality scores; this drops it with the
+    * line/block-based heuristics at the core of jusText and trafilatura
+    * (Pomikálek 2011; Barbaresi 2021), which are pure per-block
+    * arithmetic and therefore SQL-expressible and oracle-checkable.
+    *
+    * Algorithm: split the HTML at block-level tag boundaries
+    * ([[BlockTagSplit]]); for each block compute its inline-stripped text,
+    * anchor-text share, and stopword share; classify a block as CONTENT
+    * iff (all integer arithmetic — no float boundary risk):
+    *   - `length(text) >= minChars`            (short chrome lines drop)
+    *   - `3 * linkChars <= length(text)`       (link density <= 1/3)
+    *   - `nWords >= 1 && 1000 * nStop >= minStopPerMille * nWords`
+    *     (stopword ratio >= minStopPerMille/1000 — prose has function
+    *     words, button/menu text does not; default 200‰ is the
+    *     jusText-class bar for real English prose — calibrate DOWN for
+    *     function-word-poor corpora, e.g. q166 runs 50‰ against the
+    *     synthetic keyword-soup corpus whose median ratio is 62‰)
+    * Output per doc: `main_text` (content blocks joined by one space,
+    * entity-decoded with [[stripMarkup]]'s 6-entity chain), `n_blocks`
+    * (non-empty text blocks), `n_content_blocks`, `chars_kept`,
+    * `chars_dropped`.
+    *
+    * Scale shape: ONE codegen'd projection over the corpus scan — the
+    * split/transform/filter/aggregate chain is all higher-order functions
+    * on the in-row block array; zero shuffles, zero UDFs. Per-row memory
+    * is the document's own block list (bounded by the page size the crawl
+    * already holds in the row). */
+  def extractMainContent(docs: DataFrame, idCol: String, htmlCol: String,
+                         minChars: Int = 25,
+                         minStopPerMille: Int = 200): DataFrame = {
+    require(minChars >= 1, s"extractMainContent needs minChars >= 1, got $minChars")
+    require(minStopPerMille >= 0 && minStopPerMille <= 1000,
+      s"extractMainContent needs minStopPerMille in [0, 1000], got $minStopPerMille")
+    val stops = array(ContentStopwords.map(lit): _*)
+    def inlineText(c: Column): Column =
+      trim(regexp_replace(regexp_replace(c, "<[^>]*>", " "), "\\s+", " "))
+    // per-block stats struct: (txt, link chars, words, stopwords)
+    val stats = transform(split(col(htmlCol), BlockTagSplit), b => {
+      val txt = inlineText(b)
+      val linkChars = aggregate(
+        transform(regexp_extract_all(b, lit("(?is)<a\\b[^>]*>(.*?)</a>"), lit(1)),
+          a => length(inlineText(a))),
+        lit(0), (acc, v) => acc + v)
+      val words = filter(split(lower(txt), "[^a-z]+"), w => w =!= "")
+      struct(txt.as("txt"), linkChars.as("lc"), size(words).as("nw"),
+        size(filter(words, w => array_contains(stops, w))).as("ns"))
+    })
+    def isContent(s: Column): Column =
+      length(s.getField("txt")) >= minChars &&
+        s.getField("lc") * 3 <= length(s.getField("txt")) &&
+        s.getField("nw") >= 1 &&
+        s.getField("ns") * 1000 >= s.getField("nw") * minStopPerMille
+    def charSum(blocks: Column): Column =
+      aggregate(blocks, lit(0L), (acc, s) => acc + length(s.getField("txt")).cast("long"))
+    val joined = array_join(transform(col("_kb"), s => s.getField("txt")), " ")
+    val decoded = Seq(
+      "&nbsp;" -> " ", "&lt;" -> "<", "&gt;" -> ">",
+      "&quot;" -> "\"", "&#39;" -> "'", "&amp;" -> "&")
+      .foldLeft(joined) { case (c, (e, r)) => regexp_replace(c, e, r) }
+    docs
+      .select(col(idCol),
+        filter(stats, s => length(s.getField("txt")) > 0).as("_nb"))
+      .select(col(idCol), col("_nb"), filter(col("_nb"), isContent(_)).as("_kb"))
+      .select(col(idCol),
+        trim(regexp_replace(decoded, "\\s+", " ")).as("main_text"),
+        size(col("_nb")).cast("long").as("n_blocks"),
+        size(col("_kb")).cast("long").as("n_content_blocks"),
+        charSum(col("_kb")).as("chars_kept"),
+        (charSum(col("_nb")) - charSum(col("_kb"))).as("chars_dropped"))
   }
 
   /** Canonical URL form for URL-level dedup — the FIRST dedup stage of

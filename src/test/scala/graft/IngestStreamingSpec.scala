@@ -275,6 +275,51 @@ class IngestStreamingSpec extends SparkSuite {
     assert(texts.length === 2 && texts.forall(_ === "hello corpus"))
   }
 
+  test("WARC -> main-content extraction: body survives, nav/footer chrome drops") {
+    import graft.sources.Warc
+    import java.nio.charset.StandardCharsets.UTF_8
+    // a realistically chrome-laden page: nav menu, cookie banner, a prose
+    // body paragraph, a read-more strip, and a link+copyright footer —
+    // stripMarkup keeps ALL of this text; the content classifier must not
+    val body = "The quick brown fox jumped over the lazy dog and then it ran " +
+      "off into the woods to find some food for the winter season ahead."
+    val html = "<html><body>" +
+      "<nav><a href=\"/\">Home</a> <a href=\"/a\">About</a> <a href=\"/c\">Contact</a></nav>" +
+      "<div class=\"cookie\">We use cookies. <a href=\"/p\">Accept</a></div>" +
+      "<h1>A post</h1><p>" + body + "</p>" +
+      "<div><a href=\"/m\">Read more</a> <a href=\"/s\">Subscribe now</a></div>" +
+      "<footer><a href=\"/pr\">Privacy</a> <a href=\"/t\">Terms</a> Copyright 2024</footer>" +
+      "</body></html>"
+    def rec(tpe: String, uri: String, block: String): Array[Byte] = {
+      val b = block.getBytes(UTF_8)
+      (s"WARC/1.0\r\nWARC-Type: $tpe\r\nWARC-Target-URI: $uri\r\n" +
+        s"Content-Length: ${b.length}\r\n\r\n").getBytes(UTF_8) ++
+        b ++ "\r\n\r\n".getBytes(UTF_8)
+    }
+    val warc = rec("response", "https://example.com/post",
+      "HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n" + html)
+    val dir = Files.createTempDirectory("graft_warc_content").toString
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/seg.warc"), warc)
+    val pages = Warc.readWarc(spark, dir)
+      .where(col("warc_type") === "response")
+      .select(col("target_uri"), col("payload").cast("string").as("html"))
+    val out = graft.operators.TextAnalysis
+      .extractMainContent(pages, "target_uri", "html")
+      .as[(String, String, Long, Long, Long, Long)].collect()
+    assert(out.length === 1)
+    val (_, mainText, nBlocks, nContent, kept, dropped) = out.head
+    assert(mainText === body, "the body paragraph must survive verbatim")
+    assert(nContent === 1L, "exactly the body block is content")
+    assert(nBlocks >= 4L, "nav/cookie/h1/read-more/footer blocks were seen")
+    assert(kept === body.length.toLong && dropped > 0L)
+    // contrast: stripMarkup alone keeps the chrome this stage exists to drop
+    val stripped = pages.select(graft.operators.TextAnalysis
+      .stripMarkup(col("html")).as("t")).as[String].head()
+    assert(stripped.contains("Subscribe now") && stripped.contains("cookies"))
+    assert(!mainText.contains("Subscribe") && !mainText.contains("cookies") &&
+      !mainText.contains("Copyright"))
+  }
+
   test("streaming quality filter: badword verdicts filter docs in flight (§2.11)") {
     // Quality verdicts are stateless per-document projections, so the
     // filter chain composes onto a stream with NO state store at all —
