@@ -2116,6 +2116,25 @@ object SparkEntry {
         "doc_id", "_html", minStopPerMille = 50)
         .orderBy("doc_id")
     }),
+
+    // TRAINED language ID, evaluated exactly like the heuristic (q163):
+    // trigram profiles fit on the even-id labeled slice of the
+    // language-seeded corpus (langSeedSuffix — the raw synthetic text
+    // carries no language signal at all), held-out odd-id confusion
+    // matrix. TextAnalysisSpec pins that the trained diagonal strictly
+    // dominates the q30 marker heuristic on this same corpus.
+    "q167_trained_langid" -> ((s, dir) => {
+      val seeded = Tables.documents(s, dir)
+        .withColumn("text", concat(col("text"), langSeedSuffix))
+      TextAnalysis.trigramLangId(seeded, "doc_id", "text",
+          "lang", fitPred = col("doc_id") % 2 === 0)
+        .where(col("doc_id") % 2 === 1)
+        .groupBy("lang", "predicted")
+        .agg(count(lit(1)).as("n_docs"))
+        .withColumn("row_frac", round(col("n_docs").cast("double") /
+          sum("n_docs").over(Window.partitionBy("lang")), 6))
+        .orderBy("lang", "predicted")
+    }),
   )
 
   /** q154/q155 corpus: the synthesized lines become conversation turns —
@@ -2274,6 +2293,24 @@ object SparkEntry {
 
   /** Marker vocabularies for the language-ID heuristic — drawn from the
     * synthetic corpus vocabulary so scores are non-degenerate. */
+  /** q167's corpus: the synthetic documents carry NO real language signal
+    * (text is the same keyword soup for every `lang` label — q30/q163 are
+    * eval-harness demos at chance level), so the trained-vs-heuristic
+    * comparison seeds one: docs get a function-word suffix in their
+    * labeled language (high-frequency forms a trigram model learns and
+    * marker lists don't contain) — EXCEPT the doc_id % 7 == 3 slice,
+    * which stays unseeded so the problem keeps an irreducible-error tail
+    * and the floor/argmax paths are exercised. CJK chars written as
+    * escapes (q149's discipline: visible, formatter-proof). */
+  private[graft] def langSeedSuffix: Column =
+    when(col("doc_id") % 7 === 3, lit(""))
+      .otherwise(when(col("lang") === "de", lit(" und der nicht das ist ein"))
+        .when(col("lang") === "fr", lit(" et le ne pas est une"))
+        .when(col("lang") === "es", lit(" y el no es que una"))
+        .when(col("lang") === "zh",
+          lit(" \u7684 \u662f \u4e0d \u4e86 \u5728"))
+        .otherwise(lit(" the and was of is not")))
+
   val langMarkers: Map[String, Seq[String]] = Map(
     "en" -> Seq("the", "fast", "key"),
     "de" -> Seq("order", "sort", "table"),
@@ -4733,5 +4770,41 @@ object SparkEntry {
         |  (coalesce(list_sum(list_transform(nb, s -> length(s['txt']))), 0)
         |   - coalesce(list_sum(list_transform(kb, s -> length(s['txt']))), 0))::BIGINT AS chars_dropped
         |FROM splitk ORDER BY doc_id""".stripMargin,
+
+    "q167_trained_langid" ->
+      // same fit-on-even-slice trigram profiles, add-0.5 smoothing over
+      // the shared fit vocabulary, per-language unseen floor, 6-dp score
+      // rounding BEFORE the (score desc, lang asc) argmax — term-for-term
+      // with TextAnalysis.trigramLangId
+      """WITH seeded AS (SELECT doc_id, lang, text ||
+        |  CASE WHEN doc_id % 7 = 3 THEN ''
+        |       WHEN lang = 'de' THEN ' und der nicht das ist ein'
+        |       WHEN lang = 'fr' THEN ' et le ne pas est une'
+        |       WHEN lang = 'es' THEN ' y el no es que una'
+        |       WHEN lang = 'zh' THEN ' \u7684 \u662f \u4e0d \u4e86 \u5728'
+        |       ELSE ' the and was of is not' END AS text FROM documents),
+        |d AS (SELECT doc_id, lang, lower(text) AS t, doc_id % 2 = 0 AS fit FROM seeded),
+        |tri AS (SELECT doc_id, lang, fit, unnest(CASE WHEN length(t) < 3 THEN CAST([] AS VARCHAR[])
+        |  ELSE list_transform(range(1, length(t) - 1), i -> substr(t, i, 3)) END) AS g FROM d),
+        |c AS (SELECT lang AS plang, g, count(*) AS c FROM tri WHERE fit GROUP BY 1, 2),
+        |tot AS (SELECT plang, CAST(sum(c) AS DOUBLE) AS tot FROM c GROUP BY 1),
+        |v AS (SELECT CAST(count(DISTINCT g) AS DOUBLE) AS v FROM c),
+        |prof AS (SELECT g, plang, ln((c + 0.5) / (tot + 0.5 * v)) AS lp
+        |  FROM c JOIN tot USING (plang) CROSS JOIN v),
+        |fl AS (SELECT plang, ln(0.5 / (tot + 0.5 * v)) AS fl FROM tot CROSS JOIN v),
+        |dt AS (SELECT doc_id, lang, count(*) AS n FROM tri GROUP BY 1, 2),
+        |seen AS (SELECT t.doc_id, p.plang, count(*) AS ns, sum(p.lp) AS lps
+        |  FROM tri t JOIN prof p ON t.g = p.g GROUP BY 1, 2),
+        |grid AS (SELECT dt.doc_id, dt.lang, fl.plang,
+        |  round(coalesce(s.lps, 0) + (dt.n - coalesce(s.ns, 0)) * fl.fl, 6) AS score
+        |  FROM dt CROSS JOIN fl
+        |  LEFT JOIN seen s ON s.doc_id = dt.doc_id AND s.plang = fl.plang),
+        |pred AS (SELECT doc_id, lang, plang AS predicted,
+        |  row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, plang ASC) AS rn FROM grid),
+        |g2 AS (SELECT lang, predicted, count(*) AS n_docs FROM pred
+        |  WHERE rn = 1 AND doc_id % 2 = 1 GROUP BY 1, 2)
+        |SELECT lang, predicted, n_docs,
+        |  round(n_docs * 1.0 / sum(n_docs) OVER (PARTITION BY lang), 6) AS row_frac
+        |FROM g2 ORDER BY lang, predicted""".stripMargin,
   )
 }

@@ -71,9 +71,11 @@ object Quality {
     * runs on the driver at d ~ a handful. Fails loudly on a singular
     * system (a constant feature or an exact linear dependence) instead of
     * returning NaN weights. */
-  def fitLinearProbe(labeled: DataFrame, featureCols: Seq[String],
-                     labelCol: String): Array[Double] = {
-    require(featureCols.nonEmpty, "fitLinearProbe needs at least one feature")
+  /** The fit's ONE aggregate as a frame — factored out so
+    * PlanPosture can pin its shape (single exchange, map-side partials)
+    * without re-deriving the agg list. */
+  private[graft] def fitAggFrame(labeled: DataFrame, featureCols: Seq[String],
+                                 labelCol: String): DataFrame = {
     val d = featureCols.length
     val aggs =
       featureCols.map(f => avg(col(f)).as(s"_m_$f")) ++
@@ -82,7 +84,14 @@ object Quality {
           covar_pop(col(featureCols(i)), col(featureCols(j))).as(s"_s_${i}_$j")) ++
         featureCols.indices.map(i =>
           covar_pop(col(featureCols(i)), col(labelCol)).as(s"_c_$i"))
-    val row = labeled.agg(aggs.head, aggs.tail: _*).head()
+    labeled.agg(aggs.head, aggs.tail: _*)
+  }
+
+  def fitLinearProbe(labeled: DataFrame, featureCols: Seq[String],
+                     labelCol: String): Array[Double] = {
+    require(featureCols.nonEmpty, "fitLinearProbe needs at least one feature")
+    val d = featureCols.length
+    val row = fitAggFrame(labeled, featureCols, labelCol).head()
     def get(n: String): Double = {
       val v = row.getAs[Any](n)
       require(v != null, s"fitLinearProbe: aggregate $n is null (empty labeled slice?)")

@@ -517,6 +517,78 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n_tri"), round(avg("_lp"), 6).as("avg_logp"))
   }
 
+  /** TRAINED character-trigram language ID — the model tier above
+    * [[languageId]]'s fixed marker lists (the Cavnar–Trenkle 1994 n-gram
+    * family, scored generatively): fit one add-k-smoothed trigram profile
+    * per language on the labeled `fitPred` slice, then classify every
+    * document as the argmax language of `sum log P(tri | lang)` with a
+    * per-language smoothed floor for unseen trigrams. Markers need
+    * hand-picked words; profiles learn whatever actually separates the
+    * corpus's languages (including spacing/diacritic patterns), which is
+    * why this strictly dominates the heuristic on q163's confusion
+    * diagonal.
+    *
+    * Scale shape: the fit is one (lang, trigram)-keyed aggregate of the
+    * fit slice's explode — all fit tables are vocabulary-sized
+    * (|langs| x |trigrams|), detached once and reused by profile/floor/
+    * total arms. The score pass is ONE corpus explode joined to the
+    * profile on the trigram key — broadcast under `broadcastMaxTrigrams`
+    * (same bound and rationale as [[charTrigramLogProb]]), shuffle join
+    * above it — then one (doc, lang)-keyed aggregate over the
+    * |langs|-wide grid and a per-doc |langs|-row argmax window. Scores
+    * round to 6 dp BEFORE the argmax so the cross-engine tie-break
+    * (score desc, lang asc) is float-boundary-safe. Documents shorter
+    * than 3 chars have no trigrams and are excluded (the explode drops
+    * them) — a crawl corpus has none post-cleaning.
+    * Output: (idCol, langCol, predicted, best_score). */
+  def trigramLangId(docs: DataFrame, idCol: String, textCol: String,
+                    langCol: String, fitPred: Column, k: Double = 0.5,
+                    broadcastMaxTrigrams: Long = 10000000L): DataFrame = {
+    require(k > 0, s"trigramLangId smoothing k must be positive, got $k")
+    // sequence(1, 0) DESCENDS — guard short docs (see charTrigramLogProb)
+    val triExpr = expr("IF(length(_lt) < 3, array(), " +
+      "transform(sequence(1, length(_lt) - 2), i -> substring(_lt, i, 3)))")
+    val tri = docs
+      .select(col(idCol), col(langCol), lower(col(textCol)).as("_lt"),
+        fitPred.as("_fit"))
+      .select(col(idCol), col(langCol), col("_fit"), explode(triExpr).as("_tri"))
+    // vocabulary-sized fit tables; detached once, read by four arms
+    val counts = Relational.detach(
+      tri.where(col("_fit"))
+        .groupBy(col(langCol).as("_lang"), col("_tri"))
+        .agg(count(lit(1)).as("_c")))
+    val totals = counts.groupBy("_lang").agg(sum("_c").as("_tot"))
+    val vocab = counts.agg(countDistinct("_tri").as("_v"))
+    val floors = totals.crossJoin(broadcast(vocab))
+      .select(col("_lang"),
+        log(lit(k) / (col("_tot") + lit(k) * col("_v"))).as("_floor"))
+    val profile = counts.join(totals, "_lang").crossJoin(broadcast(vocab))
+      .select(col("_tri"), col("_lang"),
+        log((col("_c") + lit(k)) / (col("_tot") + lit(k) * col("_v"))).as("_lp"))
+    val profJ =
+      if (counts.count() <= broadcastMaxTrigrams) broadcast(profile)
+      else profile
+    val seen = tri.join(profJ, Seq("_tri"))
+      .groupBy(col(idCol), col("_lang"))
+      .agg(count(lit(1)).as("_nSeen"), sum("_lp").as("_lpSeen"))
+    val docTot = tri.groupBy(col(idCol), col(langCol))
+      .agg(count(lit(1)).as("_n"))
+    // full doc x lang grid: a language sharing NO trigram with the doc
+    // still scores (all-floor) — floors is |langs| rows, always broadcast
+    val grid = docTot.crossJoin(broadcast(floors))
+      .join(seen, Seq(idCol, "_lang"), "left")
+      .select(col(idCol), col(langCol), col("_lang"),
+        round(coalesce(col("_lpSeen"), lit(0.0)) +
+          (col("_n") - coalesce(col("_nSeen"), lit(0L))) * col("_floor"), 6)
+          .as("_score"))
+    val w = Window.partitionBy(col(idCol))
+      .orderBy(col("_score").desc, col("_lang").asc)
+    grid.withColumn("_rn", row_number().over(w))
+      .where(col("_rn") === 1)
+      .select(col(idCol), col(langCol), col("_lang").as("predicted"),
+        col("_score").as("best_score"))
+  }
+
   /** Word-level bigram LM with stupid backoff (Brants et al. 2007) — the
     * KenLM-class quality signal one tier above [[charTrigramLogProb]]'s
     * character model: fit bigram/unigram tables on the `fitPred` slice of

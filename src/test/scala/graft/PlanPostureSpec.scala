@@ -309,4 +309,46 @@ class PlanPostureSpec extends SparkSuite {
     assert(!plan.contains("BroadcastNestedLoopJoin"),
       s"corpus side must not ride a nested-loop broadcast:\n$plan")
   }
+
+  test("chat family plans ONE conversation-keyed exchange each (q154/q155/q156 shape)") {
+    // Every chat operator reduces to a single conversation-keyed aggregate
+    // whose checks are array expressions over the collected turn list —
+    // the contract PLANS.md documents; a refactor that sneaks in a second
+    // shuffle (e.g. a per-turn window) fails here before it fails bench.
+    import spark.implicits._
+    val turns = Seq(
+      (1L, 0L, "system", "be kind"), (1L, 1L, "user", "hi"),
+      (1L, 2L, "assistant", "hello"), (2L, 0L, "system", "s"),
+      (2L, 1L, "assistant", "wrong first"), (2L, 2L, "user", "x"))
+      .toDF("conv_id", "turn_idx", "role", "content")
+    for ((name, df) <- Seq(
+      "validateTurns" -> graft.operators.Chat.validateTurns(
+        turns, "conv_id", "turn_idx", "role", "content"),
+      "flattenChat" -> graft.operators.Chat.flattenChat(
+        turns, "conv_id", "turn_idx", "role", "content"),
+      "assistantSpans" -> graft.operators.Chat.assistantSpans(
+        turns, "conv_id", "turn_idx", "role", "content"))) {
+      val plan = executedPlan(df)
+      assert(shuffleCount(plan) === 1,
+        s"$name must shuffle exactly once (conversation key):\n$plan")
+      assert(!plan.contains("Window"), s"$name must not window per turn:\n$plan")
+    }
+  }
+
+  test("quality probe: ONE map-side-partial aggregate fit + zero-shuffle score (q130 shape)") {
+    import spark.implicits._
+    val feats = Seq((1L, 0.1, 0.2, -3.0, 1.0), (2L, 0.3, 0.1, -2.0, 0.0))
+      .toDF("doc_id", "stop_frac", "dup_word_frac", "lm_logp", "label")
+    val cols = Seq("stop_frac", "dup_word_frac", "lm_logp")
+    // the fit reduces the whole labeled slice to one row of driver doubles
+    // through ONE exchange with map-side partials
+    val fitPlan = executedPlan(graft.operators.Quality.fitAggFrame(feats, cols, "label"))
+    assert(shuffleCount(fitPlan) <= 1, s"fit must be one aggregate:\n$fitPlan")
+    assert(fitPlan.contains("partial_avg") || fitPlan.contains("partial_covar"),
+      s"fit aggregate must combine map-side:\n$fitPlan")
+    // scoring with literal weights is a pure projection over the features
+    val scorePlan = executedPlan(graft.operators.Quality.scoreQuality(
+      feats, Array(0.5, 1.0, -2.0, 0.01), cols, 0.5))
+    assert(shuffleCount(scorePlan) === 0, s"score must be zero-shuffle:\n$scorePlan")
+  }
 }

@@ -619,4 +619,53 @@ class TextAnalysisSpec extends SparkSuite {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), s"chunkDocs must be map-only:\n$plan")
   }
+
+  test("trigramLangId: profiles classify held-out docs; all-floor docs still score") {
+    val docs = Seq(
+      (0L, "en", "the quick brown fox and the lazy dog the end"),
+      (2L, "en", "the rain in spain falls on the plain the whole day"),
+      (4L, "de", "der schnelle braune fuchs und der faule hund das ende"),
+      (6L, "de", "der regen in spanien bleibt auf der ebene den ganzen tag"),
+      (1L, "en", "the fox and the dog met the cat"),
+      (3L, "de", "der fuchs und der hund trafen die katze"),
+      (5L, "en", "zzqj qqkx xxwv")).toDF("doc_id", "lang", "text")
+    val out = TextAnalysis.trigramLangId(docs, "doc_id", "text", "lang",
+        fitPred = col("doc_id") % 2 === 0)
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(out(1L) === "en")
+    assert(out(3L) === "de")
+    // doc 5 shares ~no trigram with either profile: the per-language floor
+    // (not a null/missing row) must decide — any language, never a crash
+    assert(Set("en", "de").contains(out(5L)))
+    assert(out.size === 7, "fit docs are classified too")
+    intercept[IllegalArgumentException](
+      TextAnalysis.trigramLangId(docs, "doc_id", "text", "lang", lit(true), k = 0.0))
+  }
+
+  test("trained trigram lang-ID strictly dominates the marker heuristic (q167 contract)") {
+    // Same seeded corpus, same held-out slice, both classifiers: the
+    // trained model must win the diagonal outright — this is the measured
+    // claim behind shipping a trained tier above q30's marker lists.
+    val seeded = graft.meta.Tables.documents(spark, sf)
+      .withColumn("text", concat(col("text"), SparkEntry.langSeedSuffix))
+    val trained = TextAnalysis.trigramLangId(seeded, "doc_id", "text", "lang",
+        fitPred = col("doc_id") % 2 === 0)
+      .where(col("doc_id") % 2 === 1)
+    val n = trained.count()
+    val trainedHits = trained.where(col("lang") === col("predicted")).count()
+    val markers = SparkEntry.langMarkers
+    val langs = markers.keys.toSeq.sorted
+    val d = seeded.where(col("doc_id") % 2 === 1)
+      .select(col("doc_id"), col("lang"), TextAnalysis.tokens(col("text")).as("_tk"))
+    val scored = TextAnalysis.languageScoresOver(col("_tk"), markers)
+      .foldLeft(d) { case (df, (l, c)) => df.withColumn(s"score_$l", c) }
+    val heurHits = scored.withColumn("predicted",
+        TextAnalysis.languageIdFromScores(langs.map(l => l -> col(s"score_$l"))))
+      .where(col("lang") === col("predicted")).count()
+    assert(trainedHits > heurHits,
+      s"trained $trainedHits/$n must beat heuristic $heurHits/$n")
+    // and not merely beat a chance-level baseline: >= 80% absolute (the
+    // unseeded doc_id % 7 == 3 slice is the irreducible-error tail)
+    assert(trainedHits * 10 >= n * 8, s"trained $trainedHits/$n below 80%")
+  }
 }
