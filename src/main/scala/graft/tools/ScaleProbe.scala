@@ -10,7 +10,8 @@ import org.apache.spark.sql.functions._
   * stages-cost-compute-not-shuffles claim (dev aid; measured numbers
   * land in BASELINE.md). Args select sections: `fill`, `skew`, `bucket`,
   * `funnel`, `pq`, `spanscrub`, `fuzzydedup`, `cleanscrub`, `packbudget`, `simhashband`,
-  * `wordlm`, `bloomdedup`, `winnow`, `chatshard`, `legacy` (no args = all). */
+  * `wordlm`, `bloomdedup`, `winnow`, `chatshard`, `warcsrc`, `jsonlsrc`,
+  * `legacy` (no args = all). */
 object ScaleProbe {
   def main(args: Array[String]): Unit = {
     val sections: String => Boolean =
@@ -537,6 +538,96 @@ object ScaleProbe {
           noop(Dedup.incrementalDedupKeepFirst(wave, "doc_id", "text", seen,
             wide = true, bloomBits = Some(1 << 24))))
       } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBc)
+    }
+
+    // WARC source growth: record-parse wall at 1x vs 16x record volume,
+    // plus the gzip (Common Crawl layout) overhead at 16x. The parse is a
+    // per-file flatMap, so the claim to verify is ~linear growth with
+    // records and no driver involvement.
+    if (sections("warcsrc")) {
+      import graft.sources.Warc
+      import java.nio.charset.StandardCharsets.UTF_8
+      val html = "<html><body>" + ("corpus words and markup " * 20) + "</body></html>"
+      val httpBlock =
+        "HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n" + html
+      def seg(nRec: Int): Array[Byte] = {
+        val sb = new java.io.ByteArrayOutputStream(nRec * (httpBlock.length + 160))
+        for (i <- 0 until nRec) {
+          val body = httpBlock.getBytes(UTF_8)
+          sb.write((s"WARC/1.0\r\nWARC-Type: response\r\n" +
+            s"WARC-Target-URI: https://example.com/p$i\r\n" +
+            s"Content-Length: ${body.length}\r\n\r\n").getBytes(UTF_8))
+          sb.write(body); sb.write("\r\n\r\n".getBytes(UTF_8))
+        }
+        sb.toByteArray
+      }
+      def gz(b: Array[Byte]): Array[Byte] = {
+        val bo = new java.io.ByteArrayOutputStream()
+        val g = new java.util.zip.GZIPOutputStream(bo)
+        g.write(b); g.finish(); bo.toByteArray
+      }
+      val one = seg(2000)
+      def writeSegs(dir: String, n: Int, bytes: Array[Byte], ext: String): Unit = {
+        val d = new java.io.File(dir); d.mkdirs()
+        d.listFiles().foreach(_.delete())
+        (0 until n).foreach(i => java.nio.file.Files.write(
+          new java.io.File(d, f"seg$i%03d.$ext").toPath, bytes))
+      }
+      time("write warc fixtures (8/128 segs x 2k rec)") {
+        writeSegs("/tmp/graft_probe_warc1", 8, one, "warc")
+        writeSegs("/tmp/graft_probe_warc16", 128, one, "warc")
+        writeSegs("/tmp/graft_probe_warc16gz", 128, gz(one), "warc.gz")
+      }
+      def time2(name: String)(f: => Unit): Unit = {
+        val ts = (1 to 2).map { _ =>
+          val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+        }
+        println(f"[probe] $name%-34s ${ts.min}%.2f s (min of 2)")
+      }
+      def parseAll(dir: String): Unit = noop(
+        Warc.readWarc(spark, dir).select(col("http_status"),
+          length(col("payload")).as("l")))
+      time2("warc parse  1x (16k records)")(parseAll("/tmp/graft_probe_warc1"))
+      time2("warc parse 16x (256k records)")(parseAll("/tmp/graft_probe_warc16"))
+      time2("warc parse 16x gz (CC layout)")(parseAll("/tmp/graft_probe_warc16gz"))
+    }
+
+    // Typed-JSONL source growth: scan wall at 1x vs 16x lines, and a
+    // corrupt-rate sweep at 16x (0% / 1% / 10% garbage lines) — the claim
+    // is that PERMISSIVE capture costs parse time only on the corrupt
+    // lines, not a per-file penalty.
+    if (sections("jsonlsrc")) {
+      import org.apache.spark.sql.types._
+      val schema = StructType(Seq(
+        StructField("id", LongType), StructField("text", StringType)))
+      def gen(path: String, n: Long, corruptPerMille: Int): Unit = {
+        val good = concat(lit("{\"id\": "), col("id"),
+          lit(", \"text\": \"body words for document "), col("id"),
+          lit(" padded with a few more tokens\"}"))
+        spark.range(n).select(
+          when(pmod(col("id"), lit(1000)) < corruptPerMille,
+            lit("{\"id\": oops not json")).otherwise(good).as("value"))
+          .write.mode("overwrite").text(path)
+      }
+      time("write jsonl fixtures (200k/3.2M lines)") {
+        gen("/tmp/graft_probe_jsonl1", 200000L, 0)
+        gen("/tmp/graft_probe_jsonl16", 3200000L, 0)
+        gen("/tmp/graft_probe_jsonl16c1", 3200000L, 10)
+        gen("/tmp/graft_probe_jsonl16c10", 3200000L, 100)
+      }
+      def time2(name: String)(f: => Unit): Unit = {
+        val ts = (1 to 2).map { _ =>
+          val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+        }
+        println(f"[probe] $name%-34s ${ts.min}%.2f s (min of 2)")
+      }
+      def scan(path: String): Unit = noop(
+        graft.sources.Ingest.jsonlTyped(spark, path, schema,
+          corruptColumn = Some("_bad")))
+      time2("jsonl scan  1x (200k lines)")(scan("/tmp/graft_probe_jsonl1"))
+      time2("jsonl scan 16x (3.2M lines)")(scan("/tmp/graft_probe_jsonl16"))
+      time2("jsonl scan 16x, 1% corrupt")(scan("/tmp/graft_probe_jsonl16c1"))
+      time2("jsonl scan 16x, 10% corrupt")(scan("/tmp/graft_probe_jsonl16c10"))
     }
 
     if (!sections("legacy")) { spark.stop(); return }
