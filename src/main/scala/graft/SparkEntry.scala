@@ -2135,6 +2135,20 @@ object SparkEntry {
           sum("n_docs").over(Window.partitionBy("lang")), 6))
         .orderBy("lang", "predicted")
     }),
+
+    // Margin-based bitext mining (CCMatrix/NLLB): even vecs play the
+    // source language, odd vecs the target; each source's top-4 targets
+    // are margin-scored (ratio margin = hubness-corrected cosine) and
+    // gated at 1.02. Source probes capped at vec_id < 400 to bound the
+    // oracle's cross join (q27's probe-set discipline).
+    "q168_bitext_mine" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Similarity.marginTranslationPairs(
+          emb.where(col("vec_id") % 2 === 0 && col("vec_id") < 400),
+          emb.where(col("vec_id") % 2 === 1),
+          k = 4, tau = 1.02)
+        .orderBy("src_id", "tgt_id")
+    }),
   )
 
   /** q154/q155 corpus: the synthesized lines become conversation turns —
@@ -4806,5 +4820,29 @@ object SparkEntry {
         |SELECT lang, predicted, n_docs,
         |  round(n_docs * 1.0 / sum(n_docs) OVER (PARTITION BY lang), 6) AS row_frac
         |FROM g2 ORDER BY lang, predicted""".stripMargin,
+
+    "q168_bitext_mine" ->
+      // full cross join on the bounded sides, both directions' rank
+      // windows, top-4 neighborhood means over the ROUNDED cosines (the
+      // frame the Spark margin stage consumes), ratio margin rounded to
+      // 6 dp before the tau gate — term-for-term with marginFromRankings
+      """WITH s AS (SELECT vec_id AS src_id, CAST(embedding AS DOUBLE[]) AS v
+        |  FROM embeddings WHERE vec_id % 2 = 0 AND vec_id < 400),
+        |t AS (SELECT vec_id AS tgt_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE vec_id % 2 = 1),
+        |sc AS (SELECT src_id, tgt_id,
+        |  list_dot_product(s.v, t.v) / (sqrt(list_dot_product(s.v, s.v)) * sqrt(list_dot_product(t.v, t.v))) AS cos
+        |  FROM s CROSS JOIN t),
+        |f AS (SELECT src_id, tgt_id, round(cos, 6) AS cosine,
+        |  row_number() OVER (PARTITION BY src_id ORDER BY cos DESC, tgt_id) AS rf FROM sc),
+        |b AS (SELECT src_id, tgt_id, round(cos, 6) AS cosine,
+        |  row_number() OVER (PARTITION BY tgt_id ORDER BY cos DESC, src_id) AS rb FROM sc),
+        |af AS (SELECT src_id, avg(cosine) AS a_src FROM f WHERE rf <= 4 GROUP BY 1),
+        |ab AS (SELECT tgt_id, avg(cosine) AS a_tgt FROM b WHERE rb <= 4 GROUP BY 1),
+        |m AS (SELECT f.src_id, f.tgt_id, f.cosine,
+        |  round(f.cosine / ((a_src + a_tgt) / 2), 6) AS margin
+        |  FROM f JOIN af USING (src_id) JOIN ab USING (tgt_id)
+        |  WHERE rf <= 4 AND (a_src + a_tgt) > 0)
+        |SELECT src_id, tgt_id, cosine, margin FROM m WHERE margin >= 1.02
+        |ORDER BY src_id, tgt_id""".stripMargin,
   )
 }

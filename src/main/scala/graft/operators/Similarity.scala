@@ -764,6 +764,71 @@ object Similarity {
       .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))
   }
 
+  /** Margin-based bitext mining from two independent rankings — the core
+    * of [[marginTranslationPairs]], factored so ANY retrieval tier's
+    * `(probe_id, rank, neighbor_id, cosine)` frames plug in: brute for
+    * oracle parity, [[ivfTopK]]/[[ivfPqTopK]] at corpus scale (same swap
+    * q28 makes over q27). `fwd` ranks target candidates per SOURCE probe,
+    * `bwd` ranks source candidates per TARGET probe. The ratio margin
+    * (Artetxe & Schwenk 2019, §3.2; the CCMatrix/NLLB mining criterion)
+    * normalizes each candidate cosine by the mean of the two directions'
+    * top-k neighborhoods:
+    * `margin(x, y) = cos(x, y) / ((avgF(x) + avgB(y)) / 2)` — a hubness
+    * correction: a target that is "everyone's neighbor" has a high avgB
+    * and stops winning on raw cosine alone. Pairs with a non-positive
+    * denominator (pathological all-negative neighborhoods) are dropped —
+    * the margin is undefined there. `mutualOnly` additionally requires
+    * the pair to be BOTH directions' rank-1 (the max-margin mutual
+    * variant). Margins round to 6 dp before the tau gate so the boundary
+    * is engine-reproducible.
+    *
+    * Scale shape: both inputs are already |probes| x k; the averages are
+    * probe-keyed aggregates of those, and the margin stage joins three
+    * probe-sized tables — nothing here rescans or reshuffles the corpus. */
+  def marginFromRankings(fwd: DataFrame, bwd: DataFrame, tau: Double,
+                         mutualOnly: Boolean = false): DataFrame = {
+    require(tau > 0, s"marginFromRankings needs tau > 0, got $tau")
+    val aF = fwd.groupBy(col("probe_id").as("src_id")).agg(avg("cosine").as("_a_src"))
+    val aB = bwd.groupBy(col("probe_id").as("tgt_id")).agg(avg("cosine").as("_a_tgt"))
+    val cand = fwd.select(col("probe_id").as("src_id"),
+      col("neighbor_id").as("tgt_id"), col("cosine"))
+    val scored = cand.join(aF, "src_id").join(aB, "tgt_id")
+      .where(col("_a_src") + col("_a_tgt") > 0)
+      .withColumn("margin",
+        round(col("cosine") / ((col("_a_src") + col("_a_tgt")) / 2), 6))
+      .where(col("margin") >= tau)
+      .select(col("src_id"), col("tgt_id"), col("cosine"), col("margin"))
+    if (!mutualOnly) scored
+    else {
+      val f1 = fwd.where(col("rank") === 1)
+        .select(col("probe_id").as("src_id"), col("neighbor_id").as("tgt_id"))
+      val b1 = bwd.where(col("rank") === 1)
+        .select(col("neighbor_id").as("src_id"), col("probe_id").as("tgt_id"))
+      scored.join(f1, Seq("src_id", "tgt_id"), "left_semi")
+        .join(b1, Seq("src_id", "tgt_id"), "left_semi")
+    }
+  }
+
+  /** Margin-based bitext mining (CCMatrix / NLLB's global mining stage):
+    * mine candidate translation pairs between a source-language and a
+    * target-language embedding space by the ratio margin — see
+    * [[marginFromRankings]] for the criterion and scale posture. This
+    * entry point runs the two retrieval passes with [[bruteForceTopK]]
+    * (the exact, oracle-parity tier; both directions' probe sets
+    * broadcast). The two sides' id spaces must be disjoint (standard for
+    * two corpora; [[bruteForceTopK]]'s self-exclusion is a no-op then).
+    * Output: (src_id, tgt_id, cosine, margin) for every source's top-k
+    * candidate clearing `tau`. */
+  def marginTranslationPairs(src: DataFrame, tgt: DataFrame, k: Int, tau: Double,
+                             idCol: String = "vec_id", vecCol: String = "embedding",
+                             mutualOnly: Boolean = false): DataFrame = {
+    require(k >= 1, s"marginTranslationPairs needs k >= 1, got $k")
+    marginFromRankings(
+      bruteForceTopK(tgt, src, k, idCol, vecCol),
+      bruteForceTopK(src, tgt, k, idCol, vecCol),
+      tau, mutualOnly)
+  }
+
   /** Hard-negative mining for contrastive training (the DPR/Contriever
     * recipe): for every probe, the top-`k` most-similar corpus vectors
     * whose LABEL DIFFERS from the probe's — the negatives that actually

@@ -1202,4 +1202,30 @@ class DedupSimilaritySpec extends SparkSuite {
     intercept[IllegalArgumentException](
       Dedup.boilerplateLineScrub(docs, "doc_id", "text", maxDocFreq = 0))
   }
+
+  test("marginTranslationPairs: ratio margin corrects hubness; mutual keeps rank-1 pairs") {
+    // t5 sits between both sources — a classic hub: it is every source's
+    // decent neighbor, so its backward-average is high and the ratio
+    // margin deflates it below the genuinely aligned pairs.
+    val src = Seq((0L, Array(1.0f, 0.0f)), (2L, Array(0.0f, 1.0f)))
+      .toDF("vec_id", "embedding")
+    val tgt = Seq((1L, Array(0.9f, 0.1f)), (3L, Array(0.1f, 0.9f)),
+      (5L, Array(0.7f, 0.7f))).toDF("vec_id", "embedding")
+    val all = Similarity.marginTranslationPairs(src, tgt, k = 3, tau = 0.0001)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> ((r.getDouble(2), r.getDouble(3))))
+      .toMap
+    assert(all((0L, 1L))._2 > all((0L, 5L))._2,
+      s"aligned (0,1) must out-margin the hub (0,5): $all")
+    assert(all((2L, 3L))._2 > all((2L, 5L))._2)
+    assert(all((0L, 1L))._1 > 0.99, "raw cosine carried through")
+    val mutual = Similarity.marginTranslationPairs(src, tgt, k = 3,
+        tau = 0.0001, mutualOnly = true)
+      .select("src_id", "tgt_id").as[(Long, Long)].collect().toSet
+    assert(mutual === Set((0L, 1L), (2L, 3L)))
+    intercept[IllegalArgumentException](
+      Similarity.marginTranslationPairs(src, tgt, 0, 1.0))
+    intercept[IllegalArgumentException](
+      Similarity.marginTranslationPairs(src, tgt, 3, 0.0))
+  }
 }
