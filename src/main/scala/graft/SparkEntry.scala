@@ -2149,6 +2149,18 @@ object SparkEntry {
           k = 4, tau = 1.02)
         .orderBy("src_id", "tgt_id")
     }),
+
+    // Per-host quota cap (RefinedWeb/CCNet anti-concentration): at most
+    // 25 docs per canonical host of the q123/q125 crawl-URL synthesis,
+    // preferring longer documents (ties by id) — link farms stop
+    // dominating the mixture by page count.
+    "q169_host_quota" -> ((s, dir) => {
+      val d = Tables.documents(s, dir).withColumn("url", crawlUrl)
+        .withColumn("score", length(col("text")).cast("long"))
+      TextAnalysis.hostQuotaCap(d, "doc_id", "url", "score", quota = 25)
+        .select(col("host"), col("rank"), col("doc_id"), col("score"))
+        .orderBy("host", "rank")
+    }),
   )
 
   /** q154/q155 corpus: the synthesized lines become conversation turns —
@@ -4844,5 +4856,25 @@ object SparkEntry {
         |  WHERE rf <= 4 AND (a_src + a_tgt) > 0)
         |SELECT src_id, tgt_id, cosine, margin FROM m WHERE margin >= 1.02
         |ORDER BY src_id, tgt_id""".stripMargin,
+
+    "q169_host_quota" ->
+      // q123's URL synthesis + q125's host extraction; rank window by
+      // (length desc, id asc) capped at 25 per host
+      """WITH u AS (SELECT doc_id, CAST(length(text) AS BIGINT) AS score,
+        |  (CASE WHEN doc_id % 2 = 0 THEN 'https://' ELSE 'HTTP://' END) ||
+        |  (CASE WHEN doc_id % 5 = 0 THEN 'WWW.' ELSE '' END) ||
+        |  source || '.example.com/articles/' || CAST(doc_id % 40 AS VARCHAR) ||
+        |  (CASE WHEN doc_id % 3 = 0 THEN '/' ELSE '' END) ||
+        |  (CASE WHEN doc_id % 4 = 0 THEN '?utm_source=feed&utm_medium=rss' ELSE '' END) ||
+        |  (CASE WHEN doc_id % 7 = 0 THEN '#section-2' ELSE '' END) AS url
+        |  FROM documents),
+        |h AS (SELECT doc_id, score, regexp_replace(lower(regexp_extract(
+        |    regexp_replace(url, '^[A-Za-z][A-Za-z0-9+.-]*://', ''),
+        |    '^([^/?#]*)', 1)), '^www\.', '') AS host FROM u),
+        |r AS (SELECT host, doc_id, score,
+        |  CAST(row_number() OVER (PARTITION BY host ORDER BY score DESC, doc_id) AS BIGINT) AS rank
+        |  FROM h)
+        |SELECT host, rank, doc_id, score FROM r WHERE rank <= 25
+        |ORDER BY host, rank""".stripMargin,
   )
 }

@@ -1094,6 +1094,35 @@ object TextAnalysis {
         (!col("host").isin(blocklist: _*)) && col("dup_frac") <= maxDupFrac)
   }
 
+  /** Per-host document quota (RefinedWeb §3.1 / CCNet's per-domain cap —
+    * the anti-concentration stage after host stats): keep at most `quota`
+    * documents per canonical host, preferring higher `scoreCol` then
+    * smaller id (deterministic). Link farms and template mills otherwise
+    * dominate a crawl corpus by sheer page count no matter how good the
+    * per-document filters are — the cap bounds any single host's
+    * contribution to the training mixture.
+    *
+    * Scale shape: the rank window rides a SLIM (host, id, score)
+    * projection — one host-keyed exchange carrying three narrow columns,
+    * never the text; survivors join back to the full rows by id. AQE
+    * handles host-count skew (the mega-host with 10^6 pages is exactly
+    * the row this operator exists to cut). Output: all of `docs`'
+    * columns plus (host, rank) for the kept rows. */
+  def hostQuotaCap(docs: DataFrame, idCol: String, urlCol: String,
+                   scoreCol: String, quota: Int): DataFrame = {
+    require(quota >= 1, s"hostQuotaCap needs quota >= 1, got $quota")
+    require(!docs.columns.contains("rank") && !docs.columns.contains("host"),
+      "hostQuotaCap emits 'host' and 'rank' columns")
+    val slim = docs.select(hostOf(col(urlCol)).as("host"), col(idCol),
+      col(scoreCol))
+    val w = Window.partitionBy("host")
+      .orderBy(col(scoreCol).desc, col(idCol).asc)
+    val kept = slim.withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= quota)
+      .select(col(idCol), col("host"), col("rank"))
+    docs.join(kept, Seq(idCol))
+  }
+
   /** Markup-strip TRANSFORM over a corpus: (idCol, n_tags, clean_text),
     * one row per document — [[stripMarkup]] plus the tag count (the
     * extraction-health signal: a "text" column averaging hundreds of tags
