@@ -2161,6 +2161,18 @@ object SparkEntry {
         .select(col("host"), col("rank"), col("doc_id"), col("score"))
         .orderBy("host", "rank")
     }),
+
+    // Per-language adaptive quantile gate (CCNet/Dolma): each doc must
+    // clear its OWN language's p25 of n_chars — keep RATE uniform across
+    // languages where a global threshold would gut the slices whose
+    // length distribution sits lower.
+    "q170_lang_quantile_gate" -> ((s, dir) => {
+      Quality.perGroupQuantileFilter(
+          Tables.documents(s, dir)
+            .select(col("doc_id"), col("lang"), col("n_chars")),
+          "n_chars", Seq("lang"), p = 0.25)
+        .orderBy("doc_id")
+    }),
   )
 
   /** q154/q155 corpus: the synthesized lines become conversation turns —
@@ -4876,5 +4888,15 @@ object SparkEntry {
         |  FROM h)
         |SELECT host, rank, doc_id, score FROM r WHERE rank <= 25
         |ORDER BY host, rank""".stripMargin,
+
+    "q170_lang_quantile_gate" ->
+      // exact percentile: Spark `percentile` and DuckDB `quantile_cont`
+      // are both linear-interpolation, bit-identical (q61's contract);
+      // keep compares against the ROUNDED threshold
+      """WITH f AS (SELECT lang, round(quantile_cont(n_chars, 0.25), 6) AS threshold
+        |  FROM documents GROUP BY 1)
+        |SELECT doc_id, lang, n_chars, threshold, n_chars >= threshold AS keep
+        |FROM documents JOIN f USING (lang)
+        |ORDER BY doc_id""".stripMargin,
   )
 }

@@ -114,8 +114,8 @@ object Encode {
     * OOMs an executor; estimates are engine-specific, so approx-fit queries
     * get rows-only correctness checks (same contract as the q59 HLL++
     * profile). */
-  private def percentileFit(valueExpr: String, ps: Seq[Double],
-                            exact: Boolean, accuracy: Int): Column = {
+  private[graft] def percentileFit(valueExpr: String, ps: Seq[Double],
+                                   exact: Boolean, accuracy: Int): Column = {
     val arr = s"array(${ps.mkString(",")})"
     if (exact) expr(s"percentile($valueExpr, $arr)")
     else expr(s"percentile_approx($valueExpr, $arr, $accuracy)")

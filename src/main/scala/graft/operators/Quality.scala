@@ -210,4 +210,39 @@ object Quality {
         round(lit(2) * col("tpd") / (col("p") + col("tpd") + col("fpd")), 6).as("f1"),
         round((col("tpd") + col("nn") - col("fpd")) / (col("p") + col("nn")), 6).as("acc"))
   }
+
+  /** Per-group ADAPTIVE quantile gate (CCNet's per-language perplexity
+    * terciles, Dolma's per-language thresholds): keep rows whose score
+    * clears their OWN group's `p`-quantile instead of one global
+    * constant. A global threshold tuned on the dominant language silently
+    * guts low-resource slices whose score distribution sits elsewhere —
+    * the per-group fit makes the keep RATE (not the keep VALUE) uniform
+    * across groups.
+    *
+    * Same fit-then-broadcast-apply shape as the scalers: ONE group-keyed
+    * percentile aggregate (exact `percentile` — DuckDB `quantile_cont`
+    * parity — or the Greenwald-Khanna `percentile_approx` sketch via
+    * `exact = false`, the 100-TB path; see [[Encode.percentileFit]]),
+    * broadcast-joined back; zero fact-side shuffle, no window. Adds
+    * `threshold` (6 dp) and `keep` (`score >= threshold`, compared on the
+    * ROUNDED threshold so the boundary is engine-reproducible). */
+  def perGroupQuantileFilter(df: DataFrame, scoreCol: String,
+                             groupCols: Seq[String], p: Double,
+                             exact: Boolean = true,
+                             accuracy: Int = 10000): DataFrame = {
+    require(p >= 0 && p <= 1, s"perGroupQuantileFilter needs p in [0, 1], got $p")
+    require(!df.columns.contains("threshold") && !df.columns.contains("keep"),
+      "perGroupQuantileFilter emits 'threshold' and 'keep' columns")
+    val fit = Encode.percentileFit(scoreCol, Seq(p), exact, accuracy).as("_q")
+    val thresholds =
+      if (groupCols.isEmpty) df.agg(fit)
+      else df.groupBy(groupCols.map(col): _*).agg(fit)
+    val joined =
+      if (groupCols.isEmpty) df.crossJoin(broadcast(thresholds))
+      else df.join(broadcast(thresholds), groupCols)
+    joined
+      .withColumn("threshold", round(element_at(col("_q"), 1), 6))
+      .withColumn("keep", col(scoreCol) >= col("threshold"))
+      .drop("_q")
+  }
 }

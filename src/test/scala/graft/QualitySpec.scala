@@ -103,4 +103,32 @@ class QualitySpec extends SparkSuite {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), s"scoring must not shuffle:\n$plan")
   }
+
+  test("perGroupQuantileFilter: per-group thresholds equalize keep RATE, not value") {
+    // group a scores 1..100, group b 1001..1100: any global threshold that
+    // keeps 75% overall wipes out all of group a; the per-group p25 keeps
+    // exactly 75% of EACH
+    val df = ((1 to 100).map(i => ("a", i.toDouble)) ++
+      (1 to 100).map(i => ("b", 1000.0 + i))).toDF("grp", "score")
+    val out = Quality.perGroupQuantileFilter(df, "score", Seq("grp"), 0.25)
+    val kept = out.where(col("keep")).groupBy("grp").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(kept === Map("a" -> 75L, "b" -> 75L)) // p25 = 25.75 -> 26..100 keep
+    val th = out.select("grp", "threshold").distinct()
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(th("a") === 25.75 && th("b") === 1025.75)
+    // the GK-sketch path (the 100-TB fit) runs and keeps a similar count
+    val approx = Quality.perGroupQuantileFilter(df, "score", Seq("grp"), 0.25,
+      exact = false)
+    val nApprox = approx.where(col("keep")).count()
+    assert(math.abs(nApprox - 150L) <= 4, s"sketch keep count off: $nApprox")
+    // grouped-empty mode: one global threshold
+    val global = Quality.perGroupQuantileFilter(df, "score", Seq.empty, 0.25)
+    assert(global.select("threshold").distinct().count() === 1)
+    intercept[IllegalArgumentException](
+      Quality.perGroupQuantileFilter(df, "score", Seq("grp"), 1.5))
+    intercept[IllegalArgumentException](
+      Quality.perGroupQuantileFilter(
+        df.withColumn("keep", lit(true)), "score", Seq("grp"), 0.5))
+  }
 }
