@@ -2173,6 +2173,18 @@ object SparkEntry {
           "n_chars", Seq("lang"), p = 0.25)
         .orderBy("doc_id")
     }),
+
+    // NDCG@3 of the IVF arm against brute-force truth — q164's recall
+    // with position discounts: an index that surfaces the right
+    // neighbors out of order scores below one preserving the order.
+    "q171_ivf_ndcg" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val probes = emb.where(col("vec_id") >= 10 && col("vec_id") < 20)
+      val truth = Similarity.bruteForceTopK(emb, probes, 3)
+      val approx = Similarity.ivfTopK(emb, emb.where(col("vec_id") < 8),
+        probes, 3)
+      Similarity.ndcgAtK(truth, approx, 3).orderBy("probe_id")
+    }),
   )
 
   /** q154/q155 corpus: the synthesized lines become conversation turns —
@@ -4898,5 +4910,34 @@ object SparkEntry {
         |SELECT doc_id, lang, n_chars, threshold, n_chars >= threshold AS keep
         |FROM documents JOIN f USING (lang)
         |ORDER BY doc_id""".stripMargin,
+
+    "q171_ivf_ndcg" ->
+      // q164's truth + IVF CTE chain verbatim; hits weighted by the
+      // approx arm's position, ideal = all 3 truth hits at the head
+      s"""WITH ${dBruteRank("b", "CAST(embedding AS DOUBLE[])", "vec_id >= 10 AND vec_id < 20")},
+         |cent AS (SELECT vec_id AS cell_id, CAST(embedding AS DOUBLE[]) AS cvv FROM embeddings WHERE vec_id < 8),
+         |corp AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |asg AS (SELECT vec_id, v, cell_id FROM (
+         |  SELECT corp.vec_id, corp.v, cent.cell_id,
+         |  row_number() OVER (PARTITION BY corp.vec_id ORDER BY
+         |    list_dot_product(corp.v, cent.cvv) / (sqrt(list_dot_product(corp.v, corp.v)) * sqrt(list_dot_product(cent.cvv, cent.cvv))) DESC,
+         |    cent.cell_id) AS rr
+         |  FROM corp CROSS JOIN cent) WHERE rr = 1),
+         |iprobes AS (SELECT vec_id AS probe_id, v AS pv, cell_id FROM asg WHERE vec_id >= 10 AND vec_id < 20),
+         |isc AS (SELECT p.probe_id, c.vec_id AS neighbor_id,
+         |  list_dot_product(p.pv, c.v) / (sqrt(list_dot_product(p.pv, p.pv)) * sqrt(list_dot_product(c.v, c.v))) AS cos
+         |  FROM iprobes p JOIN asg c ON p.cell_id = c.cell_id AND c.vec_id != p.probe_id),
+         |ir AS (SELECT probe_id, neighbor_id,
+         |  row_number() OVER (PARTITION BY probe_id ORDER BY cos DESC, neighbor_id) AS rank FROM isc),
+         |tt AS (SELECT probe_id, neighbor_id FROM br WHERE rank <= 3),
+         |aa AS (SELECT probe_id, neighbor_id, rank FROM ir WHERE rank <= 3),
+         |h AS (SELECT aa.probe_id, sum(1.0 / (ln(aa.rank + 1.0) / ln(2.0))) AS dcg
+         |  FROM aa JOIN tt USING (probe_id, neighbor_id) GROUP BY 1),
+         |i AS (SELECT 1.0 / (ln(2.0) / ln(2.0)) + 1.0 / (ln(3.0) / ln(2.0)) + 1.0 / (ln(4.0) / ln(2.0)) AS idcg)
+         |SELECT p.probe_id, round(coalesce(dcg, 0), 6) AS dcg,
+         |  round(coalesce(dcg, 0) / idcg, 6) AS ndcg
+         |FROM (SELECT DISTINCT probe_id FROM tt) p
+         |LEFT JOIN h ON p.probe_id = h.probe_id CROSS JOIN i
+         |ORDER BY p.probe_id""".stripMargin,
   )
 }

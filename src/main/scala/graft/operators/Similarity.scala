@@ -983,6 +983,37 @@ object Similarity {
         round(col("n_overlap").cast("double") / k, 6))
   }
 
+  /** NDCG@k of an approximate ranking against an exact one — the
+    * position-weighted companion of [[rankingRecall]]: recall treats a
+    * truth neighbor surfaced at rank 1 and rank k identically; NDCG
+    * discounts each hit by `1/log2(position + 1)`, so an index that
+    * BURIES true neighbors under false candidates (PQ distortion's
+    * signature failure) scores below one that surfaces them first, even
+    * at identical recall. Binary gains
+    * (a surfaced candidate is a hit iff it is in the truth top-k); the
+    * ideal DCG places all k truth neighbors at the head, so
+    * `ndcg = Σ_hits 1/log2(pos+1) / Σ_{p=1..k} 1/log2(p+1)`, rounded to
+    * 6 dp. Output: (probe_id, dcg, ndcg), one row per truth probe —
+    * probes the approx arm missed entirely score 0.
+    *
+    * Scale shape: one (probe, neighbor)-keyed join of two |probes|·k-row
+    * rankings + a probe-keyed aggregate; corpus work already happened. */
+  def ndcgAtK(truth: DataFrame, approx: DataFrame, k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val idcg = (1 to k).map(p => 1.0 / (math.log(p + 1.0) / math.log(2.0))).sum
+    val tt = truth.where(col("rank") <= k).select("probe_id", "neighbor_id")
+    val aa = approx.where(col("rank") <= k)
+      .select(col("probe_id"), col("neighbor_id"), col("rank"))
+    val hits = aa.join(tt, Seq("probe_id", "neighbor_id"), "left_semi")
+      .groupBy("probe_id")
+      .agg(sum(lit(1.0) / (log(col("rank") + 1.0) / math.log(2.0))).as("_dcg"))
+    tt.select("probe_id").distinct()
+      .join(hits, Seq("probe_id"), "left")
+      .select(col("probe_id"),
+        round(coalesce(col("_dcg"), lit(0.0)), 6).as("dcg"),
+        round(coalesce(col("_dcg"), lit(0.0)) / idcg, 6).as("ndcg"))
+  }
+
   /** Reciprocal-rank fusion (Cormack et al. 2009 — the default zero-
     * tuning ensemble for heterogeneous retrievers): fuse two rankings
     * `(probe_id, neighbor_id, rank)` by

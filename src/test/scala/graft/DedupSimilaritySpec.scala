@@ -1228,4 +1228,32 @@ class DedupSimilaritySpec extends SparkSuite {
     intercept[IllegalArgumentException](
       Similarity.marginTranslationPairs(src, tgt, 3, 0.0))
   }
+
+  test("ndcgAtK: burying hits under false candidates costs ndcg at equal recall") {
+    // truth top-3 for probe 1 = {10, 11, 12}; both approx arms recover
+    // hits {10, 11} (recall 2/3) — but one surfaces them FIRST, the other
+    // leads with a false candidate and pays the position discount
+    val truth = Seq((1L, 1L, 10L), (1L, 2L, 11L), (1L, 3L, 12L))
+      .toDF("probe_id", "rank", "neighbor_id")
+    val hitsFirst = Seq((1L, 1L, 10L), (1L, 2L, 11L), (1L, 3L, 99L))
+      .toDF("probe_id", "rank", "neighbor_id")
+    val junkFirst = Seq((1L, 1L, 99L), (1L, 2L, 10L), (1L, 3L, 11L))
+      .toDF("probe_id", "rank", "neighbor_id")
+    def ndcg(a: org.apache.spark.sql.DataFrame): Double =
+      Similarity.ndcgAtK(truth, a, 3).head().getAs[Double]("ndcg")
+    val (good, bad) = (ndcg(hitsFirst), ndcg(junkFirst))
+    // identical recall@3 for both arms
+    val rec = Seq(hitsFirst, junkFirst).map(a =>
+      Similarity.rankingRecall(truth, a, 3).head().getAs[Double]("recall"))
+    assert(rec === Seq(0.666667, 0.666667))
+    assert(good > bad, s"hits-first $good must beat junk-first $bad")
+    // exact values: (1 + 1/log2(3)) / idcg vs (1/log2(3) + 1/2) / idcg
+    val idcg = 1.0 + 1.0 / (math.log(3.0) / math.log(2.0)) + 0.5
+    assert(math.abs(good - (1.0 + 1.0 / (math.log(3.0) / math.log(2.0))) / idcg) < 1e-6)
+    assert(math.abs(bad - (1.0 / (math.log(3.0) / math.log(2.0)) + 0.5) / idcg) < 1e-6)
+    // a probe the approx arm never saw scores zero, not a missing row
+    val empty = Seq((2L, 1L, 5L)).toDF("probe_id", "rank", "neighbor_id")
+    assert(Similarity.ndcgAtK(truth, empty, 3).head().getAs[Double]("ndcg") === 0.0)
+    intercept[IllegalArgumentException](Similarity.ndcgAtK(truth, hitsFirst, 0))
+  }
 }

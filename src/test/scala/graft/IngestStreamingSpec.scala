@@ -320,6 +320,28 @@ class IngestStreamingSpec extends SparkSuite {
       !mainText.contains("Copyright"))
   }
 
+  test("streaming main-content extraction: chrome drops in flight (§2.11)") {
+    // extractMainContent is a pure projection chain (block split +
+    // higher-order stats + filter), so it composes onto a stream with NO
+    // state store — the live crawl-to-corpus shape: WARC payloads arrive,
+    // boilerplate drops before anything stateful sees the text.
+    val body = "The quick brown fox jumped over the lazy dog and then we " +
+      "went back to the house for some food and it was good."
+    val html = "<html><body><nav><a href=\"/\">Home</a> <a href=\"/a\">About</a></nav>" +
+      "<p>" + body + "</p>" +
+      "<footer><a href=\"/p\">Privacy</a> <a href=\"/t\">Terms</a> legal</footer></body></html>"
+    val dir = Files.createTempDirectory("graft_stream_content").toString
+    val df = Seq((1L, html), (2L, html)).toDF("doc_id", "html")
+    df.coalesce(1).write.mode("overwrite").parquet(dir)
+    val stream = EventStreams.readFileStream(spark, dir, df.schema)
+    val extracted = graft.operators.TextAnalysis
+      .extractMainContent(stream, "doc_id", "html")
+      .where(col("n_content_blocks") > 0).select("doc_id", "main_text")
+    EventStreams.drainToMemory(extracted, "content_stream")
+    val out = spark.table("content_stream").as[(Long, String)].collect().toMap
+    assert(out === Map(1L -> body, 2L -> body))
+  }
+
   test("streaming quality filter: badword verdicts filter docs in flight (§2.11)") {
     // Quality verdicts are stateless per-document projections, so the
     // filter chain composes onto a stream with NO state store at all —
