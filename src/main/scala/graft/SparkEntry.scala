@@ -2185,6 +2185,19 @@ object SparkEntry {
         probes, 3)
       Similarity.ndcgAtK(truth, approx, 3).orderBy("probe_id")
     }),
+
+    // BM25 lexical retrieval: queries = first-4-token prefixes of docs
+    // 0..9, top-5 per query over the corpus — the lexical arm beside the
+    // dense ANN stack (RRF fuses the two for hybrid retrieval).
+    "q172_bm25" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      val queries = d.where(col("doc_id") < 10)
+        .select(col("doc_id").as("query_id"),
+          concat_ws(" ", slice(TextAnalysis.tokens(col("text")), 1, 4)).as("qtext"))
+      TextAnalysis.bm25TopK(d, "doc_id", "text", queries, "query_id", "qtext",
+          k = 5)
+        .orderBy("query_id", "rank")
+    }),
   )
 
   /** q154/q155 corpus: the synthesized lines become conversation turns —
@@ -4939,5 +4952,32 @@ object SparkEntry {
          |FROM (SELECT DISTINCT probe_id FROM tt) p
          |LEFT JOIN h ON p.probe_id = h.probe_id CROSS JOIN i
          |ORDER BY p.probe_id""".stripMargin,
+
+    "q172_bm25" ->
+      // same tf/df/dl/avgdl fits, Lucene idf, identical fold order in the
+      // per-term score; rank on the 6-dp ROUNDED sum (ties by doc id) —
+      // the operator's documented determinism contract
+      """WITH tok AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[A-Za-z0-9]+')) AS term FROM documents),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+        |dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY 1),
+        |ad AS (SELECT avg(dl) AS avgdl FROM dl),
+        |nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents),
+        |q AS (SELECT doc_id AS query_id,
+        |  array_to_string(list_slice(string_split(text, ' '), 1, 4), ' ') AS qtext
+        |  FROM documents WHERE doc_id < 10),
+        |qt AS (SELECT query_id,
+        |  unnest(list_distinct(regexp_extract_all(lower(qtext), '[A-Za-z0-9]+'))) AS term FROM q),
+        |dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        |m AS (SELECT qt.query_id, tf.doc_id, tf.tf, dfq.df, dl.dl
+        |  FROM qt JOIN tf USING (term) JOIN dfq USING (term) JOIN dl USING (doc_id)),
+        |s AS (SELECT query_id, doc_id,
+        |  round(sum(ln(1.0 + (n - df + 0.5) / (df + 0.5)) * tf * (1.2 + 1.0) /
+        |    (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))), 6) AS score
+        |  FROM m CROSS JOIN nn CROSS JOIN ad GROUP BY 1, 2),
+        |r AS (SELECT query_id, doc_id, score,
+        |  CAST(row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS BIGINT) AS rank
+        |  FROM s)
+        |SELECT query_id, rank, doc_id, score FROM r WHERE rank <= 5
+        |ORDER BY query_id, rank""".stripMargin,
   )
 }

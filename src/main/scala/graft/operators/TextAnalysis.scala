@@ -133,6 +133,64 @@ object TextAnalysis {
       .select(col(idCol), col("rank"), col("term"), col("score"))
   }
 
+  /** BM25 lexical retrieval (Robertson–Walker Okapi BM25, Lucene's
+    * `idf = ln(1 + (N - df + 0.5)/(df + 0.5))` variant): top-`k` documents
+    * per query — the LEXICAL retrieval arm beside the dense ANN stack
+    * ([[graft.operators.Similarity]]); fuse the two with
+    * [[Similarity.rrfFuse]] for the standard hybrid. Query terms are the
+    * DISTINCT word tokens of the query text (query-side tf is 1, the
+    * universal short-query convention); per matching term a document
+    * contributes `idf * tf * (k1 + 1) / (tf + k1 * (1 - b + b * dl/avgdl))`.
+    *
+    * Ranking determinism: the per-(query, doc) score is a SUM over
+    * matched terms, so its last float bits depend on accumulation order —
+    * the rank window therefore orders by the 6-dp ROUNDED score (ties by
+    * doc id), making the top-k set and order engine-reproducible where a
+    * raw-score sort would flip structural ties (identical short docs)
+    * between engines. (q27's cosine top-k can rank on the raw value only
+    * because each cosine is ONE kernel evaluation, not a variable-order
+    * sum.)
+    *
+    * Distributed shape: tf and df are the two map-side-combinable
+    * aggregates [[tfidfTopK]] already plans; dl/avgdl ride the tf pass
+    * and a 1-row lazy broadcast; the query side (tiny by contract)
+    * broadcast-joins the posting lists on the term key, so per-query work
+    * is the matched posting lists, never a corpus scan per query; the
+    * final aggregate is (query, doc)-keyed and the rank window sees only
+    * matched candidates. Output: (qidCol, rank, idCol, score). */
+  def bm25TopK(docs: DataFrame, idCol: String, textCol: String,
+               queries: DataFrame, qidCol: String, qtextCol: String,
+               k: Int, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(k >= 1, s"bm25TopK needs k >= 1, got $k")
+    require(k1 >= 0 && b >= 0 && b <= 1,
+      s"bm25TopK needs k1 >= 0 and b in [0, 1], got k1=$k1 b=$b")
+    val n = docs.agg(count(lit(1)).cast("double").as("_n"))
+    val tf = docs
+      .select(col(idCol), explode(wordTokens(lower(col(textCol)))).as("term"))
+      .groupBy(idCol, "term").agg(count(lit(1)).as("tf"))
+    val dl = tf.groupBy(idCol).agg(sum("tf").as("dl"))
+    val avgdl = dl.agg(avg(col("dl")).as("_avgdl"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val qterms = queries.select(col(qidCol),
+      explode(array_distinct(wordTokens(lower(col(qtextCol))))).as("term"))
+    val matched = tf
+      .join(broadcast(qterms), "term")
+      .join(dfreq, "term")
+      .join(dl, idCol)
+      .crossJoin(broadcast(n)).crossJoin(broadcast(avgdl))
+      .withColumn("_idf",
+        log(lit(1.0) + (col("_n") - col("df") + 0.5) / (col("df") + 0.5)))
+      .withColumn("_s", col("_idf") * col("tf") * (lit(k1) + 1.0) /
+        (col("tf") + lit(k1) * (lit(1.0) - lit(b) + lit(b) * col("dl") / col("_avgdl"))))
+    val perDoc = matched.groupBy(col(qidCol), col(idCol))
+      .agg(round(sum("_s"), 6).as("score"))
+    val w = Window.partitionBy(col(qidCol))
+      .orderBy(col("score").desc, col(idCol).asc)
+    perDoc.withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= k)
+      .select(col(qidCol), col("rank"), col(idCol), col("score"))
+  }
+
   /** Sparse TF-IDF cosine document similarity via an inverted-index join —
     * the lexical twin of [[Similarity.nearDupPairs]]'s embedding path.
     * Features are hashed word 3-shingles (occurrence-counted, not distinct:

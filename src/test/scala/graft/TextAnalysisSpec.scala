@@ -620,6 +620,31 @@ class TextAnalysisSpec extends SparkSuite {
     assert(!plan.contains("Exchange"), s"chunkDocs must be map-only:\n$plan")
   }
 
+  test("bm25TopK: idf favors rare terms, tf saturates, length normalizes") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta"),
+      (2L, "alpha alpha alpha alpha alpha alpha alpha alpha"),
+      (3L, "epsilon zeta eta theta"),
+      (4L, "alpha beta common words appear here too")).toDF("doc_id", "text")
+    val queries = Seq((100L, "alpha beta"), (200L, "nosuchterm"))
+      .toDF("query_id", "qtext")
+    val out = TextAnalysis.bm25TopK(docs, "doc_id", "text",
+        queries, "query_id", "qtext", k = 5)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // doc 1 (both terms, short) > doc 4 (both terms, longer) > doc 2
+    // (one COMMON term repeated 8x — tf saturation + length norm cap it)
+    assert(out((100L, 1L)) === 1L)
+    assert(out((100L, 2L)) === 4L)
+    assert(out((100L, 3L)) === 2L)
+    // a query whose terms appear nowhere returns no rows, not zeros
+    assert(!out.keys.exists(_._1 === 200L))
+    intercept[IllegalArgumentException](TextAnalysis.bm25TopK(
+      docs, "doc_id", "text", queries, "query_id", "qtext", 0))
+    intercept[IllegalArgumentException](TextAnalysis.bm25TopK(
+      docs, "doc_id", "text", queries, "query_id", "qtext", 5, b = 1.5))
+  }
+
   test("trigramLangId: profiles classify held-out docs; all-floor docs still score") {
     val docs = Seq(
       (0L, "en", "the quick brown fox and the lazy dog the end"),
