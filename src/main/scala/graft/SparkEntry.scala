@@ -2198,6 +2198,21 @@ object SparkEntry {
           k = 5)
         .orderBy("query_id", "rank")
     }),
+
+    // Compression-ratio gate (Gopher/DCLM zlib signal): %6==0 docs are
+    // replaced by a repeated template phrase (the re-crawled boilerplate
+    // page whose long-range repetition n-gram and entropy filters
+    // under-detect) and must fall below the bracket. DEFLATE bytes are
+    // zlib-version-dependent -> rows-only check; the ordering contract
+    // is pinned in FunctionsSpec.
+    "q173_compression_gate" -> ((s, dir) => {
+      val seeded = Tables.documents(s, dir).select(col("doc_id"),
+        when(col("doc_id") % 6 === 0,
+          expr("repeat('all work and no play makes jack a dull boy ', 30)"))
+          .otherwise(col("text")).as("text"))
+      TextAnalysis.compressionQuality(seeded, "doc_id", "text")
+        .orderBy("doc_id")
+    }),
   )
 
   /** q154/q155 corpus: the synthesized lines become conversation turns —

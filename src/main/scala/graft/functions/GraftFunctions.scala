@@ -26,6 +26,9 @@ object GraftFunctions {
   /** Unicode NFC canonical composition (see [[NfcNormalize]]). */
   def nfc_normalize(s: Column): Column = col(NfcNormalize(ex(s.cast("string"))))
 
+  /** zlib compression ratio of the UTF-8 text (see [[DeflateRatio]]). */
+  def deflate_ratio(s: Column): Column = col(DeflateRatio(ex(s.cast("string"))))
+
   /** Fused-pass cosine similarity over embedding arrays (see [[CosineSimilarity]]). */
   def cosine_similarity(a: Column, b: Column): Column =
     col(CosineSimilarity(ex(a), ex(b)))
@@ -118,6 +121,7 @@ object GraftFunctions {
     "haversine_km" -> (es => HaversineKm(
       asDouble(es(0)), asDouble(es(1)), asDouble(es(2)), asDouble(es(3)))),
     "rolling_hash" -> (es => RollingHash(asString(es.head))),
+    "deflate_ratio" -> (es => DeflateRatio(asString(es.head))),
     "cosine_similarity" -> (es => CosineSimilarity(es(0), es(1))),
     "minhash_sig" -> (es => MinHashSig(asString(es.head), literalK(es, 16))),
     "simhash16" -> (es => SimHash(asString(es.head), literalK(es, 16))),

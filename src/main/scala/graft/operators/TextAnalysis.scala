@@ -133,6 +133,34 @@ object TextAnalysis {
       .select(col(idCol), col("rank"), col("term"), col("score"))
   }
 
+  /** Compression-ratio quality gate (the Gopher/DCLM zlib signal): per
+    * doc, the raw-DEFLATE ratio of the UTF-8 text
+    * ([[graft.functions.DeflateRatio]]) and a keep bracket — below
+    * `minRatio` the doc is dominated by long-range repetition
+    * (boilerplate/template/SEO spam that [[repetitionStats]]' bounded
+    * n-grams and [[charEntropy]]'s order-free distribution both
+    * under-detect); above `maxRatio` it is incompressible content posing
+    * as text (base64/uuencode ~0.78, binary spill re-encoded as UTF-8
+    * ~0.85). The default bracket is calibrated for documents >= ~200
+    * chars (apply AFTER the min-length gate every pipeline runs first —
+    * the ratio is length-sensitive: ~0.68 for 200-char prose, ~0.26 for
+    * 2 KB prose, < 0.1 for heavy repetition). Zero-shuffle codegen
+    * projection; ratio rounds to 6 dp and the bracket compares the
+    * ROUNDED value. DEFLATE bytes are zlib-version-dependent, so queries
+    * over this take the rows-only check (q59's sketch contract) — the
+    * ordering contract is pinned by FunctionsSpec instead. */
+  def compressionQuality(docs: DataFrame, idCol: String, textCol: String,
+                         minRatio: Double = 0.1,
+                         maxRatio: Double = 0.75): DataFrame = {
+    require(minRatio >= 0 && minRatio <= maxRatio,
+      s"compressionQuality needs 0 <= minRatio <= maxRatio, got [$minRatio, $maxRatio]")
+    docs.select(col(idCol),
+        round(graft.functions.GraftFunctions.deflate_ratio(col(textCol)), 6)
+          .as("deflate_ratio"))
+      .withColumn("keep",
+        col("deflate_ratio") >= minRatio && col("deflate_ratio") <= maxRatio)
+  }
+
   /** BM25 lexical retrieval (Robertson–Walker Okapi BM25, Lucene's
     * `idf = ln(1 + (N - df + 0.5)/(df + 0.5))` variant): top-`k` documents
     * per query — the LEXICAL retrieval arm beside the dense ANN stack

@@ -253,4 +253,47 @@ class FunctionsSpec extends SparkSuite {
     assert(p1 !== BloomMightContain(Literal(7L), Array[Byte](9, 9, 9, 9, 9, 9, 9, 9), 6))
     assert(p1 !== BloomMightContain(Literal(7L), a, 5))
   }
+
+  test("deflate_ratio: repetition << prose << noise; empty = 1.0; SQL + null") {
+    val prose = "The quick brown fox jumped over the lazy dog while the " +
+      "farmer watched from the porch and wondered about the coming harvest " +
+      "season with its long days and short tempers in the market town."
+    val repeated = "all work and no play makes jack a dull boy " * 20
+    // xorshift-mixed full-byte-range chars: incompressible (binary spill
+    // posing as text — hex/base64 alone would still huffman-compress)
+    val noise = {
+      val sb = new StringBuilder; var x = 0x9E3779B97F4A7C15L
+      while (sb.length < 800) {
+        x ^= x << 13; x ^= x >>> 7; x ^= x << 17
+        var i = 0
+        while (i < 8) { sb.append(((x >>> (8 * i)) & 0xFF).toChar); i += 1 }
+      }
+      sb.toString
+    }
+    val out = Seq((1L, repeated), (2L, prose), (3L, noise), (4L, ""))
+      .toDF("doc_id", "text")
+    val r = graft.operators.TextAnalysis
+      .compressionQuality(out, "doc_id", "text")
+      .collect().map(x => x.getLong(0) -> ((x.getDouble(1), x.getBoolean(2)))).toMap
+    assert(r(1L)._1 < 0.1 && !r(1L)._2, s"repetition must gate out: ${r(1L)}")
+    assert(r(2L)._1 > 0.3 && r(2L)._1 < 0.75 && r(2L)._2, s"prose keeps: ${r(2L)}")
+    assert(r(3L)._1 > 0.75 && !r(3L)._2, s"noise must gate out high: ${r(3L)}")
+    assert(r(1L)._1 < r(2L)._1 && r(2L)._1 < r(3L)._1, "ordering contract")
+    assert(r(4L)._1 === 1.0, "empty compresses to itself by contract")
+    // deterministic across evaluations (the rows-only check's foundation)
+    val twice = Seq(prose, prose).toDF("text")
+      .select(deflate_ratio(col("text")).as("r")).as[Double].collect()
+    assert(twice(0) === twice(1))
+    // SQL registration + null propagation
+    graft.functions.GraftFunctions.registerAll(spark)
+    val viaSql = spark.sql(
+      s"SELECT deflate_ratio('$repeated'), deflate_ratio(CAST(NULL AS STRING))").head()
+    assert(math.abs(viaSql.getDouble(0) - r(1L)._1) < 1e-6)
+    assert(viaSql.isNullAt(1))
+    // zero-shuffle projection
+    val plan = graft.operators.TextAnalysis
+      .compressionQuality(out, "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"must be map-only:\n$plan")
+  }
 }
