@@ -2213,6 +2213,19 @@ object SparkEntry {
       TextAnalysis.compressionQuality(seeded, "doc_id", "text")
         .orderBy("doc_id")
     }),
+
+    // Weighted per-language sampling without replacement (A-ES): 20 docs
+    // per language, longer docs proportionally more likely — the
+    // "sample N per slice, quality-weighted" mixture primitive;
+    // hash-deterministic and prefix-stable like every sampler here.
+    "q174_weighted_sample" -> ((s, dir) => {
+      Stats.weightedSamplePerGroup(
+          Tables.documents(s, dir)
+            .select(col("doc_id"), col("lang"), col("text"), col("n_chars")),
+          Seq("lang"), col("text"), "n_chars", k = 20, tieBreak = Seq("doc_id"))
+        .select(col("lang"), col("sample_rank"), col("doc_id"), col("n_chars"))
+        .orderBy("lang", "sample_rank")
+    }),
   )
 
   /** q154/q155 corpus: the synthesized lines become conversation turns —
@@ -4994,5 +5007,17 @@ object SparkEntry {
         |  FROM s)
         |SELECT query_id, rank, doc_id, score FROM r WHERE rank <= 5
         |ORDER BY query_id, rank""".stripMargin,
+
+    "q174_weighted_sample" ->
+      // A-ES key ln(u)/w off the same universal-mix hash (dbucket mirrors
+      // Stats.hashBucket); rank desc, ties by doc_id
+      s"""WITH kk AS (SELECT doc_id, lang, n_chars,
+         |  ln((${dbucket("text", 1000000)} + 0.5) / 1000000.0) / n_chars AS es
+         |  FROM documents WHERE n_chars > 0),
+         |r AS (SELECT lang, doc_id, n_chars,
+         |  CAST(row_number() OVER (PARTITION BY lang ORDER BY es DESC, doc_id) AS BIGINT) AS sample_rank
+         |  FROM kk)
+         |SELECT lang, sample_rank, doc_id, n_chars FROM r WHERE sample_rank <= 20
+         |ORDER BY lang, sample_rank""".stripMargin,
   )
 }

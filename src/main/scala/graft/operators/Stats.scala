@@ -213,6 +213,40 @@ object Stats {
       .drop("_rn")
   }
 
+  /** WEIGHTED sampling without replacement, exactly min(k, |group|) rows
+    * per group with inclusion probability proportional to `weightCol`
+    * (Efraimidis–Spirakis 2006's A-ES scheme): rank rows by
+    * `ln(u) / w` descending — equivalent to the paper's `u^(1/w)` key —
+    * where `u` is the deterministic universal-mix hash of `hashKey`
+    * ([[mixHash]], the engine-portable randomness every sampler here
+    * uses), so the sample is reproducible across engines, runs, and
+    * retries, and PREFIX-STABLE (the k-sample is a subset of the
+    * (k+n)-sample, [[takePerStratum]]'s eval-set property). The
+    * weighted counterpart of [[takePerStratum]]'s uniform draw, and the
+    * keep-k form of [[graft.operators.Dedup.softDedupWeights]]' keep-
+    * probabilities — "sample 10k docs per language, longer/cleaner docs
+    * proportionally more often" is this operator.
+    *
+    * Rows with weight <= 0 are never sampled (dropped before ranking —
+    * the A-ES key is undefined there). Scale shape: one codegen'd key
+    * projection + one group-keyed rank window carrying df's columns;
+    * nothing corpus-sized beyond the one exchange, no fit pass at all. */
+  def weightedSamplePerGroup(df: DataFrame, groupCols: Seq[String],
+                             hashKey: Column, weightCol: String, k: Int,
+                             tieBreak: Seq[String] = Nil): DataFrame = {
+    require(k >= 1, s"weightedSamplePerGroup needs k >= 1, got $k")
+    require(!df.columns.contains("sample_rank") && !df.columns.contains("_es"),
+      "weightedSamplePerGroup emits sample_rank and reserves _es")
+    val u = (hashBucket(hashKey, 1000000) + lit(0.5)) / lit(1000000.0)
+    val w = Window.partitionBy(groupCols.map(col): _*)
+      .orderBy(col("_es").desc +: tieBreak.map(col(_).asc): _*)
+    df.where(col(weightCol) > 0)
+      .withColumn("_es", log(u) / col(weightCol))
+      .withColumn("sample_rank", row_number().over(w).cast("long"))
+      .where(col("sample_rank") <= k)
+      .drop("_es")
+  }
+
   /** Mixture rebalancing: deterministically downsample every stratum to the
     * size of the SMALLEST one (keep rate = ceil(1e6·min/count) parts per
     * million), so the output is a near-uniform mix — the data-side fix for

@@ -304,6 +304,41 @@ class StatsRelational2Spec extends SparkSuite {
     assert(one === Array(1L))
   }
 
+  test("weightedSamplePerGroup: weight dominance, exact k, prefix-stable, w<=0 dropped") {
+    // 5 heavy items (w=1e6) vs 35 light (w=1e-6): the A-ES key bounds
+    // guarantee every heavy outranks every light (worst heavy key
+    // ln(5e-7)/1e6 ~ -1.4e-5 > best light key ~ -5e-7/1e-6 = -0.5), so
+    // the top-5 is exactly the heavy set — deterministically, not in
+    // expectation
+    val df = ((1 to 5).map(i => (s"heavy item $i", "g", i.toLong, 1e6)) ++
+      (1 to 35).map(i => (s"light item $i", "g", 100L + i, 1e-6)))
+      .toDF("t", "grp", "id", "w")
+    val top5 = Stats.weightedSamplePerGroup(df, Seq("grp"), col("t"), "w", 5,
+      Seq("id")).select("id").as[Long].collect().toSet
+    assert(top5 === (1 to 5).map(_.toLong).toSet)
+    // exact k per group; k > |group| keeps the whole group
+    val two = df.withColumn("grp", when(col("id") <= 100, lit("a")).otherwise(lit("b")))
+    val counts = Stats.weightedSamplePerGroup(two, Seq("grp"), col("t"), "w", 50)
+      .groupBy("grp").count().as[(String, Long)].collect().toMap
+    assert(counts === Map("a" -> 5L, "b" -> 35L))
+    // prefix-stable and deterministic
+    val s3 = Stats.weightedSamplePerGroup(df, Seq("grp"), col("t"), "w", 3, Seq("id"))
+      .select("id").as[Long].collect().toSet
+    val s8 = Stats.weightedSamplePerGroup(df, Seq("grp"), col("t"), "w", 8, Seq("id"))
+      .select("id").as[Long].collect().toSet
+    assert(s3.subsetOf(s8))
+    assert(s3 === Stats.weightedSamplePerGroup(df, Seq("grp"), col("t"), "w", 3, Seq("id"))
+      .select("id").as[Long].collect().toSet)
+    // nonpositive weights are never sampled
+    val withZero = df.unionByName(Seq(("zero w", "g", 999L, 0.0), ("neg w", "g", 998L, -2.0))
+      .toDF("t", "grp", "id", "w"))
+    val all = Stats.weightedSamplePerGroup(withZero, Seq("grp"), col("t"), "w", 100)
+      .select("id").as[Long].collect().toSet
+    assert(!all.contains(999L) && !all.contains(998L) && all.size === 40)
+    intercept[IllegalArgumentException](
+      Stats.weightedSamplePerGroup(df, Seq("grp"), col("t"), "w", 0))
+  }
+
   test("winsorize clamps into the percentile band; interior values untouched") {
     val df = ((1 to 99).map(_.toDouble) :+ 1000.0).toDF("x").withColumn("g", lit("a"))
     val out = graft.operators.Encode.winsorize(df, "x", Seq("g"), 0.05, 0.95)
