@@ -540,6 +540,60 @@ object ScaleProbe {
       } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBc)
     }
 
+    // Round-12 operator growth: 1x vs 16x docs for main-content
+    // extraction (pure projection — must track the scan), trained
+    // lang-ID (two explodes + vocab join), BM25 (posting-list join), and
+    // the host quota cap (slim window).
+    if (sections("r12ops")) {
+      import graft.operators.TextAnalysis
+      val docs = Tables.documents(spark, "/root/testdata/sf0.1")
+      val bigPath = "/tmp/graft_probe_r12_16"
+      time("write 16x doc copies")(
+        (0 until 16).map(i => docs.select(
+          (col("doc_id") + lit(i.toLong * 100000000L)).as("doc_id"),
+          col("text"), col("lang"), col("source"), col("n_chars")))
+          .reduce(_ union _).write.mode("overwrite").parquet(bigPath))
+      val big = spark.read.parquet(bigPath)
+      def time2(name: String)(f: => Unit): Unit = {
+        val ts = (1 to 2).map { _ =>
+          val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+        }
+        println(f"[probe] $name%-34s ${ts.min}%.2f s (min of 2)")
+      }
+      def page(d: org.apache.spark.sql.DataFrame) =
+        d.select(col("doc_id"), graft.SparkEntry.synthPage.as("_html"))
+      time2("main-content extract  1x")(noop(
+        TextAnalysis.extractMainContent(page(docs), "doc_id", "_html",
+          minStopPerMille = 50)))
+      time2("main-content extract 16x")(noop(
+        TextAnalysis.extractMainContent(page(big), "doc_id", "_html",
+          minStopPerMille = 50)))
+      time2("trigram lang-ID  1x")(noop(
+        TextAnalysis.trigramLangId(docs, "doc_id", "text", "lang",
+          fitPred = col("doc_id") % 2 === 0)))
+      time2("trigram lang-ID 16x")(noop(
+        TextAnalysis.trigramLangId(big, "doc_id", "text", "lang",
+          fitPred = col("doc_id") % 2 === 0)))
+      def queries(d: org.apache.spark.sql.DataFrame) =
+        d.where(col("doc_id") % 100000000L < 10)
+          .select(col("doc_id").as("query_id"),
+            concat_ws(" ", slice(TextAnalysis.tokens(col("text")), 1, 4)).as("qtext"))
+      time2("bm25 top-5, 10 queries  1x")(noop(
+        TextAnalysis.bm25TopK(docs, "doc_id", "text", queries(docs),
+          "query_id", "qtext", 5)))
+      time2("bm25 top-5, 160 queries 16x")(noop(
+        TextAnalysis.bm25TopK(big, "doc_id", "text", queries(big),
+          "query_id", "qtext", 5)))
+      val url = concat(lit("https://"), col("source"),
+        lit(".example.com/p/"), (col("doc_id") % 40).cast("string"))
+      time2("host quota cap  1x")(noop(
+        TextAnalysis.hostQuotaCap(docs.withColumn("url", url)
+          .withColumn("score", col("n_chars")), "doc_id", "url", "score", 25)))
+      time2("host quota cap 16x")(noop(
+        TextAnalysis.hostQuotaCap(big.withColumn("url", url)
+          .withColumn("score", col("n_chars")), "doc_id", "url", "score", 25)))
+    }
+
     // WARC source growth: record-parse wall at 1x vs 16x record volume,
     // plus the gzip (Common Crawl layout) overhead at 16x. The parse is a
     // per-file flatMap, so the claim to verify is ~linear growth with
