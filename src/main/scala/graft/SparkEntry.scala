@@ -2226,6 +2226,15 @@ object SparkEntry {
         .select(col("lang"), col("sample_rank"), col("doc_id"), col("n_chars"))
         .orderBy("lang", "sample_rank")
     }),
+
+    // Heaps-law vocabulary-growth curve: cumulative tokens vs cumulative
+    // distinct types in ingest order — "is more crawl still adding
+    // vocabulary". Cumulatives ride the distributed prefix-sum, never a
+    // single-partition window.
+    "q175_vocab_growth" -> ((s, dir) => {
+      TextAnalysis.vocabGrowthCurve(Tables.documents(s, dir), "doc_id", "text")
+        .orderBy("doc_id")
+    }),
   )
 
   /** q154/q155 corpus: the synthesized lines become conversation turns —
@@ -5019,5 +5028,20 @@ object SparkEntry {
          |  FROM kk)
          |SELECT lang, sample_rank, doc_id, n_chars FROM r WHERE sample_rank <= 20
          |ORDER BY lang, sample_rank""".stripMargin,
+
+    "q175_vocab_growth" ->
+      // per-doc token counts + types-born-per-doc (min doc per type),
+      // cumulative window sums — value-identical to the distributed
+      // prefix-sum (prefixSum's documented window equivalence)
+      """WITH tok AS (SELECT doc_id, unnest(regexp_extract_all(text, '[A-Za-z0-9]+')) AS w FROM documents),
+        |pd AS (SELECT doc_id, count(*) AS n_tokens FROM tok GROUP BY 1),
+        |fs AS (SELECT w, min(doc_id) AS doc_id FROM tok GROUP BY 1),
+        |born AS (SELECT doc_id, count(*) AS n_new_types FROM fs GROUP BY 1),
+        |j AS (SELECT pd.doc_id, n_tokens, coalesce(n_new_types, 0) AS n_new_types
+        |  FROM pd LEFT JOIN born USING (doc_id))
+        |SELECT doc_id, n_tokens, n_new_types,
+        |  CAST(sum(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens,
+        |  CAST(sum(n_new_types) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_types
+        |FROM j ORDER BY doc_id""".stripMargin,
   )
 }

@@ -133,6 +133,34 @@ object TextAnalysis {
       .select(col(idCol), col("rank"), col("term"), col("score"))
   }
 
+  /** Vocabulary-growth (Heaps-law) curve: ingest documents in `idCol`
+    * order and report, per document, the cumulative token count vs the
+    * cumulative DISTINCT type count — the corpus-growth diagnostic
+    * behind "is more crawl still adding vocabulary or just repeating
+    * itself" (Heaps 1978: types ~ K·tokens^beta; a flattening curve is
+    * the data-side saturation signal scaling-law work keys on).
+    *
+    * Scale shape: one corpus explode feeding two map-side-combinable
+    * aggregates — per-doc token counts, and each type's FIRST document
+    * (min over the type key) rolled up into types-born-per-doc; the
+    * cumulative columns ride [[Batching.prefixSum]]'s two-phase
+    * distributed scan (range partition + per-partition offsets), NEVER a
+    * single-partition window, so the curve computes at any doc count.
+    * Documents with zero word tokens drop out of the curve (the explode
+    * drops them — same contract as every tokenizing fit here).
+    * Output: (idCol, n_tokens, n_new_types, cum_tokens, cum_types). */
+  def vocabGrowthCurve(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tok = docs.select(col(idCol), explode(wordTokens(col(textCol))).as("_w"))
+    val perDoc = tok.groupBy(col(idCol)).agg(count(lit(1)).as("n_tokens"))
+    val born = tok.groupBy("_w").agg(min(col(idCol)).as(idCol))
+      .groupBy(col(idCol)).agg(count(lit(1)).as("n_new_types"))
+    val joined = perDoc.join(born, Seq(idCol), "left")
+      .select(col(idCol), col("n_tokens"),
+        coalesce(col("n_new_types"), lit(0L)).as("n_new_types"))
+    val c1 = Batching.prefixSum(joined, Seq(idCol), "n_tokens", "cum_tokens")
+    Batching.prefixSum(c1, Seq(idCol), "n_new_types", "cum_types")
+  }
+
   /** Compression-ratio quality gate (the Gopher/DCLM zlib signal): per
     * doc, the raw-DEFLATE ratio of the UTF-8 text
     * ([[graft.functions.DeflateRatio]]) and a keep bracket — below
