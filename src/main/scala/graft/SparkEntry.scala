@@ -2235,6 +2235,17 @@ object SparkEntry {
       TextAnalysis.vocabGrowthCurve(Tables.documents(s, dir), "doc_id", "text")
         .orderBy("doc_id")
     }),
+
+    // Token-budget mixture plan (Llama/DoReMi-style): per-language
+    // epochs/keep-rate to hit a 1M-token budget at the target mix, with
+    // the >4-epoch repetition guardrail flagged per stratum.
+    "q176_token_budget" -> ((s, dir) => {
+      Stats.tokenBudgetPlan(Tables.documents(s, dir), col("lang"),
+          TextAnalysis.tokenCount(col("text")).cast("long"),
+          Map("en" -> 0.5, "zh" -> 0.2, "de" -> 0.1, "es" -> 0.1, "fr" -> 0.1),
+          budgetTokens = 1000000L)
+        .orderBy("stratum")
+    }),
   )
 
   /** q154/q155 corpus: the synthesized lines become conversation turns —
@@ -5043,5 +5054,22 @@ object SparkEntry {
         |  CAST(sum(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens,
         |  CAST(sum(n_new_types) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_types
         |FROM j ORDER BY doc_id""".stripMargin,
+
+    "q176_token_budget" ->
+      // shares normalize over the sorted-key DOUBLE sum (same fold order
+      // as the operator); epochs compare at the 6-dp rounded value
+      """WITH w(stratum, wt) AS (VALUES
+        |  ('de', 0.1::DOUBLE), ('en', 0.5::DOUBLE), ('es', 0.1::DOUBLE),
+        |  ('fr', 0.1::DOUBLE), ('zh', 0.2::DOUBLE)),
+        |ws AS (SELECT 0.1::DOUBLE + 0.5::DOUBLE + 0.1::DOUBLE + 0.1::DOUBLE + 0.2::DOUBLE AS s),
+        |a AS (SELECT lang AS stratum, CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS avail_tokens
+        |  FROM documents GROUP BY 1),
+        |j AS (SELECT a.stratum, avail_tokens, wt / s AS share FROM a JOIN w USING (stratum) CROSS JOIN ws),
+        |e AS (SELECT stratum, avail_tokens, share,
+        |  round(share * 1000000 / avail_tokens, 6) AS epochs FROM j)
+        |SELECT stratum, avail_tokens, round(share, 6) AS share,
+        |  CAST(round(share * 1000000, 0) AS BIGINT) AS target_tokens,
+        |  epochs, round(least(1.0, epochs), 6) AS keep_rate, epochs > 4.0 AS over_cap
+        |FROM e ORDER BY stratum""".stripMargin,
   )
 }

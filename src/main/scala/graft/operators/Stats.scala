@@ -247,6 +247,55 @@ object Stats {
       .drop("_es")
   }
 
+  /** Token-budget mixture plan — the Llama/DoReMi-style data-mix
+    * calculator: given per-stratum target weights and a TOTAL token
+    * budget, report per stratum the available tokens, the target tokens
+    * (`share x budget`), the epochs needed (`target / available` — above
+    * 1 means repeating the source), the sub-1-epoch keep rate, and an
+    * `over_cap` flag where epochs exceed `maxEpochs` (the
+    * data-constrained-scaling guardrail: repeating a source beyond ~4
+    * epochs stops helping, Muennighoff et al. 2023 — the weights or the
+    * budget must change, and this is the report that says so BEFORE a
+    * run burns compute). [[mixtureResampleToWeights]] answers the dual
+    * question (largest duplication-free N at the exact mix); this one
+    * fixes the budget and allows repetition.
+    *
+    * Weight shares normalize over the sorted-key sum (deterministic fold
+    * order — FP-reproducible against the oracle). One stratum-keyed
+    * map-side-combinable aggregate + a broadcast weights join; the
+    * output is |strata|-row. Strata without a weight drop (inner join),
+    * matching [[mixtureResampleToWeights]]' contract. */
+  def tokenBudgetPlan(docs: DataFrame, strataCol: Column, tokenCountCol: Column,
+                      weights: Map[String, Double], budgetTokens: Long,
+                      maxEpochs: Double = 4.0): DataFrame = {
+    require(weights.nonEmpty, "tokenBudgetPlan needs >= 1 target weight")
+    require(budgetTokens > 0, s"tokenBudgetPlan needs budgetTokens > 0, got $budgetTokens")
+    require(maxEpochs > 0, s"tokenBudgetPlan needs maxEpochs > 0, got $maxEpochs")
+    weights.foreach { case (s, w) =>
+      require(w > 0 && !w.isNaN && !w.isInfinite,
+        s"tokenBudgetPlan: weight for stratum '$s' must be finite and > 0, got $w")
+    }
+    val wSum = weights.toSeq.sortBy(_._1).map(_._2).sum
+    val spark = docs.sparkSession
+    import scala.jdk.CollectionConverters._
+    val wdf = spark.createDataFrame(
+      weights.toSeq.sortBy(_._1).map { case (s, w) => Row(s, w / wSum) }.asJava,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("stratum",
+          org.apache.spark.sql.types.StringType, nullable = false),
+        org.apache.spark.sql.types.StructField("_share",
+          org.apache.spark.sql.types.DoubleType, nullable = false))))
+    docs.groupBy(strataCol.cast("string").as("stratum"))
+      .agg(sum(tokenCountCol).cast("long").as("avail_tokens"))
+      .join(broadcast(wdf), "stratum")
+      .select(col("stratum"), col("avail_tokens"),
+        round(col("_share"), 6).as("share"),
+        round(col("_share") * budgetTokens, 0).cast("long").as("target_tokens"),
+        round(col("_share") * budgetTokens / col("avail_tokens"), 6).as("epochs"))
+      .withColumn("keep_rate", round(least(lit(1.0), col("epochs")), 6))
+      .withColumn("over_cap", col("epochs") > maxEpochs)
+  }
+
   /** Mixture rebalancing: deterministically downsample every stratum to the
     * size of the SMALLEST one (keep rate = ceil(1e6·min/count) parts per
     * million), so the output is a near-uniform mix — the data-side fix for
