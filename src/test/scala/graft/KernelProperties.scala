@@ -228,6 +228,26 @@ object KernelProperties extends Properties("graft.kernels") {
     graft.functions.NfcNormalize.kernel(once) == once
   }
 
+  property("deflateRatio.positiveAndDeterministic") = forAll(unicodeText) { s =>
+    val u = UTF8String.fromString(s)
+    val r = graft.functions.DeflateRatio.kernel(u)
+    r > 0.0 && r == graft.functions.DeflateRatio.kernel(u)
+  }
+
+  property("deflateRatio.repetitionNeverBeatsItsUnit") = forAll(
+    Gen.alphaNumStr.suchThat(_.length >= 8), Gen.choose(8, 64)) { (unit, n) =>
+      // repeating a unit n times can only ADD LZ-matchable structure:
+      // the repeated text's ratio never exceeds the unit's own + slack
+      // for the one-block framing on tiny inputs
+      val one = graft.functions.DeflateRatio.kernel(UTF8String.fromString(unit))
+      val rep = graft.functions.DeflateRatio.kernel(
+        UTF8String.fromString(unit * n))
+      rep <= one + 0.05
+  }
+
+  property("deflateRatio.emptyIsOne") = Prop(
+    graft.functions.DeflateRatio.kernel(UTF8String.fromString("")) == 1.0)
+
   property("bloom.noFalseNegatives") = forAll(
     Gen.nonEmptyListOf(Gen.choose(Long.MinValue, Long.MaxValue))) { keys =>
     import graft.functions.BloomHash
