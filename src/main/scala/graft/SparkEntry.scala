@@ -2246,6 +2246,23 @@ object SparkEntry {
           budgetTokens = 1000000L)
         .orderBy("stratum")
     }),
+
+    // Distinct-n diversity (synthetic-data QA): %3==0 docs play a
+    // mode-collapsed generator (5 templates); its distinct-bigram ratio
+    // must crater vs the human slice — the detector that fires long
+    // before exact dedup sees a duplicate.
+    "q177_distinct_ngrams" -> ((s, dir) => {
+      val d = Tables.documents(s, dir).select(col("doc_id"),
+        when(col("doc_id") % 3 === 0, lit("synthetic"))
+          .otherwise(lit("human")).as("src"),
+        when(col("doc_id") % 3 === 0,
+          concat(lit("as an ai model i think topic "),
+            (col("doc_id") % 5).cast("string"),
+            lit(" is interesting and worth discussing today")))
+          .otherwise(col("text")).as("text"))
+      TextAnalysis.distinctNgramStats(d, col("src"), "doc_id", "text", n = 2)
+        .orderBy("grp")
+    }),
   )
 
   /** q154/q155 corpus: the synthesized lines become conversation turns —
@@ -5071,5 +5088,21 @@ object SparkEntry {
         |  CAST(round(share * 1000000, 0) AS BIGINT) AS target_tokens,
         |  epochs, round(least(1.0, epochs), 6) AS keep_rate, epochs > 4.0 AS over_cap
         |FROM e ORDER BY stratum""".stripMargin,
+
+    "q177_distinct_ngrams" ->
+      // q42's bigram list per doc, one group aggregate of total vs
+      // distinct grams
+      """WITH d AS (SELECT doc_id,
+        |  CASE WHEN doc_id % 3 = 0 THEN 'synthetic' ELSE 'human' END AS grp,
+        |  CASE WHEN doc_id % 3 = 0 THEN 'as an ai model i think topic ' ||
+        |    CAST(doc_id % 5 AS VARCHAR) || ' is interesting and worth discussing today'
+        |  ELSE text END AS text FROM documents),
+        |tk AS (SELECT grp, doc_id, string_split(text, ' ') AS t FROM d),
+        |ng AS (SELECT grp, doc_id, unnest(CASE WHEN len(t) < 2 THEN CAST([] AS VARCHAR[])
+        |  ELSE list_transform(range(1, len(t)), i -> array_to_string(t[i:i+1], ' ')) END) AS g FROM tk)
+        |SELECT grp, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+        |  count(*) AS n_grams, CAST(count(DISTINCT g) AS BIGINT) AS distinct_grams,
+        |  round(count(DISTINCT g) * 1.0 / count(*), 6) AS distinct_ratio
+        |FROM ng GROUP BY grp ORDER BY grp""".stripMargin,
   )
 }

@@ -133,6 +133,34 @@ object TextAnalysis {
       .select(col(idCol), col("rank"), col("term"), col("score"))
   }
 
+  /** Distinct-n diversity stats per group — the synthetic-data QA metric
+    * (Self-Instruct's ROUGE-dedup motivation, distinct-1/distinct-2 from
+    * the dialogue-diversity literature): a generator in mode collapse
+    * emits fluent text whose n-gram VARIETY craters long before any
+    * exact-dup filter fires; the distinct/total n-gram ratio per source
+    * is the one-aggregate detector. Output per group:
+    * (grp, n_docs, n_grams, distinct_grams, distinct_ratio) at word
+    * `n`-grams; compare a synthetic source's ratio against a human
+    * slice's at matched volume (the ratio falls with corpus size even
+    * for human text — judge DELTAS at equal n_grams, not absolutes).
+    *
+    * Scale shape: one explode + ONE group-keyed aggregate (count +
+    * count distinct — the distinct rides a partial-aggregated expand,
+    * map-side combinable); nothing else. */
+  def distinctNgramStats(docs: DataFrame, groupCol: Column, idCol: String,
+                         textCol: String, n: Int): DataFrame = {
+    require(n >= 1, s"distinctNgramStats needs n >= 1, got $n")
+    docs.select(groupCol.as("grp"), col(idCol),
+        tokens(col(textCol)).as("_tk"))
+      .select(col("grp"), col(idCol), explode(ngrams(col("_tk"), n)).as("_g"))
+      .groupBy("grp")
+      .agg(countDistinct(col(idCol)).as("n_docs"),
+        count(lit(1)).as("n_grams"),
+        countDistinct(col("_g")).as("distinct_grams"))
+      .withColumn("distinct_ratio",
+        round(col("distinct_grams").cast("double") / col("n_grams"), 6))
+  }
+
   /** Vocabulary-growth (Heaps-law) curve: ingest documents in `idCol`
     * order and report, per document, the cumulative token count vs the
     * cumulative DISTINCT type count — the corpus-growth diagnostic
