@@ -909,6 +909,22 @@ object Dedup {
       fingerprintBits = 64)
   }
 
+  /** Manku banding over ANY precomputed 64-bit fingerprint column — the
+    * modality-agnostic entry: the text ladder arrives via
+    * [[simhashNearDupPairs64]]'s token simhash, the IMAGE ladder via
+    * [[graft.operators.Media.imageDHashes]]' perceptual dHash, and any
+    * future modality (audio chroma hash, …) plugs in the same way. Exact
+    * within the radius by the pigeonhole argument (maxHamming < nBands);
+    * pairs as (id_a, id_b, hamming). The frame is detached — it feeds
+    * both self-join sides. */
+  def hammingNearDupPairs64(df: DataFrame, idCol: String, hashCol: String,
+                            maxHamming: Int = 3): DataFrame = {
+    val sh = Relational.detach(
+      df.select(col(idCol), col(hashCol).cast("long").as("simhash")))
+    bandedHammingPairs(sh, idCol, maxHamming, bitsPerBand = 16, nBands = 4,
+      fingerprintBits = 64)
+  }
+
   /** Shared Manku banding over a precomputed (idCol, simhash) frame.
     * `fingerprintBits` is the fingerprint's actual width: the bands must
     * TILE it (`nBands * bitsPerBand >= fingerprintBits`), else high bits

@@ -392,6 +392,70 @@ object Media {
       }
     } catch { case _: Exception => None }
 
+  /** Perceptual difference-hash (dHash) of an encoded image: decode,
+    * box-average to a 9x8 grayscale grid with DIRECT pixel arithmetic
+    * (no AWT scaler — the grid is bit-deterministic across platforms),
+    * then 64 bits of "is the right neighbor brighter". Survives
+    * re-encoding, format conversion, resizing, and mild quality loss —
+    * the signal that catches the same photo crawled as PNG on one site
+    * and JPEG-75 on another, where byte-level fingerprints see two
+    * distinct blobs. Corrupt/undecodable bytes return None (the
+    * corpus-wide corrupt-record discipline). */
+  def dHash64(bytes: Array[Byte]): Option[Long] =
+    try {
+      val img = ImageIO.read(new ByteArrayInputStream(bytes))
+      if (img == null) None
+      else {
+        val (w, h) = (img.getWidth, img.getHeight)
+        val grid = Array.ofDim[Double](8, 9)
+        var gy = 0
+        while (gy < 8) {
+          var gx = 0
+          while (gx < 9) {
+            val x0 = gx * w / 9; val x1 = math.max(x0 + 1, (gx + 1) * w / 9)
+            val y0 = gy * h / 8; val y1 = math.max(y0 + 1, (gy + 1) * h / 8)
+            var s = 0L; var n = 0
+            var y = y0
+            while (y < y1) {
+              var x = x0
+              while (x < x1) {
+                val rgb = img.getRGB(x, y)
+                s += 299L * ((rgb >> 16) & 0xff) + 587L * ((rgb >> 8) & 0xff) +
+                  114L * (rgb & 0xff)
+                n += 1; x += 1
+              }
+              y += 1
+            }
+            grid(gy)(gx) = s.toDouble / n
+            gx += 1
+          }
+          gy += 1
+        }
+        var hash = 0L
+        var i = 0
+        while (i < 64) {
+          val r = i / 8; val c = i % 8
+          if (grid(r)(c + 1) > grid(r)(c)) hash |= 1L << i
+          i += 1
+        }
+        Some(hash)
+      }
+    } catch { case _: Exception => None }
+
+  /** dHash every decodable image entry: (archive, entry, dhash) — the
+    * IMAGE arm of the near-dup ladder. Feed the result to
+    * [[graft.operators.Dedup.hammingNearDupPairs64]] (banded, never
+    * all-pairs) and then the usual connected-components keep-first.
+    * Scale shape: one flatMap over the exploded entries — bytes never
+    * shuffle (the hash is computed where the entry row lives), and the
+    * pair stage ships (id, int64) only. */
+  def imageDHashes(entries: Dataset[ZipEntryRow]): DataFrame = {
+    val spark = entries.sparkSession
+    import spark.implicits._
+    entries.flatMap(r => dHash64(r.content).map(h => (r.archive, r.entry, h)))
+      .toDF("archive", "entry", "dhash")
+  }
+
   /** Full image ETL: archives frame -> per-image CHW tensors with shape
     * metadata, corrupt entries dropped. */
   def imageEtl(spark: SparkSession, archives: DataFrame, target: Int = 224): Dataset[ImageTensor] = {

@@ -327,4 +327,50 @@ class MediaSpec extends SparkSuite {
     Media.deleteConsumed(spark, Seq(f.getAbsolutePath))
     assert(!f.exists())
   }
+
+  test("image dHash: re-encode-invariant, distinct images far, banded pairs find the dup") {
+    import spark.implicits._
+    // a smooth high-contrast wave over a gradient: non-degenerate hash
+    // (a bare gradient is all-ones) with adjacent dHash boxes differing
+    // by tens of gray levels, so JPEG's ~±2 quantization noise cannot
+    // flip comparisons — the property the kernel claims for mild
+    // re-encodes, not robustness to arbitrary busy textures
+    def textured(w: Int, h: Int, invert: Boolean): BufferedImage = {
+      val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+      for (x <- 0 until w; y <- 0 until h) {
+        val base = if (invert) 255 - x * 255 / w else x * 255 / w
+        // the "other" image gets a different wave frequency and phase —
+        // a genuinely different picture, not a brightness tweak
+        val wave = (math.sin(if (invert) x / 5.0 + 2.0 else x / 9.0) * 55).toInt
+        val v = math.min(255, math.max(0, base / 3 + 80 + wave + y * 16 / h))
+        img.setRGB(x, y, (v << 16) | (v << 8) | v)
+      }
+      img
+    }
+    def enc(img: BufferedImage, fmt: String): Array[Byte] = {
+      val out = new ByteArrayOutputStream()
+      ImageIO.write(img, fmt, out)
+      out.toByteArray
+    }
+    val a = textured(96, 64, invert = false)
+    val hPng = Media.dHash64(enc(a, "png")).get
+    val hJpg = Media.dHash64(enc(a, "jpg")).get
+    val hInv = Media.dHash64(enc(textured(96, 64, invert = true), "png")).get
+    def hamming(x: Long, y: Long): Int = java.lang.Long.bitCount(x ^ y)
+    assert(hamming(hPng, hJpg) <= 3,
+      s"PNG vs JPEG re-encode must be near: ${hamming(hPng, hJpg)}")
+    assert(hamming(hPng, hInv) > 10,
+      s"inverted image must be far: ${hamming(hPng, hInv)}")
+    // corrupt bytes -> None, never a throw
+    assert(Media.dHash64(Array[Byte](1, 2, 3)).isEmpty)
+    // the IMAGE arm of the dedup ladder: dHash frame -> banded pairs
+    val hashes = Seq(("z", "a.png", hPng), ("z", "a.jpg", hJpg),
+      ("z", "other.png", hInv)).toDF("archive", "entry", "dhash")
+      .select(concat_ws("/", col("archive"), col("entry")).as("id"), col("dhash"))
+    val pairs = graft.operators.Dedup
+      .hammingNearDupPairs64(hashes, "id", "dhash", maxHamming = 3)
+      .select("id_a", "id_b").as[(String, String)].collect().toSet
+    assert(pairs === Set(("z/a.jpg", "z/a.png")),
+      s"exactly the re-encode pair must surface: $pairs")
+  }
 }
