@@ -2263,6 +2263,22 @@ object SparkEntry {
       TextAnalysis.distinctNgramStats(d, col("src"), "doc_id", "text", n = 2)
         .orderBy("grp")
     }),
+
+    // Cross-host template-farm detection: %7==0 docs are stamped with one
+    // of 8 SEO templates (7 is coprime with the 20-host crawl, so each
+    // template spans 5 hosts) and must flag, while every natural doc
+    // stays host-unique and silent.
+    "q178_template_farms" -> ((s, dir) => {
+      val seeded = Tables.documents(s, dir).withColumn("url", crawlUrl)
+        .withColumn("text",
+          when(col("doc_id") % 7 === 0,
+            concat(lit("Welcome to our site! Best deals on topic "),
+              (col("doc_id") % 8).cast("string"),
+              lit(" click here to learn more and subscribe")))
+            .otherwise(col("text")))
+      TextAnalysis.templateFarms(seeded, "doc_id", "url", "text", minHosts = 3)
+        .orderBy("fp")
+    }),
   )
 
   /** q154/q155 corpus: the synthesized lines become conversation turns —
@@ -5104,5 +5120,30 @@ object SparkEntry {
         |  count(*) AS n_grams, CAST(count(DISTINCT g) AS BIGINT) AS distinct_grams,
         |  round(count(DISTINCT g) * 1.0 / count(*), 6) AS distinct_ratio
         |FROM ng GROUP BY grp ORDER BY grp""".stripMargin,
+
+    "q178_template_farms" ->
+      // q123's URL synthesis + q125's host extraction + q127's
+      // normalization, portable poly-31 fingerprint, one group aggregate
+      s"""WITH u AS (SELECT doc_id,
+         |  CASE WHEN doc_id % 7 = 0 THEN 'Welcome to our site! Best deals on topic ' ||
+         |    CAST(doc_id % 8 AS VARCHAR) || ' click here to learn more and subscribe'
+         |  ELSE text END AS text,
+         |  (CASE WHEN doc_id % 2 = 0 THEN 'https://' ELSE 'HTTP://' END) ||
+         |  (CASE WHEN doc_id % 5 = 0 THEN 'WWW.' ELSE '' END) ||
+         |  source || '.example.com/articles/' || CAST(doc_id % 40 AS VARCHAR) ||
+         |  (CASE WHEN doc_id % 3 = 0 THEN '/' ELSE '' END) ||
+         |  (CASE WHEN doc_id % 4 = 0 THEN '?utm_source=feed&utm_medium=rss' ELSE '' END) ||
+         |  (CASE WHEN doc_id % 7 = 0 THEN '#section-2' ELSE '' END) AS url
+         |  FROM documents),
+         |h AS (SELECT doc_id,
+         |  trim(regexp_replace(regexp_replace(lower(text), '[^\\p{L}\\p{N}]+', ' ', 'g'), ' +', ' ', 'g')) AS norm,
+         |  regexp_replace(lower(regexp_extract(
+         |    regexp_replace(url, '^[A-Za-z][A-Za-z0-9+.-]*://', ''),
+         |    '^([^/?#]*)', 1)), '^www\\.', '') AS host FROM u),
+         |f AS (SELECT ${dhash("norm")} AS fp, host, doc_id FROM h),
+         |g AS (SELECT fp, count(*) AS n_docs, CAST(count(DISTINCT host) AS BIGINT) AS n_hosts,
+         |  min(doc_id) AS first_doc FROM f GROUP BY fp)
+         |SELECT fp, n_docs, n_hosts, first_doc FROM g WHERE n_hosts >= 3
+         |ORDER BY fp""".stripMargin,
   )
 }

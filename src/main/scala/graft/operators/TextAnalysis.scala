@@ -1195,6 +1195,33 @@ object TextAnalysis {
   def normalizeForDedup(text: Column): Column =
     trim(regexp_replace(regexp_replace(lower(text), "[^\\p{L}\\p{N}]+", " "), " +", " "))
 
+  /** Cross-host template detection (SEO/link-farm discovery): group
+    * documents by the [[normalizeForDedup]]-normalized text fingerprint
+    * and flag fingerprints spanning at least `minHosts` DISTINCT hosts —
+    * the same page body stamped across many domains is template spam no
+    * per-document filter sees (each copy is individually fluent; the
+    * signal IS the cross-host replication). Complements
+    * [[hostQualityStats]]' within-host dup fraction with the ACROSS-host
+    * axis; feed the flagged fingerprints to an anti-join to scrub, or to
+    * the host blocklist the farm's domains earn.
+    *
+    * Scale shape: one codegen projection (normalize + portable int64
+    * hash + host) and ONE fingerprint-keyed aggregate — the exchange
+    * carries (int64, host, id), never text. Output per flagged
+    * fingerprint: (fp, n_docs, n_hosts, first_doc). */
+  def templateFarms(docs: DataFrame, idCol: String, urlCol: String,
+                    textCol: String, minHosts: Int = 3): DataFrame = {
+    require(minHosts >= 2, s"templateFarms needs minHosts >= 2, got $minHosts")
+    docs.select(
+        rolling_hash(normalizeForDedup(col(textCol))).as("fp"),
+        hostOf(col(urlCol)).as("_host"), col(idCol))
+      .groupBy("fp")
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("_host")).as("n_hosts"),
+        min(col(idCol)).as("first_doc"))
+      .where(col("n_hosts") >= minHosts)
+  }
+
   /** Canonical host of a URL: scheme and a leading `www.` stripped,
     * lowercased. The grouping key for domain-level corpus curation. */
   def hostOf(url: Column): Column =
