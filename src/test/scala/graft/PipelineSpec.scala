@@ -107,4 +107,82 @@ class PipelineSpec extends SparkSuite {
       .eval(null).asInstanceOf[Double] > 111.0)
     assert(RollingHash(Literal.create("ab", StringType)).eval(null) === 3105L)
   }
+
+  test("multimodal dedup ladder: text, image, and audio fingerprints share one pair stage") {
+    import spark.implicits._
+    import graft.operators.{Dedup, Media, Sound}
+    // TEXT: a doc and its lightly re-rendered copy + one distinct doc
+    val base = "the quick brown fox jumped over the lazy dog and ran away " * 4
+    val docs = Seq(
+      ("t/1", base.trim),
+      ("t/2", base.trim + " again"),
+      ("t/3", "completely different content about database query optimization " +
+        "plans joins shuffles and the cost model that picks between them"))
+      .toDF("id", "text")
+    val textHashes = docs.select(col("id"), lit("text").as("modality"),
+      graft.functions.GraftFunctions.simhash64(col("text")).as("h"))
+    // IMAGE: one picture encoded twice + a different picture
+    def img(invert: Boolean): java.awt.image.BufferedImage = {
+      val im = new java.awt.image.BufferedImage(96, 64,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (x <- 0 until 96; y <- 0 until 64) {
+        val base = if (invert) 255 - x * 255 / 96 else x * 255 / 96
+        val wave = (math.sin(if (invert) x / 5.0 + 2.0 else x / 9.0) * 55).toInt
+        val v = math.min(255, math.max(0, base / 3 + 80 + wave + y / 4))
+        im.setRGB(x, y, (v << 16) | (v << 8) | v)
+      }
+      im
+    }
+    def enc(im: java.awt.image.BufferedImage, fmt: String): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(im, fmt, out); out.toByteArray
+    }
+    val imgHashes = Seq(
+      ("i/1", Media.dHash64(enc(img(false), "png")).get),
+      ("i/2", Media.dHash64(enc(img(false), "jpg")).get),
+      ("i/3", Media.dHash64(enc(img(true), "png")).get))
+      .toDF("id", "h").withColumn("modality", lit("image"))
+    // AUDIO: one recording at two sample rates + a different one
+    def wav(rate: Int, mul: Int): Array[Byte] = {
+      val levels = (0 until 65).map(i => 0.15 + 0.8 * ((i * mul) % 65) / 65.0)
+      val n = rate
+      val samples = Array.tabulate(n) { i =>
+        val seg = math.min(64, i * 65 / n)
+        levels(seg) * math.sin(2 * math.Pi * 440 * i / rate)
+      }
+      val out = new java.io.ByteArrayOutputStream()
+      def w16(v: Int): Unit = { out.write(v & 0xff); out.write((v >> 8) & 0xff) }
+      def w32(v: Int): Unit = { w16(v & 0xffff); w16((v >> 16) & 0xffff) }
+      out.write("RIFF".getBytes); w32(36 + n * 2); out.write("WAVE".getBytes)
+      out.write("fmt ".getBytes); w32(16); w16(1); w16(1); w32(rate)
+      w32(rate * 2); w16(2); w16(16)
+      out.write("data".getBytes); w32(n * 2)
+      samples.foreach(v => w16(math.round(
+        math.max(-1.0, math.min(1.0, v)) * 32767).toInt & 0xffff))
+      out.toByteArray
+    }
+    def ah(rate: Int, mul: Int): Long =
+      Sound.energyHash64(Sound.decodeWavPcm(wav(rate, mul)).get.mono).get
+    val audioHashes = Seq(
+      ("a/1", ah(8000, 29)), ("a/2", ah(16000, 29)), ("a/3", ah(8000, 41)))
+      .toDF("id", "h").withColumn("modality", lit("audio"))
+    // ONE ladder: per-modality banded pairs (a text simhash must never
+    // pair with an image hash) -> union -> shared connected components
+    val all = textHashes.unionByName(imgHashes.select("id", "modality", "h"))
+      .unionByName(audioHashes.select("id", "modality", "h"))
+    val pairs = Seq("text", "image", "audio").map { m =>
+      Dedup.hammingNearDupPairs64(all.where(col("modality") === m), "id", "h",
+        maxHamming = 3)
+    }.reduce(_ unionByName _)
+    val comps = Dedup.connectedComponents(
+      all.select(col("id")), pairs.select("id_a", "id_b"))
+      .as[(String, String)].collect().toMap
+    // each modality's re-encoded copy clusters with its original...
+    assert(comps("t/2") === comps("t/1"))
+    assert(comps("i/2") === comps("i/1"))
+    assert(comps("a/2") === comps("a/1"))
+    // ...and the distinct items stay their own clusters
+    assert(Seq("t/3", "i/3", "a/3").map(comps).distinct.size === 3)
+    assert(comps.values.toSet.size === 6)
+  }
 }
