@@ -594,6 +594,56 @@ object ScaleProbe {
           .withColumn("score", col("n_chars")), "doc_id", "url", "score", 25)))
     }
 
+    // Modality fingerprint throughput: image dHash (decode-bound) and
+    // WAV parse + audit (pure byte walk) at 1x vs 16x file volume.
+    if (sections("modhash")) {
+      import graft.operators.{Media, Sound}
+      import spark.implicits._
+      def png(seed: Int): Array[Byte] = {
+        val im = new java.awt.image.BufferedImage(128, 96,
+          java.awt.image.BufferedImage.TYPE_INT_RGB)
+        for (x <- 0 until 128; y <- 0 until 96) {
+          val v = (x * 2 + y + seed * 37) % 256
+          im.setRGB(x, y, (v << 16) | (v << 8) | v)
+        }
+        val out = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(im, "png", out); out.toByteArray
+      }
+      def wav(seed: Int): Array[Byte] = {
+        val rate = 8000; val n = rate
+        val out = new java.io.ByteArrayOutputStream(44 + n * 2)
+        def w16(v: Int): Unit = { out.write(v & 0xff); out.write((v >> 8) & 0xff) }
+        def w32(v: Int): Unit = { w16(v & 0xffff); w16((v >> 16) & 0xffff) }
+        out.write("RIFF".getBytes); w32(36 + n * 2); out.write("WAVE".getBytes)
+        out.write("fmt ".getBytes); w32(16); w16(1); w16(1); w32(rate)
+        w32(rate * 2); w16(2); w16(16); out.write("data".getBytes); w32(n * 2)
+        var i = 0
+        while (i < n) {
+          val v = 0.5 * math.sin(2 * math.Pi * (200 + seed % 200) * i / rate)
+          w16(math.round(v * 32767).toInt & 0xffff); i += 1
+        }
+        out.toByteArray
+      }
+      val imgs = (0 until 512).map(i => (s"img$i", png(i)))
+      val wavs = (0 until 512).map(i => (s"w$i.wav", wav(i)))
+      def time2(name: String)(f: => Unit): Unit = {
+        val ts = (1 to 2).map { _ =>
+          val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+        }
+        println(f"[probe] $name%-34s ${ts.min}%.2f s (min of 2)")
+      }
+      def imgDs(rep: Int) = spark.createDataset(
+        for (r <- 0 until rep; (n, b) <- imgs)
+          yield Media.ZipEntryRow(s"a$r", n, b)).repartition(32)
+      def wavDf(rep: Int) = spark.createDataset(
+        for (r <- 0 until rep; (n, b) <- wavs) yield (s"$r/$n", b))
+        .toDF("path", "content").repartition(32)
+      time2("image dHash   1x (512 imgs)")(noop(Media.imageDHashes(imgDs(1))))
+      time2("image dHash  16x (8192 imgs)")(noop(Media.imageDHashes(imgDs(16))))
+      time2("audio audit   1x (512 wavs)")(noop(Sound.audioAudit(wavDf(1))))
+      time2("audio audit  16x (8192 wavs)")(noop(Sound.audioAudit(wavDf(16))))
+    }
+
     // WARC source growth: record-parse wall at 1x vs 16x record volume,
     // plus the gzip (Common Crawl layout) overhead at 16x. The parse is a
     // per-file flatMap, so the claim to verify is ~linear growth with
