@@ -930,6 +930,71 @@ object Dedup {
     * TILE it (`nBands * bitsPerBand >= fingerprintBits`), else high bits
     * are never banded and pairs differing only there are silently lost —
     * violating the documented pigeonhole exactness. */
+  /** Explode a (idCol, simhash) frame into its band rows:
+    * (idCol, simhash, band, bkey). Shared by the self-join pair stage and
+    * the incremental wave-vs-index join. */
+  private def bandExplode(sh: DataFrame, idCol: String,
+                          bitsPerBand: Int, nBands: Int): DataFrame = {
+    val mask = (1L << bitsPerBand) - 1
+    sh.select(col(idCol), col("simhash"),
+      explode(expr(
+        s"transform(sequence(0, ${nBands - 1}), " +
+          s"b -> struct(b AS band, shiftright(simhash, b * $bitsPerBand) & $mask AS bkey))"))
+        .as("bb"))
+      .select(col(idCol), col("simhash"), col("bb.band"), col("bb.bkey"))
+  }
+
+  /** Persisted banded index of ACCEPTED 64-bit perceptual fingerprints —
+    * the hamming twin of [[lshIndex]]: one row per (band, bucket)
+    * membership carrying the full fingerprint, so future waves both FIND
+    * candidates (band equi-join) and VERIFY them (exact bit_count)
+    * without touching accepted bytes again. Parquet-persist between
+    * waves; grow with `index.unionByName(hammingIndex64(survivors))`.
+    * Columns: (band, bkey, id, h). */
+  def hammingIndex64(df: DataFrame, idCol: String, hashCol: String): DataFrame =
+    bandExplode(df.select(col(idCol), col(hashCol).cast("long").as("simhash")),
+      idCol, bitsPerBand = 16, nBands = 4)
+      .select(col("band"), col("bkey"), col(idCol).as("id"),
+        col("simhash").as("h"))
+
+  /** Incremental perceptual dedup for append-only media ingest — the
+    * image/audio twin of [[incrementalFuzzyDedupKeepFirst]]: drop every
+    * new item within `maxHamming` of ANY fingerprint in the persisted
+    * [[hammingIndex64]], then keep-first within the wave (smallest id per
+    * connected near-dup component). The daily-crawl contract: re-posted
+    * images (recompressed, resized) and re-encoded audio never re-enter;
+    * an intra-wave dup cluster lands exactly once.
+    *
+    * Scale shape: the wave-vs-index probe is a (band, bkey) equi-join —
+    * never all-pairs, never media bytes (fingerprints only); the
+    * within-wave arm is the [[hammingNearDupPairs64]] self-join + CC
+    * min-label rounds. Exact within the radius (pigeonhole:
+    * maxHamming < 4 bands of 16 bits). */
+  def incrementalHammingDedupKeepFirst(newItems: DataFrame, idCol: String,
+                                       hashCol: String, index: DataFrame,
+                                       maxHamming: Int = 3): DataFrame = {
+    require(maxHamming >= 0 && maxHamming < 4,
+      s"pigeonhole needs maxHamming in [0, 3], got $maxHamming")
+    val sh = Relational.detach(
+      newItems.select(col(idCol), col(hashCol).cast("long").as("simhash")))
+    val nb = bandExplode(sh, idCol, bitsPerBand = 16, nBands = 4)
+    val hits = nb.join(
+        index.select(col("band"), col("bkey"), col("h").as("_ih")),
+        Seq("band", "bkey"))
+      .where(hamming(col("simhash"), col("_ih")) <= maxHamming)
+      .select(col(idCol).as("id")).distinct()
+    val edges = bandedHammingPairs(sh, idCol, maxHamming,
+      bitsPerBand = 16, nBands = 4, fingerprintBits = 64)
+      .select("id_a", "id_b")
+    val comps = connectedComponents(newItems.select(col(idCol).as("id")), edges)
+    val tainted = comps.join(hits, Seq("id"))
+      .select(col("component").as("_tc")).distinct()
+    val kept = comps.where(col("id") === col("component"))
+      .join(tainted, col("component") === col("_tc"), "left_anti")
+      .select(col("id").as(idCol))
+    newItems.join(kept, Seq(idCol), "left_semi")
+  }
+
   private def bandedHammingPairs(sh: DataFrame, idCol: String, maxHamming: Int,
                                  bitsPerBand: Int, nBands: Int,
                                  fingerprintBits: Int): DataFrame = {
@@ -939,13 +1004,7 @@ object Dedup {
       s"bands must cover the $fingerprintBits-bit fingerprint: " +
         s"$nBands bands x $bitsPerBand bits = ${nBands * bitsPerBand} " +
         s"< $fingerprintBits leaves high bits unbanded (pairs lost)")
-    val mask = (1L << bitsPerBand) - 1
-    val banded = sh.select(col(idCol), col("simhash"),
-      explode(expr(
-        s"transform(sequence(0, ${nBands - 1}), " +
-          s"b -> struct(b AS band, shiftright(simhash, b * $bitsPerBand) & $mask AS bkey))"))
-        .as("bb"))
-      .select(col(idCol), col("simhash"), col("bb.band"), col("bb.bkey"))
+    val banded = bandExplode(sh, idCol, bitsPerBand, nBands)
     val l = banded.select(col(idCol).as("id_a"), col("simhash").as("sh_a"),
       col("band"), col("bkey"))
     val r = banded.select(col(idCol).as("id_b"), col("simhash").as("sh_b"),

@@ -1229,6 +1229,34 @@ class DedupSimilaritySpec extends SparkSuite {
       Similarity.marginTranslationPairs(src, tgt, 3, 0.0))
   }
 
+  test("incrementalHammingDedupKeepFirst: index blocks re-encodes; wave clusters land once") {
+    val h0 = 0L
+    val w1 = 1L                     // hamming 1 from the indexed item -> re-post, drop
+    val w2 = 0x0FF00FF00FF00FF0L    // new cluster, smallest id -> keep
+    val w3 = w2 ^ 2L                // hamming 1 from w2 -> intra-wave dup, drop
+    val w4 = 0x5555555555555555L    // unique -> keep
+    val index = Dedup.hammingIndex64(
+      Seq(("accepted", h0)).toDF("id", "h"), "id", "h")
+    val wave = Seq(("w1", w1), ("w2", w2), ("w3", w3), ("w4", w4))
+      .toDF("id", "h")
+    val kept = Dedup.incrementalHammingDedupKeepFirst(wave, "id", "h", index)
+      .select("id").as[String].collect().toSet
+    assert(kept === Set("w2", "w4"))
+    // empty index: everything fresh, intra-wave keep-first still applies
+    val keptFresh = Dedup.incrementalHammingDedupKeepFirst(wave, "id", "h",
+        index.limit(0))
+      .select("id").as[String].collect().toSet
+    assert(keptFresh === Set("w1", "w2", "w4"))
+    // growing the index then replaying the SAME wave drops everything
+    val grown = index.unionByName(Dedup.hammingIndex64(
+      wave.join(Seq("w2", "w4").toDF("id"), Seq("id"), "left_semi"), "id", "h"))
+    val replay = Dedup.incrementalHammingDedupKeepFirst(wave, "id", "h", grown)
+      .select("id").as[String].collect()
+    assert(replay.isEmpty, s"replayed wave must fully dedup: ${replay.toSeq}")
+    intercept[IllegalArgumentException](
+      Dedup.incrementalHammingDedupKeepFirst(wave, "id", "h", index, maxHamming = 4))
+  }
+
   test("ndcgAtK: burying hits under false candidates costs ndcg at equal recall") {
     // truth top-3 for probe 1 = {10, 11, 12}; both approx arms recover
     // hits {10, 11} (recall 2/3) — but one surfaces them FIRST, the other
