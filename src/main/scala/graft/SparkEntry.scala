@@ -2279,6 +2279,16 @@ object SparkEntry {
       TextAnalysis.templateFarms(seeded, "doc_id", "url", "text", minHosts = 3)
         .orderBy("fp")
     }),
+
+    // Padding-efficiency curve: waste fraction when batching within
+    // 1/2/4/8/16/32 equi-depth length buckets, padded to bucket max —
+    // the measured knee-picker for the trainer's bucket count, all
+    // candidates served by ONE distributed row-index sort.
+    "q179_padding_efficiency" -> ((s, dir) => {
+      Batching.paddingEfficiency(Tables.documents(s, dir), "doc_id", "text",
+          Seq(1, 2, 4, 8, 16, 32))
+        .orderBy("n_buckets")
+    }),
   )
 
   /** q154/q155 corpus: the synthesized lines become conversation turns —
@@ -5145,5 +5155,23 @@ object SparkEntry {
          |  min(doc_id) AS first_doc FROM f GROUP BY fp)
          |SELECT fp, n_docs, n_hosts, first_doc FROM g WHERE n_hosts >= 3
          |ORDER BY fp""".stripMargin,
+
+    "q179_padding_efficiency" ->
+      // same (len, id)-ordered 0-based index; bucket = floor(idx*B/n)
+      // via the identical double division (values << 2^53, so floor of
+      // the double equals integer division exactly)
+      """WITH l AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS len FROM documents),
+        |i AS (SELECT doc_id, len, row_number() OVER (ORDER BY len, doc_id) - 1 AS idx FROM l),
+        |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM l),
+        |b(b) AS (VALUES (1), (2), (4), (8), (16), (32)),
+        |g AS (SELECT b.b, CAST(floor(idx * b.b / (n * 1.0)) AS BIGINT) AS bucket, len
+        |  FROM i CROSS JOIN nn CROSS JOIN b),
+        |a AS (SELECT b, bucket, max(len) AS mx, sum(len) AS s, count(*) AS c
+        |  FROM g GROUP BY 1, 2)
+        |SELECT CAST(b AS BIGINT) AS n_buckets,
+        |  CAST(sum(s) AS BIGINT) AS real_tokens,
+        |  CAST(sum(c * mx) AS BIGINT) AS padded_tokens,
+        |  round(1.0 - CAST(sum(s) AS DOUBLE) / CAST(sum(c * mx) AS DOUBLE), 6) AS waste_frac
+        |FROM a GROUP BY b ORDER BY n_buckets""".stripMargin,
   )
 }

@@ -66,6 +66,43 @@ object Batching {
     result
   }
 
+  /** Padding-efficiency report — the trainer batch-shape tuner: when
+    * documents batch WITHIN equi-depth length buckets and pad to each
+    * bucket's max length, how much of the batch is padding, for each
+    * candidate bucket count? One bucket = classic pad-to-longest (worst
+    * waste); more buckets = tighter packing at the cost of more
+    * data-loader streams — this report is the measured curve that picks
+    * the knee instead of folklore. Output per candidate:
+    * (n_buckets, real_tokens, padded_tokens, waste_frac).
+    *
+    * Scale shape: token lengths project once; ONE distributed row-index
+    * sort ([[graft.operators.Relational.withRowIndex]] — range partition
+    * + zipWithIndex, never a single-partition window) serves EVERY
+    * candidate count, since bucket membership is `floor(idx * B / n)`;
+    * each candidate then costs one bucket-keyed aggregate over (long,
+    * long) rows. Ties order by id, so the report is engine-exact. */
+  def paddingEfficiency(docs: DataFrame, idCol: String, textCol: String,
+                        bucketCounts: Seq[Int]): DataFrame = {
+    require(bucketCounts.nonEmpty && bucketCounts.forall(_ >= 1),
+      s"paddingEfficiency needs bucket counts >= 1, got $bucketCounts")
+    val lens = docs.select(col(idCol),
+      size(graft.operators.TextAnalysis.tokens(col(textCol))).cast("long").as("len"))
+    val idx = graft.operators.Relational.withRowIndex(lens, Seq("len", idCol), "_idx")
+    val tot = idx.agg(count(lit(1)).as("_n"))
+    bucketCounts.sorted.map { b =>
+      idx.crossJoin(broadcast(tot))
+        .withColumn("_bucket", floor(col("_idx") * b / col("_n")))
+        .groupBy("_bucket")
+        .agg(max("len").as("_mx"), sum("len").as("_sum"), count(lit(1)).as("_c"))
+        .agg(sum("_sum").as("real_tokens"),
+          sum(col("_c") * col("_mx")).as("padded_tokens"))
+        .select(lit(b).cast("long").as("n_buckets"),
+          col("real_tokens"), col("padded_tokens"),
+          round(lit(1.0) - col("real_tokens").cast("double") /
+            col("padded_tokens"), 6).as("waste_frac"))
+    }.reduce(_ unionByName _)
+  }
+
   /** G1 — fixed-count micro-batch id over an explicit total order
     * (process_test_train_Images.py:49). Distributed: global row index via
     * sort + zipWithIndex (Relational.withRowIndex), not a single-partition
