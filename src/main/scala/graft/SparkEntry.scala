@@ -2289,6 +2289,16 @@ object SparkEntry {
           Seq(1, 2, 4, 8, 16, 32))
         .orderBy("n_buckets")
     }),
+
+    // Fill-in-middle transform (code-pretraining augmentation): a
+    // hash-selected half of the corpus re-emits in PSM sentinel order
+    // with hash-seeded cut points — reproducible across engines and
+    // retries like every sampler here.
+    "q180_fim_transform" -> ((s, dir) => {
+      TextAnalysis.fimTransform(Tables.documents(s, dir), "doc_id", "text",
+          ratePct = 50)
+        .orderBy("doc_id")
+    }),
   )
 
   /** q154/q155 corpus: the synthesized lines become conversation turns —
@@ -5173,5 +5183,26 @@ object SparkEntry {
         |  CAST(sum(c * mx) AS BIGINT) AS padded_tokens,
         |  round(1.0 - CAST(sum(s) AS DOUBLE) / CAST(sum(c * mx) AS DOUBLE), 6) AS waste_frac
         |FROM a GROUP BY b ORDER BY n_buckets""".stripMargin,
+
+    "q180_fim_transform" ->
+      // same hash-seeded selection and cut points (dbucket mirrors
+      // Stats.hashBucket); the cut arithmetic stays inside the CASE so a
+      // sub-3-token doc never divides by zero in either engine
+      s"""WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS tk FROM documents),
+         |c AS (SELECT doc_id, text, tk, len(tk) AS n,
+         |  (${dbucket("text", 100)}) < 50 AND len(tk) >= 3 AS sel,
+         |  CASE WHEN len(tk) >= 3 THEN
+         |    1 + (${dbucket("text || '#a'", 1000000)}) % (len(tk) - 1) END AS a,
+         |  CASE WHEN len(tk) >= 3 THEN
+         |    1 + (${dbucket("text || '#b'", 1000000)}) % (len(tk) - 1) END AS b
+         |  FROM t),
+         |p AS (SELECT doc_id, text, tk, n, sel,
+         |  CAST(least(a, b) AS INTEGER) AS p1, CAST(greatest(a, b) AS INTEGER) AS p2 FROM c)
+         |SELECT doc_id, sel AS fim_applied, CAST(n AS BIGINT) AS n_tokens,
+         |  CASE WHEN sel THEN '<fim_prefix>' || coalesce(array_to_string(tk[1:p1], ' '), '') ||
+         |    '<fim_suffix>' || coalesce(array_to_string(tk[p2+1:n], ' '), '') ||
+         |    '<fim_middle>' || coalesce(array_to_string(tk[p1+1:p2], ' '), '')
+         |  ELSE text END AS text_out
+         |FROM p ORDER BY doc_id""".stripMargin,
   )
 }

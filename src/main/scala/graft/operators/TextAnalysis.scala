@@ -133,6 +133,39 @@ object TextAnalysis {
       .select(col(idCol), col("rank"), col("term"), col("score"))
   }
 
+  /** Fill-in-middle (FIM) transform — the code-pretraining augmentation
+    * (Bavarian et al. 2022): for a hash-selected `ratePct`% of documents,
+    * cut the token stream at two deterministic points and re-emit in PSM
+    * order `<fim_prefix> P <fim_suffix> S <fim_middle> M`, teaching the
+    * model to infill; the rest pass through untouched. Everything is
+    * hash-seeded off the text ([[Stats.hashBucket]]'s universal mix), so
+    * the transform is reproducible across engines, runs, and retries —
+    * re-running the pipeline never re-rolls which docs are FIM'd or
+    * where the cuts fall. Documents under 3 tokens pass through (no
+    * meaningful cut exists). Output: (idCol, fim_applied, n_tokens,
+    * text_out). Pure codegen projection — zero shuffles. */
+  def fimTransform(docs: DataFrame, idCol: String, textCol: String,
+                   ratePct: Int = 50): DataFrame = {
+    require(ratePct >= 0 && ratePct <= 100,
+      s"fimTransform needs ratePct in [0, 100], got $ratePct")
+    val tk = tokens(col(textCol))
+    val n = size(tk)
+    val sel = Stats.hashBucket(col(textCol), 100) < ratePct && n >= 3
+    val a = lit(1) + pmod(
+      Stats.hashBucket(concat(col(textCol), lit("#a")), 1000000), (n - 1).cast("long"))
+    val b = lit(1) + pmod(
+      Stats.hashBucket(concat(col(textCol), lit("#b")), 1000000), (n - 1).cast("long"))
+    val p1 = least(a, b).cast("int")
+    val p2 = greatest(a, b).cast("int")
+    val fim = concat(
+      lit("<fim_prefix>"), concat_ws(" ", slice(tk, lit(1), p1)),
+      lit("<fim_suffix>"), concat_ws(" ", slice(tk, p2 + 1, n - p2)),
+      lit("<fim_middle>"), concat_ws(" ", slice(tk, p1 + 1, p2 - p1)))
+    docs.select(col(idCol), sel.as("fim_applied"),
+      n.cast("long").as("n_tokens"),
+      when(sel, fim).otherwise(col(textCol)).as("text_out"))
+  }
+
   /** Distinct-n diversity stats per group — the synthetic-data QA metric
     * (Self-Instruct's ROUGE-dedup motivation, distinct-1/distinct-2 from
     * the dialogue-diversity literature): a generator in mode collapse

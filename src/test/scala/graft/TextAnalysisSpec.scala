@@ -620,6 +620,40 @@ class TextAnalysisSpec extends SparkSuite {
     assert(!plan.contains("Exchange"), s"chunkDocs must be map-only:\n$plan")
   }
 
+  test("extractMainContent: exact rule boundaries and the entity-decode order") {
+    import graft.operators.TextAnalysis
+    def extract(html: String): (String, Long, Long) = {
+      val r = TextAnalysis.extractMainContent(
+        Seq((1L, html)).toDF("doc_id", "html"), "doc_id", "html").head()
+      (r.getString(1), r.getLong(2), r.getLong(3))
+    }
+    // minChars boundary: 24 chars drop, 25 keep (stopword-rich both)
+    val t24 = "the cat and the dog sits"   // 24 chars
+    val t25 = "the cats and the dog sits"  // 25 chars
+    assert(extract(s"<p>$t24</p>")._3 === 0L)
+    assert(extract(s"<p>$t25</p>") === ((t25, 1L, 1L)))
+    // link-density boundary: 3*linkChars == len keeps (<=), above drops
+    val atBoundary = "<p><a>ninechars</a> the and of cat is</p>"   // k=9, L=27
+    assert(extract(atBoundary)._3 === 1L)
+    val overBoundary = "<p><a>linktext12</a> the and of cat</p>"   // k=10, L=25
+    assert(extract(overBoundary)._3 === 0L)
+    // stopword per-mille boundary at the default 200: 1 stop in 5 words
+    // (200 exactly) keeps; 1 in 6 drops
+    assert(extract("<p>the plasma torus reactor subsystem</p>")._3 === 1L)
+    assert(extract("<p>the plasma torus reactor subsystem calibrationx</p>")._3 === 0L)
+    // entity decode: tags strip FIRST, then entities, &amp; LAST — the
+    // double-escape discipline stripMarkup documents
+    val entity = "<p>see &lt;tag&gt; and &amp;lt;escaped&amp;gt; of the thing</p>"
+    assert(extract(entity)._1 === "see <tag> and &lt;escaped&gt; of the thing")
+    // a zero-shuffle plan: the whole extraction is one projection
+    val plan = TextAnalysis.extractMainContent(
+      Seq((1L, "<p>x</p>")).toDF("doc_id", "html"), "doc_id", "html")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"extraction must be map-only:\n$plan")
+    intercept[IllegalArgumentException](TextAnalysis.extractMainContent(
+      Seq((1L, "x")).toDF("doc_id", "html"), "doc_id", "html", minChars = 0))
+  }
+
   test("bm25TopK: idf favors rare terms, tf saturates, length normalizes") {
     val docs = Seq(
       (1L, "alpha beta gamma delta"),
