@@ -2299,6 +2299,21 @@ object SparkEntry {
           ratePct = 50)
         .orderBy("doc_id")
     }),
+
+    // Special-token contamination audit: %9==0 docs get a literal
+    // <|endoftext|> spliced in (%27==0 twice) — the tokenizer-safety /
+    // prompt-injection gate; everything else must read clean.
+    "q181_special_tokens" -> ((s, dir) => {
+      val seeded = Tables.documents(s, dir).select(col("doc_id"),
+        when(col("doc_id") % 9 === 0,
+          concat(lit("<|endoftext|> "), col("text"),
+            when(col("doc_id") % 27 === 0, lit(" <|endoftext|>"))
+              .otherwise(lit(""))))
+          .otherwise(col("text")).as("text"))
+      TextAnalysis.specialTokenAudit(seeded, "doc_id", "text",
+          Seq("<|endoftext|>", "<fim_prefix>", "<|im_start|>"))
+        .orderBy("doc_id")
+    }),
   )
 
   /** q154/q155 corpus: the synthesized lines become conversation turns —
@@ -5204,5 +5219,21 @@ object SparkEntry {
          |    '<fim_middle>' || coalesce(array_to_string(tk[p1+1:p2], ' '), '')
          |  ELSE text END AS text_out
          |FROM p ORDER BY doc_id""".stripMargin,
+
+    "q181_special_tokens" ->
+      // same seeding; per-token counts by exact length arithmetic
+      """WITH d AS (SELECT doc_id,
+        |  CASE WHEN doc_id % 9 = 0 THEN '<|endoftext|> ' || text ||
+        |    (CASE WHEN doc_id % 27 = 0 THEN ' <|endoftext|>' ELSE '' END)
+        |  ELSE text END AS text FROM documents)
+        |SELECT doc_id,
+        |  CAST((length(text) - length(replace(text, '<|endoftext|>', ''))) / 13
+        |     + (length(text) - length(replace(text, '<fim_prefix>', ''))) / 12
+        |     + (length(text) - length(replace(text, '<|im_start|>', ''))) / 12
+        |    AS BIGINT) AS n_special_hits,
+        |  (length(text) - length(replace(text, '<|endoftext|>', ''))) / 13
+        |     + (length(text) - length(replace(text, '<fim_prefix>', ''))) / 12
+        |     + (length(text) - length(replace(text, '<|im_start|>', ''))) / 12 = 0 AS clean
+        |FROM d ORDER BY doc_id""".stripMargin,
   )
 }

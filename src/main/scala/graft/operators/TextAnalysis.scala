@@ -133,6 +133,27 @@ object TextAnalysis {
       .select(col(idCol), col("rank"), col("term"), col("score"))
   }
 
+  /** Special-token contamination audit — the tokenizer-safety gate every
+    * pipeline runs before training: documents containing LITERAL control
+    * sequences (`<|endoftext|>`, FIM sentinels, chat-template markers)
+    * corrupt training — the tokenizer emits the control id mid-document
+    * and the model learns to end/switch context on user-controllable
+    * text (a prompt-injection vector as much as a quality bug). Counts
+    * occurrences of each audited token via length arithmetic (exact,
+    * overlap-free, no regex escaping pitfalls) and flags any hit.
+    * Output: (idCol, n_special_hits, clean). Zero-shuffle projection. */
+  def specialTokenAudit(docs: DataFrame, idCol: String, textCol: String,
+                        specials: Seq[String]): DataFrame = {
+    require(specials.nonEmpty && specials.forall(_.nonEmpty),
+      "specialTokenAudit needs at least one non-empty token")
+    val hits = specials.map { t =>
+      (length(col(textCol)) -
+        length(replace(col(textCol), lit(t), lit("")))) / t.length
+    }.reduce(_ + _)
+    docs.select(col(idCol), hits.cast("long").as("n_special_hits"))
+      .withColumn("clean", col("n_special_hits") === 0)
+  }
+
   /** Fill-in-middle (FIM) transform — the code-pretraining augmentation
     * (Bavarian et al. 2022): for a hash-selected `ratePct`% of documents,
     * cut the token stream at two deterministic points and re-emit in PSM
