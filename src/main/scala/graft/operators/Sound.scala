@@ -112,7 +112,15 @@ object Sound {
           f += 1
         }
         Some(Pcm(rate, nCh, mono))
-      case _ => None // truncated / non-PCM / headerless
+      case (code, Some(_)) if code >= 0 && code != 1 && code != 3 =>
+        // a well-formed WAV whose fmt chunk names a compressed codec
+        // (MP3-in-WAV = 85, ADPCM = 2/17, ...) is RECOGNIZED, not
+        // corrupt — same loud contract as the raw compressed formats
+        throw new IllegalArgumentException(
+          s"WAV with non-PCM format code $code needs a codec this " +
+            "zero-dependency build excludes; pre-transcode once outside " +
+            "the query path: ffmpeg -i in.wav -c:a pcm_s16le out.wav")
+      case _ => None // truncated / missing chunks / headerless
     }
   }
 

@@ -103,6 +103,13 @@ class SoundSpec extends SparkSuite {
       Sound.decodeWavPcm(flac)).getMessage.contains("FLAC"))
     val mp3Sync = Array[Byte](0xff.toByte, 0xfb.toByte, 0x90.toByte, 0x00)
     intercept[IllegalArgumentException](Sound.decodeWavPcm(mp3Sync))
+    // a WAV container naming a compressed codec (MP3-in-WAV, fmt 85) is
+    // recognized, not corrupt: loud error with the transcode recipe
+    val good0 = wav16(8000, Array(Array.fill(100)(0.1)))
+    val mp3InWav = good0.clone()
+    mp3InWav(20) = 85.toByte // fmt code low byte: 1 -> 85
+    assert(intercept[IllegalArgumentException](
+      Sound.decodeWavPcm(mp3InWav)).getMessage.contains("85"))
     // garbage: None, never a throw
     assert(Sound.decodeWavPcm("not audio at all".getBytes).isEmpty)
     // truncated WAV (data chunk longer than the file): None
