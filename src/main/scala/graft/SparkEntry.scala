@@ -2314,6 +2314,22 @@ object SparkEntry {
           Seq("<|endoftext|>", "<fim_prefix>", "<|im_start|>"))
         .orderBy("doc_id")
     }),
+
+    // PageRank over a synthesized doc link graph (two modular out-links
+    // per doc; the %11==5 slice is dangling) — the crawl-authority
+    // signal link-graph curation keys on, 3 power-iteration rounds.
+    "q182_pagerank" -> ((s, dir) => {
+      val d = Tables.documents(s, dir).select(col("doc_id"))
+      val n = d.count()
+      val linkers = d.where(col("doc_id") % 11 =!= 5)
+      val edges = linkers
+        .select(col("doc_id").as("src"), ((col("doc_id") * 3 + 1) % n).as("dst"))
+        .unionByName(linkers
+          .select(col("doc_id").as("src"), ((col("doc_id") * 7 + 3) % n).as("dst")))
+        .distinct()
+      Graph.pageRank(d.select(col("doc_id").as("id")), edges, iters = 3)
+        .orderBy("id")
+    }),
   )
 
   /** q154/q155 corpus: the synthesized lines become conversation turns —
@@ -5235,5 +5251,33 @@ object SparkEntry {
         |     + (length(text) - length(replace(text, '<fim_prefix>', ''))) / 12
         |     + (length(text) - length(replace(text, '<|im_start|>', ''))) / 12 = 0 AS clean
         |FROM d ORDER BY doc_id""".stripMargin,
+
+    "q182_pagerank" ->
+      // the same graph synthesis; three unrolled power-iteration rounds
+      // with per-round dangling redistribution, term-for-term with
+      // Graph.pageRank ((1-d)/n + d*(in + dang/n), d = 0.85)
+      """WITH nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+        |lk AS (SELECT doc_id FROM documents WHERE doc_id % 11 != 5),
+        |e AS (SELECT doc_id AS src, (doc_id * 3 + 1) % n AS dst FROM lk, nn
+        |  UNION SELECT doc_id, (doc_id * 7 + 3) % n FROM lk, nn),
+        |deg AS (SELECT src, CAST(count(*) AS DOUBLE) AS deg FROM e GROUP BY 1),
+        |ids AS (SELECT doc_id AS id FROM documents),
+        |r0 AS (SELECT id, 1.0 / n AS r FROM ids, nn),
+        |d1 AS (SELECT coalesce(sum(r), 0) AS dang FROM r0 LEFT JOIN deg ON id = src WHERE src IS NULL),
+        |c1 AS (SELECT e.dst AS id, sum(r0.r / deg.deg) AS cin
+        |  FROM e JOIN r0 ON e.src = r0.id JOIN deg ON e.src = deg.src GROUP BY 1),
+        |r1 AS (SELECT ids.id, 0.15 / n + 0.85 * (coalesce(cin, 0) + dang / n) AS r
+        |  FROM ids LEFT JOIN c1 USING (id) CROSS JOIN d1 CROSS JOIN nn),
+        |d2 AS (SELECT coalesce(sum(r), 0) AS dang FROM r1 LEFT JOIN deg ON id = src WHERE src IS NULL),
+        |c2 AS (SELECT e.dst AS id, sum(r1.r / deg.deg) AS cin
+        |  FROM e JOIN r1 ON e.src = r1.id JOIN deg ON e.src = deg.src GROUP BY 1),
+        |r2 AS (SELECT ids.id, 0.15 / n + 0.85 * (coalesce(cin, 0) + dang / n) AS r
+        |  FROM ids LEFT JOIN c2 USING (id) CROSS JOIN d2 CROSS JOIN nn),
+        |d3 AS (SELECT coalesce(sum(r), 0) AS dang FROM r2 LEFT JOIN deg ON id = src WHERE src IS NULL),
+        |c3 AS (SELECT e.dst AS id, sum(r2.r / deg.deg) AS cin
+        |  FROM e JOIN r2 ON e.src = r2.id JOIN deg ON e.src = deg.src GROUP BY 1),
+        |r3 AS (SELECT ids.id, 0.15 / n + 0.85 * (coalesce(cin, 0) + dang / n) AS r
+        |  FROM ids LEFT JOIN c3 USING (id) CROSS JOIN d3 CROSS JOIN nn)
+        |SELECT id, round(r, 6) AS rank FROM r3 ORDER BY id""".stripMargin,
   )
 }
