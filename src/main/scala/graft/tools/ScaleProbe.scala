@@ -594,6 +594,31 @@ object ScaleProbe {
           .withColumn("score", col("n_chars")), "doc_id", "url", "score", 25)))
     }
 
+    // PageRank growth: 3 power-iteration rounds over 0.5M- vs 8M-edge
+    // modular graphs — per-round cost must track edges, not rounds^2.
+    if (sections("pagerank")) {
+      def graph(nNodes: Long) = {
+        val nodes = spark.range(nNodes).toDF("id")
+        val edges = nodes
+          .select(col("id").as("src"), ((col("id") * 3 + 1) % nNodes).as("dst"))
+          .unionByName(nodes
+            .select(col("id").as("src"), ((col("id") * 7 + 3) % nNodes).as("dst")))
+        (nodes, edges)
+      }
+      def time2(name: String)(f: => Unit): Unit = {
+        val ts = (1 to 2).map { _ =>
+          val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+        }
+        println(f"[probe] $name%-34s ${ts.min}%.2f s (min of 2)")
+      }
+      val (n1, e1) = graph(250000L)
+      val (n16, e16) = graph(4000000L)
+      time2("pagerank x3 rounds, 0.5M edges")(noop(
+        graft.operators.Graph.pageRank(n1, e1, 3)))
+      time2("pagerank x3 rounds,   8M edges")(noop(
+        graft.operators.Graph.pageRank(n16, e16, 3)))
+    }
+
     // Modality fingerprint throughput: image dHash (decode-bound) and
     // WAV parse + audit (pure byte walk) at 1x vs 16x file volume.
     if (sections("modhash")) {
