@@ -2326,7 +2326,7 @@ object SparkEntry {
         .select(col("doc_id").as("src"), ((col("doc_id") * 3 + 1) % n).as("dst"))
         .unionByName(linkers
           .select(col("doc_id").as("src"), ((col("doc_id") * 7 + 3) % n).as("dst")))
-        .distinct()
+      // parallel-edge dedup happens inside pageRank (operator contract)
       Graph.pageRank(d.select(col("doc_id").as("id")), edges, iters = 3)
         .orderBy("id")
     }),

@@ -29,8 +29,9 @@ object Graph {
     * detached between rounds (the frame feeds the next round's join AND
     * the dangling sum); out-degrees are fit once. Output:
     * (id, round(rank, 6) as rank). `nodes`: one column `id`; `edges`:
-    * `src`, `dst` (directed; parallel edges count once — dedup first if
-    * that is not intended). */
+    * `src`, `dst` (directed; parallel (src,dst) rows are deduped inside
+    * the operator, so each distinct edge counts exactly once in both
+    * out-degree and contributions). */
   def pageRank(nodes: DataFrame, edges: DataFrame, iters: Int,
                damping: Double = 0.85): DataFrame = {
     require(iters >= 1, s"pageRank needs iters >= 1, got $iters")
@@ -38,7 +39,7 @@ object Graph {
       s"pageRank needs damping in (0, 1), got $damping")
     val n = nodes.count().toDouble
     require(n > 0, "pageRank needs at least one node")
-    val e = edges.select(col("src"), col("dst"))
+    val e = edges.select(col("src"), col("dst")).distinct()
     val outDeg = Relational.detach(
       e.groupBy("src").agg(count(lit(1)).cast("double").as("_deg")))
     var ranks = Relational.detach(

@@ -59,8 +59,12 @@ object Sound {
     var data: Option[(Int, Int)] = None
     while (pos + 8 <= bytes.length && (fmtCode < 0 || data.isEmpty)) {
       val id = tag(bytes, pos)
-      val sz = u32(bytes, pos + 4).toInt
-      if (sz < 0 || pos + 8 + sz > bytes.length) return None
+      // Bounds check in Long: a hostile/corrupt chunk size near 2^31 would
+      // overflow Int arithmetic negative and bypass the check, turning the
+      // documented corrupt-record skip into a multi-GB allocation attempt.
+      val szL = u32(bytes, pos + 4)
+      if (pos.toLong + 8 + szL > bytes.length) return None
+      val sz = szL.toInt
       if (id == "fmt " && sz >= 16) {
         fmtCode = u16(bytes, pos + 8)
         nCh = u16(bytes, pos + 10)

@@ -228,13 +228,22 @@ object Stats {
     * proportionally more often" is this operator.
     *
     * Rows with weight <= 0 are never sampled (dropped before ranking —
-    * the A-ES key is undefined there). Scale shape: one codegen'd key
+    * the A-ES key is undefined there). `tieBreak` is REQUIRED non-empty:
+    * rows with identical (hashKey, weight) — exact-duplicate texts, which
+    * a crawl corpus always contains — have identical A-ES keys, so
+    * without a total tie-break the pick among them is engine/run
+    * dependent, silently breaking the reproducibility contract. Pass a
+    * unique id column. Scale shape: one codegen'd key
     * projection + one group-keyed rank window carrying df's columns;
     * nothing corpus-sized beyond the one exchange, no fit pass at all. */
   def weightedSamplePerGroup(df: DataFrame, groupCols: Seq[String],
                              hashKey: Column, weightCol: String, k: Int,
-                             tieBreak: Seq[String] = Nil): DataFrame = {
+                             tieBreak: Seq[String]): DataFrame = {
     require(k >= 1, s"weightedSamplePerGroup needs k >= 1, got $k")
+    require(tieBreak.nonEmpty,
+      "weightedSamplePerGroup needs a non-empty tieBreak (a unique id " +
+        "column): equal-key duplicate rows are otherwise ordered " +
+        "arbitrarily, breaking run-to-run reproducibility")
     require(!df.columns.contains("sample_rank") && !df.columns.contains("_es"),
       "weightedSamplePerGroup emits sample_rank and reserves _es")
     val u = (hashBucket(hashKey, 1000000) + lit(0.5)) / lit(1000000.0)

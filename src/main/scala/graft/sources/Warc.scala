@@ -86,12 +86,19 @@ object Warc {
     None
   }
 
-  /** Read exactly `len` bytes or return None on early EOF (truncated). */
+  /** Read exactly `len` bytes or return None on early EOF (truncated).
+    * The buffer grows with the bytes actually read (doubling, capped at
+    * `len`) rather than allocating the full declared Content-Length up
+    * front — a corrupt header declaring ~2 GB must not trigger a ~2 GB
+    * allocation before a single byte is verified to exist. */
   private def readFully(in: InputStream, len: Int): Option[Array[Byte]] = {
-    val out = new Array[Byte](len)
+    var out = new Array[Byte](math.min(len, 1 << 16))
     var off = 0
     while (off < len) {
-      val n = in.read(out, off, len - off)
+      if (off == out.length)
+        out = java.util.Arrays.copyOf(out,
+          math.min(len.toLong, out.length * 2L).toInt)
+      val n = in.read(out, off, out.length - off)
       if (n < 0) return None
       off += n
     }
@@ -186,8 +193,11 @@ object Warc {
             scala.util.Try(new GZIPInputStream(new ByteArrayInputStream(raw))
               : InputStream).getOrElse(new ByteArrayInputStream(Array.empty[Byte]))
           else new ByteArrayInputStream(raw)
+        // Return the iterator itself (flatMap takes IterableOnce): a .toSeq
+        // here would strictly materialize every record of the decompressed
+        // segment — exactly the multi-GB buffer the streaming parse avoids.
         parseStream(in).map(r => (path, r.recordIdx, r.warcType,
-          r.targetUri, r.contentType, r.httpStatus, r.payload)).toSeq
+          r.targetUri, r.contentType, r.httpStatus, r.payload))
       }
       .toDF("path", "record_idx", "warc_type", "target_uri",
         "content_type", "http_status", "payload")

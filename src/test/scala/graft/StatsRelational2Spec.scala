@@ -318,7 +318,7 @@ class StatsRelational2Spec extends SparkSuite {
     assert(top5 === (1 to 5).map(_.toLong).toSet)
     // exact k per group; k > |group| keeps the whole group
     val two = df.withColumn("grp", when(col("id") <= 100, lit("a")).otherwise(lit("b")))
-    val counts = Stats.weightedSamplePerGroup(two, Seq("grp"), col("t"), "w", 50)
+    val counts = Stats.weightedSamplePerGroup(two, Seq("grp"), col("t"), "w", 50, Seq("id"))
       .groupBy("grp").count().as[(String, Long)].collect().toMap
     assert(counts === Map("a" -> 5L, "b" -> 35L))
     // prefix-stable and deterministic
@@ -332,11 +332,14 @@ class StatsRelational2Spec extends SparkSuite {
     // nonpositive weights are never sampled
     val withZero = df.unionByName(Seq(("zero w", "g", 999L, 0.0), ("neg w", "g", 998L, -2.0))
       .toDF("t", "grp", "id", "w"))
-    val all = Stats.weightedSamplePerGroup(withZero, Seq("grp"), col("t"), "w", 100)
+    val all = Stats.weightedSamplePerGroup(withZero, Seq("grp"), col("t"), "w", 100, Seq("id"))
       .select("id").as[Long].collect().toSet
     assert(!all.contains(999L) && !all.contains(998L) && all.size === 40)
     intercept[IllegalArgumentException](
-      Stats.weightedSamplePerGroup(df, Seq("grp"), col("t"), "w", 0))
+      Stats.weightedSamplePerGroup(df, Seq("grp"), col("t"), "w", 0, Seq("id")))
+    // tieBreak is required: equal-key duplicates are otherwise nondeterministic
+    intercept[IllegalArgumentException](
+      Stats.weightedSamplePerGroup(df, Seq("grp"), col("t"), "w", 3, Nil))
   }
 
   test("winsorize clamps into the percentile band; interior values untouched") {

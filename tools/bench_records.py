@@ -1,0 +1,97 @@
+#!/usr/bin/env python3
+"""Build RECORDS.json — the per-query bench record (min over every
+recoverable round) — and diff any two rounds.
+
+Sources, in increasing authority:
+  * BENCH_r{N}.json      driver capture; `parsed` has been null every round,
+                         so per-query values are regex-recovered from the
+                         2000-char `tail` (partial: ~60 of 180 queries).
+  * BENCH_SELF_r{N}.json full per-query map written by graft.Bench itself
+                         from round 12 on (complete).
+
+RECORDS.json layout:
+  {"generated_round": N,
+   "records": {"q01_pricing_summary": 0.33, ...},   # min over rounds
+   "history": {"q01_pricing_summary": {"r11": 0.40, ...}, ...}}
+
+`records` is what graft.Bench's contention sentinel reads (flat name->sec;
+Bench parses it with a regex, no JSON lib needed on the Spark side).
+
+Usage:
+  python3 tools/bench_records.py               # rebuild RECORDS.json
+  python3 tools/bench_records.py --diff r11 r12  # per-query ratio table
+"""
+import json
+import os
+import re
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+QVAL = re.compile(r'"(q\d+[a-z0-9_]*)":(-?\d+(?:\.\d+)?(?:[eE]-?\d+)?)')
+
+
+def round_maps():
+    """{'r01': {q: sec}, ...} from every recoverable source; SELF wins."""
+    rounds = {}
+    for f in sorted(os.listdir(REPO)):
+        m = re.match(r"BENCH_r(\d+)\.json$", f)
+        if m:
+            d = json.load(open(os.path.join(REPO, f)))
+            qs = (d.get("parsed") or {}).get("queries")
+            if not qs:  # recover what the truncated tail still holds
+                qs = {k: float(v) for k, v in QVAL.findall(d.get("tail", ""))}
+            rounds.setdefault("r%02d" % int(m.group(1)), {}).update(qs or {})
+    for f in sorted(os.listdir(REPO)):
+        m = re.match(r"BENCH_SELF_r(\d+)\.json$", f)
+        if m:
+            d = json.load(open(os.path.join(REPO, f)))
+            rounds["r%02d" % int(m.group(1))] = dict(d.get("queries", {}))
+    # drop -1 failure sentinels: a failed attempt is not a record
+    return {r: {q: v for q, v in qs.items() if v >= 0}
+            for r, qs in rounds.items()}
+
+
+def build():
+    rounds = round_maps()
+    history = {}
+    for r, qs in sorted(rounds.items()):
+        for q, v in qs.items():
+            history.setdefault(q, {})[r] = v
+    records = {q: min(h.values()) for q, h in history.items()}
+    latest = max(int(r[1:]) for r in rounds)
+    out = {"generated_round": latest,
+           "records": dict(sorted(records.items())),
+           "history": {q: dict(sorted(h.items()))
+                       for q, h in sorted(history.items())}}
+    path = os.path.join(REPO, "RECORDS.json")
+    with open(path, "w") as f:
+        json.dump(out, f, indent=1, sort_keys=True)
+        f.write("\n")
+    print("RECORDS.json: %d queries, records span %d rounds"
+          % (len(records), len(rounds)))
+    return out
+
+
+def diff(a, b):
+    rounds = round_maps()
+    qa, qb = rounds.get(a, {}), rounds.get(b, {})
+    shared = sorted(set(qa) & set(qb))
+    if not shared:
+        sys.exit("no shared queries between %s and %s (have: %s)"
+                 % (a, b, ", ".join(sorted(rounds))))
+    rows = sorted(((qb[q] / qa[q] if qa[q] > 0 else float("inf"), q)
+                   for q in shared), reverse=True)
+    print("%-28s %10s %10s %7s" % ("query", a, b, "ratio"))
+    for r, q in rows:
+        flag = "  <<" if r > 2 else ""
+        print("%-28s %10.3f %10.3f %6.2fx%s" % (q, qa[q], qb[q], r, flag))
+    sa, sb = sum(qa[q] for q in shared), sum(qb[q] for q in shared)
+    print("shared %d queries: %s %.1f s, %s %.1f s (%.2fx)"
+          % (len(shared), a, sa, b, sb, sb / sa))
+
+
+if __name__ == "__main__":
+    if len(sys.argv) == 4 and sys.argv[1] == "--diff":
+        diff(sys.argv[2], sys.argv[3])
+    else:
+        build()
