@@ -48,6 +48,14 @@ object Audit {
     * (`approx_count_distinct`) — the 100 TB path, constant memory per
     * column. Output long-format: (column, min_val, max_val, n_null, n_distinct).
     *
+    * Plan shape of the exact path (PLANS.md "q58_profile exact-ndv
+    * audit"): Catalyst rewrites the multiple count(distinct)s into ONE
+    * scan — an Expand with a gid per distinct column (rows x (1+cols)),
+    * a (value, gid)-keyed partial dedup, and a constant-row final — not
+    * N per-column jobs. Exact ndv therefore pays an Expand row multiplier
+    * proportional to the column count; profile wide tables with
+    * `exact = false`.
+    *
     * Cross-engine caveat: float/double min/max rendered through
     * cast-to-string are engine-specific for values needing scientific
     * notation (Spark "1.0E7" vs DuckDB "10000000.0") — profile integral /
@@ -67,6 +75,21 @@ object Audit {
       .mkString(s"stack(${cols.length}, ", ", ",
         ") as (column, min_val, max_val, n_null, n_distinct)")
     wide.selectExpr(stack)
+  }
+
+  /** S7 schema echo — the Spark twin of the reference's `.npy` type
+    * sniffer (Read_files/read_npy_format.py:14-32), which re-infers each
+    * column's Python type from the first rows because the object-dtype
+    * `.npy` sink erased them. Parquet is self-describing, so the echo is a
+    * catalog read, NOT a data scan: one (position, column, dtype, nullable)
+    * row per field, in schema order. Useful as the human-inspection step
+    * of a round-trip check ([[roundTrip]]) and as a cheap schema-drift
+    * assert between pipeline stages. */
+  def schemaEcho(spark: SparkSession, df: DataFrame): DataFrame = {
+    import spark.implicits._
+    df.schema.fields.zipWithIndex
+      .map { case (f, i) => (i, f.name, f.dataType.simpleString, f.nullable) }
+      .toSeq.toDF("position", "column", "dtype", "nullable")
   }
 
   /** §5.1 row 2 — write-then-reload round-trip verification: persist to

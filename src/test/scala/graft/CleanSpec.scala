@@ -109,6 +109,17 @@ class CleanSpec extends SparkSuite {
     assert(m === Map("country" -> 2, "city" -> 3, "road_index" -> 2))
   }
 
+  test("schemaEcho lists fields in schema order with dtype and nullability") {
+    val echo = Audit.schemaEcho(spark,
+      fixture.select("country", "road_index", "captured_at"))
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getBoolean(3)))
+    assert(echo.map(t => (t._1, t._2)) === Array((0, "country"), (1, "road_index"), (2, "captured_at")))
+    assert(echo(1)._3 === "double")
+    // a catalog read, not a scan: identical on an empty frame
+    val empty = Audit.schemaEcho(spark, fixture.limit(0).select("country"))
+    assert(empty.collect().map(_.getString(1)) === Array("country"))
+  }
+
   test("fillForwardBackward rejects no-order and key-overlapping fill columns") {
     val d = Seq((1, "a"), (2, null.asInstanceOf[String])).toDF("k", "v")
     intercept[IllegalArgumentException](Clean.fillForwardBackward(d, Seq("v"), Nil))

@@ -91,6 +91,37 @@ class IngestStreamingSpec extends SparkSuite {
     }
   }
 
+  test("object-store URIs: sources and sinks resolve a non-file scheme end to end (S2/S8/K1/K4/K5)") {
+    import graft.sources.ObjectStore
+    // the no-egress twin of configuring fs.s3a.impl: registers a scheme
+    // whose URIs (s3stub://bucket/key) flow through the SAME Hadoop
+    // FileSystem resolution every remote store uses
+    ObjectStore.installStub(spark)
+    val local = Files.createTempDirectory("graft_s3stub").toString
+    val base = ObjectStore.stubUri("test-bucket", local)
+    val df = Seq((1L, "alice", 2.5), (2L, "bob", 3.5)).toDF("id", "name", "score")
+    // sinks through the remote-style scheme (K1 csv, K4 parquet)
+    df.write.option("header", "true").csv(s"$base/csv")
+    df.write.parquet(s"$base/pq")
+    // S2 typed scan back through the scheme
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("name", StringType),
+      StructField("score", DoubleType)))
+    assert(Ingest.csvTyped(spark, s"$base/csv", schema).count() === 2)
+    assert(spark.read.parquet(s"$base/pq").count() === 2)
+    // S8 listing: qualified paths keep the store's scheme + bucket
+    val paths = Ingest.listFiles(spark, s"$base/csv", "*.csv")
+      .select("path").as[String].collect()
+    assert(paths.nonEmpty)
+    assert(paths.forall(_.startsWith("s3stub://test-bucket/")), paths.mkString(","))
+    // K5 delete-after-ingest resolves the same URIs for the GC pass
+    graft.operators.Media.deleteConsumed(spark, paths.toSeq)
+    assert(Ingest.binaryFiles(spark, s"$base/csv", "*.csv").count() === 0)
+    // and the objects are really gone from the backing store
+    val left = Option(new java.io.File(s"$local/csv").listFiles()).toSeq.flatten
+    assert(!left.exists(_.getName.endsWith(".csv")), left.mkString(","))
+  }
+
   test("filterSuffix keeps only matching paths (P3)") {
     val df = Seq("a/part_1.zip", "a/readme.md", "b/part_2.ZIPX", "c/x.zip").toDF("path")
     val out = Ingest.filterSuffix(df, "path", Seq(".zip")).as[String].collect().sorted

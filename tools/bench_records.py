@@ -46,6 +46,15 @@ def round_maps():
         if m:
             d = json.load(open(os.path.join(REPO, f)))
             rounds["r%02d" % int(m.group(1))] = dict(d.get("queries", {}))
+    # standalone adjudication probes (min-of-5 on an idle box) are the
+    # strongest evidence a query's true cost — fold them in as 'rNNp'
+    probes = os.path.join(REPO, "PROBES.jsonl")
+    if os.path.isfile(probes):
+        for line in open(probes):
+            if line.strip():
+                d = json.loads(line)
+                rounds.setdefault("r%02dp" % d["round"], {}).update(
+                    d.get("queries", {}))
     # drop -1 failure sentinels: a failed attempt is not a record
     return {r: {q: v for q, v in qs.items() if v >= 0}
             for r, qs in rounds.items()}
@@ -58,7 +67,7 @@ def build():
         for q, v in qs.items():
             history.setdefault(q, {})[r] = v
     records = {q: min(h.values()) for q, h in history.items()}
-    latest = max(int(r[1:]) for r in rounds)
+    latest = max(int(r[1:].rstrip("p")) for r in rounds)
     out = {"generated_round": latest,
            "records": dict(sorted(records.items())),
            "history": {q: dict(sorted(h.items()))
