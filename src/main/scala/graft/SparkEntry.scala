@@ -2330,6 +2330,58 @@ object SparkEntry {
       Graph.pageRank(d.select(col("doc_id").as("id")), edges, iters = 3)
         .orderBy("id")
     }),
+
+    // Second-moment fit over the embedding column via the native
+    // matrix_gram kernel (ONE corpus pass, d(d+3)/2-double task buffers,
+    // O(d^2) bytes to the driver) — surfaced as the upper-left 4x4 of
+    // (mean, population covariance) so the kernel arithmetic is pinned
+    // against DuckDB's covar_pop. The |cells|-row localization pattern:
+    // the result frame is 10 fit rows, never corpus data.
+    "q183_embedding_gram" -> ((s, dir) => {
+      import s.implicits._
+      val (n, mean, cov) = Decomp.fitMeanCov(Tables.embeddings(s, dir), "embedding")
+      (for (i <- 0 to 3; j <- i to 3) yield
+        (i, j, n, math.rint(mean(i) * 1e6) / 1e6, math.rint(cov(i)(j) * 1e6) / 1e6))
+        .toDF("i", "j", "n", "mean_i", "cov_ij")
+        .orderBy("i", "j")
+    }),
+
+    // PCA spectrum of the embedding space (fit = q183's one pass +
+    // driver-side cyclic Jacobi on the 64x64 covariance): eigenvalues,
+    // variance ratios, and each component's dominant dimension — the
+    // "is this encoder collapsed?" audit (a healthy space spreads
+    // variance; 2-3 dominant eigenvalues = representation collapse).
+    // Eigen output has no SQL form -> rows-only; DecompSpec pins the
+    // decomposition (orthonormality, reconstruction, trace) and
+    // determinism (fixed sweep order, sign-normalized components).
+    "q184_pca_spectrum" -> ((s, dir) => {
+      import s.implicits._
+      val model = Decomp.fitPca(Tables.embeddings(s, dir), "embedding")
+      val vr = model.varianceRatio
+      (0 until 8).map { c =>
+        val comp = model.components(c)
+        val topDim = comp.indices.maxBy(k => (math.abs(comp(k)), -k))
+        (c + 1, math.rint(model.eigenvalues(c) * 1e6) / 1e6,
+          math.rint(vr(c) * 1e6) / 1e6, topDim,
+          math.rint(comp(topDim) * 1e6) / 1e6)
+      }.toDF("component", "eigenvalue", "var_ratio", "top_dim", "top_loading")
+        .orderBy("component")
+    }),
+
+    // Mahalanobis outlier triage: squared distance through the fitted
+    // eigenbasis (ridge-floored), top-20 — the distribution-aware rank
+    // that q165's norm audit cannot produce (far-along-a-TIGHT-direction
+    // scores high even at small L2 norm; DecompSpec plants exactly that
+    // point and this ranking finds it). Fit is driver-side state from
+    // ONE corpus pass; the score pass is a codegen'd nested
+    // higher-order expression, zero shuffle, zero UDF. Rows-only (the
+    // eigenbasis has no SQL form).
+    "q185_mahalanobis" -> ((s, dir) => {
+      Decomp.mahalanobis(Tables.embeddings(s, dir),
+          "embedding", Decomp.fitPca(Tables.embeddings(s, dir), "embedding"))
+        .select(col("vec_id"), round(col("maha2"), 4).as("maha2"))
+        .orderBy(desc("maha2"), col("vec_id")).limit(20)
+    }),
   )
 
   /** q154/q155 corpus: the synthesized lines become conversation turns —
@@ -5279,5 +5331,17 @@ object SparkEntry {
         |r3 AS (SELECT ids.id, 0.15 / n + 0.85 * (coalesce(cin, 0) + dang / n) AS r
         |  FROM ids LEFT JOIN c3 USING (id) CROSS JOIN d3 CROSS JOIN nn)
         |SELECT id, round(r, 6) AS rank FROM r3 ORDER BY id""".stripMargin,
+
+    "q183_embedding_gram" ->
+      // covar_pop over list elements pins the matrix_gram kernel's
+      // sum/sum-of-products arithmetic (population convention both sides;
+      // 1-based list indexing in DuckDB)
+      (for (i <- 0 to 3; j <- i to 3) yield
+        s"""SELECT $i AS i, $j AS j, count(embedding) AS n,
+           |round(avg(CAST(embedding[${i + 1}] AS DOUBLE)), 6) AS mean_i,
+           |round(covar_pop(CAST(embedding[${i + 1}] AS DOUBLE),
+           |                CAST(embedding[${j + 1}] AS DOUBLE)), 6) AS cov_ij
+           |FROM embeddings""".stripMargin)
+        .mkString("", "\nUNION ALL\n", "\nORDER BY i, j"),
   )
 }

@@ -48,6 +48,20 @@ object GraftFunctions {
   def vector_avg(v: Column): Column =
     col(VectorAvg(ex(v)).toAggregateExpression())
 
+  /** One-pass Σx / Σxxᵀ second-moment aggregate over an embedding column
+    * — the broadcast-sized fit half of PCA/whitening/Mahalanobis (see
+    * [[MatrixGram]]; consumed by [[graft.operators.Decomp]]). */
+  def matrix_gram(v: Column): Column =
+    col(MatrixGram(ex(v)).toAggregateExpression())
+
+  /** Squared Mahalanobis distance through a fitted eigenbasis riding the
+    * expression as literals — fused narrow projection, no HOF lambdas
+    * (see [[MahalanobisScore]]; fit via [[graft.operators.Decomp]]). */
+  def mahalanobis_score(vec: Column, mean: Seq[Double],
+                        components: Seq[Seq[Double]],
+                        invEigenvalues: Seq[Double]): Column =
+    col(MahalanobisScore(ex(vec), mean, components, invEigenvalues))
+
   /** Shuffle-free max-cosine centroid assignment over a driver-collected
     * (broadcast-sized) centroid set (see [[NearestCentroid]]). */
   def nearest_centroid(vec: Column, centIds: Seq[Long],
@@ -129,6 +143,7 @@ object GraftFunctions {
     // Aggregates register as their raw AggregateFunction — the analyzer
     // wraps them into AggregateExpressions at use sites.
     "vector_avg" -> (es => VectorAvg(es.head)),
+    "matrix_gram" -> (es => MatrixGram(es.head)),
     "topk_by_score" -> (es =>
       TopKByScore(asDouble(es(0)), Cast(es(1), org.apache.spark.sql.types.LongType), es(2))),
     // Same optional-arg defaults as the Column API (numBits=1<<20,

@@ -1,0 +1,214 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Spectral decomposition operators over embedding columns — PCA,
+  * whitening, and Mahalanobis outlier scoring: the dimensionality-
+  * reduction / distribution-shape tier of the curation ladder that the
+  * ANN ([[Similarity]]) and semantic-dedup (q94) families sit on top of.
+  * A training-data pipeline uses these to (a) audit how much of an
+  * embedding space is actually used (spectrum / effective rank — a
+  * collapsed encoder shows up as 2-3 dominant eigenvalues), (b) whiten
+  * before cosine ANN so one loud direction doesn't dominate every score,
+  * and (c) rank distributional outliers for curation triage.
+  *
+  * Scale shape (the fit-is-broadcast-sized discipline): the ONLY pass
+  * over the corpus is the [[graft.functions.MatrixGram]] aggregate —
+  * one d(d+3)/2-double buffer per task, merged map-side, a single
+  * O(d²)-byte row to the driver. The eigendecomposition is driver-side
+  * cyclic Jacobi on the d×d covariance (d ≤ [[MaxDims]], microseconds at
+  * embedding widths), and the apply pass is a codegen'd projection —
+  * centered dot products against literal component arrays — with no
+  * shuffle and no UDF. The same split as every fit-then-transform
+  * operator here ([[Encode.standardScale]], [[Similarity]]'s Lloyd
+  * fits): corpus passes are linear and shuffle-free; only
+  * vocabulary/dimension-sized state crosses stages.
+  *
+  * Reference anchor: the reference's MinMax/Standard scalers
+  * (read_csv_s3_train.py:106-109) are the diagonal special case of this
+  * family — per-dimension affine normalization; PCA/whitening is the
+  * full-covariance generalization an embedding column needs.
+  */
+object Decomp {
+
+  /** Covariance fits above this dimension refuse loudly: the Gram buffer
+    * is d(d+1)/2 doubles per task and Jacobi is O(d³) per sweep —
+    * comfortable at embedding widths (512 ⇒ ~1 MB, sub-second), absurd
+    * at a million (a caller pointing this at a sparse one-hot column
+    * should hear that, not OOM). */
+  val MaxDims = 1024
+
+  /** Population mean vector and covariance matrix of `vecCol`, via one
+    * [[graft.functions.MatrixGram]] pass. Returns (n, mean[d],
+    * cov[d][d]) — covariance is ddof=0 (population; matches DuckDB
+    * `covar_pop` and sklearn scalers' convention used across this
+    * engine). Null vectors are skipped by the aggregate. */
+  def fitMeanCov(df: DataFrame, vecCol: String): (Long, Array[Double], Array[Array[Double]]) = {
+    val row = df.agg(graft.functions.GraftFunctions.matrix_gram(col(vecCol)).as("g"))
+      .selectExpr("g.n", "g.sum", "g.prod").head()
+    require(!row.isNullAt(0), s"fitMeanCov: no non-null vectors in $vecCol")
+    val n = row.getLong(0)
+    val sums = row.getSeq[Double](1).toArray
+    val prods = row.getSeq[Double](2).toArray
+    val d = sums.length
+    require(d <= MaxDims,
+      s"fitMeanCov: $vecCol has $d dims; the covariance path is built for " +
+        s"embedding widths (<= $MaxDims) — reduce dimensionality first")
+    val mean = sums.map(_ / n)
+    val cov = Array.ofDim[Double](d, d)
+    var i = 0
+    while (i < d) {
+      val base = i * d - i * (i - 1) / 2 - i
+      var j = i
+      while (j < d) {
+        val c = prods(base + j) / n - mean(i) * mean(j)
+        cov(i)(j) = c
+        cov(j)(i) = c
+        j += 1
+      }
+      i += 1
+    }
+    (n, mean, cov)
+  }
+
+  /** Deterministic symmetric eigendecomposition by cyclic Jacobi
+    * rotations (Golub & Van Loan §8.5): sweeps the strict upper triangle
+    * in a FIXED row-major order until off-diagonal mass is dead (or 64
+    * sweeps — cubic convergence reaches machine precision in ~8 for any
+    * well-scaled covariance). Returns eigenvalues DESCENDING with their
+    * eigenvectors as rows, each vector sign-normalized so its
+    * largest-|coordinate| entry is positive — a total, engine-free
+    * determinism convention (replay-identical across runs/JVMs, the
+    * property every fit in this engine guarantees). */
+  private[graft] def jacobiEigen(m: Array[Array[Double]]): (Array[Double], Array[Array[Double]]) = {
+    val d = m.length
+    val a = Array.tabulate(d, d)((i, j) => m(i)(j))
+    val v = Array.tabulate(d, d)((i, j) => if (i == j) 1.0 else 0.0)
+    val eps = 1e-14 * math.max(1.0, a.map(r => r.map(math.abs).max).max)
+    var sweep = 0
+    var off = Double.MaxValue
+    while (sweep < 64 && off > eps) {
+      off = 0.0
+      var p = 0
+      while (p < d - 1) {
+        var q = p + 1
+        while (q < d) {
+          val apq = a(p)(q)
+          if (math.abs(apq) > eps) {
+            off = math.max(off, math.abs(apq))
+            val theta = (a(q)(q) - a(p)(p)) / (2.0 * apq)
+            val t = math.signum(theta) match {
+              case 0.0 => 1.0 / (theta + math.sqrt(theta * theta + 1.0))
+              case s => s / (math.abs(theta) + math.sqrt(theta * theta + 1.0))
+            }
+            val c = 1.0 / math.sqrt(t * t + 1.0)
+            val s = t * c
+            var k = 0
+            while (k < d) {
+              val akp = a(k)(p); val akq = a(k)(q)
+              a(k)(p) = c * akp - s * akq
+              a(k)(q) = s * akp + c * akq
+              k += 1
+            }
+            k = 0
+            while (k < d) {
+              val apk = a(p)(k); val aqk = a(q)(k)
+              a(p)(k) = c * apk - s * aqk
+              a(q)(k) = s * apk + c * aqk
+              val vkp = v(k)(p); val vkq = v(k)(q)
+              v(k)(p) = c * vkp - s * vkq
+              v(k)(q) = s * vkp + c * vkq
+              k += 1
+            }
+          }
+          q += 1
+        }
+        p += 1
+      }
+      sweep += 1
+    }
+    // (eigenvalue desc, then first-index asc on exact ties) + sign fix
+    val order = (0 until d).sortBy(i => (-a(i)(i), i))
+    val vals = order.map(i => a(i)(i)).toArray
+    val vecs = order.map { i =>
+      val col = Array.tabulate(d)(k => v(k)(i))
+      val pivot = col.indices.maxBy(k => (math.abs(col(k)), -k))
+      if (col(pivot) < 0) col.map(-_) else col
+    }.toArray
+    (vals, vecs)
+  }
+
+  /** The fitted transform: mean, eigenvalues (desc), components (rows,
+    * orthonormal), and the fit size. */
+  final case class PcaModel(n: Long, mean: Array[Double],
+                            eigenvalues: Array[Double],
+                            components: Array[Array[Double]]) {
+    def d: Int = mean.length
+    /** Fraction of total variance carried by each component. */
+    def varianceRatio: Array[Double] = {
+      val tot = eigenvalues.sum
+      if (tot <= 0) eigenvalues.map(_ => 0.0) else eigenvalues.map(_ / tot)
+    }
+  }
+
+  /** Fit PCA on `vecCol`: one corpus pass ([[fitMeanCov]]) + driver
+    * Jacobi. Deterministic (fixed sweep order, sign-normalized
+    * components). */
+  def fitPca(df: DataFrame, vecCol: String): PcaModel = {
+    val (n, mean, cov) = fitMeanCov(df, vecCol)
+    val (vals, vecs) = jacobiEigen(cov)
+    PcaModel(n, mean, vals, vecs)
+  }
+
+  /** Centered dot product of `vecCol` against one literal direction —
+    * pure higher-order-function arithmetic (zip_with + aggregate), fully
+    * codegen'd, no UDF, no shuffle. */
+  private def projectOne(vecCol: String, mean: Array[Double],
+                         comp: Array[Double]): Column = {
+    val meanLit = array(mean.map(lit): _*)
+    val compLit = array(comp.map(lit): _*)
+    aggregate(
+      zip_with(zip_with(col(vecCol), meanLit, (x, mu) => x - mu),
+        compLit, (c, w) => c * w),
+      lit(0.0), (acc, x) => acc + x)
+  }
+
+  /** Project onto the top-`k` principal components: adds `pc1..pck`
+    * columns. The apply half of [[fitPca]] — a narrow codegen'd
+    * projection, the J3 broadcast-stats-to-rows shape with the stats
+    * baked in as literals. */
+  def pcaProject(df: DataFrame, vecCol: String, model: PcaModel, k: Int): DataFrame = {
+    require(k >= 1 && k <= model.d, s"pcaProject needs 1 <= k <= ${model.d}, got $k")
+    (1 to k).foldLeft(df) { (acc, i) =>
+      acc.withColumn(s"pc$i",
+        projectOne(vecCol, model.mean, model.components(i - 1)))
+    }
+  }
+
+  /** Squared Mahalanobis distance of each vector from the fitted mean,
+    * through the eigenbasis: `Σ_j (v·e_j)² / max(λ_j, floor)` with
+    * `floor = relEps × λ_max` — the rank-deficient directions are
+    * floored, not inverted, so near-null eigenvalues cannot explode the
+    * score (the standard ridge regularization). Adds `maha2`.
+    *
+    * This is the distribution-aware outlier score: unlike the L2-norm
+    * audit (q165), a point far along a HIGH-variance direction scores
+    * low while the same distance along a tight direction scores high —
+    * exactly the "weird for this corpus" ranking curation wants. */
+  def mahalanobis(df: DataFrame, vecCol: String, model: PcaModel,
+                  relEps: Double = 1e-9): DataFrame = {
+    require(relEps > 0, s"mahalanobis needs relEps > 0, got $relEps")
+    val lmax = model.eigenvalues.headOption.getOrElse(0.0)
+    require(lmax > 0, "mahalanobis needs a non-degenerate fit (all-constant vectors?)")
+    val floor = relEps * lmax
+    // Native fused kernel, not a nested higher-order-function tree: HOF
+    // lambdas evaluate interpreted even inside WholeStageCodegen, and the
+    // score is d² lambda calls per row that way (measured 2.47 s vs
+    // ~0.4 s at 64-dim × sf0.1 — MahalanobisScore scaladoc).
+    df.withColumn("maha2",
+      graft.functions.GraftFunctions.mahalanobis_score(col(vecCol),
+        model.mean, model.components.map(_.toSeq).toSeq,
+        model.eigenvalues.map(l => 1.0 / math.max(l, floor))))
+  }
+}

@@ -11,7 +11,7 @@ import org.apache.spark.sql.functions._
   * land in BASELINE.md). Args select sections: `fill`, `skew`, `bucket`,
   * `funnel`, `pq`, `spanscrub`, `fuzzydedup`, `cleanscrub`, `packbudget`, `simhashband`,
   * `wordlm`, `bloomdedup`, `winnow`, `chatshard`, `warcsrc`, `jsonlsrc`,
-  * `legacy` (no args = all). */
+  * `gram`, `legacy` (no args = all). */
 object ScaleProbe {
   def main(args: Array[String]): Unit = {
     val sections: String => Boolean =
@@ -617,6 +617,42 @@ object ScaleProbe {
         graft.operators.Graph.pageRank(n1, e1, 3)))
       time2("pagerank x3 rounds,   8M edges")(noop(
         graft.operators.Graph.pageRank(n16, e16, 3)))
+    }
+
+    // Second-moment / Mahalanobis growth: the matrix_gram fit and the
+    // native score pass at 1x vs 16x vectors (corpus growth) and 64d vs
+    // 512d (width growth). Claims: fit wall ~linear in n (the buffer is
+    // per-task, merges are O(d²) and constant-count); score wall ~linear
+    // in n·d²/cores; neither shuffles corpus data.
+    if (sections("gram")) {
+      import graft.operators.Decomp
+      def vecs(n: Long, d: Int) = spark.range(n).select(col("id"),
+        transform(sequence(lit(1), lit(d)),
+          j => pmod(hash(col("id") * lit(1000) + j), lit(1000)).cast("double") / 500.0 - 1.0)
+          .as("v"))
+      def time2(name: String)(f: => Unit): Unit = {
+        val ts = (1 to 2).map { _ =>
+          val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+        }
+        println(f"[probe] $name%-34s ${ts.min}%.2f s (min of 2)")
+      }
+      val p64 = "/tmp/graft_gram_64"; val p64x16 = "/tmp/graft_gram_64x16"
+      val p512 = "/tmp/graft_gram_512"
+      time("write 100k x 64d / 1.6M x 64d / 100k x 512d") {
+        vecs(100000L, 64).write.mode("overwrite").parquet(p64)
+        vecs(1600000L, 64).write.mode("overwrite").parquet(p64x16)
+        vecs(100000L, 512).write.mode("overwrite").parquet(p512)
+      }
+      val (d64, d64x16, d512) = (spark.read.parquet(p64),
+        spark.read.parquet(p64x16), spark.read.parquet(p512))
+      time2("gram fit 100k x 64d")(Decomp.fitMeanCov(d64, "v"))
+      time2("gram fit 1.6M x 64d (16x rows)")(Decomp.fitMeanCov(d64x16, "v"))
+      time2("gram fit 100k x 512d (8x dims)")(Decomp.fitMeanCov(d512, "v"))
+      val m64 = Decomp.fitPca(d64, "v")
+      val m512 = Decomp.fitPca(d512, "v")
+      time2("maha score 100k x 64d")(noop(Decomp.mahalanobis(d64, "v", m64)))
+      time2("maha score 1.6M x 64d (16x)")(noop(Decomp.mahalanobis(d64x16, "v", m64)))
+      time2("maha score 100k x 512d (8x d)")(noop(Decomp.mahalanobis(d512, "v", m512)))
     }
 
     // Modality fingerprint throughput: image dHash (decode-bound) and

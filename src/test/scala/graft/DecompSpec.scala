@@ -1,0 +1,125 @@
+package graft
+
+import graft.operators.Decomp
+import org.apache.spark.sql.functions._
+
+class DecompSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def vecsDf(rows: Seq[Array[Float]]) =
+    rows.zipWithIndex.map { case (v, i) => (i.toLong, v) }.toDF("id", "v")
+
+  test("matrix_gram moments match brute force exactly on literal vectors") {
+    val rows = Seq(
+      Array(1.0f, 2.0f, 3.0f), Array(4.0f, 5.0f, 6.0f),
+      Array(-1.0f, 0.5f, 2.0f), Array(0.0f, 0.0f, 0.0f))
+    val (n, mean, cov) = Decomp.fitMeanCov(vecsDf(rows), "v")
+    assert(n === 4)
+    val d = 3
+    val exp = Array.tabulate(d)(i => rows.map(_(i).toDouble).sum / 4)
+    assert(mean === exp)
+    for (i <- 0 until d; j <- 0 until d) {
+      val cij = rows.map(r => r(i).toDouble * r(j)).sum / 4 - exp(i) * exp(j)
+      assert(math.abs(cov(i)(j) - cij) < 1e-12, s"cov($i,$j)")
+      assert(cov(i)(j) === cov(j)(i))
+    }
+  }
+
+  test("matrix_gram skips null vectors and survives partition merges") {
+    val df = spark.range(0, 1000, 1, 7) // 7 partitions force real merges
+      .select(col("id"),
+        when(col("id") % 10 === 0, lit(null))
+          .otherwise(array((col("id") % 13).cast("double"),
+            (col("id") % 7).cast("double"))).as("v"))
+    val (n, mean, _) = Decomp.fitMeanCov(df, "v")
+    assert(n === 900)
+    val exp = df.where(col("v").isNotNull)
+      .select(avg(element_at(col("v"), 1))).head().getDouble(0)
+    assert(math.abs(mean(0) - exp) < 1e-9)
+  }
+
+  test("jacobiEigen: analytic 2x2, orthonormality, reconstruction, determinism") {
+    // [[2,1],[1,2]] has eigenvalues 3 and 1
+    val (vals, vecs) = Decomp.jacobiEigen(Array(Array(2.0, 1.0), Array(1.0, 2.0)))
+    assert(math.abs(vals(0) - 3.0) < 1e-12 && math.abs(vals(1) - 1.0) < 1e-12)
+    val s = math.sqrt(0.5)
+    assert(math.abs(vecs(0)(0) - s) < 1e-12 && math.abs(vecs(0)(1) - s) < 1e-12)
+    // a less trivial symmetric 4x4: check V orthonormal and A = VT diag V
+    val a = Array(
+      Array(4.0, 1.0, 0.5, 0.0), Array(1.0, 3.0, 0.2, 0.1),
+      Array(0.5, 0.2, 2.0, 0.3), Array(0.0, 0.1, 0.3, 1.0))
+    val (l, v) = Decomp.jacobiEigen(a)
+    assert(l.sliding(2).forall(p => p(0) >= p(1)), "eigenvalues descending")
+    assert(math.abs(l.sum - (4.0 + 3.0 + 2.0 + 1.0)) < 1e-10, "trace preserved")
+    for (i <- 0 until 4; j <- 0 until 4) {
+      val dot = (0 until 4).map(k => v(i)(k) * v(j)(k)).sum
+      assert(math.abs(dot - (if (i == j) 1.0 else 0.0)) < 1e-10, s"VVt($i,$j)")
+      val rec = (0 until 4).map(k => v(k)(i) * l(k) * v(k)(j)).sum
+      assert(math.abs(rec - a(i)(j)) < 1e-10, s"reconstruct($i,$j)")
+    }
+    // Av = lambda v for the top pair
+    for (i <- 0 until 4) {
+      val av = (0 until 4).map(j => a(i)(j) * v(0)(j)).sum
+      assert(math.abs(av - l(0) * v(0)(i)) < 1e-10, s"Av=lv at $i")
+    }
+    // deterministic: bit-identical on re-run
+    val (l2, v2) = Decomp.jacobiEigen(a)
+    assert(l === l2)
+    assert(v.flatten === v2.flatten)
+  }
+
+  test("fitPca recovers an axis-aligned anisotropic cloud's directions") {
+    // x-variance 25, y-variance 1, zero mean: PC1 = +x with lambda ~25
+    val pts = for (i <- 0 until 200) yield {
+      val t = (i - 99.5) / 57.734 // ~uniform[-sqrt(3), sqrt(3)]: var 1
+      Array((5.0 * t).toFloat, ((if (i % 2 == 0) t else -t) * 1.0).toFloat)
+    }
+    val model = Decomp.fitPca(vecsDf(pts), "v")
+    assert(model.n === 200)
+    assert(model.eigenvalues(0) > 20 && model.eigenvalues(0) < 30)
+    assert(math.abs(math.abs(model.components(0)(0)) - 1.0) < 1e-6, "PC1 = x axis")
+    assert(math.abs(model.components(0)(1)) < 1e-6)
+    assert(model.components(0)(0) > 0, "sign-normalized positive")
+    val vr = model.varianceRatio
+    assert(math.abs(vr.sum - 1.0) < 1e-12)
+    assert(vr(0) > 0.9)
+  }
+
+  test("pcaProject adds centered projections; mahalanobis ranks the planted outlier first") {
+    // tight cloud along x (var 25) with y noise (var ~0.01), one point at
+    // (0, 3): small L2 norm but far along the TIGHT direction
+    val base = for (i <- 0 until 99) yield
+      Array((5.0 * (i - 49) / 28.6).toFloat, (0.1 * ((i % 3) - 1)).toFloat)
+    val pts = base :+ Array(0.0f, 3.0f)
+    val df = vecsDf(pts)
+    val model = Decomp.fitPca(df, "v")
+    val proj = Decomp.pcaProject(df, "v", model, 2)
+    assert(proj.columns.contains("pc1") && proj.columns.contains("pc2"))
+    // projections are centered: mean(pc1) ~ 0
+    val m1 = proj.agg(avg("pc1")).head().getDouble(0)
+    assert(math.abs(m1) < 1e-6)
+    val top = Decomp.mahalanobis(df, "v", model)
+      .orderBy(desc("maha2")).select("id").head().getLong(0)
+    assert(top === 99L, "planted tight-direction outlier wins")
+    // ...even though its L2 norm is far from the largest
+    val topByNorm = df.select(col("id"),
+      aggregate(transform(col("v"), x => x * x), lit(0.0), (a, x) => a + x).as("n2"))
+      .orderBy(desc("n2")).select("id").head().getLong(0)
+    assert(topByNorm !== 99L, "norm audit alone would miss it")
+  }
+
+  test("fitMeanCov refuses over-wide vectors loudly") {
+    val wide = Seq((1L, Array.fill(Decomp.MaxDims + 1)(0.0f))).toDF("id", "v")
+    val e = intercept[Exception](Decomp.fitMeanCov(wide, "v"))
+    assert(e.getMessage.contains("dims"))
+  }
+
+  test("matrix_gram is callable from SQL (registerAll)") {
+    graft.functions.GraftFunctions.registerAll(spark)
+    vecsDf(Seq(Array(1.0f, 2.0f), Array(3.0f, 4.0f))).createOrReplaceTempView("dg_v")
+    val r = spark.sql("SELECT matrix_gram(v) AS g FROM dg_v")
+      .selectExpr("g.n", "g.sum").head()
+    assert(r.getLong(0) === 2)
+    assert(r.getSeq[Double](1) === Seq(4.0, 6.0))
+  }
+}

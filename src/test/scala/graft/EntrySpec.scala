@@ -17,7 +17,11 @@ class EntrySpec extends SparkSuite {
       "q106_ivfpq_prefit", "q136_bpe_merges",
       // DEFLATE output bytes are zlib-version-dependent: deterministic
       // within the engine, not portable to a DuckDB oracle
-      "q173_compression_gate")
+      "q173_compression_gate",
+      // eigendecomposition (Jacobi) has no SQL form; DecompSpec pins the
+      // decomposition invariants and determinism, q183 pins the shared
+      // covariance fit against covar_pop
+      "q184_pca_spectrum", "q185_mahalanobis")
     assert(SparkEntry.oracleSql.keySet === SparkEntry.queries.keySet -- rowsOnly)
   }
 
