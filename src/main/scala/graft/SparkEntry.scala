@@ -2382,6 +2382,27 @@ object SparkEntry {
         .select(col("vec_id"), round(col("maha2"), 4).as("maha2"))
         .orderBy(desc("maha2"), col("vec_id")).limit(20)
     }),
+
+    // Whitening, self-certified by composition: whiten the embeddings
+    // through the fitted basis (EigenProject kernel), then run the SAME
+    // matrix_gram kernel over the whitened output — the 4x4 corner of
+    // the whitened covariance must be the identity (diag 1, off-diag 0
+    // at 4 dp) and the whitened mean must be 0. One query exercises both
+    // new kernels back to back and certifies the algebra end to end.
+    // Rows-only (the whitening basis has no SQL form).
+    "q186_whiten_gram" -> ((s, dir) => {
+      import s.implicits._
+      val emb = Tables.embeddings(s, dir)
+      val model = Decomp.fitPca(emb, "embedding")
+      val (n, wMean, wCov) =
+        Decomp.fitMeanCov(Decomp.whiten(emb, "embedding", model, model.d),
+          "embedding_w")
+      (for (i <- 0 to 3; j <- i to 3) yield
+        (i, j, n, math.rint(wMean(i) * 1e4) / 1e4 + 0.0,
+          math.rint(wCov(i)(j) * 1e4) / 1e4 + 0.0))
+        .toDF("i", "j", "n", "w_mean_i", "w_cov_ij")
+        .orderBy("i", "j")
+    }),
   )
 
   /** q154/q155 corpus: the synthesized lines become conversation turns —

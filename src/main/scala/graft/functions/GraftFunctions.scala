@@ -54,6 +54,13 @@ object GraftFunctions {
   def matrix_gram(v: Column): Column =
     col(MatrixGram(ex(v)).toAggregateExpression())
 
+  /** Project through a fitted basis (scales=1: PCA projection;
+    * scales=1/sqrt(lambda): whitening) as a fused narrow kernel (see
+    * [[EigenProject]]; fit via [[graft.operators.Decomp]]). */
+  def eigen_project(vec: Column, mean: Seq[Double],
+                    components: Seq[Seq[Double]], scales: Seq[Double]): Column =
+    col(EigenProject(ex(vec), mean, components, scales))
+
   /** Squared Mahalanobis distance through a fitted eigenbasis riding the
     * expression as literals — fused narrow projection, no HOF lambdas
     * (see [[MahalanobisScore]]; fit via [[graft.operators.Decomp]]). */

@@ -186,6 +186,27 @@ object Decomp {
     }
   }
 
+  /** PCA-whitened vectors: `W_k = (v−μ)·e_k / √λ_k` over the top-`k`
+    * components (λ ridge-floored like [[mahalanobis]]) — output
+    * covariance is the k×k identity by construction, which is the
+    * preconditioner for cosine ANN / SemDeDup when a few loud directions
+    * would otherwise dominate every similarity. Adds `<vecCol>_w`
+    * (array<double>[k]); a fused zero-shuffle kernel
+    * ([[graft.functions.EigenProject]]). `‖whiten(v)‖²` at k = d equals
+    * [[mahalanobis]]'s `maha2` — pinned in DecompSpec. */
+  def whiten(df: DataFrame, vecCol: String, model: PcaModel, k: Int,
+             relEps: Double = 1e-9): DataFrame = {
+    require(k >= 1 && k <= model.d, s"whiten needs 1 <= k <= ${model.d}, got $k")
+    require(relEps > 0, s"whiten needs relEps > 0, got $relEps")
+    val lmax = model.eigenvalues.headOption.getOrElse(0.0)
+    require(lmax > 0, "whiten needs a non-degenerate fit (all-constant vectors?)")
+    val floor = relEps * lmax
+    df.withColumn(s"${vecCol}_w",
+      graft.functions.GraftFunctions.eigen_project(col(vecCol), model.mean,
+        model.components.take(k).map(_.toSeq).toSeq,
+        model.eigenvalues.take(k).map(l => 1.0 / math.sqrt(math.max(l, floor)))))
+  }
+
   /** Squared Mahalanobis distance of each vector from the fitted mean,
     * through the eigenbasis: `Σ_j (v·e_j)² / max(λ_j, floor)` with
     * `floor = relEps × λ_max` — the rank-deficient directions are

@@ -108,6 +108,34 @@ class DecompSpec extends SparkSuite {
     assert(topByNorm !== 99L, "norm audit alone would miss it")
   }
 
+  test("whiten: identity covariance, zero mean, and ||w||^2 == maha2 at full rank") {
+    // three genuinely independent directions (a linearly dependent column
+    // would be rank-deficient: its eigenvalue hits the ridge floor and
+    // whitening correctly does NOT stretch it to variance 1)
+    val pts = for (i <- 0 until 120) yield {
+      val t = (i - 59.5) / 34.64
+      Array((3.0 * t).toFloat, (t * t - 1.0).toFloat,
+        (((i * 37) % 7 - 3) * 0.2 + 0.1 * t).toFloat)
+    }
+    val df = vecsDf(pts)
+    val model = Decomp.fitPca(df, "v")
+    val w = Decomp.whiten(df, "v", model, 3)
+    val (_, wMean, wCov) = Decomp.fitMeanCov(w, "v_w")
+    for (i <- 0 until 3) {
+      assert(math.abs(wMean(i)) < 1e-9, s"whitened mean($i)")
+      for (j <- 0 until 3)
+        assert(math.abs(wCov(i)(j) - (if (i == j) 1.0 else 0.0)) < 1e-6,
+          s"whitened cov($i,$j) = ${wCov(i)(j)}")
+    }
+    // full-rank whitened norm IS the Mahalanobis distance
+    val both = Decomp.mahalanobis(w, "v", model)
+      .select(col("id"), col("maha2"),
+        aggregate(transform(col("v_w"), x => x * x), lit(0.0), (a, x) => a + x).as("wn2"))
+      .collect()
+    both.foreach(r =>
+      assert(math.abs(r.getDouble(1) - r.getDouble(2)) < 1e-8, s"row ${r.getLong(0)}"))
+  }
+
   test("fitMeanCov refuses over-wide vectors loudly") {
     val wide = Seq((1L, Array.fill(Decomp.MaxDims + 1)(0.0f))).toDF("id", "v")
     val e = intercept[Exception](Decomp.fitMeanCov(wide, "v"))
