@@ -2403,6 +2403,51 @@ object SparkEntry {
         .toDF("i", "j", "n", "w_mean_i", "w_cov_ij")
         .orderBy("i", "j")
     }),
+
+    // Multiclass linear probe (one-vs-rest ridge, λ=1e-3): the
+    // quality-classifier fit of a curation pipeline, done in ONE Gram
+    // pass over [embedding ; onehot(label)] (Decomp.fitRidgeProbes) and
+    // scored through the fused EigenProject kernel. Self-certified by a
+    // SECOND Gram pass over [embedding ; residuals]: the ridge normal
+    // equations force Cov(x_j, y_c − ŷ_c) = λ·β_cj exactly, so grad_max
+    // (the largest |Cov(x, r_c) − λβ_c| over dims) must print 0 at 4 dp
+    // for every class — the optimality certificate, computed
+    // distributedly. Per-class train accuracy is the confusion diagonal
+    // (chance = 1/k; the probe's lift over it is the signal audit).
+    // Rows-only (the spectral solve has no SQL form); DecompSpec pins
+    // the algebra on closed-form cases.
+    "q187_linear_probe" -> ((s, dir) => {
+      import s.implicits._
+      val lambda = 1e-3
+      val emb = Tables.embeddings(s, dir).filter(col("embedding").isNotNull)
+      val k = emb.agg(max("label")).head.getInt(0) + 1 // scalar agg (A5 class)
+      val oneHot = (0 until k).map(c => when(col("label") === c, 1.0).otherwise(0.0))
+      val model = Decomp.fitRidgeProbes(emb, "embedding", oneHot, lambda)
+      val scored = Decomp.probeScores(emb, "embedding", model)
+        .withColumn("pred",
+          expr("array_position(probe_scores, array_max(probe_scores))") - 1)
+      val resid = scored.withColumn("_r",
+        zip_with(array(oneHot: _*), col("probe_scores"), (y, sc) => y - sc))
+      val (_, _, jcov) = Decomp.fitMeanCov(
+        resid.select(concat(col("embedding").cast("array<double>"), col("_r"))
+          .as("_xr")), "_xr")
+      val d = model.d
+      val gradMax = (0 until k).map(c =>
+        (0 until d).map(j =>
+          math.abs(jcov(j)(d + c) - lambda * model.weights(c)(j))).max)
+      val fitDf = (0 until k).map(c =>
+        (c, math.rint(model.r2(c) * 1e4) / 1e4 + 0.0,
+          math.rint(gradMax(c) * 1e4) / 1e4 + 0.0))
+        .toDF("class", "r2", "grad_max")
+      scored.groupBy(col("label").cast("int").as("class"))
+        .agg(count(lit(1)).as("n_class"),
+          sum(when(col("pred") === col("label"), 1L).otherwise(0L)).as("correct"))
+        .join(broadcast(fitDf), "class")
+        .select(col("class"), col("n_class"), col("correct"),
+          round(col("correct") / col("n_class"), 4).as("acc"),
+          col("r2"), col("grad_max"))
+        .orderBy("class")
+    }),
   )
 
   /** q154/q155 corpus: the synthesized lines become conversation turns —

@@ -207,6 +207,111 @@ object Decomp {
         model.eigenvalues.take(k).map(l => 1.0 / math.sqrt(math.max(l, floor)))))
   }
 
+  /** A fitted multi-target ridge probe: `k` linear models over the same
+    * `d`-dim input, solved jointly from one Gram pass. `weights(c)` is
+    * the d-vector for target `c`; `r2(c)` is its in-sample coefficient
+    * of determination (0 when the target is constant). */
+  final case class RidgeProbeModel(n: Long, lambda: Double,
+                                   muX: Array[Double], muY: Array[Double],
+                                   weights: Array[Array[Double]],
+                                   r2: Array[Double]) {
+    def d: Int = muX.length
+    def k: Int = muY.length
+    /** `intercept_c = μy_c − β_c·μx` — scores are exact on the mean. */
+    def intercepts: Array[Double] = Array.tabulate(k) { c =>
+      var s = muY(c); var j = 0
+      while (j < d) { s -= weights(c)(j) * muX(j); j += 1 }
+      s
+    }
+  }
+
+  /** Fit `k` ridge-regression probes `y_c ≈ β_c·x + b_c` over `vecCol`
+    * in ONE corpus pass: the joint Gram of `[x ; y_1..y_k]` (the same
+    * [[graft.functions.MatrixGram]] kernel, `(d+k)(d+k+3)/2` doubles per
+    * task) yields `Cov(X,X)`, `Cov(X,y_c)` and `Var(y_c)` together; the
+    * solve is driver-side spectral ridge through [[jacobiEigen]]:
+    * `β_c = Σ_j e_j (e_j·b_c)/(λ_j + λ)`. With `lambda = 0` the
+    * rank-deficient directions are dropped (pseudo-inverse), never
+    * inverted. This is the linear-probe / quality-classifier fit of an
+    * LLM curation pipeline (one-vs-rest over class indicators = LDA-style
+    * multiclass probe) and the distributed analogue of the reference's
+    * (lat, lon) regression head (model_architecture.py:92-111) — the
+    * data-side fit is exact and single-pass where the reference iterates.
+    * Certifiable by construction: the residual normal equations give
+    * `Cov(x, y_c − ŷ_c) = λ β_c` exactly (pinned in DecompSpec and
+    * self-certified at scale by q187). */
+  def fitRidgeProbes(df: DataFrame, vecCol: String, targets: Seq[Column],
+                     lambda: Double, relEps: Double = 1e-9): RidgeProbeModel = {
+    val k = targets.size
+    require(k >= 1, "fitRidgeProbes needs at least one target")
+    require(lambda >= 0, s"fitRidgeProbes needs lambda >= 0, got $lambda")
+    val joint = df.select(concat(col(vecCol).cast("array<double>"),
+      array(targets.map(_.cast("double")): _*)).as("_xy"))
+    val (n, mean, cov) = fitMeanCov(joint, "_xy")
+    val d = mean.length - k
+    require(d >= 1, s"fitRidgeProbes: $vecCol is empty after removing $k targets")
+    val muX = mean.take(d)
+    val muY = mean.drop(d)
+    val cxx = Array.tabulate(d, d)((i, j) => cov(i)(j))
+    val (evals, evecs) = jacobiEigen(cxx)
+    val floor = relEps * math.max(evals.headOption.getOrElse(0.0), 0.0)
+    val weights = Array.tabulate(k) { c =>
+      val b = Array.tabulate(d)(j => cov(j)(d + c))
+      val beta = new Array[Double](d)
+      var j = 0
+      while (j < d) {
+        val lam = evals(j)
+        if (lam > floor || lambda > 0) {
+          val e = evecs(j)
+          var eb = 0.0
+          var t = 0
+          while (t < d) { eb += e(t) * b(t); t += 1 }
+          val coef = eb / (lam + lambda)
+          t = 0
+          while (t < d) { beta(t) += coef * e(t); t += 1 }
+        }
+        j += 1
+      }
+      beta
+    }
+    val r2 = Array.tabulate(k) { c =>
+      val varY = cov(d + c)(d + c)
+      if (varY <= 0) 0.0
+      else {
+        val beta = weights(c)
+        var btb = 0.0 // βᵀ Cxx β
+        var bb = 0.0 // βᵀ b
+        var i = 0
+        while (i < d) {
+          bb += beta(i) * cov(i)(d + c)
+          var j = 0
+          var row = 0.0
+          while (j < d) { row += cxx(i)(j) * beta(j); j += 1 }
+          btb += beta(i) * row
+          i += 1
+        }
+        1.0 - (varY - 2.0 * bb + btb) / varY
+      }
+    }
+    RidgeProbeModel(n, lambda, muX, muY, weights, r2)
+  }
+
+  /** The apply half of [[fitRidgeProbes]]: adds `outCol` =
+    * `array<double>[k]` of probe scores `β_c·(v−μx) + μy_c`
+    * (≡ `β_c·v + intercept_c`) — one fused
+    * [[graft.functions.EigenProject]] pass (weights as the basis, unit
+    * scales; the projection is already centered, so the add-back is
+    * `μy`, not the raw intercept) plus a k-wide offset add. Zero
+    * shuffle; model rides as literals. */
+  def probeScores(df: DataFrame, vecCol: String, model: RidgeProbeModel,
+                  outCol: String = "probe_scores"): DataFrame = {
+    val proj = graft.functions.GraftFunctions.eigen_project(col(vecCol),
+      model.muX, model.weights.map(_.toSeq).toSeq,
+      Seq.fill(model.k)(1.0))
+    df.withColumn(outCol,
+      zip_with(proj, array(model.muY.map(lit).toIndexedSeq: _*), (s, b) => s + b))
+  }
+
   /** Squared Mahalanobis distance of each vector from the fitted mean,
     * through the eigenbasis: `Σ_j (v·e_j)² / max(λ_j, floor)` with
     * `floor = relEps × λ_max` — the rank-deficient directions are

@@ -136,6 +136,67 @@ class DecompSpec extends SparkSuite {
       assert(math.abs(r.getDouble(1) - r.getDouble(2)) < 1e-8, s"row ${r.getLong(0)}"))
   }
 
+  test("fitRidgeProbes recovers an exact linear law (OLS, closed form)") {
+    // y = 3x1 - 2x2 + 5, x1/x2 genuinely independent
+    val pts = for (i <- 0 until 60) yield
+      Array((i % 8).toFloat, ((i * 5) % 7).toFloat)
+    val df = vecsDf(pts).withColumn("y",
+      lit(3.0) * element_at(col("v"), 1) - lit(2.0) * element_at(col("v"), 2) + 5.0)
+    val m = Decomp.fitRidgeProbes(df, "v", Seq(col("y")), lambda = 0.0)
+    assert(math.abs(m.weights(0)(0) - 3.0) < 1e-9)
+    assert(math.abs(m.weights(0)(1) + 2.0) < 1e-9)
+    assert(math.abs(m.intercepts(0) - 5.0) < 1e-9)
+    assert(math.abs(m.r2(0) - 1.0) < 1e-12)
+    // scores reproduce y exactly through the EigenProject path
+    val bad = Decomp.probeScores(df, "v", m)
+      .where(abs(element_at(col("probe_scores"), 1) - col("y")) > 1e-8).count()
+    assert(bad === 0L)
+  }
+
+  test("fitRidgeProbes: ridge residuals satisfy Cov(x, r) == lambda * beta") {
+    val lambda = 0.1
+    val pts = for (i <- 0 until 80) yield {
+      val a = (i % 9).toFloat; val b = ((i * 7) % 11).toFloat
+      Array(a, b, (a * b % 5))
+    }
+    val df = vecsDf(pts).withColumn("y",
+      element_at(col("v"), 1) * 1.5 - element_at(col("v"), 3) * 0.7 +
+        element_at(col("v"), 2) * element_at(col("v"), 2) * 0.1) // not exactly linear
+    val m = Decomp.fitRidgeProbes(df, "v", Seq(col("y")), lambda)
+    val scored = Decomp.probeScores(df, "v", m)
+      .withColumn("r", col("y") - element_at(col("probe_scores"), 1))
+    val (_, _, jc) = Decomp.fitMeanCov(
+      scored.select(concat(col("v").cast("array<double>"), array(col("r"))).as("xr")), "xr")
+    for (j <- 0 until 3)
+      assert(math.abs(jc(j)(3) - lambda * m.weights(0)(j)) < 1e-9,
+        s"normal-equation gradient, dim $j")
+  }
+
+  test("fitRidgeProbes: collinear inputs solve via pseudo-inverse, no explosion") {
+    // x2 = 2*x1 exactly -> Cxx is rank 1; target in the column space
+    val pts = for (i <- 0 until 40) yield Array((i % 6).toFloat, 2.0f * (i % 6))
+    val df = vecsDf(pts).withColumn("y", element_at(col("v"), 1) * 4.0 + 1.0)
+    val m = Decomp.fitRidgeProbes(df, "v", Seq(col("y")), lambda = 0.0)
+    assert(m.weights(0).forall(w => math.abs(w) < 100), "bounded weights")
+    assert(math.abs(m.r2(0) - 1.0) < 1e-9, "target in column space is still exact")
+  }
+
+  test("multiclass one-vs-rest probe separates clustered classes") {
+    val rnd = new scala.util.Random(7)
+    val pts = for (c <- 0 until 3; _ <- 0 until 40) yield {
+      val base = Seq(Array(10f, 0f), Array(0f, 10f), Array(-10f, -10f))(c)
+      (c, base.map(x => x + rnd.nextFloat() - 0.5f))
+    }
+    val df = pts.toSeq.toDF("label", "v")
+    val oneHot = (0 until 3).map(c => when(col("label") === c, 1.0).otherwise(0.0))
+    val m = Decomp.fitRidgeProbes(df, "v", oneHot, lambda = 1e-3)
+    val wrong = Decomp.probeScores(df, "v", m)
+      .withColumn("pred",
+        expr("array_position(probe_scores, array_max(probe_scores))") - 1)
+      .where(col("pred") =!= col("label")).count()
+    assert(wrong === 0L, "well-separated clusters must probe at 100%")
+  }
+
   test("fitMeanCov refuses over-wide vectors loudly") {
     val wide = Seq((1L, Array.fill(Decomp.MaxDims + 1)(0.0f))).toDF("id", "v")
     val e = intercept[Exception](Decomp.fitMeanCov(wide, "v"))

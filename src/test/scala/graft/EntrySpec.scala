@@ -21,7 +21,8 @@ class EntrySpec extends SparkSuite {
       // eigendecomposition (Jacobi) has no SQL form; DecompSpec pins the
       // decomposition invariants and determinism, q183 pins the shared
       // covariance fit against covar_pop
-      "q184_pca_spectrum", "q185_mahalanobis", "q186_whiten_gram")
+      "q184_pca_spectrum", "q185_mahalanobis", "q186_whiten_gram",
+      "q187_linear_probe")
     assert(SparkEntry.oracleSql.keySet === SparkEntry.queries.keySet -- rowsOnly)
   }
 
