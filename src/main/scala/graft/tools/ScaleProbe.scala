@@ -653,6 +653,19 @@ object ScaleProbe {
       time2("maha score 100k x 64d")(noop(Decomp.mahalanobis(d64, "v", m64)))
       time2("maha score 1.6M x 64d (16x)")(noop(Decomp.mahalanobis(d64x16, "v", m64)))
       time2("maha score 100k x 512d (8x d)")(noop(Decomp.mahalanobis(d512, "v", m512)))
+      // whitening (EigenProject, d x d basis = the heaviest apply) and the
+      // ridge-probe fit (d+k joint Gram) under the same 16x row growth —
+      // both must track the scan like the score pass does
+      time2("whiten 100k x 64d")(noop(Decomp.whiten(d64, "v", m64, 64)))
+      time2("whiten 1.6M x 64d (16x)")(noop(Decomp.whiten(d64x16, "v", m64, 64)))
+      val probeTargets = (0 until 8).map(c =>
+        when(pmod(col("id"), lit(8)) === c, 1.0).otherwise(0.0))
+      time2("probe fit 100k x 64d + 8 tgt")(
+        Decomp.fitRidgeProbes(d64, "v", probeTargets, 1e-3))
+      time2("probe fit 1.6M x 64d (16x)")(
+        Decomp.fitRidgeProbes(d64x16, "v", probeTargets, 1e-3))
+      val pm = Decomp.fitRidgeProbes(d64, "v", probeTargets, 1e-3)
+      time2("probe score 1.6M x 64d (16x)")(noop(Decomp.probeScores(d64x16, "v", pm)))
     }
 
     // Modality fingerprint throughput: image dHash (decode-bound) and
