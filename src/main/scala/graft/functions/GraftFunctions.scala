@@ -54,6 +54,11 @@ object GraftFunctions {
   def matrix_gram(v: Column): Column =
     col(MatrixGram(ex(v)).toAggregateExpression())
 
+  /** Shannon character entropy + alphabet stats in one fused string
+    * walk (see [[CharEntropy]]): struct(n_chars, n_distinct_chars,
+    * entropy). */
+  def char_entropy(text: Column): Column = col(CharEntropy(ex(text)))
+
   /** Project through a fitted basis (scales=1: PCA projection;
     * scales=1/sqrt(lambda): whitening) as a fused narrow kernel (see
     * [[EigenProject]]; fit via [[graft.operators.Decomp]]). */

@@ -1400,42 +1400,25 @@ object TextAnalysis {
     * so the boundary is engine-reproducible. Output: (id, n_chars,
     * n_distinct_chars, entropy, keep).
     *
-    * Scale shape: one zero-shuffle codegen'd projection — the histogram
-    * folds over each document's own char array (O(distinct·len) per doc,
-    * distinct is alphabet-bounded); nothing leaves the scan until the
-    * final sort. */
+    * Scale shape: one zero-shuffle codegen'd projection over the fused
+    * [[graft.functions.CharEntropy]] kernel — a single primitive walk
+    * per document with an open-addressing code-point histogram. (The
+    * earlier declarative form — split-to-chars → array_sort → run-length
+    * `aggregate` fold — computed the same value but paid an INTERPRETED
+    * lambda + struct allocation per character: 3.8 s for q150 at sf0.1
+    * vs ~0.4 s for the kernel; a per-distinct-char filter scan is worse
+    * still, measured 28 s.) */
   def charEntropy(docs: DataFrame, idCol: String, textCol: String,
                   minEntropy: Double = 2.0,
                   maxEntropy: Double = 5.0): DataFrame = {
     require(minEntropy <= maxEntropy,
       s"entropy bracket inverted: [$minEntropy, $maxEntropy]")
-    // (?!$): no trailing empty element (see bpeEncodeStats)
-    val cs = split(col(textCol), "(?!$)")
-    val n = size(cs).cast("double")
-    // Sort once, fold run lengths once: H = ln n − (Σ_c cnt_c ln cnt_c)/n.
-    // A per-distinct-char filter scan would be O(distinct·len) per doc —
-    // measured 28 s for the corpus at sf0.1 vs ~1 s for this fold.
-    def cntTerm(r: Column): Column =
-      when(r > 0, r.cast("double") * log(r.cast("double"))).otherwise(lit(0.0))
-    val st = aggregate(array_sort(cs),
-      struct(lit("").as("p"), lit(0L).as("r"), lit(0.0).as("s"), lit(0L).as("d")),
-      (acc, c) => {
-        val (p0, r0, s0, d0) = (acc.getField("p"), acc.getField("r"),
-          acc.getField("s"), acc.getField("d"))
-        when(c === p0,
-          struct(p0.as("p"), (r0 + 1).as("r"), s0.as("s"), d0.as("d")))
-          .otherwise(struct(c.as("p"), lit(1L).as("r"),
-            (s0 + cntTerm(r0)).as("s"), (d0 + 1).as("d")))
-      },
-      acc => struct((acc.getField("s") + cntTerm(acc.getField("r"))).as("s"),
-        acc.getField("d").as("d")))
     docs.select(col(idCol),
-        size(cs).cast("long").as("n_chars"),
-        st.as("_st"))
-      .select(col(idCol), col("n_chars"),
-        col("_st.d").as("n_distinct_chars"),
-        round(log(col("n_chars").cast("double")) -
-          col("_st.s") / col("n_chars").cast("double"), 6).as("entropy"))
+        graft.functions.GraftFunctions.char_entropy(col(textCol)).as("_ce"))
+      .select(col(idCol),
+        col("_ce.n_chars").as("n_chars"),
+        col("_ce.n_distinct_chars").as("n_distinct_chars"),
+        round(col("_ce.entropy"), 6).as("entropy"))
       .withColumn("keep",
         col("entropy") >= minEntropy && col("entropy") <= maxEntropy)
   }

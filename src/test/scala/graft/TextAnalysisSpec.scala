@@ -323,6 +323,39 @@ class TextAnalysisSpec extends SparkSuite {
       TextAnalysis.charEntropy(docs, "doc_id", "text", minEntropy = 3, maxEntropy = 1))
   }
 
+  test("charEntropy kernel matches a brute-force code-point histogram") {
+    import graft.operators.TextAnalysis
+    val rnd = new scala.util.Random(42)
+    val alphabet = "abcdefghijklmnop qrstuvwxyz0123456789,.!?éüñ中文日本語🌍🎉"
+    val cases = Seq(
+      "",                                       // empty: (0, 0, 0.0)
+      "\u0000a\u0000b",                         // NUL is a real alphabet symbol
+      "🌍🌍🎉",                                  // surrogate pairs count once
+      alphabet,                                 // wide alphabet forces a rehash
+      rnd.alphanumeric.take(500).mkString,
+      { // sample CODE POINTS, not UTF-16 units — a lone surrogate is not
+        // valid UTF-8 and gets replaced inside UTF8String
+        val cps = alphabet.codePoints().toArray
+        (0 until 300).map(_ =>
+          new String(Character.toChars(cps(rnd.nextInt(cps.length))))).mkString
+      })
+    val df = cases.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val got = TextAnalysis.charEntropy(df, "doc_id", "text")
+      .orderBy("doc_id").as[(Long, Long, Long, Double, Boolean)].collect()
+    for (((t, i), (_, nChars, nDistinct, entropy, _)) <- cases.zipWithIndex.zip(got)) {
+      val cps = t.codePoints().toArray
+      assert(nChars === cps.length.toLong, s"case $i n_chars")
+      assert(nDistinct === cps.distinct.length.toLong, s"case $i n_distinct")
+      val n = cps.length.toDouble
+      val exp = if (cps.isEmpty) 0.0
+        else math.log(n) -
+          cps.groupBy(identity).values.map(g =>
+            g.length * math.log(g.length.toDouble)).sum / n
+      assert(math.abs(entropy - BigDecimal(exp).setScale(6,
+        BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-9, s"case $i entropy")
+    }
+  }
+
   test("cardNumberPii: Luhn separates valid cards from near-miss digit runs") {
     import graft.operators.TextAnalysis
     val docs = Seq(
