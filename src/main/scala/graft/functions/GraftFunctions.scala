@@ -59,6 +59,16 @@ object GraftFunctions {
     * entropy). */
   def char_entropy(text: Column): Column = col(CharEntropy(ex(text)))
 
+  /** Ordered code-point trigram array — the O(len) fit-side explode
+    * input (see [[CharTrigrams]]). */
+  def char_trigrams(text: Column): Column = col(CharTrigrams(ex(text)))
+
+  /** Fused char-trigram LM scoring against a broadcast fitted table
+    * (see [[TrigramLogProbSum]]): struct(n_tri, sum_lp). */
+  def trigram_logprob_sum(text: Column,
+                          table: org.apache.spark.broadcast.Broadcast[TrigramTable]): Column =
+    col(TrigramLogProbSum(ex(text), table))
+
   /** Project through a fitted basis (scales=1: PCA projection;
     * scales=1/sqrt(lambda): whitening) as a fused narrow kernel (see
     * [[EigenProject]]; fit via [[graft.operators.Decomp]]). */

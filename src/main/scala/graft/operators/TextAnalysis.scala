@@ -657,60 +657,96 @@ object TextAnalysis {
     * LM perplexity filter. Documents shorter than 3 chars emit no trigrams
     * and drop out (callers keep them via a left join on the id).
     *
-    * Scale shape: the FIT is one trigram explode + word-keyed count whose
-    * map-side partials collapse to distinct-trigram-bounded state; context
-    * counts derive from the trigram table itself (sum over its 2-char
-    * prefixes), so fit and context CANNOT disagree on boundary positions.
-    * The fitted tables are [[graft.operators.Relational.detach]]ed and,
-    * when the EXACT distinct-trigram count (a cheap `count()` over the
-    * already-materialized checkpoint — this method runs that one eager
-    * action at plan-construction time, like [[contaminationHits]]'s bound
-    * probe) is at most `broadcastMaxTrigrams`, broadcast for the SCORE
-    * join. Context counts pre-join INTO the fit on the (vocab-sized) fit
-    * side, so the corpus-sized score pass probes ONE table on one key —
-    * not two joins with a per-row substring second key. On real
-    * multilingual/web corpora the trigram vocabulary is NOT small — CJK
-    * text, mojibake, and binary spill push distinct char
-    * trigrams to 10^7..10^8 — so above the bound the score join degrades
-    * to a plain shuffle hash join on the trigram key instead of OOMing the
-    * driver (byte-identical output either way; the fallback path is
-    * pinned by TextAnalysisSpec). The default bound (10M rows ≈ 80 MB of
-    * hashed keys plus counts) matches [[contaminationHits]]'s budget. The
-    * SCORE pass is the second corpus explode + the gated join + one
-    * doc-keyed aggregate — shuffle carries one row per doc on the
-    * broadcast path. Output: (idCol, n_tri, avg_logp).
+    * Scale shape: the FIT is one trigram explode (the O(len) fused
+    * [[graft.functions.CharTrigrams]] array, not a per-position
+    * `substring` that re-walks the string quadratically) + trigram-keyed
+    * count whose map-side partials collapse to distinct-trigram-bounded
+    * state; context counts derive from the trigram table itself (sum
+    * over its 2-char prefixes), so fit and context CANNOT disagree on
+    * boundary positions. The fit is [[graft.operators.Relational.detach]]ed
+    * and its EXACT size probed (a cheap `count()` over the materialized
+    * checkpoint, like [[contaminationHits]]'s bound probe). At or below
+    * `broadcastMaxTrigrams` the SCORE pass takes the fused lane: the
+    * vocab-sized fit collects to the driver (the same budget a broadcast
+    * hash join pays), each trigram's log-prob is precomputed into a
+    * packed-key [[graft.functions.TrigramTable]] shipped as ONE Spark
+    * broadcast, and [[graft.functions.TrigramLogProbSum]] scores every
+    * document in one string walk — one row per DOC crosses the plan
+    * instead of one per CHARACTER (measured 3.98 s → 0.4 s for q99 at
+    * sf0.1). On real multilingual/web corpora the trigram vocabulary is
+    * NOT small — CJK text, mojibake, and binary spill push distinct char
+    * trigrams to 10^7..10^8 — so above the bound the score degrades to
+    * the distributed explode + shuffle hash join on the trigram key
+    * instead of OOMing the driver (same values either way; the fallback
+    * is pinned byte-identical by TextAnalysisSpec). The default bound
+    * (10M rows ≈ 80 MB of hashed keys plus counts) matches
+    * [[contaminationHits]]'s budget. Output: (idCol, n_tri, avg_logp).
     */
   def charTrigramLogProb(docs: DataFrame, idCol: String, textCol: String,
                          k: Double = 0.5,
                          broadcastMaxTrigrams: Long = 10000000L): DataFrame = {
     require(k > 0, s"charTrigramLogProb smoothing k must be positive, got $k")
-    // explicit empty-array guard: Spark's sequence(1, 0) DESCENDS ([1, 0])
-    // instead of being empty, so an unguarded transform would hand short
-    // docs two phantom "trigrams" (the whole sub-3-char text, twice)
-    val triExpr = expr(s"IF(length($textCol) < 3, array(), " +
-      s"transform(sequence(1, length($textCol) - 2), i -> substring($textCol, i, 3)))")
-    val tri = docs.select(col(idCol), explode(triExpr).as("_g"))
+    val tri = docs.select(col(idCol),
+      explode(graft.functions.GraftFunctions.char_trigrams(col(textCol))).as("_g"))
     val c3 = Relational.detach(
       tri.groupBy("_g").agg(count(lit(1)).as("_c")))
-    val c2 = c3.groupBy(substring(col("_g"), 1, 2).as("_p")).agg(sum("_c").as("_cp"))
-    // fuse the context count INTO the trigram fit on the (vocab-sized)
-    // fit side, so the corpus-sized score pass probes ONE table on one
-    // key — not two joins with a per-row substring second key
-    val fit = c3.join(c2, substring(col("_g"), 1, 2) === col("_p"))
-      .select(col("_g"), col("_c"), col("_cp"))
-    val nv = c3.select(countDistinct(substring(col("_g"), 3, 1)).as("_nv"))
     // exact fit size — c3 is already checkpointed, so this scans its blocks
     val nDistinctTri = c3.count()
-    // |fit| = |c3|, so the one bound gates the whole fit table; nv is a
-    // single row and always broadcasts
-    val fitJ =
-      if (nDistinctTri <= broadcastMaxTrigrams) broadcast(fit)
-      else fit
-    tri.join(fitJ, "_g")
-      .crossJoin(broadcast(nv))
-      .withColumn("_lp", log((col("_c") + lit(k)) / (col("_cp") + lit(k) * col("_nv"))))
-      .groupBy(col(idCol))
-      .agg(count(lit(1)).as("n_tri"), round(avg("_lp"), 6).as("avg_logp"))
+    val fastTable =
+      if (nDistinctTri > broadcastMaxTrigrams) None
+      else {
+        // Broadcast lane: the fit is driver-collectable by the SAME budget
+        // the broadcast hash join pays, so derive context counts + the
+        // final-char vocabulary driver-side and precompute each trigram's
+        // log-prob into a packed-key table. The score pass then probes it
+        // in ONE fused walk per document (TrigramLogProbSum) — one row per
+        // DOC crosses the plan instead of one per CHARACTER, no second
+        // explode, no join, no re-aggregate. Identical arithmetic: same
+        // (c, cp, nv, k) doubles through the same formula, rounded 6 dp.
+        val rows = c3.collect().map(r => (r.getString(0), r.getLong(1)))
+        val prefixCnt = new java.util.HashMap[Long, Long]()
+        val finals = new java.util.HashSet[Int]()
+        rows.foreach { case (g, c) =>
+          val cp1 = g.codePointAt(0)
+          val i2 = Character.charCount(cp1)
+          val cp2 = g.codePointAt(i2)
+          val i3 = i2 + Character.charCount(cp2)
+          prefixCnt.merge((cp1.toLong << 21) | cp2, c, _ + _)
+          finals.add(g.codePointAt(i3))
+        }
+        val nv = finals.size.toDouble
+        graft.functions.TrigramTable.build(
+          rows.iterator.map { case (g, c) =>
+            val cp1 = g.codePointAt(0)
+            val i2 = Character.charCount(cp1)
+            val cp2 = g.codePointAt(i2)
+            val cp = prefixCnt.get((cp1.toLong << 21) | cp2)
+            (g, math.log((c + k) / (cp + k * nv)))
+          }, rows.length)
+      }
+    fastTable match {
+      case Some(tbl) =>
+        val b = docs.sparkSession.sparkContext.broadcast(tbl)
+        docs.select(col(idCol),
+            graft.functions.GraftFunctions.trigram_logprob_sum(col(textCol), b).as("_s"))
+          .where(col("_s.n_tri") > 0)
+          .select(col(idCol), col("_s.n_tri").as("n_tri"),
+            round(col("_s.sum_lp") / col("_s.n_tri"), 6).as("avg_logp"))
+      case None =>
+        // Shuffle lane (vocab above the driver budget, or an all-NUL
+        // trigram the packed key can't carry): the original distributed
+        // join — context counts fused INTO the (vocab-sized) fit side so
+        // the corpus-sized score pass probes ONE table on one key.
+        val c2 = c3.groupBy(substring(col("_g"), 1, 2).as("_p")).agg(sum("_c").as("_cp"))
+        val fit = c3.join(c2, substring(col("_g"), 1, 2) === col("_p"))
+          .select(col("_g"), col("_c"), col("_cp"))
+        val nv = c3.select(countDistinct(substring(col("_g"), 3, 1)).as("_nv"))
+        tri.join(fit, "_g")
+          .crossJoin(broadcast(nv))
+          .withColumn("_lp", log((col("_c") + lit(k)) / (col("_cp") + lit(k) * col("_nv"))))
+          .groupBy(col(idCol))
+          .agg(count(lit(1)).as("n_tri"), round(avg("_lp"), 6).as("avg_logp"))
+    }
   }
 
   /** TRAINED character-trigram language ID — the model tier above
@@ -741,13 +777,14 @@ object TextAnalysis {
                     langCol: String, fitPred: Column, k: Double = 0.5,
                     broadcastMaxTrigrams: Long = 10000000L): DataFrame = {
     require(k > 0, s"trigramLangId smoothing k must be positive, got $k")
-    // sequence(1, 0) DESCENDS — guard short docs (see charTrigramLogProb)
-    val triExpr = expr("IF(length(_lt) < 3, array(), " +
-      "transform(sequence(1, length(_lt) - 2), i -> substring(_lt, i, 3)))")
+    // O(len) fused trigram array (empty below 3 code points) — same
+    // elements/order as the per-position substring form, without its
+    // quadratic re-walk (see CharTrigrams)
     val tri = docs
       .select(col(idCol), col(langCol), lower(col(textCol)).as("_lt"),
         fitPred.as("_fit"))
-      .select(col(idCol), col(langCol), col("_fit"), explode(triExpr).as("_tri"))
+      .select(col(idCol), col(langCol), col("_fit"),
+        explode(graft.functions.GraftFunctions.char_trigrams(col("_lt"))).as("_tri"))
     // vocabulary-sized fit tables; detached once, read by four arms
     val counts = Relational.detach(
       tri.where(col("_fit"))
