@@ -63,6 +63,12 @@ object GraftFunctions {
     * input (see [[CharTrigrams]]). */
   def char_trigrams(text: Column): Column = col(CharTrigrams(ex(text)))
 
+  /** All Poisson-bootstrap replica means in one aggregate pass (see
+    * [[BootstrapMeans]]; consumed by
+    * [[graft.operators.Stats.bootstrapMeanCI]]). */
+  def bootstrap_means(x: Column, h: Column, replicas: Int): Column =
+    col(BootstrapMeans(ex(x), ex(h), replicas).toAggregateExpression())
+
   /** Fused char-trigram LM scoring against a broadcast fitted table
     * (see [[TrigramLogProbSum]]): struct(n_tri, sum_lp). */
   def trigram_logprob_sum(text: Column,

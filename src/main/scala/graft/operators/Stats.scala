@@ -97,18 +97,19 @@ object Stats {
     * them); a null KEY fails loudly (it would silently take the fall-
     * through maximum weight in every replica).
     *
-    * Scale shape: the replica explode is narrow (xB rows exist only
-    * between the scan and the partial aggregate); per-(group, replica)
-    * sums combine map-side, so the only exchange carries
-    * |groups| x replicas rows; the percentile over replica means buffers
-    * `replicas` values per group — driver-bounded by construction. Output
+    * Scale shape: the per-row pass is ONE
+    * [[graft.functions.BootstrapMeans]] aggregate whose buffer holds all
+    * `2·replicas` running sums — no rows × replicas blowup anywhere;
+    * partials combine map-side, so the only exchange carries one
+    * O(replicas)-double buffer per (group, partial); the percentile over
+    * replica means buffers `replicas` values per group —
+    * driver-bounded by construction. Output
     * (groupCols, n, mean, ci_lo, ci_hi), 6-dp rounded. */
   def bootstrapMeanCI(df: DataFrame, groupCols: Seq[String], valueCol: String,
                       key: Column, replicas: Int = 100,
                       alpha: Double = 0.05): DataFrame = {
     require(replicas >= 2, s"bootstrapMeanCI needs >= 2 replicas, got $replicas")
     require(alpha > 0 && alpha < 1, s"bootstrapMeanCI alpha must be in (0,1), got $alpha")
-    val p = graft.functions.RollingHash.Mod
     // the string hash runs ONCE per row; each replica derives its uniform
     // arithmetically (hashing (key | b) strings per (row x replica) was
     // 100x the character work). (h + b) < p + replicas, so the square
@@ -118,23 +119,19 @@ object Stats {
       .select(groupCols.map(col) :+ col(valueCol).cast("double").as("_x") :+
         when(key.isNull, expr("raise_error('bootstrapMeanCI: null resampling key')"))
           .otherwise(mixHash(key.cast("string"))).as("_h"): _*)
-    val rep = base
-      .withColumn("_b", explode(sequence(lit(0), lit(replicas - 1))))
-      .withColumn("_v", col("_h") + col("_b"))
-      .withColumn("_u", (((col("_v") * col("_v")) % p) * MixA + MixB) % p)
-      .withColumn("_u", col("_u").cast("double") / lit(p.toDouble))
-      .withColumn("_w", when(col("_u") < PoissonCdf1(0), 0.0)
-        .when(col("_u") < PoissonCdf1(1), 1.0)
-        .when(col("_u") < PoissonCdf1(2), 2.0)
-        .when(col("_u") < PoissonCdf1(3), 3.0)
-        .otherwise(4.0))
-    val repMeans = rep.groupBy(groupCols.map(col) :+ col("_b"): _*)
-      // explicit NULL on an all-zero-weight replica: Spark's non-ANSI
-      // divide nulls it anyway, but DuckDB's IEEE division would produce
-      // NaN (sorted greatest by quantile_cont) — the oracle mirrors this
-      // CASE so both engines drop the replica from the percentile
-      .agg(when(sum(col("_w")) === 0.0, lit(null))
-        .otherwise(sum(col("_w") * col("_x")) / sum(col("_w"))).as("_bm"))
+    // One fused aggregate pass computes every replica's (Σw, Σw·x) from
+    // the per-row hash — rows, not rows × replicas, cross the plan (the
+    // earlier explode form pushed 60M rows through a (group, replica)-
+    // keyed hash aggregate at sf0.1; the replica loop is now register
+    // arithmetic inside BootstrapMeans). Zero-weight replicas come back
+    // null — the same CASE the oracle mirrors (DuckDB's IEEE division
+    // would otherwise produce a NaN that sorts greatest) — and explode
+    // keeps null ELEMENTS as rows, so the percentile sees the identical
+    // replica set.
+    val repMeans = base.groupBy(groupCols.map(col): _*)
+      .agg(graft.functions.GraftFunctions
+        .bootstrap_means(col("_x"), col("_h"), replicas).as("_bms"))
+      .select(groupCols.map(col) :+ explode(col("_bms")).as("_bm"): _*)
     val ci = repMeans.groupBy(groupCols.map(col): _*)
       .agg(expr(s"percentile(_bm, ${alpha / 2})").as("_lo"),
         expr(s"percentile(_bm, ${1 - alpha / 2})").as("_hi"))
