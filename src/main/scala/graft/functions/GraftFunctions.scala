@@ -63,6 +63,12 @@ object GraftFunctions {
     * input (see [[CharTrigrams]]). */
   def char_trigrams(text: Column): Column = col(CharTrigrams(ex(text)))
 
+  /** Winnowed k-gram fingerprint selection in one fused walk (see
+    * [[WinnowFingerprints]]): array<struct<pos, h>>, per-position
+    * deduped. */
+  def winnow_fingerprints(text: Column, k: Int, w: Int, wide: Boolean): Column =
+    col(WinnowFingerprints(ex(text), k, w, wide))
+
   /** All Poisson-bootstrap replica means in one aggregate pass (see
     * [[BootstrapMeans]]; consumed by
     * [[graft.operators.Stats.bootstrapMeanCI]]). */

@@ -1237,33 +1237,21 @@ object Dedup {
                            wide: Boolean = false): DataFrame = {
     require(k >= 1, s"gram size k must be >= 1, got $k")
     require(w >= 1, s"window size w must be >= 1, got $w")
-    import graft.functions.GraftFunctions.rolling_hash
     // wide = true: xxhash64 gram keys — the corpus-scale mode. The
     // oracle-parity poly-31 fold has ~30 usable bits, so at corpus scale
     // DISTINCT grams share fingerprints and the pair stage inflates with
     // phantom candidates (same starvation as [[fingerprints]]; the
     // min-selection itself is hash-agnostic, so the density and the
     // w+k-1 guarantee hold under either key).
-    val hashOf: Column => Column =
-      if (wide) c => xxhash64(c) else (c: Column) => rolling_hash(c)
-    val tk = graft.operators.TextAnalysis.tokens(col(textCol))
-    val gh = when(size(tk) >= k,
-      transform(sequence(lit(1), size(tk) - k + 1),
-        i => hashOf(concat_ws(" ", slice(tk, i, lit(k))))))
-      .otherwise(array().cast("array<bigint>"))
-    val ghc = col("_gh")
-    val win: Column => Column = j => slice(ghc, j, lit(w))
-    val sel = when(size(ghc) >= w,
-      transform(sequence(lit(1), size(ghc) - w + 1),
-        j => struct(
-          (j - 1 + array_position(win(j), array_min(win(j))))
-            .cast("int").as("pos"),
-          array_min(win(j)).as("h"))))
-      .otherwise(array().cast("array<struct<pos:int,h:bigint>>"))
-    docs.select(col(idCol), gh.as("_gh"))
-      .select(col(idCol), explode(sel).as("_s"))
+    //
+    // One fused kernel per doc (gram hash + window min + tie rule +
+    // per-position dedup, see functions/WinnowFingerprints) — the
+    // per-(pos, h) dedup is doc-local by the winnowing tie rule, so the
+    // corpus-wide .distinct() exchange of the declarative form is gone.
+    docs.select(col(idCol),
+        explode(graft.functions.GraftFunctions
+          .winnow_fingerprints(col(textCol), k, w, wide)).as("_s"))
       .select(col(idCol), col("_s.pos").as("pos"), col("_s.h").as("h"))
-      .distinct()
   }
 
   /** Winnowed match-pair candidates: document pairs sharing at least

@@ -287,13 +287,15 @@ class PlanPostureSpec extends SparkSuite {
     assert(!plan.contains("SinglePartition"), s"global single-partition stage:\n$plan")
   }
 
-  test("winnowedFingerprints: per-doc array work + the distinct, no window exchange (q144 shape)") {
-    // The selection slides over each document's OWN gram array in a
-    // codegen'd projection — the only exchange is the distinct's.
+  test("winnowedFingerprints: one fused per-doc kernel, ZERO exchanges (q144 shape)") {
+    // The whole selection (gram hash, window min, tie rule, per-position
+    // dedup) is one WinnowFingerprints kernel per document — the
+    // (pos, h) dedup is doc-local by the winnowing tie rule, so even the
+    // old distinct's exchange is gone.
     val plan = executedPlan(graft.operators.Dedup.winnowedFingerprints(
       graft.meta.Tables.documents(spark, sf), "doc_id", "text"))
-    assert(shuffleCount(plan) === 1,
-      s"winnowing should only shuffle for the distinct:\n$plan")
+    assert(shuffleCount(plan) === 0,
+      s"winnowing fingerprints must not shuffle at all:\n$plan")
     assert(!plan.contains("Window"), s"no per-row window should appear:\n$plan")
   }
 
