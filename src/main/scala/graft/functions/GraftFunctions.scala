@@ -81,6 +81,13 @@ object GraftFunctions {
                           table: org.apache.spark.broadcast.Broadcast[TrigramTable]): Column =
     col(TrigramLogProbSum(ex(text), table))
 
+  /** Fused word-bigram stupid-backoff scoring against a broadcast fitted
+    * table (see [[WordBigramScore]]): struct(n_bigrams, sum_lp,
+    * n_backoff). */
+  def word_bigram_score(text: Column,
+                        table: org.apache.spark.broadcast.Broadcast[BigramTable]): Column =
+    col(WordBigramScore(ex(text), table))
+
   /** Project through a fitted basis (scales=1: PCA projection;
     * scales=1/sqrt(lambda): whitening) as a fused narrow kernel (see
     * [[EigenProject]]; fit via [[graft.operators.Decomp]]). */

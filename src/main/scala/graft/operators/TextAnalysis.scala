@@ -864,22 +864,55 @@ object TextAnalysis {
     // fusion): the seen path probes one table on one key
     val fit = c2.join(c1.select(col("_w").as("_w1"), col("_c1").as("_c1w1")),
       expr("substring_index(_g, ' ', 1)") === col("_w1")).drop("_w1")
-    val nv = c1.agg(sum("_c1").cast("double").as("_n"),
-      count(lit(1)).cast("double").as("_v"))
-    val fitJ = if (c2.count() <= broadcastMaxEntries) broadcast(fit) else fit
-    val c1J = if (c1.count() <= broadcastMaxEntries) broadcast(c1) else c1
-    bi.join(fitJ, Seq("_g"), "left")
-      .withColumn("_w2", expr("substring_index(_g, ' ', -1)"))
-      .join(c1J.select(col("_w").as("_w2"), col("_c1").as("_c1w2")), Seq("_w2"), "left")
-      .crossJoin(broadcast(nv))
-      .withColumn("_lp",
-        when(col("_c2").isNotNull, log(col("_c2") / col("_c1w1")))
-          .otherwise(log(lit(alpha) * (coalesce(col("_c1w2"), lit(0L)) + lit(k)) /
-            (col("_n") + lit(k) * col("_v")))))
-      .groupBy(col(idCol))
-      .agg(count(lit(1)).as("n_bigrams"),
-        round(avg("_lp"), 6).as("avg_logp"),
-        round(avg(when(col("_c2").isNotNull, 0.0).otherwise(1.0)), 6).as("backoff_frac"))
+    if (c2.count() <= broadcastMaxEntries && c1.count() <= broadcastMaxEntries) {
+      // Fused lane (TrigramLogProbSum's pattern): both fit tables are
+      // driver-collectable by the SAME budget the broadcast joins pay —
+      // precompute every log-prob through the IDENTICAL formulas, ship
+      // one BigramTable broadcast, and score each doc in one walk. One
+      // row per DOC crosses the plan instead of one per bigram.
+      val c1Map = new java.util.HashMap[String, Long]()
+      c1.collect().foreach(r => c1Map.put(r.getString(0), r.getLong(1)))
+      var nTok = 0.0
+      val it = c1Map.values().iterator()
+      while (it.hasNext) nTok += it.next()
+      val v = c1Map.size.toDouble
+      val seenLp = new java.util.HashMap[String, java.lang.Double]()
+      c2.collect().foreach { r =>
+        val g = r.getString(0)
+        val c1w1 = c1Map.get(g.substring(0, g.indexOf(' ')))
+        seenLp.put(g, math.log(r.getLong(1).toDouble / c1w1))
+      }
+      val backoffLp = new java.util.HashMap[String, java.lang.Double]()
+      c1Map.forEach((w, c) =>
+        backoffLp.put(w, math.log(alpha * (c + k) / (nTok + k * v))))
+      val defaultLp = math.log(alpha * (0L + k) / (nTok + k * v))
+      val b = docs.sparkSession.sparkContext.broadcast(
+        new graft.functions.BigramTable(seenLp, backoffLp, defaultLp))
+      docs.select(col(idCol),
+          graft.functions.GraftFunctions.word_bigram_score(col(textCol), b).as("_s"))
+        .where(col("_s.n_bigrams") > 0)
+        .select(col(idCol), col("_s.n_bigrams").as("n_bigrams"),
+          round(col("_s.sum_lp") / col("_s.n_bigrams"), 6).as("avg_logp"),
+          round(col("_s.n_backoff").cast("double") / col("_s.n_bigrams"), 6)
+            .as("backoff_frac"))
+    } else {
+      // Shuffle lane (vocabulary above the driver budget): the
+      // distributed probe joins, byte-identical (TextAnalysisSpec).
+      val nv = c1.agg(sum("_c1").cast("double").as("_n"),
+        count(lit(1)).cast("double").as("_v"))
+      bi.join(fit, Seq("_g"), "left")
+        .withColumn("_w2", expr("substring_index(_g, ' ', -1)"))
+        .join(c1.select(col("_w").as("_w2"), col("_c1").as("_c1w2")), Seq("_w2"), "left")
+        .crossJoin(broadcast(nv))
+        .withColumn("_lp",
+          when(col("_c2").isNotNull, log(col("_c2") / col("_c1w1")))
+            .otherwise(log(lit(alpha) * (coalesce(col("_c1w2"), lit(0L)) + lit(k)) /
+              (col("_n") + lit(k) * col("_v")))))
+        .groupBy(col(idCol))
+        .agg(count(lit(1)).as("n_bigrams"),
+          round(avg("_lp"), 6).as("avg_logp"),
+          round(avg(when(col("_c2").isNotNull, 0.0).otherwise(1.0)), 6).as("backoff_frac"))
+    }
   }
 
   /** Token-distribution divergence between two corpus snapshots, per
