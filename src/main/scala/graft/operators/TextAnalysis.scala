@@ -361,9 +361,14 @@ object TextAnalysis {
       .groupBy(idCol, "term").agg(count(lit(1)).as("tf"))
     val dfT = tf.groupBy("term").agg(count(lit(1)).as("df"))
       .where(col("df") <= maxDf)
-    val w = tf.join(dfT, "term").crossJoin(broadcast(n))
+    // detach: THREE consumers read the weight table (norms + both join
+    // sides) — without it each one re-derives the whole explode → tf →
+    // df → join chain (the lint showed 12 scans / 31 exchanges for this
+    // one query; at corpus scale that is three full corpus passes where
+    // one suffices)
+    val w = Relational.detach(tf.join(dfT, "term").crossJoin(broadcast(n))
       .select(col(idCol), col("term"),
-        (col("tf") * log(col("_n") / col("df"))).as("w"))
+        (col("tf") * log(col("_n") / col("df"))).as("w")))
     val nrm = w.groupBy(idCol).agg(sqrt(sum(col("w") * col("w"))).as("nrm"))
     val a = w.select(col(idCol).as("id_a"), col("term"), col("w").as("w_a"))
     val b = w.select(col(idCol).as("id_b"), col("term"), col("w").as("w_b"))
