@@ -69,6 +69,12 @@ object GraftFunctions {
   def winnow_fingerprints(text: Column, k: Int, w: Int, wide: Boolean): Column =
     col(WinnowFingerprints(ex(text), k, w, wide))
 
+  /** Exact interpolated percentiles with a primitive buffer — the fast
+    * drop-in for SQL `percentile(x, array(...))` on the exact fit lane
+    * (see [[ExactPercentiles]]). */
+  def exact_percentiles(x: Column, ps: Seq[Double]): Column =
+    col(ExactPercentiles(ex(x.cast("double")), ps).toAggregateExpression())
+
   /** All Poisson-bootstrap replica means in one aggregate pass (see
     * [[BootstrapMeans]]; consumed by
     * [[graft.operators.Stats.bootstrapMeanCI]]). */

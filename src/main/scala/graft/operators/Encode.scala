@@ -117,7 +117,10 @@ object Encode {
   private[graft] def percentileFit(valueExpr: String, ps: Seq[Double],
                                    exact: Boolean, accuracy: Int): Column = {
     val arr = s"array(${ps.mkString(",")})"
-    if (exact) expr(s"percentile($valueExpr, $arr)")
+    // exact lane: graft's primitive-buffer aggregate — same semantics and
+    // buffering class as SQL percentile(), ~5x less per-row cost (the
+    // built-in updates a boxed OpenHashMap per row; see ExactPercentiles)
+    if (exact) graft.functions.GraftFunctions.exact_percentiles(expr(valueExpr), ps)
     else expr(s"percentile_approx($valueExpr, $arr, $accuracy)")
   }
 

@@ -20,7 +20,7 @@ object Stats {
   def percentiles(df: DataFrame, groupCols: Seq[String], valueCol: String,
                   ps: Seq[Double], out: String = "pct"): DataFrame =
     df.groupBy(groupCols.map(col): _*)
-      .agg(expr(s"percentile($valueCol, array(${ps.mkString(",")}))").as(out))
+      .agg(graft.functions.GraftFunctions.exact_percentiles(col(valueCol), ps).as(out))
 
   /** t-digest-style approximate percentiles — constant memory per group,
     * the 100 TB scale path (not oracle-comparable: sketch contents are

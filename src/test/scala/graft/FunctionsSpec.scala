@@ -296,4 +296,34 @@ class FunctionsSpec extends SparkSuite {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), s"must be map-only:\n$plan")
   }
+
+  test("exact_percentiles matches SQL percentile bit-for-bit incl. nulls and edges") {
+    import graft.functions.GraftFunctions.exact_percentiles
+    val rnd = new scala.util.Random(11)
+    // 3 uneven groups, ~15% nulls, duplicate values, 7 partitions so
+    // partial-buffer merges really happen; one single-row and one
+    // all-null group for the edges
+    val rows = (0 until 3000).map { i =>
+      val g = if (i % 17 == 0) "b" else if (i % 3 == 0) "a" else "c"
+      val v: java.lang.Double =
+        if (i % 7 == 3) null else math.rint(rnd.nextDouble() * 500) / 10.0
+      (g, v)
+    } :+ (("solo", java.lang.Double.valueOf(42.0))) :+ (("allnull", null: java.lang.Double))
+    val df = spark.createDataFrame(rows).toDF("g", "x").repartition(7)
+    val ps = Seq(0.0, 0.05, 0.25, 0.5, 0.9, 0.95, 1.0)
+    val got = df.groupBy("g")
+      .agg(exact_percentiles(col("x"), ps).as("p"))
+      .collect().map(r => r.getString(0) ->
+        (if (r.isNullAt(1)) null else r.getSeq[Double](1))).toMap
+    val exp = df.groupBy("g")
+      .agg(expr(s"percentile(x, array(${ps.mkString(",")}))").as("p"))
+      .collect().map(r => r.getString(0) ->
+        (if (r.isNullAt(1)) null else r.getSeq[Double](1))).toMap
+    assert(got.keySet === exp.keySet)
+    for (g <- exp.keys) assert(got(g) === exp(g), s"group $g")
+    assert(got("allnull") === null, "all-null group yields null like percentile()")
+    assert(got("solo") === Seq.fill(ps.length)(42.0))
+    intercept[IllegalArgumentException](
+      df.groupBy("g").agg(exact_percentiles(col("x"), Seq(1.5))))
+  }
 }
