@@ -1,0 +1,130 @@
+package graft
+
+import graft.operators.{Dedup, Stats, TextAnalysis}
+import org.apache.spark.sql.functions._
+
+/** Randomized equivalence tests for the round-13 fused kernels: each one
+  * replaced a declarative (HOF/explode/join) form whose semantics the
+  * kernel must reproduce EXACTLY — these specs re-derive the old form
+  * (as plain Scala brute force or as the operator's own fallback lane)
+  * over randomized inputs and compare outputs row for row. The fixed
+  * fixtures in TextAnalysisSpec/DedupSimilaritySpec pin hand-computed
+  * values; these pin the long tail (empty tokens, unicode, duplicate
+  * values, degenerate docs) that fixtures under-sample.
+  */
+class KernelEquivalenceSpec extends SparkSuite {
+  import spark.implicits._
+
+  private val rnd = new scala.util.Random(1913)
+
+  test("WinnowFingerprints == brute-force winnowing on random token streams") {
+    val vocab = Vector("a", "bb", "ccc", "Δδ", "中", "x9", "", "longertoken")
+    val docs = (0 until 120).map { i =>
+      val n = rnd.nextInt(14) // 0..13 tokens — below/at/above k and w
+      (i.toLong, (0 until n).map(_ => vocab(rnd.nextInt(vocab.length))).mkString(" "))
+    }
+    val k = 3; val w = 4
+    def poly31(s: String): Long = {
+      var acc = 0L; var i = 0
+      while (i < s.length) {
+        val cp = s.codePointAt(i)
+        acc = (acc * 31 + cp) % graft.functions.RollingHash.Mod
+        i += Character.charCount(cp)
+      }
+      acc
+    }
+    def brute(text: String): Set[(Int, Long)] = {
+      val tk = text.split(" ", -1)
+      if (tk.length < k) return Set.empty
+      val gh = (0 to tk.length - k).map(i => poly31(tk.slice(i, i + k).mkString(" ")))
+      if (gh.length < w) return Set.empty
+      (0 to gh.length - w).map { j =>
+        val win = gh.slice(j, j + w)
+        val m = win.min
+        (j + win.indexOf(m) + 1, m) // leftmost min, 1-based
+      }.toSet
+    }
+    val got = Dedup.winnowedFingerprints(docs.toDF("doc_id", "text"),
+        "doc_id", "text", k, w)
+      .as[(Long, Int, Long)].collect()
+      .groupBy(_._1).map { case (id, rows) => id -> rows.map(r => (r._2, r._3)).toSet }
+    for ((id, text) <- docs) {
+      val exp = brute(text)
+      assert(got.getOrElse(id, Set.empty) === exp, s"doc $id: '$text'")
+    }
+  }
+
+  test("char-LM fused lane == shuffle lane on a random unicode corpus") {
+    val alphabet = "abcde 中文ü?!".toCharArray
+    val docs = (0 until 80).map { i =>
+      val n = rnd.nextInt(40)
+      (i.toLong, (0 until n).map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString)
+    }.toDF("doc_id", "text")
+    val fast = TextAnalysis.charTrigramLogProb(docs, "doc_id", "text")
+      .orderBy("doc_id").as[(Long, Long, Double)].collect()
+    val slow = TextAnalysis.charTrigramLogProb(docs, "doc_id", "text",
+        broadcastMaxTrigrams = 0L)
+      .orderBy("doc_id").as[(Long, Long, Double)].collect()
+    assert(fast === slow)
+    assert(fast.nonEmpty, "corpus must produce scored docs")
+  }
+
+  test("word-bigram fused lane == shuffle lane on a random corpus") {
+    val vocab = Vector("alpha", "beta", "g4mma", "x", "Y2", "zz")
+    val docs = (0 until 80).map { i =>
+      val n = rnd.nextInt(12)
+      // punctuation separators exercise the [A-Za-z0-9]+ scan vs regex
+      (i.toLong, (0 until n).map(_ => vocab(rnd.nextInt(vocab.length)))
+        .mkString(Seq(" ", ", ", "—", "\n")(rnd.nextInt(4))))
+    }.toDF("doc_id", "text")
+    val fit = col("doc_id") % 2 === 0
+    val fast = TextAnalysis.wordBigramLogProb(docs, "doc_id", "text", fit)
+      .orderBy("doc_id").as[(Long, Long, Double, Double)].collect()
+    val slow = TextAnalysis.wordBigramLogProb(docs, "doc_id", "text", fit,
+        broadcastMaxEntries = 0L)
+      .orderBy("doc_id").as[(Long, Long, Double, Double)].collect()
+    assert(fast === slow)
+    assert(fast.nonEmpty)
+  }
+
+  test("BootstrapMeans == the explode-form replica means on random groups") {
+    val rows = (0 until 400).map { i =>
+      (Seq("g1", "g2", "g3")(rnd.nextInt(3)), rnd.nextDouble() * 100,
+        s"key$i")
+    }.toDF("g", "x", "k")
+    val replicas = 23
+    val viaKernel = rows
+      .select(col("g"), col("x").as("_x"), Stats.mixHash(col("k")).as("_h"))
+      .groupBy("g")
+      .agg(graft.functions.GraftFunctions
+        .bootstrap_means(col("_x"), col("_h"), replicas).as("_bms"))
+      .select(col("g"), posexplode(col("_bms")).as(Seq("_b", "_bm")))
+    // the old declarative derivation, reproduced verbatim
+    val p = graft.functions.RollingHash.Mod
+    val viaExplode = rows
+      .select(col("g"), col("x").as("_x"), Stats.mixHash(col("k")).as("_h"))
+      .withColumn("_b", explode(sequence(lit(0), lit(replicas - 1))))
+      .withColumn("_v", col("_h") + col("_b"))
+      .withColumn("_u", (((col("_v") * col("_v")) % p) * Stats.MixA + Stats.MixB) % p)
+      .withColumn("_u", col("_u").cast("double") / lit(p.toDouble))
+      .withColumn("_w", when(col("_u") < Stats.PoissonCdf1(0), 0.0)
+        .when(col("_u") < Stats.PoissonCdf1(1), 1.0)
+        .when(col("_u") < Stats.PoissonCdf1(2), 2.0)
+        .when(col("_u") < Stats.PoissonCdf1(3), 3.0)
+        .otherwise(4.0))
+      .groupBy("g", "_b")
+      .agg(when(sum(col("_w")) === 0.0, lit(null))
+        .otherwise(sum(col("_w") * col("_x")) / sum(col("_w"))).as("_bm"))
+    val a = viaKernel.orderBy("g", "_b")
+      .collect().map(r => (r.getString(0), r.getInt(1),
+        if (r.isNullAt(2)) Double.NaN else r.getDouble(2)))
+    val b = viaExplode.orderBy("g", "_b")
+      .collect().map(r => (r.getString(0), r.getInt(1),
+        if (r.isNullAt(2)) Double.NaN else r.getDouble(2)))
+    assert(a.length === b.length && a.length === 3 * replicas)
+    for (((g1, b1, m1), (g2, b2, m2)) <- a.zip(b)) {
+      assert(g1 === g2 && b1 === b2)
+      assert((m1.isNaN && m2.isNaN) || math.abs(m1 - m2) < 1e-9, s"($g1, $b1)")
+    }
+  }
+}
