@@ -87,6 +87,12 @@ object GraftFunctions {
                           table: org.apache.spark.broadcast.Broadcast[TrigramTable]): Column =
     col(TrigramLogProbSum(ex(text), table))
 
+  /** All per-language trigram-profile scores in one fused walk (see
+    * [[LangIdScore]]): struct(n_tri, scores[k]). */
+  def lang_id_score(text: Column,
+                    table: org.apache.spark.broadcast.Broadcast[LangProfileTable]): Column =
+    col(LangIdScore(ex(text), table))
+
   /** Fused word-bigram stupid-backoff scoring against a broadcast fitted
     * table (see [[WordBigramScore]]): struct(n_bigrams, sum_lp,
     * n_backoff). */

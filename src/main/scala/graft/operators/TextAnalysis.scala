@@ -767,16 +767,19 @@ object TextAnalysis {
     *
     * Scale shape: the fit is one (lang, trigram)-keyed aggregate of the
     * fit slice's explode — all fit tables are vocabulary-sized
-    * (|langs| x |trigrams|), detached once and reused by profile/floor/
-    * total arms. The score pass is ONE corpus explode joined to the
-    * profile on the trigram key — broadcast under `broadcastMaxTrigrams`
-    * (same bound and rationale as [[charTrigramLogProb]]), shuffle join
-    * above it — then one (doc, lang)-keyed aggregate over the
-    * |langs|-wide grid and a per-doc |langs|-row argmax window. Scores
-    * round to 6 dp BEFORE the argmax so the cross-engine tie-break
-    * (score desc, lang asc) is float-boundary-safe. Documents shorter
-    * than 3 chars have no trigrams and are excluded (the explode drops
-    * them) — a crawl corpus has none post-cleaning.
+    * (|langs| x |trigrams|), detached once. At or below
+    * `broadcastMaxTrigrams` (same bound and rationale as
+    * [[charTrigramLogProb]]) the score pass takes the fused lane: the
+    * fit collects driver-side, per-trigram k-vectors of log-probs ship
+    * as one broadcast [[graft.functions.LangProfileTable]], and
+    * [[graft.functions.LangIdScore]] emits every language's score per
+    * document in ONE walk — no second explode, no grid aggregate, no
+    * argmax window. Above the bound: the distributed explode + profile
+    * shuffle join + (doc, lang) grid + argmax window (byte-identical;
+    * KernelEquivalenceSpec). Scores round to 6 dp BEFORE the argmax so
+    * the cross-engine tie-break (score desc, lang asc) is
+    * float-boundary-safe. Documents shorter than 3 chars have no
+    * trigrams and are excluded — a crawl corpus has none post-cleaning.
     * Output: (idCol, langCol, predicted, best_score). */
   def trigramLangId(docs: DataFrame, idCol: String, textCol: String,
                     langCol: String, fitPred: Column, k: Double = 0.5,
@@ -795,36 +798,73 @@ object TextAnalysis {
       tri.where(col("_fit"))
         .groupBy(col(langCol).as("_lang"), col("_tri"))
         .agg(count(lit(1)).as("_c")))
-    val totals = counts.groupBy("_lang").agg(sum("_c").as("_tot"))
-    val vocab = counts.agg(countDistinct("_tri").as("_v"))
-    val floors = totals.crossJoin(broadcast(vocab))
-      .select(col("_lang"),
-        log(lit(k) / (col("_tot") + lit(k) * col("_v"))).as("_floor"))
-    val profile = counts.join(totals, "_lang").crossJoin(broadcast(vocab))
-      .select(col("_tri"), col("_lang"),
-        log((col("_c") + lit(k)) / (col("_tot") + lit(k) * col("_v"))).as("_lp"))
-    val profJ =
-      if (counts.count() <= broadcastMaxTrigrams) broadcast(profile)
-      else profile
-    val seen = tri.join(profJ, Seq("_tri"))
-      .groupBy(col(idCol), col("_lang"))
-      .agg(count(lit(1)).as("_nSeen"), sum("_lp").as("_lpSeen"))
-    val docTot = tri.groupBy(col(idCol), col(langCol))
-      .agg(count(lit(1)).as("_n"))
-    // full doc x lang grid: a language sharing NO trigram with the doc
-    // still scores (all-floor) — floors is |langs| rows, always broadcast
-    val grid = docTot.crossJoin(broadcast(floors))
-      .join(seen, Seq(idCol, "_lang"), "left")
-      .select(col(idCol), col(langCol), col("_lang"),
-        round(coalesce(col("_lpSeen"), lit(0.0)) +
-          (col("_n") - coalesce(col("_nSeen"), lit(0L))) * col("_floor"), 6)
-          .as("_score"))
-    val w = Window.partitionBy(col(idCol))
-      .orderBy(col("_score").desc, col("_lang").asc)
-    grid.withColumn("_rn", row_number().over(w))
-      .where(col("_rn") === 1)
-      .select(col(idCol), col(langCol), col("_lang").as("predicted"),
-        col("_score").as("best_score"))
+    if (counts.count() <= broadcastMaxTrigrams) {
+      // Fused lane (TrigramLogProbSum's pattern, vectorized across
+      // languages): the (lang, trigram) fit collects under the SAME
+      // budget the broadcast join paid; per-trigram k-vectors of
+      // log-probs + per-language floors ship as ONE broadcast, and
+      // LangIdScore emits every language's score per document in one
+      // walk. Rounding to 6 dp happens BEFORE the argmax exactly like
+      // the declarative grid, and the language array is SORTED so
+      // array_position's first-match is the `score desc, lang asc`
+      // tie-break.
+      val rows = counts.collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      val langs = rows.map(_._1).distinct.sorted
+      val li = langs.zipWithIndex.toMap
+      val nL = langs.length
+      val tot = new Array[Double](nL)
+      rows.foreach { case (l, _, c) => tot(li(l)) += c }
+      val vocabN = rows.iterator.map(_._2).toSet.size.toDouble
+      val floors = Array.tabulate(nL)(c => math.log(k / (tot(c) + k * vocabN)))
+      val lp = new java.util.HashMap[String, Array[Double]]()
+      rows.foreach { case (l, tri0, c) =>
+        var arr = lp.get(tri0)
+        if (arr == null) { arr = Array.fill(nL)(Double.NaN); lp.put(tri0, arr) }
+        arr(li(l)) = math.log((c + k) / (tot(li(l)) + k * vocabN))
+      }
+      val b = docs.sparkSession.sparkContext.broadcast(
+        new graft.functions.LangProfileTable(lp, floors))
+      val langsLit = array(langs.map(lit): _*)
+      docs.select(col(idCol), col(langCol),
+          graft.functions.GraftFunctions.lang_id_score(lower(col(textCol)), b).as("_s"))
+        .where(col("_s.n_tri") > 0)
+        .withColumn("_scores", transform(col("_s.scores"), s => round(s, 6)))
+        .withColumn("_idx",
+          expr("array_position(_scores, array_max(_scores))").cast("int"))
+        .select(col(idCol), col(langCol),
+          element_at(langsLit, col("_idx")).as("predicted"),
+          element_at(col("_scores"), col("_idx")).as("best_score"))
+    } else {
+      // Shuffle lane (profile above the driver budget): the distributed
+      // explode + profile join + (doc, lang) grid + argmax window.
+      val totals = counts.groupBy("_lang").agg(sum("_c").as("_tot"))
+      val vocab = counts.agg(countDistinct("_tri").as("_v"))
+      val floors = totals.crossJoin(broadcast(vocab))
+        .select(col("_lang"),
+          log(lit(k) / (col("_tot") + lit(k) * col("_v"))).as("_floor"))
+      val profile = counts.join(totals, "_lang").crossJoin(broadcast(vocab))
+        .select(col("_tri"), col("_lang"),
+          log((col("_c") + lit(k)) / (col("_tot") + lit(k) * col("_v"))).as("_lp"))
+      val seen = tri.join(profile, Seq("_tri"))
+        .groupBy(col(idCol), col("_lang"))
+        .agg(count(lit(1)).as("_nSeen"), sum("_lp").as("_lpSeen"))
+      val docTot = tri.groupBy(col(idCol), col(langCol))
+        .agg(count(lit(1)).as("_n"))
+      // full doc x lang grid: a language sharing NO trigram with the doc
+      // still scores (all-floor) — floors is |langs| rows, always broadcast
+      val grid = docTot.crossJoin(broadcast(floors))
+        .join(seen, Seq(idCol, "_lang"), "left")
+        .select(col(idCol), col(langCol), col("_lang"),
+          round(coalesce(col("_lpSeen"), lit(0.0)) +
+            (col("_n") - coalesce(col("_nSeen"), lit(0L))) * col("_floor"), 6)
+            .as("_score"))
+      val w = Window.partitionBy(col(idCol))
+        .orderBy(col("_score").desc, col("_lang").asc)
+      grid.withColumn("_rn", row_number().over(w))
+        .where(col("_rn") === 1)
+        .select(col(idCol), col(langCol), col("_lang").as("predicted"),
+          col("_score").as("best_score"))
+    }
   }
 
   /** Word-level bigram LM with stupid backoff (Brants et al. 2007) — the

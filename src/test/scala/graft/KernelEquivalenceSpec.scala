@@ -87,6 +87,25 @@ class KernelEquivalenceSpec extends SparkSuite {
     assert(fast.nonEmpty)
   }
 
+  test("lang-ID fused lane == shuffle lane on a random multilingual corpus") {
+    val alphabets = Map(
+      "aa" -> "abcdefg ", "bb" -> "hijklmn ", "cc" -> "abchijk Δ中")
+    val docs = (0 until 90).map { i =>
+      val lang = Seq("aa", "bb", "cc")(i % 3)
+      val a = alphabets(lang).toCharArray
+      val n = rnd.nextInt(30)
+      (i.toLong, lang, (0 until n).map(_ => a(rnd.nextInt(a.length))).mkString)
+    }.toDF("doc_id", "lang", "text")
+    val fit = col("doc_id") % 2 === 0
+    val fast = TextAnalysis.trigramLangId(docs, "doc_id", "text", "lang", fit)
+      .orderBy("doc_id").as[(Long, String, String, Double)].collect()
+    val slow = TextAnalysis.trigramLangId(docs, "doc_id", "text", "lang", fit,
+        broadcastMaxTrigrams = 0L)
+      .orderBy("doc_id").as[(Long, String, String, Double)].collect()
+    assert(fast === slow)
+    assert(fast.nonEmpty)
+  }
+
   test("BootstrapMeans == the explode-form replica means on random groups") {
     val rows = (0 until 400).map { i =>
       (Seq("g1", "g2", "g3")(rnd.nextInt(3)), rnd.nextDouble() * 100,
