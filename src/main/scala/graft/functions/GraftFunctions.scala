@@ -163,7 +163,7 @@ object GraftFunctions {
   // private[sql]), and an optional literal k for the sketch functions.
 
   import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, Literal}
-  import org.apache.spark.sql.types.{DoubleType, StringType}
+  import org.apache.spark.sql.types.{Decimal, DoubleType, StringType}
 
   private def asString(e: Expression): Expression = Cast(e, StringType)
   private def asDouble(e: Expression): Expression = Cast(e, DoubleType)
@@ -175,6 +175,15 @@ object GraftFunctions {
       case n: Number => n.intValue()
       case other => throw new IllegalArgumentException(
         s"$what must be an integer constant, got $other")
+    }
+  }
+  private def literalDouble(e: Expression, what: String): Double = {
+    require(e.foldable, s"$what must be a constant expression, got ${e.sql}")
+    e.eval() match {
+      case n: Number => n.doubleValue()
+      case d: Decimal => d.toDouble
+      case other => throw new IllegalArgumentException(
+        s"$what must be a numeric constant, got $other")
     }
   }
   private def literalK(es: Seq[Expression], default: Int): Int = es match {
@@ -228,6 +237,19 @@ object GraftFunctions {
         case _ => throw new IllegalArgumentException(
           s"bloom_might_contain filter must be a BINARY constant, got ${f.dataType.catalogString}")
       }
+    }),
+    "nfc_normalize" -> (es => NfcNormalize(asString(es.head))),
+    "char_entropy" -> (es => CharEntropy(asString(es.head))),
+    "char_trigrams" -> (es => CharTrigrams(asString(es.head))),
+    // percentile fractions must be literal doubles (the plan-time solve
+    // needs them); accepts a single fraction or array(...) like percentile()
+    "exact_percentiles" -> (es => {
+      val ps = es(1) match {
+        case org.apache.spark.sql.catalyst.expressions.CreateArray(items, _) =>
+          items.map(i => literalDouble(i, "exact_percentiles fraction"))
+        case one => Seq(literalDouble(one, "exact_percentiles fraction"))
+      }
+      ExactPercentiles(asDouble(es(0)), ps)
     }))
 
   /** Register all graft expressions for SQL usage. Idempotent. */

@@ -297,6 +297,24 @@ class FunctionsSpec extends SparkSuite {
     assert(!plan.contains("Exchange"), s"must be map-only:\n$plan")
   }
 
+  test("round-13 kernels are callable from SQL (registerAll)") {
+    graft.functions.GraftFunctions.registerAll(spark)
+    val r = spark.sql(
+      """SELECT char_entropy('abab').entropy AS e,
+        |       size(char_trigrams('abcd')) AS nt,
+        |       nfc_normalize('é') AS nfc""".stripMargin).head()
+    assert(math.abs(r.getDouble(0) - math.log(2.0)) < 1e-12)
+    assert(r.getInt(1) === 2)
+    assert(r.getString(2) === "é")
+    val p = spark.sql(
+      "SELECT exact_percentiles(x, array(0.0, 0.5, 1.0)) FROM VALUES " +
+        "(1.0), (2.0), (10.0) AS t(x)").head().getSeq[Double](0)
+    assert(p === Seq(1.0, 2.0, 10.0))
+    val bad = intercept[Exception](spark.sql(
+      "SELECT exact_percentiles(x, x) FROM VALUES (1.0) AS t(x)").head())
+    assert(bad.getMessage.contains("constant"))
+  }
+
   test("exact_percentiles matches SQL percentile bit-for-bit incl. nulls and edges") {
     import graft.functions.GraftFunctions.exact_percentiles
     val rnd = new scala.util.Random(11)
