@@ -2448,6 +2448,42 @@ object SparkEntry {
           col("r2"), col("grad_max"))
         .orderBy("class")
     }),
+
+    // One-pass k-fold cross-validated probe (q187's honest twin): fold
+    // Grams are ADDITIVE, so all five leave-fold-out models come from a
+    // single groupBy(fold).agg(matrix_gram) pass — full 5-fold CV costs
+    // ONE fit pass + ONE scoring pass where the naive protocol pays 5
+    // fit scans. Every row is scored by the model that NEVER saw its
+    // fold (all folds' weights fused into one EigenProject call, the
+    // row's fold sliced out), so per-fold accuracy here is the
+    // OUT-OF-FOLD generalization estimate — the probe-overfitting audit
+    // a curation pipeline runs before trusting probe-based filtering
+    // (in-fold-only separation means the probe memorizes, not
+    // measures). Rows-only (spectral solve); DecompSpec pins fold
+    // additivity exactly and the overfit-detection contract.
+    "q188_probe_cv" -> ((s, dir) => {
+      import s.implicits._
+      val nFolds = 5
+      val emb = Tables.embeddings(s, dir).filter(col("embedding").isNotNull)
+      val k = emb.agg(max("label")).head.getInt(0) + 1 // scalar agg (A5 class)
+      val oneHot = (0 until k).map(c => when(col("label") === c, 1.0).otherwise(0.0))
+      val fold = pmod(col("vec_id"), lit(nFolds))
+      val models = Decomp.fitRidgeProbesPerFold(emb, "embedding", oneHot,
+        fold, nFolds, lambda = 1e-3)
+      val scored = Decomp.probeScoresByFold(emb, "embedding", fold, models)
+        .withColumn("pred",
+          expr("array_position(probe_scores, array_max(probe_scores))") - 1)
+      val r2Df = models.zipWithIndex.map { case (m, f) =>
+        (f, m.n, math.rint(m.r2.sum / m.r2.length * 1e4) / 1e4 + 0.0)
+      }.toSeq.toDF("fold", "n_fit", "mean_r2")
+      scored.groupBy(fold.cast("int").as("fold"))
+        .agg(count(lit(1)).as("n_oof"),
+          sum(when(col("pred") === col("label"), 1L).otherwise(0L)).as("correct"))
+        .join(broadcast(r2Df), "fold")
+        .select(col("fold"), col("n_oof"), col("n_fit"), col("correct"),
+          round(col("correct") / col("n_oof"), 4).as("oof_acc"), col("mean_r2"))
+        .orderBy("fold")
+    }),
   )
 
   /** q154/q155 corpus: the synthesized lines become conversation turns —

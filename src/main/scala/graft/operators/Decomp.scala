@@ -51,10 +51,19 @@ object Decomp {
     val n = row.getLong(0)
     val sums = row.getSeq[Double](1).toArray
     val prods = row.getSeq[Double](2).toArray
+    require(sums.length <= MaxDims,
+      s"fitMeanCov: $vecCol has ${sums.length} dims; the covariance path is " +
+        s"built for embedding widths (<= $MaxDims) — reduce dimensionality first")
+    val (mean, cov) = momentsToMeanCov(n, sums, prods)
+    (n, mean, cov)
+  }
+
+  /** Raw Gram moments → (mean, population covariance). Shared by
+    * [[fitMeanCov]] and the fold-additive paths: moments are ADDITIVE,
+    * so leave-fold-out statistics never need a second corpus pass. */
+  private def momentsToMeanCov(n: Long, sums: Array[Double],
+                               prods: Array[Double]): (Array[Double], Array[Array[Double]]) = {
     val d = sums.length
-    require(d <= MaxDims,
-      s"fitMeanCov: $vecCol has $d dims; the covariance path is built for " +
-        s"embedding widths (<= $MaxDims) — reduce dimensionality first")
     val mean = sums.map(_ / n)
     val cov = Array.ofDim[Double](d, d)
     var i = 0
@@ -69,7 +78,7 @@ object Decomp {
       }
       i += 1
     }
-    (n, mean, cov)
+    (mean, cov)
   }
 
   /** Deterministic symmetric eigendecomposition by cyclic Jacobi
@@ -248,8 +257,17 @@ object Decomp {
     val joint = df.select(concat(col(vecCol).cast("array<double>"),
       array(targets.map(_.cast("double")): _*)).as("_xy"))
     val (n, mean, cov) = fitMeanCov(joint, "_xy")
+    solveRidge(n, mean, cov, k, lambda, relEps)
+  }
+
+  /** The driver-side half of [[fitRidgeProbes]]: spectral ridge solve
+    * from joint moments over `[x ; y_1..y_k]`. Shared with
+    * [[fitRidgeProbesPerFold]], whose leave-fold-out moments come from
+    * Gram ADDITIVITY rather than extra corpus passes. */
+  private def solveRidge(n: Long, mean: Array[Double], cov: Array[Array[Double]],
+                         k: Int, lambda: Double, relEps: Double): RidgeProbeModel = {
     val d = mean.length - k
-    require(d >= 1, s"fitRidgeProbes: $vecCol is empty after removing $k targets")
+    require(d >= 1, s"solveRidge: vector is empty after removing $k targets")
     val muX = mean.take(d)
     val muY = mean.drop(d)
     val cxx = Array.tabulate(d, d)((i, j) => cov(i)(j))
@@ -310,6 +328,93 @@ object Decomp {
       Seq.fill(model.k)(1.0))
     df.withColumn(outCol,
       zip_with(proj, array(model.muY.map(lit).toIndexedSeq: _*), (s, b) => s + b))
+  }
+
+  /** Leave-one-fold-out ridge probes for ALL `nFolds` folds from ONE
+    * corpus pass: the joint Gram of `[x ; y_1..y_k]` is aggregated PER
+    * FOLD (`groupBy(fold).agg(matrix_gram)` — the buffer is nFolds ×
+    * O((d+k)²) doubles, still broadcast-sized), and because Gram moments
+    * are additive, fold `f`'s held-out moments are simply
+    * `total − fold_f` — no re-scan per fold. This is k-fold
+    * cross-validation of the quality-classifier probe at corpus scale:
+    * full CV costs ONE fit pass + ONE scoring pass, where the naive
+    * protocol pays `nFolds` fit passes. Out-of-fold accuracy vs train
+    * accuracy is the standard probe-overfitting audit (a probe that
+    * only separates classes in-fold is memorizing, not measuring).
+    * Returns fold-indexed models (`models(f)` is fit on everything
+    * EXCEPT fold f). `foldCol` must evaluate to ints in [0, nFolds). */
+  def fitRidgeProbesPerFold(df: DataFrame, vecCol: String, targets: Seq[Column],
+                            foldCol: Column, nFolds: Int, lambda: Double,
+                            relEps: Double = 1e-9): Array[RidgeProbeModel] = {
+    val k = targets.size
+    require(k >= 1, "fitRidgeProbesPerFold needs at least one target")
+    require(nFolds >= 2, s"fitRidgeProbesPerFold needs nFolds >= 2, got $nFolds")
+    require(lambda >= 0, s"fitRidgeProbesPerFold needs lambda >= 0, got $lambda")
+    val joint = df.select(foldCol.cast("int").as("_fold"),
+      concat(col(vecCol).cast("array<double>"),
+        array(targets.map(_.cast("double")): _*)).as("_xy"))
+    val rows = joint.groupBy("_fold")
+      .agg(graft.functions.GraftFunctions.matrix_gram(col("_xy")).as("g"))
+      .where(col("g").isNotNull) // a fold of only-null vectors has no moments
+      .selectExpr("_fold", "g.n", "g.sum", "g.prod").collect()
+      .map(r => (r.getInt(0), r.getLong(1),
+        r.getSeq[Double](2).toArray, r.getSeq[Double](3).toArray))
+    require(rows.nonEmpty, "fitRidgeProbesPerFold: no non-null vectors")
+    rows.foreach { case (f, _, s, _) =>
+      require(f >= 0 && f < nFolds,
+        s"foldCol produced $f outside [0, $nFolds)")
+      require(s.length <= MaxDims + k, s"vector too wide (${s.length - k} dims)")
+    }
+    val width = rows.head._3.length
+    val nTot = rows.map(_._2).sum
+    val sumTot = new Array[Double](width)
+    val prodTot = new Array[Double](rows.head._4.length)
+    rows.foreach { case (_, _, s, p) =>
+      var i = 0
+      while (i < width) { sumTot(i) += s(i); i += 1 }
+      i = 0
+      while (i < p.length) { prodTot(i) += p(i); i += 1 }
+    }
+    val byFold = rows.map(r => r._1 -> r).toMap
+    Array.tabulate(nFolds) { f =>
+      val (nf, sf, pf) = byFold.get(f)
+        .map(r => (r._2, r._3, r._4))
+        .getOrElse((0L, new Array[Double](width), new Array[Double](prodTot.length)))
+      val nHeld = nTot - nf
+      require(nHeld > 0, s"fold $f holds the entire corpus; cannot fit its model")
+      val sums = Array.tabulate(width)(i => sumTot(i) - sf(i))
+      val prods = Array.tabulate(prodTot.length)(i => prodTot(i) - pf(i))
+      val (mean, cov) = momentsToMeanCov(nHeld, sums, prods)
+      solveRidge(nHeld, mean, cov, k, lambda, relEps)
+    }
+  }
+
+  /** The apply half of [[fitRidgeProbesPerFold]]: scores each row with
+    * ITS OWN fold's held-out model — out-of-fold scores, the honest
+    * generalization estimate. All folds' weight matrices ride ONE
+    * [[graft.functions.EigenProject]] call (`nFolds·k` basis rows,
+    * mean 0, unit scales — `β·v` plus the per-fold intercept is
+    * algebraically `β·(v−μx)+μy`), the row's fold slices out its k
+    * scores, and the intercept matrix rides as a literal. Zero shuffle. */
+  def probeScoresByFold(df: DataFrame, vecCol: String, foldCol: Column,
+                        models: Array[RidgeProbeModel],
+                        outCol: String = "probe_scores"): DataFrame = {
+    require(models.nonEmpty, "probeScoresByFold needs at least one model")
+    val d = models.head.d
+    val k = models.head.k
+    require(models.forall(m => m.d == d && m.k == k),
+      "probeScoresByFold: models disagree on dimensions")
+    val proj = graft.functions.GraftFunctions.eigen_project(col(vecCol),
+      Seq.fill(d)(0.0),
+      models.toSeq.flatMap(_.weights.map(_.toSeq)),
+      Seq.fill(models.length * k)(1.0))
+    val intercepts = array(models.map(m =>
+      array(m.intercepts.map(lit).toIndexedSeq: _*)).toIndexedSeq: _*)
+    df.withColumn(outCol,
+      zip_with(
+        slice(proj, foldCol.cast("int") * k + 1, lit(k)),
+        element_at(intercepts, foldCol.cast("int") + 1),
+        (s, b) => s + b))
   }
 
   /** Squared Mahalanobis distance of each vector from the fitted mean,

@@ -197,6 +197,64 @@ class DecompSpec extends SparkSuite {
     assert(wrong === 0L, "well-separated clusters must probe at 100%")
   }
 
+  test("per-fold probes: leave-fold-out model == direct fit on the complement") {
+    val pts = for (i <- 0 until 90) yield {
+      val a = (i % 9).toFloat; val b = ((i * 7) % 11).toFloat
+      Array(a, b, ((a + b) % 4))
+    }
+    val df = vecsDf(pts).withColumn("y",
+      element_at(col("v"), 1) * 2.0 - element_at(col("v"), 2) + 0.5)
+    val fold = pmod(col("id"), lit(3))
+    val models = Decomp.fitRidgeProbesPerFold(df, "v", Seq(col("y")),
+      fold, 3, lambda = 0.01)
+    for (f <- 0 until 3) {
+      // fold additivity must reproduce the direct complement fit EXACTLY
+      // up to moment-summation order (the Gram doubles differ only by
+      // per-partition add order)
+      val direct = Decomp.fitRidgeProbes(df.where(pmod(col("id"), lit(3)) =!= f),
+        "v", Seq(col("y")), lambda = 0.01)
+      assert(models(f).n === direct.n)
+      for (j <- 0 until 3)
+        assert(math.abs(models(f).weights(0)(j) - direct.weights(0)(j)) < 1e-9,
+          s"fold $f weight $j")
+      assert(math.abs(models(f).intercepts(0) - direct.intercepts(0)) < 1e-9)
+    }
+    // out-of-fold scoring uses each row's own fold model
+    val scored = Decomp.probeScoresByFold(df, "v", fold, models)
+      .select(col("id"), element_at(col("probe_scores"), 1).as("s")).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val oneModelScores = Decomp.probeScores(df.where(pmod(col("id"), lit(3)) === 1), "v",
+      models(1))
+      .select(col("id"), element_at(col("probe_scores"), 1).as("s")).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    oneModelScores.foreach { case (id, s) =>
+      assert(math.abs(scored(id) - s) < 1e-9, s"row $id fold-1 score")
+    }
+  }
+
+  test("per-fold probes detect memorization: random labels score at chance out-of-fold") {
+    val rnd = new scala.util.Random(5)
+    // 40-dim noise, 60 points, random binary labels: the full-fit probe
+    // can overfit in-sample, but out-of-fold accuracy must sit near 0.5
+    val pts = for (_ <- 0 until 60) yield Array.fill(40)(rnd.nextFloat() * 2 - 1)
+    val labels = pts.map(_ => rnd.nextInt(2))
+    val df = pts.zip(labels).zipWithIndex
+      .map { case ((v, l), i) => (i.toLong, v, l) }.toDF("id", "v", "label")
+    val oneHot = (0 until 2).map(c => when(col("label") === c, 1.0).otherwise(0.0))
+    val full = Decomp.fitRidgeProbes(df, "v", oneHot, lambda = 1e-6)
+    val trainAcc = Decomp.probeScores(df, "v", full)
+      .withColumn("pred", expr("array_position(probe_scores, array_max(probe_scores))") - 1)
+      .where(col("pred") === col("label")).count().toDouble / 60
+    val models = Decomp.fitRidgeProbesPerFold(df, "v", oneHot,
+      pmod(col("id"), lit(5)), 5, lambda = 1e-6)
+    val oofAcc = Decomp.probeScoresByFold(df, "v", pmod(col("id"), lit(5)), models)
+      .withColumn("pred", expr("array_position(probe_scores, array_max(probe_scores))") - 1)
+      .where(col("pred") === col("label")).count().toDouble / 60
+    assert(trainAcc > 0.8, s"40-dim probe on 60 random points must overfit in-sample ($trainAcc)")
+    assert(oofAcc < 0.75, s"out-of-fold accuracy must collapse toward chance ($oofAcc)")
+    assert(trainAcc - oofAcc > 0.15, s"the CV gap is the memorization signal ($trainAcc vs $oofAcc)")
+  }
+
   test("fitMeanCov refuses over-wide vectors loudly") {
     val wide = Seq((1L, Array.fill(Decomp.MaxDims + 1)(0.0f))).toDF("id", "v")
     val e = intercept[Exception](Decomp.fitMeanCov(wide, "v"))

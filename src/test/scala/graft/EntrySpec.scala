@@ -22,7 +22,7 @@ class EntrySpec extends SparkSuite {
       // decomposition invariants and determinism, q183 pins the shared
       // covariance fit against covar_pop
       "q184_pca_spectrum", "q185_mahalanobis", "q186_whiten_gram",
-      "q187_linear_probe")
+      "q187_linear_probe", "q188_probe_cv")
     assert(SparkEntry.oracleSql.keySet === SparkEntry.queries.keySet -- rowsOnly)
   }
 
