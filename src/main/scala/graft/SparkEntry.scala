@@ -2412,8 +2412,11 @@ object SparkEntry {
     // equations force Cov(x_j, y_c − ŷ_c) = λ·β_cj exactly, so grad_max
     // (the largest |Cov(x, r_c) − λβ_c| over dims) must print 0 at 4 dp
     // for every class — the optimality certificate, computed
-    // distributedly. Per-class train accuracy is the confusion diagonal
-    // (chance = 1/k; the probe's lift over it is the signal audit).
+    // distributedly. Per-class accuracy here is TRAIN accuracy (the
+    // confusion diagonal, chance = 1/k) — q188's out-of-fold twin shows
+    // this corpus's ~4x lift is pure memorization (OOF ≈ chance), which
+    // is exactly why a pipeline runs BOTH: q187 certifies the fit,
+    // q188 audits whether it generalizes.
     // Rows-only (the spectral solve has no SQL form); DecompSpec pins
     // the algebra on closed-form cases.
     "q187_linear_probe" -> ((s, dir) => {
