@@ -2487,6 +2487,24 @@ object SparkEntry {
           round(col("correct") / col("n_oof"), 4).as("oof_acc"), col("mean_r2"))
         .orderBy("fold")
     }),
+
+    // Unicode script profile + confusable-script (homoglyph) detection:
+    // %7==0 docs get Cyrillic, %7==2 CJK, %7==6 Greek suffixes, and
+    // %7==4 gets Latin words with EMBEDDED Cyrillic а/е — the
+    // "pаypаl" homoglyph-spam shape that must flip confusable_mix while
+    // the pure-script seeds must not. Counts are length-diffs over
+    // literal BMP-range regex classes — identical arithmetic in DuckDB,
+    // so the whole signal is oracle-paired (TextAnalysis.scriptProfile).
+    "q189_script_mix" -> ((s, dir) => {
+      val seeded = Tables.documents(s, dir).select(col("doc_id"),
+        concat(col("text"),
+          when(col("doc_id") % 7 === 0, lit(" привет мир из Сети"))
+            .when(col("doc_id") % 7 === 2, lit(" 你好世界网络文本"))
+            .when(col("doc_id") % 7 === 4, lit(" pаypаl sеcurity аlert"))
+            .when(col("doc_id") % 7 === 6, lit(" αβγ δοκιμή κείμενο"))
+            .otherwise(lit(""))).as("text"))
+      TextAnalysis.scriptProfile(seeded, "doc_id", "text").orderBy("doc_id")
+    }),
   )
 
   /** q154/q155 corpus: the synthesized lines become conversation turns —
@@ -5448,5 +5466,35 @@ object SparkEntry {
            |                CAST(embedding[${j + 1}] AS DOUBLE)), 6) AS cov_ij
            |FROM embeddings""".stripMargin)
         .mkString("", "\nUNION ALL\n", "\nORDER BY i, j"),
+
+    "q189_script_mix" ->
+      // same seeds, same literal BMP-range classes, same length-diff
+      // counting (RE2 handles literal-char ranges; 'g' = replace all,
+      // Spark's regexp_replace default)
+      """WITH seeded AS (SELECT doc_id, text ||
+        |  CASE WHEN doc_id % 7 = 0 THEN ' привет мир из Сети'
+        |       WHEN doc_id % 7 = 2 THEN ' 你好世界网络文本'
+        |       WHEN doc_id % 7 = 4 THEN ' pаypаl sеcurity аlert'
+        |       WHEN doc_id % 7 = 6 THEN ' αβγ δοκιμή κείμενο'
+        |       ELSE '' END AS t FROM documents),
+        |c AS (SELECT doc_id, CAST(length(t) AS BIGINT) AS n_chars,
+        |  CAST(length(t) - length(regexp_replace(t, '[A-Za-z]', '', 'g')) AS BIGINT) AS latin_chars,
+        |  CAST(length(t) - length(regexp_replace(t, '[0-9]', '', 'g')) AS BIGINT) AS digit_chars,
+        |  CAST(length(t) - length(regexp_replace(t, '[Ѐ-ӿ]', '', 'g')) AS BIGINT) AS cyrillic_chars,
+        |  CAST(length(t) - length(regexp_replace(t, '[Ͱ-Ͽ]', '', 'g')) AS BIGINT) AS greek_chars,
+        |  CAST(length(t) - length(regexp_replace(t, '[一-鿿]', '', 'g')) AS BIGINT) AS cjk_chars,
+        |  CAST(length(t) - length(regexp_replace(t, '[؀-ۿ]', '', 'g')) AS BIGINT) AS arabic_chars,
+        |  CAST(length(t) - length(regexp_replace(t, '[가-힯]', '', 'g')) AS BIGINT) AS hangul_chars
+        |  FROM seeded)
+        |SELECT doc_id, n_chars, latin_chars, digit_chars, cyrillic_chars,
+        |  greek_chars, cjk_chars, arabic_chars, hangul_chars,
+        |  CAST((CASE WHEN latin_chars > 0 THEN 1 ELSE 0 END) +
+        |       (CASE WHEN cyrillic_chars > 0 THEN 1 ELSE 0 END) +
+        |       (CASE WHEN greek_chars > 0 THEN 1 ELSE 0 END) +
+        |       (CASE WHEN cjk_chars > 0 THEN 1 ELSE 0 END) +
+        |       (CASE WHEN arabic_chars > 0 THEN 1 ELSE 0 END) +
+        |       (CASE WHEN hangul_chars > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_scripts,
+        |  latin_chars > 0 AND (cyrillic_chars > 0 OR greek_chars > 0) AS confusable_mix
+        |FROM c ORDER BY doc_id""".stripMargin,
   )
 }

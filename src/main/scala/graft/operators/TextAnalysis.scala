@@ -1321,6 +1321,50 @@ object TextAnalysis {
         (charSum(col("_nb")) - charSum(col("_kb"))).as("chars_dropped"))
   }
 
+  /** Per-script character counts for the Unicode-script families a web
+    * corpus actually mixes — the script-level curation signal
+    * orthogonal to [[trigramLangId]]: a document whose Latin text
+    * carries embedded Cyrillic/Greek letters is the HOMOGLYPH shape
+    * (confusable-script spam, "pаypаl" with U+0430), and a
+    * many-scripts-in-one-doc profile flags concatenation/template junk
+    * that per-language models each score as fine text. Counts are
+    * length-diff over `regexp_replace` with literal BMP ranges — the
+    * identical arithmetic runs in DuckDB (RE2 handles literal-char
+    * ranges), so this stays fully oracle-paired. Zero-shuffle codegen'd
+    * projection. Output: (id, n_chars, <script>_chars ×6, digit_chars,
+    * n_scripts, confusable_mix). */
+  def scriptProfile(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val scripts = ScriptRanges
+    val counted = scripts.foldLeft(
+      docs.select(col(idCol), col(textCol), length(col(textCol)).as("n_chars"))) {
+      case (df, (name, pat)) => df.withColumn(s"${name}_chars",
+        (col("n_chars") - length(regexp_replace(col(textCol), pat, ""))).cast("long"))
+    }
+    val families = scripts.map(_._1).filterNot(_ == "digit")
+    counted
+      .withColumn("n_scripts",
+        families.map(f => when(col(s"${f}_chars") > 0, 1).otherwise(0))
+          .reduce(_ + _).cast("long"))
+      .withColumn("confusable_mix",
+        col("latin_chars") > 0 &&
+          (col("cyrillic_chars") > 0 || col("greek_chars") > 0))
+      .select((col(idCol) +: col("n_chars").cast("long").as("n_chars") +:
+        scripts.map { case (n, _) => col(s"${n}_chars") } :+
+        col("n_scripts") :+ col("confusable_mix")): _*)
+  }
+
+  /** (name, literal-char BMP class) pairs shared by [[scriptProfile]]
+    * and its oracle twin — Latin/digit ASCII classes plus the Cyrillic,
+    * Greek, CJK-unified, Arabic, and Hangul-syllable blocks. */
+  private[graft] val ScriptRanges: Seq[(String, String)] = Seq(
+    "latin" -> "[A-Za-z]",
+    "digit" -> "[0-9]",
+    "cyrillic" -> "[Ѐ-ӿ]",
+    "greek" -> "[Ͱ-Ͽ]",
+    "cjk" -> "[一-鿿]",
+    "arabic" -> "[؀-ۿ]",
+    "hangul" -> "[가-힯]")
+
   /** Canonical URL form for URL-level dedup — the FIRST dedup stage of
     * web-corpus pipelines (RefinedWeb §3.2 dedups by exact URL before any
     * text pass; CCNet groups shards the same way): the same page is

@@ -323,6 +323,33 @@ class TextAnalysisSpec extends SparkSuite {
       TextAnalysis.charEntropy(docs, "doc_id", "text", minEntropy = 3, maxEntropy = 1))
   }
 
+  test("scriptProfile: per-script counts and the homoglyph confusable flag") {
+    import graft.operators.TextAnalysis
+    val docs = Seq(
+      (1L, "plain ascii text 123"),
+      (2L, "привет мир"),                 // pure Cyrillic: NOT confusable
+      (3L, "pаypаl sеcurity"),            // Latin + Cyrillic а/е: confusable
+      (4L, "καλημέρα κόσμε"),             // pure Greek
+      (5L, "hello 你好 안녕 مرحبا"),        // 4 script families
+      (6L, ""))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.scriptProfile(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getAs[Long]("latin_chars") === 14L)
+    assert(out(1L).getAs[Long]("digit_chars") === 3L)
+    assert(out(1L).getAs[Long]("n_scripts") === 1L)
+    assert(!out(1L).getAs[Boolean]("confusable_mix"))
+    assert(out(2L).getAs[Long]("cyrillic_chars") === 9L)
+    assert(!out(2L).getAs[Boolean]("confusable_mix"), "pure Cyrillic is not a homoglyph mix")
+    assert(out(3L).getAs[Long]("cyrillic_chars") === 3L) // а, а, е
+    assert(out(3L).getAs[Boolean]("confusable_mix"), "embedded Cyrillic in Latin must flag")
+    assert(out(4L).getAs[Long]("greek_chars") === 13L)
+    assert(!out(4L).getAs[Boolean]("confusable_mix"))
+    assert(out(5L).getAs[Long]("n_scripts") === 4L)
+    assert(out(6L).getAs[Long]("n_chars") === 0L)
+    assert(out(6L).getAs[Long]("n_scripts") === 0L)
+  }
+
   test("charEntropy kernel matches a brute-force code-point histogram") {
     import graft.operators.TextAnalysis
     val rnd = new scala.util.Random(42)
