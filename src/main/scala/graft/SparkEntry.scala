@@ -2505,6 +2505,20 @@ object SparkEntry {
             .otherwise(lit(""))).as("text"))
       TextAnalysis.scriptProfile(seeded, "doc_id", "text").orderBy("doc_id")
     }),
+
+    // k-anonymity / l-diversity audit (Stats.kAnonymity): equivalence
+    // classes on the (nation, market-segment) quasi-identifiers with a
+    // bucketed account balance as the sensitive attribute — classes
+    // under k=10 members are linkage-re-identifiable, k-anonymous
+    // classes with under l=3 distinct balances still leak via the
+    // homogeneity attack. One class-keyed aggregate; fully
+    // oracle-paired.
+    "q190_k_anonymity" -> ((s, dir) => {
+      Stats.kAnonymity(Tables.customer(s, dir),
+        Seq("c_nationkey", "c_mktsegment"),
+        floor(col("c_acctbal") / 1000).cast("long"), k = 10, l = 3)
+        .orderBy("c_nationkey", "c_mktsegment")
+    }),
   )
 
   /** q154/q155 corpus: the synthesized lines become conversation turns —
@@ -5496,5 +5510,14 @@ object SparkEntry {
         |       (CASE WHEN hangul_chars > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_scripts,
         |  latin_chars > 0 AND (cyrillic_chars > 0 OR greek_chars > 0) AS confusable_mix
         |FROM c ORDER BY doc_id""".stripMargin,
+
+    "q190_k_anonymity" ->
+      // same class key, same bucketed sensitive attribute, same bounds
+      """SELECT c_nationkey, c_mktsegment,
+        |  count(*) AS class_size,
+        |  count(DISTINCT CAST(floor(c_acctbal / 1000) AS BIGINT)) AS l_distinct,
+        |  count(*) >= 10 AS k_anonymous,
+        |  count(DISTINCT CAST(floor(c_acctbal / 1000) AS BIGINT)) >= 3 AS l_diverse
+        |FROM customer GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
   )
 }

@@ -530,4 +530,34 @@ object Stats {
         "Int-bound) — shard the pool and select per shard")
     keyed.orderBy(col("sel_key").desc, col(idCol)).limit(kLong.toInt)
   }
+
+  /** k-anonymity / l-diversity audit over quasi-identifier columns —
+    * the re-identification-risk gate a release pipeline runs on
+    * metadata BEFORE it ships (Sweeney 2002; Machanavajjhala et al.
+    * 2007): regex PII scrubs (q52/q152) catch direct identifiers, but a
+    * row whose (nation, segment, ...) combination is shared by fewer
+    * than `k` people is re-identifiable by LINKING, and a class whose
+    * `sensitiveCol` takes fewer than `l` distinct values leaks the
+    * sensitive attribute even at k-anonymity (the homogeneity attack).
+    * Emits one row per equivalence class: class size, distinct
+    * sensitive values, both flags — the classes failing either bound
+    * are exactly the rows to generalize or suppress.
+    *
+    * Scale shape: ONE (QI-keyed) hash aggregate — count + exact
+    * count-distinct over the class — then flag arithmetic; the shuffle
+    * carries one row per CLASS. Exact distinct within a class is
+    * group-bounded (a class's sensitive-value set, not the corpus's);
+    * for classes that could themselves explode, swap in
+    * `approx_count_distinct` the way q34/q59 document. */
+  def kAnonymity(df: DataFrame, qidCols: Seq[String], sensitiveCol: Column,
+                 k: Int, l: Int): DataFrame = {
+    require(qidCols.nonEmpty, "kAnonymity needs at least one quasi-identifier column")
+    require(k >= 1, s"kAnonymity needs k >= 1, got $k")
+    require(l >= 1, s"kAnonymity needs l >= 1, got $l")
+    df.groupBy(qidCols.map(col): _*)
+      .agg(count(lit(1)).as("class_size"),
+        countDistinct(sensitiveCol).as("l_distinct"))
+      .withColumn("k_anonymous", col("class_size") >= k)
+      .withColumn("l_diverse", col("l_distinct") >= l)
+  }
 }

@@ -560,6 +560,27 @@ class StatsRelational2Spec extends SparkSuite {
     assert(out === "contact <EMAIL> or call <NUM> ext 42")
   }
 
+  test("kAnonymity: linkage and homogeneity flags on engineered classes") {
+    import graft.operators.Stats
+    val df = Seq(
+      ("US", "A", 1.0), // singleton: re-identifiable
+      ("US", "B", 5.0), ("US", "B", 5.0), ("US", "B", 5.0), ("US", "B", 5.0),
+      // ^ k-anonymous at k=3 but homogeneous (1 distinct value)
+      ("DE", "A", 1.0), ("DE", "A", 2.0), ("DE", "A", 3.0)) // healthy
+      .toDF("nation", "seg", "bal")
+    val out = Stats.kAnonymity(df, Seq("nation", "seg"), col("bal"), k = 3, l = 2)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getAs[Long]("class_size"), r.getAs[Long]("l_distinct"),
+          r.getAs[Boolean]("k_anonymous"), r.getAs[Boolean]("l_diverse")))).toMap
+    assert(out(("US", "A")) === ((1L, 1L, false, false)))
+    assert(out(("US", "B")) === ((4L, 1L, true, false)), "homogeneity attack case")
+    assert(out(("DE", "A")) === ((3L, 3L, true, true)))
+    intercept[IllegalArgumentException](
+      Stats.kAnonymity(df, Seq.empty, col("bal"), 3, 2))
+    intercept[IllegalArgumentException](
+      Stats.kAnonymity(df, Seq("nation"), col("bal"), 0, 2))
+  }
+
   test("bootstrapMeanCI: CI brackets the mean, deterministic, guards params") {
     val d = spark.range(0, 2000).select(lit("g").as("g"),
       (col("id") % 100).cast("double").as("x"), col("id").cast("string").as("k"))
