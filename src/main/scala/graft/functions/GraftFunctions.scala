@@ -63,6 +63,12 @@ object GraftFunctions {
     * input (see [[CharTrigrams]]). */
   def char_trigrams(text: Column): Column = col(CharTrigrams(ex(text)))
 
+  /** Gopher repetition-rule counts in one fused walk (see
+    * [[RepetitionCounts]]): struct(n_tokens, n_distinct_tokens,
+    * n_grams, top_gram_count). */
+  def repetition_counts(text: Column, n: Int): Column =
+    col(RepetitionCounts(ex(text), n))
+
   /** Winnowed k-gram fingerprint selection in one fused walk (see
     * [[WinnowFingerprints]]): array<struct<pos, h>>, per-position
     * deduped. */

@@ -470,30 +470,23 @@ object TextAnalysis {
   def repetitionStats(docs: DataFrame, idCol: String, textCol: String,
                       n: Int = 2, maxDupWordFrac: Double = 0.6,
                       maxTopNgramFrac: Double = 0.08): DataFrame = {
-    val tk = col("_tk")
-    val grams = col("_grams")
-    // Longest equal run in the sorted gram array = max occurrence count of
-    // any single n-gram — a fold keeping (prev, current run, best run).
-    val best = aggregate(
-      array_sort(grams),
-      struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("best")),
-      (acc, g) => {
-        val run = when(g === acc("prev"), acc("run") + 1).otherwise(lit(1L))
-        struct(g.as("prev"), run.as("run"), greatest(acc("best"), run).as("best"))
-      },
-      acc => acc("best"))
-    val dupFrac = round(
-      lit(1.0) - size(array_distinct(tk)).cast("double") / size(tk), 6)
-    val topFrac = round(
-      when(size(grams) > 0, best.cast("double") / size(grams)).otherwise(0.0), 6)
+    // One fused walk per doc (RepetitionCounts): the exact integer
+    // counts the declarative form derived via array_distinct + an
+    // interpreted run-length fold over the sorted gram array. Fractions
+    // and thresholds stay here, computed from the same integers — the
+    // 6-dp-rounded values are bit-identical.
+    val c = col("_c")
     docs
-      .select(col(idCol), tokens(col(textCol)).as("_tk"))
-      .withColumn("_grams", ngrams(tk, n))
+      .select(col(idCol),
+        graft.functions.GraftFunctions.repetition_counts(col(textCol), n).as("_c"))
       .select(
         col(idCol),
-        size(tk).cast("long").as("n_tokens"),
-        dupFrac.as("dup_word_frac"),
-        topFrac.as("top_ngram_frac"))
+        c.getField("n_tokens").as("n_tokens"),
+        round(lit(1.0) - c.getField("n_distinct_tokens").cast("double") /
+          c.getField("n_tokens"), 6).as("dup_word_frac"),
+        round(when(c.getField("n_grams") > 0,
+          c.getField("top_gram_count").cast("double") / c.getField("n_grams"))
+          .otherwise(0.0), 6).as("top_ngram_frac"))
       .withColumn("keep",
         col("dup_word_frac") <= maxDupWordFrac &&
           col("top_ngram_frac") <= maxTopNgramFrac)
