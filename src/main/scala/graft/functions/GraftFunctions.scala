@@ -63,6 +63,11 @@ object GraftFunctions {
     * input (see [[CharTrigrams]]). */
   def char_trigrams(text: Column): Column = col(CharTrigrams(ex(text)))
 
+  /** Full Gopher rule-set counts in one fused walk (see
+    * [[GopherCounts]]). */
+  def gopher_counts(text: Column, stopwords: Seq[String]): Column =
+    col(GopherCounts(ex(text), stopwords))
+
   /** Gopher repetition-rule counts in one fused walk (see
     * [[RepetitionCounts]]): struct(n_tokens, n_distinct_tokens,
     * n_grams, top_gram_count). */

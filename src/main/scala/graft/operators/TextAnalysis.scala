@@ -519,37 +519,30 @@ object TextAnalysis {
     */
   def gopherQualityFlags(docs: DataFrame, idCol: String, textCol: String,
                          minWords: Long = 50, maxWords: Long = 100000): DataFrame = {
-    val tk = col("_tk")
-    val lines = col("_lines")
-    val nW = size(tk).cast("double")
-    val meanLen = round(
-      aggregate(tk, lit(0L), (acc, t) => acc + length(t)).cast("double") / nW, 6)
-    val alphaFrac = round(
-      size(filter(tk, t => t.rlike("[A-Za-z]"))).cast("double") / nW, 6)
-    // non-overlapping occurrence counts via split, identical in DuckDB
-    val nSymbols = (size(split(col(textCol), "#", -1)) - 1) +
-      (size(split(col(textCol), "\\.\\.\\.", -1)) - 1)
-    val symbolRatio = round(nSymbols.cast("double") / nW, 6)
-    val nL = size(lines).cast("double")
-    val bulletFrac = round(
-      size(filter(lines, l => l.startsWith("- ") || l.startsWith("* ")))
-        .cast("double") / nL, 6)
-    val ellipsisFrac = round(
-      size(filter(lines, l => l.endsWith("..."))).cast("double") / nL, 6)
-    val nStop = GopherStopwords
-      .map(w => size(filter(tk, t => t === w)).cast("long")).reduce(_ + _)
+    // One fused walk per doc (GopherCounts): the exact integer counts
+    // the declarative form derived with five interpreted HOF passes
+    // over bound token/line arrays. Fractions, rounding, and the rule
+    // thresholds stay HERE — same 6-dp values from the same integers.
+    // NOTE: the kernel's stopword equality is whole-token and
+    // case-sensitive like the old `t === w` filter, and its `...`/`#`
+    // counting is the split (non-overlapping, left-to-right) semantics.
+    val c = col("_c")
+    val nW = c.getField("n_words").cast("double")
     docs
-      .select(col(idCol), col(textCol), tokens(col(textCol)).as("_tk"),
-        split(col(textCol), "\n", -1).as("_lines"))
+      .select(col(idCol),
+        graft.functions.GraftFunctions
+          .gopher_counts(col(textCol), GopherStopwords).as("_c"))
       .select(
         col(idCol),
-        size(tk).cast("long").as("n_words"),
-        meanLen.as("mean_word_len"),
-        alphaFrac.as("alpha_word_frac"),
-        symbolRatio.as("symbol_word_ratio"),
-        bulletFrac.as("bullet_line_frac"),
-        ellipsisFrac.as("ellipsis_line_frac"),
-        nStop.as("n_stopwords"))
+        c.getField("n_words").as("n_words"),
+        round(c.getField("sum_word_len").cast("double") / nW, 6).as("mean_word_len"),
+        round(c.getField("n_alpha_words").cast("double") / nW, 6).as("alpha_word_frac"),
+        round(c.getField("n_symbols").cast("double") / nW, 6).as("symbol_word_ratio"),
+        round(c.getField("n_bullet_lines").cast("double") /
+          c.getField("n_lines"), 6).as("bullet_line_frac"),
+        round(c.getField("n_ellipsis_lines").cast("double") /
+          c.getField("n_lines"), 6).as("ellipsis_line_frac"),
+        c.getField("n_stopwords").as("n_stopwords"))
       .withColumn("keep",
         col("n_words") >= minWords && col("n_words") <= maxWords &&
           col("mean_word_len") >= 3.0 && col("mean_word_len") <= 10.0 &&
