@@ -106,6 +106,61 @@ class KernelEquivalenceSpec extends SparkSuite {
     assert(fast.nonEmpty)
   }
 
+  test("RepetitionCounts / GopherCounts == declarative forms on random noisy text") {
+    val pieces = Vector("the", "of", "and", "that", "word", "#", "...", "x",
+      "", "..", "- a", "*", "日本", "a#b", "W9", "\n", "\n- bullet", "\nend...")
+    val docs = (0 until 150).map { i =>
+      val n = rnd.nextInt(25)
+      (i.toLong, (0 until n).map(_ => pieces(rnd.nextInt(pieces.length))).mkString(" "))
+    }.toDF("doc_id", "text")
+    // repetition: declarative reference rebuilt from the pre-kernel form
+    val tkRef = split(col("text"), " ")
+    val gramsRef = TextAnalysis.ngrams(tkRef, 2)
+    val bestRef = aggregate(array_sort(gramsRef),
+      struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("best")),
+      (acc, g) => {
+        val run = when(g === acc("prev"), acc("run") + 1).otherwise(lit(1L))
+        struct(g.as("prev"), run.as("run"), greatest(acc("best"), run).as("best"))
+      }, acc => acc("best"))
+    val repRef = docs.select(col("doc_id"),
+      size(tkRef).cast("long").as("n_tokens"),
+      round(lit(1.0) - size(array_distinct(tkRef)).cast("double") / size(tkRef), 6)
+        .as("dup_word_frac"),
+      round(when(size(gramsRef) > 0, bestRef.cast("double") / size(gramsRef))
+        .otherwise(0.0), 6).as("top_ngram_frac"))
+      .orderBy("doc_id").collect()
+    val repGot = TextAnalysis.repetitionStats(docs, "doc_id", "text")
+      .select("doc_id", "n_tokens", "dup_word_frac", "top_ngram_frac")
+      .orderBy("doc_id").collect()
+    assert(repGot === repRef)
+    // gopher: declarative reference rebuilt from the pre-kernel form
+    val lines = split(col("text"), "\n", -1)
+    val gq = TextAnalysis.gopherQualityFlags(docs, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    val gqRef = docs.select(col("doc_id"),
+      size(tkRef).cast("long").as("n_words"),
+      round(aggregate(tkRef, lit(0L), (acc, t) => acc + length(t)).cast("double") /
+        size(tkRef), 6).as("mean_word_len"),
+      round(size(filter(tkRef, t => t.rlike("[A-Za-z]"))).cast("double") /
+        size(tkRef), 6).as("alpha_word_frac"),
+      round(((size(split(col("text"), "#", -1)) - 1) +
+        (size(split(col("text"), "\\.\\.\\.", -1)) - 1)).cast("double") /
+        size(tkRef), 6).as("symbol_word_ratio"),
+      round(size(filter(lines, l => l.startsWith("- ") || l.startsWith("* ")))
+        .cast("double") / size(lines), 6).as("bullet_line_frac"),
+      round(size(filter(lines, l => l.endsWith("..."))).cast("double") /
+        size(lines), 6).as("ellipsis_line_frac"),
+      TextAnalysis.GopherStopwords
+        .map(w => size(filter(tkRef, t => t === w)).cast("long")).reduce(_ + _)
+        .as("n_stopwords"))
+      .orderBy("doc_id").collect()
+    for ((g, r) <- gq.zip(gqRef); f <- Seq("n_words", "mean_word_len",
+      "alpha_word_frac", "symbol_word_ratio", "bullet_line_frac",
+      "ellipsis_line_frac", "n_stopwords"))
+      assert(g.getAs[Any](f) === r.getAs[Any](f),
+        s"doc ${g.getAs[Long]("doc_id")} field $f")
+  }
+
   test("BootstrapMeans == the explode-form replica means on random groups") {
     val rows = (0 until 400).map { i =>
       (Seq("g1", "g2", "g3")(rnd.nextInt(3)), rnd.nextDouble() * 100,
