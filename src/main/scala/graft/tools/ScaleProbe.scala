@@ -666,6 +666,14 @@ object ScaleProbe {
         Decomp.fitRidgeProbes(d64x16, "v", probeTargets, 1e-3))
       val pm = Decomp.fitRidgeProbes(d64, "v", probeTargets, 1e-3)
       time2("probe score 1.6M x 64d (16x)")(noop(Decomp.probeScores(d64x16, "v", pm)))
+      // full 5-fold CV fit: one grouped-Gram pass, leave-fold-out models
+      // from moment additivity — growth must track the plain fit
+      time2("cv-probe fit 100k x 64d (5 folds)")(
+        Decomp.fitRidgeProbesPerFold(d64, "v", probeTargets,
+          pmod(col("id"), lit(5)), 5, 1e-3))
+      time2("cv-probe fit 1.6M x 64d (16x)")(
+        Decomp.fitRidgeProbesPerFold(d64x16, "v", probeTargets,
+          pmod(col("id"), lit(5)), 5, 1e-3))
     }
 
     // Modality fingerprint throughput: image dHash (decode-bound) and
