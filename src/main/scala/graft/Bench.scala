@@ -229,11 +229,16 @@ object Bench {
       .mkString("{", ",", "}")
     // -1 failure sentinels must not shrink the headline total.
     val total = finalResults.map(_._2).filter(_ >= 0).sum
+    // Locale.ROOT formatting: the f interpolator follows the JVM default
+    // locale, and a comma-decimal locale (de_DE/fr_FR) would render
+    // 0,123 — invalid JSON that breaks bench_records.py and the sentinel.
+    def fmt(v: Double, digits: Int): String =
+      String.format(java.util.Locale.ROOT, s"%.${digits}f", Double.box(v))
     val flaggedJson = flagged.map { case (k, r) =>
-      "\"" + k + "\":" + f"$r%.2f" }.mkString("{", ",", "}")
+      "\"" + k + "\":" + fmt(r, 2) }.mkString("{", ",", "}")
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
-        f""""sentinel_start":$sentinelStart%.3f,"sentinel_end":$sentinelEnd%.3f,""" +
+        s""""sentinel_start":${fmt(sentinelStart, 3)},"sentinel_end":${fmt(sentinelEnd, 3)},""" +
         s""""contended":$contended,"flagged":$flaggedJson,"sf":"$sfDir"}"""
     // Land the line in a file first: the driver's stdout-tail capture
     // truncated round 6's record (BENCH_r06 parsed: null, q01-q16 lost) —

@@ -2340,8 +2340,11 @@ object SparkEntry {
     "q183_embedding_gram" -> ((s, dir) => {
       import s.implicits._
       val (n, mean, cov) = Decomp.fitMeanCov(Tables.embeddings(s, dir), "embedding")
+      // + 0.0 normalizes -0.0 (a tiny-negative mean would otherwise hash
+      // differently from DuckDB's 0.0 in the binary compare — q186's guard)
       (for (i <- 0 to 3; j <- i to 3) yield
-        (i, j, n, math.rint(mean(i) * 1e6) / 1e6, math.rint(cov(i)(j) * 1e6) / 1e6))
+        (i, j, n, math.rint(mean(i) * 1e6) / 1e6 + 0.0,
+          math.rint(cov(i)(j) * 1e6) / 1e6 + 0.0))
         .toDF("i", "j", "n", "mean_i", "cov_ij")
         .orderBy("i", "j")
     }),

@@ -52,6 +52,10 @@ case class EigenProject(child: Expression, mean: Seq[Double],
     val c = new Array[Double](d)
     var i = 0
     while (i < n) {
+      // null ELEMENT -> loud error (a silent 0.0 would skew every score;
+      // same contract as MatrixGram — whole-null vectors return null)
+      require(!a.isNullAt(i),
+        s"eigen_project: null element at index $i — fill or filter nulls first")
       val x = if (childIsFloat) a.getFloat(i).toDouble else a.getDouble(i)
       c(i) = x - mu(i)
       i += 1

@@ -255,6 +255,8 @@ object GraftFunctions {
     // percentile fractions must be literal doubles (the plan-time solve
     // needs them); accepts a single fraction or array(...) like percentile()
     "exact_percentiles" -> (es => {
+      require(es.length == 2,
+        s"exact_percentiles expects (value, fraction | array(fractions)), got ${es.length} args")
       val ps = es(1) match {
         case org.apache.spark.sql.catalyst.expressions.CreateArray(items, _) =>
           items.map(i => literalDouble(i, "exact_percentiles fraction"))

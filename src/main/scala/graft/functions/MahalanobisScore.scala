@@ -63,6 +63,9 @@ case class MahalanobisScore(child: Expression, mean: Seq[Double],
     val c = new Array[Double](d)
     var i = 0
     while (i < n) {
+      // null ELEMENT -> loud error (same contract as MatrixGram/EigenProject)
+      require(!a.isNullAt(i),
+        s"mahalanobis_score: null element at index $i — fill or filter nulls first")
       val x = if (childIsFloat) a.getFloat(i).toDouble else a.getDouble(i)
       c(i) = x - mu(i)
       i += 1

@@ -70,6 +70,14 @@ case class MatrixGram(
       val arr = v.asInstanceOf[ArrayData]
       val n = arr.numElements()
       if (buf.sums == null) {
+        // hard cap INSIDE the task, before any allocation: past ~46k dims
+        // n*(n+1)/2 overflows Int, and well before that the quadratic
+        // buffer OOMs the executor — the driver-side Decomp.MaxDims check
+        // runs only after the corpus pass, too late to prevent either
+        require(n <= MatrixGram.MaxDims,
+          s"matrix_gram: vector has $n dims; the quadratic buffer is " +
+            s"built for embedding widths (<= ${MatrixGram.MaxDims}) — " +
+            "reduce dimensionality first")
         buf.sums = new Array[Double](n)
         buf.prods = new Array[Double](n * (n + 1) / 2)
       }
@@ -79,6 +87,11 @@ case class MatrixGram(
       val x = new Array[Double](m)
       var i = 0
       while (i < m) {
+        // a silent 0.0 for a null ELEMENT would corrupt every moment —
+        // loud per-row error instead (whole-null vectors are skipped
+        // above; element nulls mean the caller forgot na.fill/filter)
+        require(!arr.isNullAt(i),
+          s"matrix_gram: null element at index $i — fill or filter nulls first")
         x(i) = if (childIsFloat) arr.getFloat(i).toDouble else arr.getDouble(i)
         buf.sums(i) += x(i)
         i += 1
@@ -169,6 +182,11 @@ case class MatrixGram(
 }
 
 object MatrixGram {
+  /** Hard per-task dimension cap (2048 ⇒ ≤ 16 MB triangle buffer) —
+    * enforced BEFORE allocation; [[graft.operators.Decomp.MaxDims]]
+    * keeps the tighter driver-side budget for the eigen solves. */
+  final val MaxDims = 2048
+
   /** Running `n`, `Σx`, and upper-triangular `Σ x xᵀ`. */
   final class Buffer(var sums: Array[Double], var prods: Array[Double],
                      var count: Long)

@@ -279,12 +279,18 @@ object Decomp {
       var j = 0
       while (j < d) {
         val lam = evals(j)
-        if (lam > floor || lambda > 0) {
+        // include a direction only when its regularized denominator
+        // clears the spectral floor: `lambda > 0` alone would admit a
+        // numerically-NEGATIVE zero eigenvalue (Jacobi rounding on a
+        // rank-deficient Cxx gives lam ~ -1e-16) with a tiny lambda and
+        // divide by ~0 along the null direction. Denominator clamps lam
+        // at 0 so ridge regularization is exactly max(lam, 0) + lambda.
+        if (lam > floor || lambda + math.max(lam, 0.0) > floor) {
           val e = evecs(j)
           var eb = 0.0
           var t = 0
           while (t < d) { eb += e(t) * b(t); t += 1 }
-          val coef = eb / (lam + lambda)
+          val coef = eb / (math.max(lam, 0.0) + lambda)
           t = 0
           while (t < d) { beta(t) += coef * e(t); t += 1 }
         }
@@ -391,11 +397,12 @@ object Decomp {
 
   /** The apply half of [[fitRidgeProbesPerFold]]: scores each row with
     * ITS OWN fold's held-out model — out-of-fold scores, the honest
-    * generalization estimate. All folds' weight matrices ride ONE
-    * [[graft.functions.EigenProject]] call (`nFolds·k` basis rows,
-    * mean 0, unit scales — `β·v` plus the per-fold intercept is
-    * algebraically `β·(v−μx)+μy`), the row's fold slices out its k
-    * scores, and the intercept matrix rides as a literal. Zero shuffle. */
+    * generalization estimate. One lazily-branched CASE over per-fold
+    * [[probeScores]] columns: CaseWhen evaluates only the matched
+    * branch, so each row pays exactly its fold's k·d products (an
+    * all-folds fused projection would compute nFolds× that and slice).
+    * Zero shuffle; a fold value outside [0, nFolds) scores null —
+    * `foldCol` must be the same expression the fit partitioned on. */
   def probeScoresByFold(df: DataFrame, vecCol: String, foldCol: Column,
                         models: Array[RidgeProbeModel],
                         outCol: String = "probe_scores"): DataFrame = {
@@ -404,17 +411,17 @@ object Decomp {
     val k = models.head.k
     require(models.forall(m => m.d == d && m.k == k),
       "probeScoresByFold: models disagree on dimensions")
-    val proj = graft.functions.GraftFunctions.eigen_project(col(vecCol),
-      Seq.fill(d)(0.0),
-      models.toSeq.flatMap(_.weights.map(_.toSeq)),
-      Seq.fill(models.length * k)(1.0))
-    val intercepts = array(models.map(m =>
-      array(m.intercepts.map(lit).toIndexedSeq: _*)).toIndexedSeq: _*)
-    df.withColumn(outCol,
+    val fold = foldCol.cast("int")
+    val perFold = models.map { m =>
       zip_with(
-        slice(proj, foldCol.cast("int") * k + 1, lit(k)),
-        element_at(intercepts, foldCol.cast("int") + 1),
-        (s, b) => s + b))
+        graft.functions.GraftFunctions.eigen_project(col(vecCol), m.muX,
+          m.weights.map(_.toSeq).toSeq, Seq.fill(m.k)(1.0)),
+        array(m.muY.map(lit).toIndexedSeq: _*), (s, b) => s + b)
+    }
+    val sel = models.indices.tail.foldLeft(when(fold === 0, perFold(0))) {
+      (acc, f) => acc.when(fold === f, perFold(f))
+    }
+    df.withColumn(outCol, sel)
   }
 
   /** Squared Mahalanobis distance of each vector from the fitted mean,

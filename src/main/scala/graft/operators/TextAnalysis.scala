@@ -784,7 +784,12 @@ object TextAnalysis {
       tri.where(col("_fit"))
         .groupBy(col(langCol).as("_lang"), col("_tri"))
         .agg(count(lit(1)).as("_c")))
-    if (counts.count() <= broadcastMaxTrigrams) {
+    val nProfileRows = counts.count()
+    // empty-fit guard: an empty profile must fall through to the shuffle
+    // lane, whose empty grid naturally yields ZERO rows — the fused lane
+    // would otherwise score every doc against k=0 languages and emit
+    // null-prediction rows (lane divergence)
+    if (nProfileRows > 0 && nProfileRows <= broadcastMaxTrigrams) {
       // Fused lane (TrigramLogProbSum's pattern, vectorized across
       // languages): the (lang, trigram) fit collects under the SAME
       // budget the broadcast join paid; per-trigram k-vectors of
@@ -895,7 +900,8 @@ object TextAnalysis {
     // fusion): the seen path probes one table on one key
     val fit = c2.join(c1.select(col("_w").as("_w1"), col("_c1").as("_c1w1")),
       expr("substring_index(_g, ' ', 1)") === col("_w1")).drop("_w1")
-    if (c2.count() <= broadcastMaxEntries && c1.count() <= broadcastMaxEntries) {
+    val (c2n, c1n) = (c2.count(), c1.count())
+    if (c2n <= broadcastMaxEntries && c1n <= broadcastMaxEntries) {
       // Fused lane (TrigramLogProbSum's pattern): both fit tables are
       // driver-collectable by the SAME budget the broadcast joins pay —
       // precompute every log-prob through the IDENTICAL formulas, ship
@@ -929,11 +935,16 @@ object TextAnalysis {
     } else {
       // Shuffle lane (vocabulary above the driver budget): the
       // distributed probe joins, byte-identical (TextAnalysisSpec).
+      // Each table keeps its OWN broadcast hint — the common Zipf shape
+      // is a bigram table over the bound with a small unigram table,
+      // and the w2 probe must stay a broadcast join there.
+      val fitJ = if (c2n <= broadcastMaxEntries) broadcast(fit) else fit
+      val c1J = if (c1n <= broadcastMaxEntries) broadcast(c1) else c1
       val nv = c1.agg(sum("_c1").cast("double").as("_n"),
         count(lit(1)).cast("double").as("_v"))
-      bi.join(fit, Seq("_g"), "left")
+      bi.join(fitJ, Seq("_g"), "left")
         .withColumn("_w2", expr("substring_index(_g, ' ', -1)"))
-        .join(c1.select(col("_w").as("_w2"), col("_c1").as("_c1w2")), Seq("_w2"), "left")
+        .join(c1J.select(col("_w").as("_w2"), col("_c1").as("_c1w2")), Seq("_w2"), "left")
         .crossJoin(broadcast(nv))
         .withColumn("_lp",
           when(col("_c2").isNotNull, log(col("_c2") / col("_c1w1")))
