@@ -255,6 +255,21 @@ class DecompSpec extends SparkSuite {
     assert(trainAcc - oofAcc > 0.15, s"the CV gap is the memorization signal ($trainAcc vs $oofAcc)")
   }
 
+  test("review hardening: null elements loud, tiny-lambda null directions clamped") {
+    // a null ELEMENT must error loudly, not zero-impute into the moments
+    val withNullElem = spark.range(1).select(
+      array(lit(1.0), lit(null).cast("double"), lit(3.0)).as("v"))
+    val e = intercept[Exception](Decomp.fitMeanCov(withNullElem, "v"))
+    assert(e.getMessage != null || e.getCause != null)
+    // collinear inputs + an absurdly small positive lambda: the negative
+    // rounding-noise eigenvalue must be clamped, never inverted
+    val pts = for (i <- 0 until 40) yield Array((i % 6).toFloat, 2.0f * (i % 6))
+    val df = vecsDf(pts).withColumn("y", element_at(col("v"), 1) * 4.0 + 1.0)
+    val m = Decomp.fitRidgeProbes(df, "v", Seq(col("y")), lambda = 1e-18)
+    assert(m.weights(0).forall(w => math.abs(w) < 100),
+      s"tiny lambda must not explode null directions: ${m.weights(0).mkString(",")}")
+  }
+
   test("fitMeanCov refuses over-wide vectors loudly") {
     val wide = Seq((1L, Array.fill(Decomp.MaxDims + 1)(0.0f))).toDF("id", "v")
     val e = intercept[Exception](Decomp.fitMeanCov(wide, "v"))

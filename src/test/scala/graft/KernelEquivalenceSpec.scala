@@ -104,6 +104,10 @@ class KernelEquivalenceSpec extends SparkSuite {
       .orderBy("doc_id").as[(Long, String, String, Double)].collect()
     assert(fast === slow)
     assert(fast.nonEmpty)
+    // empty fit slice: BOTH lanes must return zero rows (the fused lane
+    // once emitted null-prediction rows here)
+    assert(TextAnalysis.trigramLangId(docs, "doc_id", "text", "lang",
+      lit(false)).count() === 0L)
   }
 
   test("RepetitionCounts / GopherCounts == declarative forms on random noisy text") {
