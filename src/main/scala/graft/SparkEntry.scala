@@ -942,13 +942,25 @@ object SparkEntry {
     // 1970 sentinels -> ffill/bfill -> Unknown-fill -> label encode (global
     // sorted-distinct fit) -> zero-fill numerics -> standard scale (global
     // fit, broadcast apply). The flagship oracle row for SURVEY §3.1.
+    //
+    // The fill is CHUNK-SCOPED: the reference fills within each 100k-row
+    // CSV chunk only (read_csv_s3_train.py:47,77-80 — `ffill().bfill()`
+    // runs per `process_batch` call, never across chunk boundaries), so the
+    // faithful window is PARTITION BY floor(key/100k), not a global window.
+    // That also removes the single-partition sort: the fill shuffles once
+    // on the derived chunk id and each chunk sorts independently — the
+    // 100-TB shape. The chunk id is a pure narrow projection of the key
+    // (computed while `id` is still numeric, before osv5mClean's cast).
     "q72_osv5m_clean" -> ((s, dir) => {
       import graft.meta.Schemas
       // One fit scan for all five categoricals (labelEncodeAll) instead of
       // five; the scaler-stats scan prunes the fill away entirely (the
       // numeric columns are not fill targets), so the expensive parity fill
       // is materialized full-width exactly once, in the final projection.
-      val cleaned = Clean.osv5mClean(osv5mFrame(s, dir), orderCol = "id")
+      val chunked = osv5mFrame(s, dir)
+        .withColumn("fill_chunk", floor(col("id") / lit(100000L)))
+      val cleaned = Clean.osv5mClean(chunked, orderCol = "id",
+        fillPartitionCols = Seq("fill_chunk"))
       val encoded = Encode.labelEncodeAll(cleaned, Schemas.osv5mCategoricals)
       val scaled = Encode.standardScale(encoded, Schemas.osv5mScaleCols)
       scaled.select(
@@ -3505,11 +3517,14 @@ object SparkEntry {
 
     // Mirrors osv5mFrame's synthesis (only the columns the output observes)
     // and the whole process_batch chain: trim, epoch->1970-sentinel date
-    // parts, id-ordered ffill/bfill, Unknown fill, sorted-distinct label
-    // codes (dense_rank-1 == sklearn LabelEncoder), zero-fill, z-score with
-    // population stddev. Fill order is VARCHAR `id` on both sides.
+    // parts, chunk-scoped id-ordered ffill/bfill (the reference fills per
+    // 100k-row chunk, read_csv_s3_train.py:47,77-80 — both IGNORE NULLS
+    // windows PARTITION BY floor(key/100000)), Unknown fill, sorted-distinct
+    // label codes (dense_rank-1 == sklearn LabelEncoder), zero-fill, z-score
+    // with population stddev. Fill order is VARCHAR `id` on both sides.
     "q72_osv5m_clean" ->
       """WITH base AS (SELECT CAST(o_orderkey AS VARCHAR) AS id,
+        |CAST(floor(o_orderkey / 100000) AS BIGINT) AS fill_chunk,
         |CASE WHEN o_orderkey % 19 = 0 THEN NULL ELSE CAST(o_orderkey % 180 - 90 AS DOUBLE) + 0.25 END AS latitude,
         |CASE WHEN o_orderkey % 23 = 0 THEN NULL ELSE CAST(o_orderkey % 360 - 180 AS DOUBLE) + 0.5 END AS longitude,
         |CASE WHEN o_orderkey % 29 = 0 THEN NULL ELSE CAST(o_orderkey % 1000 AS DOUBLE) / 8.0 END AS dist_sea,
@@ -3523,7 +3538,7 @@ object SparkEntry {
         |CASE WHEN o_orderkey % 5 = 0 THEN NULL ELSE concat('user_', CAST(o_orderkey % 50 AS VARCHAR)) END AS creator_username,
         |CASE WHEN o_orderkey % 11 = 0 THEN NULL ELSE 400000000000 + (o_orderkey % 3650) * 86400000 + (o_orderkey % 86400) * 1000 END AS captured_at
         |FROM orders),
-        |t AS (SELECT id, latitude, longitude, dist_sea, road_index, unique_city, creator_username,
+        |t AS (SELECT id, fill_chunk, latitude, longitude, dist_sea, road_index, unique_city, creator_username,
         |trim(country) AS country, trim(region) AS region, trim(subregion) AS subregion,
         |trim(city) AS city, trim(unique_country) AS unique_country,
         |CAST(coalesce(year(epoch_ms(captured_at)), 1970) AS INTEGER) AS year,
@@ -3537,8 +3552,8 @@ object SparkEntry {
         |coalesce(last_value(unique_country IGNORE NULLS) OVER wf, first_value(unique_country IGNORE NULLS) OVER wb) AS ucountry_f,
         |coalesce(last_value(unique_city IGNORE NULLS) OVER wf, first_value(unique_city IGNORE NULLS) OVER wb) AS ucity_f
         |FROM t
-        |WINDOW wf AS (ORDER BY id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
-        |wb AS (ORDER BY id ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)),
+        |WINDOW wf AS (PARTITION BY fill_chunk ORDER BY id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        |wb AS (PARTITION BY fill_chunk ORDER BY id ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)),
         |e AS (SELECT *,
         |coalesce(latitude, 0) AS lat0, coalesce(longitude, 0) AS lon0,
         |coalesce(dist_sea, 0) AS dsea0, coalesce(road_index, 0) AS ri0,

@@ -136,12 +136,17 @@ object Clean {
     * estimator fits made global rather than per-chunk (SURVEY §4.3.1) —
     * encoding/scaling live in [[Encode]] and are applied by callers.
     *
-    * `fillPartitionCols` scopes the ffill/bfill windows: empty reproduces
-    * the reference's chunk-order fill exactly (single-partition sort — the
-    * small-data parity path), while a natural key (the q78 oracle uses the
-    * trimmed `country`) is the 100-TB shape — the fill shuffles once on the
-    * key and each partition sorts independently. Partition keys must be
-    * non-null BEFORE the fill runs (they are fill inputs, not fill targets).
+    * `fillPartitionCols` scopes the ffill/bfill windows. The FAITHFUL
+    * setting is a derived chunk id (`floor(key / 100000)`, what q72 passes):
+    * the reference fills within each 100k-row CSV chunk only — process_batch
+    * runs `ffill().bfill()` per chunk (read_csv_s3_train.py:47,77-80) and
+    * never fills across chunk boundaries — so the chunk-partitioned window
+    * is exact parity AND shuffle-scalable (one hash exchange on the chunk
+    * id, per-chunk sorts). A natural key (the q78 oracle uses the trimmed
+    * `country`) is the alternative 100-TB shape when chunk provenance is
+    * gone. Empty = a single global window (single-partition sort; only for
+    * small data or debugging). Partition keys must be non-null BEFORE the
+    * fill runs (they are fill inputs, not fill targets).
     */
   def osv5mClean(df: DataFrame, orderCol: String,
                  fillPartitionCols: Seq[String] = Nil): DataFrame = {

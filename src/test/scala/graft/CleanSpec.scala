@@ -120,6 +120,28 @@ class CleanSpec extends SparkSuite {
     assert(empty.collect().map(_.getString(1)) === Array("country"))
   }
 
+  test("chunk-scoped fill never crosses chunk boundaries (read_csv_s3_train.py:47,77-80)") {
+    // The reference fills within each 100k-row CSV chunk only: process_batch
+    // runs ffill().bfill() per chunk, so a null run at a chunk head is
+    // filled by bfill WITHIN that chunk, never by ffill from the previous
+    // chunk's tail. Model it with width-4 chunks: value present only at one
+    // idx per chunk; every other row must take THAT chunk's value.
+    val rows = (0L until 16L).map { i =>
+      val chunk = i / 4
+      // chunk c carries its value only at in-chunk position (c % 4)
+      val v = if (i % 4 == chunk % 4) Some(s"c$chunk") else None
+      (i, chunk, v)
+    }
+    val df = rows.toDF("idx", "fill_chunk", "v")
+    val filled = Clean.fillForwardBackward(df, Seq("v"), Seq("idx"), Seq("fill_chunk"))
+      .orderBy("idx").select("v").as[String].collect()
+    assert(filled === (0L until 16L).map(i => s"c${i / 4}").toArray)
+    // contrast: the unpartitioned fill WOULD leak c0 across the c1 head run
+    val global = Clean.fillForwardBackward(df.drop("fill_chunk"), Seq("v"), Seq("idx"))
+      .orderBy("idx").select("v").as[String].collect()
+    assert(global(4) === "c0") // idx=4 is a null at chunk 1's head; ffill leaks c0
+  }
+
   test("fillForwardBackward rejects no-order and key-overlapping fill columns") {
     val d = Seq((1, "a"), (2, null.asInstanceOf[String])).toDF("k", "v")
     intercept[IllegalArgumentException](Clean.fillForwardBackward(d, Seq("v"), Nil))
