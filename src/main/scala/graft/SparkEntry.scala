@@ -1307,6 +1307,22 @@ object SparkEntry {
         .orderBy("probe_id", "rank")
     }),
 
+    // Corpus-vs-corpus IVF-PQ retrieval (the bitext-mining / whole-corpus
+    // nearest-neighbor shape): EVERY vector in the embeddings table probes
+    // the persisted index. The probe set is a plain DataFrame side of the
+    // cell-id equi-join (`broadcastProbes = false`) — per-probe lookup
+    // tables are built by the narrow PqLut kernel on the probe side, so
+    // nothing probe-sized is ever collected to the driver or broadcast:
+    // the shape that scales to millions of probes. Rows-only like the
+    // other Lloyd-fit queries; distributed-vs-broadcast path identity is
+    // pinned in DedupSimilaritySpec.
+    "q191_pq_bigprobe" -> ((s, dir) => {
+      val idx = prefitIvfPqIndex(s, dir)
+      Similarity.ivfPqTopK(idx.encoded, idx.centroids, idx.codebooks,
+        Tables.embeddings(s, dir), 3, nprobe = 2, broadcastProbes = false)
+        .orderBy("probe_id", "rank")
+    }),
+
     // Fuzzy-dedup SCRUB: the transform twin of q65's cluster audit — keep
     // exactly one document (the smallest-id member) per MinHash-LSH
     // near-dup cluster and hand back the deduplicated corpus.

@@ -148,6 +148,14 @@ object GraftFunctions {
   def pq_cosine(codes: Column, lut: Column): Column =
     col(PqCosine(ex(codes), ex(lut)))
 
+  /** Per-row ADC lookup-table build — the distributed-probe PQ primitive:
+    * probes stay a DataFrame, no driver collect (see [[PqLut]]). Pass an
+    * empty array as `cell` for flat PQ; the IVF path passes the probed
+    * cell's coarse centroid to fold the `cell + residual` reconstruction
+    * into the table. */
+  def pq_lut(probe: Column, cell: Column, books: Seq[Seq[Seq[Double]]]): Column =
+    col(PqLut(ex(probe), ex(cell), books))
+
   /** Top-k (score DESC, id ASC) pairs per group with a bounded k-slot
     * buffer — shuffle bytes |groups| x k regardless of row count (see
     * [[TopKByScore]]). */

@@ -111,6 +111,122 @@ case class PqEncode(child: Expression, books: Seq[Seq[Seq[Double]]])
     copy(child = newChild)
 }
 
+/** `pq_lut(probe_vec, cell_vec)` — build the per-probe ADC lookup table of
+  * [[PqCosine]] as a NARROW per-row projection, codebooks riding inside the
+  * expression (the [[PqEncode]] pattern).
+  *
+  * This is what makes PQ probing DISTRIBUTED: the LUT is a pure function of
+  * (probe vector, cell centroid, codebooks), so computing it per probe ROW
+  * means the probe set is a plain DataFrame side of the cell-id equi-join —
+  * no driver collect of the probes, no broadcast requirement on the probe
+  * set. A corpus-vs-corpus retrieval (bitext mining: probes = the full
+  * embeddings table) runs as an ordinary shuffle join; the only
+  * driver-bounded state is the codebook fit itself, which is model state
+  * under the same broadcast budget the centroids already pay.
+  *
+  * `cell_vec` is the coarse IVF centroid of the cell this LUT targets: each
+  * subspace centroid is SHIFTED by the matching slice of the cell vector
+  * (`s = cell[off+d] + cent[d]`), which folds the IVF reconstruction
+  * `cell + residual` into the standard per-subspace dot/norm decomposition —
+  * no residual-specific scoring kernel needed. Pass an EMPTY array for
+  * plain (flat) PQ: out-of-range cell dims read as 0.0, so the shift
+  * degenerates to the identity and the LUT is the unshifted flat-PQ table.
+  * Probe dims beyond the probe's length contribute 0 to the dot (the
+  * min-span convention of [[CosineSimilarity]]); the probe norm is over the
+  * FULL probe vector. Output layout is exactly [[PqCosine]]'s contract:
+  * `2*m*K` dot/norm slots (K = max book size; short books zero-pad), the
+  * probe norm, then the m per-subspace book sizes. Null probe or cell
+  * yields null (callers that need the loud-on-null probe contract guard
+  * with `raise_error` before this projection).
+  */
+case class PqLut(left: Expression, right: Expression, books: Seq[Seq[Seq[Double]]])
+    extends BinaryExpression {
+  require(books.nonEmpty, "pq_lut needs at least one subspace codebook")
+  books.zipWithIndex.foreach { case (b, j) =>
+    require(b.nonEmpty, s"pq_lut subspace $j has an empty codebook")
+    require(b.head.nonEmpty, s"pq_lut subspace $j has zero-dim centroids")
+    require(b.forall(_.length == b.head.length),
+      s"pq_lut subspace $j mixes centroid lengths")
+  }
+
+  @transient private lazy val vecs: Array[Array[Array[Double]]] =
+    books.map(_.map(_.toArray).toArray).toArray
+  @transient private lazy val kMax: Int = vecs.map(_.length).max
+  @transient private lazy val probeIsFloat: Boolean = left.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+  @transient private lazy val cellIsFloat: Boolean = right.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def prettyName: String = "pq_lut"
+
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (ArrayType(FloatType | DoubleType, _), ArrayType(FloatType | DoubleType, _)) =>
+      TypeCheckResult.TypeCheckSuccess
+    case (l, r) => TypeCheckResult.TypeCheckFailure(
+      s"pq_lut expects (array<float|double> probe, array<float|double> cell), got " +
+        s"(${l.catalogString}, ${r.catalogString})")
+  }
+
+  def kernel(q: ArrayData, cell: ArrayData): ArrayData = {
+    val m = vecs.length
+    val nq = q.numElements()
+    val ncell = cell.numElements()
+    @inline def qAt(i: Int): Double =
+      if (probeIsFloat) q.getFloat(i).toDouble else q.getDouble(i)
+    @inline def cellAt(i: Int): Double =
+      if (cellIsFloat) cell.getFloat(i).toDouble else cell.getDouble(i)
+    val lut = new Array[Double](2 * m * kMax + 1 + m)
+    var qn = 0.0
+    var i = 0
+    while (i < nq) { val x = qAt(i); qn += x * x; i += 1 }
+    var off = 0
+    var j = 0
+    while (j < m) {
+      val book = vecs(j)
+      val dsub = book(0).length
+      var c = 0
+      while (c < book.length) {
+        val cent = book(c)
+        var dot = 0.0
+        var nn = 0.0
+        var d = 0
+        while (d < dsub) {
+          val s = (if (off + d < ncell) cellAt(off + d) else 0.0) + cent(d)
+          if (off + d < nq) dot += qAt(off + d) * s
+          nn += s * s
+          d += 1
+        }
+        lut(j * kMax + c) = dot
+        lut(m * kMax + j * kMax + c) = nn
+        c += 1
+      }
+      off += dsub
+      j += 1
+    }
+    lut(2 * m * kMax) = Math.sqrt(qn)
+    var bj = 0
+    while (bj < m) { lut(2 * m * kMax + 1 + bj) = vecs(bj).length.toDouble; bj += 1 }
+    new GenericArrayData(lut)
+  }
+
+  override protected def nullSafeEval(q: Any, cell: Any): Any =
+    kernel(q.asInstanceOf[ArrayData], cell.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("pqLut", this, classOf[PqLut].getName)
+    defineCodeGen(ctx, ev, (q, c) => s"$ref.kernel($q, $c)")
+  }
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+                                                 newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 /** `pq_cosine(codes, lut)` — asymmetric-distance (ADC) cosine between a
   * probe and a PQ-encoded corpus vector, via a per-probe lookup table.
   *

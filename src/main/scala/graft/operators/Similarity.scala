@@ -298,105 +298,47 @@ object Similarity {
     * `cell_centroid + residual_centroid_j`, and both the dot and the
     * squared-norm of that sum decompose per subspace — so the per-(probe,
     * cell) lookup table is just the standard one built from CELL-SHIFTED
-    * codebooks (`dot(q_j, c_j + cent)`, `|c_j + cent|^2`), computed
-    * driver-side from the two bounded fits. The scored join is
+    * codebooks (`dot(q_j, c_j + cent)`, `|c_j + cent|^2`), computed BY A
+    * PER-ROW KERNEL ([[graft.functions.PqLut]]) on the probe side of the
+    * plan — the probe set is never collected to the driver, so probes can
+    * be a corpus-sized table (bitext mining / corpus-vs-corpus retrieval).
+    * Cell probing is the same [[assignCellsMulti]] narrow projection the
+    * IVF tier uses (cosine DESC, cell_id ASC — the two tiers probe the
+    * same cells for the same inputs), the cell centroid joins in via the
+    * bounded centroid broadcast to feed the shift, and the scored join is
     * `encoded JOIN luts ON cell_id` — corpus rows outside probed cells are
-    * never read, which is the IVF pruning, and shuffle bytes after the
-    * bounded-buffer top-k are |probes| x k. ADC cosine is EXACT for the
+    * never read, which is the IVF pruning. Shuffle bytes after the
+    * bounded-buffer top-k are |probes| x k; the lut side of the cell join
+    * carries 2*m*K+1+m doubles per (probe, cell) row.
+    *
+    * `broadcastProbes` (default true) keeps the classic serve shape — a
+    * small probe batch broadcast against a huge encoded corpus, zero
+    * corpus shuffle. Set it false when the probe set is itself
+    * corpus-sized: the join becomes a plain distributed equi-join on
+    * cell_id and BOTH sides shuffle once. ADC cosine is EXACT for the
     * reconstruction (quantization is the only approximation). */
   def ivfPqTopK(encoded: DataFrame, centroids: DataFrame, codebooks: DataFrame,
                 probes: DataFrame, k: Int, nprobe: Int = 1,
-                idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+                idCol: String = "vec_id", vecCol: String = "embedding",
+                broadcastProbes: Boolean = true): DataFrame = {
     require(k >= 1, s"ivfPqTopK needs k >= 1, got $k")
     require(nprobe >= 1, s"ivfPqTopK needs nprobe >= 1, got $nprobe")
-    val books = collectPqCodebooks(codebooks)
-    val m = books.length
-    val kMax = books.map(_.length).max
-    val (cellIds, cellVecs) = collectCentroids(centroids, idCol, vecCol, "ivfPqTopK")
-    val probeRows = probes
-      .select(col(idCol).cast("long"), col(vecCol).cast("array<double>")).collect()
-    require(probeRows.nonEmpty, "ivfPqTopK: probe set is empty")
-    val lutRows = probeRows.flatMap { r =>
-      require(!r.isNullAt(0) && !r.isNullAt(1),
-        "ivfPqTopK: probes must have non-null ids and vectors")
-      val pid = r.getLong(0)
-      val q = r.getSeq[Double](1).toArray
-      var qn = 0.0
-      var i = 0
-      while (i < q.length) { qn += q(i) * q(i); i += 1 }
-      // rank this probe's cells by cosine, take nprobe (ties -> smaller id),
-      // mirroring NearestCells' ordering — including its min-span dot AND
-      // norms on length-mismatched pairs, so the IVF and IVF-PQ tiers
-      // probe the same cells for the same inputs
-      val ranked = cellIds.indices.map { ci =>
-        val c = cellVecs(ci)
-        val cos =
-          if (c.length == q.length) {
-            var dot = 0.0; var nc = 0.0; var j = 0
-            while (j < c.length) { dot += q(j) * c(j); nc += c(j) * c(j); j += 1 }
-            if (qn == 0.0 || nc == 0.0) 0.0 else dot / (math.sqrt(qn) * math.sqrt(nc))
-          } else {
-            val n = math.min(q.length, c.length)
-            var dot = 0.0; var nqM = 0.0; var ncM = 0.0; var j = 0
-            while (j < n) {
-              dot += q(j) * c(j); nqM += q(j) * q(j); ncM += c(j) * c(j); j += 1
-            }
-            if (nqM == 0.0 || ncM == 0.0) 0.0 else dot / (math.sqrt(nqM) * math.sqrt(ncM))
-          }
-        (cos, cellIds(ci), ci)
-      }.sortBy(t => (-t._1, t._2)).take(nprobe)
-      ranked.map { case (_, cellId, ci) =>
-        val c = cellVecs(ci)
-        // PqCosine layout: 2*m*K dot/norm slots + probe norm + m book sizes
-        val lut = new Array[Double](2 * m * kMax + 1 + m)
-        var off = 0
-        var j = 0
-        while (j < m) {
-          val book = books(j)
-          // per-subspace width, like pqTopK — heterogeneous codebooks must
-          // not misalign the slice offsets
-          val dsub = book(0).length
-          var cc = 0
-          while (cc < book.length) {
-            val cent = book(cc)
-            var dot = 0.0
-            var nn = 0.0
-            var d = 0
-            while (d < dsub) {
-              // shifted centroid: cell slice + residual centroid
-              val s = (if (off + d < c.length) c(off + d) else 0.0) + cent(d)
-              if (off + d < q.length) dot += q(off + d) * s
-              nn += s * s
-              d += 1
-            }
-            lut(j * kMax + cc) = dot
-            lut(m * kMax + j * kMax + cc) = nn
-            cc += 1
-          }
-          off += dsub
-          j += 1
-        }
-        lut(2 * m * kMax) = math.sqrt(qn)
-        // per-subspace book sizes: codes validate against their OWN book,
-        // not the padded stride (heterogeneous books after empty cells)
-        var bj = 0
-        while (bj < m) { lut(2 * m * kMax + 1 + bj) = books(bj).length.toDouble; bj += 1 }
-        Row(pid, cellId, lut.toSeq)
-      }
-    }
-    val spark = encoded.sparkSession
-    val lutDf = spark.createDataFrame(
-      spark.sparkContext.parallelize(lutRows.toSeq, 1),
-      org.apache.spark.sql.types.StructType(Seq(
-        org.apache.spark.sql.types.StructField("probe_id", LongType, nullable = false),
-        org.apache.spark.sql.types.StructField("cell_id", LongType, nullable = false),
-        org.apache.spark.sql.types.StructField("_lut",
-          org.apache.spark.sql.types.ArrayType(
-            org.apache.spark.sql.types.DoubleType, containsNull = false), nullable = false))))
+    val books = collectPqCodebooks(codebooks).map(_.map(_.toSeq).toSeq).toSeq
+    require(!probes.isEmpty, "ivfPqTopK: probe set is empty")
+    val guarded = probes.select(
+      guardedProbeId(idCol, vecCol, "ivfPqTopK").as(idCol), col(vecCol))
+    val cents = centroids.select(col(idCol).cast("long").as("cell_id"),
+      col(vecCol).cast("array<double>").as("_cv"))
+    val lutDf = assignCellsMulti(guarded, centroids, nprobe, idCol, vecCol)
+      .join(broadcast(cents), "cell_id")
+      .select(col(idCol).as("probe_id"), col("cell_id"),
+        graft.functions.GraftFunctions
+          .pq_lut(col(vecCol).cast("array<double>"), col("_cv"), books).as("_lut"))
+    val probeSide = if (broadcastProbes) broadcast(lutDf) else lutDf
     val scored = encoded
       .select(col(idCol).cast("long").as("neighbor_id"),
         col("cell_id").cast("long").as("cell_id"), col("codes"))
-      .join(broadcast(lutDf), "cell_id")
+      .join(probeSide, "cell_id")
       .where(col("neighbor_id") =!= col("probe_id"))
       .withColumn("cosine", graft.functions.GraftFunctions
         .pq_cosine(col("codes"), col("_lut")))
@@ -668,71 +610,39 @@ object Similarity {
       .pq_encode(col(vecCol), books).as("codes"))
   }
 
-  /** PQ top-k (ADC): per probe, precompute the dot/norm lookup table
-    * driver-side (m x K doubles — tiny), broadcast it, and score every
-    * corpus CODE array with the fused [[graft.functions.PqCosine]] kernel —
-    * the corpus's raw vectors are never read, only the m-byte-per-row code
-    * index. Same bounded-buffer top-k reduction as [[bruteForceTopK]], so
-    * shuffle bytes are |probes| x k. Probe ids are cast to long. Returns
-    * (probe_id, rank, neighbor_id, cosine) with the ADC-approximate cosine.
+  /** Loud-on-null probe id: a null probe id or vector must FAIL the job,
+    * not silently drop the probe (the contract the former driver-side LUT
+    * build enforced with `require`). The guard rides inside the probe_id
+    * projection itself so column pruning can never eliminate it. */
+  private def guardedProbeId(idCol: String, vecCol: String, caller: String): Column =
+    when(col(idCol).isNull || col(vecCol).isNull,
+      raise_error(lit(s"$caller: probes must have non-null ids and vectors")))
+      .otherwise(col(idCol).cast("long"))
+
+  /** PQ top-k (ADC): per probe, build the dot/norm lookup table AS A
+    * PER-ROW PROJECTION ([[graft.functions.PqLut]] with an empty cell
+    * shift) and score every corpus CODE array with the fused
+    * [[graft.functions.PqCosine]] kernel — the corpus's raw vectors are
+    * never read, only the m-byte-per-row code index, and the probe set is
+    * never collected to the driver: the only driver-bounded state is the
+    * codebook fit riding inside the two kernels. Flat PQ scores EVERY
+    * corpus code against every probe, so the probe side is broadcast by
+    * construction (a corpus-sized probe set belongs on [[ivfPqTopK]]'s
+    * cell-pruned join, not a flat scan). Same bounded-buffer top-k
+    * reduction as [[bruteForceTopK]], so shuffle bytes are |probes| x k.
+    * Probe ids are cast to long. Returns (probe_id, rank, neighbor_id,
+    * cosine) with the ADC-approximate cosine.
     */
   def pqTopK(corpusCodes: DataFrame, codebooks: DataFrame, probes: DataFrame, k: Int,
              idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     require(k >= 1, s"pqTopK needs k >= 1, got $k")
-    val books = collectPqCodebooks(codebooks)
-    val m = books.length
-    val kMax = books.map(_.length).max
-    val probeRows = probes
-      .select(col(idCol).cast("long"), col(vecCol).cast("array<double>")).collect()
-    require(probeRows.nonEmpty, "pqTopK: probe set is empty")
-    val lutRows = probeRows.map { r =>
-      require(!r.isNullAt(0) && !r.isNullAt(1),
-        "pqTopK: probes must have non-null ids and vectors")
-      val pid = r.getLong(0)
-      val q = r.getSeq[Double](1).toArray
-      // PqCosine layout: 2*m*K dot/norm slots + probe norm + m book sizes
-      val lut = new Array[Double](2 * m * kMax + 1 + m)
-      var off = 0
-      var j = 0
-      while (j < m) {
-        val book = books(j)
-        val dsub = book(0).length
-        var c = 0
-        while (c < book.length) {
-          val cent = book(c)
-          var dot = 0.0
-          var nn = 0.0
-          var i = 0
-          while (i < dsub) {
-            if (off + i < q.length) dot += q(off + i) * cent(i)
-            nn += cent(i) * cent(i)
-            i += 1
-          }
-          lut(j * kMax + c) = dot
-          lut(m * kMax + j * kMax + c) = nn
-          c += 1
-        }
-        off += dsub
-        j += 1
-      }
-      var qn = 0.0
-      var i = 0
-      while (i < q.length) { qn += q(i) * q(i); i += 1 }
-      lut(2 * m * kMax) = math.sqrt(qn)
-      // per-subspace book sizes: codes validate against their OWN book,
-      // not the padded stride (heterogeneous books after empty cells)
-      var bj = 0
-      while (bj < m) { lut(2 * m * kMax + 1 + bj) = books(bj).length.toDouble; bj += 1 }
-      Row(pid, lut.toSeq)
-    }
-    val spark = corpusCodes.sparkSession
-    val lutDf = spark.createDataFrame(
-      spark.sparkContext.parallelize(lutRows.toSeq, 1),
-      org.apache.spark.sql.types.StructType(Seq(
-        org.apache.spark.sql.types.StructField("probe_id", LongType, nullable = false),
-        org.apache.spark.sql.types.StructField("_lut",
-          org.apache.spark.sql.types.ArrayType(
-            org.apache.spark.sql.types.DoubleType, containsNull = false), nullable = false))))
+    val books = collectPqCodebooks(codebooks).map(_.map(_.toSeq).toSeq).toSeq
+    require(!probes.isEmpty, "pqTopK: probe set is empty")
+    val lutDf = probes.select(
+      guardedProbeId(idCol, vecCol, "pqTopK").as("probe_id"),
+      graft.functions.GraftFunctions
+        .pq_lut(col(vecCol).cast("array<double>"), typedLit(Seq.empty[Double]), books)
+        .as("_lut"))
     val scored = corpusCodes
       .select(col(idCol).cast("long").as("neighbor_id"), col("codes"))
       .crossJoin(broadcast(lutDf))

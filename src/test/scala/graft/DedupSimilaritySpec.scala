@@ -736,6 +736,51 @@ class DedupSimilaritySpec extends SparkSuite {
     assert(ivf === flat)
   }
 
+  test("ivfPqTopK distributed-probe join equals the broadcast-probe path") {
+    // broadcastProbes only chooses the JOIN STRATEGY for the cell-id join
+    // (shuffle equi-join vs broadcast) — the per-row PqLut tables and ADC
+    // scores are identical expressions on both paths, so a corpus-sized
+    // probe set (q191: probes = the whole embeddings table) must return
+    // bit-identical rankings to the classic broadcast serve shape.
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select(col("vec_id"), col("embedding")).where(col("vec_id") < 64)
+    val cents = Similarity.trainCentroids(emb, 4, 2)
+    val books = Similarity.fitIvfPqCodebooks(emb, cents, m = 4, ksub = 8,
+      iterations = 2)
+    val enc = Similarity.ivfPqEncode(emb, cents, books)
+    def run(bcast: Boolean) =
+      Similarity.ivfPqTopK(enc, cents, books, emb, 3, nprobe = 2,
+        broadcastProbes = bcast)
+        .orderBy("probe_id", "rank").as[(Long, Long, Long, Double)].collect()
+    assert(run(bcast = false) === run(bcast = true))
+    // and the distributed path carries no MANDATORY broadcast: with the
+    // auto-broadcast threshold off, the cell-id join plans as a shuffle
+    // join (at real scale Spark/AQE picks the strategy from actual sizes;
+    // the hintless plan is what makes corpus-sized probe sets legal).
+    // Results under the forced-shuffle plan stay bit-identical.
+    val threshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      def nBroadcastJoins(bcast: Boolean): Int =
+        "BroadcastHashJoin".r.findAllIn(
+          Similarity.ivfPqTopK(enc, cents, books, emb, 3, nprobe = 2,
+            broadcastProbes = bcast)
+            .queryExecution.executedPlan.toString).length
+      // the bounded centroid-shift join is hint-broadcast on BOTH paths
+      // (model state); only the probe-side cell join must lose its
+      // broadcast when broadcastProbes=false — that hintless join is what
+      // makes corpus-sized probe sets legal (Spark/AQE then picks the
+      // strategy from actual sizes at real scale)
+      assert(nBroadcastJoins(bcast = true) === nBroadcastJoins(bcast = false) + 1,
+        "broadcastProbes=false did not remove exactly the probe-side broadcast")
+      // and the forced-shuffle plan's results stay bit-identical
+      assert(Similarity.ivfPqTopK(enc, cents, books, emb, 3, nprobe = 2,
+        broadcastProbes = false)
+        .orderBy("probe_id", "rank")
+        .as[(Long, Long, Long, Double)].collect() === run(bcast = true))
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", threshold)
+  }
+
   test("rerankTopK: wide shortlist converges to exact brute-force top-k") {
     // shortlist spanning the whole corpus makes stage 2 = brute force
     val emb = spark.read.parquet(s"$sf/embeddings.parquet")
