@@ -1323,6 +1323,34 @@ object SparkEntry {
         .orderBy("probe_id", "rank")
     }),
 
+    // IMAGE near-dup dedup end-to-end — the multimodal arm of the dedup
+    // ladder as a driver query: 64 deterministic synthetic images (16
+    // patterns x 4 renderings; renderings alternate PNG/JPEG, so each
+    // pattern's cluster holds exact byte-dups AND true re-encode
+    // near-dups) -> perceptual dHash (Media.imageDHashes: bytes never
+    // shuffle, the hash is computed where the row lives) -> Manku-banded
+    // Hamming pairs (never all-pairs). The images are synthesized because
+    // the container ships no image corpora; the generator is seeded by
+    // construction (Media.syntheticImage), so the PAIR STRUCTURE is the
+    // oracle: ids pair iff they share a pattern (id % 16), which plain SQL
+    // can state without decoding anything. MediaSpec pins the distance
+    // margins (within-pattern <= 3 bits, cross-pattern far) that make the
+    // equivalence hold.
+    "q192_image_neardup" -> ((s, dir) => {
+      import s.implicits._
+      val entries = s.range(64).as[Long].map { k =>
+        val fmt = if ((k / 16) % 2 == 0) "png" else "jpg"
+        Media.ZipEntryRow("synth", f"img_$k%03d.$fmt",
+          Media.syntheticImage((k % 16).toInt, fmt))
+      }
+      val hashes = Media.imageDHashes(entries)
+        .select(regexp_extract(col("entry"), "img_(\\d+)", 1)
+          .cast("long").as("img_id"), col("dhash"))
+      Dedup.hammingNearDupPairs64(hashes, "img_id", "dhash", maxHamming = 3)
+        .select("id_a", "id_b")
+        .orderBy("id_a", "id_b")
+    }),
+
     // Fuzzy-dedup SCRUB: the transform twin of q65's cluster audit — keep
     // exactly one document (the smallest-id member) per MinHash-LSH
     // near-dup cluster and hand back the deduplicated corpus.
@@ -3652,6 +3680,17 @@ object SparkEntry {
         |coalesce(creator_username, 'Unknown') AS creator_username,
         |coalesce(latitude, 0) AS lat0
         |FROM f ORDER BY id""".stripMargin,
+
+    // The images cannot be decoded in SQL, but they don't need to be: the
+    // generator (Media.syntheticImage) makes near-dup structure a pure
+    // function of the id — renderings pair iff they share a pattern
+    // (id % 16) — and MediaSpec pins the dHash distance margins that make
+    // the banded-pair output equal exactly that relation.
+    "q192_image_neardup" ->
+      """WITH k AS (SELECT range AS k FROM range(0, 64))
+        |SELECT a.k AS id_a, b.k AS id_b
+        |FROM k a JOIN k b ON a.k % 16 = b.k % 16 AND a.k < b.k
+        |ORDER BY id_a, id_b""".stripMargin,
 
     // The bloom prefilter is result-preserving (exact semi join absorbs
     // false positives), so the oracle is the plain IN-subquery semi join.

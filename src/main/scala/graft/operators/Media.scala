@@ -442,6 +442,45 @@ object Media {
       }
     } catch { case _: Exception => None }
 
+  /** Deterministic synthetic test image: a horizontal gradient carrying a
+    * pattern-indexed sine wave (distinct frequency AND phase per pattern),
+    * rendered with direct pixel arithmetic and encoded via ImageIO.
+    *
+    * Exists because the container ships no image corpora: the driver's
+    * multimodal near-dup query (q192) needs REAL encoded bytes whose
+    * near-dup structure is known by construction — the same pattern
+    * re-encoded (PNG vs JPEG) must land within the dHash Hamming radius,
+    * distinct patterns far outside it. Adjacent dHash grid boxes differ by
+    * tens of gray levels (the wave amplitude dominates JPEG's ~±2
+    * quantization noise), which is what makes the re-encode distance
+    * robustly small; a mild y-dependent phase term keeps the 8 hash rows
+    * from degenerating into copies of one row. Fully deterministic: no
+    * RNG, integer pixel math, and both encoders are bit-stable for a
+    * given JVM — the pair structure is therefore oracle-checkable even
+    * though the hash values themselves live outside SQL. */
+  def syntheticImage(pattern: Int, fmt: String, w: Int = 96, h: Int = 64): Array[Byte] = {
+    require(w > 0 && h > 0, s"syntheticImage needs positive dims, got ${w}x$h")
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val freq = 4.0 + (pattern & 0xf)
+    val phase = (pattern & 0xf) * 1.7
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val base = x * 255 / w
+        val wave = (math.sin(x / freq + phase + y / 40.0) * 60).toInt
+        val v = math.min(255, math.max(0, base / 3 + 90 + wave))
+        img.setRGB(x, y, (v << 16) | (v << 8) | v)
+        x += 1
+      }
+      y += 1
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    ImageIO.write(img, fmt, out)
+    out.toByteArray
+  }
+
   /** dHash every decodable image entry: (archive, entry, dhash) — the
     * IMAGE arm of the near-dup ladder. Feed the result to
     * [[graft.operators.Dedup.hammingNearDupPairs64]] (banded, never

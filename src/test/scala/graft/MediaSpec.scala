@@ -328,6 +328,35 @@ class MediaSpec extends SparkSuite {
     assert(!f.exists())
   }
 
+  test("syntheticImage dHash margins hold for every q192 pattern pair") {
+    // q192's oracle states pairs as a pure id relation (same pattern),
+    // which is only valid if EVERY within-pattern re-encode lands within
+    // the banded radius (<= 3 bits) and EVERY cross-pattern pair lands
+    // well outside it. Pin both margins over the full 16-pattern set so a
+    // generator tweak that erodes them fails here, not in the oracle gate.
+    def hamming(x: Long, y: Long): Int = java.lang.Long.bitCount(x ^ y)
+    val hashes = (0 until 16).map { p =>
+      val hp = Media.dHash64(Media.syntheticImage(p, "png")).get
+      val hj = Media.dHash64(Media.syntheticImage(p, "jpg")).get
+      (p, hp, hj)
+    }
+    for ((p, hp, hj) <- hashes)
+      assert(hamming(hp, hj) <= 3,
+        s"pattern $p: png-vs-jpg re-encode distance ${hamming(hp, hj)} > 3")
+    for ((p, hp, _) <- hashes; (q, hq, hqj) <- hashes if p < q) {
+      assert(hamming(hp, hq) > 3,
+        s"patterns $p/$q: png-png distance ${hamming(hp, hq)} <= 3")
+      assert(hamming(hp, hqj) > 3,
+        s"patterns $p/$q: png-jpg distance ${hamming(hp, hqj)} <= 3")
+    }
+    // byte-determinism: re-rendering is bit-identical (what lets the
+    // driver hash-compare q192 across runs)
+    assert(java.util.Arrays.equals(Media.syntheticImage(5, "png"),
+      Media.syntheticImage(5, "png")))
+    assert(java.util.Arrays.equals(Media.syntheticImage(5, "jpg"),
+      Media.syntheticImage(5, "jpg")))
+  }
+
   test("image dHash: re-encode-invariant, distinct images far, banded pairs find the dup") {
     import spark.implicits._
     // a smooth high-contrast wave over a gradient: non-degenerate hash
