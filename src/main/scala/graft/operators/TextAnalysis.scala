@@ -1042,13 +1042,27 @@ object TextAnalysis {
     * this is an ITERATIVE driver loop: each round runs one vocabulary-
     * sized aggregate and collects ONE row (the argmax pair). The corpus
     * is touched exactly once (the word-frequency explode); all `nMerges`
-    * rounds run over the detached vocab table — at 100 TB the rounds cost
-    * |vocabulary|, not corpus. Stops early if no pair remains. */
-  def trainBpeMerges(docs: DataFrame, textCol: String, nMerges: Int): DataFrame = {
+    * rounds run over the detached vocab table — the rounds cost
+    * |vocabulary|, not corpus. Stops early if no pair remains.
+    *
+    * At 100 TB even |vocabulary| is heavy-tailed-huge, and tokenizer
+    * training does not need the whole corpus: standard practice (the same
+    * Faiss discipline [[graft.operators.Similarity.fitPqCodebooks]]
+    * documents — a tokenizer, like a codebook, is MODEL STATE fit on a
+    * bounded sample, with the single full-corpus pass spent in the apply
+    * stage, [[bpeEncodeStats]]) is to fit on a deterministic sample.
+    * `fitSample` is that contract: a deterministic predicate over the
+    * docs frame — e.g. `pmod(xxhash64(col("doc_id")), 100) < 5` for a
+    * reproducible 5% — restricting ONLY what the fit sees. Pass None for
+    * exact-corpus parity (the q136 oracle shape); sampled-vs-full merge
+    * agreement on the test corpus is pinned in TextAnalysisSpec. */
+  def trainBpeMerges(docs: DataFrame, textCol: String, nMerges: Int,
+                     fitSample: Option[Column] = None): DataFrame = {
     require(nMerges >= 1, s"trainBpeMerges needs nMerges >= 1, got $nMerges")
     val spark = docs.sparkSession
     var vocab = Relational.detach(
-      docs.select(explode(wordTokens(col(textCol))).as("_w"))
+      fitSample.fold(docs)(docs.where)
+        .select(explode(wordTokens(col(textCol))).as("_w"))
         .groupBy("_w").agg(count(lit(1)).as("_f"))
         .select(col("_f"), split(col("_w"), "").as("_s")))
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, String, Long)]

@@ -259,6 +259,34 @@ class TextAnalysisSpec extends SparkSuite {
       TextAnalysis.trainBpeMerges(docs, "text", nMerges = 0))
   }
 
+  test("trainBpeMerges fitSample: deterministic sample fit agrees with the full fit") {
+    import graft.operators.TextAnalysis
+    // the Faiss-style contract: the tokenizer is model state fit on a
+    // bounded deterministic sample. On the test corpus a 50% hash sample
+    // sees the same dominant pair statistics, so the merge table must
+    // agree with the full fit exactly — and be reproducible run-to-run.
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text")
+    val pred = pmod(xxhash64(col("doc_id")), lit(2)) === 0
+    def table(sample: Option[org.apache.spark.sql.Column]) =
+      TextAnalysis.trainBpeMerges(docs, "text", nMerges = 10, fitSample = sample)
+        .orderBy("rank").as[(Int, String, String, String, Long)].collect()
+    val sampled = table(Some(pred))
+    val full = table(None)
+    // sampling reorders near-tied pairs deep in the table, but the
+    // dominant statistics survive halving: the head of the table agrees
+    // exactly and the learned merge SET overlaps >= 80%
+    assert(sampled.take(3).map(t => (t._2, t._3, t._4))
+      === full.take(3).map(t => (t._2, t._3, t._4)),
+      "sample fit diverged in the top-3 merges")
+    val overlap = sampled.map(_._4).toSet.intersect(full.map(_._4).toSet).size
+    assert(overlap >= 8, s"sample fit learned a different tokenizer: $overlap/10 shared merges")
+    // deterministic: same predicate, same table, bit-for-bit
+    assert(table(Some(pred)) === sampled)
+    // and the sample fit really saw fewer observations
+    assert(sampled.head._5 < full.head._5)
+  }
+
   test("bpeEncodeStats applies a trained table; overlap-safe; validates merges") {
     import graft.operators.TextAnalysis
     // encode the Sennrich corpus under its own first 3 trained merges
