@@ -588,8 +588,12 @@ object SparkEntry {
 
     // Sketch-path heavy hitters (Spark 4 native approx_top_k frequent-items
     // sketch): per-group state bounded by maxItemsTracked, map-side
-    // combinable — the 100-TB twin of q42's exact table. Estimates are
-    // sketch-dependent, so rows-only (q59/q70/q71 contract).
+    // combinable — the 100-TB twin of q42's exact table. HASH-CHECKED, not
+    // rows-only: the frequent-items sketch provably degenerates to exact
+    // counts whenever the per-group vocabulary fits the tracked capacity
+    // (31 distinct tokens per lang in this corpus vs 10000 tracked —
+    // SketchParitySpec pins the degeneration property itself), so the
+    // exact top-10 per lang IS the oracle at every SF the gate runs.
     "q80_heavy_hitters" -> ((s, dir) => {
       TextAnalysis.heavyHitterTokens(Tables.documents(s, dir), "lang", "text", 10)
         .orderBy("lang", "rank")
@@ -2270,6 +2274,25 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // q173's exact twin: the BOILERPLATE-FLOOR verdict alone is a pure
+    // function of the doc id on this corpus — repeated-template docs
+    // compress ~20x (ratio 0.047) while the most compressible natural doc
+    // sits near 0.38, an 8x margin on BOTH sides of the 0.1 floor, so the
+    // below-floor bit is robust to any conforming DEFLATE implementation
+    // even though the byte counts themselves are zlib-version-dependent
+    // (why q173 stays rows-only). This makes the gate's core detection
+    // signal — the re-crawled-boilerplate catch — hash-checked against a
+    // DuckDB oracle that never decompresses anything.
+    "q193_compression_floor" -> ((s, dir) => {
+      val seeded = Tables.documents(s, dir).select(col("doc_id"),
+        when(col("doc_id") % 6 === 0,
+          expr("repeat('all work and no play makes jack a dull boy ', 30)"))
+          .otherwise(col("text")).as("text"))
+      TextAnalysis.compressionQuality(seeded, "doc_id", "text")
+        .select(col("doc_id"), (col("deflate_ratio") < lit(0.1)).as("below_floor"))
+        .orderBy("doc_id")
+    }),
+
     // Weighted per-language sampling without replacement (A-ES): 20 docs
     // per language, longer docs proportionally more likely — the
     // "sample N per slice, quality-weighted" mixture primitive;
@@ -3321,6 +3344,20 @@ object SparkEntry {
         |SELECT lang, CAST(rank AS INTEGER) AS rank, ngram, n_occur
         |FROM r WHERE rank <= 5 ORDER BY lang, rank""".stripMargin,
 
+    // Valid as an EXACT oracle because the per-lang vocabulary (31) is far
+    // below the sketch's tracked capacity (10000): approx_top_k never
+    // evicts, so every estimate is the true count — the degeneration
+    // property SketchParitySpec pins. A corpus regeneration with a real
+    // vocabulary would surface here as a hash mismatch, which is the
+    // correct loud failure (the oracle's validity premise broke).
+    "q80_heavy_hitters" ->
+      """WITH t AS (SELECT lang, unnest(string_split(text, ' ')) AS token FROM documents),
+        |c AS (SELECT lang, token, count(*) AS est_occur FROM t GROUP BY 1, 2),
+        |r AS (SELECT lang, token, est_occur,
+        |row_number() OVER (PARTITION BY lang ORDER BY est_occur DESC, token) AS rank FROM c)
+        |SELECT lang, CAST(rank AS INTEGER) AS rank, token, est_occur
+        |FROM r WHERE rank <= 10 ORDER BY lang, rank""".stripMargin,
+
     "q43_rolling" ->
       """WITH e AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts,
         |CAST(round(value * 100, 0) AS BIGINT) AS c FROM events)
@@ -3686,6 +3723,12 @@ object SparkEntry {
     // function of the id — renderings pair iff they share a pattern
     // (id % 16) — and MediaSpec pins the dHash distance margins that make
     // the banded-pair output equal exactly that relation.
+    // The floor verdict is id-arithmetic (see the query comment): only the
+    // synthesized template docs fall below the 0.1 boilerplate floor.
+    "q193_compression_floor" ->
+      """SELECT doc_id, doc_id % 6 = 0 AS below_floor
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
     "q192_image_neardup" ->
       """WITH k AS (SELECT range AS k FROM range(0, 64))
         |SELECT a.k AS id_a, b.k AS id_b

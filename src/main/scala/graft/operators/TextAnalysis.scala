@@ -621,15 +621,26 @@ object TextAnalysis {
     * `maxItemsTracked` small enough to force eviction.
     *
     * Output: (group, rank, token, est_occur), rank 1..k by estimated
-    * count desc, token asc for determinism. */
+    * count desc, token asc for determinism. `fetch` (default 4k) is how
+    * many items the sketch RETURNS before the deterministic re-rank cuts
+    * to k: the sketch breaks count ties at its own cut by internal hash
+    * order, so fetching only k would let a tie spanning the k-th place
+    * pick an arbitrary tied member — over-fetching moves the
+    * nondeterministic cut past every tie the output can observe (and when
+    * the vocabulary fits `fetch`, makes the output the exact
+    * deterministic top-k outright, which is what lets q80 carry a DuckDB
+    * oracle). */
   def heavyHitterTokens(docs: DataFrame, groupCol: String, textCol: String,
-                        k: Int, maxItemsTracked: Int = 10000): DataFrame = {
+                        k: Int, maxItemsTracked: Int = 10000,
+                        fetch: Int = -1): DataFrame = {
+    val f = math.min(if (fetch < 0) 4 * k else fetch, maxItemsTracked)
+    require(f >= k, s"heavyHitterTokens fetch $f must be >= k $k")
     val w = Window.partitionBy(groupCol)
       .orderBy(col("est_occur").desc, col("token").asc)
     docs.select(col(groupCol), tokens(col(textCol)).as("_tk"))
       .select(col(groupCol), explode(col("_tk")).as("_tok"))
       .groupBy(groupCol)
-      .agg(expr(s"approx_top_k(_tok, $k, $maxItemsTracked)").as("_top"))
+      .agg(expr(s"approx_top_k(_tok, $f, $maxItemsTracked)").as("_top"))
       .select(col(groupCol), explode(col("_top")).as("_hit"))
       .select(col(groupCol), col("_hit.item").as("token"),
         col("_hit.count").as("est_occur"))

@@ -13,7 +13,7 @@ class EntrySpec extends SparkSuite {
     // intentionally ship without a SQL oracle — the driver records the
     // weaker rows-only check for them.
     val rowsOnly = Set("q59_sketch_profile", "q70_winsorize_sketch",
-      "q71_robust_sketch", "q80_heavy_hitters", "q93_pq_ann", "q100_ivfpq_ann",
+      "q71_robust_sketch", "q93_pq_ann", "q100_ivfpq_ann",
       "q106_ivfpq_prefit", "q136_bpe_merges", "q191_pq_bigprobe",
       // DEFLATE output bytes are zlib-version-dependent: deterministic
       // within the engine, not portable to a DuckDB oracle
