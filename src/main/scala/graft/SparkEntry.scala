@@ -1355,6 +1355,30 @@ object SparkEntry {
         .orderBy("id_a", "id_b")
     }),
 
+    // AUDIO near-dup dedup end-to-end — q192's construction on the third
+    // modality: 64 deterministic synthetic recordings (16 patterns x 4
+    // renderings at different sample rates AND gains — the two edits a
+    // re-encoded copy actually has) -> WAV decode + energy-contour hash
+    // (Sound.audioAudit: bytes never shuffle) -> the SAME Manku-banded
+    // Hamming pair machinery. Near-dup structure is a pure function of the
+    // id (renderings pair iff same pattern), so the check is a full hash
+    // match; SoundSpec pins the rate/gain-invariance and cross-pattern
+    // margins the equivalence rests on.
+    "q194_audio_neardup" -> ((s, dir) => {
+      import s.implicits._
+      val renders = Seq((8000, 1.0), (16000, 1.0), (8000, 0.5), (11025, 0.8))
+      val files = s.range(64).as[Long].map { k =>
+        val (rate, gain) = renders((k / 16).toInt)
+        (f"rec_$k%03d.wav", Sound.syntheticWav((k % 16).toInt, rate, gain))
+      }.toDF("path", "content")
+      val hashes = Sound.audioAudit(files)
+        .select(regexp_extract(col("path"), "rec_(\\d+)", 1)
+          .cast("long").as("rec_id"), col("ehash"))
+      Dedup.hammingNearDupPairs64(hashes, "rec_id", "ehash", maxHamming = 3)
+        .select("id_a", "id_b")
+        .orderBy("id_a", "id_b")
+    }),
+
     // Fuzzy-dedup SCRUB: the transform twin of q65's cluster audit — keep
     // exactly one document (the smallest-id member) per MinHash-LSH
     // near-dup cluster and hand back the deduplicated corpus.
@@ -3730,6 +3754,15 @@ object SparkEntry {
         |FROM documents ORDER BY doc_id""".stripMargin,
 
     "q192_image_neardup" ->
+      """WITH k AS (SELECT range AS k FROM range(0, 64))
+        |SELECT a.k AS id_a, b.k AS id_b
+        |FROM k a JOIN k b ON a.k % 16 = b.k % 16 AND a.k < b.k
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    // Same id-arithmetic relation as q192 (see the query comment): the
+    // energy-contour hash cannot be computed in SQL, but the pairing it
+    // must produce can.
+    "q194_audio_neardup" ->
       """WITH k AS (SELECT range AS k FROM range(0, 64))
         |SELECT a.k AS id_a, b.k AS id_b
         |FROM k a JOIN k b ON a.k % 16 = b.k % 16 AND a.k < b.k

@@ -128,6 +128,54 @@ object Sound {
     }
   }
 
+  /** Deterministic synthetic test recording: 65 constant-energy blocks
+    * whose levels come from a pattern-keyed integer hash, rendered as
+    * 16-bit PCM mono WAV at any sample rate — [[Media.syntheticImage]]'s
+    * role for the audio arm of the near-dup ladder (q194). Adjacent
+    * blocks ALWAYS differ in level (the hash re-picks on a repeat, and
+    * the three levels are >=2x apart in energy), so every bit of the
+    * [[energyHash64]] contour is a strong comparison that survives
+    * resampling (time-relative blocks, same integer partition as the
+    * hash windows) and constant gain (energy ratios) — the two edits a
+    * re-encoded copy of the same recording actually has. Distinct
+    * patterns draw independent level sequences and land far apart;
+    * SoundSpec pins both margins. Samples alternate sign per index
+    * (square-ish tone) so the audit's ZCR is non-degenerate; magnitude
+    * is sign-symmetric, so the energy contour is unaffected. */
+  def syntheticWav(pattern: Int, rate: Int = 8000, gain: Double = 1.0): Array[Byte] = {
+    require(rate >= 200, s"syntheticWav needs rate >= 200 (65 blocks), got $rate")
+    require(gain > 0 && gain <= 1.0, s"syntheticWav needs gain in (0, 1], got $gain")
+    val levels = Array(0.12, 0.38, 0.85)
+    val lvlIdx = new Array[Int](65)
+    var w = 0
+    while (w < 65) {
+      val h = math.abs((pattern + 1) * 73856093 ^ w * 19349663) % 3
+      lvlIdx(w) = if (w > 0 && h == lvlIdx(w - 1)) (h + 1) % 3 else h
+      w += 1
+    }
+    val n = (rate * 4) / 5 // 0.8 s
+    val out = new java.io.ByteArrayOutputStream()
+    def w16(v: Int): Unit = { out.write(v & 0xff); out.write((v >> 8) & 0xff) }
+    def w32(v: Int): Unit = { w16(v & 0xffff); w16((v >>> 16) & 0xffff) }
+    out.write("RIFF".getBytes); w32(36 + 2 * n); out.write("WAVE".getBytes)
+    out.write("fmt ".getBytes); w32(16); w16(1); w16(1)
+    w32(rate); w32(rate * 2); w16(2); w16(16)
+    out.write("data".getBytes); w32(2 * n)
+    var i = 0
+    while (i < n) {
+      // block index tracks energyHash64's window partition of [0, n) to
+      // within one sample at the boundaries (floor-vs-ceil residue of the
+      // integer arithmetic); a single straddling sample shifts a window's
+      // mean energy by <= gap/(n/65) ~ 1%, far under the >=2x level gaps,
+      // so no contour comparison can flip at any rate
+      val blk = math.min(64, (i.toLong * 65 / n).toInt)
+      val amp = levels(lvlIdx(blk)) * gain * (if (i % 2 == 0) 1 else -1)
+      w16(math.round(amp * 32767).toInt & 0xffff)
+      i += 1
+    }
+    out.toByteArray
+  }
+
   /** Energy-contour hash: split the mono signal into 65 equal windows,
     * bit i = energy(window i+1) > energy(window i) — [[Media.dHash64]]'s
     * construction transplanted to time. Time-relative windows make the

@@ -41,6 +41,28 @@ class SoundSpec extends SparkSuite {
     }
   }
 
+  test("syntheticWav energy-hash margins hold for every q194 pattern pair") {
+    // q194's oracle states pairs as a pure id relation (same pattern) —
+    // valid only if every rendering of a pattern (any rate, any gain)
+    // lands within the banded radius and every cross-pattern pair lands
+    // well outside it. Pin both margins over the full 16-pattern x
+    // 4-rendering grid, plus byte-determinism (what lets the driver
+    // hash-compare across runs).
+    def ham(x: Long, y: Long): Int = java.lang.Long.bitCount(x ^ y)
+    val renders = Seq((8000, 1.0), (16000, 1.0), (8000, 0.5), (11025, 0.8))
+    def hash(p: Int, rate: Int, gain: Double): Long =
+      Sound.energyHash64(
+        Sound.decodeWavPcm(Sound.syntheticWav(p, rate, gain)).get.mono).get
+    val grid = (0 until 16).map(p => p -> renders.map { case (r, g) => hash(p, r, g) })
+    for ((p, hs) <- grid; h <- hs.tail)
+      assert(ham(hs.head, h) <= 3,
+        s"pattern $p: rendering distance ${ham(hs.head, h)} > 3")
+    for ((p, hp) <- grid; (q, hq) <- grid if p < q; a <- hp; b <- hq)
+      assert(ham(a, b) > 3, s"patterns $p/$q too close: ${ham(a, b)}")
+    assert(java.util.Arrays.equals(Sound.syntheticWav(7, 8000, 1.0),
+      Sound.syntheticWav(7, 8000, 1.0)))
+  }
+
   test("decodeWavPcm: 16-bit mono/stereo round-trip, sine RMS and ZCR as theory") {
     val rate = 8000
     val sine = Array.tabulate(8000)(i => 0.5 * math.sin(2 * math.Pi * 440 * i / rate))
