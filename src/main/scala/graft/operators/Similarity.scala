@@ -334,7 +334,19 @@ object Similarity {
       .select(col(idCol).as("probe_id"), col("cell_id"),
         graft.functions.GraftFunctions
           .pq_lut(col(vecCol).cast("array<double>"), col("_cv"), books).as("_lut"))
-    val probeSide = if (broadcastProbes) broadcast(lutDf) else lutDf
+    // The distributed path MUST materialize the LUT at an exchange before
+    // the cell join: left inline, the codegen'd broadcast join binds the
+    // stream-side `pq_lut` projection lazily at its first use, which is
+    // INSIDE the match loop — the 265-double table is then rebuilt once
+    // per scored pair instead of once per (probe, cell) row (measured 7x
+    // on q191's corpus-vs-corpus shape). The hash repartition on cell_id
+    // is the shuffle the Scaladoc already promises ("both sides shuffle
+    // once"), pins one-LUT-per-row at the shuffle write, and spreads the
+    // scoring over the probed cells instead of the probe scan's input
+    // splits.
+    val probeSide =
+      if (broadcastProbes) broadcast(lutDf)
+      else lutDf.repartition(col("cell_id"))
     val scored = encoded
       .select(col(idCol).cast("long").as("neighbor_id"),
         col("cell_id").cast("long").as("cell_id"), col("codes"))

@@ -27,24 +27,40 @@ object DebugPerf {
     for (round <- 1 to 2) {
       println(s"--- round $round ---")
       time("scan only")(noop(base))
+      val pre = {
+        import org.apache.spark.sql.types.StringType
+        val c1 = Clean.dropColumns(chunked, "thumb_original_url")
+        val c2 = Clean.castColumns(c1, Map("id" -> StringType, "creator_id" -> StringType))
+        val c3 = Clean.trimColumns(c2, Schemas.osv5mCategoricals)
+        Clean.dateParts(Clean.epochMillisToTimestamp(c3, "captured_at", "captured_ts"), "captured_ts")
+      }
+      time("pre-fill chain only")(noop(pre))
+      time("fill only (on pre)")(noop(
+        Clean.fillForwardBackward(pre, Schemas.osv5mFfillCols, Seq("id"), Seq("fill_chunk"))))
+      val narrowPre = pre.select((Seq("fill_chunk", "id") ++ Schemas.osv5mFfillCols).map(col): _*)
+      time("fill narrow (inline path)")(noop(
+        Clean.fillForwardBackward(narrowPre, Schemas.osv5mFfillCols, Seq("id"), Seq("fill_chunk"))))
+      time("one asc window pass only") {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy(col("fill_chunk")).orderBy(col("id").asc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        noop(narrowPre.select(col("id") +: Schemas.osv5mFfillCols.map(c =>
+          last(col(c), ignoreNulls = true).over(w).as(c)): _*))
+      }
       time("clean, chunk-partitioned fill")(noop(
         Clean.osv5mClean(chunked, "id", Seq("fill_chunk"))))
-      time("clean, UNpartitioned fill")(noop(Clean.osv5mClean(base, "id")))
-      val cleaned = Clean.osv5mClean(chunked, "id", Seq("fill_chunk"))
-      time("clean + labelEncodeAll")(noop(
-        Encode.labelEncodeAll(cleaned, Schemas.osv5mCategoricals)))
-      val encoded = Encode.labelEncodeAll(cleaned, Schemas.osv5mCategoricals)
-      time("clean + encode + standardScale")(noop(
-        Encode.standardScale(encoded, Schemas.osv5mScaleCols)))
       time("full q72")(noop(
         graft.SparkEntry.queries("q72_osv5m_clean")(spark, sfDir)))
-      time("q72 with detached clean") {
-        val det = graft.operators.Relational.detach(
-          Clean.osv5mClean(chunked, "id", Seq("fill_chunk")))
-        val enc = Encode.labelEncodeAll(det, Schemas.osv5mCategoricals)
-        noop(Encode.standardScale(enc, Schemas.osv5mScaleCols)
-          .orderBy("id"))
-      }
+      val det = time("detach clean (materialize)")(
+        graft.operators.Relational.detach(
+          Clean.osv5mClean(chunked, "id", Seq("fill_chunk"))))
+      val enc = time("labelEncodeAll on detached")(
+        { val e = Encode.labelEncodeAll(det, Schemas.osv5mCategoricals); noop(e); e })
+      time("standardScale on encoded")(noop(
+        Encode.standardScale(enc, Schemas.osv5mScaleCols)))
+      time("scale + orderBy on encoded")(noop(
+        Encode.standardScale(enc, Schemas.osv5mScaleCols).orderBy("id")))
+      graft.operators.Relational.release(det)
       time("full q78")(noop(
         graft.SparkEntry.queries("q78_osv5m_partfill")(spark, sfDir)))
     }
