@@ -958,15 +958,22 @@ object SparkEntry {
     "q72_osv5m_clean" -> ((s, dir) => {
       import graft.meta.Schemas
       // One fit scan for all five categoricals (labelEncodeAll) instead of
-      // five; the scaler-stats scan prunes the fill away entirely (the
-      // numeric columns are not fill targets), so the expensive parity fill
-      // is materialized full-width exactly once, in the final projection.
+      // five — and BOTH estimators fit on Clean.osv5mFitFrame, the
+      // pre-window-fill twin of the cleaned frame: the fill cannot change
+      // label vocabularies (it only copies values that already exist) and
+      // never touches the scale columns, so the fits are narrow
+      // column-pruned scans and the expensive parity fill runs exactly
+      // once, in the final apply pass (it would otherwise re-run per
+      // estimator fit). EncodeSpec pins the fit-frame equivalence.
       val chunked = osv5mFrame(s, dir)
         .withColumn("fill_chunk", floor(col("id") / lit(100000L)))
+      val fitFrame = Clean.osv5mFitFrame(chunked)
       val cleaned = Clean.osv5mClean(chunked, orderCol = "id",
         fillPartitionCols = Seq("fill_chunk"))
-      val encoded = Encode.labelEncodeAll(cleaned, Schemas.osv5mCategoricals)
-      val scaled = Encode.standardScale(encoded, Schemas.osv5mScaleCols)
+      val encoded = Encode.labelEncodeAll(cleaned, Schemas.osv5mCategoricals,
+        fitOn = Some(fitFrame))
+      val scaled = Encode.standardScale(encoded, Schemas.osv5mScaleCols,
+        fitOn = Some(fitFrame))
       scaled.select(
         col("id"), col("year"), col("month"), col("day"),
         col("region"), col("city"), col("unique_city"), col("creator_username"),

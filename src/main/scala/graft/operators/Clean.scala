@@ -165,12 +165,37 @@ object Clean {
   def osv5mClean(df: DataFrame, orderCol: String,
                  fillPartitionCols: Seq[String] = Nil): DataFrame = {
     import graft.meta.Schemas._
-    val cleaned = dropColumns(df, "thumb_original_url")
-    val casted = castColumns(cleaned, Map("id" -> StringType, "creator_id" -> StringType))
-    val trimmed = trimColumns(casted, osv5mCategoricals)
-    val ts = dateParts(epochMillisToTimestamp(trimmed, "captured_at", "captured_ts"), "captured_ts")
+    val ts = osv5mPreFill(df)
     val filled = fillForwardBackward(ts, osv5mFfillCols, Seq(orderCol), fillPartitionCols)
     val strings = fillString(filled, "Unknown", Seq("unique_city", "creator_username"))
     fillNumeric(strings)
   }
+
+  /** [[osv5mClean]] up to (excluding) the ffill/bfill — the drop / cast /
+    * trim / date-parts prefix. Exposed because it is the correct ESTIMATOR
+    * FIT frame for the chain's encoders: the fill only copies values that
+    * already exist within a window partition, so it cannot change any
+    * column's distinct non-null value set (label vocabularies), and the
+    * scale columns are not fill targets at all, so their value multisets
+    * are untouched too. Fitting on this frame (via the encoders' `fitOn`)
+    * keeps each fit a narrow column-pruned scan — the window fill, the
+    * chain's only wide sort, then runs exactly once, in the final apply
+    * pass. The string/numeric constant fills still matter for fit parity
+    * and are cheap narrow projections; [[osv5mFitFrame]] composes them. */
+  def osv5mPreFill(df: DataFrame): DataFrame = {
+    import graft.meta.Schemas._
+    val cleaned = dropColumns(df, "thumb_original_url")
+    val casted = castColumns(cleaned, Map("id" -> StringType, "creator_id" -> StringType))
+    val trimmed = trimColumns(casted, osv5mCategoricals)
+    dateParts(epochMillisToTimestamp(trimmed, "captured_at", "captured_ts"), "captured_ts")
+  }
+
+  /** The estimator-fit twin of [[osv5mClean]]'s output: [[osv5mPreFill]]
+    * plus the same constant fills, WITHOUT the window fill. Label
+    * vocabularies and scale statistics fit over this frame equal those fit
+    * over the full clean (see [[osv5mPreFill]] for why); EncodeSpec pins
+    * the equality. */
+  def osv5mFitFrame(df: DataFrame): DataFrame =
+    fillNumeric(fillString(osv5mPreFill(df), "Unknown",
+      Seq("unique_city", "creator_username")))
 }

@@ -44,16 +44,29 @@ object Encode {
     * so the per-column broadcast slices don't re-trigger the scan. Codes
     * are identical to per-column [[labelEncode]]: distinct non-null values
     * sorted ascending get 0..n-1. */
-  def labelEncodeAll(df: DataFrame, cols: Seq[String]): DataFrame = {
+  def labelEncodeAll(df: DataFrame, cols: Seq[String],
+                     fitOn: Option[DataFrame] = None): DataFrame = {
     require(cols.nonEmpty, "labelEncodeAll needs at least one column")
     require(cols.distinct.size == cols.size,
       s"labelEncodeAll got duplicate columns: ${cols.diff(cols.distinct).distinct.mkString(", ")}")
+    // `fitOn` splits fit from apply (sklearn's fit/transform): the vocab is
+    // learned from `fitOn` and applied to `df`. The caller owns the
+    // equivalence argument — the split pays off when `df` hangs off an
+    // expensive tail (a window fill, a join) that provably cannot change
+    // the distinct non-null value set, so the fit scan stays a cheap
+    // column-pruned pass over the upstream frame instead of re-running the
+    // tail once per estimator. Values present in `df` but not in `fitOn`
+    // take a null code (the left join below), same as applying a fitted
+    // encoder to unseen data.
+    val fitFrame = fitOn.getOrElse(df)
     cols.foreach { c =>
       require(df.schema(c).dataType == org.apache.spark.sql.types.StringType,
         s"labelEncodeAll fits string columns; '$c' is ${df.schema(c).dataType.sql} " +
           "(cast first, or use labelEncode per column)")
+      require(fitFrame.schema(c).dataType == org.apache.spark.sql.types.StringType,
+        s"labelEncodeAll fitOn column '$c' is ${fitFrame.schema(c).dataType.sql}, need string")
     }
-    val pairs = df
+    val pairs = fitFrame
       .select(explode(array(cols.map(c =>
         struct(lit(c).as("_c"), col(c).as("_v"))): _*)).as("p"))
       .select(col("p._c").as("_c"), col("p._v").as("_v"))
@@ -70,9 +83,14 @@ object Encode {
   /** E2 — z-score standardization with population stddev (sklearn ddof=0,
     * read_csv_s3_train.py:106-109). One agg pass for all columns, one
     * broadcast cross join to apply. Output column `<c>_z`. */
-  def standardScale(df: DataFrame, cols: Seq[String]): DataFrame = {
+  def standardScale(df: DataFrame, cols: Seq[String],
+                    fitOn: Option[DataFrame] = None): DataFrame = {
     require(cols.nonEmpty, "standardScale needs at least one column")
-    val stats = df.agg(
+    // Same fit/apply split as [[labelEncodeAll]]: stats come from `fitOn`
+    // when given; the caller owns the argument that the multiset of values
+    // in `cols` is identical there (e.g. the apply frame only adds columns
+    // or rewrites columns outside `cols`).
+    val stats = fitOn.getOrElse(df).agg(
       avg(col(cols.head)).as(s"${cols.head}_mu"),
       cols.tail.map(c => avg(col(c)).as(s"${c}_mu")) ++
         cols.map(c => stddev_pop(col(c)).as(s"${c}_sigma")): _*)

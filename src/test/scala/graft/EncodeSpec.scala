@@ -45,6 +45,46 @@ class EncodeSpec extends SparkSuite {
     assert(err.getMessage.contains("string columns"))
   }
 
+  test("fitOn split: fits from the fit frame, applies to the main frame") {
+    // vocab comes from fitOn (a,b,c); value "d" in the apply frame is
+    // unseen -> null code, like a fitted encoder on new data
+    val applyDf = df.union(Seq(("d", 9.0)).toDF("cat", "x"))
+    val enc = Encode.labelEncodeAll(applyDf, Seq("cat"), fitOn = Some(df))
+    assert(enc.where(col("cat") === "d" && col("cat_code").isNull).count() === 1)
+    assert(enc.agg(max("cat_code")).head().getLong(0) === 2L)
+    // scale stats come from fitOn: x=1..7 (mu=4), not the apply frame's 1..9
+    val sc = Encode.standardScale(applyDf, Seq("x"), fitOn = Some(df))
+    val zAt4 = sc.where(col("x") === 4.0).select("x_z").head().getDouble(0)
+    assert(math.abs(zAt4) < 1e-12) // mu of the FIT frame is exactly 4
+  }
+
+  test("osv5m fit-frame equivalence: fits on osv5mFitFrame equal fits on the full clean") {
+    // The q72 contract: the window fill cannot change label vocabularies or
+    // scale-column multisets, so estimators fit on Clean.osv5mFitFrame must
+    // equal estimators fit on the filled/cleaned frame bit-for-bit.
+    import graft.operators.Clean
+    import graft.meta.Schemas
+    val base = graft.SparkEntry.osv5mFrame(spark, "/root/testdata/sf0.001")
+      .withColumn("fill_chunk", floor(col("id") / lit(100L)))
+    val fitFrame = Clean.osv5mFitFrame(base)
+    val cleaned = Clean.osv5mClean(base, "id", Seq("fill_chunk"))
+    val viaFit = Encode.standardScale(
+      Encode.labelEncodeAll(cleaned, Schemas.osv5mCategoricals, fitOn = Some(fitFrame)),
+      Schemas.osv5mScaleCols, fitOn = Some(fitFrame))
+    val viaClean = Encode.standardScale(
+      Encode.labelEncodeAll(cleaned, Schemas.osv5mCategoricals),
+      Schemas.osv5mScaleCols)
+    // z columns agree to 6 decimals (the q72 oracle contract), not
+    // bit-for-bit: the two fits aggregate in different plan shapes, and
+    // float addition is not associative. Codes and every carried column
+    // must be exact.
+    val zCols = Schemas.osv5mScaleCols.map(c => s"${c}_z")
+    val cols = viaClean.columns.sorted.toSeq.map(c =>
+      if (zCols.contains(c)) round(col(c), 6).as(c) else col(c))
+    assert(viaFit.select(cols: _*).orderBy("id").collect()
+      === viaClean.select(cols: _*).orderBy("id").collect())
+  }
+
   test("standardScale: z-scores have mean ~0 and stddev_pop ~1") {
     val out = Encode.standardScale(df, Seq("x"))
     val r = out.agg(avg("x_z"), stddev_pop("x_z")).head()
