@@ -155,15 +155,25 @@ object Similarity {
     * probe near a cell boundary; corpus work grows with nprobe, never with
     * corpus size). Returns (probe_id, rank, neighbor_id, cosine). A
     * neighbor lives in exactly one cell, so multi-probe candidates are
-    * naturally duplicate-free. */
+    * naturally duplicate-free.
+    *
+    * `broadcastProbes` mirrors [[ivfPqTopK]]: true (default) is the serve
+    * shape — a small probe batch broadcast against the corpus, zero corpus
+    * shuffle; false is the corpus-vs-corpus shape — the probe side
+    * repartitions on cell_id and the cell join is a plain distributed
+    * equi-join, so the probe set can itself be a 100-TB corpus (the probe
+    * rows carry (id, vector, cell_id) through one hash exchange; there is
+    * no per-row table build on this tier, so the exchange is for
+    * parallelism and shuffle-shape, not for materialization). */
   def ivfTopK(corpus: DataFrame, centroids: DataFrame, probes: DataFrame, k: Int,
               idCol: String = "vec_id", vecCol: String = "embedding",
-              nprobe: Int = 1): DataFrame = {
+              nprobe: Int = 1, broadcastProbes: Boolean = true): DataFrame = {
     val cells = assignCells(corpus, centroids, idCol, vecCol)
     val p = assignCellsMulti(probes, centroids, nprobe, idCol, vecCol)
       .select(col(idCol).as("probe_id"), col(vecCol).as("probe_vec"), col("cell_id"))
+    val probeSide = if (broadcastProbes) broadcast(p) else p.repartition(col("cell_id"))
     val c = cells.select(col(idCol).as("neighbor_id"), col(vecCol).as("cand_vec"), col("cell_id"))
-    val scored = c.join(broadcast(p), "cell_id")
+    val scored = c.join(probeSide, "cell_id")
       .where(col("neighbor_id") =!= col("probe_id"))
       .withColumn("cosine", cosine_similarity(col("probe_vec"), col("cand_vec")))
     topKPerProbe(scored, k)

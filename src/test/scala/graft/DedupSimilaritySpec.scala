@@ -161,6 +161,20 @@ class DedupSimilaritySpec extends SparkSuite {
     assert(multi(0)._3 === 21L)  // the second-closest cell holds the true nearest
   }
 
+  test("ivfTopK distributed-probe join equals the broadcast-probe path") {
+    // Same contract as the ivfPqTopK pin: broadcastProbes only picks the
+    // cell-id join strategy; the scored pairs and rankings are identical,
+    // so a corpus-sized probe set (bitext mining on the raw-vector tier)
+    // returns bit-identical results to the broadcast serve shape.
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select(col("vec_id"), col("embedding")).where(col("vec_id") < 64)
+    val cents = Similarity.trainCentroids(emb, 4, 2)
+    def run(bcast: Boolean) =
+      Similarity.ivfTopK(emb, cents, emb, 3, nprobe = 2, broadcastProbes = bcast)
+        .orderBy("probe_id", "rank").as[(Long, Long, Long, Double)].collect()
+    assert(run(bcast = false) === run(bcast = true))
+  }
+
   test("fuzzyPairs: prefix-blocked thresholded levenshtein finds typo pairs only") {
     val docs = Seq(
       (1L, "the quick brown fox jumps over the lazy dog"),
