@@ -30,6 +30,14 @@ object Bench {
       // driver run showed the eviction signature again at 129 queries
       // (q13 4.61 s in-suite vs 0.47 s standalone).
       .config("spark.sql.codegen.cache.maxEntries", "24000")
+      // Let file scans split down to ~totalBytes/defaultParallelism:
+      // maxSplitBytes = min(maxPartitionBytes, max(openCost, bytes/cores)),
+      // so the default 4 MiB openCost floors every sub-128-MiB table at ONE
+      // split and stage 1 of each query runs on one core. 8 KiB keeps the
+      // formula's self-scaling term in charge; combined with the
+      // SplitLayout row-group normalization the small-SF scans run at full
+      // width, the same shape a production multi-file input gets for free.
+      .config("spark.sql.files.openCostInBytes", "8192")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Warm the JVM/codegen/parquet-reader paths so the first measured query

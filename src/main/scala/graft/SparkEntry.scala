@@ -291,11 +291,18 @@ object SparkEntry {
       u.groupBy("o_orderstatus").agg(count(lit(1)).as("n")).orderBy("o_orderstatus")
     }),
 
-    // G1 — fixed-count micro-batch ids + per-batch stats.
+    // G1 — fixed-count micro-batch ids + per-batch stats. The batching
+    // order carries l_extendedprice as the final tiebreak because
+    // (l_orderkey, l_linenumber) is NOT unique in the synthetic lineitem:
+    // without it the row index is only defined up to tie permutation and
+    // the oracle agreed by the accident of identical file read order
+    // (caught when SplitLayout changed the scan layout). Ties on all
+    // three keys are price-equal, so any residual permutation cannot
+    // change a batch's count or sum.
     "q15_microbatch" -> ((s, dir) => {
       Batching.microBatchId(
         Tables.lineitem(s, dir).select("l_orderkey", "l_linenumber", "l_extendedprice"),
-        Seq("l_orderkey", "l_linenumber"), 200)
+        Seq("l_orderkey", "l_linenumber", "l_extendedprice"), 200)
         .groupBy("batch_id")
         .agg(count(lit(1)).as("n"),
           (sum(cents(col("l_extendedprice")).cast("decimal(28,0)")).cast("double") / 100.0).as("batch_price"))
@@ -3087,7 +3094,7 @@ object SparkEntry {
 
     "q15_microbatch" ->
       """WITH x AS (SELECT l_extendedprice,
-        |row_number() OVER (ORDER BY l_orderkey, l_linenumber) - 1 AS rn FROM lineitem)
+        |row_number() OVER (ORDER BY l_orderkey, l_linenumber, l_extendedprice) - 1 AS rn FROM lineitem)
         |SELECT CAST(floor(rn / 200.0) AS BIGINT) AS batch_id, count(*) AS n,
         |CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)) AS DOUBLE) / 100.0 AS batch_price
         |FROM x GROUP BY 1 ORDER BY 1""".stripMargin,

@@ -14,6 +14,7 @@ object Verify {
       .config("spark.ui.enabled", "false")
       // size the generated-code cache to the suite (see Bench.scala)
       .config("spark.sql.codegen.cache.maxEntries", "24000")
+      .config("spark.sql.files.openCostInBytes", "8192") // see Bench: scan-split self-scaling
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

@@ -25,7 +25,11 @@ object Tables {
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     if (name == "events")
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val df = spark.read.parquet(s"$sfDir/$name.parquet")
+    // Route monolithic single-row-group snapshots through the split-layout
+    // cache (see [[graft.sources.SplitLayout]]): same rows, same schema,
+    // but the scan parallelizes. A no-op for multi-file/small inputs.
+    val df = spark.read.parquet(
+      graft.sources.SplitLayout.normalized(spark, s"$sfDir/$name.parquet"))
     name match {
       case "events" => normalizeEventTs(df)
       case "documents" => normalizeIds(df, Seq("doc_id", "n_chars"))

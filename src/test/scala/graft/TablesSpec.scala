@@ -118,4 +118,42 @@ class TablesSpec extends SparkSuite {
     assert(e.schema("vec_id").dataType == LongType)
     assert(d.limit(1).count() == 1L && e.limit(1).count() == 1L)
   }
+
+  test("SplitLayout: small and multi-file inputs pass through untouched") {
+    import graft.sources.SplitLayout
+    // a sub-threshold single file stays monolithic
+    val dir = Files.createTempDirectory("graft_split_spec").toFile
+    val small = new java.io.File(dir, "small.parquet")
+    spark.range(10).coalesce(1).write.parquet(small.getPath + ".d")
+    // (a directory — i.e. any multi-file layout — is never rewritten)
+    assert(SplitLayout.normalized(spark, small.getPath + ".d") == small.getPath + ".d")
+    assert(SplitLayout.normalized(spark, "/nonexistent/x.parquet")
+      == "/nonexistent/x.parquet")
+  }
+
+  test("SplitLayout: a big monolithic file rewrites once, content-identical") {
+    import graft.sources.SplitLayout
+    val dir = Files.createTempDirectory("graft_split_spec2").toFile
+    // ~200 KB single parquet file (above the 128 KB threshold), one task
+    val src = new java.io.File(dir, "big.parquet")
+    val df = spark.range(20000).selectExpr("id", "repeat('x', id % 37) AS pad",
+      "CAST(id * 1.5 AS DOUBLE) AS v")
+    df.coalesce(1).write.parquet(src.getPath + ".tmp")
+    val part = new java.io.File(src.getPath + ".tmp").listFiles()
+      .find(_.getName.endsWith(".parquet")).get
+    Files.move(part.toPath, src.toPath)
+    assume(src.length() >= 128L * 1024, s"fixture too small: ${src.length()}")
+    val norm = SplitLayout.normalized(spark, src.getPath)
+    assert(norm != src.getPath, "big monolithic file must be rewritten")
+    val files = new java.io.File(norm).listFiles().count(_.getName.endsWith(".parquet"))
+    assert(files > 1, s"rewrite produced $files file(s), expected a split layout")
+    // byte-identical content (same rows, same values)
+    val a = spark.read.parquet(src.getPath).orderBy("id").collect()
+    val b = spark.read.parquet(norm).orderBy("id").collect()
+    assert(a === b)
+    // second call is a pure cache hit (same path, no re-write)
+    val mtime = new java.io.File(norm, "_SUCCESS").lastModified()
+    assert(SplitLayout.normalized(spark, src.getPath) == norm)
+    assert(new java.io.File(norm, "_SUCCESS").lastModified() == mtime)
+  }
 }
