@@ -15,6 +15,8 @@ object DebugQ {
         sys.env.getOrElse("MPB", "134217728"))
       .config("spark.sql.files.openCostInBytes",
         sys.env.getOrElse("OCB", "4194304"))
+      .config("spark.sql.windowExec.buffer.in.memory.threshold",
+        sys.env.getOrElse("WBT", "4096"))
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -9,7 +9,7 @@ import org.apache.spark.sql.functions._
   * the bucketed-layout write/join cost split, and the funnel's
   * stages-cost-compute-not-shuffles claim (dev aid; measured numbers
   * land in BASELINE.md). Args select sections: `fill`, `skew`, `bucket`,
-  * `funnel`, `pq`, `spanscrub`, `fuzzydedup`, `cleanscrub`, `packbudget`, `simhashband`,
+  * `funnel`, `pq`, `bigprobe`, `spanscrub`, `fuzzydedup`, `cleanscrub`, `packbudget`, `simhashband`,
   * `wordlm`, `bloomdedup`, `winnow`, `chatshard`, `warcsrc`, `jsonlsrc`,
   * `gram`, `legacy` (no args = all). */
 object ScaleProbe {
@@ -145,6 +145,62 @@ object ScaleProbe {
       time2("funnel 6-stage @ 8M events")(noop(Behavior.funnel(
         e, "user_id", "ts", "event_type",
         Seq("view", "click", "cart", "pay", "share", "return"), 86400)))
+    }
+
+    // Distributed-probe retrieval at corpus-vs-corpus scale: the r14 shape
+    // where the probe set is itself a big table (bitext mining). Broadcast
+    // serve vs distributed equi-join on the SAME 1M x 64d index, probe
+    // sets 1k (serve-sized) and 100k (100x past any broadcast budget —
+    // the shape the driver-side LUT build could not run at all).
+    if (sections("bigprobe")) {
+      import graft.operators.Similarity
+      val vecs = spark.range(0, 1000000).select(
+        col("id").as("vec_id"),
+        expr("transform(sequence(1, 64), d -> " +
+          "CAST((id * 2654435761 + d * 40503) % 104729 AS DOUBLE) / 104729.0 - 0.5)")
+          .as("embedding"))
+      val vPath = "/tmp/graft_probe_bigprobe"
+      time("write 1M x 64d vectors")(
+        vecs.write.mode("overwrite").parquet(vPath))
+      val v = spark.read.parquet(vPath)
+      // 256 cells for 1M vectors (≈4k members/cell) and nprobe=8: each
+      // probe scans ~3% of the corpus — a realistic recall/pruning
+      // posture, and what keeps the scored-pair volume proportional to
+      // |probes| x corpus/32 instead of quadratic-looking blowups.
+      val sample = v.where(col("vec_id") % 100 === 0)
+      val cents = Similarity.trainCentroids(sample, k = 256, iterations = 3)
+      cents.persist().count()
+      val books = Similarity.fitIvfPqCodebooks(sample, cents, m = 8, ksub = 16,
+        iterations = 3)
+      books.collect()
+      val idxPath = "/tmp/graft_probe_bigprobe_idx"
+      time("ivfPqEncode 1M x 64d")(
+        Similarity.ivfPqEncode(v, cents, books).write.mode("overwrite").parquet(idxPath))
+      val idx = spark.read.parquet(idxPath)
+      def time2(name: String)(f: => Unit): Unit = {
+        val ts = (1 to 2).map { _ =>
+          val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+        }
+        println(f"[probe] $name%-34s ${ts.min}%.2f s (min of 2)")
+      }
+      val probes1k = v.where(col("vec_id") % 1000 === 7)
+      val probes10k = v.where(col("vec_id") % 100 === 7)
+      val probes100k = v.where(col("vec_id") % 10 === 7)
+      time2("ivf-pq 1k probes, broadcast")(noop(
+        Similarity.ivfPqTopK(idx, cents, books, probes1k, 10, nprobe = 8)))
+      time2("ivf-pq 1k probes, distributed")(noop(
+        Similarity.ivfPqTopK(idx, cents, books, probes1k, 10, nprobe = 8,
+          broadcastProbes = false)))
+      time2("ivf-pq 100k probes, distributed")(noop(
+        Similarity.ivfPqTopK(idx, cents, books, probes100k, 10, nprobe = 8,
+          broadcastProbes = false)))
+      // raw tier at 10k probes: uncompressed vectors cost 64 mults per
+      // scored pair vs PQ's 8 table reads, so the same probe volume is
+      // ~8x the flops — 10k here measures the shape, not a stress test
+      time2("ivf raw 10k probes, distributed")(noop(
+        Similarity.ivfTopK(v, cents, probes10k, 10, nprobe = 8,
+          broadcastProbes = false)))
+      cents.unpersist()
     }
 
     if (sections("pq")) {
