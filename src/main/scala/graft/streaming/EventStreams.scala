@@ -359,6 +359,108 @@ object EventStreams {
       .toDF("bucket", idCol, "kept")
   }
 
+  /** Streaming fuzzy-TEXT near-dup scrub (MinHash-LSH banded,
+    * `transformWithState`, Spark 4) — the missing rung between
+    * [[incrementalDedupStream]] (exact) and [[semanticDedupStream]]
+    * (embedding): drop any document with a SMALLER-id band-mate whose
+    * estimated Jaccard (fraction of equal MinHash slots, the same
+    * [[graft.functions.MinHashSig]] kernel as every batch fuzzy operator,
+    * so est values are identical multiples of 1/16 and the `tau` boundary
+    * is engine-reproducible) reaches `tau`.
+    *
+    * SEMANTICS — direct-neighbor keep-first, NOT connected components.
+    * A document is dropped in a bucket iff an earlier (smaller-id) doc in
+    * THAT band bucket clears `tau`; its overall verdict is the AND over
+    * its `LshBands` bucket rows. This is exactly the batch rule "drop
+    * id_b of every [[graft.operators.Dedup.lshCandidatePairs]] pair with
+    * est_jaccard >= tau" (pinned in IngestStreamingSpec), and a strict
+    * SUBSET of [[graft.operators.Dedup.fuzzyDedupKeepFirst]]'s removals:
+    * the CC transform also collapses transitive chains (x~z~m drops x via
+    * the path even when x has no direct smaller-id edge), which needs a
+    * global pair graph no bucket-local stateful operator can see. For
+    * star-shaped dup families (one original, k variants — the dominant
+    * real shape) the two agree exactly; both facts are pinned in the spec.
+    *
+    * EXACT parity with that pairwise rule under any arrival order, the
+    * [[semanticDedupStream]] philosophy: state per bucket is every
+    * (id, sig) ever seen there, each micro-batch re-runs the recurrence
+    * over the union and re-emits the whole touched bucket, so a smaller-id
+    * original arriving late retroactively flips earlier survivors.
+    * Emits `(bucket, idCol, kept_in_bucket)` in Update mode; readers keep
+    * the LAST row per (bucket, id) and AND over the id's buckets — the
+    * column is named `kept_in_bucket`, not `kept`, precisely so the
+    * remaining aggregation step is visible in consuming code.
+    *
+    * Scale shape: signature and band keys are computed BEFORE the stateful
+    * shuffle (one narrow [[graft.functions.MinHashSig]] pass — text never
+    * shuffles); the exchange carries (bucket, id, 16-slot sig) — the same
+    * fixed-width rows the batch [[graft.operators.Dedup.lshIndex]]
+    * persists, and state growth matches that index's contract (seen docs x
+    * LshBands) with the retained-droppers caveat the semantic twin
+    * documents. `ttl` (opt-in, processing-time mode) bounds state at the
+    * same batch-parity cost. Requires the RocksDB state store provider. */
+  def fuzzyDedupStream(docs: DataFrame, tau: Double,
+                       idCol: String = "doc_id", textCol: String = "text",
+                       ttl: Option[java.time.Duration] = None): DataFrame = {
+    import org.apache.spark.sql.Encoders
+    import org.apache.spark.sql.streaming.{ListState, OutputMode, StatefulProcessor, TimeMode, TimerValues, TTLConfig}
+    require(tau > 0 && tau <= 1, s"fuzzyDedupStream needs tau in (0, 1], got $tau")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val ttlConfig = ttl.map(TTLConfig.apply).getOrElse(TTLConfig.NONE)
+    val k = graft.operators.Dedup.MinhashK
+    val bands = graft.operators.Dedup.LshBands
+    val rows = k / bands
+
+    // fraction of equal slots — estJaccardCol's exact arithmetic (sigs are
+    // always K slots by construction; the min guard is checkpoint-replay
+    // paranoia, not a semantic branch)
+    def estJaccard(a: Seq[Long], b: Seq[Long]): Double = {
+      val n = math.min(k, math.min(a.length, b.length))
+      var eq = 0; var i = 0
+      while (i < n) { if (a(i) == b(i)) eq += 1; i += 1 }
+      eq.toDouble / k
+    }
+
+    class FuzzyProcessor extends StatefulProcessor[String, (String, Long, Seq[Long]), (String, Long, Boolean)] {
+      @transient private var seen: ListState[(Long, Seq[Long])] = _
+      override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+        seen = getHandle.getListState[(Long, Seq[Long])]("seen_sigs",
+          Encoders.product[(Long, Seq[Long])], ttlConfig)
+      override def handleInputRows(bucket: String, rowsIt: Iterator[(String, Long, Seq[Long])],
+          tv: TimerValues): Iterator[(String, Long, Boolean)] = {
+        val incoming = rowsIt.map { case (_, id, s) => (id, s) }.toArray
+        if (incoming.isEmpty) return Iterator.empty
+        val all = (seen.get().toArray ++ incoming)
+          .groupBy(_._1).map(_._2.head).toArray.sortBy(_._1)
+        seen.clear()
+        seen.put(all)
+        // direct-neighbor keep-first over the union: dropped iff ANY
+        // earlier-id bucket-mate (kept or dropped) clears tau
+        all.indices.iterator.map { i =>
+          val (id, s) = all(i)
+          val dropped = (0 until i).exists(j => estJaccard(all(j)._2, s) >= tau)
+          (bucket, id, !dropped)
+        }
+      }
+    }
+
+    docs
+      .select(col(idCol).cast("long").as("_id"),
+        graft.functions.GraftFunctions.minhash_sig(col(textCol)).as("_sig"))
+      .where(col("_id").isNotNull && col("_sig").isNotNull)
+      .select(explode(expr(
+          s"transform(sequence(0, ${bands - 1}), b -> concat_ws('|', b, " +
+            s"concat_ws('-', slice(_sig, b * $rows + 1, $rows))))")).as("_bucket"),
+        col("_id"), col("_sig"))
+      .as[(String, Long, Seq[Long])]
+      .groupByKey(_._1)
+      .transformWithState(new FuzzyProcessor,
+        if (ttl.isDefined) TimeMode.ProcessingTime() else TimeMode.None(),
+        OutputMode.Update())
+      .toDF("bucket", idCol, "kept_in_bucket")
+  }
+
   /** Streaming incremental EXACT dedup (`transformWithState`, Spark 4):
     * the streaming twin of [[graft.operators.Dedup.incrementalDedupKeepFirst]]
     * + [[graft.operators.Dedup.growFingerprints]] — the daily-crawl contract

@@ -910,6 +910,76 @@ class IngestStreamingSpec extends SparkSuite {
     }
   }
 
+  test("fuzzyDedupStream: late smaller-id original flips the variant; pairwise batch parity") {
+    import graft.operators.Dedup
+    val tau = 0.5
+    val textA = "the quick brown fox jumps over the lazy dog while rain " +
+      "falls on the quiet hillside near the old stone bridge"
+    val textA2 = textA + " tonight" // near-dup: 2 new shingles of ~20
+    val textB = "completely unrelated payload about sbt builds parquet row " +
+      "groups catalyst codegen and shuffle partitions in local mode"
+    val root = Files.createTempDirectory("graft_fuzzydedup_stream").toString
+    val dir = s"$root/in"
+    new java.io.File(dir).mkdirs()
+    // batch 1: the LATER id (5) of the near-dup pair arrives first, plus 9
+    Seq((5L, textA2), (9L, textB)).toDF("doc_id", "text")
+      .coalesce(1).write.parquet(s"$root/f1")
+    // batch 2: the smaller-id original (1) arrives late
+    Seq((1L, textA)).toDF("doc_id", "text")
+      .coalesce(1).write.parquet(s"$root/f2")
+    for (f <- Seq("f1", "f2");
+         p <- new java.io.File(s"$root/$f").listFiles() if p.getName.endsWith(".parquet")) {
+      val dst = java.nio.file.Path.of(dir, s"$f-${p.getName}")
+      Files.copy(p.toPath, dst)
+      dst.toFile.setLastModified(if (f == "f1") 1000000L else 2000000L)
+    }
+    // fixture premise: (1, 5) IS a tau-clearing LSH candidate pair, and
+    // 9 pairs with neither — assert it so a hash change fails LOUDLY here
+    // instead of as a mysterious stream verdict
+    val union = Seq((1L, textA), (5L, textA2), (9L, textB)).toDF("doc_id", "text")
+    val cand = Dedup.lshCandidatePairs(union, "doc_id", "text")
+      .where(col("est_jaccard") >= tau)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(cand === Set((1L, 5L)), s"fixture premise broken: $cand")
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    try {
+      spark.conf.set(key,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      val schema = spark.read.parquet(dir).schema
+      val stream = EventStreams.readFileStream(spark, dir, schema, maxFilesPerTrigger = 1)
+      EventStreams.drainToMemory(
+        EventStreams.fuzzyDedupStream(stream, tau),
+        "fuzzy_dedup_stream", outputMode = "update")
+      // reader contract: LAST row per (bucket, id), then AND over buckets
+      val rows = spark.table("fuzzy_dedup_stream")
+        .select("bucket", "doc_id", "kept_in_bucket")
+        .as[(String, Long, Boolean)].collect()
+      val lastPerBucket = rows.zipWithIndex
+        .groupBy { case ((b, id, _), _) => (b, id) }
+        .map { case (_, xs) => val ((_, id, kept), _) = xs.maxBy(_._2); (id, kept) }
+      val finals = lastPerBucket.groupBy(_._1).map { case (id, xs) => id -> xs.forall(_._2) }
+      assert(finals === Map(1L -> true, 5L -> false, 9L -> true),
+        s"got $finals from ${rows.length} rows")
+      // doc 5 flipped: a survivor while alone, dropped once 1 arrived
+      val fives = rows.filter(_._2 == 5L).map(_._3)
+      assert(fives.head && !fives.last, s"expected 5 to flip, saw ${fives.toSeq}")
+      // exact parity with the pairwise direct-neighbor batch rule
+      val batchDropped = Dedup.lshCandidatePairs(union, "doc_id", "text")
+        .where(col("est_jaccard") >= tau).select("id_b").as[Long].collect().toSet
+      assert(finals.filter(!_._2).keySet === batchDropped)
+      // and, on this star-shaped family, exact agreement with the CC
+      // transform too (the documented subset relation collapses to
+      // equality when no transitive chains exist)
+      val ccKept = Dedup.fuzzyDedupKeepFirst(union, "doc_id", "text", tau = Some(tau))
+        .select("doc_id").as[Long].collect().toSet
+      assert(finals.filter(_._2).keySet === ccKept)
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   test("semanticDedupStream TTL evicts stale vectors; late dups then survive (documented divergence)") {
     // the documented batch-parity trade: after the seen-vector state
     // expires, a later-id near-dup of an evicted vector is KEPT (the
