@@ -84,23 +84,29 @@ object Chat {
     val sysArr = when(hasSys, slice(t, 1, 1)).otherwise(slice(t, 1, 0))
     val rest = when(hasSys, slice(t, lit(2), greatest(size(t) - 1, lit(0))))
       .otherwise(t)
-    val kept = keepLastTurns match {
+    val keptExpr = keepLastTurns match {
       case None => t
       case Some(k) =>
         concat(sysArr,
           when(size(rest) <= k, rest)
             .otherwise(slice(rest, size(rest) - k + 1, lit(k))))
     }
+    // bind the trimmed array before consuming it twice (size + join):
+    // the trim copies every kept turn's content string per construction
+    // (same column-binding discipline as assistantSpans)
+    val kept = col("_kept")
     val flat = array_join(transform(kept,
       x => concat(lit("<|"), x.getField("r"), lit("|>"), x.getField("x"))),
       "\n")
     turns.groupBy(col(convCol).as("conv_id"))
       .agg(turnsAgg(idxCol, roleCol, textCol).as("_t"))
-      .select(col("conv_id"),
-        size(t).cast("long").as("n_turns"),
+      .select(col("conv_id"), size(t).cast("long").as("n_turns"),
+        keptExpr.as("_kept"))
+      .select(col("conv_id"), col("n_turns"),
         size(kept).cast("long").as("n_turns_kept"),
-        length(flat).cast("long").as("n_chars"),
         flat.as("text"))
+      .select(col("conv_id"), col("n_turns"), col("n_turns_kept"),
+        length(col("text")).cast("long").as("n_chars"), col("text"))
   }
 
   /** Assistant-span loss masks over [[flattenChat]]'s text: the
@@ -117,7 +123,13 @@ object Chat {
     * Scale shape: the same one conversation-keyed aggregate; offsets
     * come from a closed-form prefix sum over the kept-turn array
     * (O(turns²) array work per conversation — turn counts are small by
-    * construction), then one explode of the span list. */
+    * construction), then one explode of the span list. The kept-turn
+    * array is BOUND to a column before the span transform: lambda bodies
+    * re-evaluate referenced subexpressions once per element (the
+    * [[graft.operators.Dedup.shingleHashesOverToks]] hazard), and the
+    * trim expression copies every turn's content string per
+    * construction — left inline it rebuilds the array ~2x per TURN
+    * instead of once per conversation. */
   def assistantSpans(turns: DataFrame, convCol: String, idxCol: String,
                      roleCol: String, textCol: String,
                      keepLastTurns: Option[Int] = None): DataFrame = {
@@ -127,13 +139,14 @@ object Chat {
     val hasSys = element_at(t, 1).getField("r") === RoleSystem
     val rest = when(hasSys, slice(t, lit(2), greatest(size(t) - 1, lit(0))))
       .otherwise(t)
-    val kept = keepLastTurns match {
+    val keptExpr = keepLastTurns match {
       case None => t
       case Some(k) =>
         concat(when(hasSys, slice(t, 1, 1)).otherwise(slice(t, 1, 0)),
           when(size(rest) <= k, rest)
             .otherwise(slice(rest, size(rest) - k + 1, lit(k))))
     }
+    val kept = col("_kept")
     def turnLen(x: Column): Column =
       length(x.getField("r")) + length(x.getField("x")) + lit(4)
     val spans = filter(
@@ -149,6 +162,7 @@ object Chat {
       sp => sp.getField("role") === RoleAssistant)
     turns.groupBy(col(convCol).as("conv_id"))
       .agg(turnsAgg(idxCol, roleCol, textCol).as("_t"))
+      .select(col("conv_id"), keptExpr.as("_kept"))
       .select(col("conv_id"), posexplode(spans).as(Seq("span_idx", "_sp")))
       .select(col("conv_id"),
         (col("span_idx") + 1).cast("long").as("span_idx"),
