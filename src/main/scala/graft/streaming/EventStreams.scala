@@ -461,6 +461,87 @@ object EventStreams {
       .toDF("bucket", idCol, "kept_in_bucket")
   }
 
+  /** Streaming PERCEPTUAL near-dup scrub (Manku-banded 64-bit
+    * fingerprints, `transformWithState`, Spark 4) — [[fuzzyDedupStream]]'s
+    * modality-agnostic sibling for the image/audio arms of the dedup
+    * ladder: feed it any precomputed 64-bit perceptual hash
+    * ([[graft.operators.Media.imageDHashes]]' dHash,
+    * [[graft.operators.Sound.energyHash64]]'s contour hash, a token
+    * simhash) and every item with a SMALLER-id fingerprint within
+    * `maxHamming` bits is dropped.
+    *
+    * SEMANTICS — the same direct-neighbor keep-first rule as
+    * [[fuzzyDedupStream]], with one upgrade: Manku banding (4 x 16 bits)
+    * is EXACT within the radius by pigeonhole (`maxHamming < 4` means any
+    * pair within the radius agrees on >= 1 whole band), so the AND-over-
+    * buckets verdict equals the pairwise rule "drop id_b of every
+    * [[graft.operators.Dedup.hammingNearDupPairs64]] pair" with FULL
+    * recall — no banding-probability caveat. Still a documented subset of
+    * [[graft.operators.Dedup.incrementalHammingDedupKeepFirst]]'s
+    * CC-transform removals (transitive chains; equal on star families).
+    *
+    * EXACT parity under any arrival order (retroactive late-original
+    * flips, whole touched bucket re-emitted, Update mode; readers keep
+    * the LAST row per (bucket, id) and AND over an id's buckets).
+    *
+    * Scale shape: the fingerprint is banded BEFORE the stateful shuffle —
+    * the exchange carries (bucket, id, one long), the same fixed-width
+    * rows the batch [[graft.operators.Dedup.hammingIndex64]] persists
+    * (media bytes never shuffle — hash where the bytes live, ship 8
+    * bytes). `ttl` opt-in with the usual parity trade. Requires the
+    * RocksDB state store provider. */
+  def hammingDedupStream(items: DataFrame, maxHamming: Int = 3,
+                         idCol: String = "doc_id", hashCol: String = "h",
+                         ttl: Option[java.time.Duration] = None): DataFrame = {
+    import org.apache.spark.sql.Encoders
+    import org.apache.spark.sql.streaming.{ListState, OutputMode, StatefulProcessor, TimeMode, TimerValues, TTLConfig}
+    require(maxHamming >= 0 && maxHamming < 4,
+      s"pigeonhole needs maxHamming in [0, 3], got $maxHamming")
+    val spark = items.sparkSession
+    import spark.implicits._
+    val ttlConfig = ttl.map(TTLConfig.apply).getOrElse(TTLConfig.NONE)
+
+    class HammingProcessor extends StatefulProcessor[Long, (Long, Long, Long), (Long, Long, Boolean)] {
+      @transient private var seen: ListState[(Long, Long)] = _
+      override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+        seen = getHandle.getListState[(Long, Long)]("seen_hashes",
+          Encoders.product[(Long, Long)], ttlConfig)
+      override def handleInputRows(bucket: Long, rowsIt: Iterator[(Long, Long, Long)],
+          tv: TimerValues): Iterator[(Long, Long, Boolean)] = {
+        val incoming = rowsIt.map { case (_, id, h) => (id, h) }.toArray
+        if (incoming.isEmpty) return Iterator.empty
+        val all = (seen.get().toArray ++ incoming)
+          .groupBy(_._1).map(_._2.head).toArray.sortBy(_._1)
+        seen.clear()
+        seen.put(all)
+        all.indices.iterator.map { i =>
+          val (id, h) = all(i)
+          val dropped = (0 until i).exists(j =>
+            java.lang.Long.bitCount(all(j)._2 ^ h) <= maxHamming)
+          (bucket, id, !dropped)
+        }
+      }
+    }
+
+    // bucket = (band << 16) | bkey — the hammingIndex64 banding packed
+    // into one long key (band in [0,3], bkey 16 bits)
+    items
+      .select(col(idCol).cast("long").as("_id"),
+        col(hashCol).cast("long").as("_h"))
+      .where(col("_id").isNotNull && col("_h").isNotNull)
+      .select(explode(expr(
+          "transform(sequence(0, 3), b -> " +
+            "shiftleft(CAST(b AS BIGINT), 16) | (shiftright(_h, b * 16) & 65535))"))
+          .as("_bucket"),
+        col("_id"), col("_h"))
+      .as[(Long, Long, Long)]
+      .groupByKey(_._1)
+      .transformWithState(new HammingProcessor,
+        if (ttl.isDefined) TimeMode.ProcessingTime() else TimeMode.None(),
+        OutputMode.Update())
+      .toDF("bucket", idCol, "kept_in_bucket")
+  }
+
   /** Streaming incremental EXACT dedup (`transformWithState`, Spark 4):
     * the streaming twin of [[graft.operators.Dedup.incrementalDedupKeepFirst]]
     * + [[graft.operators.Dedup.growFingerprints]] — the daily-crawl contract

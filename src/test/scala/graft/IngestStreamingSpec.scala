@@ -980,6 +980,65 @@ class IngestStreamingSpec extends SparkSuite {
     }
   }
 
+  test("hammingDedupStream: late smaller-id original flips the re-encode; exact-recall parity") {
+    import graft.operators.Dedup
+    val h1 = 0x0123456789ABCDEFL
+    val h2 = h1 ^ 0x5L          // hamming 2: a re-encode of the same image
+    val h3 = ~h1                // hamming 64: unrelated
+    val root = Files.createTempDirectory("graft_hamdedup_stream").toString
+    val dir = s"$root/in"
+    new java.io.File(dir).mkdirs()
+    Seq((5L, h2), (9L, h3)).toDF("doc_id", "h")
+      .coalesce(1).write.parquet(s"$root/f1")
+    Seq((1L, h1)).toDF("doc_id", "h")
+      .coalesce(1).write.parquet(s"$root/f2")
+    for (f <- Seq("f1", "f2");
+         p <- new java.io.File(s"$root/$f").listFiles() if p.getName.endsWith(".parquet")) {
+      val dst = java.nio.file.Path.of(dir, s"$f-${p.getName}")
+      Files.copy(p.toPath, dst)
+      dst.toFile.setLastModified(if (f == "f1") 1000000L else 2000000L)
+    }
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    try {
+      spark.conf.set(key,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      val schema = spark.read.parquet(dir).schema
+      val stream = EventStreams.readFileStream(spark, dir, schema, maxFilesPerTrigger = 1)
+      EventStreams.drainToMemory(
+        EventStreams.hammingDedupStream(stream, maxHamming = 3),
+        "hamming_dedup_stream", outputMode = "update")
+      val rows = spark.table("hamming_dedup_stream")
+        .select("bucket", "doc_id", "kept_in_bucket")
+        .as[(Long, Long, Boolean)].collect()
+      val lastPerBucket = rows.zipWithIndex
+        .groupBy { case ((b, id, _), _) => (b, id) }
+        .map { case (_, xs) => val ((_, id, kept), _) = xs.maxBy(_._2); (id, kept) }
+      val finals = lastPerBucket.groupBy(_._1).map { case (id, xs) => id -> xs.forall(_._2) }
+      assert(finals === Map(1L -> true, 5L -> false, 9L -> true),
+        s"got $finals from ${rows.length} rows")
+      val fives = rows.filter(_._2 == 5L).map(_._3)
+      assert(fives.head && !fives.last, s"expected 5 to flip, saw ${fives.toSeq}")
+      // exact-recall parity: the pigeonhole banding makes the stream's
+      // AND-over-buckets verdict equal the pairwise rule with no
+      // banding-probability caveat
+      val union = Seq((1L, h1), (5L, h2), (9L, h3)).toDF("doc_id", "h")
+      val batchDropped = Dedup.hammingNearDupPairs64(union, "doc_id", "h", maxHamming = 3)
+        .select("id_b").as[Long].collect().toSet
+      assert(finals.filter(!_._2).keySet === batchDropped)
+      // and CC-transform agreement on the star family (empty prior index)
+      val emptyIdx = Dedup.hammingIndex64(
+        Seq.empty[(Long, Long)].toDF("doc_id", "h"), "doc_id", "h")
+      val ccKept = Dedup.incrementalHammingDedupKeepFirst(
+          union, "doc_id", "h", emptyIdx, maxHamming = 3)
+        .select("doc_id").as[Long].collect().toSet
+      assert(finals.filter(_._2).keySet === ccKept)
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   test("semanticDedupStream TTL evicts stale vectors; late dups then survive (documented divergence)") {
     // the documented batch-parity trade: after the seen-vector state
     // expires, a later-id near-dup of an evicted vector is KEPT (the
