@@ -422,14 +422,14 @@ object EventStreams {
       eq.toDouble / k
     }
 
-    class FuzzyProcessor extends StatefulProcessor[String, (String, Long, Seq[Long]), (String, Long, Boolean)] {
+    class FuzzyProcessor extends StatefulProcessor[String, (Long, Seq[Long]), (String, Long, Boolean)] {
       @transient private var seen: ListState[(Long, Seq[Long])] = _
       override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
         seen = getHandle.getListState[(Long, Seq[Long])]("seen_sigs",
           Encoders.product[(Long, Seq[Long])], ttlConfig)
-      override def handleInputRows(bucket: String, rowsIt: Iterator[(String, Long, Seq[Long])],
+      override def handleInputRows(bucket: String, rowsIt: Iterator[(Long, Seq[Long])],
           tv: TimerValues): Iterator[(String, Long, Boolean)] = {
-        val incoming = rowsIt.map { case (_, id, s) => (id, s) }.toArray
+        val incoming = rowsIt.toArray
         if (incoming.isEmpty) return Iterator.empty
         val all = (seen.get().toArray ++ incoming)
           .groupBy(_._1).map(_._2.head).toArray.sortBy(_._1)
@@ -455,6 +455,11 @@ object EventStreams {
         col("_id"), col("_sig"))
       .as[(String, Long, Seq[Long])]
       .groupByKey(_._1)
+      // strip the bucket from the value side: the processor reads it from
+      // the key argument, and groupByKey already appends a key column to
+      // the exchange — carrying it twice would ship every bucket string
+      // two times per row (caught by PlanPostureSpec's streaming pin)
+      .mapValues(t => (t._2, t._3))
       .transformWithState(new FuzzyProcessor,
         if (ttl.isDefined) TimeMode.ProcessingTime() else TimeMode.None(),
         OutputMode.Update())
@@ -501,14 +506,14 @@ object EventStreams {
     import spark.implicits._
     val ttlConfig = ttl.map(TTLConfig.apply).getOrElse(TTLConfig.NONE)
 
-    class HammingProcessor extends StatefulProcessor[Long, (Long, Long, Long), (Long, Long, Boolean)] {
+    class HammingProcessor extends StatefulProcessor[Long, (Long, Long), (Long, Long, Boolean)] {
       @transient private var seen: ListState[(Long, Long)] = _
       override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
         seen = getHandle.getListState[(Long, Long)]("seen_hashes",
           Encoders.product[(Long, Long)], ttlConfig)
-      override def handleInputRows(bucket: Long, rowsIt: Iterator[(Long, Long, Long)],
+      override def handleInputRows(bucket: Long, rowsIt: Iterator[(Long, Long)],
           tv: TimerValues): Iterator[(Long, Long, Boolean)] = {
-        val incoming = rowsIt.map { case (_, id, h) => (id, h) }.toArray
+        val incoming = rowsIt.toArray
         if (incoming.isEmpty) return Iterator.empty
         val all = (seen.get().toArray ++ incoming)
           .groupBy(_._1).map(_._2.head).toArray.sortBy(_._1)
@@ -536,6 +541,9 @@ object EventStreams {
         col("_id"), col("_h"))
       .as[(Long, Long, Long)]
       .groupByKey(_._1)
+      // same key-stripping as fuzzyDedupStream: the bucket rides the
+      // appended key column only
+      .mapValues(t => (t._2, t._3))
       .transformWithState(new HammingProcessor,
         if (ttl.isDefined) TimeMode.ProcessingTime() else TimeMode.None(),
         OutputMode.Update())

@@ -337,6 +337,42 @@ class PlanPostureSpec extends SparkSuite {
     }
   }
 
+  test("streaming dedup ladder: text/media bytes never reach the stateful exchange") {
+    // The streaming scrubs hash/band BEFORE the stateful shuffle — the
+    // exchange carries fixed-width rows (bucket, id, sig|hash), never the
+    // document text or media bytes. Pinned on the ANALYZED plan of the
+    // unstarted streaming frame: the TransformWithState input schema must
+    // not contain the raw payload column.
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sc: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val docs = MemoryStream[(Long, String)].toDF().toDF("doc_id", "text")
+    val fuzzy = graft.streaming.EventStreams.fuzzyDedupStream(docs, tau = 0.5)
+    val items = MemoryStream[(Long, Long)].toDF().toDF("doc_id", "h")
+    val ham = graft.streaming.EventStreams.hammingDedupStream(items)
+    for ((name, df, stringBudget) <- Seq(("fuzzyDedupStream", fuzzy, 1),
+        ("hammingDedupStream", ham, 0))) {
+      val analyzed = df.queryExecution.analyzed
+      val tws = analyzed.collect {
+        case p if p.nodeName.contains("TransformWithState") => p
+      }
+      assert(tws.nonEmpty, s"$name: no TransformWithState node:\n$analyzed")
+      val child = tws.head.children.head
+      // string budget through the stateful exchange: the fuzzy stream's
+      // band-bucket KEY is a string (budget 1); the hamming stream's key
+      // is a packed long (budget 0). Anything above budget means the raw
+      // document text — or a duplicate of the key — is riding the shuffle
+      // (this pin caught groupByKey's appended key column duplicating the
+      // in-tuple bucket before mapValues stripped it).
+      val stringy = child.output.filter(
+        _.dataType == org.apache.spark.sql.types.StringType)
+      assert(stringy.size <= stringBudget,
+        s"$name shuffles ${stringy.size} string column(s) into state " +
+          s"(budget $stringBudget): " +
+          s"${child.output.map(a => s"${a.name}:${a.dataType.simpleString}")}")
+    }
+  }
+
   test("quality probe: ONE map-side-partial aggregate fit + zero-shuffle score (q130 shape)") {
     import spark.implicits._
     val feats = Seq((1L, 0.1, 0.2, -3.0, 1.0), (2L, 0.3, 0.1, -2.0, 0.0))
