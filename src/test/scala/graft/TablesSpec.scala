@@ -119,6 +119,41 @@ class TablesSpec extends SparkSuite {
     assert(d.limit(1).count() == 1L && e.limit(1).count() == 1L)
   }
 
+  test("Compaction: many tiny files -> few target-size files, content-identical") {
+    import graft.sources.Compaction
+    val root = Files.createTempDirectory("graft_compaction").toString
+    val in = s"$root/in"
+    // 40 tiny files of 500 rows each
+    spark.range(20000).selectExpr("id", "id * 2 AS v")
+      .repartition(40).write.parquet(in)
+    val inFiles = new java.io.File(in).listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    assert(inFiles === 40)
+    val bytes = new java.io.File(in).listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.length()).sum
+    // target = half the data -> 2 output files
+    val out = s"$root/out"
+    val stats = Compaction.compact(spark, in, out, targetBytes = (bytes + 1) / 2)
+    assert(stats.filesBefore === 40 && stats.filesAfter === 2, stats)
+    // multiset-identical content
+    val a = spark.read.parquet(in).orderBy("id").collect()
+    val b = spark.read.parquet(out).orderBy("id").collect()
+    assert(a === b)
+    // refuses to clobber; requires existing input
+    val e1 = intercept[IllegalArgumentException](
+      Compaction.compact(spark, in, out))
+    assert(e1.getMessage.contains("clobber"))
+    val e2 = intercept[IllegalArgumentException](
+      Compaction.compact(spark, s"$root/nope", s"$root/out2"))
+    assert(e2.getMessage.contains("does not exist"))
+    // shuffle mode: same content, evenly sized files
+    val out2 = s"$root/out_shuffled"
+    val s2 = Compaction.compact(spark, in, out2,
+      targetBytes = (bytes + 1) / 2, shuffle = true)
+    assert(s2.filesAfter === 2)
+    assert(spark.read.parquet(out2).orderBy("id").collect() === a)
+  }
+
   test("SplitLayout: small and multi-file inputs pass through untouched") {
     import graft.sources.SplitLayout
     // a sub-threshold single file stays monolithic
