@@ -2639,6 +2639,30 @@ object SparkEntry {
         floor(col("c_acctbal") / 1000).cast("long"), k = 10, l = 3)
         .orderBy("c_nationkey", "c_mktsegment")
     }),
+
+    // Z-order (Morton) clustering key over (user_id, event time) — the
+    // lake-maintenance layout pass (Clustering.zOrderWrite) that makes
+    // 2-D box predicates (one user cohort in one time window) prune
+    // files on BOTH dimensions. The query surfaces the key math the
+    // layout rests on: equi-width int64 buckets (exact DIV arithmetic,
+    // no float boundary — the oracle recomputes it verbatim) bit-
+    // interleaved into zkey, aggregated per coarse z-cell (top 8 bits).
+    // Each cell's tight (user, time) envelope IS the pruning claim;
+    // ClusteringSpec measures it end-to-end on written files.
+    "q195_zorder" -> ((s, dir) => {
+      // ts is TIMESTAMP_NTZ; the session TZ is pinned UTC everywhere
+      // (Bench/Verify/tests), so the cast-to-instant micros equal
+      // DuckDB's epoch_us over the same naive value.
+      val e = Tables.events(s, dir)
+        .select(col("event_id"), col("user_id"),
+          unix_micros(col("ts").cast("timestamp")).as("ts_us"))
+      graft.sources.Clustering.withZKey(e, Seq("user_id", "ts_us"), bits = 8)
+        .groupBy(shiftright(col("zkey"), 8).as("zcell"))
+        .agg(count(lit(1)).as("n_events"),
+          min("user_id").as("min_user"), max("user_id").as("max_user"),
+          min("ts_us").as("min_ts_us"), max("ts_us").as("max_ts_us"))
+        .orderBy("zcell")
+    }),
   )
 
   /** q154/q155 corpus: the synthesized lines become conversation turns —
@@ -3781,6 +3805,30 @@ object SparkEntry {
         |SELECT a.k AS id_a, b.k AS id_b
         |FROM k a JOIN k b ON a.k % 16 = b.k % 16 AND a.k < b.k
         |ORDER BY id_a, id_b""".stripMargin,
+
+    // Same exact int64 arithmetic as Clustering.equiWidthBucket/zValue:
+    // integer DIV bucketing (no float boundary) and an explicit 16-term
+    // bit interleave.
+    "q195_zorder" ->
+      """WITH s AS (SELECT min(user_id) AS mnu, max(user_id) AS mxu,
+        |  min(epoch_us(ts)) AS mnt, max(epoch_us(ts)) AS mxt FROM events),
+        |b AS (SELECT user_id, epoch_us(ts) AS ts_us,
+        |  ((user_id - mnu) * 256) // (mxu - mnu + 1) AS bu,
+        |  ((epoch_us(ts) - mnt) * 256) // (mxt - mnt + 1) AS bt
+        |  FROM events, s),
+        |z AS (SELECT user_id, ts_us,
+        |  (((bu >> 0) & 1) << 1) + (((bt >> 0) & 1) << 0) +
+        |  (((bu >> 1) & 1) << 3) + (((bt >> 1) & 1) << 2) +
+        |  (((bu >> 2) & 1) << 5) + (((bt >> 2) & 1) << 4) +
+        |  (((bu >> 3) & 1) << 7) + (((bt >> 3) & 1) << 6) +
+        |  (((bu >> 4) & 1) << 9) + (((bt >> 4) & 1) << 8) +
+        |  (((bu >> 5) & 1) << 11) + (((bt >> 5) & 1) << 10) +
+        |  (((bu >> 6) & 1) << 13) + (((bt >> 6) & 1) << 12) +
+        |  (((bu >> 7) & 1) << 15) + (((bt >> 7) & 1) << 14) AS zkey FROM b)
+        |SELECT zkey // 256 AS zcell, count(*) AS n_events,
+        |  min(user_id) AS min_user, max(user_id) AS max_user,
+        |  min(ts_us) AS min_ts_us, max(ts_us) AS max_ts_us
+        |FROM z GROUP BY zcell ORDER BY zcell""".stripMargin,
 
     // The bloom prefilter is result-preserving (exact semi join absorbs
     // false positives), so the oracle is the plain IN-subquery semi join.

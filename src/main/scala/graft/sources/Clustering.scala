@@ -1,0 +1,137 @@
+package graft.sources
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Z-order (Morton-curve) data clustering — the multi-dimensional
+  * counterpart of [[Compaction]]'s small-files pass and the third lake-
+  * maintenance lever next to [[BucketedLayout]] (join locality) and
+  * [[SplitLayout]] (scan width): cluster rows so that parquet min/max
+  * zone maps prune file reads for range predicates on SEVERAL columns at
+  * once (Delta `OPTIMIZE ZORDER BY` / Iceberg `rewrite_data_files`
+  * z-order strategy do exactly this).
+  *
+  * A linear sort on column A gives perfect pruning on A and none on B; a
+  * Z-order interleaves the bucket-rank bits of A and B into one key, so
+  * sorting by that key keeps rows close in BOTH dimensions — every file
+  * covers a small (A, B) rectangle and a 2-D box predicate touches only
+  * the files whose rectangle intersects it. At 100 TB the scan byte
+  * count for a selective 2-D slice (one user cohort in one time window,
+  * one geo cell in one date range) drops by the product of the two
+  * per-dimension selectivities instead of the better single one.
+  *
+  * Bucketing is EQUI-WIDTH over the column's observed [min, max] in pure
+  * int64 arithmetic — `((x - min) * 2^bits) div (max - min + 1)` — so the
+  * key is exactly reproducible across engines (no float boundaries; the
+  * q195 oracle recomputes it in SQL). Equi-width is the demonstration
+  * choice: a production pass over skewed data would rank-bucket via
+  * `repartitionByRange`-style sampled bounds instead — same interleave,
+  * different bucket map. The min/max fit is one aggregate row broadcast
+  * into the projection (the [[graft.operators.Encode]] fit-then-transform
+  * contract), never a window: a `percent_rank` over the corpus would be
+  * a single-partition sort, the exact anti-pattern this module exists to
+  * avoid.
+  */
+object Clustering {
+
+  /** Largest total key width that still fits a signed long with headroom. */
+  private val MaxKeyBits = 62
+
+  /** Equi-width int64 bucket of `x` over the CLOSED range [mn, mx] into
+    * `2^bits` buckets: `((x - mn) * 2^bits) div (mx - mn + 1)`. Pure
+    * integer arithmetic — engine-exact. `x` must lie within [mn, mx]
+    * (callers fit mn/mx on the same frame they bucket). The caller must
+    * keep `(mx - mn) * 2^bits` inside int64 — epoch-microsecond spans up
+    * to ~290 years hold at bits <= 10. */
+  def equiWidthBucket(x: Column, mn: Column, mx: Column, bits: Int): Column = {
+    require(bits >= 1 && bits <= 20, s"bucket bits must be in [1, 20], got $bits")
+    // `div` = IntegralDivide: exact int64 quotient. A double `/` + floor
+    // would be inexact once (x - mn) * 2^bits exceeds 2^53 — epoch-micros
+    // spans get there.
+    call_function("div", (x - mn) * lit(1L << bits), mx - mn + lit(1L))
+  }
+
+  /** Morton interleave of pre-bucketed int64 columns, each in
+    * [0, 2^bits): bit `i` of bucket `j` lands at key bit
+    * `i * n + (n - 1 - j)`, so the FIRST column owns the most significant
+    * bit of each group — the conventional z-curve orientation. Pure
+    * shift/mask/sum arithmetic: codegen'd in Spark, re-expressible
+    * verbatim in ANSI SQL for the oracle. */
+  def zValue(buckets: Seq[Column], bits: Int): Column = {
+    require(buckets.nonEmpty, "zValue needs at least one bucket column")
+    require(bits >= 1 && buckets.size * bits <= MaxKeyBits,
+      s"zValue: ${buckets.size} cols x $bits bits exceeds $MaxKeyBits key bits")
+    val n = buckets.size
+    val terms = for {
+      (b, j) <- buckets.zipWithIndex
+      i <- 0 until bits
+    } yield shiftleft(shiftright(b, i).bitwiseAND(lit(1L)), i * n + (n - 1 - j))
+    terms.reduce(_ + _)
+  }
+
+  /** Fit min/max for `cols` on `df` and return `df` extended with
+    * per-column `_zb_<col>` buckets and the interleaved `zkey`. One
+    * aggregate row crosses to the driver-free broadcast join; the bucket
+    * and interleave math is a narrow codegen'd projection. */
+  def withZKey(df: DataFrame, cols: Seq[String], bits: Int): DataFrame = {
+    require(cols.nonEmpty, "withZKey needs at least one column")
+    val stats = df.agg(
+      cols.flatMap(c => Seq(min(col(c)).as(s"_mn_$c"), max(col(c)).as(s"_mx_$c"))).head,
+      cols.flatMap(c => Seq(min(col(c)).as(s"_mn_$c"), max(col(c)).as(s"_mx_$c"))).tail: _*)
+    val joined = df.crossJoin(broadcast(stats))
+    val bucketed = cols.foldLeft(joined) { (acc, c) =>
+      acc.withColumn(s"_zb_$c",
+        equiWidthBucket(col(c), col(s"_mn_$c"), col(s"_mx_$c"), bits))
+    }
+    bucketed
+      .withColumn("zkey", zValue(cols.map(c => col(s"_zb_$c")), bits))
+      .drop(cols.flatMap(c => Seq(s"_mn_$c", s"_mx_$c")): _*)
+  }
+
+  /** Rewrite `df` into `nFiles` parquet files clustered on the z-curve
+    * over `cols`: range-partition by `zkey` (sampled bounds — even output
+    * files under any key skew) and sort within each partition, so every
+    * file's parquet column stats cover a tight rectangle in ALL `cols`.
+    * Same rows and schema; like [[Compaction]], row order is a layout
+    * property. The zkey itself is dropped on write — it is derivable
+    * layout metadata, not data. */
+  def zOrderWrite(df: DataFrame, cols: Seq[String], bits: Int,
+                  outDir: String, nFiles: Int): Unit = {
+    require(nFiles >= 1, s"nFiles must be >= 1, got $nFiles")
+    withZKey(df, cols, bits)
+      .repartitionByRange(nFiles, col("zkey"))
+      .sortWithinPartitions("zkey")
+      .drop((cols.map(c => s"_zb_$c") :+ "zkey"): _*)
+      .write.parquet(outDir)
+  }
+
+  /** Per-file [min, max] envelopes of `cols` for every parquet data file
+    * under `dir` — the zone-map view a scan planner prunes with. One
+    * scan, aggregated by `input_file_name`. */
+  def fileEnvelopes(spark: SparkSession, dir: String, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "fileEnvelopes needs at least one column")
+    spark.read.parquet(dir)
+      .groupBy(input_file_name().as("file"))
+      .agg(
+        cols.flatMap(c => Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c"))).head,
+        cols.flatMap(c => Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c"))).tail: _*)
+  }
+
+  /** How many of `dir`'s files a conjunctive box predicate
+    * `lo_j <= col_j <= hi_j` would touch, judged by the per-file
+    * envelopes — the number a parquet reader cannot do better than and a
+    * well-clustered layout drives toward `selectivity * files`. Driver
+    * returns (touched, total). */
+  def filesTouched(spark: SparkSession, dir: String,
+                   box: Seq[(String, Long, Long)]): (Long, Long) = {
+    require(box.nonEmpty, "filesTouched needs at least one (col, lo, hi)")
+    val env = fileEnvelopes(spark, dir, box.map(_._1))
+    val hit = box.map { case (c, lo, hi) =>
+      col(s"min_$c") <= lit(hi) && col(s"max_$c") >= lit(lo)
+    }.reduce(_ && _)
+    val row = env.agg(
+      sum(when(hit, 1L).otherwise(0L)).as("touched"),
+      count(lit(1)).as("total")).head()
+    (row.getLong(0), row.getLong(1))
+  }
+}

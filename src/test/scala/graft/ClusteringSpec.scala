@@ -1,0 +1,80 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.sources.Clustering
+
+/** Z-order clustering: key arithmetic, layout write, and the pruning
+  * claim the layout exists for. */
+class ClusteringSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("equiWidthBucket is an exact int64 quotient across the full range") {
+    // epoch-microsecond-scale values whose (x - mn) * 2^bits exceeds 2^53:
+    // a double round-trip would misbucket near-boundary points.
+    val mn = 1700000000000000L
+    val mx = mn + 31557600000000L // ~1 year of micros
+    val span1 = mx - mn + 1L
+    val bucketOf = (x: Long) => ((x - mn) * 1024L) / span1
+    // straddle a bucket boundary exactly
+    val edge = mn + (span1 / 1024L) * 513L
+    val xs = Seq(mn, mx, edge - 1, edge, edge + 1, mn + 12345678901L)
+    val got = xs.toDF("x")
+      .select(Clustering.equiWidthBucket(col("x"), lit(mn), lit(mx), 10).as("b"))
+      .as[Long].collect().toSeq
+    assert(got === xs.map(bucketOf))
+    assert(got.head === 0L && got(1) === 1023L)
+  }
+
+  test("zValue interleaves bits with the first column most significant") {
+    // 2-bit example: a=0b10, b=0b01 -> key bits a1 b1 a0 b0 = 0b1001 = 9
+    val got = Seq((2L, 1L)).toDF("a", "b")
+      .select(Clustering.zValue(Seq(col("a"), col("b")), 2).as("z"))
+      .as[Long].head()
+    assert(got === 9L)
+    // exhaustive 3-bit x 3-bit grid against a reference interleave
+    def ref(a: Long, b: Long, bits: Int): Long =
+      (0 until bits).map(i => (((a >> i) & 1L) << (2 * i + 1)) | (((b >> i) & 1L) << (2 * i))).sum
+    val grid = for (a <- 0L until 8L; b <- 0L until 8L) yield (a, b)
+    val zs = grid.toDF("a", "b")
+      .select(col("a"), col("b"), Clustering.zValue(Seq(col("a"), col("b")), 3).as("z"))
+      .as[(Long, Long, Long)].collect()
+    zs.foreach { case (a, b, z) => assert(z === ref(a, b, 3), s"($a, $b)") }
+    // the z-curve is a bijection on the grid
+    assert(zs.map(_._3).distinct.length === 64)
+  }
+
+  test("zOrderWrite preserves rows and prunes a 2-D box better than a linear sort") {
+    val n = 4096
+    // two independent uniform dims — the shape where a linear sort helps
+    // one dimension only
+    val df = spark.range(n.toLong).select(
+      (pmod(hash(col("id")), lit(1000)) + lit(1000)).cast("long").as("a"),
+      (pmod(hash(col("id") * 7 + 3), lit(1000)) + lit(5000)).cast("long").as("b"),
+      col("id"))
+    val base = Files.createTempDirectory("zorder").toString
+    val zDir = s"$base/z"
+    val linDir = s"$base/lin"
+    Clustering.zOrderWrite(df, Seq("a", "b"), bits = 8, zDir, nFiles = 16)
+    df.repartitionByRange(16, col("a")).sortWithinPartitions("a")
+      .write.parquet(linDir)
+
+    // multiset-identical rows, zkey/bucket columns not persisted
+    val back = spark.read.parquet(zDir)
+    assert(back.columns.sorted === Array("a", "b", "id"))
+    assert(back.count() === n.toLong)
+    assert(back.join(df, Seq("a", "b", "id"), "left_anti").count() === 0L)
+
+    // a selective box on BOTH dims: linear layout prunes on `a` only, the
+    // z-order layout must also prune on `b` — strictly fewer files.
+    val box = Seq(("a", 1100L, 1200L), ("b", 5100L, 5200L))
+    val (zTouched, zTotal) = Clustering.filesTouched(spark, zDir, box)
+    val (lTouched, lTotal) = Clustering.filesTouched(spark, linDir, box)
+    assert(zTotal === 16L && lTotal === 16L)
+    assert(zTouched < lTouched,
+      s"z-order touched $zTouched files, linear sort touched $lTouched")
+    assert(zTouched <= 6L, s"z-order pruning too weak: $zTouched/16 files")
+  }
+}
