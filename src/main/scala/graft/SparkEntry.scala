@@ -2663,6 +2663,30 @@ object SparkEntry {
           min("ts_us").as("min_ts_us"), max("ts_us").as("max_ts_us"))
         .orderBy("zcell")
     }),
+
+    // Unigram-LM tokenizer TRAINING (Kudo 2018, the SentencePiece fit) —
+    // the probabilistic sibling of q136's BPE merges: over-complete
+    // substring seed, EM on the word-type table, prune to vocabSize,
+    // final re-fit. Iterative driver-loop fit like q136/Lloyd -> rows-
+    // only check; the E-step is pinned against brute-force segmentation
+    // enumeration and the EM monotone-likelihood guarantee in
+    // TextAnalysisSpec.
+    "q196_unigram_lm" -> ((s, dir) => {
+      TextAnalysis.trainUnigramLm(Tables.documents(s, dir), "text",
+          vocabSize = 120, maxPieceLen = 4, emIters = 2)
+        .orderBy("rank")
+    }),
+
+    // Tokenizer APPLY for a FIXED unigram vocab (q196's downstream, the
+    // q140 pattern): Viterbi segmentation per word type, per-doc word/
+    // piece counts, fertility, and total Viterbi log-likelihood. The DP
+    // has no SQL form -> rows-only; Viterbi optimality, tie-breaks, and
+    // unk coverage are pinned in TextAnalysisSpec.
+    "q197_unigram_encode" -> ((s, dir) => {
+      TextAnalysis.unigramEncodeStats(Tables.documents(s, dir), "doc_id", "text",
+          UnigramApplyVocab)
+        .orderBy("doc_id")
+    }),
   )
 
   /** q154/q155 corpus: the synthesized lines become conversation turns —
@@ -2707,6 +2731,26 @@ object SparkEntry {
     "e" -> "r", "i" -> "n", "o" -> "w", "o" -> "r", "s" -> "t",
     "t" -> "o", "a" -> "t", "er" -> "s", "t" -> "h", "th" -> "e",
     "in" -> "g", "a" -> "n")
+
+  /** Fixed unigram-LM vocab for q197 — English-frequency char log-probs
+    * plus common subword pieces, each piece priced above the sum of its
+    * characters so Viterbi actually selects it
+    * ([[TextAnalysis.unigramEncodeStats]]; trained fit is q196). */
+  private val UnigramApplyVocab: Seq[(String, Double)] = Seq(
+    "e" -> -2.5, "t" -> -2.6, "a" -> -2.7, "o" -> -2.8, "i" -> -2.8,
+    "n" -> -2.8, "s" -> -2.9, "r" -> -2.9, "h" -> -3.0, "l" -> -3.2,
+    "d" -> -3.3, "c" -> -3.5, "u" -> -3.5, "m" -> -3.6, "f" -> -3.8,
+    "p" -> -3.8, "g" -> -3.9, "w" -> -3.9, "y" -> -4.0, "b" -> -4.1,
+    "v" -> -4.5, "k" -> -4.7, "x" -> -5.5, "j" -> -5.6, "q" -> -5.7,
+    "z" -> -5.8,
+    "0" -> -5.0, "1" -> -5.0, "2" -> -5.0, "3" -> -5.0, "4" -> -5.0,
+    "5" -> -5.0, "6" -> -5.0, "7" -> -5.0, "8" -> -5.0, "9" -> -5.0,
+    "the" -> -3.2, "ing" -> -3.8, "th" -> -3.4, "in" -> -3.6,
+    "er" -> -3.7, "an" -> -3.8, "re" -> -3.9, "on" -> -3.9,
+    "at" -> -4.0, "en" -> -4.0, "nd" -> -4.1, "es" -> -4.2,
+    "or" -> -4.2, "of" -> -4.3, "ed" -> -4.3, "is" -> -4.4,
+    "it" -> -4.4, "al" -> -4.4, "ar" -> -4.5, "st" -> -4.5,
+    "to" -> -4.5, "nt" -> -4.6)
 
   /** Shared by q130/q137: the seeded junk-augmented corpus, feature
     * assembly, even-slice OLS fit, and 6-dp scoring. One definition so the

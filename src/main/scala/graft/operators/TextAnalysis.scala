@@ -1710,4 +1710,235 @@ object TextAnalysis {
         round(col("n_flagged").cast("double") / col("n_tokens"), 6))
       .withColumn("keep", col("n_flagged") === 0L)
   }
+
+  // ------------------------------------------------------------------
+  // Unigram-LM tokenizer (Kudo 2018 — the SentencePiece model): the
+  // probabilistic sibling of the BPE ladder (bpePairStats /
+  // trainBpeMerges / bpeEncodeStats). BPE grows a vocab bottom-up by
+  // greedy merges; unigram starts from an over-complete seed and
+  // SHRINKS it with EM, segmenting by likelihood instead of merge
+  // order.
+  // ------------------------------------------------------------------
+
+  /** log(e^a + e^b) without overflow; the identity element is -inf. */
+  private def logAdd(a: Double, b: Double): Double =
+    if (a == Double.NegativeInfinity) b
+    else if (b == Double.NegativeInfinity) a
+    else if (a >= b) a + math.log1p(math.exp(b - a))
+    else b + math.log1p(math.exp(a - b))
+
+  /** One EM E-step of the unigram LM over the word-TYPE table
+    * `(_w string, _f long)`: per word type, forward-backward over the
+    * segmentation lattice (arcs = vocab pieces, in log space) yields
+    * each piece's posterior expected count, frequency-weighted. Returns
+    * (expected counts, corpus log-likelihood Σ f·log Z).
+    *
+    * Scale shape: the imperative DP runs on the word-TYPE table —
+    * vocabulary-sized (Heaps' law ~√corpus), never the corpus — with the
+    * vocab broadcast; counts partial-aggregate map-side (each task also
+    * pre-combines per word) and the collect is |vocab|-bounded, the same
+    * contract as the Lloyd/codebook fits. Words the vocab cannot segment
+    * (impossible while all single chars stay in the vocab) contribute
+    * nothing rather than -inf. */
+  private[graft] def unigramEmStep(wordFreq: DataFrame, vocab: Map[String, Double],
+                                   maxPieceLen: Int): (Map[String, Double], Double) = {
+    val spark = wordFreq.sparkSession
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(vocab)
+    val contrib = wordFreq.as[(String, Long)].mapPartitions { it =>
+      val v = bc.value
+      val neg = Double.NegativeInfinity
+      it.flatMap { case (w, f) =>
+        val n = w.length
+        val alpha = Array.fill(n + 1)(neg)
+        alpha(0) = 0.0
+        for (i <- 1 to n; l <- 1 to math.min(maxPieceLen, i)) {
+          val j = i - l
+          if (alpha(j) != neg) v.get(w.substring(j, i)).foreach { lp =>
+            alpha(i) = logAdd(alpha(i), alpha(j) + lp)
+          }
+        }
+        val z = alpha(n)
+        if (z == neg) Iterator.empty
+        else {
+          val beta = Array.fill(n + 1)(neg)
+          beta(n) = 0.0
+          for (j <- (n - 1) to 0 by -1; l <- 1 to math.min(maxPieceLen, n - j)) {
+            val i = j + l
+            if (beta(i) != neg) v.get(w.substring(j, i)).foreach { lp =>
+              beta(j) = logAdd(beta(j), lp + beta(i))
+            }
+          }
+          val out = scala.collection.mutable.HashMap.empty[String, Double]
+          for (j <- 0 until n; l <- 1 to math.min(maxPieceLen, n - j)) {
+            val i = j + l
+            if (alpha(j) != neg && beta(i) != neg) {
+              val piece = w.substring(j, i)
+              v.get(piece).foreach { lp =>
+                val post = math.exp(alpha(j) + lp + beta(i) - z)
+                if (post > 0) out(piece) = out.getOrElse(piece, 0.0) + f * post
+              }
+            }
+          }
+          // "" is the log-likelihood sentinel row: never a real piece
+          // (wordTokens emits non-empty [A-Za-z0-9]+ only)
+          out.iterator.map { case (p, c) => (p, c) } ++ Iterator(("", f * z))
+        }
+      }
+    }.toDF("piece", "c")
+      .groupBy("piece").agg(sum("c").as("c"))
+      .collect()
+    val counts = contrib.iterator
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    (counts - "", counts.getOrElse("", 0.0))
+  }
+
+  /** M-step: renormalize expected counts into log-probabilities. Dead
+    * multi-char pieces (zero expected count) drop out; single chars are
+    * floored so segmentation coverage survives any EM trajectory. */
+  private def unigramMStep(counts: Map[String, Double],
+                           pieces: Iterable[String]): Map[String, Double] = {
+    val kept = pieces.iterator.flatMap { p =>
+      val c = counts.getOrElse(p, 0.0)
+      if (p.length == 1) Some(p -> math.max(c, 1e-12))
+      else if (c > 0) Some(p -> c) else None
+    }.toMap
+    val total = kept.valuesIterator.sum
+    kept.map { case (p, c) => p -> (math.log(c) - math.log(total)) }
+  }
+
+  /** Unigram-LM tokenizer TRAINING (Kudo 2018 §3.2, the SentencePiece
+    * fit): seed an over-complete piece inventory (all single chars +
+    * the top `seedFactor * vocabSize` frequent substrings up to
+    * `maxPieceLen`), run `emIters` EM rounds, prune to `vocabSize` by
+    * expected count (chars are never pruned — coverage), and re-fit one
+    * final EM round on the pruned vocab. Returns the tokenizer artifact
+    * `(rank, piece, logp, exp_count)` ranked by final expected count
+    * (ties by piece ascending).
+    *
+    * Deviation from the paper, stated: pruning is by expected count, not
+    * by loss-if-removed — the standard simplification; on natural text
+    * the two orders agree except deep in the tail. Like
+    * [[trainBpeMerges]] this is an iterative fit (a driver loop of
+    * bounded-size E-steps), the corpus is touched exactly once (the
+    * word-frequency aggregate), and `fitSample` carries the same
+    * deterministic sample-fit contract for 100 TB corpora. EM's
+    * monotone-likelihood guarantee is pinned in TextAnalysisSpec against
+    * a brute-force all-segmentations reference. */
+  def trainUnigramLm(docs: DataFrame, textCol: String, vocabSize: Int,
+                     maxPieceLen: Int = 4, emIters: Int = 2, seedFactor: Int = 2,
+                     fitSample: Option[Column] = None): DataFrame = {
+    require(vocabSize >= 2, s"trainUnigramLm needs vocabSize >= 2, got $vocabSize")
+    require(maxPieceLen >= 2, s"trainUnigramLm needs maxPieceLen >= 2, got $maxPieceLen")
+    require(emIters >= 1 && seedFactor >= 1, "emIters and seedFactor must be >= 1")
+    val spark = docs.sparkSession
+    val wf = Relational.detach(
+      fitSample.fold(docs)(docs.where)
+        .select(explode(wordTokens(col(textCol))).as("_w"))
+        .groupBy("_w").agg(count(lit(1)).as("_f")))
+    // seed inventory: frequency-weighted substring counts, one
+    // vocabulary-sized explode (bounded: |word| * maxPieceLen pieces per
+    // word TYPE)
+    val sub = wf.select(col("_f"), explode(expr(
+        s"flatten(transform(sequence(1, length(_w)), s -> " +
+          s"transform(sequence(s, least(length(_w), s + ${maxPieceLen - 1})), " +
+          s"e -> substring(_w, s, e - s + 1))))")).as("piece"))
+      .groupBy("piece").agg(sum("_f").as("n"))
+    val singles = sub.where(length(col("piece")) === 1).collect()
+      .map(r => r.getString(0) -> r.getLong(1).toDouble)
+    val multis = sub.where(length(col("piece")) > 1)
+      .orderBy(col("n").desc, col("piece").asc).limit(vocabSize * seedFactor)
+      .collect().map(r => r.getString(0) -> r.getLong(1).toDouble)
+    require(singles.length < vocabSize,
+      s"vocabSize $vocabSize must exceed the ${singles.length} distinct chars")
+    val seedTotal = (singles ++ multis).map(_._2).sum
+    var vocab: Map[String, Double] = (singles ++ multis).iterator
+      .map { case (p, c) => p -> (math.log(c) - math.log(seedTotal)) }.toMap
+    var counts = Map.empty[String, Double]
+    for (_ <- 1 to emIters) {
+      val (c, _) = unigramEmStep(wf, vocab, maxPieceLen)
+      vocab = unigramMStep(c, vocab.keys)
+      counts = c
+    }
+    // prune to vocabSize: chars mandatory, multis by expected count
+    val charPieces = vocab.keysIterator.filter(_.length == 1).toSeq
+    val keptMultis = vocab.keysIterator.filter(_.length > 1).toSeq
+      .sortBy(p => (-counts.getOrElse(p, 0.0), p))
+      .take(vocabSize - charPieces.length)
+    vocab = unigramMStep(counts, charPieces ++ keptMultis)
+    // final re-fit on the pruned inventory
+    val (cFinal, _) = unigramEmStep(wf, vocab, maxPieceLen)
+    vocab = unigramMStep(cFinal, vocab.keys)
+    Relational.release(wf)
+    import spark.implicits._
+    vocab.toSeq
+      .map { case (p, lp) => (p, lp, cFinal.getOrElse(p, 0.0)) }
+      .sortBy { case (p, _, c) => (-c, p) }
+      .zipWithIndex
+      .map { case ((p, lp, c), i) =>
+        (i + 1, p, math.rint(lp * 1e6) / 1e6, math.rint(c * 1e4) / 1e4) }
+      .toDF("rank", "piece", "logp", "exp_count")
+  }
+
+  /** Tokenizer APPLY for a FIXED unigram-LM vocab — the downstream
+    * stage of [[trainUnigramLm]], mirroring [[bpeEncodeStats]]: Viterbi
+    * (max-likelihood) segmentation of every word, aggregated per
+    * document as word count, piece count, fertility, and total Viterbi
+    * log-likelihood (the sequence-level quality signal a perplexity
+    * bucket would consume). Characters the vocab lacks segment as
+    * single-char pieces at `unkLogp` — SentencePiece's UNK arc — so
+    * every word segments.
+    *
+    * Scale shape: identical to [[bpeEncodeStats]] — the imperative
+    * Viterbi DP runs on the DISTINCT-word table (vocabulary-sized);
+    * the corpus-sized work is one narrow explode, the join back (AQE
+    * broadcasts the word table while small), and a per-document
+    * aggregate. Ties (equal log-likelihood) resolve to FEWER pieces,
+    * then the fixed scan order — deterministic. */
+  def unigramEncodeStats(docs: DataFrame, idCol: String, textCol: String,
+                         vocab: Seq[(String, Double)],
+                         unkLogp: Double = -20.0): DataFrame = {
+    require(vocab.nonEmpty, "unigramEncodeStats needs a non-empty vocab")
+    require(vocab.forall(_._1.nonEmpty), "vocab pieces must be non-empty")
+    require(unkLogp < 0, s"unkLogp must be negative, got $unkLogp")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val maxLen = vocab.iterator.map(_._1.length).max
+    val bc = spark.sparkContext.broadcast(vocab.toMap)
+    val tok = docs.select(col(idCol), explode(wordTokens(col(textCol))).as("_w"))
+    val wordEnc = tok.select("_w").distinct().as[String].mapPartitions { it =>
+      val v = bc.value
+      val neg = Double.NegativeInfinity
+      it.map { w =>
+        val n = w.length
+        val bestLp = Array.fill(n + 1)(neg)
+        val bestNp = Array.fill(n + 1)(0)
+        bestLp(0) = 0.0
+        for (i <- 1 to n) {
+          for (l <- 1 to math.min(maxLen, i)) {
+            val j = i - l
+            if (bestLp(j) != neg) {
+              val arc = v.get(w.substring(j, i))
+                .orElse(if (l == 1) Some(unkLogp) else None)
+              arc.foreach { lp =>
+                val cand = bestLp(j) + lp
+                val np = bestNp(j) + 1
+                if (cand > bestLp(i) || (cand == bestLp(i) && np < bestNp(i))) {
+                  bestLp(i) = cand
+                  bestNp(i) = np
+                }
+              }
+            }
+          }
+        }
+        (w, bestNp(n).toLong, bestLp(n))
+      }
+    }.toDF("_w", "_np", "_lp")
+    tok.join(wordEnc, Seq("_w"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_words"), sum("_np").as("n_pieces"),
+        round(sum("_lp"), 4).as("viterbi_logp"))
+      .withColumn("pieces_per_word",
+        round(col("n_pieces").cast("double") / col("n_words"), 6))
+  }
 }

@@ -11,7 +11,7 @@ import org.apache.spark.sql.functions._
   * land in BASELINE.md). Args select sections: `fill`, `skew`, `bucket`,
   * `funnel`, `pq`, `bigprobe`, `spanscrub`, `fuzzydedup`, `cleanscrub`, `packbudget`, `simhashband`,
   * `wordlm`, `bloomdedup`, `winnow`, `chatshard`, `warcsrc`, `jsonlsrc`,
-  * `gram`, `legacy` (no args = all). */
+  * `gram`, `zorder`, `legacy` (no args = all). */
 object ScaleProbe {
   def main(args: Array[String]): Unit = {
     val sections: String => Boolean =
@@ -870,6 +870,63 @@ object ScaleProbe {
       time2("jsonl scan 16x (3.2M lines)")(scan("/tmp/graft_probe_jsonl16"))
       time2("jsonl scan 16x, 1% corrupt")(scan("/tmp/graft_probe_jsonl16c1"))
       time2("jsonl scan 16x, 10% corrupt")(scan("/tmp/graft_probe_jsonl16c10"))
+    }
+
+    // Z-order vs linear-sort vs unclustered layout at 6.4M rows:
+    // files touched and scan wall for a ~3% x 3% 2-D box (one user
+    // cohort in one time window). The pruning ratio — not the absolute
+    // seconds — is the number that carries to 100 TB: scan bytes for a
+    // multi-dim slice shrink with the PRODUCT of the per-dim
+    // selectivities on the z-order layout, vs the best single one on a
+    // linear sort.
+    if (sections("zorder")) {
+      import graft.sources.Clustering
+      val ev = Tables.events(spark, "/root/testdata/sf0.1")
+        .select(col("event_id"), col("user_id"),
+          unix_micros(col("ts").cast("timestamp")).as("ts_us"), col("value"))
+      val big = (0 until 64).map(i => ev
+          .withColumn("event_id", col("event_id") + lit(i.toLong * 100000000L)))
+        .reduce(_ unionAll _)
+      val base = "/tmp/graft_probe_zorder"
+      def clean(p: String): Unit = {
+        val path = new org.apache.hadoop.fs.Path(p)
+        val fs = path.getFileSystem(spark.sessionState.newHadoopConf())
+        if (fs.exists(path)) { fs.delete(path, true); () }
+      }
+      Seq("plain", "lin", "z").foreach(s => clean(s"$base/$s"))
+      time("zorder: write plain 64 files (6.4M rows)")(
+        big.repartition(64).write.parquet(s"$base/plain"))
+      time("zorder: write linear sort by user_id")(
+        big.repartitionByRange(64, col("user_id")).sortWithinPartitions("user_id")
+          .write.parquet(s"$base/lin"))
+      time("zorder: write z-order (user_id, ts_us)")(
+        Clustering.zOrderWrite(big, Seq("user_id", "ts_us"), bits = 10,
+          s"$base/z", nFiles = 64))
+      val s0 = ev.agg(min("user_id"), max("user_id"), min("ts_us"), max("ts_us")).head()
+      val (mnU, mxU, mnT, mxT) = (s0.getLong(0), s0.getLong(1), s0.getLong(2), s0.getLong(3))
+      def slice(lo: Long, hi: Long, num: Long, den: Long, at: Long): (Long, Long) = {
+        val w = (hi - lo) * num / den
+        (lo + (hi - lo) * at / 100, lo + (hi - lo) * at / 100 + w)
+      }
+      // three predicate shapes: the linear layout prunes only the first;
+      // z-order prunes all three (at sqrt-resolution per dim — the
+      // standard z-curve trade)
+      val (u3lo, u3hi) = slice(mnU, mxU, 3, 100, 30)
+      val (u17lo, u17hi) = slice(mnU, mxU, 17, 100, 40)
+      val (t3lo, t3hi) = slice(mnT, mxT, 3, 100, 50)
+      val (t17lo, t17hi) = slice(mnT, mxT, 17, 100, 50)
+      val boxes = Seq(
+        "3% user x all time " -> Seq(("user_id", u3lo, u3hi)),
+        "all user x 3% time " -> Seq(("ts_us", t3lo, t3hi)),
+        "17% user x 17% time" -> Seq(("user_id", u17lo, u17hi), ("ts_us", t17lo, t17hi)))
+      for ((bname, box) <- boxes; layout <- Seq("plain", "lin", "z")) {
+        val (touched, total) = Clustering.filesTouched(spark, s"$base/$layout", box)
+        val pred = box.map { case (c, lo, hi) => col(c).between(lo, hi) }.reduce(_ && _)
+        val t0 = System.nanoTime()
+        noop(spark.read.parquet(s"$base/$layout").where(pred))
+        val sec = (System.nanoTime() - t0) / 1e9
+        println(f"[probe] zorder: $bname $layout%-5s $touched%3d/$total files  $sec%.2f s")
+      }
     }
 
     if (!sections("legacy")) { spark.stop(); return }

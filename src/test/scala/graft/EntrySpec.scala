@@ -22,7 +22,11 @@ class EntrySpec extends SparkSuite {
       // decomposition invariants and determinism, q183 pins the shared
       // covariance fit against covar_pop
       "q184_pca_spectrum", "q185_mahalanobis", "q186_whiten_gram",
-      "q187_linear_probe", "q188_probe_cv")
+      "q187_linear_probe", "q188_probe_cv",
+      // unigram-LM tokenizer: the EM fit is iterative (like q136) and
+      // Viterbi is a DP with no SQL form; both are pinned against
+      // brute-force references in TextAnalysisSpec
+      "q196_unigram_lm", "q197_unigram_encode")
     assert(SparkEntry.oracleSql.keySet === SparkEntry.queries.keySet -- rowsOnly)
   }
 

@@ -815,4 +815,88 @@ class TextAnalysisSpec extends SparkSuite {
     // unseeded doc_id % 7 == 3 slice is the irreducible-error tail)
     assert(trainedHits * 10 >= n * 8, s"trained $trainedHits/$n below 80%")
   }
+
+  // ---- unigram-LM tokenizer ----
+
+  /** Brute-force reference: all segmentations of `w` under `vocab`, with
+    * path log-probs. */
+  private def allSegs(w: String, vocab: Map[String, Double],
+                      maxLen: Int): Seq[(Seq[String], Double)] =
+    if (w.isEmpty) Seq((Nil, 0.0))
+    else (1 to math.min(maxLen, w.length)).flatMap { l =>
+      val p = w.substring(0, l)
+      vocab.get(p).toSeq.flatMap { lp =>
+        allSegs(w.substring(l), vocab, maxLen).map { case (seg, s) => (p +: seg, s + lp) }
+      }
+    }
+
+  private def logSumExp(xs: Seq[Double]): Double = {
+    val m = xs.max
+    m + math.log(xs.map(x => math.exp(x - m)).sum)
+  }
+
+  test("unigramEmStep matches brute-force expected counts and log-likelihood") {
+    val vocab = Map("a" -> math.log(0.3), "b" -> math.log(0.2),
+      "ab" -> math.log(0.35), "ba" -> math.log(0.15))
+    val wf = Seq(("abab", 3L), ("ba", 2L), ("aab", 1L)).toDF("_w", "_f")
+    val (got, gotLl) = TextAnalysis.unigramEmStep(wf, vocab, maxPieceLen = 2)
+    // reference: per word, posterior-weighted piece occurrence counts
+    val exp = collection.mutable.HashMap.empty[String, Double]
+    var expLl = 0.0
+    for ((w, f) <- Seq(("abab", 3L), ("ba", 2L), ("aab", 1L))) {
+      val segs = allSegs(w, vocab, 2)
+      val z = logSumExp(segs.map(_._2))
+      expLl += f * z
+      for ((seg, lp) <- segs; p <- seg)
+        exp(p) = exp.getOrElse(p, 0.0) + f * math.exp(lp - z)
+    }
+    assert(math.abs(gotLl - expLl) < 1e-9, s"ll $gotLl vs $expLl")
+    assert(got.keySet === exp.keySet)
+    for ((p, c) <- exp)
+      assert(math.abs(got(p) - c) < 1e-9, s"count[$p] ${got(p)} vs $c")
+  }
+
+  test("trainUnigramLm: EM likelihood is monotone; output is a normalized ranked vocab") {
+    val docs = Seq(
+      (1L, "the theme of the thesis"), (2L, "there is the other theory"),
+      (3L, "then the weather and the sea"), (4L, "rather the same theme again"),
+      (5L, "another thesis about the theme")).toDF("doc_id", "text")
+    val out = TextAnalysis.trainUnigramLm(docs, "text", vocabSize = 30,
+      maxPieceLen = 4, emIters = 2).collect()
+    // ranked 1..n, all single corpus chars present, multis capped by vocabSize
+    assert(out.map(_.getInt(0)).toSeq === (1 to out.length))
+    assert(out.length === 30)
+    val pieces = out.map(_.getString(1)).toSet
+    val chars = docs.collect().flatMap(_.getString(1).split("")).filter(_.matches("[a-z0-9]")).toSet
+    assert(chars.subsetOf(pieces))
+    // probabilities normalize: logsumexp(logp) ~ 0 (rounded to 6 dp each)
+    val lse = logSumExp(out.map(_.getDouble(2)).toSeq)
+    assert(math.abs(lse) < 1e-3, s"logsumexp(logp) = $lse")
+    // EM monotonicity on the same corpus: LL never decreases across steps
+    val wf = docs.select(explode(TextAnalysis.wordTokens(col("text"))).as("_w"))
+      .groupBy("_w").agg(count(lit(1)).as("_f"))
+    val seed = pieces.toSeq.sorted
+    val init = seed.map(p => p -> math.log(1.0 / seed.size)).toMap
+    val (c1, ll1) = TextAnalysis.unigramEmStep(wf, init, 4)
+    val total = c1.values.sum
+    val v1 = c1.map { case (p, c) => p -> (math.log(math.max(c, 1e-12)) - math.log(total)) }
+    val (_, ll2) = TextAnalysis.unigramEmStep(wf, v1, 4)
+    assert(ll2 >= ll1 - 1e-9, s"EM decreased likelihood: $ll1 -> $ll2")
+  }
+
+  test("unigramEncodeStats: Viterbi picks max-likelihood, ties prefer fewer pieces, unk covers") {
+    val vocab = Seq("a" -> -1.0, "b" -> -1.0, "ab" -> -2.0, "c" -> -0.5)
+    val docs = Seq((1L, "ab ab"), (2L, "cab"), (3L, "xyz")).toDF("doc_id", "text")
+    val out = TextAnalysis.unigramEncodeStats(docs, "doc_id", "text", vocab,
+        unkLogp = -20.0)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getAs[Long]("n_words"), r.getAs[Long]("n_pieces"),
+          r.getAs[Double]("viterbi_logp")))).toMap
+    // "ab": one-piece (-2.0) ties two-piece (-1-1 = -2.0) -> fewer pieces
+    assert(out(1L) === ((2L, 2L, -4.0)))
+    // "cab": c + ab (-0.5 - 2.0) vs c+a+b (-2.5) tie again -> 2 pieces
+    assert(out(2L) === ((1L, 2L, -2.5)))
+    // "xyz": no piece known -> 3 unk single-char arcs
+    assert(out(3L) === ((1L, 3L, -60.0)))
+  }
 }
