@@ -105,9 +105,12 @@ object Bench {
     //                      propagation); q65 keeps the longer record history
     //   q101_binary_ann  — its hamming stage runs verbatim inside q102's
     //                      shortlist phase
+    //   q198_unigram_char_twin — q197's plumbing on a smaller vocab (the
+    //                      oracle-degenerate twin); q197 measures the path
     val benchSkip: Set[String] =
       if (sys.env.get("SPARK_GRAFT_BENCH_ALL").exists(_ == "1")) Set.empty
-      else Set("q45_group_topk", "q79_cc_star", "q101_binary_ann")
+      else Set("q45_group_topk", "q79_cc_star", "q101_binary_ann",
+        "q198_unigram_char_twin")
     // Run order is a seeded shuffle, not alphabetical: when the budget (below)
     // cuts the tail to one cold pass, an alphabetical order ALWAYS sacrifices
     // the same late-alphabet queries (round 9's driver run cold-passed

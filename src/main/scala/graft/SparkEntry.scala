@@ -2687,6 +2687,18 @@ object SparkEntry {
           UnigramApplyVocab)
         .orderBy("doc_id")
     }),
+
+    // q197's exact plumbing twin (the q193 pattern): restrict the vocab
+    // to its single-char rows and the Viterbi lattice degenerates to the
+    // per-char path — counts, log-likelihood, and fertility become pure
+    // SQL over exploded characters, so the explode / distinct-word /
+    // join-back / aggregate machinery gets a FULL hash oracle while the
+    // DP itself stays spec-pinned (TextAnalysisSpec).
+    "q198_unigram_char_twin" -> ((s, dir) => {
+      TextAnalysis.unigramEncodeStats(Tables.documents(s, dir), "doc_id", "text",
+          UnigramApplyVocab.filter(_._1.length == 1))
+        .orderBy("doc_id")
+    }),
   )
 
   /** q154/q155 corpus: the synthesized lines become conversation turns —
@@ -3873,6 +3885,34 @@ object SparkEntry {
         |  min(user_id) AS min_user, max(user_id) AS max_user,
         |  min(ts_us) AS min_ts_us, max(ts_us) AS max_ts_us
         |FROM z GROUP BY zcell ORDER BY zcell""".stripMargin,
+
+    // Single-char vocab makes every Viterbi arc length 1, so the
+    // segmentation is the character sequence itself — logp sums are
+    // multiples of 0.1 (float error ~1e-12 vs the 4-dp rounding grid),
+    // and unknown chars (uppercase) price at the -20 unk arc in both
+    // engines.
+    "q198_unigram_char_twin" ->
+      """WITH v(piece, logp) AS (VALUES
+        |  ('e', -2.5), ('t', -2.6), ('a', -2.7), ('o', -2.8), ('i', -2.8),
+        |  ('n', -2.8), ('s', -2.9), ('r', -2.9), ('h', -3.0), ('l', -3.2),
+        |  ('d', -3.3), ('c', -3.5), ('u', -3.5), ('m', -3.6), ('f', -3.8),
+        |  ('p', -3.8), ('g', -3.9), ('w', -3.9), ('y', -4.0), ('b', -4.1),
+        |  ('v', -4.5), ('k', -4.7), ('x', -5.5), ('j', -5.6), ('q', -5.7),
+        |  ('z', -5.8), ('0', -5.0), ('1', -5.0), ('2', -5.0), ('3', -5.0),
+        |  ('4', -5.0), ('5', -5.0), ('6', -5.0), ('7', -5.0), ('8', -5.0),
+        |  ('9', -5.0)),
+        |w AS (SELECT doc_id, unnest(regexp_extract_all(text, '[A-Za-z0-9]+')) AS word
+        |  FROM documents),
+        |ch AS (SELECT doc_id, unnest(regexp_extract_all(word, '[A-Za-z0-9]')) AS c
+        |  FROM w),
+        |sc AS (SELECT doc_id, COALESCE(v.logp, -20.0) AS lp
+        |  FROM ch LEFT JOIN v ON ch.c = v.piece),
+        |agg AS (SELECT doc_id, count(*) AS n_pieces, round(sum(lp), 4) AS viterbi_logp
+        |  FROM sc GROUP BY doc_id),
+        |wc AS (SELECT doc_id, count(*) AS n_words FROM w GROUP BY doc_id)
+        |SELECT wc.doc_id, n_words, n_pieces, viterbi_logp,
+        |  round(CAST(n_pieces AS DOUBLE) / n_words, 6) AS pieces_per_word
+        |FROM wc JOIN agg USING (doc_id) ORDER BY wc.doc_id""".stripMargin,
 
     // The bloom prefilter is result-preserving (exact semi join absorbs
     // false positives), so the oracle is the plain IN-subquery semi join.
