@@ -373,6 +373,35 @@ class PlanPostureSpec extends SparkSuite {
     }
   }
 
+  test("unigramEncodeStats: the only string through any shuffle is the word column (q197 shape)") {
+    // The Viterbi DP runs on the DISTINCT-word table; the corpus side
+    // shuffles (id, word) rows for the distinct/agg and fixed-width
+    // (id, np, lp) rows after the join-back. If a refactor ever ships
+    // document `text` through an exchange, the word-type cost model is
+    // broken. AQE is off for this pin so exchanges sit as plain tree
+    // nodes whose OUTPUT attributes we can inspect (the plan string only
+    // shows partitioning keys).
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.types.StringType
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val docs = graft.meta.Tables.documents(spark, sf)
+      val df = graft.operators.TextAnalysis.unigramEncodeStats(
+        docs, "doc_id", "text", Seq("a" -> -2.0, "th" -> -3.0, "e" -> -2.5))
+      df.collect()
+      val exchanges = df.queryExecution.executedPlan.collect {
+        case e: ShuffleExchangeExec => e
+      }
+      assert(exchanges.nonEmpty, "expected keyed exchanges in the encode plan")
+      for (e <- exchanges) {
+        val stringy = e.output.filter(_.dataType == StringType).map(_.name)
+        assert(stringy.forall(_ == "_w"),
+          s"non-word string column(s) $stringy crossed a shuffle: " +
+            s"${e.output.map(a => s"${a.name}:${a.dataType.simpleString}")}")
+      }
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
   test("quality probe: ONE map-side-partial aggregate fit + zero-shuffle score (q130 shape)") {
     import spark.implicits._
     val feats = Seq((1L, 0.1, 0.2, -3.0, 1.0), (2L, 0.3, 0.1, -2.0, 0.0))
