@@ -1839,16 +1839,19 @@ object TextAnalysis {
     // seed inventory: frequency-weighted substring counts, one
     // vocabulary-sized explode (bounded: |word| * maxPieceLen pieces per
     // word TYPE)
-    val sub = wf.select(col("_f"), explode(expr(
+    // detached: the singles and multis collects below would otherwise
+    // each re-run the substring explode + aggregate
+    val sub = Relational.detach(wf.select(col("_f"), explode(expr(
         s"flatten(transform(sequence(1, length(_w)), s -> " +
           s"transform(sequence(s, least(length(_w), s + ${maxPieceLen - 1})), " +
           s"e -> substring(_w, s, e - s + 1))))")).as("piece"))
-      .groupBy("piece").agg(sum("_f").as("n"))
+      .groupBy("piece").agg(sum("_f").as("n")))
     val singles = sub.where(length(col("piece")) === 1).collect()
       .map(r => r.getString(0) -> r.getLong(1).toDouble)
     val multis = sub.where(length(col("piece")) > 1)
       .orderBy(col("n").desc, col("piece").asc).limit(vocabSize * seedFactor)
       .collect().map(r => r.getString(0) -> r.getLong(1).toDouble)
+    Relational.release(sub)
     require(singles.length < vocabSize,
       s"vocabSize $vocabSize must exceed the ${singles.length} distinct chars")
     val seedTotal = (singles ++ multis).map(_._2).sum

@@ -11,7 +11,7 @@ import org.apache.spark.sql.functions._
   * land in BASELINE.md). Args select sections: `fill`, `skew`, `bucket`,
   * `funnel`, `pq`, `bigprobe`, `spanscrub`, `fuzzydedup`, `cleanscrub`, `packbudget`, `simhashband`,
   * `wordlm`, `bloomdedup`, `winnow`, `chatshard`, `warcsrc`, `jsonlsrc`,
-  * `gram`, `zorder`, `legacy` (no args = all). */
+  * `gram`, `zorder`, `unigram`, `legacy` (no args = all). */
 object ScaleProbe {
   def main(args: Array[String]): Unit = {
     val sections: String => Boolean =
@@ -926,6 +926,33 @@ object ScaleProbe {
         noop(spark.read.parquet(s"$base/$layout").where(pred))
         val sec = (System.nanoTime() - t0) / 1e9
         println(f"[probe] zorder: $bname $layout%-5s $touched%3d/$total files  $sec%.2f s")
+      }
+    }
+
+    // Unigram-LM EM cost vs corpus growth: the fit's claim is that EM
+    // rounds cost |word types| (Heaps ~sqrt corpus), not corpus tokens.
+    // A 16x corpus should grow the E-step wall far slower than 16x —
+    // the word-frequency aggregate (the single corpus-sized pass)
+    // absorbs the scale.
+    if (sections("unigram")) {
+      import graft.operators.TextAnalysis
+      val d1 = Tables.documents(spark, "/root/testdata/sf0.1").select("doc_id", "text")
+      val d16 = (0 until 16).map(i => d1
+          .withColumn("doc_id", col("doc_id") + lit(i.toLong * 100000000L))
+          // shift the text per replica so word TYPES also grow (a pure
+          // union would recount identical types and flatter the claim)
+          .withColumn("text", concat(col("text"), lit(s" replica$i marker$i"))))
+        .reduce(_ unionAll _)
+      for ((tag, d) <- Seq("1x" -> d1, "16x" -> d16)) {
+        val stats = d.select(explode(TextAnalysis.wordTokens(col("text"))).as("w"))
+          .agg(count(lit(1)).as("toks"), countDistinct(col("w")).as("types")).head()
+        val (nToks, nTypes) = (stats.getLong(0), stats.getLong(1))
+        val t0 = System.nanoTime()
+        val fit = TextAnalysis.trainUnigramLm(d, "text", vocabSize = 120,
+          maxPieceLen = 4, emIters = 2)
+        val n = fit.count()
+        val sec = (System.nanoTime() - t0) / 1e9
+        println(f"[probe] unigram fit $tag%-4s $nToks%9d tokens / $nTypes%5d types, vocab $n%4d  $sec%.2f s")
       }
     }
 
