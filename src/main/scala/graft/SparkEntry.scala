@@ -2699,6 +2699,26 @@ object SparkEntry {
           UnigramApplyVocab.filter(_._1.length == 1))
         .orderBy("doc_id")
     }),
+
+    // OPQ-rotated PQ retrieval (Ge et al. 2013 parametric variant) —
+    // q93's pipeline with the missing Faiss-standard preprocessing rung:
+    // PCA-derived orthogonal rotation with balanced eigenvalue
+    // allocation across subspaces, applied to corpus and probes before
+    // the PQ fit/encode/ADC scan. Rows-only like the whole Lloyd-fit PQ
+    // family; the rotation's own contracts (orthogonality, EXACT cosine
+    // invariance, quantization-error parity within 2% on this
+    // near-isotropic synthetic fixture — the gain appears on correlated
+    // real embeddings) are pinned in DedupSimilaritySpec.
+    "q199_opq_ann" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val r = Similarity.fitOpqRotation(emb, m = 8)
+      val rot = Similarity.opqRotate(emb, r)
+      val books = Similarity.fitPqCodebooks(rot, m = 8, ksub = 16, iterations = 3)
+      val codes = Similarity.pqEncode(rot, books)
+      Similarity.pqTopK(codes, books,
+          Similarity.opqRotate(emb.where(col("vec_id") < 8), r), 10)
+        .orderBy("probe_id", "rank")
+    }),
   )
 
   /** q154/q155 corpus: the synthesized lines become conversation turns —

@@ -536,6 +536,62 @@ object Similarity {
       round(array_max(errs), 6).as("max_abs_err"))
   }
 
+  /** Parametric OPQ rotation fit (Ge et al. 2013, the "OPQ-P" variant):
+    * one PCA fit (a single corpus Gram pass + the driver Jacobi solve,
+    * [[graft.operators.Decomp.fitPca]]) and an eigenvalue ALLOCATION
+    * that deals the principal directions across the `m` PQ subspaces so
+    * each subspace carries a balanced product of variances — without it,
+    * naive dimension-order PQ lets one loud correlated subspace eat the
+    * whole quantization budget while another encodes noise. Returns the
+    * d x d orthogonal rotation as ROWS (output dim k = row k),
+    * subspace-major: rows [j*dsub, (j+1)*dsub) feed subspace j of the
+    * downstream [[fitPqCodebooks]]/[[fitIvfPqCodebooks]] fit.
+    *
+    * Rotation ONLY — no mean-centering: an orthogonal map preserves dot
+    * products and norms, so EXACT cosines are invariant (pinned in
+    * DedupSimilaritySpec) and a rotated index answers the same queries;
+    * centering would change the cosine contract. Deviation from the
+    * paper, stated: no alternating refinement of R against the fitted
+    * codebooks (non-parametric OPQ) — the parametric one-shot fit is the
+    * standard production variant and composes with any PQ tier. */
+  def fitOpqRotation(corpus: DataFrame, m: Int,
+                     vecCol: String = "embedding"): Array[Array[Double]] = {
+    require(m >= 1, s"fitOpqRotation needs m >= 1, got $m")
+    val model = graft.operators.Decomp.fitPca(
+      corpus.where(col(vecCol).isNotNull), vecCol)
+    require(model.d % m == 0,
+      s"fitOpqRotation: ${model.d} dims not divisible into $m equal subspaces")
+    val dsub = model.d / m
+    // greedy balanced allocation: eigen-directions descending by
+    // eigenvalue, each placed in the unfilled subspace with the smallest
+    // running log-variance product (ties to the lowest index — total
+    // determinism, like every fit here)
+    val logProd = Array.fill(m)(0.0)
+    val groups = Array.fill(m)(scala.collection.mutable.ArrayBuffer.empty[Int])
+    for (i <- 0 until model.d) {
+      val j = (0 until m).filter(groups(_).length < dsub)
+        .minBy(g => (logProd(g), g))
+      groups(j) += i
+      logProd(j) += math.log(math.max(model.eigenvalues(i), 1e-12))
+    }
+    groups.flatMap(g => g.map(model.components(_))).toArray
+  }
+
+  /** Apply a fitted OPQ rotation: one zero-shuffle
+    * [[graft.functions.EigenProject]] pass (zero mean, unit scales) that
+    * replaces `vecCol` with the rotated array<double>. Apply the SAME
+    * rotation to corpus and probes — cosines are then bit-comparable to
+    * the unrotated space. */
+  def opqRotate(df: DataFrame, rotation: Array[Array[Double]],
+                vecCol: String = "embedding"): DataFrame = {
+    require(rotation.nonEmpty, "opqRotate needs a non-empty rotation")
+    val d = rotation.head.length
+    require(rotation.forall(_.length == d), "opqRotate: ragged rotation rows")
+    df.withColumn(vecCol, graft.functions.GraftFunctions.eigen_project(
+      col(vecCol), Seq.fill(d)(0.0), rotation.map(_.toSeq).toSeq,
+      Seq.fill(rotation.length)(1.0)))
+  }
+
   /** Fit product-quantization codebooks: split dims into `m` equal
     * subspaces and run L2 Lloyd iterations per subspace (seeds = the first
     * `ksub` rows by id, deterministic). Returns (subspace, code, centroid)

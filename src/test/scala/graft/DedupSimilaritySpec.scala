@@ -1343,4 +1343,60 @@ class DedupSimilaritySpec extends SparkSuite {
     assert(Similarity.ndcgAtK(truth, empty, 3).head().getAs[Double]("ndcg") === 0.0)
     intercept[IllegalArgumentException](Similarity.ndcgAtK(truth, hitsFirst, 0))
   }
+
+  // ---- OPQ rotation ----
+
+  test("fitOpqRotation is orthogonal and exactly cosine-preserving") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val r = Similarity.fitOpqRotation(emb, m = 8)
+    val d = r.length
+    assert(d === 64 && r.forall(_.length === d))
+    // R R^T = I (rows orthonormal): the self-certifying rotation check
+    for (i <- 0 until d; j <- i until d) {
+      val dot = (0 until d).map(k => r(i)(k) * r(j)(k)).sum
+      val want = if (i == j) 1.0 else 0.0
+      assert(math.abs(dot - want) < 1e-9, s"RR^T[$i][$j] = $dot")
+    }
+    // exact brute-force top-k is invariant under the rotation: same
+    // neighbors, same ranks, cosines equal to float tolerance
+    val probes = emb.where(col("vec_id") < 4)
+    val raw = Similarity.bruteForceTopK(emb, probes, 5)
+      .select("probe_id", "rank", "neighbor_id", "cosine")
+      .orderBy("probe_id", "rank").collect()
+    val rot = Similarity.bruteForceTopK(
+        Similarity.opqRotate(emb, r), Similarity.opqRotate(probes, r), 5)
+      .select("probe_id", "rank", "neighbor_id", "cosine")
+      .orderBy("probe_id", "rank").collect()
+    assert(raw.length === rot.length && raw.nonEmpty)
+    raw.zip(rot).foreach { case (a, b) =>
+      assert(a.getLong(0) === b.getLong(0) && a.getLong(1) === b.getLong(1))
+      assert(a.getLong(2) === b.getLong(2),
+        s"neighbor flip at probe ${a.getLong(0)} rank ${a.getLong(1)}")
+      assert(math.abs(a.getDouble(3) - b.getDouble(3)) < 1e-6)
+    }
+  }
+
+  test("OPQ rotation does not worsen PQ quantization error (the reason it exists)") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    def mse(corpus: org.apache.spark.sql.DataFrame): Double = {
+      val books = Similarity.fitPqCodebooks(corpus, m = 8, ksub = 16, iterations = 3)
+        .collect().groupBy(_.getInt(0))
+        .map { case (j, rs) => j -> rs.sortBy(_.getInt(1)).map(_.getSeq[Double](2).toArray) }
+      val vecs = corpus.select(col("embedding").cast("array<double>"))
+        .collect().map(_.getSeq[Double](0).toArray)
+      val dsub = vecs.head.length / 8
+      vecs.map { v =>
+        (0 until 8).map { j =>
+          val sv = v.slice(j * dsub, (j + 1) * dsub)
+          books(j).map(c => sv.zip(c).map { case (x, y) => (x - y) * (x - y) }.sum).min
+        }.sum
+      }.sum / vecs.length
+    }
+    val r = Similarity.fitOpqRotation(emb, m = 8)
+    val raw = mse(emb)
+    val rot = mse(Similarity.opqRotate(emb, r))
+    info(f"PQ quantization MSE raw=$raw%.5f opq=$rot%.5f (ratio ${rot / raw}%.3f)")
+    assert(rot <= raw * 1.02,
+      f"OPQ worsened quantization: $rot%.5f vs raw $raw%.5f")
+  }
 }

@@ -26,7 +26,10 @@ class EntrySpec extends SparkSuite {
       // unigram-LM tokenizer: the EM fit is iterative (like q136) and
       // Viterbi is a DP with no SQL form; both are pinned against
       // brute-force references in TextAnalysisSpec
-      "q196_unigram_lm", "q197_unigram_encode")
+      "q196_unigram_lm", "q197_unigram_encode",
+      // OPQ = Jacobi rotation + the Lloyd-fit PQ family (same rows-only
+      // category as q93/q100); contracts pinned in DedupSimilaritySpec
+      "q199_opq_ann")
     assert(SparkEntry.oracleSql.keySet === SparkEntry.queries.keySet -- rowsOnly)
   }
 
