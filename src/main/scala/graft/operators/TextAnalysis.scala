@@ -1788,6 +1788,10 @@ object TextAnalysis {
     }.toDF("piece", "c")
       .groupBy("piece").agg(sum("c").as("c"))
       .collect()
+    // the E-step job is complete — release the vocab broadcast now
+    // instead of leaking one block per EM round (same hygiene as
+    // Relational.release for detached frames)
+    bc.destroy()
     val counts = contrib.iterator
       .map(r => r.getString(0) -> r.getDouble(1)).toMap
     (counts - "", counts.getOrElse("", 0.0))
