@@ -2719,6 +2719,33 @@ object SparkEntry {
           Similarity.opqRotate(emb.where(col("vec_id") < 8), r), 10)
         .orderBy("probe_id", "rank")
     }),
+
+    // LAION-style image size/aspect gate over all four sniffed container
+    // formats: 64 deterministic synthetic images (q192's construction)
+    // at id-derived dimensions, audited by the HEADER-ONLY dimension
+    // sniff (Media.imageAudit — no pixel decode, the 100-TB shape for a
+    // corpus-wide image filter). Every output column is a pure function
+    // of the id and the generator arithmetic, so the whole verdict —
+    // format canonicalization included — gets a FULL hash oracle that
+    // never encodes an image; the sniffers' agreement with real encoder
+    // output is pinned in MediaSpec.
+    "q200_image_audit" -> ((s, dir) => {
+      import s.implicits._
+      val fmts = Seq("png", "jpg", "gif", "bmp")
+      val entries = s.range(64).as[Long].map { k =>
+        val fmt = fmts((k / 16).toInt)
+        val w = 32 + (k % 16).toInt * 24
+        val h = 48 + (k % 8).toInt * 40
+        Media.ZipEntryRow("synth", f"img_$k%03d.$fmt",
+          Media.syntheticImage((k % 16).toInt, fmt, w, h))
+      }
+      Media.imageAudit(entries, minDim = 128, maxAspect = 2.0)
+        .select(regexp_extract(col("entry"), "img_(\\d+)", 1)
+            .cast("long").as("img_id"),
+          col("fmt"), col("width"), col("height"), col("aspect"),
+          col("keep"), col("reject_reason"))
+        .orderBy("img_id")
+    }),
   )
 
   /** q154/q155 corpus: the synthesized lines become conversation turns —
@@ -3933,6 +3960,30 @@ object SparkEntry {
         |SELECT wc.doc_id, n_words, n_pieces, viterbi_logp,
         |  round(CAST(n_pieces AS DOUBLE) / n_words, 6) AS pieces_per_word
         |FROM wc JOIN agg USING (doc_id) ORDER BY wc.doc_id""".stripMargin,
+
+    // The generator arithmetic IS the oracle (q192's discipline): the
+    // sniffed dims equal the requested dims and the canonical format is
+    // a function of k/16 — MediaSpec pins both against real encoder
+    // bytes, so the SQL never touches an image.
+    "q200_image_audit" ->
+      """WITH k AS (SELECT range AS k FROM range(0, 64)),
+        |d AS (SELECT k,
+        |  CASE k // 16 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg'
+        |               WHEN 2 THEN 'gif' ELSE 'bmp' END AS fmt,
+        |  CAST(32 + (k % 16) * 24 AS INTEGER) AS width,
+        |  CAST(48 + (k % 8) * 40 AS INTEGER) AS height FROM k),
+        |a AS (SELECT k AS img_id, fmt, width, height,
+        |  round(CAST(greatest(width, height) AS DOUBLE)
+        |    / least(width, height), 6) AS aspect,
+        |  least(width, height) < 128 AS small,
+        |  round(CAST(greatest(width, height) AS DOUBLE)
+        |    / least(width, height), 6) > 2.0 AS stretched FROM d)
+        |SELECT img_id, fmt, width, height, aspect,
+        |  NOT (small OR stretched) AS keep,
+        |  CASE WHEN small AND stretched THEN 'small+aspect'
+        |       WHEN small THEN 'small'
+        |       WHEN stretched THEN 'aspect' END AS reject_reason
+        |FROM a ORDER BY img_id""".stripMargin,
 
     // The bloom prefilter is result-preserving (exact semi join absorbs
     // false positives), so the oracle is the plain IN-subquery semi join.

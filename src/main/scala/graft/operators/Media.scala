@@ -481,6 +481,88 @@ object Media {
     out.toByteArray
   }
 
+  /** Header-sniffed image format and dimensions — NO pixel decode: PNG
+    * IHDR (big-endian at offset 16/20), GIF logical screen descriptor
+    * (little-endian at 6/8), BMP info header (little-endian at 18/22,
+    * |height| for top-down files), and a JPEG marker-segment walk to the
+    * first frame header (SOF0-15 minus DHT/JPG/DAC), skipping APPn/DQT/
+    * fill bytes by their declared lengths. Returns (canonical format,
+    * width, height) or None for anything unrecognizable/truncated.
+    *
+    * This is the 100-TB shape for size/aspect filtering: a corpus-wide
+    * image gate must not pay a full decode per candidate when the
+    * verdict needs 30 header bytes — dimension sniffing reads O(1) of
+    * each blob (JPEG: the pre-SOF segment table), the same discipline as
+    * [[graft.sources.Warc]]'s record-at-a-time scan. */
+  private[graft] def imageDims(b: Array[Byte]): Option[(String, Int, Int)] = {
+    def u(i: Int): Int = b(i) & 0xFF
+    def be32(i: Int): Int = (u(i) << 24) | (u(i + 1) << 16) | (u(i + 2) << 8) | u(i + 3)
+    def le16(i: Int): Int = u(i) | (u(i + 1) << 8)
+    def le32(i: Int): Int = u(i) | (u(i + 1) << 8) | (u(i + 2) << 16) | (u(i + 3) << 24)
+    if (b.length >= 24 && u(0) == 0x89 && u(1) == 0x50 && u(2) == 0x4E && u(3) == 0x47)
+      Some(("png", be32(16), be32(20)))
+    else if (b.length >= 10 && u(0) == 0x47 && u(1) == 0x49 && u(2) == 0x46)
+      Some(("gif", le16(6), le16(8)))
+    else if (b.length >= 26 && u(0) == 0x42 && u(1) == 0x4D)
+      Some(("bmp", le32(18), math.abs(le32(22))))
+    else if (b.length >= 4 && u(0) == 0xFF && u(1) == 0xD8) {
+      var i = 2
+      var res: Option[(String, Int, Int)] = None
+      var dead = false
+      while (!dead && res.isEmpty && i + 9 < b.length) {
+        if (u(i) != 0xFF) dead = true // marker desync: corrupt stream
+        else {
+          val m = u(i + 1)
+          if (m == 0xFF) i += 1 // fill byte
+          else if (m == 0xD8 || (m >= 0xD0 && m <= 0xD7) || m == 0x01) i += 2
+          else if (m == 0xD9) dead = true // EOI before any frame header
+          else {
+            val len = (u(i + 2) << 8) | u(i + 3)
+            if (len < 2) dead = true
+            else if (m >= 0xC0 && m <= 0xCF && m != 0xC4 && m != 0xC8 && m != 0xCC)
+              res = Some(("jpeg", (u(i + 7) << 8) | u(i + 8), (u(i + 5) << 8) | u(i + 6)))
+            else i += 2 + len
+          }
+        }
+      }
+      res
+    } else None
+  }
+
+  /** LAION-style per-image quality gate: format + dimensions from the
+    * header sniff ([[imageDims]]), aspect ratio, and the keep verdict —
+    * `min(w, h) >= minDim` AND `max/min <= maxAspect` — with a reject
+    * reason ("small", "aspect", "small+aspect", "undecodable"). One row
+    * per entry, kept or not: the audit is the corpus report, the caller
+    * filters on `keep`.
+    *
+    * Scale shape: a single map over the exploded entries — bytes never
+    * shuffle, no pixel decode (see [[imageDims]]), fixed-width output. */
+  def imageAudit(entries: Dataset[ZipEntryRow],
+                 minDim: Int, maxAspect: Double): DataFrame = {
+    require(minDim >= 1, s"imageAudit needs minDim >= 1, got $minDim")
+    require(maxAspect >= 1.0, s"imageAudit needs maxAspect >= 1, got $maxAspect")
+    val spark = entries.sparkSession
+    import spark.implicits._
+    entries.map { r =>
+      imageDims(r.content) match {
+        case Some((fmt, w, h)) if w > 0 && h > 0 =>
+          val aspect = math.rint(math.max(w, h).toDouble / math.min(w, h) * 1e6) / 1e6
+          val small = math.min(w, h) < minDim
+          val stretched = aspect > maxAspect
+          val reason =
+            if (small && stretched) "small+aspect"
+            else if (small) "small"
+            else if (stretched) "aspect"
+            else null
+          (r.archive, r.entry, fmt, w, h, aspect, reason == null, reason)
+        case _ =>
+          (r.archive, r.entry, null: String, 0, 0, 0.0, false, "undecodable")
+      }
+    }.toDF("archive", "entry", "fmt", "width", "height", "aspect", "keep",
+      "reject_reason")
+  }
+
   /** dHash every decodable image entry: (archive, entry, dhash) — the
     * IMAGE arm of the near-dup ladder. Feed the result to
     * [[graft.operators.Dedup.hammingNearDupPairs64]] (banded, never

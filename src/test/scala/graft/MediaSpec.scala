@@ -402,4 +402,32 @@ class MediaSpec extends SparkSuite {
     assert(pairs === Set(("z/a.jpg", "z/a.png")),
       s"exactly the re-encode pair must surface: $pairs")
   }
+
+  test("imageDims sniffs real encoder headers without decoding; imageAudit gates") {
+    import spark.implicits._
+    // all four container sniffers against REAL ImageIO encoder output,
+    // at dims exercising both byte orders and multi-byte widths
+    for (fmt <- Seq("png", "jpg", "gif", "bmp"); (w, h) <- Seq((96, 64), (300, 125), (31, 400))) {
+      val want = if (fmt == "jpg") "jpeg" else fmt
+      assert(Media.imageDims(Media.syntheticImage(3, fmt, w, h)) === Some((want, w, h)),
+        s"$fmt ${w}x$h")
+    }
+    // garbage, text, and a JPEG truncated before its frame header
+    assert(Media.imageDims(Array[Byte](1, 2, 3)) === None)
+    assert(Media.imageDims("not an image at all".getBytes("UTF-8")) === None)
+    assert(Media.imageDims(Media.syntheticImage(1, "jpg", 64, 64).take(8)) === None)
+    // the audit's four verdict classes
+    val entries = Seq(
+      Media.ZipEntryRow("a", "ok.png", Media.syntheticImage(0, "png", 300, 200)),
+      Media.ZipEntryRow("a", "small.png", Media.syntheticImage(1, "png", 100, 300)),
+      Media.ZipEntryRow("a", "wide.png", Media.syntheticImage(2, "png", 600, 200)),
+      Media.ZipEntryRow("a", "junk.bin", Array[Byte](9, 9, 9))).toDS()
+    val out = Media.imageAudit(entries, minDim = 128, maxAspect = 2.0)
+      .collect().map(r => r.getString(1) ->
+        ((r.getAs[Boolean]("keep"), r.getAs[String]("reject_reason")))).toMap
+    assert(out("ok.png") === ((true, null)))
+    assert(out("small.png") === ((false, "small+aspect"))) // 100 < 128 AND 3.0 > 2
+    assert(out("wide.png") === ((false, "aspect")))
+    assert(out("junk.bin") === ((false, "undecodable")))
+  }
 }
