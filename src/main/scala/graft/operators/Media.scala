@@ -503,8 +503,17 @@ object Media {
       Some(("png", be32(16), be32(20)))
     else if (b.length >= 10 && u(0) == 0x47 && u(1) == 0x49 && u(2) == 0x46)
       Some(("gif", le16(6), le16(8)))
-    else if (b.length >= 26 && u(0) == 0x42 && u(1) == 0x4D)
-      Some(("bmp", le32(18), math.abs(le32(22))))
+    else if (b.length >= 26 && u(0) == 0x42 && u(1) == 0x4D) {
+      // the DIB header SIZE at offset 14 decides the dims layout: 12 =
+      // OS/2 BITMAPCOREHEADER (u16 dims at 18/20); 16..124 = the
+      // BITMAPINFOHEADER family incl. OS/2 2.x (i32 dims at 18/22,
+      // |height| for top-down); anything else is not a layout this
+      // sniffer knows — None, never fabricated dimensions
+      val hs = le32(14)
+      if (hs == 12) Some(("bmp", le16(18), le16(20)))
+      else if (hs >= 16 && hs <= 124) Some(("bmp", le32(18), math.abs(le32(22))))
+      else None
+    }
     else if (b.length >= 4 && u(0) == 0xFF && u(1) == 0xD8) {
       var i = 2
       var res: Option[(String, Int, Int)] = None

@@ -540,9 +540,11 @@ object Similarity {
     * one PCA fit (a single corpus Gram pass + the driver Jacobi solve,
     * [[graft.operators.Decomp.fitPca]]) and an eigenvalue ALLOCATION
     * that deals the principal directions across the `m` PQ subspaces so
-    * each subspace carries a balanced product of variances — without it,
-    * naive dimension-order PQ lets one loud correlated subspace eat the
-    * whole quantization budget while another encodes noise. Returns the
+    * each subspace carries a balanced share of the variance (the
+    * sum-balancing greedy of [[allocateEigen]] — the practical,
+    * scale-invariant proxy for the paper's product objective) — without
+    * it, naive dimension-order PQ lets one loud correlated subspace eat
+    * the whole quantization budget while another encodes noise. Returns the
     * d x d orthogonal rotation as ROWS (output dim k = row k),
     * subspace-major: rows [j*dsub, (j+1)*dsub) feed subspace j of the
     * downstream [[fitPqCodebooks]]/[[fitIvfPqCodebooks]] fit.
@@ -561,20 +563,38 @@ object Similarity {
       corpus.where(col(vecCol).isNotNull), vecCol)
     require(model.d % m == 0,
       s"fitOpqRotation: ${model.d} dims not divisible into $m equal subspaces")
-    val dsub = model.d / m
-    // greedy balanced allocation: eigen-directions descending by
-    // eigenvalue, each placed in the unfilled subspace with the smallest
-    // running log-variance product (ties to the lowest index — total
-    // determinism, like every fit here)
-    val logProd = Array.fill(m)(0.0)
+    allocateEigen(model.eigenvalues, m)
+      .flatMap(g => g.map(model.components(_)))
+  }
+
+  /** Greedy balanced eigenvalue allocation: eigen-direction indices
+    * (pre-sorted descending by eigenvalue, as [[graft.operators.Decomp
+    * .jacobiEigen]] returns them) dealt into `m` equal groups, each
+    * direction placed in the unfilled group with the smallest running
+    * eigenvalue SUM (ties to the lowest index — total determinism).
+    *
+    * Sum-balancing, NOT product-balancing: a min-log-product greedy
+    * degenerates whenever eigenvalues sit below 1 (the normal case for
+    * unit-norm embeddings, where the trace is <= 1) — the freshly-filled
+    * group keeps the most-negative log total, so it greedily absorbs the
+    * next directions too and the "allocation" collapses to contiguous
+    * PCA-order grouping. Sums grow monotonically from 0, so the greedy
+    * spreads the loud directions first and the grouping is invariant
+    * under rescaling the data — the Faiss balanced-bins criterion. */
+  private[graft] def allocateEigen(eigenvalues: Array[Double],
+                                   m: Int): Array[Array[Int]] = {
+    val d = eigenvalues.length
+    require(m >= 1 && d % m == 0, s"allocateEigen: $d dims vs $m groups")
+    val dsub = d / m
+    val sums = Array.fill(m)(0.0)
     val groups = Array.fill(m)(scala.collection.mutable.ArrayBuffer.empty[Int])
-    for (i <- 0 until model.d) {
+    for (i <- 0 until d) {
       val j = (0 until m).filter(groups(_).length < dsub)
-        .minBy(g => (logProd(g), g))
+        .minBy(g => (sums(g), g))
       groups(j) += i
-      logProd(j) += math.log(math.max(model.eigenvalues(i), 1e-12))
+      sums(j) += math.max(eigenvalues(i), 0.0)
     }
-    groups.flatMap(g => g.map(model.components(_))).toArray
+    groups.map(_.toArray)
   }
 
   /** Apply a fitted OPQ rotation: one zero-shuffle

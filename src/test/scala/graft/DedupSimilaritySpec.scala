@@ -1376,6 +1376,24 @@ class DedupSimilaritySpec extends SparkSuite {
     }
   }
 
+  test("allocateEigen balances variance sums in the sub-unit-eigenvalue regime") {
+    // all eigenvalues < 1 (unit-norm embeddings): a min-log-PRODUCT
+    // greedy would collapse to contiguous PCA-order groups ({0,1},{2,3})
+    // because the freshly-filled group keeps the most-negative total;
+    // the sum greedy must spread the loud directions
+    val groups = Similarity.allocateEigen(Array(0.5, 0.4, 0.3, 0.2), 2)
+      .map(_.toSet)
+    assert(groups.toSet === Set(Set(0, 3), Set(1, 2)),
+      s"allocation collapsed: ${groups.map(_.mkString("{", ",", "}")).mkString(" ")}")
+    // scale invariance: the grouping must not depend on data rescaling
+    val scaled = Similarity.allocateEigen(Array(500.0, 400.0, 300.0, 200.0), 2)
+      .map(_.toSet)
+    assert(scaled.toSet === groups.toSet)
+    // every group is exactly dsub wide and the indices partition 0..d-1
+    val g8 = Similarity.allocateEigen(Array.tabulate(8)(i => 1.0 / (i + 1)), 4)
+    assert(g8.forall(_.length == 2) && g8.flatten.sorted.toSeq === (0 until 8))
+  }
+
   test("OPQ rotation does not worsen PQ quantization error (the reason it exists)") {
     val emb = spark.read.parquet(s"$sf/embeddings.parquet")
     def mse(corpus: org.apache.spark.sql.DataFrame): Double = {

@@ -416,6 +416,17 @@ class MediaSpec extends SparkSuite {
     assert(Media.imageDims(Array[Byte](1, 2, 3)) === None)
     assert(Media.imageDims("not an image at all".getBytes("UTF-8")) === None)
     assert(Media.imageDims(Media.syntheticImage(1, "jpg", 64, 64).take(8)) === None)
+    // OS/2 BITMAPCOREHEADER BMP: 12-byte DIB header, u16 dims at 18/20 —
+    // the layout the INFOHEADER offsets would misread as garbage dims
+    val os2 = new Array[Byte](26)
+    os2(0) = 'B'; os2(1) = 'M'
+    os2(14) = 12 // DIB header size
+    os2(18) = 100; os2(19) = 0 // width u16 LE
+    os2(20) = 100; os2(21) = 0 // height u16 LE
+    assert(Media.imageDims(os2) === Some(("bmp", 100, 100)))
+    // unknown DIB header size: refuse rather than fabricate dimensions
+    val badHs = os2.clone(); badHs(14) = (200 & 0xFF).toByte
+    assert(Media.imageDims(badHs) === None)
     // the audit's four verdict classes
     val entries = Seq(
       Media.ZipEntryRow("a", "ok.png", Media.syntheticImage(0, "png", 300, 200)),
