@@ -374,4 +374,41 @@ object FunnelProperties extends Properties("graft.funnel") {
       usersOk && perRow && monotone
     }
 
+  // ---- image header sniffer: totality on adversarial bytes ----
+  // imageDims is a corpus gate — at scale it WILL see truncated,
+  // corrupt, and adversarial blobs, and a throw anywhere kills the
+  // stage. It must be total: Some or None, never an exception, and any
+  // Some must carry the sniffed format tag.
+
+  private val arbBytes: Gen[Array[Byte]] =
+    Gen.choose(0, 200).flatMap(n =>
+      Gen.listOfN(n, Gen.choose(-128, 127).map(_.toByte)).map(_.toArray))
+
+  private def totalAndTagged(b: Array[Byte]): Boolean =
+    Media.imageDims(b) match {
+      case Some((fmt, _, _)) => Set("png", "jpeg", "gif", "bmp")(fmt)
+      case None => true
+    }
+
+  property("imageDims.totalOnArbitraryBytes") = forAll(arbBytes)(totalAndTagged)
+
+  property("imageDims.totalOnMagicPrefixedGarbage") = {
+    val magics = Gen.oneOf(
+      Array(0xFF, 0xD8).map(_.toByte), // JPEG SOI, random segment soup
+      Array(0x89, 0x50, 0x4E, 0x47).map(_.toByte), // PNG sig, no IHDR
+      "GIF89a".getBytes("US-ASCII"),
+      "BM".getBytes("US-ASCII"))
+    forAll(magics, arbBytes) { (magic, tail) =>
+      totalAndTagged(magic ++ tail)
+    }
+  }
+
+  property("imageDims.truncationIsTotal") = {
+    // every prefix of a real encoded image parses to Some or None,
+    // never a throw — the mid-upload/corrupt-object case
+    val full = Media.syntheticImage(5, "jpg", 48, 32)
+    forAll(Gen.choose(0, full.length)) { n =>
+      totalAndTagged(full.take(n))
+    }
+  }
 }
