@@ -46,6 +46,14 @@ def round_maps():
         if m:
             d = json.load(open(os.path.join(REPO, f)))
             rounds["r%02d" % int(m.group(1))] = dict(d.get("queries", {}))
+    # full-surface side captures (BENCH_SELF_rN_full.json): taken when the
+    # committed record predates newly added queries — fold in as 'rNNf' so
+    # new queries get a record without displacing the idle-floor artifact
+    for f in sorted(os.listdir(REPO)):
+        m = re.match(r"BENCH_SELF_r(\d+)_full\.json$", f)
+        if m:
+            d = json.load(open(os.path.join(REPO, f)))
+            rounds["r%02df" % int(m.group(1))] = dict(d.get("queries", {}))
     # standalone adjudication probes (min-of-5 on an idle box) are the
     # strongest evidence a query's true cost — fold them in as 'rNNp'
     probes = os.path.join(REPO, "PROBES.jsonl")
@@ -67,7 +75,7 @@ def build():
         for q, v in qs.items():
             history.setdefault(q, {})[r] = v
     records = {q: min(h.values()) for q, h in history.items()}
-    latest = max(int(r[1:].rstrip("p")) for r in rounds)
+    latest = max(int(r[1:].rstrip("pf")) for r in rounds)
     out = {"generated_round": latest,
            "records": dict(sorted(records.items())),
            "history": {q: dict(sorted(h.items()))
