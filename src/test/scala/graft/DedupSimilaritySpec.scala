@@ -1394,6 +1394,52 @@ class DedupSimilaritySpec extends SparkSuite {
     assert(g8.forall(_.length == 2) && g8.flatten.sorted.toSeq === (0 until 8))
   }
 
+  test("OPQ strictly beats raw-space PQ on anisotropic, dimension-mixed data") {
+    // The synthetic embeddings fixture is near-isotropic, where rotation
+    // can't help (the parity test below). This builds the case OPQ
+    // exists for: a few loud latent directions (sigma 8/4/2 vs 1) mixed
+    // into EVERY raw dimension by a Hadamard rotation — raw dim-order
+    // subspaces are then 4-D and equally hard, while PCA-rotated,
+    // allocation-balanced subspaces are effectively 1-D around one loud
+    // direction each. 16 centroids per subspace must quantize the
+    // rotated space strictly better.
+    val d = 16
+    val had = Array.tabulate(d, d) { (i, j) =>
+      if (java.lang.Integer.bitCount(i & j) % 2 == 0) 0.25 else -0.25
+    }
+    val scales = Array.tabulate(d)(i => if (i == 0) 8.0 else if (i == 1) 4.0
+      else if (i == 2) 2.0 else 1.0)
+    val rnd = new scala.util.Random(42)
+    val rows = (0 until 512).map { id =>
+      val z = Array.fill(d)(rnd.nextGaussian() )
+      val x = Array.tabulate(d)(i =>
+        (0 until d).map(j => had(i)(j) * scales(j) * z(j)).sum)
+      (id.toLong, x.toSeq)
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    def mse(corpus: org.apache.spark.sql.DataFrame): Double = {
+      val m = 4
+      val books = Similarity.fitPqCodebooks(corpus, m, ksub = 16, iterations = 5)
+        .collect().groupBy(_.getInt(0))
+        .map { case (j, rs) => j -> rs.sortBy(_.getInt(1)).map(_.getSeq[Double](2).toArray) }
+      val vecs = corpus.select(col("embedding").cast("array<double>"))
+        .collect().map(_.getSeq[Double](0).toArray)
+      val dsub = d / m
+      vecs.map { v =>
+        (0 until m).map { j =>
+          val sv = v.slice(j * dsub, (j + 1) * dsub)
+          books(j).map(c => sv.zip(c).map { case (x, y) => (x - y) * (x - y) }.sum).min
+        }.sum
+      }.sum / vecs.length
+    }
+    val r = Similarity.fitOpqRotation(df, m = 4)
+    val raw = mse(df)
+    val rot = mse(Similarity.opqRotate(df, r))
+    info(f"anisotropic PQ MSE raw=$raw%.4f opq=$rot%.4f (ratio ${rot / raw}%.3f)")
+    assert(rot < raw * 0.9,
+      f"OPQ must clearly beat raw-space PQ on mixed anisotropic data: $rot%.4f vs $raw%.4f")
+  }
+
   test("OPQ rotation does not worsen PQ quantization error (the reason it exists)") {
     val emb = spark.read.parquet(s"$sf/embeddings.parquet")
     def mse(corpus: org.apache.spark.sql.DataFrame): Double = {
