@@ -255,6 +255,32 @@ class IngestStreamingSpec extends SparkSuite {
       Array((1L, "one body"), (2L, "two body"), (3L, "three body")))
   }
 
+  test("jsonlTyped reads gzipped shards transparently (the CC/Dolma delivery format)") {
+    import org.apache.spark.sql.types._
+    import java.util.zip.GZIPOutputStream
+    // a .jsonl.gz shard exactly as crawl dumps ship it — codec inference
+    // off the extension must make this read identical to the plain file,
+    // corrupt-record capture included
+    val dir = Files.createTempDirectory("graft_jsonl_gz").toString
+    val out = new GZIPOutputStream(
+      new java.io.FileOutputStream(s"$dir/shard-000.jsonl.gz"))
+    out.write(("""{"id": 10, "text": "gz alpha"}""" + "\n" +
+      """{"id": 11, "text": "gz beta"}""" + "\n" +
+      """{"id": oops}""" + "\n").getBytes("UTF-8"))
+    out.close()
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("text", StringType)))
+    val got = graft.sources.Ingest.jsonlTyped(spark, dir, schema,
+      corruptColumn = Some("_bad")).cache()
+    try {
+      assert(got.count() === 3)
+      assert(got.where(col("_bad").isNotNull).count() === 1)
+      assert(got.where(col("_bad").isNull).orderBy("id")
+        .select("id", "text").as[(Long, String)].collect() ===
+        Array((10L, "gz alpha"), (11L, "gz beta")))
+    } finally got.unpersist(blocking = true)
+  }
+
   test("WARC scan: records split, HTTP envelope peeled, gzip members handled") {
     import graft.sources.Warc
     import java.nio.charset.StandardCharsets.UTF_8
