@@ -138,6 +138,60 @@ object Similarity {
       .select(col("cell_id"), col("rank"), col(idCol), col("centrality"))
   }
 
+  /** Per-cell salt factors for the distributed cell join: ONE column-pruned
+    * count aggregate over the corpus side (only `cell_id` is read — at 100 TB
+    * that is a metadata-cheap scan next to the scoring pass it protects),
+    * `s_c = ceil(count_c / codesPerSalt)` clamped to `[1, maxSalt]`. The
+    * result has at most one row per coarse cell, so it is broadcast-bounded
+    * by the same contract as the centroid set itself. */
+  private def cellSaltFactors(corpusSide: DataFrame, codesPerSalt: Long,
+                              maxSalt: Int): DataFrame = {
+    require(codesPerSalt >= 1, s"codesPerSalt must be >= 1, got $codesPerSalt")
+    require(maxSalt >= 1, s"maxSalt must be >= 1, got $maxSalt")
+    corpusSide.groupBy(col("cell_id"))
+      .agg(count(lit(1)).as("_n"))
+      .select(col("cell_id"),
+        least(ceil(col("_n").cast("double") / codesPerSalt),
+          lit(maxSalt.toDouble)).cast("int").as("_nsalt"))
+  }
+
+  /** Skew-salted distributed cell join — the 100-TB guard for the
+    * corpus-vs-corpus retrieval shape. A plain `corpus JOIN probes ON
+    * cell_id` concentrates a hot cell's |probes-in-cell| x |codes-in-cell|
+    * scoring in ONE task: real embedding corpora cluster Zipf-ly, so at
+    * scale the hottest coarse cell pins its stage while the rest of the
+    * cluster idles (AQE's skew split can't help — it splits by SHUFFLE
+    * BYTES, and the blow-up here is the join's output pairs, not its
+    * input rows). The standard mitigation: split each cell's CORPUS rows
+    * across `s_c` salt buckets (`xxhash64(neighbor_id) mod s_c` —
+    * deterministic, so results are replay-identical) and replicate each
+    * probe-side row across all `s_c` salts, joining on (cell_id, _salt).
+    * Per-task pair volume drops to |probes_c| x codesPerSalt; the price is
+    * `s_c` shuffle copies of the (bounded-width) probe rows for hot cells
+    * only — cold cells fit one salt and pay nothing. `s_c` scales with the
+    * cell's corpus count (the one-aggregate fit of [[cellSaltFactors]]);
+    * a cell hot on the PROBE side only is already spread by the hash
+    * exchange because distinct probes hash independently.
+    *
+    * Inner-joining the salt frame also PRUNES probe rows aimed at empty
+    * cells (no codes -> no candidates) before they shuffle. The exchange
+    * on (cell_id, _salt) keeps the materialize-the-LUT-at-a-shuffle
+    * property the unsalted path relied on. Both inputs must expose
+    * `cell_id`; the corpus side must expose `neighbor_id`. */
+  private def saltedCellJoin(corpusSide: DataFrame, probeSide: DataFrame,
+                             codesPerSalt: Long, maxSalt: Int): DataFrame = {
+    val salts = broadcast(cellSaltFactors(corpusSide, codesPerSalt, maxSalt))
+    val c = corpusSide.join(salts, "cell_id")
+      .withColumn("_salt",
+        pmod(xxhash64(col("neighbor_id")), col("_nsalt").cast("long")).cast("int"))
+      .drop("_nsalt")
+    val p = probeSide.join(salts, "cell_id")
+      .withColumn("_salt", explode(sequence(lit(0), col("_nsalt") - 1)))
+      .drop("_nsalt")
+      .repartition(col("cell_id"), col("_salt"))
+    c.join(p, Seq("cell_id", "_salt")).drop("_salt")
+  }
+
   /** Assign each row its top-`nprobe` max-cosine cells, one output row per
     * (vector, cell) — the probe-side expansion of multi-probe IVF. Same
     * narrow-projection contract as [[assignCells]]; the explode multiplies
@@ -164,18 +218,23 @@ object Similarity {
     * equi-join, so the probe set can itself be a 100-TB corpus (the probe
     * rows carry (id, vector, cell_id) through one hash exchange; there is
     * no per-row table build on this tier, so the exchange is for
-    * parallelism and shuffle-shape, not for materialization). */
+    * parallelism and shuffle-shape, not for materialization). The
+    * distributed join is skew-SALTED ([[saltedCellJoin]]): a Zipf-hot
+    * coarse cell's scoring splits across `ceil(count_c / codesPerSalt)`
+    * buckets instead of pinning one task; output is salt-invariant. */
   def ivfTopK(corpus: DataFrame, centroids: DataFrame, probes: DataFrame, k: Int,
               idCol: String = "vec_id", vecCol: String = "embedding",
-              nprobe: Int = 1, broadcastProbes: Boolean = true): DataFrame = {
+              nprobe: Int = 1, broadcastProbes: Boolean = true,
+              codesPerSalt: Long = 8192L, maxSalt: Int = 64): DataFrame = {
     val cells = assignCells(corpus, centroids, idCol, vecCol)
     val p = assignCellsMulti(probes, centroids, nprobe, idCol, vecCol)
       .select(col(idCol).as("probe_id"), col(vecCol).as("probe_vec"), col("cell_id"))
-    val probeSide = if (broadcastProbes) broadcast(p) else p.repartition(col("cell_id"))
     val c = cells.select(col(idCol).as("neighbor_id"), col(vecCol).as("cand_vec"), col("cell_id"))
-    val scored = c.join(probeSide, "cell_id")
-      .where(col("neighbor_id") =!= col("probe_id"))
-      .withColumn("cosine", cosine_similarity(col("probe_vec"), col("cand_vec")))
+    val scored =
+      (if (broadcastProbes) c.join(broadcast(p), "cell_id")
+       else saltedCellJoin(c, p, codesPerSalt, maxSalt))
+        .where(col("neighbor_id") =!= col("probe_id"))
+        .withColumn("cosine", cosine_similarity(col("probe_vec"), col("cand_vec")))
     topKPerProbe(scored, k)
   }
 
@@ -324,13 +383,21 @@ object Similarity {
     * `broadcastProbes` (default true) keeps the classic serve shape — a
     * small probe batch broadcast against a huge encoded corpus, zero
     * corpus shuffle. Set it false when the probe set is itself
-    * corpus-sized: the join becomes a plain distributed equi-join on
-    * cell_id and BOTH sides shuffle once. ADC cosine is EXACT for the
-    * reconstruction (quantization is the only approximation). */
+    * corpus-sized: the join becomes a distributed equi-join on cell_id,
+    * BOTH sides shuffle once, and the join is skew-SALTED
+    * ([[saltedCellJoin]]) — a Zipf-hot coarse cell's
+    * |LUTs-in-cell| x |codes-in-cell| scoring splits across
+    * `ceil(count_c / codesPerSalt)` salt buckets (capped at `maxSalt`)
+    * instead of pinning one task, at the price of that many shuffle
+    * copies of the cell's LUT rows (2*m*K+1+m doubles each). Salting is
+    * deterministic, so output is bit-identical to the unsalted and
+    * broadcast paths. ADC cosine is EXACT for the reconstruction
+    * (quantization is the only approximation). */
   def ivfPqTopK(encoded: DataFrame, centroids: DataFrame, codebooks: DataFrame,
                 probes: DataFrame, k: Int, nprobe: Int = 1,
                 idCol: String = "vec_id", vecCol: String = "embedding",
-                broadcastProbes: Boolean = true): DataFrame = {
+                broadcastProbes: Boolean = true,
+                codesPerSalt: Long = 8192L, maxSalt: Int = 64): DataFrame = {
     require(k >= 1, s"ivfPqTopK needs k >= 1, got $k")
     require(nprobe >= 1, s"ivfPqTopK needs nprobe >= 1, got $nprobe")
     val books = collectPqCodebooks(codebooks).map(_.map(_.toSeq).toSeq).toSeq
@@ -349,21 +416,21 @@ object Similarity {
     // stream-side `pq_lut` projection lazily at its first use, which is
     // INSIDE the match loop — the 265-double table is then rebuilt once
     // per scored pair instead of once per (probe, cell) row (measured 7x
-    // on q191's corpus-vs-corpus shape). The hash repartition on cell_id
-    // is the shuffle the Scaladoc already promises ("both sides shuffle
-    // once"), pins one-LUT-per-row at the shuffle write, and spreads the
-    // scoring over the probed cells instead of the probe scan's input
-    // splits.
-    val probeSide =
-      if (broadcastProbes) broadcast(lutDf)
-      else lutDf.repartition(col("cell_id"))
-    val scored = encoded
+    // on q191's corpus-vs-corpus shape). saltedCellJoin's hash
+    // repartition on (cell_id, _salt) is the shuffle the Scaladoc already
+    // promises ("both sides shuffle once"), pins one-LUT-per-row at the
+    // shuffle write (the explode copies the materialized table, it does
+    // not re-run the kernel per scored pair), and spreads each probed
+    // cell's scoring across its salt buckets instead of one task.
+    val enc = encoded
       .select(col(idCol).cast("long").as("neighbor_id"),
         col("cell_id").cast("long").as("cell_id"), col("codes"))
-      .join(probeSide, "cell_id")
-      .where(col("neighbor_id") =!= col("probe_id"))
-      .withColumn("cosine", graft.functions.GraftFunctions
-        .pq_cosine(col("codes"), col("_lut")))
+    val scored =
+      (if (broadcastProbes) enc.join(broadcast(lutDf), "cell_id")
+       else saltedCellJoin(enc, lutDf, codesPerSalt, maxSalt))
+        .where(col("neighbor_id") =!= col("probe_id"))
+        .withColumn("cosine", graft.functions.GraftFunctions
+          .pq_cosine(col("codes"), col("_lut")))
     topKPerProbe(scored, k)
   }
 

@@ -9,7 +9,7 @@ import org.apache.spark.sql.functions._
   * the bucketed-layout write/join cost split, and the funnel's
   * stages-cost-compute-not-shuffles claim (dev aid; measured numbers
   * land in BASELINE.md). Args select sections: `fill`, `skew`, `bucket`,
-  * `funnel`, `pq`, `bigprobe`, `spanscrub`, `fuzzydedup`, `cleanscrub`, `packbudget`, `simhashband`,
+  * `funnel`, `pq`, `bigprobe`, `zipfcell`, `spanscrub`, `fuzzydedup`, `cleanscrub`, `packbudget`, `simhashband`,
   * `wordlm`, `bloomdedup`, `winnow`, `chatshard`, `warcsrc`, `jsonlsrc`,
   * `gram`, `zorder`, `unigram`, `legacy` (no args = all). */
 object ScaleProbe {
@@ -201,6 +201,76 @@ object ScaleProbe {
         Similarity.ivfTopK(v, cents, probes10k, 10, nprobe = 8,
           broadcastProbes = false)))
       cents.unpersist()
+    }
+
+    // Hot-cell skew on the distributed IVF-PQ join: a deliberately
+    // Zipfian-cell fixture (u^3 concentration puts ~31% of the corpus in
+    // one coarse cell) run corpus-vs-corpus. Unsalted, the hot cell's
+    // |LUTs| x |codes| scoring pins one task; salted, it splits across
+    // ceil(count_c / codesPerSalt) buckets. The printout reports wall time
+    // plus max/median task duration WITHIN the heaviest stage — the
+    // straggler diagnostic the salt exists to fix.
+    if (sections("zipfcell")) {
+      import graft.operators.Similarity
+      import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
+      val n = 200000L
+      // cell = floor(32 * u^3) for uniform u: cell 0 holds ~31% of rows,
+      // cell 1 ~8%, a power-law tail after — the Zipf shape of real
+      // embedding clusters. Vector = one-hot(cell) + small deterministic
+      // jitter, so max-cosine assignment lands each row in its cell.
+      val zvecs = spark.range(0, n).select(
+        col("id").as("vec_id"),
+        expr("transform(sequence(1, 64), d -> CAST(IF(" +
+          "d - 1 = CAST(32 * power((id * 2654435761) % 1048576 / 1048576.0, 3) AS INT), " +
+          "1.0, ((id * 40503 + d * 69069) % 1000) / 20000.0) AS DOUBLE))")
+          .as("embedding"))
+      val zPath = "/tmp/graft_probe_zipfcell"
+      time("write 200k x 64d Zipf-cell vectors")(
+        zvecs.write.mode("overwrite").parquet(zPath))
+      val zv = spark.read.parquet(zPath)
+      val zcents = spark.range(0, 32).select(
+        col("id").as("vec_id"),
+        expr("transform(sequence(1, 64), d -> CAST(IF(d - 1 = id, 1.0, 0.0) AS DOUBLE))")
+          .as("embedding"))
+      val zbooks = Similarity.fitIvfPqCodebooks(
+        zv.where(col("vec_id") % 50 === 0), zcents, m = 8, ksub = 16,
+        iterations = 2)
+      zbooks.collect()
+      val zIdxPath = "/tmp/graft_probe_zipfcell_idx"
+      Similarity.ivfPqEncode(zv, zcents, zbooks)
+        .write.mode("overwrite").parquet(zIdxPath)
+      val zidx = spark.read.parquet(zIdxPath)
+      val zprobes = zv.where(col("vec_id") % 32 === 7) // ~6.2k, corpus-shaped
+      def taskSkew(name: String)(f: => Unit): Unit = {
+        val durs = scala.collection.mutable.ArrayBuffer.empty[(Int, Long)]
+        val l = new SparkListener {
+          override def onTaskEnd(t: SparkListenerTaskEnd): Unit =
+            durs.synchronized { durs += ((t.stageId, t.taskInfo.duration)) }
+        }
+        spark.sparkContext.addSparkListener(l)
+        val t0 = System.nanoTime(); f
+        val wall = (System.nanoTime() - t0) / 1e9
+        Thread.sleep(1000) // listener bus drains asynchronously
+        spark.sparkContext.removeSparkListener(l)
+        val byStage = durs.synchronized(durs.toSeq).groupBy(_._1)
+        val (_, heavy) = byStage.maxBy(_._2.map(_._2).sum)
+        val ds = heavy.map(_._2).sorted
+        val med = ds(ds.length / 2) / 1e3
+        val mx = ds.last / 1e3
+        println(f"[probe] $name%-34s $wall%.2f s wall; heaviest stage: " +
+          f"${ds.length} tasks, max $mx%.2f s / median $med%.2f s = " +
+          f"${mx / math.max(med, 1e-9)}%.1fx")
+      }
+      // warm the lineage (fit collects, codegen) outside the measured runs
+      noop(Similarity.ivfPqTopK(zidx, zcents, zbooks,
+        zprobes.where(col("vec_id") < 1000), 10, nprobe = 1,
+        broadcastProbes = false))
+      taskSkew("ivf-pq Zipf cells, UNSALTED")(noop(
+        Similarity.ivfPqTopK(zidx, zcents, zbooks, zprobes, 10, nprobe = 1,
+          broadcastProbes = false, codesPerSalt = Long.MaxValue)))
+      taskSkew("ivf-pq Zipf cells, salted@4k")(noop(
+        Similarity.ivfPqTopK(zidx, zcents, zbooks, zprobes, 10, nprobe = 1,
+          broadcastProbes = false, codesPerSalt = 4096)))
     }
 
     if (sections("pq")) {

@@ -775,24 +775,60 @@ class DedupSimilaritySpec extends SparkSuite {
     val threshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     try {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-      def nBroadcastJoins(bcast: Boolean): Int =
-        "BroadcastHashJoin".r.findAllIn(
-          Similarity.ivfPqTopK(enc, cents, books, emb, 3, nprobe = 2,
-            broadcastProbes = bcast)
-            .queryExecution.executedPlan.toString).length
-      // the bounded centroid-shift join is hint-broadcast on BOTH paths
-      // (model state); only the probe-side cell join must lose its
-      // broadcast when broadcastProbes=false — that hintless join is what
-      // makes corpus-sized probe sets legal (Spark/AQE then picks the
-      // strategy from actual sizes at real scale)
-      assert(nBroadcastJoins(bcast = true) === nBroadcastJoins(bcast = false) + 1,
-        "broadcastProbes=false did not remove exactly the probe-side broadcast")
+      def planOf(bcast: Boolean): String =
+        Similarity.ivfPqTopK(enc, cents, books, emb, 3, nprobe = 2,
+          broadcastProbes = bcast)
+          .queryExecution.executedPlan.toString
+      def nShuffleJoins(plan: String): Int =
+        ("SortMergeJoin".r.findAllIn(plan).length
+          + "ShuffledHashJoin".r.findAllIn(plan).length)
+      // the bounded centroid-shift and salt-factor joins are
+      // hint-broadcast on their paths (model state / one-row-per-cell);
+      // the SCORED cell join is the one that must not be a mandatory
+      // broadcast when broadcastProbes=false — that hintless shuffle join
+      // is what makes corpus-sized probe sets legal (Spark/AQE then picks
+      // the strategy from actual sizes at real scale)
+      assert(nShuffleJoins(planOf(bcast = true)) === 0,
+        "broadcast serve shape must carry zero shuffle joins")
+      assert(nShuffleJoins(planOf(bcast = false)) === 1,
+        "distributed path must join codes to LUTs with exactly one shuffle join")
       // and the forced-shuffle plan's results stay bit-identical
       assert(Similarity.ivfPqTopK(enc, cents, books, emb, 3, nprobe = 2,
         broadcastProbes = false)
         .orderBy("probe_id", "rank")
         .as[(Long, Long, Long, Double)].collect() === run(bcast = true))
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", threshold)
+  }
+
+  test("ivfPqTopK hot-cell salting: forced max-salt output is bit-identical") {
+    // codesPerSalt=1 forces every cell to split into min(count_c, maxSalt)
+    // salt buckets — the most aggressive salting the operator can apply.
+    // Salting only repartitions the SAME (code, LUT) pairs across tasks
+    // (corpus rows hash to one deterministic salt, LUT rows replicate
+    // across all of them), so the ranking must be bit-identical to the
+    // broadcast serve shape, and the salt machinery must actually be in
+    // the executed plan (a regression that silently drops the salt would
+    // otherwise still pass the identity check).
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select(col("vec_id"), col("embedding")).where(col("vec_id") < 64)
+    val cents = Similarity.trainCentroids(emb, 4, 2)
+    val books = Similarity.fitIvfPqCodebooks(emb, cents, m = 4, ksub = 8,
+      iterations = 2)
+    val enc = Similarity.ivfPqEncode(emb, cents, books)
+    val salted = Similarity.ivfPqTopK(enc, cents, books, emb, 3, nprobe = 2,
+      broadcastProbes = false, codesPerSalt = 1, maxSalt = 7)
+    assert(salted.queryExecution.executedPlan.toString.contains("_salt"),
+      "max-salt plan does not contain the salt key")
+    assert(salted.orderBy("probe_id", "rank")
+      .as[(Long, Long, Long, Double)].collect()
+      === Similarity.ivfPqTopK(enc, cents, books, emb, 3, nprobe = 2)
+        .orderBy("probe_id", "rank").as[(Long, Long, Long, Double)].collect())
+    // same contract on the raw IVF tier, which shares saltedCellJoin
+    val rawSalted = Similarity.ivfTopK(emb, cents, emb, 3, nprobe = 2,
+      broadcastProbes = false, codesPerSalt = 1, maxSalt = 7)
+      .orderBy("probe_id", "rank").as[(Long, Long, Long, Double)].collect()
+    assert(rawSalted === Similarity.ivfTopK(emb, cents, emb, 3, nprobe = 2)
+      .orderBy("probe_id", "rank").as[(Long, Long, Long, Double)].collect())
   }
 
   test("rerankTopK: wide shortlist converges to exact brute-force top-k") {
