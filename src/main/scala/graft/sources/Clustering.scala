@@ -20,17 +20,25 @@ import org.apache.spark.sql.functions._
   * one geo cell in one date range) drops by the product of the two
   * per-dimension selectivities instead of the better single one.
   *
-  * Bucketing is EQUI-WIDTH over the column's observed [min, max] in pure
-  * int64 arithmetic — `((x - min) * 2^bits) div (max - min + 1)` — so the
-  * key is exactly reproducible across engines (no float boundaries; the
-  * q195 oracle recomputes it in SQL). Equi-width is the demonstration
-  * choice: a production pass over skewed data would rank-bucket via
-  * `repartitionByRange`-style sampled bounds instead — same interleave,
-  * different bucket map. The min/max fit is one aggregate row broadcast
-  * into the projection (the [[graft.operators.Encode]] fit-then-transform
-  * contract), never a window: a `percent_rank` over the corpus would be
-  * a single-partition sort, the exact anti-pattern this module exists to
-  * avoid.
+  * Two bucket maps, same interleave:
+  *  - EQUI-WIDTH ([[withZKey]]) over the column's observed [min, max] in
+  *    pure int64 arithmetic — `((x - min) * 2^bits) div (max - min + 1)` —
+  *    exactly reproducible across engines (no float boundaries; the q195
+  *    oracle recomputes it in SQL). The demonstration/oracle choice, and
+  *    fine for near-uniform keys.
+  *  - RANK-BUCKETED ([[withRankZKey]]) via sampled quantile bounds, the
+  *    `repartitionByRange` discipline — the PRODUCTION choice for skewed
+  *    keys: equi-width collapses a Zipfian column into a handful of
+  *    populated buckets (most of the value range is empty) and the 2-D
+  *    pruning evaporates; rank buckets hold ~equal ROW MASS each, so the
+  *    z-curve keeps spreading rows across all 2^bits cells per dimension
+  *    no matter how skewed the values (ClusteringSpec measures the
+  *    difference on a Zipfian user_id).
+  * Both fits follow the [[graft.operators.Encode]] fit-then-transform
+  * contract (one bounded fit — an aggregate row / a quantile sketch —
+  * broadcast into a narrow projection), never a window: a `percent_rank`
+  * over the corpus would be a single-partition sort, the exact
+  * anti-pattern this module exists to avoid.
   */
 object Clustering {
 
@@ -75,9 +83,26 @@ object Clustering {
     * and interleave math is a narrow codegen'd projection. */
   def withZKey(df: DataFrame, cols: Seq[String], bits: Int): DataFrame = {
     require(cols.nonEmpty, "withZKey needs at least one column")
-    val stats = df.agg(
+    val fitted = df.agg(
       cols.flatMap(c => Seq(min(col(c)).as(s"_mn_$c"), max(col(c)).as(s"_mx_$c"))).head,
       cols.flatMap(c => Seq(min(col(c)).as(s"_mn_$c"), max(col(c)).as(s"_mx_$c"))).tail: _*)
+    // enforce the int64 contract LOUDLY: for a wide-range column (e.g.
+    // hash-valued longs) `(x - mn) * 2^bits` silently wraps in non-ANSI
+    // Spark, producing negative buckets and a garbage layout while a SQL
+    // oracle on the same math errors — a cross-engine divergence. The
+    // check rides on the 1-row stats frame, so it costs one comparison,
+    // not one per data row.
+    val maxSpan = Long.MaxValue >> bits
+    val stats = fitted.select(cols.flatMap { c =>
+      val span = col(s"_mx_$c").cast("long") - col(s"_mn_$c").cast("long")
+      Seq(
+        when(span > lit(maxSpan), raise_error(concat(
+          lit(s"withZKey: column $c span "), span.cast("string"),
+          lit(s" exceeds $maxSpan at $bits bits — the bucket product would " +
+            "overflow int64; use withRankZKey for wide-range keys"))))
+          .otherwise(col(s"_mn_$c")).as(s"_mn_$c"),
+        col(s"_mx_$c").as(s"_mx_$c"))
+    }: _*)
     val joined = df.crossJoin(broadcast(stats))
     val bucketed = cols.foldLeft(joined) { (acc, c) =>
       acc.withColumn(s"_zb_$c",
@@ -88,17 +113,62 @@ object Clustering {
       .drop(cols.flatMap(c => Seq(s"_mn_$c", s"_mx_$c")): _*)
   }
 
+  /** Rank bucket of `x` against ascending `splits` (the 2^bits - 1
+    * quantile cut points): bucket = how many splits x has passed —
+    * `size(filter(splits, s -> x >= s))`, a codegen'd higher-order scan
+    * over a literal array, zero joins. Duplicate splits (a single value
+    * carrying more than one bucket's worth of mass — the Zipf hot key)
+    * merge naturally: no bucket map can split one value. A null x
+    * buckets to null, matching [[equiWidthBucket]]'s null flow. */
+  def rankBucket(x: Column, splits: Seq[Double]): Column =
+    when(x.isNotNull,
+      size(filter(typedlit(splits), s => x.cast("double") >= s)).cast("long"))
+
+  /** Rank-bucketed z-key — the skew-robust production bucket map: per
+    * column, fit `2^bits - 1` quantile cut points with the same sampled-
+    * bounds discipline as `repartitionByRange` (one Greenwald-Khanna
+    * sketch pass, `relativeError` trades fit cost for boundary
+    * precision), then bucket each row by rank among the cut points and
+    * interleave with [[zValue]] exactly as the equi-width path does.
+    * Equal row mass per bucket means a Zipfian column still uses all
+    * 2^bits cells of its dimension, so box-predicate pruning holds where
+    * equi-width collapses. The fit is driver-bounded (cols x (2^bits - 1)
+    * doubles ride into the projection as literals); the apply is a
+    * narrow projection — zero joins, zero shuffles.
+    *
+    * Trade-off vs [[withZKey]], stated: quantile boundaries are sketch-
+    * derived doubles, not engine-exact int64 arithmetic — use the
+    * equi-width map when a cross-engine oracle must recompute the key
+    * (q195), the rank map when the data is real (skewed). */
+  def withRankZKey(df: DataFrame, cols: Seq[String], bits: Int,
+                   relativeError: Double = 0.001): DataFrame = {
+    require(cols.nonEmpty, "withRankZKey needs at least one column")
+    require(bits >= 1 && bits <= 20, s"bucket bits must be in [1, 20], got $bits")
+    val nb = 1 << bits
+    val probs = (1 until nb).map(_.toDouble / nb).toArray
+    val splits = df.na.drop(cols)
+      .stat.approxQuantile(cols.toArray, probs, relativeError)
+    cols.zip(splits).foldLeft(df) { case (acc, (c, sp)) =>
+        acc.withColumn(s"_zb_$c", rankBucket(col(c), sp.toSeq))
+      }
+      .withColumn("zkey", zValue(cols.map(c => col(s"_zb_$c")), bits))
+  }
+
   /** Rewrite `df` into `nFiles` parquet files clustered on the z-curve
     * over `cols`: range-partition by `zkey` (sampled bounds — even output
     * files under any key skew) and sort within each partition, so every
     * file's parquet column stats cover a tight rectangle in ALL `cols`.
     * Same rows and schema; like [[Compaction]], row order is a layout
     * property. The zkey itself is dropped on write — it is derivable
-    * layout metadata, not data. */
+    * layout metadata, not data. `ranked` picks the bucket map: false =
+    * engine-exact equi-width (uniform keys, oracle demos), true =
+    * quantile rank buckets (skewed keys — the production default for
+    * real distributions). */
   def zOrderWrite(df: DataFrame, cols: Seq[String], bits: Int,
-                  outDir: String, nFiles: Int): Unit = {
+                  outDir: String, nFiles: Int,
+                  ranked: Boolean = false): Unit = {
     require(nFiles >= 1, s"nFiles must be >= 1, got $nFiles")
-    withZKey(df, cols, bits)
+    (if (ranked) withRankZKey(df, cols, bits) else withZKey(df, cols, bits))
       .repartitionByRange(nFiles, col("zkey"))
       .sortWithinPartitions("zkey")
       .drop((cols.map(c => s"_zb_$c") :+ "zkey"): _*)
