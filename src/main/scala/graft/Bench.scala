@@ -107,10 +107,12 @@ object Bench {
     //                      shortlist phase
     //   q198_unigram_char_twin — q197's plumbing on a smaller vocab (the
     //                      oracle-degenerate twin); q197 measures the path
+    //   q202_unigram_sample_twin — q201's plumbing on the single-char
+    //                      vocab (same twin pattern); q201 measures FFBS
     val benchSkip: Set[String] =
       if (sys.env.get("SPARK_GRAFT_BENCH_ALL").exists(_ == "1")) Set.empty
       else Set("q45_group_topk", "q79_cc_star", "q101_binary_ann",
-        "q198_unigram_char_twin")
+        "q198_unigram_char_twin", "q202_unigram_sample_twin")
     // Run order is a seeded shuffle, not alphabetical: when the budget (below)
     // cuts the tail to one cold pass, an alphabetical order ALWAYS sacrifices
     // the same late-alphabet queries (round 9's driver run cold-passed

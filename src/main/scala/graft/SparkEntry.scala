@@ -2746,6 +2746,29 @@ object SparkEntry {
           col("keep"), col("reject_reason"))
         .orderBy("img_id")
     }),
+
+    // Subword-regularization sampling (Kudo 2018 §4) over q197's fixed
+    // vocab — the apply mode a training pipeline feeds a model: one
+    // seeded FFBS draw per word type from the alpha-scaled lattice.
+    // Seed-deterministic but DP-shaped -> rows-only; the FFBS posterior
+    // frequencies, alpha->inf Viterbi recovery, and replay idempotence
+    // are pinned in TextAnalysisSpec; q202 is the hash-matched twin.
+    "q201_unigram_sample" -> ((s, dir) => {
+      TextAnalysis.unigramSampleStats(Tables.documents(s, dir), "doc_id", "text",
+          UnigramApplyVocab, alpha = 0.5, seed = 42L)
+        .orderBy("doc_id")
+    }),
+
+    // q201's exact plumbing twin (the q198 pattern): a single-char vocab
+    // leaves ONE lattice path, so the sampled segmentation is the
+    // character sequence regardless of seed/alpha and the whole explode /
+    // distinct-word / FFBS / join-back / aggregate machinery gets a FULL
+    // hash oracle while the sampler itself stays spec-pinned.
+    "q202_unigram_sample_twin" -> ((s, dir) => {
+      TextAnalysis.unigramSampleStats(Tables.documents(s, dir), "doc_id", "text",
+          UnigramApplyVocab.filter(_._1.length == 1), alpha = 0.5, seed = 42L)
+        .orderBy("doc_id")
+    }),
   )
 
   /** q154/q155 corpus: the synthesized lines become conversation turns —
@@ -3984,6 +4007,33 @@ object SparkEntry {
         |       WHEN small THEN 'small'
         |       WHEN stretched THEN 'aspect' END AS reject_reason
         |FROM a ORDER BY img_id""".stripMargin,
+
+    // q198's degenerate-lattice argument verbatim, for the SAMPLER: with
+    // single-char arcs only there is nothing to draw, so the seeded FFBS
+    // output is the per-char sum in both engines (column renamed to the
+    // sampler's contract).
+    "q202_unigram_sample_twin" ->
+      """WITH v(piece, logp) AS (VALUES
+        |  ('e', -2.5), ('t', -2.6), ('a', -2.7), ('o', -2.8), ('i', -2.8),
+        |  ('n', -2.8), ('s', -2.9), ('r', -2.9), ('h', -3.0), ('l', -3.2),
+        |  ('d', -3.3), ('c', -3.5), ('u', -3.5), ('m', -3.6), ('f', -3.8),
+        |  ('p', -3.8), ('g', -3.9), ('w', -3.9), ('y', -4.0), ('b', -4.1),
+        |  ('v', -4.5), ('k', -4.7), ('x', -5.5), ('j', -5.6), ('q', -5.7),
+        |  ('z', -5.8), ('0', -5.0), ('1', -5.0), ('2', -5.0), ('3', -5.0),
+        |  ('4', -5.0), ('5', -5.0), ('6', -5.0), ('7', -5.0), ('8', -5.0),
+        |  ('9', -5.0)),
+        |w AS (SELECT doc_id, unnest(regexp_extract_all(text, '[A-Za-z0-9]+')) AS word
+        |  FROM documents),
+        |ch AS (SELECT doc_id, unnest(regexp_extract_all(word, '[A-Za-z0-9]')) AS c
+        |  FROM w),
+        |sc AS (SELECT doc_id, COALESCE(v.logp, -20.0) AS lp
+        |  FROM ch LEFT JOIN v ON ch.c = v.piece),
+        |agg AS (SELECT doc_id, count(*) AS n_pieces, round(sum(lp), 4) AS sampled_logp
+        |  FROM sc GROUP BY doc_id),
+        |wc AS (SELECT doc_id, count(*) AS n_words FROM w GROUP BY doc_id)
+        |SELECT wc.doc_id, n_words, n_pieces, sampled_logp,
+        |  round(CAST(n_pieces AS DOUBLE) / n_words, 6) AS pieces_per_word
+        |FROM wc JOIN agg USING (doc_id) ORDER BY wc.doc_id""".stripMargin,
 
     // The bloom prefilter is result-preserving (exact semi join absorbs
     // false positives), so the oracle is the plain IN-subquery semi join.

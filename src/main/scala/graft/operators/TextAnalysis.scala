@@ -1868,9 +1868,13 @@ object TextAnalysis {
       counts = c
     }
     // prune to vocabSize: chars mandatory, multis by expected count
+    // ranking keys round to the 4-dp output grid FIRST: raw expected
+    // counts are partition-order-dependent double sums, and a near-tie
+    // could otherwise permute the kept set / rank order across runs
+    def grid(c: Double): Double = math.rint(c * 1e4) / 1e4
     val charPieces = vocab.keysIterator.filter(_.length == 1).toSeq
     val keptMultis = vocab.keysIterator.filter(_.length > 1).toSeq
-      .sortBy(p => (-counts.getOrElse(p, 0.0), p))
+      .sortBy(p => (-grid(counts.getOrElse(p, 0.0)), p))
       .take(vocabSize - charPieces.length)
     vocab = unigramMStep(counts, charPieces ++ keptMultis)
     // final re-fit on the pruned inventory
@@ -1879,11 +1883,11 @@ object TextAnalysis {
     Relational.release(wf)
     import spark.implicits._
     vocab.toSeq
-      .map { case (p, lp) => (p, lp, cFinal.getOrElse(p, 0.0)) }
+      .map { case (p, lp) => (p, lp, grid(cFinal.getOrElse(p, 0.0))) }
       .sortBy { case (p, _, c) => (-c, p) }
       .zipWithIndex
       .map { case ((p, lp, c), i) =>
-        (i + 1, p, math.rint(lp * 1e6) / 1e6, math.rint(c * 1e4) / 1e4) }
+        (i + 1, p, math.rint(lp * 1e6) / 1e6, c) }
       .toDF("rank", "piece", "logp", "exp_count")
   }
 
@@ -1945,6 +1949,106 @@ object TextAnalysis {
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_words"), sum("_np").as("n_pieces"),
         round(sum("_lp"), 4).as("viterbi_logp"))
+      .withColumn("pieces_per_word",
+        round(col("n_pieces").cast("double") / col("n_words"), 6))
+  }
+
+  /** Subword-REGULARIZATION sampling for a fixed unigram-LM vocab (Kudo
+    * 2018 §4 — the apply mode a training pipeline actually feeds a
+    * model): per word, draw ONE segmentation from the lattice with
+    * probability ∝ P(segmentation)^alpha, by exact forward-filtering /
+    * backward-sampling over the alpha-scaled arc log-probs — every
+    * lattice path is reachable (no n-best truncation; the paper's
+    * l=∞ sampling). `alpha` is the smoothing exponent: alpha → ∞
+    * concentrates on the Viterbi path (pinned in TextAnalysisSpec),
+    * small alpha flattens toward uniform-over-segmentations. Draws are
+    * a pure function of (word, seed) via the splitmix64
+    * [[Media.HashRng]] — the [[Media]] augmentation determinism policy:
+    * replays and retries are bit-identical at any parallelism, and a
+    * training pipeline re-regularizes by varying `seed` per epoch/draw.
+    * Characters the vocab lacks ride the same `unkLogp` single-char arc
+    * as [[unigramEncodeStats]]. Output: (id, n_words, n_pieces,
+    * sampled_logp, pieces_per_word) — `sampled_logp` is the UNSCALED
+    * model log-likelihood of the drawn pieces, so it is comparable to
+    * (and never above) `viterbi_logp`.
+    *
+    * Sampling is per word TYPE per seed, not per occurrence — stated
+    * deviation from the paper's per-sentence draw: the DP and the draw
+    * both stay on the Heaps-bounded distinct-word table (the
+    * [[bpeEncodeStats]] scale discipline), and the cross-epoch seed
+    * variation is what carries the regularization. Scale shape is
+    * exactly [[unigramEncodeStats]]: one narrow explode, the
+    * vocabulary-sized mapPartitions, the join back (AQE broadcasts the
+    * word table while small), one per-document aggregate. */
+  def unigramSampleStats(docs: DataFrame, idCol: String, textCol: String,
+                         vocab: Seq[(String, Double)], alpha: Double = 0.5,
+                         seed: Long = 42L, unkLogp: Double = -20.0): DataFrame = {
+    require(vocab.nonEmpty, "unigramSampleStats needs a non-empty vocab")
+    require(vocab.forall(_._1.nonEmpty), "vocab pieces must be non-empty")
+    require(alpha > 0, s"alpha must be > 0, got $alpha")
+    require(unkLogp < 0, s"unkLogp must be negative, got $unkLogp")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val maxLen = vocab.iterator.map(_._1.length).max
+    val bc = spark.sparkContext.broadcast(vocab.toMap)
+    val tok = docs.select(col(idCol), explode(wordTokens(col(textCol))).as("_w"))
+    val wordEnc = tok.select("_w").distinct().as[String].mapPartitions { it =>
+      val v = bc.value
+      val neg = Double.NegativeInfinity
+      it.map { w =>
+        val n = w.length
+        def arc(j: Int, i: Int): Option[Double] =
+          v.get(w.substring(j, i)).orElse(if (i - j == 1) Some(unkLogp) else None)
+        val fwd = Array.fill(n + 1)(neg)
+        fwd(0) = 0.0
+        for (i <- 1 to n; l <- 1 to math.min(maxLen, i)) {
+          val j = i - l
+          if (fwd(j) != neg) arc(j, i).foreach { lp =>
+            fwd(i) = logAdd(fwd(i), fwd(j) + alpha * lp)
+          }
+        }
+        // backward-sample: at position i, arc (j -> i) is drawn with its
+        // exact posterior exp(fwd(j) + alpha*lp - fwd(i)); the weights sum
+        // to 1 by construction, with an fp-rounding tail guard that falls
+        // back to the last valid arc. One rng draw per step, always.
+        val rng = new Media.HashRng(w, seed)
+        var i = n
+        var np = 0L
+        var lpSum = 0.0
+        while (i > 0) {
+          val u = rng.nextDouble()
+          var cum = 0.0
+          var chosenL = -1
+          var chosenLp = 0.0
+          var l = 1
+          val lMax = math.min(maxLen, i)
+          while (l <= lMax) {
+            val j = i - l
+            if (fwd(j) != neg) arc(j, i).foreach { lp =>
+              cum += math.exp(fwd(j) + alpha * lp - fwd(i))
+              if (chosenL < 0 && u < cum) { chosenL = l; chosenLp = lp }
+            }
+            l += 1
+          }
+          if (chosenL < 0) {
+            l = lMax
+            while (chosenL < 0 && l >= 1) {
+              val j = i - l
+              if (fwd(j) != neg) arc(j, i).foreach { lp =>
+                chosenL = l; chosenLp = lp
+              }
+              l -= 1
+            }
+          }
+          np += 1; lpSum += chosenLp; i -= chosenL
+        }
+        (w, np, lpSum)
+      }
+    }.toDF("_w", "_np", "_lp")
+    tok.join(wordEnc, Seq("_w"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_words"), sum("_np").as("n_pieces"),
+        round(sum("_lp"), 4).as("sampled_logp"))
       .withColumn("pieces_per_word",
         round(col("n_pieces").cast("double") / col("n_words"), 6))
   }

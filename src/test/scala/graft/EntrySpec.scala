@@ -24,9 +24,10 @@ class EntrySpec extends SparkSuite {
       "q184_pca_spectrum", "q185_mahalanobis", "q186_whiten_gram",
       "q187_linear_probe", "q188_probe_cv",
       // unigram-LM tokenizer: the EM fit is iterative (like q136) and
-      // Viterbi is a DP with no SQL form; both are pinned against
-      // brute-force references in TextAnalysisSpec
-      "q196_unigram_lm", "q197_unigram_encode",
+      // Viterbi/FFBS are DPs with no SQL form; all pinned against
+      // brute-force references in TextAnalysisSpec (q198/q202 are the
+      // hash-matched degenerate-lattice twins)
+      "q196_unigram_lm", "q197_unigram_encode", "q201_unigram_sample",
       // OPQ = Jacobi rotation + the Lloyd-fit PQ family (same rows-only
       // category as q93/q100); contracts pinned in DedupSimilaritySpec
       "q199_opq_ann")

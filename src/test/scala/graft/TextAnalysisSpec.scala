@@ -899,4 +899,53 @@ class TextAnalysisSpec extends SparkSuite {
     // "xyz": no piece known -> 3 unk single-char arcs
     assert(out(3L) === ((1L, 3L, -60.0)))
   }
+
+  test("unigramSampleStats: seeded FFBS matches lattice theory; alpha->inf is Viterbi") {
+    // 676 structurally-identical two-char words, each with exactly two
+    // segmentations: one piece at -1.5 or two singles at -2.0. Every word
+    // TYPE draws independently (its own splitmix64 stream), so the one-
+    // piece fraction over 676 draws is a 4-sigma-tight binomial check of
+    // the FFBS posterior p1(alpha) = 1 / (1 + e^(-0.5 alpha)) — and the
+    // whole test is seed-deterministic, never flaky.
+    val letters = ('a' to 'z').map(_.toString)
+    val vocab = letters.map(_ -> -1.0) ++
+      (for (x <- letters; y <- letters) yield (x + y) -> -1.5)
+    val words = for (x <- letters; y <- letters) yield x + y
+    val docs = Seq((1L, words.mkString(" "))).toDF("doc_id", "text")
+    def sample(alpha: Double, seed: Long) =
+      TextAnalysis.unigramSampleStats(docs, "doc_id", "text", vocab,
+        alpha = alpha, seed = seed).head()
+    def frac1(alpha: Double, seed: Long): Double =
+      (2.0 * 676 - sample(alpha, seed).getAs[Long]("n_pieces")) / 676
+    // replay-idempotence: same (corpus, vocab, alpha, seed) is bit-stable
+    assert(TextAnalysis.unigramSampleStats(docs, "doc_id", "text", vocab,
+        alpha = 1.0, seed = 7L).collect()
+      === TextAnalysis.unigramSampleStats(docs, "doc_id", "text", vocab,
+        alpha = 1.0, seed = 7L).collect())
+    // posterior frequencies track the alpha-scaled lattice (+-0.08 ~ 4 sigma)
+    assert(math.abs(frac1(1.0, 42L) - 1.0 / (1.0 + math.exp(-0.5))) < 0.08)
+    assert(math.abs(frac1(4.0, 42L) - 1.0 / (1.0 + math.exp(-2.0))) < 0.08)
+    // a different seed draws a different mix (logp is piece-count-exact here)
+    assert(sample(1.0, 42L).getAs[Double]("sampled_logp")
+      !== sample(1.0, 43L).getAs[Double]("sampled_logp"))
+    // alpha -> inf concentrates on the (tie-free) Viterbi path exactly,
+    // and finite-alpha samples never beat Viterbi likelihood
+    val vit = TextAnalysis.unigramEncodeStats(docs, "doc_id", "text", vocab).head()
+    val hi = sample(60.0, 9L)
+    assert(hi.getAs[Long]("n_pieces") === vit.getAs[Long]("n_pieces"))
+    assert(hi.getAs[Double]("sampled_logp") === vit.getAs[Double]("viterbi_logp"))
+    assert(sample(1.0, 7L).getAs[Double]("sampled_logp")
+      <= vit.getAs[Double]("viterbi_logp") + 1e-9)
+    // single-char-only vocab: one lattice path -> sampling is seed- and
+    // alpha-invariant and equals the Viterbi stats (the q202 twin's basis)
+    val singlesOnly = vocab.filter(_._1.length == 1)
+    val s1 = TextAnalysis.unigramSampleStats(docs, "doc_id", "text",
+      singlesOnly, alpha = 0.3, seed = 1L).collect()
+    val s2 = TextAnalysis.unigramSampleStats(docs, "doc_id", "text",
+      singlesOnly, alpha = 5.0, seed = 99L).collect()
+    assert(s1 === s2)
+    assert(s1.head.getAs[Long]("n_pieces")
+      === TextAnalysis.unigramEncodeStats(docs, "doc_id", "text", singlesOnly)
+        .head().getAs[Long]("n_pieces"))
+  }
 }
