@@ -344,8 +344,12 @@ object Similarity {
   def fitIvfPqCodebooks(corpus: DataFrame, centroids: DataFrame, m: Int,
                         ksub: Int, iterations: Int,
                         idCol: String = "vec_id",
-                        vecCol: String = "embedding"): DataFrame =
-    fitPqCodebooks(cellResiduals(corpus, centroids, idCol, vecCol),
+                        vecCol: String = "embedding",
+                        fitSample: Option[Column] = None): DataFrame =
+    // sample BEFORE the residual pass so the assignment kernel and the
+    // centroid-shift join prune with the fit
+    fitPqCodebooks(cellResiduals(fitSample.fold(corpus)(corpus.where),
+        centroids, idCol, vecCol),
       m, ksub, iterations, idCol, vecCol)
 
   /** IVF-PQ encode: (idCol, cell_id, codes) — the cell id plus the PQ
@@ -484,12 +488,16 @@ object Similarity {
     * Each iteration is: one broadcast-assign pass over the corpus + one
     * [[graft.functions.VectorAvg]] hash aggregate — map-side combinable, so
     * shuffle bytes per iteration are |cells| x dims, independent of corpus
-    * size. Cells that lose all members drop out (k may shrink). */
+    * size. Cells that lose all members drop out (k may shrink).
+    * `fitSample` carries the same deterministic sample-fit contract as
+    * [[fitPqCodebooks]] — seeds and every Lloyd pass prune with it. */
   def trainCentroids(corpus: DataFrame, k: Int, iterations: Int,
-                     idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    var cents = corpus.orderBy(col(idCol)).limit(k).select(col(idCol), col(vecCol))
+                     idCol: String = "vec_id", vecCol: String = "embedding",
+                     fitSample: Option[Column] = None): DataFrame = {
+    val fit = fitSample.fold(corpus)(corpus.where)
+    var cents = fit.orderBy(col(idCol)).limit(k).select(col(idCol), col(vecCol))
     for (_ <- 0 until iterations) {
-      val assigned = assignCells(corpus, cents, idCol, vecCol)
+      val assigned = assignCells(fit, cents, idCol, vecCol)
       cents = assigned.groupBy(col("cell_id"))
         .agg(graft.functions.GraftFunctions.vector_avg(col(vecCol)).as(vecCol))
         .select(col("cell_id").as(idCol), col(vecCol))
@@ -624,10 +632,11 @@ object Similarity {
     * codebooks (non-parametric OPQ) — the parametric one-shot fit is the
     * standard production variant and composes with any PQ tier. */
   def fitOpqRotation(corpus: DataFrame, m: Int,
-                     vecCol: String = "embedding"): Array[Array[Double]] = {
+                     vecCol: String = "embedding",
+                     fitSample: Option[Column] = None): Array[Array[Double]] = {
     require(m >= 1, s"fitOpqRotation needs m >= 1, got $m")
     val model = graft.operators.Decomp.fitPca(
-      corpus.where(col(vecCol).isNotNull), vecCol)
+      fitSample.fold(corpus)(corpus.where).where(col(vecCol).isNotNull), vecCol)
     require(model.d % m == 0,
       s"fitOpqRotation: ${model.d} dims not divisible into $m equal subspaces")
     allocateEigen(model.eigenvalues, m)
@@ -693,18 +702,26 @@ object Similarity {
     * code) computes every centroid update — map-side combinable, so
     * shuffle bytes per pass are m x k x dsub (= the codebook), independent
     * of corpus size. Total cost is `iterations` passes, NOT
-    * `m x iterations`. Standard practice (Faiss) fits codebooks on a
-    * bounded SAMPLE — pass one in — and spends the single full-corpus pass
-    * in [[pqEncode]]. */
+    * `m x iterations`.
+    *
+    * `fitSample` is the 100-TB contract the BPE/unigram fits already
+    * carry (Faiss standard practice: codebooks are model state fit on a
+    * bounded sample; [[pqEncode]] spends the one full-corpus pass): a
+    * deterministic predicate (e.g. `pmod(xxhash64(col(id)), 100) === 0`)
+    * that prunes EVERY fit scan — the seed slice's TakeOrdered included —
+    * while keeping the fit reproducible run-to-run. Sample-fit codebooks
+    * stay within the pinned quantization-MSE band (DedupSimilaritySpec). */
   def fitPqCodebooks(corpus: DataFrame, m: Int, ksub: Int, iterations: Int,
-                     idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+                     idCol: String = "vec_id", vecCol: String = "embedding",
+                     fitSample: Option[Column] = None): DataFrame = {
     require(m >= 1, s"fitPqCodebooks needs m >= 1 subspaces, got $m")
     require(ksub >= 1, s"fitPqCodebooks needs ksub >= 1 centroids, got $ksub")
     require(iterations >= 0, s"fitPqCodebooks iterations must be >= 0, got $iterations")
     // null vectors are excluded from the fit (the aggregate-ignores-null
     // convention); an unfiltered null would otherwise surface as an opaque
     // NPE in the seed slice or the centroid rebuild
-    val fitCorpus = corpus.where(col(vecCol).isNotNull)
+    val fitCorpus = fitSample.fold(corpus)(corpus.where)
+      .where(col(vecCol).isNotNull)
     val seedRows = fitCorpus.orderBy(col(idCol)).limit(ksub)
       .select(col(vecCol).cast("array<double>")).collect()
     require(seedRows.nonEmpty, "fitPqCodebooks: corpus has no non-null vectors")

@@ -1499,4 +1499,61 @@ class DedupSimilaritySpec extends SparkSuite {
     assert(rot <= raw * 1.02,
       f"OPQ worsened quantization: $rot%.5f vs raw $raw%.5f")
   }
+
+  test("fitSample: every iterative fit prunes deterministically within the MSE band") {
+    // the one sample-fit discipline (BPE/unigram already carry it) now
+    // covers the Lloyd family: codebooks/centroids/rotations are model
+    // state fit on a bounded deterministic sample; the full corpus is
+    // only ever touched by the encode/apply pass.
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val pred = pmod(xxhash64(col("vec_id")), lit(2)) === 0
+    def corpusMse(books: Array[org.apache.spark.sql.Row]): Double = {
+      val byJ = books.groupBy(_.getInt(0))
+        .map { case (j, rs) => j -> rs.sortBy(_.getInt(1)).map(_.getSeq[Double](2).toArray) }
+      val m = byJ.size
+      val vecs = emb.select(col("embedding").cast("array<double>"))
+        .collect().map(_.getSeq[Double](0).toArray)
+      val dsub = vecs.head.length / m
+      vecs.map { v =>
+        (0 until m).map { j =>
+          val sv = v.slice(j * dsub, (j + 1) * dsub)
+          byJ(j).map(c => sv.zip(c).map { case (x, y) => (x - y) * (x - y) }.sum).min
+        }.sum
+      }.sum / vecs.length
+    }
+    def fitBooks(sample: Option[org.apache.spark.sql.Column]) =
+      Similarity.fitPqCodebooks(emb, m = 8, ksub = 16, iterations = 3,
+        fitSample = sample).collect()
+    val full = fitBooks(None)
+    val sampled = fitBooks(Some(pred))
+    // reproducible: same predicate, same codebooks, bit-for-bit
+    assert(fitBooks(Some(pred)).map(_.toString).sorted
+      === sampled.map(_.toString).sorted)
+    // the half-corpus fit quantizes the FULL corpus within a tight band
+    // of the full fit (Faiss's sample-training premise)
+    val fullMse = corpusMse(full)
+    val sampleMse = corpusMse(sampled)
+    info(f"PQ MSE full-fit=$fullMse%.5f sample-fit=$sampleMse%.5f " +
+      f"(ratio ${sampleMse / fullMse}%.3f)")
+    assert(sampleMse <= fullMse * 1.15,
+      f"sample-fit codebooks degraded quantization: $sampleMse%.5f vs $fullMse%.5f")
+    // centroids: sampled Lloyd fit is deterministic and k-bounded
+    val c1 = Similarity.trainCentroids(emb, 8, 2, fitSample = Some(pred))
+      .orderBy("vec_id").collect()
+    assert(c1.length <= 8 && c1.nonEmpty)
+    assert(Similarity.trainCentroids(emb, 8, 2, fitSample = Some(pred))
+      .orderBy("vec_id").collect().map(_.toString) === c1.map(_.toString))
+    // OPQ: the sample-fit rotation is still orthogonal (R R^T = I) and
+    // deterministic
+    val r1 = Similarity.fitOpqRotation(emb, m = 8, fitSample = Some(pred))
+    val d = r1.length
+    for (i <- 0 until d; j <- 0 until d) {
+      val dot = (0 until d).map(k => r1(i)(k) * r1(j)(k)).sum
+      assert(math.abs(dot - (if (i == j) 1.0 else 0.0)) < 1e-9,
+        s"sample-fit rotation not orthogonal at ($i, $j): $dot")
+    }
+    val r2 = Similarity.fitOpqRotation(emb, m = 8, fitSample = Some(pred))
+    assert(r1.flatten.toSeq === r2.flatten.toSeq)
+  }
 }
