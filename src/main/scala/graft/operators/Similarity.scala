@@ -643,6 +643,82 @@ object Similarity {
       .flatMap(g => g.map(model.components(_)))
   }
 
+  /** Non-parametric OPQ refinement (Ge et al. 2013 §3.1, the alternating
+    * "OPQ-NP" variant) atop a parametric init: repeat `rounds` times —
+    * (1) with the rotation R fixed, Lloyd-fit PQ codebooks in the rotated
+    * space ([[fitPqCodebooks]]); (2) with the codebooks fixed, solve the
+    * orthogonal Procrustes problem `min_R Σ ||R x − x̂||²` in closed form:
+    * R = V Uᵀ from the SVD of the cross-covariance N = Σ x x̂ᵀ, where x̂
+    * is the PQ reconstruction of the rotated vector. Step (2) can only
+    * lower the quantization error the parametric eigen-allocation left on
+    * the table (the paper's Fig. 4 gap); the refined R stays exactly
+    * orthogonal, so the cosine-invariance contract of [[opqRotate]] is
+    * untouched.
+    *
+    * Scale shape per round: one codebook fit (bounded, samples with
+    * `fitSample`) + ONE corpus-pass [[graft.functions.MatrixGram]]
+    * aggregate over concat(x, x̂) — the reconstruction is a codegen'd
+    * literal-codebook lookup, the cross block rides the Gram's packed
+    * upper triangle, and the driver solve is one d×d Jacobi (the
+    * [[graft.operators.Decomp.fitPca]] budget). Deterministic end to end.
+    * Degenerate cross-covariances (rank-deficient N — a collapsed
+    * reconstruction) fail loudly rather than return a junk rotation. */
+  def refineOpqRotation(corpus: DataFrame, init: Array[Array[Double]], m: Int,
+                        ksub: Int, pqIterations: Int = 2, rounds: Int = 2,
+                        idCol: String = "vec_id", vecCol: String = "embedding",
+                        fitSample: Option[Column] = None): Array[Array[Double]] = {
+    require(rounds >= 1, s"refineOpqRotation needs rounds >= 1, got $rounds")
+    val d = init.length
+    require(d >= 1 && init.forall(_.length == d),
+      "refineOpqRotation needs a square init rotation")
+    val fit = fitSample.fold(corpus)(corpus.where).where(col(vecCol).isNotNull)
+    var r = init
+    for (_ <- 0 until rounds) {
+      val rot = opqRotate(fit, r, vecCol)
+      val books = collectPqCodebooks(
+        fitPqCodebooks(rot, m, ksub, pqIterations, idCol, vecCol))
+      val booksSeq = books.map(_.map(_.toSeq).toSeq).toSeq
+      val bookLit = typedlit(booksSeq)
+      // one Gram pass over z = concat(x, x̂): the upper-triangle block
+      // rows 0..d-1 x cols d..2d-1 is exactly N = Σ x x̂ᵀ
+      val gram = fit
+        .select(col(vecCol).cast("array<double>").as("_x"))
+        .withColumn("_y", graft.functions.GraftFunctions.eigen_project(
+          col("_x"), Seq.fill(d)(0.0), r.map(_.toSeq).toSeq, Seq.fill(d)(1.0)))
+        .withColumn("_codes",
+          graft.functions.GraftFunctions.pq_encode(col("_y"), booksSeq))
+        .withColumn("_yhat", flatten(transform(sequence(lit(0), lit(m - 1)),
+          j => element_at(element_at(bookLit, (j + 1).cast("int")),
+            (element_at(col("_codes"), (j + 1).cast("int")) + 1).cast("int")))))
+        .select(concat(col("_x"), col("_yhat")).as("_z"))
+        .agg(graft.functions.GraftFunctions.matrix_gram(col("_z")).as("g"))
+        .selectExpr("g.prod").head()
+      val prods = gram.getSeq[Double](0).toArray
+      val dd = 2 * d
+      def packed(i: Int, j: Int): Double = { // upper triangle of Σ z zᵀ
+        val (a, b) = if (i <= j) (i, j) else (j, i)
+        prods(a * dd - a * (a - 1) / 2 - a + b)
+      }
+      val nMat = Array.tabulate(d, d)((i, j) => packed(i, d + j))
+      // SVD of N via the symmetric Jacobi: NᵀN = V S² Vᵀ, U = N V S⁻¹
+      val ntn = Array.tabulate(d, d)((a, b) =>
+        (0 until d).map(k => nMat(k)(a) * nMat(k)(b)).sum)
+      val (ev, vRows) = graft.operators.Decomp.jacobiEigen(ntn)
+      val s = ev.map(x => math.sqrt(math.max(x, 0.0)))
+      require(s.head > 0 && s.last > 1e-12 * s.head,
+        "refineOpqRotation: degenerate cross-covariance — the PQ " +
+          "reconstruction collapsed; refine on more data or fewer rounds")
+      val u = Array.tabulate(d) { k =>
+        val vk = vRows(k)
+        Array.tabulate(d)(i => (0 until d).map(j => nMat(i)(j) * vk(j)).sum / s(k))
+      }
+      // R = V Uᵀ: R(i)(j) = Σ_k v_k(i) u_k(j)
+      r = Array.tabulate(d, d)((i, j) =>
+        (0 until d).map(k => vRows(k)(i) * u(k)(j)).sum)
+    }
+    r
+  }
+
   /** Greedy balanced eigenvalue allocation: eigen-direction indices
     * (pre-sorted descending by eigenvalue, as [[graft.operators.Decomp
     * .jacobiEigen]] returns them) dealt into `m` equal groups, each

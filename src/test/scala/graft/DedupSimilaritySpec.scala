@@ -1430,15 +1430,13 @@ class DedupSimilaritySpec extends SparkSuite {
     assert(g8.forall(_.length == 2) && g8.flatten.sorted.toSeq === (0 until 8))
   }
 
-  test("OPQ strictly beats raw-space PQ on anisotropic, dimension-mixed data") {
-    // The synthetic embeddings fixture is near-isotropic, where rotation
-    // can't help (the parity test below). This builds the case OPQ
-    // exists for: a few loud latent directions (sigma 8/4/2 vs 1) mixed
-    // into EVERY raw dimension by a Hadamard rotation — raw dim-order
-    // subspaces are then 4-D and equally hard, while PCA-rotated,
-    // allocation-balanced subspaces are effectively 1-D around one loud
-    // direction each. 16 centroids per subspace must quantize the
-    // rotated space strictly better.
+  /** Anisotropic, dimension-mixed fixture — the case OPQ exists for: a
+    * few loud latent directions (sigma 8/4/2 vs 1) mixed into EVERY raw
+    * dimension by a Hadamard rotation, so raw dim-order subspaces are
+    * 4-D and equally hard while PCA-rotated, allocation-balanced
+    * subspaces are effectively 1-D around one loud direction each.
+    * Seeded — identical across runs. */
+  private def anisotropicDf = {
     val d = 16
     val had = Array.tabulate(d, d) { (i, j) =>
       if (java.lang.Integer.bitCount(i & j) % 2 == 0) 0.25 else -0.25
@@ -1446,34 +1444,72 @@ class DedupSimilaritySpec extends SparkSuite {
     val scales = Array.tabulate(d)(i => if (i == 0) 8.0 else if (i == 1) 4.0
       else if (i == 2) 2.0 else 1.0)
     val rnd = new scala.util.Random(42)
-    val rows = (0 until 512).map { id =>
-      val z = Array.fill(d)(rnd.nextGaussian() )
+    (0 until 512).map { id =>
+      val z = Array.fill(d)(rnd.nextGaussian())
       val x = Array.tabulate(d)(i =>
         (0 until d).map(j => had(i)(j) * scales(j) * z(j)).sum)
       (id.toLong, x.toSeq)
-    }
-    val df = rows.toDF("vec_id", "embedding")
-    def mse(corpus: org.apache.spark.sql.DataFrame): Double = {
-      val m = 4
-      val books = Similarity.fitPqCodebooks(corpus, m, ksub = 16, iterations = 5)
-        .collect().groupBy(_.getInt(0))
-        .map { case (j, rs) => j -> rs.sortBy(_.getInt(1)).map(_.getSeq[Double](2).toArray) }
-      val vecs = corpus.select(col("embedding").cast("array<double>"))
-        .collect().map(_.getSeq[Double](0).toArray)
-      val dsub = d / m
-      vecs.map { v =>
-        (0 until m).map { j =>
-          val sv = v.slice(j * dsub, (j + 1) * dsub)
-          books(j).map(c => sv.zip(c).map { case (x, y) => (x - y) * (x - y) }.sum).min
-        }.sum
-      }.sum / vecs.length
-    }
+    }.toDF("vec_id", "embedding")
+  }
+
+  /** Full-fit PQ quantization MSE of `corpus` at m=4, k=16 — the number
+    * the OPQ tests compare across rotations. */
+  private def anisotropicMse(corpus: org.apache.spark.sql.DataFrame): Double = {
+    val m = 4
+    val books = Similarity.fitPqCodebooks(corpus, m, ksub = 16, iterations = 5)
+      .collect().groupBy(_.getInt(0))
+      .map { case (j, rs) => j -> rs.sortBy(_.getInt(1)).map(_.getSeq[Double](2).toArray) }
+    val vecs = corpus.select(col("embedding").cast("array<double>"))
+      .collect().map(_.getSeq[Double](0).toArray)
+    val dsub = vecs.head.length / m
+    vecs.map { v =>
+      (0 until m).map { j =>
+        val sv = v.slice(j * dsub, (j + 1) * dsub)
+        books(j).map(c => sv.zip(c).map { case (x, y) => (x - y) * (x - y) }.sum).min
+      }.sum
+    }.sum / vecs.length
+  }
+
+  test("OPQ strictly beats raw-space PQ on anisotropic, dimension-mixed data") {
+    // The synthetic embeddings fixture is near-isotropic, where rotation
+    // can't help (the parity test below). 16 centroids per subspace must
+    // quantize the PCA-rotated, allocation-balanced space strictly better.
+    val df = anisotropicDf
     val r = Similarity.fitOpqRotation(df, m = 4)
-    val raw = mse(df)
-    val rot = mse(Similarity.opqRotate(df, r))
+    val raw = anisotropicMse(df)
+    val rot = anisotropicMse(Similarity.opqRotate(df, r))
     info(f"anisotropic PQ MSE raw=$raw%.4f opq=$rot%.4f (ratio ${rot / raw}%.3f)")
     assert(rot < raw * 0.9,
       f"OPQ must clearly beat raw-space PQ on mixed anisotropic data: $rot%.4f vs $raw%.4f")
+  }
+
+  test("non-parametric OPQ refinement does not lose to the parametric rotation") {
+    // Ge et al.'s alternating refinement closes the gap the one-shot
+    // eigen allocation leaves: alternating exact Procrustes solves with
+    // Lloyd refits must end at-or-below the parametric MSE on the
+    // fixture built to stress it — while staying exactly orthogonal
+    // (cosine invariance) and deterministic.
+    val df = anisotropicDf
+    val rP = Similarity.fitOpqRotation(df, m = 4)
+    val rN = Similarity.refineOpqRotation(df, rP, m = 4, ksub = 16,
+      pqIterations = 5, rounds = 2)
+    val mseP = anisotropicMse(Similarity.opqRotate(df, rP))
+    val mseN = anisotropicMse(Similarity.opqRotate(df, rN))
+    info(f"anisotropic PQ MSE parametric=$mseP%.4f refined=$mseN%.4f " +
+      f"(ratio ${mseN / mseP}%.3f)")
+    assert(mseN <= mseP * 1.005,
+      f"refinement worsened quantization: $mseN%.4f vs parametric $mseP%.4f")
+    // the refined rotation is still exactly orthogonal (R R^T = I)
+    val d = rN.length
+    for (i <- 0 until d; j <- 0 until d) {
+      val dot = (0 until d).map(k => rN(i)(k) * rN(j)(k)).sum
+      assert(math.abs(dot - (if (i == j) 1.0 else 0.0)) < 1e-8,
+        s"refined rotation not orthogonal at ($i, $j): $dot")
+    }
+    // deterministic: the same refinement replays bit-identically
+    val rN2 = Similarity.refineOpqRotation(df, rP, m = 4, ksub = 16,
+      pqIterations = 5, rounds = 2)
+    assert(rN.flatten.toSeq === rN2.flatten.toSeq)
   }
 
   test("OPQ rotation does not worsen PQ quantization error (the reason it exists)") {
