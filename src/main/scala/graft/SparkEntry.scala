@@ -2769,7 +2769,63 @@ object SparkEntry {
           UnigramApplyVocab.filter(_._1.length == 1), alpha = 0.5, seed = 42L)
         .orderBy("doc_id")
     }),
+
+    // q184's exact twin (the q198 degenerate-case trick, for SPECTRA): a
+    // 256-row factorial fixture whose 4-dim covariance is EXACTLY
+    // 2x2-block-diagonal with dyadic-rational entries (n = 2^8, integer
+    // Gram sums — both engines compute the covariance bit-identically),
+    // so the eigendecomposition reduces to the closed 2x2 quadratic the
+    // oracle evaluates in SQL. The full fitMeanCov -> Jacobi -> ranking
+    // -> sign-normalization chain gets a hash oracle; the general-d
+    // decomposition invariants stay pinned in DecompSpec.
+    "q203_pca_block_twin" -> ((s, dir) => {
+      import s.implicits._
+      val model = Decomp.fitPca(blockSpectrumFixture(s), "embedding")
+      val vr = model.varianceRatio
+      (0 until 4).map { c =>
+        val comp = model.components(c)
+        val topDim = comp.indices.maxBy(k => (math.abs(comp(k)), -k))
+        (c + 1, math.rint(model.eigenvalues(c) * 1e6) / 1e6,
+          math.rint(vr(c) * 1e6) / 1e6, topDim,
+          math.rint(comp(topDim) * 1e6) / 1e6)
+      }.toDF("component", "eigenvalue", "var_ratio", "top_dim", "top_loading")
+        .orderBy("component")
+    }),
+
+    // q186's exact twin on the same fixture: whitening through the
+    // fitted basis must return the identity covariance and zero mean —
+    // provable algebra on a full-rank fit, so the oracle is the closed
+    // identity. Hash-matching it pins the whiten kernel's output frame
+    // (column names, rounding, -0.0 normalization) end to end.
+    "q204_whiten_block_twin" -> ((s, dir) => {
+      import s.implicits._
+      val fix = blockSpectrumFixture(s)
+      val model = Decomp.fitPca(fix, "embedding")
+      val (n, wMean, wCov) = Decomp.fitMeanCov(
+        Decomp.whiten(fix, "embedding", model, model.d), "embedding_w")
+      (for (i <- 0 to 3; j <- i to 3) yield
+        (i, j, n, math.rint(wMean(i) * 1e4) / 1e4 + 0.0,
+          math.rint(wCov(i)(j) * 1e4) / 1e4 + 0.0))
+        .toDF("i", "j", "n", "w_mean_i", "w_cov_ij")
+        .orderBy("i", "j")
+    }),
   )
+
+  /** q203/q204 fixture: a 256-row full-factorial design (i = id mod 4
+    * drives dims 0-1, j = id div 4 mod 8 drives dims 2-3, every (i, j)
+    * combination appearing exactly 8 times) whose population covariance
+    * is EXACTLY 2x2-block-diagonal: cross-block terms cancel to 0.0 in
+    * int64 arithmetic, and every entry is a dyadic rational (n = 2^8), so
+    * Spark's Gram/Jacobi fit and DuckDB's closed-form SQL see the same
+    * matrix bit for bit. */
+  private[graft] def blockSpectrumFixture(s: SparkSession): DataFrame =
+    s.range(256).select(col("id").as("vec_id"),
+      array(
+        expr("CAST(id % 4 AS DOUBLE)"),
+        expr("CAST((id % 4) * (id % 4) AS DOUBLE)"),
+        expr("CAST((id DIV 4) % 8 AS DOUBLE)"),
+        expr("CAST((((id DIV 4) % 8) * ((id DIV 4) % 8)) % 8 AS DOUBLE)")
+      ).as("embedding"))
 
   /** q154/q155 corpus: the synthesized lines become conversation turns —
     * turn 0 is the system prompt, then user/assistant alternation.
@@ -4007,6 +4063,53 @@ object SparkEntry {
         |       WHEN small THEN 'small'
         |       WHEN stretched THEN 'aspect' END AS reject_reason
         |FROM a ORDER BY img_id""".stripMargin,
+
+    // The 2x2-block covariance is computed with the engine's exact
+    // sum/sum-of-products formula (integer sums, dyadic divisions — bit-
+    // identical to the MatrixGram fit), then the eigendecomposition is
+    // the closed 2x2 quadratic: lambda = ((a+c) +- sqrt((a-c)^2+4b^2))/2
+    // with eigenvector (b, lambda - a) per block; rows rank by eigenvalue
+    // descending and the sign convention (largest-|coordinate| entry
+    // positive, ties to the lower index) matches jacobiEigen verbatim.
+    "q203_pca_block_twin" ->
+      """WITH t AS (SELECT range AS id FROM range(0, 256)),
+        |v AS (SELECT CAST(id % 4 AS DOUBLE) AS x0,
+        |  CAST((id % 4) * (id % 4) AS DOUBLE) AS x1,
+        |  CAST((id // 4) % 8 AS DOUBLE) AS x2,
+        |  CAST((((id // 4) % 8) * ((id // 4) % 8)) % 8 AS DOUBLE) AS x3 FROM t),
+        |m AS (SELECT
+        |  sum(x0*x0)/256 - (sum(x0)/256)*(sum(x0)/256) AS a1,
+        |  sum(x0*x1)/256 - (sum(x0)/256)*(sum(x1)/256) AS b1,
+        |  sum(x1*x1)/256 - (sum(x1)/256)*(sum(x1)/256) AS c1,
+        |  sum(x2*x2)/256 - (sum(x2)/256)*(sum(x2)/256) AS a2,
+        |  sum(x2*x3)/256 - (sum(x2)/256)*(sum(x3)/256) AS b2,
+        |  sum(x3*x3)/256 - (sum(x3)/256)*(sum(x3)/256) AS c2 FROM v),
+        |e AS (
+        |  SELECT (a1+c1+sqrt((a1-c1)*(a1-c1)+4*b1*b1))/2 AS lam, a1 AS a, b1 AS b,
+        |    0 AS off, a1+c1+a2+c2 AS tr FROM m
+        |  UNION ALL
+        |  SELECT (a1+c1-sqrt((a1-c1)*(a1-c1)+4*b1*b1))/2, a1, b1, 0, a1+c1+a2+c2 FROM m
+        |  UNION ALL
+        |  SELECT (a2+c2+sqrt((a2-c2)*(a2-c2)+4*b2*b2))/2, a2, b2, 2, a1+c1+a2+c2 FROM m
+        |  UNION ALL
+        |  SELECT (a2+c2-sqrt((a2-c2)*(a2-c2)+4*b2*b2))/2, a2, b2, 2, a1+c1+a2+c2 FROM m),
+        |w AS (SELECT lam, tr, off, b AS vx, lam - a AS vy FROM e)
+        |SELECT CAST(row_number() OVER (ORDER BY lam DESC) AS INTEGER) AS component,
+        |  round(lam, 6) AS eigenvalue, round(lam / tr, 6) AS var_ratio,
+        |  CAST(CASE WHEN abs(vx) >= abs(vy) THEN off ELSE off + 1 END AS INTEGER) AS top_dim,
+        |  round((CASE WHEN abs(vx) >= abs(vy) THEN abs(vx) ELSE abs(vy) END)
+        |    / sqrt(vx*vx + vy*vy), 6) AS top_loading
+        |FROM w ORDER BY component""".stripMargin,
+
+    // Full-rank whitening returns the identity covariance and zero mean
+    // by algebra — the oracle IS that closed form; the hash pins the
+    // output frame (names, 4-dp rounding, -0.0 normalization, n).
+    "q204_whiten_block_twin" ->
+      """SELECT CAST(i.range AS INTEGER) AS i, CAST(j.range AS INTEGER) AS j,
+        |  CAST(256 AS BIGINT) AS n, 0.0 AS w_mean_i,
+        |  CASE WHEN i.range = j.range THEN 1.0 ELSE 0.0 END AS w_cov_ij
+        |FROM range(0, 4) i, range(0, 4) j WHERE i.range <= j.range
+        |ORDER BY i, j""".stripMargin,
 
     // q198's degenerate-lattice argument verbatim, for the SAMPLER: with
     // single-char arcs only there is nothing to draw, so the seeded FFBS
