@@ -2792,6 +2792,62 @@ object SparkEntry {
         .orderBy("component")
     }),
 
+    // The streaming dedup ladder's perceptual rung as a DRIVER query —
+    // q192's synthetic image corpus replayed through the
+    // transformWithState Manku-banded scrub (Trigger.AvailableNow, file
+    // source, RocksDB state store), then the documented reader contract
+    // (LAST row per (bucket, id), AND over an id's buckets) reduces the
+    // Update-mode log to the kept set. Within-pattern dHash distances are
+    // <= 3 bits and cross-pattern far (MediaSpec margins), and pigeonhole
+    // banding is exact at that radius, so keep-first leaves EXACTLY the
+    // smallest id per pattern — ids 0..15, a closed form the oracle
+    // states without decoding an image. Promotes the streaming ladder
+    // from unit-only to the driver's hash gate.
+    "q205_image_scrub_stream" -> ((s, dir) => {
+      import s.implicits._
+      val entries = s.range(64).as[Long].map { k =>
+        val fmt = if ((k / 16) % 2 == 0) "png" else "jpg"
+        Media.ZipEntryRow("synth", f"img_$k%03d.$fmt",
+          Media.syntheticImage((k % 16).toInt, fmt))
+      }
+      val hashes = Media.imageDHashes(entries)
+        .select(regexp_extract(col("entry"), "img_(\\d+)", 1)
+          .cast("long").as("img_id"), col("dhash"))
+      val root = java.nio.file.Files.createTempDirectory("graft_q205").toString
+      hashes.coalesce(1).write.parquet(s"$root/in")
+      val key = "spark.sql.streaming.stateStore.providerClass"
+      val prev = s.conf.getOption(key)
+      try {
+        s.conf.set(key,
+          "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+        val schema = s.read.parquet(s"$root/in").schema
+        val q = graft.streaming.EventStreams.hammingDedupStream(
+            graft.streaming.EventStreams.readFileStream(s, s"$root/in", schema),
+            maxHamming = 3, idCol = "img_id", hashCol = "dhash")
+          .writeStream
+          .foreachBatch { (df: DataFrame, batchId: Long) =>
+            df.withColumn("batch_id", lit(batchId))
+              .write.mode("append").parquet(s"$root/out"): Unit
+          }
+          .outputMode("update")
+          .option("checkpointLocation", s"$root/ckpt")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      } finally prev match {
+        case Some(v) => s.conf.set(key, v)
+        case None => s.conf.unset(key)
+      }
+      val w = Window.partitionBy("bucket", "img_id").orderBy(col("batch_id").desc)
+      s.read.parquet(s"$root/out")
+        .withColumn("_rn", row_number().over(w)).where(col("_rn") === 1)
+        .groupBy("img_id")
+        .agg(expr("bool_and(kept_in_bucket)").as("_kept"))
+        .where(col("_kept"))
+        .select(col("img_id"))
+        .orderBy("img_id")
+    }),
+
     // q186's exact twin on the same fixture: whitening through the
     // fitted basis must return the identity covariance and zero mean —
     // provable algebra on a full-rank fit, so the oracle is the closed
@@ -4100,6 +4156,14 @@ object SparkEntry {
         |  round((CASE WHEN abs(vx) >= abs(vy) THEN abs(vx) ELSE abs(vy) END)
         |    / sqrt(vx*vx + vy*vy), 6) AS top_loading
         |FROM w ORDER BY component""".stripMargin,
+
+    // Keep-first over clusters that are exactly the 16 patterns (q192's
+    // pair-structure argument + exact pigeonhole banding at radius 3)
+    // leaves the minimal id per pattern — which IS 0..15 by the
+    // generator's id layout (pattern = id mod 16, four renderings at
+    // id, id+16, id+32, id+48).
+    "q205_image_scrub_stream" ->
+      "SELECT range AS img_id FROM range(0, 16) ORDER BY img_id",
 
     // Full-rank whitening returns the identity covariance and zero mean
     // by algebra — the oracle IS that closed form; the hash pins the
