@@ -500,9 +500,19 @@ object Media {
     def le16(i: Int): Int = u(i) | (u(i + 1) << 8)
     def le32(i: Int): Int = u(i) | (u(i + 1) << 8) | (u(i + 2) << 16) | (u(i + 3) << 24)
     if (b.length >= 24 && u(0) == 0x89 && u(1) == 0x50 && u(2) == 0x4E && u(3) == 0x47)
-      Some(("png", be32(16), be32(20)))
+      // the first chunk MUST be IHDR (PNG spec §5.6) for offsets 16/20 to
+      // be the dims — a corrupt blob with a PNG signature but a different
+      // first chunk would otherwise pass fabricated dimensions through
+      // the gate (the same lesson as the BMP DIB-size dispatch below)
+      if (u(12) == 0x49 && u(13) == 0x48 && u(14) == 0x44 && u(15) == 0x52)
+        Some(("png", be32(16), be32(20)))
+      else None
     else if (b.length >= 10 && u(0) == 0x47 && u(1) == 0x49 && u(2) == 0x46)
-      Some(("gif", le16(6), le16(8)))
+      // only the two published versions (87a/89a) pin the logical screen
+      // descriptor at 6/8
+      if (u(3) == 0x38 && (u(4) == 0x37 || u(4) == 0x39) && u(5) == 0x61)
+        Some(("gif", le16(6), le16(8)))
+      else None
     else if (b.length >= 26 && u(0) == 0x42 && u(1) == 0x4D) {
       // the DIB header SIZE at offset 14 decides the dims layout: 12 =
       // OS/2 BITMAPCOREHEADER (u16 dims at 18/20); 16..124 = the
@@ -518,18 +528,26 @@ object Media {
       var i = 2
       var res: Option[(String, Int, Int)] = None
       var dead = false
-      while (!dead && res.isEmpty && i + 9 < b.length) {
+      // walk needs only the 2-byte marker per step and the 2-byte length
+      // for sized segments; the full 9-byte read is required ONLY at the
+      // SOF parse itself, so a valid SOF landing near the end of a tight
+      // buffer is still read (the old uniform i+9 bound refused it)
+      while (!dead && res.isEmpty && i + 1 < b.length) {
         if (u(i) != 0xFF) dead = true // marker desync: corrupt stream
         else {
           val m = u(i + 1)
           if (m == 0xFF) i += 1 // fill byte
           else if (m == 0xD8 || (m >= 0xD0 && m <= 0xD7) || m == 0x01) i += 2
           else if (m == 0xD9) dead = true // EOI before any frame header
+          else if (i + 3 >= b.length) dead = true // length header truncated
           else {
             val len = (u(i + 2) << 8) | u(i + 3)
             if (len < 2) dead = true
-            else if (m >= 0xC0 && m <= 0xCF && m != 0xC4 && m != 0xC8 && m != 0xCC)
-              res = Some(("jpeg", (u(i + 7) << 8) | u(i + 8), (u(i + 5) << 8) | u(i + 6)))
+            else if (m >= 0xC0 && m <= 0xCF && m != 0xC4 && m != 0xC8 && m != 0xCC) {
+              if (i + 8 < b.length)
+                res = Some(("jpeg", (u(i + 7) << 8) | u(i + 8), (u(i + 5) << 8) | u(i + 6)))
+              else dead = true // SOF payload truncated
+            }
             else i += 2 + len
           }
         }

@@ -427,6 +427,34 @@ class MediaSpec extends SparkSuite {
     // unknown DIB header size: refuse rather than fabricate dimensions
     val badHs = os2.clone(); badHs(14) = (200 & 0xFF).toByte
     assert(Media.imageDims(badHs) === None)
+    // PNG signature whose first chunk is NOT IHDR: offsets 16/20 would be
+    // fabricated dims — refuse (the DIB-size lesson, on the PNG arm)
+    val fakePng = Media.syntheticImage(0, "png", 96, 64).clone()
+    fakePng(12) = 'i'.toByte // corrupt the chunk type
+    assert(Media.imageDims(fakePng) === None)
+    // GIF magic with an unpublished version: the screen descriptor layout
+    // is not guaranteed — refuse
+    val fakeGif = Media.syntheticImage(0, "gif", 96, 64).clone()
+    fakeGif(4) = '6'.toByte // "GIF86a" never existed
+    assert(Media.imageDims(fakeGif) === None)
+    // a valid JPEG cut immediately after its SOF payload: the frame
+    // header is fully readable even though fewer than 9 bytes follow it —
+    // the tight-buffer case the old uniform loop bound refused
+    val jb = Media.syntheticImage(2, "jpg", 96, 64)
+    val sof = {
+      var i = 2
+      var at = -1
+      while (at < 0) {
+        val m = jb(i + 1) & 0xFF
+        if (m >= 0xC0 && m <= 0xCF && m != 0xC4 && m != 0xC8 && m != 0xCC) at = i
+        else i += 2 + (((jb(i + 2) & 0xFF) << 8) | (jb(i + 3) & 0xFF))
+      }
+      at
+    }
+    assert(Media.imageDims(jb.take(sof + 9)) === Some(("jpeg", 96, 64)),
+      "SOF in the last 9 bytes of a tight buffer must still parse")
+    // and one byte short of the SOF payload refuses rather than misreads
+    assert(Media.imageDims(jb.take(sof + 8)) === None)
     // the audit's four verdict classes
     val entries = Seq(
       Media.ZipEntryRow("a", "ok.png", Media.syntheticImage(0, "png", 300, 200)),

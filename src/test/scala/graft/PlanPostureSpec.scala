@@ -383,6 +383,9 @@ class PlanPostureSpec extends SparkSuite {
     // shows partitioning keys).
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
     import org.apache.spark.sql.types.StringType
+    // restore the PRIOR value, not a hardcoded "true" — leaking a config
+    // override if the suite default ever changes
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try {
       val docs = graft.meta.Tables.documents(spark, sf)
@@ -399,7 +402,7 @@ class PlanPostureSpec extends SparkSuite {
           s"non-word string column(s) $stringy crossed a shuffle: " +
             s"${e.output.map(a => s"${a.name}:${a.dataType.simpleString}")}")
       }
-    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
   }
 
   test("quality probe: ONE map-side-partial aggregate fit + zero-shuffle score (q130 shape)") {
