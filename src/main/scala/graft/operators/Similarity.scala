@@ -496,11 +496,91 @@ object Similarity {
                      fitSample: Option[Column] = None): DataFrame = {
     val fit = fitSample.fold(corpus)(corpus.where)
     var cents = fit.orderBy(col(idCol)).limit(k).select(col(idCol), col(vecCol))
-    for (_ <- 0 until iterations) {
-      val assigned = assignCells(fit, cents, idCol, vecCol)
-      cents = assigned.groupBy(col("cell_id"))
-        .agg(graft.functions.GraftFunctions.vector_avg(col(vecCol)).as(vecCol))
-        .select(col("cell_id").as(idCol), col(vecCol))
+    for (_ <- 0 until iterations) cents = lloydStep(fit, cents, idCol, vecCol)
+    cents
+  }
+
+  /** One Lloyd iteration: broadcast-assign + [[graft.functions.VectorAvg]]
+    * hash aggregate (map-side combinable — shuffle = |cells| x dims). */
+  private def lloydStep(fit: DataFrame, cents: DataFrame,
+                        idCol: String, vecCol: String): DataFrame =
+    assignCells(fit, cents, idCol, vecCol)
+      .groupBy(col("cell_id"))
+      .agg(graft.functions.GraftFunctions.vector_avg(col(vecCol)).as(vecCol))
+      .select(col("cell_id").as(idCol), col(vecCol))
+
+  /** Balance-constrained centroid training — the FIT-TIME lever against
+    * Zipf-hot IVF cells, complementing [[saltedCellJoin]]'s join-time
+    * salting: after a standard [[trainCentroids]] fit, repeatedly SPLIT
+    * every cell holding more than `maxCellFrac` of the fit corpus (the
+    * practical balanced-k-means variant: a hot cell's centroid is
+    * replaced by two seeds drawn from the cell — its two smallest-id
+    * members, total determinism — and the enlarged set takes
+    * `refineIters` Lloyd passes), until every cell fits the cap or
+    * `splitRounds` is exhausted. More, smaller cells where the data is
+    * dense = bounded per-cell scan cost for every downstream IVF tier,
+    * at the price of a larger (still broadcast-bounded) centroid set.
+    * Lloyd refinement can re-grow a split cell past the cap, so the cap
+    * is a strong pressure, not a hard guarantee — the loop re-checks and
+    * re-splits each round; pair with the salted join for the residue.
+    *
+    * Scale shape: each round is one narrow assignment pass + a
+    * cell-keyed count + a 2-per-hot-cell window slice (rows entering the
+    * window: hot cells' members only) + `refineIters` Lloyd passes; the
+    * only driver state is the centroid set itself (the existing
+    * broadcast-budget contract). */
+  def trainBalancedCentroids(corpus: DataFrame, k: Int, iterations: Int,
+                             maxCellFrac: Double = 0.05, splitRounds: Int = 3,
+                             refineIters: Int = 1,
+                             idCol: String = "vec_id", vecCol: String = "embedding",
+                             fitSample: Option[Column] = None): DataFrame = {
+    require(maxCellFrac > 0.0 && maxCellFrac <= 1.0,
+      s"maxCellFrac must be in (0, 1], got $maxCellFrac")
+    require(splitRounds >= 0 && refineIters >= 0,
+      "splitRounds and refineIters must be >= 0")
+    val spark = corpus.sparkSession
+    val fit = fitSample.fold(corpus)(corpus.where)
+    val n = fit.count()
+    require(n > 0, "trainBalancedCentroids: fit corpus is empty")
+    val cap = math.max(1L, (maxCellFrac * n).toLong)
+    var cents = trainCentroids(fit, k, iterations, idCol, vecCol)
+    var round = 0
+    var balanced = false
+    while (round < splitRounds && !balanced) {
+      val assigned = Relational.detach(assignCells(fit, cents, idCol, vecCol))
+      val hot = assigned.groupBy("cell_id").agg(count(lit(1)).as("_n"))
+        .where(col("_n") > cap)
+        .select(col("cell_id").cast("long")).collect().map(_.getLong(0)).sorted
+      if (hot.isEmpty) balanced = true
+      else {
+        // two deterministic seeds per hot cell: its smallest-id members
+        // (only hot cells' rows enter the window)
+        val w = Window.partitionBy(col("cell_id")).orderBy(col(idCol))
+        val seeds = assigned.where(col("cell_id").isin(hot.map(Long.box): _*))
+          .withColumn("_rn", row_number().over(w)).where(col("_rn") <= 2)
+          .select(col("cell_id").cast("long"), col("_rn"),
+            col(vecCol).cast("array<double>"))
+          .collect() // 2 x |hot| rows — centroid-budget driver state
+          .sortBy(r => (r.getLong(0), r.getInt(1)))
+        val maxId = cents.agg(max(col(idCol).cast("long"))).head().getLong(0)
+        val rows = seeds.zipWithIndex.map { case (r, i) =>
+          Row(maxId + 1 + i, r.getSeq[Double](2)) }
+        val fresh = spark.createDataFrame(
+          spark.sparkContext.parallelize(rows.toSeq, 1),
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField(idCol, LongType, nullable = false),
+            org.apache.spark.sql.types.StructField(vecCol,
+              org.apache.spark.sql.types.ArrayType(
+                org.apache.spark.sql.types.DoubleType, containsNull = false),
+              nullable = false))))
+        val cold = cents.where(!col(idCol).cast("long").isin(hot.map(Long.box): _*))
+          .select(col(idCol).cast("long").as(idCol),
+            col(vecCol).cast("array<double>").as(vecCol))
+        cents = cold.unionByName(fresh)
+        for (_ <- 0 until refineIters) cents = lloydStep(fit, cents, idCol, vecCol)
+      }
+      Relational.release(assigned)
+      round += 1
     }
     cents
   }

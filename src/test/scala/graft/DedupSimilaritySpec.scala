@@ -1536,6 +1536,40 @@ class DedupSimilaritySpec extends SparkSuite {
       f"OPQ worsened quantization: $rot%.5f vs raw $raw%.5f")
   }
 
+  test("trainBalancedCentroids splits Zipf-hot cells that plain Lloyd leaves pinned") {
+    // log-uniform cluster membership (the ScaleProbe zipfcell shape,
+    // small): vector = one-hot(cluster) + deterministic jitter, cluster
+    // sizes power-law — cluster 0 holds ~50% of rows, so a plain k=8
+    // Lloyd fit leaves one cell scanning half the corpus on every probe.
+    val n = 4000
+    val vecs = spark.range(n).select(
+      col("id").as("vec_id"),
+      expr("transform(sequence(1, 16), d -> CAST(IF(" +
+        "d - 1 = CAST(8 * power((id * 2654435761) % 1048576 / 1048576.0, 3) AS INT), " +
+        "1.0, ((id * 40503 + d * 69069) % 1000) / 20000.0) AS DOUBLE))")
+        .as("embedding"))
+    def maxFrac(cents: org.apache.spark.sql.DataFrame): Double =
+      Similarity.assignCells(vecs, cents).groupBy("cell_id").count()
+        .agg(max("count")).head().getLong(0).toDouble / n
+    val plain = Similarity.trainCentroids(vecs, 8, 3)
+    val balanced = Similarity.trainBalancedCentroids(vecs, 8, 3,
+      maxCellFrac = 0.15, splitRounds = 3, refineIters = 1)
+    val (pf, bf) = (maxFrac(plain), maxFrac(balanced))
+    info(f"hottest cell: plain=${pf}%.3f of corpus, balanced=${bf}%.3f")
+    assert(pf > 0.25, s"fixture lost its skew: plain max frac $pf")
+    assert(bf < pf, s"balancing did not shrink the hot cell: $bf vs $pf")
+    assert(bf <= 0.18, s"hot cell still holds $bf of the corpus after splits")
+    // splits actually happened (centroid set grew past k) and the ids
+    // stay distinct (a collision would corrupt every downstream join)
+    val ids = balanced.select(col("vec_id").cast("long")).collect().map(_.getLong(0))
+    assert(ids.length > 8 && ids.distinct.length === ids.length)
+    // deterministic: same inputs, same centroid set, bit-for-bit
+    val again = Similarity.trainBalancedCentroids(vecs, 8, 3,
+      maxCellFrac = 0.15, splitRounds = 3, refineIters = 1)
+    assert(again.orderBy("vec_id").collect().map(_.toString).toSeq
+      === balanced.orderBy("vec_id").collect().map(_.toString).toSeq)
+  }
+
   test("fitSample: every iterative fit prunes deterministically within the MSE band") {
     // the one sample-fit discipline (BPE/unigram already carry it) now
     // covers the Lloyd family: codebooks/centroids/rotations are model
