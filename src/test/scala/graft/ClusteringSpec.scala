@@ -113,6 +113,26 @@ class ClusteringSpec extends SparkSuite {
     assert(rkTouched <= 6L, s"rank-bucket pruning too weak: $rkTouched/16 files")
   }
 
+  test("rankBucket binary lifting equals the linear rank count, duplicates included") {
+    // reference semantic: bucket = count of splits <= x (the linear
+    // filter scan the lifting replaced); duplicate splits and exact
+    // boundary hits must land identically
+    val splits = Seq(1.0, 2.0, 2.0, 2.0, 5.0, 7.5, 7.5)
+    val xs = Seq(0.0, 1.0, 1.5, 2.0, 4.9, 5.0, 7.5, 9.0)
+    val got = xs.toDF("x")
+      .select(Clustering.rankBucket(col("x"), splits).as("b"))
+      .as[Long].collect().toSeq
+    assert(got === xs.map(x => splits.count(s => x >= s).toLong))
+    // null flows to null; empty splits bucket everything to 0
+    val nulls = Seq[Option[Double]](Some(3.0), None).toDF("x")
+      .select(Clustering.rankBucket(col("x"), splits).as("b"))
+      .collect().map(r => if (r.isNullAt(0)) None else Some(r.getLong(0)))
+    assert(nulls.toSeq === Seq(Some(4L), None))
+    assert(Seq(1.0).toDF("x")
+      .select(Clustering.rankBucket(col("x"), Seq.empty).as("b"))
+      .as[Long].head() === 0L)
+  }
+
   test("withZKey fails loudly on a span that would overflow int64; rank map handles it") {
     // hash-valued longs: span ~ Long range, (x - mn) * 2^bits wraps
     val wide = Seq(Long.MinValue / 2, 0L, Long.MaxValue / 2).toDF("h")

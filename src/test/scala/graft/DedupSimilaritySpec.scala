@@ -829,6 +829,16 @@ class DedupSimilaritySpec extends SparkSuite {
       .orderBy("probe_id", "rank").as[(Long, Long, Long, Double)].collect()
     assert(rawSalted === Similarity.ivfTopK(emb, cents, emb, 3, nprobe = 2)
       .orderBy("probe_id", "rank").as[(Long, Long, Long, Double)].collect())
+    // the balanced-distribution escape hatch (codesPerSalt = MaxValue):
+    // no salt fit, no salt key in the plan, same rows
+    val plainDf = Similarity.ivfPqTopK(enc, cents, books, emb, 3, nprobe = 2,
+      broadcastProbes = false, codesPerSalt = Long.MaxValue)
+    assert(!plainDf.queryExecution.executedPlan.toString.contains("_salt"),
+      "escape hatch still built the salt machinery")
+    assert(plainDf.orderBy("probe_id", "rank")
+      .as[(Long, Long, Long, Double)].collect()
+      === salted.orderBy("probe_id", "rank")
+        .as[(Long, Long, Long, Double)].collect())
   }
 
   test("rerankTopK: wide shortlist converges to exact brute-force top-k") {
