@@ -2848,6 +2848,63 @@ object SparkEntry {
         .orderBy("img_id")
     }),
 
+    // The streaming dedup ladder's EXACT rung as a driver query (q205's
+    // discipline, two micro-batches): a re-crawl wave (same text,
+    // id-shifted +1e6) replays FIRST, the originals arrive in the second
+    // micro-batch — so every wave-1 keeper must be retroactively FLIPPED
+    // by its smaller-id original (the transformWithState Update-mode
+    // contract), and the reader reduction (last row per id, kept only)
+    // must land on exactly the batch keep-first answer: the min doc_id
+    // per text over the originals — a closed form the oracle states as
+    // one correlated subquery. A broken flip path leaves shifted ids in
+    // the kept set and fails the hash.
+    "q206_text_scrub_stream" -> ((s, dir) => {
+      import s.implicits._
+      val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      val root = java.nio.file.Files.createTempDirectory("graft_q206").toString
+      val in = s"$root/in"
+      new java.io.File(in).mkdirs()
+      docs.where(col("doc_id") % 5 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+        .coalesce(1).write.parquet(s"$root/w1")
+      docs.coalesce(1).write.parquet(s"$root/w2")
+      for ((wave, t) <- Seq(("w1", 1000000L), ("w2", 2000000L));
+           p <- new java.io.File(s"$root/$wave").listFiles()
+           if p.getName.endsWith(".parquet")) {
+        val dst = java.nio.file.Path.of(in, s"$wave-${p.getName}")
+        java.nio.file.Files.copy(p.toPath, dst)
+        dst.toFile.setLastModified(t): Unit
+      }
+      val key = "spark.sql.streaming.stateStore.providerClass"
+      val prev = s.conf.getOption(key)
+      try {
+        s.conf.set(key,
+          "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+        val schema = s.read.parquet(in).schema
+        val q = graft.streaming.EventStreams.incrementalDedupStream(
+            graft.streaming.EventStreams.readFileStream(s, in, schema))
+          .writeStream
+          .foreachBatch { (df: DataFrame, batchId: Long) =>
+            df.withColumn("batch_id", lit(batchId))
+              .write.mode("append").parquet(s"$root/out"): Unit
+          }
+          .outputMode("update")
+          .option("checkpointLocation", s"$root/ckpt")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      } finally prev match {
+        case Some(v) => s.conf.set(key, v)
+        case None => s.conf.unset(key)
+      }
+      val w = Window.partitionBy("doc_id").orderBy(col("batch_id").desc)
+      s.read.parquet(s"$root/out")
+        .withColumn("_rn", row_number().over(w))
+        .where(col("_rn") === 1 && col("kept"))
+        .select("doc_id")
+        .orderBy("doc_id")
+    }),
+
     // q186's exact twin on the same fixture: whitening through the
     // fitted basis must return the identity covariance and zero mean —
     // provable algebra on a full-rank fit, so the oracle is the closed
@@ -4164,6 +4221,16 @@ object SparkEntry {
     // id, id+16, id+32, id+48).
     "q205_image_scrub_stream" ->
       "SELECT range AS img_id FROM range(0, 16) ORDER BY img_id",
+
+    // Batch keep-first over the ORIGINALS is the streaming answer: every
+    // wave-1 re-crawl (id + 1e6, same text) is flipped by its later-
+    // arriving, smaller-id original, and within the originals the
+    // smallest doc_id per text survives.
+    "q206_text_scrub_stream" ->
+      """SELECT doc_id FROM documents
+        |WHERE doc_id = (SELECT min(d2.doc_id) FROM documents d2
+        |                WHERE d2.text = documents.text)
+        |ORDER BY doc_id""".stripMargin,
 
     // Full-rank whitening returns the identity covariance and zero mean
     // by algebra — the oracle IS that closed form; the hash pins the
