@@ -839,6 +839,20 @@ class DedupSimilaritySpec extends SparkSuite {
       .as[(Long, Long, Long, Double)].collect()
       === salted.orderBy("probe_id", "rank")
         .as[(Long, Long, Long, Double)].collect())
+    // EMPTY probed cell: the salt frame's inner join prunes probe rows
+    // aimed at codeless cells pre-shuffle — results must still equal the
+    // broadcast path (which carries those rows to a fruitless join).
+    // Encode only half the corpus so some of each probe's nprobe=2 cells
+    // hold zero codes.
+    val encHalf = Similarity.ivfPqEncode(emb.where(col("vec_id") % 2 === 0),
+      cents, books)
+    def runHalf(bcast: Boolean, cps: Long) =
+      Similarity.ivfPqTopK(encHalf, cents, books, emb, 3, nprobe = 2,
+        broadcastProbes = bcast, codesPerSalt = cps, maxSalt = 7)
+        .orderBy("probe_id", "rank").as[(Long, Long, Long, Double)].collect()
+    val bcastHalf = runHalf(bcast = true, cps = 8192L)
+    assert(runHalf(bcast = false, cps = 1L) === bcastHalf)
+    assert(runHalf(bcast = false, cps = Long.MaxValue) === bcastHalf)
   }
 
   test("rerankTopK: wide shortlist converges to exact brute-force top-k") {
