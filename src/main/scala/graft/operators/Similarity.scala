@@ -144,11 +144,11 @@ object Similarity {
     * `s_c = ceil(count_c / codesPerSalt)` clamped to `[1, maxSalt]`. The
     * result has at most one row per coarse cell, so it is broadcast-bounded
     * by the same contract as the centroid set itself. */
-  private def cellSaltFactors(corpusSide: DataFrame, codesPerSalt: Long,
+  private[graft] def cellSaltFactors(corpusSide: DataFrame, codesPerSalt: Long,
                               maxSalt: Int): DataFrame = {
     require(codesPerSalt >= 1, s"codesPerSalt must be >= 1, got $codesPerSalt")
     require(maxSalt >= 1, s"maxSalt must be >= 1, got $maxSalt")
-    corpusSide.groupBy(col("cell_id"))
+    corpusSide.groupBy(col("cell_id").cast("long").as("cell_id"))
       .agg(count(lit(1)).as("_n"))
       .select(col("cell_id"),
         least(ceil(col("_n").cast("double") / codesPerSalt),
@@ -186,9 +186,21 @@ object Similarity {
     * materialization). */
   private def saltedCellJoin(corpusSide: DataFrame, probeSide: DataFrame,
                              codesPerSalt: Long, maxSalt: Int): DataFrame = {
-    if (codesPerSalt == Long.MaxValue)
-      return corpusSide.join(probeSide.repartition(col("cell_id")), "cell_id")
-    val salts = broadcast(cellSaltFactors(corpusSide, codesPerSalt, maxSalt))
+    def plain = corpusSide.join(probeSide.repartition(col("cell_id")), "cell_id")
+    if (codesPerSalt == Long.MaxValue) return plain
+    // the fit collects to the driver — at most one row per coarse cell,
+    // the same bounded contract as the centroid set — so a corpus with NO
+    // hot cells takes the plain join with zero salt machinery in the plan
+    // (the detector's column-pruned count scan is the only cost), and the
+    // salt frame otherwise embeds as literal rows instead of re-running
+    // the aggregate lineage under each broadcast
+    val saltRows = cellSaltFactors(corpusSide, codesPerSalt, maxSalt)
+      .collect().map(r => (r.getLong(0), r.getInt(1)))
+    if (saltRows.forall(_._2 <= 1)) return plain
+    val spark = corpusSide.sparkSession
+    import spark.implicits._
+    val salts = broadcast(
+      spark.createDataset(saltRows.toSeq).toDF("cell_id", "_nsalt"))
     val c = corpusSide.join(salts, "cell_id")
       .withColumn("_salt",
         pmod(xxhash64(col("neighbor_id")), col("_nsalt").cast("long")).cast("int"))

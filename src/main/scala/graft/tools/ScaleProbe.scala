@@ -152,6 +152,11 @@ object ScaleProbe {
     // serve vs distributed equi-join on the SAME 1M x 64d index, probe
     // sets 1k (serve-sized) and 100k (100x past any broadcast budget —
     // the shape the driver-side LUT build could not run at all).
+    // NOTE: the 100k x 8-cell shape scores ~3.1e9 pairs; under the dev
+    // JVM's 8g default the 32 concurrent tasks' join-build + top-k
+    // partial buffers exhaust the execution pool — run this section with
+    // SPARK_DRIVER_MEM=24g (a real cluster sizes executors accordingly;
+    // this is a local[32]-in-one-heap artifact, r15-verified at 24g).
     if (sections("bigprobe")) {
       import graft.operators.Similarity
       val vecs = spark.range(0, 1000000).select(

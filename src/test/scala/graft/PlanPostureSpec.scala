@@ -252,6 +252,44 @@ class PlanPostureSpec extends SparkSuite {
       s"ivfPqTopK's only exchange is the topk agg hand-off:\n$ivf")
   }
 
+  test("salted IVF-PQ: the salt fit scans ONLY cell_id from the encoded store") {
+    // the distributed path's skew fit is one COLUMN-PRUNED pass: a 100-TB
+    // encoded table is 8+m bytes per row, and the per-cell count must
+    // read the 8-byte cell_id column alone — a fit that dragged codes
+    // through its aggregate would double the scoring pass's IO. Persist
+    // the index like production does and assert the pruning reached the
+    // parquet read schema.
+    val emb = graft.meta.Tables.embeddings(spark, sf)
+    val cents = graft.operators.Relational.detach(
+      graft.operators.Similarity.trainCentroids(emb, 4, 1))
+    val books = graft.operators.Relational.detach(
+      graft.operators.Similarity.fitIvfPqCodebooks(
+        emb, cents, m = 8, ksub = 16, iterations = 1))
+    val dir = java.nio.file.Files.createTempDirectory("graft_saltfit").toString
+    graft.operators.Similarity.ivfPqEncode(emb, cents, books)
+      .write.mode("overwrite").parquet(dir)
+    val enc = spark.read.parquet(dir)
+      .select(col("vec_id").cast("long").as("neighbor_id"),
+        col("cell_id").cast("long").as("cell_id"), col("codes"))
+    // the fit runs as its own driver-bounded job (the salt rows collect
+    // like centroids do), so its pruning is asserted on the fit frame
+    val fitPlan = executedPlan(
+      graft.operators.Similarity.cellSaltFactors(enc, 1L, 4))
+    val fitScans = "ReadSchema: struct<[^>]*>".r.findAllIn(fitPlan).toList
+    assert(fitScans.exists(_ == "ReadSchema: struct<cell_id:bigint>"),
+      s"salt-fit scan is not pruned to cell_id alone — scans: $fitScans")
+    // and the scored join's scan still reads exactly the index columns
+    val plan = executedPlan(graft.operators.Similarity.ivfPqTopK(
+      spark.read.parquet(dir), cents, books, emb.where(col("vec_id") < 8),
+      3, nprobe = 2, broadcastProbes = false, codesPerSalt = 1, maxSalt = 4))
+    assert(plan.contains("_salt"), "forced salting did not engage")
+    val scans = "ReadSchema: struct<[^>]*>".r.findAllIn(plan).toList
+    assert(scans.exists(s => s.contains("codes") && s.contains("cell_id")),
+      s"scoring scan missing — scans: $scans")
+    graft.operators.Relational.release(cents)
+    graft.operators.Relational.release(books)
+  }
+
   test("mixtureResampleToWeights shuffles only the stratum-count fit (q107 shape)") {
     // the corpus side is a scan + broadcast rate join + filter: the ONLY
     // hash exchange anywhere is the fit's own groupBy — the property that
