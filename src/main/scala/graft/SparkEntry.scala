@@ -2905,6 +2905,32 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // Round-15's fit ladder composed end-to-end: balance-constrained
+    // coarse centroids (Zipf-hot cells split at fit time), a
+    // non-parametric OPQ rotation (parametric init + one alternating
+    // Procrustes/Lloyd round), and sample-fit residual PQ codebooks
+    // (the fitSample contract), serving ADC top-k through the salted
+    // distributed join. Rows-only like the whole Lloyd family; every
+    // stage's own contracts are pinned in DedupSimilaritySpec
+    // (balancing, MSE, orthogonality, salt identity, sample-fit band).
+    "q207_balanced_opq_ann" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val fitPred = Some(pmod(xxhash64(col("vec_id")), lit(2)) === 0)
+      val rot = Similarity.refineOpqRotation(emb,
+        Similarity.fitOpqRotation(emb, m = 8, fitSample = fitPred),
+        m = 8, ksub = 16, pqIterations = 2, rounds = 1, fitSample = fitPred)
+      val rotated = Relational.detach(Similarity.opqRotate(emb, rot))
+      val cents = Relational.detach(Similarity.trainBalancedCentroids(
+        rotated, 8, 2, maxCellFrac = 0.3, splitRounds = 2, fitSample = fitPred))
+      val books = Similarity.fitIvfPqCodebooks(rotated, cents, m = 8,
+        ksub = 16, iterations = 2, fitSample = fitPred)
+      val enc = Similarity.ivfPqEncode(rotated, cents, books)
+      Similarity.ivfPqTopK(enc, cents, books,
+          Similarity.opqRotate(emb.where(col("vec_id") < 8), rot),
+          10, nprobe = 2, broadcastProbes = false)
+        .orderBy("probe_id", "rank")
+    }),
+
     // q186's exact twin on the same fixture: whitening through the
     // fitted basis must return the identity covariance and zero mean —
     // provable algebra on a full-rank fit, so the oracle is the closed

@@ -30,7 +30,10 @@ class EntrySpec extends SparkSuite {
       "q196_unigram_lm", "q197_unigram_encode", "q201_unigram_sample",
       // OPQ = Jacobi rotation + the Lloyd-fit PQ family (same rows-only
       // category as q93/q100); contracts pinned in DedupSimilaritySpec
-      "q199_opq_ann")
+      "q199_opq_ann",
+      // the round-15 fit ladder composed (balanced centroids + refined
+      // OPQ + sample-fit IVF-PQ + salted join) — Lloyd family, rows-only
+      "q207_balanced_opq_ann")
     assert(SparkEntry.oracleSql.keySet === SparkEntry.queries.keySet -- rowsOnly)
   }
 
