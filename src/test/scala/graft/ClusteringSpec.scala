@@ -133,6 +133,24 @@ class ClusteringSpec extends SparkSuite {
       .as[Long].head() === 0L)
   }
 
+  test("rankBucket lifting equals the linear count on randomized split tables") {
+    // seeded randomized sweep over split-table sizes (including non-
+    // powers of two, where the lifting's step ladder overshoots and must
+    // clamp) and duplicate-heavy integer-valued splits (exact boundary
+    // collisions by construction)
+    val rnd = new scala.util.Random(77)
+    for (trial <- 0 until 20) {
+      val m = rnd.nextInt(40) + 1
+      val splits = Seq.fill(m)(rnd.nextInt(20).toDouble).sorted
+      val xs = Seq.fill(30)(rnd.nextInt(25).toDouble - 2.0)
+      val got = xs.toDF("x")
+        .select(Clustering.rankBucket(col("x"), splits).as("b"))
+        .as[Long].collect().toSeq
+      assert(got === xs.map(x => splits.count(s => x >= s).toLong),
+        s"trial $trial m=$m splits=$splits")
+    }
+  }
+
   test("withZKey fails loudly on a span that would overflow int64; rank map handles it") {
     // hash-valued longs: span ~ Long range, (x - mn) * 2^bits wraps
     val wide = Seq(Long.MinValue / 2, 0L, Long.MaxValue / 2).toDF("h")
