@@ -241,7 +241,12 @@ object Similarity {
     * parallelism and shuffle-shape, not for materialization). The
     * distributed join is skew-SALTED ([[saltedCellJoin]]): a Zipf-hot
     * coarse cell's scoring splits across `ceil(count_c / codesPerSalt)`
-    * buckets instead of pinning one task; output is salt-invariant. */
+    * buckets instead of pinning one task; output is salt-invariant.
+    * COST NOTE, this tier only: the corpus has no stored cell_id (unlike
+    * [[ivfPqTopK]]'s persisted index, whose salt fit is a column-pruned
+    * scan), so the fit's count aggregate re-runs the assignment kernel
+    * over the corpus — one extra narrow pass. A caller who knows the
+    * cells are balanced skips it with `codesPerSalt = Long.MaxValue`. */
   def ivfTopK(corpus: DataFrame, centroids: DataFrame, probes: DataFrame, k: Int,
               idCol: String = "vec_id", vecCol: String = "embedding",
               nprobe: Int = 1, broadcastProbes: Boolean = true,
