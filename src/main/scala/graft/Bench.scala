@@ -112,7 +112,8 @@ object Bench {
     val benchSkip: Set[String] =
       if (sys.env.get("SPARK_GRAFT_BENCH_ALL").exists(_ == "1")) Set.empty
       else Set("q45_group_topk", "q79_cc_star", "q101_binary_ann",
-        "q198_unigram_char_twin", "q202_unigram_sample_twin")
+        "q198_unigram_char_twin", "q202_unigram_sample_twin",
+        "q209_unigram_sample_occ_twin")
     // Run order is a seeded shuffle, not alphabetical: when the budget (below)
     // cuts the tail to one cold pass, an alphabetical order ALWAYS sacrifices
     // the same late-alphabet queries (round 9's driver run cold-passed

@@ -2770,6 +2770,29 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // Per-OCCURRENCE subword-regularization sampling (Kudo §4's actual
+    // per-sentence draw — q201's paper-faithful sibling): every
+    // (doc, position, word) occurrence draws from its own splitmix64
+    // stream, so one pass yields maximum segmentation diversity. Rows-
+    // only; independence/posterior/Viterbi-limit pinned in
+    // TextAnalysisSpec; q209 is the hash-matched twin.
+    "q208_unigram_sample_occ" -> ((s, dir) => {
+      TextAnalysis.unigramSampleStatsPerOccurrence(Tables.documents(s, dir),
+          "doc_id", "text", UnigramApplyVocab, alpha = 0.5, seed = 42L)
+        .orderBy("doc_id")
+    }),
+
+    // q208's exact plumbing twin (q202's argument): single-char vocab ->
+    // one lattice path per word -> the per-occurrence machinery
+    // (posexplode, forward-array join-back, occurrence-keyed walk,
+    // aggregate) is deterministic and hash-checkable in SQL.
+    "q209_unigram_sample_occ_twin" -> ((s, dir) => {
+      TextAnalysis.unigramSampleStatsPerOccurrence(Tables.documents(s, dir),
+          "doc_id", "text", UnigramApplyVocab.filter(_._1.length == 1),
+          alpha = 0.5, seed = 42L)
+        .orderBy("doc_id")
+    }),
+
     // q184's exact twin (the q198 degenerate-case trick, for SPECTRA): a
     // 256-row factorial fixture whose 4-dim covariance is EXACTLY
     // 2x2-block-diagonal with dyadic-rational entries (n = 2^8, integer
@@ -4267,6 +4290,31 @@ object SparkEntry {
         |  CASE WHEN i.range = j.range THEN 1.0 ELSE 0.0 END AS w_cov_ij
         |FROM range(0, 4) i, range(0, 4) j WHERE i.range <= j.range
         |ORDER BY i, j""".stripMargin,
+
+    // q202's oracle verbatim for the per-occurrence sampler's twin: one
+    // path per word means position-keyed draws change nothing.
+    "q209_unigram_sample_occ_twin" ->
+      """WITH v(piece, logp) AS (VALUES
+        |  ('e', -2.5), ('t', -2.6), ('a', -2.7), ('o', -2.8), ('i', -2.8),
+        |  ('n', -2.8), ('s', -2.9), ('r', -2.9), ('h', -3.0), ('l', -3.2),
+        |  ('d', -3.3), ('c', -3.5), ('u', -3.5), ('m', -3.6), ('f', -3.8),
+        |  ('p', -3.8), ('g', -3.9), ('w', -3.9), ('y', -4.0), ('b', -4.1),
+        |  ('v', -4.5), ('k', -4.7), ('x', -5.5), ('j', -5.6), ('q', -5.7),
+        |  ('z', -5.8), ('0', -5.0), ('1', -5.0), ('2', -5.0), ('3', -5.0),
+        |  ('4', -5.0), ('5', -5.0), ('6', -5.0), ('7', -5.0), ('8', -5.0),
+        |  ('9', -5.0)),
+        |w AS (SELECT doc_id, unnest(regexp_extract_all(text, '[A-Za-z0-9]+')) AS word
+        |  FROM documents),
+        |ch AS (SELECT doc_id, unnest(regexp_extract_all(word, '[A-Za-z0-9]')) AS c
+        |  FROM w),
+        |sc AS (SELECT doc_id, COALESCE(v.logp, -20.0) AS lp
+        |  FROM ch LEFT JOIN v ON ch.c = v.piece),
+        |agg AS (SELECT doc_id, count(*) AS n_pieces, round(sum(lp), 4) AS sampled_logp
+        |  FROM sc GROUP BY doc_id),
+        |wc AS (SELECT doc_id, count(*) AS n_words FROM w GROUP BY doc_id)
+        |SELECT wc.doc_id, n_words, n_pieces, sampled_logp,
+        |  round(CAST(n_pieces AS DOUBLE) / n_words, 6) AS pieces_per_word
+        |FROM wc JOIN agg USING (doc_id) ORDER BY wc.doc_id""".stripMargin,
 
     // q198's degenerate-lattice argument verbatim, for the SAMPLER: with
     // single-char arcs only there is nothing to draw, so the seeded FFBS

@@ -1994,59 +1994,133 @@ object TextAnalysis {
     val tok = docs.select(col(idCol), explode(wordTokens(col(textCol))).as("_w"))
     val wordEnc = tok.select("_w").distinct().as[String].mapPartitions { it =>
       val v = bc.value
-      val neg = Double.NegativeInfinity
       it.map { w =>
-        val n = w.length
-        def arc(j: Int, i: Int): Option[Double] =
-          v.get(w.substring(j, i)).orElse(if (i - j == 1) Some(unkLogp) else None)
-        val fwd = Array.fill(n + 1)(neg)
-        fwd(0) = 0.0
-        for (i <- 1 to n; l <- 1 to math.min(maxLen, i)) {
-          val j = i - l
-          if (fwd(j) != neg) arc(j, i).foreach { lp =>
-            fwd(i) = logAdd(fwd(i), fwd(j) + alpha * lp)
-          }
-        }
-        // backward-sample: at position i, arc (j -> i) is drawn with its
-        // exact posterior exp(fwd(j) + alpha*lp - fwd(i)); the weights sum
-        // to 1 by construction, with an fp-rounding tail guard that falls
-        // back to the last valid arc. One rng draw per step, always.
-        val rng = new Media.HashRng(w, seed)
-        var i = n
-        var np = 0L
-        var lpSum = 0.0
-        while (i > 0) {
-          val u = rng.nextDouble()
-          var cum = 0.0
-          var chosenL = -1
-          var chosenLp = 0.0
-          var l = 1
-          val lMax = math.min(maxLen, i)
-          while (l <= lMax) {
-            val j = i - l
-            if (fwd(j) != neg) arc(j, i).foreach { lp =>
-              cum += math.exp(fwd(j) + alpha * lp - fwd(i))
-              if (chosenL < 0 && u < cum) { chosenL = l; chosenLp = lp }
-            }
-            l += 1
-          }
-          if (chosenL < 0) {
-            l = lMax
-            while (chosenL < 0 && l >= 1) {
-              val j = i - l
-              if (fwd(j) != neg) arc(j, i).foreach { lp =>
-                chosenL = l; chosenLp = lp
-              }
-              l -= 1
-            }
-          }
-          np += 1; lpSum += chosenLp; i -= chosenL
-        }
-        (w, np, lpSum)
+        val fwd = ffbsForward(w, v, alpha, maxLen, unkLogp)
+        val (np, lp) = ffbsDraw(w, fwd, v, alpha, maxLen, unkLogp,
+          new Media.HashRng(w, seed))
+        (w, np, lp)
       }
     }.toDF("_w", "_np", "_lp")
     tok.join(wordEnc, Seq("_w"))
       .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_words"), sum("_np").as("n_pieces"),
+        round(sum("_lp"), 4).as("sampled_logp"))
+      .withColumn("pieces_per_word",
+        round(col("n_pieces").cast("double") / col("n_words"), 6))
+  }
+
+  /** Shared FFBS pieces for the two samplers: the alpha-scaled forward
+    * array of `w`'s segmentation lattice, and one backward draw from it.
+    * The draw is exact — arc (j -> i) leaves position i with posterior
+    * `exp(fwd(j) + alpha*lp - fwd(i))`; weights sum to 1 by construction
+    * with an fp-rounding tail guard; one rng draw per step, always. */
+  private def ffbsForward(w: String, v: Map[String, Double], alpha: Double,
+                          maxLen: Int, unkLogp: Double): Array[Double] = {
+    val neg = Double.NegativeInfinity
+    val n = w.length
+    val fwd = Array.fill(n + 1)(neg)
+    fwd(0) = 0.0
+    for (i <- 1 to n; l <- 1 to math.min(maxLen, i)) {
+      val j = i - l
+      if (fwd(j) != neg)
+        v.get(w.substring(j, i))
+          .orElse(if (l == 1) Some(unkLogp) else None)
+          .foreach(lp => fwd(i) = logAdd(fwd(i), fwd(j) + alpha * lp))
+    }
+    fwd
+  }
+
+  /** One backward sample from a [[ffbsForward]] array; returns
+    * (piece count, UNSCALED model log-likelihood of the drawn pieces). */
+  private def ffbsDraw(w: String, fwd: Array[Double], v: Map[String, Double],
+                       alpha: Double, maxLen: Int, unkLogp: Double,
+                       rng: Media.HashRng): (Long, Double) = {
+    val neg = Double.NegativeInfinity
+    var i = w.length
+    var np = 0L
+    var lpSum = 0.0
+    while (i > 0) {
+      val u = rng.nextDouble()
+      var cum = 0.0
+      var chosenL = -1
+      var chosenLp = 0.0
+      val lMax = math.min(maxLen, i)
+      var l = 1
+      while (l <= lMax) {
+        val j = i - l
+        if (fwd(j) != neg)
+          v.get(w.substring(j, i))
+            .orElse(if (l == 1) Some(unkLogp) else None)
+            .foreach { lp =>
+              cum += math.exp(fwd(j) + alpha * lp - fwd(i))
+              if (chosenL < 0 && u < cum) { chosenL = l; chosenLp = lp }
+            }
+        l += 1
+      }
+      if (chosenL < 0) {
+        l = lMax
+        while (chosenL < 0 && l >= 1) {
+          val j = i - l
+          if (fwd(j) != neg)
+            v.get(w.substring(j, i))
+              .orElse(if (l == 1) Some(unkLogp) else None)
+              .foreach { lp => chosenL = l; chosenLp = lp }
+          l -= 1
+        }
+      }
+      np += 1; lpSum += chosenLp; i -= chosenL
+    }
+    (np, lpSum)
+  }
+
+  /** Per-OCCURRENCE subword-regularization sampling — the paper-faithful
+    * variant of [[unigramSampleStats]] (Kudo 2018 §4 draws a fresh
+    * segmentation per sentence, not per word type): every (document,
+    * position, word) occurrence gets its own splitmix64 stream, so the
+    * same word segments differently across its occurrences within ONE
+    * pass — maximum segmentation diversity per epoch. Requires
+    * long-castable document ids (the occurrence key rides a typed
+    * Dataset); the generic-id callers keep [[unigramSampleStats]].
+    *
+    * Scale shape: the expensive forward DP still runs once per word TYPE
+    * (Heaps-bounded mapPartitions); the forward ARRAYS (|w|+1 doubles —
+    * narrower than the text itself) join back to occurrences exactly as
+    * the encode stats join their per-word results (AQE broadcasts the
+    * word table while small), and the per-occurrence backward walk is a
+    * cheap narrow pass: `maxLen` posterior lookups per drawn piece, no
+    * new lattice work. Output schema matches [[unigramSampleStats]]. */
+  def unigramSampleStatsPerOccurrence(docs: DataFrame, idCol: String,
+                                      textCol: String,
+                                      vocab: Seq[(String, Double)],
+                                      alpha: Double = 0.5, seed: Long = 42L,
+                                      unkLogp: Double = -20.0): DataFrame = {
+    require(vocab.nonEmpty, "unigramSampleStatsPerOccurrence needs a non-empty vocab")
+    require(vocab.forall(_._1.nonEmpty), "vocab pieces must be non-empty")
+    require(alpha > 0, s"alpha must be > 0, got $alpha")
+    require(unkLogp < 0, s"unkLogp must be negative, got $unkLogp")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val maxLen = vocab.iterator.map(_._1.length).max
+    val bc = spark.sparkContext.broadcast(vocab.toMap)
+    val tok = docs.select(col(idCol).cast("long").as("_id"),
+        posexplode(wordTokens(col(textCol))).as(Seq("_pos", "_w")))
+      .where(col("_id").isNotNull)
+    val wordFwd = tok.select("_w").distinct().as[String].mapPartitions { it =>
+      val v = bc.value
+      it.map(w => (w, ffbsForward(w, v, alpha, maxLen, unkLogp).toSeq))
+    }.toDF("_w", "_fwd")
+    val drawn = tok.join(wordFwd, Seq("_w"))
+      .select(col("_id"), col("_pos"), col("_w"), col("_fwd"))
+      .as[(Long, Int, String, Seq[Double])]
+      .mapPartitions { it =>
+        val v = bc.value
+        it.map { case (id, pos, w, fwd) =>
+          val rng = new Media.HashRng(s"$id:$pos:$w", seed)
+          val (np, lp) = ffbsDraw(w, fwd.toArray, v, alpha, maxLen, unkLogp, rng)
+          (id, np, lp)
+        }
+      }.toDF("_id", "_np", "_lp")
+    drawn.groupBy(col("_id").as(idCol))
       .agg(count(lit(1)).as("n_words"), sum("_np").as("n_pieces"),
         round(sum("_lp"), 4).as("sampled_logp"))
       .withColumn("pieces_per_word",

@@ -28,6 +28,7 @@ class EntrySpec extends SparkSuite {
       // brute-force references in TextAnalysisSpec (q198/q202 are the
       // hash-matched degenerate-lattice twins)
       "q196_unigram_lm", "q197_unigram_encode", "q201_unigram_sample",
+      "q208_unigram_sample_occ",
       // OPQ = Jacobi rotation + the Lloyd-fit PQ family (same rows-only
       // category as q93/q100); contracts pinned in DedupSimilaritySpec
       "q199_opq_ann",

@@ -948,4 +948,42 @@ class TextAnalysisSpec extends SparkSuite {
       === TextAnalysis.unigramEncodeStats(docs, "doc_id", "text", singlesOnly)
         .head().getAs[Long]("n_pieces"))
   }
+
+  test("unigramSampleStatsPerOccurrence: occurrences of one word draw independently") {
+    // ONE word type repeated 400 times in one document: the per-TYPE
+    // sampler gives every occurrence the same draw (n_pieces is exactly
+    // 400 or 800); the per-OCCURRENCE sampler draws each position from
+    // its own (id, pos, word) stream, so the one-piece fraction over 400
+    // independent draws sits in the 4-sigma band of the lattice
+    // posterior p1(alpha=1) = 1/(1 + e^-0.5) — strictly between the two
+    // per-type outcomes. Seed-deterministic, never flaky.
+    val vocab = Seq("a" -> -1.0, "b" -> -1.0, "ab" -> -1.5)
+    val docs = Seq((1L, Seq.fill(400)("ab").mkString(" "))).toDF("doc_id", "text")
+    def occ(alpha: Double, seed: Long) =
+      TextAnalysis.unigramSampleStatsPerOccurrence(docs, "doc_id", "text",
+        vocab, alpha = alpha, seed = seed).head()
+    val r = occ(1.0, 42L)
+    assert(r.getAs[Long]("n_words") === 400L)
+    val frac1 = (2.0 * 400 - r.getAs[Long]("n_pieces")) / 400
+    assert(math.abs(frac1 - 1.0 / (1.0 + math.exp(-0.5))) < 0.1,
+      s"one-piece fraction $frac1 off the lattice posterior")
+    assert(frac1 > 0.0 && frac1 < 1.0,
+      "per-occurrence draws collapsed to a single per-type outcome")
+    val typed = TextAnalysis.unigramSampleStats(docs, "doc_id", "text",
+      vocab, alpha = 1.0, seed = 42L).head().getAs[Long]("n_pieces")
+    assert(typed === 400L || typed === 800L,
+      s"per-type sampler should give one shared draw, got $typed pieces")
+    // replay-idempotent; alpha -> inf recovers Viterbi exactly
+    assert(occ(1.0, 42L).toString === r.toString)
+    val vit = TextAnalysis.unigramEncodeStats(docs, "doc_id", "text", vocab).head()
+    assert(occ(60.0, 9L).getAs[Long]("n_pieces") === vit.getAs[Long]("n_pieces"))
+    assert(occ(60.0, 9L).getAs[Double]("sampled_logp")
+      === vit.getAs[Double]("viterbi_logp"))
+    // single-char vocab: one lattice path -> seed/alpha-invariant (q209's basis)
+    val singles = vocab.filter(_._1.length == 1)
+    assert(TextAnalysis.unigramSampleStatsPerOccurrence(docs, "doc_id", "text",
+        singles, alpha = 0.3, seed = 1L).collect().map(_.toString).toSeq
+      === TextAnalysis.unigramSampleStatsPerOccurrence(docs, "doc_id", "text",
+        singles, alpha = 5.0, seed = 77L).collect().map(_.toString).toSeq)
+  }
 }
