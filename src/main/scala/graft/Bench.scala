@@ -261,22 +261,29 @@ object Bench {
     java.nio.file.Files.write(
       java.nio.file.Paths.get(s"/tmp/graft_bench_$sfName.json"),
       (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    // Also land the full per-query map IN THE REPO: the driver-side
-    // BENCH_r*.json has parsed null every round, so the authoritative
-    // per-query history otherwise lives only in /tmp and dies with the
-    // box. Round inferred from the committed BENCH_r<N>.json files;
-    // full-suite runs only (a BENCH_ONLY re-probe must not clobber it).
+    // Full-run records used to land as BENCH_SELF_r<N>.json directly in the
+    // repo, which meant EVERY run (including the driver's own per-round
+    // bench) dirtied the working tree — rounds 14 and 15 both got their
+    // committed record clobbered by a slower driver capture. The write now
+    // goes to SPARK_GRAFT_BENCH_OUT (default: a round-stamped file under
+    // /tmp); committing a record into the repo is a deliberate `cp`, never
+    // a side effect. BENCH_ONLY re-probes still skip the record write.
     if (only.isEmpty) try {
-      val repoDir = Seq(new java.io.File("."), new java.io.File("/root/repo"))
-        .find(d => new java.io.File(d, "build.sbt").isFile)
-        .getOrElse(new java.io.File("."))
-      val BenchR = "BENCH_r(\\d+)\\.json".r
-      val round = Option(repoDir.list()).map(_.toSeq).getOrElse(Seq.empty)
-        .collect { case BenchR(n) => n.toInt }
-        .foldLeft(11)(math.max) + 1
-      java.nio.file.Files.write(
-        new java.io.File(repoDir, f"BENCH_SELF_r$round%02d.json").toPath,
+      val outPath = sys.env.get("SPARK_GRAFT_BENCH_OUT").filter(_.nonEmpty)
+        .map(java.nio.file.Paths.get(_))
+        .getOrElse {
+          val repoDir = Seq(new java.io.File("."), new java.io.File("/root/repo"))
+            .find(d => new java.io.File(d, "build.sbt").isFile)
+            .getOrElse(new java.io.File("."))
+          val BenchR = "BENCH_r(\\d+)\\.json".r
+          val round = Option(repoDir.list()).map(_.toSeq).getOrElse(Seq.empty)
+            .collect { case BenchR(n) => n.toInt }
+            .foldLeft(11)(math.max) + 1
+          java.nio.file.Paths.get(f"/tmp/BENCH_SELF_r$round%02d.json")
+        }
+      java.nio.file.Files.write(outPath,
         (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      System.err.println(s"[bench] record written to $outPath")
     } catch { case e: Throwable =>
       System.err.println(s"[bench] BENCH_SELF write failed: ${e.getMessage}")
     }

@@ -2971,7 +2971,182 @@ object SparkEntry {
         .toDF("i", "j", "n", "w_mean_i", "w_cov_ij")
         .orderBy("i", "j")
     }),
+
+    // q185's exact twin (the q203/q204 trick extended): on
+    // [[diagSpectrumFixture]] the covariance is EXACTLY diagonal with
+    // distinct dyadic eigenvalues (1.25 * 4^j), so Jacobi performs ZERO
+    // rotations (every off-diagonal entry is an exact 0.0), the
+    // eigenbasis is the identity, and Mahalanobis reduces to the weighted
+    // Euclidean form DuckDB states directly: sum_j (x_j - mu_j)^2 / var_j.
+    // The full fitMeanCov -> Jacobi -> MahalanobisScore kernel chain gets
+    // a cross-engine hash gate; the general-position behavior stays
+    // pinned in DecompSpec.
+    "q211_maha_diag_twin" -> ((s, dir) => {
+      val fix = diagSpectrumFixture(s)
+      Decomp.mahalanobis(fix, "embedding", Decomp.fitPca(fix, "embedding"))
+        .select(col("vec_id"), round(col("maha2"), 4).as("maha2"))
+        .orderBy("vec_id")
+    }),
+
+    // q187's exact twin: ridge on a diagonal-covariance design has the
+    // scalar closed form beta_cj = cov(x_j, y_c) / (var_j + lambda) per
+    // coefficient, and r2 follows from the same moments — the oracle
+    // mirrors solveRidge's arithmetic OPERATION BY OPERATION (raw integer
+    // moment sums, /256 which is exact, the same accumulation order for
+    // the bb / btb quadratic forms), so the pre-rounding doubles are
+    // bit-identical, not merely close. Labels = least(f0, f1) put signal
+    // on two dims with different eigenvalues; the no-signal dims pin the
+    // exact-zero path (cov 0.0 -> beta 0.0, no ridge leakage).
+    "q212_ridge_diag_twin" -> ((s, dir) => {
+      import s.implicits._
+      val emb = diagSpectrumFixture(s)
+      val cls = least(col("vec_id") % 4, expr("(vec_id DIV 4) % 4"))
+      val oneHot = (0 until 4).map(c => when(cls === c, 1.0).otherwise(0.0))
+      val model = Decomp.fitRidgeProbes(emb, "embedding", oneHot, lambda = 1e-3)
+      (for (c <- 0 until 4; j <- 0 until 4) yield
+        (c, j, math.rint(model.weights(c)(j) * 1e6) / 1e6 + 0.0,
+          math.rint(model.r2(c) * 1e6) / 1e6 + 0.0))
+        .toDF("class", "dim", "beta", "r2")
+        .orderBy("class", "dim")
+    }),
+
+    // q188's exact twin: leave-fold-out moments by Gram ADDITIVITY
+    // (total - fold, integer sums so the subtraction is exact), then the
+    // same diagonal closed-form solve per fold. fold = top factor's high
+    // bit, so each fold-complement is STILL a product design (f3
+    // restricted to two levels, var 16 instead of 80) and the held-out
+    // covariance stays exactly diagonal — the one fixture shape where
+    // k-fold CV is closed-form in SQL. Hash-gates the per-fold Gram
+    // aggregate + moment subtraction + solve end to end.
+    "q213_ridge_cv_twin" -> ((s, dir) => {
+      import s.implicits._
+      val emb = diagSpectrumFixture(s)
+      val cls = least(col("vec_id") % 4, expr("(vec_id DIV 4) % 4"))
+      val oneHot = (0 until 4).map(c => when(cls === c, 1.0).otherwise(0.0))
+      val models = Decomp.fitRidgeProbesPerFold(emb, "embedding", oneHot,
+        expr("(vec_id DIV 128) % 2"), nFolds = 2, lambda = 1e-3)
+      (for (f <- 0 until 2; c <- 0 until 4; j <- 0 until 4) yield
+        (f, models(f).n, c, j,
+          math.rint(models(f).weights(c)(j) * 1e6) / 1e6 + 0.0,
+          math.rint(models(f).r2(c) * 1e6) / 1e6 + 0.0))
+        .toDF("fold", "n_fit", "class", "dim", "beta", "r2")
+        .orderBy("fold", "class", "dim")
+    }),
+
+    // The PRODUCTION z-order bucket map (rank buckets) at the driver's
+    // hash gate — q195 pins only the equi-width map; this pins the
+    // skew-robust path real layouts use (Clustering.withRankZKeySplits).
+    // Exact-percentile discipline: 2049 rows with cuts at p = i/8 land on
+    // positions i * 256 exactly (no interpolation), so Spark's exact
+    // `percentile` and DuckDB's `quantile_cont` return the SAME integer-
+    // valued cut points, and the rank-bucket assignment + Morton
+    // interleave are pure integer arithmetic both engines state. Column a
+    // is quadratically skewed (id^2 — equi-width would collapse it into
+    // the low buckets; rank buckets hold 256 rows each), column b a
+    // co-prime permutation (uniform).
+    "q214_rankz_gate" -> ((s, dir) => {
+      val fix = s.range(2049).select(col("id"),
+        (col("id") * col("id")).as("a"),
+        ((col("id") * 1237) % 2049).as("b"))
+      val probs = (1 to 7).map(i => i / 8.0)
+      val cuts = fix.agg(
+        expr(s"percentile(a, array(${probs.mkString(", ")}))").as("qa"),
+        expr(s"percentile(b, array(${probs.mkString(", ")}))").as("qb")).head()
+      graft.sources.Clustering.withRankZKeySplits(fix,
+          Seq("a" -> cuts.getSeq[Double](0), "b" -> cuts.getSeq[Double](1)))
+        .select(col("id"), col("_zb_a").as("zb_a"), col("_zb_b").as("zb_b"),
+          col("zkey"))
+        .orderBy("id")
+    }),
+
+    // The streaming dedup ladder's FUZZY (MinHash-LSH) rung at the driver
+    // gate — the steady-state scrub a crawl pipeline actually runs, and
+    // the last dedup tier that was unit-only. q206's two-wave retroactive-
+    // flip replay on NEAR-DUP text (not exact copies — the LSH banding and
+    // the est-Jaccard >= tau comparison both do real work): wave 1 is a
+    // re-crawl (ids +1e6, one token mutated) arriving FIRST, wave 2 the
+    // originals — so every wave-1 keeper must be retroactively flipped by
+    // a smaller-id original through the Update-mode re-emission, and the
+    // reader contract (LAST row per (bucket, id), AND over an id's
+    // buckets) must land on exactly the batch keep-first answer. The
+    // fixture ([[fuzzyScrubDocs]]) is a 24-cluster corpus whose MinHash
+    // margins make banding EXACT (q205's pigeonhole argument, pinned in
+    // EventStreamsSpec): within-cluster pairs est >= 11/16 and share >= 1
+    // of the 4 bands, cross-cluster pairs share NO band and est = 0 — so
+    // at tau = 0.5 the kept set has the closed form "min doc_id per
+    // cluster" = {4c : c < 24}, which the oracle states without computing
+    // a single MinHash.
+    "q210_fuzzy_scrub_stream" -> ((s, dir) => {
+      val root = java.nio.file.Files.createTempDirectory("graft_q210").toString
+      val in = s"$root/in"
+      new java.io.File(in).mkdirs()
+      fuzzyScrubDocs(s, recrawl = true).coalesce(1).write.parquet(s"$root/w1")
+      fuzzyScrubDocs(s, recrawl = false).coalesce(1).write.parquet(s"$root/w2")
+      for ((wave, t) <- Seq(("w1", 1000000L), ("w2", 2000000L));
+           p <- new java.io.File(s"$root/$wave").listFiles()
+           if p.getName.endsWith(".parquet")) {
+        val dst = java.nio.file.Path.of(in, s"$wave-${p.getName}")
+        java.nio.file.Files.copy(p.toPath, dst)
+        dst.toFile.setLastModified(t): Unit
+      }
+      val key = "spark.sql.streaming.stateStore.providerClass"
+      val prev = s.conf.getOption(key)
+      try {
+        s.conf.set(key,
+          "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+        val schema = s.read.parquet(in).schema
+        val q = graft.streaming.EventStreams.fuzzyDedupStream(
+            graft.streaming.EventStreams.readFileStream(s, in, schema),
+            tau = 0.5)
+          .writeStream
+          .foreachBatch { (df: DataFrame, batchId: Long) =>
+            df.withColumn("batch_id", lit(batchId))
+              .write.mode("append").parquet(s"$root/out"): Unit
+          }
+          .outputMode("update")
+          .option("checkpointLocation", s"$root/ckpt")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      } finally prev match {
+        case Some(v) => s.conf.set(key, v)
+        case None => s.conf.unset(key)
+      }
+      val w = Window.partitionBy("bucket", "doc_id").orderBy(col("batch_id").desc)
+      s.read.parquet(s"$root/out")
+        .withColumn("_rn", row_number().over(w)).where(col("_rn") === 1)
+        .groupBy("doc_id")
+        .agg(expr("bool_and(kept_in_bucket)").as("_kept"))
+        .where(col("_kept"))
+        .select(col("doc_id"))
+        .orderBy("doc_id")
+    }),
   )
+
+  /** q210 fixture: 24 near-dup clusters x 4 variants of 30-token texts.
+    * Tokens are cluster-scoped (`g8c<c>w<i>`), the variant rides token 0
+    * only (`g8c<c>v<v>` — a word-3-shingle touches exactly one window at
+    * position 0, so variants differ in ONE shingle of 28) and the re-crawl
+    * wave additionally mutates the LAST token (`g8c<c>r<v>`, one more
+    * shingle) and shifts ids +1e6. The `g8` salt is SEARCHED (sim over the
+    * exact minhash_sig arithmetic — poly-31 mod 1e9+7, 16 affine
+    * permutations, 4x4 banding) so the margins hold deterministically:
+    * within-cluster pairs (originals + re-crawls, all 28 pairs per
+    * cluster) have est-Jaccard >= 11/16 and share >= 1 band; cross-cluster
+    * pairs share no band and have est 0/16 (disjoint token sets). Salts
+    * 0-7 all fail one margin — a single shingle whose hash lands globally
+    * small wins many of the 16 affine mins and craters a pair's est; the
+    * margins are therefore PINNED in EventStreamsSpec, not assumed. */
+  private[graft] def fuzzyScrubDocs(s: SparkSession, recrawl: Boolean): DataFrame = {
+    import s.implicits._
+    val rows = for (c <- 0 until 24; v <- 0 until 4) yield {
+      val ws = Array.tabulate(30)(i => s"g8c${c}w$i")
+      ws(0) = s"g8c${c}v$v"
+      if (recrawl) ws(29) = s"g8c${c}r$v"
+      ((if (recrawl) 1000000L else 0L) + c * 4L + v, ws.mkString(" "))
+    }
+    rows.toDF("doc_id", "text")
+  }
 
   /** q203/q204 fixture: a 256-row full-factorial design (i = id mod 4
     * drives dims 0-1, j = id div 4 mod 8 drives dims 2-3, every (i, j)
@@ -2987,6 +3162,25 @@ object SparkEntry {
         expr("CAST((id % 4) * (id % 4) AS DOUBLE)"),
         expr("CAST((id DIV 4) % 8 AS DOUBLE)"),
         expr("CAST((((id DIV 4) % 8) * ((id DIV 4) % 8)) % 8 AS DOUBLE)")
+      ).as("embedding"))
+
+  /** q211/q212/q213 fixture: a 256-row full FOUR-FACTOR factorial design,
+    * dim j = ((id div 4^j) mod 4) * 2^j. The factors are independent, all
+    * moment sums are small integers (exact in double regardless of
+    * accumulation order), and n = 2^8 makes every division exact — so the
+    * population covariance is EXACTLY diagonal (cross moments cancel to
+    * +0.0) with distinct dyadic eigenvalues 1.25 * 4^j. Jacobi therefore
+    * performs zero rotations and returns the identity eigenbasis, which is
+    * what collapses Mahalanobis and the spectral ridge solve to per-dim
+    * closed forms the DuckDB oracle can mirror exactly (weighted
+    * Euclidean; beta = cov/(var + lambda)). */
+  private[graft] def diagSpectrumFixture(s: SparkSession): DataFrame =
+    s.range(256).select(col("id").as("vec_id"),
+      array(
+        expr("CAST(id % 4 AS DOUBLE)"),
+        expr("CAST(((id DIV 4) % 4) * 2 AS DOUBLE)"),
+        expr("CAST(((id DIV 16) % 4) * 4 AS DOUBLE)"),
+        expr("CAST(((id DIV 64) % 4) * 8 AS DOUBLE)")
       ).as("embedding"))
 
   /** q154/q155 corpus: the synthesized lines become conversation turns —
@@ -4280,6 +4474,180 @@ object SparkEntry {
         |WHERE doc_id = (SELECT min(d2.doc_id) FROM documents d2
         |                WHERE d2.text = documents.text)
         |ORDER BY doc_id""".stripMargin,
+
+    // Keep-first over the fuzzyScrubDocs fixture's 24 near-dup clusters:
+    // within-cluster banding is exact and cross-cluster collision-free
+    // (margins pinned in EventStreamsSpec), so after the re-crawl wave's
+    // keepers are all retroactively flipped by their smaller-id originals
+    // the kept set IS the minimal original per cluster — ids 0,4,...,92
+    // by the generator's id layout (cluster = id div 4).
+    "q210_fuzzy_scrub_stream" ->
+      "SELECT range * 4 AS doc_id FROM range(0, 24) ORDER BY doc_id",
+
+    // Diagonal covariance => Mahalanobis is the weighted Euclidean closed
+    // form. Mirrors the Spark arithmetic op for op: raw integer moment
+    // sums, /256 (exact), v = p - m*m, reciprocal-multiply (the kernel
+    // precomputes 1/lambda), and the eigen-DESC accumulation order
+    // (dims 3,2,1,0).
+    "q211_maha_diag_twin" ->
+      """WITH f AS (SELECT range AS id,
+        |    CAST(range % 4 AS DOUBLE) AS x0,
+        |    CAST(((range // 4) % 4) * 2 AS DOUBLE) AS x1,
+        |    CAST(((range // 16) % 4) * 4 AS DOUBLE) AS x2,
+        |    CAST(((range // 64) % 4) * 8 AS DOUBLE) AS x3
+        |  FROM range(0, 256)),
+        |v AS (SELECT
+        |    sum(x0)/256.0 AS m0, sum(x1)/256.0 AS m1,
+        |    sum(x2)/256.0 AS m2, sum(x3)/256.0 AS m3,
+        |    sum(x0*x0)/256.0 - (sum(x0)/256.0)*(sum(x0)/256.0) AS v0,
+        |    sum(x1*x1)/256.0 - (sum(x1)/256.0)*(sum(x1)/256.0) AS v1,
+        |    sum(x2*x2)/256.0 - (sum(x2)/256.0)*(sum(x2)/256.0) AS v2,
+        |    sum(x3*x3)/256.0 - (sum(x3)/256.0)*(sum(x3)/256.0) AS v3
+        |  FROM f)
+        |SELECT f.id AS vec_id,
+        |  round(((((x3-m3)*(x3-m3))*(1.0/v3) + ((x2-m2)*(x2-m2))*(1.0/v2))
+        |    + ((x1-m1)*(x1-m1))*(1.0/v1)) + ((x0-m0)*(x0-m0))*(1.0/v0), 4) AS maha2
+        |FROM f, v ORDER BY vec_id""".stripMargin,
+
+    // Ridge on the diagonal design: beta_cj = cov_j / (var_j + 1e-3),
+    // r2 from the same moments with solveRidge's exact accumulation
+    // order for bb (sum beta_j*cov_j ascending) and btb
+    // (sum beta_j*(var_j*beta_j) ascending) — pre-rounding doubles are
+    // bit-identical to the Spark model's.
+    "q212_ridge_diag_twin" ->
+      """WITH f AS (SELECT range AS id,
+        |    CAST(range % 4 AS DOUBLE) AS x0,
+        |    CAST(((range // 4) % 4) * 2 AS DOUBLE) AS x1,
+        |    CAST(((range // 16) % 4) * 4 AS DOUBLE) AS x2,
+        |    CAST(((range // 64) % 4) * 8 AS DOUBLE) AS x3,
+        |    least(range % 4, (range // 4) % 4) AS cls
+        |  FROM range(0, 256)),
+        |xv AS (SELECT
+        |    sum(x0)/256.0 AS m0, sum(x1)/256.0 AS m1,
+        |    sum(x2)/256.0 AS m2, sum(x3)/256.0 AS m3,
+        |    sum(x0*x0)/256.0 - (sum(x0)/256.0)*(sum(x0)/256.0) AS v0,
+        |    sum(x1*x1)/256.0 - (sum(x1)/256.0)*(sum(x1)/256.0) AS v1,
+        |    sum(x2*x2)/256.0 - (sum(x2)/256.0)*(sum(x2)/256.0) AS v2,
+        |    sum(x3*x3)/256.0 - (sum(x3)/256.0)*(sum(x3)/256.0) AS v3
+        |  FROM f),
+        |ym AS (SELECT c.range AS class,
+        |    sum(CASE WHEN f.cls = c.range THEN 1.0 ELSE 0.0 END)/256.0 AS my,
+        |    sum(x0*(CASE WHEN f.cls = c.range THEN 1.0 ELSE 0.0 END))/256.0 AS s0,
+        |    sum(x1*(CASE WHEN f.cls = c.range THEN 1.0 ELSE 0.0 END))/256.0 AS s1,
+        |    sum(x2*(CASE WHEN f.cls = c.range THEN 1.0 ELSE 0.0 END))/256.0 AS s2,
+        |    sum(x3*(CASE WHEN f.cls = c.range THEN 1.0 ELSE 0.0 END))/256.0 AS s3
+        |  FROM f, range(0, 4) c GROUP BY c.range),
+        |bet AS (SELECT class,
+        |    (s0 - m0*my) AS c0, (s1 - m1*my) AS c1,
+        |    (s2 - m2*my) AS c2, (s3 - m3*my) AS c3,
+        |    (s0 - m0*my) / (v0 + 0.001) AS b0,
+        |    (s1 - m1*my) / (v1 + 0.001) AS b1,
+        |    (s2 - m2*my) / (v2 + 0.001) AS b2,
+        |    (s3 - m3*my) / (v3 + 0.001) AS b3,
+        |    (my - my*my) AS vy, v0, v1, v2, v3
+        |  FROM ym, xv),
+        |r AS (SELECT class, b0, b1, b2, b3,
+        |    CASE WHEN vy <= 0 THEN 0.0 ELSE
+        |      1.0 - (((vy - 2.0*((((b0*c0 + b1*c1) + b2*c2) + b3*c3)))
+        |        + ((((b0*(v0*b0) + b1*(v1*b1)) + b2*(v2*b2)) + b3*(v3*b3)))) / vy)
+        |    END AS r2
+        |  FROM bet)
+        |SELECT CAST(r.class AS INTEGER) AS class, CAST(d.range AS INTEGER) AS dim,
+        |  round(CASE d.range WHEN 0 THEN b0 WHEN 1 THEN b1
+        |        WHEN 2 THEN b2 ELSE b3 END, 6) + 0.0 AS beta,
+        |  round(r2, 6) + 0.0 AS r2
+        |FROM r, range(0, 4) d ORDER BY class, dim""".stripMargin,
+
+    // Leave-fold-out moments over the complement equal Spark's
+    // total-minus-fold subtraction exactly (integer sums), /128 is
+    // exact, and each complement is still a product design — so the same
+    // closed-form solve per fold.
+    "q213_ridge_cv_twin" ->
+      """WITH f AS (SELECT range AS id,
+        |    CAST(range % 4 AS DOUBLE) AS x0,
+        |    CAST(((range // 4) % 4) * 2 AS DOUBLE) AS x1,
+        |    CAST(((range // 16) % 4) * 4 AS DOUBLE) AS x2,
+        |    CAST(((range // 64) % 4) * 8 AS DOUBLE) AS x3,
+        |    least(range % 4, (range // 4) % 4) AS cls,
+        |    (range // 128) % 2 AS fold
+        |  FROM range(0, 256)),
+        |xv AS (SELECT g.range AS fold,
+        |    sum(x0)/128.0 AS m0, sum(x1)/128.0 AS m1,
+        |    sum(x2)/128.0 AS m2, sum(x3)/128.0 AS m3,
+        |    sum(x0*x0)/128.0 - (sum(x0)/128.0)*(sum(x0)/128.0) AS v0,
+        |    sum(x1*x1)/128.0 - (sum(x1)/128.0)*(sum(x1)/128.0) AS v1,
+        |    sum(x2*x2)/128.0 - (sum(x2)/128.0)*(sum(x2)/128.0) AS v2,
+        |    sum(x3*x3)/128.0 - (sum(x3)/128.0)*(sum(x3)/128.0) AS v3
+        |  FROM range(0, 2) g, f WHERE f.fold <> g.range GROUP BY g.range),
+        |ym AS (SELECT g.range AS fold, c.range AS class,
+        |    sum(CASE WHEN f.cls = c.range THEN 1.0 ELSE 0.0 END)/128.0 AS my,
+        |    sum(x0*(CASE WHEN f.cls = c.range THEN 1.0 ELSE 0.0 END))/128.0 AS s0,
+        |    sum(x1*(CASE WHEN f.cls = c.range THEN 1.0 ELSE 0.0 END))/128.0 AS s1,
+        |    sum(x2*(CASE WHEN f.cls = c.range THEN 1.0 ELSE 0.0 END))/128.0 AS s2,
+        |    sum(x3*(CASE WHEN f.cls = c.range THEN 1.0 ELSE 0.0 END))/128.0 AS s3
+        |  FROM range(0, 2) g, range(0, 4) c, f WHERE f.fold <> g.range
+        |  GROUP BY g.range, c.range),
+        |bet AS (SELECT ym.fold, class,
+        |    (s0 - m0*my) AS c0, (s1 - m1*my) AS c1,
+        |    (s2 - m2*my) AS c2, (s3 - m3*my) AS c3,
+        |    (s0 - m0*my) / (v0 + 0.001) AS b0,
+        |    (s1 - m1*my) / (v1 + 0.001) AS b1,
+        |    (s2 - m2*my) / (v2 + 0.001) AS b2,
+        |    (s3 - m3*my) / (v3 + 0.001) AS b3,
+        |    (my - my*my) AS vy, v0, v1, v2, v3
+        |  FROM ym JOIN xv ON ym.fold = xv.fold),
+        |r AS (SELECT fold, class, b0, b1, b2, b3,
+        |    CASE WHEN vy <= 0 THEN 0.0 ELSE
+        |      1.0 - (((vy - 2.0*((((b0*c0 + b1*c1) + b2*c2) + b3*c3)))
+        |        + ((((b0*(v0*b0) + b1*(v1*b1)) + b2*(v2*b2)) + b3*(v3*b3)))) / vy)
+        |    END AS r2
+        |  FROM bet)
+        |SELECT CAST(r.fold AS INTEGER) AS fold, CAST(128 AS BIGINT) AS n_fit,
+        |  CAST(r.class AS INTEGER) AS class, CAST(d.range AS INTEGER) AS dim,
+        |  round(CASE d.range WHEN 0 THEN b0 WHEN 1 THEN b1
+        |        WHEN 2 THEN b2 ELSE b3 END, 6) + 0.0 AS beta,
+        |  round(r2, 6) + 0.0 AS r2
+        |FROM r, range(0, 4) d ORDER BY fold, class, dim""".stripMargin,
+
+    // Exact-percentile rank buckets + Morton interleave, all integer-
+    // exact: cut positions i*256 land on data points (no interpolation),
+    // so quantile_cont returns the same integer-valued cuts Spark's
+    // `percentile` fit collected, and bucket = count of cuts passed.
+    "q214_rankz_gate" ->
+      """WITH f AS (SELECT range AS id,
+        |    range * range AS a, (range * 1237) % 2049 AS b
+        |  FROM range(0, 2049)),
+        |q AS (SELECT
+        |    quantile_cont(a, 0.125) AS qa1, quantile_cont(a, 0.25) AS qa2,
+        |    quantile_cont(a, 0.375) AS qa3, quantile_cont(a, 0.5) AS qa4,
+        |    quantile_cont(a, 0.625) AS qa5, quantile_cont(a, 0.75) AS qa6,
+        |    quantile_cont(a, 0.875) AS qa7,
+        |    quantile_cont(b, 0.125) AS qb1, quantile_cont(b, 0.25) AS qb2,
+        |    quantile_cont(b, 0.375) AS qb3, quantile_cont(b, 0.5) AS qb4,
+        |    quantile_cont(b, 0.625) AS qb5, quantile_cont(b, 0.75) AS qb6,
+        |    quantile_cont(b, 0.875) AS qb7
+        |  FROM f),
+        |z AS (SELECT id,
+        |    CAST((CASE WHEN a >= qa1 THEN 1 ELSE 0 END)
+        |      + (CASE WHEN a >= qa2 THEN 1 ELSE 0 END)
+        |      + (CASE WHEN a >= qa3 THEN 1 ELSE 0 END)
+        |      + (CASE WHEN a >= qa4 THEN 1 ELSE 0 END)
+        |      + (CASE WHEN a >= qa5 THEN 1 ELSE 0 END)
+        |      + (CASE WHEN a >= qa6 THEN 1 ELSE 0 END)
+        |      + (CASE WHEN a >= qa7 THEN 1 ELSE 0 END) AS BIGINT) AS zb_a,
+        |    CAST((CASE WHEN b >= qb1 THEN 1 ELSE 0 END)
+        |      + (CASE WHEN b >= qb2 THEN 1 ELSE 0 END)
+        |      + (CASE WHEN b >= qb3 THEN 1 ELSE 0 END)
+        |      + (CASE WHEN b >= qb4 THEN 1 ELSE 0 END)
+        |      + (CASE WHEN b >= qb5 THEN 1 ELSE 0 END)
+        |      + (CASE WHEN b >= qb6 THEN 1 ELSE 0 END)
+        |      + (CASE WHEN b >= qb7 THEN 1 ELSE 0 END) AS BIGINT) AS zb_b
+        |  FROM f, q)
+        |SELECT id, zb_a, zb_b,
+        |  CAST((((zb_a >> 0) & 1) << 1) + (((zb_a >> 1) & 1) << 3)
+        |    + (((zb_a >> 2) & 1) << 5) + (((zb_b >> 0) & 1) << 0)
+        |    + (((zb_b >> 1) & 1) << 2) + (((zb_b >> 2) & 1) << 4) AS BIGINT) AS zkey
+        |FROM z ORDER BY id""".stripMargin,
 
     // Full-rank whitening returns the identity covariance and zero mean
     // by algebra — the oracle IS that closed form; the hash pins the

@@ -148,7 +148,12 @@ object Similarity {
                               maxSalt: Int): DataFrame = {
     require(codesPerSalt >= 1, s"codesPerSalt must be >= 1, got $codesPerSalt")
     require(maxSalt >= 1, s"maxSalt must be >= 1, got $maxSalt")
-    corpusSide.groupBy(col("cell_id").cast("long").as("cell_id"))
+    // null cell_id (null-embedding rows — NearestCentroid is null-in/
+    // null-out) would form a null group whose getLong(0) NPEs opaquely on
+    // the driver; the join below drops such rows anyway (equi-join null
+    // semantics, same as the unsalted path), so exclude them from the fit.
+    corpusSide.where(col("cell_id").isNotNull)
+      .groupBy(col("cell_id").cast("long").as("cell_id"))
       .agg(count(lit(1)).as("_n"))
       .select(col("cell_id"),
         least(ceil(col("_n").cast("double") / codesPerSalt),
@@ -244,9 +249,14 @@ object Similarity {
     * buckets instead of pinning one task; output is salt-invariant.
     * COST NOTE, this tier only: the corpus has no stored cell_id (unlike
     * [[ivfPqTopK]]'s persisted index, whose salt fit is a column-pruned
-    * scan), so the fit's count aggregate re-runs the assignment kernel
-    * over the corpus — one extra narrow pass. A caller who knows the
-    * cells are balanced skips it with `codesPerSalt = Long.MaxValue`. */
+    * scan), so the assigned frame is DETACHED once (eager localCheckpoint /
+    * reliable checkpoint per [[Relational.detach]]'s contract) and both the
+    * salt fit and the join read the detached blocks — ONE assignment-kernel
+    * pass, not two. The price is materializing (id, vector, cell_id) to
+    * executor storage for the query's lifetime — cheaper than a second
+    * ncentroids x dim flops pass per row, and exactly the frame the join
+    * must shuffle anyway. A caller who knows the cells are balanced skips
+    * fit AND detach with `codesPerSalt = Long.MaxValue`. */
   def ivfTopK(corpus: DataFrame, centroids: DataFrame, probes: DataFrame, k: Int,
               idCol: String = "vec_id", vecCol: String = "embedding",
               nprobe: Int = 1, broadcastProbes: Boolean = true,
@@ -254,7 +264,14 @@ object Similarity {
     val cells = assignCells(corpus, centroids, idCol, vecCol)
     val p = assignCellsMulti(probes, centroids, nprobe, idCol, vecCol)
       .select(col(idCol).as("probe_id"), col(vecCol).as("probe_vec"), col("cell_id"))
-    val c = cells.select(col(idCol).as("neighbor_id"), col(vecCol).as("cand_vec"), col("cell_id"))
+    val c0 = cells.select(col(idCol).as("neighbor_id"), col(vecCol).as("cand_vec"), col("cell_id"))
+    // detach once on the salted path so the fit's count aggregate and the
+    // join both read materialized blocks instead of each re-running the
+    // assignment kernel over the corpus (see COST NOTE above); the
+    // broadcast and escape-hatch paths run the kernel exactly once already
+    val c =
+      if (!broadcastProbes && codesPerSalt != Long.MaxValue) Relational.detach(c0)
+      else c0
     val scored =
       (if (broadcastProbes) c.join(broadcast(p), "cell_id")
        else saltedCellJoin(c, p, codesPerSalt, maxSalt))

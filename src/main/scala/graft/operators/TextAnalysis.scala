@@ -2100,6 +2100,20 @@ object TextAnalysis {
     require(unkLogp < 0, s"unkLogp must be negative, got $unkLogp")
     val spark = docs.sparkSession
     import spark.implicits._
+    // the long-castable-id requirement is a contract, not a filter: a
+    // string id that fails the cast must FAIL, not silently vanish into a
+    // partial result (the codebase's loud-validation convention). The
+    // check is schema-level — free — and catches every non-integral type
+    // up front; genuinely-null ids still drop (null key = no occurrence
+    // stream), matching unigramSampleStats.
+    docs.schema(idCol).dataType match {
+      case org.apache.spark.sql.types.ByteType | org.apache.spark.sql.types.ShortType |
+           org.apache.spark.sql.types.IntegerType | org.apache.spark.sql.types.LongType =>
+      case other => throw new IllegalArgumentException(
+        s"unigramSampleStatsPerOccurrence requires an integral $idCol " +
+          s"(the occurrence key rides a typed Dataset), got $other — " +
+          "use unigramSampleStats for generic ids")
+    }
     val maxLen = vocab.iterator.map(_._1.length).max
     val bc = spark.sparkContext.broadcast(vocab.toMap)
     val tok = docs.select(col(idCol).cast("long").as("_id"),

@@ -96,7 +96,11 @@ object Clustering {
     val stats = fitted.select(cols.flatMap { c =>
       val span = col(s"_mx_$c").cast("long") - col(s"_mn_$c").cast("long")
       Seq(
-        when(span > lit(maxSpan), raise_error(concat(
+        // span < 0 = the subtraction ITSELF wrapped (mx - mn past 2^63,
+        // e.g. full-range signed xxhash64 keys straddling ±2^62) — the
+        // exact case the guard exists for would otherwise sail through
+        // the `> maxSpan` compare with a wrapped-negative span.
+        when(span < 0 || span > lit(maxSpan), raise_error(concat(
           lit(s"withZKey: column $c span "), span.cast("string"),
           lit(s" exceeds $maxSpan at $bits bits — the bucket product would " +
             "overflow int64; use withRankZKey for wide-range keys"))))
@@ -172,15 +176,47 @@ object Clustering {
   def withRankZKey(df: DataFrame, cols: Seq[String], bits: Int,
                    relativeError: Double = 0.001): DataFrame = {
     require(cols.nonEmpty, "withRankZKey needs at least one column")
-    require(bits >= 1 && bits <= 20, s"bucket bits must be in [1, 20], got $bits")
+    // The rank path caps LOWER than equi-width's 20: each column embeds a
+    // (2^bits - 1)-element double literal into the codegen'd fold (and an
+    // approxQuantile fit of the same width) — at bits = 20 that is ~8 MB
+    // of plan PER COLUMN. bits = 12 is 4095 splits, ample for file-level
+    // pruning (files per dimension, not rows); equi-width keeps 20 because
+    // its fit is one min/max row and its plan carries two scalars.
+    require(bits >= 1 && bits <= 12,
+      s"withRankZKey: bits must be in [1, 12] (2^bits - 1 splits embed in " +
+        s"the plan as literals; got $bits — use withZKey for finer grids)")
     val nb = 1 << bits
     val probs = (1 until nb).map(_.toDouble / nb).toArray
     val splits = df.na.drop(cols)
       .stat.approxQuantile(cols.toArray, probs, relativeError)
-    cols.zip(splits).foldLeft(df) { case (acc, (c, sp)) =>
-        acc.withColumn(s"_zb_$c", rankBucket(col(c), sp.toSeq))
+    withRankZKeySplits(df, cols.zip(splits.map(_.toSeq)))
+  }
+
+  /** Rank-bucketed z-key from EXPLICIT per-column cut points — the same
+    * apply-side projection as [[withRankZKey]] with the quantile fit
+    * factored out. Two callers: a pre-fitted production layout pass
+    * (fit once on a sample, apply to the full corpus), and the
+    * cross-engine gate (exact percentile cuts both engines can state —
+    * sketch-derived quantiles are approximate, explicit splits make the
+    * bucket assignment engine-exact, q211). Splits must be ascending;
+    * every column's count must be the same 2^bits - 1 so the interleave
+    * width is uniform. */
+  def withRankZKeySplits(df: DataFrame,
+                         colSplits: Seq[(String, Seq[Double])]): DataFrame = {
+    require(colSplits.nonEmpty, "withRankZKeySplits needs at least one column")
+    val m = colSplits.head._2.length
+    require(colSplits.forall(_._2.length == m),
+      "withRankZKeySplits: all columns must carry the same split count " +
+        s"(got ${colSplits.map(_._2.length).mkString(",")})")
+    val bits = java.lang.Long.numberOfTrailingZeros((m + 1).toLong)
+    require((1L << bits) == (m + 1).toLong && bits >= 1 && bits <= 12,
+      s"withRankZKeySplits: split count must be 2^bits - 1 with bits in " +
+        s"[1, 12], got $m")
+    colSplits.foldLeft(df) { case (acc, (c, sp)) =>
+        acc.withColumn(s"_zb_$c", rankBucket(col(c), sp))
       }
-      .withColumn("zkey", zValue(cols.map(c => col(s"_zb_$c")), bits))
+      .withColumn("zkey",
+        zValue(colSplits.map { case (c, _) => col(s"_zb_$c") }, bits))
   }
 
   /** Rewrite `df` into `nFiles` parquet files clustered on the z-curve

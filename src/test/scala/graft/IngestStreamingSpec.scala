@@ -1006,6 +1006,55 @@ class IngestStreamingSpec extends SparkSuite {
     }
   }
 
+  test("q210 fixture margins: within-cluster banding exact, cross-cluster collision-free") {
+    // the q210 driver oracle states the kept set in closed form (min doc_id
+    // per cluster) WITHOUT computing a MinHash — legitimate only because
+    // these margins hold deterministically for the searched fixture, so pin
+    // them here (the q205 discipline: margin pin in the spec, closed-form
+    // oracle at the driver gate)
+    import graft.operators.Dedup
+    val union = SparkEntry.fuzzyScrubDocs(spark, recrawl = false)
+      .unionAll(SparkEntry.fuzzyScrubDocs(spark, recrawl = true))
+    val sigs = union
+      .select(col("doc_id"),
+        graft.functions.GraftFunctions.minhash_sig(col("text")).as("sig"))
+      .as[(Long, Seq[Long])].collect().sortBy(_._1)
+    assert(sigs.length === 192)
+    def cluster(id: Long): Long = (id % 1000000L) / 4L
+    def est(a: Seq[Long], b: Seq[Long]): Double =
+      a.zip(b).count { case (x, y) => x == y } / 16.0
+    def bandKeys(s: Seq[Long]): Set[Seq[Long]] =
+      (0 until 4).map(b => s.slice(b * 4, b * 4 + 4).+:(b.toLong)).toSet
+    var minWithin = 1.0
+    var withinNoBand = 0
+    var maxCross = 0.0
+    var crossBand = 0
+    for (i <- sigs.indices; j <- (i + 1) until sigs.length) {
+      val (ida, sa) = sigs(i); val (idb, sb) = sigs(j)
+      val e = est(sa, sb)
+      val share = bandKeys(sa).intersect(bandKeys(sb)).nonEmpty
+      if (cluster(ida) == cluster(idb)) {
+        minWithin = math.min(minWithin, e)
+        if (!share) withinNoBand += 1
+      } else {
+        maxCross = math.max(maxCross, e)
+        if (share) crossBand += 1
+      }
+    }
+    assert(minWithin >= 11.0 / 16.0,
+      s"within-cluster est margin broken: min $minWithin < 11/16")
+    assert(withinNoBand === 0, s"$withinNoBand within pairs share no band")
+    assert(maxCross <= 4.0 / 16.0, s"cross est margin broken: max $maxCross")
+    assert(crossBand === 0, s"$crossBand cross pairs share a band")
+    // with those margins, the batch direct-neighbor rule at tau = 0.5 keeps
+    // exactly the min id per cluster — the oracle's closed form
+    val dropped = Dedup.lshCandidatePairs(union, "doc_id", "text")
+      .where(col("est_jaccard") >= 0.5).select("id_b").as[Long].collect().toSet
+    val kept = sigs.map(_._1).toSet -- dropped
+    assert(kept === (0 until 24).map(_ * 4L).toSet,
+      s"closed-form kept set broken: $kept")
+  }
+
   test("hammingDedupStream: late smaller-id original flips the re-encode; exact-recall parity") {
     import graft.operators.Dedup
     val h1 = 0x0123456789ABCDEFL
