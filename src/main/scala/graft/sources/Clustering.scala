@@ -94,14 +94,19 @@ object Clustering {
     // not one per data row.
     val maxSpan = Long.MaxValue >> bits
     val stats = fitted.select(cols.flatMap { c =>
-      val span = col(s"_mx_$c").cast("long") - col(s"_mn_$c").cast("long")
+      // try_subtract: mx - mn can ITSELF overflow int64 (full-range signed
+      // xxhash64 keys straddling ±2^62 — the exact case this guard cites).
+      // A plain `-` either wraps negative (non-ANSI: the wrapped span would
+      // sail through the `> maxSpan` compare) or throws Spark's opaque
+      // ARITHMETIC_OVERFLOW before the guard runs (ANSI, the session
+      // default); try_subtract nulls on overflow under BOTH modes, so the
+      // null/negative branches below always reach OUR loud message.
+      val span = try_subtract(col(s"_mx_$c").cast("long"), col(s"_mn_$c").cast("long"))
       Seq(
-        // span < 0 = the subtraction ITSELF wrapped (mx - mn past 2^63,
-        // e.g. full-range signed xxhash64 keys straddling ±2^62) — the
-        // exact case the guard exists for would otherwise sail through
-        // the `> maxSpan` compare with a wrapped-negative span.
-        when(span < 0 || span > lit(maxSpan), raise_error(concat(
-          lit(s"withZKey: column $c span "), span.cast("string"),
+        when(span.isNull && col(s"_mx_$c").isNotNull ||
+            span < 0 || span > lit(maxSpan), raise_error(concat(
+          lit(s"withZKey: column $c span "),
+          coalesce(span.cast("string"), lit("(wrapped past int64)")),
           lit(s" exceeds $maxSpan at $bits bits — the bucket product would " +
             "overflow int64; use withRankZKey for wide-range keys"))))
           .otherwise(col(s"_mn_$c")).as(s"_mn_$c"),

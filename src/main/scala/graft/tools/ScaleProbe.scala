@@ -1078,6 +1078,77 @@ object ScaleProbe {
       }
     }
 
+    // Streaming state growth: the batch dedup tiers all carry measured
+    // 16x claims; this gives the streaming ladder its number. Replays the
+    // q206 two-wave shape (re-crawl wave first, originals second — every
+    // wave-1 keeper flips) through the exact rung (incrementalDedupStream:
+    // ValueState, ONE long per distinct fingerprint) and the fuzzy rung
+    // (fuzzyDedupStream: ListState of (id, 16-slot sig) per LSH bucket —
+    // the retained-droppers caveat: dropped docs stay in state, so rows
+    // grow with docs SEEN, not docs kept) at 1x and 16x on RocksDB.
+    // Reported: wall + state rows per micro-batch and the store's
+    // memory/SST footprint from the query progress.
+    if (sections("streamscale")) {
+      import graft.streaming.EventStreams
+      val key = "spark.sql.streaming.stateStore.providerClass"
+      val prev = spark.conf.getOption(key)
+      try {
+        spark.conf.set(key,
+          "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+        for (rung <- Seq("exact", "fuzzy"); mult <- Seq(1, 16)) {
+          val perWave = (if (rung == "exact") 8000L else 4000L) * mult
+          val dups = perWave * 4 / 5 // 20% in-wave dup rate
+          def wave(shift: Long) = spark.range(perWave).select(
+            (col("id") + shift).as("doc_id"),
+            (if (rung == "exact")
+              concat(lit("exact payload text for doc "), pmod(col("id"), lit(dups)))
+            else
+              concat(lit("alpha beta gamma delta epsilon zeta eta theta iota kappa tail"),
+                pmod(col("id"), lit(dups)))).as("text"))
+          val root = java.nio.file.Files
+            .createTempDirectory(s"graft_streamscale_${rung}_$mult").toString
+          val in = s"$root/in"
+          new java.io.File(in).mkdirs()
+          wave(1000000000L).coalesce(1).write.parquet(s"$root/w1")
+          wave(0L).coalesce(1).write.parquet(s"$root/w2")
+          for ((w, t) <- Seq(("w1", 1000000L), ("w2", 2000000L));
+               p <- new java.io.File(s"$root/$w").listFiles()
+               if p.getName.endsWith(".parquet")) {
+            val dst = java.nio.file.Path.of(in, s"$w-${p.getName}")
+            java.nio.file.Files.copy(p.toPath, dst)
+            dst.toFile.setLastModified(t): Unit
+          }
+          val schema = spark.read.parquet(in).schema
+          val stream = EventStreams.readFileStream(spark, in, schema)
+          val deduped =
+            if (rung == "exact") EventStreams.incrementalDedupStream(stream)
+            else EventStreams.fuzzyDedupStream(stream, tau = 0.5)
+          val q = deduped.writeStream
+            .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+              df.write.format("noop").mode("overwrite").save(): Unit
+            }
+            .outputMode("update")
+            .option("checkpointLocation", s"$root/ckpt")
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .start()
+          q.awaitTermination()
+          val ps = q.recentProgress.filter(_.numInputRows > 0)
+          val walls = ps.map(p =>
+            f"${p.durationMs.get("triggerExecution") / 1000.0}%.2f").mkString("/")
+          val rows = ps.map(_.stateOperators(0).numRowsTotal).mkString("/")
+          val last = ps.last.stateOperators(0)
+          val mem = last.memoryUsedBytes / 1048576.0
+          val sst = Option(last.customMetrics.get("rocksdbSstFileSize"))
+            .fold(-1.0)(_.toDouble / 1048576.0)
+          println(f"[probe] streamscale $rung%-5s ${mult}%2dx ${perWave * 2}%8d docs: " +
+            f"wall $walls s/batch, state rows $rows, mem $mem%.1f MiB, sst $sst%.1f MiB")
+        }
+      } finally prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+
     if (!sections("legacy")) { spark.stop(); return }
 
     time("agg decimal sums (q01 form)")(noop(

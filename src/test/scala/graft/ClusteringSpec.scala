@@ -167,4 +167,42 @@ class ClusteringSpec extends SparkSuite {
       .select("zkey").as[Long].collect()
     assert(zk.length === 3 && zk.forall(_ >= 0L))
   }
+
+  test("withZKey catches a span whose SUBTRACTION wraps (full-range longs)") {
+    // mx - mn itself overflows past 2^63 for columns straddling ±2^62 —
+    // the exact hash-valued-longs case the guard cites; a wrapped-NEGATIVE
+    // span used to sail through the `> maxSpan` compare and admit a
+    // garbage layout silently
+    val full = Seq(Long.MinValue, -1L, 0L, Long.MaxValue).toDF("h")
+    val e = intercept[Exception](
+      Clustering.withZKey(full, Seq("h"), bits = 4).collect())
+    def chain(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ chain(t.getCause)
+    assert(chain(e).exists(_.contains("overflow int64")),
+      s"unexpected chain: ${chain(e).mkString(" | ")}")
+  }
+
+  test("withRankZKeySplits matches the fitted rank path and validates its contract") {
+    val df = spark.range(1000).select(col("id"),
+      (col("id") * col("id")).as("a"), (col("id") % 7).as("b"))
+    // explicit splits = the same exact-percentile cuts the fitted path
+    // derives at relativeError ~ 0 -> identical buckets and zkey
+    val probs = (1 until 8).map(_ / 8.0).toArray
+    val fitted = Clustering.withRankZKey(df, Seq("a", "b"), bits = 3,
+      relativeError = 1e-9)
+    val cuts = df.stat.approxQuantile(Array("a", "b"), probs, 1e-9)
+    val explicit = Clustering.withRankZKeySplits(df,
+      Seq("a" -> cuts(0).toSeq, "b" -> cuts(1).toSeq))
+    assert(fitted.select("id", "zkey").except(
+      explicit.select("id", "zkey")).isEmpty)
+    // contract violations fail loudly: mismatched split counts, a count
+    // that is not 2^bits - 1, and the rank path's bits cap (plan-size:
+    // 2^bits - 1 doubles embed as literals per column)
+    intercept[IllegalArgumentException](Clustering.withRankZKeySplits(df,
+      Seq("a" -> Seq(1.0, 2.0, 3.0), "b" -> Seq(1.0))))
+    intercept[IllegalArgumentException](Clustering.withRankZKeySplits(df,
+      Seq("a" -> Seq(1.0, 2.0))))
+    intercept[IllegalArgumentException](
+      Clustering.withRankZKey(df, Seq("a"), bits = 13))
+  }
 }

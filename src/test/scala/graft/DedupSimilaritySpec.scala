@@ -1650,4 +1650,54 @@ class DedupSimilaritySpec extends SparkSuite {
     val r2 = Similarity.fitOpqRotation(emb, m = 8, fitSample = Some(pred))
     assert(r1.flatten.toSeq === r2.flatten.toSeq)
   }
+
+  test("fitSample covers the refined (non-parametric) OPQ path within the MSE band") {
+    // the sampled-vs-full discipline the parametric fit carries, extended
+    // to the alternating Procrustes + Lloyd refinement: a half-corpus
+    // refinement must stay orthogonal, replay bit-identically, and
+    // quantize the FULL corpus within a tight band of the full-fit
+    // refinement on the anisotropic fixture built to stress rotations
+    val df = anisotropicDf
+    val pred = pmod(xxhash64(col("vec_id")), lit(2)) === 0
+    val rP = Similarity.fitOpqRotation(df, m = 4, fitSample = Some(pred))
+    val rFull = Similarity.refineOpqRotation(df, rP, m = 4, ksub = 16,
+      pqIterations = 5, rounds = 2)
+    val rSamp = Similarity.refineOpqRotation(df, rP, m = 4, ksub = 16,
+      pqIterations = 5, rounds = 2, fitSample = Some(pred))
+    val mseFull = anisotropicMse(Similarity.opqRotate(df, rFull))
+    val mseSamp = anisotropicMse(Similarity.opqRotate(df, rSamp))
+    info(f"refined OPQ MSE full-fit=$mseFull%.4f sample-fit=$mseSamp%.4f " +
+      f"(ratio ${mseSamp / mseFull}%.3f)")
+    assert(mseSamp <= mseFull * 1.15,
+      f"sample-fit refinement degraded quantization: $mseSamp%.4f vs $mseFull%.4f")
+    val d = rSamp.length
+    for (i <- 0 until d; j <- 0 until d) {
+      val dot = (0 until d).map(k => rSamp(i)(k) * rSamp(j)(k)).sum
+      assert(math.abs(dot - (if (i == j) 1.0 else 0.0)) < 1e-8,
+        s"sample-fit refined rotation not orthogonal at ($i, $j): $dot")
+    }
+    val again = Similarity.refineOpqRotation(df, rP, m = 4, ksub = 16,
+      pqIterations = 5, rounds = 2, fitSample = Some(pred))
+    assert(rSamp.flatten.toSeq === again.flatten.toSeq)
+  }
+
+  test("ivfTopK distributed path tolerates null-embedding corpus rows (salt fit included)") {
+    // a null embedding gets a null cell_id from the assignment kernel
+    // (null-in/null-out); the equi-join drops it — the salt fit's
+    // driver collect must not NPE on the null group it would otherwise
+    // form (it used to getLong(0) an all-null row), and results must
+    // match the corpus with the null row pre-dropped
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select(col("vec_id"), col("embedding")).limit(200)
+    val withNull = emb.unionAll(
+      spark.range(1).select(lit(999999L).as("vec_id"),
+        lit(null).cast("array<float>").as("embedding")))
+    val cents = Similarity.trainCentroids(emb, 4, 2)
+    val probes = emb.where(col("vec_id") < 4)
+    def run(corpus: org.apache.spark.sql.DataFrame) =
+      Similarity.ivfTopK(corpus, cents, probes, 5, nprobe = 2,
+          broadcastProbes = false, codesPerSalt = 10L)
+        .orderBy("probe_id", "rank").collect().map(_.toString).toSeq
+    assert(run(withNull) === run(emb))
+  }
 }

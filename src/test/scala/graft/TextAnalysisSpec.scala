@@ -985,5 +985,12 @@ class TextAnalysisSpec extends SparkSuite {
         singles, alpha = 0.3, seed = 1L).collect().map(_.toString).toSeq
       === TextAnalysis.unigramSampleStatsPerOccurrence(docs, "doc_id", "text",
         singles, alpha = 5.0, seed = 77L).collect().map(_.toString).toSeq)
+    // loud-validation: a string id column fails up front instead of the
+    // cast silently nulling every row into a partial/empty result
+    val strDocs = Seq(("doc-x", "ab ab")).toDF("doc_id", "text")
+    val e = intercept[IllegalArgumentException](
+      TextAnalysis.unigramSampleStatsPerOccurrence(strDocs, "doc_id", "text",
+        vocab, alpha = 1.0, seed = 42L))
+    assert(e.getMessage.contains("integral"), e.getMessage)
   }
 }
