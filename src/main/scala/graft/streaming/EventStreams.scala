@@ -631,23 +631,44 @@ object EventStreams {
     * timestamps are dropped (a null here poisons the query on checkpoint
     * replay — same guard as [[funnelStream]]); an allowed-late event
     * inside the open session's gap EXTENDS its bounds in whichever
-    * direction (min start / max end), never moves them backward. */
+    * direction (min start / max end), never moves them backward.
+    *
+    * Gap arithmetic and session bounds are MICROSECOND-exact (Spark's
+    * native timestamp precision, and the batch twin's `unix_micros`
+    * arithmetic): the previous ms-truncated `Timestamp.getTime` math
+    * silently merged sessions whose true gap exceeded the horizon by
+    * under a millisecond and emitted ms-truncated bounds — visible on any
+    * real event stream (the driver's events table carries µs). The only
+    * remaining ms quantity is the timeout registration (the GroupState
+    * API takes ms); it is rounded UP so a timer can never fire before the
+    * true µs horizon (firing late never breaks batch parity — a
+    * beyond-gap event closes the session on arrival regardless). */
   def sessionizeStream(events: DataFrame, tsCol: String, userCol: String,
                        gapMinutes: Int, watermark: String = "0 seconds"): DataFrame = {
     val spark = events.sparkSession
     import spark.implicits._
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
-    val gapMs = gapMinutes * 60000L
+    val gapUs = gapMinutes * 60000000L
+    def usToTs(us: Long): java.sql.Timestamp = {
+      val t = new java.sql.Timestamp(Math.floorDiv(us, 1000000L) * 1000L)
+      t.setNanos((Math.floorMod(us, 1000000L) * 1000L).toInt)
+      t
+    }
+    def tsToUs(t: java.sql.Timestamp): Long =
+      Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
     val typed = events
       .withColumn("_ts", col(tsCol).cast("timestamp"))
       .withWatermark("_ts", watermark)
-      .select(col(userCol).cast("long").as("u"), col("_ts"))
+      // _ts stays in the operator input so the event-time attribute (and
+      // its late-row semantics) ride along; the µs field drives the math
+      .select(col(userCol).cast("long").as("u"), col("_ts"),
+        unix_micros(col("_ts")).as("us"))
       // post-cast: null keys fail the non-nullable Long upcast, null
       // timestamps NPE in the state function — both wedge the query
       .where(col("u").isNotNull && col("_ts").isNotNull)
-      .as[(Long, java.sql.Timestamp)]
+      .as[(Long, java.sql.Timestamp, Long)]
 
-    def fn(user: Long, rows: Iterator[(Long, java.sql.Timestamp)],
+    def fn(user: Long, rows: Iterator[(Long, java.sql.Timestamp, Long)],
            state: GroupState[Session]): Iterator[Session] = {
       if (rows.isEmpty && state.hasTimedOut) {
         // watermark passed the open session's gap horizon: emit + clear
@@ -655,29 +676,31 @@ object EventStreams {
         state.remove()
         return out.iterator
       }
-      val times = rows.map(_._2.getTime).toArray.sorted
+      val times = rows.map(_._3).toArray.sorted
       var closed = List.empty[Session]
       var cur = state.getOption
       times.foreach { t =>
         cur match {
-          case Some(s) if t - s.session_end.getTime <= gapMs =>
+          case Some(s) if t - tsToUs(s.session_end) <= gapUs =>
             // an allowed-late event (t before the current bounds) extends
             // the session backward, never drags session_end before
             // session_start
             cur = Some(s.copy(
-              session_start = new java.sql.Timestamp(math.min(s.session_start.getTime, t)),
-              session_end = new java.sql.Timestamp(math.max(s.session_end.getTime, t)),
+              session_start = usToTs(math.min(tsToUs(s.session_start), t)),
+              session_end = usToTs(math.max(tsToUs(s.session_end), t)),
               n_events = s.n_events + 1))
           case Some(s) =>
             closed ::= s
-            cur = Some(Session(user, new java.sql.Timestamp(t), new java.sql.Timestamp(t), 1L))
+            cur = Some(Session(user, usToTs(t), usToTs(t), 1L))
           case None =>
-            cur = Some(Session(user, new java.sql.Timestamp(t), new java.sql.Timestamp(t), 1L))
+            cur = Some(Session(user, usToTs(t), usToTs(t), 1L))
         }
       }
       cur.foreach { s =>
         state.update(s)
-        state.setTimeoutTimestamp(s.session_end.getTime + gapMs)
+        // ceil to ms: never earlier than the µs horizon (see Scaladoc)
+        state.setTimeoutTimestamp(
+          Math.floorDiv(tsToUs(s.session_end) + gapUs + 999L, 1000L))
       }
       closed.reverse.iterator
     }
