@@ -3121,7 +3121,114 @@ object SparkEntry {
         .select(col("doc_id"))
         .orderBy("doc_id")
     }),
+
+    // The streaming dedup ladder's SEMANTIC (embedding) rung at the
+    // driver gate — the last tier that was unit-only. q210's two-wave
+    // retroactive-flip replay on NEAR-DUP vectors: wave 1 is a re-crawl
+    // (ids +1e6, perturbed copies) arriving FIRST, wave 2 the originals —
+    // every wave-1 keeper must be flipped by a smaller-id original
+    // through the Update-mode re-emission, and the reader contract (LAST
+    // row per (bucket, vec_id), kept only; a vector lives in exactly ONE
+    // hyperplane bucket so no cross-bucket AND is needed) must land on
+    // the batch keep-first answer. The fixture ([[semanticScrubVecs]])
+    // makes BOTH comparisons provable: within a cluster every pair's
+    // cosine is >= 0.967 (> 0.9 = threshold) AND all 8 vectors share
+    // their hyperplane bucket (the base direction's plane dots have
+    // |dot| >= 8 while every perturbation's L1 norm is <= 6 < 8, so no
+    // sign can flip — weights are in {-1,0,1}); across clusters supports
+    // are DISJOINT so cosine is exactly 0 and a bucket collision can
+    // never drop anything. The kept set therefore has the closed form
+    // "min vec_id per cluster" = {4c : c < 24}, which the oracle states
+    // without computing a single dot product. Margins pinned in
+    // EventStreamsSpec, not assumed.
+    "q215_semantic_scrub_stream" -> ((s, dir) => {
+      val root = java.nio.file.Files.createTempDirectory("graft_q215").toString
+      val in = s"$root/in"
+      new java.io.File(in).mkdirs()
+      semanticScrubVecs(s, recrawl = true).coalesce(1).write.parquet(s"$root/w1")
+      semanticScrubVecs(s, recrawl = false).coalesce(1).write.parquet(s"$root/w2")
+      for ((wave, t) <- Seq(("w1", 1000000L), ("w2", 2000000L));
+           p <- new java.io.File(s"$root/$wave").listFiles()
+           if p.getName.endsWith(".parquet")) {
+        val dst = java.nio.file.Path.of(in, s"$wave-${p.getName}")
+        java.nio.file.Files.copy(p.toPath, dst)
+        dst.toFile.setLastModified(t): Unit
+      }
+      val key = "spark.sql.streaming.stateStore.providerClass"
+      val prev = s.conf.getOption(key)
+      try {
+        s.conf.set(key,
+          "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+        val schema = s.read.parquet(in).schema
+        val q = graft.streaming.EventStreams.semanticDedupStream(
+            graft.streaming.EventStreams.readFileStream(s, in, schema),
+            threshold = 0.9)
+          .writeStream
+          .foreachBatch { (df: DataFrame, batchId: Long) =>
+            df.withColumn("batch_id", lit(batchId))
+              .write.mode("append").parquet(s"$root/out"): Unit
+          }
+          .outputMode("update")
+          .option("checkpointLocation", s"$root/ckpt")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      } finally prev match {
+        case Some(v) => s.conf.set(key, v)
+        case None => s.conf.unset(key)
+      }
+      val w = Window.partitionBy("bucket", "vec_id").orderBy(col("batch_id").desc)
+      s.read.parquet(s"$root/out")
+        .withColumn("_rn", row_number().over(w))
+        .where(col("_rn") === 1 && col("kept"))
+        .select(col("vec_id"))
+        .orderBy("vec_id")
+    }),
+
+    // The BPE merge-table FIT behind an exact cross-engine gate — the
+    // last iterative fit that had none (q136 fits the real corpus and is
+    // rows-only; q140 twins only the APPLY side). The q198 degenerate-
+    // lattice trick applied to BPE: a five-word corpus whose pair
+    // frequencies are strictly decreasing AT EVERY ROUND (20, 15, 12, 9,
+    // 8 — two interleaved merge chains, no ties anywhere, so the
+    // tie-break never fires and the greedy argmax sequence is FORCED),
+    // which gives the merge table a closed form the oracle states as
+    // five literal rows. Exercises the full fold, not just iteration 0:
+    // merges 3 and 5 consume symbols created by merges 1 and 3.
+    // Round-by-round counts are re-derived in TextAnalysisSpec.
+    "q216_bpe_fit_twin" -> ((s, dir) => {
+      import s.implicits._
+      val words = Seq(("abcd", 8), ("abc", 4), ("ab", 8), ("efg", 9), ("ef", 6))
+      val docs = words.toDF("w", "f")
+        .select(explode(expr("transform(sequence(1, f), i -> w)")).as("text"))
+      TextAnalysis.trainBpeMerges(docs, "text", nMerges = 5)
+        .orderBy("rank")
+    }),
   )
+
+  /** q215 fixture: 24 near-dup clusters x 4 variants of 48-dim vectors.
+    * Cluster c owns dims (2c, 2c+1) — DISJOINT supports, so cross-cluster
+    * cosine is exactly 0 no matter how buckets collide. Within the
+    * cluster, variant v is base (16, 8) + (v, -v) and the re-crawl wave
+    * adds +1 on the second dim and shifts ids +1e6. Every perturbation
+    * has L1 norm <= 6 while the base direction (2, 1) has |plane dot|
+    * >= 1 on consecutive dims for EVERY hyperplane (the deterministic
+    * {-1,0,1} weights of [[graft.operators.Similarity]]'s
+    * hyperplaneBucketExpr are never simultaneously 0 on dims that differ
+    * by 1 mod 3), so the scaled base's margin of 8 beats any
+    * perturbation and all 8 cluster vectors provably share one bucket.
+    * Min within-cluster pairwise cosine is cos((19,5),(16,9)) ~= 0.9676
+    * > 0.9; both margins are pinned computationally in EventStreamsSpec. */
+  private[graft] def semanticScrubVecs(s: SparkSession, recrawl: Boolean): DataFrame = {
+    import s.implicits._
+    val rows = for (c <- 0 until 24; v <- 0 until 4) yield {
+      val vec = Array.fill(48)(0.0)
+      vec(2 * c) = 16.0 + v
+      vec(2 * c + 1) = (8.0 - v) + (if (recrawl) 1.0 else 0.0)
+      ((if (recrawl) 1000000L else 0L) + c * 4L + v, vec.toSeq)
+    }
+    rows.toDF("vec_id", "embedding")
+  }
 
   /** q210 fixture: 24 near-dup clusters x 4 variants of 30-token texts.
     * Tokens are cluster-scoped (`g8c<c>w<i>`), the variant rides token 0
@@ -4648,6 +4755,29 @@ object SparkEntry {
         |    + (((zb_a >> 2) & 1) << 5) + (((zb_b >> 0) & 1) << 0)
         |    + (((zb_b >> 1) & 1) << 2) + (((zb_b >> 2) & 1) << 4) AS BIGINT) AS zkey
         |FROM z ORDER BY id""".stripMargin,
+
+    // Keep-first over the semanticScrubVecs fixture's 24 clusters:
+    // within-cluster cosines all clear 0.9 and the 8 vectors share a
+    // hyperplane bucket (margins pinned in EventStreamsSpec); across
+    // clusters supports are disjoint so cosine is exactly 0 — after the
+    // re-crawl wave's keepers are retroactively flipped by the
+    // smaller-id originals the kept set IS the minimal original per
+    // cluster, ids 0,4,...,92 by the generator's layout.
+    "q215_semantic_scrub_stream" ->
+      "SELECT range * 4 AS vec_id FROM range(0, 24) ORDER BY vec_id",
+
+    // The forced-greedy BPE fixture: round-r pair counts are strictly
+    // decreasing (20, 15, 12, 9, 8 — re-derived round by round in
+    // TextAnalysisSpec), so Sennrich's algorithm has exactly one
+    // possible trajectory and the merge table is a literal.
+    "q216_bpe_fit_twin" ->
+      """SELECT * FROM (VALUES
+        |  (1, 'a',   'b', 'ab',   CAST(20 AS BIGINT)),
+        |  (2, 'e',   'f', 'ef',   CAST(15 AS BIGINT)),
+        |  (3, 'ab',  'c', 'abc',  CAST(12 AS BIGINT)),
+        |  (4, 'ef',  'g', 'efg',  CAST(9 AS BIGINT)),
+        |  (5, 'abc', 'd', 'abcd', CAST(8 AS BIGINT))
+        |) AS t(rank, "left", "right", merged, n) ORDER BY rank""".stripMargin,
 
     // Full-rank whitening returns the identity covariance and zero mean
     // by algebra — the oracle IS that closed form; the hash pins the

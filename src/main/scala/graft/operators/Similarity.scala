@@ -260,7 +260,21 @@ object Similarity {
   def ivfTopK(corpus: DataFrame, centroids: DataFrame, probes: DataFrame, k: Int,
               idCol: String = "vec_id", vecCol: String = "embedding",
               nprobe: Int = 1, broadcastProbes: Boolean = true,
-              codesPerSalt: Long = 8192L, maxSalt: Int = 64): DataFrame = {
+              codesPerSalt: Long = 8192L, maxSalt: Int = 64): DataFrame =
+    ivfTopKImpl(corpus, centroids, probes, k, idCol, vecCol, nprobe,
+      broadcastProbes, codesPerSalt, maxSalt, detachSalted = true)
+
+  /** [[ivfTopK]] with the salted path's detach togglable — the A/B hook
+    * ScaleProbe's `rawdetach` section uses to measure the one-assignment-
+    * pass claim (detachSalted = false re-runs the assignment kernel in
+    * both the salt fit and the join, the pre-r16 shape). Not part of the
+    * public surface; output is detach-invariant (pinned by the probe). */
+  private[graft] def ivfTopKImpl(corpus: DataFrame, centroids: DataFrame,
+              probes: DataFrame, k: Int,
+              idCol: String, vecCol: String,
+              nprobe: Int, broadcastProbes: Boolean,
+              codesPerSalt: Long, maxSalt: Int,
+              detachSalted: Boolean): DataFrame = {
     val cells = assignCells(corpus, centroids, idCol, vecCol)
     val p = assignCellsMulti(probes, centroids, nprobe, idCol, vecCol)
       .select(col(idCol).as("probe_id"), col(vecCol).as("probe_vec"), col("cell_id"))
@@ -270,7 +284,8 @@ object Similarity {
     // assignment kernel over the corpus (see COST NOTE above); the
     // broadcast and escape-hatch paths run the kernel exactly once already
     val c =
-      if (!broadcastProbes && codesPerSalt != Long.MaxValue) Relational.detach(c0)
+      if (!broadcastProbes && codesPerSalt != Long.MaxValue && detachSalted)
+        Relational.detach(c0)
       else c0
     val scored =
       (if (broadcastProbes) c.join(broadcast(p), "cell_id")

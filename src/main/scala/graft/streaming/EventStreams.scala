@@ -678,29 +678,37 @@ object EventStreams {
       }
       val times = rows.map(_._3).toArray.sorted
       var closed = List.empty[Session]
-      var cur = state.getOption
+      // the open session rides through the loop as µs longs — the restored
+      // state is converted ONCE here and a java.sql.Timestamp is only
+      // materialized when a session closes or is stored, not per event
+      var open = false
+      var startUs = 0L; var endUs = 0L; var nEvents = 0L
+      state.getOption.foreach { s =>
+        open = true
+        startUs = tsToUs(s.session_start)
+        endUs = tsToUs(s.session_end)
+        nEvents = s.n_events
+      }
       times.foreach { t =>
-        cur match {
-          case Some(s) if t - tsToUs(s.session_end) <= gapUs =>
-            // an allowed-late event (t before the current bounds) extends
-            // the session backward, never drags session_end before
-            // session_start
-            cur = Some(s.copy(
-              session_start = usToTs(math.min(tsToUs(s.session_start), t)),
-              session_end = usToTs(math.max(tsToUs(s.session_end), t)),
-              n_events = s.n_events + 1))
-          case Some(s) =>
-            closed ::= s
-            cur = Some(Session(user, usToTs(t), usToTs(t), 1L))
-          case None =>
-            cur = Some(Session(user, usToTs(t), usToTs(t), 1L))
+        if (!open) {
+          open = true; startUs = t; endUs = t; nEvents = 1L
+        } else if (t - endUs <= gapUs) {
+          // an allowed-late event (t before the current bounds) extends
+          // the session backward, never drags session_end before
+          // session_start
+          if (t < startUs) startUs = t
+          if (t > endUs) endUs = t
+          nEvents += 1L
+        } else {
+          closed ::= Session(user, usToTs(startUs), usToTs(endUs), nEvents)
+          startUs = t; endUs = t; nEvents = 1L
         }
       }
-      cur.foreach { s =>
-        state.update(s)
+      if (open) {
+        state.update(Session(user, usToTs(startUs), usToTs(endUs), nEvents))
         // ceil to ms: never earlier than the µs horizon (see Scaladoc)
         state.setTimeoutTimestamp(
-          Math.floorDiv(tsToUs(s.session_end) + gapUs + 999L, 1000L))
+          Math.floorDiv(endUs + gapUs + 999L, 1000L))
       }
       closed.reverse.iterator
     }

@@ -9,9 +9,9 @@ import org.apache.spark.sql.functions._
   * the bucketed-layout write/join cost split, and the funnel's
   * stages-cost-compute-not-shuffles claim (dev aid; measured numbers
   * land in BASELINE.md). Args select sections: `fill`, `skew`, `bucket`,
-  * `funnel`, `pq`, `bigprobe`, `zipfcell`, `zorderskew`, `spanscrub`, `fuzzydedup`, `cleanscrub`, `packbudget`, `simhashband`,
+  * `funnel`, `pq`, `bigprobe`, `zipfcell`, `rawdetach`, `zorderskew`, `spanscrub`, `fuzzydedup`, `cleanscrub`, `packbudget`, `simhashband`,
   * `wordlm`, `bloomdedup`, `winnow`, `chatshard`, `warcsrc`, `jsonlsrc`,
-  * `gram`, `zorder`, `unigram`, `legacy` (no args = all). */
+  * `gram`, `zorder`, `unigram`, `streamscale`, `streamttl`, `legacy` (no args = all). */
 object ScaleProbe {
   def main(args: Array[String]): Unit = {
     val sections: String => Boolean =
@@ -276,6 +276,52 @@ object ScaleProbe {
       taskSkew("ivf-pq Zipf cells, salted@4k")(noop(
         Similarity.ivfPqTopK(zidx, zcents, zbooks, zprobes, 10, nprobe = 1,
           broadcastProbes = false, codesPerSalt = 4096)))
+    }
+
+    // RAW-tier salted join, detach A/B (r16's ivfTopK change): the raw
+    // corpus has no stored cell_id, so without the detach BOTH the salt
+    // fit's count aggregate and the join re-run the assignment kernel
+    // (ncells x dims flops per corpus row, twice); detached, the assigned
+    // frame materializes once and both subtrees read blocks. Same
+    // Zipf-cell fixture as `zipfcell`; identity is pinned by comparing
+    // the two outputs row-for-row before timing.
+    if (sections("rawdetach")) {
+      import graft.operators.Similarity
+      val n = 200000L
+      val zvecs = spark.range(0, n).select(
+        col("id").as("vec_id"),
+        expr("transform(sequence(1, 64), d -> CAST(IF(" +
+          "d - 1 = CAST(32 * power((id * 2654435761) % 1048576 / 1048576.0, 3) AS INT), " +
+          "1.0, ((id * 40503 + d * 69069) % 1000) / 20000.0) AS DOUBLE))")
+          .as("embedding"))
+      val zPath = "/tmp/graft_probe_rawdetach"
+      time("write 200k x 64d Zipf-cell vectors")(
+        zvecs.write.mode("overwrite").parquet(zPath))
+      val zv = spark.read.parquet(zPath)
+      val zcents = spark.range(0, 32).select(
+        col("id").as("vec_id"),
+        expr("transform(sequence(1, 64), d -> CAST(IF(d - 1 = id, 1.0, 0.0) AS DOUBLE))")
+          .as("embedding"))
+      val zprobes = zv.where(col("vec_id") % 32 === 7)
+      def run(detach: Boolean) = Similarity.ivfTopKImpl(zv, zcents, zprobes,
+        10, "vec_id", "embedding", nprobe = 1, broadcastProbes = false,
+        codesPerSalt = 4096, maxSalt = 64, detachSalted = detach)
+      // identity pin: the detach must not change a single output row
+      val diff = run(true).unionAll(run(false))
+        .groupBy("probe_id", "rank", "neighbor_id")
+        .agg(count(lit(1)).as("c")).where(col("c") =!= 2).count()
+      require(diff == 0, s"rawdetach: detach changed $diff output rows")
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
+      def time2(name: String)(f: => Unit): Unit = {
+        val ts = (1 to 3).map { _ =>
+          val t0 = System.nanoTime(); f
+          spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
+          (System.nanoTime() - t0) / 1e9
+        }
+        println(f"[probe] $name%-34s ${ts.min}%.2f s (min of 3)")
+      }
+      time2("ivf raw salted, NO detach (2 passes)")(noop(run(false)))
+      time2("ivf raw salted, detached (1 pass)")(noop(run(true)))
     }
 
     if (sections("pq")) {
@@ -1142,6 +1188,81 @@ object ScaleProbe {
             .fold(-1.0)(_.toDouble / 1048576.0)
           println(f"[probe] streamscale $rung%-5s ${mult}%2dx ${perWave * 2}%8d docs: " +
             f"wall $walls s/batch, state rows $rows, mem $mem%.1f MiB, sst $sst%.1f MiB")
+        }
+      } finally prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+
+    // The fuzzy rung's opt-in TTL bound, measured (r16 priced the
+    // UNBOUNDED growth at ~300 B/doc; this measures what the TTL buys and
+    // what it costs). 8 throttled single-file waves of 6,400 all-distinct
+    // docs each (disjoint token namespaces -> est 0 across waves, so
+    // kept-set arithmetic is exact); wave 7 re-crawls wave 0's texts
+    // verbatim under +7e9 ids. Without TTL the reader's kept set is
+    // min-id-per-text = 7 x 6400 (wave 7 fully dropped); with a 4 s TTL
+    // and ~2 s between batches wave 0's buckets are long evicted by wave
+    // 7, so all 6,400 re-crawls SURVIVE — the batch-parity cost the
+    // scaladoc asserts, as a number. Per-batch state rows show the
+    // plateau vs the unbounded run's monotone growth.
+    if (sections("streamttl")) {
+      import graft.streaming.EventStreams
+      val key = "spark.sql.streaming.stateStore.providerClass"
+      val prev = spark.conf.getOption(key)
+      try {
+        spark.conf.set(key,
+          "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+        val perWave = 6400L
+        val nWaves = 8
+        for (ttl <- Seq(None, Some(java.time.Duration.ofSeconds(4)))) {
+          val root = java.nio.file.Files
+            .createTempDirectory(s"graft_streamttl_${ttl.isDefined}").toString
+          val in = s"$root/in"
+          new java.io.File(in).mkdirs()
+          for (w <- 0 until nWaves) {
+            val ns = if (w == nWaves - 1) 0 else w // last wave re-crawls wave 0
+            spark.range(perWave).select(
+                (col("id") + w * 1000000000L).as("doc_id"),
+                expr(s"concat_ws(' ', transform(sequence(1, 8), " +
+                  s"j -> concat('ns${ns}k', id, 't', j)))").as("text"))
+              .coalesce(1).write.parquet(s"$root/w$w")
+            for (p <- new java.io.File(s"$root/w$w").listFiles()
+                 if p.getName.endsWith(".parquet")) {
+              val dst = java.nio.file.Path.of(in, f"w$w%02d-${p.getName}")
+              java.nio.file.Files.copy(p.toPath, dst)
+              dst.toFile.setLastModified((w + 1) * 1000000L): Unit
+            }
+          }
+          val schema = spark.read.parquet(in).schema
+          val stream = EventStreams.readFileStream(spark, in, schema,
+            maxFilesPerTrigger = 1)
+          val q = EventStreams.fuzzyDedupStream(stream, tau = 0.5, ttl = ttl)
+            .writeStream
+            .foreachBatch { (df: org.apache.spark.sql.DataFrame, bid: Long) =>
+              df.withColumn("batch_id", lit(bid))
+                .write.mode("append").parquet(s"$root/out")
+              Thread.sleep(1500) // space processing time so the TTL can act
+            }
+            .outputMode("update")
+            .option("checkpointLocation", s"$root/ckpt")
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .start()
+          q.awaitTermination()
+          val ps = q.recentProgress.filter(_.numInputRows > 0)
+          val rows = ps.map(_.stateOperators(0).numRowsTotal).mkString("/")
+          val mem = ps.last.stateOperators(0).memoryUsedBytes / 1048576.0
+          val w = org.apache.spark.sql.expressions.Window
+            .partitionBy("bucket", "doc_id").orderBy(col("batch_id").desc)
+          val kept = spark.read.parquet(s"$root/out")
+            .withColumn("_rn", row_number().over(w)).where(col("_rn") === 1)
+            .groupBy("doc_id")
+            .agg(expr("bool_and(kept_in_bucket)").as("_k"))
+            .where(col("_k")).count()
+          println(f"[probe] streamttl ttl=${ttl.fold("none")(_.getSeconds + "s")}%-5s " +
+            f"${perWave * nWaves}%6d docs: kept $kept%6d " +
+            f"(batch parity ${perWave * (nWaves - 1)}), state rows $rows, " +
+            f"mem $mem%.1f MiB")
         }
       } finally prev match {
         case Some(v) => spark.conf.set(key, v)

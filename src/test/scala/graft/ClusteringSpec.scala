@@ -182,6 +182,35 @@ class ClusteringSpec extends SparkSuite {
       s"unexpected chain: ${chain(e).mkString(" | ")}")
   }
 
+  test("withZKey span guard fires OUR message under BOTH ANSI modes") {
+    // spark.sql.ansi.enabled flips raw long arithmetic between silent
+    // wraparound (false) and an opaque ARITHMETIC_OVERFLOW throw (true,
+    // the Spark 4 default). The try_subtract-based guard must reach its
+    // loud message either way. Repo-wide audit (r17): the z-order
+    // equi-width path is the ONLY place an unbounded user-supplied int64
+    // enters -/* in Catalyst — every other arithmetic site operates on
+    // bounded quantities (ranks, positions, counts, string lengths,
+    // percentiles) and full-range keys otherwise only meet pmod/xxhash64/
+    // bitwise ops, which cannot overflow.
+    val full = Seq(Long.MinValue, -1L, 0L, Long.MaxValue).toDF("h")
+    def chain(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ chain(t.getCause)
+    val key = "spark.sql.ansi.enabled"
+    val prev = spark.conf.getOption(key)
+    try {
+      for (mode <- Seq("true", "false")) {
+        spark.conf.set(key, mode)
+        val e = intercept[Exception](
+          Clustering.withZKey(full, Seq("h"), bits = 4).collect())
+        assert(chain(e).exists(_.contains("overflow int64")),
+          s"ansi=$mode: guard did not fire first: ${chain(e).mkString(" | ")}")
+      }
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   test("withRankZKeySplits matches the fitted rank path and validates its contract") {
     val df = spark.range(1000).select(col("id"),
       (col("id") * col("id")).as("a"), (col("id") % 7).as("b"))

@@ -757,6 +757,50 @@ class IngestStreamingSpec extends SparkSuite {
     got.foreach { case (_, s, e, n) => assert(s <= e && n >= 1) }
   }
 
+  test("sessionizer gap math and emitted bounds are µs-exact") {
+    val root = Files.createTempDirectory("graft_sess_us").toString
+    val dir = s"$root/in"
+    new java.io.File(dir).mkdirs()
+    def write(f: String, mtime: Long, rows: (Long, String)*): Unit = {
+      rows.toSeq.toDF("user_id", "ts_s")
+        .withColumn("ts", col("ts_s").cast("timestamp")).drop("ts_s")
+        .coalesce(1).write.parquet(s"$root/$f")
+      for (p <- new java.io.File(s"$root/$f").listFiles() if p.getName.endsWith(".parquet")) {
+        val dst = java.nio.file.Path.of(dir, s"$f-${p.getName}")
+        Files.copy(p.toPath, dst)
+        dst.toFile.setLastModified(mtime)
+      }
+    }
+    // user 7's second event is 30min + 500µs after the first: the true gap
+    // exceeds the horizon by HALF A MILLISECOND, so the µs math MUST split
+    // (ms-truncated getTime arithmetic sees exactly 30min and merges); the
+    // third event is exactly 30min after the second (gap == horizon, <=
+    // keeps it) so the open session's bounds both carry the 500µs tail.
+    // f2 advances the watermark past user 7's horizon; f3 triggers one
+    // more batch so the event-time timer actually fires and emits.
+    write("f1", 1000000L,
+      7L -> "2024-01-01 00:00:00",
+      7L -> "2024-01-01 00:30:00.0005",
+      7L -> "2024-01-01 01:00:00.0005")
+    write("f2", 2000000L, 9L -> "2024-01-01 06:00:00")
+    write("f3", 3000000L, 9L -> "2024-01-01 07:00:00")
+    val schema = spark.read.parquet(dir).schema
+    val stream = EventStreams.readFileStream(spark, dir, schema, maxFilesPerTrigger = 1)
+    EventStreams.drainToMemory(
+      EventStreams.sessionizeStream(stream, "ts", "user_id", gapMinutes = 30),
+      "us_sessions", outputMode = "append")
+    val got = spark.table("us_sessions")
+      .select(col("user_id"), col("session_start").cast("string"),
+        col("session_end").cast("string"), col("n_events"))
+      .as[(Long, String, String, Long)].collect().filter(_._1 == 7L)
+      .sortBy(_._2)
+    assert(got.contains((7L, "2024-01-01 00:00:00", "2024-01-01 00:00:00", 1L)),
+      s"sub-ms gap overflow did not split the session: ${got.mkString(", ")}")
+    assert(got.contains((7L, "2024-01-01 00:30:00.0005", "2024-01-01 01:00:00.0005", 2L)),
+      s"emitted bounds lost µs precision (or the exact-gap event split): ${got.mkString(", ")}")
+    assert(got.length === 2, s"expected exactly 2 sessions: ${got.mkString(", ")}")
+  }
+
   test("stream-static join enriches micro-batches against a broadcast dim (§2.11)") {
     val (dir, schema) = writeEventsParquet()
     val dim = Seq(("click", "interactive"), ("view", "passive")).toDF("event_type", "kind")
@@ -1051,6 +1095,52 @@ class IngestStreamingSpec extends SparkSuite {
     val dropped = Dedup.lshCandidatePairs(union, "doc_id", "text")
       .where(col("est_jaccard") >= 0.5).select("id_b").as[Long].collect().toSet
     val kept = sigs.map(_._1).toSet -- dropped
+    assert(kept === (0 until 24).map(_ * 4L).toSet,
+      s"closed-form kept set broken: $kept")
+  }
+
+  test("q215 fixture margins: within-cluster one bucket + cosine > 0.9, cross-cluster cosine 0") {
+    // the q215 driver oracle states the kept set in closed form (min vec_id
+    // per cluster) without computing a dot product — legitimate only
+    // because these margins hold for the constructed fixture, so pin them
+    // with the ENGINE's own kernels (the same hyperplaneBucketExpr the
+    // stream buckets with, the same CosineSimilarity the batch twin joins
+    // on)
+    import graft.operators.Similarity
+    val union = SparkEntry.semanticScrubVecs(spark, recrawl = false)
+      .unionAll(SparkEntry.semanticScrubVecs(spark, recrawl = true))
+    val rows = union
+      .select(col("vec_id"),
+        Similarity.hyperplaneBucketExpr("embedding", 8).as("bucket"),
+        col("embedding"))
+      .as[(Long, Long, Seq[Double])].collect().sortBy(_._1)
+    assert(rows.length === 192)
+    def cluster(id: Long): Long = (id % 1000000L) / 4L
+    def cos(a: Seq[Double], b: Seq[Double]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    // every cluster's 8 vectors (4 originals + 4 re-crawls) share ONE bucket
+    rows.groupBy(r => cluster(r._1)).foreach { case (c, xs) =>
+      assert(xs.map(_._2).distinct.length === 1,
+        s"cluster $c split across buckets ${xs.map(r => (r._1, r._2)).toSeq}")
+    }
+    var minWithin = 1.0
+    var maxCross = 0.0
+    for (i <- rows.indices; j <- (i + 1) until rows.length) {
+      val (ida, _, va) = rows(i); val (idb, _, vb) = rows(j)
+      val e = cos(va, vb)
+      if (cluster(ida) == cluster(idb)) minWithin = math.min(minWithin, e)
+      else maxCross = math.max(maxCross, e)
+    }
+    assert(minWithin > 0.9, s"within-cluster cosine margin broken: $minWithin")
+    assert(maxCross === 0.0, s"cross-cluster cosine not exactly 0: $maxCross")
+    // with those margins the batch SemDeDup keep-first at 0.9 keeps exactly
+    // the min id per cluster — the oracle's closed form — and by the
+    // stream/batch parity pinned above that IS q215's answer
+    val kept = Similarity.semanticDedup(union, threshold = 0.9)
+      .select("vec_id").as[Long].collect().toSet
     assert(kept === (0 until 24).map(_ * 4L).toSet,
       s"closed-form kept set broken: $kept")
   }

@@ -259,6 +259,43 @@ class TextAnalysisSpec extends SparkSuite {
       TextAnalysis.trainBpeMerges(docs, "text", nMerges = 0))
   }
 
+  test("q216 fixture: greedy merge trajectory is FORCED (unique argmax every round)") {
+    import graft.operators.TextAnalysis
+    // the q216 driver oracle states the merge table as five literal rows —
+    // legitimate only because the fixture's round-r pair counts have a
+    // strictly unique maximum at EVERY round (the tie-break never fires).
+    // Re-derive the counts with an independent in-memory simulation of
+    // Sennrich's algorithm and pin both the uniqueness margin and the
+    // trajectory; then check the engine lands on it.
+    val words = Seq(("abcd", 8L), ("abc", 4L), ("ab", 8L), ("efg", 9L), ("ef", 6L))
+    var vocab = words.map { case (w, f) => (w.split("").toList, f) }
+    val expect = Seq(("a", "b", 20L), ("e", "f", 15L), ("ab", "c", 12L),
+      ("ef", "g", 9L), ("abc", "d", 8L))
+    for (((ea, eb, en), r) <- expect.zipWithIndex) {
+      val counts = vocab.flatMap { case (syms, f) =>
+        syms.zip(syms.tail).map(p => (p, f))
+      }.groupBy(_._1).map { case (p, xs) => (p, xs.map(_._2).sum) }
+      val sorted = counts.toSeq.sortBy(-_._2)
+      assert(sorted.head._1 === ((ea, eb)) && sorted.head._2 === en,
+        s"round ${r + 1}: expected ($ea,$eb,$en), counts $sorted")
+      assert(sorted.length < 2 || sorted(1)._2 < en,
+        s"round ${r + 1} has a tie at $en: $sorted")
+      def fold(syms: List[String]): List[String] = syms match {
+        case a :: b :: rest if a == ea && b == eb => (ea + eb) :: fold(rest)
+        case x :: rest => x :: fold(rest)
+        case Nil => Nil
+      }
+      vocab = vocab.map { case (syms, f) => (fold(syms), f) }
+    }
+    // and the engine walks exactly that trajectory
+    val docs = words.toDF("w", "f")
+      .select(explode(expr("transform(sequence(1, CAST(f AS INT)), i -> w)")).as("text"))
+    val got = TextAnalysis.trainBpeMerges(docs, "text", nMerges = 5)
+      .orderBy("rank").as[(Int, String, String, String, Long)].collect()
+    assert(got === expect.zipWithIndex.map { case ((a, b, n), i) =>
+      (i + 1, a, b, a + b, n) }.toArray)
+  }
+
   test("trainBpeMerges fitSample: deterministic sample fit agrees with the full fit") {
     import graft.operators.TextAnalysis
     // the Faiss-style contract: the tokenizer is model state fit on a
