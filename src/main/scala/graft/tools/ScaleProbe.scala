@@ -322,6 +322,29 @@ object ScaleProbe {
       }
       time2("ivf raw salted, NO detach (2 passes)")(noop(run(false)))
       time2("ivf raw salted, detached (1 pass)")(noop(run(true)))
+      // the detach trade scales with ncells (the re-run kernel is
+      // ncells x dims flops/row; the materialization is ncells-invariant)
+      // — measure the 256-cell/1M-vector shape too, where a second
+      // assignment pass costs 8x the 32-cell fixture's
+      val bvecs = spark.range(0, 1000000).select(
+        col("id").as("vec_id"),
+        expr("transform(sequence(1, 64), d -> " +
+          "CAST((id * 2654435761 + d * 40503) % 104729 AS DOUBLE) / 104729.0 - 0.5)")
+          .as("embedding"))
+      val bPath = "/tmp/graft_probe_rawdetach_big"
+      time("write 1M x 64d vectors")(
+        bvecs.write.mode("overwrite").parquet(bPath))
+      val bv = spark.read.parquet(bPath)
+      val bcents = Similarity.trainCentroids(
+        bv.where(col("vec_id") % 100 === 0), k = 256, iterations = 3)
+      bcents.persist().count()
+      val bprobes = bv.where(col("vec_id") % 100 === 7)
+      def runBig(detach: Boolean) = Similarity.ivfTopKImpl(bv, bcents, bprobes,
+        10, "vec_id", "embedding", nprobe = 8, broadcastProbes = false,
+        codesPerSalt = 8192, maxSalt = 64, detachSalted = detach)
+      time2("ivf raw 256c/1M, NO detach")(noop(runBig(false)))
+      time2("ivf raw 256c/1M, detached")(noop(runBig(true)))
+      bcents.unpersist()
     }
 
     if (sections("pq")) {
@@ -1237,17 +1260,33 @@ object ScaleProbe {
           val schema = spark.read.parquet(in).schema
           val stream = EventStreams.readFileStream(spark, in, schema,
             maxFilesPerTrigger = 1)
+          // TTL forces processing-time mode, and under it AvailableNow
+          // never terminates (state-maintenance triggers keep firing on
+          // empty batches) — drive as a long-lived stream, poll until all
+          // 8 wave files have produced a non-empty batch, stop explicitly
+          // (the funnelStream TTL test's discipline)
+          val wavesSeen = new java.util.concurrent.atomic.AtomicInteger(0)
           val q = EventStreams.fuzzyDedupStream(stream, tau = 0.5, ttl = ttl)
             .writeStream
             .foreachBatch { (df: org.apache.spark.sql.DataFrame, bid: Long) =>
-              df.withColumn("batch_id", lit(bid))
-                .write.mode("append").parquet(s"$root/out")
-              Thread.sleep(1500) // space processing time so the TTL can act
+              df.persist()
+              if (df.count() > 0) {
+                df.withColumn("batch_id", lit(bid))
+                  .write.mode("append").parquet(s"$root/out")
+                wavesSeen.incrementAndGet()
+                Thread.sleep(1500) // space processing time so the TTL can act
+              }
+              df.unpersist(): Unit
             }
             .outputMode("update")
             .option("checkpointLocation", s"$root/ckpt")
-            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
             .start()
+          val deadline = System.nanoTime() + 600L * 1000 * 1000 * 1000
+          while (wavesSeen.get < nWaves && System.nanoTime() < deadline)
+            Thread.sleep(500)
+          require(wavesSeen.get >= nWaves,
+            s"streamttl: only ${wavesSeen.get} of $nWaves waves processed")
+          q.stop()
           q.awaitTermination()
           val ps = q.recentProgress.filter(_.numInputRows > 0)
           val rows = ps.map(_.stateOperators(0).numRowsTotal).mkString("/")
