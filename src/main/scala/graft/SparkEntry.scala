@@ -3204,6 +3204,71 @@ object SparkEntry {
       TextAnalysis.trainBpeMerges(docs, "text", nMerges = 5)
         .orderBy("rank")
     }),
+
+    // The streaming SESSIONIZER at the driver gate — the last stateful
+    // streaming operator that was unit-only. The whole events table
+    // replays as one micro-batch, then two sentinel waves (a user id no
+    // real event carries, filtered from the result) advance the
+    // watermark past every open session's horizon and give the
+    // event-time timers a batch to fire in — so EVERY real session is
+    // emitted, observed-gap closes and timer closes both. The oracle is
+    // the batch gaps-and-islands closed form (q20's arithmetic): session
+    // membership depends only on each user's sorted event times, so the
+    // stream's per-batch sort and the window's (ts, event_id) order
+    // agree on every (user, start, end, n) row — including µs-exact
+    // bounds (the r17 µs fix is ON this path). Emitted session bounds
+    // are cast back to TIMESTAMP_NTZ for DuckDB parity (UTC session).
+    "q217_sessionize_stream" -> ((s, dir) => {
+      val ev = Tables.events(s, dir).select(col("user_id"), col("ts"))
+      val maxUs = ev.agg(max(unix_micros(col("ts").cast("timestamp"))))
+        .head().getLong(0)
+      val sentinel = 9999999999L
+      val root = java.nio.file.Files.createTempDirectory("graft_q217").toString
+      val in = s"$root/in"
+      new java.io.File(in).mkdirs()
+      ev.coalesce(1).write.parquet(s"$root/w1")
+      for ((w, off) <- Seq(("w2", 3600000000L), ("w3", 7200000000L)))
+        s.range(1).select(lit(sentinel).as("user_id"),
+            expr(s"CAST(timestamp_micros(${maxUs + off}) AS TIMESTAMP_NTZ)").as("ts"))
+          .coalesce(1).write.parquet(s"$root/$w")
+      for ((wave, t) <- Seq(("w1", 1000000L), ("w2", 2000000L), ("w3", 3000000L));
+           p <- new java.io.File(s"$root/$wave").listFiles()
+           if p.getName.endsWith(".parquet")) {
+        val dst = java.nio.file.Path.of(in, s"$wave-${p.getName}")
+        java.nio.file.Files.copy(p.toPath, dst)
+        dst.toFile.setLastModified(t): Unit
+      }
+      val key = "spark.sql.streaming.stateStore.providerClass"
+      val prev = s.conf.getOption(key)
+      try {
+        s.conf.set(key,
+          "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+        val schema = s.read.parquet(in).schema
+        val q = graft.streaming.EventStreams.sessionizeStream(
+            graft.streaming.EventStreams.readFileStream(s, in, schema,
+              maxFilesPerTrigger = 1),
+            "ts", "user_id", gapMinutes = 30)
+          .writeStream
+          .foreachBatch { (df: DataFrame, batchId: Long) =>
+            df.write.mode("append").parquet(s"$root/out"): Unit
+          }
+          .outputMode("append")
+          .option("checkpointLocation", s"$root/ckpt")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      } finally prev match {
+        case Some(v) => s.conf.set(key, v)
+        case None => s.conf.unset(key)
+      }
+      s.read.parquet(s"$root/out")
+        .where(col("user_id") =!= sentinel)
+        .select(col("user_id"),
+          col("session_start").cast("timestamp_ntz").as("session_start"),
+          col("session_end").cast("timestamp_ntz").as("session_end"),
+          col("n_events"))
+        .orderBy("user_id", "session_start")
+    }),
   )
 
   /** q215 fixture: 24 near-dup clusters x 4 variants of 48-dim vectors.
@@ -4778,6 +4843,24 @@ object SparkEntry {
         |  (4, 'ef',  'g', 'efg',  CAST(9 AS BIGINT)),
         |  (5, 'abc', 'd', 'abcd', CAST(8 AS BIGINT))
         |) AS t(rank, "left", "right", merged, n) ORDER BY rank""".stripMargin,
+
+    // q20's gaps-and-islands arithmetic regrouped to (user, start, end,
+    // n): session membership is a function of each user's SORTED event
+    // times alone (equal-ts ties can shuffle which row carries the break
+    // flag, never which session a row lands in), so this closed form is
+    // exactly what the streaming sessionizer must emit once the sentinel
+    // waves have closed every real session.
+    "q217_sessionize_stream" ->
+      """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
+        |  epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events),
+        |g AS (SELECT *, CASE WHEN lag(us) OVER w IS NULL
+        |  OR us - lag(us) OVER w > 1800000000 THEN 1 ELSE 0 END AS brk
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        |s AS (SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid FROM g)
+        |SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,
+        |  count(*) AS n_events
+        |FROM s GROUP BY user_id, sid ORDER BY user_id, session_start""".stripMargin,
 
     // Full-rank whitening returns the identity covariance and zero mean
     // by algebra — the oracle IS that closed form; the hash pins the
