@@ -3211,7 +3211,13 @@ object SparkEntry {
     // real event carries, filtered from the result) advance the
     // watermark past every open session's horizon and give the
     // event-time timers a batch to fire in — so EVERY real session is
-    // emitted, observed-gap closes and timer closes both. The oracle is
+    // emitted, observed-gap closes and timer closes both. Cost note: the
+    // ~6s in-suite wall is three RocksDB trigger rounds (~2s fixed cost
+    // each, the q206/q210/q215 class x1.5) — the third trigger is not
+    // trimmable because event-time timers fire one batch AFTER the
+    // watermark passes them, and exercising that timer path end-to-end
+    // is this gate's point (the unit tests cover it; no driver gate
+    // did). The oracle is
     // the batch gaps-and-islands closed form (q20's arithmetic): session
     // membership depends only on each user's sorted event times, so the
     // stream's per-batch sort and the window's (ts, event_id) order
@@ -3219,7 +3225,11 @@ object SparkEntry {
     // bounds (the r17 µs fix is ON this path). Emitted session bounds
     // are cast back to TIMESTAMP_NTZ for DuckDB parity (UTC session).
     "q217_sessionize_stream" -> ((s, dir) => {
+      // deterministic 1-in-5 user subset: the gate's strength is per-user
+      // session arithmetic, which does not grow with more users — the
+      // subset keeps the replay in the streaming class's 2-3s cost band
       val ev = Tables.events(s, dir).select(col("user_id"), col("ts"))
+        .where(col("user_id") % 5 === 0)
       val maxUs = ev.agg(max(unix_micros(col("ts").cast("timestamp"))))
         .head().getLong(0)
       val sentinel = 9999999999L
@@ -4852,7 +4862,8 @@ object SparkEntry {
     // waves have closed every real session.
     "q217_sessionize_stream" ->
       """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
-        |  epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events),
+        |  epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events
+        |  WHERE user_id % 5 = 0),
         |g AS (SELECT *, CASE WHEN lag(us) OVER w IS NULL
         |  OR us - lag(us) OVER w > 1800000000 THEN 1 ELSE 0 END AS brk
         |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
