@@ -3230,8 +3230,10 @@ object SparkEntry {
       // subset keeps the replay in the streaming class's 2-3s cost band
       val ev = Tables.events(s, dir).select(col("user_id"), col("ts"))
         .where(col("user_id") % 5 === 0)
-      val maxUs = ev.agg(max(unix_micros(col("ts").cast("timestamp"))))
-        .head().getLong(0)
+      val maxRow = ev.agg(max(unix_micros(col("ts").cast("timestamp")))).head()
+      require(!maxRow.isNullAt(0),
+        s"q217: no events with user_id % 5 = 0 under $dir — cannot place sentinel waves")
+      val maxUs = maxRow.getLong(0)
       val sentinel = 9999999999L
       val root = java.nio.file.Files.createTempDirectory("graft_q217").toString
       val in = s"$root/in"
