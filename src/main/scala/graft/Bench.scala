@@ -211,15 +211,34 @@ object Bench {
       }
       name -> (if (best.isInfinity) -1.0 else best)
     }
-    // Record-aware re-probe: every query whose min exceeded 2x its
-    // all-rounds record (RECORDS.json) gets ONE extra pass here — AFTER the
-    // whole suite, i.e. NON-consecutive with its first two. Consecutive
-    // passes share a contention window (min-of-2 can't see it); a pass
-    // minutes later usually lands outside it, so a transient spike heals in
-    // this run's own numbers instead of contaminating the round record.
     val firstPass = scala.collection.mutable.LinkedHashMap(results: _*)
+    // Era normalization: the r16/r17 box ran a UNIFORM ~1.3-1.35x over the
+    // r15-era records with END sentinels in band — the sentinel (a trivial
+    // scheduling-bound query) does not move with the drift that inflates
+    // the whole suite, so a fixed 2x-record threshold re-flagged the same
+    // ~23-query sub-second tail every run and a real regression would have
+    // hidden inside the noise. The run's own median value/record ratio IS
+    // the box's era factor (uniform drift moves the median; a genuine
+    // single-plan regression cannot), so the flag threshold scales by it:
+    // flagged now means "worse than this box explains", not "worse than
+    // the best box ever seen". Floored at 1.0 (a faster-than-record box
+    // never tightens the bar) and only trusted with >= 20 record-bearing
+    // queries in the run (BENCH_ONLY re-probes keep the raw 2x bar).
+    val eraRatio: Double = {
+      val ratios = results.collect {
+        case (n, v) if v > 0 && records.get(n).exists(_ > 0) => v / records(n)
+      }.sorted
+      if (ratios.size < 20) 1.0 else math.max(1.0, ratios(ratios.size / 2))
+    }
+    // Record-aware re-probe: every query whose min exceeded 2x its era-
+    // scaled record (RECORDS.json x eraRatio) gets ONE extra pass here —
+    // AFTER the whole suite, i.e. NON-consecutive with its first two.
+    // Consecutive passes share a contention window (min-of-2 can't see
+    // it); a pass minutes later usually lands outside it, so a transient
+    // spike heals in this run's own numbers instead of contaminating the
+    // round record.
     val toReprobe = results.collect {
-      case (n, v) if v > 0 && records.get(n).exists(r => v > 2 * r) => n
+      case (n, v) if v > 0 && records.get(n).exists(r => v > 2 * eraRatio * r) => n
     }
     for (name <- toReprobe
          if (System.nanoTime() - benchStart) / 1e9 < budgetSec * 1.2) {
@@ -228,11 +247,13 @@ object Bench {
       spark.sparkContext.getPersistentRDDs.foreach(_._2.unpersist(blocking = true))
       if (again < firstPass(name)) firstPass(name) = again
     }
-    // Still >2x record after the spaced re-probe = a real regression OR a
-    // contended box for this query's whole run — either way flagged in the
-    // emitted line so the driver's record carries its own health bit.
+    // Still >2x the era-scaled record after the spaced re-probe = a real
+    // regression OR a contended box for this query's whole run — either
+    // way flagged in the emitted line so the driver's record carries its
+    // own health bit. The reported ratio stays RAW (v/record) so the line
+    // is comparable across eras; the threshold alone is era-scaled.
     val flagged = firstPass.collect {
-      case (n, v) if v > 0 && records.get(n).exists(r => v > 2 * r) =>
+      case (n, v) if v > 0 && records.get(n).exists(r => v > 2 * eraRatio * r) =>
         n -> (v / records(n))
     }
     val sentinelEnd = sentinelOnce() min sentinelOnce()
@@ -253,6 +274,7 @@ object Bench {
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
         s""""sentinel_start":${fmt(sentinelStart, 3)},"sentinel_end":${fmt(sentinelEnd, 3)},""" +
+        s""""era_ratio":${fmt(eraRatio, 2)},""" +
         s""""contended":$contended,"flagged":$flaggedJson,"sf":"$sfDir"}"""
     // Land the line in a file first: the driver's stdout-tail capture
     // truncated round 6's record (BENCH_r06 parsed: null, q01-q16 lost) —

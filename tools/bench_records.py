@@ -68,6 +68,25 @@ def round_maps():
             for r, qs in rounds.items()}
 
 
+# Box-placement eras, adjudicated by full-suite discriminator runs (same
+# code, different rounds' boxes). `records` stays the ALL-TIME floor; a
+# run on a slower-era box is judged by graft.Bench's era_ratio (the run's
+# own median value/record ratio), not by re-deriving floors here.
+ERAS = {
+    "r15_idle_record": {
+        "rounds": "r12-r15",
+        "status": "closed (r18 discriminator: r15 record commit 05b3a90 on "
+                  "the r18 box read 146.9s/203q = 1.31x its own 111.8s "
+                  "record, median 1.287, uniform; environment proven)",
+    },
+    "r16_plus_box": {
+        "rounds": "r16-",
+        "status": "active; ~1.3x the r15-era box -- full-run flags are "
+                  "normalized by the run's era_ratio in graft.Bench",
+    },
+}
+
+
 def build():
     rounds = round_maps()
     history = {}
@@ -77,6 +96,7 @@ def build():
     records = {q: min(h.values()) for q, h in history.items()}
     latest = max(int(r[1:].rstrip("pf")) for r in rounds)
     out = {"generated_round": latest,
+           "eras": ERAS,
            "records": dict(sorted(records.items())),
            "history": {q: dict(sorted(h.items()))
                        for q, h in sorted(history.items())}}
