@@ -3160,8 +3160,13 @@ object SparkEntry {
         s.conf.set(key,
           "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
         val schema = s.read.parquet(in).schema
+        // maxFilesPerTrigger = 1 is what makes this a TWO-batch replay —
+        // the retroactive flip being gated needs wave 2 in a later
+        // micro-batch than wave 1. Pinned explicitly (like q217) rather
+        // than inherited from readFileStream's default.
         val q = graft.streaming.EventStreams.semanticDedupStream(
-            graft.streaming.EventStreams.readFileStream(s, in, schema),
+            graft.streaming.EventStreams.readFileStream(s, in, schema,
+              maxFilesPerTrigger = 1),
             threshold = 0.9)
           .writeStream
           .foreachBatch { (df: DataFrame, batchId: Long) =>
@@ -3280,6 +3285,38 @@ object SparkEntry {
           col("session_end").cast("timestamp_ntz").as("session_end"),
           col("n_events"))
         .orderBy("user_id", "session_start")
+    }),
+
+    // q173's FULL-BRACKET twin (q193 gates only the floor bit): on a
+    // three-class fixture the keep verdict is pure id arithmetic. Class
+    // %3=0 is the repeated template phrase (period-44 repetition, any
+    // zlib level emits back-references -> ratio ~0.042, 2.4x under the
+    // 0.1 floor); class %3=1 is Murmur3-driven printable-ASCII noise
+    // (94-char alphabet = 6.55 bits/char entropy, patternless to
+    // DEFLATE's LZ77+Huffman -> ratio ~0.85, above the 0.75 ceiling);
+    // class %3=2 keeps the real document text, restricted to
+    // n_chars >= 300 where this corpus's prose sits in [0.39, 0.51] —
+    // ~3x above the floor and ~1.5x under the ceiling (shorter docs
+    // drift toward 0.75 as the fixed DEFLATE block overhead dominates:
+    // the sub-100-char tail reaches 0.91). The floor margin is PROVABLE
+    // for any compressor that emits matches; the ceiling margin is
+    // entropy-capped (no printable-text class can exceed ~0.85 before
+    // zlib's stored-block fallback caps the ratio near 1.0 only for
+    // BINARY payloads) and therefore measured, not provable — EntrySpec
+    // pins all three class brackets and documents why no fixture can
+    // prove the ceiling across zlib versions.
+    "q218_compression_bracket_twin" -> ((s, dir) => {
+      val seeded = Tables.documents(s, dir).where(col("n_chars") >= 300)
+        .select(col("doc_id"),
+          when(col("doc_id") % 3 === 0,
+            expr("repeat('all work and no play makes jack a dull boy ', 30)"))
+          .when(col("doc_id") % 3 === 1,
+            expr("array_join(transform(sequence(1, 1200), " +
+              "j -> chr(33 + pmod(hash(doc_id, j), 94))), '')"))
+          .otherwise(col("text")).as("text"))
+      TextAnalysis.compressionQuality(seeded, "doc_id", "text")
+        .select(col("doc_id"), col("keep"))
+        .orderBy("doc_id")
     }),
   )
 
@@ -4874,6 +4911,16 @@ object SparkEntry {
         |SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,
         |  count(*) AS n_events
         |FROM s GROUP BY user_id, sid ORDER BY user_id, session_start""".stripMargin,
+
+    // The bracket verdict on the three-class fixture is id arithmetic:
+    // only the untouched real-text class (%3=2, prose >= 1000 chars)
+    // lands inside [0.1, 0.75] — the template class compresses ~20x
+    // below the floor and the printable-ASCII noise class is entropy-
+    // bound above the ceiling. Margins measured + documented in
+    // EntrySpec; the oracle never deflates anything.
+    "q218_compression_bracket_twin" ->
+      """SELECT doc_id, doc_id % 3 = 2 AS keep
+        |FROM documents WHERE n_chars >= 300 ORDER BY doc_id""".stripMargin,
 
     // Full-rank whitening returns the identity covariance and zero mean
     // by algebra — the oracle IS that closed form; the hash pins the
