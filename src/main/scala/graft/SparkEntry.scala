@@ -3324,13 +3324,15 @@ object SparkEntry {
     * Cluster c owns dims (2c, 2c+1) — DISJOINT supports, so cross-cluster
     * cosine is exactly 0 no matter how buckets collide. Within the
     * cluster, variant v is base (16, 8) + (v, -v) and the re-crawl wave
-    * adds +1 on the second dim and shifts ids +1e6. Every perturbation
-    * has L1 norm <= 6 while the base direction (2, 1) has |plane dot|
-    * >= 1 on consecutive dims for EVERY hyperplane (the deterministic
-    * {-1,0,1} weights of [[graft.operators.Similarity]]'s
-    * hyperplaneBucketExpr are never simultaneously 0 on dims that differ
-    * by 1 mod 3), so the scaled base's margin of 8 beats any
-    * perturbation and all 8 cluster vectors provably share one bucket.
+    * adds +1 on the second dim and shifts ids +1e6. The shared-bucket
+    * proof holds for ANY {-1,0,1} plane weights (w1, w2) on the two owned
+    * dims — the only assumption [[graft.operators.Similarity]]'s
+    * hyperplaneBucketExpr guarantees: a member's plane dot is
+    * 16*w1 + 8*w2 + v*(w1 - w2) + r*w2 with v in 0..3, r in {0,1}, so the
+    * perturbation term is at most |3*2| + 1 = 7 in magnitude while the
+    * base term is either 0 (only when w1 = w2 = 0, where every member's
+    * dot is EXACTLY 0 and the bit agrees) or at least 8 — the sign never
+    * flips and all 8 cluster vectors provably share one bucket.
     * Min within-cluster pairwise cosine is cos((19,5),(16,9)) ~= 0.9676
     * > 0.9; both margins are pinned computationally in EventStreamsSpec. */
   private[graft] def semanticScrubVecs(s: SparkSession, recrawl: Boolean): DataFrame = {
@@ -4101,7 +4103,7 @@ object SparkEntry {
     "q37_lsh_cosine" -> {
       val dot = (p: Int) =>
         s"list_dot_product(CAST(embedding AS DOUBLE[]), " +
-          s"list_transform(range(1, len(embedding) + 1), d -> CAST((d * 31 + $p * 17) % 3 - 1 AS DOUBLE)))"
+          s"list_transform(range(1, len(embedding) + 1), d -> CAST((d * 131 + $p + 7) * (d * 137 + $p * 149 + 11) % 1009 % 3 - 1 AS DOUBLE)))"
       val bits = (0 until 8)
         .map(p => s"CASE WHEN ${dot(p)} >= 0 THEN CAST(${1L << p} AS BIGINT) ELSE CAST(0 AS BIGINT) END")
         .mkString(" + ")
@@ -5148,7 +5150,7 @@ object SparkEntry {
       // strictly > threshold, keep-first on vec_id).
       val dot = (p: Int) =>
         s"list_dot_product(CAST(embedding AS DOUBLE[]), " +
-          s"list_transform(range(1, len(embedding) + 1), d -> CAST((d * 31 + $p * 17) % 3 - 1 AS DOUBLE)))"
+          s"list_transform(range(1, len(embedding) + 1), d -> CAST((d * 131 + $p + 7) * (d * 137 + $p * 149 + 11) % 1009 % 3 - 1 AS DOUBLE)))"
       val bits = (0 until 8)
         .map(p => s"CASE WHEN ${dot(p)} >= 0 THEN CAST(${1L << p} AS BIGINT) ELSE CAST(0 AS BIGINT) END")
         .mkString(" + ")

@@ -649,8 +649,11 @@ object Similarity {
     * cosine theta is (1 - theta/pi)^nPlanes.
     *
     * Planes are generated from the deterministic integer pattern
-    * `((dim*31 + plane*17) mod 3) - 1` — arithmetic reproducible in any
-    * engine (the DuckDB oracle rebuilds the same planes), unlike an RNG.
+    * `((dim*131 + plane + 7) * (dim*137 + plane*149 + 11) mod 1009 mod 3) - 1`
+    * — arithmetic reproducible in any engine (the DuckDB oracle rebuilds
+    * the same planes), unlike an RNG. The product-of-two-linear-forms
+    * shape is load-bearing: see [[hyperplaneBucketExpr]] for why a single
+    * linear form mod 3 degenerates to 3 distinct planes.
     * At 100 TB this is the shuffle-free candidate generator: one pass to
     * bucket, then a groupBy on (bucket) whose shuffle carries ids only. */
   def hyperplaneBuckets(corpus: DataFrame, nPlanes: Int = 8,
@@ -661,9 +664,25 @@ object Similarity {
     * need the bucket alongside other columns without a join (also the
     * streaming dedup's pre-shuffle key). */
   private[graft] def hyperplaneBucketExpr(vecCol: String, nPlanes: Int): org.apache.spark.sql.Column = {
+    // Plane weights are {-1,0,1} drawn from the PRODUCT of two independent
+    // linear forms in (d, p), reduced mod a prime then mod 3. The previous
+    // weights ((d*31 + p*17) % 3 - 1) were a single linear form, and any
+    // linear form mod 3 has PERIOD 3 IN p — planes p, p+3, p+6 were
+    // identical, so 8 "planes" carried 3 independent bits and the whole
+    // corpus collapsed into <= 8 buckets (6 measured on an isotropic 64k
+    // fixture). The quadratic product has no such period: the mod-1009
+    // reduction (1009 ≡ 1 mod 3) decouples the final mod 3 from (d, p)
+    // mod 3, and a 48-dim isotropic corpus measurably spreads over ~250
+    // of the 256 8-plane buckets. Weights stay in {-1,0,1} because the
+    // bucketing proofs downstream (q215's shared-bucket pigeonhole) only
+    // assume that bound, and the DuckDB oracles restate the same integer
+    // arithmetic verbatim (SparkEntry q37/q94).
     val dot = (p: Int) =>
       s"aggregate(zip_with($vecCol, transform(sequence(1, size($vecCol)), " +
-        s"d -> CAST((d * 31 + $p * 17) % 3 - 1 AS DOUBLE)), " +
+        // CAST to BIGINT before the product: sequence() yields int32 and
+        // the two-form product exceeds 2^31 past ~250 dims (DuckDB's
+        // range() is already BIGINT, so the oracle needs no cast)
+        s"d -> CAST((CAST(d AS BIGINT) * 131 + $p + 7) * (CAST(d AS BIGINT) * 137 + $p * 149 + 11) % 1009 % 3 - 1 AS DOUBLE)), " +
         s"(x, y) -> CAST(x AS DOUBLE) * y), 0D, (acc, v) -> acc + v)"
     val bits = (0 until nPlanes)
       .map(p => s"IF(${dot(p)} >= 0D, CAST(${1L << p} AS BIGINT), CAST(0 AS BIGINT))")

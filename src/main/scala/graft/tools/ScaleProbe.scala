@@ -312,10 +312,16 @@ object ScaleProbe {
         .agg(count(lit(1)).as("c")).where(col("c") =!= 2).count()
       require(diff == 0, s"rawdetach: detach changed $diff output rows")
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
-      def time2(name: String)(f: => Unit): Unit = {
+      // The unpersist sweep (which clears the detach's own intra-run cache
+      // between iterations so every pass is cold) runs BEFORE the timer and
+      // `prime` re-establishes any fixture cache it swept away — otherwise
+      // only the first iteration of the first variant reads cached
+      // centroids and the A/B is biased against whichever runs later.
+      def time2(name: String, prime: () => Unit = () => ())(f: => Unit): Unit = {
         val ts = (1 to 3).map { _ =>
-          val t0 = System.nanoTime(); f
           spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
+          prime()
+          val t0 = System.nanoTime(); f
           (System.nanoTime() - t0) / 1e9
         }
         println(f"[probe] $name%-34s ${ts.min}%.2f s (min of 3)")
@@ -342,8 +348,11 @@ object ScaleProbe {
       def runBig(detach: Boolean) = Similarity.ivfTopKImpl(bv, bcents, bprobes,
         10, "vec_id", "embedding", nprobe = 8, broadcastProbes = false,
         codesPerSalt = 8192, maxSalt = 64, detachSalted = detach)
-      time2("ivf raw 256c/1M, NO detach")(noop(runBig(false)))
-      time2("ivf raw 256c/1M, detached")(noop(runBig(true)))
+      // both variants must time against CACHED centroids every iteration —
+      // the sweep inside time2 unpersists bcents, so re-prime it per pass
+      val primeCents = () => { bcents.persist().count(): Unit }
+      time2("ivf raw 256c/1M, NO detach", primeCents)(noop(runBig(false)))
+      time2("ivf raw 256c/1M, detached", primeCents)(noop(runBig(true)))
       bcents.unpersist()
     }
 
@@ -1151,12 +1160,17 @@ object ScaleProbe {
     // 16x claims; this gives the streaming ladder its number. Replays the
     // q206 two-wave shape (re-crawl wave first, originals second — every
     // wave-1 keeper flips) through the exact rung (incrementalDedupStream:
-    // ValueState, ONE long per distinct fingerprint) and the fuzzy rung
+    // ValueState, ONE long per distinct fingerprint), the fuzzy rung
     // (fuzzyDedupStream: ListState of (id, 16-slot sig) per LSH bucket —
     // the retained-droppers caveat: dropped docs stay in state, so rows
-    // grow with docs SEEN, not docs kept) at 1x and 16x on RocksDB.
-    // Reported: wall + state rows per micro-batch and the store's
-    // memory/SST footprint from the query progress.
+    // grow with docs SEEN, not docs kept), and the semantic rung
+    // (semanticDedupStream: ListState of (id, FULL 48-dim vector) per
+    // hyperplane bucket — the ladder's heaviest per-doc state) at 1x and
+    // 16x on RocksDB, then the sessionizer (ONE open Session per active
+    // user + an event-time timer: rows should track ACTIVE USERS, not
+    // events, and B/user stay flat at 16x). Reported: wall + state rows
+    // per micro-batch and the store's memory/SST footprint from the query
+    // progress.
     if (sections("streamscale")) {
       import graft.streaming.EventStreams
       val key = "spark.sql.streaming.stateStore.providerClass"
@@ -1164,16 +1178,33 @@ object ScaleProbe {
       try {
         spark.conf.set(key,
           "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-        for (rung <- Seq("exact", "fuzzy"); mult <- Seq(1, 16)) {
-          val perWave = (if (rung == "exact") 8000L else 4000L) * mult
+        for (rung <- Seq("exact", "fuzzy", "semantic"); mult <- Seq(1, 16)) {
+          val perWave = (rung match {
+            case "exact" => 8000L
+            case "fuzzy" => 4000L
+            case _ => 2000L // semantic: heaviest per-doc state AND an
+                            // O(bucket^2) re-emit recurrence per batch
+          }) * mult
           val dups = perWave * 4 / 5 // 20% in-wave dup rate
-          def wave(shift: Long) = spark.range(perWave).select(
-            (col("id") + shift).as("doc_id"),
-            (if (rung == "exact")
-              concat(lit("exact payload text for doc "), pmod(col("id"), lit(dups)))
-            else
+          val payload = rung match {
+            case "exact" =>
+              concat(lit("exact payload text for doc "),
+                pmod(col("id"), lit(dups))).as("text")
+            case "fuzzy" =>
               concat(lit("alpha beta gamma delta epsilon zeta eta theta iota kappa tail"),
-                pmod(col("id"), lit(dups)))).as("text"))
+                pmod(col("id"), lit(dups))).as("text")
+            case _ =>
+              // dup docs share the exact vector (cos = 1 > 0.9); distinct
+              // xxhash64-mixed 48-dim vectors are isotropic (a linear ramp
+              // in d collapses every vector onto a handful of hyperplane
+              // sign patterns — 6 of 256 buckets measured — which is not
+              // the production spread the probe prices), no RNG
+              expr(s"transform(sequence(1, 48), d -> " +
+                s"CAST(pmod(xxhash64(pmod(id, ${dups}L), d), 10007) " +
+                s"/ 10007.0 - 0.5 AS DOUBLE))").as("embedding")
+          }
+          def wave(shift: Long) = spark.range(perWave).select(
+            (col("id") + shift).as("doc_id"), payload)
           val root = java.nio.file.Files
             .createTempDirectory(s"graft_streamscale_${rung}_$mult").toString
           val in = s"$root/in"
@@ -1189,9 +1220,12 @@ object ScaleProbe {
           }
           val schema = spark.read.parquet(in).schema
           val stream = EventStreams.readFileStream(spark, in, schema)
-          val deduped =
-            if (rung == "exact") EventStreams.incrementalDedupStream(stream)
-            else EventStreams.fuzzyDedupStream(stream, tau = 0.5)
+          val deduped = rung match {
+            case "exact" => EventStreams.incrementalDedupStream(stream)
+            case "fuzzy" => EventStreams.fuzzyDedupStream(stream, tau = 0.5)
+            case _ => EventStreams.semanticDedupStream(stream, threshold = 0.9,
+              nPlanes = 8, idCol = "doc_id", vecCol = "embedding")
+          }
           val q = deduped.writeStream
             .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
               df.write.format("noop").mode("overwrite").save(): Unit
@@ -1207,10 +1241,67 @@ object ScaleProbe {
           val rows = ps.map(_.stateOperators(0).numRowsTotal).mkString("/")
           val last = ps.last.stateOperators(0)
           val mem = last.memoryUsedBytes / 1048576.0
-          val sst = Option(last.customMetrics.get("rocksdbSstFileSize"))
-            .fold(-1.0)(_.toDouble / 1048576.0)
-          println(f"[probe] streamscale $rung%-5s ${mult}%2dx ${perWave * 2}%8d docs: " +
-            f"wall $walls s/batch, state rows $rows, mem $mem%.1f MiB, sst $sst%.1f MiB")
+          val sstBytes = Option(last.customMetrics.get("rocksdbSstFileSize"))
+            .fold(-1.0)(_.toDouble)
+          // memoryUsedBytes reads memtable/block-cache and UNDER-reports
+          // list-heavy state once flushed; the SST footprint is the durable
+          // number, so B/doc is priced off whichever is larger
+          val bPerDoc = math.max(last.memoryUsedBytes.toDouble, sstBytes) /
+            math.max(1.0, (perWave * 2).toDouble)
+          println(f"[probe] streamscale $rung%-8s ${mult}%2dx ${perWave * 2}%8d docs: " +
+            f"wall $walls s/batch, state rows $rows, mem $mem%.1f MiB, " +
+            f"sst ${sstBytes / 1048576.0}%.1f MiB ($bPerDoc%.0f B/doc)")
+        }
+        // Sessionizer: two event waves per user, the second inside every
+        // open session's 30-min gap horizon, so NO session closes and the
+        // final state-rows metric IS the active-user count. 8 events/user/
+        // wave at 1-min spacing; wave 2 starts 11 min after wave 1 ends.
+        for (mult <- Seq(1, 16)) {
+          val users = 500L * mult
+          val perWave = users * 8
+          def wave(waveIdx: Int) = spark.range(perWave).select(
+            pmod(col("id"), lit(users)).as("user_id"),
+            timestamp_micros(lit(waveIdx * 18L * 60000000L) +
+              (col("id") / lit(users)).cast("long") * 60000000L).as("event_time"))
+          val root = java.nio.file.Files
+            .createTempDirectory(s"graft_streamscale_sess_$mult").toString
+          val in = s"$root/in"
+          new java.io.File(in).mkdirs()
+          wave(0).coalesce(1).write.parquet(s"$root/w1")
+          wave(1).coalesce(1).write.parquet(s"$root/w2")
+          for ((w, t) <- Seq(("w1", 1000000L), ("w2", 2000000L));
+               p <- new java.io.File(s"$root/$w").listFiles()
+               if p.getName.endsWith(".parquet")) {
+            val dst = java.nio.file.Path.of(in, s"$w-${p.getName}")
+            java.nio.file.Files.copy(p.toPath, dst)
+            dst.toFile.setLastModified(t): Unit
+          }
+          val schema = spark.read.parquet(in).schema
+          val stream = EventStreams.readFileStream(spark, in, schema)
+          val q = EventStreams
+            .sessionizeStream(stream, "event_time", "user_id", gapMinutes = 30)
+            .writeStream
+            .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+              df.write.format("noop").mode("overwrite").save(): Unit
+            }
+            .outputMode("append")
+            .option("checkpointLocation", s"$root/ckpt")
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .start()
+          q.awaitTermination()
+          val ps = q.recentProgress.filter(_.numInputRows > 0)
+          val walls = ps.map(p =>
+            f"${p.durationMs.get("triggerExecution") / 1000.0}%.2f").mkString("/")
+          val rows = ps.map(_.stateOperators(0).numRowsTotal).mkString("/")
+          val last = ps.last.stateOperators(0)
+          val mem = last.memoryUsedBytes / 1048576.0
+          val sstBytes = Option(last.customMetrics.get("rocksdbSstFileSize"))
+            .fold(-1.0)(_.toDouble)
+          val bPerUser = math.max(last.memoryUsedBytes.toDouble, sstBytes) /
+            math.max(1.0, users.toDouble)
+          println(f"[probe] streamscale session ${mult}%2dx $users%6d users / ${perWave * 2}%8d events: " +
+            f"wall $walls s/batch, state rows $rows, mem $mem%.1f MiB, " +
+            f"sst ${sstBytes / 1048576.0}%.1f MiB ($bPerUser%.0f B/user)")
         }
       } finally prev match {
         case Some(v) => spark.conf.set(key, v)
@@ -1266,6 +1357,22 @@ object ScaleProbe {
           // 8 wave files have produced a non-empty batch, stop explicitly
           // (the funnelStream TTL test's discipline)
           val wavesSeen = new java.util.concurrent.atomic.AtomicInteger(0)
+          // recentProgress is a BOUNDED ring (default 100 entries) and the
+          // TTL's processing-time mode keeps firing empty state-maintenance
+          // batches that can evict the early non-empty ones on a slow box —
+          // capture every non-empty progress in a listener instead
+          val seenProgress = new java.util.concurrent.ConcurrentLinkedQueue[
+            org.apache.spark.sql.streaming.StreamingQueryProgress]()
+          val listener = new org.apache.spark.sql.streaming.StreamingQueryListener {
+            override def onQueryStarted(
+                e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryStartedEvent): Unit = ()
+            override def onQueryProgress(
+                e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryProgressEvent): Unit =
+              if (e.progress.numInputRows > 0) { seenProgress.add(e.progress): Unit }
+            override def onQueryTerminated(
+                e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryTerminatedEvent): Unit = ()
+          }
+          spark.streams.addListener(listener)
           val q = EventStreams.fuzzyDedupStream(stream, tau = 0.5, ttl = ttl)
             .writeStream
             .foreachBatch { (df: org.apache.spark.sql.DataFrame, bid: Long) =>
@@ -1281,14 +1388,30 @@ object ScaleProbe {
             .outputMode("update")
             .option("checkpointLocation", s"$root/ckpt")
             .start()
-          val deadline = System.nanoTime() + 600L * 1000 * 1000 * 1000
-          while (wavesSeen.get < nWaves && System.nanoTime() < deadline)
-            Thread.sleep(500)
-          require(wavesSeen.get >= nWaves,
-            s"streamttl: only ${wavesSeen.get} of $nWaves waves processed")
-          q.stop()
-          q.awaitTermination()
-          val ps = q.recentProgress.filter(_.numInputRows > 0)
+          // stop() MUST run even when the deadline require throws, or the
+          // RocksDB-backed stream keeps writing through JVM teardown and
+          // masks the timeout with executor noise
+          try {
+            val deadline = System.nanoTime() + 600L * 1000 * 1000 * 1000
+            while (wavesSeen.get < nWaves && System.nanoTime() < deadline)
+              Thread.sleep(500)
+            require(wavesSeen.get >= nWaves,
+              s"streamttl: only ${wavesSeen.get} of $nWaves waves processed")
+          } finally {
+            q.stop()
+            q.awaitTermination()
+            // the listener bus is async: give the non-empty progress events
+            // up to 30 s to drain before detaching
+            val drain = System.nanoTime() + 30L * 1000 * 1000 * 1000
+            while (seenProgress.size < wavesSeen.get && System.nanoTime() < drain)
+              Thread.sleep(200)
+            spark.streams.removeListener(listener)
+          }
+          val qid = q.id
+          val ps = seenProgress.toArray(
+            Array.empty[org.apache.spark.sql.streaming.StreamingQueryProgress])
+            .filter(p => p.id == qid && p.numInputRows > 0)
+            .sortBy(_.batchId)
           val rows = ps.map(_.stateOperators(0).numRowsTotal).mkString("/")
           val mem = ps.last.stateOperators(0).memoryUsedBytes / 1048576.0
           val w = org.apache.spark.sql.expressions.Window

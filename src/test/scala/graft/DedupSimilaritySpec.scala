@@ -1239,6 +1239,31 @@ class DedupSimilaritySpec extends SparkSuite {
     intercept[IllegalArgumentException](Similarity.semanticDedup(data, 0.9, nPlanes = 63))
   }
 
+  test("hyperplane planes are pairwise independent and buckets spread (degeneracy regression)") {
+    // The original weights ((d*31 + p*17) % 3 - 1) were linear mod 3, so
+    // planes p and p+3 were IDENTICAL: 8 planes carried 3 bits and any
+    // corpus collapsed into <= 8 buckets — a quadratic-join scale killer
+    // for semanticDedup at real corpus sizes. Pin the fix two ways.
+    // (1) the 8 plane weight vectors at 48 dims are pairwise distinct AND
+    //     pairwise non-negated (a negated plane re-partitions nothing)
+    val weight = (d: Int, p: Int) =>
+      ((d * 131 + p + 7).toLong * (d * 137 + p * 149 + 11) % 1009 % 3 - 1).toInt
+    val planes = (0 until 8).map(p => (1 to 48).map(d => weight(d, p)))
+    for (a <- 0 until 8; b <- a + 1 until 8) {
+      assert(planes(a) !== planes(b), s"planes $a and $b identical")
+      assert(planes(a) !== planes(b).map(-_), s"planes $a and $b negated")
+    }
+    // (2) an isotropic 4096-vector corpus must occupy well over 8 buckets
+    //     (measured ~250 of 256; the degenerate formula capped at 8)
+    val iso = spark.range(4096).select(col("id").as("vec_id"),
+      expr("transform(sequence(1, 48), d -> " +
+        "CAST(pmod(xxhash64(id, d), 10007) / 10007.0 - 0.5 AS DOUBLE))")
+        .as("embedding"))
+    val nBuckets = Similarity.hyperplaneBuckets(iso, nPlanes = 8)
+      .select("bucket").distinct().count()
+    assert(nBuckets > 100, s"bucket spread collapsed: $nBuckets of 256")
+  }
+
   test("tokenSpanScrub: overlapping duplicated windows merge; canonical doc unchanged") {
     import graft.operators.Dedup
     // doc 1 is canonical; doc 2 repeats an 8-token run of doc 1 = three
