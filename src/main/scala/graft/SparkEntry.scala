@@ -2838,11 +2838,7 @@ object SparkEntry {
           .cast("long").as("img_id"), col("dhash"))
       val root = java.nio.file.Files.createTempDirectory("graft_q205").toString
       hashes.coalesce(1).write.parquet(s"$root/in")
-      val key = "spark.sql.streaming.stateStore.providerClass"
-      val prev = s.conf.getOption(key)
-      try {
-        s.conf.set(key,
-          "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      withStreamGateConf(s) {
         val schema = s.read.parquet(s"$root/in").schema
         val q = graft.streaming.EventStreams.hammingDedupStream(
             graft.streaming.EventStreams.readFileStream(s, s"$root/in", schema),
@@ -2857,9 +2853,6 @@ object SparkEntry {
           .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
           .start()
         q.awaitTermination()
-      } finally prev match {
-        case Some(v) => s.conf.set(key, v)
-        case None => s.conf.unset(key)
       }
       val w = Window.partitionBy("bucket", "img_id").orderBy(col("batch_id").desc)
       s.read.parquet(s"$root/out")
@@ -2898,11 +2891,7 @@ object SparkEntry {
         java.nio.file.Files.copy(p.toPath, dst)
         dst.toFile.setLastModified(t): Unit
       }
-      val key = "spark.sql.streaming.stateStore.providerClass"
-      val prev = s.conf.getOption(key)
-      try {
-        s.conf.set(key,
-          "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      withStreamGateConf(s) {
         val schema = s.read.parquet(in).schema
         val q = graft.streaming.EventStreams.incrementalDedupStream(
             graft.streaming.EventStreams.readFileStream(s, in, schema))
@@ -2916,9 +2905,6 @@ object SparkEntry {
           .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
           .start()
         q.awaitTermination()
-      } finally prev match {
-        case Some(v) => s.conf.set(key, v)
-        case None => s.conf.unset(key)
       }
       val w = Window.partitionBy("doc_id").orderBy(col("batch_id").desc)
       s.read.parquet(s"$root/out")
@@ -3089,11 +3075,7 @@ object SparkEntry {
         java.nio.file.Files.copy(p.toPath, dst)
         dst.toFile.setLastModified(t): Unit
       }
-      val key = "spark.sql.streaming.stateStore.providerClass"
-      val prev = s.conf.getOption(key)
-      try {
-        s.conf.set(key,
-          "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      withStreamGateConf(s) {
         val schema = s.read.parquet(in).schema
         val q = graft.streaming.EventStreams.fuzzyDedupStream(
             graft.streaming.EventStreams.readFileStream(s, in, schema),
@@ -3108,9 +3090,6 @@ object SparkEntry {
           .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
           .start()
         q.awaitTermination()
-      } finally prev match {
-        case Some(v) => s.conf.set(key, v)
-        case None => s.conf.unset(key)
       }
       val w = Window.partitionBy("bucket", "doc_id").orderBy(col("batch_id").desc)
       s.read.parquet(s"$root/out")
@@ -3154,11 +3133,7 @@ object SparkEntry {
         java.nio.file.Files.copy(p.toPath, dst)
         dst.toFile.setLastModified(t): Unit
       }
-      val key = "spark.sql.streaming.stateStore.providerClass"
-      val prev = s.conf.getOption(key)
-      try {
-        s.conf.set(key,
-          "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      withStreamGateConf(s) {
         val schema = s.read.parquet(in).schema
         // maxFilesPerTrigger = 1 is what makes this a TWO-batch replay —
         // the retroactive flip being gated needs wave 2 in a later
@@ -3178,9 +3153,6 @@ object SparkEntry {
           .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
           .start()
         q.awaitTermination()
-      } finally prev match {
-        case Some(v) => s.conf.set(key, v)
-        case None => s.conf.unset(key)
       }
       val w = Window.partitionBy("bucket", "vec_id").orderBy(col("batch_id").desc)
       s.read.parquet(s"$root/out")
@@ -3255,11 +3227,7 @@ object SparkEntry {
         java.nio.file.Files.copy(p.toPath, dst)
         dst.toFile.setLastModified(t): Unit
       }
-      val key = "spark.sql.streaming.stateStore.providerClass"
-      val prev = s.conf.getOption(key)
-      try {
-        s.conf.set(key,
-          "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      withStreamGateConf(s) {
         val schema = s.read.parquet(in).schema
         val q = graft.streaming.EventStreams.sessionizeStream(
             graft.streaming.EventStreams.readFileStream(s, in, schema,
@@ -3274,9 +3242,6 @@ object SparkEntry {
           .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
           .start()
         q.awaitTermination()
-      } finally prev match {
-        case Some(v) => s.conf.set(key, v)
-        case None => s.conf.unset(key)
       }
       s.read.parquet(s"$root/out")
         .where(col("user_id") =!= sentinel)
@@ -3319,6 +3284,32 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
   )
+
+  /** Session conf for the five streaming driver gates (q205/q206/q210/
+    * q215/q217): the RocksDB state store provider (`transformWithState`
+    * requires it) PLUS a 4-partition stateful shuffle for the gate's
+    * duration. The stateful exchange opens, commits, and checkpoints one
+    * RocksDB instance PER SHUFFLE PARTITION per trigger — on the gates'
+    * 96-row/3k-row fixtures, 32 stores x 2-3 triggers is pure fixed cost
+    * (measured: the five gates total 14.8 s at 32 partitions vs 9.7 s at
+    * 4; see BASELINE.md round-18). Partition count is semantics-free
+    * here: state is per-key, the two-wave retroactive-flip and
+    * event-time-timer paths being gated are partition-count-invariant,
+    * and every run starts from a fresh checkpoint. Production streams
+    * size partitions to state VOLUME, not trigger overhead — this helper
+    * is gate-fixture tuning, not a recommendation to run small. */
+  private def withStreamGateConf[T](s: SparkSession)(body: => T): T = {
+    val confs = Seq(
+      "spark.sql.streaming.stateStore.providerClass" ->
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+      "spark.sql.shuffle.partitions" -> "4")
+    val prev = confs.map { case (k, _) => k -> s.conf.getOption(k) }
+    try { confs.foreach { case (k, v) => s.conf.set(k, v) }; body }
+    finally prev.foreach {
+      case (k, Some(v)) => s.conf.set(k, v)
+      case (k, None) => s.conf.unset(k)
+    }
+  }
 
   /** q215 fixture: 24 near-dup clusters x 4 variants of 48-dim vectors.
     * Cluster c owns dims (2c, 2c+1) — DISJOINT supports, so cross-cluster
