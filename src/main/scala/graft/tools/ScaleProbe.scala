@@ -11,7 +11,8 @@ import org.apache.spark.sql.functions._
   * land in BASELINE.md). Args select sections: `fill`, `skew`, `bucket`,
   * `funnel`, `pq`, `bigprobe`, `zipfcell`, `rawdetach`, `zorderskew`, `spanscrub`, `fuzzydedup`, `cleanscrub`, `packbudget`, `simhashband`,
   * `wordlm`, `bloomdedup`, `winnow`, `chatshard`, `warcsrc`, `jsonlsrc`,
-  * `gram`, `zorder`, `unigram`, `streamscale`, `streamttl`, `legacy` (no args = all). */
+  * `gram`, `zorder`, `unigram`, `semplanes`, `streamscale`, `streamttl`,
+  * `legacy` (no args = all). */
 object ScaleProbe {
   def main(args: Array[String]): Unit = {
     val sections: String => Boolean =
@@ -1171,6 +1172,56 @@ object ScaleProbe {
     // events, and B/user stay flat at 16x). Reported: wall + state rows
     // per micro-batch and the store's memory/SST footprint from the query
     // progress.
+
+    // The nPlanes lever of semanticDedup, quantified now that the plane
+    // family is non-degenerate (the 3-periodic weights capped EVERY corpus
+    // at <= 8 buckets): 200k 64-dim vectors in 40k planted clusters of 5
+    // near-dups (pairwise cosine ~0.9996 > the 0.95 threshold). For each
+    // nPlanes: bucket spread, the candidate-pair count (the quadratic
+    // within-bucket join cost, closed-form from the histogram — this is
+    // the number the lever exists to shrink), true-dup-pair bucket recall
+    // (an LSH lever trades recall; SemDeDup's k-means assignment makes the
+    // same trade), and the end-to-end semanticDedup wall where the pair
+    // count is tractable.
+    if (sections("semplanes")) {
+      import graft.operators.Similarity
+      val nClusters = 40000L
+      val vecs = spark.range(0, nClusters * 5).select(
+        col("id").as("vec_id"),
+        expr(("transform(sequence(1, 64), d -> " +
+          "CAST(pmod(xxhash64(CAST(id DIV 5 AS BIGINT), d), 10007) / 10007.0 - 0.5 AS DOUBLE)" +
+          " + IF(d = 1 + (id DIV 5) % 64, 0.03 * (id % 5), 0D))")).as("embedding"))
+      val vPath = "/tmp/graft_probe_semplanes"
+      time("write 200k x 64d clustered vectors")(
+        vecs.write.mode("overwrite").parquet(vPath))
+      val v = spark.read.parquet(vPath)
+      val truePairs = nClusters * 10 // C(5,2) per cluster
+      for (np <- Seq(3, 8, 12, 16)) {
+        val b = Similarity.hyperplaneBuckets(v, nPlanes = np)
+        val h = b.groupBy("bucket").agg(count(lit(1)).as("n"))
+        val st = h.agg(count(lit(1)).as("buckets"), max("n").as("mx"),
+          sum(expr("n * (n - 1) DIV 2")).as("cand")).head()
+        val (nb, mx, cand) = (st.getLong(0), st.getLong(1), st.getLong(2))
+        // recall: same-cluster pairs whose members share the bucket
+        val a1 = b.select((col("vec_id") / 5).cast("long").as("c"),
+          col("vec_id").as("ida"), col("bucket"))
+        val a2 = b.select((col("vec_id") / 5).cast("long").as("c"),
+          col("vec_id").as("idb"), col("bucket"))
+        val hit = a1.join(a2, Seq("c", "bucket")).where(col("ida") < col("idb")).count()
+        val recall = hit.toDouble / truePairs
+        // end-to-end only where the candidate count is sane — at 3 planes
+        // (the degenerate formula's effective ceiling was 8 buckets) the
+        // ~2.5e9-pair join is exactly the blowup the fix removed
+        val wall = if (cand < 200000000L) {
+          val t0 = System.nanoTime()
+          noop(Similarity.semanticDedup(v, threshold = 0.95, nPlanes = np))
+          f"${(System.nanoTime() - t0) / 1e9}%.1f s"
+        } else "skipped (pair count — the pre-fix regime)"
+        println(f"[probe] semplanes np=$np%-2d buckets $nb%5d (max $mx%7d) " +
+          f"cand pairs $cand%12d recall $recall%.4f dedup $wall")
+      }
+    }
+
     if (sections("streamscale")) {
       import graft.streaming.EventStreams
       val key = "spark.sql.streaming.stateStore.providerClass"

@@ -97,4 +97,22 @@ class AnsiSweepSpec extends SparkSuite {
     assert(on === off)
     assert(on.nonEmpty)
   }
+
+  test("hyperplane family: 512-dim bucketing identical under BOTH ANSI modes") {
+    // the plane-weight product (d*131 + p + 7) * (d*137 + p*149 + 11)
+    // exceeds 2^31 past ~250 dims; without the BIGINT cast in
+    // hyperplaneBucketExpr this 512-dim fixture throws ARITHMETIC_OVERFLOW
+    // under ANSI=true and silently miscomputes planes under false
+    val wide = spark.range(64).select(col("id").as("vec_id"),
+      expr("transform(sequence(1, 512), d -> " +
+        "CAST(pmod(xxhash64(id, d), 10007) / 10007.0 - 0.5 AS DOUBLE))")
+        .as("embedding"))
+    def run() = graft.operators.Similarity.hyperplaneBuckets(wide, nPlanes = 8)
+      .orderBy("vec_id").collect().toSeq
+    val (on, off) = bothModes(run())
+    assert(on === off)
+    // and the buckets actually discriminate (the degeneracy regression's
+    // other half lives in DedupSimilaritySpec)
+    assert(on.map(_.getLong(1)).distinct.size > 8)
+  }
 }
