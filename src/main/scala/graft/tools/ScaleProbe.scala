@@ -313,18 +313,20 @@ object ScaleProbe {
         .agg(count(lit(1)).as("c")).where(col("c") =!= 2).count()
       require(diff == 0, s"rawdetach: detach changed $diff output rows")
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
-      // The unpersist sweep (which clears the detach's own intra-run cache
-      // between iterations so every pass is cold) runs BEFORE the timer and
-      // `prime` re-establishes any fixture cache it swept away — otherwise
-      // only the first iteration of the first variant reads cached
-      // centroids and the A/B is biased against whichever runs later.
-      def time2(name: String, prime: () => Unit = () => ())(f: => Unit): Unit = {
+      // The sweep clears the detach's own intra-run caches so every pass is
+      // cold; it runs BEFORE the timer, and once more after the loop so the
+      // final iteration's checkpoint blocks don't outlive the section in
+      // this shared JVM. Fixture inputs are all parquet-backed (including
+      // the big run's centroids, below) precisely so the sweep cannot bias
+      // either variant: a Dataset persist() after an RDD-level sweep is a
+      // CacheManager no-op and never actually re-caches.
+      def time2(name: String)(f: => Unit): Unit = {
         val ts = (1 to 3).map { _ =>
           spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
-          prime()
           val t0 = System.nanoTime(); f
           (System.nanoTime() - t0) / 1e9
         }
+        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
         println(f"[probe] $name%-34s ${ts.min}%.2f s (min of 3)")
       }
       time2("ivf raw salted, NO detach (2 passes)")(noop(run(false)))
@@ -342,19 +344,19 @@ object ScaleProbe {
       time("write 1M x 64d vectors")(
         bvecs.write.mode("overwrite").parquet(bPath))
       val bv = spark.read.parquet(bPath)
-      val bcents = Similarity.trainCentroids(
-        bv.where(col("vec_id") % 100 === 0), k = 256, iterations = 3)
-      bcents.persist().count()
+      // centroids land in parquet, not a cache: both variants then read the
+      // identical tiny file every iteration regardless of time2's sweeps
+      val cPath = "/tmp/graft_probe_rawdetach_cents"
+      time("fit 256 centroids (one-time, to parquet)")(
+        Similarity.trainCentroids(bv.where(col("vec_id") % 100 === 0),
+          k = 256, iterations = 3).write.mode("overwrite").parquet(cPath))
+      val bcents = spark.read.parquet(cPath)
       val bprobes = bv.where(col("vec_id") % 100 === 7)
       def runBig(detach: Boolean) = Similarity.ivfTopKImpl(bv, bcents, bprobes,
         10, "vec_id", "embedding", nprobe = 8, broadcastProbes = false,
         codesPerSalt = 8192, maxSalt = 64, detachSalted = detach)
-      // both variants must time against CACHED centroids every iteration —
-      // the sweep inside time2 unpersists bcents, so re-prime it per pass
-      val primeCents = () => { bcents.persist().count(): Unit }
-      time2("ivf raw 256c/1M, NO detach", primeCents)(noop(runBig(false)))
-      time2("ivf raw 256c/1M, detached", primeCents)(noop(runBig(true)))
-      bcents.unpersist()
+      time2("ivf raw 256c/1M, NO detach")(noop(runBig(false)))
+      time2("ivf raw 256c/1M, detached")(noop(runBig(true)))
     }
 
     if (sections("pq")) {
@@ -1197,7 +1199,9 @@ object ScaleProbe {
       val v = spark.read.parquet(vPath)
       val truePairs = nClusters * 10 // C(5,2) per cluster
       for (np <- Seq(3, 8, 12, 16)) {
-        val b = Similarity.hyperplaneBuckets(v, nPlanes = np)
+        // persisted: the histogram and both recall-join sides read it (the
+        // sides project differently, so exchange reuse would not apply)
+        val b = Similarity.hyperplaneBuckets(v, nPlanes = np).persist()
         val h = b.groupBy("bucket").agg(count(lit(1)).as("n"))
         val st = h.agg(count(lit(1)).as("buckets"), max("n").as("mx"),
           sum(expr("n * (n - 1) DIV 2")).as("cand")).head()
@@ -1219,6 +1223,7 @@ object ScaleProbe {
         } else "skipped (pair count — the pre-fix regime)"
         println(f"[probe] semplanes np=$np%-2d buckets $nb%5d (max $mx%7d) " +
           f"cand pairs $cand%12d recall $recall%.4f dedup $wall")
+        b.unpersist(blocking = true): Unit
       }
     }
 
@@ -1229,6 +1234,54 @@ object ScaleProbe {
       try {
         spark.conf.set(key,
           "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+        // Shared by the rung loop and the sessionizer: stage wave frames
+        // as single parquet files with staggered mtimes (arrival order for
+        // the default maxFilesPerTrigger = 1), drive the stream
+        // AvailableNow, and report wall / state rows / mem / SST. The
+        // per-unit byte figure prices off whichever of mem/SST is larger —
+        // memoryUsedBytes under-reports list-heavy state once flushed.
+        def stageWaves(tag: String,
+                       waves: Seq[org.apache.spark.sql.DataFrame]): String = {
+          val root = java.nio.file.Files
+            .createTempDirectory(s"graft_streamscale_$tag").toString
+          new java.io.File(s"$root/in").mkdirs()
+          for ((df, i) <- waves.zipWithIndex) {
+            df.coalesce(1).write.parquet(s"$root/w$i")
+            for (p <- new java.io.File(s"$root/w$i").listFiles()
+                 if p.getName.endsWith(".parquet")) {
+              val dst = java.nio.file.Path.of(s"$root/in", s"w$i-${p.getName}")
+              java.nio.file.Files.copy(p.toPath, dst)
+              dst.toFile.setLastModified((i + 1) * 1000000L): Unit
+            }
+          }
+          root
+        }
+        def runAndReport(out: org.apache.spark.sql.DataFrame, root: String,
+                         mode: String, denom: Long, label: String,
+                         unit: String): Unit = {
+          val q = out.writeStream
+            .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+              df.write.format("noop").mode("overwrite").save(): Unit
+            }
+            .outputMode(mode)
+            .option("checkpointLocation", s"$root/ckpt")
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .start()
+          q.awaitTermination()
+          val ps = q.recentProgress.filter(_.numInputRows > 0)
+          val walls = ps.map(p =>
+            f"${p.durationMs.get("triggerExecution") / 1000.0}%.2f").mkString("/")
+          val rows = ps.map(_.stateOperators(0).numRowsTotal).mkString("/")
+          val last = ps.last.stateOperators(0)
+          val mem = last.memoryUsedBytes / 1048576.0
+          val sstBytes = Option(last.customMetrics.get("rocksdbSstFileSize"))
+            .fold(-1.0)(_.toDouble)
+          val bPer = math.max(last.memoryUsedBytes.toDouble, sstBytes) /
+            math.max(1.0, denom.toDouble)
+          println(f"[probe] streamscale $label: " +
+            f"wall $walls s/batch, state rows $rows, mem $mem%.1f MiB, " +
+            f"sst ${sstBytes / 1048576.0}%.1f MiB ($bPer%.0f B/$unit)")
+        }
         for (rung <- Seq("exact", "fuzzy", "semantic"); mult <- Seq(1, 16)) {
           val perWave = (rung match {
             case "exact" => 8000L
@@ -1256,52 +1309,19 @@ object ScaleProbe {
           }
           def wave(shift: Long) = spark.range(perWave).select(
             (col("id") + shift).as("doc_id"), payload)
-          val root = java.nio.file.Files
-            .createTempDirectory(s"graft_streamscale_${rung}_$mult").toString
-          val in = s"$root/in"
-          new java.io.File(in).mkdirs()
-          wave(1000000000L).coalesce(1).write.parquet(s"$root/w1")
-          wave(0L).coalesce(1).write.parquet(s"$root/w2")
-          for ((w, t) <- Seq(("w1", 1000000L), ("w2", 2000000L));
-               p <- new java.io.File(s"$root/$w").listFiles()
-               if p.getName.endsWith(".parquet")) {
-            val dst = java.nio.file.Path.of(in, s"$w-${p.getName}")
-            java.nio.file.Files.copy(p.toPath, dst)
-            dst.toFile.setLastModified(t): Unit
-          }
-          val schema = spark.read.parquet(in).schema
-          val stream = EventStreams.readFileStream(spark, in, schema)
+          // re-crawl wave first, originals second — every wave-1 keeper flips
+          val root = stageWaves(s"${rung}_$mult",
+            Seq(wave(1000000000L), wave(0L)))
+          val schema = spark.read.parquet(s"$root/in").schema
+          val stream = EventStreams.readFileStream(spark, s"$root/in", schema)
           val deduped = rung match {
             case "exact" => EventStreams.incrementalDedupStream(stream)
             case "fuzzy" => EventStreams.fuzzyDedupStream(stream, tau = 0.5)
             case _ => EventStreams.semanticDedupStream(stream, threshold = 0.9,
               nPlanes = 8, idCol = "doc_id", vecCol = "embedding")
           }
-          val q = deduped.writeStream
-            .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
-              df.write.format("noop").mode("overwrite").save(): Unit
-            }
-            .outputMode("update")
-            .option("checkpointLocation", s"$root/ckpt")
-            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-            .start()
-          q.awaitTermination()
-          val ps = q.recentProgress.filter(_.numInputRows > 0)
-          val walls = ps.map(p =>
-            f"${p.durationMs.get("triggerExecution") / 1000.0}%.2f").mkString("/")
-          val rows = ps.map(_.stateOperators(0).numRowsTotal).mkString("/")
-          val last = ps.last.stateOperators(0)
-          val mem = last.memoryUsedBytes / 1048576.0
-          val sstBytes = Option(last.customMetrics.get("rocksdbSstFileSize"))
-            .fold(-1.0)(_.toDouble)
-          // memoryUsedBytes reads memtable/block-cache and UNDER-reports
-          // list-heavy state once flushed; the SST footprint is the durable
-          // number, so B/doc is priced off whichever is larger
-          val bPerDoc = math.max(last.memoryUsedBytes.toDouble, sstBytes) /
-            math.max(1.0, (perWave * 2).toDouble)
-          println(f"[probe] streamscale $rung%-8s ${mult}%2dx ${perWave * 2}%8d docs: " +
-            f"wall $walls s/batch, state rows $rows, mem $mem%.1f MiB, " +
-            f"sst ${sstBytes / 1048576.0}%.1f MiB ($bPerDoc%.0f B/doc)")
+          runAndReport(deduped, root, "update", perWave * 2,
+            f"$rung%-8s ${mult}%2dx ${perWave * 2}%8d docs", "doc")
         }
         // Sessionizer: two event waves per user, the second inside every
         // open session's 30-min gap horizon, so NO session closes and the
@@ -1314,45 +1334,15 @@ object ScaleProbe {
             pmod(col("id"), lit(users)).as("user_id"),
             timestamp_micros(lit(waveIdx * 18L * 60000000L) +
               (col("id") / lit(users)).cast("long") * 60000000L).as("event_time"))
-          val root = java.nio.file.Files
-            .createTempDirectory(s"graft_streamscale_sess_$mult").toString
-          val in = s"$root/in"
-          new java.io.File(in).mkdirs()
-          wave(0).coalesce(1).write.parquet(s"$root/w1")
-          wave(1).coalesce(1).write.parquet(s"$root/w2")
-          for ((w, t) <- Seq(("w1", 1000000L), ("w2", 2000000L));
-               p <- new java.io.File(s"$root/$w").listFiles()
-               if p.getName.endsWith(".parquet")) {
-            val dst = java.nio.file.Path.of(in, s"$w-${p.getName}")
-            java.nio.file.Files.copy(p.toPath, dst)
-            dst.toFile.setLastModified(t): Unit
-          }
-          val schema = spark.read.parquet(in).schema
-          val stream = EventStreams.readFileStream(spark, in, schema)
-          val q = EventStreams
-            .sessionizeStream(stream, "event_time", "user_id", gapMinutes = 30)
-            .writeStream
-            .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
-              df.write.format("noop").mode("overwrite").save(): Unit
-            }
-            .outputMode("append")
-            .option("checkpointLocation", s"$root/ckpt")
-            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-            .start()
-          q.awaitTermination()
-          val ps = q.recentProgress.filter(_.numInputRows > 0)
-          val walls = ps.map(p =>
-            f"${p.durationMs.get("triggerExecution") / 1000.0}%.2f").mkString("/")
-          val rows = ps.map(_.stateOperators(0).numRowsTotal).mkString("/")
-          val last = ps.last.stateOperators(0)
-          val mem = last.memoryUsedBytes / 1048576.0
-          val sstBytes = Option(last.customMetrics.get("rocksdbSstFileSize"))
-            .fold(-1.0)(_.toDouble)
-          val bPerUser = math.max(last.memoryUsedBytes.toDouble, sstBytes) /
-            math.max(1.0, users.toDouble)
-          println(f"[probe] streamscale session ${mult}%2dx $users%6d users / ${perWave * 2}%8d events: " +
-            f"wall $walls s/batch, state rows $rows, mem $mem%.1f MiB, " +
-            f"sst ${sstBytes / 1048576.0}%.1f MiB ($bPerUser%.0f B/user)")
+          val root = stageWaves(s"sess_$mult", Seq(wave(0), wave(1)))
+          val schema = spark.read.parquet(s"$root/in").schema
+          val stream = EventStreams.readFileStream(spark, s"$root/in", schema)
+          runAndReport(
+            EventStreams.sessionizeStream(stream, "event_time", "user_id",
+              gapMinutes = 30),
+            root, "append", users,
+            f"session ${mult}%2dx $users%6d users / ${perWave * 2}%8d events",
+            "user")
         }
       } finally prev match {
         case Some(v) => spark.conf.set(key, v)
