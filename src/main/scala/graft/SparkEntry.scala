@@ -3283,6 +3283,17 @@ object SparkEntry {
         .select(col("doc_id"), col("keep"))
         .orderBy("doc_id")
     }),
+
+    // q94's OR-construction sibling: two independent 6-plane bands,
+    // candidate = same bucket in EITHER band — the recall-recovery lever
+    // ScaleProbe `semplanes` motivates (one band's pair recall r becomes
+    // 1-(1-r)^2). Deterministic plane arithmetic keeps the oracle exact:
+    // DuckDB rebuilds both bands and ORs the join condition.
+    "q219_sem_dedup_banded" -> ((s, dir) => {
+      Similarity.semanticDedupBanded(Tables.embeddings(s, dir),
+          threshold = 0.35, nPlanes = 6, bands = 2)
+        .orderBy("vec_id")
+    }),
   )
 
   /** Session conf for the five streaming driver gates (q205/q206/q210/
@@ -4914,6 +4925,25 @@ object SparkEntry {
     "q218_compression_bracket_twin" ->
       """SELECT doc_id, doc_id % 3 = 2 AS keep
         |FROM documents WHERE n_chars >= 300 ORDER BY doc_id""".stripMargin,
+
+    // q94's rebuild with BOTH plane bands and an OR'd join condition —
+    // the same deterministic arithmetic, so the OR-construction stays an
+    // exact hash gate. Survivor bucket = band 0's, like the Spark side.
+    "q219_sem_dedup_banded" -> {
+      val dot = (p: Int) =>
+        s"list_dot_product(CAST(embedding AS DOUBLE[]), " +
+          s"list_transform(range(1, len(embedding) + 1), d -> CAST((d * 131 + $p + 7) * (d * 137 + $p * 149 + 11) % 1009 % 3 - 1 AS DOUBLE)))"
+      def band(offset: Int) = (0 until 6)
+        .map(j => s"CASE WHEN ${dot(offset + j)} >= 0 THEN CAST(${1L << j} AS BIGINT) ELSE CAST(0 AS BIGINT) END")
+        .mkString(" + ")
+      s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
+         |${band(0)} AS b0, ${band(6)} AS b1 FROM embeddings),
+         |d AS (SELECT DISTINCT b.vec_id FROM v a JOIN v b
+         |ON (a.b0 = b.b0 OR a.b1 = b.b1) AND b.vec_id > a.vec_id
+         |WHERE list_dot_product(a.e, b.e) / (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))) > 0.35)
+         |SELECT vec_id, b0 AS bucket FROM v
+         |WHERE vec_id NOT IN (SELECT vec_id FROM d) ORDER BY vec_id""".stripMargin
+    },
 
     // Full-rank whitening returns the identity covariance and zero mean
     // by algebra — the oracle IS that closed form; the hash pins the

@@ -663,7 +663,8 @@ object Similarity {
   /** The [[hyperplaneBuckets]] bit-vector as a bare Column, for callers that
     * need the bucket alongside other columns without a join (also the
     * streaming dedup's pre-shuffle key). */
-  private[graft] def hyperplaneBucketExpr(vecCol: String, nPlanes: Int): org.apache.spark.sql.Column = {
+  private[graft] def hyperplaneBucketExpr(vecCol: String, nPlanes: Int,
+                                          planeOffset: Int = 0): org.apache.spark.sql.Column = {
     // Plane weights are {-1,0,1} drawn from the PRODUCT of two independent
     // linear forms in (d, p), reduced mod a prime then mod 3. The previous
     // weights ((d*31 + p*17) % 3 - 1) were a single linear form, and any
@@ -684,8 +685,11 @@ object Similarity {
         // range() is already BIGINT, so the oracle needs no cast)
         s"d -> CAST((CAST(d AS BIGINT) * 131 + $p + 7) * (CAST(d AS BIGINT) * 137 + $p * 149 + 11) % 1009 % 3 - 1 AS DOUBLE)), " +
         s"(x, y) -> CAST(x AS DOUBLE) * y), 0D, (acc, v) -> acc + v)"
+    // bit j of the bucket comes from plane (planeOffset + j): offset bands
+    // draw DISJOINT plane slices of the same family (the OR-construction
+    // in semanticDedupBanded), bit positions stay 0-based per band
     val bits = (0 until nPlanes)
-      .map(p => s"IF(${dot(p)} >= 0D, CAST(${1L << p} AS BIGINT), CAST(0 AS BIGINT))")
+      .map(j => s"IF(${dot(planeOffset + j)} >= 0D, CAST(${1L << j} AS BIGINT), CAST(0 AS BIGINT))")
       .mkString(" + ")
     expr(bits)
   }
@@ -722,6 +726,49 @@ object Similarity {
       .where(cosine_similarity(col("_va"), col("_vb")) > threshold)
       .select(col("_idb").as(idCol)).distinct()
     withB.join(dropped, Seq(idCol), "left_anti").select(col(idCol), col("bucket"))
+  }
+
+  /** [[semanticDedup]] with the MinHash-LSH OR-construction: `bands`
+    * independent plane families (disjoint slices of the deterministic
+    * family — band b uses planes [b*nPlanes, (b+1)*nPlanes)), and a pair
+    * is a candidate when it shares the bucket in ANY band. Single-band
+    * bucketing trades recall for bucket size (measured in ScaleProbe
+    * `semplanes`: 0.935 at 8 planes, 0.875 at 16 on planted near-dup
+    * clusters); OR-ing b bands lifts pair recall r to 1 - (1-r)^b —
+    * two 12-plane bands ≈ 0.99 where one costs 0.90 — for b times the
+    * bucket-join cost. The same AND-OR trade as [[Dedup]]'s 4x4 MinHash
+    * banding, in embedding space.
+    *
+    * Scale shape: ONE corpus scan computes all `bands` buckets (a narrow
+    * projection, detached once for its three consumers); each band is an
+    * independent same-bucket equi-join; the dropped-id sets union and
+    * dedupe on ids only. A pair sharing buckets in several bands is
+    * scored once per such band — at 100 TB that duplicate scoring is
+    * noise next to a pair-level distinct's extra shuffle, and the
+    * alternative all-band pair frame would carry vectors through an
+    * exchange. Survivors return as (idCol, bucket of band 0).
+    */
+  def semanticDedupBanded(corpus: DataFrame, threshold: Double,
+                          nPlanes: Int = 8, bands: Int = 2,
+                          idCol: String = "vec_id",
+                          vecCol: String = "embedding"): DataFrame = {
+    require(bands >= 1 && nPlanes >= 1 && bands * nPlanes <= 62,
+      s"semanticDedupBanded needs bands*nPlanes in [1, 62], got $bands x $nPlanes")
+    val bCols = (0 until bands).map(b => s"_band$b")
+    val withB = Relational.detach(corpus.select(
+      col(idCol) +: col(vecCol) +: bCols.zipWithIndex.map { case (c, b) =>
+        hyperplaneBucketExpr(vecCol, nPlanes, planeOffset = b * nPlanes).as(c)
+      }: _*))
+    val dropped = bCols.map { c =>
+      val a = withB.select(col(c), col(idCol).as("_ida"), col(vecCol).as("_va"))
+      val b = withB.select(col(c), col(idCol).as("_idb"), col(vecCol).as("_vb"))
+      a.join(b, c)
+        .where(col("_idb") > col("_ida"))
+        .where(cosine_similarity(col("_va"), col("_vb")) > threshold)
+        .select(col("_idb").as(idCol))
+    }.reduce(_ unionAll _).distinct()
+    withB.join(dropped, Seq(idCol), "left_anti")
+      .select(col(idCol), col(bCols.head).as("bucket"))
   }
 
   /** INT8-range scalar quantization: fit per-dimension [min, max] over the

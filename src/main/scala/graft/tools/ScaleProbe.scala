@@ -1225,6 +1225,25 @@ object ScaleProbe {
           f"cand pairs $cand%12d recall $recall%.4f dedup $wall")
         b.unpersist(blocking = true): Unit
       }
+      // the OR-construction's recall recovery: 2 disjoint 12-plane bands —
+      // a true pair is a candidate when EITHER band co-buckets it
+      val b2 = v.select(col("vec_id"),
+        Similarity.hyperplaneBucketExpr("embedding", 12, 0).as("b0"),
+        Similarity.hyperplaneBucketExpr("embedding", 12, 12).as("b1")).persist()
+      val hitEither = (0 until 2).map { band =>
+        val c = if (band == 0) "b0" else "b1"
+        b2.select((col("vec_id") / 5).cast("long").as("cl"),
+            col("vec_id").as("ida"), col(c).as("bk"))
+          .join(b2.select((col("vec_id") / 5).cast("long").as("cl"),
+            col("vec_id").as("idb"), col(c).as("bk")), Seq("cl", "bk"))
+          .where(col("ida") < col("idb"))
+          .select("cl", "ida", "idb")
+      }.reduce(_ unionAll _).distinct().count()
+      b2.unpersist(blocking = true)
+      println(f"[probe] semplanes np=12 x 2 bands (OR): recall ${hitEither.toDouble / truePairs}%.4f")
+      val t0 = System.nanoTime()
+      noop(Similarity.semanticDedupBanded(v, threshold = 0.95, nPlanes = 12, bands = 2))
+      println(f"[probe] semplanes banded dedup 12x2        ${(System.nanoTime() - t0) / 1e9}%.1f s")
     }
 
     if (sections("streamscale")) {

@@ -1239,6 +1239,30 @@ class DedupSimilaritySpec extends SparkSuite {
     intercept[IllegalArgumentException](Similarity.semanticDedup(data, 0.9, nPlanes = 63))
   }
 
+  test("semanticDedupBanded: OR-construction drops a superset of any single band") {
+    val emb = graft.meta.Tables.embeddings(spark, sf)
+    val single = Similarity.semanticDedup(emb, threshold = 0.35, nPlanes = 6)
+      .select("vec_id").as[Long].collect().toSet
+    val banded = Similarity.semanticDedupBanded(emb, threshold = 0.35,
+      nPlanes = 6, bands = 2).select("vec_id").as[Long].collect().toSet
+    // band 0 IS the single-band partition (same plane slice), so every
+    // single-band candidate pair is a banded candidate pair: banded
+    // survivors can only shrink
+    assert(banded.subsetOf(single),
+      s"banded kept ids outside the single-band keep set: ${(banded -- single).take(5)}")
+    assert(banded.nonEmpty)
+    // the second band must genuinely differ from the first (disjoint
+    // plane slices) — otherwise the OR adds nothing
+    val b0 = Similarity.hyperplaneBuckets(emb, nPlanes = 6)
+      .select("bucket").as[Long].collect().toSeq
+    val b1 = emb.select(
+        graft.operators.Similarity.hyperplaneBucketExpr("embedding", 6, 6).as("b"))
+      .select("b").as[Long].collect().toSeq
+    assert(b0 !== b1)
+    intercept[IllegalArgumentException](
+      Similarity.semanticDedupBanded(emb, 0.35, nPlanes = 32, bands = 2))
+  }
+
   test("hyperplane planes are pairwise independent and buckets spread (degeneracy regression)") {
     // The original weights ((d*31 + p*17) % 3 - 1) were linear mod 3, so
     // planes p and p+3 were IDENTICAL: 8 planes carried 3 bits and any
