@@ -3294,6 +3294,55 @@ object SparkEntry {
           threshold = 0.35, nPlanes = 6, bands = 2)
         .orderBy("vec_id")
     }),
+
+    // The BANDED semantic rung at the driver gate — q215's two-wave
+    // retroactive-flip replay through semanticDedupStreamBanded, with the
+    // AND-over-bands reader (fuzzyDedupStream's contract) made explicit.
+    // The fixture's shared-bucket pigeonhole is weight-agnostic (see
+    // [[semanticScrubVecs]]), so it holds in EACH band independently:
+    // every cluster occupies exactly one bucket per band, cross-cluster
+    // cosine is exactly 0, and the kept set stays the q215 closed form
+    // "min vec_id per cluster" no matter how band buckets collide.
+    "q220_semantic_scrub_stream_banded" -> ((s, dir) => {
+      val root = java.nio.file.Files.createTempDirectory("graft_q220").toString
+      val in = s"$root/in"
+      new java.io.File(in).mkdirs()
+      semanticScrubVecs(s, recrawl = true).coalesce(1).write.parquet(s"$root/w1")
+      semanticScrubVecs(s, recrawl = false).coalesce(1).write.parquet(s"$root/w2")
+      for ((wave, t) <- Seq(("w1", 1000000L), ("w2", 2000000L));
+           p <- new java.io.File(s"$root/$wave").listFiles()
+           if p.getName.endsWith(".parquet")) {
+        val dst = java.nio.file.Path.of(in, s"$wave-${p.getName}")
+        java.nio.file.Files.copy(p.toPath, dst)
+        dst.toFile.setLastModified(t): Unit
+      }
+      withStreamGateConf(s) {
+        val schema = s.read.parquet(in).schema
+        val q = graft.streaming.EventStreams.semanticDedupStreamBanded(
+            graft.streaming.EventStreams.readFileStream(s, in, schema,
+              maxFilesPerTrigger = 1),
+            threshold = 0.9, nPlanes = 6, bands = 2)
+          .writeStream
+          .foreachBatch { (df: DataFrame, batchId: Long) =>
+            df.withColumn("batch_id", lit(batchId))
+              .write.mode("append").parquet(s"$root/out"): Unit
+          }
+          .outputMode("update")
+          .option("checkpointLocation", s"$root/ckpt")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+      val w = Window.partitionBy("bucket", "vec_id").orderBy(col("batch_id").desc)
+      s.read.parquet(s"$root/out")
+        .withColumn("_rn", row_number().over(w))
+        .where(col("_rn") === 1)
+        .groupBy("vec_id")
+        .agg(expr("bool_and(kept_in_bucket)").as("_k"))
+        .where(col("_k"))
+        .select(col("vec_id"))
+        .orderBy("vec_id")
+    }),
   )
 
   /** Session conf for the five streaming driver gates (q205/q206/q210/
@@ -4882,6 +4931,13 @@ object SparkEntry {
     // smaller-id originals the kept set IS the minimal original per
     // cluster, ids 0,4,...,92 by the generator's layout.
     "q215_semantic_scrub_stream" ->
+      "SELECT range * 4 AS vec_id FROM range(0, 24) ORDER BY vec_id",
+
+    // Same closed form for the banded replay: the fixture's shared-bucket
+    // proof is weight-agnostic, so it holds per band and the OR over
+    // bands adds no cross-cluster pair (cross-cluster cosine is exactly 0
+    // regardless of collisions).
+    "q220_semantic_scrub_stream_banded" ->
       "SELECT range * 4 AS vec_id FROM range(0, 24) ORDER BY vec_id",
 
     // The forced-greedy BPE fixture: round-r pair counts are strictly

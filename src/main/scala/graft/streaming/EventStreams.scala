@@ -302,11 +302,68 @@ object EventStreams {
                           idCol: String = "vec_id",
                           vecCol: String = "embedding",
                           ttl: Option[java.time.Duration] = None): DataFrame = {
-    import org.apache.spark.sql.Encoders
-    import org.apache.spark.sql.streaming.{ListState, OutputMode, StatefulProcessor, TimeMode, TimerValues, TTLConfig}
     require(nPlanes >= 1 && nPlanes <= 62,
       s"semanticDedupStream needs nPlanes in [1, 62], got $nPlanes")
     val spark = vectors.sparkSession
+    import spark.implicits._
+    semanticDedupCore(
+      vectors
+        .select(
+          graft.operators.Similarity.hyperplaneBucketExpr(vecCol, nPlanes).as("_b"),
+          col(idCol).cast("long").as("_id"),
+          col(vecCol).cast("array<double>").as("_v"))
+        .where(col("_b").isNotNull && col("_id").isNotNull && col("_v").isNotNull)
+        .as[(Long, Long, Seq[Double])],
+      threshold, ttl)
+      .toDF("bucket", idCol, "kept")
+  }
+
+  /** [[semanticDedupStream]] with [[graft.operators.Similarity
+    * .semanticDedupBanded]]'s OR-construction: each vector ships one row
+    * PER BAND (disjoint plane slices; key = band-bucket | band << nPlanes,
+    * so band key spaces never collide), every band runs the keep-first
+    * recurrence independently, and — exactly [[fuzzyDedupStream]]'s
+    * reader contract, hence the same `kept_in_bucket` column name — a
+    * vector's overall verdict is the AND of the LAST row per (bucket, id)
+    * over its `bands` buckets: dropped iff ANY band found an earlier-id
+    * neighbor above `threshold`, the batch operator's rule. State carries
+    * the full vector once per band (`bands` x the single-band ~440 B/doc
+    * line in BASELINE.md) — the recall-for-state trade, priced. */
+  def semanticDedupStreamBanded(vectors: DataFrame, threshold: Double,
+                                nPlanes: Int = 6, bands: Int = 2,
+                                idCol: String = "vec_id",
+                                vecCol: String = "embedding",
+                                ttl: Option[java.time.Duration] = None): DataFrame = {
+    require(bands >= 1 && nPlanes >= 1 && bands * nPlanes <= 62,
+      s"semanticDedupStreamBanded needs bands*nPlanes in [1, 62], got $bands x $nPlanes")
+    val spark = vectors.sparkSession
+    import spark.implicits._
+    val keys = (0 until bands).map(b =>
+      graft.operators.Similarity.hyperplaneBucketExpr(vecCol, nPlanes,
+        planeOffset = b * nPlanes) + lit(b.toLong << nPlanes))
+    semanticDedupCore(
+      vectors
+        .select(explode(array(keys: _*)).as("_b"),
+          col(idCol).cast("long").as("_id"),
+          col(vecCol).cast("array<double>").as("_v"))
+        .where(col("_b").isNotNull && col("_id").isNotNull && col("_v").isNotNull)
+        .as[(Long, Long, Seq[Double])],
+      threshold, ttl)
+      .toDF("bucket", idCol, "kept_in_bucket")
+  }
+
+  /** Shared state machinery of the two semantic rungs: per bucket key,
+    * retain every (id, vector) seen, re-run the keep-first recurrence over
+    * the union each micro-batch, and re-emit the whole touched bucket
+    * (Update mode — late smaller-id originals retroactively flip earlier
+    * survivors). */
+  private def semanticDedupCore(
+      keyed: org.apache.spark.sql.Dataset[(Long, Long, Seq[Double])],
+      threshold: Double,
+      ttl: Option[java.time.Duration]): org.apache.spark.sql.Dataset[(Long, Long, Boolean)] = {
+    import org.apache.spark.sql.Encoders
+    import org.apache.spark.sql.streaming.{ListState, OutputMode, StatefulProcessor, TimeMode, TimerValues, TTLConfig}
+    val spark = keyed.sparkSession
     import spark.implicits._
     val ttlConfig = ttl.map(TTLConfig.apply).getOrElse(TTLConfig.NONE)
 
@@ -344,19 +401,12 @@ object EventStreams {
       }
     }
 
-    vectors
-      .select(
-        graft.operators.Similarity.hyperplaneBucketExpr(vecCol, nPlanes).as("_b"),
-        col(idCol).cast("long").as("_id"),
-        col(vecCol).cast("array<double>").as("_v"))
-      .where(col("_b").isNotNull && col("_id").isNotNull && col("_v").isNotNull)
-      .as[(Long, Long, Seq[Double])]
+    keyed
       .groupByKey(_._1)
       // enabled TTL forces processing-time mode, like funnelStream
       .transformWithState(new DedupProcessor,
         if (ttl.isDefined) TimeMode.ProcessingTime() else TimeMode.None(),
         OutputMode.Update())
-      .toDF("bucket", idCol, "kept")
   }
 
   /** Streaming fuzzy-TEXT near-dup scrub (MinHash-LSH banded,

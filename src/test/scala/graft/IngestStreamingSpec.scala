@@ -980,6 +980,60 @@ class IngestStreamingSpec extends SparkSuite {
     }
   }
 
+  test("semanticDedupStreamBanded: AND-over-bands verdict, retroactive flip, batch parity") {
+    val v1 = Seq(1.0, 0.5, -0.25, 1.0, 0.75, -0.5, 0.3, 1.1)
+    val v2 = v1.map(_ * 1.001) // near-dup: same plane signs in EVERY band
+    val v3 = v1.map(x => -x)   // cosine -1: never a dup
+    val root = Files.createTempDirectory("graft_semdedup_banded").toString
+    val dir = s"$root/in"
+    new java.io.File(dir).mkdirs()
+    Seq((5L, v2), (9L, v3)).toDF("vec_id", "embedding")
+      .coalesce(1).write.parquet(s"$root/f1")
+    Seq((1L, v1)).toDF("vec_id", "embedding")
+      .coalesce(1).write.parquet(s"$root/f2")
+    for (f <- Seq("f1", "f2");
+         p <- new java.io.File(s"$root/$f").listFiles() if p.getName.endsWith(".parquet")) {
+      val dst = java.nio.file.Path.of(dir, s"$f-${p.getName}")
+      Files.copy(p.toPath, dst)
+      dst.toFile.setLastModified(if (f == "f1") 1000000L else 2000000L)
+    }
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    try {
+      spark.conf.set(key,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      val schema = spark.read.parquet(dir).schema
+      val stream = EventStreams.readFileStream(spark, dir, schema, maxFilesPerTrigger = 1)
+      EventStreams.drainToMemory(
+        EventStreams.semanticDedupStreamBanded(stream, threshold = 0.95,
+          nPlanes = 4, bands = 2),
+        "sem_dedup_banded_stream", outputMode = "update")
+      val rows = spark.table("sem_dedup_banded_stream")
+        .select("bucket", "vec_id", "kept_in_bucket")
+        .as[(Long, Long, Boolean)].collect().zipWithIndex
+      // every vector must occupy exactly `bands` = 2 distinct bucket keys
+      // (the band tag in the high bits keeps key spaces disjoint)
+      val bucketsOf = rows.map(_._1).groupBy(_._2).map { case (id, xs) =>
+        id -> xs.map(_._1).distinct.sorted.toSeq }
+      assert(bucketsOf.values.forall(_.size == 2), s"got $bucketsOf")
+      // reader contract: LAST row per (bucket, id), then AND over buckets
+      val finals = rows.groupBy(x => (x._1._1, x._1._2))
+        .map { case (_, xs) => xs.maxBy(_._2)._1 }
+        .groupBy(_._2).map { case (id, xs) => id -> xs.forall(_._3) }
+      assert(finals === Map(1L -> true, 5L -> false, 9L -> true),
+        s"got $finals")
+      // exact batch parity with the banded batch operator on the union
+      val batchSurvivors = graft.operators.Similarity.semanticDedupBanded(
+        Seq((1L, v1), (5L, v2), (9L, v3)).toDF("vec_id", "embedding"),
+        threshold = 0.95, nPlanes = 4, bands = 2)
+        .select("vec_id").as[Long].collect().toSet
+      assert(finals.filter(_._2).keySet === batchSurvivors)
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   test("fuzzyDedupStream: late smaller-id original flips the variant; pairwise batch parity") {
     import graft.operators.Dedup
     val tau = 0.5
@@ -1143,6 +1197,23 @@ class IngestStreamingSpec extends SparkSuite {
       .select("vec_id").as[Long].collect().toSet
     assert(kept === (0 until 24).map(_ * 4L).toSet,
       s"closed-form kept set broken: $kept")
+    // q220 extends the same closed form to the BANDED replay (2 x 6-plane
+    // bands): the shared-bucket pigeonhole is weight-agnostic, so pin it
+    // per band with the exact offsets the gate uses
+    for (band <- 0 until 2) {
+      val b = union.select(col("vec_id"),
+          Similarity.hyperplaneBucketExpr("embedding", 6, planeOffset = band * 6).as("bucket"))
+        .as[(Long, Long)].collect()
+      b.groupBy(r => cluster(r._1)).foreach { case (c, xs) =>
+        assert(xs.map(_._2).distinct.length === 1,
+          s"band $band: cluster $c split across buckets")
+      }
+    }
+    val keptBanded = Similarity.semanticDedupBanded(union, threshold = 0.9,
+        nPlanes = 6, bands = 2)
+      .select("vec_id").as[Long].collect().toSet
+    assert(keptBanded === (0 until 24).map(_ * 4L).toSet,
+      s"banded closed-form kept set broken: $keptBanded")
   }
 
   test("hammingDedupStream: late smaller-id original flips the re-encode; exact-recall parity") {
