@@ -350,6 +350,21 @@ class PlanPostureSpec extends SparkSuite {
       s"corpus side must not ride a nested-loop broadcast:\n$plan")
   }
 
+  test("semanticDedupBanded: corpus scanned once (detached), band joins stay equi, no cartesian (q219 shape)") {
+    val emb = graft.meta.Tables.embeddings(spark, sf)
+    val plan = executedPlan(graft.operators.Similarity.semanticDedupBanded(
+      emb, threshold = 0.35, nPlanes = 6, bands = 2))
+    // the bucketed frame detaches once: all five consumers (two sides per
+    // band + the anti-join base) read the materialized blocks, so the
+    // final plan must carry ZERO file scans of the corpus
+    assert(!plan.contains("FileScan") && !plan.contains("BatchScan"),
+      s"corpus re-scanned past the detach:\n$plan")
+    // per-band candidate joins are bucket equi-joins — never all-pairs
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"band join degenerated:\n$plan")
+  }
+
   test("chat family plans ONE conversation-keyed exchange each (q154/q155/q156 shape)") {
     // Every chat operator reduces to a single conversation-keyed aggregate
     // whose checks are array expressions over the collected turn list —
