@@ -328,7 +328,15 @@ object EventStreams {
     * over its `bands` buckets: dropped iff ANY band found an earlier-id
     * neighbor above `threshold`, the batch operator's rule. State carries
     * the full vector once per band (`bands` x the single-band ~440 B/doc
-    * line in BASELINE.md) — the recall-for-state trade, priced. */
+    * line in BASELINE.md) — the recall-for-state trade, priced.
+    *
+    * SIZING: `nPlanes` is PER BAND and must be chosen exactly like the
+    * single rung's — bands multiply state and recall, they do not
+    * substitute for planes. Shrinking per-band planes to hold the total
+    * constant re-creates the small-bucket regime where the per-batch
+    * O(bucket-population^2) recurrence explodes (measured: a 2x4 split
+    * on 64k docs ran 50-100 s/batch vs 2x8's ~13 s — 16 buckets/band
+    * put ~4k vectors in every ListState). */
   def semanticDedupStreamBanded(vectors: DataFrame, threshold: Double,
                                 nPlanes: Int = 6, bands: Int = 2,
                                 idCol: String = "vec_id",

@@ -1301,11 +1301,12 @@ object ScaleProbe {
             f"wall $walls s/batch, state rows $rows, mem $mem%.1f MiB, " +
             f"sst ${sstBytes / 1048576.0}%.1f MiB ($bPer%.0f B/$unit)")
         }
-        for (rung <- Seq("exact", "fuzzy", "semantic"); mult <- Seq(1, 16)) {
+        for (rung <- Seq("exact", "fuzzy", "semantic", "sembanded");
+             mult <- Seq(1, 16)) {
           val perWave = (rung match {
             case "exact" => 8000L
             case "fuzzy" => 4000L
-            case _ => 2000L // semantic: heaviest per-doc state AND an
+            case _ => 2000L // semantic tiers: heaviest per-doc state AND an
                             // O(bucket^2) re-emit recurrence per batch
           }) * mult
           val dups = perWave * 4 / 5 // 20% in-wave dup rate
@@ -1336,8 +1337,18 @@ object ScaleProbe {
           val deduped = rung match {
             case "exact" => EventStreams.incrementalDedupStream(stream)
             case "fuzzy" => EventStreams.fuzzyDedupStream(stream, tau = 0.5)
-            case _ => EventStreams.semanticDedupStream(stream, threshold = 0.9,
-              nPlanes = 8, idCol = "doc_id", vecCol = "embedding")
+            case "semantic" => EventStreams.semanticDedupStream(stream,
+              threshold = 0.9, nPlanes = 8, idCol = "doc_id",
+              vecCol = "embedding")
+            // full per-band plane count (8, like the single rung): bands do
+            // NOT substitute for planes — a 2x4 split was measured at
+            // 50-100 s/batch on the 16x leg because 16 buckets/band puts
+            // ~4k vectors in every bucket list and the O(bucket^2)
+            // recurrence explodes; per-band nPlanes must be sized exactly
+            // like the single rung's, and bands multiply state on top
+            case _ => EventStreams.semanticDedupStreamBanded(stream,
+              threshold = 0.9, nPlanes = 8, bands = 2, idCol = "doc_id",
+              vecCol = "embedding")
           }
           runAndReport(deduped, root, "update", perWave * 2,
             f"$rung%-8s ${mult}%2dx ${perWave * 2}%8d docs", "doc")
