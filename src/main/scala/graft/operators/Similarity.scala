@@ -708,6 +708,17 @@ object Similarity {
     * ids only. At 100 TB the within-bucket join is quadratic in bucket
     * size — `nPlanes` is the lever (each plane halves expected bucket
     * population), and AQE's skew split handles hot buckets.
+    *
+    * CONCENTRATION caveat (measured, ScaleProbe `semplanes`): a corpus
+    * clustered around a shared mean direction — the usual shape of real
+    * sentence-embedding spaces — pins the sign of every plane that
+    * weights the shared dims, collapsing spread regardless of the plane
+    * family (an isotropic 200k corpus spreads over all 256 8-plane
+    * buckets; the same corpus plus one strong shared direction occupies
+    * 16). The fix is semantic, not mechanical: mean-center the vectors
+    * upstream (a narrow projection — but cosine thresholds then live in
+    * centered space, a pipeline decision), or raise `nPlanes`/use
+    * [[semanticDedupBanded]].
     */
   def semanticDedup(corpus: DataFrame, threshold: Double, nPlanes: Int = 8,
                     idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {

@@ -1244,6 +1244,26 @@ object ScaleProbe {
       val t0 = System.nanoTime()
       noop(Similarity.semanticDedupBanded(v, threshold = 0.95, nPlanes = 12, bands = 2))
       println(f"[probe] semplanes banded dedup 12x2        ${(System.nanoTime() - t0) / 1e9}%.1f s")
+      // the known LSH limit the scaladoc must caveat: a CONCENTRATED corpus
+      // (every vector = a shared direction + small noise — the real shape
+      // of sentence-embedding spaces, which cluster around a mean) pins
+      // the sign of every plane that weights the shared dims, so spread
+      // collapses no matter how sound the plane family is. Mitigation is
+      // semantic, not mechanical: mean-center upstream (cosine thresholds
+      // then live in centered space) or raise nPlanes/bands.
+      val conc = spark.range(0, nClusters * 5).select(
+        col("id").as("vec_id"),
+        expr("transform(sequence(1, 64), d -> " +
+          "CAST(IF(d = 1, 10.0, 0.0) + " +
+          "pmod(xxhash64(CAST(id DIV 5 AS BIGINT), d), 10007) / 10007.0 - 0.5 AS DOUBLE))")
+          .as("embedding"))
+      for (np <- Seq(8, 16)) {
+        val h = Similarity.hyperplaneBuckets(conc, nPlanes = np)
+          .groupBy("bucket").agg(count(lit(1)).as("n"))
+          .agg(count(lit(1)), max("n")).head()
+        println(f"[probe] semplanes CONCENTRATED np=$np%-2d buckets ${h.getLong(0)}%5d " +
+          f"(max ${h.getLong(1)}%7d)")
+      }
     }
 
     if (sections("streamscale")) {
