@@ -1169,10 +1169,14 @@ object SparkEntry {
     }),
 
     // SemDeDup-shaped semantic dedup: drop any vector with an earlier
-    // same-LSH-bucket neighbor above cosine 0.35 (keep-first). The
-    // deterministic hyperplane buckets (q37's) make the oracle exact.
+    // same-LSH-bucket neighbor above cosine 0.35 (keep-first), MEAN-
+    // CENTERED — buckets and cosines both run on v - mu (the measured
+    // concentration fix; ScaleProbe `semplanes` CONCENTRATED leg). The
+    // deterministic hyperplane buckets (q37's) plus the 6-dp-rounded mean
+    // (fitMeanVector's cross-engine constant) keep the oracle exact.
     "q94_sem_dedup" -> ((s, dir) => {
-      Similarity.semanticDedup(Tables.embeddings(s, dir), threshold = 0.35)
+      Similarity.semanticDedup(Tables.embeddings(s, dir), threshold = 0.35,
+          center = true)
         .orderBy("vec_id")
     }),
 
@@ -3291,7 +3295,7 @@ object SparkEntry {
     // DuckDB rebuilds both bands and ORs the join condition.
     "q219_sem_dedup_banded" -> ((s, dir) => {
       Similarity.semanticDedupBanded(Tables.embeddings(s, dir),
-          threshold = 0.35, nPlanes = 6, bands = 2)
+          threshold = 0.35, nPlanes = 6, bands = 2, center = true)
         .orderBy("vec_id")
     }),
 
@@ -4983,17 +4987,24 @@ object SparkEntry {
         |FROM documents WHERE n_chars >= 300 ORDER BY doc_id""".stripMargin,
 
     // q94's rebuild with BOTH plane bands and an OR'd join condition —
-    // the same deterministic arithmetic, so the OR-construction stays an
-    // exact hash gate. Survivor bucket = band 0's, like the Spark side.
+    // the same deterministic arithmetic (incl. the centered-space rebuild
+    // and 6-dp mean), so the OR-construction stays an exact hash gate.
+    // Survivor bucket = band 0's, like the Spark side.
     "q219_sem_dedup_banded" -> {
       val dot = (p: Int) =>
-        s"list_dot_product(CAST(embedding AS DOUBLE[]), " +
-          s"list_transform(range(1, len(embedding) + 1), d -> CAST((d * 131 + $p + 7) * (d * 137 + $p * 149 + 11) % 1009 % 3 - 1 AS DOUBLE)))"
+        s"list_dot_product(e, " +
+          s"list_transform(range(1, len(e) + 1), d -> CAST((d * 131 + $p + 7) * (d * 137 + $p * 149 + 11) % 1009 % 3 - 1 AS DOUBLE)))"
       def band(offset: Int) = (0 until 6)
         .map(j => s"CASE WHEN ${dot(offset + j)} >= 0 THEN CAST(${1L << j} AS BIGINT) ELSE CAST(0 AS BIGINT) END")
         .mkString(" + ")
-      s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
-         |${band(0)} AS b0, ${band(6)} AS b1 FROM embeddings),
+      s"""WITH raw AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e0 FROM embeddings),
+         |mu AS (SELECT LIST(m ORDER BY i) AS mu FROM (
+         |  SELECT i, round(avg(e0[i]), 6) AS m
+         |  FROM raw, unnest(range(1, len(e0) + 1)) AS r(i) GROUP BY i)),
+         |ce AS (SELECT vec_id, list_transform(range(1, len(e0) + 1), i -> e0[i] - mu[i]) AS e
+         |  FROM raw CROSS JOIN mu),
+         |v AS (SELECT vec_id, e,
+         |${band(0)} AS b0, ${band(6)} AS b1 FROM ce),
          |d AS (SELECT DISTINCT b.vec_id FROM v a JOIN v b
          |ON (a.b0 = b.b0 OR a.b1 = b.b1) AND b.vec_id > a.vec_id
          |WHERE list_dot_product(a.e, b.e) / (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))) > 0.35)
@@ -5222,16 +5233,25 @@ object SparkEntry {
     // the HLL++/GK sketch queries; see SketchParitySpec's PQ recall anchor).
 
     "q94_sem_dedup" -> {
-      // Same deterministic hyperplane rebuild as the q37 oracle; pairs and
-      // anti-join mirror Similarity.semanticDedup exactly (unrounded cosine
-      // strictly > threshold, keep-first on vec_id).
+      // Same deterministic hyperplane rebuild as the q37 oracle, on MEAN-
+      // CENTERED vectors: mu is the per-dim corpus avg rounded to 6 dp
+      // (both engines' decimal HALF_UP, so the constant — and hence every
+      // downstream double — is bit-identical; see fitMeanVector). Pairs
+      // and anti-join mirror Similarity.semanticDedup exactly (unrounded
+      // centered cosine strictly > threshold, keep-first on vec_id).
       val dot = (p: Int) =>
-        s"list_dot_product(CAST(embedding AS DOUBLE[]), " +
-          s"list_transform(range(1, len(embedding) + 1), d -> CAST((d * 131 + $p + 7) * (d * 137 + $p * 149 + 11) % 1009 % 3 - 1 AS DOUBLE)))"
+        s"list_dot_product(e, " +
+          s"list_transform(range(1, len(e) + 1), d -> CAST((d * 131 + $p + 7) * (d * 137 + $p * 149 + 11) % 1009 % 3 - 1 AS DOUBLE)))"
       val bits = (0 until 8)
         .map(p => s"CASE WHEN ${dot(p)} >= 0 THEN CAST(${1L << p} AS BIGINT) ELSE CAST(0 AS BIGINT) END")
         .mkString(" + ")
-      s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e, $bits AS bucket FROM embeddings),
+      s"""WITH raw AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e0 FROM embeddings),
+         |mu AS (SELECT LIST(m ORDER BY i) AS mu FROM (
+         |  SELECT i, round(avg(e0[i]), 6) AS m
+         |  FROM raw, unnest(range(1, len(e0) + 1)) AS r(i) GROUP BY i)),
+         |c AS (SELECT vec_id, list_transform(range(1, len(e0) + 1), i -> e0[i] - mu[i]) AS e
+         |  FROM raw CROSS JOIN mu),
+         |v AS (SELECT vec_id, e, $bits AS bucket FROM c),
          |d AS (SELECT DISTINCT b.vec_id FROM v a JOIN v b ON a.bucket = b.bucket AND b.vec_id > a.vec_id
          |WHERE list_dot_product(a.e, b.e) / (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))) > 0.35)
          |SELECT vec_id, bucket FROM v WHERE vec_id NOT IN (SELECT vec_id FROM d) ORDER BY vec_id""".stripMargin

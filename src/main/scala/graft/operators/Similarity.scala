@@ -694,6 +694,47 @@ object Similarity {
     expr(bits)
   }
 
+  /** Fit the per-dimension corpus mean of an embedding column — the
+    * centering statistic for [[semanticDedup]]'s `center` mode — via one
+    * [[graft.functions.VectorAvg]] hash aggregate (map-side combinable:
+    * shuffle bytes are one dims-length vector per partition, independent
+    * of corpus size) and a single-row driver collect (bounded: dims
+    * doubles).
+    *
+    * Each dimension is rounded to `roundDp` decimals (BigDecimal HALF_UP,
+    * the same decimal rounding Spark's and DuckDB's `round` apply) before
+    * use. The rounding is NOT cosmetic — it is what makes the fit a
+    * cross-engine-identical constant: float summation order differs
+    * between engines (partition-parallel here, scan-order in an oracle),
+    * so the raw mean can differ in its last ulps, and a sign decision
+    * `dot(v - mu, plane) >= 0` downstream would be non-reproducible.
+    * Rounding collapses both engines' ulp-perturbed means onto one double
+    * unless the true mean sits within that perturbation (~1e-16 relative)
+    * of a decimal boundary — measured margin on the test corpora is
+    * ~1e-8, eight orders clear. Centering quality is unaffected: the
+    * concentration effect this corrects is O(1) in magnitude, 1e-6 noise
+    * is irrelevant. Null vectors are ignored by the aggregate. */
+  def fitMeanVector(corpus: DataFrame, vecCol: String = "embedding",
+                    roundDp: Int = 6): Seq[Double] = {
+    val row = corpus
+      .agg(graft.functions.GraftFunctions
+        .vector_avg(col(vecCol).cast("array<double>")).as("_mu"))
+      .collect()(0)
+    require(!row.isNullAt(0), "fitMeanVector: corpus has no non-null vectors")
+    row.getSeq[Double](0)
+      .map(x => BigDecimal(x).setScale(roundDp, BigDecimal.RoundingMode.HALF_UP)
+        .toDouble)
+  }
+
+  /** Center an embedding column by a fitted mean (a pure narrow
+    * projection: codegen'd zip_with, zero shuffles, the mean rides as a
+    * literal array). The [[semanticDedup]] concentration fix, exposed
+    * standalone so pipelines can center once upstream of several
+    * consumers — including the streaming rungs, which cannot fit a
+    * corpus-wide mean themselves and take pre-centered vectors instead. */
+  def centerVectors(vec: Column, mean: Seq[Double]): Column =
+    zip_with(vec.cast("array<double>"), typedlit(mean), (x, m) => x - m)
+
   /** SemDeDup-shaped semantic deduplication (Abbas et al. 2023, public):
     * drop every vector that has an EARLIER (smaller-id) same-bucket
     * neighbor with cosine above `threshold`; keep-first, like
@@ -709,26 +750,41 @@ object Similarity {
     * size — `nPlanes` is the lever (each plane halves expected bucket
     * population), and AQE's skew split handles hot buckets.
     *
-    * CONCENTRATION caveat (measured, ScaleProbe `semplanes`): a corpus
-    * clustered around a shared mean direction — the usual shape of real
+    * CONCENTRATION (measured, ScaleProbe `semplanes`): a corpus clustered
+    * around a shared mean direction — the usual shape of real
     * sentence-embedding spaces — pins the sign of every plane that
     * weights the shared dims, collapsing spread regardless of the plane
     * family (an isotropic 200k corpus spreads over all 256 8-plane
     * buckets; the same corpus plus one strong shared direction occupies
-    * 16). The fix is semantic, not mechanical: mean-center the vectors
-    * upstream (a narrow projection — but cosine thresholds then live in
-    * centered space, a pipeline decision), or raise `nPlanes`/use
-    * [[semanticDedupBanded]].
+    * 16, max bucket 15,380 rows — and the within-bucket join is quadratic
+    * in bucket size). `center = true` is the fix: fit the per-dimension
+    * corpus mean ([[fitMeanVector]] — one map-side-combinable aggregate,
+    * driver state = dims doubles) and run the WHOLE operator — buckets
+    * AND the verification cosine — in centered space. Running both in the
+    * same space is what makes the result well-defined: the keep-set is
+    * then invariant under any constant offset of the corpus (buckets
+    * depend on v - mu, which offsets cancel; so do centered cosines),
+    * where a bucket-only centering would mix centered candidates with
+    * raw-space thresholds. The threshold therefore lives in centered
+    * space when `center` is on — the SemDeDup regime, where similarity is
+    * measured between variation-around-the-mean, not raw directions
+    * (Abbas et al. cluster mean-free residuals the same way).
     */
   def semanticDedup(corpus: DataFrame, threshold: Double, nPlanes: Int = 8,
-                    idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+                    idCol: String = "vec_id", vecCol: String = "embedding",
+                    center: Boolean = false): DataFrame = {
     require(nPlanes >= 1 && nPlanes <= 62,
       s"semanticDedup needs nPlanes in [1, 62] (bucket is a BIGINT bit vector), got $nPlanes")
+    val src =
+      if (center) {
+        val mu = fitMeanVector(corpus, vecCol)
+        corpus.select(col(idCol), centerVectors(col(vecCol), mu).as(vecCol))
+      } else corpus
     // the bucketed frame feeds THREE subtrees (both pair-join sides and the
     // anti-join base); detached once so the corpus scan + O(nPlanes x dims)
     // bucket aggregate run once, not three times (see Relational.detach for
     // the durability contract)
-    val withB = Relational.detach(corpus.select(col(idCol), col(vecCol),
+    val withB = Relational.detach(src.select(col(idCol), col(vecCol),
       hyperplaneBucketExpr(vecCol, nPlanes).as("bucket")))
     val a = withB.select(col("bucket"), col(idCol).as("_ida"), col(vecCol).as("_va"))
     val b = withB.select(col("bucket"), col(idCol).as("_idb"), col(vecCol).as("_vb"))
@@ -758,15 +814,25 @@ object Similarity {
     * noise next to a pair-level distinct's extra shuffle, and the
     * alternative all-band pair frame would carry vectors through an
     * exchange. Survivors return as (idCol, bucket of band 0).
+    *
+    * `center` carries [[semanticDedup]]'s concentration fix: buckets in
+    * EVERY band and the verification cosine all run on mean-centered
+    * vectors (same well-definedness argument — see there).
     */
   def semanticDedupBanded(corpus: DataFrame, threshold: Double,
                           nPlanes: Int = 8, bands: Int = 2,
                           idCol: String = "vec_id",
-                          vecCol: String = "embedding"): DataFrame = {
+                          vecCol: String = "embedding",
+                          center: Boolean = false): DataFrame = {
     require(bands >= 1 && nPlanes >= 1 && bands * nPlanes <= 62,
       s"semanticDedupBanded needs bands*nPlanes in [1, 62], got $bands x $nPlanes")
+    val src =
+      if (center) {
+        val mu = fitMeanVector(corpus, vecCol)
+        corpus.select(col(idCol), centerVectors(col(vecCol), mu).as(vecCol))
+      } else corpus
     val bCols = (0 until bands).map(b => s"_band$b")
-    val withB = Relational.detach(corpus.select(
+    val withB = Relational.detach(src.select(
       col(idCol) +: col(vecCol) +: bCols.zipWithIndex.map { case (c, b) =>
         hyperplaneBucketExpr(vecCol, nPlanes, planeOffset = b * nPlanes).as(c)
       }: _*))

@@ -336,9 +336,11 @@ object EventStreams {
     * constant re-creates the small-bucket regime where the per-batch
     * O(bucket-population^2) recurrence explodes (measured: a 2x4 split
     * on 64k docs ran 50-100 s/batch vs 2x8's ~13 s — 16 buckets/band
-    * put ~4k vectors in every ListState). */
+    * put ~4k vectors in every ListState). The default (8 planes x 2
+    * bands) matches the batch twin's, so default-vs-default stream/batch
+    * calls stay parity-consistent. */
   def semanticDedupStreamBanded(vectors: DataFrame, threshold: Double,
-                                nPlanes: Int = 6, bands: Int = 2,
+                                nPlanes: Int = 8, bands: Int = 2,
                                 idCol: String = "vec_id",
                                 vecCol: String = "embedding",
                                 ttl: Option[java.time.Duration] = None): DataFrame = {

@@ -1244,26 +1244,59 @@ object ScaleProbe {
       val t0 = System.nanoTime()
       noop(Similarity.semanticDedupBanded(v, threshold = 0.95, nPlanes = 12, bands = 2))
       println(f"[probe] semplanes banded dedup 12x2        ${(System.nanoTime() - t0) / 1e9}%.1f s")
-      // the known LSH limit the scaladoc must caveat: a CONCENTRATED corpus
+      // third band count (3 x 8 planes): does the bands-vs-planes rule
+      // extrapolate? 1-(1-r)^3 on the single-8-plane recall, for 3x the
+      // bucket-join cost — priced next to 2x12's point on the same corpus
+      val b3 = v.select(col("vec_id") +: (0 until 3).map(bd =>
+        Similarity.hyperplaneBucketExpr("embedding", 8, bd * 8).as(s"bk$bd")): _*)
+        .persist()
+      val hit3 = (0 until 3).map { band =>
+        val c = s"bk$band"
+        b3.select((col("vec_id") / 5).cast("long").as("cl"),
+            col("vec_id").as("ida"), col(c).as("bk"))
+          .join(b3.select((col("vec_id") / 5).cast("long").as("cl"),
+            col("vec_id").as("idb"), col(c).as("bk")), Seq("cl", "bk"))
+          .where(col("ida") < col("idb"))
+          .select("cl", "ida", "idb")
+      }.reduce(_ unionAll _).distinct().count()
+      b3.unpersist(blocking = true)
+      println(f"[probe] semplanes np=8 x 3 bands (OR): recall ${hit3.toDouble / truePairs}%.4f")
+      val t3 = System.nanoTime()
+      noop(Similarity.semanticDedupBanded(v, threshold = 0.95, nPlanes = 8, bands = 3))
+      println(f"[probe] semplanes banded dedup 8x3         ${(System.nanoTime() - t3) / 1e9}%.1f s")
+      // the LSH concentration limit AND its fix: a CONCENTRATED corpus
       // (every vector = a shared direction + small noise — the real shape
       // of sentence-embedding spaces, which cluster around a mean) pins
       // the sign of every plane that weights the shared dims, so spread
-      // collapses no matter how sound the plane family is. Mitigation is
-      // semantic, not mechanical: mean-center upstream (cosine thresholds
-      // then live in centered space) or raise nPlanes/bands.
+      // collapses no matter how sound the plane family is. center=true
+      // (fitMeanVector + centerVectors — the mean IS the shared direction)
+      // must restore the isotropic occupancy.
       val conc = spark.range(0, nClusters * 5).select(
         col("id").as("vec_id"),
         expr("transform(sequence(1, 64), d -> " +
           "CAST(IF(d = 1, 10.0, 0.0) + " +
           "pmod(xxhash64(CAST(id DIV 5 AS BIGINT), d), 10007) / 10007.0 - 0.5 AS DOUBLE))")
           .as("embedding"))
-      for (np <- Seq(8, 16)) {
-        val h = Similarity.hyperplaneBuckets(conc, nPlanes = np)
+      val cPath = "/tmp/graft_probe_semplanes_conc"
+      conc.write.mode("overwrite").parquet(cPath)
+      val concV = spark.read.parquet(cPath)
+      val concMu = Similarity.fitMeanVector(concV)
+      val concCentered = concV.select(col("vec_id"),
+        Similarity.centerVectors(col("embedding"), concMu).as("embedding"))
+      for ((tag, corp) <- Seq(("raw     ", concV), ("centered", concCentered));
+           np <- Seq(8, 16)) {
+        val h = Similarity.hyperplaneBuckets(corp, nPlanes = np)
           .groupBy("bucket").agg(count(lit(1)).as("n"))
           .agg(count(lit(1)), max("n")).head()
-        println(f"[probe] semplanes CONCENTRATED np=$np%-2d buckets ${h.getLong(0)}%5d " +
+        println(f"[probe] semplanes CONCENTRATED $tag np=$np%-2d buckets ${h.getLong(0)}%5d " +
           f"(max ${h.getLong(1)}%7d)")
       }
+      // end-to-end centered dedup on the concentrated corpus — the shape
+      // that was quadratic-in-bucket before the fix
+      val tc = System.nanoTime()
+      noop(Similarity.semanticDedup(concV, threshold = 0.95, center = true))
+      println(f"[probe] semplanes CONCENTRATED centered dedup np=8 " +
+        f"${(System.nanoTime() - tc) / 1e9}%.1f s")
     }
 
     if (sections("streamscale")) {
@@ -1492,9 +1525,13 @@ object ScaleProbe {
             q.stop()
             q.awaitTermination()
             // the listener bus is async: give the non-empty progress events
-            // up to 30 s to drain before detaching
+            // up to 30 s to drain before detaching. Drain against the FIXED
+            // expected count (nWaves), not wavesSeen — the foreachBatch
+            // counter double-counts retried batches while the listener sees
+            // one progress event per COMMITTED batch, so comparing against
+            // it would spin the full timeout on any retry
             val drain = System.nanoTime() + 30L * 1000 * 1000 * 1000
-            while (seenProgress.size < wavesSeen.get && System.nanoTime() < drain)
+            while (seenProgress.size < nWaves && System.nanoTime() < drain)
               Thread.sleep(200)
             spark.streams.removeListener(listener)
           }

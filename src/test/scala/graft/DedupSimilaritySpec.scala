@@ -1288,6 +1288,78 @@ class DedupSimilaritySpec extends SparkSuite {
     assert(nBuckets > 100, s"bucket spread collapsed: $nBuckets of 256")
   }
 
+  test("semanticDedup center=true: restores bucket spread on a concentrated corpus, keeps finding dups") {
+    // The measured LSH concentration limit (ScaleProbe `semplanes`
+    // CONCENTRATED leg): one strong shared direction pins the sign of
+    // every plane that weights it, and 256 buckets collapse regardless of
+    // the plane family. Mean-centering removes the shared direction.
+    // 2048 isotropic 48-dim vectors, all shifted +5.0 on dim 1; ids
+    // 0..15 are planted EXACT duplicates of ids 1000..1015 (exact copies
+    // so bucket equality and cosine 1.0 hold by construction in centered
+    // space too).
+    val base = spark.range(2048).select(col("id").as("vec_id"),
+      expr("transform(sequence(1, 48), d -> CAST(" +
+        "pmod(xxhash64(IF(id < 16, id + 1000, id), d), 10007) / 10007.0 - 0.5" +
+        " + IF(d = 1, 5.0, 0.0) AS DOUBLE))").as("embedding"))
+    // uncentered: the shared direction collapses the spread
+    val rawBuckets = Similarity.hyperplaneBuckets(base, nPlanes = 8)
+      .select("bucket").distinct().count()
+    assert(rawBuckets < 40, s"expected concentration collapse, got $rawBuckets buckets")
+    // centered: spread restored (the mean IS the shared direction here)
+    val mu = Similarity.fitMeanVector(base)
+    assert(mu.length === 48 && mu(0) > 4.5, s"mean missed the shared direction: ${mu(0)}")
+    val centered = base.select(col("vec_id"),
+      Similarity.centerVectors(col("embedding"), mu).as("embedding"))
+    val cBuckets = Similarity.hyperplaneBuckets(centered, nPlanes = 8)
+      .select("bucket").distinct().count()
+    assert(cBuckets > 100, s"centered spread not restored: $cBuckets of 256")
+    // the centered operator still deduplicates: every planted copy
+    // (larger id of its pair) is dropped, its original kept
+    val kept = Similarity.semanticDedup(base, threshold = 0.9, center = true)
+      .select("vec_id").as[Long].collect().toSet
+    for (i <- 0L until 16L) {
+      assert(kept.contains(i), s"original $i dropped")
+      assert(!kept.contains(i + 1000), s"planted copy ${i + 1000} survived")
+    }
+    assert(kept.size === 2048 - 16, s"kept ${kept.size}")
+  }
+
+  test("semanticDedup center=true: keep-set invariant under a constant corpus offset") {
+    // Centered buckets depend on v - mu and offsets cancel; so do
+    // centered cosines — so the keep-set must not move when the whole
+    // corpus shifts. (The cancellation is exact as reals; in doubles the
+    // two runs can differ in last-ulp terms through the 6-dp-rounded
+    // mean, which only matters within ~1e-15 of a sign/threshold
+    // boundary — this fixture's margins are O(0.1), and the computation
+    // is deterministic, so the assertion is stable.) The same offset
+    // corpus UNCENTERED collapses to a handful of buckets — the
+    // concentration failure the mode exists to fix.
+    val base = spark.range(512).select(col("id").as("vec_id"),
+      expr("transform(sequence(1, 48), d -> CAST(" +
+        "pmod(xxhash64(IF(id < 8, id + 200, id), d), 1024) / 1024.0 - 0.5" +
+        " AS DOUBLE))").as("embedding"))
+    val shifted = base.select(col("vec_id"),
+      expr("transform(embedding, x -> x + 2.5)").as("embedding"))
+    val keptBase = Similarity.semanticDedup(base, threshold = 0.9, center = true)
+      .select("vec_id").as[Long].collect().toSet
+    val keptShift = Similarity.semanticDedup(shifted, threshold = 0.9, center = true)
+      .select("vec_id").as[Long].collect().toSet
+    assert(keptBase === keptShift)
+    // the planted exact copies (ids 200..207 duplicated at 0..7) dropped
+    // in both: centering does not cost the operator its job
+    assert((200L until 208L).forall(id => !keptBase.contains(id)))
+    val rawShiftBuckets = Similarity.hyperplaneBuckets(shifted, nPlanes = 8)
+      .select("bucket").distinct().count()
+    assert(rawShiftBuckets < 20,
+      s"offset corpus should concentrate uncentered, got $rawShiftBuckets buckets")
+    // banded variant carries the same centering switch
+    val keptBanded = Similarity.semanticDedupBanded(shifted, threshold = 0.9,
+      nPlanes = 6, bands = 2, center = true)
+      .select("vec_id").as[Long].collect().toSet
+    assert((200L until 208L).forall(id => !keptBanded.contains(id)))
+    assert(keptBanded.subsetOf(keptShift))
+  }
+
   test("tokenSpanScrub: overlapping duplicated windows merge; canonical doc unchanged") {
     import graft.operators.Dedup
     // doc 1 is canonical; doc 2 repeats an 8-token run of doc 1 = three
