@@ -3347,6 +3347,40 @@ object SparkEntry {
         .select(col("vec_id"))
         .orderBy("vec_id")
     }),
+
+    // The PQ/ADC pipeline behind an exact cross-engine gate — the q216
+    // degenerate-fixture trick applied to the Lloyd fit (q93 itself stays
+    // rows-only: float centroid averages are engine-specific ON REAL
+    // DATA). Here every cell is a point mass, so the float fit has a
+    // closed form: 4 planted norm-5 subvectors per 2-dim subspace
+    // ((0,5),(3,4),(4,3),(5,0) — integer coordinates, distinct dots
+    // {0,3,4,5} against (1,0)); ids 0-3 are the diagonal combinations, so
+    // the first-ksub-by-id seeds hit all 4 values per subspace, Lloyd
+    // assignment is distance-0 stable, and every centroid update averages
+    // identical integer vectors (exact in any summation order). PQ
+    // encoding is then LOSSLESS, and ADC cosine = dot/(10*|q|) with dots
+    // = 4-digit base-8 numbers (probe weights 8^j per subspace, digits in
+    // {0,3,4,5}) — all 256 corpus dots are DISTINCT INTEGERS, norms all
+    // equal, so the top-10 ordering is forced by construction margins and
+    // the oracle states it literally, no float dot products anywhere.
+    // Exercises the full fit -> encode -> LUT -> fused-ADC -> bounded
+    // top-k path (3 Lloyd iterations run, they are just stationary).
+    "q221_pq_ann_twin" -> ((s, dir) => {
+      import s.implicits._
+      val values = Seq(Seq(0.0, 5.0), Seq(3.0, 4.0), Seq(4.0, 3.0), Seq(5.0, 0.0))
+      val diag = Seq(0, 85, 170, 255) // k with c0=c1=c2=c3
+      val ks = diag ++ (0 until 256).filterNot(diag.contains)
+      val corpus = ks.zipWithIndex.map { case (k, id) =>
+        (id.toLong, (0 until 4).flatMap(j => values((k >> (2 * j)) & 3)))
+      }.toDF("vec_id", "embedding")
+      val probe = Seq((999L, Seq(1.0, 0.0, 8.0, 0.0, 64.0, 0.0, 512.0, 0.0)))
+        .toDF("vec_id", "embedding")
+      val books = Similarity.fitPqCodebooks(corpus, m = 4, ksub = 4, iterations = 3)
+      val codes = Similarity.pqEncode(corpus, books)
+      Similarity.pqTopK(codes, books, probe, 10)
+        .select(col("probe_id"), col("rank"), col("neighbor_id"))
+        .orderBy("rank")
+    }),
   )
 
   /** Session conf for the five streaming driver gates (q205/q206/q210/
@@ -4944,6 +4978,20 @@ object SparkEntry {
     "q220_semantic_scrub_stream_banded" ->
       "SELECT range * 4 AS vec_id FROM range(0, 24) ORDER BY vec_id",
 
+    // The ADC ordering is forced by construction: corpus dots against the
+    // probe are the 256 distinct base-8 integers with digits {0,3,4,5}
+    // (weights 8^j per subspace), all reconstruction norms equal 10, and
+    // the PQ fit is lossless on the point-mass fixture — so the top-10 is
+    // this literal (the diagonal id 3 holds the all-5s digit string; ids
+    // 255..247 walk the next nine base-8 values down through the k ->
+    // vec_id layout in the query comment). No float dot product appears.
+    "q221_pq_ann_twin" ->
+      """SELECT CAST(999 AS BIGINT) AS probe_id, CAST(r AS BIGINT) AS rank,
+        |  CAST(n AS BIGINT) AS neighbor_id
+        |FROM (VALUES (1, 3), (2, 255), (3, 254), (4, 253), (5, 252),
+        |  (6, 251), (7, 250), (8, 249), (9, 248), (10, 247)) AS t(r, n)
+        |ORDER BY rank""".stripMargin,
+
     // The forced-greedy BPE fixture: round-r pair counts are strictly
     // decreasing (20, 15, 12, 9, 8 — re-derived round by round in
     // TextAnalysisSpec), so Sennrich's algorithm has exactly one
@@ -5230,7 +5278,9 @@ object SparkEntry {
 
     // q93_pq_ann is rows-only by design (Lloyd-fit codebooks are float
     // aggregates with engine-specific summation order — same contract as
-    // the HLL++/GK sketch queries; see SketchParitySpec's PQ recall anchor).
+    // the HLL++/GK sketch queries; see SketchParitySpec's PQ recall
+    // anchor). q221_pq_ann_twin is its exact hash gate: a point-mass
+    // fixture where the fit is closed-form and ADC ordering is forced.
 
     "q94_sem_dedup" -> {
       // Same deterministic hyperplane rebuild as the q37 oracle, on MEAN-

@@ -799,12 +799,24 @@ object Similarity {
     * independent plane families (disjoint slices of the deterministic
     * family — band b uses planes [b*nPlanes, (b+1)*nPlanes)), and a pair
     * is a candidate when it shares the bucket in ANY band. Single-band
-    * bucketing trades recall for bucket size (measured in ScaleProbe
-    * `semplanes`: 0.935 at 8 planes, 0.875 at 16 on planted near-dup
-    * clusters); OR-ing b bands lifts pair recall r to 1 - (1-r)^b —
-    * two 12-plane bands ≈ 0.99 where one costs 0.90 — for b times the
-    * bucket-join cost. The same AND-OR trade as [[Dedup]]'s 4x4 MinHash
-    * banding, in embedding space.
+    * bucketing trades recall for bucket size; OR-ing b bands lifts pair
+    * recall r to 1 - (1-r)^b for b times the bucket-join cost. The same
+    * AND-OR trade as [[Dedup]]'s 4x4 MinHash banding, in embedding space.
+    *
+    * Measured recall/cost ladder (ScaleProbe `semplanes`, 200k x 64d in
+    * 40k planted 5-dup clusters, within-cluster cosine ~0.9996; "pred" is
+    * the 1-(1-r)^b rule from the single-band rows — it extrapolates):
+    * {{{
+    * config      recall   pred     cand pairs   dedup wall
+    * 1 x 8       0.9347   —        8.80e7       4.5 s
+    * 1 x 12      0.9040   —        6.97e6       4.3 s
+    * 1 x 16      0.8746   —        9.07e5       4.6 s
+    * 2 x 12      0.9890   0.9908   ~2 x 6.97e6  7.9 s
+    * 3 x 8       0.9996   0.9997   ~3 x 8.80e7  9.8 s
+    * }}}
+    * Sizing rule: pick per-band nPlanes for bucket population (pair cost
+    * is quadratic in bucket size), then add bands for recall — bands
+    * multiply cost linearly and drive miss-rate down geometrically.
     *
     * Scale shape: ONE corpus scan computes all `bands` buckets (a narrow
     * projection, detached once for its three consumers); each band is an
@@ -1121,8 +1133,10 @@ object Similarity {
 
   /** Driver-collect a (subspace, code, centroid) codebook frame into dense
     * per-subspace arrays, loudly rejecting gaps — a sparse code range would
-    * silently mis-index [[graft.functions.PqCosine]]'s lookup table. */
-  private def collectPqCodebooks(codebooks: DataFrame): Array[Array[Array[Double]]] = {
+    * silently mis-index [[graft.functions.PqCosine]]'s lookup table.
+    * Package-visible: the streaming semantic rungs reuse it for their
+    * PQ-codes-in-state mode. */
+  private[graft] def collectPqCodebooks(codebooks: DataFrame): Array[Array[Array[Double]]] = {
     val rows = codebooks.select(col("subspace").cast("int"), col("code").cast("int"),
       col("centroid").cast("array<double>")).collect()
     require(rows.nonEmpty, "pq codebook frame is empty")

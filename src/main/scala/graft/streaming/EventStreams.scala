@@ -297,25 +297,60 @@ object EventStreams {
     * periodic restarts. Null ids/vectors are dropped pre-shuffle (same
     * checkpoint-replay guard as [[funnelStream]]). Requires the RocksDB
     * state store provider, like every `transformWithState` operator here.
-    */
+    *
+    * PQ-CODES-IN-STATE (`pqBooks`): at 100 TB the binding resource of
+    * this rung is ListState bytes (measured ~345–440 B/doc for raw 48-dim
+    * vectors, BASELINE.md `streamscale`). Passing a
+    * [[graft.operators.Similarity.fitPqCodebooks]] frame switches the
+    * rung to product-quantized state: vectors are PQ-encoded BEFORE the
+    * stateful shuffle (the codegen'd
+    * [[graft.functions.PqEncode]] projection — so the exchange shrinks
+    * too, m ints instead of dims doubles), state stores the m-int codes,
+    * and the keep-first recurrence runs on RECONSTRUCTED vectors (decode
+    * = m codebook lookups per entry). Decisions become a deterministic
+    * function of codes — batch-to-batch stable under any arrival order,
+    * the same replay argument as the raw rung — but live in
+    * reconstructed space: they match the raw rung exactly whenever
+    * quantization distortion does not straddle `threshold` (near-dup
+    * corpora are far from the threshold on both sides by construction;
+    * IngestStreamingSpec pins raw/PQ keep-set agreement, ScaleProbe
+    * `streamscale` prices the B/doc cut). Fit the books on a bounded
+    * representative sample (the [[graft.operators.Similarity
+    * .fitPqCodebooks]] `fitSample` contract); the bucket key is still
+    * computed from the RAW vector, so candidate generation is unchanged. */
   def semanticDedupStream(vectors: DataFrame, threshold: Double, nPlanes: Int = 8,
                           idCol: String = "vec_id",
                           vecCol: String = "embedding",
-                          ttl: Option[java.time.Duration] = None): DataFrame = {
+                          ttl: Option[java.time.Duration] = None,
+                          pqBooks: Option[DataFrame] = None): DataFrame = {
     require(nPlanes >= 1 && nPlanes <= 62,
       s"semanticDedupStream needs nPlanes in [1, 62], got $nPlanes")
     val spark = vectors.sparkSession
     import spark.implicits._
-    semanticDedupCore(
-      vectors
-        .select(
-          graft.operators.Similarity.hyperplaneBucketExpr(vecCol, nPlanes).as("_b"),
-          col(idCol).cast("long").as("_id"),
-          col(vecCol).cast("array<double>").as("_v"))
-        .where(col("_b").isNotNull && col("_id").isNotNull && col("_v").isNotNull)
-        .as[(Long, Long, Seq[Double])],
-      threshold, ttl)
-      .toDF("bucket", idCol, "kept")
+    val bucket = graft.operators.Similarity.hyperplaneBucketExpr(vecCol, nPlanes)
+    pqBooks match {
+      case Some(booksDf) =>
+        val books = graft.operators.Similarity.collectPqCodebooks(booksDf)
+        semanticDedupCorePq(
+          vectors
+            .select(bucket.as("_b"), col(idCol).cast("long").as("_id"),
+              graft.functions.GraftFunctions.pq_encode(
+                col(vecCol).cast("array<double>"),
+                books.map(_.map(_.toSeq).toSeq).toSeq).as("_c"))
+            .where(col("_b").isNotNull && col("_id").isNotNull && col("_c").isNotNull)
+            .as[(Long, Long, Seq[Int])],
+          threshold, ttl, books)
+          .toDF("bucket", idCol, "kept")
+      case None =>
+        semanticDedupCore(
+          vectors
+            .select(bucket.as("_b"), col(idCol).cast("long").as("_id"),
+              col(vecCol).cast("array<double>").as("_v"))
+            .where(col("_b").isNotNull && col("_id").isNotNull && col("_v").isNotNull)
+            .as[(Long, Long, Seq[Double])],
+          threshold, ttl)
+          .toDF("bucket", idCol, "kept")
+    }
   }
 
   /** [[semanticDedupStream]] with [[graft.operators.Similarity
@@ -338,12 +373,18 @@ object EventStreams {
     * on 64k docs ran 50-100 s/batch vs 2x8's ~13 s — 16 buckets/band
     * put ~4k vectors in every ListState). The default (8 planes x 2
     * bands) matches the batch twin's, so default-vs-default stream/batch
-    * calls stay parity-consistent. */
+    * calls stay parity-consistent.
+    *
+    * `pqBooks` carries [[semanticDedupStream]]'s PQ-codes-in-state mode;
+    * the state multiplier is then bands x CODES (m ints), not bands x
+    * raw vectors — the banded rung is where the compression matters
+    * most, since bands multiply state. */
   def semanticDedupStreamBanded(vectors: DataFrame, threshold: Double,
                                 nPlanes: Int = 8, bands: Int = 2,
                                 idCol: String = "vec_id",
                                 vecCol: String = "embedding",
-                                ttl: Option[java.time.Duration] = None): DataFrame = {
+                                ttl: Option[java.time.Duration] = None,
+                                pqBooks: Option[DataFrame] = None): DataFrame = {
     require(bands >= 1 && nPlanes >= 1 && bands * nPlanes <= 62,
       s"semanticDedupStreamBanded needs bands*nPlanes in [1, 62], got $bands x $nPlanes")
     val spark = vectors.sparkSession
@@ -351,15 +392,31 @@ object EventStreams {
     val keys = (0 until bands).map(b =>
       graft.operators.Similarity.hyperplaneBucketExpr(vecCol, nPlanes,
         planeOffset = b * nPlanes) + lit(b.toLong << nPlanes))
-    semanticDedupCore(
-      vectors
-        .select(explode(array(keys: _*)).as("_b"),
-          col(idCol).cast("long").as("_id"),
-          col(vecCol).cast("array<double>").as("_v"))
-        .where(col("_b").isNotNull && col("_id").isNotNull && col("_v").isNotNull)
-        .as[(Long, Long, Seq[Double])],
-      threshold, ttl)
-      .toDF("bucket", idCol, "kept_in_bucket")
+    pqBooks match {
+      case Some(booksDf) =>
+        val books = graft.operators.Similarity.collectPqCodebooks(booksDf)
+        semanticDedupCorePq(
+          vectors
+            .select(explode(array(keys: _*)).as("_b"),
+              col(idCol).cast("long").as("_id"),
+              graft.functions.GraftFunctions.pq_encode(
+                col(vecCol).cast("array<double>"),
+                books.map(_.map(_.toSeq).toSeq).toSeq).as("_c"))
+            .where(col("_b").isNotNull && col("_id").isNotNull && col("_c").isNotNull)
+            .as[(Long, Long, Seq[Int])],
+          threshold, ttl, books)
+          .toDF("bucket", idCol, "kept_in_bucket")
+      case None =>
+        semanticDedupCore(
+          vectors
+            .select(explode(array(keys: _*)).as("_b"),
+              col(idCol).cast("long").as("_id"),
+              col(vecCol).cast("array<double>").as("_v"))
+            .where(col("_b").isNotNull && col("_id").isNotNull && col("_v").isNotNull)
+            .as[(Long, Long, Seq[Double])],
+          threshold, ttl)
+          .toDF("bucket", idCol, "kept_in_bucket")
+    }
   }
 
   /** Shared state machinery of the two semantic rungs: per bucket key,
@@ -376,16 +433,7 @@ object EventStreams {
     val spark = keyed.sparkSession
     import spark.implicits._
     val ttlConfig = ttl.map(TTLConfig.apply).getOrElse(TTLConfig.NONE)
-
-    // sequential double dot/norms over the min span — the CosineSimilarity
-    // kernel's exact arithmetic (incl. its malformed-pair convention), so
-    // stream and batch agree on threshold boundaries
-    def cos(a: Seq[Double], b: Seq[Double]): Double = {
-      val n = math.min(a.length, b.length)
-      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
-      while (i < n) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
-      if (na == 0.0 || nb == 0.0) 0.0 else dot / (math.sqrt(na) * math.sqrt(nb))
-    }
+    val cos = semanticCos _
 
     class DedupProcessor extends StatefulProcessor[Long, (Long, Long, Seq[Double]), (Long, Long, Boolean)] {
       @transient private var seen: ListState[(Long, Seq[Double])] = _
@@ -415,6 +463,86 @@ object EventStreams {
       .groupByKey(_._1)
       // enabled TTL forces processing-time mode, like funnelStream
       .transformWithState(new DedupProcessor,
+        if (ttl.isDefined) TimeMode.ProcessingTime() else TimeMode.None(),
+        OutputMode.Update())
+  }
+
+  /** Sequential double dot/norms over the min span — the CosineSimilarity
+    * kernel's exact arithmetic (incl. its malformed-pair convention), so
+    * stream and batch agree on threshold boundaries. Shared by the raw and
+    * PQ semantic cores. */
+  private def semanticCos(a: Seq[Double], b: Seq[Double]): Double = {
+    val n = math.min(a.length, b.length)
+    var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+    while (i < n) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+    if (na == 0.0 || nb == 0.0) 0.0 else dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  /** [[semanticDedupCore]]'s PQ-codes-in-state variant: state per bucket
+    * is every (id, m-int PQ code) seen — m ints instead of dims doubles,
+    * the ListState compression [[semanticDedupStream]]'s `pqBooks`
+    * documents — and each micro-batch decodes the union (m codebook
+    * lookups per entry) and re-runs the keep-first recurrence on the
+    * reconstructed vectors. Decisions are a pure function of codes, so
+    * re-emission stays batch-to-batch stable under any arrival order. */
+  private def semanticDedupCorePq(
+      keyed: org.apache.spark.sql.Dataset[(Long, Long, Seq[Int])],
+      threshold: Double,
+      ttl: Option[java.time.Duration],
+      books: Array[Array[Array[Double]]]): org.apache.spark.sql.Dataset[(Long, Long, Boolean)] = {
+    import org.apache.spark.sql.Encoders
+    import org.apache.spark.sql.streaming.{ListState, OutputMode, StatefulProcessor, TimeMode, TimerValues, TTLConfig}
+    val spark = keyed.sparkSession
+    import spark.implicits._
+    val ttlConfig = ttl.map(TTLConfig.apply).getOrElse(TTLConfig.NONE)
+    val m = books.length
+    val dsub = books(0)(0).length
+    require(books.forall(_.forall(_.length == dsub)),
+      "semanticDedupCorePq: ragged codebooks — subspace centroid widths differ")
+
+    def decode(codes: Seq[Int]): Seq[Double] = {
+      require(codes.length == m,
+        s"pq state decode: ${codes.length} codes for $m subspaces — state written with different books?")
+      val out = new Array[Double](m * dsub)
+      var j = 0
+      while (j < m) {
+        val c = codes(j)
+        require(c >= 0 && c < books(j).length,
+          s"pq state decode: code $c out of range for subspace $j (k=${books(j).length})")
+        System.arraycopy(books(j)(c), 0, out, j * dsub, dsub)
+        j += 1
+      }
+      scala.collection.immutable.ArraySeq.unsafeWrapArray(out)
+    }
+
+    class PqDedupProcessor extends StatefulProcessor[Long, (Long, Long, Seq[Int]), (Long, Long, Boolean)] {
+      @transient private var seen: ListState[(Long, Seq[Int])] = _
+      override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+        seen = getHandle.getListState[(Long, Seq[Int])]("seen_codes",
+          Encoders.product[(Long, Seq[Int])], ttlConfig)
+      override def handleInputRows(bucket: Long, rows: Iterator[(Long, Long, Seq[Int])],
+          tv: TimerValues): Iterator[(Long, Long, Boolean)] = {
+        val incoming = rows.map { case (_, id, c) => (id, c) }.toArray
+        if (incoming.isEmpty) return Iterator.empty
+        val all = (seen.get().toArray ++ incoming)
+          .groupBy(_._1).map(_._2.head).toArray.sortBy(_._1)
+        seen.clear()
+        seen.put(all)
+        // decode once per entry per batch; the recurrence itself is the
+        // raw core's, in reconstructed space
+        val vecs = all.map { case (_, c) => decode(c) }
+        val out = all.indices.map { i =>
+          val dropped = (0 until i).exists { j =>
+            semanticCos(vecs(j), vecs(i)) > threshold }
+          (bucket, all(i)._1, !dropped)
+        }
+        out.iterator
+      }
+    }
+
+    keyed
+      .groupByKey(_._1)
+      .transformWithState(new PqDedupProcessor,
         if (ttl.isDefined) TimeMode.ProcessingTime() else TimeMode.None(),
         OutputMode.Update())
   }

@@ -1354,7 +1354,8 @@ object ScaleProbe {
             f"wall $walls s/batch, state rows $rows, mem $mem%.1f MiB, " +
             f"sst ${sstBytes / 1048576.0}%.1f MiB ($bPer%.0f B/$unit)")
         }
-        for (rung <- Seq("exact", "fuzzy", "semantic", "sembanded");
+        for (rung <- Seq("exact", "fuzzy", "semantic", "sempq", "sembanded",
+                         "sembandedpq");
              mult <- Seq(1, 16)) {
           val perWave = (rung match {
             case "exact" => 8000L
@@ -1387,12 +1388,24 @@ object ScaleProbe {
             Seq(wave(1000000000L), wave(0L)))
           val schema = spark.read.parquet(s"$root/in").schema
           val stream = EventStreams.readFileStream(spark, s"$root/in", schema)
+          // PQ rungs: codebooks fit batch-side on a deterministic 2% slice
+          // of wave 0 (the fitSample contract) — the probe prices the
+          // B/doc cut of codes-in-state vs the raw rungs above
+          lazy val pqBooks = graft.operators.Similarity.fitPqCodebooks(
+            wave(0L), m = 8, ksub = 16, iterations = 2, idCol = "doc_id",
+            fitSample = Some(pmod(col("doc_id"), lit(50)) === 0))
           val deduped = rung match {
             case "exact" => EventStreams.incrementalDedupStream(stream)
             case "fuzzy" => EventStreams.fuzzyDedupStream(stream, tau = 0.5)
             case "semantic" => EventStreams.semanticDedupStream(stream,
               threshold = 0.9, nPlanes = 8, idCol = "doc_id",
               vecCol = "embedding")
+            case "sempq" => EventStreams.semanticDedupStream(stream,
+              threshold = 0.9, nPlanes = 8, idCol = "doc_id",
+              vecCol = "embedding", pqBooks = Some(pqBooks))
+            case "sembandedpq" => EventStreams.semanticDedupStreamBanded(stream,
+              threshold = 0.9, nPlanes = 8, bands = 2, idCol = "doc_id",
+              vecCol = "embedding", pqBooks = Some(pqBooks))
             // full per-band plane count (8, like the single rung): bands do
             // NOT substitute for planes — a 2x4 split was measured at
             // 50-100 s/batch on the 16x leg because 16 buckets/band puts

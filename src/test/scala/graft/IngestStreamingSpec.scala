@@ -1034,6 +1034,73 @@ class IngestStreamingSpec extends SparkSuite {
     }
   }
 
+  test("semanticDedupStream pqBooks: quantized state reproduces the raw keep-set and the flip") {
+    // the raw rungs' fixture: decisions are far from the 0.95 threshold
+    // on both sides (cos ~1 vs cos -1), so PQ reconstruction must not
+    // move them — the keep-set contract the pqBooks scaladoc states
+    val v1 = Seq(1.0, 0.5, -0.25, 1.0, 0.75, -0.5, 0.3, 1.1)
+    val v2 = v1.map(_ * 1.001)
+    val v3 = v1.map(x => -x)
+    val union = Seq((1L, v1), (5L, v2), (9L, v3)).toDF("vec_id", "embedding")
+    val books = graft.operators.Similarity.fitPqCodebooks(
+      union, m = 2, ksub = 4, iterations = 2)
+    val root = Files.createTempDirectory("graft_semdedup_pq").toString
+    val dir = s"$root/in"
+    new java.io.File(dir).mkdirs()
+    Seq((5L, v2), (9L, v3)).toDF("vec_id", "embedding")
+      .coalesce(1).write.parquet(s"$root/f1")
+    Seq((1L, v1)).toDF("vec_id", "embedding")
+      .coalesce(1).write.parquet(s"$root/f2")
+    for (f <- Seq("f1", "f2");
+         p <- new java.io.File(s"$root/$f").listFiles() if p.getName.endsWith(".parquet")) {
+      val dst = java.nio.file.Path.of(dir, s"$f-${p.getName}")
+      Files.copy(p.toPath, dst)
+      dst.toFile.setLastModified(if (f == "f1") 1000000L else 2000000L)
+    }
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    try {
+      spark.conf.set(key,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      val schema = spark.read.parquet(dir).schema
+      val stream = EventStreams.readFileStream(spark, dir, schema, maxFilesPerTrigger = 1)
+      EventStreams.drainToMemory(
+        EventStreams.semanticDedupStream(stream, threshold = 0.95,
+          pqBooks = Some(books)),
+        "sem_dedup_pq_stream", outputMode = "update")
+      val rows = spark.table("sem_dedup_pq_stream")
+        .select("vec_id", "kept").as[(Long, Boolean)].collect()
+      val finals = rows.zipWithIndex.groupBy(_._1._1)
+        .map { case (id, xs) => id -> xs.maxBy(_._2)._1._2 }
+      assert(finals === Map(1L -> true, 5L -> false, 9L -> true),
+        s"got $finals from ${rows.mkString(", ")}")
+      // the retroactive flip must survive quantization: 5 was a batch-1
+      // survivor, then its smaller-id near-dup arrived
+      val fives = rows.filter(_._1 == 5L).map(_._2).toSeq
+      assert(fives.head === true && fives.last === false, s"saw $fives")
+      // keep-set parity with the RAW batch twin on the union
+      val batchSurvivors = graft.operators.Similarity.semanticDedup(
+        union, 0.95).select("vec_id").as[Long].collect().toSet
+      assert(finals.filter(_._2).keySet === batchSurvivors)
+      // the banded rung carries the same mode
+      val stream2 = EventStreams.readFileStream(spark, dir, schema, maxFilesPerTrigger = 1)
+      EventStreams.drainToMemory(
+        EventStreams.semanticDedupStreamBanded(stream2, threshold = 0.95,
+          nPlanes = 4, bands = 2, pqBooks = Some(books)),
+        "sem_dedup_pq_banded_stream", outputMode = "update")
+      val bRows = spark.table("sem_dedup_pq_banded_stream")
+        .select("bucket", "vec_id", "kept_in_bucket")
+        .as[(Long, Long, Boolean)].collect().zipWithIndex
+      val bFinals = bRows.groupBy(x => (x._1._1, x._1._2))
+        .map { case (_, xs) => xs.maxBy(_._2)._1 }
+        .groupBy(_._2).map { case (id, xs) => id -> xs.forall(_._3) }
+      assert(bFinals === Map(1L -> true, 5L -> false, 9L -> true), s"got $bFinals")
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   test("fuzzyDedupStream: late smaller-id original flips the variant; pairwise batch parity") {
     import graft.operators.Dedup
     val tau = 0.5
