@@ -4,8 +4,8 @@ import org.apache.spark.sql.functions._
 
 import graft.operators.{Batching, Dedup}
 
-/** ANSI sweep, part 2 (the z-order span guard under both modes lives in
-  * ClusteringSpec): `spark.sql.ansi.enabled` flips raw int64 Catalyst
+/** ANSI sweep, parts 2+3 (the z-order span guard under both modes lives
+  * in ClusteringSpec): `spark.sql.ansi.enabled` flips raw int64 Catalyst
   * arithmetic between silent wraparound (false) and ARITHMETIC_OVERFLOW
   * throws (true, the Spark 4 default), so every family that runs integer
   * `+`/`*` over user-derived values in SQL expressions needs either a
@@ -96,6 +96,34 @@ class AnsiSweepSpec extends SparkSuite {
       SparkEntry.queries("q20_sessionize")(spark, sf).collect().toSeq)
     assert(on === off)
     assert(on.nonEmpty)
+  }
+
+  test("text-quality per-mille family: gopher flags + main-content extraction identical under BOTH ANSI modes") {
+    // TextAnalysis's raw-int arithmetic on user-derived values is the
+    // per-mille scaling pattern (`count * 1000` vs `total * threshold`,
+    // gopherQualityFlags and mainContentExtract's stopword gate) plus
+    // plain length/count sums. Bounds: counts are bounded by string
+    // length, and a Spark string caps at ~2 GiB, so count * 1000 < 2^41
+    // — twenty-two bits below the int64 edge; the block char sums
+    // accumulate into an explicit BIGINT. The parity pin runs the q87
+    // gopher query (per-mille flags over real documents) and the WARC
+    // main-content extractor (per-mille stopword gate over link-laden
+    // HTML) under both modes.
+    val (on, off) = bothModes(
+      SparkEntry.queries("q87_gopher_quality")(spark, sf).collect().toSeq)
+    assert(on === off)
+    assert(on.nonEmpty)
+    val html = Seq(
+      (1L, "<html><body><p>" + Seq.fill(40)("the quick brown fox was here and it was fine").mkString(" ") +
+        "</p><p><a href=x>nav</a> <a href=y>more nav</a></p></body></html>"),
+      (2L, "<html><body><p><a href=a>l</a><a href=b>l</a></p></body></html>"))
+      .toDF("doc_id", "html")
+    def runExtract() = graft.operators.TextAnalysis
+      .extractMainContent(html, "doc_id", "html")
+      .orderBy("doc_id").collect().toSeq
+    val (eon, eoff) = bothModes(runExtract())
+    assert(eon === eoff)
+    assert(eon.nonEmpty)
   }
 
   test("hyperplane family: 512-dim bucketing identical under BOTH ANSI modes") {
