@@ -363,6 +363,19 @@ class PlanPostureSpec extends SparkSuite {
     assert(!plan.contains("CartesianProduct") &&
       !plan.contains("BroadcastNestedLoopJoin"),
       s"band join degenerated:\n$plan")
+    // center=true adds one fit aggregate BEFORE plan build (fitMeanVector
+    // runs eagerly; the mean rides as a literal) — the returned plan must
+    // keep the exact same posture: no corpus re-scan, no join degeneration,
+    // and no extra exchange smuggled in by the centering projection
+    val centered = executedPlan(graft.operators.Similarity.semanticDedupBanded(
+      emb, threshold = 0.35, nPlanes = 6, bands = 2, center = true))
+    assert(!centered.contains("FileScan") && !centered.contains("BatchScan"),
+      s"centered corpus re-scanned past the detach:\n$centered")
+    assert(!centered.contains("CartesianProduct") &&
+      !centered.contains("BroadcastNestedLoopJoin"),
+      s"centered band join degenerated:\n$centered")
+    assert(shuffleCount(centered) === shuffleCount(plan),
+      s"centering added an exchange:\n$centered")
   }
 
   test("chat family plans ONE conversation-keyed exchange each (q154/q155/q156 shape)") {
