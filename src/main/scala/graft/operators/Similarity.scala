@@ -735,6 +735,18 @@ object Similarity {
   def centerVectors(vec: Column, mean: Seq[Double]): Column =
     zip_with(vec.cast("array<double>"), typedlit(mean), (x, m) => x - m)
 
+  /** The `center = true` entry shared by the semantic dedup family: fit
+    * the mean, replace `vecCol` with the centered projection (so every
+    * downstream bucket/cosine consumer sees centered vectors under the
+    * original name), or pass the corpus through untouched. */
+  private def maybeCentered(corpus: DataFrame, center: Boolean,
+                            idCol: String, vecCol: String): DataFrame =
+    if (!center) corpus
+    else {
+      val mu = fitMeanVector(corpus, vecCol)
+      corpus.select(col(idCol), centerVectors(col(vecCol), mu).as(vecCol))
+    }
+
   /** SemDeDup-shaped semantic deduplication (Abbas et al. 2023, public):
     * drop every vector that has an EARLIER (smaller-id) same-bucket
     * neighbor with cosine above `threshold`; keep-first, like
@@ -775,11 +787,7 @@ object Similarity {
                     center: Boolean = false): DataFrame = {
     require(nPlanes >= 1 && nPlanes <= 62,
       s"semanticDedup needs nPlanes in [1, 62] (bucket is a BIGINT bit vector), got $nPlanes")
-    val src =
-      if (center) {
-        val mu = fitMeanVector(corpus, vecCol)
-        corpus.select(col(idCol), centerVectors(col(vecCol), mu).as(vecCol))
-      } else corpus
+    val src = maybeCentered(corpus, center, idCol, vecCol)
     // the bucketed frame feeds THREE subtrees (both pair-join sides and the
     // anti-join base); detached once so the corpus scan + O(nPlanes x dims)
     // bucket aggregate run once, not three times (see Relational.detach for
@@ -838,11 +846,7 @@ object Similarity {
                           center: Boolean = false): DataFrame = {
     require(bands >= 1 && nPlanes >= 1 && bands * nPlanes <= 62,
       s"semanticDedupBanded needs bands*nPlanes in [1, 62], got $bands x $nPlanes")
-    val src =
-      if (center) {
-        val mu = fitMeanVector(corpus, vecCol)
-        corpus.select(col(idCol), centerVectors(col(vecCol), mu).as(vecCol))
-      } else corpus
+    val src = maybeCentered(corpus, center, idCol, vecCol)
     val bCols = (0 until bands).map(b => s"_band$b")
     val withB = Relational.detach(src.select(
       col(idCol) +: col(vecCol) +: bCols.zipWithIndex.map { case (c, b) =>

@@ -1101,6 +1101,62 @@ class IngestStreamingSpec extends SparkSuite {
     }
   }
 
+  test("semanticDedupStream on pre-centered vectors: parity with the batch center=true twin") {
+    // The streaming rungs cannot fit a corpus-wide mean; the documented
+    // pattern is a PREFIT mean (fitMeanVector on a representative batch)
+    // applied with centerVectors upstream of the stream. This pins that
+    // composition: same mean as the batch twin's own fit -> identical
+    // keep-set, including the retroactive flip, on an offset corpus that
+    // would concentrate uncentered.
+    val b1 = Seq(1.0, 0.5, -0.25, 1.0, 0.75, -0.5, 0.3, 1.1)
+    def shift(v: Seq[Double]) = v.map(_ + 2.5) // the shared direction
+    val v1 = shift(b1)
+    val v5 = shift(b1)          // exact dup of v1: dropped in ANY space
+    val v9 = shift(b1.map(-_))  // centered cosine -1: never a dup
+    val union = Seq((1L, v1), (5L, v5), (9L, v9)).toDF("vec_id", "embedding")
+    val mu = graft.operators.Similarity.fitMeanVector(union)
+    val root = Files.createTempDirectory("graft_semdedup_centered").toString
+    val dir = s"$root/in"
+    new java.io.File(dir).mkdirs()
+    Seq((5L, v5), (9L, v9)).toDF("vec_id", "embedding")
+      .coalesce(1).write.parquet(s"$root/f1")
+    Seq((1L, v1)).toDF("vec_id", "embedding")
+      .coalesce(1).write.parquet(s"$root/f2")
+    for (f <- Seq("f1", "f2");
+         p <- new java.io.File(s"$root/$f").listFiles() if p.getName.endsWith(".parquet")) {
+      val dst = java.nio.file.Path.of(dir, s"$f-${p.getName}")
+      Files.copy(p.toPath, dst)
+      dst.toFile.setLastModified(if (f == "f1") 1000000L else 2000000L)
+    }
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    try {
+      spark.conf.set(key,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      val schema = spark.read.parquet(dir).schema
+      val stream = EventStreams.readFileStream(spark, dir, schema, maxFilesPerTrigger = 1)
+        .select(col("vec_id"),
+          graft.operators.Similarity.centerVectors(col("embedding"), mu).as("embedding"))
+      EventStreams.drainToMemory(
+        EventStreams.semanticDedupStream(stream, threshold = 0.95),
+        "sem_dedup_centered_stream", outputMode = "update")
+      val rows = spark.table("sem_dedup_centered_stream")
+        .select("vec_id", "kept").as[(Long, Boolean)].collect()
+      val finals = rows.zipWithIndex.groupBy(_._1._1)
+        .map { case (id, xs) => id -> xs.maxBy(_._2)._1._2 }
+      assert(finals === Map(1L -> true, 5L -> false, 9L -> true), s"got $finals")
+      val fives = rows.filter(_._1 == 5L).map(_._2).toSeq
+      assert(fives.head === true && fives.last === false, s"saw $fives")
+      // parity with the batch twin fitting ITS OWN mean on the same union
+      val batchSurvivors = graft.operators.Similarity.semanticDedup(
+        union, 0.95, center = true).select("vec_id").as[Long].collect().toSet
+      assert(finals.filter(_._2).keySet === batchSurvivors)
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   test("fuzzyDedupStream: late smaller-id original flips the variant; pairwise batch parity") {
     import graft.operators.Dedup
     val tau = 0.5
