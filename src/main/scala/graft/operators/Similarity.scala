@@ -738,13 +738,29 @@ object Similarity {
   /** The `center = true` entry shared by the semantic dedup family: fit
     * the mean, replace `vecCol` with the centered projection (so every
     * downstream bucket/cosine consumer sees centered vectors under the
-    * original name), or pass the corpus through untouched. */
+    * original name), or pass the corpus through untouched.
+    *
+    * Centered mode REQUIRES homogeneous dimensionality and fails loudly
+    * on a ragged row. The raw operator tolerates ragged vectors (planes
+    * are built per own length, cosines use the min-span convention), but
+    * centering cannot: `zip_with` null-pads a vector whose length differs
+    * from the fitted mean, the null centered elements would collapse its
+    * bucket to 0 and poison its cosines, and the ragged row would
+    * silently ESCAPE dedup — a per-row raise_error beats that. (The mean
+    * fit itself also assumes homogeneity: [[fitMeanVector]] divides every
+    * dim-sum by the total vector count, [[graft.functions.VectorAvg]]'s
+    * documented contract.) */
   private def maybeCentered(corpus: DataFrame, center: Boolean,
                             idCol: String, vecCol: String): DataFrame =
     if (!center) corpus
     else {
       val mu = fitMeanVector(corpus, vecCol)
-      corpus.select(col(idCol), centerVectors(col(vecCol), mu).as(vecCol))
+      val guarded = when(size(col(vecCol)) =!= mu.length,
+        raise_error(concat(
+          lit(s"semanticDedup(center=true): ragged vector (expected ${mu.length} dims, got "),
+          size(col(vecCol)).cast("string"), lit(") at " + vecCol))))
+        .otherwise(col(vecCol))
+      corpus.select(col(idCol), centerVectors(guarded, mu).as(vecCol))
     }
 
   /** SemDeDup-shaped semantic deduplication (Abbas et al. 2023, public):

@@ -325,31 +325,51 @@ object EventStreams {
                           pqBooks: Option[DataFrame] = None): DataFrame = {
     require(nPlanes >= 1 && nPlanes <= 62,
       s"semanticDedupStream needs nPlanes in [1, 62], got $nPlanes")
+    semanticKeyed(vectors,
+      graft.operators.Similarity.hyperplaneBucketExpr(vecCol, nPlanes),
+      idCol, vecCol, threshold, ttl, pqBooks)
+      .toDF("bucket", idCol, "kept")
+  }
+
+  /** Shared pre-shuffle projection of the two semantic rungs: key the
+    * rows by `key` (a single bucket or an exploded band array), guard
+    * nulls, and route to the raw or PQ core. ONE definition so the
+    * null-guard set and key derivation can never desynchronize between
+    * the raw and PQ paths — the parity the `pqBooks` scaladoc promises.
+    *
+    * CHECKPOINT COMPATIBILITY: the bucket key derives from (nPlanes,
+    * bands, the plane family) and the state VALUE type from `pqBooks` —
+    * all of them are effectively part of the checkpoint schema. Changing
+    * any of them (including upgrading across a default change) over an
+    * existing transformWithState checkpoint silently strands old state
+    * under keys new arrivals never produce; restart such streams from a
+    * fresh checkpoint. */
+  private def semanticKeyed(vectors: DataFrame, key: org.apache.spark.sql.Column,
+      idCol: String, vecCol: String, threshold: Double,
+      ttl: Option[java.time.Duration],
+      pqBooks: Option[DataFrame]): org.apache.spark.sql.Dataset[(Long, Long, Boolean)] = {
     val spark = vectors.sparkSession
     import spark.implicits._
-    val bucket = graft.operators.Similarity.hyperplaneBucketExpr(vecCol, nPlanes)
     pqBooks match {
       case Some(booksDf) =>
         val books = graft.operators.Similarity.collectPqCodebooks(booksDf)
         semanticDedupCorePq(
           vectors
-            .select(bucket.as("_b"), col(idCol).cast("long").as("_id"),
+            .select(key.as("_b"), col(idCol).cast("long").as("_id"),
               graft.functions.GraftFunctions.pq_encode(
                 col(vecCol).cast("array<double>"),
                 books.map(_.map(_.toSeq).toSeq).toSeq).as("_c"))
             .where(col("_b").isNotNull && col("_id").isNotNull && col("_c").isNotNull)
             .as[(Long, Long, Seq[Int])],
           threshold, ttl, books)
-          .toDF("bucket", idCol, "kept")
       case None =>
         semanticDedupCore(
           vectors
-            .select(bucket.as("_b"), col(idCol).cast("long").as("_id"),
+            .select(key.as("_b"), col(idCol).cast("long").as("_id"),
               col(vecCol).cast("array<double>").as("_v"))
             .where(col("_b").isNotNull && col("_id").isNotNull && col("_v").isNotNull)
             .as[(Long, Long, Seq[Double])],
           threshold, ttl)
-          .toDF("bucket", idCol, "kept")
     }
   }
 
@@ -387,36 +407,12 @@ object EventStreams {
                                 pqBooks: Option[DataFrame] = None): DataFrame = {
     require(bands >= 1 && nPlanes >= 1 && bands * nPlanes <= 62,
       s"semanticDedupStreamBanded needs bands*nPlanes in [1, 62], got $bands x $nPlanes")
-    val spark = vectors.sparkSession
-    import spark.implicits._
     val keys = (0 until bands).map(b =>
       graft.operators.Similarity.hyperplaneBucketExpr(vecCol, nPlanes,
         planeOffset = b * nPlanes) + lit(b.toLong << nPlanes))
-    pqBooks match {
-      case Some(booksDf) =>
-        val books = graft.operators.Similarity.collectPqCodebooks(booksDf)
-        semanticDedupCorePq(
-          vectors
-            .select(explode(array(keys: _*)).as("_b"),
-              col(idCol).cast("long").as("_id"),
-              graft.functions.GraftFunctions.pq_encode(
-                col(vecCol).cast("array<double>"),
-                books.map(_.map(_.toSeq).toSeq).toSeq).as("_c"))
-            .where(col("_b").isNotNull && col("_id").isNotNull && col("_c").isNotNull)
-            .as[(Long, Long, Seq[Int])],
-          threshold, ttl, books)
-          .toDF("bucket", idCol, "kept_in_bucket")
-      case None =>
-        semanticDedupCore(
-          vectors
-            .select(explode(array(keys: _*)).as("_b"),
-              col(idCol).cast("long").as("_id"),
-              col(vecCol).cast("array<double>").as("_v"))
-            .where(col("_b").isNotNull && col("_id").isNotNull && col("_v").isNotNull)
-            .as[(Long, Long, Seq[Double])],
-          threshold, ttl)
-          .toDF("bucket", idCol, "kept_in_bucket")
-    }
+    semanticKeyed(vectors, explode(array(keys: _*)), idCol, vecCol,
+      threshold, ttl, pqBooks)
+      .toDF("bucket", idCol, "kept_in_bucket")
   }
 
   /** Shared state machinery of the two semantic rungs: per bucket key,

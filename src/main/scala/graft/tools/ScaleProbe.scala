@@ -1225,45 +1225,29 @@ object ScaleProbe {
           f"cand pairs $cand%12d recall $recall%.4f dedup $wall")
         b.unpersist(blocking = true): Unit
       }
-      // the OR-construction's recall recovery: 2 disjoint 12-plane bands —
-      // a true pair is a candidate when EITHER band co-buckets it
-      val b2 = v.select(col("vec_id"),
-        Similarity.hyperplaneBucketExpr("embedding", 12, 0).as("b0"),
-        Similarity.hyperplaneBucketExpr("embedding", 12, 12).as("b1")).persist()
-      val hitEither = (0 until 2).map { band =>
-        val c = if (band == 0) "b0" else "b1"
-        b2.select((col("vec_id") / 5).cast("long").as("cl"),
-            col("vec_id").as("ida"), col(c).as("bk"))
-          .join(b2.select((col("vec_id") / 5).cast("long").as("cl"),
-            col("vec_id").as("idb"), col(c).as("bk")), Seq("cl", "bk"))
-          .where(col("ida") < col("idb"))
-          .select("cl", "ida", "idb")
-      }.reduce(_ unionAll _).distinct().count()
-      b2.unpersist(blocking = true)
-      println(f"[probe] semplanes np=12 x 2 bands (OR): recall ${hitEither.toDouble / truePairs}%.4f")
-      val t0 = System.nanoTime()
-      noop(Similarity.semanticDedupBanded(v, threshold = 0.95, nPlanes = 12, bands = 2))
-      println(f"[probe] semplanes banded dedup 12x2        ${(System.nanoTime() - t0) / 1e9}%.1f s")
-      // third band count (3 x 8 planes): does the bands-vs-planes rule
-      // extrapolate? 1-(1-r)^3 on the single-8-plane recall, for 3x the
-      // bucket-join cost — priced next to 2x12's point on the same corpus
-      val b3 = v.select(col("vec_id") +: (0 until 3).map(bd =>
-        Similarity.hyperplaneBucketExpr("embedding", 8, bd * 8).as(s"bk$bd")): _*)
-        .persist()
-      val hit3 = (0 until 3).map { band =>
-        val c = s"bk$band"
-        b3.select((col("vec_id") / 5).cast("long").as("cl"),
-            col("vec_id").as("ida"), col(c).as("bk"))
-          .join(b3.select((col("vec_id") / 5).cast("long").as("cl"),
-            col("vec_id").as("idb"), col(c).as("bk")), Seq("cl", "bk"))
-          .where(col("ida") < col("idb"))
-          .select("cl", "ida", "idb")
-      }.reduce(_ unionAll _).distinct().count()
-      b3.unpersist(blocking = true)
-      println(f"[probe] semplanes np=8 x 3 bands (OR): recall ${hit3.toDouble / truePairs}%.4f")
-      val t3 = System.nanoTime()
-      noop(Similarity.semanticDedupBanded(v, threshold = 0.95, nPlanes = 8, bands = 3))
-      println(f"[probe] semplanes banded dedup 8x3         ${(System.nanoTime() - t3) / 1e9}%.1f s")
+      // the OR-construction's recall recovery, at two configurations: a
+      // true pair is a candidate when ANY band co-buckets it. 2x12 is the
+      // cheap-candidates point; 3x8 checks the 1-(1-r)^b rule
+      // extrapolates past two bands (3x the 8-plane bucket-join cost)
+      for ((np, bands) <- Seq((12, 2), (8, 3))) {
+        val bDf = v.select(col("vec_id") +: (0 until bands).map(bd =>
+          Similarity.hyperplaneBucketExpr("embedding", np, bd * np).as(s"bk$bd")): _*)
+          .persist()
+        val hitAny = (0 until bands).map { band =>
+          val c = s"bk$band"
+          bDf.select((col("vec_id") / 5).cast("long").as("cl"),
+              col("vec_id").as("ida"), col(c).as("bk"))
+            .join(bDf.select((col("vec_id") / 5).cast("long").as("cl"),
+              col("vec_id").as("idb"), col(c).as("bk")), Seq("cl", "bk"))
+            .where(col("ida") < col("idb"))
+            .select("cl", "ida", "idb")
+        }.reduce(_ unionAll _).distinct().count()
+        bDf.unpersist(blocking = true)
+        println(f"[probe] semplanes np=$np x $bands bands (OR): recall ${hitAny.toDouble / truePairs}%.4f")
+        val t0 = System.nanoTime()
+        noop(Similarity.semanticDedupBanded(v, threshold = 0.95, nPlanes = np, bands = bands))
+        println(f"[probe] semplanes banded dedup ${np}x$bands        ${(System.nanoTime() - t0) / 1e9}%.1f s")
+      }
       // the LSH concentration limit AND its fix: a CONCENTRATED corpus
       // (every vector = a shared direction + small noise — the real shape
       // of sentence-embedding spaces, which cluster around a mean) pins

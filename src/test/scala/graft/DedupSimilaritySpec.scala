@@ -1360,6 +1360,22 @@ class DedupSimilaritySpec extends SparkSuite {
     assert(keptBanded.subsetOf(keptShift))
   }
 
+  test("semanticDedup center=true: ragged vector fails loudly instead of escaping dedup") {
+    // raw mode tolerates ragged vectors (min-span cosine, per-length
+    // planes); centered mode cannot — zip_with would null-pad and the row
+    // would silently escape. The guard must throw, naming the widths.
+    val ragged = Seq(
+      (1L, Seq(1.0, 0.5, -0.25, 1.0)),
+      (2L, Seq(1.0, 0.5))).toDF("vec_id", "embedding")
+    val e = intercept[Exception](
+      Similarity.semanticDedup(ragged, threshold = 0.9, center = true)
+        .collect())
+    assert(e.getMessage != null && e.getMessage.contains("ragged"),
+      s"expected the ragged guard, got: ${e.getMessage}")
+    // raw mode on the same frame still runs (the tolerance is per-mode)
+    assert(Similarity.semanticDedup(ragged, threshold = 0.9).count() >= 1)
+  }
+
   test("tokenSpanScrub: overlapping duplicated windows merge; canonical doc unchanged") {
     import graft.operators.Dedup
     // doc 1 is canonical; doc 2 repeats an 8-token run of doc 1 = three
