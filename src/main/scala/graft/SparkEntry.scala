@@ -3381,6 +3381,42 @@ object SparkEntry {
         .select(col("probe_id"), col("rank"), col("neighbor_id"))
         .orderBy("rank")
     }),
+
+    // q221's trick extended through the OPQ tier (q199 stays rows-only on
+    // real data: PCA rotation + Lloyd are float fits). The forcing
+    // argument here needs NO control of the rotation at all: with ksub =
+    // |corpus| and seeds = the whole corpus, every Lloyd cell in rotated
+    // space is a point mass (singleton or exact duplicates), so PQ is
+    // LOSSLESS under whatever exact orthogonal R the eigen-allocation
+    // picks, and ADC cosine = rotated cosine = ORIGINAL cosine (orthogonal
+    // maps preserve dots and norms — the opqRotate invariance contract).
+    // The fixture forces the original ordering with integer margins:
+    // vector(i)[d] = (-1)^popcount(i & (d+1)) * 2^d (Walsh signs on
+    // power-of-two scales — 16 distinct signed-binary dots against the
+    // all-ones probe, all norms equal), so the top-10 is a literal. The
+    // Walsh masks also make the covariance EXACTLY diagonal (balanced
+    // sign products of exact powers of two cancel in any summation
+    // order), so the Jacobi solve runs zero sweeps and R is an exact
+    // permutation — belt and suspenders on top of the invariance
+    // argument. Gap between adjacent cosines >= 2/(|q||v|) ~ 4.8e-3,
+    // nine orders above rotation float noise.
+    "q222_opq_ann_twin" -> ((s, dir) => {
+      import s.implicits._
+      val corpus = (0 until 16).map { i =>
+        (i.toLong, (0 until 8).map { d =>
+          val sign = if (Integer.bitCount(i & (d + 1)) % 2 == 1) -1.0 else 1.0
+          sign * (1 << d)
+        })
+      }.toDF("vec_id", "embedding")
+      val probe = Seq((999L, Seq.fill(8)(1.0))).toDF("vec_id", "embedding")
+      val r = Similarity.fitOpqRotation(corpus, m = 4)
+      val rot = Similarity.opqRotate(corpus, r)
+      val books = Similarity.fitPqCodebooks(rot, m = 4, ksub = 16, iterations = 3)
+      val codes = Similarity.pqEncode(rot, books)
+      Similarity.pqTopK(codes, books, Similarity.opqRotate(probe, r), 10)
+        .select(col("probe_id"), col("rank"), col("neighbor_id"))
+        .orderBy("rank")
+    }),
   )
 
   /** Session conf for the five streaming driver gates (q205/q206/q210/
@@ -4990,6 +5026,17 @@ object SparkEntry {
         |  CAST(n AS BIGINT) AS neighbor_id
         |FROM (VALUES (1, 3), (2, 255), (3, 254), (4, 253), (5, 252),
         |  (6, 251), (7, 250), (8, 249), (9, 248), (10, 247)) AS t(r, n)
+        |ORDER BY rank""".stripMargin,
+
+    // The Walsh-sign fixture's signed-binary dots, ranked: descending
+    // Σ ±2^d with sign d = parity(i & (d+1)) — sixteen distinct integers,
+    // equal norms, so the OPQ/ADC top-10 is forced (rotation preserves
+    // cosines, point-mass cells make PQ lossless; see the query comment).
+    "q222_opq_ann_twin" ->
+      """SELECT CAST(999 AS BIGINT) AS probe_id, CAST(r AS BIGINT) AS rank,
+        |  CAST(n AS BIGINT) AS neighbor_id
+        |FROM (VALUES (1, 0), (2, 6), (3, 5), (4, 3), (5, 7),
+        |  (6, 1), (7, 2), (8, 4), (9, 8), (10, 14)) AS t(r, n)
         |ORDER BY rank""".stripMargin,
 
     // The forced-greedy BPE fixture: round-r pair counts are strictly

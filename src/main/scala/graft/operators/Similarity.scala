@@ -655,7 +655,11 @@ object Similarity {
     * shape is load-bearing: see [[hyperplaneBucketExpr]] for why a single
     * linear form mod 3 degenerates to 3 distinct planes.
     * At 100 TB this is the shuffle-free candidate generator: one pass to
-    * bucket, then a groupBy on (bucket) whose shuffle carries ids only. */
+    * bucket, then a groupBy on (bucket) whose shuffle carries ids only.
+    * A corpus concentrated around a shared direction collapses occupancy
+    * regardless of the plane family (measured: 256 -> 16 buckets) —
+    * center upstream with [[fitMeanVector]]/[[centerVectors]], the fix
+    * [[semanticDedup]]'s `center = true` applies. */
   def hyperplaneBuckets(corpus: DataFrame, nPlanes: Int = 8,
                         idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
     corpus.select(col(idCol), hyperplaneBucketExpr(vecCol, nPlanes).as("bucket"))

@@ -30,7 +30,11 @@ class EntrySpec extends SparkSuite {
       "q196_unigram_lm", "q197_unigram_encode", "q201_unigram_sample",
       "q208_unigram_sample_occ",
       // OPQ = Jacobi rotation + the Lloyd-fit PQ family (same rows-only
-      // category as q93/q100); contracts pinned in DedupSimilaritySpec
+      // category as q93/q100); contracts pinned in DedupSimilaritySpec,
+      // and q222_opq_ann_twin exact-gates the full rotation+PQ+ADC path
+      // on a point-mass fixture (q221's trick: ksub = |corpus| makes PQ
+      // lossless under ANY orthogonal R, and cosine invariance forces
+      // the ordering)
       "q199_opq_ann",
       // the round-15 fit ladder composed (balanced centroids + refined
       // OPQ + sample-fit IVF-PQ + salted join) — Lloyd family, rows-only
