@@ -3417,6 +3417,71 @@ object SparkEntry {
         .select(col("probe_id"), col("rank"), col("neighbor_id"))
         .orderBy("rank")
     }),
+
+    // And the trick through the full IVF-PQ composition (q100's family —
+    // coarse Lloyd + residual PQ + multi-cell ADC). Forcing adds two
+    // ingredients to q221/q222's: (1) DISJOINT-SUPPORT clusters (cluster
+    // c owns dims 2c/2c+1, the q215 pigeonhole) make the coarse
+    // assignment strict — own-cell cosine > 0, every other cell exactly
+    // 0 — and the Lloyd mean ((0+3+4+5)/4 = 3 per dim) exact, so the
+    // coarse fit is closed-form; (2) residuals are then exact small
+    // integers-minus-3, point-mass per subspace, so the residual PQ is
+    // lossless (ksub = |corpus|, q222's argument) and ADC cosine is the
+    // exact original cosine. nprobe = nCells removes cell pruning from
+    // the equation; per-cluster probe weights 8^c make the 12 nonzero
+    // dots distinct integers (a * 8^c, a in {3,4,5}) with the four
+    // zero-dot rows safely below rank 10 — the top-10 is this literal.
+    "q223_ivfpq_ann_twin" -> ((s, dir) => {
+      import s.implicits._
+      val vals = Seq(Seq(3.0, 4.0), Seq(0.0, 5.0), Seq(4.0, 3.0), Seq(5.0, 0.0))
+      def member(c: Int, v: Seq[Double]): Seq[Double] =
+        Seq.tabulate(8)(d => if (d / 2 == c) v(d % 2) else 0.0)
+      // ids 0-3: the (3,4) member of cluster 0-3 (the Lloyd seeds, with
+      // strictly positive dot against every own-cluster member); ids
+      // 4+3c..6+3c: cluster c's remaining members
+      val corpus = ((0 until 4).map(c => (c.toLong, member(c, vals(0)))) ++
+        (for (c <- 0 until 4; j <- 0 until 3)
+          yield ((4 + 3 * c + j).toLong, member(c, vals(j + 1)))))
+        .toDF("vec_id", "embedding")
+      val probe = Seq((999L,
+        Seq.tabulate(8)(d => if (d % 2 == 0) math.pow(8.0, d / 2) else 0.0)))
+        .toDF("vec_id", "embedding")
+      val cents = Similarity.trainCentroids(corpus, 4, 3)
+      val books = Similarity.fitIvfPqCodebooks(corpus, cents, m = 4, ksub = 16,
+        iterations = 3)
+      val enc = Similarity.ivfPqEncode(corpus, cents, books)
+      Similarity.ivfPqTopK(enc, cents, books, probe, 10, nprobe = 4)
+        .select(col("probe_id"), col("rank"), col("neighbor_id"))
+        .orderBy("rank")
+    }),
+
+    // q223's fixture through the PERSISTED index path (q106's family):
+    // fit + encode + parquet save + load + serve in one call. Same
+    // forced literal — which is exactly the point: the round-trip must
+    // not perturb the serve (the one load-bearing ordering is the
+    // collected centroid array's, which loadIvfPqIndex re-sorts by id;
+    // a regression there reorders cell ids and this hash gate catches
+    // it where the rows-only q106 could not).
+    "q224_ivfpq_prefit_twin" -> ((s, dir) => {
+      import s.implicits._
+      val vals = Seq(Seq(3.0, 4.0), Seq(0.0, 5.0), Seq(4.0, 3.0), Seq(5.0, 0.0))
+      def member(c: Int, v: Seq[Double]): Seq[Double] =
+        Seq.tabulate(8)(d => if (d / 2 == c) v(d % 2) else 0.0)
+      val corpus = ((0 until 4).map(c => (c.toLong, member(c, vals(0)))) ++
+        (for (c <- 0 until 4; j <- 0 until 3)
+          yield ((4 + 3 * c + j).toLong, member(c, vals(j + 1)))))
+        .toDF("vec_id", "embedding")
+      val probe = Seq((999L,
+        Seq.tabulate(8)(d => if (d % 2 == 0) math.pow(8.0, d / 2) else 0.0)))
+        .toDF("vec_id", "embedding")
+      val idxDir = java.nio.file.Files.createTempDirectory("graft_q224").toString
+      val idx = Similarity.buildIvfPqIndex(corpus, idxDir, nCells = 4, m = 4,
+        ksub = 16, iterations = 3)
+      Similarity.ivfPqTopK(idx.encoded, idx.centroids, idx.codebooks, probe,
+          10, nprobe = 4)
+        .select(col("probe_id"), col("rank"), col("neighbor_id"))
+        .orderBy("rank")
+    }),
   )
 
   /** Session conf for the five streaming driver gates (q205/q206/q210/
@@ -5037,6 +5102,26 @@ object SparkEntry {
         |  CAST(n AS BIGINT) AS neighbor_id
         |FROM (VALUES (1, 0), (2, 6), (3, 5), (4, 3), (5, 7),
         |  (6, 1), (7, 2), (8, 4), (9, 8), (10, 14)) AS t(r, n)
+        |ORDER BY rank""".stripMargin,
+
+    // The disjoint-support IVF-PQ fixture's dots a * 8^cluster, ranked:
+    // the twelve nonzero rows (a in {3,4,5}) are distinct integers, the
+    // four a=0 rows sit below rank 10 — the literal follows from the id
+    // layout in the query comment.
+    "q223_ivfpq_ann_twin" ->
+      """SELECT CAST(999 AS BIGINT) AS probe_id, CAST(r AS BIGINT) AS rank,
+        |  CAST(n AS BIGINT) AS neighbor_id
+        |FROM (VALUES (1, 15), (2, 14), (3, 3), (4, 12), (5, 11),
+        |  (6, 2), (7, 9), (8, 8), (9, 1), (10, 6)) AS t(r, n)
+        |ORDER BY rank""".stripMargin,
+
+    // Identical literal through the persisted-index path: parquet
+    // round-trip must not perturb the serve.
+    "q224_ivfpq_prefit_twin" ->
+      """SELECT CAST(999 AS BIGINT) AS probe_id, CAST(r AS BIGINT) AS rank,
+        |  CAST(n AS BIGINT) AS neighbor_id
+        |FROM (VALUES (1, 15), (2, 14), (3, 3), (4, 12), (5, 11),
+        |  (6, 2), (7, 9), (8, 8), (9, 1), (10, 6)) AS t(r, n)
         |ORDER BY rank""".stripMargin,
 
     // The forced-greedy BPE fixture: round-r pair counts are strictly

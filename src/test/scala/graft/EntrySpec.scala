@@ -13,6 +13,9 @@ class EntrySpec extends SparkSuite {
     // intentionally ship without a SQL oracle — the driver records the
     // weaker rows-only check for them.
     val rowsOnly = Set("q59_sketch_profile", "q70_winsorize_sketch",
+      // the Lloyd-fit family stays rows-only on REAL data; each tier now
+      // also carries an exact point-mass hash gate: q221 (flat PQ), q222
+      // (OPQ), q223 (IVF-PQ), q224 (persisted index serve)
       "q71_robust_sketch", "q93_pq_ann", "q100_ivfpq_ann",
       "q106_ivfpq_prefit", "q136_bpe_merges", "q191_pq_bigprobe",
       // DEFLATE output bytes are zlib-version-dependent: deterministic
