@@ -40,7 +40,14 @@ class EntrySpec extends SparkSuite {
       // the ordering)
       "q199_opq_ann",
       // the round-15 fit ladder composed (balanced centroids + refined
-      // OPQ + sample-fit IVF-PQ + salted join) — Lloyd family, rows-only
+      // OPQ + sample-fit IVF-PQ + salted join) — Lloyd family, rows-only.
+      // q207 and q191 stay untwinned BY ARGUMENT, not omission: their
+      // deltas over the q221-q224 exact-gated tiers are (a) the salted
+      // distributed cell join, spec-pinned BIT-IDENTICAL to the
+      // broadcast path q223 gates (DedupSimilaritySpec), and (b)
+      // balanced splitting + Procrustes refinement, whose fixpoint on a
+      // point-mass fixture is not provably stable across SVD sign
+      // conventions — the q173-ceiling class of impossibility
       "q207_balanced_opq_ann")
     assert(SparkEntry.oracleSql.keySet === SparkEntry.queries.keySet -- rowsOnly)
   }
