@@ -3482,6 +3482,34 @@ object SparkEntry {
         .select(col("probe_id"), col("rank"), col("neighbor_id"))
         .orderBy("rank")
     }),
+
+    // q223's fixture through the DISTRIBUTED serve path (q191's shape):
+    // probes = the whole corpus, broadcastProbes = false, and a
+    // codesPerSalt low enough (2, vs 4 codes per cell) that every probed
+    // cell genuinely splits across salt buckets — the skew-salted
+    // corpus-vs-corpus join, end-to-end, behind an exact hash gate (the
+    // bit-identical-to-broadcast contract as a DRIVER gate, not just a
+    // spec). Ordering per probe: the 2-3 same-cluster peers by their
+    // exact integer dots (all norms 5), then the exactly-0.0 cross-
+    // cluster ties broken by id ASC — the literal below, 16 probes x 10.
+    "q225_ivfpq_bigprobe_twin" -> ((s, dir) => {
+      import s.implicits._
+      val vals = Seq(Seq(3.0, 4.0), Seq(0.0, 5.0), Seq(4.0, 3.0), Seq(5.0, 0.0))
+      def member(c: Int, v: Seq[Double]): Seq[Double] =
+        Seq.tabulate(8)(d => if (d / 2 == c) v(d % 2) else 0.0)
+      val corpus = ((0 until 4).map(c => (c.toLong, member(c, vals(0)))) ++
+        (for (c <- 0 until 4; j <- 0 until 3)
+          yield ((4 + 3 * c + j).toLong, member(c, vals(j + 1)))))
+        .toDF("vec_id", "embedding")
+      val cents = Similarity.trainCentroids(corpus, 4, 3)
+      val books = Similarity.fitIvfPqCodebooks(corpus, cents, m = 4, ksub = 16,
+        iterations = 3)
+      val enc = Similarity.ivfPqEncode(corpus, cents, books)
+      Similarity.ivfPqTopK(enc, cents, books, corpus, 10, nprobe = 4,
+          broadcastProbes = false, codesPerSalt = 2L, maxSalt = 4)
+        .select(col("probe_id"), col("rank"), col("neighbor_id"))
+        .orderBy("probe_id", "rank")
+    }),
   )
 
   /** Session conf for the five streaming driver gates (q205/q206/q210/
@@ -5123,6 +5151,39 @@ object SparkEntry {
         |FROM (VALUES (1, 15), (2, 14), (3, 3), (4, 12), (5, 11),
         |  (6, 2), (7, 9), (8, 8), (9, 1), (10, 6)) AS t(r, n)
         |ORDER BY rank""".stripMargin,
+
+    // Every probe's forced ordering on the q223 fixture: same-cluster
+    // peers by exact integer dot, then the exactly-0.0 cross-cluster
+    // ties by id ASC (the TopKByScore buffer order). 16 x 10 rows.
+    "q225_ivfpq_bigprobe_twin" ->
+      """SELECT CAST(p AS BIGINT) AS probe_id, CAST(r AS BIGINT) AS rank,
+        |  CAST(n AS BIGINT) AS neighbor_id
+        |FROM (VALUES
+        |  (0,1,5), (0,2,4), (0,3,6), (0,4,1), (0,5,2), (0,6,3), (0,7,7),
+        |  (0,8,8), (0,9,9), (0,10,10), (4,1,0), (4,2,5), (4,3,1), (4,4,2),
+        |  (4,5,3), (4,6,6), (4,7,7), (4,8,8), (4,9,9), (4,10,10), (5,1,0),
+        |  (5,2,6), (5,3,4), (5,4,1), (5,5,2), (5,6,3), (5,7,7), (5,8,8),
+        |  (5,9,9), (5,10,10), (6,1,5), (6,2,0), (6,3,1), (6,4,2), (6,5,3),
+        |  (6,6,4), (6,7,7), (6,8,8), (6,9,9), (6,10,10), (1,1,8), (1,2,7),
+        |  (1,3,9), (1,4,0), (1,5,2), (1,6,3), (1,7,4), (1,8,5), (1,9,6),
+        |  (1,10,10), (7,1,1), (7,2,8), (7,3,0), (7,4,2), (7,5,3), (7,6,4),
+        |  (7,7,5), (7,8,6), (7,9,9), (7,10,10), (8,1,1), (8,2,9), (8,3,7),
+        |  (8,4,0), (8,5,2), (8,6,3), (8,7,4), (8,8,5), (8,9,6), (8,10,10),
+        |  (9,1,8), (9,2,1), (9,3,0), (9,4,2), (9,5,3), (9,6,4), (9,7,5),
+        |  (9,8,6), (9,9,7), (9,10,10), (2,1,11), (2,2,10), (2,3,12), (2,4,0),
+        |  (2,5,1), (2,6,3), (2,7,4), (2,8,5), (2,9,6), (2,10,7), (10,1,2),
+        |  (10,2,11), (10,3,0), (10,4,1), (10,5,3), (10,6,4), (10,7,5), (10,8,6),
+        |  (10,9,7), (10,10,8), (11,1,2), (11,2,12), (11,3,10), (11,4,0),
+        |  (11,5,1), (11,6,3), (11,7,4), (11,8,5), (11,9,6), (11,10,7),
+        |  (12,1,11), (12,2,2), (12,3,0), (12,4,1), (12,5,3), (12,6,4), (12,7,5),
+        |  (12,8,6), (12,9,7), (12,10,8), (3,1,14), (3,2,13), (3,3,15), (3,4,0),
+        |  (3,5,1), (3,6,2), (3,7,4), (3,8,5), (3,9,6), (3,10,7), (13,1,3),
+        |  (13,2,14), (13,3,0), (13,4,1), (13,5,2), (13,6,4), (13,7,5), (13,8,6),
+        |  (13,9,7), (13,10,8), (14,1,3), (14,2,15), (14,3,13), (14,4,0),
+        |  (14,5,1), (14,6,2), (14,7,4), (14,8,5), (14,9,6), (14,10,7),
+        |  (15,1,14), (15,2,3), (15,3,0), (15,4,1), (15,5,2), (15,6,4), (15,7,5),
+        |  (15,8,6), (15,9,7), (15,10,8)) AS t(p, r, n)
+        |ORDER BY probe_id, rank""".stripMargin,
 
     // The forced-greedy BPE fixture: round-r pair counts are strictly
     // decreasing (20, 15, 12, 9, 8 — re-derived round by round in

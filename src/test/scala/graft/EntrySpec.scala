@@ -41,13 +41,13 @@ class EntrySpec extends SparkSuite {
       "q199_opq_ann",
       // the round-15 fit ladder composed (balanced centroids + refined
       // OPQ + sample-fit IVF-PQ + salted join) — Lloyd family, rows-only.
-      // q207 and q191 stay untwinned BY ARGUMENT, not omission: their
-      // deltas over the q221-q224 exact-gated tiers are (a) the salted
-      // distributed cell join, spec-pinned BIT-IDENTICAL to the
-      // broadcast path q223 gates (DedupSimilaritySpec), and (b)
-      // balanced splitting + Procrustes refinement, whose fixpoint on a
-      // point-mass fixture is not provably stable across SVD sign
-      // conventions — the q173-ceiling class of impossibility
+      // Every delta of q207/q191 over the q221-q225 exact-gated tiers is
+      // now gated or argued: the salted distributed corpus-vs-corpus
+      // join has its own driver hash gate (q225, forced salting at
+      // codesPerSalt=2); balanced splitting + Procrustes refinement's
+      // fixpoint on a point-mass fixture is not provably stable across
+      // SVD sign conventions — the q173-ceiling class of impossibility,
+      // so q207 itself stays rows-only permanently
       "q207_balanced_opq_ann")
     assert(SparkEntry.oracleSql.keySet === SparkEntry.queries.keySet -- rowsOnly)
   }
