@@ -3510,6 +3510,42 @@ object SparkEntry {
         .select(col("probe_id"), col("rank"), col("neighbor_id"))
         .orderBy("probe_id", "rank")
     }),
+
+    // Cross-snapshot semantic scrub behind an exact gate: q223's corpus
+    // is the fitted REFERENCE index (served from codes), the new wave is
+    // four exact re-crawls of reference members (ids 100-103, copies of
+    // 15/9/4/0 — ADC cosine exactly 1.0 > tau, dropped) plus four fresh
+    // vectors (ids 104-107, (-3,-4) on cluster c's dims: NEGATIVE dot
+    // with their own cell's centroid, so nprobe=1 probes a zero-cosine
+    // foreign cell deterministically — every candidate scores exactly
+    // 0.0 < tau, kept). The whole verdict is forced arithmetic; the
+    // oracle states the survivor ids.
+    "q226_semantic_scrub_index_twin" -> ((s, dir) => {
+      import s.implicits._
+      val vals = Seq(Seq(3.0, 4.0), Seq(0.0, 5.0), Seq(4.0, 3.0), Seq(5.0, 0.0))
+      def member(c: Int, v: Seq[Double]): Seq[Double] =
+        Seq.tabulate(8)(d => if (d / 2 == c) v(d % 2) else 0.0)
+      val corpus = ((0 until 4).map(c => (c.toLong, member(c, vals(0)))) ++
+        (for (c <- 0 until 4; j <- 0 until 3)
+          yield ((4 + 3 * c + j).toLong, member(c, vals(j + 1)))))
+        .toDF("vec_id", "embedding")
+      val cents = Similarity.trainCentroids(corpus, 4, 3)
+      val books = Similarity.fitIvfPqCodebooks(corpus, cents, m = 4, ksub = 16,
+        iterations = 3)
+      val idx = Similarity.IvfPqIndex(cents, books,
+        Similarity.ivfPqEncode(corpus, cents, books))
+      val newWave = (Seq(
+        (100L, member(3, vals(3))), // re-crawl of id 15
+        (101L, member(1, vals(3))), // re-crawl of id 9
+        (102L, member(0, vals(1))), // re-crawl of id 4
+        (103L, member(0, vals(0)))  // re-crawl of id 0
+      ) ++ (0 until 4).map(c => ((104 + c).toLong, member(c, Seq(-3.0, -4.0)))))
+        .toDF("vec_id", "embedding")
+      Similarity.scrubAgainstIvfPqIndex(newWave, idx, threshold = 0.9,
+          nprobe = 1)
+        .select(col("vec_id"))
+        .orderBy("vec_id")
+    }),
   )
 
   /** Session conf for the five streaming driver gates (q205/q206/q210/
@@ -5184,6 +5220,14 @@ object SparkEntry {
         |  (15,1,14), (15,2,3), (15,3,0), (15,4,1), (15,5,2), (15,6,4), (15,7,5),
         |  (15,8,6), (15,9,7), (15,10,8)) AS t(p, r, n)
         |ORDER BY probe_id, rank""".stripMargin,
+
+    // The cross-snapshot scrub's forced verdict: re-crawls 100-103 drop
+    // (ADC cosine exactly 1.0), fresh 104-107 survive (every probed
+    // candidate scores exactly 0.0).
+    "q226_semantic_scrub_index_twin" ->
+      """SELECT CAST(v AS BIGINT) AS vec_id
+        |FROM (VALUES (104), (105), (106), (107)) AS t(v)
+        |ORDER BY vec_id""".stripMargin,
 
     // The forced-greedy BPE fixture: round-r pair counts are strictly
     // decreasing (20, 15, 12, 9, 8 — re-derived round by round in

@@ -529,6 +529,41 @@ object Similarity {
   /** Fit + encode + persist in one call; returns the loaded index so
     * callers immediately serve from the persisted artifact (guaranteeing
     * saved and served indexes can never drift). */
+  /** Cross-snapshot semantic scrub: drop every NEW vector whose nearest
+    * reference-index neighbor clears cosine `threshold` — "dedupe
+    * tonight's crawl against the reference corpus", the cross-wave twin
+    * of [[semanticDedup]]'s within-corpus keep-first. The reference side
+    * is a fitted [[IvfPqIndex]], so at 100 TB the old snapshot is served
+    * from its `8 + m`-byte codes, never its raw vectors: the check per
+    * new doc is one [[ivfPqTopK]] top-1 over its `nprobe` probed cells,
+    * and survivors come from a LEFT ANTI join on ids only.
+    *
+    * Semantics note: the verdict uses the ADC cosine of the top-1
+    * candidate (quantization is the only approximation, exactly
+    * [[ivfPqTopK]]'s contract) compared against `threshold` after the
+    * tier's 6-dp rounding; recall is bounded by `nprobe` like any IVF
+    * query. New-vs-new duplicates are NOT handled here — run
+    * [[semanticDedup]] on the new wave first, then scrub the survivors
+    * (the q133 incremental-fuzzy composition, in embedding space).
+    * `broadcastProbes = false` + the salt knobs switch to the
+    * distributed corpus-sized-wave shape (q225's gated path). */
+  def scrubAgainstIvfPqIndex(newDocs: DataFrame, index: IvfPqIndex,
+                             threshold: Double, nprobe: Int = 1,
+                             idCol: String = "vec_id",
+                             vecCol: String = "embedding",
+                             broadcastProbes: Boolean = true,
+                             codesPerSalt: Long = 8192L,
+                             maxSalt: Int = 64): DataFrame = {
+    val hits = ivfPqTopK(index.encoded, index.centroids, index.codebooks,
+        newDocs, k = 1, nprobe, idCol, vecCol, broadcastProbes,
+        codesPerSalt, maxSalt)
+      .where(col("cosine") > threshold)
+      .select(col("probe_id").as(idCol))
+    // hits carries one long per dropped id — the anti join's build side
+    // is tiny by construction, exactly the broadcast shape AQE picks
+    newDocs.join(hits, Seq(idCol), "left_anti")
+  }
+
   def buildIvfPqIndex(corpus: DataFrame, dir: String, nCells: Int, m: Int,
                       ksub: Int, iterations: Int,
                       idCol: String = "vec_id",
