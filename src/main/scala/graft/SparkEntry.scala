@@ -2840,7 +2840,7 @@ object SparkEntry {
       val hashes = Media.imageDHashes(entries)
         .select(regexp_extract(col("entry"), "img_(\\d+)", 1)
           .cast("long").as("img_id"), col("dhash"))
-      val root = java.nio.file.Files.createTempDirectory("graft_q205").toString
+      val root = gateTempDir("graft_q205")
       hashes.coalesce(1).write.parquet(s"$root/in")
       withStreamGateConf(s) {
         val schema = s.read.parquet(s"$root/in").schema
@@ -2881,7 +2881,7 @@ object SparkEntry {
     "q206_text_scrub_stream" -> ((s, dir) => {
       import s.implicits._
       val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
-      val root = java.nio.file.Files.createTempDirectory("graft_q206").toString
+      val root = gateTempDir("graft_q206")
       val in = s"$root/in"
       new java.io.File(in).mkdirs()
       docs.where(col("doc_id") % 5 === 0)
@@ -3067,7 +3067,7 @@ object SparkEntry {
     // cluster" = {4c : c < 24}, which the oracle states without computing
     // a single MinHash.
     "q210_fuzzy_scrub_stream" -> ((s, dir) => {
-      val root = java.nio.file.Files.createTempDirectory("graft_q210").toString
+      val root = gateTempDir("graft_q210")
       val in = s"$root/in"
       new java.io.File(in).mkdirs()
       fuzzyScrubDocs(s, recrawl = true).coalesce(1).write.parquet(s"$root/w1")
@@ -3125,7 +3125,7 @@ object SparkEntry {
     // without computing a single dot product. Margins pinned in
     // EventStreamsSpec, not assumed.
     "q215_semantic_scrub_stream" -> ((s, dir) => {
-      val root = java.nio.file.Files.createTempDirectory("graft_q215").toString
+      val root = gateTempDir("graft_q215")
       val in = s"$root/in"
       new java.io.File(in).mkdirs()
       semanticScrubVecs(s, recrawl = true).coalesce(1).write.parquet(s"$root/w1")
@@ -3216,7 +3216,7 @@ object SparkEntry {
         s"q217: no events with user_id % 5 = 0 under $dir — cannot place sentinel waves")
       val maxUs = maxRow.getLong(0)
       val sentinel = 9999999999L
-      val root = java.nio.file.Files.createTempDirectory("graft_q217").toString
+      val root = gateTempDir("graft_q217")
       val in = s"$root/in"
       new java.io.File(in).mkdirs()
       ev.coalesce(1).write.parquet(s"$root/w1")
@@ -3308,7 +3308,7 @@ object SparkEntry {
     // cosine is exactly 0, and the kept set stays the q215 closed form
     // "min vec_id per cluster" no matter how band buckets collide.
     "q220_semantic_scrub_stream_banded" -> ((s, dir) => {
-      val root = java.nio.file.Files.createTempDirectory("graft_q220").toString
+      val root = gateTempDir("graft_q220")
       val in = s"$root/in"
       new java.io.File(in).mkdirs()
       semanticScrubVecs(s, recrawl = true).coalesce(1).write.parquet(s"$root/w1")
@@ -3474,7 +3474,7 @@ object SparkEntry {
       val probe = Seq((999L,
         Seq.tabulate(8)(d => if (d % 2 == 0) math.pow(8.0, d / 2) else 0.0)))
         .toDF("vec_id", "embedding")
-      val idxDir = java.nio.file.Files.createTempDirectory("graft_q224").toString
+      val idxDir = gateTempDir("graft_q224")
       val idx = Similarity.buildIvfPqIndex(corpus, idxDir, nCells = 4, m = 4,
         ksub = 16, iterations = 3)
       Similarity.ivfPqTopK(idx.encoded, idx.centroids, idx.codebooks, probe,
@@ -3546,6 +3546,160 @@ object SparkEntry {
         .select(col("vec_id"))
         .orderBy("vec_id")
     }),
+
+    // Index APPEND behind an exact gate — the cross-wave production loop
+    // q226 opens (scrub wave N against the index, then GROW the index
+    // with its survivors) closed with NO refit. The books fit on the full
+    // 16-vector design snapshot (the fitSample production shape: books
+    // anticipate the distribution, not the exact rows) while the index
+    // ENCODES only the 12-vector current corpus — the (5,0) members are
+    // held out as wave 1. Wave 1 survives a scrub of the un-appended
+    // index (its best candidate cosine is exactly 0.8 < tau — provable:
+    // lossless integer reconstructions), gets appended (residual (2,-3)
+    // is EXACTLY a codebook entry, so the append encode is lossless), and
+    // then wave-2 re-crawls of the appended docs (ids 200-203) score ADC
+    // cosine exactly 1.0 and drop — a drop ONLY the appended codes can
+    // cause, which is the gate's point. A re-crawl of original id 0
+    // (id 208) drops the same way (the old snapshot still serves), and
+    // the fresh (-3,-4) class (ids 204-207, q226's forced-zero argument)
+    // survives — every candidate in its probed foreign cell, including
+    // the appended members, has disjoint support and scores exactly 0.0.
+    // The post-append balance check passes exactly at the default cap
+    // (4 rows/cell of 16). Margins pinned in EntrySpec.
+    "q227_ivfpq_append_twin" -> ((s, dir) => {
+      import s.implicits._
+      val vals = Seq(Seq(3.0, 4.0), Seq(0.0, 5.0), Seq(4.0, 3.0), Seq(5.0, 0.0))
+      def member(c: Int, v: Seq[Double]): Seq[Double] =
+        Seq.tabulate(8)(d => if (d / 2 == c) v(d % 2) else 0.0)
+      val design = ((0 until 4).map(c => (c.toLong, member(c, vals(0)))) ++
+        (for (c <- 0 until 4; j <- 0 until 3)
+          yield ((4 + 3 * c + j).toLong, member(c, vals(j + 1)))))
+        .toDF("vec_id", "embedding")
+      // current corpus = design minus the (5,0) members — ids 4 + 3c + j
+      // with j = 2, i.e. 6, 9, 12, 15
+      val current = design.where(!col("vec_id").isin(6L, 9L, 12L, 15L))
+      val cents = Similarity.trainCentroids(design, 4, 3)
+      val books = Similarity.fitIvfPqCodebooks(design, cents, m = 4, ksub = 16,
+        iterations = 3)
+      val idx = Similarity.IvfPqIndex(cents, books,
+        Similarity.ivfPqEncode(current, cents, books))
+      val wave1 = (0 until 4).map(c => ((104 + c).toLong, member(c, vals(3))))
+        .toDF("vec_id", "embedding")
+      val survivors1 = Similarity.scrubAgainstIvfPqIndex(wave1, idx,
+        threshold = 0.9, nprobe = 1)
+      val grown = Similarity.appendToIvfPqIndex(idx, survivors1)
+      val wave2 = ((0 until 4).map(c => ((200 + c).toLong, member(c, vals(3)))) ++
+        (0 until 4).map(c => ((204 + c).toLong, member(c, Seq(-3.0, -4.0)))) :+
+        (208L, member(0, vals(0))))
+        .toDF("vec_id", "embedding")
+      Similarity.scrubAgainstIvfPqIndex(wave2, grown, threshold = 0.9,
+          nprobe = 1)
+        .select(col("vec_id"))
+        .orderBy("vec_id")
+    }),
+
+    // The STREAMING semantic rung's CENTER MODE behind an exact gate —
+    // the r19 verdict's top item. The fixture is the q215 replay made
+    // CONCENTRATED: every vector rides a shared +64-on-all-dims offset
+    // (raw cosine between ANY two rows is ~0.998, raw plane signs are
+    // pinned by the offset — the measured bucket-collapse regime), and
+    // each cluster c < 12 carries q215's 4-variant structure PLUS its
+    // point-mirrored twin (the negated structure, ids 8c+4..8c+7) on the
+    // SAME dims — so the snapshot mean is EXACTLY the offset (integer
+    // sums cancel; fitMeanVector returns 64.0 per dim bit-exactly) and
+    // centered vectors recover q215's disjoint-support structure
+    // exactly. The closed-form kept set is then UNCONDITIONAL: each
+    // (cluster, sign) group shares one bucket per band by the q215
+    // pigeonhole (weights {-1,0,1}, base |dot| >= 8 or exactly 0, |pert|
+    // <= 7) with within-group cosine >= 0.967 > 0.9, mirrored groups
+    // have cosine ~ -1 (never drop each other even when buckets
+    // collide), and cross-cluster supports are disjoint (cosine exactly
+    // 0) — kept = the min id of every (cluster, sign) group = {8c,
+    // 8c + 4}, stated literally by the oracle. The mean is fit on the
+    // ORIGINALS snapshot (the documented production contract — a stream
+    // cannot fit a corpus mean online) and re-crawls (+1e6 ids, +1 on
+    // the second owned dim, arriving FIRST) are retroactively flipped
+    // by the originals, exactly q215's replay. Margins + the exact-mean
+    // claim pinned in EntrySpec.
+    "q228_semantic_scrub_stream_centered" -> ((s, dir) => {
+      val root = gateTempDir("graft_q228")
+      val in = s"$root/in"
+      new java.io.File(in).mkdirs()
+      val originals = semanticScrubCenteredVecs(s, recrawl = false)
+      val mu = Similarity.fitMeanVector(originals, "embedding")
+      semanticScrubCenteredVecs(s, recrawl = true).coalesce(1).write.parquet(s"$root/w1")
+      originals.coalesce(1).write.parquet(s"$root/w2")
+      for ((wave, t) <- Seq(("w1", 1000000L), ("w2", 2000000L));
+           p <- new java.io.File(s"$root/$wave").listFiles()
+           if p.getName.endsWith(".parquet")) {
+        val dst = java.nio.file.Path.of(in, s"$wave-${p.getName}")
+        java.nio.file.Files.copy(p.toPath, dst)
+        dst.toFile.setLastModified(t): Unit
+      }
+      withStreamGateConf(s) {
+        val schema = s.read.parquet(in).schema
+        val q = graft.streaming.EventStreams.semanticDedupStream(
+            graft.streaming.EventStreams.readFileStream(s, in, schema,
+              maxFilesPerTrigger = 1),
+            threshold = 0.9, mean = Some(mu))
+          .writeStream
+          .foreachBatch { (df: DataFrame, batchId: Long) =>
+            df.withColumn("batch_id", lit(batchId))
+              .write.mode("append").parquet(s"$root/out"): Unit
+          }
+          .outputMode("update")
+          .option("checkpointLocation", s"$root/ckpt")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+      val w = Window.partitionBy("bucket", "vec_id").orderBy(col("batch_id").desc)
+      s.read.parquet(s"$root/out")
+        .withColumn("_rn", row_number().over(w))
+        .where(col("_rn") === 1 && col("kept"))
+        .select(col("vec_id"))
+        .orderBy("vec_id")
+    }),
+
+    // The CENTERED index family end to end — buildIvfPqIndex(center =
+    // true) fits, persists, and reloads the mean; scrubAgainstIvfPqIndex
+    // centers its probes with it automatically, so the dedup and index
+    // families share ONE similarity space (the r19 coherence note,
+    // resolved). The q223/q226 fixture keeps the verdict forced in
+    // centered space because every quantity is an exact dyadic: the
+    // fitted mean is exactly 0.75 per dim (sum 12 over 16 rows), the
+    // centered Lloyd centroids are exactly (2.25, 2.25 | -0.75...), the
+    // residuals are EXACTLY q223's integers (x - 3 on owned dims, 0
+    // elsewhere — centering cancels against the centroid shift), so the
+    // encode is lossless and re-crawls 100-103 score ADC cosine exactly
+    // 1.0 > tau (dropped) while the fresh (-3,-4) class probes its
+    // deterministic foreign cell (ties at exactly 5.25 break by cell id)
+    // where every candidate's centered cosine is <= 0.22 < tau (kept).
+    // Margins pinned in EntrySpec; survivors = the oracle's literal.
+    "q229_ivfpq_centered_scrub_twin" -> ((s, dir) => {
+      import s.implicits._
+      val vals = Seq(Seq(3.0, 4.0), Seq(0.0, 5.0), Seq(4.0, 3.0), Seq(5.0, 0.0))
+      def member(c: Int, v: Seq[Double]): Seq[Double] =
+        Seq.tabulate(8)(d => if (d / 2 == c) v(d % 2) else 0.0)
+      val corpus = ((0 until 4).map(c => (c.toLong, member(c, vals(0)))) ++
+        (for (c <- 0 until 4; j <- 0 until 3)
+          yield ((4 + 3 * c + j).toLong, member(c, vals(j + 1)))))
+        .toDF("vec_id", "embedding")
+      val idxDir = gateTempDir("graft_q229")
+      val idx = Similarity.buildIvfPqIndex(corpus, idxDir, nCells = 4, m = 4,
+        ksub = 16, iterations = 3, center = true)
+      val newWave = (Seq(
+        (100L, member(3, vals(3))), // re-crawl of id 15
+        (101L, member(1, vals(3))), // re-crawl of id 9
+        (102L, member(0, vals(1))), // re-crawl of id 4
+        (103L, member(0, vals(0)))  // re-crawl of id 0
+      ) ++ (0 until 4).map(c => ((104 + c).toLong, member(c, Seq(-3.0, -4.0)))))
+        .toDF("vec_id", "embedding")
+      Similarity.scrubAgainstIvfPqIndex(newWave, idx, threshold = 0.9,
+          nprobe = 1)
+        .select(col("vec_id"))
+        .orderBy("vec_id")
+    }),
   )
 
   /** Session conf for the five streaming driver gates (q205/q206/q210/
@@ -3561,6 +3715,22 @@ object SparkEntry {
     * and every run starts from a fresh checkpoint. Production streams
     * size partitions to state VOLUME, not trigger overhead — this helper
     * is gate-fixture tuning, not a recommendation to run small. */
+  /** Scratch dir for the streaming/index driver gates, recursively deleted
+    * at JVM exit (shutdown hook) — the gates' returned frames read these
+    * files LAZILY, so eager deletion inside the query builder would break
+    * the serve; exit-time cleanup is what stops every verify/bench run
+    * from leaking the gates' parquet trees in /tmp (ADVICE r19). */
+  private def gateTempDir(prefix: String): String = {
+    val p = java.nio.file.Files.createTempDirectory(prefix)
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      def rm(f: java.io.File): Unit = {
+        val cs = f.listFiles(); if (cs != null) cs.foreach(rm); f.delete(): Unit
+      }
+      rm(p.toFile)
+    }))
+    p.toString
+  }
+
   private def withStreamGateConf[T](s: SparkSession)(body: => T): T = {
     val confs = Seq(
       "spark.sql.streaming.stateStore.providerClass" ->
@@ -3589,6 +3759,34 @@ object SparkEntry {
     * flips and all 8 cluster vectors provably share one bucket.
     * Min within-cluster pairwise cosine is cos((19,5),(16,9)) ~= 0.9676
     * > 0.9; both margins are pinned computationally in EventStreamsSpec. */
+  /** q228 fixture: [[semanticScrubVecs]] made CONCENTRATED and
+    * mean-cancelling. Every vector rides a +64 offset on all 48 dims (the
+    * shared direction that collapses raw buckets and pushes every raw
+    * pairwise cosine to ~0.998); cluster c < 12 owns dims (2c, 2c + 1)
+    * and carries q215's 4-variant structure with sign +1 (ids 8c..8c+3)
+    * AND its point mirror with sign -1 (ids 8c+4..8c+7) on the same dims
+    * — so per dim the structure sums to zero over the ORIGINALS snapshot
+    * and [[graft.operators.Similarity.fitMeanVector]] returns exactly
+    * 64.0 everywhere (integer sums, exact in any order; 12/16ths-style
+    * dyadics never appear). Centered vectors are therefore EXACTLY
+    * ±q215-structure with zeros elsewhere: disjoint support across
+    * clusters (cosine exactly 0), within-(cluster, sign) cosine >= 0.967,
+    * cross-sign cosine ~ -1, and the q215 shared-bucket pigeonhole holds
+    * per (cluster, sign) group — the kept set has the unconditional
+    * closed form {8c, 8c + 4}. Re-crawls add +sign on dim 2c + 1 and
+    * shift ids +1e6 (|pert| <= 7 < 8, the proof's bound). */
+  private[graft] def semanticScrubCenteredVecs(s: SparkSession, recrawl: Boolean): DataFrame = {
+    import s.implicits._
+    val rows = for (c <- 0 until 12; g <- 0 until 2; v <- 0 until 4) yield {
+      val sign = if (g == 0) 1.0 else -1.0
+      val vec = Array.fill(48)(64.0)
+      vec(2 * c) += sign * (16.0 + v)
+      vec(2 * c + 1) += sign * ((8.0 - v) + (if (recrawl) 1.0 else 0.0))
+      ((if (recrawl) 1000000L else 0L) + c * 8L + g * 4L + v, vec.toSeq)
+    }
+    rows.toDF("vec_id", "embedding")
+  }
+
   private[graft] def semanticScrubVecs(s: SparkSession, recrawl: Boolean): DataFrame = {
     import s.implicits._
     val rows = for (c <- 0 until 24; v <- 0 until 4) yield {
@@ -5225,6 +5423,35 @@ object SparkEntry {
     // (ADC cosine exactly 1.0), fresh 104-107 survive (every probed
     // candidate scores exactly 0.0).
     "q226_semantic_scrub_index_twin" ->
+      """SELECT CAST(v AS BIGINT) AS vec_id
+        |FROM (VALUES (104), (105), (106), (107)) AS t(v)
+        |ORDER BY vec_id""".stripMargin,
+
+    // The append gate's forced verdict: re-crawls of the APPENDED wave
+    // (200-203) drop at ADC cosine exactly 1.0 — a drop only the appended
+    // codes can cause (their best pre-append candidate was exactly 0.8);
+    // the original re-crawl 208 drops via the old snapshot; the fresh
+    // (-3,-4) class survives on exact zeros.
+    "q227_ivfpq_append_twin" ->
+      """SELECT CAST(v AS BIGINT) AS vec_id
+        |FROM (VALUES (204), (205), (206), (207)) AS t(v)
+        |ORDER BY vec_id""".stripMargin,
+
+    // Keep-first over the centered fixture's 24 (cluster, sign) groups:
+    // the snapshot mean is exactly the +64 offset, centered space
+    // recovers q215's disjoint supports, and the kept set is the min id
+    // per group — {8c, 8c + 4 : c < 12}, no dot product computed.
+    "q228_semantic_scrub_stream_centered" ->
+      """SELECT vec_id FROM (
+        |  SELECT range * 8 AS vec_id FROM range(0, 12)
+        |  UNION ALL
+        |  SELECT range * 8 + 4 AS vec_id FROM range(0, 12)
+        |) ORDER BY vec_id""".stripMargin,
+
+    // The centered index scrub's forced verdict — q226's survivors, now
+    // with fit, persist, reload, and probe-centering all in mean-centered
+    // space (exact dyadics end to end; margins pinned in EntrySpec).
+    "q229_ivfpq_centered_scrub_twin" ->
       """SELECT CAST(v AS BIGINT) AS vec_id
         |FROM (VALUES (104), (105), (106), (107)) AS t(v)
         |ORDER BY vec_id""".stripMargin,

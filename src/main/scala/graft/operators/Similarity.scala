@@ -453,12 +453,20 @@ object Similarity {
     * copies of the cell's LUT rows (2*m*K+1+m doubles each). Salting is
     * deterministic, so output is bit-identical to the unsalted and
     * broadcast paths. ADC cosine is EXACT for the reconstruction
-    * (quantization is the only approximation). */
+    * (quantization is the only approximation).
+    *
+    * `excludeSelfMatches` (default true) drops candidates whose id equals
+    * the probe's — correct when probes ARE corpus rows (self is trivially
+    * rank 1). Set it false when probe and corpus ids come from DIFFERENT
+    * id spaces ([[scrubAgainstIvfPqIndex]]'s cross-snapshot shape): there
+    * an equal id is a re-crawl of the same document keeping its stable
+    * id, and excluding it would silently let an exact duplicate survive. */
   def ivfPqTopK(encoded: DataFrame, centroids: DataFrame, codebooks: DataFrame,
                 probes: DataFrame, k: Int, nprobe: Int = 1,
                 idCol: String = "vec_id", vecCol: String = "embedding",
                 broadcastProbes: Boolean = true,
-                codesPerSalt: Long = 8192L, maxSalt: Int = 64): DataFrame = {
+                codesPerSalt: Long = 8192L, maxSalt: Int = 64,
+                excludeSelfMatches: Boolean = true): DataFrame = {
     require(k >= 1, s"ivfPqTopK needs k >= 1, got $k")
     require(nprobe >= 1, s"ivfPqTopK needs nprobe >= 1, got $nprobe")
     val books = collectPqCodebooks(codebooks).map(_.map(_.toSeq).toSeq).toSeq
@@ -486,10 +494,12 @@ object Similarity {
     val enc = encoded
       .select(col(idCol).cast("long").as("neighbor_id"),
         col("cell_id").cast("long").as("cell_id"), col("codes"))
-    val scored =
+    val joined =
       (if (broadcastProbes) enc.join(broadcast(lutDf), "cell_id")
        else saltedCellJoin(enc, lutDf, codesPerSalt, maxSalt))
-        .where(col("neighbor_id") =!= col("probe_id"))
+    val scored =
+      (if (excludeSelfMatches) joined.where(col("neighbor_id") =!= col("probe_id"))
+       else joined)
         .withColumn("cosine", graft.functions.GraftFunctions
           .pq_cosine(col("codes"), col("_lut")))
     topKPerProbe(scored, k)
@@ -497,38 +507,61 @@ object Similarity {
 
   /** A fitted, persistable IVF-PQ index: coarse centroids, residual PQ
     * codebooks, and the encoded corpus — everything [[ivfPqTopK]] needs to
-    * serve probes without touching raw vectors or refitting. */
+    * serve probes without touching raw vectors or refitting. `mean` is
+    * present iff the index was fit in CENTERED space
+    * ([[buildIvfPqIndex]]`(center = true)`): centroids, codebooks, and
+    * codes then all live in `v - mean` coordinates, and every consumer
+    * must center its probes with THIS mean before serving —
+    * [[scrubAgainstIvfPqIndex]] and [[appendToIvfPqIndex]] do so
+    * automatically, giving the dedup family ([[semanticDedup]]
+    * `center = true`) and the index family one shared similarity space. */
   final case class IvfPqIndex(centroids: DataFrame, codebooks: DataFrame,
-                              encoded: DataFrame)
+                              encoded: DataFrame,
+                              mean: Option[Seq[Double]] = None)
 
-  /** Persist a fitted IVF-PQ index as three parquet tables under `dir`
-    * (`centroids/`, `codebooks/`, `encoded/`) — the fit-once/probe-many
-    * shape a production ANN deployment runs: Lloyd training and the
-    * encode pass happen once per corpus snapshot; every subsequent query
-    * is [[loadIvfPqIndex]] + [[ivfPqTopK]], whose cost is the probed
-    * cells' CODES only. The tables are plain DataFrames, so the layout
-    * is engine-portable and the encoded table can be partitioned/bucketed
-    * by `cell_id` downstream for probe-side partition pruning. */
+  /** Persist a fitted IVF-PQ index as parquet tables under `dir`
+    * (`centroids/`, `codebooks/`, `encoded/`, plus `mean/` — one
+    * dims-length row — when the fit was centered) — the
+    * fit-once/probe-many shape a production ANN deployment runs: Lloyd
+    * training and the encode pass happen once per corpus snapshot; every
+    * subsequent query is [[loadIvfPqIndex]] + [[ivfPqTopK]], whose cost
+    * is the probed cells' CODES only. The tables are plain DataFrames, so
+    * the layout is engine-portable and the encoded table can be
+    * partitioned/bucketed by `cell_id` downstream for probe-side
+    * partition pruning. */
   def saveIvfPqIndex(dir: String, index: IvfPqIndex): Unit = {
     index.centroids.write.mode("overwrite").parquet(s"$dir/centroids")
     index.codebooks.write.mode("overwrite").parquet(s"$dir/codebooks")
     index.encoded.write.mode("overwrite").parquet(s"$dir/encoded")
+    index.mean.foreach { mu =>
+      index.centroids.sparkSession.range(1)
+        .select(typedlit(mu).as("mean"))
+        .write.mode("overwrite").parquet(s"$dir/mean")
+    }
   }
 
   /** Load an index written by [[saveIvfPqIndex]]. Centroids re-sort by id:
     * parquet round-trips don't preserve row order, and the collected
     * centroid array's order is the one load-bearing ordering in the
-    * search path (codebooks re-sort internally in the collect). */
+    * search path (codebooks re-sort internally in the collect). The
+    * `mean/` table is optional — absent for raw-space fits, so pre-r20
+    * indexes load unchanged. */
   def loadIvfPqIndex(spark: org.apache.spark.sql.SparkSession, dir: String,
-                     idCol: String = "vec_id"): IvfPqIndex =
+                     idCol: String = "vec_id"): IvfPqIndex = {
+    val meanPath = new org.apache.hadoop.fs.Path(s"$dir/mean")
+    val fs = meanPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val mean =
+      if (fs.exists(meanPath))
+        Some(spark.read.parquet(s"$dir/mean").collect()(0)
+          .getSeq[Double](0))
+      else None
     IvfPqIndex(
       spark.read.parquet(s"$dir/centroids").orderBy(col(idCol)),
       spark.read.parquet(s"$dir/codebooks"),
-      spark.read.parquet(s"$dir/encoded"))
+      spark.read.parquet(s"$dir/encoded"),
+      mean)
+  }
 
-  /** Fit + encode + persist in one call; returns the loaded index so
-    * callers immediately serve from the persisted artifact (guaranteeing
-    * saved and served indexes can never drift). */
   /** Cross-snapshot semantic scrub: drop every NEW vector whose nearest
     * reference-index neighbor clears cosine `threshold` — "dedupe
     * tonight's crawl against the reference corpus", the cross-wave twin
@@ -546,7 +579,30 @@ object Similarity {
     * [[semanticDedup]] on the new wave first, then scrub the survivors
     * (the q133 incremental-fuzzy composition, in embedding space).
     * `broadcastProbes = false` + the salt knobs switch to the
-    * distributed corpus-sized-wave shape (q225's gated path). */
+    * distributed corpus-sized-wave shape (q225's gated path).
+    *
+    * ID SPACES may overlap: the serve runs with [[ivfPqTopK]]'s
+    * `excludeSelfMatches = false`, so a re-crawled doc that KEEPS its
+    * stable id from the reference snapshot is still matched against its
+    * identically-id'd reference twin (ADC cosine ~1) and dropped — the
+    * exact "dedupe tonight's crawl against the reference corpus" case a
+    * probe-side self-filter would silently let survive.
+    *
+    * Edge conventions (a nightly scrub must degrade, not crash): an
+    * EMPTY new wave returns itself unchanged, and rows with a null id or
+    * null vector are NOT probed — they pass through as survivors (they
+    * cannot be compared; drop or repair them upstream with
+    * [[graft.operators.Audit]]'s null tooling if passthrough is wrong
+    * for the pipeline). A non-null id that fails the long cast still
+    * raises — that is a caller bug, not data skew.
+    *
+    * SPACE COHERENCE: cosines compare in the space the index was FIT in.
+    * An index built with [[buildIvfPqIndex]]`(center = ...)` carries its
+    * fitted mean and this scrub centers the new wave with it
+    * automatically, so `threshold` is always a centered-space cosine
+    * exactly like [[semanticDedup]]`(center = true)`'s — one τ means one
+    * thing across the within-corpus and cross-snapshot ops. A raw-fit
+    * index scrubs raw, matching `semanticDedup(center = false)`. */
   def scrubAgainstIvfPqIndex(newDocs: DataFrame, index: IvfPqIndex,
                              threshold: Double, nprobe: Int = 1,
                              idCol: String = "vec_id",
@@ -554,25 +610,118 @@ object Similarity {
                              broadcastProbes: Boolean = true,
                              codesPerSalt: Long = 8192L,
                              maxSalt: Int = 64): DataFrame = {
+    val probes = newDocs.where(col(idCol).isNotNull && col(vecCol).isNotNull)
+    if (probes.isEmpty) return newDocs
+    val centered = index.mean.fold(probes)(mu => probes.select(col(idCol),
+      centeredGuarded(col(vecCol), mu, "scrubAgainstIvfPqIndex").as(vecCol)))
     val hits = ivfPqTopK(index.encoded, index.centroids, index.codebooks,
-        newDocs, k = 1, nprobe, idCol, vecCol, broadcastProbes,
-        codesPerSalt, maxSalt)
+        centered, k = 1, nprobe, idCol, vecCol, broadcastProbes,
+        codesPerSalt, maxSalt, excludeSelfMatches = false)
       .where(col("cosine") > threshold)
       .select(col("probe_id").as(idCol))
     // hits carries one long per dropped id — the anti join's build side
-    // is tiny by construction, exactly the broadcast shape AQE picks
+    // is tiny by construction, exactly the broadcast shape AQE picks.
+    // Null-id rows never match an anti-join key, so they pass through.
     newDocs.join(hits, Seq(idCol), "left_anti")
   }
 
+  /** Fit + encode + persist in one call; returns the loaded index so
+    * callers immediately serve from the persisted artifact (guaranteeing
+    * saved and served indexes can never drift).
+    *
+    * `center = true` fits the index in MEAN-CENTERED space — the same
+    * [[fitMeanVector]] statistic and the same rationale as
+    * [[semanticDedup]]`(center = true)`: a corpus concentrated around a
+    * shared direction pins coarse cells exactly as it pins LSH buckets,
+    * and a centered fit restores cell balance. The fitted mean persists
+    * with the index (`mean/`), and every index consumer
+    * ([[scrubAgainstIvfPqIndex]], [[appendToIvfPqIndex]]) centers its
+    * inputs with it automatically, so the dedup and index families share
+    * ONE similarity space and one τ. Centered fits require homogeneous
+    * dims (loud ragged guard, like the dedup family's). Point-mass gate
+    * fixtures are offset-invariant by construction, so the q223-family
+    * forcing arguments hold in either mode. */
   def buildIvfPqIndex(corpus: DataFrame, dir: String, nCells: Int, m: Int,
                       ksub: Int, iterations: Int,
                       idCol: String = "vec_id",
-                      vecCol: String = "embedding"): IvfPqIndex = {
-    val cents = trainCentroids(corpus, nCells, iterations, idCol, vecCol)
-    val books = fitIvfPqCodebooks(corpus, cents, m, ksub, iterations, idCol, vecCol)
-    val enc = ivfPqEncode(corpus, cents, books, idCol, vecCol)
-    saveIvfPqIndex(dir, IvfPqIndex(cents, books, enc))
+                      vecCol: String = "embedding",
+                      center: Boolean = false): IvfPqIndex = {
+    val mean = if (center) Some(fitMeanVector(corpus, vecCol)) else None
+    val src = mean.fold(corpus)(mu => corpus.select(col(idCol),
+      centeredGuarded(col(vecCol), mu, "buildIvfPqIndex(center=true)").as(vecCol)))
+    val cents = trainCentroids(src, nCells, iterations, idCol, vecCol)
+    val books = fitIvfPqCodebooks(src, cents, m, ksub, iterations, idCol, vecCol)
+    val enc = ivfPqEncode(src, cents, books, idCol, vecCol)
+    saveIvfPqIndex(dir, IvfPqIndex(cents, books, enc, mean))
     loadIvfPqIndex(corpus.sparkSession, dir, idCol)
+  }
+
+  /** Grow a fitted index with a new wave WITHOUT refitting: encode the
+    * new vectors with the EXISTING centroids and codebooks (centering by
+    * the index mean first when the fit was centered — same space, same
+    * τ) and union the fresh codes into `encoded`. This closes the
+    * production cross-wave loop that [[scrubAgainstIvfPqIndex]] opens:
+    * scrub wave N against the index, then append the SURVIVORS so wave
+    * N+1's re-crawls of them are caught. No Lloyd refit, no codebook
+    * drift — appended codes are exactly what a from-scratch encode with
+    * these books would produce, so serve results are insensitive to how
+    * many appends built the index. Quantization quality note: the books
+    * were fit on the ORIGINAL snapshot; that is sound while waves draw
+    * from the same distribution, and a refit ([[buildIvfPqIndex]]) is the
+    * answer when embedding drift accumulates — watch the hot-cell check
+    * below, which is exactly where drift shows up first.
+    *
+    * LOUD HOT-CELL / SALT-BUDGET CHECK: appends concentrated in a few
+    * coarse cells are how an index silently degrades into the skewed
+    * regime ([[saltedCellJoin]]'s maxSalt cap bounds how much join-time
+    * salting can absorb). After the union this op counts rows per cell
+    * (one map-side-combinable agg over the codes table — shuffle bytes
+    * are |cells|) and THROWS when any cell exceeds `maxCellFrac` of the
+    * grown corpus, naming the cell and the refit/rebalance options. Set
+    * `maxCellFrac = 1.0` to opt out (e.g. deliberately tiny fixtures).
+    *
+    * Rows with null id/vector are NOT appendable and are dropped with
+    * the same rationale as [[scrubAgainstIvfPqIndex]]'s passthrough
+    * convention (they can never be served). Ids are assumed unique
+    * across index + wave — the scrub upstream enforces it semantically
+    * (re-crawls drop, survivors carry fresh ids); duplicate ids are not
+    * detected here (that check is a full extra pass; run
+    * [[Dedup.duplicateStats]] on `encoded` if in doubt).
+    *
+    * Returns the grown index (same centroids/codebooks/mean). NOT
+    * auto-persisted: callers [[saveIvfPqIndex]] when the wave is final —
+    * append is a plan-level union, so persisting is one write of the
+    * grown `encoded` table. */
+  def appendToIvfPqIndex(index: IvfPqIndex, newDocs: DataFrame,
+                         idCol: String = "vec_id",
+                         vecCol: String = "embedding",
+                         maxCellFrac: Double = 0.25): IvfPqIndex = {
+    require(maxCellFrac > 0.0 && maxCellFrac <= 1.0,
+      s"appendToIvfPqIndex: maxCellFrac must be in (0, 1], got $maxCellFrac")
+    val clean = newDocs.where(col(idCol).isNotNull && col(vecCol).isNotNull)
+    val centered = index.mean.fold(clean)(mu => clean.select(col(idCol),
+      centeredGuarded(col(vecCol), mu, "appendToIvfPqIndex").as(vecCol)))
+    val fresh = ivfPqEncode(centered, index.centroids, index.codebooks,
+      idCol, vecCol)
+    val cols = Seq(col(idCol).cast("long").as(idCol),
+      col("cell_id").cast("long").as("cell_id"), col("codes"))
+    val grown = index.encoded.select(cols: _*).unionByName(fresh.select(cols: _*))
+    if (maxCellFrac < 1.0) {
+      val stats = grown.groupBy(col("cell_id"))
+        .agg(count(lit(1)).as("_n"))
+        .agg(sum(col("_n")).as("_total"), max_by(col("cell_id"), col("_n")).as("_hot"),
+          max(col("_n")).as("_hotN"))
+        .head()
+      val (total, hot, hotN) = (stats.getLong(0), stats.getLong(1), stats.getLong(2))
+      require(hotN <= math.max(1L, (maxCellFrac * total).toLong),
+        s"appendToIvfPqIndex: cell $hot holds $hotN of $total rows " +
+          f"(${hotN.toDouble / total}%.3f > maxCellFrac = $maxCellFrac) after the " +
+          "append — the wave concentrates in too few coarse cells. Refit with " +
+          "buildIvfPqIndex (or trainBalancedCentroids) on the grown corpus, or " +
+          "raise the serve-side salt budget (saltedCellJoin maxSalt) if the skew " +
+          "is acceptable.")
+    }
+    index.copy(encoded = grown)
   }
 
   /** Lloyd-iteration centroid training for IVF (k-means on cosine
@@ -773,6 +922,20 @@ object Similarity {
     * corpus-wide mean themselves and take pre-centered vectors instead. */
   def centerVectors(vec: Column, mean: Seq[Double]): Column =
     zip_with(vec.cast("array<double>"), typedlit(mean), (x, m) => x - m)
+
+  /** [[centerVectors]] with the loud ragged guard every centered consumer
+    * needs: a vector whose length differs from the fitted mean's would be
+    * null-padded by `zip_with`, and the null elements would silently
+    * poison downstream buckets, cosines, and PQ codes — raise instead.
+    * Null vectors pass through as null (callers pre-filter or drop). */
+  private[graft] def centeredGuarded(vec: Column, mean: Seq[Double],
+                                     caller: String): Column =
+    when(vec.isNull, lit(null).cast("array<double>"))
+      .when(size(vec) =!= mean.length,
+        raise_error(concat(
+          lit(s"$caller: ragged vector (expected ${mean.length} dims, got "),
+          size(vec).cast("string"), lit(")"))))
+      .otherwise(centerVectors(vec, mean))
 
   /** The `center = true` entry shared by the semantic dedup family: fit
     * the mean, replace `vecCol` with the centered projection (so every

@@ -317,17 +317,41 @@ object EventStreams {
     * `streamscale` prices the B/doc cut). Fit the books on a bounded
     * representative sample (the [[graft.operators.Similarity
     * .fitPqCodebooks]] `fitSample` contract); the bucket key is still
-    * computed from the RAW vector, so candidate generation is unchanged. */
+    * computed from the vector the keep-first recurrence sees (raw, or
+    * centered when `mean` is set), so candidate generation is unchanged.
+    *
+    * CENTER MODE (`mean`): a corpus concentrated around a shared
+    * direction pins plane signs and collapses streaming buckets exactly
+    * as it collapses the batch twin's (ScaleProbe
+    * `semplanes_concentration`) — and here the damage is worse, because
+    * the per-bucket recurrence is O(bucket-population²) EVERY micro-batch.
+    * A stream cannot fit a corpus-wide mean online, so center mode takes
+    * a FITTED-MEAN SNAPSHOT: run [[graft.operators.Similarity
+    * .fitMeanVector]] on a reference snapshot of the same embedding
+    * distribution and pass it here. Vectors are centered BEFORE the
+    * bucket key and BEFORE the `pqBooks` encode (pre-shuffle, one narrow
+    * projection), so buckets, state, and the verification cosine all
+    * live in centered space — the batch `center = true` well-definedness
+    * argument verbatim, with `threshold` a centered-space cosine. When
+    * combining with `pqBooks`, the books MUST be fit on CENTERED vectors
+    * ([[graft.operators.Similarity.centerVectors]] the fit corpus with
+    * the same mean first) or the codes live in the wrong space; the
+    * loud ragged guard raises on any vector whose dims differ from the
+    * mean's. The mean is KEY-AFFECTING state (see the checkpoint note on
+    * [[semanticKeyed]]): changing it over an existing checkpoint strands
+    * old buckets — the in-state config marker trips on touched keys. */
   def semanticDedupStream(vectors: DataFrame, threshold: Double, nPlanes: Int = 8,
                           idCol: String = "vec_id",
                           vecCol: String = "embedding",
                           ttl: Option[java.time.Duration] = None,
-                          pqBooks: Option[DataFrame] = None): DataFrame = {
+                          pqBooks: Option[DataFrame] = None,
+                          mean: Option[Seq[Double]] = None): DataFrame = {
     require(nPlanes >= 1 && nPlanes <= 62,
       s"semanticDedupStream needs nPlanes in [1, 62], got $nPlanes")
     semanticKeyed(vectors,
       graft.operators.Similarity.hyperplaneBucketExpr(vecCol, nPlanes),
-      idCol, vecCol, threshold, ttl, pqBooks)
+      idCol, vecCol, threshold, ttl, pqBooks, mean,
+      configTag = s"planes=$nPlanes;bands=1")
       .toDF("bucket", idCol, "kept")
   }
 
@@ -338,38 +362,61 @@ object EventStreams {
     * the raw and PQ paths — the parity the `pqBooks` scaladoc promises.
     *
     * CHECKPOINT COMPATIBILITY: the bucket key derives from (nPlanes,
-    * bands, the plane family) and the state VALUE type from `pqBooks` —
-    * all of them are effectively part of the checkpoint schema. Changing
-    * any of them (including upgrading across a default change) over an
-    * existing transformWithState checkpoint silently strands old state
-    * under keys new arrivals never produce; restart such streams from a
-    * fresh checkpoint. */
+    * bands, the plane family, the centering `mean`) and the state VALUE
+    * type from `pqBooks` — all of them are effectively part of the
+    * checkpoint schema. Changing any of them (including upgrading across
+    * a default change) over an existing transformWithState checkpoint
+    * silently strands old state under keys new arrivals never produce;
+    * restart such streams from a fresh checkpoint. As a TRIPWIRE, every
+    * bucket's state carries a config marker (planes/bands/pq-mode/mean
+    * fingerprint, one short string per bucket) written on first touch and
+    * validated on every later one — a resumed stream whose config changed
+    * FAILS LOUDLY on the first key that collides across configs (with
+    * nPlanes/bands changes the key spaces overlap heavily, so this fires
+    * within the first micro-batches) instead of silently re-admitting
+    * previously-seen duplicates. It is a tripwire, not a proof: a key
+    * that never collides across configs keeps its stranded state
+    * silently, so the fresh-checkpoint rule above still stands. */
   private def semanticKeyed(vectors: DataFrame, key: org.apache.spark.sql.Column,
       idCol: String, vecCol: String, threshold: Double,
       ttl: Option[java.time.Duration],
-      pqBooks: Option[DataFrame]): org.apache.spark.sql.Dataset[(Long, Long, Boolean)] = {
+      pqBooks: Option[DataFrame],
+      mean: Option[Seq[Double]],
+      configTag: String): org.apache.spark.sql.Dataset[(Long, Long, Boolean)] = {
     val spark = vectors.sparkSession
     import spark.implicits._
+    // center BEFORE the key projection and the PQ encode: buckets, state,
+    // and the recurrence cosine must all live in one space (the batch
+    // center=true well-definedness argument). The mean's 6-dp-rounded
+    // values fingerprint into the config marker — a different snapshot
+    // mean is a different key space.
+    val src = mean.fold(vectors)(mu => vectors.select(col(idCol),
+      graft.operators.Similarity
+        .centeredGuarded(col(vecCol), mu, "semanticDedupStream(mean)").as(vecCol)))
+    val tag = configTag +
+      s";pq=${pqBooks.fold("raw")(_ => "codes")}" +
+      s";mean=${mean.fold("none")(mu => java.lang.Long.toHexString(
+        scala.util.hashing.MurmurHash3.orderedHash(mu).toLong & 0xffffffffL))}"
     pqBooks match {
       case Some(booksDf) =>
         val books = graft.operators.Similarity.collectPqCodebooks(booksDf)
         semanticDedupCorePq(
-          vectors
+          src
             .select(key.as("_b"), col(idCol).cast("long").as("_id"),
               graft.functions.GraftFunctions.pq_encode(
                 col(vecCol).cast("array<double>"),
                 books.map(_.map(_.toSeq).toSeq).toSeq).as("_c"))
             .where(col("_b").isNotNull && col("_id").isNotNull && col("_c").isNotNull)
             .as[(Long, Long, Seq[Int])],
-          threshold, ttl, books)
+          threshold, ttl, books, tag)
       case None =>
         semanticDedupCore(
-          vectors
+          src
             .select(key.as("_b"), col(idCol).cast("long").as("_id"),
               col(vecCol).cast("array<double>").as("_v"))
             .where(col("_b").isNotNull && col("_id").isNotNull && col("_v").isNotNull)
             .as[(Long, Long, Seq[Double])],
-          threshold, ttl)
+          threshold, ttl, tag)
     }
   }
 
@@ -398,20 +445,25 @@ object EventStreams {
     * `pqBooks` carries [[semanticDedupStream]]'s PQ-codes-in-state mode;
     * the state multiplier is then bands x CODES (m ints), not bands x
     * raw vectors — the banded rung is where the compression matters
-    * most, since bands multiply state. */
+    * most, since bands multiply state. `mean` carries its center mode
+    * (fitted-mean snapshot, centered before EVERY band's bucket key and
+    * before the PQ encode — books fit on centered vectors, threshold in
+    * centered space; see there for the full contract). */
   def semanticDedupStreamBanded(vectors: DataFrame, threshold: Double,
                                 nPlanes: Int = 8, bands: Int = 2,
                                 idCol: String = "vec_id",
                                 vecCol: String = "embedding",
                                 ttl: Option[java.time.Duration] = None,
-                                pqBooks: Option[DataFrame] = None): DataFrame = {
+                                pqBooks: Option[DataFrame] = None,
+                                mean: Option[Seq[Double]] = None): DataFrame = {
     require(bands >= 1 && nPlanes >= 1 && bands * nPlanes <= 62,
       s"semanticDedupStreamBanded needs bands*nPlanes in [1, 62], got $bands x $nPlanes")
     val keys = (0 until bands).map(b =>
       graft.operators.Similarity.hyperplaneBucketExpr(vecCol, nPlanes,
         planeOffset = b * nPlanes) + lit(b.toLong << nPlanes))
     semanticKeyed(vectors, explode(array(keys: _*)), idCol, vecCol,
-      threshold, ttl, pqBooks)
+      threshold, ttl, pqBooks, mean,
+      configTag = s"planes=$nPlanes;bands=$bands")
       .toDF("bucket", idCol, "kept_in_bucket")
   }
 
@@ -423,7 +475,8 @@ object EventStreams {
   private def semanticDedupCore(
       keyed: org.apache.spark.sql.Dataset[(Long, Long, Seq[Double])],
       threshold: Double,
-      ttl: Option[java.time.Duration]): org.apache.spark.sql.Dataset[(Long, Long, Boolean)] = {
+      ttl: Option[java.time.Duration],
+      configTag: String): org.apache.spark.sql.Dataset[(Long, Long, Boolean)] = {
     import org.apache.spark.sql.Encoders
     import org.apache.spark.sql.streaming.{ListState, OutputMode, StatefulProcessor, TimeMode, TimerValues, TTLConfig}
     val spark = keyed.sparkSession
@@ -433,11 +486,18 @@ object EventStreams {
 
     class DedupProcessor extends StatefulProcessor[Long, (Long, Long, Seq[Double]), (Long, Long, Boolean)] {
       @transient private var seen: ListState[(Long, Seq[Double])] = _
-      override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      @transient private var cfg: org.apache.spark.sql.streaming.ValueState[String] = _
+      override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
         seen = getHandle.getListState[(Long, Seq[Double])]("seen_vectors",
           Encoders.product[(Long, Seq[Double])], ttlConfig)
+        // the config marker must NEVER expire before the vectors it
+        // describes, so it takes no TTL
+        cfg = getHandle.getValueState[String]("op_config", Encoders.STRING,
+          TTLConfig.NONE)
+      }
       override def handleInputRows(bucket: Long, rows: Iterator[(Long, Long, Seq[Double])],
           tv: TimerValues): Iterator[(Long, Long, Boolean)] = {
+        checkConfigMarker(cfg, configTag, bucket)
         val incoming = rows.map { case (_, id, v) => (id, v) }.toArray
         if (incoming.isEmpty) return Iterator.empty
         val all = (seen.get().toArray ++ incoming)
@@ -463,6 +523,25 @@ object EventStreams {
         OutputMode.Update())
   }
 
+  /** The semantic rungs' checkpoint-config tripwire (see
+    * [[semanticKeyed]]'s CHECKPOINT COMPATIBILITY note): written on a
+    * bucket's first touch, validated on every later one — a resumed
+    * stream whose key-affecting config (planes/bands/pq-mode/centering
+    * mean) changed fails loudly on the first cross-config key collision
+    * instead of silently re-admitting previously-seen duplicates. */
+  private def checkConfigMarker(cfg: org.apache.spark.sql.streaming.ValueState[String],
+                                configTag: String, bucket: Long): Unit = {
+    if (cfg.exists()) {
+      val prior = cfg.get()
+      if (prior != configTag)
+        throw new IllegalStateException(
+          s"semantic dedup stream: bucket $bucket holds state written under config " +
+            s"[$prior] but this run uses [$configTag] — nPlanes/bands/pqBooks/mean " +
+            "are part of the checkpoint key/state schema; restart from a fresh " +
+            "checkpoint instead of resuming across a config change")
+    } else cfg.update(configTag)
+  }
+
   /** Sequential double dot/norms over the min span — the CosineSimilarity
     * kernel's exact arithmetic (incl. its malformed-pair convention), so
     * stream and batch agree on threshold boundaries. Shared by the raw and
@@ -485,7 +564,8 @@ object EventStreams {
       keyed: org.apache.spark.sql.Dataset[(Long, Long, Seq[Int])],
       threshold: Double,
       ttl: Option[java.time.Duration],
-      books: Array[Array[Array[Double]]]): org.apache.spark.sql.Dataset[(Long, Long, Boolean)] = {
+      books: Array[Array[Array[Double]]],
+      configTag: String): org.apache.spark.sql.Dataset[(Long, Long, Boolean)] = {
     import org.apache.spark.sql.Encoders
     import org.apache.spark.sql.streaming.{ListState, OutputMode, StatefulProcessor, TimeMode, TimerValues, TTLConfig}
     val spark = keyed.sparkSession
@@ -513,11 +593,16 @@ object EventStreams {
 
     class PqDedupProcessor extends StatefulProcessor[Long, (Long, Long, Seq[Int]), (Long, Long, Boolean)] {
       @transient private var seen: ListState[(Long, Seq[Int])] = _
-      override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      @transient private var cfg: org.apache.spark.sql.streaming.ValueState[String] = _
+      override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
         seen = getHandle.getListState[(Long, Seq[Int])]("seen_codes",
           Encoders.product[(Long, Seq[Int])], ttlConfig)
+        cfg = getHandle.getValueState[String]("op_config", Encoders.STRING,
+          TTLConfig.NONE)
+      }
       override def handleInputRows(bucket: Long, rows: Iterator[(Long, Long, Seq[Int])],
           tv: TimerValues): Iterator[(Long, Long, Boolean)] = {
+        checkConfigMarker(cfg, configTag, bucket)
         val incoming = rows.map { case (_, id, c) => (id, c) }.toArray
         if (incoming.isEmpty) return Iterator.empty
         val all = (seen.get().toArray ++ incoming)

@@ -1206,6 +1206,52 @@ class DedupSimilaritySpec extends SparkSuite {
     } finally org.apache.commons.io.FileUtils.deleteDirectory(dir)
   }
 
+  test("scrubAgainstIvfPqIndex: stable-id re-crawls drop; empty and null-row waves degrade gracefully") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{ArrayType, DoubleType, LongType, StructField, StructType}
+    // q223's exact point-mass fixture: index ids 0-15
+    val vals = Seq(Seq(3.0, 4.0), Seq(0.0, 5.0), Seq(4.0, 3.0), Seq(5.0, 0.0))
+    def member(c: Int, v: Seq[Double]): Seq[Double] =
+      Seq.tabulate(8)(d => if (d / 2 == c) v(d % 2) else 0.0)
+    val corpus = ((0 until 4).map(c => (c.toLong, member(c, vals(0)))) ++
+      (for (c <- 0 until 4; j <- 0 until 3)
+        yield ((4 + 3 * c + j).toLong, member(c, vals(j + 1)))))
+      .toDF("vec_id", "embedding")
+    val cents = Similarity.trainCentroids(corpus, 4, 3)
+    val books = Similarity.fitIvfPqCodebooks(corpus, cents, m = 4, ksub = 16,
+      iterations = 3)
+    val idx = Similarity.IvfPqIndex(cents, books,
+      Similarity.ivfPqEncode(corpus, cents, books))
+    val schema = StructType(Seq(
+      StructField("vec_id", LongType, nullable = true),
+      StructField("embedding", ArrayType(DoubleType), nullable = true)))
+    // the r19 ADVICE regression: a re-crawl KEEPING its stable reference
+    // id (15) must still be matched against its identically-id'd twin
+    // (ADC cosine exactly 1.0) and drop — a probe-side self-filter would
+    // silently let the exact duplicate survive
+    val wave = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(
+        Row(15L, member(3, vals(3))),              // stable-id re-crawl: drop
+        Row(300L, member(0, Seq(-3.0, -4.0))),     // genuinely new: keep
+        Row(null, member(1, vals(0))),             // null id: passthrough
+        Row(301L, null))),                         // null vector: passthrough
+      schema)
+    val out = Similarity.scrubAgainstIvfPqIndex(wave, idx, threshold = 0.9,
+        nprobe = 1)
+      .select("vec_id").collect()
+      .map(r => if (r.isNullAt(0)) -1L else r.getLong(0)).sorted
+    assert(out === Array(-1L, 300L, 301L), out.toSeq)
+    // an empty nightly wave returns itself, not a crash
+    assert(Similarity.scrubAgainstIvfPqIndex(wave.where(lit(false)), idx,
+      threshold = 0.9).count() === 0)
+    // a wave of ONLY unprobeable rows short-circuits the same way
+    val nullsOnly = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(Row(null, member(1, vals(0))), Row(302L, null))),
+      schema)
+    assert(Similarity.scrubAgainstIvfPqIndex(nullsOnly, idx,
+      threshold = 0.9).count() === 2)
+  }
+
   test("scalarQuantize: codes in [0,255], error bounded by scale/2, constant dim -> 0") {
     val data = Seq(
       (0L, Seq(0.0, 5.0, 7.0)),

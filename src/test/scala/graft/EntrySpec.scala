@@ -93,6 +93,137 @@ class EntrySpec extends SparkSuite {
     assert(b(1L)._1 > 0.75 * 1.1, s"noise class must clear the ceiling: ${b(1L)}")
   }
 
+  // q227's forcing margins: the append gate is only meaningful if the
+  // re-crawl drop is attributable to the APPENDED codes alone.
+  test("q227 fixture margins: pre-append best candidate exactly 0.8, append lossless, balance at cap") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.Similarity
+    import spark.implicits._
+    val vals = Seq(Seq(3.0, 4.0), Seq(0.0, 5.0), Seq(4.0, 3.0), Seq(5.0, 0.0))
+    def member(c: Int, v: Seq[Double]): Seq[Double] =
+      Seq.tabulate(8)(d => if (d / 2 == c) v(d % 2) else 0.0)
+    val design = ((0 until 4).map(c => (c.toLong, member(c, vals(0)))) ++
+      (for (c <- 0 until 4; j <- 0 until 3)
+        yield ((4 + 3 * c + j).toLong, member(c, vals(j + 1)))))
+      .toDF("vec_id", "embedding")
+    val current = design.where(!col("vec_id").isin(6L, 9L, 12L, 15L))
+    val cents = Similarity.trainCentroids(design, 4, 3)
+    val books = Similarity.fitIvfPqCodebooks(design, cents, m = 4, ksub = 16,
+      iterations = 3)
+    val idx = Similarity.IvfPqIndex(cents, books,
+      Similarity.ivfPqEncode(current, cents, books))
+    val wave1 = (0 until 4).map(c => ((104 + c).toLong, member(c, vals(3))))
+      .toDF("vec_id", "embedding")
+    // BEFORE the append: the (5,0) class's best candidate is its own
+    // cell's (4,3) member at cosine exactly 20/25 = 0.8 < tau — so a
+    // post-append drop can ONLY come from the appended codes
+    val pre = Similarity.ivfPqTopK(idx.encoded, cents, books, wave1, 1,
+        nprobe = 1).select("cosine").as[Double].collect()
+    assert(pre.length === 4 && pre.forall(_ === 0.8), pre.toSeq)
+    // the append encode is lossless (residual (2,-3) IS a codebook entry)
+    // and the default balance check passes exactly at the 0.25 cap
+    val grown = Similarity.appendToIvfPqIndex(idx, wave1)
+    assert(grown.encoded.count() === 16)
+    val post = Similarity.ivfPqTopK(grown.encoded, cents, books,
+        (0 until 4).map(c => ((200 + c).toLong, member(c, vals(3))))
+          .toDF("vec_id", "embedding"), 1, nprobe = 1)
+      .select("neighbor_id", "cosine").as[(Long, Double)].collect()
+    assert(post.forall { case (n, c) => n >= 104 && n <= 107 && c === 1.0 },
+      post.toSeq)
+    // a skewed wave (8 rows into one cell of a 12-row index) trips the
+    // loud hot-cell check instead of silently degrading the serve
+    val skewed = (0 until 8).map(i => ((300 + i).toLong, member(0, vals(3))))
+      .toDF("vec_id", "embedding")
+    val e = intercept[IllegalArgumentException] {
+      Similarity.appendToIvfPqIndex(idx, skewed)
+    }
+    assert(e.getMessage.contains("maxCellFrac"), e.getMessage)
+  }
+
+  // q228's unconditional closed form rests on three margins + one
+  // exactness claim — pinned computationally, not assumed.
+  test("q228 fixture: mean exactly 64, centered margins, per-group shared buckets, raw concentration") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.Similarity
+    import spark.implicits._
+    val originals = SparkEntry.semanticScrubCenteredVecs(spark, recrawl = false)
+    val mu = Similarity.fitMeanVector(originals)
+    assert(mu === Seq.fill(48)(64.0)) // integer sums cancel: EXACT snapshot mean
+    val all = originals
+      .unionAll(SparkEntry.semanticScrubCenteredVecs(spark, recrawl = true))
+      .select(col("vec_id"),
+        Similarity.centerVectors(col("embedding"), mu).as("embedding"))
+    val rows = all.as[(Long, Seq[Double])].collect()
+    def cos(a: Seq[Double], b: Seq[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      d / math.sqrt(na * nb)
+    }
+    def group(id: Long) = { val b = id % 1000000L; (b / 8, (b % 8) / 4) }
+    for (x <- rows; y <- rows if x._1 < y._1) {
+      val c = cos(x._2, y._2)
+      if (group(x._1) == group(y._1))
+        assert(c > 0.9, s"within-group ${x._1}/${y._1}: $c") // min is ~0.9676
+      else if (group(x._1)._1 == group(y._1)._1)
+        assert(c < 0.0, s"mirror pair ${x._1}/${y._1}: $c")  // ~ -1: never drops
+      else assert(c === 0.0, s"cross-cluster ${x._1}/${y._1}: $c") // disjoint support
+    }
+    // every (cluster, sign) group — originals AND its re-crawls — shares
+    // exactly one centered hyperplane bucket (the pigeonhole, verified)
+    val buckets = all.select(col("vec_id"),
+        Similarity.hyperplaneBucketExpr("embedding", 8).as("b"))
+      .as[(Long, Long)].collect()
+    val byGroup = buckets.groupBy(x => group(x._1))
+    assert(byGroup.size === 24 &&
+      byGroup.values.forall(_.map(_._2).distinct.length === 1), byGroup)
+    // and the RAW fixture is genuinely concentrated: every raw pairwise
+    // cosine clears the 0.9 threshold, so an uncentered run would
+    // collapse to a single survivor — center mode is load-bearing
+    val raw = originals.as[(Long, Seq[Double])].collect()
+    val worst = (for (x <- raw; y <- raw if x._1 < y._1)
+      yield cos(x._2, y._2)).min
+    assert(worst > 0.9, s"raw fixture must concentrate, min cosine $worst")
+  }
+
+  // q229's forcing margins: exact dyadic centering end to end.
+  test("q229: centered index persists mean 0.75, re-crawl ADC exactly 1.0, fresh candidates < 0.25") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.Similarity
+    import spark.implicits._
+    val vals = Seq(Seq(3.0, 4.0), Seq(0.0, 5.0), Seq(4.0, 3.0), Seq(5.0, 0.0))
+    def member(c: Int, v: Seq[Double]): Seq[Double] =
+      Seq.tabulate(8)(d => if (d / 2 == c) v(d % 2) else 0.0)
+    val corpus = ((0 until 4).map(c => (c.toLong, member(c, vals(0)))) ++
+      (for (c <- 0 until 4; j <- 0 until 3)
+        yield ((4 + 3 * c + j).toLong, member(c, vals(j + 1)))))
+      .toDF("vec_id", "embedding")
+    val dir = java.nio.file.Files.createTempDirectory("graft_q229_spec").toFile
+    try {
+      val idx = Similarity.buildIvfPqIndex(corpus, dir.getPath, nCells = 4,
+        m = 4, ksub = 16, iterations = 3, center = true)
+      assert(idx.mean === Some(Seq.fill(8)(0.75))) // 12/16 per dim, exact
+      assert(Similarity.loadIvfPqIndex(spark, dir.getPath).mean === idx.mean)
+      // a re-crawl centers onto its lossless twin: ADC cosine exactly 1.0
+      val re = Seq((100L, member(3, vals(3)))).toDF("vec_id", "embedding")
+        .select(col("vec_id"),
+          Similarity.centerVectors(col("embedding"), idx.mean.get).as("embedding"))
+      val top = Similarity.ivfPqTopK(idx.encoded, idx.centroids, idx.codebooks,
+        re, 1, nprobe = 1).select("cosine").as[Double].collect()
+      assert(top === Array(1.0), top.toSeq)
+      // the fresh class scores < 0.25 against EVERY corpus member in
+      // EVERY cell — the q229 survivor verdict is forced no matter which
+      // cell nprobe = 1 probes
+      val fresh = (0 until 4).map(c => ((104 + c).toLong, member(c, Seq(-3.0, -4.0))))
+        .toDF("vec_id", "embedding")
+        .select(col("vec_id"),
+          Similarity.centerVectors(col("embedding"), idx.mean.get).as("embedding"))
+      val allCands = Similarity.ivfPqTopK(idx.encoded, idx.centroids,
+          idx.codebooks, fresh, 16, nprobe = 4)
+        .select("cosine").as[Double].collect()
+      assert(allCands.nonEmpty && allCands.forall(_ < 0.25), allCands.toSeq)
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(dir)
+  }
+
   test("every query executes and is non-empty at sf0.001") {
     val empties = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       val n = fn(spark, sf).count()

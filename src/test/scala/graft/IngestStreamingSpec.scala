@@ -1157,6 +1157,150 @@ class IngestStreamingSpec extends SparkSuite {
     }
   }
 
+  test("semanticDedupStream mean param: in-operator centering matches batch center=true; pqBooks fit centered") {
+    // The first-class center mode (r19 verdict item 1): the operator
+    // centers by the fitted-mean SNAPSHOT itself — bucket keys, state,
+    // and the recurrence cosine all in centered space — instead of the
+    // caller pre-centering upstream. Same offset corpus as the
+    // pre-centered test; additionally composes with PQ-codes-in-state,
+    // whose books are fit on CENTERED vectors (the documented contract).
+    val b1 = Seq(1.0, 0.5, -0.25, 1.0, 0.75, -0.5, 0.3, 1.1)
+    def shift(v: Seq[Double]) = v.map(_ + 2.5)
+    val v1 = shift(b1)
+    val v5 = shift(b1)          // exact dup of v1
+    val v9 = shift(b1.map(-_))  // centered cosine -1: never a dup
+    val union = Seq((1L, v1), (5L, v5), (9L, v9)).toDF("vec_id", "embedding")
+    val mu = graft.operators.Similarity.fitMeanVector(union)
+    val centeredBooks = graft.operators.Similarity.fitPqCodebooks(
+      union.select(col("vec_id"),
+        graft.operators.Similarity.centerVectors(col("embedding"), mu).as("embedding")),
+      m = 2, ksub = 4, iterations = 2)
+    val root = Files.createTempDirectory("graft_semdedup_meanparam").toString
+    val dir = s"$root/in"
+    new java.io.File(dir).mkdirs()
+    Seq((5L, v5), (9L, v9)).toDF("vec_id", "embedding")
+      .coalesce(1).write.parquet(s"$root/f1")
+    Seq((1L, v1)).toDF("vec_id", "embedding")
+      .coalesce(1).write.parquet(s"$root/f2")
+    for (f <- Seq("f1", "f2");
+         p <- new java.io.File(s"$root/$f").listFiles() if p.getName.endsWith(".parquet")) {
+      val dst = java.nio.file.Path.of(dir, s"$f-${p.getName}")
+      Files.copy(p.toPath, dst)
+      dst.toFile.setLastModified(if (f == "f1") 1000000L else 2000000L)
+    }
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    try {
+      spark.conf.set(key,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      val schema = spark.read.parquet(dir).schema
+      val stream = EventStreams.readFileStream(spark, dir, schema, maxFilesPerTrigger = 1)
+      EventStreams.drainToMemory(
+        EventStreams.semanticDedupStream(stream, threshold = 0.95,
+          mean = Some(mu)),
+        "sem_dedup_meanparam_stream", outputMode = "update")
+      val rows = spark.table("sem_dedup_meanparam_stream")
+        .select("vec_id", "kept").as[(Long, Boolean)].collect()
+      val finals = rows.zipWithIndex.groupBy(_._1._1)
+        .map { case (id, xs) => id -> xs.maxBy(_._2)._1._2 }
+      assert(finals === Map(1L -> true, 5L -> false, 9L -> true), s"got $finals")
+      // the retroactive flip runs in centered space too
+      val fives = rows.filter(_._1 == 5L).map(_._2).toSeq
+      assert(fives.head === true && fives.last === false, s"saw $fives")
+      // parity with the batch center=true twin on the union
+      val batchSurvivors = graft.operators.Similarity.semanticDedup(
+        union, 0.95, center = true).select("vec_id").as[Long].collect().toSet
+      assert(finals.filter(_._2).keySet === batchSurvivors)
+      // center + PQ-codes-in-state compose: centered books, same keep-set
+      val stream2 = EventStreams.readFileStream(spark, dir, schema, maxFilesPerTrigger = 1)
+      EventStreams.drainToMemory(
+        EventStreams.semanticDedupStream(stream2, threshold = 0.95,
+          mean = Some(mu), pqBooks = Some(centeredBooks)),
+        "sem_dedup_meanpq_stream", outputMode = "update")
+      val pqFinals = spark.table("sem_dedup_meanpq_stream")
+        .select("vec_id", "kept").as[(Long, Boolean)].collect()
+        .zipWithIndex.groupBy(_._1._1)
+        .map { case (id, xs) => id -> xs.maxBy(_._2)._1._2 }
+      assert(pqFinals === finals, s"pq-in-centered-space diverged: $pqFinals")
+      // the banded rung carries the same mean mode
+      val stream3 = EventStreams.readFileStream(spark, dir, schema, maxFilesPerTrigger = 1)
+      EventStreams.drainToMemory(
+        EventStreams.semanticDedupStreamBanded(stream3, threshold = 0.95,
+          nPlanes = 4, bands = 2, mean = Some(mu)),
+        "sem_dedup_meanbanded_stream", outputMode = "update")
+      val bFinals = spark.table("sem_dedup_meanbanded_stream")
+        .select("bucket", "vec_id", "kept_in_bucket")
+        .as[(Long, Long, Boolean)].collect().zipWithIndex
+        .groupBy(x => (x._1._1, x._1._2))
+        .map { case (_, xs) => xs.maxBy(_._2)._1 }
+        .groupBy(_._2).map { case (id, xs) => id -> xs.forall(_._3) }
+      assert(bFinals === Map(1L -> true, 5L -> false, 9L -> true), s"got $bFinals")
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
+  test("semantic rung config marker: resuming a checkpoint across a config change fails loudly") {
+    // The r19 ADVICE checkpoint footgun: a key-affecting config change
+    // (here: adding a centering mean; same failure class as an nPlanes
+    // default change) over an existing transformWithState checkpoint used
+    // to silently strand old state. The in-state marker now trips on the
+    // first key that collides across configs. The zero mean guarantees
+    // the collision (centering by zero preserves every bucket key), so
+    // the trip is deterministic.
+    val v1 = Seq(1.0, 0.5, -0.25, 1.0, 0.75, -0.5, 0.3, 1.1)
+    val root = Files.createTempDirectory("graft_semdedup_marker").toString
+    val dir = s"$root/in"
+    val ckpt = s"$root/ckpt"
+    new java.io.File(dir).mkdirs()
+    Seq((1L, v1)).toDF("vec_id", "embedding")
+      .coalesce(1).write.parquet(s"$root/f1")
+    for (p <- new java.io.File(s"$root/f1").listFiles() if p.getName.endsWith(".parquet")) {
+      val dst = java.nio.file.Path.of(dir, s"f1-${p.getName}")
+      Files.copy(p.toPath, dst)
+      dst.toFile.setLastModified(1000000L)
+    }
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    try {
+      spark.conf.set(key,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      val schema = spark.read.parquet(dir).schema
+      def run(mean: Option[Seq[Double]], out: String): Unit = {
+        val q = EventStreams.semanticDedupStream(
+            EventStreams.readFileStream(spark, dir, schema, maxFilesPerTrigger = 1),
+            threshold = 0.95, mean = mean)
+          .writeStream
+          .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+            df.write.mode("append").parquet(out): Unit
+          }
+          .option("checkpointLocation", ckpt)
+          .outputMode("update")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+      run(None, s"$root/out1") // writes the marker under config mean=none
+      // second wave so the resumed run has rows to process
+      Seq((2L, v1.map(_ * 1.001))).toDF("vec_id", "embedding")
+        .coalesce(1).write.parquet(s"$root/f2")
+      for (p <- new java.io.File(s"$root/f2").listFiles() if p.getName.endsWith(".parquet")) {
+        val dst = java.nio.file.Path.of(dir, s"f2-${p.getName}")
+        Files.copy(p.toPath, dst)
+        dst.toFile.setLastModified(2000000L)
+      }
+      val e = intercept[Throwable] { run(Some(Seq.fill(8)(0.0)), s"$root/out2") }
+      val msgs = Iterator.iterate(e)(_.getCause).takeWhile(_ != null)
+        .map(_.getMessage).filter(_ != null).mkString(" | ")
+      assert(msgs.contains("fresh checkpoint"),
+        s"expected the config-marker trip, got: $msgs")
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   test("fuzzyDedupStream: late smaller-id original flips the variant; pairwise batch parity") {
     import graft.operators.Dedup
     val tau = 0.5
