@@ -11,8 +11,8 @@ import org.apache.spark.sql.functions._
   * land in BASELINE.md). Args select sections: `fill`, `skew`, `bucket`,
   * `funnel`, `pq`, `bigprobe`, `zipfcell`, `rawdetach`, `zorderskew`, `spanscrub`, `fuzzydedup`, `cleanscrub`, `packbudget`, `simhashband`,
   * `wordlm`, `bloomdedup`, `winnow`, `chatshard`, `warcsrc`, `jsonlsrc`,
-  * `gram`, `zorder`, `unigram`, `semplanes`, `streamscale`, `streamttl`,
-  * `legacy` (no args = all). */
+  * `gram`, `zorder`, `unigram`, `semplanes`, `streamscale`,
+  * `streamcentered`, `streamttl`, `legacy` (no args = all). */
 object ScaleProbe {
   def main(args: Array[String]): Unit = {
     val sections: String => Boolean =
@@ -1423,6 +1423,100 @@ object ScaleProbe {
             root, "append", users,
             f"session ${mult}%2dx $users%6d users / ${perWave * 2}%8d events",
             "user")
+        }
+      } finally prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+
+    // CENTER MODE for the streaming semantic rung, priced on the
+    // CONCENTRATED corpus (the r19 verdict's top item). On the
+    // semplanes-conc shape (shared strong direction + per-doc noise) the
+    // raw rung's plane signs are pinned, the bucket-keyed exchange lands
+    // nearly everything under a handful of keys, and the per-batch
+    // O(bucket-population^2) keep-first recurrence eats the rung; the
+    // fitted-mean snapshot (`mean = Some(fitMeanVector(snapshot))`)
+    // restores isotropic occupancy for ZERO extra shuffles — centering is
+    // part of the existing pre-shuffle narrow projection. This measures
+    // occupancy (distinct bucket keys + max bucket) and wall per batch,
+    // raw vs centered, same two-wave re-crawl replay as streamscale.
+    if (sections("streamcentered")) {
+      import graft.streaming.EventStreams
+      val key = "spark.sql.streaming.stateStore.providerClass"
+      val prev = spark.conf.getOption(key)
+      try {
+        spark.conf.set(key,
+          "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+        // two concentration strengths: STRONG (+10, the semplanes-conc
+        // shape) pins every w1-weighted plane AND pushes every raw
+        // pairwise cosine to ~0.96 — the raw rung then mass-drops the
+        // corpus (its fast wall is the recurrence's early exit on a WRONG
+        // answer: kept collapses to ~one per bucket). MODERATE (+3) still
+        // collapses occupancy (bias 3 vs noise sigma ~1.6 per plane) but
+        // keeps distinct-pair cosines ~0.69 < 0.9 — no early exit, so the
+        // hot buckets pay the full O(population^2) recurrence per batch:
+        // the wall number centering buys back while ALSO fixing kept.
+        for ((shared, cTag) <- Seq((10.0, "strong"), (3.0, "moderate"));
+             mult <- Seq(1, 8)) {
+          val perWave = 2000L * mult
+          val dups = perWave * 4 / 5
+          val payload = expr(s"transform(sequence(1, 48), d -> " +
+            s"CAST(IF(d = 1, $shared, 0.0) + " +
+            s"pmod(xxhash64(pmod(id, ${dups}L), d), 10007) / 10007.0 - 0.5 AS DOUBLE))")
+            .as("embedding")
+          def wave(shift: Long) = spark.range(perWave).select(
+            (col("id") + shift).as("doc_id"), payload)
+          // snapshot mean, fit batch-side on wave 0 (the documented
+          // production contract: streams take a PREFIT mean)
+          val mu = graft.operators.Similarity.fitMeanVector(wave(0L))
+          for ((tag, mean) <- Seq(("raw     ", None), ("centered", Some(mu)))) {
+            val root = java.nio.file.Files
+              .createTempDirectory(s"graft_streamcentered_$tag").toString
+            new java.io.File(s"$root/in").mkdirs()
+            for ((df, i) <- Seq(wave(1000000000L), wave(0L)).zipWithIndex) {
+              df.coalesce(1).write.parquet(s"$root/w$i")
+              for (p <- new java.io.File(s"$root/w$i").listFiles()
+                   if p.getName.endsWith(".parquet")) {
+                val dst = java.nio.file.Path.of(s"$root/in", s"w$i-${p.getName}")
+                java.nio.file.Files.copy(p.toPath, dst)
+                dst.toFile.setLastModified((i + 1) * 1000000L): Unit
+              }
+            }
+            val schema = spark.read.parquet(s"$root/in").schema
+            val q = EventStreams.semanticDedupStream(
+                EventStreams.readFileStream(spark, s"$root/in", schema),
+                threshold = 0.9, nPlanes = 8, idCol = "doc_id",
+                vecCol = "embedding", mean = mean)
+              .writeStream
+              .foreachBatch { (df: org.apache.spark.sql.DataFrame, batchId: Long) =>
+                df.withColumn("batch_id", lit(batchId))
+                  .write.mode("append").parquet(s"$root/out"): Unit
+              }
+              .outputMode("update")
+              .option("checkpointLocation", s"$root/ckpt")
+              .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+              .start()
+            q.awaitTermination()
+            val walls = q.recentProgress.filter(_.numInputRows > 0)
+              .map(p => f"${p.durationMs.get("triggerExecution") / 1000.0}%.2f")
+              .mkString("/")
+            val outDf = spark.read.parquet(s"$root/out")
+            val occ = outDf
+              .groupBy("bucket").agg(countDistinct("doc_id").as("n"))
+              .agg(count(lit(1)), max("n")).head()
+            // reader contract: LAST row per (bucket, id); kept count is the
+            // correctness check — the two-wave replay of `dups` distinct
+            // vectors must keep exactly `dups` docs, which the raw rung on
+            // a strongly concentrated corpus fails by mass-dropping
+            val w = org.apache.spark.sql.expressions.Window
+              .partitionBy("bucket", "doc_id").orderBy(col("batch_id").desc)
+            val kept = outDf.withColumn("_rn", row_number().over(w))
+              .where(col("_rn") === 1 && col("kept")).count()
+            println(f"[probe] streamcentered $cTag%-8s $tag ${mult}%2dx ${perWave * 2}%6d docs: " +
+              f"buckets ${occ.getLong(0)}%4d (max ${occ.getLong(1)}%6d), " +
+              f"kept $kept%6d (want $dups%6d), wall $walls s/batch")
+          }
         }
       } finally prev match {
         case Some(v) => spark.conf.set(key, v)
