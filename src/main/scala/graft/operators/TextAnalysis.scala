@@ -1066,16 +1066,33 @@ object TextAnalysis {
     * docs frame — e.g. `pmod(xxhash64(col("doc_id")), 100) < 5` for a
     * reproducible 5% — restricting ONLY what the fit sees. Pass None for
     * exact-corpus parity (the q136 oracle shape); sampled-vs-full merge
-    * agreement on the test corpus is pinned in TextAnalysisSpec. */
+    * agreement on the test corpus is pinned in TextAnalysisSpec.
+    *
+    * DETACH CADENCE: the merge fold is a NARROW projection, so rounds do
+    * not need a lineage cut each — the loop detaches every
+    * `detachCadence` rounds (and keeps at most one detached generation
+    * alive). Between cuts, round r's aggregate recomputes up to
+    * `detachCadence - 1` prior folds — vocabulary-sized narrow CPU, no
+    * extra shuffles — in exchange for one fewer materialization JOB per
+    * round, which is the dominant cost of small fits (the q216 class:
+    * a 5-merge fit is ~13 tiny driver-loop jobs, none over 200 ms).
+    * The cadence bounds both lineage depth and recompute at scale;
+    * 8 balances them for production merge counts (32k rounds = 4k cuts,
+    * each amortizing 8 rounds of fold CPU). */
   def trainBpeMerges(docs: DataFrame, textCol: String, nMerges: Int,
-                     fitSample: Option[Column] = None): DataFrame = {
+                     fitSample: Option[Column] = None,
+                     detachCadence: Int = 8): DataFrame = {
     require(nMerges >= 1, s"trainBpeMerges needs nMerges >= 1, got $nMerges")
+    require(detachCadence >= 1,
+      s"trainBpeMerges needs detachCadence >= 1, got $detachCadence")
     val spark = docs.sparkSession
-    var vocab = Relational.detach(
+    var root = Relational.detach(
       fitSample.fold(docs)(docs.where)
         .select(explode(wordTokens(col(textCol))).as("_w"))
         .groupBy("_w").agg(count(lit(1)).as("_f"))
         .select(col("_f"), split(col("_w"), "").as("_s")))
+    var vocab = root // root + <= detachCadence-1 narrow folds on top
+    var foldsSinceDetach = 0
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, String, Long)]
     var done = false
     for (r <- 1 to nMerges if !done) {
@@ -1104,12 +1121,18 @@ object TextAnalysis {
             s"IF(size(acc) > 0 AND element_at(acc, -1) = '$a' AND x = '$b', " +
             s"concat(slice(acc, 1, size(acc) - 1), array('$ab')), " +
             s"concat(acc, array(x))))")
-        val next = Relational.detach(vocab.select(col("_f"), mergedExpr.as("_s")))
-        Relational.release(vocab)
-        vocab = next
+        vocab = vocab.select(col("_f"), mergedExpr.as("_s"))
+        foldsSinceDetach += 1
+        if (foldsSinceDetach >= detachCadence) {
+          val next = Relational.detach(vocab)
+          Relational.release(root)
+          root = next
+          vocab = next
+          foldsSinceDetach = 0
+        }
       }
     }
-    Relational.release(vocab)
+    Relational.release(root)
     import spark.implicits._
     merges.toSeq.toDF("rank", "left", "right", "merged", "n")
   }
