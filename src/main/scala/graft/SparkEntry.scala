@@ -3700,6 +3700,43 @@ object SparkEntry {
         .select(col("vec_id"))
         .orderBy("vec_id")
     }),
+
+    // The STABLE-ID re-crawl case behind its own driver gate — the r19
+    // ADVICE regression class: when probe and index id spaces OVERLAP
+    // (a re-crawled doc keeps its id from the reference snapshot — the
+    // common crawl-pipeline convention), a probe-side self-filter would
+    // exclude the identically-id'd reference twin and the exact
+    // duplicate would silently survive. q226 gives re-crawls fresh ids
+    // and so cannot catch that; here ids 15/9/4/0 re-crawl UNDER THEIR
+    // OWN IDS (exact copies, ADC cosine exactly 1.0 — dropped via
+    // excludeSelfMatches = false) while the fresh (-3,-4) class keeps
+    // its q226 forced-zero survival. Survivors = the fresh ids only.
+    "q230_scrub_stable_id_twin" -> ((s, dir) => {
+      import s.implicits._
+      val vals = Seq(Seq(3.0, 4.0), Seq(0.0, 5.0), Seq(4.0, 3.0), Seq(5.0, 0.0))
+      def member(c: Int, v: Seq[Double]): Seq[Double] =
+        Seq.tabulate(8)(d => if (d / 2 == c) v(d % 2) else 0.0)
+      val corpus = ((0 until 4).map(c => (c.toLong, member(c, vals(0)))) ++
+        (for (c <- 0 until 4; j <- 0 until 3)
+          yield ((4 + 3 * c + j).toLong, member(c, vals(j + 1)))))
+        .toDF("vec_id", "embedding")
+      val cents = Similarity.trainCentroids(corpus, 4, 3)
+      val books = Similarity.fitIvfPqCodebooks(corpus, cents, m = 4, ksub = 16,
+        iterations = 3)
+      val idx = Similarity.IvfPqIndex(cents, books,
+        Similarity.ivfPqEncode(corpus, cents, books))
+      val newWave = (Seq(
+        (15L, member(3, vals(3))), // re-crawl KEEPING its reference id
+        (9L, member(1, vals(3))),
+        (4L, member(0, vals(1))),
+        (0L, member(0, vals(0)))
+      ) ++ (0 until 4).map(c => ((104 + c).toLong, member(c, Seq(-3.0, -4.0)))))
+        .toDF("vec_id", "embedding")
+      Similarity.scrubAgainstIvfPqIndex(newWave, idx, threshold = 0.9,
+          nprobe = 1)
+        .select(col("vec_id"))
+        .orderBy("vec_id")
+    }),
   )
 
   /** Session conf for the five streaming driver gates (q205/q206/q210/
@@ -5452,6 +5489,15 @@ object SparkEntry {
     // with fit, persist, reload, and probe-centering all in mean-centered
     // space (exact dyadics end to end; margins pinned in EntrySpec).
     "q229_ivfpq_centered_scrub_twin" ->
+      """SELECT CAST(v AS BIGINT) AS vec_id
+        |FROM (VALUES (104), (105), (106), (107)) AS t(v)
+        |ORDER BY vec_id""".stripMargin,
+
+    // Stable-id re-crawls (probe id == reference id) must STILL drop —
+    // the self-match exclusion is off for the cross-snapshot scrub, so
+    // the identically-id'd twin scores exactly 1.0; survivors are the
+    // fresh class only.
+    "q230_scrub_stable_id_twin" ->
       """SELECT CAST(v AS BIGINT) AS vec_id
         |FROM (VALUES (104), (105), (106), (107)) AS t(v)
         |ORDER BY vec_id""".stripMargin,

@@ -378,6 +378,43 @@ class PlanPostureSpec extends SparkSuite {
       s"centering added an exchange:\n$centered")
   }
 
+  test("scrub + append on a LOADED index: broadcast anti join, narrow append, no degeneration (q226/q227 shape)") {
+    // The production shape: the reference index is persisted and loaded
+    // (fit-once/probe-many), so the serve plans read parquet — the fit's
+    // own aggregates must not appear in any serve or append plan.
+    val emb = graft.meta.Tables.embeddings(spark, sf)
+    val corpus = emb.where(col("vec_id") < 400)
+    val dir = java.nio.file.Files.createTempDirectory("graft-scrubplan").toFile
+    try {
+      graft.operators.Similarity.buildIvfPqIndex(corpus, dir.getPath,
+        nCells = 4, m = 4, ksub = 8, iterations = 2)
+      val idx = graft.operators.Similarity.loadIvfPqIndex(spark, dir.getPath)
+      val wave = emb.where(col("vec_id") >= 400 && col("vec_id") < 448)
+      val plan = executedPlan(graft.operators.Similarity.scrubAgainstIvfPqIndex(
+        wave, idx, threshold = 0.9, nprobe = 2))
+      // the dropped-id set is one long per hit — it must ride a broadcast
+      // into the LEFT ANTI join, never shuffle the wave
+      assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftAnti"),
+        s"survivor anti join lost its broadcast shape:\n$plan")
+      // and nothing in the serve may degenerate to all-pairs
+      assert(!plan.contains("CartesianProduct") &&
+        !plan.contains("BroadcastNestedLoopJoin"),
+        s"scrub serve degenerated:\n$plan")
+      // APPEND: maxCellFrac = 1.0 skips the balance AGGREGATE (an
+      // intentional count job) so the pinned plan is the pure append
+      // path — assign + encode are narrow projections, the centroid
+      // fetch is a broadcast, the union adds no exchange: appending N
+      // waves costs N narrow passes, never a corpus shuffle
+      val grown = graft.operators.Similarity.appendToIvfPqIndex(idx, wave,
+        maxCellFrac = 1.0)
+      val aPlan = executedPlan(grown.encoded)
+      assert(shuffleCount(aPlan) === 0,
+        s"append encode must be narrow (broadcast centroid fetch only):\n$aPlan")
+      assert(aPlan.contains("BroadcastHashJoin"),
+        s"centroid residual fetch lost its broadcast:\n$aPlan")
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(dir)
+  }
+
   test("chat family plans ONE conversation-keyed exchange each (q154/q155/q156 shape)") {
     // Every chat operator reduces to a single conversation-keyed aggregate
     // whose checks are array expressions over the collected turn list —
