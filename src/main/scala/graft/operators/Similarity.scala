@@ -575,7 +575,18 @@ object Similarity {
     * candidate (quantization is the only approximation, exactly
     * [[ivfPqTopK]]'s contract) compared against `threshold` after the
     * tier's 6-dp rounding; recall is bounded by `nprobe` like any IVF
-    * query. New-vs-new duplicates are NOT handled here — run
+    * query.
+    *
+    * SIZING `threshold` — it lives in RECONSTRUCTED space, so it must
+    * sit BELOW the index's measured self-recall cosine
+    * (cos(v, recon(v)) for exact re-crawls), which depends on the
+    * codebook budget AND the corpus's intrinsic structure (ScaleProbe
+    * `scrubappend`, 200k x 64d, m = 8): a structureless corpus at
+    * ksub = 16 reconstructs at mean cosine 0.52 — a τ = 0.8 scrub then
+    * silently misses ~everything — while ksub = 256 restores τ = 0.7 to
+    * 5000/5000 exact-re-crawl recall; a 12-dim-manifold corpus (the
+    * real embedding shape) reaches 4995/5000 at τ = 0.8 with ksub = 64.
+    * Measure the ladder on a held-out sample before choosing τ. New-vs-new duplicates are NOT handled here — run
     * [[semanticDedup]] on the new wave first, then scrub the survivors
     * (the q133 incremental-fuzzy composition, in embedding space).
     * `broadcastProbes = false` + the salt knobs switch to the

@@ -12,7 +12,7 @@ import org.apache.spark.sql.functions._
   * `funnel`, `pq`, `bigprobe`, `zipfcell`, `rawdetach`, `zorderskew`, `spanscrub`, `fuzzydedup`, `cleanscrub`, `packbudget`, `simhashband`,
   * `wordlm`, `bloomdedup`, `winnow`, `chatshard`, `warcsrc`, `jsonlsrc`,
   * `gram`, `zorder`, `unigram`, `semplanes`, `streamscale`,
-  * `streamcentered`, `streamttl`, `legacy` (no args = all). */
+  * `streamcentered`, `scrubappend`, `streamttl`, `legacy` (no args = all). */
 object ScaleProbe {
   def main(args: Array[String]): Unit = {
     val sections: String => Boolean =
@@ -1428,6 +1428,135 @@ object ScaleProbe {
         case Some(v) => spark.conf.set(key, v)
         case None => spark.conf.unset(key)
       }
+    }
+
+    // The cross-wave scrub/append loop at scale (r20 surface): build an
+    // IVF-PQ index on a 200k x 64d clustered corpus, scrub a 20k wave
+    // (10k exact re-crawls of corpus rows under fresh ids + 10k genuinely
+    // new), append the survivors, then re-scrub re-crawls OF the appended
+    // wave. Prices the walls of each leg on the DISTRIBUTED serve path
+    // (broadcastProbes = false — a 20k-probe LUT frame at nprobe = 4 is
+    // ~170 MB of 265-double rows, past sane broadcast size; the salted
+    // cell join is the wave shape) and measures the ADC-recall ladder of
+    // exact re-crawls (cos(v, recon(v)) under m=8/ksub=16 quantization)
+    // across taus — the number that tells a curator where to set tau in
+    // RECONSTRUCTED space.
+    if (sections("scrubappend")) {
+      import graft.operators.Similarity
+      val nRows = 200000L
+      // UNIFORM corpus: per-dim independent xxhash noise — NO structure
+      // for PQ to exploit (every subspace is 8-dim uniform; 2^(8·H) cells
+      // would be needed). PQ's worst case, measured so the scaladoc's
+      // sizing advice has a number behind it.
+      def uniform(firstId: Long, n: Long) = spark.range(firstId, firstId + n).select(
+        col("id").as("vec_id"),
+        expr(("transform(sequence(1, 64), d -> " +
+          "CAST(pmod(xxhash64(CAST(id DIV 5 AS BIGINT), d), 10007) / 10007.0 - 0.5 AS DOUBLE)" +
+          " + IF(d = 1 + (id DIV 5) % 64, 0.03 * (id % 5), 0D))")).as("embedding"))
+      // LOW-RANK corpus: every vector is a hash-weighted mix of 12 fixed
+      // basis directions + 2% per-dim noise — the real shape of sentence
+      // embeddings (low intrinsic dimension). Each subspace then sees a
+      // 12-dim manifold that ksub centroids can tile.
+      def lowRankB(firstId: Long, n: Long, basisOffset: Int) =
+        spark.range(firstId, firstId + n).select(
+          col("id").as("vec_id"),
+          expr(("transform(sequence(1, 64), d -> " +
+            "CAST(aggregate(sequence(0, 11), 0D, (acc, r) -> acc + " +
+            s"  (pmod(xxhash64(CAST(id DIV 5 AS BIGINT), r), 7) - 3.0) * " +
+            s"  (pmod(xxhash64(CAST(r + $basisOffset AS BIGINT), d, 42), 1009) / 1009.0 - 0.5)) " +
+            " + pmod(xxhash64(id, d, 7), 101) / 101.0 * 0.08 - 0.04 AS DOUBLE))")).as("embedding"))
+      def lowRank(firstId: Long, n: Long) = lowRankB(firstId, n, 0)
+      // ADC self-recall ladder: top-1 cosine of 5k EXACT re-crawls vs the
+      // index — cos(v, recon(v)) is what tau compares against in
+      // reconstructed space, so this is the tau-sizing table
+      def recallLadder(tag: String, path: String, gen: (Long, Long) => org.apache.spark.sql.DataFrame,
+                       ksub: Int): Unit = {
+        gen(0L, nRows).write.mode("overwrite").parquet(path)
+        val corpus = spark.read.parquet(path)
+        val t0 = System.nanoTime()
+        val cents = Similarity.trainCentroids(corpus, 64, 2)
+        val books = Similarity.fitIvfPqCodebooks(corpus, cents, m = 8,
+          ksub = ksub, iterations = 2)
+        val enc = Similarity.ivfPqEncode(corpus, cents, books).persist()
+        enc.count()
+        val fitS = (System.nanoTime() - t0) / 1e9
+        val probes = corpus.where(col("vec_id") < 5000)
+          .select((col("vec_id") + 1000000000L).as("vec_id"), col("embedding"))
+        val top1 = Similarity.ivfPqTopK(enc, cents, books, probes, 1,
+            nprobe = 4, broadcastProbes = false)
+          .agg(count(lit(1)).as("n"),
+            sum(when(col("cosine") > 0.7, 1).otherwise(0)).as("t07"),
+            sum(when(col("cosine") > 0.8, 1).otherwise(0)).as("t08"),
+            sum(when(col("cosine") > 0.9, 1).otherwise(0)).as("t09"),
+            round(avg("cosine"), 3).as("avg")).head()
+        enc.unpersist(blocking = true)
+        println(f"[probe] scrubappend recall $tag%-8s ksub=$ksub%-3d (fit+encode $fitS%5.1f s): " +
+          f"exact re-crawls caught at tau 0.7/0.8/0.9 = ${top1.getLong(1)}%4d/" +
+          f"${top1.getLong(2)}%4d/${top1.getLong(3)}%4d of ${top1.getLong(0)} " +
+          f"(mean top-1 ${top1.getDouble(4)}%.3f)")
+      }
+      recallLadder("uniform", "/tmp/graft_probe_sa_u", uniform, 16)
+      recallLadder("uniform", "/tmp/graft_probe_sa_u", uniform, 256)
+      recallLadder("lowrank", "/tmp/graft_probe_sa_l", lowRank, 16)
+      recallLadder("lowrank", "/tmp/graft_probe_sa_l", lowRank, 64)
+      // The full cross-wave loop, q227's design at scale: books fit on
+      // the FULL 200k design snapshot (the fitSample production shape —
+      // books anticipate the distribution), the index ENCODES only rows
+      // < 190k, and the wave is the 10k held-out rows (in-distribution
+      // for the books, genuinely absent from the index) + 10k exact
+      // re-crawls of indexed rows. Uniform corpus at ksub=256 and the
+      // ladder-supported tau=0.7: re-crawls drop, held-out survive,
+      // append survivors, and re-crawls of the APPENDED wave then drop —
+      // because their codes are in-fit-distribution. (The lowrank legs
+      // above show the converse: appending docs the books never saw
+      // loses their self-recall — the refit trigger the
+      // appendToIvfPqIndex scaladoc names.)
+      val design = spark.read.parquet("/tmp/graft_probe_sa_u")
+      val (idx, fitS) = {
+        val t0 = System.nanoTime()
+        val cents = Similarity.trainCentroids(design, 64, 2)
+        val books = Similarity.fitIvfPqCodebooks(design, cents, m = 8,
+          ksub = 256, iterations = 2)
+        val enc = Similarity.ivfPqEncode(
+          design.where(col("vec_id") < 190000), cents, books)
+        Similarity.saveIvfPqIndex("/tmp/graft_probe_scrubappend_idx",
+          Similarity.IvfPqIndex(cents, books, enc))
+        (Similarity.loadIvfPqIndex(spark, "/tmp/graft_probe_scrubappend_idx"),
+          (System.nanoTime() - t0) / 1e9)
+      }
+      println(f"[probe] scrubappend index: fit on 200k design, encode 190k, persist  $fitS%.1f s")
+      val recrawls = design.where(col("vec_id") < 10000)
+        .select((col("vec_id") + 1000000000L).as("vec_id"), col("embedding"))
+      val heldOut = design.where(col("vec_id") >= 190000)
+      recrawls.unionByName(heldOut)
+        .write.mode("overwrite").parquet("/tmp/graft_probe_scrubappend_wave")
+      val waveDf = spark.read.parquet("/tmp/graft_probe_scrubappend_wave")
+      val tau = 0.7
+      val survivors = time(f"scrub 20k wave vs 190k index (distributed serve, tau=$tau)") {
+        val s = Similarity.scrubAgainstIvfPqIndex(waveDf, idx, tau,
+          nprobe = 4, broadcastProbes = false).persist()
+        val n = s.count()
+        val lost = s.where(col("vec_id") >= 1000000000L).count()
+        println(f"[probe] scrubappend survivors $n of 20000 " +
+          f"(10000 held-out fresh + $lost recall-lost re-crawls)")
+        s
+      }
+      val grown = time("append survivors (incl. the hot-cell balance aggregate)") {
+        val g = Similarity.appendToIvfPqIndex(idx, survivors)
+        g.encoded.write.format("noop").mode("overwrite").save()
+        g
+      }
+      // re-crawls OF the appended held-out docs (exact copies, fresh
+      // ids): the loop's point — wave N+1 duplicates of wave-N survivors
+      // drop, because the appended codes are in-fit-distribution
+      val re2 = heldOut.select((col("vec_id") + 2000000000L).as("vec_id"),
+        col("embedding"))
+      time("re-scrub re-crawls of the appended wave") {
+        val kept = Similarity.scrubAgainstIvfPqIndex(re2, grown, tau,
+          nprobe = 4, broadcastProbes = false).count()
+        println(f"[probe] scrubappend re-crawls of appended: ${10000 - kept} of 10000 dropped")
+      }
+      survivors.unpersist(blocking = true): Unit
     }
 
     // CENTER MODE for the streaming semantic rung, priced on the
