@@ -393,13 +393,21 @@ object EventStreams {
     val src = mean.fold(vectors)(mu => vectors.select(col(idCol),
       graft.operators.Similarity
         .centeredGuarded(col(vecCol), mu, "semanticDedupStream(mean)").as(vecCol)))
+    // collect books once: the encode projection AND the config tag both
+    // need them (the tag fingerprints the ACTUAL centroid values — state
+    // codes are only decodable by the books that wrote them, so swapping
+    // in different books of the same shape across a restart must trip
+    // the marker exactly like a plane or mean change)
+    val collected = pqBooks.map(df =>
+      graft.operators.Similarity.collectPqCodebooks(df))
+    def fp(xs: Iterable[Any]): String = java.lang.Long.toHexString(
+      scala.util.hashing.MurmurHash3.orderedHash(xs).toLong & 0xffffffffL)
     val tag = configTag +
-      s";pq=${pqBooks.fold("raw")(_ => "codes")}" +
-      s";mean=${mean.fold("none")(mu => java.lang.Long.toHexString(
-        scala.util.hashing.MurmurHash3.orderedHash(mu).toLong & 0xffffffffL))}"
-    pqBooks match {
-      case Some(booksDf) =>
-        val books = graft.operators.Similarity.collectPqCodebooks(booksDf)
+      s";pq=${collected.fold("raw")(b =>
+        "codes:" + fp(b.flatMap(_.flatMap(_.toSeq)).toSeq))}" +
+      s";mean=${mean.fold("none")(mu => fp(mu))}"
+    collected match {
+      case Some(books) =>
         semanticDedupCorePq(
           src
             .select(key.as("_b"), col(idCol).cast("long").as("_id"),

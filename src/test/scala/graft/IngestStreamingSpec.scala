@@ -1295,6 +1295,44 @@ class IngestStreamingSpec extends SparkSuite {
         .map(_.getMessage).filter(_ != null).mkString(" | ")
       assert(msgs.contains("fresh checkpoint"),
         s"expected the config-marker trip, got: $msgs")
+      // and SWAPPING CODEBOOKS of the same shape trips too: state codes
+      // are only decodable by the books that wrote them, so the marker
+      // fingerprints the centroid VALUES, not just the pq mode
+      val u1 = Seq((1L, v1), (9L, v1.map(-_))).toDF("vec_id", "embedding")
+      val u2 = Seq((1L, v1.map(_ * 3.0)), (9L, v1.map(-_ * 2.0)))
+        .toDF("vec_id", "embedding")
+      val booksA = graft.operators.Similarity.fitPqCodebooks(u1, m = 2, ksub = 2,
+        iterations = 1)
+      val booksB = graft.operators.Similarity.fitPqCodebooks(u2, m = 2, ksub = 2,
+        iterations = 1)
+      val ckpt2 = s"$root/ckpt2"
+      def runPq(books: org.apache.spark.sql.DataFrame, out: String): Unit = {
+        val q = EventStreams.semanticDedupStream(
+            EventStreams.readFileStream(spark, dir, schema, maxFilesPerTrigger = 1),
+            threshold = 0.95, pqBooks = Some(books))
+          .writeStream
+          .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+            df.write.mode("append").parquet(out): Unit
+          }
+          .option("checkpointLocation", ckpt2)
+          .outputMode("update")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+      runPq(booksA, s"$root/out3")
+      Seq((3L, v1.map(_ * 1.002))).toDF("vec_id", "embedding")
+        .coalesce(1).write.parquet(s"$root/f3")
+      for (p <- new java.io.File(s"$root/f3").listFiles() if p.getName.endsWith(".parquet")) {
+        val dst = java.nio.file.Path.of(dir, s"f3-${p.getName}")
+        Files.copy(p.toPath, dst)
+        dst.toFile.setLastModified(3000000L)
+      }
+      val e2 = intercept[Throwable] { runPq(booksB, s"$root/out4") }
+      val msgs2 = Iterator.iterate(e2)(_.getCause).takeWhile(_ != null)
+        .map(_.getMessage).filter(_ != null).mkString(" | ")
+      assert(msgs2.contains("fresh checkpoint"),
+        s"expected the books-swap trip, got: $msgs2")
     } finally prev match {
       case Some(v) => spark.conf.set(key, v)
       case None => spark.conf.unset(key)
