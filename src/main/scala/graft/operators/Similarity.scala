@@ -533,10 +533,19 @@ object Similarity {
     index.centroids.write.mode("overwrite").parquet(s"$dir/centroids")
     index.codebooks.write.mode("overwrite").parquet(s"$dir/codebooks")
     index.encoded.write.mode("overwrite").parquet(s"$dir/encoded")
-    index.mean.foreach { mu =>
-      index.centroids.sparkSession.range(1)
-        .select(typedlit(mu).as("mean"))
-        .write.mode("overwrite").parquet(s"$dir/mean")
+    val spark = index.centroids.sparkSession
+    index.mean match {
+      case Some(mu) =>
+        spark.range(1).select(typedlit(mu).as("mean"))
+          .write.mode("overwrite").parquet(s"$dir/mean")
+      case None =>
+        // overwriting a previously CENTERED index with a raw fit must not
+        // leave the old mean/ behind — a stale mean would make
+        // loadIvfPqIndex center probes against raw-space codes, a
+        // silently-wrong similarity space
+        val meanPath = new org.apache.hadoop.fs.Path(s"$dir/mean")
+        val fs = meanPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        if (fs.exists(meanPath)) { fs.delete(meanPath, true): Unit }
     }
   }
 

@@ -1293,6 +1293,13 @@ class DedupSimilaritySpec extends SparkSuite {
         threshold = 0.9, nprobe = 4)
       assert(out.count() === 1L,
         "expected exactly one quantization-lost re-crawl on this fixture")
+      // overwriting the centered index with a RAW refit in the SAME dir
+      // must clear the persisted mean — a stale mean/ table would center
+      // probes against raw-space codes (silently wrong similarity space)
+      Similarity.buildIvfPqIndex(corpus, dir.getPath, nCells = 4,
+        m = 4, ksub = 16, iterations = 2, center = false)
+      assert(Similarity.loadIvfPqIndex(spark, dir.getPath).mean.isEmpty,
+        "raw re-save left the previous centered fit's mean behind")
     } finally org.apache.commons.io.FileUtils.deleteDirectory(dir)
   }
 
