@@ -732,6 +732,9 @@ object Similarity {
         .agg(sum(col("_n")).as("_total"), max_by(col("cell_id"), col("_n")).as("_hot"),
           max(col("_n")).as("_hotN"))
         .head()
+      // an empty grown table (empty index + empty wave) aggregates to one
+      // all-null row — nothing to balance-check
+      if (stats.isNullAt(0)) return index.copy(encoded = grown)
       val (total, hot, hotN) = (stats.getLong(0), stats.getLong(1), stats.getLong(2))
       require(hotN <= math.max(1L, (maxCellFrac * total).toLong),
         s"appendToIvfPqIndex: cell $hot holds $hotN of $total rows " +
