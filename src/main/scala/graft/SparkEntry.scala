@@ -2933,8 +2933,9 @@ object SparkEntry {
         Similarity.fitOpqRotation(emb, m = 8, fitSample = fitPred),
         m = 8, ksub = 16, pqIterations = 2, rounds = 1, fitSample = fitPred)
       val rotated = Relational.detach(Similarity.opqRotate(emb, rot))
-      val cents = Relational.detach(Similarity.trainBalancedCentroids(
-        rotated, 8, 2, maxCellFrac = 0.3, splitRounds = 2, fitSample = fitPred))
+      // trainBalancedCentroids detaches its result itself (r21)
+      val cents = Similarity.trainBalancedCentroids(
+        rotated, 8, 2, maxCellFrac = 0.3, splitRounds = 2, fitSample = fitPred)
       val books = Similarity.fitIvfPqCodebooks(rotated, cents, m = 8,
         ksub = 16, iterations = 2, fitSample = fitPred)
       val enc = Similarity.ivfPqEncode(rotated, cents, books)
@@ -3757,14 +3758,23 @@ object SparkEntry {
     * files LAZILY, so eager deletion inside the query builder would break
     * the serve; exit-time cleanup is what stops every verify/bench run
     * from leaking the gates' parquet trees in /tmp (ADVICE r19). */
-  private def gateTempDir(prefix: String): String = {
-    val p = java.nio.file.Files.createTempDirectory(prefix)
+  // ONE shared shutdown hook for every gate scratch dir (ADVICE r20: a
+  // hook per invocation held a Thread for the JVM lifetime each — a full
+  // Verify/Bench run accumulated a dozen-plus).
+  private val gateTempDirs =
+    java.util.Collections.synchronizedList(new java.util.ArrayList[java.nio.file.Path]())
+  private lazy val gateTempHook: Unit = {
     Runtime.getRuntime.addShutdownHook(new Thread(() => {
       def rm(f: java.io.File): Unit = {
         val cs = f.listFiles(); if (cs != null) cs.foreach(rm); f.delete(): Unit
       }
-      rm(p.toFile)
+      gateTempDirs.forEach(p => rm(p.toFile))
     }))
+  }
+  private def gateTempDir(prefix: String): String = {
+    gateTempHook // register the single hook on first use
+    val p = java.nio.file.Files.createTempDirectory(prefix)
+    gateTempDirs.add(p)
     p.toString
   }
 

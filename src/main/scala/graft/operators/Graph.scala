@@ -24,10 +24,16 @@ object Graph {
     * Same iterative-driver-loop discipline as
     * [[Dedup.connectedComponents]] / [[Similarity.trainCentroids]]: each
     * round is ONE edge-keyed join + one destination-keyed aggregate over
-    * (id, double) rows — never the corpus's payload columns — plus one
-    * driver SCALAR (the dangling mass, a single-row agg). Ranks are
-    * detached between rounds (the frame feeds the next round's join AND
-    * the dangling sum); out-degrees are fit once. Output:
+    * (id, double) rows — never the corpus's payload columns. The dangling
+    * mass (a single-row agg over the detached ranks) rides INSIDE the
+    * round's job as a broadcast 1-row crossJoin rather than a separate
+    * driver collect, so each round is exactly one job (r21: the collect
+    * per round was a second full job whose only output was one double).
+    * Ranks are detached between rounds (the frame feeds the next round's
+    * join AND the dangling sum); out-degrees are fit once, and the
+    * deduped edge table is detached once up front (it feeds every
+    * round's join — left lazy it re-ran its distinct shuffle per round).
+    * Output:
     * (id, round(rank, 6) as rank). `nodes`: one column `id`; `edges`:
     * `src`, `dst` (directed; parallel (src,dst) rows are deduped inside
     * the operator, so each distinct edge counts exactly once in both
@@ -39,17 +45,18 @@ object Graph {
       s"pageRank needs damping in (0, 1), got $damping")
     val n = nodes.count().toDouble
     require(n > 0, "pageRank needs at least one node")
-    val e = edges.select(col("src"), col("dst")).distinct()
+    val e = Relational.detach(edges.select(col("src"), col("dst")).distinct())
     val outDeg = Relational.detach(
       e.groupBy("src").agg(count(lit(1)).cast("double").as("_deg")))
     var ranks = Relational.detach(
       nodes.select(col("id"), lit(1.0 / n).as("_r")))
     for (_ <- 1 to iters) {
-      // rank parked on dangling nodes (no out-edges) — one driver double;
-      // sum over an empty slice is null, hence the coalesce
+      // rank parked on dangling nodes (no out-edges) — a 1-row aggregate
+      // broadcast into the round's plan (same sum the driver collect
+      // produced; sum over an empty slice is null, hence the coalesce)
       val dangling = ranks
         .join(outDeg, ranks("id") === outDeg("src"), "left_anti")
-        .agg(coalesce(sum("_r"), lit(0.0))).head().getDouble(0)
+        .agg(coalesce(sum("_r"), lit(0.0)).as("_dang"))
       val contribs = e
         .join(ranks, e("src") === ranks("id"))
         .join(outDeg, "src")
@@ -58,13 +65,16 @@ object Graph {
       val next = Relational.detach(
         nodes.select(col("id"))
           .join(contribs, Seq("id"), "left")
+          .crossJoin(broadcast(dangling))
           .select(col("id"),
             (lit((1.0 - damping) / n) +
               lit(damping) * (coalesce(col("_in"), lit(0.0)) +
-                lit(dangling / n))).as("_r")))
+                col("_dang") / lit(n))).as("_r")))
       Relational.release(ranks)
       ranks = next
     }
+    Relational.release(e)
+    Relational.release(outDeg)
     ranks.select(col("id"), round(col("_r"), 6).as("rank"))
   }
 }

@@ -469,8 +469,11 @@ object Similarity {
                 excludeSelfMatches: Boolean = true): DataFrame = {
     require(k >= 1, s"ivfPqTopK needs k >= 1, got $k")
     require(nprobe >= 1, s"ivfPqTopK needs nprobe >= 1, got $nprobe")
+    // An empty probe set yields an empty result frame (SQL semantics) —
+    // no eager emptiness job here: the former require(!probes.isEmpty)
+    // re-ran the caller's probe scan once per serve (ADVICE r20), and
+    // scrubAgainstIvfPqIndex ran a second one on top.
     val books = collectPqCodebooks(codebooks).map(_.map(_.toSeq).toSeq).toSeq
-    require(!probes.isEmpty, "ivfPqTopK: probe set is empty")
     val guarded = probes.select(
       guardedProbeId(idCol, vecCol, "ivfPqTopK").as(idCol), col(vecCol))
     val cents = centroids.select(col(idCol).cast("long").as("cell_id"),
@@ -630,8 +633,11 @@ object Similarity {
                              broadcastProbes: Boolean = true,
                              codesPerSalt: Long = 8192L,
                              maxSalt: Int = 64): DataFrame = {
+    // No eager emptiness check: an empty wave probes nothing, hits is
+    // empty, and the anti join below returns newDocs unchanged — all at
+    // plan level. The former probes.isEmpty ran one full extra job over
+    // the wave source per scrub (and ivfPqTopK's require ran another).
     val probes = newDocs.where(col(idCol).isNotNull && col(vecCol).isNotNull)
-    if (probes.isEmpty) return newDocs
     val centered = index.mean.fold(probes)(mu => probes.select(col(idCol),
       centeredGuarded(col(vecCol), mu, "scrubAgainstIvfPqIndex").as(vecCol)))
     val hits = ivfPqTopK(index.encoded, index.centroids, index.codebooks,
@@ -754,14 +760,22 @@ object Similarity {
     * shuffle bytes per iteration are |cells| x dims, independent of corpus
     * size. Cells that lose all members drop out (k may shrink).
     * `fitSample` carries the same deterministic sample-fit contract as
-    * [[fitPqCodebooks]] — seeds and every Lloyd pass prune with it. */
+    * [[fitPqCodebooks]] — seeds and every Lloyd pass prune with it.
+    *
+    * The returned centroid frame is DETACHED (materialized once, lineage
+    * severed): left lazy, every downstream consumer — each
+    * [[fitPqCodebooks]] iteration's collect, the encode pass, the serve's
+    * centroid broadcast — re-ran the whole nested Lloyd chain (its own
+    * corpus passes) as a subtree of its job; q100's fit+encode+serve paid
+    * the chain 5+ times (guide §2.4: remove recomputed subtrees). The
+    * frame is |cells| rows, so the pinned storage is centroid-budget. */
   def trainCentroids(corpus: DataFrame, k: Int, iterations: Int,
                      idCol: String = "vec_id", vecCol: String = "embedding",
                      fitSample: Option[Column] = None): DataFrame = {
     val fit = fitSample.fold(corpus)(corpus.where)
     var cents = fit.orderBy(col(idCol)).limit(k).select(col(idCol), col(vecCol))
     for (_ <- 0 until iterations) cents = lloydStep(fit, cents, idCol, vecCol)
-    cents
+    Relational.detach(cents)
   }
 
   /** One Lloyd iteration: broadcast-assign + [[graft.functions.VectorAvg]]
@@ -840,8 +854,14 @@ object Similarity {
         val cold = cents.where(!col(idCol).cast("long").isin(hot.map(Long.box): _*))
           .select(col(idCol).cast("long").as(idCol),
             col(vecCol).cast("array<double>").as(vecCol))
-        cents = cold.unionByName(fresh)
-        for (_ <- 0 until refineIters) cents = lloydStep(fit, cents, idCol, vecCol)
+        var grown = cold.unionByName(fresh)
+        for (_ <- 0 until refineIters) grown = lloydStep(fit, grown, idCol, vecCol)
+        // detach per round: the next round's maxId/hot collects and the
+        // final consumers otherwise re-run this round's refine chain per
+        // job (trainCentroids' detach rationale, once per split round)
+        val next = Relational.detach(grown)
+        Relational.release(cents)
+        cents = next
       }
       Relational.release(assigned)
       round += 1
@@ -1433,8 +1453,8 @@ object Similarity {
   def pqTopK(corpusCodes: DataFrame, codebooks: DataFrame, probes: DataFrame, k: Int,
              idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     require(k >= 1, s"pqTopK needs k >= 1, got $k")
+    // empty probes → empty result, no eager emptiness job (see ivfPqTopK)
     val books = collectPqCodebooks(codebooks).map(_.map(_.toSeq).toSeq).toSeq
-    require(!probes.isEmpty, "pqTopK: probe set is empty")
     val lutDf = probes.select(
       guardedProbeId(idCol, vecCol, "pqTopK").as("probe_id"),
       graft.functions.GraftFunctions

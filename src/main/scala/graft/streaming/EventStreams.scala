@@ -387,9 +387,11 @@ object EventStreams {
     import spark.implicits._
     // center BEFORE the key projection and the PQ encode: buckets, state,
     // and the recurrence cosine must all live in one space (the batch
-    // center=true well-definedness argument). The mean's 6-dp-rounded
-    // values fingerprint into the config marker — a different snapshot
-    // mean is a different key space.
+    // center=true well-definedness argument). The mean's RAW double
+    // values fingerprint into the config marker (deliberately
+    // conservative: a bit-level-different refit of a numerically
+    // identical mean reads as a different key space and trips the
+    // fresh-checkpoint tripwire rather than risking a silent mix).
     val src = mean.fold(vectors)(mu => vectors.select(col(idCol),
       graft.operators.Similarity
         .centeredGuarded(col(vecCol), mu, "semanticDedupStream(mean)").as(vecCol)))
