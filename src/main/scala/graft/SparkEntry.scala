@@ -3782,6 +3782,12 @@ object SparkEntry {
     val confs = Seq(
       "spark.sql.streaming.stateStore.providerClass" ->
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+      // r21 measured, rejected: rocksdb.changelogCheckpointing.enabled=true
+      // (skip the per-store snapshot upload per commit) timed NEUTRAL-to-
+      // WORSE on the seven gates (15.0s -> 16.2s min-of-2) — at 4 stores x
+      // 2-3 triggers of byte-sized state the snapshot is already trivial
+      // and the changelog adds its own file churn. Worth re-testing on a
+      // production stream with real state volume, not here.
       "spark.sql.shuffle.partitions" -> "4")
     val prev = confs.map { case (k, _) => k -> s.conf.getOption(k) }
     try { confs.foreach { case (k, v) => s.conf.set(k, v) }; body }
