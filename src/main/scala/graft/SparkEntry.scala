@@ -3771,6 +3771,12 @@ object SparkEntry {
       gateTempDirs.forEach(p => rm(p.toFile))
     }))
   }
+  // r21 measured, rejected: pointing the gate scratch at tmpfs (/dev/shm)
+  // instead of java.io.tmpdir — the theory was that streaming offset/
+  // commit-log and RocksDB checkpoint fsyncs dominate the gates' fixed
+  // cost; the 7-gate subset timed 14.97s (ext4 /tmp) vs 14.50s (tmpfs),
+  // inside run-to-run noise, so the small-file churn is not fsync-bound
+  // on this storage and the default tmpdir stays.
   private def gateTempDir(prefix: String): String = {
     gateTempHook // register the single hook on first use
     val p = java.nio.file.Files.createTempDirectory(prefix)
