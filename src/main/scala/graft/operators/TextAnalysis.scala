@@ -303,9 +303,16 @@ object TextAnalysis {
     require(k1 >= 0 && b >= 0 && b <= 1,
       s"bm25TopK needs k1 >= 0 and b in [0, 1], got k1=$k1 b=$b")
     val n = docs.agg(count(lit(1)).cast("double").as("_n"))
-    val tf = docs
+    // Detached (r21): tf feeds THREE consumers (dl, dfreq, the match join)
+    // whose differing column pruning produces non-identical canonical
+    // exchanges — ReuseExchange does NOT collapse them and the corpus
+    // explode ran once per consumer (profiled: six ~0.5s explode/agg
+    // stages for one bm25 call). The tf table IS the inverted index — the
+    // same materialize-the-reusable-artifact shape as shingleHashTable's
+    // documented 100-TB contract.
+    val tf = Relational.detach(docs
       .select(col(idCol), explode(wordTokens(lower(col(textCol)))).as("term"))
-      .groupBy(idCol, "term").agg(count(lit(1)).as("tf"))
+      .groupBy(idCol, "term").agg(count(lit(1)).as("tf")))
     val dl = tf.groupBy(idCol).agg(sum("tf").as("dl"))
     val avgdl = dl.agg(avg(col("dl")).as("_avgdl"))
     val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
@@ -370,8 +377,22 @@ object TextAnalysis {
       .select(col(idCol), col("term"),
         (col("tf") * log(col("_n") / col("df"))).as("w")))
     val nrm = w.groupBy(idCol).agg(sqrt(sum(col("w") * col("w"))).as("nrm"))
+    // The posting-list self-join is a FANOUT join: per-term work is
+    // |postings|^2 while the exchange carries only the weight rows, so
+    // AQE's byte-based coalescing collapses the join to ONE task (the
+    // shuffled weight table is a few hundred KB at sf0.1; measured: a
+    // 1-task, ~1s join+partial-agg stage inside a 32-core session).
+    // Pin the join's partitioning explicitly — an exact-count user
+    // repartition on the join key is not coalescible, and the count is
+    // scale-adaptive (defaultParallelism = session cores locally, cluster
+    // cores in production), not a tuned constant. Same exchange count:
+    // these replace the ENSURE_REQUIREMENTS exchanges the join plans
+    // anyway.
+    val p = docs.sparkSession.sparkContext.defaultParallelism
     val a = w.select(col(idCol).as("id_a"), col("term"), col("w").as("w_a"))
+      .repartition(p, col("term"))
     val b = w.select(col(idCol).as("id_b"), col("term"), col("w").as("w_b"))
+      .repartition(p, col("term"))
     a.join(b, "term").where(col("id_a") < col("id_b"))
       .groupBy("id_a", "id_b").agg(sum(col("w_a") * col("w_b")).as("dot"))
       .join(nrm.select(col(idCol).as("id_a"), col("nrm").as("_na")), "id_a")
