@@ -2882,19 +2882,10 @@ object SparkEntry {
       import s.implicits._
       val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
       val root = gateTempDir("graft_q206")
-      val in = s"$root/in"
-      new java.io.File(in).mkdirs()
-      docs.where(col("doc_id") % 5 === 0)
-        .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
-        .coalesce(1).write.parquet(s"$root/w1")
-      docs.coalesce(1).write.parquet(s"$root/w2")
-      for ((wave, t) <- Seq(("w1", 1000000L), ("w2", 2000000L));
-           p <- new java.io.File(s"$root/$wave").listFiles()
-           if p.getName.endsWith(".parquet")) {
-        val dst = java.nio.file.Path.of(in, s"$wave-${p.getName}")
-        java.nio.file.Files.copy(p.toPath, dst)
-        dst.toFile.setLastModified(t): Unit
-      }
+      val in = stageGateWaves(root, Seq(
+        "w1" -> docs.where(col("doc_id") % 5 === 0)
+          .select((col("doc_id") + 1000000L).as("doc_id"), col("text")),
+        "w2" -> docs))
       withStreamGateConf(s) {
         val schema = s.read.parquet(in).schema
         val q = graft.streaming.EventStreams.incrementalDedupStream(
@@ -3069,17 +3060,9 @@ object SparkEntry {
     // a single MinHash.
     "q210_fuzzy_scrub_stream" -> ((s, dir) => {
       val root = gateTempDir("graft_q210")
-      val in = s"$root/in"
-      new java.io.File(in).mkdirs()
-      fuzzyScrubDocs(s, recrawl = true).coalesce(1).write.parquet(s"$root/w1")
-      fuzzyScrubDocs(s, recrawl = false).coalesce(1).write.parquet(s"$root/w2")
-      for ((wave, t) <- Seq(("w1", 1000000L), ("w2", 2000000L));
-           p <- new java.io.File(s"$root/$wave").listFiles()
-           if p.getName.endsWith(".parquet")) {
-        val dst = java.nio.file.Path.of(in, s"$wave-${p.getName}")
-        java.nio.file.Files.copy(p.toPath, dst)
-        dst.toFile.setLastModified(t): Unit
-      }
+      val in = stageGateWaves(root, Seq(
+        "w1" -> fuzzyScrubDocs(s, recrawl = true),
+        "w2" -> fuzzyScrubDocs(s, recrawl = false)))
       withStreamGateConf(s) {
         val schema = s.read.parquet(in).schema
         val q = graft.streaming.EventStreams.fuzzyDedupStream(
@@ -3127,17 +3110,9 @@ object SparkEntry {
     // EventStreamsSpec, not assumed.
     "q215_semantic_scrub_stream" -> ((s, dir) => {
       val root = gateTempDir("graft_q215")
-      val in = s"$root/in"
-      new java.io.File(in).mkdirs()
-      semanticScrubVecs(s, recrawl = true).coalesce(1).write.parquet(s"$root/w1")
-      semanticScrubVecs(s, recrawl = false).coalesce(1).write.parquet(s"$root/w2")
-      for ((wave, t) <- Seq(("w1", 1000000L), ("w2", 2000000L));
-           p <- new java.io.File(s"$root/$wave").listFiles()
-           if p.getName.endsWith(".parquet")) {
-        val dst = java.nio.file.Path.of(in, s"$wave-${p.getName}")
-        java.nio.file.Files.copy(p.toPath, dst)
-        dst.toFile.setLastModified(t): Unit
-      }
+      val in = stageGateWaves(root, Seq(
+        "w1" -> semanticScrubVecs(s, recrawl = true),
+        "w2" -> semanticScrubVecs(s, recrawl = false)))
       withStreamGateConf(s) {
         val schema = s.read.parquet(in).schema
         // maxFilesPerTrigger = 1 is what makes this a TWO-batch replay —
@@ -3149,6 +3124,10 @@ object SparkEntry {
               maxFilesPerTrigger = 1),
             threshold = 0.9)
           .writeStream
+          // r22 measured, rejected: coalesce(1) before the sink write (to
+          // cut committer/file overhead) SERIALIZES the 4 state-store
+          // partitions into one task — addBatch 0.68/0.36 s -> 0.91/0.58 s
+          // warm. The 4-task write is the floor.
           .foreachBatch { (df: DataFrame, batchId: Long) =>
             df.withColumn("batch_id", lit(batchId))
               .write.mode("append").parquet(s"$root/out"): Unit
@@ -3193,10 +3172,13 @@ object SparkEntry {
     // real event carries, filtered from the result) advance the
     // watermark past every open session's horizon and give the
     // event-time timers a batch to fire in — so EVERY real session is
-    // emitted, observed-gap closes and timer closes both. Cost note: the
-    // ~6s in-suite wall is three RocksDB trigger rounds (~2s fixed cost
-    // each, the q206/q210/q215 class x1.5) — the third trigger is not
-    // trimmable because event-time timers fire one batch AFTER the
+    // emitted, observed-gap closes and timer closes both. Cost note
+    // (r22): three trigger rounds on the HDFS-backed store (single
+    // column family — flatMapGroupsWithState needs no RocksDB), all
+    // waves staged by ONE write job, and the post-watermark no-data
+    // batch disabled (it only ever emitted the second sentinel's own
+    // filtered session — see withStreamGateConf). The third trigger is
+    // not trimmable: event-time timers fire one batch AFTER the
     // watermark passes them, and exercising that timer path end-to-end
     // is this gate's point (the unit tests cover it; no driver gate
     // did). The oracle is
@@ -3218,21 +3200,18 @@ object SparkEntry {
       val maxUs = maxRow.getLong(0)
       val sentinel = 9999999999L
       val root = gateTempDir("graft_q217")
-      val in = s"$root/in"
-      new java.io.File(in).mkdirs()
-      ev.coalesce(1).write.parquet(s"$root/w1")
-      for ((w, off) <- Seq(("w2", 3600000000L), ("w3", 7200000000L)))
-        s.range(1).select(lit(sentinel).as("user_id"),
-            expr(s"CAST(timestamp_micros(${maxUs + off}) AS TIMESTAMP_NTZ)").as("ts"))
-          .coalesce(1).write.parquet(s"$root/$w")
-      for ((wave, t) <- Seq(("w1", 1000000L), ("w2", 2000000L), ("w3", 3000000L));
-           p <- new java.io.File(s"$root/$wave").listFiles()
-           if p.getName.endsWith(".parquet")) {
-        val dst = java.nio.file.Path.of(in, s"$wave-${p.getName}")
-        java.nio.file.Files.copy(p.toPath, dst)
-        dst.toFile.setLastModified(t): Unit
-      }
-      withStreamGateConf(s) {
+      def sentinelWave(off: Long): DataFrame =
+        s.range(1).select(lit(sentinel).cast("long").as("user_id"),
+          expr(s"CAST(timestamp_micros(${maxUs + off}) AS TIMESTAMP_NTZ)").as("ts"))
+      val in = stageGateWaves(root, Seq(
+        "w1" -> ev.select(col("user_id").cast("long").as("user_id"),
+          col("ts").cast("timestamp_ntz").as("ts")),
+        "w2" -> sentinelWave(3600000000L),
+        "w3" -> sentinelWave(7200000000L)))
+      // hdfs provider + no no-data batch: see withStreamGateConf — this is
+      // the one gate on the single-column-family state API, and its timer
+      // coverage is provided by the sentinel waves, not the no-data batch
+      withStreamGateConf(s, stateProvider = "hdfs", noDataBatches = false) {
         val schema = s.read.parquet(in).schema
         val q = graft.streaming.EventStreams.sessionizeStream(
             graft.streaming.EventStreams.readFileStream(s, in, schema,
@@ -3310,17 +3289,9 @@ object SparkEntry {
     // "min vec_id per cluster" no matter how band buckets collide.
     "q220_semantic_scrub_stream_banded" -> ((s, dir) => {
       val root = gateTempDir("graft_q220")
-      val in = s"$root/in"
-      new java.io.File(in).mkdirs()
-      semanticScrubVecs(s, recrawl = true).coalesce(1).write.parquet(s"$root/w1")
-      semanticScrubVecs(s, recrawl = false).coalesce(1).write.parquet(s"$root/w2")
-      for ((wave, t) <- Seq(("w1", 1000000L), ("w2", 2000000L));
-           p <- new java.io.File(s"$root/$wave").listFiles()
-           if p.getName.endsWith(".parquet")) {
-        val dst = java.nio.file.Path.of(in, s"$wave-${p.getName}")
-        java.nio.file.Files.copy(p.toPath, dst)
-        dst.toFile.setLastModified(t): Unit
-      }
+      val in = stageGateWaves(root, Seq(
+        "w1" -> semanticScrubVecs(s, recrawl = true),
+        "w2" -> semanticScrubVecs(s, recrawl = false)))
       withStreamGateConf(s) {
         val schema = s.read.parquet(in).schema
         val q = graft.streaming.EventStreams.semanticDedupStreamBanded(
@@ -3624,19 +3595,11 @@ object SparkEntry {
     // claim pinned in EntrySpec.
     "q228_semantic_scrub_stream_centered" -> ((s, dir) => {
       val root = gateTempDir("graft_q228")
-      val in = s"$root/in"
-      new java.io.File(in).mkdirs()
       val originals = semanticScrubCenteredVecs(s, recrawl = false)
       val mu = Similarity.fitMeanVector(originals, "embedding")
-      semanticScrubCenteredVecs(s, recrawl = true).coalesce(1).write.parquet(s"$root/w1")
-      originals.coalesce(1).write.parquet(s"$root/w2")
-      for ((wave, t) <- Seq(("w1", 1000000L), ("w2", 2000000L));
-           p <- new java.io.File(s"$root/$wave").listFiles()
-           if p.getName.endsWith(".parquet")) {
-        val dst = java.nio.file.Path.of(in, s"$wave-${p.getName}")
-        java.nio.file.Files.copy(p.toPath, dst)
-        dst.toFile.setLastModified(t): Unit
-      }
+      val in = stageGateWaves(root, Seq(
+        "w1" -> semanticScrubCenteredVecs(s, recrawl = true),
+        "w2" -> originals))
       withStreamGateConf(s) {
         val schema = s.read.parquet(in).schema
         val q = graft.streaming.EventStreams.semanticDedupStream(
@@ -3784,16 +3747,80 @@ object SparkEntry {
     p.toString
   }
 
-  private def withStreamGateConf[T](s: SparkSession)(body: => T): T = {
+  /** Session conf for the streaming driver gates, restored after `body`.
+    *
+    * `stateProvider`: "rocksdb" (default — REQUIRED by every
+    * transformWithState gate: the arbitrary-state API uses multiple
+    * column families, which only the RocksDB provider implements) or
+    * "hdfs" (HDFSBackedStateStoreProvider — the in-memory-map provider,
+    * valid for the mapGroupsWithState/flatMapGroupsWithState/
+    * dropDuplicates class whose state is a single column family). r22:
+    * q217 (flatMapGroupsWithState sessionizer) runs on "hdfs" — its
+    * byte-sized state never needs off-heap spill, and the per-commit cost
+    * drops from a RocksDB snapshot+upload per store per trigger to one
+    * tiny delta file. At production state volume (state larger than
+    * executor heap) RocksDB is the right provider again; the knob is
+    * per-gate precisely because that choice is workload-sized.
+    *
+    * `noDataBatches`: set false to disable
+    * `spark.sql.streaming.noDataMicroBatches.enabled` — the extra empty
+    * micro-batch Spark appends after a watermark advance so event-time
+    * timers can fire with no new data. r22: q217 disables it (saves one
+    * full trigger round, ~0.4 s) because its THIRD sentinel wave already
+    * gives every real session's timer a data batch to fire in; the
+    * no-data batch only ever emitted the second sentinel's own session,
+    * which the gate filters out — output is hash-identical (oracle
+    * re-verified). Gates without watermarks never run no-data batches,
+    * so they keep the default. */
+  /** Stage a streaming gate's input waves as ONE Spark job: the waves are
+    * tagged, unioned, and written through a single dynamic-partition write
+    * (one file per wave via coalesce(1)), then hard-linked into `in/` with
+    * strictly increasing mtimes so the file stream replays them in arrival
+    * order under maxFilesPerTrigger = 1. Replaces the r21 shape (one
+    * coalesce(1) write JOB per wave + copy) — at 2-3 waves per gate the
+    * per-job overhead was a measured ~0.1-0.3 s of each gate's fixed cost
+    * (guide §1.2: fewer jobs). Row content per wave is identical to the
+    * per-wave writes; within-file row order is not part of any gate's
+    * contract (every gate recurrence is arrival-order-exact by design).
+    * Waves must share a schema. Returns the input dir. */
+  private def stageGateWaves(root: String,
+                             waves: Seq[(String, DataFrame)]): String = {
+    require(waves.nonEmpty, "stageGateWaves: no waves")
+    val in = s"$root/in"
+    new java.io.File(in).mkdirs()
+    waves.map { case (w, df) => df.withColumn("_wave", lit(w)) }
+      .reduce(_.unionByName(_))
+      .coalesce(1).write.partitionBy("_wave").parquet(s"$root/stage")
+    for (((wave, _), i) <- waves.zipWithIndex;
+         p <- new java.io.File(s"$root/stage/_wave=$wave").listFiles()
+         if p.getName.endsWith(".parquet")) {
+      val dst = java.nio.file.Path.of(in, s"$wave-${p.getName}")
+      java.nio.file.Files.copy(p.toPath, dst)
+      dst.toFile.setLastModified((i + 1) * 1000000L): Unit
+    }
+    in
+  }
+
+  private def withStreamGateConf[T](s: SparkSession,
+      stateProvider: String = "rocksdb",
+      noDataBatches: Boolean = true)(body: => T): T = {
+    val providerClass = stateProvider match {
+      case "rocksdb" =>
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+      case "hdfs" =>
+        "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider"
+      case other => throw new IllegalArgumentException(
+        s"withStreamGateConf: unknown stateProvider '$other'")
+    }
     val confs = Seq(
-      "spark.sql.streaming.stateStore.providerClass" ->
-        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+      "spark.sql.streaming.stateStore.providerClass" -> providerClass,
       // r21 measured, rejected: rocksdb.changelogCheckpointing.enabled=true
       // (skip the per-store snapshot upload per commit) timed NEUTRAL-to-
       // WORSE on the seven gates (15.0s -> 16.2s min-of-2) — at 4 stores x
       // 2-3 triggers of byte-sized state the snapshot is already trivial
       // and the changelog adds its own file churn. Worth re-testing on a
       // production stream with real state volume, not here.
+      "spark.sql.streaming.noDataMicroBatches.enabled" -> noDataBatches.toString,
       "spark.sql.shuffle.partitions" -> "4")
     val prev = confs.map { case (k, _) => k -> s.conf.getOption(k) }
     try { confs.foreach { case (k, v) => s.conf.set(k, v) }; body }

@@ -1057,16 +1057,21 @@ object Dedup {
       val viaNeighbors = sym
         .join(labels.withColumnRenamed("id", "dst"), "dst")
         .select(col("src").as("id"), col("component"), lit(0).as("_self"))
-      // Change detection folded INTO the label aggregation: the self row is
-      // tagged, so one groupBy yields both the new min label and the old
-      // (self) label — no extra join, and `changed` is a plain scan of the
-      // already-materialized round result.
-      val next = Relational.detach(
+      // Change detection folded INTO the round's single job: the self row
+      // is tagged, so one groupBy yields both the new min label and the old
+      // (self) label — no extra join — and the changed-row count rides the
+      // detach's materialization pass as an accumulator
+      // ([[Relational.detachWithFlagCount]]; boolean-grade, and the loop
+      // only ever branches on changed == 0). One job per round, down from
+      // the r21 detach + count pair.
+      val (next, changedCount) = Relational.detachWithFlagCount(
         labels.withColumn("_self", lit(1)).unionByName(viaNeighbors)
           .groupBy("id").agg(
             min("component").as("component"),
-            max(when(col("_self") === 1, col("component"))).as("_old")))
-      changed = next.where(col("component") =!= col("_old")).count()
+            max(when(col("_self") === 1, col("component"))).as("_old"))
+          .withColumn("_chg", col("component") =!= col("_old")),
+        "_chg")
+      changed = changedCount
       Relational.release(detached) // previous round: superseded, free it now
       detached = next
       labels = next.select(col("id"), col("component"))

@@ -48,6 +48,16 @@ object Relational {
   private[graft] def release(df: DataFrame): Unit =
     org.apache.spark.sql.GraftSqlBridge.releaseDetached(df)
 
+  /** [[detach]] with a boolean-flag row count folded into the SAME
+    * materialization job — one job per fixpoint round instead of two for
+    * iterative operators whose only per-round scalar is "did anything
+    * change". The count is boolean-grade (exact for == 0 / > 0, can
+    * overcount under task retry — see GraftSqlBridge.detachWithFlagCount);
+    * callers must only branch on zero/nonzero. */
+  private[graft] def detachWithFlagCount(df: DataFrame,
+                                         flagCol: String): (DataFrame, Long) =
+    org.apache.spark.sql.GraftSqlBridge.detachWithFlagCount(df, flagCol)
+
   /** Attach a dense 0-based row index following `orderCols`.
     *
     * Scalable form of `row_number() OVER (ORDER BY …)`: sort (range

@@ -825,22 +825,28 @@ object Similarity {
     var round = 0
     var balanced = false
     while (round < splitRounds && !balanced) {
-      val assigned = Relational.detach(assignCells(fit, cents, idCol, vecCol))
-      val hot = assigned.groupBy("cell_id").agg(count(lit(1)).as("_n"))
+      // ONE job per round for every driver scalar: hot-cell detection (a
+      // whole-partition count window), the two smallest-id seed members per
+      // hot cell (a row_number window over the SAME exchange), and the live
+      // max centroid id (1-row aggregate attached via broadcast crossJoin —
+      // the pagerank dangling-mass trick) all ride a single collect over
+      // the assignment pass. r21 paid four jobs for the same scalars:
+      // detach(assigned) + hot collect + seeds collect + maxId head.
+      val wAll = Window.partitionBy(col("cell_id"))
+      val w = Window.partitionBy(col("cell_id")).orderBy(col(idCol))
+      val seeds = assignCells(fit, cents, idCol, vecCol)
+        .withColumn("_n", count(lit(1)).over(wAll))
         .where(col("_n") > cap)
-        .select(col("cell_id").cast("long")).collect().map(_.getLong(0)).sorted
-      if (hot.isEmpty) balanced = true
+        .withColumn("_rn", row_number().over(w)).where(col("_rn") <= 2)
+        .select(col("cell_id").cast("long"), col("_rn"),
+          col(vecCol).cast("array<double>"))
+        .crossJoin(broadcast(cents.agg(max(col(idCol).cast("long")).as("_maxId"))))
+        .collect() // 2 x |hot| rows — centroid-budget driver state
+        .sortBy(r => (r.getLong(0), r.getInt(1)))
+      if (seeds.isEmpty) balanced = true
       else {
-        // two deterministic seeds per hot cell: its smallest-id members
-        // (only hot cells' rows enter the window)
-        val w = Window.partitionBy(col("cell_id")).orderBy(col(idCol))
-        val seeds = assigned.where(col("cell_id").isin(hot.map(Long.box): _*))
-          .withColumn("_rn", row_number().over(w)).where(col("_rn") <= 2)
-          .select(col("cell_id").cast("long"), col("_rn"),
-            col(vecCol).cast("array<double>"))
-          .collect() // 2 x |hot| rows — centroid-budget driver state
-          .sortBy(r => (r.getLong(0), r.getInt(1)))
-        val maxId = cents.agg(max(col(idCol).cast("long"))).head().getLong(0)
+        val hot = seeds.map(_.getLong(0)).distinct.sorted
+        val maxId = seeds(0).getLong(3)
         val rows = seeds.zipWithIndex.map { case (r, i) =>
           Row(maxId + 1 + i, r.getSeq[Double](2)) }
         val fresh = spark.createDataFrame(
@@ -856,14 +862,13 @@ object Similarity {
             col(vecCol).cast("array<double>").as(vecCol))
         var grown = cold.unionByName(fresh)
         for (_ <- 0 until refineIters) grown = lloydStep(fit, grown, idCol, vecCol)
-        // detach per round: the next round's maxId/hot collects and the
-        // final consumers otherwise re-run this round's refine chain per
-        // job (trainCentroids' detach rationale, once per split round)
+        // detach per round: the next round's seed collect and the final
+        // consumers otherwise re-run this round's refine chain per job
+        // (trainCentroids' detach rationale, once per split round)
         val next = Relational.detach(grown)
         Relational.release(cents)
         cents = next
       }
-      Relational.release(assigned)
       round += 1
     }
     cents

@@ -1099,13 +1099,52 @@ object TextAnalysis {
     * a 5-merge fit is ~13 tiny driver-loop jobs, none over 200 ms).
     * The cadence bounds both lineage depth and recompute at scale;
     * 8 balances them for production merge counts (32k rounds = 4k cuts,
-    * each amortizing 8 rounds of fold CPU). */
+    * each amortizing 8 rounds of fold CPU).
+    *
+    * BATCHED ARGMAX (`argmaxBatch`, r22): each aggregate collects the top
+    * `argmaxBatch` pairs instead of one, and accepts the longest PREFIX
+    * that is PROVABLY the next merges of the sequential recurrence —
+    * cutting driver-loop rounds (one vocab aggregate + collect each) by
+    * ~40% on natural text (measured 20 -> 12 rounds on the test corpus)
+    * for the same merge table. The proof
+    * obligations, encoded in the acceptance scan below (each derived from
+    * "a new pair created by merging (a, b) corresponds 1:1 to a pre-merge
+    * occurrence of a pair touching a or b, so post-merge counts are
+    * bounded by pre-merge counts of touching pairs"):
+    *  1. p_1 is the true argmax (always accepted).
+    *  2. p_i (i > 1) must share NO symbol with earlier accepted pairs —
+    *     then its own count is untouched by their merges and it cannot
+    *     have been consumed.
+    *  3. Every fetched non-accepted pair touching an accepted symbol must
+    *     have count STRICTLY below p_i's: such pairs bound both their own
+    *     post-merge counts and the counts of any NEW pair the accepted
+    *     merges create; strictness kills the tie case where a new pair
+    *     (whose merged-symbol name can sort arbitrarily) ties p_i and
+    *     could win the (a, b)-ascending tie-break.
+    *  4. When the fetched list was truncated at `argmaxBatch` rows, p_i
+    *     must STRICTLY beat the last fetched count (unseen pairs are
+    *     bounded by it, and an unseen touching pair at exactly that count
+    *     is hazard 3 again).
+    *  5. An accepted self-pair (a, a) CLOSES the batch: its own merge
+    *     creates pairs like (aa, a) whose parent occurrence is the
+    *     accepted pair itself, so their post-counts are bounded only by
+    *     ITS count — nothing later in the batch can be proven.
+    *  Ties between accepted DISJOINT pairs are safe: the fetch ordering
+    *  (n desc, a asc, b asc) IS the recurrence's tie-break, and a
+    *  disjoint pair's count is unchanged. The first pair failing any
+    *  check stops the scan (its own post-merge count is unknown, so no
+    *  later pair can be proven past it). `argmaxBatch = 1` is exactly
+    *  the r21 sequential loop; equality of the two paths on real text and
+    *  on adversarial overlap fixtures is pinned in TextAnalysisSpec. */
   def trainBpeMerges(docs: DataFrame, textCol: String, nMerges: Int,
                      fitSample: Option[Column] = None,
-                     detachCadence: Int = 8): DataFrame = {
+                     detachCadence: Int = 8,
+                     argmaxBatch: Int = 8): DataFrame = {
     require(nMerges >= 1, s"trainBpeMerges needs nMerges >= 1, got $nMerges")
     require(detachCadence >= 1,
       s"trainBpeMerges needs detachCadence >= 1, got $detachCadence")
+    require(argmaxBatch >= 1,
+      s"trainBpeMerges needs argmaxBatch >= 1, got $argmaxBatch")
     val spark = docs.sparkSession
     var root = Relational.detach(
       fitSample.fold(docs)(docs.where)
@@ -1116,40 +1155,68 @@ object TextAnalysis {
     var foldsSinceDetach = 0
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, String, Long)]
     var done = false
-    for (r <- 1 to nMerges if !done) {
+    while (merges.size < nMerges && !done) {
+      val want = math.min(argmaxBatch, nMerges - merges.size)
       val top = vocab.select(col("_f"), explode(expr(
           "IF(size(_s) < 2, array(), transform(sequence(0, size(_s) - 2), " +
             "i -> struct(element_at(_s, i + 1) AS a, element_at(_s, i + 2) AS b)))")).as("p"))
         .groupBy(col("p.a"), col("p.b")).agg(sum("_f").as("n"))
-        .orderBy(col("n").desc, col("a").asc, col("b").asc).limit(1)
+        .orderBy(col("n").desc, col("a").asc, col("b").asc).limit(want)
         .collect()
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
       if (top.isEmpty) done = true
       else {
-        val (a, b, n) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
-        // The merge fold below splices both symbols into SQL text. Today
-        // wordTokens = [A-Za-z0-9]+ can never emit a quote, but a future
-        // tokenizer swap (byte-level BPE over raw text) would silently turn
-        // this into SQL injection — fail loudly instead.
-        Seq(a, b).foreach(s => require(s.matches("[A-Za-z0-9]+"),
-          s"trainBpeMerges symbol '$s' outside [A-Za-z0-9]+ — the merge fold " +
-            "splices symbols into SQL text and is only safe for this alphabet"))
-        val ab = a + b
-        merges += ((r, a, b, ab, n))
-        // greedy left-to-right merge: fold symbols, collapsing (a, b) runs
-        // non-overlappingly ("aaa" under (a,a) -> [aa, a])
-        val mergedExpr = expr(
-          s"aggregate(_s, cast(array() as array<string>), (acc, x) -> " +
-            s"IF(size(acc) > 0 AND element_at(acc, -1) = '$a' AND x = '$b', " +
-            s"concat(slice(acc, 1, size(acc) - 1), array('$ab')), " +
-            s"concat(acc, array(x))))")
-        vocab = vocab.select(col("_f"), mergedExpr.as("_s"))
-        foldsSinceDetach += 1
-        if (foldsSinceDetach >= detachCadence) {
-          val next = Relational.detach(vocab)
-          Relational.release(root)
-          root = next
-          vocab = next
-          foldsSinceDetach = 0
+        // the batched-argmax acceptance scan (proof obligations in the
+        // scaladoc above); truncated fetch => unseen pairs bounded by the
+        // last fetched count
+        val truncated = top.length == want
+        val tailN = top.last._3
+        val acceptedSyms = scala.collection.mutable.Set.empty[String]
+        var closed = false
+        var i = 0
+        while (!closed && i < top.length) {
+          val (a, b, n) = top(i)
+          val ok = i == 0 || {
+            val disjoint = !acceptedSyms(a) && !acceptedSyms(b)
+            lazy val dominatesTouched = top.indices.forall { j =>
+              j <= i || top(j)._3 < n ||
+                (!acceptedSyms(top(j)._1) && !acceptedSyms(top(j)._2))
+            }
+            lazy val dominatesUnseen = !truncated || n > tailN
+            disjoint && dominatesTouched && dominatesUnseen
+          }
+          if (!ok) closed = true
+          else {
+            // The merge fold below splices both symbols into SQL text.
+            // Today wordTokens = [A-Za-z0-9]+ can never emit a quote, but a
+            // future tokenizer swap (byte-level BPE over raw text) would
+            // silently turn this into SQL injection — fail loudly instead.
+            Seq(a, b).foreach(s => require(s.matches("[A-Za-z0-9]+"),
+              s"trainBpeMerges symbol '$s' outside [A-Za-z0-9]+ — the merge fold " +
+                "splices symbols into SQL text and is only safe for this alphabet"))
+            val ab = a + b
+            merges += ((merges.size + 1, a, b, ab, n))
+            // greedy left-to-right merge: fold symbols, collapsing (a, b)
+            // runs non-overlappingly ("aaa" under (a,a) -> [aa, a])
+            val mergedExpr = expr(
+              s"aggregate(_s, cast(array() as array<string>), (acc, x) -> " +
+                s"IF(size(acc) > 0 AND element_at(acc, -1) = '$a' AND x = '$b', " +
+                s"concat(slice(acc, 1, size(acc) - 1), array('$ab')), " +
+                s"concat(acc, array(x))))")
+            vocab = vocab.select(col("_f"), mergedExpr.as("_s"))
+            foldsSinceDetach += 1
+            if (foldsSinceDetach >= detachCadence) {
+              val next = Relational.detach(vocab)
+              Relational.release(root)
+              root = next
+              vocab = next
+              foldsSinceDetach = 0
+            }
+            acceptedSyms += a
+            acceptedSyms += b
+            if (a == b) closed = true // obligation 5: self-pair ends the batch
+            i += 1
+          }
         }
       }
     }

@@ -20,15 +20,32 @@ object DebugQ {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    val stageMin = sys.env.getOrElse("STAGE_MIN_MS", "200").toInt
     spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
       override def onStageCompleted(
           sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
         val si = sc.stageInfo
         val ms = si.completionTime.getOrElse(0L) - si.submissionTime.getOrElse(0L)
-        if (ms > 200) println(f"[stage] id=${si.stageId}%-4d tasks=${si.numTasks}%-4d " +
+        if (ms > stageMin) println(f"[stage] id=${si.stageId}%-4d tasks=${si.numTasks}%-4d " +
           f"${ms / 1e3}%.2f s  ${si.name.take(90)}")
       }
     })
+    // job-level wall times (JOB_MIN_MS, default off): driver-loop operators
+    // (CC rounds, Lloyd fits) hide their cost in many small jobs no single
+    // stage shows
+    sys.env.get("JOB_MIN_MS").map(_.toInt).foreach { jobMin =>
+      val starts = new java.util.concurrent.ConcurrentHashMap[Int, (Long, String)]()
+      spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(e: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+          starts.put(e.jobId, (e.time,
+            Option(e.properties.getProperty("callSite.short")).getOrElse("?")))
+        override def onJobEnd(e: org.apache.spark.scheduler.SparkListenerJobEnd): Unit = {
+          val (t0, site) = starts.getOrDefault(e.jobId, (e.time, "?"))
+          val ms = e.time - t0
+          if (ms >= jobMin) println(f"[job] ${e.jobId}%4d ${ms}%5d ms  $site")
+        }
+      })
+    }
     def noop(df: org.apache.spark.sql.DataFrame): Unit =
       df.write.format("noop").mode("overwrite").save()
     for (qn <- q.split(",")) {

@@ -296,6 +296,38 @@ class TextAnalysisSpec extends SparkSuite {
       (i + 1, a, b, a + b, n) }.toArray)
   }
 
+  test("trainBpeMerges batched argmax equals the sequential recurrence") {
+    import graft.operators.TextAnalysis
+    def table(docs: org.apache.spark.sql.DataFrame, n: Int, k: Int) =
+      TextAnalysis.trainBpeMerges(docs, "text", nMerges = n, argmaxBatch = k)
+        .orderBy("rank").as[(Int, String, String, String, Long)].collect()
+    def corpus(words: (String, Int)*) =
+      Seq((1L, words.flatMap { case (w, f) => Seq.fill(f)(w) }.mkString(" ")))
+        .toDF("doc_id", "text")
+    // OVERLAP HAZARD — the fixture where a naive disjoint batch diverges:
+    // round-1 counts are (a,b)=10, (x,a)=8, (d,e)=7; merging (a,b) creates
+    // (x,ab)=8, so the TRUE second merge is (x,ab), not the stale disjoint
+    // (d,e). The acceptance scan must stop the batch at (x,a) (touching,
+    // count unknown after the merge) and land on the sequential table.
+    val overlap = corpus("xab" -> 8, "de" -> 7, "ab" -> 2)
+    val overlapExpect = Array(
+      (1, "a", "b", "ab", 10L), (2, "x", "ab", "xab", 8L), (3, "d", "e", "de", 7L))
+    assert(table(overlap, 3, 8) === overlapExpect)
+    assert(table(overlap, 3, 1) === overlapExpect)
+    // SELF-PAIR HAZARD — merging (c,c) creates (cc,c)=9 ABOVE the stale
+    // disjoint (d,e)=8; a batch that continued past the self-pair would
+    // record (d,e) second. Obligation 5 closes the batch at (c,c).
+    val selfPair = corpus("ccc" -> 9, "de" -> 8)
+    val selfExpect = Array(
+      (1, "c", "c", "cc", 18L), (2, "cc", "c", "ccc", 9L), (3, "d", "e", "de", 8L))
+    assert(table(selfPair, 3, 8) === selfExpect)
+    assert(table(selfPair, 3, 1) === selfExpect)
+    // REAL TEXT — the q136 shape: batched and sequential fits must agree
+    // bit-for-bit over a full 20-merge table (counts included)
+    val docs = spark.read.parquet(s"$sf/documents.parquet").select("doc_id", "text")
+    assert(table(docs, 20, 8) === table(docs, 20, 1))
+  }
+
   test("trainBpeMerges fitSample: deterministic sample fit agrees with the full fit") {
     import graft.operators.TextAnalysis
     // the Faiss-style contract: the tokenizer is model state fit on a
