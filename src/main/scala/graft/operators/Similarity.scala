@@ -460,7 +460,11 @@ object Similarity {
     * rank 1). Set it false when probe and corpus ids come from DIFFERENT
     * id spaces ([[scrubAgainstIvfPqIndex]]'s cross-snapshot shape): there
     * an equal id is a re-crawl of the same document keeping its stable
-    * id, and excluding it would silently let an exact duplicate survive. */
+    * id, and excluding it would silently let an exact duplicate survive.
+    *
+    * CONTRACT CHANGE (r21): an EMPTY probe set returns an empty result
+    * frame (SQL semantics) instead of throwing — see [[pqTopK]]; the
+    * former require() guard cost one eager probe-source job per serve. */
   def ivfPqTopK(encoded: DataFrame, centroids: DataFrame, codebooks: DataFrame,
                 probes: DataFrame, k: Int, nprobe: Int = 1,
                 idCol: String = "vec_id", vecCol: String = "embedding",
@@ -768,7 +772,14 @@ object Similarity {
     * centroid broadcast — re-ran the whole nested Lloyd chain (its own
     * corpus passes) as a subtree of its job; q100's fit+encode+serve paid
     * the chain 5+ times (guide §2.4: remove recomputed subtrees). The
-    * frame is |cells| rows, so the pinned storage is centroid-budget. */
+    * frame is |cells| rows, so the pinned storage is centroid-budget —
+    * but OWNERSHIP TRANSFERS TO THE CALLER: a detached frame pins its
+    * blocks until driver GC (the [[Relational.detach]] storage-growth
+    * caveat), so iterative or long-lived callers that refit must
+    * [[Relational.release]] each superseded centroid frame (as
+    * [[trainBalancedCentroids]]' split loop does); one-shot query
+    * builders may rely on the bench/verify harnesses' between-query
+    * reap instead. */
   def trainCentroids(corpus: DataFrame, k: Int, iterations: Int,
                      idCol: String = "vec_id", vecCol: String = "embedding",
                      fitSample: Option[Column] = None): DataFrame = {
@@ -1454,6 +1465,12 @@ object Similarity {
     * reduction as [[bruteForceTopK]], so shuffle bytes are |probes| x k.
     * Probe ids are cast to long. Returns (probe_id, rank, neighbor_id,
     * cosine) with the ADC-approximate cosine.
+    *
+    * CONTRACT CHANGE (r21): an EMPTY probe set returns an empty result
+    * frame (SQL semantics) instead of throwing — the former
+    * `require(!probes.isEmpty)` cost one eager job over the probe source
+    * per serve. Callers that relied on the loud guard to catch an
+    * accidentally-empty probe source must check their source themselves.
     */
   def pqTopK(corpusCodes: DataFrame, codebooks: DataFrame, probes: DataFrame, k: Int,
              idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {

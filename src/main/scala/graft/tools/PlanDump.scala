@@ -4,9 +4,12 @@ import org.apache.spark.sql.SparkSession
 
 /** Dump `.explain("formatted")` for the named queries (comma-separated in
   * args(0), or "all") into args(1) (default plans/r21) as <query>_<tag>.txt,
-  * tag = args(2) (default "before"). Plans are built, not executed — the
-  * judge-facing evidence files for optimization rounds. Session conf
-  * mirrors Bench so the dumped plan is the benched plan. */
+  * tag = args(2) (default "before"). Plans are dumped without running the
+  * query's ACTION, but query builders execute real Spark jobs at build
+  * time (trainer detaches, bm25's tf detach, pagerank's per-round jobs,
+  * the streaming gates' whole replay) — a dump is not free. Judge-facing
+  * evidence files for optimization rounds; session conf mirrors Bench so
+  * the dumped plan is the benched plan. */
 object PlanDump {
   def main(args: Array[String]): Unit = {
     val names = args.headOption.getOrElse("all")
@@ -38,7 +41,9 @@ object PlanDump {
         java.nio.file.Files.write(
           java.nio.file.Paths.get(outDir, s"${q}_$tag.txt"), bos.toByteArray)
         System.err.println(s"[plandump] $q -> $outDir/${q}_$tag.txt")
-      } catch { case e: Throwable =>
+      } catch { case scala.util.control.NonFatal(e) =>
+        // NonFatal only: swallowing an OOM/fatal error and looping would
+        // dump garbage plans from a broken JVM (ADVICE r21)
         System.err.println(s"[plandump] $q FAILED: ${e.getMessage}")
       }
     }
