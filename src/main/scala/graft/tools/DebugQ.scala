@@ -53,6 +53,11 @@ object DebugQ {
         val t0 = System.nanoTime()
         noop(graft.SparkEntry.queries(qn)(spark, sfDir))
         println(f"[perf] r$round $qn ${(System.nanoTime() - t0) / 1e9}%.2f s")
+        // reap detached (localCheckpoint) blocks between runs — without
+        // this, multi-query sweeps accumulate pinned storage and inflate
+        // every later query (the same in-suite-only inflation Bench's
+        // reaper exists for)
+        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
       }
     }
     if (args.length > 2 && args(2) == "explain")
